@@ -1,0 +1,184 @@
+"""AST for the ekuiper SQL dialect.
+
+Shapes mirror the reference grammar (pkg/ast/expr.go, pkg/ast/statement.go)
+but are defined fresh as plain dataclasses.  The translator walks these
+into PySpark Column expressions / DataFrame operations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+class Node:
+    pass
+
+
+# --------------------------------------------------------------------------
+# expressions
+# --------------------------------------------------------------------------
+@dataclass
+class Literal(Node):
+    value: Any  # int | float | str | bool | None
+
+
+@dataclass
+class ColumnRef(Node):
+    name: str
+    source: Optional[str] = None  # stream alias qualifier ("demo.size")
+
+
+@dataclass
+class Wildcard(Node):
+    # SELECT *  /  * EXCEPT(a,b)  /  * REPLACE(expr AS name)
+    # reference: pkg/ast/expr.go:99-103
+    source: Optional[str] = None  # t.* qualifier
+    except_cols: list[str] = field(default_factory=list)
+    replaces: list[tuple["Node", str]] = field(default_factory=list)
+
+
+@dataclass
+class Binary(Node):
+    op: str  # + - * / % & | ^ = != < <= > >= AND OR
+    left: Node
+    right: Node
+
+
+@dataclass
+class Unary(Node):
+    op: str  # - NOT
+    operand: Node
+
+
+@dataclass
+class FuncCall(Node):
+    name: str
+    args: list[Node] = field(default_factory=list)
+    # analytic funcs support OVER (PARTITION BY ...) WHEN cond
+    # (internal/binder/function/funcs_analytic.go:124-207)
+    partition_by: list[Node] = field(default_factory=list)
+    when: Optional[Node] = None
+
+
+@dataclass
+class CaseWhen(Node):
+    operand: Optional[Node]  # CASE x WHEN v ... vs CASE WHEN cond ...
+    whens: list[tuple[Node, Node]] = field(default_factory=list)
+    else_: Optional[Node] = None
+
+
+@dataclass
+class InExpr(Node):
+    expr: Node
+    items: list[Node]
+    negated: bool = False
+
+
+@dataclass
+class Between(Node):
+    expr: Node
+    lo: Node
+    hi: Node
+    negated: bool = False
+
+
+@dataclass
+class Like(Node):
+    expr: Node
+    pattern: Node
+    negated: bool = False
+    escape: Optional[str] = None
+
+
+@dataclass
+class Index(Node):
+    # a[1]   (0-based in ekuiper; pkg/ast/expr.go:55-77)
+    expr: Node
+    index: Node
+
+
+@dataclass
+class Slice(Node):
+    # a[1:3], a[:2], a[2:]
+    expr: Node
+    lo: Optional[Node]
+    hi: Optional[Node]
+
+
+@dataclass
+class Access(Node):
+    # a->b nested struct/map access; a.b resolves here too when `a` is not
+    # a known source alias (internal/xsql/valuer.go jsonFieldGetter)
+    expr: Node
+    fieldname: str
+
+
+@dataclass
+class JsonPath(Node):
+    # col->'$.x.y' json-path query (pkg/ast/expr.go BinaryExpr w/ ARROW+string)
+    expr: Node
+    path: str
+
+
+# --------------------------------------------------------------------------
+# statement parts
+# --------------------------------------------------------------------------
+@dataclass
+class Field(Node):
+    expr: Node
+    alias: Optional[str] = None
+    invisible: bool = False  # `expr AS name INVISIBLE` hidden from output
+
+
+@dataclass
+class SortSpec(Node):
+    expr: Node
+    asc: bool = True
+
+
+@dataclass
+class WindowSpec(Node):
+    """GROUP BY window dimension (pkg/ast/statement.go:177-220).
+
+    kind: tumbling|hopping|sliding|session|count|state
+    unit:  dd|hh|mi|ss|ms  (time windows)
+    args:  ints — tumbling:[len]  hopping:[len,hop]  sliding:[len(,delay)]
+           session:[timeout,maxlen?]  count:[n(,interval)]
+    state: [begin_expr, emit_expr] conditions
+    """
+
+    kind: str
+    unit: Optional[str] = None
+    args: list[Any] = field(default_factory=list)
+    state_conds: list[Node] = field(default_factory=list)
+    partition: list[Node] = field(default_factory=list)
+    filter: Optional[Node] = None  # window FILTER(where ...) clause
+    trigger: Optional[Node] = None  # sliding OVER(WHEN ...)
+
+
+@dataclass
+class JoinClause(Node):
+    source: str
+    alias: Optional[str]
+    kind: str  # inner|left|right|full|cross
+    on: Optional[Node]
+
+
+@dataclass
+class GroupBy(Node):
+    dims: list[Node] = field(default_factory=list)
+    window: Optional[WindowSpec] = None
+
+
+@dataclass
+class SelectStatement(Node):
+    fields: list[Field] = field(default_factory=list)
+    source: str = ""
+    source_alias: Optional[str] = None
+    joins: list[JoinClause] = field(default_factory=list)
+    where: Optional[Node] = None
+    group: Optional[GroupBy] = None
+    having: Optional[Node] = None
+    order: list[SortSpec] = field(default_factory=list)
+    limit: Optional[int] = None

@@ -1,0 +1,185 @@
+"""Stream/table catalog: the engine's analog of ekuiper's KV-stored DDL.
+
+ekuiper persists ``CREATE STREAM name (fields) WITH (TYPE=..., FORMAT=...,
+DATASOURCE=..., TIMESTAMP=...)`` ASTs in a KV store (reference:
+internal/processor/stream.go:102-200, pkg/ast/sourceStmt.go:24-48) and the
+planner loads schemas from it at rule-compile time.
+
+Here a :class:`Catalog` maps stream/table names to :class:`StreamDef`
+(schema + source options).  ``load(spark, name)`` materializes a DataFrame
+(batch) or streaming DataFrame.  Schemas use Spark types via the mapping
+in SURVEY.md §1.3:
+
+    BIGINT->LongType FLOAT->DoubleType STRINGS->StringType BYTEA->BinaryType
+    DATETIME->TimestampType BOOLEAN->BooleanType ARRAY->ArrayType
+    STRUCT->StructType
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ekuiper DataType enum (pkg/ast/token.go:329-338) -> Spark types
+EKUIPER_TYPES: dict[str, T.DataType] = {
+    "bigint": T.LongType(),
+    "float": T.DoubleType(),
+    "string": T.StringType(),
+    "strings": T.StringType(),
+    "bytea": T.BinaryType(),
+    "datetime": T.TimestampType(),
+    "boolean": T.BooleanType(),
+}
+
+
+def ekuiper_type(name: str) -> T.DataType:
+    """Resolve an ekuiper type name (possibly ``array(bigint)``) to Spark."""
+    n = name.strip().lower()
+    if n.startswith("array(") and n.endswith(")"):
+        return T.ArrayType(ekuiper_type(n[6:-1]))
+    if n in EKUIPER_TYPES:
+        return EKUIPER_TYPES[n]
+    raise ValueError(f"unknown ekuiper type: {name!r}")
+
+
+@dataclass
+class StreamDef:
+    """One CREATE STREAM/TABLE entry.
+
+    kind: 'stream' (unbounded), 'scan' (bounded side input, ekuiper scan
+    table), or 'lookup' (keyed external table).  Reference:
+    pkg/ast/sourceStmt.go:34-37 StreamKind.
+    """
+
+    name: str
+    format: str = "parquet"  # json|csv|parquet|... (FORMAT option)
+    path: str | None = None  # DATASOURCE
+    schema: T.StructType | None = None  # None => schemaless
+    kind: str = "stream"
+    timestamp_col: str | None = None  # TIMESTAMP option -> event time
+    options: dict[str, Any] = field(default_factory=dict)
+    key: str | None = None  # lookup-table key (KEY option)
+
+    @property
+    def is_schemaless(self) -> bool:
+        return self.schema is None
+
+
+class Catalog:
+    """Name -> StreamDef registry + DataFrame loader.
+
+    For the test harness, ``from_dir`` registers every parquet table in a
+    fixture directory as a scan table (batch DataFrame).  Registered
+    DataFrames may also be injected directly (``register_df``) — the analog
+    of ekuiper's mock-source injection for trial runs
+    (internal/topo/planner/planner.go:49-97).
+    """
+
+    def __init__(self) -> None:
+        self._defs: dict[str, StreamDef] = {}
+        self._dfs: dict[str, DataFrame] = {}
+
+    # -- registration ------------------------------------------------------
+    def register(self, d: StreamDef) -> None:
+        self._defs[d.name.lower()] = d
+
+    def register_df(self, name: str, df: DataFrame) -> None:
+        self._dfs[name.lower()] = df
+
+    def has(self, name: str) -> bool:
+        n = name.lower()
+        return n in self._dfs or n in self._defs
+
+    def get(self, name: str) -> StreamDef | None:
+        return self._defs.get(name.lower())
+
+    @classmethod
+    def from_dir(cls, sf_dir: str, tables: list[str] | None = None) -> "Catalog":
+        import glob
+        import os
+
+        cat = cls()
+        paths = (
+            [os.path.join(sf_dir, f"{t}.parquet") for t in tables]
+            if tables
+            else sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+        )
+        for p in paths:
+            name = os.path.splitext(os.path.basename(p))[0]
+            cat.register(StreamDef(name=name, format="parquet", path=p, kind="scan"))
+        return cat
+
+    # -- loading -----------------------------------------------------------
+    def load(self, spark: SparkSession, name: str, streaming: bool = False) -> DataFrame:
+        n = name.lower()
+        if n in self._dfs:
+            return self._dfs[n]
+        d = self._defs.get(n)
+        if d is None:
+            raise KeyError(f"unknown stream/table: {name}")
+        if streaming:
+            reader = spark.readStream
+            if d.schema is not None:
+                reader = reader.schema(d.schema)
+            elif d.format == "parquet":
+                # streaming parquet needs an explicit schema: probe via batch
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                reader = reader.schema(spark.read.parquet(d.path).schema)
+            sdf = reader.format(d.format).load(d.path)
+            if d.format == "parquet":
+                from pyspark.sql import functions as F
+
+                for c in self._nano_cols(d.path):
+                    sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            return sdf
+        reader = spark.read
+        if d.schema is not None:
+            reader = reader.schema(d.schema)
+        if d.format == "parquet":
+            return self._read_parquet(spark, d.path)
+        if d.format == "json":
+            return reader.json(d.path)
+        if d.format == "csv":
+            return reader.csv(d.path, header=d.options.get("header", True))
+        raise ValueError(f"unsupported format {d.format!r} for {name}")
+
+    # parquet TIMESTAMP(NANOS) columns (fixture files) are unreadable by
+    # Spark natively; with spark.sql.legacy.parquet.nanosAsLong they arrive
+    # as epoch-nanos longs and are converted back to TimestampType here.
+    _nano_cols_cache: dict[str, list[str]] = {}
+
+    @classmethod
+    def _nano_cols(cls, path: str) -> list[str]:
+        if path not in cls._nano_cols_cache:
+            import pyarrow.parquet as pq
+            import pyarrow as pa
+            import glob
+            import os
+
+            probe = path
+            if os.path.isdir(path):
+                files = glob.glob(os.path.join(path, "*.parquet"))
+                probe = files[0] if files else path
+            try:
+                schema = pq.read_schema(probe)
+                cls._nano_cols_cache[path] = [
+                    f.name
+                    for f in schema
+                    if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+                ]
+            except Exception:
+                cls._nano_cols_cache[path] = []
+        return cls._nano_cols_cache[path]
+
+    def _read_parquet(self, spark: SparkSession, path: str) -> DataFrame:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        for c in self._nano_cols(path):
+            # integer division keeps full precision (ns epoch > 2^53)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df

@@ -1,0 +1,56 @@
+"""Function registry: ekuiper builtin name -> PySpark Column builder.
+
+The reference registers ~190 builtins in internal/binder/function/ (Go).
+Here each builtin maps to a builder producing a native Catalyst expression
+(``pyspark.sql.functions``) wherever one exists — that keeps the hot path
+inside whole-stage codegen.  UDFs are a last resort and not used for any
+function in this registry.
+
+Builder signature: ``fn(cols, raw) -> Column`` where ``cols`` are the
+translated argument Columns and ``raw`` carries the original Python literal
+for each arg (or None) so functions like ``cast(col, 'bigint')`` or
+``lpad(col, 3)`` can use literal parameters natively.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column
+
+from ekuiper_spark.functions import aggregates as _agg
+from ekuiper_spark.functions import scalar as _scalar
+
+ScalarBuilder = Callable[[list[Column], list[Any]], Column]
+
+SCALAR: dict[str, ScalarBuilder] = dict(_scalar.REGISTRY)
+AGGREGATE: dict[str, ScalarBuilder] = dict(_agg.REGISTRY)
+
+# analytic functions (stateful across rows; batch mode = Window funcs,
+# streaming mode = transformWithState).  reference: funcs_analytic.go
+ANALYTIC = {"lag", "latest", "changed_col", "had_changed"}
+
+# set-returning functions, handled by the translator (explode)
+SRF = {"unnest"}
+
+# window-metadata functions, resolved by the translator against the
+# active window struct (funcs_misc.go:579+)
+WINDOW_META = {"window_start", "window_end"}
+
+
+def is_aggregate(name: str) -> bool:
+    return name.lower() in AGGREGATE
+
+
+def build_scalar(name: str, cols: list[Column], raw: list[Any]) -> Column:
+    fn = SCALAR.get(name.lower())
+    if fn is None:
+        raise KeyError(f"unknown scalar function: {name}")
+    return fn(cols, raw)
+
+
+def build_aggregate(name: str, cols: list[Column], raw: list[Any]) -> Column:
+    fn = AGGREGATE.get(name.lower())
+    if fn is None:
+        raise KeyError(f"unknown aggregate function: {name}")
+    return fn(cols, raw)

@@ -1,0 +1,75 @@
+"""Aggregate builtins (reference: internal/binder/function/funcs_agg.go).
+
+All map to native Catalyst aggregates — Spark's partial (map-side) + final
+aggregation replaces the reference's incremental-agg rewrite
+(internal/topo/planner/planner.go:1022-1104): at 100 TB the partial agg
+happens before the shuffle, so only one reduced row per group/partition
+moves across the network.
+
+Naming notes verified against the reference:
+- stddev/var  = population; stddevs/vars = sample (funcs_agg.go:206-297)
+- collect     = list of values in window order (funcs_agg.go:144)
+- last_value(col, ignoreNull) (funcs_agg.go:371)
+- percentile_cont/percentile_disc take (col, p) (funcs_agg.go:298-370)
+- merge_agg merges object values, last key wins (funcs_agg.go:154) — maps
+  to map_from_entries(flatten(collect_list(map_entries(.)))) with
+  spark.sql.mapKeyDedupPolicy=LAST_WIN.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+REGISTRY: dict[str, Any] = {}
+
+
+def reg(*names: str):
+    def deco(fn):
+        for n in names:
+            REGISTRY[n] = fn
+        return fn
+
+    return deco
+
+
+reg("avg")(lambda c, r: F.avg(c[0]))
+reg("count")(lambda c, r: F.count(F.lit(1)) if not c else F.count(c[0]))
+reg("sum")(lambda c, r: F.sum(c[0]))
+reg("max")(lambda c, r: F.max(c[0]))
+reg("min")(lambda c, r: F.min(c[0]))
+reg("collect")(lambda c, r: F.collect_list(c[0]))
+reg("collect_set")(lambda c, r: F.collect_set(c[0]))
+reg("median")(lambda c, r: F.median(c[0]))
+reg("stddev")(lambda c, r: F.stddev_pop(c[0]))
+reg("stddevs")(lambda c, r: F.stddev_samp(c[0]))
+reg("var")(lambda c, r: F.var_pop(c[0]))
+reg("vars")(lambda c, r: F.var_samp(c[0]))
+reg("last_value")(
+    lambda c, r: F.last(c[0], ignorenulls=bool(r[1]) if len(c) > 1 else False)
+)
+reg("percentile_cont")(lambda c, r: F.percentile(c[0], F.lit(float(r[1]))))
+
+
+@reg("percentile_disc")
+def _percentile_disc(c, r):
+    # smallest value v such that cume_dist(v) >= p, over non-null values —
+    # identical to DuckDB quantile_disc (funcs_agg.go:335-370)
+    p = float(r[1])
+    vals = F.sort_array(F.collect_list(c[0]))
+    n = F.size(vals)
+    idx = F.greatest(F.lit(1), F.ceil(F.lit(p) * n)).cast("int")
+    return F.element_at(vals, idx)
+
+
+@reg("merge_agg")
+def _merge_agg(c, r):
+    return F.map_from_entries(F.flatten(F.collect_list(F.map_entries(c[0]))))
+
+
+# count_distinct is not in the reference grammar (SURVEY §2.5) but comes
+# free with Spark; exposed as an extension.
+reg("count_distinct")(lambda c, r: F.count_distinct(*c))
+reg("approx_count_distinct")(lambda c, r: F.approx_count_distinct(c[0]))

@@ -1,0 +1,283 @@
+"""Scalar builtins: ekuiper name -> native Catalyst expression.
+
+Semantics cited per function from the reference (Go); all builders emit
+``pyspark.sql.functions`` expressions (JVM-side, codegen'd) — no Python
+UDFs.  Index-base conventions verified against the reference:
+
+- element_at / array index 0-based, negative = from end (funcs_array.go:85-103)
+- indexof 0-based, -1 when absent (funcs_str.go:66-74)
+- substring(col, start[, end]) 0-based, end exclusive (funcs_str.go:219-240)
+- split_value(col, sep, i) 0-based w/ negative (funcs_str.go:296-312)
+- dec2hex -> "0x"+lowercase hex (funcs_misc.go:667-676)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+REGISTRY: dict[str, Any] = {}
+
+
+def reg(*names: str):
+    def deco(fn):
+        for n in names:
+            REGISTRY[n] = fn
+        return fn
+
+    return deco
+
+
+def _zero_based(idx: Column) -> Column:
+    """ekuiper 0-based index -> Spark element_at 1-based (negatives pass)."""
+    return F.when(idx >= 0, idx + 1).otherwise(idx)
+
+
+# --------------------------------------------------------------------------
+# math (funcs_math.go)
+# --------------------------------------------------------------------------
+reg("abs")(lambda c, r: F.abs(c[0]))
+reg("acos")(lambda c, r: F.acos(c[0]))
+reg("asin")(lambda c, r: F.asin(c[0]))
+reg("atan")(lambda c, r: F.atan(c[0]))
+reg("atan2")(lambda c, r: F.atan2(c[0], c[1]))
+reg("ceil", "ceiling")(lambda c, r: F.ceil(c[0]))
+reg("cos")(lambda c, r: F.cos(c[0]))
+reg("cosh")(lambda c, r: F.cosh(c[0]))
+reg("cot")(lambda c, r: F.cot(c[0]))
+reg("degrees")(lambda c, r: F.degrees(c[0]))
+reg("exp")(lambda c, r: F.exp(c[0]))
+reg("floor")(lambda c, r: F.floor(c[0]))
+reg("ln")(lambda c, r: F.log(c[0]))
+reg("log")(lambda c, r: F.log10(c[0]))  # ekuiper log = base 10 (funcs_math.go)
+reg("mod")(lambda c, r: c[0] % c[1])
+reg("pi")(lambda c, r: F.lit(3.141592653589793))
+reg("pow", "power")(lambda c, r: F.pow(c[0], c[1]))
+reg("radians")(lambda c, r: F.radians(c[0]))
+reg("rand")(lambda c, r: F.rand())
+reg("round")(lambda c, r: F.round(c[0], int(r[1]) if len(c) > 1 else 0))
+reg("sign")(lambda c, r: F.signum(c[0]).cast("bigint"))
+reg("sin")(lambda c, r: F.sin(c[0]))
+reg("sinh")(lambda c, r: F.sinh(c[0]))
+reg("sqrt")(lambda c, r: F.sqrt(c[0]))
+reg("tan")(lambda c, r: F.tan(c[0]))
+reg("tanh")(lambda c, r: F.tanh(c[0]))
+reg("bitand")(lambda c, r: c[0].bitwiseAND(c[1]))
+reg("bitor")(lambda c, r: c[0].bitwiseOR(c[1]))
+reg("bitxor")(lambda c, r: c[0].bitwiseXOR(c[1]))
+reg("bitnot")(lambda c, r: F.expr("-1").bitwiseXOR(c[0]))
+
+
+# --------------------------------------------------------------------------
+# string (funcs_str.go)
+# --------------------------------------------------------------------------
+reg("concat")(lambda c, r: F.concat(*c))
+reg("endswith")(lambda c, r: c[0].endswith(c[1]))
+reg("startswith")(lambda c, r: c[0].startswith(c[1]))
+reg("indexof")(lambda c, r: F.instr(c[0], c[1]) - 1)
+reg("length")(lambda c, r: F.length(c[0]))
+reg("lower")(lambda c, r: F.lower(c[0]))
+reg("upper")(lambda c, r: F.upper(c[0]))
+reg("lpad")(lambda c, r: F.lpad(c[0], int(r[1]), " "))
+reg("rpad")(lambda c, r: F.rpad(c[0], int(r[1]), " "))
+reg("ltrim")(lambda c, r: F.ltrim(c[0]))
+reg("rtrim")(lambda c, r: F.rtrim(c[0]))
+reg("trim")(lambda c, r: F.trim(c[0]))
+reg("numbytes")(lambda c, r: F.octet_length(c[0]))
+reg("regexp_matches")(lambda c, r: c[0].rlike(r[1]) if r[1] is not None else F.regexp_like(c[0], c[1]))
+reg("regexp_replace")(lambda c, r: F.regexp_replace(c[0], c[1], c[2]))
+reg("regexp_substr")(lambda c, r: F.regexp_extract(c[0], r[1], 0))
+reg("reverse")(lambda c, r: F.reverse(c[0]))
+reg("split_value")(
+    lambda c, r: F.element_at(F.split(c[0], c[1]), _zero_based(c[2]).cast("int"))
+)
+
+
+@reg("substring")
+def _substring(c, r):
+    # 0-based start, optional end-exclusive (funcs_str.go:219-240)
+    if len(c) > 2:
+        return c[0].substr(c[1].cast("int") + 1, (c[2] - c[1]).cast("int"))
+    return c[0].substr(c[1].cast("int") + 1, F.length(c[0]))
+
+
+reg("format")(lambda c, r: F.format_string(r[0] if r[0] is not None else "%s", *c[1:]))
+
+
+# --------------------------------------------------------------------------
+# datetime (funcs_datetime.go) — ekuiper format strings use the
+# YYYY-MM-dd HH:mm:ss token dialect; convert to JDK DateTimeFormatter.
+# --------------------------------------------------------------------------
+_TIME_TOKEN_MAP = [
+    ("YYYY", "yyyy"),
+    ("SSS", "SSS"),
+    ("YY", "yy"),
+]
+
+
+def go_format_to_jdk(fmt: str) -> str:
+    for a, b in _TIME_TOKEN_MAP:
+        fmt = fmt.replace(a, b)
+    return fmt
+
+
+reg("now", "current_timestamp", "local_timestamp")(lambda c, r: F.current_timestamp())
+reg("cur_date", "current_date")(lambda c, r: F.current_date())
+reg("cur_time", "current_time", "local_time")(
+    lambda c, r: F.date_format(F.current_timestamp(), "HH:mm:ss")
+)
+reg("day", "day_of_month")(lambda c, r: F.dayofmonth(c[0]))
+reg("day_of_week")(lambda c, r: F.dayofweek(c[0]))
+reg("day_of_year")(lambda c, r: F.dayofyear(c[0]))
+reg("day_name")(lambda c, r: F.date_format(c[0], "EEEE"))
+reg("month_name")(lambda c, r: F.date_format(c[0], "MMMM"))
+reg("hour")(lambda c, r: F.hour(c[0]))
+reg("minute")(lambda c, r: F.minute(c[0]))
+reg("second")(lambda c, r: F.second(c[0]))
+reg("microsecond")(lambda c, r: (F.unix_micros(c[0]) % 1_000_000))
+reg("month")(lambda c, r: F.month(c[0]))
+reg("year")(lambda c, r: F.year(c[0]))
+reg("date_diff")(lambda c, r: F.datediff(c[1], c[0]))
+reg("format_time")(lambda c, r: F.date_format(c[0], go_format_to_jdk(r[1])))
+reg("from_unix_time", "from_unixtime")(lambda c, r: F.to_timestamp(F.from_unixtime(c[0])))
+reg("last_day")(lambda c, r: F.last_day(c[0]))
+reg("to_seconds")(lambda c, r: F.unix_timestamp(c[0]))
+reg("from_days")(lambda c, r: F.date_add(F.lit("1970-01-01").cast("date"), c[0].cast("int")))
+reg("date_calc")(lambda c, r: F.expr(f"timestampadd(SECOND, 0, now())"))  # placeholder; duration parsing TODO
+
+
+# --------------------------------------------------------------------------
+# array (funcs_array.go)
+# --------------------------------------------------------------------------
+reg("array_cardinality", "cardinality")(lambda c, r: F.size(c[0]))
+reg("array_concat")(lambda c, r: F.concat(*c))
+reg("array_contains")(lambda c, r: F.array_contains(c[0], c[1]))
+reg("array_contains_any")(lambda c, r: F.arrays_overlap(c[0], c[1]))
+reg("array_create", "array")(lambda c, r: F.array(*c))
+reg("array_distinct")(lambda c, r: F.array_distinct(c[0]))
+reg("array_except")(lambda c, r: F.array_except(c[0], c[1]))
+reg("array_flatten")(lambda c, r: F.flatten(c[0]))
+reg("array_intersect")(lambda c, r: F.array_intersect(c[0], c[1]))
+reg("array_join")(lambda c, r: F.array_join(c[0], r[1] if r[1] is not None else ","))
+reg("array_max")(lambda c, r: F.array_max(c[0]))
+reg("array_min")(lambda c, r: F.array_min(c[0]))
+# ekuiper array_position is 0-based; -1 when absent (funcs_array.go:64-83)
+reg("array_position")(lambda c, r: F.array_position(c[0], c[1]).cast("bigint") - 1)
+reg("array_remove")(lambda c, r: F.array_remove(c[0], c[1]))
+reg("array_shuffle")(lambda c, r: F.shuffle(c[0]))
+reg("array_sort")(lambda c, r: F.array_sort(c[0]))
+reg("array_union")(lambda c, r: F.array_union(c[0], c[1]))
+reg("element_at")(
+    lambda c, r: F.element_at(
+        c[0], _zero_based(c[1]).cast("int") if not isinstance(r[1], str) else c[1]
+    )
+)
+reg("repeat")(lambda c, r: F.array_repeat(c[0], c[1].cast("int")))
+reg("sequence")(lambda c, r: F.sequence(*[x.cast("bigint") for x in c]))
+reg("kvpair_array_to_obj")(
+    lambda c, r: F.map_from_entries(
+        F.transform(c[0], lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")))
+    )
+)
+
+
+@reg("array_last_position")
+def _array_last_position(c, r):
+    # last 0-based index of element, -1 if absent (funcs_array.go:164+)
+    rev_pos = F.array_position(F.reverse(c[0]), c[1]).cast("bigint")
+    return F.when(rev_pos == 0, F.lit(-1)).otherwise(F.size(c[0]) - rev_pos)
+
+
+# --------------------------------------------------------------------------
+# object/map (funcs_obj.go)
+# --------------------------------------------------------------------------
+reg("keys")(lambda c, r: F.map_keys(c[0]))
+reg("values")(lambda c, r: F.map_values(c[0]))
+reg("object")(lambda c, r: F.map_from_arrays(c[0], c[1]))
+reg("object_construct")(lambda c, r: F.create_map(*c))
+reg("object_concat")(lambda c, r: F.map_concat(*c))
+reg("object_size")(lambda c, r: F.size(c[0]))
+reg("items")(lambda c, r: F.map_entries(c[0]))
+reg("obj_to_kvpair_array")(
+    lambda c, r: F.transform(
+        F.map_entries(c[0]),
+        lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
+    )
+)
+reg("object_pick")(
+    lambda c, r: F.map_filter(c[0], lambda k, v: F.array_contains(F.array(*[x for x in c[1:]]), k))
+)
+reg("erase")(
+    lambda c, r: F.map_filter(c[0], lambda k, v: ~F.array_contains(F.array(*[x for x in c[1:]]), k))
+)
+reg("zip")(lambda c, r: F.arrays_zip(*c))
+
+
+# --------------------------------------------------------------------------
+# JSON (funcs_misc.go:136-148,527-560) — jsonpath via get_json_object
+# --------------------------------------------------------------------------
+reg("to_json")(lambda c, r: F.to_json(c[0]))
+reg("parse_json")(lambda c, r: F.parse_json(c[0]))
+reg("json_path_query", "json_path_query_first")(lambda c, r: F.get_json_object(c[0], r[1]))
+reg("json_path_exists")(lambda c, r: F.get_json_object(c[0], r[1]).isNotNull())
+
+
+# --------------------------------------------------------------------------
+# hash / codec (funcs_misc.go)
+# --------------------------------------------------------------------------
+reg("md5")(lambda c, r: F.md5(c[0].cast("binary")))
+reg("sha1")(lambda c, r: F.sha1(c[0].cast("binary")))
+reg("sha256")(lambda c, r: F.sha2(c[0].cast("binary"), 256))
+reg("sha384")(lambda c, r: F.sha2(c[0].cast("binary"), 384))
+reg("sha512")(lambda c, r: F.sha2(c[0].cast("binary"), 512))
+reg("crc32")(lambda c, r: F.crc32(c[0].cast("binary")))
+reg("encode")(lambda c, r: F.base64(c[0].cast("binary")))  # base64 only (as reference)
+reg("decode")(lambda c, r: F.unbase64(c[0]))
+reg("hex2dec")(lambda c, r: F.conv(F.regexp_replace(c[0], "^0x", ""), 16, 10).cast("bigint"))
+reg("dec2hex")(lambda c, r: F.concat(F.lit("0x"), F.lower(F.hex(c[0]))))
+
+
+# --------------------------------------------------------------------------
+# type / misc (funcs_misc.go)
+# --------------------------------------------------------------------------
+_CAST_TYPES = {
+    "bigint": "bigint",
+    "float": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "datetime": "timestamp",
+    "bytea": "binary",
+}
+
+
+@reg("cast")
+def _cast(c, r):
+    t = (r[1] or "").lower()
+    if t not in _CAST_TYPES:
+        raise ValueError(f"cast: unsupported target type {r[1]!r}")
+    return c[0].cast(_CAST_TYPES[t])
+
+
+reg("isnull")(lambda c, r: c[0].isNull())
+reg("isnotnull")(lambda c, r: c[0].isNotNull())
+reg("coalesce")(lambda c, r: F.coalesce(*c))
+reg("chr")(lambda c, r: F.char(c[0]))
+reg("trunc")(lambda c, r: F.expr("1"))  # replaced below
+REGISTRY["trunc"] = lambda c, r: (
+    F.floor(c[0] * F.pow(F.lit(10.0), c[1])) / F.pow(F.lit(10.0), c[1])
+)
+reg("newuuid")(lambda c, r: F.expr("uuid()"))
+reg("bypass")(lambda c, r: c[0])
+reg("rule_id")(lambda c, r: F.lit("rule_0"))
+reg("greatest")(lambda c, r: F.greatest(*c))
+reg("least")(lambda c, r: F.least(*c))
+reg("convert_tz")(lambda c, r: F.to_utc_timestamp(c[0], r[1] or "UTC"))
+
+
+# nullif/ifnull-style helpers the docs expose via coalesce/case — provide
+# natives for convenience
+reg("nullif")(lambda c, r: F.nullif(c[0], c[1]))
+reg("ifnull")(lambda c, r: F.coalesce(c[0], c[1]))

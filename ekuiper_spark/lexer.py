@@ -1,0 +1,74 @@
+"""Tokenizer for the ekuiper SQL dialect.
+
+Token inventory mirrors the reference's hand-written lexer
+(internal/xsql/lexical.go): identifiers (optionally backtick-quoted, since
+ekuiper allows reserved words like ``from`` as column names when quoted),
+single-quoted strings with '' escape, numbers, and the operator set
+``+ - * / % & | ^ = != <> < <= > >= ( ) [ ] , . : ->``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+KEYWORDS = {
+    "select", "from", "where", "group", "by", "having", "order", "limit",
+    "as", "and", "or", "not", "in", "between", "like", "case", "when",
+    "then", "else", "end", "is", "null", "true", "false", "asc", "desc",
+    "inner", "left", "right", "full", "cross", "join", "on", "over",
+    "partition", "filter", "except", "replace", "invisible", "escape",
+    "distinct",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<number>\d+\.\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+([eE][+-]?\d+)?)
+  | (?P<bident>`[^`]*`)
+  | (?P<dident>"[^"]*")
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<string>'(?:[^']|'')*')
+  | (?P<arrow>->)
+  | (?P<op><=|>=|!=|<>|\*\*|[-+*/%&|^=<>()\[\],.:])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Token:
+    kind: str  # 'ident' 'keyword' 'number' 'string' 'op' 'eof'
+    value: str
+    pos: int
+
+
+def tokenize(sql: str) -> list[Token]:
+    out: list[Token] = []
+    i, n = 0, len(sql)
+    while i < n:
+        m = _TOKEN_RE.match(sql, i)
+        if not m:
+            raise SyntaxError(f"lex error at {i}: {sql[i:i+20]!r}")
+        i = m.end()
+        if m.lastgroup == "ws" or m.group("ws"):
+            continue
+        if m.group("number"):
+            out.append(Token("number", m.group("number"), m.start()))
+        elif m.group("bident"):
+            out.append(Token("ident", m.group("bident")[1:-1], m.start()))
+        elif m.group("dident"):
+            out.append(Token("ident", m.group("dident")[1:-1], m.start()))
+        elif m.group("ident"):
+            v = m.group("ident")
+            kind = "keyword" if v.lower() in KEYWORDS else "ident"
+            out.append(Token(kind, v, m.start()))
+        elif m.group("string"):
+            raw = m.group("string")[1:-1].replace("''", "'")
+            out.append(Token("string", raw, m.start()))
+        elif m.group("arrow"):
+            out.append(Token("op", "->", m.start()))
+        else:
+            out.append(Token("op", m.group("op"), m.start()))
+    out.append(Token("eof", "", n))
+    return out

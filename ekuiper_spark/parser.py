@@ -1,0 +1,515 @@
+"""Recursive-descent parser for the ekuiper SQL dialect.
+
+Grammar follows the reference's hand parser (internal/xsql/parser.go):
+
+    SELECT fields FROM source [AS alias] [join*] [WHERE expr]
+    [GROUP BY dims] [HAVING expr] [ORDER BY sorts] [LIMIT n]
+
+Dialect notes reproduced here:
+- window specs are *function calls inside GROUP BY* —
+  TUMBLINGWINDOW(ss,10), HOPPINGWINDOW(ss,10,5), SLIDINGWINDOW(ss,10[,d]),
+  SESSIONWINDOW(ss,timeout[,maxlen]), COUNTWINDOW(n[,interval]),
+  STATEWINDOW(begin,emit) (pkg/ast/statement.go:177-220)
+- `* EXCEPT(a,b)` / `* REPLACE(expr AS c)` wildcards (pkg/ast/expr.go:99-103)
+- `a[i]` index (0-based), `a[i:j]` slice, `a->b` nested access,
+  `col->'$.x'` json path (pkg/ast/expr.go:55-77)
+- `expr AS name INVISIBLE` hidden fields
+- analytic OVER (PARTITION BY ...) [WHEN cond]
+- joins require ON except cross (internal/xsql/parser.go:299-358)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ekuiper_spark.ast_nodes import (
+    Access, Between, Binary, CaseWhen, ColumnRef, Field, FuncCall, GroupBy,
+    InExpr, Index, JoinClause, JsonPath, Like, Literal, Node, SelectStatement,
+    Slice, SortSpec, Unary, Wildcard, WindowSpec,
+)
+from ekuiper_spark.lexer import Token, tokenize
+
+WINDOW_FUNCS = {
+    "tumblingwindow": "tumbling",
+    "hoppingwindow": "hopping",
+    "slidingwindow": "sliding",
+    "sessionwindow": "session",
+    "countwindow": "count",
+    "statewindow": "state",
+}
+TIME_UNITS = {"dd", "hh", "mi", "ss", "ms"}
+
+
+class Parser:
+    def __init__(self, sql: str) -> None:
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # -- token helpers -----------------------------------------------------
+    def peek(self, off: int = 0) -> Token:
+        return self.toks[min(self.i + off, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def accept_kw(self, *kws: str) -> Optional[str]:
+        t = self.peek()
+        if t.kind == "keyword" and t.value.lower() in kws:
+            self.next()
+            return t.value.lower()
+        return None
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.accept_kw(kw):
+            raise SyntaxError(f"expected {kw.upper()} at {self.peek().pos}: got {self.peek().value!r}")
+
+    def accept_op(self, *ops: str) -> Optional[str]:
+        t = self.peek()
+        if t.kind == "op" and t.value in ops:
+            self.next()
+            return t.value
+        return None
+
+    def expect_op(self, op: str) -> None:
+        if not self.accept_op(op):
+            raise SyntaxError(f"expected {op!r} at {self.peek().pos}: got {self.peek().value!r}")
+
+    def expect_ident(self) -> str:
+        t = self.peek()
+        if t.kind in ("ident", "keyword"):
+            self.next()
+            return t.value
+        raise SyntaxError(f"expected identifier at {t.pos}: got {t.value!r}")
+
+    # -- entry -------------------------------------------------------------
+    def parse(self) -> SelectStatement:
+        self.expect_kw("select")
+        stmt = SelectStatement(fields=self.parse_fields())
+        self.expect_kw("from")
+        stmt.source = self.expect_ident()
+        if self.accept_kw("as"):
+            stmt.source_alias = self.expect_ident()
+        elif self.peek().kind == "ident":
+            stmt.source_alias = self.next().value
+        stmt.joins = self.parse_joins()
+        if self.accept_kw("where"):
+            stmt.where = self.parse_expr()
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            stmt.group = self.parse_group_by()
+        if self.accept_kw("having"):
+            stmt.having = self.parse_expr()
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            stmt.order = self.parse_sorts()
+        if self.accept_kw("limit"):
+            t = self.next()
+            if t.kind != "number":
+                raise SyntaxError("LIMIT expects a number")
+            stmt.limit = int(t.value)
+        if self.peek().kind != "eof" and not (self.peek().kind == "op" and self.peek().value == ";"):
+            raise SyntaxError(f"trailing tokens at {self.peek().pos}: {self.peek().value!r}")
+        return stmt
+
+    # -- select list -------------------------------------------------------
+    def parse_fields(self) -> list[Field]:
+        fields = [self.parse_field()]
+        while self.accept_op(","):
+            fields.append(self.parse_field())
+        return fields
+
+    def parse_field(self) -> Field:
+        expr = self.parse_expr()
+        alias = None
+        invisible = False
+        if self.accept_kw("as"):
+            alias = self.expect_ident()
+        elif self.peek().kind == "ident":
+            alias = self.next().value
+        if self.accept_kw("invisible"):
+            invisible = True
+        return Field(expr=expr, alias=alias, invisible=invisible)
+
+    # -- joins -------------------------------------------------------------
+    def parse_joins(self) -> list[JoinClause]:
+        joins: list[JoinClause] = []
+        while True:
+            kind = None
+            if self.accept_kw("inner"):
+                kind = "inner"
+            elif self.accept_kw("left"):
+                kind = "left"
+                self.accept_kw("outer")
+            elif self.accept_kw("right"):
+                kind = "right"
+                self.accept_kw("outer")
+            elif self.accept_kw("full"):
+                kind = "full"
+                self.accept_kw("outer")
+            elif self.accept_kw("cross"):
+                kind = "cross"
+            elif self.peek().kind == "keyword" and self.peek().value.lower() == "join":
+                kind = "inner"
+            if kind is None:
+                return joins
+            self.expect_kw("join")
+            src = self.expect_ident()
+            alias = None
+            if self.accept_kw("as"):
+                alias = self.expect_ident()
+            elif self.peek().kind == "ident":
+                alias = self.next().value
+            on = None
+            if kind != "cross":
+                self.expect_kw("on")
+                on = self.parse_expr()
+            joins.append(JoinClause(source=src, alias=alias, kind=kind, on=on))
+
+    # -- group by ----------------------------------------------------------
+    def parse_group_by(self) -> GroupBy:
+        g = GroupBy()
+        while True:
+            t = self.peek()
+            if t.kind == "ident" and t.value.lower() in WINDOW_FUNCS and self.peek(1).value == "(":
+                g.window = self.parse_window_spec()
+            else:
+                g.dims.append(self.parse_expr())
+            if not self.accept_op(","):
+                break
+        # trailing FILTER(where expr) applies to the window
+        if g.window is not None and self.accept_kw("filter"):
+            self.expect_op("(")
+            self.expect_kw("where")
+            g.window.filter = self.parse_expr()
+            self.expect_op(")")
+        return g
+
+    def parse_window_spec(self) -> WindowSpec:
+        name = self.next().value.lower()
+        kind = WINDOW_FUNCS[name]
+        self.expect_op("(")
+        spec = WindowSpec(kind=kind)
+        if kind == "state":
+            spec.state_conds.append(self.parse_expr())
+            while self.accept_op(","):
+                spec.state_conds.append(self.parse_expr())
+        elif kind == "count":
+            spec.args.append(self._expect_int())
+            while self.accept_op(","):
+                spec.args.append(self._expect_int())
+        else:
+            unit = self.expect_ident().lower()
+            if unit not in TIME_UNITS:
+                raise SyntaxError(f"bad window time unit {unit!r}")
+            spec.unit = unit
+            while self.accept_op(","):
+                spec.args.append(self._expect_int())
+        self.expect_op(")")
+        # sliding OVER (WHEN cond)
+        if self.accept_kw("over"):
+            self.expect_op("(")
+            self.expect_kw("when")
+            spec.trigger = self.parse_expr()
+            self.expect_op(")")
+        return spec
+
+    def _expect_int(self) -> int:
+        t = self.next()
+        if t.kind != "number":
+            raise SyntaxError(f"expected integer at {t.pos}")
+        return int(t.value)
+
+    # -- order by ----------------------------------------------------------
+    def parse_sorts(self) -> list[SortSpec]:
+        sorts = []
+        while True:
+            e = self.parse_expr()
+            asc = True
+            if self.accept_kw("desc"):
+                asc = False
+            else:
+                self.accept_kw("asc")
+            sorts.append(SortSpec(expr=e, asc=asc))
+            if not self.accept_op(","):
+                return sorts
+
+    # -- expressions (precedence climbing) ---------------------------------
+    def parse_expr(self) -> Node:
+        return self.parse_or()
+
+    def parse_or(self) -> Node:
+        left = self.parse_and()
+        while self.accept_kw("or"):
+            left = Binary("OR", left, self.parse_and())
+        return left
+
+    def parse_and(self) -> Node:
+        left = self.parse_not()
+        while self.accept_kw("and"):
+            left = Binary("AND", left, self.parse_not())
+        return left
+
+    def parse_not(self) -> Node:
+        if self.accept_kw("not"):
+            return Unary("NOT", self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> Node:
+        left = self.parse_bitor()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("=", "!=", "<>", "<", "<=", ">", ">="):
+                self.next()
+                op = "!=" if t.value == "<>" else t.value
+                left = Binary(op, left, self.parse_bitor())
+                continue
+            if t.kind == "keyword":
+                kw = t.value.lower()
+                negated = False
+                j = self.i
+                if kw == "not" and self.peek(1).kind == "keyword" and self.peek(1).value.lower() in ("in", "between", "like"):
+                    self.next()
+                    negated = True
+                    kw = self.peek().value.lower()
+                if kw == "in":
+                    self.next()
+                    self.expect_op("(")
+                    items = [self.parse_expr()]
+                    while self.accept_op(","):
+                        items.append(self.parse_expr())
+                    self.expect_op(")")
+                    left = InExpr(left, items, negated)
+                    continue
+                if kw == "between":
+                    self.next()
+                    lo = self.parse_bitor()
+                    self.expect_kw("and")
+                    hi = self.parse_bitor()
+                    left = Between(left, lo, hi, negated)
+                    continue
+                if kw == "like":
+                    self.next()
+                    pat = self.parse_bitor()
+                    esc = None
+                    if self.accept_kw("escape"):
+                        et = self.next()
+                        if et.kind != "string":
+                            raise SyntaxError("ESCAPE expects a string literal")
+                        esc = et.value
+                    left = Like(left, pat, negated, esc)
+                    continue
+                if kw == "is":
+                    self.next()
+                    neg = bool(self.accept_kw("not"))
+                    self.expect_kw("null")
+                    fn = "isnotnull" if neg else "isnull"
+                    left = FuncCall(fn, [left])
+                    continue
+                self.i = j
+            return left
+
+    def parse_bitor(self) -> Node:
+        left = self.parse_bitand()
+        while True:
+            op = self.accept_op("|", "^")
+            if not op:
+                return left
+            left = Binary(op, left, self.parse_bitand())
+
+    def parse_bitand(self) -> Node:
+        left = self.parse_additive()
+        while self.accept_op("&"):
+            left = Binary("&", left, self.parse_additive())
+        return left
+
+    def parse_additive(self) -> Node:
+        left = self.parse_multiplicative()
+        while True:
+            op = self.accept_op("+", "-")
+            if not op:
+                return left
+            left = Binary(op, left, self.parse_multiplicative())
+
+    def parse_multiplicative(self) -> Node:
+        left = self.parse_unary()
+        while True:
+            op = self.accept_op("*", "/", "%")
+            if not op:
+                return left
+            left = Binary(op, left, self.parse_unary())
+
+    def parse_unary(self) -> Node:
+        if self.accept_op("-"):
+            return Unary("-", self.parse_unary())
+        if self.accept_op("+"):
+            return self.parse_unary()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> Node:
+        expr = self.parse_primary()
+        while True:
+            if self.accept_op("["):
+                # a[i], a[i:j], a[:j], a[i:]
+                lo = hi = None
+                if not (self.peek().kind == "op" and self.peek().value == ":"):
+                    lo = self.parse_expr()
+                if self.accept_op(":"):
+                    if not (self.peek().kind == "op" and self.peek().value == "]"):
+                        hi = self.parse_expr()
+                    self.expect_op("]")
+                    expr = Slice(expr, lo, hi)
+                else:
+                    self.expect_op("]")
+                    expr = Index(expr, lo)
+                continue
+            if self.accept_op("->"):
+                t = self.peek()
+                if t.kind == "string":
+                    self.next()
+                    expr = JsonPath(expr, t.value)
+                else:
+                    expr = Access(expr, self.expect_ident())
+                continue
+            if (
+                self.peek().kind == "op"
+                and self.peek().value == "."
+                and isinstance(expr, (ColumnRef, Access, Index))
+                and self.peek(1).kind in ("ident", "keyword")
+            ):
+                self.next()
+                if isinstance(expr, ColumnRef) and expr.source is None:
+                    if self.peek().kind == "op" and self.peek().value == "*":
+                        pass  # handled in primary for t.*
+                    name = self.expect_ident()
+                    # `a.b`: qualified column OR struct access — translator
+                    # decides using the source-alias set; keep as ColumnRef
+                    # with source for now.
+                    expr = ColumnRef(name=name, source=expr.name)
+                else:
+                    expr = Access(expr, self.expect_ident())
+                continue
+            return expr
+
+    def parse_primary(self) -> Node:
+        t = self.peek()
+        if t.kind == "number":
+            self.next()
+            txt = t.value
+            if "." in txt or "e" in txt or "E" in txt:
+                return Literal(float(txt))
+            return Literal(int(txt))
+        if t.kind == "string":
+            self.next()
+            return Literal(t.value)
+        if t.kind == "op" and t.value == "*":
+            self.next()
+            return self.parse_wildcard_tail(None)
+        if t.kind == "op" and t.value == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if t.kind == "keyword":
+            kw = t.value.lower()
+            if kw == "case":
+                return self.parse_case()
+            if kw == "true":
+                self.next()
+                return Literal(True)
+            if kw == "false":
+                self.next()
+                return Literal(False)
+            if kw == "null":
+                self.next()
+                return Literal(None)
+            # reserved word used as bare column (ekuiper allows quoting, but
+            # the mock corpus also uses e.g. `from` quoted; be permissive for
+            # non-structural keywords followed by non-( token)
+        if t.kind in ("ident", "keyword"):
+            name = self.next().value
+            if self.peek().kind == "op" and self.peek().value == "(":
+                return self.parse_func_call(name)
+            if (
+                self.peek().kind == "op"
+                and self.peek().value == "."
+                and self.peek(1).kind == "op"
+                and self.peek(1).value == "*"
+            ):
+                self.next()
+                self.next()
+                return self.parse_wildcard_tail(name)
+            return ColumnRef(name=name)
+        raise SyntaxError(f"unexpected token {t.value!r} at {t.pos}")
+
+    def parse_wildcard_tail(self, source: Optional[str]) -> Wildcard:
+        w = Wildcard(source=source)
+        while True:
+            if self.accept_kw("except"):
+                self.expect_op("(")
+                w.except_cols.append(self.expect_ident())
+                while self.accept_op(","):
+                    w.except_cols.append(self.expect_ident())
+                self.expect_op(")")
+                continue
+            if self.accept_kw("replace"):
+                self.expect_op("(")
+                while True:
+                    e = self.parse_expr()
+                    self.expect_kw("as")
+                    name = self.expect_ident()
+                    w.replaces.append((e, name))
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                continue
+            return w
+
+    def parse_func_call(self, name: str) -> FuncCall:
+        self.expect_op("(")
+        args: list[Node] = []
+        if not (self.peek().kind == "op" and self.peek().value == ")"):
+            if self.peek().kind == "op" and self.peek().value == "*":
+                # count(*)
+                self.next()
+                args.append(Wildcard())
+            else:
+                args.append(self.parse_expr())
+            while self.accept_op(","):
+                args.append(self.parse_expr())
+        self.expect_op(")")
+        call = FuncCall(name=name.lower(), args=args)
+        if self.accept_kw("over"):
+            self.expect_op("(")
+            if self.accept_kw("partition"):
+                self.expect_kw("by")
+                call.partition_by.append(self.parse_expr())
+                while self.accept_op(","):
+                    call.partition_by.append(self.parse_expr())
+            if self.accept_kw("when"):
+                call.when = self.parse_expr()
+            self.expect_op(")")
+        return call
+
+    def parse_case(self) -> CaseWhen:
+        self.expect_kw("case")
+        operand = None
+        if not (self.peek().kind == "keyword" and self.peek().value.lower() == "when"):
+            operand = self.parse_expr()
+        whens: list[tuple[Node, Node]] = []
+        while self.accept_kw("when"):
+            cond = self.parse_expr()
+            self.expect_kw("then")
+            whens.append((cond, self.parse_expr()))
+        else_ = None
+        if self.accept_kw("else"):
+            else_ = self.parse_expr()
+        self.expect_kw("end")
+        return CaseWhen(operand=operand, whens=whens, else_=else_)
+
+
+def parse_sql(sql: str) -> SelectStatement:
+    """Parse one ekuiper-dialect SELECT statement."""
+    return Parser(sql).parse()

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]``; the configs below are chosen so the same
+logical plans scale to a real cluster: AQE on (runtime re-planning, skew
+join splitting, partition coalescing), shuffle partitions sized explicitly,
+Arrow enabled for the few Pandas-UDF paths, UTC session time zone so
+timestamps agree with the parquet fixtures and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "ekuiper_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Shuffle partitions default to the local core count; on a real cluster
+    this knob (and AQE coalescing) is the primary lever for sizing shuffle
+    tasks so partitions fit executor memory at 100 TB inputs.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # fixtures carry TIMESTAMP(NANOS) parquet columns; read as long and
+        # convert in the catalog loader (Catalog._NANO_TS)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # merge_agg semantics: duplicate map keys -> last wins (funcs_agg.go:154)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,606 @@
+"""AST -> DataFrame translator (the engine's "planner").
+
+The reference compiles SQL to a fixed operator chain
+(internal/topo/planner/planner.go:572-959):
+
+    DataSource* -> [Watermark] -> [AnalyticFuncs] -> [Window] ->
+    [Join] -> [AggFunc] -> [Filter] -> [Aggregate] -> [Having] ->
+    [WindowFunc] -> [Order] -> Project -> [ProjectSet]
+
+Here the same pipeline is *declared* as DataFrame transformations and
+Catalyst owns optimization (predicate pushdown, column pruning, join
+strategy, partial aggregation — the reference's hand-written rules in
+internal/topo/planner/rules.go are all subsumed).  Scale notes:
+
+- filters are applied before grouping/joining so they reach the parquet
+  scan (PushedFilters) — verified in tests via explain();
+- groupBy/time-window aggregation uses native partial+final agg, so at
+  100 TB only one row per (group, partition) crosses the shuffle;
+- lookup/scan-table joins mark the small side broadcastable;
+- sliding windows translate to range-frame window functions (single sort
+  per partition, no self-join).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ekuiper_spark import functions as fregistry
+from ekuiper_spark.ast_nodes import (
+    Access, Between, Binary, CaseWhen, ColumnRef, Field, FuncCall, InExpr,
+    Index, JsonPath, Like, Literal, Node, SelectStatement, Slice, Unary,
+    Wildcard, WindowSpec,
+)
+from ekuiper_spark.catalog import Catalog
+from ekuiper_spark.parser import parse_sql
+
+UNIT_SECONDS = {"dd": 86400, "hh": 3600, "mi": 60, "ss": 1, "ms": 0.001}
+
+
+@dataclass
+class TranslateCtx:
+    source_aliases: set[str] = dc_field(default_factory=set)
+    aliases: dict[str, Node] = dc_field(default_factory=dict)  # select alias -> AST (inlining)
+    agg_map: dict[str, str] = dc_field(default_factory=dict)  # canonical agg repr -> col name
+    dim_map: dict[str, str] = dc_field(default_factory=dict)  # canonical dim repr -> col name
+    post_agg: bool = False
+    window_col: Optional[str] = None  # name of window struct col ("window")
+    window_bounds: tuple[Optional[Column], Optional[Column]] = (None, None)
+    sliding_frame: Optional[Any] = None  # WindowSpec for over()-style aggs
+    order_cols: list[str] = dc_field(default_factory=list)
+    event_col: Optional[str] = None
+
+
+def canon(node: Node) -> str:
+    return repr(node)
+
+
+class Translator:
+    """One SELECT statement -> one DataFrame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        streaming: bool = False,
+        order_cols: Optional[list[str]] = None,
+        event_col: Optional[str] = None,
+        watermark: Optional[str] = None,
+    ) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.streaming = streaming
+        self.order_cols = order_cols
+        self.event_col = event_col
+        self.watermark = watermark
+
+    # ------------------------------------------------------------------ #
+    def compile(self, stmt: SelectStatement) -> DataFrame:
+        ctx = TranslateCtx()
+        df = self._load_sources(stmt, ctx)
+
+        # event-time column resolution (TIMESTAMP option; default 'ts')
+        sdef = self.catalog.get(stmt.source)
+        ec = self.event_col or (sdef.timestamp_col if sdef else None)
+        if ec is None and "ts" in df.columns:
+            ec = "ts"
+        ctx.event_col = ec
+        ctx.order_cols = self.order_cols or ([ec] if ec else [])
+
+        if self.streaming and self.watermark and ec:
+            df = df.withWatermark(ec, self.watermark)
+
+        # WHERE — before any window/agg so Catalyst pushes it to the scan
+        if stmt.where is not None:
+            df = df.filter(self._expr(stmt.where, ctx))
+
+        # register select aliases for inlining (ekuiper alias chains,
+        # analyzer.go:273-423 topo-sorts these; inlining reproduces it)
+        for f in stmt.fields:
+            if f.alias:
+                ctx.aliases[f.alias.lower()] = f.expr
+
+        has_agg = any(self._find_aggs(f.expr) for f in stmt.fields) or (
+            stmt.having is not None
+        )
+        group = stmt.group
+        window = group.window if group else None
+
+        if window is not None and window.kind == "sliding":
+            # per-event emission: aggs become range-frame window functions
+            ctx.sliding_frame = window
+            df = self._project(df, stmt, ctx)
+        elif group is not None or has_agg:
+            df = self._grouped(df, stmt, ctx)
+        else:
+            df = self._project(df, stmt, ctx)
+
+        if stmt.order:
+            df = df.orderBy(
+                *[
+                    (F.col(self._sort_name(s.expr, stmt)) if self._sort_name(s.expr, stmt) else self._expr(s.expr, ctx)).asc()
+                    if s.asc
+                    else (F.col(self._sort_name(s.expr, stmt)) if self._sort_name(s.expr, stmt) else self._expr(s.expr, ctx)).desc()
+                    for s in stmt.order
+                ]
+            )
+        if stmt.limit is not None:
+            df = df.limit(stmt.limit)
+        return df
+
+    def _sort_name(self, e: Node, stmt: SelectStatement) -> Optional[str]:
+        """ORDER BY referencing an output alias -> sort on the output column."""
+        if isinstance(e, ColumnRef) and e.source is None:
+            for f in stmt.fields:
+                if f.alias and f.alias.lower() == e.name.lower():
+                    return f.alias
+            out_names = {self._field_name(f) for f in stmt.fields if not isinstance(f.expr, Wildcard)}
+            if e.name in out_names:
+                return e.name
+        return None
+
+    # ------------------------------------------------------------------ #
+    def _load_sources(self, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
+        left_alias = stmt.source_alias or stmt.source
+        df = self.catalog.load(self.spark, stmt.source, streaming=self.streaming)
+        df = df.alias(left_alias)
+        ctx.source_aliases.add(left_alias.lower())
+        for j in stmt.joins:
+            r_alias = j.alias or j.source
+            rdf = self.catalog.load(self.spark, j.source, streaming=False).alias(r_alias)
+            ctx.source_aliases.add(r_alias.lower())
+            rdef = self.catalog.get(j.source)
+            if rdef is not None and rdef.kind == "lookup":
+                # lookup tables are point-query side inputs in the reference
+                # (internal/topo/node/lookup_node.go); broadcast replaces the
+                # per-event network round-trip + LRU cache wholesale.
+                rdf = F.broadcast(rdf)
+            if j.kind == "cross":
+                df = df.crossJoin(rdf)
+            else:
+                df = df.join(rdf, on=self._expr(j.on, ctx), how=j.kind)
+        return df
+
+    # ------------------------------------------------------------------ #
+    # grouped path
+    # ------------------------------------------------------------------ #
+    def _grouped(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
+        group = stmt.group
+        dims = list(group.dims) if group else []
+        window = group.window if group else None
+
+        group_cols: list[str] = []
+
+        if window is not None and window.filter is not None:
+            df = df.filter(self._expr(window.filter, ctx))
+
+        if window is not None:
+            df, wname = self._window_key(df, window, ctx)
+            if wname:
+                group_cols.append(wname)
+
+        for i, d in enumerate(dims):
+            if isinstance(d, ColumnRef) and d.source is None:
+                ctx.dim_map[canon(d)] = d.name
+                group_cols.append(d.name)
+            else:
+                name = f"__grp{i}"
+                df = df.withColumn(name, self._expr(d, ctx))
+                ctx.dim_map[canon(d)] = name
+                group_cols.append(name)
+
+        # collect aggregate calls from select + having + order
+        agg_nodes: dict[str, FuncCall] = {}
+        for f in stmt.fields:
+            for a in self._find_aggs(f.expr):
+                agg_nodes.setdefault(canon(a), a)
+        if stmt.having is not None:
+            for a in self._find_aggs(stmt.having):
+                agg_nodes.setdefault(canon(a), a)
+        for s in stmt.order:
+            for a in self._find_aggs(s.expr):
+                agg_nodes.setdefault(canon(a), a)
+
+        agg_exprs: list[Column] = []
+        for i, (key, call) in enumerate(agg_nodes.items()):
+            name = f"__agg{i}"
+            ctx.agg_map[key] = name
+            agg_exprs.append(self._agg_expr(call, ctx).alias(name))
+
+        # count-window batch emulation needs the row count to drop the
+        # trailing partial window (reference emits only full windows,
+        # internal/topo/node/window_op.go:520-568)
+        if window is not None and window.kind == "count":
+            agg_exprs.append(F.count(F.lit(1)).alias("__wcount"))
+
+        if not agg_exprs:
+            agg_exprs.append(F.count(F.lit(1)).alias("__dummy"))
+
+        gdf = df.groupBy(*[F.col(c) for c in group_cols]).agg(*agg_exprs) if group_cols else df.groupBy().agg(*agg_exprs)
+
+        if window is not None and window.kind == "count":
+            n = window.args[0]
+            gdf = gdf.filter(F.col("__wcount") == n)
+
+        ctx.post_agg = True
+        if stmt.having is not None:
+            gdf = gdf.filter(self._expr(stmt.having, ctx))
+
+        return self._project(gdf, stmt, ctx)
+
+    def _window_key(self, df: DataFrame, w: WindowSpec, ctx: TranslateCtx):
+        """Materialize the window group key column; returns (df, key_name)."""
+        ec = ctx.event_col
+        if w.kind in ("tumbling", "hopping", "session") and ec is None:
+            raise ValueError("time window requires an event-time column")
+        if w.kind == "tumbling":
+            dur = self._dur(w, 0)
+            df = df.withColumn("window", F.window(F.col(ec), dur))
+            ctx.window_col = "window"
+            return df, "window"
+        if w.kind == "hopping":
+            dur, hop = self._dur(w, 0), self._dur(w, 1)
+            df = df.withColumn("window", F.window(F.col(ec), dur, hop))
+            ctx.window_col = "window"
+            return df, "window"
+        if w.kind == "session":
+            gap = self._dur(w, 0)
+            df = df.withColumn("window", F.session_window(F.col(ec), gap))
+            ctx.window_col = "window"
+            return df, "window"
+        if w.kind == "count":
+            if self.streaming:
+                raise NotImplementedError("COUNTWINDOW streaming needs transformWithState (round 2)")
+            n = w.args[0]
+            order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
+            # NOTE single global sequence — matches the reference's single
+            # process; at scale prefer a keyed count window (partition col).
+            rn = F.row_number().over(W.orderBy(*order))
+            df = df.withColumn("__wid", F.floor((rn - 1) / F.lit(n)))
+            ctx.window_col = None
+            return df, "__wid"
+        if w.kind == "state":
+            raise NotImplementedError("STATEWINDOW arrives with the stateful runtime (round 2)")
+        raise ValueError(f"unknown window kind {w.kind}")
+
+    def _dur(self, w: WindowSpec, idx: int) -> str:
+        secs = w.args[idx] * UNIT_SECONDS[w.unit]
+        if w.unit == "ms":
+            return f"{w.args[idx]} milliseconds"
+        return f"{int(secs)} seconds"
+
+    # ------------------------------------------------------------------ #
+    # projection
+    # ------------------------------------------------------------------ #
+    def _field_name(self, f: Field) -> str:
+        if f.alias:
+            return f.alias
+        e = f.expr
+        if isinstance(e, ColumnRef):
+            return e.name
+        if isinstance(e, FuncCall):
+            return e.name
+        return "expr"
+
+    def _project(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
+        cols: list[Column] = []
+        for f in stmt.fields:
+            if f.invisible:
+                continue
+            if isinstance(f.expr, Wildcard):
+                cols.extend(self._expand_wildcard(df, f.expr, ctx))
+                continue
+            if isinstance(f.expr, FuncCall) and f.expr.name in fregistry.SRF:
+                # unnest(arr) -> explode; ProjectSet analog
+                # (internal/topo/operator/projectset_operator.go:25-100)
+                inner = self._expr(f.expr.args[0], ctx)
+                cols.append(F.explode(inner).alias(self._field_name(f)))
+                continue
+            cols.append(self._expr(f.expr, ctx).alias(self._field_name(f)))
+        return df.select(*cols)
+
+    def _expand_wildcard(self, df: DataFrame, w: Wildcard, ctx: TranslateCtx) -> list[Column]:
+        hidden = {"window", "__wid", "__wcount", "__dummy"}
+        hidden |= {c for c in df.columns if c.startswith("__")}
+        replaces = {name: self._expr(e, ctx) for e, name in w.replaces}
+        out = []
+        names = df.select(f"{w.source}.*").columns if w.source else df.columns
+        for c in names:
+            if c in hidden or c.lower() in {x.lower() for x in w.except_cols}:
+                continue
+            if c in replaces:
+                out.append(replaces[c].alias(c))
+            elif w.source:
+                out.append(F.col(f"{w.source}.{c}"))
+            else:
+                out.append(F.col(c))
+        return out
+
+    # ------------------------------------------------------------------ #
+    # expression translation
+    # ------------------------------------------------------------------ #
+    def _find_aggs(self, node: Node) -> list[FuncCall]:
+        out: list[FuncCall] = []
+
+        def walk(n: Node) -> None:
+            if isinstance(n, FuncCall):
+                if fregistry.is_aggregate(n.name):
+                    out.append(n)
+                    return  # nested aggs not allowed
+                for a in n.args:
+                    walk(a)
+            elif isinstance(n, Binary):
+                walk(n.left)
+                walk(n.right)
+            elif isinstance(n, Unary):
+                walk(n.operand)
+            elif isinstance(n, CaseWhen):
+                if n.operand:
+                    walk(n.operand)
+                for c, v in n.whens:
+                    walk(c)
+                    walk(v)
+                if n.else_:
+                    walk(n.else_)
+            elif isinstance(n, (Index, Slice, Access, JsonPath)):
+                walk(n.expr)
+            elif isinstance(n, InExpr):
+                walk(n.expr)
+                for i in n.items:
+                    walk(i)
+            elif isinstance(n, Between):
+                walk(n.expr)
+                walk(n.lo)
+                walk(n.hi)
+            elif isinstance(n, Like):
+                walk(n.expr)
+            elif isinstance(n, ColumnRef):
+                # alias inlining may hide aggs behind a name
+                target = self._alias_target(n)
+                if target is not None:
+                    walk(target)
+
+        walk(node)
+        return out
+
+    def _alias_target(self, n: ColumnRef) -> Optional[Node]:
+        return None  # populated per-compile via ctx in _expr; aggs in aliases
+        # are found because _find_aggs runs on the aliased expr directly too
+
+    def _raw(self, node: Node) -> Any:
+        if isinstance(node, Literal):
+            return node.value
+        if isinstance(node, Unary) and node.op == "-" and isinstance(node.operand, Literal):
+            return -node.operand.value
+        return None
+
+    def _agg_expr(self, call: FuncCall, ctx: TranslateCtx) -> Column:
+        args = [a for a in call.args if not isinstance(a, Wildcard)]
+        cols = [self._expr(a, ctx) for a in args]
+        raw = [self._raw(a) for a in args]
+        return fregistry.build_aggregate(call.name, cols, raw)
+
+    def _analytic_window(self, call: FuncCall, ctx: TranslateCtx):
+        part = [self._expr(p, ctx) for p in call.partition_by] or [F.lit(1)]
+        order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
+        return W.partitionBy(*part).orderBy(*order)
+
+    def _sliding_frame_spec(self, ctx: TranslateCtx):
+        w: WindowSpec = ctx.sliding_frame
+        length = w.args[0] * UNIT_SECONDS[w.unit]
+        delay = (w.args[1] * UNIT_SECONDS[w.unit]) if len(w.args) > 1 else 0
+        order = F.col(ctx.event_col).cast("double")
+        return W.orderBy(order).rangeBetween(-length, delay)
+
+    def _expr(self, node: Node, ctx: TranslateCtx) -> Column:
+        if isinstance(node, Literal):
+            return F.lit(node.value)
+
+        if isinstance(node, ColumnRef):
+            if node.source is not None:
+                if node.source.lower() in ctx.source_aliases:
+                    return F.col(f"{node.source}.{node.name}")
+                # not a source alias: struct/map access on column `source`
+                return F.col(node.source)[node.name]
+            # select-alias inlining (ekuiper alias chains)
+            tgt = ctx.aliases.get(node.name.lower())
+            if tgt is not None and not (isinstance(tgt, ColumnRef) and tgt.source is None and tgt.name.lower() == node.name.lower()):
+                return self._expr(tgt, ctx)
+            return F.col(node.name)
+
+        if isinstance(node, Binary):
+            return self._binary(node, ctx)
+
+        if isinstance(node, Unary):
+            if node.op == "NOT":
+                return ~self._expr(node.operand, ctx)
+            return -self._expr(node.operand, ctx)
+
+        if isinstance(node, FuncCall):
+            return self._func(node, ctx)
+
+        if isinstance(node, CaseWhen):
+            chain = None
+            for cond, val in node.whens:
+                c = (
+                    (self._expr(node.operand, ctx) == self._expr(cond, ctx))
+                    if node.operand is not None
+                    else self._expr(cond, ctx)
+                )
+                v = self._expr(val, ctx)
+                chain = F.when(c, v) if chain is None else chain.when(c, v)
+            if node.else_ is not None:
+                chain = chain.otherwise(self._expr(node.else_, ctx))
+            return chain
+
+        if isinstance(node, InExpr):
+            col = self._expr(node.expr, ctx)
+            res = col.isin(*[self._expr(i, ctx) for i in node.items])
+            return ~res if node.negated else res
+
+        if isinstance(node, Between):
+            col = self._expr(node.expr, ctx)
+            res = (col >= self._expr(node.lo, ctx)) & (col <= self._expr(node.hi, ctx))
+            return ~res if node.negated else res
+
+        if isinstance(node, Like):
+            col = self._expr(node.expr, ctx)
+            pat = node.pattern.value if isinstance(node.pattern, Literal) else None
+            if pat is None:
+                raise ValueError("LIKE requires a literal pattern")
+            res = col.like(pat)
+            return ~res if node.negated else res
+
+        if isinstance(node, Index):
+            base = self._expr(node.expr, ctx)
+            raw = self._raw(node.index)
+            if isinstance(raw, str):
+                return base[raw]
+            idx = self._expr(node.index, ctx)
+            one_based = F.when(idx >= 0, idx + 1).otherwise(idx)
+            return F.element_at(base, one_based.cast("int"))
+
+        if isinstance(node, Slice):
+            base = self._expr(node.expr, ctx)
+            lo = self._expr(node.lo, ctx).cast("int") if node.lo is not None else F.lit(0)
+            if node.hi is not None:
+                length = self._expr(node.hi, ctx).cast("int") - lo
+            else:
+                length = F.size(base) - lo
+            return F.slice(base, lo + 1, length)
+
+        if isinstance(node, Access):
+            return self._expr(node.expr, ctx)[node.fieldname]
+
+        if isinstance(node, JsonPath):
+            return F.get_json_object(self._expr(node.expr, ctx), node.path)
+
+        raise TypeError(f"cannot translate node {node!r}")
+
+    def _binary(self, node: Binary, ctx: TranslateCtx) -> Column:
+        # agg-call rewriting happens in _func; dims are handled here
+        if ctx.post_agg and canon(node) in ctx.dim_map:
+            return F.col(ctx.dim_map[canon(node)])
+        left = self._expr(node.left, ctx)
+        right = self._expr(node.right, ctx)
+        op = node.op
+        if op == "+":
+            return left + right
+        if op == "-":
+            return left - right
+        if op == "*":
+            return left * right
+        if op == "/":
+            return left / right
+        if op == "%":
+            return left % right
+        if op == "=":
+            return left == right
+        if op == "!=":
+            return left != right
+        if op == "<":
+            return left < right
+        if op == "<=":
+            return left <= right
+        if op == ">":
+            return left > right
+        if op == ">=":
+            return left >= right
+        if op == "AND":
+            return left & right
+        if op == "OR":
+            return left | right
+        if op == "&":
+            return left.bitwiseAND(right)
+        if op == "|":
+            return left.bitwiseOR(right)
+        if op == "^":
+            return left.bitwiseXOR(right)
+        raise ValueError(f"unknown operator {op}")
+
+    def _func(self, call: FuncCall, ctx: TranslateCtx) -> Column:
+        name = call.name
+
+        if ctx.post_agg and canon(call) in ctx.agg_map:
+            return F.col(ctx.agg_map[canon(call)])
+
+        if ctx.sliding_frame is not None and fregistry.is_aggregate(name):
+            # sliding window: aggregate over a range frame per event
+            base = self._agg_expr(call, ctx)
+            return base.over(self._sliding_frame_spec(ctx))
+
+        if name in fregistry.WINDOW_META:
+            if ctx.window_col:
+                fieldname = "start" if name == "window_start" else "end"
+                return F.col(f"{ctx.window_col}.{fieldname}")
+            raise ValueError(f"{name}() outside a time window")
+
+        if name == "row_number":
+            return F.row_number().over(self._analytic_window(call, ctx))
+
+        if name in fregistry.ANALYTIC:
+            w = self._analytic_window(call, ctx)
+            args = call.args
+            if name == "lag":
+                col = self._expr(args[0], ctx)
+                n = int(self._raw(args[1])) if len(args) > 1 else 1
+                default = self._raw(args[2]) if len(args) > 2 else None
+                return F.lag(col, n, default).over(w)
+            if name == "latest":
+                col = self._expr(args[0], ctx)
+                return F.last(col, ignorenulls=True).over(
+                    w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+            if name == "changed_col":
+                # value if changed since previous row else null
+                # (funcs_analytic.go:31-71)
+                col = self._expr(args[1], ctx)
+                prev = F.lag(col).over(w)
+                return F.when(prev.isNull() | (col != prev), col)
+            if name == "had_changed":
+                conds = []
+                for a in args[1:]:
+                    col = self._expr(a, ctx)
+                    prev = F.lag(col).over(w)
+                    conds.append(prev.isNull() | (col != prev))
+                out = conds[0]
+                for c in conds[1:]:
+                    out = out | c
+                return out
+
+        if fregistry.is_aggregate(name) and not ctx.post_agg:
+            # aggregate in a non-grouped context (global agg handled by
+            # _grouped; here = inside grouped projection, already mapped)
+            return self._agg_expr(call, ctx)
+
+        args = [a for a in call.args if not isinstance(a, Wildcard)]
+        cols = [self._expr(a, ctx) for a in args]
+        raw = [self._raw(a) for a in args]
+        return fregistry.build_scalar(name, cols, raw)
+
+
+def compile_sql(
+    spark: SparkSession,
+    sql: str,
+    catalog: Catalog,
+    streaming: bool = False,
+    order_cols: Optional[list[str]] = None,
+    event_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile one ekuiper-dialect SQL statement to a DataFrame."""
+    stmt = parse_sql(sql)
+    t = Translator(
+        spark,
+        catalog,
+        streaming=streaming,
+        order_cols=order_cols,
+        event_col=event_col,
+        watermark=watermark,
+    )
+    return t.compile(stmt)
