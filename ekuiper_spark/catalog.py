@@ -121,6 +121,8 @@ class Catalog:
         if d is None:
             raise KeyError(f"unknown stream/table: {name}")
         if streaming:
+            import os
+
             reader = spark.readStream
             if d.schema is not None:
                 reader = reader.schema(d.schema)
@@ -128,7 +130,13 @@ class Catalog:
                 # streaming parquet needs an explicit schema: probe via batch
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 reader = reader.schema(spark.read.parquet(d.path).schema)
-            sdf = reader.format(d.format).load(d.path)
+            path = d.path
+            if os.path.isfile(path):
+                # the file streaming source requires a directory; point it at
+                # the parent and glob-filter to this table's file
+                reader = reader.option("pathGlobFilter", os.path.basename(path))
+                path = os.path.dirname(path)
+            sdf = reader.format(d.format).load(path)
             if d.format == "parquet":
                 from pyspark.sql import functions as F
 

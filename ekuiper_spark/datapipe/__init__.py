@@ -1,0 +1,6 @@
+"""LLM-training-data pipeline operators: dedup, similarity search, text
+analysis, multimodal column plumbing.  See each module's scale notes."""
+
+from ekuiper_spark.datapipe import dedup, multimodal, similarity, textstats
+
+__all__ = ["dedup", "multimodal", "similarity", "textstats"]

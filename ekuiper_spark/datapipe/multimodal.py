@@ -1,0 +1,143 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched Pandas UDFs.
+
+The Spark-side architecture is real and tested — schemas, mapInPandas batch
+shape, partition sizing — while the actual media decode is STUBBED (the
+image/audio libraries are not in this container).  `fake_decode=True`
+substitutes a deterministic metadata extractor driven by the byte content,
+so pipelines exercise the full path; `fake_decode=False` raises
+NotImplementedError at the decode step, marking exactly where PIL/ffmpeg
+plug in.
+
+At scale: binary payloads ride a dedicated column so column pruning skips
+them unless the stage needs bytes; `spark.sql.files.maxPartitionBytes`
+governs scan partitioning; decode parallelism = partition count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def _decode_one(payload: bytes, media_type: str, fake: bool) -> dict:
+    if not fake:
+        raise NotImplementedError(
+            "real media decode requires PIL/soundfile/ffmpeg; "
+            "run with fake_decode=True or install decoders"
+        )
+    n = len(payload)
+    # deterministic fake: metadata derived purely from byte length/content
+    return {
+        "media_type": media_type,
+        "n_bytes": n,
+        "width": (n % 640) + 1,
+        "height": (n % 480) + 1,
+        "n_frames": (n % 30) + 1 if media_type == "video" else 1,
+        "sample_rate": 16000 if media_type == "audio" else 0,
+    }
+
+
+def extract_media_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Attach a typed metadata struct per media row via mapInPandas.
+
+    The UDF sees Arrow record batches (pandas DataFrames), not rows — the
+    production decode would batch-process payloads the same way.
+    """
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [T.StructField("meta", MEDIA_META_SCHEMA)]
+    )
+    other_cols = [f.name for f in df.schema.fields if f.name != payload_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _decode_one(p if p is not None else b"", mt, fake_decode)
+                for p, mt in zip(pdf[payload_col], pdf[type_col])
+            ]
+            out = pdf[other_cols].copy()
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_stub(
+    df: DataFrame, payload_col: str = "payload", width: int = 224, height: int = 224
+) -> DataFrame:
+    """Resize plumbing: passes payloads through a pandas batch transform.
+
+    The transform is the identity (decode stubbed); schema/partitioning
+    mirror the real operator.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pdf  # real impl: decode -> resize(width,height) -> encode
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def frame_sample_stub(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_n: int = 10,
+) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame.
+
+    Deterministic fake: frame count derives from payload length; each
+    sampled frame emits a row with (frame_idx, frame_bytes=empty).
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("frame_idx", T.IntegerType()), T.StructField("frame", T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                n_frames = (len(row[payload_col] or b"") % 30) + 1
+                for fi in range(0, n_frames, every_n):
+                    r = row.to_dict()
+                    r["frame_idx"] = fi
+                    r["frame"] = b""
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def documents_as_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture adapter: treat document text bytes as opaque media payloads
+    (the container has no real image/audio fixtures)."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+    )

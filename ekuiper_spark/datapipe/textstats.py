@@ -1,0 +1,143 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (no UDFs): at 100 TB these run inside
+whole-stage codegen on the scan, shuffle nothing, and column-prune down to
+the text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately tiny + deterministic so the same lists can be
+# inlined into an ANSI-SQL oracle.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+}
+
+_PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]"
+_WS_SPLIT = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings removed."""
+    return F.filter(F.split(text, _WS_SPLIT), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: word-and-punctuation regex segmentation.
+
+    Counts maximal runs of word chars, plus each punctuation char — a
+    deterministic proxy for subword tokenizers.
+    """
+    words = F.size(F.filter(F.split(text, r"[^A-Za-z0-9_]+"), lambda t: t != ""))
+    punct = F.length(text) - F.length(F.regexp_replace(text, _PUNCT_RE, ""))
+    return words + punct
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = n - F.length(F.regexp_replace(text, _PUNCT_RE, ""))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + moderate
+    punctuation + stopword presence (C4/Gopher-style length & symbol rules).
+    """
+    n = F.length(text)
+    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(text) > 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    wl = mean_word_length(text)
+    wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + sw_ok + wl_ok) / F.lit(4.0)
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    out = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        out.append((lang, hits))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID over the STOPWORDS languages; 'und' when
+    no stopword hits.  Ties break by language-code order (deterministic).
+    """
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[F.struct(s.alias("hits"), F.lit(lang).alias("lang")) for lang, s in scores]
+    )
+    best = F.array_max(pairs)  # struct compare: hits first, then lang
+    # array_max tie-breaks by the *larger* lang string; invert for
+    # deterministic first-code ordering by sorting desc on hits, asc lang
+    sorted_pairs = F.reverse(F.array_sort(pairs))
+    # after reverse-sort: highest hits first, but lang desc within ties;
+    # instead pick explicitly:
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["hits"] > acc["hits"], x).otherwise(acc),
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Normalization used by fingerprinting/dedup: lowercase, strip
+    punctuation, collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, _PUNCT_RE, "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(text).cast("binary"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_tokens_bpe": bpe_ish_token_count(t),
+            "n_chars_calc": char_count(t),
+            "punct_ratio": F.round(punct_ratio(t), 6),
+            "stopword_ratio_en": F.round(stopword_ratio(t, "en"), 6),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

@@ -1,0 +1,128 @@
+"""Rule runtime: one ekuiper *rule* = one Structured Streaming query.
+
+Reference model (internal/pkg/def/rule.go:149-159): a rule is JSON holding
+one SQL string + sink actions + options; the rule registry manages
+create/start/stop/status (internal/server/rest.go:195-254).  Here:
+
+    Rule(id, sql, actions, options) -> RuleRuntime.start() -> StreamingQuery
+
+Sinks map to writeStream adapters (memory/console/file/foreachBatch) — the
+reference's sink-side transform chain (fields/dataTemplate/batch/cache,
+internal/topo/planner/planner_sink.go:36-165) becomes select/to_json +
+foreachBatch, with delivery reliability from Spark checkpointing.
+
+Bounded runs (the reference's EOF-driven tests) use trigger(availableNow)
+— processes everything available, then stops.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ekuiper_spark.catalog import Catalog
+from ekuiper_spark.translator import compile_sql
+
+
+@dataclass
+class Rule:
+    id: str
+    sql: str
+    actions: list[dict[str, Any]] = field(default_factory=list)  # [{"memory": {...}}]
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+class RuleRuntime:
+    """Manages named rules -> running StreamingQueries (the control plane)."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.rules: dict[str, Rule] = {}
+        self.queries: dict[str, Any] = {}
+
+    def create_rule(self, rule: Rule) -> None:
+        if rule.id in self.rules:
+            raise ValueError(f"rule {rule.id} exists")
+        self.rules[rule.id] = rule
+
+    def start_rule(self, rule_id: str, available_now: bool = False) -> Any:
+        rule = self.rules[rule_id]
+        opts = rule.options
+        df = compile_sql(
+            self.spark,
+            rule.sql,
+            self.catalog,
+            streaming=True,
+            event_col=opts.get("event_col"),
+            watermark=opts.get("late_tolerance"),
+        )
+        action = rule.actions[0] if rule.actions else {"memory": {}}
+        (sink_type, sink_opts), = action.items()
+        writer = df.writeStream.outputMode(opts.get("output_mode", "complete" if self._has_agg(df) else "append"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        if sink_type == "memory":
+            name = sink_opts.get("table", f"rule_{rule_id}")
+            q = writer.format("memory").queryName(name).start()
+        elif sink_type == "console":
+            q = writer.format("console").start()
+        elif sink_type == "file":
+            q = (
+                writer.format(sink_opts.get("format", "parquet"))
+                .option("path", sink_opts["path"])
+                .option("checkpointLocation", sink_opts.get("checkpoint", f"/tmp/ckpt_{rule_id}_{uuid.uuid4().hex}"))
+                .start()
+            )
+        elif sink_type == "foreach_batch":
+            q = writer.foreachBatch(sink_opts["fn"]).start()
+        else:
+            raise ValueError(f"unknown sink {sink_type}")
+        self.queries[rule_id] = q
+        return q
+
+    @staticmethod
+    def _has_agg(df: DataFrame) -> bool:
+        return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+    def stop_rule(self, rule_id: str) -> None:
+        q = self.queries.pop(rule_id, None)
+        if q is not None:
+            q.stop()
+
+    def status(self, rule_id: str) -> dict[str, Any]:
+        q = self.queries.get(rule_id)
+        if q is None:
+            return {"state": "stopped"}
+        return {"state": "running" if q.isActive else "finished", "progress": q.lastProgress}
+
+
+def run_rule_available_now(
+    spark: SparkSession,
+    catalog: Catalog,
+    sql: str,
+    table: Optional[str] = None,
+    output_mode: Optional[str] = None,
+    event_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Run one rule over the currently-available data and return the result
+    table — the engine analog of the reference's bounded EOF test runs
+    (internal/topo/topotest/mock_topo.go:136).
+    """
+    name = table or f"rt_{uuid.uuid4().hex[:8]}"
+    df = compile_sql(spark, sql, catalog, streaming=True, event_col=event_col, watermark=watermark)
+    mode = output_mode or ("complete" if RuleRuntime._has_agg(df) else "append")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -188,6 +188,13 @@ class Translator:
             if isinstance(d, ColumnRef) and d.source is None:
                 ctx.dim_map[canon(d)] = d.name
                 group_cols.append(d.name)
+            elif isinstance(d, ColumnRef) and d.source is not None and d.source.lower() in ctx.source_aliases:
+                # qualified simple column: group under its bare name so the
+                # output column is user-visible (r.r_name -> r_name)
+                name = d.name
+                df = df.withColumn(name, self._expr(d, ctx))
+                ctx.dim_map[canon(d)] = name
+                group_cols.append(name)
             else:
                 name = f"__grp{i}"
                 df = df.withColumn(name, self._expr(d, ctx))
@@ -398,6 +405,11 @@ class Translator:
         return W.orderBy(order).rangeBetween(-length, delay)
 
     def _expr(self, node: Node, ctx: TranslateCtx) -> Column:
+        if ctx.post_agg and canon(node) in ctx.dim_map:
+            # any expression that structurally equals a GROUP BY dim resolves
+            # to the materialized group column after aggregation
+            return F.col(ctx.dim_map[canon(node)])
+
         if isinstance(node, Literal):
             return F.lit(node.value)
 
@@ -542,6 +554,22 @@ class Translator:
 
         if name == "row_number":
             return F.row_number().over(self._analytic_window(call, ctx))
+
+        if name.startswith("acc_"):
+            # accumulating aggregates: running totals across rows/windows,
+            # keyed by the OVER partition (funcs_acc.go:93+).  Batch analog:
+            # cumulative frame.
+            base = {
+                "acc_sum": F.sum,
+                "acc_avg": F.avg,
+                "acc_count": lambda c: F.count(c),
+                "acc_max": F.max,
+                "acc_min": F.min,
+            }.get(name)
+            if base is None:
+                raise KeyError(f"unknown accumulator {name}")
+            w = self._analytic_window(call, ctx).rowsBetween(W.unboundedPreceding, W.currentRow)
+            return base(self._expr(call.args[0], ctx)).over(w)
 
         if name in fregistry.ANALYTIC:
             w = self._analytic_window(call, ctx)

@@ -1,0 +1,21 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from ekuiper_spark import Catalog, get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    return get_spark("tests", 8)
+
+
+@pytest.fixture(scope="session")
+def catalog():
+    return Catalog.from_dir(SF_DIR)

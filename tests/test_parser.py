@@ -1,0 +1,146 @@
+"""Parser unit tests — table-driven, mirroring the reference's test style
+(internal/xsql/parser tests via table-driven cases)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ekuiper_spark.ast_nodes import (
+    Access, Between, Binary, CaseWhen, ColumnRef, FuncCall, InExpr, Index,
+    JsonPath, Like, Literal, Slice, Wildcard,
+)
+from ekuiper_spark.parser import parse_sql
+
+
+def test_simple_select():
+    st = parse_sql("SELECT a, b FROM demo")
+    assert st.source == "demo"
+    assert [f.expr.name for f in st.fields] == ["a", "b"]
+
+
+def test_alias_and_invisible():
+    st = parse_sql("SELECT a AS x, b + 1 AS y INVISIBLE FROM demo")
+    assert st.fields[0].alias == "x"
+    assert st.fields[1].invisible
+
+
+def test_where_precedence():
+    st = parse_sql("SELECT a FROM demo WHERE a > 1 AND b < 2 OR c = 3")
+    assert isinstance(st.where, Binary) and st.where.op == "OR"
+    assert st.where.left.op == "AND"
+
+
+def test_arith_precedence():
+    st = parse_sql("SELECT a + b * c FROM demo")
+    e = st.fields[0].expr
+    assert e.op == "+" and e.right.op == "*"
+
+
+def test_in_between_like_not():
+    st = parse_sql(
+        "SELECT a FROM demo WHERE a IN (1,2) AND b NOT BETWEEN 1 AND 5 "
+        "AND c LIKE 'x%' AND d NOT LIKE '%y'"
+    )
+    w = st.where
+    likes = []
+
+    def walk(n):
+        if isinstance(n, Binary):
+            walk(n.left)
+            walk(n.right)
+        else:
+            likes.append(n)
+
+    walk(w)
+    assert any(isinstance(n, InExpr) for n in likes)
+    assert any(isinstance(n, Between) and n.negated for n in likes)
+    assert any(isinstance(n, Like) and n.negated for n in likes)
+
+
+def test_case_both_forms():
+    st = parse_sql(
+        "SELECT CASE WHEN a > 1 THEN 'x' ELSE 'y' END AS c1, "
+        "CASE a WHEN 1 THEN 'one' END AS c2 FROM demo"
+    )
+    c1, c2 = st.fields[0].expr, st.fields[1].expr
+    assert isinstance(c1, CaseWhen) and c1.operand is None and c1.else_ is not None
+    assert isinstance(c2, CaseWhen) and isinstance(c2.operand, ColumnRef)
+
+
+def test_index_slice_access_jsonpath():
+    st = parse_sql("SELECT a[1], a[1:3], a->b, p->'$.x.y' FROM demo")
+    e0, e1, e2, e3 = [f.expr for f in st.fields]
+    assert isinstance(e0, Index) and e0.index.value == 1
+    assert isinstance(e1, Slice)
+    assert isinstance(e2, Access) and e2.fieldname == "b"
+    assert isinstance(e3, JsonPath) and e3.path == "$.x.y"
+
+
+def test_wildcard_except_replace():
+    st = parse_sql("SELECT * EXCEPT(a, b) REPLACE(c + 1 AS c) FROM demo")
+    w = st.fields[0].expr
+    assert isinstance(w, Wildcard)
+    assert w.except_cols == ["a", "b"]
+    assert w.replaces[0][1] == "c"
+
+
+def test_window_specs():
+    for sql, kind, unit, args in [
+        ("SELECT count(*) FROM d GROUP BY TUMBLINGWINDOW(ss, 10)", "tumbling", "ss", [10]),
+        ("SELECT count(*) FROM d GROUP BY HOPPINGWINDOW(mi, 10, 5)", "hopping", "mi", [10, 5]),
+        ("SELECT count(*) FROM d GROUP BY SESSIONWINDOW(ss, 30)", "session", "ss", [30]),
+        ("SELECT count(*) FROM d GROUP BY COUNTWINDOW(5)", "count", None, [5]),
+        ("SELECT count(*) FROM d GROUP BY SLIDINGWINDOW(hh, 1)", "sliding", "hh", [1]),
+    ]:
+        st = parse_sql(sql)
+        w = st.group.window
+        assert (w.kind, w.unit, w.args) == (kind, unit, args), sql
+
+
+def test_window_filter_clause():
+    st = parse_sql(
+        "SELECT count(*) FROM d GROUP BY TUMBLINGWINDOW(ss, 10) "
+        "FILTER(WHERE a > 1)"
+    )
+    assert st.group.window.filter is not None
+
+
+def test_joins():
+    st = parse_sql(
+        "SELECT a FROM s1 LEFT JOIN s2 ON s1.id = s2.id "
+        "INNER JOIN s3 ON s1.id = s3.id CROSS JOIN s4"
+    )
+    kinds = [j.kind for j in st.joins]
+    assert kinds == ["left", "inner", "cross"]
+    assert st.joins[2].on is None
+
+
+def test_over_partition_when():
+    st = parse_sql("SELECT lag(a) OVER (PARTITION BY b WHEN c > 1) FROM d")
+    call = st.fields[0].expr
+    assert isinstance(call, FuncCall)
+    assert len(call.partition_by) == 1 and call.when is not None
+
+
+def test_order_limit():
+    st = parse_sql("SELECT a FROM d ORDER BY a DESC, b LIMIT 7")
+    assert st.order[0].asc is False and st.order[1].asc is True
+    assert st.limit == 7
+
+
+def test_quoted_reserved_identifier():
+    st = parse_sql('SELECT `from`, "select" FROM d')
+    assert st.fields[0].expr.name == "from"
+    assert st.fields[1].expr.name == "select"
+
+
+def test_string_escape():
+    st = parse_sql("SELECT 'it''s' FROM d")
+    assert st.fields[0].expr.value == "it's"
+
+
+def test_syntax_error_position():
+    with pytest.raises(SyntaxError):
+        parse_sql("SELECT FROM WHERE")
+    with pytest.raises(SyntaxError):
+        parse_sql("SELECT a FROM d GROUP BY TUMBLINGWINDOW(xx, 10)")
