@@ -327,6 +327,77 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         {},
         "SELECT vec_id, unnest(embedding) AS emb FROM embeddings WHERE vec_id < 50",
     ),
+    # ---- state windows (SURVEY §2.6 STATEWINDOW, window_v2_op.go) -------
+    "q_state_window": (
+        "SELECT user_id, count(*) AS n, min(ts) AS w_open, max(ts) AS w_close "
+        "FROM events GROUP BY STATEWINDOW(event_type = 'signup', "
+        "event_type = 'purchase', user_id)",
+        {"order_cols": _ORD},
+        """
+        WITH b AS (
+          SELECT *, CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS bg,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS em
+          FROM events
+        ), s AS (
+          SELECT *, sum(em) OVER w - em AS seg, row_number() OVER w AS pos
+          FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), t AS (
+          SELECT *, min(CASE WHEN bg = 1 THEN pos END) OVER w2 AS first_b,
+                 max(em) OVER w2 AS has_emit
+          FROM s WINDOW w2 AS (PARTITION BY user_id, seg)
+        )
+        SELECT user_id, count(*) AS n, min(ts) AS w_open, max(ts) AS w_close
+        FROM t WHERE first_b IS NOT NULL AND pos >= first_b AND has_emit = 1
+        GROUP BY user_id, seg
+        """,
+    ),
+    "q_state_window_single": (
+        "SELECT count(*) AS n, min(event_id) AS first_id FROM events "
+        "GROUP BY STATEWINDOW(value > 150)",
+        {"order_cols": _ORD},
+        """
+        WITH b AS (
+          SELECT *, CASE WHEN value > 150 THEN 1 ELSE 0 END AS c FROM events
+        ), s AS (
+          SELECT *, sum(CASE WHEN prev IS NULL OR prev != c THEN 1 ELSE 0 END)
+                    OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS island
+          FROM (SELECT *, lag(c) OVER (ORDER BY ts, event_id) AS prev FROM b)
+        )
+        SELECT count(*) AS n, min(event_id) AS first_id
+        FROM s WHERE c = 1 GROUP BY island
+        """,
+    ),
+    # ---- more analytic funcs (SURVEY §2.7) ------------------------------
+    "q_analytic_latest": (
+        "SELECT event_id, latest(CASE WHEN event_type = 'purchase' THEN value END) "
+        "OVER (PARTITION BY user_id) AS last_purchase FROM events WHERE user_id < 10",
+        {"order_cols": _ORD},
+        "SELECT event_id, last_value(CASE WHEN event_type = 'purchase' THEN value END "
+        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS last_purchase FROM events WHERE user_id < 10",
+    ),
+    "q_analytic_had_changed": (
+        "SELECT event_id, had_changed(true, event_type, user_id) OVER "
+        "(PARTITION BY user_id) AS chg FROM events WHERE user_id < 10",
+        {"order_cols": _ORD},
+        """
+        SELECT event_id,
+               (lag(event_type) OVER w IS NULL OR event_type != lag(event_type) OVER w
+                OR lag(user_id) OVER w IS NULL OR user_id != lag(user_id) OVER w) AS chg
+        FROM events WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+    ),
+    # ---- collection aggregates (funcs_agg.go collect/deduplicate) -------
+    "q_agg_collect_dedup": (
+        "SELECT event_type, array_sort(collect(round(value, 0))) AS vals, "
+        "array_sort(deduplicate(round(value, 0), false)) AS dvals "
+        "FROM events WHERE value > 190 GROUP BY event_type",
+        {},
+        "SELECT event_type, list_sort(list(round(value, 0))) AS vals, "
+        "list_sort(list_distinct(list(round(value, 0)))) AS dvals "
+        "FROM events WHERE value > 190 GROUP BY event_type",
+    ),
 }
 
 
@@ -457,6 +528,67 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def _sw_list(lang: str) -> str:
+    from ekuiper_spark.datapipe.textstats import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _oracle_lang_id() -> str:
+    # replicates textstats.lang_id: stopword-vote, first language in
+    # (en, es, de, fr) wins ties, 'und' when no hits
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_transform(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x != ''), x -> lower(x)) AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains({_sw_list('en')}, x))) AS he,
+             len(list_filter(toks, x -> list_contains({_sw_list('es')}, x))) AS hs,
+             len(list_filter(toks, x -> list_contains({_sw_list('de')}, x))) AS hd,
+             len(list_filter(toks, x -> list_contains({_sw_list('fr')}, x))) AS hf
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(he, hs, hd, hf) <= 0 THEN 'und'
+                WHEN he >= hs AND he >= hd AND he >= hf THEN 'en'
+                WHEN hs >= hd AND hs >= hf THEN 'es'
+                WHEN hd >= hf THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM h
+    """
+
+
+def _oracle_quality() -> str:
+    # replicates textstats.quality_score + fingerprint
+    punct = r"""length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}<>-]', '', 'g'))"""
+    toks = r"""list_filter(string_split_regex(text, '\s+'), x -> x != '')"""
+    norm = r"""trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?''"()\[\]{}<>-]', '', 'g'), '\s+', ' ', 'g'))"""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n,
+             ({punct}) * 1.0 / length(text) AS pr,
+             len(list_filter(list_transform({toks}, x -> lower(x)),
+                 x -> list_contains({_sw_list('en')}, x))) * 1.0
+               / greatest(len({toks}), 1) AS swr,
+             list_sum(list_transform({toks}, x -> length(x))) * 1.0
+               / greatest(len({toks}), 1) AS wl
+      FROM documents
+    )
+    SELECT doc_id,
+           (CASE WHEN n BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN swr > 0.01 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) / 4.0
+             AS quality,
+           md5({norm}) AS fingerprint
+    FROM t
+    """
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ekuiper_spark.datapipe.textstats import fingerprint, quality_score
 
@@ -552,6 +684,40 @@ def _q_streaming_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNTWINDOW(100) as a custom stateful streaming operator
+    (applyInPandasWithState; reference window_op.go:520-568)."""
+    import uuid as _uuid
+
+    from ekuiper_spark.streaming.stateful import count_window_stream
+
+    sdf = _cat(sf_dir).load(spark, "events", streaming=True)
+    out = count_window_stream(sdf, 100)
+    name = "cw_" + _uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "wid", "n", F.round("sum_v", 4).alias("sum_v"), "first_ts", "last_ts"
+    )
+
+
+_ORACLE_STREAM_COUNT_WINDOW = """
+WITH x AS (
+  SELECT *, (row_number() OVER (ORDER BY ts, event_id) - 1) // 100 AS wid
+  FROM events
+)
+SELECT wid, count(*) AS n, round(sum(value), 4) AS sum_v,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM x GROUP BY wid HAVING count(*) = 100
+"""
+
+
 # ===========================================================================
 # driver API
 # ===========================================================================
@@ -585,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dp_multimodal_meta"] = _q_multimodal_meta
     out["s_streaming_tumbling"] = _q_streaming_tumbling
     out["s_streaming_filter"] = _q_streaming_filter
+    out["s_streaming_count_window"] = _q_streaming_count_window
     return out
 
 
@@ -599,8 +766,10 @@ def oracle_sql() -> dict[str, str]:
     # dp_dedup_minhash_lsh / dp_dedup_simhash / dp_sim_topk_lsh: hash-family
     # dependent -> rows-only check (documented weaker gate)
     out["dp_text_stats"] = _ORACLE_TEXT_STATS
-    # dp_lang_id / dp_quality_fingerprint: expressible but verbose; round 2
+    out["dp_lang_id"] = _oracle_lang_id()
+    out["dp_quality_fingerprint"] = _oracle_quality()
     out["dp_sim_topk_bruteforce"] = _ORACLE_SIM_TOPK
+    out["s_streaming_count_window"] = _ORACLE_STREAM_COUNT_WINDOW
     out["dp_multimodal_meta"] = _ORACLE_MULTIMODAL
     # streaming queries share the batch oracles (same semantics, streaming
     # execution)

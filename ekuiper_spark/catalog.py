@@ -96,6 +96,16 @@ class Catalog:
     def get(self, name: str) -> StreamDef | None:
         return self._defs.get(name.lower())
 
+    def all_defs(self) -> dict[str, StreamDef]:
+        return dict(self._defs)
+
+    def unregister(self, name: str) -> None:
+        n = name.lower()
+        if n not in self._defs and n not in self._dfs:
+            raise KeyError(f"unknown stream/table: {name}")
+        self._defs.pop(n, None)
+        self._dfs.pop(n, None)
+
     @classmethod
     def from_dir(cls, sf_dir: str, tables: list[str] | None = None) -> "Catalog":
         import glob

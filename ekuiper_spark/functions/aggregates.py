@@ -69,6 +69,15 @@ def _merge_agg(c, r):
     return F.map_from_entries(F.flatten(F.collect_list(F.map_entries(c[0]))))
 
 
+@reg("deduplicate")
+def _deduplicate(c, r):
+    # within-group first-occurrence dedup of values (funcs_agg.go:176);
+    # array_distinct preserves first-occurrence order like the reference's
+    # seen-set walk.  The all=false single-row variant is a streaming
+    # concern (round 2).
+    return F.array_distinct(F.collect_list(c[0]))
+
+
 # count_distinct is not in the reference grammar (SURVEY §2.5) but comes
 # free with Spark; exposed as an extension.
 reg("count_distinct")(lambda c, r: F.count_distinct(*c))

@@ -1,0 +1,161 @@
+"""Control-plane statements: CREATE STREAM/TABLE, SHOW, DESCRIBE, DROP,
+EXPLAIN — the engine analog of the reference's stream processor
+(internal/processor/stream.go:102-200, parser internal/xsql/parser.go:1162-1337).
+
+DDL mutates the Catalog (pure metadata, no execution); EXPLAIN compiles the
+SELECT through the translator and returns Catalyst's formatted plan —
+strictly more informative than the reference's operator-chain explain
+(internal/server/rest.go EXPLAIN endpoint).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from ekuiper_spark.catalog import Catalog, StreamDef, ekuiper_type
+from ekuiper_spark.lexer import tokenize
+from ekuiper_spark.translator import compile_sql
+
+from pyspark.sql import types as T
+
+
+class DDLParser:
+    def __init__(self, sql: str) -> None:
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[min(self.i, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def expect(self, value: str):
+        t = self.next()
+        if t.value.lower() != value.lower():
+            raise SyntaxError(f"expected {value!r}, got {t.value!r} at {t.pos}")
+        return t
+
+    def accept(self, value: str) -> bool:
+        if self.peek().value.lower() == value.lower():
+            self.next()
+            return True
+        return False
+
+    # CREATE STREAM|TABLE name (fields?) WITH (K="v", ...)
+    def parse_create(self) -> StreamDef:
+        self.expect("create")
+        kind_tok = self.next().value.lower()
+        if kind_tok not in ("stream", "table"):
+            raise SyntaxError(f"CREATE {kind_tok.upper()} not supported")
+        name = self.next().value
+        schema = None
+        if self.accept("("):
+            fields = []
+            while not self.accept(")"):
+                fname = self.next().value
+                ftype = self._parse_type()
+                fields.append(T.StructField(fname, ftype))
+                self.accept(",")
+            if fields:
+                schema = T.StructType(fields)
+        self.expect("with")
+        self.expect("(")
+        options: dict[str, Any] = {}
+        while not self.accept(")"):
+            key = self.next().value.lower()
+            self.expect("=")
+            val = self.next().value
+            options[key] = val
+            self.accept(",")
+        kind = "scan" if kind_tok == "table" else "stream"
+        if options.get("kind", "").lower() == "lookup":
+            kind = "lookup"
+        return StreamDef(
+            name=name,
+            format=options.get("format", "json").lower(),
+            path=options.get("datasource"),
+            schema=schema,
+            kind=kind,
+            timestamp_col=options.get("timestamp"),
+            key=options.get("key"),
+            options=options,
+        )
+
+    def _parse_type(self) -> T.DataType:
+        base = self.next().value.lower()
+        if base == "array":
+            self.expect("(")
+            inner = self._parse_type()
+            self.expect(")")
+            return T.ArrayType(inner)
+        if base == "struct":
+            self.expect("(")
+            fields = []
+            while not self.accept(")"):
+                fname = self.next().value
+                ftype = self._parse_type()
+                fields.append(T.StructField(fname, ftype))
+                self.accept(",")
+            return T.StructType(fields)
+        return ekuiper_type(base)
+
+
+class StreamProcessor:
+    """Executes control-plane statements against a Catalog."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog) -> None:
+        self.spark = spark
+        self.catalog = catalog
+
+    def exec_stmt(self, sql: str) -> Any:
+        head = sql.strip().split(None, 2)
+        cmd = head[0].lower()
+        if cmd == "create":
+            d = DDLParser(sql).parse_create()
+            if self.catalog.has(d.name):
+                raise ValueError(f"stream/table {d.name} already exists")
+            self.catalog.register(d)
+            return f"{d.kind} {d.name} created"
+        if cmd == "show":
+            what = head[1].lower().rstrip(";")
+            defs = self.catalog.all_defs()
+            if what == "streams":
+                return sorted(n for n, d in defs.items() if d.kind == "stream")
+            if what == "tables":
+                return sorted(n for n, d in defs.items() if d.kind in ("scan", "lookup"))
+            raise SyntaxError(f"SHOW {what.upper()} not supported")
+        if cmd in ("describe", "desc"):
+            name = head[-1].rstrip(";")
+            if name.lower() in ("stream", "table"):
+                raise SyntaxError("DESCRIBE requires a name")
+            d = self.catalog.get(name)
+            if d is None:
+                raise KeyError(f"unknown stream/table: {name}")
+            return {
+                "name": d.name,
+                "kind": d.kind,
+                "format": d.format,
+                "datasource": d.path,
+                "schema": d.schema.simpleString() if d.schema else "schemaless",
+                "timestamp": d.timestamp_col,
+                "key": d.key,
+            }
+        if cmd == "drop":
+            name = head[-1].rstrip(";")
+            self.catalog.unregister(name)
+            return f"{name} dropped"
+        if cmd == "explain":
+            select_sql = sql.strip()[len("explain"):].strip()
+            df = compile_sql(self.spark, select_sql, self.catalog)
+            return df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+        if cmd == "select":
+            return compile_sql(self.spark, sql, self.catalog)
+        raise SyntaxError(f"unknown statement: {cmd}")

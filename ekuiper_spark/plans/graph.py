@@ -1,0 +1,159 @@
+"""Graph rule API: the reference's no-SQL JSON DAG alternative
+(internal/pkg/def/rule.go:122-144, planner internal/topo/planner/
+planner_graph.go:109-234).
+
+A graph rule is {"nodes": {id: {"type": "operator"|"source"|"sink",
+"nodeType": ..., "props": {...}}}, "topo": {"sources": [...], "edges":
+{from: [to, ...]}}}.  Node kinds mirror planner_graph.go: filter, pick
+(projection), function, window, join, groupby, orderby, switch.
+
+Each node translates to DataFrame transformations; expression props are
+ekuiper-dialect strings compiled through the same parser/translator, so
+graph rules and SQL rules share one expression engine (as in the
+reference, where graph nodes build the same operator structs).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ekuiper_spark.catalog import Catalog
+from ekuiper_spark.parser import Parser, parse_sql
+from ekuiper_spark.translator import Translator, TranslateCtx
+
+
+def _parse_expr(text: str):
+    p = Parser(text)
+    e = p.parse_expr()
+    if p.peek().kind != "eof":
+        raise SyntaxError(f"trailing tokens in expression: {text!r}")
+    return e
+
+
+class GraphRulePlanner:
+    def __init__(self, spark: SparkSession, catalog: Catalog, streaming: bool = False) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.streaming = streaming
+        self._tr = Translator(spark, catalog, streaming=streaming)
+
+    def plan(self, graph: dict[str, Any]) -> dict[str, DataFrame]:
+        """Compile the DAG; returns {sink_or_leaf_node_id: DataFrame}."""
+        nodes = graph["nodes"]
+        topo = graph["topo"]
+        edges: dict[str, list[str]] = topo.get("edges", {})
+        indeg_sources: dict[str, list[str]] = {}
+        for src, dsts in edges.items():
+            for d in dsts:
+                indeg_sources.setdefault(d, []).append(src)
+
+        results: dict[str, DataFrame] = {}
+
+        def build(node_id: str) -> DataFrame:
+            if node_id in results:
+                return results[node_id]
+            spec = nodes[node_id]
+            ntype = spec.get("type", "operator")
+            props = spec.get("props", {})
+            if ntype == "source":
+                df = self.catalog.load(
+                    self.spark, props.get("datasource", node_id), streaming=self.streaming
+                )
+            else:
+                ups = indeg_sources.get(node_id, [])
+                if not ups:
+                    raise ValueError(f"node {node_id} has no upstream")
+                df = build(ups[0])
+                if spec.get("nodeType") == "join" and len(ups) > 1:
+                    df = self._apply_join(df, build(ups[1]), props)
+                    results[node_id] = df
+                    return df
+                df = self._apply(df, spec.get("nodeType"), props)
+            results[node_id] = df
+            return df
+
+        leaves = [n for n in nodes if n not in edges or not edges[n]]
+        out = {}
+        for leaf in leaves:
+            if nodes[leaf].get("type") == "sink":
+                ups = indeg_sources.get(leaf, [])
+                out[leaf] = build(ups[0]) if ups else None
+            else:
+                out[leaf] = build(leaf)
+        return out
+
+    # -- node translations ------------------------------------------------
+    def _ctx(self, df: DataFrame) -> TranslateCtx:
+        ctx = TranslateCtx()
+        ctx.event_col = "ts" if "ts" in df.columns else None
+        ctx.order_cols = [ctx.event_col] if ctx.event_col else []
+        return ctx
+
+    def _apply(self, df: DataFrame, node_type: str, props: dict[str, Any]) -> DataFrame:
+        ctx = self._ctx(df)
+        if node_type == "filter":
+            return df.filter(self._tr._expr(_parse_expr(props["expr"]), ctx))
+        if node_type == "pick":
+            cols = []
+            for fspec in props["fields"]:
+                # "expr AS alias" or bare column
+                stmt = parse_sql(f"SELECT {fspec} FROM __dummy__")
+                f = stmt.fields[0]
+                name = f.alias or (
+                    f.expr.name if hasattr(f.expr, "name") else "expr"
+                )
+                cols.append(self._tr._expr(f.expr, ctx).alias(name))
+            return df.select(*cols)
+        if node_type == "function":
+            out = df
+            for fspec in props["exprs"]:
+                stmt = parse_sql(f"SELECT {fspec} FROM __dummy__")
+                f = stmt.fields[0]
+                name = f.alias or "expr"
+                out = out.withColumn(name, self._tr._expr(f.expr, ctx))
+            return out
+        if node_type == "window":
+            # {"windowType": "tumblingwindow", "unit": "ss", "size": 10} —
+            # stashed and consumed by the downstream groupby node (the
+            # reference's graph planner likewise pairs window+groupby,
+            # planner_graph.go window node handling)
+            wt = props["windowType"].upper()
+            args = [str(props[k]) for k in ("unit", "size", "hop", "interval") if k in props]
+            self._pending_window = f"{wt}({', '.join(args)})"
+            return df
+        if node_type == "groupby":
+            # synthesize dialect SQL and reuse the full grouped pipeline so
+            # compound agg expressions (round(sum(x),2)) work identically to
+            # SQL rules
+            dims = list(props.get("dimensions", []))
+            if getattr(self, "_pending_window", None):
+                dims.append(self._pending_window)
+                self._pending_window = None
+            sel = ", ".join(list(props.get("dimensions", [])) + list(props["aggs"]))
+            sql = f"SELECT {sel} FROM __graph_input__"
+            if dims:
+                sql += " GROUP BY " + ", ".join(dims)
+            tmp_cat = Catalog()
+            tmp_cat.register_df("__graph_input__", df)
+            tr = Translator(self.spark, tmp_cat, streaming=False)
+            return tr.compile(parse_sql(sql))
+        if node_type == "orderby":
+            sorts = []
+            for s in props["sorts"]:
+                col = self._tr._expr(_parse_expr(s["expr"]), ctx)
+                sorts.append(col.desc() if s.get("desc") else col.asc())
+            return df.orderBy(*sorts)
+        if node_type == "switch":
+            raise NotImplementedError("switch (multi-output routing) lands in round 2")
+        raise ValueError(f"unknown graph node type: {node_type}")
+
+    def _apply_join(self, left: DataFrame, right: DataFrame, props: dict[str, Any]) -> DataFrame:
+        ctx = self._ctx(left)
+        ctx.source_aliases = {props.get("leftAlias", "l"), props.get("rightAlias", "r")}
+        lj = left.alias(props.get("leftAlias", "l"))
+        rj = right.alias(props.get("rightAlias", "r"))
+        cond = self._tr._expr(_parse_expr(props["on"]), ctx)
+        return lj.join(rj, cond, props.get("joinType", "inner"))

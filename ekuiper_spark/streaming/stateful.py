@@ -1,0 +1,117 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference implements count/state/sliding windows and analytic funcs as
+stateful Go operators (internal/topo/node/window_op.go:520-568 count
+windows; funcs_analytic.go lag state).  Spark has no native count window,
+so the streaming path uses applyInPandasWithState: state carries the
+open-window buffer between micro-batches; complete windows emit, the
+trailing partial stays buffered (exactly the reference's emit-on-full
+behavior).
+
+Scale note: state is keyed — a global count window (the reference's
+semantics, single-process) uses one key and is inherently serial; keyed
+variants (partition column) distribute.  Batch mode (translator
+COUNTWINDOW) is the scale path for bounded data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+COUNT_WINDOW_OUT = T.StructType(
+    [
+        T.StructField("wid", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_v", T.DoubleType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+_COUNT_WINDOW_STATE = T.StructType(
+    [
+        T.StructField("emitted", T.LongType()),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),  # epoch micros
+        T.StructField("buf_val", T.ArrayType(T.DoubleType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def count_window_stream(
+    sdf: DataFrame,
+    n: int,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming COUNTWINDOW(n): emits one aggregate row per n events.
+
+    Rows are globally ordered by (ts, id) within each micro-batch; the
+    cross-batch remainder is carried in state.  Only full windows emit
+    (window_op.go TupleList semantics).
+    """
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            emitted, buf_ts, buf_val, buf_eid = state.get
+            buf = pd.DataFrame(
+                {"__ts": list(buf_ts), "__val": list(buf_val), "__eid": list(buf_eid)}
+            )
+        else:
+            emitted = 0
+            buf = pd.DataFrame({"__ts": [], "__val": [], "__eid": []})
+        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values([ts_col, id_col])
+            add = pd.DataFrame(
+                {
+                    "__ts": batch[ts_col].astype("datetime64[us]").astype("int64"),
+                    "__val": batch[val_col].astype(float),
+                    "__eid": batch[id_col].astype("int64"),
+                }
+            )
+            buf = pd.concat([buf, add], ignore_index=True)
+        out_rows = []
+        while len(buf) >= n:
+            win, buf = buf.iloc[:n], buf.iloc[n:]
+            out_rows.append(
+                {
+                    "wid": emitted,
+                    "n": n,
+                    "sum_v": float(win["__val"].sum()),
+                    "first_ts": pd.Timestamp(int(win["__ts"].min()), unit="us"),
+                    "last_ts": pd.Timestamp(int(win["__ts"].max()), unit="us"),
+                }
+            )
+            emitted += 1
+        state.update(
+            (
+                emitted,
+                [int(x) for x in buf["__ts"]],
+                [float(x) for x in buf["__val"]],
+                [int(x) for x in buf["__eid"]],
+            )
+        )
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return (
+        sdf.withColumn("__k", F.lit(1))
+        .groupBy("__k")
+        .applyInPandasWithState(
+            fn,
+            COUNT_WINDOW_OUT,
+            _COUNT_WINDOW_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -180,9 +180,8 @@ class Translator:
             df = df.filter(self._expr(window.filter, ctx))
 
         if window is not None:
-            df, wname = self._window_key(df, window, ctx)
-            if wname:
-                group_cols.append(wname)
+            df, wnames = self._window_key(df, window, ctx)
+            group_cols.extend(wnames)
 
         for i, d in enumerate(dims):
             if isinstance(d, ColumnRef) and d.source is None:
@@ -249,17 +248,17 @@ class Translator:
             dur = self._dur(w, 0)
             df = df.withColumn("window", F.window(F.col(ec), dur))
             ctx.window_col = "window"
-            return df, "window"
+            return df, ["window"]
         if w.kind == "hopping":
             dur, hop = self._dur(w, 0), self._dur(w, 1)
             df = df.withColumn("window", F.window(F.col(ec), dur, hop))
             ctx.window_col = "window"
-            return df, "window"
+            return df, ["window"]
         if w.kind == "session":
             gap = self._dur(w, 0)
             df = df.withColumn("window", F.session_window(F.col(ec), gap))
             ctx.window_col = "window"
-            return df, "window"
+            return df, ["window"]
         if w.kind == "count":
             if self.streaming:
                 raise NotImplementedError("COUNTWINDOW streaming needs transformWithState (round 2)")
@@ -270,10 +269,71 @@ class Translator:
             rn = F.row_number().over(W.orderBy(*order))
             df = df.withColumn("__wid", F.floor((rn - 1) / F.lit(n)))
             ctx.window_col = None
-            return df, "__wid"
+            return df, ["__wid"]
         if w.kind == "state":
-            raise NotImplementedError("STATEWINDOW arrives with the stateful runtime (round 2)")
+            return self._state_window(df, w, ctx)
         raise ValueError(f"unknown window kind {w.kind}")
+
+    def _state_window(self, df: DataFrame, w: WindowSpec, ctx: TranslateCtx):
+        """STATEWINDOW batch emulation (reference: window_v2_op.go:124-247).
+
+        Dual condition STATEWINDOW(begin, emit[, partition...]): a window
+        opens at the first row satisfying `begin` after the previous emit,
+        accumulates rows, and closes at (and includes) the row satisfying
+        `emit`; a `begin` while open is ignored, unclosed windows never
+        emit.  Single condition STATEWINDOW(cond): consecutive runs of
+        cond-true rows (gaps-and-islands).
+
+        Construction (identically expressible in ANSI SQL for the oracle):
+        segment id = running count of emit rows *excluding* the current row
+        (so each emit row closes its own segment); within a segment, rows
+        from the first begin-row onward are in the window; segments without
+        an emit row are dropped.
+        """
+        if self.streaming:
+            raise NotImplementedError("STATEWINDOW streaming needs transformWithState (round 2)")
+        conds = w.state_conds
+        order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
+        part_names = []
+        for i, p in enumerate(conds[2:]):
+            if isinstance(p, ColumnRef) and p.source is None:
+                name = p.name  # group under the user-visible column name
+            else:
+                name = f"__spart{i}"
+                df = df.withColumn(name, self._expr(p, ctx))
+            ctx.dim_map[canon(p)] = name
+            part_names.append(name)
+        parts = [F.col(n) for n in part_names] or [F.lit(0)]
+        wp = W.partitionBy(*parts).orderBy(*order)
+        if len(conds) == 1:
+            cond = self._expr(conds[0], ctx).cast("int")
+            flip = F.when(
+                F.lag(cond).over(wp).isNull() | (F.lag(cond).over(wp) != cond), 1
+            ).otherwise(0)
+            df = df.withColumn("__island", F.sum(flip).over(wp.rowsBetween(W.unboundedPreceding, 0)))
+            df = df.withColumn("__cond", cond).filter(F.col("__cond") == 1).drop("__cond")
+            ctx.window_col = None
+            return df, part_names + ["__island"]
+        begin = self._expr(conds[0], ctx).cast("int")
+        emit = self._expr(conds[1], ctx).cast("int")
+        df = df.withColumn("__b", begin).withColumn("__e", emit)
+        cum_e = F.sum("__e").over(wp.rowsBetween(W.unboundedPreceding, 0))
+        pos = F.row_number().over(wp)
+        df = df.withColumn("__seg", cum_e - F.col("__e")).withColumn("__pos", pos)
+        wseg = W.partitionBy(*parts, F.col("__seg"))
+        first_b = F.min(F.when(F.col("__b") == 1, F.col("__pos"))).over(wseg)
+        has_emit = F.max("__e").over(wseg)
+        df = (
+            df.withColumn("__first_b", first_b)
+            .withColumn("__has_emit", has_emit)
+            .filter(
+                F.col("__first_b").isNotNull()
+                & (F.col("__pos") >= F.col("__first_b"))
+                & (F.col("__has_emit") == 1)
+            )
+        )
+        ctx.window_col = None
+        return df, part_names + ["__seg"]
 
     def _dur(self, w: WindowSpec, idx: int) -> str:
         secs = w.args[idx] * UNIT_SECONDS[w.unit]

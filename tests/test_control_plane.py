@@ -1,0 +1,149 @@
+"""DDL processor, graph rule API, state windows, stateful streaming."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from ekuiper_spark.catalog import Catalog
+from ekuiper_spark.plans.ddl import StreamProcessor
+from ekuiper_spark.plans.graph import GraphRulePlanner
+from ekuiper_spark.translator import compile_sql
+
+
+@pytest.fixture()
+def processor(spark, catalog):
+    return StreamProcessor(spark, Catalog.from_dir("/root/testdata/sf0.001"))
+
+
+def test_create_show_describe_drop(processor):
+    assert "created" in processor.exec_stmt(
+        'CREATE STREAM demo (color STRING, size BIGINT, ts BIGINT) '
+        'WITH (DATASOURCE="/tmp/x", FORMAT="JSON", TIMESTAMP="ts")'
+    )
+    assert processor.exec_stmt("SHOW STREAMS") == ["demo"]
+    d = processor.exec_stmt("DESCRIBE demo")
+    assert d["timestamp"] == "ts" and "color:string" in d["schema"]
+    with pytest.raises(ValueError):
+        processor.exec_stmt('CREATE STREAM demo () WITH (DATASOURCE="/tmp/y")')
+    assert "dropped" in processor.exec_stmt("DROP demo")
+    assert processor.exec_stmt("SHOW STREAMS") == []
+
+
+def test_create_lookup_table(processor):
+    processor.exec_stmt(
+        'CREATE TABLE t1 (name STRING, id BIGINT) '
+        'WITH (DATASOURCE="/tmp/l.json", KIND="lookup", KEY="id")'
+    )
+    assert processor.exec_stmt("SHOW TABLES")[-1] == "t1" or "t1" in processor.exec_stmt("SHOW TABLES")
+    assert processor.exec_stmt("DESCRIBE t1")["kind"] == "lookup"
+
+
+def test_explain_shows_pushdown(processor):
+    txt = processor.exec_stmt("EXPLAIN SELECT event_id FROM events WHERE value > 100")
+    assert "PushedFilters" in txt and "GreaterThan(value,100" in txt
+
+
+def test_graph_rule_pipeline(spark, catalog):
+    g = GraphRulePlanner(spark, catalog)
+    out = g.plan(
+        {
+            "nodes": {
+                "src": {"type": "source", "props": {"datasource": "events"}},
+                "f": {"type": "operator", "nodeType": "filter", "props": {"expr": "value > 100"}},
+                "agg": {
+                    "type": "operator",
+                    "nodeType": "groupby",
+                    "props": {"dimensions": ["event_type"], "aggs": ["count(*) AS n"]},
+                },
+            },
+            "topo": {"sources": ["src"], "edges": {"src": ["f"], "f": ["agg"]}},
+        }
+    )
+    df = out["agg"]
+    rows = {r["event_type"]: r["n"] for r in df.collect()}
+    # cross-check against the SQL path
+    sql_rows = {
+        r["event_type"]: r["n"]
+        for r in compile_sql(
+            spark,
+            "SELECT event_type, count(*) AS n FROM events WHERE value > 100 GROUP BY event_type",
+            catalog,
+        ).collect()
+    }
+    assert rows == sql_rows
+
+
+def test_graph_join(spark, catalog):
+    g = GraphRulePlanner(spark, catalog)
+    out = g.plan(
+        {
+            "nodes": {
+                "e": {"type": "source", "props": {"datasource": "events"}},
+                "n": {"type": "source", "props": {"datasource": "nation"}},
+                "j": {
+                    "type": "operator",
+                    "nodeType": "join",
+                    "props": {"on": "l.user_id = r.n_nationkey", "joinType": "inner",
+                              "leftAlias": "l", "rightAlias": "r"},
+                },
+            },
+            "topo": {"sources": ["e", "n"], "edges": {"e": ["j"], "n": ["j"]}},
+        }
+    )
+    assert out["j"].count() > 0
+
+
+def test_state_window_dual_condition(spark, catalog):
+    df = compile_sql(
+        spark,
+        "SELECT user_id, count(*) AS n FROM events GROUP BY "
+        "STATEWINDOW(event_type = 'signup', event_type = 'purchase', user_id)",
+        catalog,
+        order_cols=["ts", "event_id"],
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["n"] >= 1 for r in rows)
+
+
+def test_state_window_islands(spark, catalog):
+    df = compile_sql(
+        spark,
+        "SELECT count(*) AS n FROM events GROUP BY STATEWINDOW(value > 150)",
+        catalog,
+        order_cols=["ts", "event_id"],
+    )
+    total_in_islands = sum(r["n"] for r in df.collect())
+    expected = compile_sql(
+        spark, "SELECT count(*) AS n FROM events WHERE value > 150", catalog
+    ).collect()[0]["n"]
+    assert total_in_islands == expected
+
+
+def test_streaming_count_window_matches_batch(spark, catalog):
+    from ekuiper_spark.streaming.stateful import count_window_stream
+
+    sdf = catalog.load(spark, "events", streaming=True)
+    out = count_window_stream(sdf, 100)
+    name = "t_cw_" + uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = spark.table(name).orderBy("wid").collect()
+    batch = compile_sql(
+        spark,
+        "SELECT count(*) AS n, min(ts) AS first_ts FROM events GROUP BY COUNTWINDOW(100)",
+        catalog,
+        order_cols=["ts", "event_id"],
+    ).orderBy("first_ts").collect()
+    assert len(stream_rows) == len(batch) == 10
+    for s, b in zip(stream_rows, batch):
+        assert s["n"] == b["n"] == 100
+        assert s["first_ts"] == b["first_ts"]
