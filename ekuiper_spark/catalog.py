@@ -140,6 +140,11 @@ class Catalog:
                 # streaming parquet needs an explicit schema: probe via batch
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 reader = reader.schema(spark.read.parquet(d.path).schema)
+            elif d.format == "json":
+                # schemaless stream (Options.IsSchemaLess,
+                # pkg/ast/sourceStmt.go:298): infer from the current data;
+                # heterogeneous/type-flipping fields unify to string
+                reader = reader.schema(spark.read.json(d.path).schema)
             path = d.path
             if os.path.isfile(path):
                 # the file streaming source requires a directory; point it at

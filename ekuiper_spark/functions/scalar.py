@@ -104,7 +104,10 @@ def _substring(c, r):
     return c[0].substr(c[1].cast("int") + 1, F.length(c[0]))
 
 
-reg("format")(lambda c, r: F.format_string(r[0] if r[0] is not None else "%s", *c[1:]))
+# format(number, decimals[, locale]) -> fixed-decimal string
+# (funcs_str.go:360-392; locale grouping unsupported -> plain formatting)
+reg("format")(lambda c, r: F.format_string(f"%.{int(r[1])}f", c[0].cast("double")))
+reg("conv")(lambda c, r: F.conv(c[0], int(r[1]), int(r[2])))
 
 
 # --------------------------------------------------------------------------
@@ -146,7 +149,29 @@ reg("from_unix_time", "from_unixtime")(lambda c, r: F.to_timestamp(F.from_unixti
 reg("last_day")(lambda c, r: F.last_day(c[0]))
 reg("to_seconds")(lambda c, r: F.unix_timestamp(c[0]))
 reg("from_days")(lambda c, r: F.date_add(F.lit("1970-01-01").cast("date"), c[0].cast("int")))
-reg("date_calc")(lambda c, r: F.expr(f"timestampadd(SECOND, 0, now())"))  # placeholder; duration parsing TODO
+
+
+def parse_go_duration(s: str) -> float:
+    """Go time.ParseDuration subset: '1h30m', '-24h', '90s', '500ms'."""
+    import re as _re
+
+    sign = -1.0 if s.startswith("-") else 1.0
+    body = s.lstrip("+-")
+    units = {"h": 3600.0, "m": 60.0, "s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
+    total = 0.0
+    for num, unit in _re.findall(r"(\d+\.?\d*)(h|ms|us|ns|m|s)", body):
+        total += float(num) * units[unit]
+    return sign * total
+
+
+@reg("date_calc")
+def _date_calc(c, r):
+    # date_calc(ts, '24h'|'-1h30m') -> 'yyyy-MM-dd HH:mm:ss' string
+    # (funcs_datetime.go:87-114; Go duration literals)
+    secs = parse_go_duration(str(r[1]))
+    return F.date_format(
+        F.timestamp_seconds(F.unix_timestamp(c[0]) + F.lit(secs)), "yyyy-MM-dd HH:mm:ss"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,101 @@
+"""Sink-side transform chain: the engine analog of the reference's
+transform -> batch -> encode -> cache -> connector pipeline
+(internal/topo/planner/planner_sink.go:36-165, transform op
+internal/topo/node/transform_op.go:33-80).
+
+Supported sink properties (names mirror the reference's sink conf):
+- fields / excludeFields: projection before encoding
+- dataField: emit only a nested column's contents
+- sendSingle: one message per row (vs one message per batch list)
+- dataTemplate: per-message template with {col} placeholders (the
+  reference uses Go text/template; Python str.format is the analog)
+- omitIfEmpty: drop empty batches
+- format: json|csv payload encoding
+
+apply_sink_transform returns a DataFrame of encoded payload strings; sinks
+(file/memory/console/foreachBatch) consume it.  Delivery reliability =
+Spark checkpointing + idempotent/foreachBatch sinks (replaces the
+reference's disk-backed resend cache, internal/topo/node/cache_op.go).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_sink_transform(df: DataFrame, props: dict[str, Any]) -> DataFrame:
+    """Apply the reference's sink-side projection/encoding chain."""
+    fields = props.get("fields")
+    exclude = props.get("excludeFields")
+    data_field = props.get("dataField")
+    if data_field:
+        sub = df.select(f"{data_field}.*") if dict(df.dtypes).get(data_field, "").startswith("struct") else df.select(data_field)
+        df = sub
+    if fields:
+        df = df.select(*fields)
+    if exclude:
+        df = df.drop(*exclude)
+    return df
+
+
+def encode_rows(df: DataFrame, props: dict[str, Any]) -> DataFrame:
+    """Row -> payload string column `payload` (encode op analog)."""
+    fmt = props.get("format", "json")
+    template = props.get("dataTemplate")
+    if template:
+        # {col} placeholders -> format_string; deterministic col order
+        import re as _re
+
+        cols = _re.findall(r"\{(\w+)\}", template)
+        fmt_str = _re.sub(r"\{\w+\}", "%s", template)
+        return df.select(
+            F.format_string(fmt_str, *[F.col(c).cast("string") for c in cols]).alias("payload")
+        )
+    if fmt == "json":
+        return df.select(F.to_json(F.struct(*df.columns)).alias("payload"))
+    if fmt == "csv":
+        return df.select(
+            F.concat_ws(
+                props.get("delimiter", ","), *[F.col(c).cast("string") for c in df.columns]
+            ).alias("payload")
+        )
+    raise ValueError(f"unsupported sink format {fmt!r}")
+
+
+def sink_batch(df: DataFrame, props: dict[str, Any]) -> list[str]:
+    """Batch-mode sink materialization (for tests / foreachBatch bodies).
+
+    sendSingle=True -> one payload per row; False -> one JSON array payload
+    per batch (the reference's default collection send,
+    transform_op.go sendSingle handling).
+    """
+    t = apply_sink_transform(df, props)
+    enc = encode_rows(t, props)
+    rows = [r["payload"] for r in enc.collect()]
+    if props.get("omitIfEmpty") and not rows:
+        return []
+    if props.get("sendSingle", True):
+        return rows
+    if props.get("format", "json") == "json":
+        return ["[" + ",".join(rows) + "]"] if rows else ["[]"]
+    return ["\n".join(rows)]
+
+
+def write_file_sink(df: DataFrame, path: str, props: dict[str, Any]) -> None:
+    """File sink: parquet/csv/json via the native writers (batch_writer_op
+    analog — Spark's columnar writers replace the hand-rolled batch
+    encoder)."""
+    fmt = props.get("format", "parquet")
+    t = apply_sink_transform(df, props)
+    writer = t.write.mode(props.get("mode", "overwrite"))
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "csv":
+        writer.option("header", True).csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported file sink format {fmt!r}")

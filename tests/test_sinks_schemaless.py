@@ -1,0 +1,114 @@
+"""Sink transform chain, schemaless streams, watermark plumbing, and the
+remaining scalar functions."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ekuiper_spark.catalog import Catalog, StreamDef
+from ekuiper_spark.streaming.sinks import apply_sink_transform, sink_batch, write_file_sink
+from ekuiper_spark.translator import compile_sql
+
+SCRATCH = "/tmp/ekuiper_spark_test"
+
+
+@pytest.fixture(scope="module")
+def schemaless_cat(spark):
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "ldemo.json")
+    rows = [
+        {"color": "red", "size": 3, "ts": 1541152486013},
+        {"color": "blue", "size": "string_size", "ts": 1541152487632},  # type flip
+        {"size": 5, "ts": 1541152488442},  # missing color
+        {"color": "yellow", "nested": {"a": 7, "b": "x"}, "ts": 1541152489252},
+    ]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cat = Catalog()
+    cat.register(StreamDef(name="ldemo", format="json", path=path, schema=None, kind="stream"))
+    return cat
+
+
+def test_schemaless_duck_typing(spark, schemaless_cat):
+    df = compile_sql(spark, "SELECT color, size FROM ldemo WHERE size IS NOT NULL", schemaless_cat)
+    rows = df.collect()
+    # the nested-only row has no size -> filtered; type-flipped column
+    # unified to string, missing fields null
+    assert len(rows) == 3
+    assert any(r["color"] is None for r in rows)
+    assert {type(r["size"]) for r in rows} == {str}
+
+
+def test_schemaless_nested_access(spark, schemaless_cat):
+    df = compile_sql(spark, "SELECT nested->a AS na FROM ldemo WHERE nested IS NOT NULL", schemaless_cat)
+    assert df.collect()[0]["na"] == 7
+
+
+def test_schemaless_streaming_inference(spark, schemaless_cat):
+    sdf = schemaless_cat.load(spark, "ldemo", streaming=True)
+    assert sdf.isStreaming
+    assert "color" in sdf.columns
+
+
+def test_sink_fields_exclude(spark, catalog):
+    df = catalog.load(spark, "events").limit(5)
+    out = apply_sink_transform(df, {"fields": ["event_id", "value"]})
+    assert out.columns == ["event_id", "value"]
+    out2 = apply_sink_transform(df, {"excludeFields": ["props"]})
+    assert "props" not in out2.columns
+
+
+def test_sink_send_single_json(spark, catalog):
+    df = catalog.load(spark, "events").limit(3).select("event_id", "event_type")
+    payloads = sink_batch(df, {"sendSingle": True, "format": "json"})
+    assert len(payloads) == 3
+    assert all(json.loads(p)["event_id"] is not None for p in payloads)
+    batch = sink_batch(df, {"sendSingle": False, "format": "json"})
+    assert len(batch) == 1 and isinstance(json.loads(batch[0]), list)
+
+
+def test_sink_data_template(spark, catalog):
+    df = catalog.load(spark, "events").limit(2).select("event_id", "event_type")
+    payloads = sink_batch(
+        df, {"dataTemplate": "event {event_id} is {event_type}", "sendSingle": True}
+    )
+    assert all(p.startswith("event ") for p in payloads)
+
+
+def test_file_sink_roundtrip(spark, catalog):
+    df = catalog.load(spark, "events").limit(10).select("event_id", "value")
+    out = os.path.join(SCRATCH, "sink_parquet")
+    write_file_sink(df, out, {"format": "parquet"})
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_watermark_in_plan(spark, catalog):
+    df = compile_sql(
+        spark,
+        "SELECT window_start() AS ws, count(*) AS n FROM events GROUP BY TUMBLINGWINDOW(mi, 5)",
+        catalog,
+        streaming=True,
+        watermark="10 minutes",
+    )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+
+
+def test_date_calc_and_format(spark, catalog):
+    df = compile_sql(
+        spark,
+        "SELECT date_calc(cast('2019-01-01 00:00:00', 'datetime'), '24h') AS d1, "
+        "date_calc(cast('2019-01-01 10:00:00', 'datetime'), '-1h30m') AS d2, "
+        "format(3.14159, 2) AS f1, conv('ff', 16, 10) AS c1 "
+        "FROM region LIMIT 1",
+        catalog,
+    )
+    r = df.collect()[0]
+    assert r["d1"] == "2019-01-02 00:00:00"
+    assert r["d2"] == "2019-01-01 08:30:00"
+    assert r["f1"] == "3.14"
+    assert r["c1"] == "255"
