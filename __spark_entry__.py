@@ -32,9 +32,19 @@ def _cat(sf_dir: str) -> Catalog:
     return _CATS[sf_dir]
 
 
+def _ensure_conf(spark: SparkSession) -> SparkSession:
+    """The driver supplies its own session; pin the runtime-settable configs
+    correctness depends on (UTC timestamps for the DuckDB oracle, nano-
+    parquet reads, last-wins map keys for merge_agg)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    return spark
+
+
 def _dialect(sql: str, **kw):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return compile_sql(spark, sql, _cat(sf_dir), **kw)
+        return compile_sql(_ensure_conf(spark), sql, _cat(sf_dir), **kw)
 
     return run
 
@@ -707,6 +717,59 @@ def _q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_stream_to_table(spark: SparkSession, out_df) -> DataFrame:
+    import uuid as _uuid
+
+    name = "st_" + _uuid.uuid4().hex[:8]
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _q_streaming_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed lag as a custom stateful streaming operator (cross-batch
+    last-value state; funcs_analytic.go:124-207)."""
+    from ekuiper_spark.streaming.stateful import lag_stream
+
+    sdf = _cat(sf_dir).load(spark, "events", streaming=True).filter(F.col("user_id") < 10)
+    out = lag_stream(sdf, "user_id", "value")
+    return _run_stream_to_table(spark, out).select(
+        F.col("part").alias("user_id"), "event_id", "value", "prev_value"
+    )
+
+
+_ORACLE_STREAM_LAG = """
+SELECT user_id, event_id, value,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events WHERE user_id < 10
+"""
+
+
+def _q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event sliding window as a stateful streaming operator
+    (window_op.go:593-619)."""
+    from ekuiper_spark.streaming.stateful import sliding_window_stream
+
+    sdf = _cat(sf_dir).load(spark, "events", streaming=True)
+    out = sliding_window_stream(sdf, 3600)
+    return _run_stream_to_table(spark, out).select(
+        "event_id", "n_w", F.round("sum_w", 4).alias("sum_w")
+    )
+
+
+_ORACLE_STREAM_SLIDING = """
+SELECT event_id, count(*) OVER w AS n_w, round(sum(value) OVER w, 4) AS sum_w
+FROM events
+WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 _ORACLE_STREAM_COUNT_WINDOW = """
 WITH x AS (
   SELECT *, (row_number() OVER (ORDER BY ts, event_id) - 1) // 100 AS wid
@@ -726,10 +789,17 @@ def entry(spark: SparkSession) -> DataFrame:
     dialect pipeline (README.md:140 `SELECT temperature FROM source WHERE
     temperature > 20`)."""
     return compile_sql(
-        spark,
+        _ensure_conf(spark),
         "SELECT event_id, event_type, value FROM events WHERE value > 20",
         _cat("/root/testdata/sf0.001"),
     )
+
+
+def _with_conf(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_ensure_conf(spark), sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -752,7 +822,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["s_streaming_tumbling"] = _q_streaming_tumbling
     out["s_streaming_filter"] = _q_streaming_filter
     out["s_streaming_count_window"] = _q_streaming_count_window
-    return out
+    out["s_streaming_lag"] = _q_streaming_lag
+    out["s_streaming_sliding"] = _q_streaming_sliding
+    return {name: _with_conf(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -770,6 +842,8 @@ def oracle_sql() -> dict[str, str]:
     out["dp_quality_fingerprint"] = _oracle_quality()
     out["dp_sim_topk_bruteforce"] = _ORACLE_SIM_TOPK
     out["s_streaming_count_window"] = _ORACLE_STREAM_COUNT_WINDOW
+    out["s_streaming_lag"] = _ORACLE_STREAM_LAG
+    out["s_streaming_sliding"] = _ORACLE_STREAM_SLIDING
     out["dp_multimodal_meta"] = _ORACLE_MULTIMODAL
     # streaming queries share the batch oracles (same semantics, streaming
     # execution)

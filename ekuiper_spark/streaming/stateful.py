@@ -115,3 +115,109 @@ def count_window_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def lag_stream(
+    sdf: DataFrame,
+    partition_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming lag(value) keyed by partition_col: per-row previous value,
+    with the last value carried across micro-batches in state
+    (funcs_analytic.go:124-207 keyed lag state).
+
+    Output: (partition, id, value, prev_value).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("part", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("prev_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_val", T.DoubleType())])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values([ts_col, id_col])
+        prev = batch[value_col].shift(1)
+        if last is not None:
+            prev.iloc[0] = last
+        out = pd.DataFrame(
+            {
+                "part": batch[partition_col].astype("int64"),
+                "event_id": batch[id_col].astype("int64"),
+                "value": batch[value_col].astype(float),
+                "prev_value": prev,
+            }
+        )
+        state.update((float(batch[value_col].iloc[-1]),))
+        yield out
+
+    return sdf.groupBy(partition_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def sliding_window_stream(
+    sdf: DataFrame,
+    length_sec: float,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming SLIDINGWINDOW: per-event emission of aggregates over
+    (t - length, t], with the in-horizon row buffer carried in state
+    (window_op.go:593-619 per-event sliding emission).
+
+    Output: (event_id, n_w, sum_w) per input row.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("n_w", T.LongType()),
+            T.StructField("sum_w", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("buf_ts", T.ArrayType(T.LongType())),
+            T.StructField("buf_val", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    horizon_us = int(length_sec * 1_000_000)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bts, bval = state.get
+            buf = pd.DataFrame({"__ts": list(bts), "__val": list(bval)})
+        else:
+            buf = pd.DataFrame({"__ts": [], "__val": []})
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values([ts_col, id_col])
+        ts_us = batch[ts_col].astype("datetime64[us]").astype("int64")
+        rows = []
+        for t, v, eid in zip(ts_us, batch[val_col].astype(float), batch[id_col]):
+            buf = buf[buf["__ts"] > t - horizon_us]
+            buf = pd.concat(
+                [buf, pd.DataFrame({"__ts": [t], "__val": [v]})], ignore_index=True
+            )
+            rows.append({"event_id": int(eid), "n_w": len(buf), "sum_w": float(buf["__val"].sum())})
+        state.update(([int(x) for x in buf["__ts"]], [float(x) for x in buf["__val"]]))
+        yield pd.DataFrame(rows)
+
+    return (
+        sdf.withColumn("__k", F.lit(1))
+        .groupBy("__k")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -122,6 +122,55 @@ def test_state_window_islands(spark, catalog):
     assert total_in_islands == expected
 
 
+def test_rule_runtime_lifecycle(spark, catalog):
+    from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
+
+    rt = RuleRuntime(spark, catalog)
+    rule = Rule(
+        id="r1",
+        sql="SELECT event_id, value FROM events WHERE value > 150",
+        actions=[{"memory": {"table": "rt_out_r1"}}],
+        options={"output_mode": "append"},
+    )
+    rt.create_rule(rule)
+    with pytest.raises(ValueError):
+        rt.create_rule(rule)  # duplicate id
+    q = rt.start_rule("r1", available_now=True)
+    q.awaitTermination()
+    assert rt.status("r1")["state"] in ("running", "finished")
+    assert spark.table("rt_out_r1").count() > 0
+    rt.stop_rule("r1")
+    assert rt.status("r1")["state"] == "stopped"
+
+
+def test_streaming_lag_matches_batch(spark, catalog):
+    import uuid as _uuid
+
+    from ekuiper_spark.streaming.stateful import lag_stream
+
+    sdf = catalog.load(spark, "events", streaming=True)
+    out = lag_stream(sdf, "user_id", "value")
+    name = "t_lag_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    stream = {(r["part"], r["event_id"]): r["prev_value"] for r in spark.table(name).collect()}
+    batch = compile_sql(
+        spark,
+        "SELECT user_id, event_id, lag(value) OVER (PARTITION BY user_id) AS p FROM events",
+        catalog,
+        order_cols=["ts", "event_id"],
+    ).collect()
+    for r in batch:
+        got = stream[(r["user_id"], r["event_id"])]
+        if r["p"] is None:
+            assert got is None
+        else:
+            assert abs(got - r["p"]) < 1e-9
+
+
 def test_streaming_count_window_matches_batch(spark, catalog):
     from ekuiper_spark.streaming.stateful import count_window_stream
 
