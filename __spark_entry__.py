@@ -398,6 +398,55 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
     ),
+    # ---- sliding trigger / window filter / windowed join / changed_cols --
+    "q_sliding_trigger": (
+        "SELECT event_id, count(*) AS n_1h FROM events "
+        "GROUP BY SLIDINGWINDOW(hh, 1) OVER (WHEN event_type = 'error')",
+        {"order_cols": _ORD},
+        """
+        WITH x AS (
+          SELECT event_id, event_type, count(*) OVER w AS n_1h
+          FROM events
+          WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND CURRENT ROW)
+        )
+        SELECT event_id, n_1h FROM x WHERE event_type = 'error'
+        """,
+    ),
+    "q_window_filter": (
+        "SELECT window_start() AS ws, count(*) AS n FROM events "
+        "GROUP BY TUMBLINGWINDOW(hh, 1) FILTER(WHERE event_type = 'error')",
+        {},
+        "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS ws, "
+        "count(*) AS n FROM events WHERE event_type = 'error' GROUP BY 1",
+    ),
+    "q_window_join": (
+        "SELECT e1.event_id AS id_err, e2.event_id AS id_buy, e1.user_id AS uid "
+        "FROM events e1 INNER JOIN events e2 ON e1.user_id = e2.user_id "
+        "AND floor(to_seconds(e1.ts) / 3600) = floor(to_seconds(e2.ts) / 3600) "
+        "AND e1.event_type = 'error' AND e2.event_type = 'purchase'",
+        {},
+        "SELECT e1.event_id AS id_err, e2.event_id AS id_buy, e1.user_id AS uid "
+        "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
+        "AND floor(epoch(e1.ts) / 3600) = floor(epoch(e2.ts) / 3600) "
+        "AND e1.event_type = 'error' AND e2.event_type = 'purchase'",
+    ),
+    "q_changed_cols": (
+        "SELECT event_id, changed_cols('c_', true, event_type, user_id) "
+        "OVER (PARTITION BY user_id) FROM events WHERE user_id < 10",
+        {"order_cols": _ORD},
+        """
+        SELECT event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type != lag(event_type) OVER w
+                    THEN event_type END AS c_event_type,
+               CASE WHEN lag(user_id) OVER w IS NULL
+                    OR user_id != lag(user_id) OVER w
+                    THEN user_id END AS c_user_id
+        FROM events WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+    ),
     # ---- collection aggregates (funcs_agg.go collect/deduplicate) -------
     "q_agg_collect_dedup": (
         "SELECT event_type, array_sort(collect(round(value, 0))) AS vals, "
@@ -694,6 +743,20 @@ def _q_streaming_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: streaming events against the static nation dim
+    (scan/lookup-table analog, internal/topo/node/lookup_node.go)."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    return run_rule_available_now(
+        spark,
+        _cat(sf_dir),
+        "SELECT e.event_id, e.value, n.n_name FROM events e "
+        "INNER JOIN nation n ON e.user_id = n.n_nationkey WHERE e.value > 180",
+        output_mode="append",
+    )
+
+
 def _q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNTWINDOW(100) as a custom stateful streaming operator
     (applyInPandasWithState; reference window_op.go:520-568)."""
@@ -824,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["s_streaming_count_window"] = _q_streaming_count_window
     out["s_streaming_lag"] = _q_streaming_lag
     out["s_streaming_sliding"] = _q_streaming_sliding
+    out["s_streaming_lookup_join"] = _q_streaming_lookup_join
     return {name: _with_conf(fn) for name, fn in out.items()}
 
 
@@ -843,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
     out["dp_sim_topk_bruteforce"] = _ORACLE_SIM_TOPK
     out["s_streaming_count_window"] = _ORACLE_STREAM_COUNT_WINDOW
     out["s_streaming_lag"] = _ORACLE_STREAM_LAG
+    out["s_streaming_lookup_join"] = DIALECT_QUERIES["q_join_lookup"][2]
     out["s_streaming_sliding"] = _ORACLE_STREAM_SLIDING
     out["dp_multimodal_meta"] = _ORACLE_MULTIMODAL
     # streaming queries share the batch oracles (same semantics, streaming

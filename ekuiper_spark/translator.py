@@ -114,7 +114,17 @@ class Translator:
         if window is not None and window.kind == "sliding":
             # per-event emission: aggs become range-frame window functions
             ctx.sliding_frame = window
-            df = self._project(df, stmt, ctx)
+            if window.filter is not None:
+                df = df.filter(self._expr(window.filter, ctx))
+            if window.trigger is not None:
+                # OVER (WHEN cond): frames still span ALL rows; only rows
+                # satisfying the trigger emit (window_op.go:757-784) — so
+                # the trigger filter applies after the window projection.
+                trig = self._expr(window.trigger, ctx)
+                cols = self._projection_cols(df, stmt, ctx) + [trig.alias("__trig")]
+                df = df.select(*cols).filter(F.col("__trig")).drop("__trig")
+            else:
+                df = self._project(df, stmt, ctx)
         elif group is not None or has_agg:
             df = self._grouped(df, stmt, ctx)
         else:
@@ -355,6 +365,11 @@ class Translator:
         return "expr"
 
     def _project(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
+        return df.select(*self._projection_cols(df, stmt, ctx))
+
+    def _projection_cols(
+        self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx
+    ) -> list[Column]:
         cols: list[Column] = []
         for f in stmt.fields:
             if f.invisible:
@@ -368,8 +383,23 @@ class Translator:
                 inner = self._expr(f.expr.args[0], ctx)
                 cols.append(F.explode(inner).alias(self._field_name(f)))
                 continue
+            if isinstance(f.expr, FuncCall) and f.expr.name == "changed_cols":
+                # multi-column analytic: changed_cols(prefix, ignoreNull,
+                # col...) expands into one output column per argument,
+                # named prefix+colname (funcs_cols.go)
+                call = f.expr
+                prefix = self._raw(call.args[0]) or ""
+                w = self._analytic_window(call, ctx)
+                for a in call.args[2:]:
+                    col = self._expr(a, ctx)
+                    prev = F.lag(col).over(w)
+                    name = a.name if isinstance(a, ColumnRef) else "col"
+                    cols.append(
+                        F.when(prev.isNull() | (col != prev), col).alias(f"{prefix}{name}")
+                    )
+                continue
             cols.append(self._expr(f.expr, ctx).alias(self._field_name(f)))
-        return df.select(*cols)
+        return cols
 
     def _expand_wildcard(self, df: DataFrame, w: Wildcard, ctx: TranslateCtx) -> list[Column]:
         hidden = {"window", "__wid", "__wcount", "__dummy"}
