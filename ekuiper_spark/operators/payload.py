@@ -1,0 +1,67 @@
+"""Payload transform operators: compress / decompress / encrypt analogs.
+
+Reference: internal/topo/node/compress_op.go, decompress_op.go,
+encrypt_op.go — byte transforms between connector and decode stages.
+gzip/zlib come from the Python stdlib via Arrow-batched pandas UDFs (the
+one place Python-side work is justified: byte-blob codecs have no Catalyst
+native).  AES encryption would need an external lib — stubbed with a
+deterministic XOR keystream placeholder, clearly marked.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import zlib as _zlib
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.BinaryType())
+def gzip_compress(data: pd.Series) -> pd.Series:
+    return data.map(lambda b: _gzip.compress(b if b is not None else b"", mtime=0))
+
+
+@F.pandas_udf(T.BinaryType())
+def gzip_decompress(data: pd.Series) -> pd.Series:
+    return data.map(lambda b: _gzip.decompress(b) if b else b"")
+
+
+@F.pandas_udf(T.BinaryType())
+def zlib_compress(data: pd.Series) -> pd.Series:
+    return data.map(lambda b: _zlib.compress(b if b is not None else b""))
+
+
+@F.pandas_udf(T.BinaryType())
+def zlib_decompress(data: pd.Series) -> pd.Series:
+    return data.map(lambda b: _zlib.decompress(b) if b else b"")
+
+
+def compress(col: Column, codec: str = "gzip") -> Column:
+    if codec == "gzip":
+        return gzip_compress(col)
+    if codec in ("zlib", "deflate"):
+        return zlib_compress(col)
+    raise ValueError(f"unsupported codec {codec!r} (gzip|zlib)")
+
+
+def decompress(col: Column, codec: str = "gzip") -> Column:
+    if codec == "gzip":
+        return gzip_decompress(col)
+    if codec in ("zlib", "deflate"):
+        return zlib_decompress(col)
+    raise ValueError(f"unsupported codec {codec!r} (gzip|zlib)")
+
+
+def encrypt_stub(col: Column, key: bytes = b"\x00") -> Column:
+    """Placeholder for the AES encrypt op (encrypt_op.go) — real AES needs
+    the cryptography package (absent).  Raises at execution."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _enc(data: pd.Series) -> pd.Series:
+        raise NotImplementedError("AES encryption requires the cryptography package")
+
+    return _enc(col)

@@ -1,0 +1,60 @@
+"""Rate-limit / merger source operator.
+
+Reference: internal/topo/node/rate_limit.go:44-60 — downsamples a source
+to at most one frame per interval (keeping the latest), optionally merging
+frames.  Spark analog: bucket events into interval windows and keep the
+last row per (key, bucket) — a groupBy with max_by, no Python.
+
+At scale this is the classic "latest reading per device per interval"
+downsampler: partial aggregation means each executor keeps one candidate
+row per (device, bucket) before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rate_limit_latest(
+    df: DataFrame,
+    interval_sec: float,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep only the latest row per interval bucket (per key)."""
+    us = int(interval_sec * 1_000_000)
+    bucket = (F.unix_micros(F.col(ts_col)) / us).cast("long")
+    keys = [F.col(k) for k in (key_cols or [])]
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    out = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*keys, F.col("__bucket"))
+        .agg(F.max_by(payload, F.unix_micros(F.col(ts_col))).alias("__row"))
+        .select("__row.*")
+    )
+    return out
+
+
+def merge_frames(
+    df: DataFrame,
+    interval_sec: float,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merger variant: collapse each interval's rows into one row carrying
+    the latest non-null value per column (frame merger semantics)."""
+    us = int(interval_sec * 1_000_000)
+    bucket = (F.unix_micros(F.col(ts_col)) / us).cast("long")
+    keys = key_cols or []
+    val_cols = [c for c in df.columns if c not in keys]
+    aggs = [
+        F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.unix_micros(F.col(ts_col)))).alias(c)
+        for c in val_cols
+    ]
+    return (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*[F.col(k) for k in keys], F.col("__bucket"))
+        .agg(*aggs)
+        .drop("__bucket")
+    )

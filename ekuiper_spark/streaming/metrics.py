@@ -1,0 +1,53 @@
+"""Per-rule metrics: the engine analog of the reference's per-node
+in/out/latency counters (internal/topo/node/metric/, exposed via
+/rules/{id}/status, internal/topo/topo.go:428-510).
+
+Spark's StreamingQueryListener already carries rows-in/rows-out/duration
+per micro-batch; MetricsCollector adapts it to an ekuiper-status-shaped
+dict per query."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class MetricsCollector(StreamingQueryListener):
+    def __init__(self) -> None:
+        self._by_query: dict[str, dict[str, Any]] = defaultdict(
+            lambda: {
+                "records_in_total": 0,
+                "records_out_total": 0,
+                "batches_total": 0,
+                "last_batch_duration_ms": None,
+                "status": "running",
+            }
+        )
+        self._names: dict[str, str] = {}
+
+    # -- listener hooks ----------------------------------------------------
+    def onQueryStarted(self, event) -> None:
+        self._names[str(event.id)] = event.name or str(event.id)
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        m = self._by_query[str(p.id)]
+        m["records_in_total"] += p.numInputRows
+        sink_rows = p.sink.numOutputRows if p.sink.numOutputRows >= 0 else p.numInputRows
+        m["records_out_total"] += sink_rows
+        m["batches_total"] += 1
+        m["last_batch_duration_ms"] = p.batchDuration
+
+    def onQueryTerminated(self, event) -> None:
+        self._by_query[str(event.id)]["status"] = (
+            "error" if event.exception else "stopped"
+        )
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    # -- status API --------------------------------------------------------
+    def status(self, query_id: str) -> dict[str, Any]:
+        return dict(self._by_query[str(query_id)])

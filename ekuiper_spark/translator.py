@@ -71,6 +71,7 @@ class Translator:
         order_cols: Optional[list[str]] = None,
         event_col: Optional[str] = None,
         watermark: Optional[str] = None,
+        on_error: str = "fail",
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -78,6 +79,11 @@ class Translator:
         self.order_cols = order_cols
         self.event_col = event_col
         self.watermark = watermark
+        # error-as-value policy (reference SendError option, def/rule.go:36):
+        # 'fail' = rule error on bad rows (ANSI), 'null' = per-row errors
+        # become nulls (try_* expressions), matching the reference's
+        # skip-row behavior
+        self.on_error = on_error
 
     # ------------------------------------------------------------------ #
     def compile(self, stmt: SelectStatement) -> DataFrame:
@@ -591,6 +597,15 @@ class Translator:
         left = self._expr(node.left, ctx)
         right = self._expr(node.right, ctx)
         op = node.op
+        if self.on_error == "null" and op in ("+", "-", "*", "/", "%"):
+            fn = {
+                "+": F.try_add,
+                "-": F.try_subtract,
+                "*": F.try_multiply,
+                "/": F.try_divide,
+                "%": F.try_mod,
+            }[op]
+            return fn(left, right)
         if op == "+":
             return left + right
         if op == "-":
@@ -710,6 +725,7 @@ def compile_sql(
     order_cols: Optional[list[str]] = None,
     event_col: Optional[str] = None,
     watermark: Optional[str] = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Compile one ekuiper-dialect SQL statement to a DataFrame."""
     stmt = parse_sql(sql)
@@ -720,5 +736,6 @@ def compile_sql(
         order_cols=order_cols,
         event_col=event_col,
         watermark=watermark,
+        on_error=on_error,
     )
     return t.compile(stmt)

@@ -1,0 +1,171 @@
+"""Payload codecs, rate limiting, metrics, error modes, watermark late-data."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekuiper_spark.translator import compile_sql
+
+SCRATCH = "/tmp/ekuiper_spark_test"
+
+
+def test_gzip_roundtrip(spark, catalog):
+    from ekuiper_spark.operators.payload import compress, decompress
+
+    df = catalog.load(spark, "documents").limit(20)
+    enc = df.select(
+        "doc_id", compress(F.encode("text", "utf-8"), "gzip").alias("z"), "text"
+    )
+    dec = enc.select("doc_id", F.decode(decompress(F.col("z"), "gzip"), "utf-8").alias("t"), "text")
+    assert all(r["t"] == r["text"] for r in dec.collect())
+
+
+def test_zlib_shrinks(spark, catalog):
+    from ekuiper_spark.operators.payload import compress
+
+    df = catalog.load(spark, "documents").limit(20)
+    out = df.select(
+        F.octet_length(F.encode("text", "utf-8")).alias("raw"),
+        F.octet_length(compress(F.encode("text", "utf-8"), "zlib")).alias("z"),
+    ).collect()
+    # fixture text is word-salad from a tiny vocab: compresses well
+    assert sum(r["z"] for r in out) < sum(r["raw"] for r in out)
+
+
+def test_encrypt_stub_raises(spark, catalog):
+    from ekuiper_spark.operators.payload import encrypt_stub
+
+    df = catalog.load(spark, "documents").limit(1)
+    with pytest.raises(Exception):
+        df.select(encrypt_stub(F.encode("text", "utf-8"))).collect()
+
+
+def test_rate_limit_latest(spark, catalog):
+    from ekuiper_spark.operators.ratelimit import rate_limit_latest
+
+    ev = catalog.load(spark, "events")
+    out = rate_limit_latest(ev, 3600.0)
+    n_buckets = ev.select(
+        (F.unix_micros("ts") / 3_600_000_000).cast("long")
+    ).distinct().count()
+    assert out.count() == n_buckets
+    # each kept row is the max-ts row of its bucket
+    chk = out.withColumn("b", (F.unix_micros("ts") / 3_600_000_000).cast("long"))
+    mx = ev.groupBy((F.unix_micros("ts") / 3_600_000_000).cast("long").alias("b")).agg(
+        F.max(F.unix_micros("ts")).alias("mx")
+    )
+    joined = chk.join(mx, "b").filter(F.unix_micros("ts") != F.col("mx"))
+    assert joined.count() == 0
+
+
+def test_error_mode_null_vs_fail(spark, catalog):
+    # reference SendError option: per-row errors become nulls in 'null' mode
+    df = compile_sql(
+        spark,
+        "SELECT event_id, value / (user_id - user_id) AS bad FROM events LIMIT 5",
+        catalog,
+        on_error="null",
+    )
+    rows = df.collect()
+    assert all(r["bad"] is None for r in rows)
+    with pytest.raises(Exception):
+        compile_sql(
+            spark,
+            "SELECT event_id, cast(value, 'bigint') / (user_id - user_id) AS bad FROM events LIMIT 5",
+            catalog,
+            on_error="fail",
+        ).collect()
+
+
+def test_metrics_collector(spark, catalog):
+    from ekuiper_spark.streaming.metrics import MetricsCollector
+
+    mc = MetricsCollector()
+    spark.streams.addListener(mc)
+    try:
+        sdf = catalog.load(spark, "events", streaming=True)
+        name = "m_" + uuid.uuid4().hex[:6]
+        q = (
+            sdf.filter(F.col("value") > 100)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import time
+
+        deadline = time.time() + 10
+        st = mc.status(q.id)
+        while time.time() < deadline and st["records_in_total"] == 0:
+            time.sleep(0.5)
+            st = mc.status(q.id)
+        assert st["records_in_total"] == 1000
+        assert st["batches_total"] >= 1
+    finally:
+        spark.streams.removeListener(mc)
+
+
+def test_watermark_drops_late_rows(spark):
+    """Event-time watermark semantics (watermark_op.go:34-52): a row older
+    than (max_ts - tolerance) arriving in a later batch is dropped."""
+    import json
+
+    from ekuiper_spark.catalog import Catalog, StreamDef
+
+    d = os.path.join(SCRATCH, "late_" + uuid.uuid4().hex[:6])
+    os.makedirs(d, exist_ok=True)
+    # batch 0: on-time rows advancing event time; batch 1: one more on-time
+    # row (the watermark becomes effective one batch after it's computed);
+    # batch 2: a very late row (> 5 min behind) that must be dropped
+    with open(os.path.join(d, "a.json"), "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"ts": f"2024-01-01 10:{i:02d}:00", "v": i}) + "\n")
+    with open(os.path.join(d, "b.json"), "w") as f:
+        f.write(json.dumps({"ts": "2024-01-01 10:10:00", "v": 10}) + "\n")
+    with open(os.path.join(d, "c.json"), "w") as f:
+        f.write(json.dumps({"ts": "2024-01-01 09:00:00", "v": 99}) + "\n")
+        f.write(json.dumps({"ts": "2024-01-01 10:11:00", "v": 11}) + "\n")
+    # file source orders batches by modification time: force a < b < c
+    import time as _time
+
+    now = _time.time()
+    for i, fn in enumerate(["a.json", "b.json", "c.json"]):
+        os.utime(os.path.join(d, fn), (now - 100 + i * 30, now - 100 + i * 30))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+        .withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    )
+    name = "wm_" + uuid.uuid4().hex[:6]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    # the 09:00 late row must not appear in any emitted window
+    assert not any(r["sv"] == 99 for r in rows)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
