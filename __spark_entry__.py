@@ -398,6 +398,43 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
     ),
+    # ---- wider relational surface (TPC-H-ish shapes) --------------------
+    "q_tpch_q3_like": (
+        "SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) "
+        "AS revenue, o.o_orderdate FROM customer c "
+        "INNER JOIN orders o ON c.c_custkey = o.o_custkey "
+        "INNER JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "GROUP BY o.o_orderkey, o.o_orderdate "
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10",
+        {},
+        "SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) "
+        "AS revenue, o.o_orderdate FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "GROUP BY o.o_orderkey, o.o_orderdate "
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10",
+    ),
+    "q_tpch_q5_like": (
+        "SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) "
+        "AS revenue FROM customer c "
+        "INNER JOIN orders o ON c.c_custkey = o.o_custkey "
+        "INNER JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "INNER JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "INNER JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "INNER JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
+        {},
+        "SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) "
+        "AS revenue FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
+    ),
     # ---- sliding trigger / window filter / windowed join / changed_cols --
     "q_sliding_trigger": (
         "SELECT event_id, count(*) AS n_1h FROM events "

@@ -123,7 +123,13 @@ class Catalog:
         return cat
 
     # -- loading -----------------------------------------------------------
-    def load(self, spark: SparkSession, name: str, streaming: bool = False) -> DataFrame:
+    def load(
+        self,
+        spark: SparkSession,
+        name: str,
+        streaming: bool = False,
+        with_meta: bool = False,
+    ) -> DataFrame:
         n = name.lower()
         if n in self._dfs:
             return self._dfs[n]
@@ -162,7 +168,7 @@ class Catalog:
         if d.schema is not None:
             reader = reader.schema(d.schema)
         if d.format == "parquet":
-            return self._read_parquet(spark, d.path)
+            return self._read_parquet(spark, d.path, with_meta=with_meta)
         if d.format == "json":
             return reader.json(d.path)
         if d.format == "csv":
@@ -197,11 +203,17 @@ class Catalog:
                 cls._nano_cols_cache[path] = []
         return cls._nano_cols_cache[path]
 
-    def _read_parquet(self, spark: SparkSession, path: str) -> DataFrame:
+    def _read_parquet(
+        self, spark: SparkSession, path: str, with_meta: bool = False
+    ) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
+        if with_meta:
+            # the hidden file-source _metadata struct must be selected at
+            # the scan, before any projection (backs the meta() builtin)
+            df = df.select("*", "_metadata")
         for c in self._nano_cols(path):
             # integer division keeps full precision (ns epoch > 2^53)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

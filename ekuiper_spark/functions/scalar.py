@@ -306,3 +306,18 @@ reg("convert_tz")(lambda c, r: F.to_utc_timestamp(c[0], r[1] or "UTC"))
 # natives for convenience
 reg("nullif")(lambda c, r: F.nullif(c[0], c[1]))
 reg("ifnull")(lambda c, r: F.coalesce(c[0], c[1]))
+
+
+@reg("meta")
+def _meta(c, r):
+    # meta(key): per-row source metadata (funcs_misc.go:489).  The
+    # reference exposes connector metadata (mqtt topic, messageId); the
+    # file-source analog is Spark's hidden _metadata struct
+    # (file_path, file_name, file_size, file_modification_time).
+    key = r[0]
+    if key is None:
+        return F.col("_metadata")
+    return F.col(f"_metadata.{key}")
+
+
+reg("event_time")(lambda c, r: F.col("ts"))

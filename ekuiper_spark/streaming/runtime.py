@@ -100,6 +100,23 @@ class RuleRuntime:
             return {"state": "stopped"}
         return {"state": "running" if q.isActive else "finished", "progress": q.lastProgress}
 
+    # -- persistence (the reference keeps rules in a KV store,
+    # internal/processor/rule.go:54; here a JSON file per registry) --------
+    def save(self, path: str) -> None:
+        import json
+        from dataclasses import asdict
+
+        with open(path, "w") as f:
+            json.dump({rid: asdict(r) for rid, r in self.rules.items()}, f, indent=2)
+
+    def load(self, path: str) -> None:
+        import json
+
+        with open(path) as f:
+            for rid, spec in json.load(f).items():
+                if rid not in self.rules:
+                    self.rules[rid] = Rule(**spec)
+
 
 def run_rule_available_now(
     spark: SparkSession,

@@ -161,9 +161,38 @@ class Translator:
         return None
 
     # ------------------------------------------------------------------ #
+    def _uses_meta(self, stmt: SelectStatement) -> bool:
+        found = False
+
+        def walk(n):
+            nonlocal found
+            if isinstance(n, FuncCall):
+                if n.name == "meta":
+                    found = True
+                for a in n.args:
+                    walk(a)
+            elif isinstance(n, Binary):
+                walk(n.left)
+                walk(n.right)
+            elif isinstance(n, Unary):
+                walk(n.operand)
+            elif isinstance(n, (Index, Slice, Access, JsonPath)):
+                walk(n.expr)
+
+        for f in stmt.fields:
+            walk(f.expr)
+        if stmt.where is not None:
+            walk(stmt.where)
+        return found
+
     def _load_sources(self, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
         left_alias = stmt.source_alias or stmt.source
-        df = self.catalog.load(self.spark, stmt.source, streaming=self.streaming)
+        df = self.catalog.load(
+            self.spark,
+            stmt.source,
+            streaming=self.streaming,
+            with_meta=self._uses_meta(stmt),
+        )
         df = df.alias(left_alias)
         ctx.source_aliases.add(left_alias.lower())
         for j in stmt.joins:

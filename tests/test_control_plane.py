@@ -143,6 +143,40 @@ def test_rule_runtime_lifecycle(spark, catalog):
     assert rt.status("r1")["state"] == "stopped"
 
 
+def test_rule_persistence_roundtrip(spark, catalog, tmp_path):
+    from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
+
+    rt = RuleRuntime(spark, catalog)
+    rt.create_rule(Rule(id="p1", sql="SELECT event_id FROM events", actions=[{"memory": {}}]))
+    path = str(tmp_path / "rules.json")
+    rt.save(path)
+    rt2 = RuleRuntime(spark, catalog)
+    rt2.load(path)
+    assert rt2.rules["p1"].sql == "SELECT event_id FROM events"
+
+
+def test_partial_aggregation_in_plan(spark, catalog):
+    # the reference needs an explicit incremental-agg rewrite
+    # (planner.go:1022-1104); Spark does partial (map-side) + final
+    # aggregation natively — assert both HashAggregate phases are present
+    df = compile_sql(
+        spark,
+        "SELECT event_type, count(*) AS n, sum(value) AS s FROM events GROUP BY event_type",
+        catalog,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_meta_function(spark, catalog):
+    df = compile_sql(
+        spark, "SELECT event_id, meta('file_name') AS src FROM events LIMIT 3", catalog
+    )
+    rows = df.collect()
+    assert all(r["src"] == "events.parquet" for r in rows)
+
+
 def test_streaming_lag_matches_batch(spark, catalog):
     import uuid as _uuid
 
