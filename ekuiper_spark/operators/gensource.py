@@ -1,0 +1,85 @@
+"""Synthetic benchmark streams from Spark's rate source.
+
+The reference ships a NEXMark generator source (person/auction/bid,
+internal/io/nexmark/{source,generator,event}.go) and benchmarks a simple
+filter rule over random temperature readings (README.md:92-101).  Here the
+same shapes derive from the native `rate` source with pure column
+expressions — no Python in the event path, so generation runs at
+codegen speed and the measured number is the engine, not the generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def temperature_stream(spark: SparkSession, rows_per_second: int = 100_000) -> DataFrame:
+    """The reference's benchmark shape: random temperature/humidity events
+    (`SELECT * FROM demo WHERE temperature > 50`, README.md:92)."""
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    h = F.abs(F.xxhash64("value"))
+    return df.select(
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("event_id"),
+        (h % 100).alias("temperature"),
+        ((h / 100) % 100).cast("long").alias("humidity"),
+        (h % 1000).alias("device_id"),
+    )
+
+
+def bid_stream(spark: SparkSession, rows_per_second: int = 100_000) -> DataFrame:
+    """NEXMark-ish bid events (auction, bidder, price, ts)."""
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    h = F.abs(F.xxhash64("value"))
+    return df.select(
+        F.col("timestamp").alias("ts"),
+        (h % 10_000).alias("auction"),
+        ((h / 7) % 100_000).cast("long").alias("bidder"),
+        ((h % 99_900) + 100).alias("price"),
+    )
+
+
+def measure_throughput(
+    stream: DataFrame, duration_sec: float = 10.0, name: str = "tput"
+) -> dict:
+    """Run the stream into a counting foreachBatch sink for duration_sec and
+    report processed rows/sec from query progress."""
+    import time
+    import uuid
+
+    counts = {"rows": 0}
+
+    def count_batch(df, epoch_id):
+        counts["rows"] += df.count()
+
+    q = (
+        stream.writeStream.foreachBatch(count_batch)
+        .queryName(f"{name}_{uuid.uuid4().hex[:6]}")
+        .option("checkpointLocation", f"/tmp/ekuiper_spark_test/ckpt_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    t0 = time.time()
+    time.sleep(duration_sec)
+    q.stop()
+    q.awaitTermination()
+    wall = time.time() - t0
+    rates = [
+        p["processedRowsPerSecond"]
+        for p in q.recentProgress
+        if p.get("processedRowsPerSecond")
+    ]
+    return {
+        "rows_processed": counts["rows"],
+        "wall_sec": round(wall, 2),
+        "rows_per_sec_overall": round(counts["rows"] / wall, 1),
+        "rows_per_sec_peak": round(max(rates), 1) if rates else None,
+    }
