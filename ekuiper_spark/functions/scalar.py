@@ -321,3 +321,24 @@ def _meta(c, r):
 
 
 reg("event_time")(lambda c, r: F.col("ts"))
+
+
+@reg("get_keyed_state")
+def _get_keyed_state(c, r):
+    # get_keyed_state(key, type, default): cross-rule KV read
+    # (funcs_misc.go + internal/keyedstate/kv.go).  Resolved at compile
+    # time; streaming rules re-resolve per foreachBatch recompile.
+    from ekuiper_spark.streaming.keyedstate import default_store
+
+    key = r[0]
+    default = r[2] if len(r) > 2 else None
+    val = default_store().get(str(key), default)
+    target = (r[1] or "string").lower() if len(r) > 1 else "string"
+    spark_type = {
+        "bigint": "bigint",
+        "float": "double",
+        "string": "string",
+        "boolean": "boolean",
+        "datetime": "timestamp",
+    }.get(target, "string")
+    return F.lit(val).cast(spark_type)

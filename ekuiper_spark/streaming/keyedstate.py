@@ -1,0 +1,55 @@
+"""Cross-rule keyed state: the engine analog of the reference's
+get_keyed_state builtin + KV store (internal/keyedstate/kv.go:24-40,
+funcs_misc.go get_keyed_state).
+
+A rule reads state another rule (or the control plane) wrote.  Values are
+resolved at rule-compile time — in streaming, each foreachBatch recompile
+re-reads, matching the reference's per-call KV read granularity at batch
+boundaries.  Backing store: JSON file (the reference uses sqlite/pebble).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any
+
+_LOCK = threading.Lock()
+_DEFAULT_PATH = "/tmp/ekuiper_spark_keyed_state.json"
+
+
+class KeyedStateStore:
+    def __init__(self, path: str = _DEFAULT_PATH) -> None:
+        self.path = path
+
+    def _read(self) -> dict[str, Any]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def set(self, key: str, value: Any) -> None:
+        with _LOCK:
+            data = self._read()
+            data[key] = value
+            with open(self.path, "w") as f:
+                json.dump(data, f)
+
+    def get(self, key: str, default: Any = None) -> Any:
+        with _LOCK:
+            return self._read().get(key, default)
+
+    def delete(self, key: str) -> None:
+        with _LOCK:
+            data = self._read()
+            data.pop(key, None)
+            with open(self.path, "w") as f:
+                json.dump(data, f)
+
+
+_STORE = KeyedStateStore()
+
+
+def default_store() -> KeyedStateStore:
+    return _STORE

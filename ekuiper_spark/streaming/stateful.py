@@ -117,6 +117,80 @@ def count_window_stream(
     )
 
 
+STATE_WINDOW_OUT = T.StructType(
+    [
+        T.StructField("part", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_v", T.DoubleType()),
+        T.StructField("w_open", T.TimestampType()),
+        T.StructField("w_close", T.TimestampType()),
+    ]
+)
+_STATE_WINDOW_STATE = T.StructType(
+    [
+        T.StructField("is_open", T.BooleanType()),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_val", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def state_window_stream(
+    sdf: DataFrame,
+    begin_col: str,
+    emit_col: str,
+    partition_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming STATEWINDOW(begin, emit, partition)
+    (window_v2_op.go:124-247): per key, a window opens at the first
+    begin-row, buffers rows, and emits aggregates at the emit-row; the
+    open-window buffer carries across micro-batches in state.  begin_col /
+    emit_col are boolean columns computed upstream.
+    """
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            is_open, bts, bval = state.get
+            buf_ts, buf_val = list(bts), list(bval)
+        else:
+            is_open, buf_ts, buf_val = False, [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values([ts_col, id_col])
+        out = []
+        for _, row in batch.iterrows():
+            t = pd.Timestamp(row[ts_col]).value // 1000  # ns -> us
+            if not is_open:
+                if bool(row[begin_col]):
+                    is_open = True
+                    buf_ts, buf_val = [t], [float(row[val_col])]
+                continue
+            buf_ts.append(t)
+            buf_val.append(float(row[val_col]))
+            if bool(row[emit_col]):
+                out.append(
+                    {
+                        "part": int(key[0]),
+                        "n": len(buf_ts),
+                        "sum_v": float(sum(buf_val)),
+                        "w_open": pd.Timestamp(buf_ts[0], unit="us"),
+                        "w_close": pd.Timestamp(buf_ts[-1], unit="us"),
+                    }
+                )
+                is_open, buf_ts, buf_val = False, [], []
+        state.update((is_open, buf_ts, buf_val))
+        if out:
+            yield pd.DataFrame(out)
+
+    return sdf.groupBy(partition_col).applyInPandasWithState(
+        fn, STATE_WINDOW_OUT, _STATE_WINDOW_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def lag_stream(
     sdf: DataFrame,
     partition_col: str,

@@ -101,9 +101,16 @@ class Translator:
         if self.streaming and self.watermark and ec:
             df = df.withWatermark(ec, self.watermark)
 
-        # WHERE — before any window/agg so Catalyst pushes it to the scan
+        # WHERE — before any window/agg so Catalyst pushes it to the scan.
+        # Aggregate calls in WHERE (reference AggFuncOp, planner.go:789-795
+        # rewrites them into precomputed fields evaluated per window) split
+        # off and run as post-aggregation filters (HAVING merge).
         if stmt.where is not None:
-            df = df.filter(self._expr(stmt.where, ctx))
+            pre, agg_conjs = self._split_where(stmt.where)
+            if pre is not None:
+                df = df.filter(self._expr(pre, ctx))
+            for c in agg_conjs:
+                stmt.having = c if stmt.having is None else Binary("AND", stmt.having, c)
 
         # register select aliases for inlining (ekuiper alias chains,
         # analyzer.go:273-423 topo-sorts these; inlining reproduces it)
@@ -148,6 +155,25 @@ class Translator:
         if stmt.limit is not None:
             df = df.limit(stmt.limit)
         return df
+
+    def _split_where(self, where: Node):
+        """Split WHERE conjuncts into (agg-free predicate, [agg-bearing])."""
+        conjs: list[Node] = []
+
+        def flatten(n: Node) -> None:
+            if isinstance(n, Binary) and n.op == "AND":
+                flatten(n.left)
+                flatten(n.right)
+            else:
+                conjs.append(n)
+
+        flatten(where)
+        plain = [c for c in conjs if not self._find_aggs(c)]
+        aggy = [c for c in conjs if self._find_aggs(c)]
+        pre: Optional[Node] = None
+        for c in plain:
+            pre = c if pre is None else Binary("AND", pre, c)
+        return pre, aggy
 
     def _sort_name(self, e: Node, stmt: SelectStatement) -> Optional[str]:
         """ORDER BY referencing an output alias -> sort on the output column."""

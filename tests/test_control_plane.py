@@ -143,6 +143,80 @@ def test_rule_runtime_lifecycle(spark, catalog):
     assert rt.status("r1")["state"] == "stopped"
 
 
+def test_agg_in_where_rewrite(spark, catalog):
+    # reference AggFuncOp (planner.go:789-795): aggs in WHERE become
+    # post-aggregation filters; plain conjuncts still push to the scan
+    df = compile_sql(
+        spark,
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE value > 50 AND count(*) > 70 GROUP BY event_type",
+        catalog,
+    )
+    rows = df.collect()
+    assert rows and all(r["n"] > 70 for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,50" in plan
+
+
+def test_get_keyed_state(spark, catalog):
+    from ekuiper_spark.streaming.keyedstate import default_store
+
+    default_store().set("t_thresh", 150)
+    df = compile_sql(
+        spark,
+        "SELECT count(*) AS n FROM events WHERE value > "
+        "get_keyed_state('t_thresh', 'float', 0)",
+        catalog,
+    )
+    n_state = df.collect()[0]["n"]
+    n_direct = compile_sql(
+        spark, "SELECT count(*) AS n FROM events WHERE value > 150", catalog
+    ).collect()[0]["n"]
+    assert n_state == n_direct
+    default_store().set("t_thresh", 0)
+    assert (
+        compile_sql(
+            spark,
+            "SELECT count(*) AS n FROM events WHERE value > "
+            "get_keyed_state('t_thresh', 'float', 0)",
+            catalog,
+        ).collect()[0]["n"]
+        == 1000
+    )
+    default_store().delete("t_thresh")
+
+
+def test_streaming_state_window_matches_batch(spark, catalog):
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.streaming.stateful import state_window_stream
+
+    sdf = (
+        catalog.load(spark, "events", streaming=True)
+        .withColumn("bg", F.col("event_type") == "signup")
+        .withColumn("em", F.col("event_type") == "purchase")
+    )
+    out = state_window_stream(sdf, "bg", "em", "user_id")
+    name = "t_sws_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    stream = sorted((r["part"], r["n"], r["w_open"]) for r in spark.table(name).collect())
+    batch = compile_sql(
+        spark,
+        "SELECT user_id, count(*) AS n, min(ts) AS w_open FROM events GROUP BY "
+        "STATEWINDOW(event_type = 'signup', event_type = 'purchase', user_id)",
+        catalog,
+        order_cols=["ts", "event_id"],
+    )
+    bt = sorted((r["user_id"], r["n"], r["w_open"]) for r in batch.collect())
+    assert stream == bt
+
+
 def test_rule_persistence_roundtrip(spark, catalog, tmp_path):
     from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
 
