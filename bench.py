@@ -29,6 +29,8 @@ HEADLINE = [
     "q_sliding_window",
     "q_count_window",
     "q_join_multi",
+    "q_tpch_q5_like",
+    "q_state_window",
     "q_row_number_topk",
     "dp_dedup_exact",
     "dp_dedup_jaccard",

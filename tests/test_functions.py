@@ -84,6 +84,39 @@ def test_scalar_semantics(spark, catalog, expr, expected):
         assert got == expected, f"{expr}: {got!r} != {expected!r}"
 
 
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        # object/map builtins (funcs_obj.go)
+        ("object_size(object_construct('a', 1, 'b', 2))", 2),
+        ("element_at(object_construct('a', 1, 'b', 2), 'a')", 1),
+        ("array_sort(keys(object_construct('a', 1, 'b', 2)))", ["a", "b"]),
+        ("array_sort(values(object_construct('a', 1, 'b', 2)))", [1, 2]),
+        ("object_size(object_concat(object_construct('a', 1), object_construct('b', 2)))", 2),
+        ("object_size(object_pick(object_construct('a', 1, 'b', 2), 'a'))", 1),
+        ("object_size(erase(object_construct('a', 1, 'b', 2), 'a'))", 1),
+        ("element_at(object(array_create('x'), array_create(9)), 'x')", 9),
+        # json (funcs_misc.go)
+        ("json_path_query('{\"a\": {\"b\": 7}}', '$.a.b')", "7"),
+        ("json_path_exists('{\"a\": 1}', '$.a')", True),
+        ("json_path_exists('{\"a\": 1}', '$.zz')", False),
+        ("to_json(array_create(1, 2))", "[1,2]"),
+        # datetime extras
+        ("day_name(cast('2024-01-01', 'datetime'))", "Monday"),
+        ("month_name(cast('2024-03-15', 'datetime'))", "March"),
+        ("last_day(cast('2024-02-10', 'datetime'))", None),  # date compare below
+        ("to_seconds(cast('1970-01-01 00:01:40', 'datetime'))", 100),
+        ("date_diff(cast('2024-01-01', 'datetime'), cast('2024-01-11', 'datetime'))", 10),
+    ],
+)
+def test_object_json_datetime(spark, catalog, expr, expected):
+    got = one(spark, catalog, expr)
+    if "last_day" in expr:
+        assert str(got).startswith("2024-02-29")
+        return
+    assert got == expected, f"{expr}: {got!r} != {expected!r}"
+
+
 def test_array_index_slice(spark, catalog):
     assert one(spark, catalog, "array_create(1,2,3)[0]") == 1
     assert one(spark, catalog, "array_create(1,2,3)[-1]") == 3
