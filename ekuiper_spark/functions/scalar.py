@@ -323,6 +323,12 @@ def _meta(c, r):
 reg("event_time")(lambda c, r: F.col("ts"))
 
 
+# delay(ms, col): the reference sleeps per event (funcs_misc.go) for rate
+# shaping in tests; a vectorized engine does not sleep per row — passthrough
+# with the rate-limit operator (operators/ratelimit.py) as the real control.
+reg("delay")(lambda c, r: c[1] if len(c) > 1 else c[0])
+
+
 @reg("get_keyed_state")
 def _get_keyed_state(c, r):
     # get_keyed_state(key, type, default): cross-rule KV read

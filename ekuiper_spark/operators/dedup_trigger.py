@@ -1,0 +1,45 @@
+"""Alert-deduplication trigger (reference: dedup_trigger(start, end, now,
+expire) builtin -> DedupTriggerNode priority queue,
+internal/topo/planner/planner.go:850-888, dedup_trigger_op.go:30-55).
+
+Semantics: an alert (keyed event) emits only if no alert for the same key
+was *emitted* within the last `expire` interval — a sequential chain (each
+emission resets the clock), so a plain lag() is wrong when alerts cluster.
+Batch implementation: applyInPandas per key (groups are small; the scan is
+sequential only within a key, keys parallelize across the cluster).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_alerts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    expire_sec: float = 3600.0,
+) -> DataFrame:
+    """Keep only rows starting a new `expire` suppression window per key."""
+    expire_us = int(expire_sec * 1_000_000)
+    out_schema = df.schema
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
+        keep = []
+        last_emit = None
+        for t in ts_us:
+            if last_emit is None or t - last_emit >= expire_us:
+                keep.append(True)
+                last_emit = t
+            else:
+                keep.append(False)
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    return df.groupBy(*key_cols).applyInPandas(per_key, schema=out_schema)

@@ -52,6 +52,25 @@ class GraphRulePlanner:
 
         results: dict[str, DataFrame] = {}
 
+        def upstream_df(node_id: str, up_id: str) -> DataFrame:
+            """Input from `up_id` into `node_id`, applying switch routing:
+            a switch upstream filters each outgoing edge by its case
+            predicate (planner_graph.go switch node; stopAtFirstMatch
+            makes branches mutually exclusive)."""
+            df = build(up_id)
+            up_spec = nodes[up_id]
+            if up_spec.get("nodeType") == "switch":
+                props = up_spec.get("props", {})
+                cases = props["cases"]
+                branch = edges[up_id].index(node_id)
+                ctx = self._ctx(df)
+                cond = self._tr._expr(_parse_expr(cases[branch]), ctx)
+                if props.get("stopAtFirstMatch"):
+                    for earlier in cases[:branch]:
+                        cond = cond & ~self._tr._expr(_parse_expr(earlier), ctx)
+                df = df.filter(cond)
+            return df
+
         def build(node_id: str) -> DataFrame:
             if node_id in results:
                 return results[node_id]
@@ -66,12 +85,13 @@ class GraphRulePlanner:
                 ups = indeg_sources.get(node_id, [])
                 if not ups:
                     raise ValueError(f"node {node_id} has no upstream")
-                df = build(ups[0])
+                df = upstream_df(node_id, ups[0])
                 if spec.get("nodeType") == "join" and len(ups) > 1:
-                    df = self._apply_join(df, build(ups[1]), props)
+                    df = self._apply_join(df, upstream_df(node_id, ups[1]), props)
                     results[node_id] = df
                     return df
-                df = self._apply(df, spec.get("nodeType"), props)
+                if spec.get("nodeType") != "switch":
+                    df = self._apply(df, spec.get("nodeType"), props)
             results[node_id] = df
             return df
 
@@ -147,7 +167,7 @@ class GraphRulePlanner:
                 sorts.append(col.desc() if s.get("desc") else col.asc())
             return df.orderBy(*sorts)
         if node_type == "switch":
-            raise NotImplementedError("switch (multi-output routing) lands in round 2")
+            return df  # routing handled per-edge in upstream_df
         raise ValueError(f"unknown graph node type: {node_type}")
 
     def _apply_join(self, left: DataFrame, right: DataFrame, props: dict[str, Any]) -> DataFrame:

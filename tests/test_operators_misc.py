@@ -62,6 +62,52 @@ def test_rate_limit_latest(spark, catalog):
     assert joined.count() == 0
 
 
+def test_dedup_alerts_suppression_chain(spark):
+    from datetime import datetime
+
+    from ekuiper_spark.operators.dedup_trigger import dedup_alerts
+
+    # clustered alerts, expire=60s — chain semantics: emit t0; t30
+    # suppressed (30<60); t61 emitted (61-0>=60); t130 emitted
+    # (130-61>=60).  A lag()-based filter gets the chain wrong.
+    rows = [("k", datetime(2024, 1, 1, 0, 0, 0)),
+            ("k", datetime(2024, 1, 1, 0, 0, 30)),
+            ("k", datetime(2024, 1, 1, 0, 1, 1)),
+            ("k", datetime(2024, 1, 1, 0, 2, 10))]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = sorted(r["ts"].second + r["ts"].minute * 60 for r in dedup_alerts(df, ["key"], expire_sec=60).collect())
+    assert out == [0, 61, 130]
+
+
+def test_graph_switch_routing(spark, catalog):
+    from ekuiper_spark.plans.graph import GraphRulePlanner
+
+    g = GraphRulePlanner(spark, catalog)
+    out = g.plan(
+        {
+            "nodes": {
+                "src": {"type": "source", "props": {"datasource": "events"}},
+                "sw": {
+                    "type": "operator",
+                    "nodeType": "switch",
+                    "props": {
+                        "cases": ["value > 150", "value > 50"],
+                        "stopAtFirstMatch": True,
+                    },
+                },
+                "hi": {"type": "operator", "nodeType": "pick", "props": {"fields": ["event_id", "value"]}},
+                "mid": {"type": "operator", "nodeType": "pick", "props": {"fields": ["event_id", "value"]}},
+            },
+            "topo": {"sources": ["src"], "edges": {"src": ["sw"], "sw": ["hi", "mid"]}},
+        }
+    )
+    hi, mid = out["hi"].collect(), out["mid"].collect()
+    assert all(r["value"] > 150 for r in hi)
+    # stopAtFirstMatch: mid branch excludes rows already routed to hi
+    assert all(50 < r["value"] <= 150 for r in mid)
+    assert len(hi) + len(mid) == catalog.load(spark, "events").filter("value > 50").count()
+
+
 def test_error_mode_null_vs_fail(spark, catalog):
     # reference SendError option: per-row errors become nulls in 'null' mode
     df = compile_sql(
