@@ -191,6 +191,17 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
                      AND CURRENT ROW)
         """,
     ),
+    "q_sliding_keyed": (
+        "SELECT event_id, user_id, count(*) AS n_6h FROM events "
+        "GROUP BY user_id, SLIDINGWINDOW(hh, 6)",
+        {"order_cols": _ORD},
+        """
+        SELECT event_id, user_id, count(*) OVER w AS n_6h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+        """,
+    ),
     # ---- joins (SURVEY §2.4) --------------------------------------------
     "q_join_lookup": (
         "SELECT e.event_id, e.value, n.n_name FROM events e "

@@ -52,6 +52,7 @@ class TranslateCtx:
     window_col: Optional[str] = None  # name of window struct col ("window")
     window_bounds: tuple[Optional[Column], Optional[Column]] = (None, None)
     sliding_frame: Optional[Any] = None  # WindowSpec for over()-style aggs
+    sliding_parts: list = dc_field(default_factory=list)  # partition Columns
     order_cols: list[str] = dc_field(default_factory=list)
     event_col: Optional[str] = None
 
@@ -125,8 +126,10 @@ class Translator:
         window = group.window if group else None
 
         if window is not None and window.kind == "sliding":
-            # per-event emission: aggs become range-frame window functions
+            # per-event emission: aggs become range-frame window functions;
+            # GROUP BY dims become the frame partition (keyed sliding)
             ctx.sliding_frame = window
+            ctx.sliding_parts = [self._expr(d, ctx) for d in (group.dims or [])]
             if window.filter is not None:
                 df = df.filter(self._expr(window.filter, ctx))
             if window.trigger is not None:
@@ -552,8 +555,17 @@ class Translator:
         w: WindowSpec = ctx.sliding_frame
         length = w.args[0] * UNIT_SECONDS[w.unit]
         delay = (w.args[1] * UNIT_SECONDS[w.unit]) if len(w.args) > 1 else 0
-        order = F.col(ctx.event_col).cast("double")
-        return W.orderBy(order).rangeBetween(-length, delay)
+        # exact integer-microsecond ordering (ties/boundaries deterministic)
+        order = F.unix_micros(F.col(ctx.event_col))
+        spec = (
+            W.partitionBy(*ctx.sliding_parts) if ctx.sliding_parts else W.partitionBy(F.lit(1))
+        )
+        # GROUP BY dims partition the per-event frame (keyed sliding
+        # windows are the 100 TB path: per-key sort instead of one global
+        # partition)
+        return spec.orderBy(order).rangeBetween(
+            -int(length * 1_000_000), int(delay * 1_000_000)
+        )
 
     def _expr(self, node: Node, ctx: TranslateCtx) -> Column:
         if ctx.post_agg and canon(node) in ctx.dim_map:
