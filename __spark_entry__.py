@@ -734,6 +734,29 @@ def _q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(df.filter(F.col("vec_id") != 0), qv, k=10, n_planes=10)
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.datapipe.similarity import knn_join_exact
+
+    emb = _cat(sf_dir).load(spark, "embeddings").filter(F.col("vec_id") < 200)
+    return knn_join_exact(emb, k=3)
+
+
+_ORACLE_KNN_JOIN = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           AS cosine_sim
+  FROM e a, e b WHERE a.vec_id != b.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cosine_sim DESC, id_b) AS rnk
+  FROM p
+)
+SELECT id_a, id_b, cosine_sim, rnk FROM r WHERE rnk <= 3
+"""
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ekuiper_spark.datapipe.multimodal import documents_as_media, extract_media_meta
 
@@ -929,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dp_quality_fingerprint"] = _q_quality
     out["dp_sim_topk_bruteforce"] = _q_sim_topk
     out["dp_sim_topk_lsh"] = _q_sim_lsh
+    out["dp_knn_join_exact"] = _q_knn_join
     out["dp_multimodal_meta"] = _q_multimodal_meta
     out["s_streaming_tumbling"] = _q_streaming_tumbling
     out["s_streaming_filter"] = _q_streaming_filter
@@ -953,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
     out["dp_lang_id"] = _oracle_lang_id()
     out["dp_quality_fingerprint"] = _oracle_quality()
     out["dp_sim_topk_bruteforce"] = _ORACLE_SIM_TOPK
+    out["dp_knn_join_exact"] = _ORACLE_KNN_JOIN
     out["s_streaming_count_window"] = _ORACLE_STREAM_COUNT_WINDOW
     out["s_streaming_lag"] = _ORACLE_STREAM_LAG
     out["s_streaming_lookup_join"] = DIALECT_QUERIES["q_join_lookup"][2]

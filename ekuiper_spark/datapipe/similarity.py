@@ -112,6 +112,30 @@ def lsh_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def knn_join_exact(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact k-NN self-join: each vector's top-k cosine neighbors via the
+    full pairwise product.  The O(n²) baseline that validates the LSH
+    variants; at scale use pairwise_topk_join (bucketed candidates).
+    """
+    from pyspark.sql import Window as W
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") != F.col("id_b"))
+    scored = pairs.withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+    w = W.partitionBy("id_a").orderBy(F.col("cosine_sim").desc(), F.col("id_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id_a", "id_b", "cosine_sim", "rnk")
+    )
+
+
 def pairwise_topk_join(
     left: DataFrame,
     right: DataFrame,

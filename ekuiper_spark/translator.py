@@ -53,6 +53,7 @@ class TranslateCtx:
     window_bounds: tuple[Optional[Column], Optional[Column]] = (None, None)
     sliding_frame: Optional[Any] = None  # WindowSpec for over()-style aggs
     sliding_parts: list = dc_field(default_factory=list)  # partition Columns
+    windowfunc_partition: list = dc_field(default_factory=list)  # window-key col names
     order_cols: list[str] = dc_field(default_factory=list)
     event_col: Optional[str] = None
 
@@ -141,6 +142,21 @@ class Translator:
                 df = df.select(*cols).filter(F.col("__trig")).drop("__trig")
             else:
                 df = self._project(df, stmt, ctx)
+        elif group is not None and group.window is not None and not has_agg:
+            # window WITHOUT aggregation: the window batches rows and
+            # window functions (row_number, ...) rank within each window
+            # collection (reference WindowFuncOperator over window
+            # contents, windowfunc_operator.go:27-160)
+            if group.window.filter is not None:
+                df = df.filter(self._expr(group.window.filter, ctx))
+            df, wnames = self._window_key(df, group.window, ctx)
+            ctx.windowfunc_partition = wnames
+            if group.window.kind == "count":
+                # only full windows emit (window_op.go:520-568)
+                n = group.window.args[0]
+                wc = F.count(F.lit(1)).over(W.partitionBy(*[F.col(c) for c in wnames]))
+                df = df.withColumn("__wc", wc).filter(F.col("__wc") == n).drop("__wc")
+            df = self._project(df, stmt, ctx)
         elif group is not None or has_agg:
             df = self._grouped(df, stmt, ctx)
         else:
@@ -429,7 +445,23 @@ class Translator:
         return "expr"
 
     def _project(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
-        return df.select(*self._projection_cols(df, stmt, ctx))
+        out = df.select(*self._projection_cols(df, stmt, ctx))
+        # unaliased unnest over a struct array flattens the struct into
+        # top-level columns (funcs_srf.go:26-51: unnest emits the map's
+        # entries as row fields)
+        for f in stmt.fields:
+            if (
+                isinstance(f.expr, FuncCall)
+                and f.expr.name in fregistry.SRF
+                and f.alias is None
+            ):
+                name = self._field_name(f)
+                from pyspark.sql import types as T
+
+                if isinstance(out.schema[name].dataType, T.StructType):
+                    others = [c for c in out.columns if c != name]
+                    out = out.select(*others, f"{name}.*")
+        return out
 
     def _projection_cols(
         self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx
@@ -547,7 +579,12 @@ class Translator:
         return fregistry.build_aggregate(call.name, cols, raw)
 
     def _analytic_window(self, call: FuncCall, ctx: TranslateCtx):
-        part = [self._expr(p, ctx) for p in call.partition_by] or [F.lit(1)]
+        part = [self._expr(p, ctx) for p in call.partition_by]
+        if not part and ctx.windowfunc_partition:
+            # non-aggregated window query: rank within the window collection
+            part = [F.col(c) for c in ctx.windowfunc_partition]
+        if not part:
+            part = [F.lit(1)]
         order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
         return W.partitionBy(*part).orderBy(*order)
 
