@@ -111,6 +111,8 @@ def jaccard_pairs(
     inverted-index join explodes quadratically on common shingles.  Results
     are provably identical to the exact all-pairs computation.
     """
+    from pyspark.sql import Window as W
+
     sh = shingle_df(df, text_col, id_col, k)
     sh.persist()
     posts = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
@@ -120,27 +122,16 @@ def jaccard_pairs(
     # prefixes, so posting lists in the candidate join stay short.  (A
     # hash-order variant that skips the frequency aggregation was measured
     # 5x slower here — common shingles land in prefixes and the join fans
-    # out.)
-    ordered = (
+    # out.)  Prefix extraction = a rank filter directly on the posting
+    # list (no collect/sort/slice/re-explode round trip).
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    rnk = F.row_number().over(W.partitionBy("id").orderBy("df_", "shingle"))
+    pre = (
         posts.join(freq, "shingle")
-        .groupBy("id")
-        .agg(
-            F.first("n_sh").alias("n_sh"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df_", "shingle"))),
-                lambda s: s["shingle"],
-            ).alias("ordered_sh"),
-        )
-        .withColumn(
-            "prefix",
-            F.slice(
-                "ordered_sh",
-                1,
-                (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int"),
-            ),
-        )
+        .withColumn("__rnk", rnk)
+        .filter(F.col("__rnk") <= prefix_len)
+        .select("id", "shingle")
     )
-    pre = ordered.select("id", F.explode("prefix").alias("shingle"))
     cand = (
         pre.alias("a")
         .join(

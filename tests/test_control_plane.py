@@ -217,6 +217,66 @@ def test_streaming_state_window_matches_batch(spark, catalog):
     assert stream == bt
 
 
+def test_streaming_count_window_cross_batch_state(spark, catalog, tmp_path):
+    """The open-window remainder must carry across micro-batches: 1000
+    events split into two 500-row files, COUNTWINDOW(300) -> batch 1 emits
+    1 window (200 carried), batch 2 emits 2 more (100 dropped as the
+    trailing partial)."""
+    import os
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.streaming.stateful import count_window_stream
+
+    ev = catalog.load(spark, "events").orderBy("ts", "event_id")
+    d = str(tmp_path / "split")
+    ev.limit(500).coalesce(1).write.parquet(os.path.join(d, "p1"))
+    first_ids = {r["event_id"] for r in ev.limit(500).select("event_id").collect()}
+    ev.filter(~F.col("event_id").isin(list(first_ids))).coalesce(1).write.parquet(
+        os.path.join(d, "p2")
+    )
+    # flatten into one dir with ordered mtimes
+    import glob
+    import shutil
+
+    sdir = str(tmp_path / "stream")
+    os.makedirs(sdir)
+    now = time.time()
+    for i, sub in enumerate(["p1", "p2"]):
+        src = glob.glob(os.path.join(d, sub, "*.parquet"))[0]
+        dst = os.path.join(sdir, f"{sub}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (now - 60 + i * 30, now - 60 + i * 30))
+    sdf = (
+        spark.readStream.schema(catalog.load(spark, "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    out = count_window_stream(sdf, 300)
+    name = "t_cb_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    stream = spark.table(name).orderBy("wid").collect()
+    assert [r["wid"] for r in stream] == [0, 1, 2]
+    batch = compile_sql(
+        spark,
+        "SELECT count(*) AS n, round(sum(value), 4) AS sum_v, min(ts) AS first_ts "
+        "FROM events GROUP BY COUNTWINDOW(300)",
+        catalog,
+        order_cols=["ts", "event_id"],
+    ).orderBy("first_ts").collect()
+    assert len(batch) == 3
+    for s, b in zip(stream, batch):
+        assert s["n"] == b["n"] == 300
+        assert abs(round(s["sum_v"], 4) - b["sum_v"]) < 1e-6
+        assert s["first_ts"] == b["first_ts"]
+
+
 def test_rule_persistence_roundtrip(spark, catalog, tmp_path):
     from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
 
