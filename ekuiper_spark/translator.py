@@ -54,6 +54,7 @@ class TranslateCtx:
     sliding_frame: Optional[Any] = None  # WindowSpec for over()-style aggs
     sliding_parts: list = dc_field(default_factory=list)  # partition Columns
     windowfunc_partition: list = dc_field(default_factory=list)  # window-key col names
+    analytic_map: dict[str, str] = dc_field(default_factory=dict)  # hoisted analytic cols
     order_cols: list[str] = dc_field(default_factory=list)
     event_col: Optional[str] = None
 
@@ -103,6 +104,19 @@ class Translator:
         if self.streaming and self.watermark and ec:
             df = df.withWatermark(ec, self.watermark)
 
+        # register select aliases for inlining (ekuiper alias chains,
+        # analyzer.go:273-423 topo-sorts these; inlining reproduces it)
+        for f in stmt.fields:
+            if f.alias:
+                ctx.aliases[f.alias.lower()] = f.expr
+
+        # analytic-function hoisting: the reference computes analytic calls
+        # BEFORE the filter (plan chain AnalyticFuncs -> ... -> Filter,
+        # planner.go:572-959; Call.CachedField hidden columns) — so lag()
+        # etc. see all rows, and WHERE may reference analytic results.
+        if stmt.where is not None:
+            df = self._hoist_analytics(df, stmt, ctx)
+
         # WHERE — before any window/agg so Catalyst pushes it to the scan.
         # Aggregate calls in WHERE (reference AggFuncOp, planner.go:789-795
         # rewrites them into precomputed fields evaluated per window) split
@@ -113,12 +127,6 @@ class Translator:
                 df = df.filter(self._expr(pre, ctx))
             for c in agg_conjs:
                 stmt.having = c if stmt.having is None else Binary("AND", stmt.having, c)
-
-        # register select aliases for inlining (ekuiper alias chains,
-        # analyzer.go:273-423 topo-sorts these; inlining reproduces it)
-        for f in stmt.fields:
-            if f.alias:
-                ctx.aliases[f.alias.lower()] = f.expr
 
         has_agg = any(self._find_aggs(f.expr) for f in stmt.fields) or (
             stmt.having is not None
@@ -173,6 +181,53 @@ class Translator:
             )
         if stmt.limit is not None:
             df = df.limit(stmt.limit)
+        return df
+
+    def _hoist_analytics(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
+        """Materialize analytic calls as hidden columns on the pre-filter
+        DataFrame and register them so later references use the columns."""
+        calls: dict[str, FuncCall] = {}
+
+        def walk(n: Node) -> None:
+            if isinstance(n, FuncCall):
+                if n.name in fregistry.ANALYTIC or n.name.startswith("acc_") or n.name == "changed_cols":
+                    calls.setdefault(canon(n), n)
+                    return
+                for a in n.args:
+                    walk(a)
+            elif isinstance(n, Binary):
+                walk(n.left)
+                walk(n.right)
+            elif isinstance(n, Unary):
+                walk(n.operand)
+            elif isinstance(n, CaseWhen):
+                for c, v in n.whens:
+                    walk(c)
+                    walk(v)
+                if n.operand:
+                    walk(n.operand)
+                if n.else_:
+                    walk(n.else_)
+            elif isinstance(n, (Index, Slice, Access, JsonPath)):
+                walk(n.expr)
+            elif isinstance(n, InExpr):
+                walk(n.expr)
+            elif isinstance(n, (Between, Like)):
+                walk(n.expr)
+            elif isinstance(n, ColumnRef) and n.source is None:
+                tgt = ctx.aliases.get(n.name.lower())
+                if tgt is not None and tgt is not n:
+                    walk(tgt)
+
+        for f in stmt.fields:
+            walk(f.expr)
+        walk(stmt.where)
+        for i, (key, call) in enumerate(calls.items()):
+            if call.name == "changed_cols":
+                continue  # multi-column; expanded at projection, not filterable
+            name = f"__an{i}"
+            df = df.withColumn(name, self._expr(call, ctx))
+            ctx.analytic_map[key] = name
         return df
 
     def _split_where(self, where: Node):
@@ -746,6 +801,9 @@ class Translator:
 
     def _func(self, call: FuncCall, ctx: TranslateCtx) -> Column:
         name = call.name
+
+        if canon(call) in ctx.analytic_map:
+            return F.col(ctx.analytic_map[canon(call)])
 
         if ctx.post_agg and canon(call) in ctx.agg_map:
             return F.col(ctx.agg_map[canon(call)])

@@ -152,16 +152,22 @@ def test_count_window_group_order(spark, demo_cat):
 
 
 def test_analytic_where_filter_state(spark, demo_cat):
-    # rule_test.go:1179 — lag computed BEFORE the WHERE filter (analytic
-    # funcs are hoisted pre-filter in the reference planner chain)
+    # rule_test.go:1179 — lag computed BEFORE the WHERE filter (the
+    # AnalyticFuncs plan precedes Filter in the reference chain); the
+    # hoisting pass reproduces it: size=4's lag is 2 (the filtered-out
+    # row still feeds the analytic state)
     df = run(
         spark,
         demo_cat,
         "SELECT lag(size) as lastSize, size, lastSize/size as changeRate "
         "FROM demo WHERE size > 2",
     )
-    got = [(r["lastSize"], r["size"]) for r in df.orderBy("size").collect()]
-    # sizes kept: 3,6,4.  NOTE the reference computes lag over ALL rows
-    # (pre-filter); this engine computes window funcs post-filter: lag
-    # within the kept set.  Divergence documented in COVERAGE.md.
-    assert all(s > 2 for _, s in got)
+    got = [(r["lastSize"], r["size"]) for r in df.orderBy("ts").collect()]
+    assert got == [(None, 3), (3, 6), (2, 4)]
+
+
+def test_analytic_in_where(spark, demo_cat):
+    # WHERE referencing an analytic result (reference supports e.g.
+    # `WHERE last_hit_count() < 4` shapes, rule_test.go:787)
+    df = run(spark, demo_cat, "SELECT size, ts FROM demo WHERE lag(size, 1, 0) > 2")
+    assert [r["size"] for r in df.orderBy("ts").collect()] == [6, 2, 1]
