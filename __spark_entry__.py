@@ -307,7 +307,8 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "round(value, 1) AS r1 FROM events WHERE value > 0",
         {},
         "SELECT event_id, abs(value - 100) AS a, round(sqrt(value), 4) AS sq, "
-        "floor(value) AS fl, ceil(value) AS ce, round(ln(value + 1), 4) AS lnv, "
+        "CAST(floor(value) AS BIGINT) AS fl, CAST(ceil(value) AS BIGINT) AS ce, "
+        "round(ln(value + 1), 4) AS lnv, "
         "round(log10(value + 1), 4) AS lg, round(pow(value, 2), 4) AS p2, "
         "round(sin(value), 4) AS sn, CAST(sign(value - 100) AS BIGINT) AS sg, "
         "round(value, 1) AS r1 FROM events WHERE value > 0",
