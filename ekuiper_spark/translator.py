@@ -55,6 +55,7 @@ class TranslateCtx:
     sliding_parts: list = dc_field(default_factory=list)  # partition Columns
     windowfunc_partition: list = dc_field(default_factory=list)  # window-key col names
     analytic_map: dict[str, str] = dc_field(default_factory=dict)  # hoisted analytic cols
+    hit_col: Optional[str] = None  # emission row-number col for last_hit_*
     order_cols: list[str] = dc_field(default_factory=list)
     event_col: Optional[str] = None
 
@@ -121,12 +122,25 @@ class Translator:
         # Aggregate calls in WHERE (reference AggFuncOp, planner.go:789-795
         # rewrites them into precomputed fields evaluated per window) split
         # off and run as post-aggregation filters (HAVING merge).
+        # last_hit_* conjuncts (rule-trigger bookkeeping,
+        # funcs_global_state.go) filter on the emission sequence: rows
+        # passing the plain conjuncts are numbered, and last_hit_count is
+        # the count of prior emissions.
         if stmt.where is not None:
-            pre, agg_conjs = self._split_where(stmt.where)
+            pre, agg_conjs, hit_conjs = self._split_where(stmt.where)
             if pre is not None:
                 df = df.filter(self._expr(pre, ctx))
             for c in agg_conjs:
                 stmt.having = c if stmt.having is None else Binary("AND", stmt.having, c)
+            if hit_conjs:
+                order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
+                rn = F.row_number().over(W.orderBy(*order))
+                df = df.withColumn("__hit_rn", rn)
+                ctx.hit_col = "__hit_rn"
+                for c in hit_conjs:
+                    df = df.filter(self._expr(c, ctx))
+                df = df.drop("__hit_rn")
+                ctx.hit_col = None
 
         has_agg = any(self._find_aggs(f.expr) for f in stmt.fields) or (
             stmt.having is not None
@@ -230,8 +244,25 @@ class Translator:
             ctx.analytic_map[key] = name
         return df
 
+    @staticmethod
+    def _has_hit_fn(n: Node) -> bool:
+        if isinstance(n, FuncCall):
+            if n.name in ("last_hit_count", "last_hit_time"):
+                return True
+            return any(Translator._has_hit_fn(a) for a in n.args)
+        if isinstance(n, Binary):
+            return Translator._has_hit_fn(n.left) or Translator._has_hit_fn(n.right)
+        if isinstance(n, Unary):
+            return Translator._has_hit_fn(n.operand)
+        if isinstance(n, (Index, Slice, Access, JsonPath)):
+            return Translator._has_hit_fn(n.expr)
+        if isinstance(n, (Between, Like, InExpr)):
+            return Translator._has_hit_fn(n.expr)
+        return False
+
     def _split_where(self, where: Node):
-        """Split WHERE conjuncts into (agg-free predicate, [agg-bearing])."""
+        """Split WHERE conjuncts into (plain predicate, [agg-bearing],
+        [last_hit_*-bearing])."""
         conjs: list[Node] = []
 
         def flatten(n: Node) -> None:
@@ -242,12 +273,13 @@ class Translator:
                 conjs.append(n)
 
         flatten(where)
-        plain = [c for c in conjs if not self._find_aggs(c)]
         aggy = [c for c in conjs if self._find_aggs(c)]
+        hitty = [c for c in conjs if not self._find_aggs(c) and self._has_hit_fn(c)]
+        plain = [c for c in conjs if c not in aggy and c not in hitty]
         pre: Optional[Node] = None
         for c in plain:
             pre = c if pre is None else Binary("AND", pre, c)
-        return pre, aggy
+        return pre, aggy, hitty
 
     def _sort_name(self, e: Node, stmt: SelectStatement) -> Optional[str]:
         """ORDER BY referencing an output alias -> sort on the output column."""
@@ -821,6 +853,21 @@ class Translator:
 
         if name == "row_number":
             return F.row_number().over(self._analytic_window(call, ctx))
+
+        if name in ("last_hit_count", "last_hit_time"):
+            # rule-trigger bookkeeping (funcs_global_state.go): count/time
+            # of prior emissions.  Batch analog: position in the emission
+            # sequence.  In WHERE, the sequence is rows passing the plain
+            # conjuncts (ctx.hit_col); in SELECT, the post-filter rows.
+            order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
+            if name == "last_hit_count":
+                if ctx.hit_col:
+                    return F.col(ctx.hit_col) - 1
+                return F.row_number().over(W.orderBy(*order)) - 1
+            ec = ctx.event_col
+            if ec is None:
+                raise ValueError("last_hit_time() needs an event-time column")
+            return F.lag(F.col(ec)).over(W.orderBy(*order))
 
         if name.startswith("acc_"):
             # accumulating aggregates: running totals across rows/windows,

@@ -10,6 +10,7 @@ values.  Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -25,6 +26,9 @@ TABLES = [
 ]
 
 
+STRICT = os.environ.get("ORACLE_STRICT", "1") == "1"
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
@@ -33,6 +37,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if STRICT:
+            return repr(v)  # exact bit-level comparison (driver-safe)
         return f"{v:.6g}" if v == int(v) else repr(round(v, 6))
     return str(v)
 

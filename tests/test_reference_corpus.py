@@ -166,6 +166,23 @@ def test_analytic_where_filter_state(spark, demo_cat):
     assert got == [(None, 3), (3, 6), (2, 4)]
 
 
+def test_last_hit_count_in_select(spark, demo_cat):
+    # rule_test.go:690 — last_hit_count()+1 numbers the emission sequence
+    df = run(
+        spark,
+        demo_cat,
+        "SELECT color, ts, last_hit_count() + 1 as lc FROM demo where size > 3",
+    )
+    got = [(r["color"], r["lc"]) for r in df.orderBy("ts").collect()]
+    assert got == [("blue", 1), ("yellow", 2)]
+
+
+def test_last_hit_count_caps_emissions(spark, demo_cat):
+    # rule_test.go:787 pattern — WHERE last_hit_count() < N caps emissions
+    df = run(spark, demo_cat, "SELECT color, ts FROM demo WHERE last_hit_count() < 4")
+    assert df.count() == 4
+
+
 def test_analytic_in_where(spark, demo_cat):
     # WHERE referencing an analytic result (reference supports e.g.
     # `WHERE last_hit_count() < 4` shapes, rule_test.go:787)
