@@ -46,8 +46,10 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # warm the JVM/catalog with one tiny action so q1 doesn't pay startup
+    # warm the JVM + parquet datasource with one tiny action so q1 doesn't
+    # pay one-time startup (file index, codegen bootstrap)
     spark.range(1).count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     results: dict[str, float] = {}
     total = 0.0
