@@ -585,7 +585,7 @@ class Translator:
         return cols
 
     def _expand_wildcard(self, df: DataFrame, w: Wildcard, ctx: TranslateCtx) -> list[Column]:
-        hidden = {"window", "__wid", "__wcount", "__dummy"}
+        hidden = {"window", "__wid", "__wcount", "__dummy", "_metadata"}
         hidden |= {c for c in df.columns if c.startswith("__")}
         replaces = {name: self._expr(e, ctx) for e, name in w.replaces}
         out = []
