@@ -293,8 +293,8 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "FROM documents",
         {},
         "SELECT doc_id, upper(source) AS up, lower(source) AS lo, "
-        "length(text) AS ln, source[1:3] AS sub3, "
-        "concat(source, '-', lang) AS cc, strpos(source, 'rc') - 1 AS idx, "
+        "length(text)::INTEGER AS ln, source[1:3] AS sub3, "
+        "concat(source, '-', lang) AS cc, (strpos(source, 'rc') - 1)::INTEGER AS idx, "
         "reverse(source) AS rev, lpad(lang, 5, ' ') AS pad, trim(source) AS tr, "
         "string_split(source, 'rc')[1] AS sv "
         "FROM documents",
@@ -319,10 +319,10 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "day_of_year(ts) AS doy, format_time(ts, 'YYYY-MM-dd') AS fmt "
         "FROM events WHERE event_id < 500",
         {},
-        "SELECT event_id, year(ts) AS y, month(ts) AS mo, day(ts) AS d, "
-        "hour(ts) AS h, minute(ts) AS mi, CAST(floor(second(ts)) AS BIGINT) AS s, "
-        "dayofyear(ts) AS doy, strftime(ts, '%Y-%m-%d') AS fmt "
-        "FROM events WHERE event_id < 500",
+        "SELECT event_id, year(ts)::INTEGER AS y, month(ts)::INTEGER AS mo, "
+        "day(ts)::INTEGER AS d, hour(ts)::INTEGER AS h, minute(ts)::INTEGER AS mi, "
+        "floor(second(ts))::INTEGER AS s, dayofyear(ts)::INTEGER AS doy, "
+        "strftime(ts, '%Y-%m-%d') AS fmt FROM events WHERE event_id < 500",
     ),
     "q_scalar_hash_json": (
         "SELECT event_id, md5(event_type) AS h_md5, sha256(event_type) AS h_sha, "
@@ -526,7 +526,7 @@ def _q_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_ROW_NUMBER = """
 WITH x AS (
   SELECT user_id, event_id, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)::INTEGER AS rn
   FROM events
 )
 SELECT user_id, event_id, value, rn FROM x WHERE rn <= 3
@@ -618,11 +618,11 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_TEXT_STATS = r"""
 SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens,
-       len(list_filter(string_split_regex(text, '[^A-Za-z0-9_]+'), x -> x != ''))
-         + length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}<>-]', '', 'g'))
+       len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))::INTEGER AS n_tokens,
+       (len(list_filter(string_split_regex(text, '[^A-Za-z0-9_]+'), x -> x != ''))
+         + length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}<>-]', '', 'g')))::INTEGER
          AS n_tokens_bpe,
-       length(text) AS n_chars_calc,
+       length(text)::INTEGER AS n_chars_calc,
        round((length(text) - length(regexp_replace(text,
          '[.,;:!?''"()\[\]{}<>-]', '', 'g'))) * 1.0 / length(text), 6) AS punct_ratio
 FROM documents
@@ -751,7 +751,7 @@ p AS (
            AS cosine_sim
   FROM e a, e b WHERE a.vec_id != b.vec_id
 ), r AS (
-  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cosine_sim DESC, id_b) AS rnk
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cosine_sim DESC, id_b)::INTEGER AS rnk
   FROM p
 )
 SELECT id_a, id_b, cosine_sim, rnk FROM r WHERE rnk <= 3
