@@ -815,6 +815,20 @@ def _q_streaming_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (session_window + complete mode)."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    return run_rule_available_now(
+        spark,
+        _cat(sf_dir),
+        "SELECT user_id, window_start() AS s_start, count(*) AS n, "
+        "round(sum(value), 4) AS sum_v FROM events "
+        "GROUP BY user_id, SESSIONWINDOW(mi, 30)",
+        output_mode="complete",
+    )
+
+
 def _q_streaming_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: streaming events against the static nation dim
     (scan/lookup-table analog, internal/topo/node/lookup_node.go)."""
@@ -961,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["s_streaming_lag"] = _q_streaming_lag
     out["s_streaming_sliding"] = _q_streaming_sliding
     out["s_streaming_lookup_join"] = _q_streaming_lookup_join
+    out["s_streaming_session"] = _q_streaming_session
     return {name: _with_conf(fn) for name, fn in out.items()}
 
 
@@ -982,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
     out["s_streaming_count_window"] = _ORACLE_STREAM_COUNT_WINDOW
     out["s_streaming_lag"] = _ORACLE_STREAM_LAG
     out["s_streaming_lookup_join"] = DIALECT_QUERIES["q_join_lookup"][2]
+    out["s_streaming_session"] = DIALECT_QUERIES["q_session_window"][2]
     out["s_streaming_sliding"] = _ORACLE_STREAM_SLIDING
     out["dp_multimodal_meta"] = _ORACLE_MULTIMODAL
     # streaming queries share the batch oracles (same semantics, streaming

@@ -277,6 +277,42 @@ def test_streaming_count_window_cross_batch_state(spark, catalog, tmp_path):
         assert s["first_ts"] == b["first_ts"]
 
 
+def test_rule_chaining_via_memory(spark, catalog):
+    """The reference composes rules by chaining memory sink -> memory
+    source topics (internal/io/memory/).  Here rule 1 writes a memory
+    table, which registers as rule 2's source."""
+    from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
+
+    rt = RuleRuntime(spark, catalog)
+    rt.create_rule(
+        Rule(
+            id="chain1",
+            sql="SELECT event_id, user_id, value FROM events WHERE value > 100",
+            actions=[{"memory": {"table": "chain_topic"}}],
+            options={"output_mode": "append"},
+        )
+    )
+    q = rt.start_rule("chain1", available_now=True)
+    q.awaitTermination()
+    # downstream rule consumes the memory topic as its source
+    catalog.register_df("chain_topic", spark.table("chain_topic"))
+    df = compile_sql(
+        spark,
+        "SELECT user_id, count(*) AS n FROM chain_topic GROUP BY user_id HAVING count(*) > 3",
+        catalog,
+    )
+    rows = df.collect()
+    direct = compile_sql(
+        spark,
+        "SELECT user_id, count(*) AS n FROM events WHERE value > 100 "
+        "GROUP BY user_id HAVING count(*) > 3",
+        catalog,
+    ).collect()
+    assert sorted((r["user_id"], r["n"]) for r in rows) == sorted(
+        (r["user_id"], r["n"]) for r in direct
+    )
+
+
 def test_rule_persistence_roundtrip(spark, catalog, tmp_path):
     from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
 
