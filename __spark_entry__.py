@@ -220,6 +220,22 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
         "WHERE o.o_totalprice > 400000",
     ),
+    "q_join_right": (
+        "SELECT c.c_custkey, c.c_name, o.o_orderkey FROM orders o "
+        "RIGHT JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_acctbal > 9000",
+        {},
+        "SELECT c.c_custkey, c.c_name, o.o_orderkey FROM orders o "
+        "RIGHT JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_acctbal > 9000",
+    ),
+    "q_join_full": (
+        "SELECT n.n_nationkey, n.n_name, s.s_suppkey FROM nation n "
+        "FULL JOIN supplier s ON n.n_nationkey = s.s_nationkey",
+        {},
+        "SELECT n.n_nationkey, n.n_name, s.s_suppkey FROM nation n "
+        "FULL JOIN supplier s ON n.n_nationkey = s.s_nationkey",
+    ),
     "q_join_multi": (
         "SELECT r.r_name, n.n_name, count(*) AS n_cust, "
         "round(sum(c.c_acctbal), 4) AS sum_bal FROM customer c "
