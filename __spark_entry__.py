@@ -751,6 +751,26 @@ def _q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(df.filter(F.col("vec_id") != 0), qv, k=10, n_planes=10)
 
 
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ekuiper_spark.datapipe.similarity import embedding_near_dup_pairs
+
+    emb = _cat(sf_dir).load(spark, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.9, exact=True)
+
+
+_ORACLE_EMBEDDING_DEDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         AS cosine_sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+"""
+
+
 def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ekuiper_spark.datapipe.similarity import knn_join_exact
 
@@ -984,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dp_sim_topk_bruteforce"] = _q_sim_topk
     out["dp_sim_topk_lsh"] = _q_sim_lsh
     out["dp_knn_join_exact"] = _q_knn_join
+    out["dp_dedup_embedding"] = _q_embedding_dedup
     out["dp_multimodal_meta"] = _q_multimodal_meta
     out["s_streaming_tumbling"] = _q_streaming_tumbling
     out["s_streaming_filter"] = _q_streaming_filter
@@ -1010,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
     out["dp_quality_fingerprint"] = _oracle_quality()
     out["dp_sim_topk_bruteforce"] = _ORACLE_SIM_TOPK
     out["dp_knn_join_exact"] = _ORACLE_KNN_JOIN
+    out["dp_dedup_embedding"] = _ORACLE_EMBEDDING_DEDUP
     out["s_streaming_count_window"] = _ORACLE_STREAM_COUNT_WINDOW
     out["s_streaming_lag"] = _ORACLE_STREAM_LAG
     out["s_streaming_lookup_join"] = DIALECT_QUERIES["q_join_lookup"][2]

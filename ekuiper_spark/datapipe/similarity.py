@@ -136,6 +136,42 @@ def knn_join_exact(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = True,
+    n_planes: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a<b, cosine >= threshold).
+
+    exact=True: full pairwise product — the verifiable baseline.
+    exact=False: candidates restricted to shared random-hyperplane LSH
+    buckets before scoring — the scale path (near-dup vectors agree on
+    most hyperplane signs, so bucket equality has high recall at high
+    thresholds while the candidate set stays near-linear).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        sample = df.select(vec_col).first()
+        planes = random_hyperplanes(len(sample[0]), n_planes, seed)
+        ab = with_lsh_buckets(df, planes, vec_col)
+        la = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"), "lsh_bucket")
+        lb = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"), "lsh_bucket")
+        pairs = la.join(lb, "lsh_bucket").filter(F.col("id_a") < F.col("id_b")).drop("lsh_bucket")
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def pairwise_topk_join(
     left: DataFrame,
     right: DataFrame,

@@ -121,3 +121,14 @@ def test_multimodal_real_decode_raises(spark, catalog):
     out = extract_media_meta(media, fake_decode=False)
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
         out.collect()
+
+
+def test_embedding_near_dup_lsh_recall(spark, catalog):
+    from ekuiper_spark.datapipe.similarity import embedding_near_dup_pairs
+
+    emb = catalog.load(spark, "embeddings")
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(emb, 0.9, exact=True).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(emb, 0.9, exact=False).collect()}
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.7  # high-threshold LSH recall
