@@ -166,6 +166,31 @@ def test_analytic_where_filter_state(spark, demo_cat):
     assert got == [(None, 3), (3, 6), (2, 4)]
 
 
+def test_star_plus_computed(spark, demo_cat):
+    # rule_test.go:628 — wildcard alongside computed fields
+    df = run(spark, demo_cat, "SELECT *, upper(color) FROM demo")
+    assert df.columns == ["color", "size", "ts", "upper"]
+    got = [(r["color"], r["upper"]) for r in df.orderBy("ts").collect()]
+    assert got[0] == ("red", "RED")
+
+
+def test_join_lookup_table_corpus(spark, demo_cat):
+    # rule_test.go:975 pattern — stream x lookup-table equi join; here the
+    # table side registers as a DataFrame keyed on id
+    t1 = spark.createDataFrame(
+        [("name1", 2, 1541152486013), ("name2", 14, 1541152487632)],
+        "name string, size2 long, id long",
+    )
+    demo_cat.register_df("table1", t1)
+    df = run(
+        spark,
+        demo_cat,
+        "SELECT demo.color, table1.name FROM demo INNER JOIN table1 on demo.ts = table1.id",
+    )
+    got = sorted((r["color"], r["name"]) for r in df.collect())
+    assert got == [("blue", "name2"), ("red", "name1")]
+
+
 def test_last_hit_count_in_select(spark, demo_cat):
     # rule_test.go:690 — last_hit_count()+1 numbers the emission sequence
     df = run(
