@@ -126,13 +126,17 @@ def run_rule_available_now(
     output_mode: Optional[str] = None,
     event_col: Optional[str] = None,
     watermark: Optional[str] = None,
+    order_cols: Optional[list[str]] = None,
 ) -> DataFrame:
     """Run one rule over the currently-available data and return the result
     table — the engine analog of the reference's bounded EOF test runs
     (internal/topo/topotest/mock_topo.go:136).
     """
     name = table or f"rt_{uuid.uuid4().hex[:8]}"
-    df = compile_sql(spark, sql, catalog, streaming=True, event_col=event_col, watermark=watermark)
+    df = compile_sql(
+        spark, sql, catalog, streaming=True, event_col=event_col,
+        watermark=watermark, order_cols=order_cols,
+    )
     mode = output_mode or ("complete" if RuleRuntime._has_agg(df) else "append")
     q = (
         df.writeStream.format("memory")

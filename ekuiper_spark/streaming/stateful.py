@@ -2,22 +2,36 @@
 
 The reference implements count/state/sliding windows and analytic funcs as
 stateful Go operators (internal/topo/node/window_op.go:520-568 count
-windows; funcs_analytic.go lag state).  Spark has no native count window,
-so the streaming path uses applyInPandasWithState: state carries the
-open-window buffer between micro-batches; complete windows emit, the
+windows, window_op.go:593-619 sliding, window_v2_op.go:124-247 state
+windows; funcs_analytic.go lag state).  Spark has no native count/state
+window, so the streaming path uses applyInPandasWithState: state carries
+the open-window buffer between micro-batches; complete windows emit, the
 trailing partial stays buffered (exactly the reference's emit-on-full
 behavior).
 
-Scale note: state is keyed — a global count window (the reference's
-semantics, single-process) uses one key and is inherently serial; keyed
-variants (partition column) distribute.  Batch mode (translator
-COUNTWINDOW) is the scale path for bounded data.
+The core is :func:`window_agg_stream` — a *generic* stateful window
+operator parameterized by window kind and a list of :class:`AggSpec`.  The
+translator computes aggregate *input expressions* natively (Catalyst,
+upstream of the stateful op) and this operator only buffers + slices +
+reduces with vectorized numpy/pandas — no per-row Python loops:
+
+- count windows reduce via ``ndarray.reshape(-1, n)`` + axis reductions;
+- sliding windows use pandas time-based ``rolling`` (C implementation);
+- state windows loop per *window* (not per row), slicing numpy arrays.
+
+Scale note: state is keyed — a global count/sliding window (the
+reference's semantics, single-process) uses one key and is inherently
+serial; keyed variants (GROUP BY dims) distribute.  An explicit warning
+fires on the global path (see ``_warn_global``).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import warnings
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -25,25 +39,426 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-COUNT_WINDOW_OUT = T.StructType(
-    [
-        T.StructField("wid", T.LongType()),
-        T.StructField("n", T.LongType()),
-        T.StructField("sum_v", T.DoubleType()),
-        T.StructField("first_ts", T.TimestampType()),
-        T.StructField("last_ts", T.TimestampType()),
-    ]
+__all__ = [
+    "AggSpec",
+    "window_agg_stream",
+    "count_window_stream",
+    "state_window_stream",
+    "sliding_window_stream",
+    "lag_stream",
+]
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One aggregate computed over each emitted window.
+
+    op: count|sum|avg|min|max|first|last|collect|stddev|stddevs|var|vars|
+        median — the numpy-reducible subset of funcs_agg.go.
+    in_col: upstream column name holding the (natively pre-computed)
+        aggregate input expression; None only for count.
+    out: output column name.
+    """
+
+    op: str
+    in_col: Optional[str]
+    out: str
+
+
+_GLOBAL_WARNING = (
+    "unkeyed %s window: all rows route through ONE state partition "
+    "(matches the reference's single-process semantics but serializes at "
+    "scale). Add GROUP BY dims / a partition column for the distributed path."
 )
-_COUNT_WINDOW_STATE = T.StructType(
-    [
+
+
+def _warn_global(kind: str) -> None:
+    warnings.warn(_GLOBAL_WARNING % kind, UserWarning, stacklevel=3)
+
+
+# --------------------------------------------------------------------------- #
+# type plumbing
+# --------------------------------------------------------------------------- #
+def _is_ts(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.TimestampType, T.TimestampNTZType))
+
+
+def _state_elem_type(dt: T.DataType) -> T.DataType:
+    if _is_ts(dt):
+        return T.LongType()  # epoch micros
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return T.LongType()
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return T.DoubleType()
+    if isinstance(dt, T.BooleanType):
+        return T.BooleanType()
+    return T.StringType()
+
+
+def _agg_out_type(op: str, in_type: Optional[T.DataType]) -> T.DataType:
+    if op == "count":
+        return T.LongType()
+    if op in ("avg", "stddev", "stddevs", "var", "vars", "median"):
+        return T.DoubleType()
+    if op == "collect":
+        return T.ArrayType(in_type)
+    if op == "sum":
+        if isinstance(in_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return T.LongType()
+        return T.DoubleType()
+    # min/max/first/last preserve the input type
+    return in_type
+
+
+def _col_to_np(series: pd.Series, dt: T.DataType) -> np.ndarray:
+    if _is_ts(dt):
+        return series.values.astype("datetime64[us]").astype("int64")
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return series.to_numpy(dtype="float64")
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return series.to_numpy(dtype="int64")
+    if isinstance(dt, T.BooleanType):
+        return series.to_numpy(dtype="bool")
+    return series.to_numpy(dtype="object")
+
+
+def _np_to_out(arr: np.ndarray, dt: T.DataType):
+    """Emit-side conversion: int64-micros back to timestamps."""
+    if _is_ts(dt):
+        return pd.to_datetime(np.asarray(arr, dtype="int64"), unit="us")
+    return arr
+
+
+def _empty_np(dt: T.DataType) -> np.ndarray:
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return np.empty(0, dtype="float64")
+    if isinstance(dt, T.BooleanType):
+        return np.empty(0, dtype="bool")
+    if isinstance(dt, T.StringType):
+        return np.empty(0, dtype="object")
+    return np.empty(0, dtype="int64")  # longs + ts-as-micros
+
+
+# matrix reducers for the reshape path (count windows): (n_windows, n) -> (n_windows,)
+_MATRIX_OPS = {
+    "count": lambda m: np.full(m.shape[0], m.shape[1], dtype="int64"),
+    "sum": lambda m: m.sum(axis=1),
+    "avg": lambda m: m.astype("float64").mean(axis=1),
+    "min": lambda m: m.min(axis=1),
+    "max": lambda m: m.max(axis=1),
+    "first": lambda m: m[:, 0],
+    "last": lambda m: m[:, -1],
+    "stddev": lambda m: m.astype("float64").std(axis=1, ddof=0),
+    "stddevs": lambda m: m.astype("float64").std(axis=1, ddof=1),
+    "var": lambda m: m.astype("float64").var(axis=1, ddof=0),
+    "vars": lambda m: m.astype("float64").var(axis=1, ddof=1),
+    "median": lambda m: np.median(m.astype("float64"), axis=1),
+    "collect": lambda m: list(m.tolist()),
+}
+
+# 1-D reducers for the slice path (state windows): (k,) -> scalar
+_SLICE_OPS = {
+    "count": lambda a: len(a),
+    "sum": lambda a: a.sum(),
+    "avg": lambda a: float(a.astype("float64").mean()),
+    "min": lambda a: a.min(),
+    "max": lambda a: a.max(),
+    "first": lambda a: a[0],
+    "last": lambda a: a[-1],
+    "stddev": lambda a: float(a.astype("float64").std(ddof=0)),
+    "stddevs": lambda a: float(a.astype("float64").std(ddof=1)),
+    "var": lambda a: float(a.astype("float64").var(ddof=0)),
+    "vars": lambda a: float(a.astype("float64").var(ddof=1)),
+    "median": lambda a: float(np.median(a.astype("float64"))),
+    "collect": lambda a: list(a.tolist()),
+}
+
+# pandas rolling methods for the sliding path
+_ROLLING_OPS = {"count", "sum", "avg", "min", "max", "stddev", "stddevs", "median"}
+
+
+def _rolling_reduce(roll, col: str, op: str) -> pd.Series:
+    r = roll[col]
+    if op == "count":
+        return r.count()
+    if op == "sum":
+        return r.sum()
+    if op == "avg":
+        return r.mean()
+    if op == "min":
+        return r.min()
+    if op == "max":
+        return r.max()
+    if op == "median":
+        return r.median()
+    if op == "stddev":
+        return r.std(ddof=0)
+    if op == "stddevs":
+        return r.std(ddof=1)
+    raise KeyError(op)
+
+
+# --------------------------------------------------------------------------- #
+# the generic operator
+# --------------------------------------------------------------------------- #
+def window_agg_stream(
+    sdf: DataFrame,
+    kind: str,
+    *,
+    n: Optional[int] = None,
+    begin_col: Optional[str] = None,
+    emit_col: Optional[str] = None,
+    length_us: Optional[int] = None,
+    dims: Sequence[str] = (),
+    order_cols: Sequence[str] = ("ts",),
+    aggs: Sequence[AggSpec] = (),
+    passthrough: Sequence[str] = (),
+    emit_wid: bool = False,
+) -> DataFrame:
+    """Generic stateful streaming window aggregation.
+
+    kind='count'   : COUNTWINDOW(n) — emit one row per n buffered events
+                     (window_op.go:520-568; only full windows emit, the
+                     remainder carries in state).
+    kind='state'   : STATEWINDOW(begin, emit[, dims]) — begin/emit are
+                     boolean columns computed natively upstream
+                     (window_v2_op.go:124-247).  Single-condition form:
+                     pass the condition as BOTH begin_col and a null
+                     emit_col is not allowed — use ``emit_col=None`` with
+                     ``begin_col=cond`` (run-of-true islands; a window
+                     closes when the condition turns false).
+    kind='sliding' : SLIDINGWINDOW(length) — per-event emission of aggs
+                     over [t-length, t] (window_op.go:593-619); aggs are
+                     restricted to the pandas-rolling subset; passthrough
+                     columns of the triggering row are emitted alongside.
+
+    dims key the state (the 100 TB path); with no dims a single global
+    key is used and a warning fires.
+    """
+    if kind not in ("count", "state", "sliding"):
+        raise ValueError(f"unknown stateful window kind {kind!r}")
+    schema = {f.name: f.dataType for f in sdf.schema.fields}
+    order_cols = [c for c in order_cols if c in schema] or list(sdf.columns[:1])
+
+    if kind == "sliding":
+        bad = [a.op for a in aggs if a.op not in _ROLLING_OPS]
+        if bad:
+            raise NotImplementedError(
+                f"streaming SLIDINGWINDOW supports {sorted(_ROLLING_OPS)} aggregates; got {bad}"
+            )
+
+    # --- columns that must cross into the pandas fn -----------------------
+    agg_in = [a.in_col for a in aggs if a.in_col is not None]
+    ts_col = order_cols[0]
+    if kind == "sliding":
+        needed = list(dict.fromkeys(list(order_cols) + agg_in + list(passthrough)))
+    else:
+        needed = list(dict.fromkeys(list(order_cols) + agg_in + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else [])))
+    buffered = [c for c in needed if kind == "sliding" and (c == ts_col or c in agg_in)] if kind == "sliding" else [
+        c for c in needed if c not in (begin_col, emit_col)
+    ]
+    buffered = list(dict.fromkeys(buffered))
+
+    # --- schemas ----------------------------------------------------------
+    out_fields: list[T.StructField] = []
+    for d in dims:
+        out_fields.append(T.StructField(d, schema[d]))
+    if emit_wid:
+        out_fields.append(T.StructField("wid", T.LongType()))
+    if kind == "sliding":
+        for c in passthrough:
+            out_fields.append(T.StructField(c, schema[c]))
+    for a in aggs:
+        in_t = schema[a.in_col] if a.in_col else None
+        out_fields.append(T.StructField(a.out, _agg_out_type(a.op, in_t)))
+    out_schema = T.StructType(out_fields)
+
+    state_fields = [
         T.StructField("emitted", T.LongType()),
-        T.StructField("buf_ts", T.ArrayType(T.LongType())),  # epoch micros
-        T.StructField("buf_val", T.ArrayType(T.DoubleType())),
-        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("is_open", T.BooleanType()),
+    ] + [
+        T.StructField(f"b_{c}", T.ArrayType(_state_elem_type(schema[c]))) for c in buffered
     ]
-)
+    state_schema = T.StructType(state_fields)
+
+    dim_list = list(dims)
+    agg_list = list(aggs)
+    pass_list = list(passthrough)
+    order_list = list(order_cols)
+    buf_types = {c: schema[c] for c in buffered}
+    out_types = {f.name: f.dataType for f in out_fields}
+
+    def load_state(state: GroupState):
+        if state.exists:
+            vals = state.get
+            emitted, is_open = vals[0], vals[1]
+            buf = {}
+            for i, c in enumerate(buffered):
+                raw = np.asarray(list(vals[2 + i]), dtype=_empty_np(_state_elem_type(buf_types[c])).dtype) if vals[2 + i] else _empty_np(_state_elem_type(buf_types[c]))
+                buf[c] = raw
+            return emitted, is_open, buf
+        return 0, False, {c: _empty_np(_state_elem_type(buf_types[c])) for c in buffered}
+
+    def save_state(state: GroupState, emitted: int, is_open: bool, buf: dict) -> None:
+        state.update(
+            tuple([int(emitted), bool(is_open)] + [list(buf[c].tolist()) for c in buffered])
+        )
+
+    def batch_arrays(batch: pd.DataFrame, cols: Sequence[str]) -> dict:
+        return {c: _col_to_np(batch[c], schema[c]) for c in cols}
+
+    def emit_frame(out_cols: dict, length: int, key) -> pd.DataFrame:
+        data = {}
+        for i, d in enumerate(dim_list):
+            data[d] = pd.Series([key[i]] * length)
+        data.update(out_cols)
+        frame = pd.DataFrame(data)
+        for name, vals in list(frame.items()):
+            if _is_ts(out_types.get(name, T.StringType())) and vals.dtype != "datetime64[ns]":
+                frame[name] = pd.to_datetime(frame[name])
+        return frame[[f.name for f in out_fields]]
+
+    # ------------------------------------------------------------------ #
+    def fn_count(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        emitted, _, buf = load_state(state)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(order_list, kind="mergesort")
+            add = batch_arrays(batch, buffered)
+            buf = {c: np.concatenate([buf[c], add[c]]) for c in buffered}
+        total = len(next(iter(buf.values()))) if buffered else 0
+        n_win = total // n
+        if n_win:
+            out_cols = {}
+            if emit_wid:
+                out_cols["wid"] = np.arange(emitted, emitted + n_win, dtype="int64")
+            for a in agg_list:
+                src = a.in_col or ts_col
+                mat = buf[src][: n_win * n].reshape(n_win, n)
+                res = _MATRIX_OPS[a.op](mat)
+                out_cols[a.out] = _np_to_out(res, out_types[a.out]) if a.op in ("min", "max", "first", "last", "sum") or a.op == "collect" else res
+            buf = {c: buf[c][n_win * n :] for c in buffered}
+            emitted += n_win
+            save_state(state, emitted, False, buf)
+            yield emit_frame(out_cols, n_win, key)
+        else:
+            save_state(state, emitted, False, buf)
+
+    # ------------------------------------------------------------------ #
+    def fn_state(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        emitted, is_open, buf = load_state(state)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            save_state(state, emitted, is_open, buf)
+            return
+        batch = batch.sort_values(order_list, kind="mergesort")
+        rows = batch_arrays(batch, buffered)
+        bflags = batch[begin_col].to_numpy(dtype="bool")
+        eflags = batch[emit_col].to_numpy(dtype="bool") if emit_col else ~bflags
+        single = emit_col is None  # island mode: run of begin-true rows
+        m = len(batch)
+        out_rows: dict[str, list] = {a.out: [] for a in agg_list}
+        if emit_wid:
+            out_rows["wid"] = []
+        pos = 0
+        while pos < m:
+            if not is_open:
+                later = bflags[pos:]
+                if not later.any():
+                    break
+                pos += int(np.argmax(later))
+                is_open = True
+                buf = {c: _empty_np(_state_elem_type(buf_types[c])) for c in buffered}
+            # window open: find the closing row at/after pos
+            if single:
+                later_false = ~bflags[pos:]
+                if not later_false.any():
+                    buf = {c: np.concatenate([buf[c], rows[c][pos:]]) for c in buffered}
+                    pos = m
+                    break
+                close_rel = int(np.argmax(later_false))  # first false row
+                win = {c: np.concatenate([buf[c], rows[c][pos : pos + close_rel]]) for c in buffered}
+                next_pos = pos + close_rel
+            else:
+                later_emit = eflags[pos:]
+                if not later_emit.any():
+                    buf = {c: np.concatenate([buf[c], rows[c][pos:]]) for c in buffered}
+                    pos = m
+                    break
+                close_rel = int(np.argmax(later_emit))  # emit row is included
+                win = {c: np.concatenate([buf[c], rows[c][pos : pos + close_rel + 1]]) for c in buffered}
+                next_pos = pos + close_rel + 1
+            for a in agg_list:
+                src = a.in_col or ts_col
+                val = _SLICE_OPS[a.op](win[src])
+                if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
+                    val = pd.Timestamp(int(val), unit="us")
+                out_rows[a.out].append(val)
+            if emit_wid:
+                out_rows["wid"].append(emitted)
+            emitted += 1
+            is_open = False
+            buf = {c: _empty_np(_state_elem_type(buf_types[c])) for c in buffered}
+            pos = next_pos
+        save_state(state, emitted, is_open, buf)
+        n_out = len(next(iter(out_rows.values()))) if out_rows else 0
+        if n_out:
+            yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
+
+    # ------------------------------------------------------------------ #
+    def fn_sliding(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        _, _, buf = load_state(state)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            save_state(state, 0, False, buf)
+            return
+        batch = batch.sort_values(order_list, kind="mergesort").reset_index(drop=True)
+        add = batch_arrays(batch, buffered)
+        n_carry = len(buf[ts_col])
+        full = {c: np.concatenate([buf[c], add[c]]) for c in buffered}
+        idx = pd.to_datetime(full[ts_col], unit="us")
+        roll_df = pd.DataFrame(
+            {c: full[c] for c in buffered if c != ts_col or any(a.in_col == ts_col for a in agg_list)},
+            index=idx,
+        )
+        if any(a.in_col is None for a in agg_list):
+            # count(*) counts rows, not non-nulls of some column
+            roll_df["__one"] = 1.0
+        roll = roll_df.rolling(pd.Timedelta(microseconds=length_us), closed="both")
+        out_cols = {}
+        for a in agg_list:
+            src = a.in_col if a.in_col is not None else "__one"
+            res = _rolling_reduce(roll, src, a.op).to_numpy()[n_carry:]
+            if a.op == "count":
+                res = res.astype("int64")
+            elif a.op in ("min", "max") and _is_ts(buf_types.get(src, T.DoubleType())):
+                res = pd.to_datetime(res.astype("int64"), unit="us")
+            elif a.op == "sum" and isinstance(out_types[a.out], T.LongType):
+                res = res.astype("int64")
+            out_cols[a.out] = res
+        for c in pass_list:
+            out_cols[c] = batch[c].values
+        # trim the carried buffer to the horizon of the newest row
+        last_ts = int(full[ts_col][-1])
+        keep = full[ts_col] >= last_ts - length_us
+        buf = {c: full[c][keep] for c in buffered}
+        save_state(state, 0, False, buf)
+        yield emit_frame(out_cols, len(batch), key)
+
+    fn = {"count": fn_count, "state": fn_state, "sliding": fn_sliding}[kind]
+    if dim_list:
+        keyed = sdf.groupBy(*dim_list)
+    else:
+        _warn_global(kind)
+        keyed = sdf.withColumn("__k", F.lit(1)).groupBy("__k")
+    return keyed.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
 
 
+# --------------------------------------------------------------------------- #
+# convenience wrappers (fixed shapes used by tests / __spark_entry__)
+# --------------------------------------------------------------------------- #
 def count_window_stream(
     sdf: DataFrame,
     n: int,
@@ -53,86 +468,22 @@ def count_window_stream(
 ) -> DataFrame:
     """Streaming COUNTWINDOW(n): emits one aggregate row per n events.
 
-    Rows are globally ordered by (ts, id) within each micro-batch; the
-    cross-batch remainder is carried in state.  Only full windows emit
-    (window_op.go TupleList semantics).
-    """
-
-    def fn(
-        key, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            emitted, buf_ts, buf_val, buf_eid = state.get
-            buf = pd.DataFrame(
-                {"__ts": list(buf_ts), "__val": list(buf_val), "__eid": list(buf_eid)}
-            )
-        else:
-            emitted = 0
-            buf = pd.DataFrame({"__ts": [], "__val": [], "__eid": []})
-        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
-        if len(batch):
-            batch = batch.sort_values([ts_col, id_col])
-            add = pd.DataFrame(
-                {
-                    "__ts": batch[ts_col].astype("datetime64[us]").astype("int64"),
-                    "__val": batch[val_col].astype(float),
-                    "__eid": batch[id_col].astype("int64"),
-                }
-            )
-            buf = pd.concat([buf, add], ignore_index=True)
-        out_rows = []
-        while len(buf) >= n:
-            win, buf = buf.iloc[:n], buf.iloc[n:]
-            out_rows.append(
-                {
-                    "wid": emitted,
-                    "n": n,
-                    "sum_v": float(win["__val"].sum()),
-                    "first_ts": pd.Timestamp(int(win["__ts"].min()), unit="us"),
-                    "last_ts": pd.Timestamp(int(win["__ts"].max()), unit="us"),
-                }
-            )
-            emitted += 1
-        state.update(
-            (
-                emitted,
-                [int(x) for x in buf["__ts"]],
-                [float(x) for x in buf["__val"]],
-                [int(x) for x in buf["__eid"]],
-            )
-        )
-        if out_rows:
-            yield pd.DataFrame(out_rows)
-
-    return (
-        sdf.withColumn("__k", F.lit(1))
-        .groupBy("__k")
-        .applyInPandasWithState(
-            fn,
-            COUNT_WINDOW_OUT,
-            _COUNT_WINDOW_STATE,
-            "append",
-            GroupStateTimeout.NoTimeout,
-        )
+    Output: (wid, n, sum_v, first_ts, last_ts) — only full windows emit
+    (window_op.go TupleList semantics)."""
+    out = window_agg_stream(
+        sdf,
+        "count",
+        n=n,
+        order_cols=(ts_col, id_col),
+        aggs=(
+            AggSpec("count", None, "n"),
+            AggSpec("sum", val_col, "sum_v"),
+            AggSpec("min", ts_col, "first_ts"),
+            AggSpec("max", ts_col, "last_ts"),
+        ),
+        emit_wid=True,
     )
-
-
-STATE_WINDOW_OUT = T.StructType(
-    [
-        T.StructField("part", T.LongType()),
-        T.StructField("n", T.LongType()),
-        T.StructField("sum_v", T.DoubleType()),
-        T.StructField("w_open", T.TimestampType()),
-        T.StructField("w_close", T.TimestampType()),
-    ]
-)
-_STATE_WINDOW_STATE = T.StructType(
-    [
-        T.StructField("is_open", T.BooleanType()),
-        T.StructField("buf_ts", T.ArrayType(T.LongType())),
-        T.StructField("buf_val", T.ArrayType(T.DoubleType())),
-    ]
-)
+    return out.select("wid", "n", F.col("sum_v").cast("double"), "first_ts", "last_ts")
 
 
 def state_window_stream(
@@ -147,48 +498,53 @@ def state_window_stream(
     """Streaming STATEWINDOW(begin, emit, partition)
     (window_v2_op.go:124-247): per key, a window opens at the first
     begin-row, buffers rows, and emits aggregates at the emit-row; the
-    open-window buffer carries across micro-batches in state.  begin_col /
-    emit_col are boolean columns computed upstream.
-    """
+    open-window buffer carries across micro-batches in state.
 
-    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            is_open, bts, bval = state.get
-            buf_ts, buf_val = list(bts), list(bval)
-        else:
-            is_open, buf_ts, buf_val = False, [], []
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        if not len(batch):
-            return
-        batch = batch.sort_values([ts_col, id_col])
-        out = []
-        for _, row in batch.iterrows():
-            t = pd.Timestamp(row[ts_col]).value // 1000  # ns -> us
-            if not is_open:
-                if bool(row[begin_col]):
-                    is_open = True
-                    buf_ts, buf_val = [t], [float(row[val_col])]
-                continue
-            buf_ts.append(t)
-            buf_val.append(float(row[val_col]))
-            if bool(row[emit_col]):
-                out.append(
-                    {
-                        "part": int(key[0]),
-                        "n": len(buf_ts),
-                        "sum_v": float(sum(buf_val)),
-                        "w_open": pd.Timestamp(buf_ts[0], unit="us"),
-                        "w_close": pd.Timestamp(buf_ts[-1], unit="us"),
-                    }
-                )
-                is_open, buf_ts, buf_val = False, [], []
-        state.update((is_open, buf_ts, buf_val))
-        if out:
-            yield pd.DataFrame(out)
-
-    return sdf.groupBy(partition_col).applyInPandasWithState(
-        fn, STATE_WINDOW_OUT, _STATE_WINDOW_STATE, "append", GroupStateTimeout.NoTimeout
+    Output: (part, n, sum_v, w_open, w_close)."""
+    out = window_agg_stream(
+        sdf,
+        "state",
+        begin_col=begin_col,
+        emit_col=emit_col,
+        dims=(partition_col,),
+        order_cols=(ts_col, id_col),
+        aggs=(
+            AggSpec("count", None, "n"),
+            AggSpec("sum", val_col, "sum_v"),
+            AggSpec("min", ts_col, "w_open"),
+            AggSpec("max", ts_col, "w_close"),
+        ),
     )
+    return out.select(
+        F.col(partition_col).cast("long").alias("part"),
+        "n",
+        F.col("sum_v").cast("double").alias("sum_v"),
+        "w_open",
+        "w_close",
+    )
+
+
+def sliding_window_stream(
+    sdf: DataFrame,
+    length_sec: float,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming SLIDINGWINDOW: per-event emission of aggregates over
+    [t - length, t], with the in-horizon row buffer carried in state
+    (window_op.go:593-619 per-event sliding emission).
+
+    Output: (event_id, n_w, sum_w) per input row."""
+    out = window_agg_stream(
+        sdf,
+        "sliding",
+        length_us=int(length_sec * 1_000_000),
+        order_cols=(ts_col, id_col),
+        aggs=(AggSpec("count", val_col, "n_w"), AggSpec("sum", val_col, "sum_w")),
+        passthrough=(id_col,),
+    )
+    return out.select(id_col, "n_w", F.col("sum_w").cast("double").alias("sum_w"))
 
 
 def lag_stream(
@@ -202,8 +558,7 @@ def lag_stream(
     with the last value carried across micro-batches in state
     (funcs_analytic.go:124-207 keyed lag state).
 
-    Output: (partition, id, value, prev_value).
-    """
+    Output: (part, event_id, value, prev_value)."""
     out_schema = T.StructType(
         [
             T.StructField("part", T.LongType()),
@@ -219,7 +574,7 @@ def lag_stream(
         batch = pd.concat(list(pdfs), ignore_index=True)
         if not len(batch):
             return
-        batch = batch.sort_values([ts_col, id_col])
+        batch = batch.sort_values([ts_col, id_col], kind="mergesort")
         prev = batch[value_col].shift(1)
         if last is not None:
             prev.iloc[0] = last
@@ -236,62 +591,4 @@ def lag_stream(
 
     return sdf.groupBy(partition_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
-
-
-def sliding_window_stream(
-    sdf: DataFrame,
-    length_sec: float,
-    ts_col: str = "ts",
-    id_col: str = "event_id",
-    val_col: str = "value",
-) -> DataFrame:
-    """Streaming SLIDINGWINDOW: per-event emission of aggregates over
-    (t - length, t], with the in-horizon row buffer carried in state
-    (window_op.go:593-619 per-event sliding emission).
-
-    Output: (event_id, n_w, sum_w) per input row.
-    """
-    out_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("n_w", T.LongType()),
-            T.StructField("sum_w", T.DoubleType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [
-            T.StructField("buf_ts", T.ArrayType(T.LongType())),
-            T.StructField("buf_val", T.ArrayType(T.DoubleType())),
-        ]
-    )
-    horizon_us = int(length_sec * 1_000_000)
-
-    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            bts, bval = state.get
-            buf = pd.DataFrame({"__ts": list(bts), "__val": list(bval)})
-        else:
-            buf = pd.DataFrame({"__ts": [], "__val": []})
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        if not len(batch):
-            return
-        batch = batch.sort_values([ts_col, id_col])
-        ts_us = batch[ts_col].astype("datetime64[us]").astype("int64")
-        rows = []
-        for t, v, eid in zip(ts_us, batch[val_col].astype(float), batch[id_col]):
-            buf = buf[buf["__ts"] > t - horizon_us]
-            buf = pd.concat(
-                [buf, pd.DataFrame({"__ts": [t], "__val": [v]})], ignore_index=True
-            )
-            rows.append({"event_id": int(eid), "n_w": len(buf), "sum_w": float(buf["__val"].sum())})
-        state.update(([int(x) for x in buf["__ts"]], [float(x) for x in buf["__val"]]))
-        yield pd.DataFrame(rows)
-
-    return (
-        sdf.withColumn("__k", F.lit(1))
-        .groupBy("__k")
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
     )

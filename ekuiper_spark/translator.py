@@ -148,7 +148,9 @@ class Translator:
         group = stmt.group
         window = group.window if group else None
 
-        if window is not None and window.kind == "sliding":
+        if window is not None and window.kind == "sliding" and self.streaming:
+            df = self._streaming_sliding(df, stmt, ctx)
+        elif window is not None and window.kind == "sliding":
             # per-event emission: aggs become range-frame window functions;
             # GROUP BY dims become the frame partition (keyed sliding)
             ctx.sliding_frame = window
@@ -180,7 +182,10 @@ class Translator:
                 df = df.withColumn("__wc", wc).filter(F.col("__wc") == n).drop("__wc")
             df = self._project(df, stmt, ctx)
         elif group is not None or has_agg:
-            df = self._grouped(df, stmt, ctx)
+            if self.streaming and window is not None and window.kind in ("count", "state"):
+                df = self._streaming_stateful_grouped(df, stmt, ctx)
+            else:
+                df = self._grouped(df, stmt, ctx)
         else:
             df = self._project(df, stmt, ctx)
 
@@ -416,6 +421,177 @@ class Translator:
 
         return self._project(gdf, stmt, ctx)
 
+    # ------------------------------------------------------------------ #
+    # streaming stateful windows (COUNTWINDOW / STATEWINDOW / SLIDINGWINDOW
+    # on unbounded sources; reference window_op.go:520-619,
+    # window_v2_op.go:124-247).  The aggregate *inputs* are computed
+    # natively (Catalyst) upstream; the stateful op only buffers + reduces
+    # vectorized batches, keyed by the window partition.
+    # ------------------------------------------------------------------ #
+    _STREAM_AGG_OPS = {
+        "count": "count", "sum": "sum", "avg": "avg", "min": "min",
+        "max": "max", "collect": "collect", "stddev": "stddev",
+        "stddevs": "stddevs", "var": "var", "vars": "vars",
+        "median": "median", "last_value": "last",
+    }
+
+    def _stream_agg_specs(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx):
+        """Materialize aggregate input expressions as hidden columns and
+        build AggSpecs; registers ctx.agg_map for post-agg projection."""
+        from ekuiper_spark.streaming.stateful import AggSpec
+
+        agg_nodes: dict[str, FuncCall] = {}
+        for f in stmt.fields:
+            for a in self._find_aggs(f.expr):
+                agg_nodes.setdefault(canon(a), a)
+        if stmt.having is not None:
+            for a in self._find_aggs(stmt.having):
+                agg_nodes.setdefault(canon(a), a)
+        specs = []
+        for i, (key, call) in enumerate(agg_nodes.items()):
+            op = self._STREAM_AGG_OPS.get(call.name.lower())
+            if op is None:
+                raise NotImplementedError(
+                    f"{call.name} is not supported in streaming stateful windows"
+                )
+            out = f"__agg{i}"
+            args = [a for a in call.args if not isinstance(a, Wildcard)]
+            if not args:
+                in_col = None
+            else:
+                in_col = f"__in{i}"
+                df = df.withColumn(in_col, self._expr(args[0], ctx))
+            specs.append(AggSpec(op, in_col, out))
+            ctx.agg_map[key] = out
+        return df, specs
+
+    def _streaming_stateful_grouped(
+        self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx
+    ) -> DataFrame:
+        from ekuiper_spark.streaming.stateful import window_agg_stream
+
+        group = stmt.group
+        window = group.window
+        if group.dims:
+            raise NotImplementedError(
+                "streaming COUNTWINDOW/STATEWINDOW sub-grouping by extra "
+                "dims is not supported; use the window's partition args "
+                "(STATEWINDOW) or batch mode"
+            )
+        if window.filter is not None:
+            df = df.filter(self._expr(window.filter, ctx))
+
+        kw: dict = {}
+        dims: list[str] = []
+        if window.kind == "count":
+            kw["n"] = window.args[0]
+        else:  # state
+            conds = window.state_conds
+            for i, p in enumerate(conds[2:]):
+                if isinstance(p, ColumnRef) and p.source is None:
+                    name = p.name
+                else:
+                    name = f"__spart{i}"
+                    df = df.withColumn(name, self._expr(p, ctx))
+                ctx.dim_map[canon(p)] = name
+                dims.append(name)
+            df = df.withColumn("__swb", self._expr(conds[0], ctx))
+            kw["begin_col"] = "__swb"
+            if len(conds) > 1:
+                df = df.withColumn("__swe", self._expr(conds[1], ctx))
+                kw["emit_col"] = "__swe"
+
+        df, specs = self._stream_agg_specs(df, stmt, ctx)
+        out = window_agg_stream(
+            df,
+            window.kind,
+            dims=dims,
+            order_cols=ctx.order_cols,
+            aggs=specs,
+            **kw,
+        )
+        ctx.post_agg = True
+        ctx.window_col = None
+        if stmt.having is not None:
+            out = out.filter(self._expr(stmt.having, ctx))
+        return self._project(out, stmt, ctx)
+
+    def _streaming_sliding(
+        self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx
+    ) -> DataFrame:
+        from ekuiper_spark.streaming.stateful import window_agg_stream
+
+        group = stmt.group
+        window = group.window
+        if len(window.args) > 1 and window.args[1]:
+            raise NotImplementedError("SLIDINGWINDOW delay is batch-only for now")
+        if window.filter is not None:
+            df = df.filter(self._expr(window.filter, ctx))
+        length_us = int(window.args[0] * UNIT_SECONDS[window.unit] * 1_000_000)
+
+        # GROUP BY dims key the per-event frame (keyed sliding = scale path)
+        dims: list[str] = []
+        for i, d in enumerate(group.dims or []):
+            if isinstance(d, ColumnRef) and d.source is None:
+                name = d.name
+            else:
+                name = f"__grp{i}"
+                df = df.withColumn(name, self._expr(d, ctx))
+            ctx.dim_map[canon(d)] = name
+            dims.append(name)
+
+        df, specs = self._stream_agg_specs(df, stmt, ctx)
+
+        # plain columns referenced outside aggregates ride along with the
+        # emitting row (per-event emission keeps the row visible)
+        passthrough: list[str] = []
+
+        def collect_refs(n: Node) -> None:
+            if isinstance(n, FuncCall):
+                if fregistry.is_aggregate(n.name):
+                    return
+                for a in n.args:
+                    collect_refs(a)
+            elif isinstance(n, ColumnRef) and n.source is None:
+                if n.name in df.columns and n.name not in dims and n.name not in passthrough:
+                    passthrough.append(n.name)
+            elif isinstance(n, Binary):
+                collect_refs(n.left)
+                collect_refs(n.right)
+            elif isinstance(n, Unary):
+                collect_refs(n.operand)
+            elif isinstance(n, CaseWhen):
+                for c, v in n.whens:
+                    collect_refs(c)
+                    collect_refs(v)
+                if n.operand:
+                    collect_refs(n.operand)
+                if n.else_:
+                    collect_refs(n.else_)
+            elif isinstance(n, (Index, Slice, Access, JsonPath, InExpr, Between, Like)):
+                collect_refs(n.expr)
+
+        for f in stmt.fields:
+            collect_refs(f.expr)
+        if window.trigger is not None:
+            df = df.withColumn("__trig", self._expr(window.trigger, ctx))
+            passthrough.append("__trig")
+
+        out = window_agg_stream(
+            df,
+            "sliding",
+            length_us=length_us,
+            dims=dims,
+            order_cols=ctx.order_cols,
+            aggs=specs,
+            passthrough=passthrough,
+        )
+        if window.trigger is not None:
+            out = out.filter(F.col("__trig")).drop("__trig")
+        ctx.post_agg = True
+        ctx.window_col = None
+        return self._project(out, stmt, ctx)
+
     def _window_key(self, df: DataFrame, w: WindowSpec, ctx: TranslateCtx):
         """Materialize the window group key column; returns (df, key_name)."""
         ec = ctx.event_col
@@ -438,11 +614,23 @@ class Translator:
             return df, ["window"]
         if w.kind == "count":
             if self.streaming:
-                raise NotImplementedError("COUNTWINDOW streaming needs transformWithState (round 2)")
+                # reachable only from the non-aggregated window-func branch;
+                # the aggregated path routes via _streaming_stateful_grouped
+                raise NotImplementedError(
+                    "streaming COUNTWINDOW without aggregates is unsupported"
+                )
             n = w.args[0]
             order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
-            # NOTE single global sequence — matches the reference's single
+            # single global sequence — matches the reference's single
             # process; at scale prefer a keyed count window (partition col).
+            import warnings
+
+            warnings.warn(
+                "COUNTWINDOW uses one global sort partition (reference "
+                "semantics); at scale prefer keyed windows (GROUP BY key).",
+                UserWarning,
+                stacklevel=4,
+            )
             rn = F.row_number().over(W.orderBy(*order))
             df = df.withColumn("__wid", F.floor((rn - 1) / F.lit(n)))
             ctx.window_col = None
@@ -468,7 +656,11 @@ class Translator:
         an emit row are dropped.
         """
         if self.streaming:
-            raise NotImplementedError("STATEWINDOW streaming needs transformWithState (round 2)")
+            # reachable only from the non-aggregated window-func branch;
+            # the aggregated path routes via _streaming_stateful_grouped
+            raise NotImplementedError(
+                "streaming STATEWINDOW without aggregates is unsupported"
+            )
         conds = w.state_conds
         order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
         part_names = []
@@ -681,6 +873,16 @@ class Translator:
         delay = (w.args[1] * UNIT_SECONDS[w.unit]) if len(w.args) > 1 else 0
         # exact integer-microsecond ordering (ties/boundaries deterministic)
         order = F.unix_micros(F.col(ctx.event_col))
+        if not ctx.sliding_parts:
+            import warnings
+
+            warnings.warn(
+                "unkeyed SLIDINGWINDOW uses one global sort partition "
+                "(reference semantics); at scale add GROUP BY key to "
+                "partition the frame.",
+                UserWarning,
+                stacklevel=4,
+            )
         spec = (
             W.partitionBy(*ctx.sliding_parts) if ctx.sliding_parts else W.partitionBy(F.lit(1))
         )

@@ -400,3 +400,92 @@ def test_streaming_count_window_matches_batch(spark, catalog):
     for s, b in zip(stream_rows, batch):
         assert s["n"] == b["n"] == 100
         assert s["first_ts"] == b["first_ts"]
+
+
+def test_dialect_streaming_count_window(spark, catalog):
+    """COUNTWINDOW through compile_sql(streaming=True) — the rule path
+    (window_op.go:520-568): GROUP BY COUNTWINDOW(n) on an unbounded source
+    routes to the generic stateful operator and matches batch."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    sql = (
+        "SELECT count(*) AS n, round(sum(value), 4) AS sum_v, "
+        "min(ts) AS first_ts FROM events GROUP BY COUNTWINDOW(100)"
+    )
+    out = run_rule_available_now(
+        spark, catalog, sql, output_mode="append", order_cols=["ts", "event_id"]
+    )
+    stream = sorted((r["n"], r["sum_v"], r["first_ts"]) for r in out.collect())
+    batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
+    bt = sorted((r["n"], r["sum_v"], r["first_ts"]) for r in batch.collect())
+    assert stream == bt and len(stream) == 10
+
+
+def test_dialect_streaming_state_window(spark, catalog):
+    """STATEWINDOW(begin, emit, partition) through the dialect in streaming
+    mode (window_v2_op.go:124-247)."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    sql = (
+        "SELECT user_id, count(*) AS n, min(ts) AS w_open, max(ts) AS w_close "
+        "FROM events GROUP BY STATEWINDOW(event_type = 'signup', "
+        "event_type = 'purchase', user_id)"
+    )
+    out = run_rule_available_now(
+        spark, catalog, sql, output_mode="append", order_cols=["ts", "event_id"]
+    )
+    stream = sorted(tuple(r) for r in out.collect())
+    batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
+    bt = sorted(tuple(r) for r in batch.collect())
+    assert stream == bt and len(stream) > 50
+
+
+def test_dialect_streaming_sliding_window(spark, catalog):
+    """SLIDINGWINDOW through the dialect in streaming mode: per-event
+    emission with pandas-rolling aggregation (window_op.go:593-619)."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    sql = "SELECT event_id, count(*) AS n_1h FROM events GROUP BY SLIDINGWINDOW(hh, 1)"
+    out = run_rule_available_now(
+        spark, catalog, sql, output_mode="append", order_cols=["ts", "event_id"]
+    )
+    stream = sorted((r["event_id"], r["n_1h"]) for r in out.collect())
+    batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
+    bt = sorted((r["event_id"], r["n_1h"]) for r in batch.collect())
+    assert stream == bt and len(stream) == 1000
+
+
+def test_dialect_streaming_sliding_trigger(spark, catalog):
+    """SLIDINGWINDOW ... OVER (WHEN cond) streaming: frames span all rows,
+    only trigger-true rows emit (window_op.go:757-784)."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    sql = (
+        "SELECT event_id, count(*) AS n_1h FROM events "
+        "GROUP BY SLIDINGWINDOW(hh, 1) OVER (WHEN event_type = 'error')"
+    )
+    out = run_rule_available_now(
+        spark, catalog, sql, output_mode="append", order_cols=["ts", "event_id"]
+    )
+    stream = sorted((r["event_id"], r["n_1h"]) for r in out.collect())
+    batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
+    bt = sorted((r["event_id"], r["n_1h"]) for r in batch.collect())
+    assert stream == bt and 0 < len(stream) < 1000
+
+
+def test_dialect_streaming_keyed_sliding(spark, catalog):
+    """Keyed sliding (GROUP BY key, SLIDINGWINDOW): state partitions by the
+    key — the distributed scale path."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    sql = (
+        "SELECT event_id, user_id, count(*) AS n_6h FROM events "
+        "GROUP BY user_id, SLIDINGWINDOW(hh, 6)"
+    )
+    out = run_rule_available_now(
+        spark, catalog, sql, output_mode="append", order_cols=["ts", "event_id"]
+    )
+    stream = sorted((r["event_id"], r["user_id"], r["n_6h"]) for r in out.collect())
+    batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
+    bt = sorted((r["event_id"], r["user_id"], r["n_6h"]) for r in batch.collect())
+    assert stream == bt and len(stream) == 1000
