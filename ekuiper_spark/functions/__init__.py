@@ -30,12 +30,14 @@ AGGREGATE: dict[str, ScalarBuilder] = dict(_agg.REGISTRY)
 # streaming mode = transformWithState).  reference: funcs_analytic.go
 ANALYTIC = {"lag", "latest", "changed_col", "had_changed"}
 
-# set-returning functions, handled by the translator (explode)
-SRF = {"unnest"}
+# set-returning functions, handled by the translator (unnest -> explode;
+# extract -> struct flattening).  reference: funcs_srf.go:26-51
+SRF = {"unnest", "extract"}
 
 # window-metadata functions, resolved by the translator against the
-# active window struct (funcs_misc.go:579+)
-WINDOW_META = {"window_start", "window_end"}
+# active window struct (funcs_misc.go:574-595; window_trigger = the
+# window's firing time = window end for event-time windows)
+WINDOW_META = {"window_start", "window_end", "window_trigger"}
 
 
 def is_aggregate(name: str) -> bool:

@@ -209,6 +209,21 @@ reg("kvpair_array_to_obj")(
 )
 
 
+@reg("array_map")
+def _array_map(c, r):
+    # array_map('func_name', arr): apply a scalar builtin to every element
+    # (funcs_array.go:504-560).  The reference interprets per element; here
+    # the builtin's Catalyst builder runs inside a single native
+    # ``transform`` — one codegen'd expression over the whole array.
+    fname = r[0]
+    if not isinstance(fname, str):
+        raise ValueError("array_map: first argument must be a function name string")
+    fn = REGISTRY.get(fname.lower())
+    if fn is None:
+        raise KeyError(f"array_map: unknown built-in function {fname!r}")
+    return F.transform(c[1], lambda x: fn([x], [None]))
+
+
 @reg("array_last_position")
 def _array_last_position(c, r):
     # last 0-based index of element, -1 if absent (funcs_array.go:164+)
@@ -296,7 +311,11 @@ REGISTRY["trunc"] = lambda c, r: (
 )
 reg("newuuid")(lambda c, r: F.expr("uuid()"))
 reg("bypass")(lambda c, r: c[0])
+# rule_id/rule_start/props resolve against the rule context threaded through
+# the translator (funcs_misc.go:475-489); this registration is the
+# no-context fallback.
 reg("rule_id")(lambda c, r: F.lit("rule_0"))
+reg("tstamp")(lambda c, r: F.unix_millis(F.current_timestamp()))
 reg("greatest")(lambda c, r: F.greatest(*c))
 reg("least")(lambda c, r: F.least(*c))
 reg("convert_tz")(lambda c, r: F.to_utc_timestamp(c[0], r[1] or "UTC"))

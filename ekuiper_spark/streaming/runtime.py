@@ -51,6 +51,8 @@ class RuleRuntime:
         self.rules[rule.id] = rule
 
     def start_rule(self, rule_id: str, available_now: bool = False) -> Any:
+        import time
+
         rule = self.rules[rule_id]
         opts = rule.options
         df = compile_sql(
@@ -60,6 +62,13 @@ class RuleRuntime:
             streaming=True,
             event_col=opts.get("event_col"),
             watermark=opts.get("late_tolerance"),
+            order_cols=opts.get("order_cols"),
+            # rule execution context backing rule_id()/rule_start()/props()
+            rule_ctx={
+                "rule_id": rule_id,
+                "rule_start": int(time.time() * 1000),
+                "props": opts,
+            },
         )
         action = rule.actions[0] if rule.actions else {"memory": {}}
         (sink_type, sink_opts), = action.items()

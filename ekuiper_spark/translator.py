@@ -54,6 +54,7 @@ class TranslateCtx:
     sliding_frame: Optional[Any] = None  # WindowSpec for over()-style aggs
     sliding_parts: list = dc_field(default_factory=list)  # partition Columns
     windowfunc_partition: list = dc_field(default_factory=list)  # window-key col names
+    row_cols: list[str] = dc_field(default_factory=list)  # user-visible cols at agg input
     analytic_map: dict[str, str] = dc_field(default_factory=dict)  # hoisted analytic cols
     hit_col: Optional[str] = None  # emission row-number col for last_hit_*
     order_cols: list[str] = dc_field(default_factory=list)
@@ -76,6 +77,7 @@ class Translator:
         event_col: Optional[str] = None,
         watermark: Optional[str] = None,
         on_error: str = "fail",
+        rule_ctx: Optional[dict] = None,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -83,6 +85,9 @@ class Translator:
         self.order_cols = order_cols
         self.event_col = event_col
         self.watermark = watermark
+        # rule execution context (funcs_misc.go:475-489): rule_id,
+        # rule_start (epoch ms), props (rule option properties)
+        self.rule_ctx = rule_ctx or {}
         # error-as-value policy (reference SendError option, def/rule.go:36):
         # 'fail' = rule error on bad rows (ANSI), 'null' = per-row errors
         # become nulls (try_* expressions), matching the reference's
@@ -249,10 +254,12 @@ class Translator:
             ctx.analytic_map[key] = name
         return df
 
+    _HIT_FNS = ("last_hit_count", "last_hit_time", "last_agg_hit_count", "last_agg_hit_time")
+
     @staticmethod
     def _has_hit_fn(n: Node) -> bool:
         if isinstance(n, FuncCall):
-            if n.name in ("last_hit_count", "last_hit_time"):
+            if n.name in Translator._HIT_FNS:
                 return True
             return any(Translator._has_hit_fn(a) for a in n.args)
         if isinstance(n, Binary):
@@ -382,6 +389,12 @@ class Translator:
                 ctx.dim_map[canon(d)] = name
                 group_cols.append(name)
 
+        ctx.row_cols = [
+            c
+            for c in df.columns
+            if not c.startswith("__") and c not in ("window", "_metadata")
+        ]
+
         # collect aggregate calls from select + having + order
         agg_nodes: dict[str, FuncCall] = {}
         for f in stmt.fields:
@@ -416,8 +429,43 @@ class Translator:
             gdf = gdf.filter(F.col("__wcount") == n)
 
         ctx.post_agg = True
+        # emission ordering for post-agg positional funcs
+        # (last_agg_hit_count/time, funcs_global_state.go): windows emit in
+        # window-start order, plain groups in group-key order
+        if ctx.window_col:
+            ctx.order_cols = [f"{ctx.window_col}.start"]
+            ctx.event_col = f"{ctx.window_col}.end"
+        else:
+            ctx.order_cols = list(group_cols)
         if stmt.having is not None:
-            gdf = gdf.filter(self._expr(stmt.having, ctx))
+            conjs: list[Node] = []
+
+            def flatten(n: Node) -> None:
+                if isinstance(n, Binary) and n.op == "AND":
+                    flatten(n.left)
+                    flatten(n.right)
+                else:
+                    conjs.append(n)
+
+            flatten(stmt.having)
+            hitty = [c for c in conjs if self._has_hit_fn(c)]
+            plain = [c for c in conjs if c not in hitty]
+            pre: Optional[Node] = None
+            for c in plain:
+                pre = c if pre is None else Binary("AND", pre, c)
+            if pre is not None:
+                gdf = gdf.filter(self._expr(pre, ctx))
+            if hitty:
+                # agg-emission bookkeeping: rows passing the plain HAVING
+                # are the emission sequence (last_agg_hit_* counts/times
+                # prior agg emissions)
+                order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
+                gdf = gdf.withColumn("__hit_rn", F.row_number().over(W.orderBy(*order)))
+                ctx.hit_col = "__hit_rn"
+                for c in hitty:
+                    gdf = gdf.filter(self._expr(c, ctx))
+                gdf = gdf.drop("__hit_rn")
+                ctx.hit_col = None
 
         return self._project(gdf, stmt, ctx)
 
@@ -753,6 +801,28 @@ class Translator:
                 cols.extend(self._expand_wildcard(df, f.expr, ctx))
                 continue
             if isinstance(f.expr, FuncCall) and f.expr.name in fregistry.SRF:
+                if f.expr.name == "extract":
+                    # extract(map) emits the entries as row fields
+                    # (funcs_srf.go:38-51) — one output row per input row.
+                    # Static-schema analog: a struct column, flattened by
+                    # _project.  object_construct with literal keys builds
+                    # the struct directly (map types cannot flatten
+                    # statically).
+                    arg = f.expr.args[0]
+                    if (
+                        isinstance(arg, FuncCall)
+                        and arg.name == "object_construct"
+                        and all(self._raw(a) is not None for a in arg.args[0::2])
+                    ):
+                        pairs = [
+                            self._expr(arg.args[i + 1], ctx).alias(str(self._raw(arg.args[i])))
+                            for i in range(0, len(arg.args), 2)
+                        ]
+                        col = F.struct(*pairs)
+                    else:
+                        col = self._expr(arg, ctx)
+                    cols.append(col.alias(self._field_name(f)))
+                    continue
                 # unnest(arr) -> explode; ProjectSet analog
                 # (internal/topo/operator/projectset_operator.go:25-100)
                 inner = self._expr(f.expr.args[0], ctx)
@@ -852,10 +922,52 @@ class Translator:
         return None
 
     def _agg_expr(self, call: FuncCall, ctx: TranslateCtx) -> Column:
+        if call.name.lower() == "deduplicate" and ctx.row_cols:
+            return self._deduplicate_agg(call, ctx)
         args = [a for a in call.args if not isinstance(a, Wildcard)]
         cols = [self._expr(a, ctx) for a in args]
         raw = [self._raw(a) for a in args]
         return fregistry.build_aggregate(call.name, cols, raw)
+
+    def _deduplicate_agg(self, call: FuncCall, ctx: TranslateCtx) -> Column:
+        """deduplicate(keyExpr, all) returns whole ROWS, not key values
+        (funcs_agg.go:176 -> common_array_funcs.go:249-272):
+
+        - all=true : the rows at the first occurrence of each distinct key,
+          in event order -> array<struct<row>>;
+        - all=false: ONLY the latest row, and only if its key was unseen in
+          the earlier rows, else NULL -> struct<row>.
+
+        Built as one native aggregate: rows collect into a sorted entry
+        array (order cols lead the struct so sort_array restores event
+        order); first-occurrence filtering runs via nested higher-order
+        functions — all JVM-side, group-local (no extra shuffle)."""
+        key = self._expr(call.args[0], ctx)
+        all_flag = self._raw(call.args[1]) if len(call.args) > 1 else True
+        row = F.struct(*[F.col(c) for c in ctx.row_cols])
+        parts = [
+            self._expr_if_exists(c, ctx).alias(f"__o{i}")
+            for i, c in enumerate(ctx.order_cols)
+        ] + [key.alias("__zk"), row.alias("__zr")]
+        entries = F.sort_array(F.collect_list(F.struct(*parts)))
+        if all_flag:
+            withidx = F.transform(entries, lambda e, i: F.struct(e.alias("e"), i.alias("i")))
+            firsts = F.filter(
+                withidx,
+                lambda p: ~F.exists(
+                    F.slice(entries, F.lit(1), p["i"]),
+                    lambda q: q["__zk"] == p["e"]["__zk"],
+                ),
+            )
+            return F.transform(firsts, lambda p: p["e"]["__zr"])
+        last = F.element_at(entries, -1)
+        prior = F.slice(entries, F.lit(1), F.size(entries) - 1)
+        return F.when(
+            ~F.exists(prior, lambda q: q["__zk"] == last["__zk"]), last["__zr"]
+        )
+
+    def _expr_if_exists(self, name: str, ctx: TranslateCtx) -> Column:
+        return F.col(name)
 
     def _analytic_window(self, call: FuncCall, ctx: TranslateCtx):
         part = [self._expr(p, ctx) for p in call.partition_by]
@@ -1049,26 +1161,39 @@ class Translator:
 
         if name in fregistry.WINDOW_META:
             if ctx.window_col:
+                # window_trigger = the window's firing time; for event-time
+                # windows that is the window end (xsql/collection.go:608)
                 fieldname = "start" if name == "window_start" else "end"
                 return F.col(f"{ctx.window_col}.{fieldname}")
             raise ValueError(f"{name}() outside a time window")
 
+        if name in ("rule_id", "rule_start", "props"):
+            if name == "rule_id":
+                return F.lit(self.rule_ctx.get("rule_id", "rule_0"))
+            if name == "rule_start":
+                return F.lit(self.rule_ctx.get("rule_start")).cast("bigint")
+            key = self._raw(call.args[0]) if call.args else None
+            val = (self.rule_ctx.get("props") or {}).get(key)
+            return F.lit(None if val is None else str(val))
+
         if name == "row_number":
             return F.row_number().over(self._analytic_window(call, ctx))
 
-        if name in ("last_hit_count", "last_hit_time"):
+        if name in self._HIT_FNS:
             # rule-trigger bookkeeping (funcs_global_state.go): count/time
             # of prior emissions.  Batch analog: position in the emission
-            # sequence.  In WHERE, the sequence is rows passing the plain
-            # conjuncts (ctx.hit_col); in SELECT, the post-filter rows.
+            # sequence.  In WHERE/HAVING, the sequence is rows passing the
+            # plain conjuncts (ctx.hit_col); in SELECT, the post-filter
+            # rows.  The agg variants run post-aggregation, ordered by
+            # window start, with emission time = window end.
             order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
-            if name == "last_hit_count":
+            if name.endswith("count"):
                 if ctx.hit_col:
                     return F.col(ctx.hit_col) - 1
                 return F.row_number().over(W.orderBy(*order)) - 1
             ec = ctx.event_col
             if ec is None:
-                raise ValueError("last_hit_time() needs an event-time column")
+                raise ValueError(f"{name}() needs an event-time column / time window")
             return F.lag(F.col(ec)).over(W.orderBy(*order))
 
         if name.startswith("acc_"):
@@ -1137,6 +1262,7 @@ def compile_sql(
     event_col: Optional[str] = None,
     watermark: Optional[str] = None,
     on_error: str = "fail",
+    rule_ctx: Optional[dict] = None,
 ) -> DataFrame:
     """Compile one ekuiper-dialect SQL statement to a DataFrame."""
     stmt = parse_sql(sql)
@@ -1148,5 +1274,6 @@ def compile_sql(
         event_col=event_col,
         watermark=watermark,
         on_error=on_error,
+        rule_ctx=rule_ctx,
     )
     return t.compile(stmt)

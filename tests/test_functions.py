@@ -133,3 +133,96 @@ def test_agg_percentiles(spark, catalog):
     r = df.collect()[0]
     assert abs(r["pc"] - r["md"]) < 1e-9
     assert r["pd"] is not None
+
+
+def test_array_map(spark, catalog):
+    # array_map applies a scalar builtin per element inside one native
+    # transform (funcs_array.go:504-560)
+    assert one(spark, catalog, "array_map('abs', array_create(-1, 2, -3))") == [1, 2, 3]
+    assert one(spark, catalog, "array_map('upper', array_create('a', 'b'))") == ["A", "B"]
+
+
+def test_tstamp_and_rule_ctx(spark, catalog):
+    import time
+
+    assert abs(one(spark, catalog, "tstamp()") - time.time() * 1000) < 60_000
+    df = compile_sql(
+        spark,
+        "SELECT rule_id() AS rid, rule_start() AS rs, props('a') AS pa "
+        "FROM events WHERE event_id = 0",
+        catalog,
+        rule_ctx={"rule_id": "r7", "rule_start": 1234, "props": {"a": "x"}},
+    )
+    r = df.collect()[0]
+    assert (r["rid"], r["rs"], r["pa"]) == ("r7", 1234, "x")
+
+
+def test_extract_srf(spark, catalog):
+    # extract(map) flattens entries into row fields (funcs_srf.go:38-51)
+    df = compile_sql(
+        spark,
+        "SELECT doc_id, extract(object_construct('ln', length(text), 'up', upper(source))) "
+        "FROM documents WHERE doc_id < 2",
+        catalog,
+    )
+    rows = df.orderBy("doc_id").collect()
+    assert df.columns == ["doc_id", "ln", "up"]
+    assert rows[0]["up"] == "SRC0" and rows[0]["ln"] > 0
+
+
+def test_window_trigger(spark, catalog):
+    df = compile_sql(
+        spark,
+        "SELECT window_start() AS ws, window_end() AS we, window_trigger() AS wt, "
+        "count(*) AS n FROM events GROUP BY TUMBLINGWINDOW(hh, 6)",
+        catalog,
+        order_cols=["ts", "event_id"],
+    )
+    r = df.collect()[0]
+    assert r["wt"] == r["we"] and r["wt"] > r["ws"]
+
+
+def test_last_agg_hit_count_in_having(spark, catalog):
+    """last_agg_hit_count gates windowed emissions (funcs_global_state.go
+    agg variants): HAVING n > 5 AND last_agg_hit_count() >= 2 skips the
+    first two qualifying windows."""
+    base = compile_sql(
+        spark,
+        "SELECT window_start() AS ws, count(*) AS n FROM events "
+        "GROUP BY TUMBLINGWINDOW(hh, 6) HAVING count(*) > 5",
+        catalog,
+        order_cols=["ts", "event_id"],
+    )
+    expected = [r["ws"] for r in base.orderBy("ws").collect()][2:]
+    gated = compile_sql(
+        spark,
+        "SELECT window_start() AS ws, count(*) AS n FROM events "
+        "GROUP BY TUMBLINGWINDOW(hh, 6) "
+        "HAVING count(*) > 5 AND last_agg_hit_count() >= 2",
+        catalog,
+        order_cols=["ts", "event_id"],
+    )
+    assert [r["ws"] for r in gated.orderBy("ws").collect()] == expected
+
+
+def test_deduplicate_row_semantics(spark, catalog):
+    """deduplicate returns whole rows (common_array_funcs.go:249-272):
+    all=true -> first-occurrence rows per key; all=false -> the latest row
+    only if its key is new, else NULL."""
+    df = compile_sql(
+        spark,
+        "SELECT event_type, deduplicate(round(value, -1), true) AS dd, "
+        "deduplicate(round(value, -1), false) AS dl "
+        "FROM events WHERE value > 150 GROUP BY event_type",
+        catalog,
+        order_cols=["ts", "event_id"],
+    )
+    for r in df.collect():
+        keys = [round(x["value"], -1) for x in r["dd"]]
+        assert len(keys) == len(set(keys))  # one row per distinct key
+        assert all(x["event_type"] == r["event_type"] for x in r["dd"])
+        # dl: either null, or the group's last event and its key is unique
+        # to it among earlier rows
+        if r["dl"] is not None:
+            last_keys = keys  # first occurrences; dl's key must be the last seen
+            assert round(r["dl"]["value"], -1) in last_keys
