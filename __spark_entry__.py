@@ -8,6 +8,12 @@ queries()         -> name -> (spark, sf_dir) -> DataFrame, one per
 oracle_sql()      -> matching ANSI SQL for DuckDB (same column names; float
                      aggregates rounded identically on both sides).
 
+EXACTLY 50 queries are declared (the driver records at most 50 CORRECTNESS
+rows — r1 recorded the first 50 of 60 declared).  Queries are merged where
+one statement exercises several operators (e.g. lag+latest+acc_sum in one
+analytic query); every entry except dp_dedup_simhash (hash-family
+dependent) carries a value-level DuckDB oracle.
+
 Queries marked dialect-routed compile ekuiper SQL through
 ekuiper_spark.compile_sql — exercising lexer/parser/translator/registry —
 others use the DataFrame API where the operator is not dialect-reachable.
@@ -61,53 +67,47 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         {},
         "SELECT event_id, event_type, value FROM events WHERE value > 100",
     ),
-    "q_expr_arith": (
+    # arithmetic + bitwise + math builtins in one statement
+    "q_expr_arith_math": (
         "SELECT event_id, value * 2 + 1 AS v2, value % 10 AS m, "
-        "user_id & 15 AS band, user_id | 1 AS bor, user_id ^ 3 AS bxor "
+        "user_id & 15 AS band, user_id | 1 AS bor, user_id ^ 3 AS bxor, "
+        "abs(value - 100) AS a, round(sqrt(value), 4) AS sq, "
+        "floor(value) AS fl, ceil(value) AS ce, round(ln(value + 1), 4) AS lnv, "
+        "round(log(value + 1), 4) AS lg, round(pow(value, 2), 4) AS p2, "
+        "round(sin(value), 4) AS sn, sign(value - 100) AS sg "
         "FROM events WHERE value > 150 AND user_id < 50",
         {},
         "SELECT event_id, value * 2 + 1 AS v2, fmod(value, 10) AS m, "
-        "user_id & 15 AS band, user_id | 1 AS bor, xor(user_id, 3) AS bxor "
+        "user_id & 15 AS band, user_id | 1 AS bor, xor(user_id, 3) AS bxor, "
+        "abs(value - 100) AS a, round(sqrt(value), 4) AS sq, "
+        "CAST(floor(value) AS BIGINT) AS fl, CAST(ceil(value) AS BIGINT) AS ce, "
+        "round(ln(value + 1), 4) AS lnv, round(log10(value + 1), 4) AS lg, "
+        "round(pow(value, 2), 4) AS p2, round(sin(value), 4) AS sn, "
+        "CAST(sign(value - 100) AS BIGINT) AS sg "
         "FROM events WHERE value > 150 AND user_id < 50",
     ),
-    "q_case_when": (
-        "SELECT event_id, CASE WHEN value > 150 THEN 'high' WHEN value > 75 "
-        "THEN 'mid' ELSE 'low' END AS band, CASE event_type WHEN 'error' "
-        "THEN 1 ELSE 0 END AS is_err FROM events",
+    # CASE (searched + simple forms) + IN + BETWEEN + NOT LIKE
+    "q_case_in_between_like": (
+        "SELECT event_id, event_type, CASE WHEN value > 150 THEN 'high' "
+        "WHEN value > 75 THEN 'mid' ELSE 'low' END AS band, "
+        "CASE event_type WHEN 'error' THEN 1 ELSE 0 END AS is_err "
+        "FROM events WHERE event_type IN ('error', 'signup') "
+        "AND value BETWEEN 50 AND 150 AND event_type NOT LIKE '%rror'",
         {},
-        "SELECT event_id, CASE WHEN value > 150 THEN 'high' WHEN value > 75 "
-        "THEN 'mid' ELSE 'low' END AS band, CASE event_type WHEN 'error' "
-        "THEN 1 ELSE 0 END AS is_err FROM events",
+        "SELECT event_id, event_type, CASE WHEN value > 150 THEN 'high' "
+        "WHEN value > 75 THEN 'mid' ELSE 'low' END AS band, "
+        "CASE event_type WHEN 'error' THEN 1 ELSE 0 END AS is_err "
+        "FROM events WHERE event_type IN ('error', 'signup') "
+        "AND value BETWEEN 50 AND 150 AND event_type NOT LIKE '%rror'",
     ),
-    "q_in_between_like": (
-        "SELECT event_id, event_type FROM events WHERE event_type IN "
-        "('error', 'signup') AND value BETWEEN 50 AND 150 AND event_type "
-        "NOT LIKE '%rror'",
-        {},
-        "SELECT event_id, event_type FROM events WHERE event_type IN "
-        "('error', 'signup') AND value BETWEEN 50 AND 150 AND event_type "
-        "NOT LIKE '%rror'",
-    ),
-    "q_groupby_agg": (
-        "SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v, "
+    "q_groupby_agg_having": (
+        "SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_v, "
         "round(avg(value), 4) AS avg_v, min(value) AS min_v, max(value) AS max_v "
-        "FROM events GROUP BY event_type",
+        "FROM events GROUP BY user_id HAVING count(*) > 5",
         {},
-        "SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v, "
+        "SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_v, "
         "round(avg(value), 4) AS avg_v, min(value) AS min_v, max(value) AS max_v "
-        "FROM events GROUP BY event_type",
-    ),
-    "q_having": (
-        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
-        "HAVING count(*) > 5",
-        {},
-        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
-        "HAVING count(*) > 5",
-    ),
-    "q_orderby_limit": (
-        "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 20",
-        {},
-        "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 20",
+        "FROM events GROUP BY user_id HAVING count(*) > 5",
     ),
     "q_agg_stats": (
         "SELECT event_type, round(stddev(value), 4) AS sd_pop, "
@@ -122,15 +122,41 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "round(quantile_cont(value, 0.9), 4) AS p90, "
         "quantile_disc(value, 0.5) AS p50d FROM events GROUP BY event_type",
     ),
+    # collection aggregates with reference row semantics (funcs_agg.go:176,
+    # common_array_funcs.go:249-272): deduplicate returns ROWS — all=true
+    # first-occurrence rows (size = distinct count), all=false the latest
+    # row only if its key is new (project its event_id)
+    "q_agg_collect_dedup": (
+        "SELECT event_type, to_json(array_sort(collect(cast(round(value, 0), "
+        "'bigint')))) AS vals, "
+        "array_cardinality(deduplicate(round(value, 0), true)) AS n_dedup, "
+        "deduplicate(round(value, 0), false) -> event_id AS last_new_id "
+        "FROM events WHERE value > 190 GROUP BY event_type",
+        {"order_cols": _ORD},
+        """
+        WITH g AS (
+          SELECT event_type,
+                 list(CAST(round(value, 0) AS BIGINT) ORDER BY ts, event_id) AS vals_ord,
+                 list(event_id ORDER BY ts, event_id) AS ids_ord
+          FROM events WHERE value > 190 GROUP BY event_type
+        )
+        SELECT event_type, to_json(list_sort(vals_ord)) AS vals,
+               len(list_distinct(vals_ord)) AS n_dedup,
+               CASE WHEN NOT list_contains(vals_ord[1:len(vals_ord)-1], vals_ord[-1])
+                    THEN ids_ord[-1] END AS last_new_id
+        FROM g
+        """,
+    ),
     # ---- windows (SURVEY §2.6) ------------------------------------------
-    "q_tumbling_window": (
-        "SELECT window_start() AS w_start, event_type, count(*) AS n, "
+    # tumbling window + window FILTER clause in one statement
+    "q_tumbling_window_filter": (
+        "SELECT window_start() AS w_start, count(*) AS n, "
         "round(sum(value), 4) AS sum_v FROM events "
-        "GROUP BY event_type, TUMBLINGWINDOW(hh, 1)",
+        "GROUP BY TUMBLINGWINDOW(hh, 1) FILTER(WHERE event_type = 'error')",
         {},
         "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start, "
-        "event_type, count(*) AS n, round(sum(value), 4) AS sum_v "
-        "FROM events GROUP BY 1, 2",
+        "count(*) AS n, round(sum(value), 4) AS sum_v "
+        "FROM events WHERE event_type = 'error' GROUP BY 1",
     ),
     "q_hopping_window": (
         "SELECT window_start() AS w_start, count(*) AS n, "
@@ -202,6 +228,58 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
                      RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
         """,
     ),
+    "q_sliding_trigger": (
+        "SELECT event_id, count(*) AS n_1h FROM events "
+        "GROUP BY SLIDINGWINDOW(hh, 1) OVER (WHEN event_type = 'error')",
+        {"order_cols": _ORD},
+        """
+        WITH x AS (
+          SELECT event_id, event_type, count(*) OVER w AS n_1h
+          FROM events
+          WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND CURRENT ROW)
+        )
+        SELECT event_id, n_1h FROM x WHERE event_type = 'error'
+        """,
+    ),
+    "q_window_join": (
+        "SELECT e1.event_id AS id_err, e2.event_id AS id_buy, e1.user_id AS uid "
+        "FROM events e1 INNER JOIN events e2 ON e1.user_id = e2.user_id "
+        "AND floor(to_seconds(e1.ts) / 3600) = floor(to_seconds(e2.ts) / 3600) "
+        "AND e1.event_type = 'error' AND e2.event_type = 'purchase'",
+        {},
+        "SELECT e1.event_id AS id_err, e2.event_id AS id_buy, e1.user_id AS uid "
+        "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
+        "AND floor(epoch(e1.ts) / 3600) = floor(epoch(e2.ts) / 3600) "
+        "AND e1.event_type = 'error' AND e2.event_type = 'purchase'",
+    ),
+    # ---- state windows (SURVEY §2.6 STATEWINDOW, window_v2_op.go) -------
+    "q_state_window": (
+        "SELECT user_id, count(*) AS n, min(ts) AS w_open, max(ts) AS w_close "
+        "FROM events GROUP BY STATEWINDOW(event_type = 'signup', "
+        "event_type = 'purchase', user_id)",
+        {"order_cols": _ORD},
+        """
+        WITH b AS (
+          SELECT *, CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS bg,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS em
+          FROM events
+        ), s AS (
+          SELECT *, sum(em) OVER w - em AS seg, row_number() OVER w AS pos
+          FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), t AS (
+          SELECT *, min(CASE WHEN bg = 1 THEN pos END) OVER w2 AS first_b,
+                 max(em) OVER w2 AS has_emit
+          FROM s WINDOW w2 AS (PARTITION BY user_id, seg)
+        )
+        SELECT user_id, count(*) AS n, min(ts) AS w_open, max(ts) AS w_close
+        FROM t WHERE first_b IS NOT NULL AND pos >= first_b AND has_emit = 1
+        GROUP BY user_id, seg
+        """,
+    ),
+    # (single-condition STATEWINDOW islands are covered by pytest:
+    # tests/test_control_plane.py::test_state_window_islands + the golden
+    # corpus — dropped from the 50-row driver budget)
     # ---- joins (SURVEY §2.4) --------------------------------------------
     "q_join_lookup": (
         "SELECT e.event_id, e.value, n.n_name FROM events e "
@@ -249,6 +327,7 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "JOIN region r ON n.n_regionkey = r.r_regionkey "
         "GROUP BY r.r_name, n.n_name",
     ),
+    # ---- wider relational surface (TPC-H-ish shapes) --------------------
     "q_tpch_q1_like": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
         "round(sum(l_extendedprice), 4) AS sum_base, "
@@ -264,169 +343,6 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus",
     ),
-    # ---- analytic / window functions (SURVEY §2.7) ----------------------
-    "q_analytic_lag": (
-        "SELECT event_id, value, lag(value) OVER (PARTITION BY user_id) AS prev_v "
-        "FROM events WHERE user_id < 10",
-        {"order_cols": _ORD},
-        "SELECT event_id, value, lag(value) OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_v "
-        "FROM events WHERE user_id < 10",
-    ),
-    "q_analytic_changed": (
-        "SELECT event_id, changed_col(true, event_type) OVER "
-        "(PARTITION BY user_id) AS changed_type FROM events WHERE user_id < 10",
-        {"order_cols": _ORD},
-        """
-        SELECT event_id, CASE WHEN lag(event_type) OVER w IS NULL
-               OR event_type != lag(event_type) OVER w THEN event_type END
-               AS changed_type
-        FROM events WHERE user_id < 10
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        """,
-    ),
-    "q_row_number_topk": (
-        "SELECT user_id, event_id, rn FROM "
-        "events WHERE user_id < 5",  # placeholder; replaced below
-        {},
-        "",
-    ),
-    "q_acc_running_sum": (
-        "SELECT event_id, user_id, round(acc_sum(value) OVER "
-        "(PARTITION BY user_id), 4) AS running_sum FROM events WHERE user_id < 10",
-        {"order_cols": _ORD},
-        "SELECT event_id, user_id, round(sum(value) OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) "
-        "AS running_sum FROM events WHERE user_id < 10",
-    ),
-    # ---- scalar function coverage (SURVEY §2.10) ------------------------
-    "q_scalar_string": (
-        "SELECT doc_id, upper(source) AS up, lower(source) AS lo, "
-        "length(text) AS ln, substring(source, 0, 3) AS sub3, "
-        "concat(source, '-', lang) AS cc, indexof(source, 'rc') AS idx, "
-        "reverse(source) AS rev, lpad(lang, 5) AS pad, trim(source) AS tr, "
-        "split_value(source, 'rc', 0) AS sv "
-        "FROM documents",
-        {},
-        "SELECT doc_id, upper(source) AS up, lower(source) AS lo, "
-        "length(text)::INTEGER AS ln, source[1:3] AS sub3, "
-        "concat(source, '-', lang) AS cc, (strpos(source, 'rc') - 1)::INTEGER AS idx, "
-        "reverse(source) AS rev, lpad(lang, 5, ' ') AS pad, trim(source) AS tr, "
-        "string_split(source, 'rc')[1] AS sv "
-        "FROM documents",
-    ),
-    "q_scalar_math": (
-        "SELECT event_id, abs(value - 100) AS a, round(sqrt(value), 4) AS sq, "
-        "floor(value) AS fl, ceil(value) AS ce, round(ln(value + 1), 4) AS lnv, "
-        "round(log(value + 1), 4) AS lg, round(pow(value, 2), 4) AS p2, "
-        "round(sin(value), 4) AS sn, sign(value - 100) AS sg, "
-        "round(value, 1) AS r1 FROM events WHERE value > 0",
-        {},
-        "SELECT event_id, abs(value - 100) AS a, round(sqrt(value), 4) AS sq, "
-        "CAST(floor(value) AS BIGINT) AS fl, CAST(ceil(value) AS BIGINT) AS ce, "
-        "round(ln(value + 1), 4) AS lnv, "
-        "round(log10(value + 1), 4) AS lg, round(pow(value, 2), 4) AS p2, "
-        "round(sin(value), 4) AS sn, CAST(sign(value - 100) AS BIGINT) AS sg, "
-        "round(value, 1) AS r1 FROM events WHERE value > 0",
-    ),
-    "q_scalar_datetime": (
-        "SELECT event_id, year(ts) AS y, month(ts) AS mo, day(ts) AS d, "
-        "hour(ts) AS h, minute(ts) AS mi, second(ts) AS s, "
-        "day_of_year(ts) AS doy, format_time(ts, 'YYYY-MM-dd') AS fmt "
-        "FROM events WHERE event_id < 500",
-        {},
-        "SELECT event_id, year(ts)::INTEGER AS y, month(ts)::INTEGER AS mo, "
-        "day(ts)::INTEGER AS d, hour(ts)::INTEGER AS h, minute(ts)::INTEGER AS mi, "
-        "floor(second(ts))::INTEGER AS s, dayofyear(ts)::INTEGER AS doy, "
-        "strftime(ts, '%Y-%m-%d') AS fmt FROM events WHERE event_id < 500",
-    ),
-    "q_scalar_hash_json": (
-        "SELECT event_id, md5(event_type) AS h_md5, sha256(event_type) AS h_sha, "
-        "json_path_query(props, '$.k') AS k, cast(json_path_query(props, '$.k'), "
-        "'bigint') * 2 AS k2, dec2hex(user_id) AS hx "
-        "FROM events WHERE event_id < 500",
-        {},
-        "SELECT event_id, md5(event_type) AS h_md5, sha256(event_type) AS h_sha, "
-        "json_extract_string(props, '$.k') AS k, "
-        "CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2, "
-        "'0x' || format('{:x}', user_id) AS hx "
-        "FROM events WHERE event_id < 500",
-    ),
-    "q_wildcard_except_replace": (
-        "SELECT * EXCEPT(props, ts) REPLACE(round(value * 1.1, 4) AS value) "
-        "FROM events WHERE event_id < 200",
-        {},
-        "SELECT event_id, user_id, event_type, round(value * 1.1, 4) AS value "
-        "FROM events WHERE event_id < 200",
-    ),
-    # ---- SRF (SURVEY §2.10 unnest) --------------------------------------
-    "q_srf_unnest": (
-        "SELECT vec_id, unnest(embedding) AS emb FROM embeddings WHERE vec_id < 50",
-        {},
-        "SELECT vec_id, unnest(embedding) AS emb FROM embeddings WHERE vec_id < 50",
-    ),
-    # ---- state windows (SURVEY §2.6 STATEWINDOW, window_v2_op.go) -------
-    "q_state_window": (
-        "SELECT user_id, count(*) AS n, min(ts) AS w_open, max(ts) AS w_close "
-        "FROM events GROUP BY STATEWINDOW(event_type = 'signup', "
-        "event_type = 'purchase', user_id)",
-        {"order_cols": _ORD},
-        """
-        WITH b AS (
-          SELECT *, CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS bg,
-                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS em
-          FROM events
-        ), s AS (
-          SELECT *, sum(em) OVER w - em AS seg, row_number() OVER w AS pos
-          FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ), t AS (
-          SELECT *, min(CASE WHEN bg = 1 THEN pos END) OVER w2 AS first_b,
-                 max(em) OVER w2 AS has_emit
-          FROM s WINDOW w2 AS (PARTITION BY user_id, seg)
-        )
-        SELECT user_id, count(*) AS n, min(ts) AS w_open, max(ts) AS w_close
-        FROM t WHERE first_b IS NOT NULL AND pos >= first_b AND has_emit = 1
-        GROUP BY user_id, seg
-        """,
-    ),
-    "q_state_window_single": (
-        "SELECT count(*) AS n, min(event_id) AS first_id FROM events "
-        "GROUP BY STATEWINDOW(value > 150)",
-        {"order_cols": _ORD},
-        """
-        WITH b AS (
-          SELECT *, CASE WHEN value > 150 THEN 1 ELSE 0 END AS c FROM events
-        ), s AS (
-          SELECT *, sum(CASE WHEN prev IS NULL OR prev != c THEN 1 ELSE 0 END)
-                    OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS island
-          FROM (SELECT *, lag(c) OVER (ORDER BY ts, event_id) AS prev FROM b)
-        )
-        SELECT count(*) AS n, min(event_id) AS first_id
-        FROM s WHERE c = 1 GROUP BY island
-        """,
-    ),
-    # ---- more analytic funcs (SURVEY §2.7) ------------------------------
-    "q_analytic_latest": (
-        "SELECT event_id, latest(CASE WHEN event_type = 'purchase' THEN value END) "
-        "OVER (PARTITION BY user_id) AS last_purchase FROM events WHERE user_id < 10",
-        {"order_cols": _ORD},
-        "SELECT event_id, last_value(CASE WHEN event_type = 'purchase' THEN value END "
-        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS UNBOUNDED PRECEDING) AS last_purchase FROM events WHERE user_id < 10",
-    ),
-    "q_analytic_had_changed": (
-        "SELECT event_id, had_changed(true, event_type, user_id) OVER "
-        "(PARTITION BY user_id) AS chg FROM events WHERE user_id < 10",
-        {"order_cols": _ORD},
-        """
-        SELECT event_id,
-               (lag(event_type) OVER w IS NULL OR event_type != lag(event_type) OVER w
-                OR lag(user_id) OVER w IS NULL OR user_id != lag(user_id) OVER w) AS chg
-        FROM events WHERE user_id < 10
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        """,
-    ),
-    # ---- wider relational surface (TPC-H-ish shapes) --------------------
     "q_tpch_q3_like": (
         "SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) "
         "AS revenue, o.o_orderdate FROM customer c "
@@ -463,45 +379,46 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "JOIN region r ON n.n_regionkey = r.r_regionkey "
         "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
     ),
-    # ---- sliding trigger / window filter / windowed join / changed_cols --
-    "q_sliding_trigger": (
-        "SELECT event_id, count(*) AS n_1h FROM events "
-        "GROUP BY SLIDINGWINDOW(hh, 1) OVER (WHEN event_type = 'error')",
+    # ---- analytic / window functions (SURVEY §2.7) ----------------------
+    # lag + latest + accumulator in one statement (funcs_analytic.go,
+    # funcs_acc.go)
+    "q_analytic_lag_latest": (
+        "SELECT event_id, value, lag(value) OVER (PARTITION BY user_id) AS prev_v, "
+        "latest(CASE WHEN event_type = 'purchase' THEN value END) "
+        "OVER (PARTITION BY user_id) AS last_purchase, "
+        "round(acc_sum(value) OVER (PARTITION BY user_id), 4) AS running_sum "
+        "FROM events WHERE user_id < 10",
         {"order_cols": _ORD},
         """
-        WITH x AS (
-          SELECT event_id, event_type, count(*) OVER w AS n_1h
-          FROM events
-          WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
-                       AND CURRENT ROW)
-        )
-        SELECT event_id, n_1h FROM x WHERE event_type = 'error'
+        SELECT event_id, value,
+               lag(value) OVER w AS prev_v,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                 AS last_purchase,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 4) AS running_sum
+        FROM events WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
     ),
-    "q_window_filter": (
-        "SELECT window_start() AS ws, count(*) AS n FROM events "
-        "GROUP BY TUMBLINGWINDOW(hh, 1) FILTER(WHERE event_type = 'error')",
-        {},
-        "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS ws, "
-        "count(*) AS n FROM events WHERE event_type = 'error' GROUP BY 1",
-    ),
-    "q_window_join": (
-        "SELECT e1.event_id AS id_err, e2.event_id AS id_buy, e1.user_id AS uid "
-        "FROM events e1 INNER JOIN events e2 ON e1.user_id = e2.user_id "
-        "AND floor(to_seconds(e1.ts) / 3600) = floor(to_seconds(e2.ts) / 3600) "
-        "AND e1.event_type = 'error' AND e2.event_type = 'purchase'",
-        {},
-        "SELECT e1.event_id AS id_err, e2.event_id AS id_buy, e1.user_id AS uid "
-        "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
-        "AND floor(epoch(e1.ts) / 3600) = floor(epoch(e2.ts) / 3600) "
-        "AND e1.event_type = 'error' AND e2.event_type = 'purchase'",
-    ),
-    "q_changed_cols": (
-        "SELECT event_id, changed_cols('c_', true, event_type, user_id) "
+    # changed_col + had_changed + multi-column changed_cols in one
+    # statement (funcs_analytic.go:31-71, funcs_cols.go)
+    "q_analytic_changed_family": (
+        "SELECT event_id, changed_col(true, event_type) OVER "
+        "(PARTITION BY user_id) AS changed_type, "
+        "had_changed(true, event_type, user_id) OVER "
+        "(PARTITION BY user_id) AS chg, "
+        "changed_cols('c_', true, event_type, user_id) "
         "OVER (PARTITION BY user_id) FROM events WHERE user_id < 10",
         {"order_cols": _ORD},
         """
         SELECT event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type != lag(event_type) OVER w THEN event_type END
+                 AS changed_type,
+               (lag(event_type) OVER w IS NULL OR event_type != lag(event_type) OVER w
+                OR lag(user_id) OVER w IS NULL OR user_id != lag(user_id) OVER w) AS chg,
                CASE WHEN lag(event_type) OVER w IS NULL
                     OR event_type != lag(event_type) OVER w
                     THEN event_type END AS c_event_type,
@@ -512,15 +429,92 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
     ),
-    # ---- collection aggregates (funcs_agg.go collect/deduplicate) -------
-    "q_agg_collect_dedup": (
-        "SELECT event_type, array_sort(collect(round(value, 0))) AS vals, "
-        "array_sort(deduplicate(round(value, 0), false)) AS dvals "
-        "FROM events WHERE value > 190 GROUP BY event_type",
+    "q_row_number_topk": (
+        "SELECT user_id, event_id, rn FROM "
+        "events WHERE user_id < 5",  # placeholder; replaced below
         {},
-        "SELECT event_type, list_sort(list(round(value, 0))) AS vals, "
-        "list_sort(list_distinct(list(round(value, 0)))) AS dvals "
-        "FROM events WHERE value > 190 GROUP BY event_type",
+        "",
+    ),
+    # ---- scalar function coverage (SURVEY §2.10) ------------------------
+    # string + datetime builtins in one statement (funcs_str.go,
+    # funcs_datetime.go; 0-based substring/indexof/split_value semantics)
+    "q_scalar_string_datetime": (
+        "SELECT event_id, upper(event_type) AS up, lower(event_type) AS lo, "
+        "length(event_type) AS ln, substring(event_type, 0, 3) AS sub3, "
+        "concat(event_type, '-', cast(user_id, 'string')) AS cc, "
+        "indexof(event_type, 'r') AS idx, reverse(event_type) AS rev, "
+        "lpad(event_type, 9) AS pad, trim(event_type) AS tr, "
+        "split_value(event_type, 'r', 0) AS sv, "
+        "year(ts) AS y, month(ts) AS mo, day(ts) AS d, hour(ts) AS h, "
+        "minute(ts) AS mi, second(ts) AS s, day_of_year(ts) AS doy, "
+        "format_time(ts, 'YYYY-MM-dd') AS fmt "
+        "FROM events WHERE event_id < 500",
+        {},
+        "SELECT event_id, upper(event_type) AS up, lower(event_type) AS lo, "
+        "length(event_type)::INTEGER AS ln, event_type[1:3] AS sub3, "
+        "concat(event_type, '-', user_id::VARCHAR) AS cc, "
+        "(strpos(event_type, 'r') - 1)::INTEGER AS idx, reverse(event_type) AS rev, "
+        "lpad(event_type, 9, ' ') AS pad, trim(event_type) AS tr, "
+        "string_split(event_type, 'r')[1] AS sv, "
+        "year(ts)::INTEGER AS y, month(ts)::INTEGER AS mo, day(ts)::INTEGER AS d, "
+        "hour(ts)::INTEGER AS h, minute(ts)::INTEGER AS mi, "
+        "floor(second(ts))::INTEGER AS s, dayofyear(ts)::INTEGER AS doy, "
+        "strftime(ts, '%Y-%m-%d') AS fmt FROM events WHERE event_id < 500",
+    ),
+    "q_scalar_hash_json": (
+        "SELECT event_id, md5(event_type) AS h_md5, sha256(event_type) AS h_sha, "
+        "json_path_query(props, '$.k') AS k, cast(json_path_query(props, '$.k'), "
+        "'bigint') * 2 AS k2, dec2hex(user_id) AS hx "
+        "FROM events WHERE event_id < 500",
+        {},
+        "SELECT event_id, md5(event_type) AS h_md5, sha256(event_type) AS h_sha, "
+        "json_extract_string(props, '$.k') AS k, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2, "
+        "'0x' || format('{:x}', user_id) AS hx "
+        "FROM events WHERE event_id < 500",
+    ),
+    # array builtins incl. array_map (funcs_array.go:504; 0-based
+    # index/position semantics)
+    "q_scalar_array": (
+        "SELECT vec_id, array_cardinality(embedding) AS card, "
+        "round(cast(embedding[0], 'float'), 4) AS e0, "
+        "round(cast(embedding[-1], 'float'), 4) AS elast, "
+        "round(cast(array_max(array_map('abs', embedding)), 'float'), 4) AS max_abs, "
+        "round(cast(array_min(embedding), 'float'), 4) AS mn, "
+        "array_position(array_create(10, 20, 30), 20) AS pos, "
+        "array_contains(array_create(1, 2, 3), 2) AS has2, "
+        "array_join(array_create('a', 'b'), '-') AS aj "
+        "FROM embeddings WHERE vec_id < 50",
+        {},
+        "SELECT vec_id, len(embedding)::INTEGER AS card, "
+        "round(embedding[1]::DOUBLE, 4) AS e0, "
+        "round(embedding[-1]::DOUBLE, 4) AS elast, "
+        "round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 4) AS max_abs, "
+        "round(list_min(embedding::DOUBLE[]), 4) AS mn, "
+        "(list_position([10, 20, 30], 20) - 1)::BIGINT AS pos, "
+        "list_contains([1, 2, 3], 2) AS has2, "
+        "array_to_string(['a', 'b'], '-') AS aj "
+        "FROM embeddings WHERE vec_id < 50",
+    ),
+    "q_wildcard_except_replace": (
+        "SELECT * EXCEPT(props, ts) REPLACE(round(value * 1.1, 4) AS value) "
+        "FROM events WHERE event_id < 200",
+        {},
+        "SELECT event_id, user_id, event_type, round(value * 1.1, 4) AS value "
+        "FROM events WHERE event_id < 200",
+    ),
+    # ---- SRFs (funcs_srf.go:26-51) --------------------------------------
+    "q_srf_unnest": (
+        "SELECT vec_id, unnest(embedding) AS emb FROM embeddings WHERE vec_id < 50",
+        {},
+        "SELECT vec_id, unnest(embedding) AS emb FROM embeddings WHERE vec_id < 50",
+    ),
+    "q_srf_extract": (
+        "SELECT doc_id, extract(object_construct('n_chars', length(text), "
+        "'src_up', upper(source))) FROM documents WHERE doc_id < 200",
+        {},
+        "SELECT doc_id, length(text)::INTEGER AS n_chars, upper(source) AS src_up "
+        "FROM documents WHERE doc_id < 200",
     ),
 }
 
@@ -552,17 +546,34 @@ SELECT user_id, event_id, value, rn FROM x WHERE rn <= 3
 # ===========================================================================
 # datapipe queries (dedup / similarity / text analysis / multimodal)
 # ===========================================================================
+def _with_exact_dups(docs: DataFrame) -> DataFrame:
+    """Union the corpus with verbatim copies of doc_id < 10 (ids shifted by
+    100000) so exact-dedup checks are non-vacuous on the fixture."""
+    dup = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return docs.unionByName(dup)
+
+
+_SQL_WITH_DUPS = """(
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 10
+)"""
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ekuiper_spark.datapipe.dedup import exact_dup_groups
 
-    return exact_dup_groups(_cat(sf_dir).load(spark, "documents"))
+    return exact_dup_groups(_with_exact_dups(_cat(sf_dir).load(spark, "documents")))
 
 
-_ORACLE_DEDUP_EXACT = r"""
+_ORACLE_DEDUP_EXACT = rf"""
 WITH n AS (
   SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
-         '[.,;:!?''"()\[\]{}<>-]', '', 'g'), '\s+', ' ', 'g'))) AS content_hash
-  FROM documents
+         '[.,;:!?''"()\[\]{{}}<>-]', '', 'g'), '\s+', ' ', 'g'))) AS content_hash
+  FROM {_SQL_WITH_DUPS}
 )
 SELECT content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
 FROM n GROUP BY content_hash HAVING count(*) > 1
@@ -601,10 +612,14 @@ FROM p WHERE shared / (n_a + n_b - shared) >= 0.8
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with exact-Jaccard verification of candidates.  With 16
+    bands x 3 rows the banding recall at j>=0.8 is 1 - (1-0.8^3)^16 ~ 0.99999;
+    on the fixture the output equals the exact jaccard_pairs result, so the
+    exact oracle applies (the verify step guarantees no false positives)."""
     from ekuiper_spark.datapipe.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _cat(sf_dir).load(spark, "documents"), num_hashes=32, bands=8, verify_threshold=0.8
+        _cat(sf_dir).load(spark, "documents"), num_hashes=48, bands=16, verify_threshold=0.8
     )
 
 
@@ -616,9 +631,11 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + punctuation ratio + quality score + fingerprint in
+    one pass — all native expressions, no UDFs."""
     from ekuiper_spark.datapipe.textstats import (
-        bpe_ish_token_count, punct_ratio, token_count,
+        bpe_ish_token_count, fingerprint, punct_ratio, quality_score, token_count,
     )
 
     df = _cat(sf_dir).load(spark, "documents")
@@ -629,20 +646,47 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count(t).alias("n_tokens_bpe"),
         F.length(t).alias("n_chars_calc"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
     )
 
 
-_ORACLE_TEXT_STATS = r"""
-SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))::INTEGER AS n_tokens,
-       (len(list_filter(string_split_regex(text, '[^A-Za-z0-9_]+'), x -> x != ''))
-         + length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}<>-]', '', 'g')))::INTEGER
-         AS n_tokens_bpe,
-       length(text)::INTEGER AS n_chars_calc,
-       round((length(text) - length(regexp_replace(text,
-         '[.,;:!?''"()\[\]{}<>-]', '', 'g'))) * 1.0 / length(text), 6) AS punct_ratio
-FROM documents
-"""
+def _sw_list(lang: str) -> str:
+    from ekuiper_spark.datapipe.textstats import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _oracle_text_quality() -> str:
+    punct = r"""length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}<>-]', '', 'g'))"""
+    toks = r"""list_filter(string_split_regex(text, '\s+'), x -> x != '')"""
+    norm = r"""trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?''"()\[\]{}<>-]', '', 'g'), '\s+', ' ', 'g'))"""
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             len({toks})::INTEGER AS n_tokens,
+             (len(list_filter(string_split_regex(text, '[^A-Za-z0-9_]+'), x -> x != ''))
+               + {punct})::INTEGER AS n_tokens_bpe,
+             length(text)::INTEGER AS n_chars_calc,
+             round(({punct}) * 1.0 / length(text), 6) AS punct_ratio,
+             length(text) AS n,
+             ({punct}) * 1.0 / length(text) AS pr,
+             len(list_filter(list_transform({toks}, x -> lower(x)),
+                 x -> list_contains({_sw_list('en')}, x))) * 1.0
+               / greatest(len({toks}), 1) AS swr,
+             list_sum(list_transform({toks}, x -> length(x))) * 1.0
+               / greatest(len({toks}), 1) AS wl
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_tokens_bpe, n_chars_calc, punct_ratio,
+           (CASE WHEN n BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN swr > 0.01 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) / 4.0
+             AS quality,
+           md5({norm}) AS fingerprint
+    FROM t
+    """
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,12 +694,6 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = _cat(sf_dir).load(spark, "documents")
     return df.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
-
-
-def _sw_list(lang: str) -> str:
-    from ekuiper_spark.datapipe.textstats import STOPWORDS
-
-    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
 def _oracle_lang_id() -> str:
@@ -685,45 +723,6 @@ def _oracle_lang_id() -> str:
     """
 
 
-def _oracle_quality() -> str:
-    # replicates textstats.quality_score + fingerprint
-    punct = r"""length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}<>-]', '', 'g'))"""
-    toks = r"""list_filter(string_split_regex(text, '\s+'), x -> x != '')"""
-    norm = r"""trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?''"()\[\]{}<>-]', '', 'g'), '\s+', ' ', 'g'))"""
-    return f"""
-    WITH t AS (
-      SELECT doc_id, text,
-             length(text) AS n,
-             ({punct}) * 1.0 / length(text) AS pr,
-             len(list_filter(list_transform({toks}, x -> lower(x)),
-                 x -> list_contains({_sw_list('en')}, x))) * 1.0
-               / greatest(len({toks}), 1) AS swr,
-             list_sum(list_transform({toks}, x -> length(x))) * 1.0
-               / greatest(len({toks}), 1) AS wl
-      FROM documents
-    )
-    SELECT doc_id,
-           (CASE WHEN n BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END
-            + CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.0 END
-            + CASE WHEN swr > 0.01 THEN 1.0 ELSE 0.0 END
-            + CASE WHEN wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) / 4.0
-             AS quality,
-           md5({norm}) AS fingerprint
-    FROM t
-    """
-
-
-def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ekuiper_spark.datapipe.textstats import fingerprint, quality_score
-
-    df = _cat(sf_dir).load(spark, "documents")
-    return df.select(
-        "doc_id",
-        quality_score(F.col("text")).alias("quality"),
-        fingerprint(F.col("text")).alias("fingerprint"),
-    )
-
-
 def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ekuiper_spark.datapipe.similarity import cosine_topk
 
@@ -743,23 +742,93 @@ ORDER BY cosine_sim DESC, vec_id LIMIT 10
 """
 
 
+def _near_dup_injected(df: DataFrame, n: int = 5, base: int = 200000) -> DataFrame:
+    """Union with direction-preserving scaled copies (cosine exactly 1.0
+    against their originals) — true near-duplicates for near-dup checks on
+    the otherwise-random fixture embeddings."""
+    dup = (
+        df.filter(F.col("vec_id") < n)
+        .withColumn("vec_id", F.col("vec_id") + base)
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: (x * F.lit(2.0)).cast("double")),
+        )
+    )
+    return df.unionByName(dup)
+
+
+_SQL_EMB_INJECTED = """(
+  SELECT vec_id, embedding::DOUBLE[] AS embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 2.0) AS embedding, label
+  FROM embeddings WHERE vec_id < 5
+)"""
+
+
+def _query_copies_injected(df: DataFrame, scales=(2.0, 3.0, 4.0, 5.0, 6.0)) -> DataFrame:
+    """Union with scaled copies of the QUERY vector (vec_id 0): the only
+    true near neighbors (cosine 1.0) in the random fixture."""
+    out = df
+    for s in scales:
+        out = out.unionByName(
+            df.filter(F.col("vec_id") == 0)
+            .withColumn("vec_id", F.lit(200000 + int(s)).cast("long"))
+            .withColumn(
+                "embedding",
+                F.transform(F.col("embedding"), lambda x: (x * F.lit(s)).cast("double")),
+            )
+        )
+    return out
+
+
+_SQL_QUERY_COPIES = """(
+  SELECT vec_id, embedding::DOUBLE[] AS embedding, label FROM embeddings
+  UNION ALL
+  SELECT 200000 + s.i AS vec_id,
+         list_transform(e.embedding::DOUBLE[], x -> x * s.i) AS embedding, e.label
+  FROM embeddings e, (SELECT unnest(range(2, 7)) AS i) s
+  WHERE e.vec_id = 0
+)"""
+
+
 def _q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k with injected true near-duplicates: five scaled copies of
+    the query vector (cosine 1.0) land in the SAME hyperplane bucket, so
+    LSH recalls all of them and the result equals the exact top-5 — the
+    oracle-checkable recall demonstration (random fixture vectors have no
+    true neighbors, so raw ANN recall there is meaningless)."""
     from ekuiper_spark.datapipe.similarity import lsh_topk
 
-    df = _cat(sf_dir).load(spark, "embeddings")
+    df = _query_copies_injected(_cat(sf_dir).load(spark, "embeddings"))
     qv = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return lsh_topk(df.filter(F.col("vec_id") != 0), qv, k=10, n_planes=10)
+    return lsh_topk(df.filter(F.col("vec_id") != 0), qv, k=5, n_planes=10)
+
+
+_ORACLE_SIM_LSH = f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM {_SQL_QUERY_COPIES}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+         AS cosine_sim
+FROM e, q WHERE vec_id != 0
+ORDER BY cosine_sim DESC, vec_id LIMIT 5
+"""
 
 
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs over the dup-injected corpus: each scaled
+    copy pairs with its original at cosine 1.0 (non-vacuous check; the raw
+    random fixture has no pairs above 0.9)."""
     from ekuiper_spark.datapipe.similarity import embedding_near_dup_pairs
 
-    emb = _cat(sf_dir).load(spark, "embeddings")
+    emb = _near_dup_injected(_cat(sf_dir).load(spark, "embeddings"), n=5)
     return embedding_near_dup_pairs(emb, threshold=0.9, exact=True)
 
 
-_ORACLE_EMBEDDING_DEDUP = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+_ORACLE_EMBEDDING_DEDUP = f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM {_SQL_EMB_INJECTED})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
@@ -829,25 +898,13 @@ FROM documents
 def _q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ekuiper_spark.streaming.runtime import run_rule_available_now
 
-    out = run_rule_available_now(
+    return run_rule_available_now(
         spark,
         _cat(sf_dir),
         "SELECT window_start() AS w_start, event_type, count(*) AS n, "
         "round(sum(value), 4) AS sum_v FROM events "
         "GROUP BY event_type, TUMBLINGWINDOW(hh, 1)",
         output_mode="complete",
-    )
-    return out
-
-
-def _q_streaming_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ekuiper_spark.streaming.runtime import run_rule_available_now
-
-    return run_rule_available_now(
-        spark,
-        _cat(sf_dir),
-        "SELECT event_id, event_type, value FROM events WHERE value > 150",
-        output_mode="append",
     )
 
 
@@ -880,15 +937,61 @@ def _q_streaming_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNTWINDOW(100) as a custom stateful streaming operator
-    (applyInPandasWithState; reference window_op.go:520-568)."""
+    """COUNTWINDOW(100) through compile_sql(streaming=True) — the rule
+    path, routed to the generic stateful operator
+    (window_op.go:520-568)."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    out = run_rule_available_now(
+        spark,
+        _cat(sf_dir),
+        "SELECT count(*) AS n, round(sum(value), 4) AS sum_v, "
+        "min(ts) AS first_ts, max(ts) AS last_ts "
+        "FROM events GROUP BY COUNTWINDOW(100)",
+        output_mode="append",
+        order_cols=_ORD,
+    )
+    return out
+
+
+_ORACLE_STREAM_COUNT_WINDOW = """
+WITH x AS (
+  SELECT *, (row_number() OVER (ORDER BY ts, event_id) - 1) // 100 AS wid
+  FROM events
+)
+SELECT count(*) AS n, round(sum(value), 4) AS sum_v,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM x GROUP BY wid HAVING count(*) = 100
+"""
+
+
+def _q_streaming_state_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEWINDOW(begin, emit, partition) through compile_sql
+    (streaming=True) — keyed stateful state windows
+    (window_v2_op.go:124-247)."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    return run_rule_available_now(
+        spark,
+        _cat(sf_dir),
+        "SELECT user_id, count(*) AS n, min(ts) AS w_open, max(ts) AS w_close "
+        "FROM events GROUP BY STATEWINDOW(event_type = 'signup', "
+        "event_type = 'purchase', user_id)",
+        output_mode="append",
+        order_cols=_ORD,
+    )
+
+
+def _q_streaming_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed lag as a custom stateful streaming operator (cross-batch
+    last-value state; funcs_analytic.go:124-207)."""
     import uuid as _uuid
 
-    from ekuiper_spark.streaming.stateful import count_window_stream
+    from ekuiper_spark.streaming.stateful import lag_stream
 
-    sdf = _cat(sf_dir).load(spark, "events", streaming=True)
-    out = count_window_stream(sdf, 100)
-    name = "cw_" + _uuid.uuid4().hex[:8]
+    sdf = _cat(sf_dir).load(spark, "events", streaming=True).filter(F.col("user_id") < 10)
+    out = lag_stream(sdf, "user_id", "value")
+    name = "st_" + _uuid.uuid4().hex[:8]
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -898,33 +1001,6 @@ def _q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select(
-        "wid", "n", F.round("sum_v", 4).alias("sum_v"), "first_ts", "last_ts"
-    )
-
-
-def _run_stream_to_table(spark: SparkSession, out_df) -> DataFrame:
-    import uuid as _uuid
-
-    name = "st_" + _uuid.uuid4().hex[:8]
-    q = (
-        out_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
-
-
-def _q_streaming_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyed lag as a custom stateful streaming operator (cross-batch
-    last-value state; funcs_analytic.go:124-207)."""
-    from ekuiper_spark.streaming.stateful import lag_stream
-
-    sdf = _cat(sf_dir).load(spark, "events", streaming=True).filter(F.col("user_id") < 10)
-    out = lag_stream(sdf, "user_id", "value")
-    return _run_stream_to_table(spark, out).select(
         F.col("part").alias("user_id"), "event_id", "value", "prev_value"
     )
 
@@ -937,14 +1013,17 @@ FROM events WHERE user_id < 10
 
 
 def _q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event sliding window as a stateful streaming operator
-    (window_op.go:593-619)."""
-    from ekuiper_spark.streaming.stateful import sliding_window_stream
+    """Per-event sliding window through compile_sql(streaming=True) —
+    pandas-rolling stateful aggregation (window_op.go:593-619)."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
 
-    sdf = _cat(sf_dir).load(spark, "events", streaming=True)
-    out = sliding_window_stream(sdf, 3600)
-    return _run_stream_to_table(spark, out).select(
-        "event_id", "n_w", F.round("sum_w", 4).alias("sum_w")
+    return run_rule_available_now(
+        spark,
+        _cat(sf_dir),
+        "SELECT event_id, count(*) AS n_w, round(sum(value), 4) AS sum_w "
+        "FROM events GROUP BY SLIDINGWINDOW(hh, 1)",
+        output_mode="append",
+        order_cols=_ORD,
     )
 
 
@@ -952,17 +1031,6 @@ _ORACLE_STREAM_SLIDING = """
 SELECT event_id, count(*) OVER w AS n_w, round(sum(value) OVER w, 4) AS sum_w
 FROM events
 WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-"""
-
-
-_ORACLE_STREAM_COUNT_WINDOW = """
-WITH x AS (
-  SELECT *, (row_number() OVER (ORDER BY ts, event_id) - 1) // 100 AS wid
-  FROM events
-)
-SELECT wid, count(*) AS n, round(sum(value), 4) AS sum_v,
-       min(ts) AS first_ts, max(ts) AS last_ts
-FROM x GROUP BY wid HAVING count(*) = 100
 """
 
 
@@ -998,21 +1066,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dp_dedup_jaccard"] = _q_dedup_jaccard
     out["dp_dedup_minhash_lsh"] = _q_dedup_minhash
     out["dp_dedup_simhash"] = _q_dedup_simhash
-    out["dp_text_stats"] = _q_text_stats
+    out["dp_text_quality"] = _q_text_quality
     out["dp_lang_id"] = _q_lang_id
-    out["dp_quality_fingerprint"] = _q_quality
     out["dp_sim_topk_bruteforce"] = _q_sim_topk
     out["dp_sim_topk_lsh"] = _q_sim_lsh
     out["dp_knn_join_exact"] = _q_knn_join
     out["dp_dedup_embedding"] = _q_embedding_dedup
     out["dp_multimodal_meta"] = _q_multimodal_meta
     out["s_streaming_tumbling"] = _q_streaming_tumbling
-    out["s_streaming_filter"] = _q_streaming_filter
+    out["s_streaming_session"] = _q_streaming_session
+    out["s_streaming_lookup_join"] = _q_streaming_lookup_join
     out["s_streaming_count_window"] = _q_streaming_count_window
+    out["s_streaming_state_window"] = _q_streaming_state_window
     out["s_streaming_lag"] = _q_streaming_lag
     out["s_streaming_sliding"] = _q_streaming_sliding
-    out["s_streaming_lookup_join"] = _q_streaming_lookup_join
-    out["s_streaming_session"] = _q_streaming_session
+    assert len(out) == 50, f"exactly 50 driver queries required, got {len(out)}"
     return {name: _with_conf(fn) for name, fn in out.items()}
 
 
@@ -1024,26 +1092,29 @@ def oracle_sql() -> dict[str, str]:
     out["q_row_number_topk"] = _ORACLE_ROW_NUMBER
     out["dp_dedup_exact"] = _ORACLE_DEDUP_EXACT
     out["dp_dedup_jaccard"] = _ORACLE_DEDUP_JACCARD
-    # dp_dedup_minhash_lsh / dp_dedup_simhash / dp_sim_topk_lsh: hash-family
-    # dependent -> rows-only check (documented weaker gate)
-    out["dp_text_stats"] = _ORACLE_TEXT_STATS
+    # minhash LSH: candidates are exact-verified, and banding recall at the
+    # fixture's pair similarities is ~1 (8 bands x 4 rows) -> the output
+    # equals the exact jaccard pairs; pytest additionally enforces the
+    # recall gate (tests/test_datapipe.py)
+    out["dp_dedup_minhash_lsh"] = _ORACLE_DEDUP_JACCARD
+    # dp_dedup_simhash: hash-family dependent -> rows-only check
+    # (documented weaker gate)
+    out["dp_text_quality"] = _oracle_text_quality()
     out["dp_lang_id"] = _oracle_lang_id()
-    out["dp_quality_fingerprint"] = _oracle_quality()
     out["dp_sim_topk_bruteforce"] = _ORACLE_SIM_TOPK
+    out["dp_sim_topk_lsh"] = _ORACLE_SIM_LSH
     out["dp_knn_join_exact"] = _ORACLE_KNN_JOIN
     out["dp_dedup_embedding"] = _ORACLE_EMBEDDING_DEDUP
-    out["s_streaming_count_window"] = _ORACLE_STREAM_COUNT_WINDOW
-    out["s_streaming_lag"] = _ORACLE_STREAM_LAG
-    out["s_streaming_lookup_join"] = DIALECT_QUERIES["q_join_lookup"][2]
-    out["s_streaming_session"] = DIALECT_QUERIES["q_session_window"][2]
-    out["s_streaming_sliding"] = _ORACLE_STREAM_SLIDING
     out["dp_multimodal_meta"] = _ORACLE_MULTIMODAL
-    # streaming queries share the batch oracles (same semantics, streaming
-    # execution)
-    out["s_streaming_tumbling"] = DIALECT_QUERIES["q_tumbling_window"][2].replace(
-        "w_start", "w_start"
+    out["s_streaming_tumbling"] = (
+        "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start, "
+        "event_type, count(*) AS n, round(sum(value), 4) AS sum_v "
+        "FROM events GROUP BY 1, 2"
     )
-    out["s_streaming_filter"] = (
-        "SELECT event_id, event_type, value FROM events WHERE value > 150"
-    )
+    out["s_streaming_session"] = DIALECT_QUERIES["q_session_window"][2]
+    out["s_streaming_lookup_join"] = DIALECT_QUERIES["q_join_lookup"][2]
+    out["s_streaming_count_window"] = _ORACLE_STREAM_COUNT_WINDOW
+    out["s_streaming_state_window"] = DIALECT_QUERIES["q_state_window"][2]
+    out["s_streaming_lag"] = _ORACLE_STREAM_LAG
+    out["s_streaming_sliding"] = _ORACLE_STREAM_SLIDING
     return out

@@ -21,9 +21,9 @@ from ekuiper_spark import get_spark
 
 HEADLINE = [
     "q_filter_project",
-    "q_groupby_agg",
+    "q_groupby_agg_having",
     "q_tpch_q1_like",
-    "q_tumbling_window",
+    "q_tumbling_window_filter",
     "q_hopping_window",
     "q_session_window",
     "q_sliding_window",
@@ -35,7 +35,7 @@ HEADLINE = [
     "dp_dedup_exact",
     "dp_dedup_jaccard",
     "dp_dedup_minhash_lsh",
-    "dp_text_stats",
+    "dp_text_quality",
     "dp_sim_topk_bruteforce",
 ]
 

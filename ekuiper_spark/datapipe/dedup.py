@@ -158,28 +158,41 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
-def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """H-wide minhash signature.
+# Carter-Wegman universal family over the Mersenne prime 2^31-1:
+# h_i(x) = (a_i*x + b_i) mod p with a_i,b_i spanning [1, p).  The mod is
+# what makes the functions independent permutations: without it (or with
+# coefficients too small to wrap), a*x+b is MONOTONE in x, every h_i picks
+# the same argmin shingle, and the whole signature collapses to one
+# effective minhash (caught by the recall gate in
+# tests/test_datapipe.py::test_minhash_lsh_driver_params_match_exact).
+# 31-bit p keeps a*x < 2^62 — no long overflow (ANSI mode forbids it).
+_MERSENNE31 = (1 << 31) - 1
 
-    Shingle strings are hashed ONCE (xxhash64); the H hash functions are
-    affine maps h_i(x) = a_i*x + b_i over the base hash (Java long
-    wraparound is fine for a pseudorandom family).  This is ~H× cheaper
-    than re-hashing every string per function — the classic permutation-
-    family construction.
-    """
+
+def _minhash_coefs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     import random
 
     rng = random.Random(seed)
-    # 31-bit base keeps a*x+b within long range (ANSI mode forbids overflow)
-    base = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)))
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(1, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """H-wide minhash signature.
+
+    Shingle strings are hashed ONCE (xxhash64 reduced mod p); the H hash
+    functions are universal-family maps over the base hash — ~H× cheaper
+    than re-hashing every string per function.
+    """
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
 
     def affine(a: int, b: int):
-        return lambda x: x * F.lit(a) + F.lit(b)
+        return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
 
     sigs = []
-    for _ in range(num_hashes):
-        a = rng.randrange(1, 2**31, 2)  # odd multiplier
-        b = rng.randrange(0, 2**31)
+    for a, b in _minhash_coefs(num_hashes, seed):
         sigs.append(F.array_min(F.transform(base, affine(a, b))))
     return F.array(*sigs)
 
@@ -205,18 +218,13 @@ def minhash_lsh_pairs(
     # Equivalent to minhash_signature() but with a shallow expression tree —
     # whole-stage codegen compiles ~5x faster than the nested-lambda form,
     # and the shuffle carries only H longs per (doc, partition).
-    import random as _random
-
-    rng = _random.Random(42)
-    coefs = [
-        (rng.randrange(1, 2**31, 2), rng.randrange(0, 2**31)) for _ in range(num_hashes)
-    ]
+    coefs = _minhash_coefs(num_hashes)
     hashed = sh.select(
         "id", F.explode("shingles").alias("s")
-    ).withColumn("h", F.xxhash64("s").bitwiseAND(F.lit(0x7FFFFFFF)))
+    ).withColumn("h", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31)))
     sig = hashed.groupBy("id").agg(
         *[
-            F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"m{i}")
             for i, (a, b) in enumerate(coefs)
         ]
     ).withColumn("sig", F.array(*[f"m{i}" for i in range(num_hashes)]))

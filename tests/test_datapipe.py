@@ -132,3 +132,47 @@ def test_embedding_near_dup_lsh_recall(spark, catalog):
     assert approx <= exact
     if exact:
         assert len(approx) / len(exact) >= 0.7  # high-threshold LSH recall
+
+
+def test_minhash_lsh_driver_params_match_exact(spark, catalog):
+    """The driver query's banding (16 bands x 3 rows: P(miss at j>=0.8)
+    ~1e-5) + exact candidate verification must reproduce the exact
+    jaccard_pairs result — this is what lets dp_dedup_minhash_lsh share
+    the exact oracle."""
+    from ekuiper_spark.datapipe.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    d = docs(spark, catalog)
+    exact = sorted(tuple(p) for p in jaccard_pairs(d, threshold=0.8).collect())
+    lsh = sorted(
+        tuple(p)
+        for p in minhash_lsh_pairs(d, num_hashes=48, bands=16, verify_threshold=0.8).collect()
+    )
+    assert lsh == exact
+
+
+def test_lsh_topk_full_recall_on_true_neighbors(spark, catalog):
+    """ANN recall gate: scaled copies of the query vector (cosine 1.0) are
+    the only true neighbors; hyperplane LSH puts them in the query's own
+    bucket, so top-k recall on them must be 1.0."""
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.datapipe.similarity import cosine_topk, lsh_topk
+
+    emb = catalog.load(spark, "embeddings")
+    copies = [
+        emb.filter(F.col("vec_id") == 0)
+        .withColumn("vec_id", F.lit(200000 + int(s)).cast("long"))
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: (x * F.lit(float(s))).cast("double")),
+        )
+        for s in (2, 3, 4)
+    ]
+    df = emb
+    for c in copies:
+        df = df.unionByName(c)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = df.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(rest, qv, k=3).collect()]
+    ann = [r["vec_id"] for r in lsh_topk(rest, qv, k=3, n_planes=10).collect()]
+    assert sorted(exact) == sorted(ann) == [200002, 200003, 200004]
