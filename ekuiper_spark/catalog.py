@@ -184,7 +184,6 @@ class Catalog:
     def _nano_cols(cls, path: str) -> list[str]:
         if path not in cls._nano_cols_cache:
             import pyarrow.parquet as pq
-            import pyarrow as pa
             import glob
             import os
 
@@ -193,12 +192,19 @@ class Catalog:
                 files = glob.glob(os.path.join(path, "*.parquet"))
                 probe = files[0] if files else path
             try:
-                schema = pq.read_schema(probe)
-                cls._nano_cols_cache[path] = [
-                    f.name
-                    for f in schema
-                    if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-                ]
+                # parquet-level schema, NOT the arrow view: arrow reports
+                # both INT96 and TIMESTAMP(NANOS) as timestamp[ns], but
+                # only true INT64/NANOS columns arrive as longs under
+                # nanosAsLong (INT96 reads as a normal timestamp)
+                sch = pq.ParquetFile(probe).schema
+                cols = []
+                for i in range(len(sch)):
+                    col = sch.column(i)
+                    if col.physical_type == "INT64" and "nanoseconds" in str(
+                        col.logical_type
+                    ).lower():
+                        cols.append(col.name)
+                cls._nano_cols_cache[path] = cols
             except Exception:
                 cls._nano_cols_cache[path] = []
         return cls._nano_cols_cache[path]

@@ -1,0 +1,191 @@
+"""Thin REST control plane over RuleRuntime + StreamProcessor.
+
+Mirrors the reference's rule/stream endpoints (internal/server/rest.go:
+195-254) and the trial-run service (internal/trial/, rest.go:237
+`/ruletest`), using only the stdlib http.server — no extra dependencies.
+
+    POST   /streams                 {"sql": "CREATE STREAM ..."}
+    GET    /streams                 -> [names]
+    GET    /streams/{name}          -> describe
+    DELETE /streams/{name}
+    POST   /rules                   {"id", "sql", "actions", "options"}
+    GET    /rules                   -> [{id, status}]
+    GET    /rules/{id}              -> rule spec
+    DELETE /rules/{id}              (stops first)
+    POST   /rules/{id}/start        (?availableNow=1 for bounded runs)
+    POST   /rules/{id}/stop
+    GET    /rules/{id}/status       -> {state, progress}
+    GET    /rules/{id}/explain      -> Catalyst formatted plan
+    POST   /ruletest                {"sql", "mockSource"?: {name: [rows]}}
+                                    -> {"rows": [...], "columns": [...]}
+
+The trial run (`/ruletest`) injects mock rows as an in-memory source —
+the analog of the reference's mock-source trial topology
+(internal/topo/planner/planner.go:49-97) — compiles the rule in batch
+mode, and returns up to `limit` result rows.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from dataclasses import asdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+from ekuiper_spark.catalog import Catalog
+from ekuiper_spark.plans.ddl import StreamProcessor
+from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
+from ekuiper_spark.translator import compile_sql
+
+
+class RestServer:
+    """The control-plane HTTP server; one per (spark, catalog) pair."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog, port: int = 0) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.runtime = RuleRuntime(spark, catalog)
+        self.processor = StreamProcessor(spark, catalog)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, body: Any) -> None:
+                data = json.dumps(body, default=str).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def _route(self, method: str) -> None:
+                try:
+                    code, body = outer.handle(method, self.path, self._body() if method in ("POST", "PUT") else {})
+                except KeyError as e:
+                    code, body = 404, {"error": str(e)}
+                except (ValueError, SyntaxError) as e:
+                    code, body = 400, {"error": str(e)}
+                except Exception as e:  # pragma: no cover
+                    code, body = 500, {"error": f"{type(e).__name__}: {e}"}
+                self._send(code, body)
+
+            def do_GET(self):
+                self._route("GET")
+
+            def do_POST(self):
+                self._route("POST")
+
+            def do_DELETE(self):
+                self._route("DELETE")
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------------ #
+    def handle(self, method: str, path: str, body: dict) -> tuple[int, Any]:
+        path, _, query = path.partition("?")
+        parts = [p for p in path.split("/") if p]
+
+        if parts == []:
+            return 200, {"product": "ekuiper_spark", "rules": len(self.runtime.rules)}
+
+        if parts[0] == "streams":
+            if method == "POST" and len(parts) == 1:
+                return 201, {"result": self.processor.exec_stmt(body["sql"])}
+            if method == "GET" and len(parts) == 1:
+                return 200, sorted(self.catalog.all_defs())
+            if method == "GET" and len(parts) == 2:
+                return 200, self.processor.exec_stmt(f"DESCRIBE {parts[1]}")
+            if method == "DELETE" and len(parts) == 2:
+                return 200, {"result": self.processor.exec_stmt(f"DROP STREAM {parts[1]}")}
+
+        if parts[0] == "rules":
+            if method == "POST" and len(parts) == 1:
+                rule = Rule(
+                    id=body["id"],
+                    sql=body["sql"],
+                    actions=body.get("actions", []),
+                    options=body.get("options", {}),
+                )
+                self.runtime.create_rule(rule)
+                return 201, {"result": f"rule {rule.id} created"}
+            if method == "GET" and len(parts) == 1:
+                return 200, [
+                    {"id": rid, **self.runtime.status(rid)}
+                    for rid in sorted(self.runtime.rules)
+                ]
+            if len(parts) >= 2:
+                rid = parts[1]
+                if rid not in self.runtime.rules:
+                    return 404, {"error": f"rule {rid} not found"}
+                if method == "GET" and len(parts) == 2:
+                    return 200, asdict(self.runtime.rules[rid])
+                if method == "DELETE" and len(parts) == 2:
+                    self.runtime.stop_rule(rid)
+                    del self.runtime.rules[rid]
+                    return 200, {"result": f"rule {rid} dropped"}
+                if method == "POST" and len(parts) == 3 and parts[2] == "start":
+                    q = self.runtime.start_rule(rid, available_now="availableNow=1" in query)
+                    if "availableNow=1" in query:
+                        q.awaitTermination()
+                    return 200, {"result": f"rule {rid} started"}
+                if method == "POST" and len(parts) == 3 and parts[2] == "stop":
+                    self.runtime.stop_rule(rid)
+                    return 200, {"result": f"rule {rid} stopped"}
+                if method == "GET" and len(parts) == 3 and parts[2] == "status":
+                    return 200, self.runtime.status(rid)
+                if method == "GET" and len(parts) == 3 and parts[2] == "explain":
+                    return 200, {
+                        "plan": self.processor.exec_stmt(
+                            "EXPLAIN " + self.runtime.rules[rid].sql
+                        )
+                    }
+
+        if parts == ["ruletest"] and method == "POST":
+            return 200, self._ruletest(body)
+
+        return 404, {"error": f"no route {method} {path}"}
+
+    def _ruletest(self, body: dict) -> dict:
+        """Bounded trial run with optional mock sources
+        (internal/trial/ + planner.go:49-97 mock-source injection)."""
+        limit = int(body.get("limit", 100))
+        injected: list[str] = []
+        for name, rows in (body.get("mockSource") or {}).items():
+            df = self.spark.createDataFrame([tuple(r.values()) for r in rows],
+                                            list(rows[0].keys()))
+            self.catalog.register_df(name, df)
+            injected.append(name)
+        try:
+            df = compile_sql(self.spark, body["sql"], self.catalog)
+            rows = df.limit(limit).collect()
+            return {
+                "columns": df.columns,
+                "rows": [list(r) for r in rows],
+            }
+        finally:
+            for name in injected:
+                self.catalog.unregister(name)
+
+    # ------------------------------------------------------------------ #
+    def start(self) -> "RestServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

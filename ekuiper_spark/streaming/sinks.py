@@ -62,6 +62,16 @@ def encode_rows(df: DataFrame, props: dict[str, Any]) -> DataFrame:
                 props.get("delimiter", ","), *[F.col(c).cast("string") for c in df.columns]
             ).alias("payload")
         )
+    if fmt in ("delimited", "urlencoded", "binary"):
+        # converter registry formats (internal/converter/converter.go:35-52)
+        from ekuiper_spark.operators.codecs import encode_payload
+
+        kw = {}
+        if fmt == "delimited":
+            kw = {"delimiter": props.get("delimiter", ","), "fields": props.get("fields")}
+        elif fmt == "urlencoded":
+            kw = {"fields": props.get("fields")}
+        return encode_payload(df, fmt, **kw)
     raise ValueError(f"unsupported sink format {fmt!r}")
 
 

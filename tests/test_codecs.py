@@ -1,0 +1,116 @@
+"""Payload codec round-trips: delimited / binary / urlencoded / protobuf
+(reference converter registry, internal/converter/converter.go:35-52) and
+a schemaless delimited stream mirroring fvt/csv_test.go:14-50."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ekuiper_spark.operators.codecs import (
+    DEFAULT_FIELD, decode_payload, encode_payload,
+)
+
+
+def test_delimited_roundtrip_sorted_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 3.5)], ["id", "name", "v"]
+    )
+    enc = encode_payload(df, "delimited", delimiter=";")
+    payloads = sorted(r["payload"] for r in enc.collect())
+    # column order = sorted by name (delimited/converter.go sort-by-key)
+    assert payloads == ["1;a;2.5", "2;b;3.5"]
+    dec = decode_payload(
+        enc, "delimited", delimiter=";", fields=["id", "name", "v"]
+    )
+    assert sorted((r["id"], r["name"], r["v"]) for r in dec.collect()) == [
+        ("1", "a", "2.5"), ("2", "b", "3.5"),
+    ]
+
+
+def test_delimited_decode_with_schema_types(spark):
+    from pyspark.sql import types as T
+
+    raw = spark.createDataFrame([("5,hello,1.25",)], ["payload"])
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    out = decode_payload(raw, "delimited", schema=schema).collect()[0]
+    assert (out["n"], out["s"], out["x"]) == (5, "hello", 1.25)
+
+
+def test_delimited_schemaless_positional_cols(spark):
+    # schemaless delimited: positional col0..colN (fvt/csv_test.go analog)
+    raw = spark.createDataFrame([("a,b,c",), ("d,e,f",)], ["payload"])
+    out = decode_payload(raw, "delimited")
+    assert out.columns == ["col0", "col1", "col2"]
+    assert sorted(tuple(r) for r in out.collect()) == [("a", "b", "c"), ("d", "e", "f")]
+
+
+def test_binary_roundtrip(spark):
+    df = spark.createDataFrame([(bytearray(b"\x01\x02ekuiper"),)], ["payload"])
+    dec = decode_payload(df, "binary")
+    assert dec.columns == [DEFAULT_FIELD]
+    assert bytes(dec.collect()[0][DEFAULT_FIELD]) == b"\x01\x02ekuiper"
+    enc = encode_payload(dec, "binary")
+    assert bytes(enc.collect()[0]["payload"]) == b"\x01\x02ekuiper"
+
+
+def test_urlencoded_roundtrip_with_escapes(spark):
+    df = spark.createDataFrame([("a b&c", 7)], ["msg", "n"])
+    enc = encode_payload(df, "urlencoded")
+    payload = enc.collect()[0]["payload"]
+    # keys sorted, values percent/plus-escaped (url.Values.Encode behavior)
+    assert payload == "msg=a+b%26c&n=7"
+    dec = decode_payload(enc, "urlencoded").collect()[0]["form"]
+    assert dec == {"msg": "a b&c", "n": "7"}
+
+
+def test_protobuf_gated(spark, tmp_path):
+    """Native from_protobuf maps the reference's protobuf converter; the
+    connector jar is not bundled here, so the wrapper must raise the
+    documented NotImplementedError (not an opaque JVM error)."""
+    from ekuiper_spark.operators.codecs import decode_protobuf
+
+    desc = tmp_path / "m.desc"
+    desc.write_bytes(b"\x0a\x00")  # placeholder descriptor bytes
+    df = spark.createDataFrame([(bytearray(b"\x08\x01"),)], ["payload"])
+    try:
+        out = decode_protobuf(df, "payload", "M", str(desc))
+        out.collect()  # if the jar ever ships, decoding must at least run
+    except NotImplementedError as e:
+        assert "spark-protobuf" in str(e)
+
+
+def test_schemaless_delimited_stream(spark, tmp_path):
+    """Delimited payloads through a *streaming* rule: text-file source ->
+    native split/cast projection -> memory sink (the reference's csv fvt
+    flow: stream with FORMAT=delimited, rule projects typed fields)."""
+    import uuid
+
+    src = tmp_path / "csvstream"
+    src.mkdir()
+    (src / "a.txt").write_text("1,20.5,on\n2,30.5,off\n")
+    (src / "b.txt").write_text("3,40.0,on\n")
+    sdf = spark.readStream.format("text").load(str(src))
+    dec = decode_payload(
+        sdf.select(F.col("value").alias("payload")), "delimited",
+        fields=["id", "temp", "state"],
+    ).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("temp").cast("double").alias("temp"),
+        "state",
+    ).filter(F.col("temp") > 25)
+    name = "csv_" + uuid.uuid4().hex[:6]
+    q = (
+        dec.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = sorted(tuple(r) for r in spark.table(name).collect())
+    assert rows == [(2, 30.5, "off"), (3, 40.0, "on")]

@@ -1,0 +1,111 @@
+"""REST control plane end-to-end (internal/server/rest.go:195-254 analog):
+stream DDL, rule CRUD/lifecycle, status/explain, trial run."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from ekuiper_spark.catalog import Catalog
+from ekuiper_spark.server import RestServer
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    srv = RestServer(spark, cat).start()
+    yield srv
+    srv.stop()
+
+
+def _req(server, method, path, body=None):
+    url = f"http://127.0.0.1:{server.port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_root_info(server):
+    code, body = _req(server, "GET", "/")
+    assert code == 200 and body["product"] == "ekuiper_spark"
+
+
+def test_stream_ddl_lifecycle(server):
+    code, _ = _req(server, "POST", "/streams", {
+        "sql": 'CREATE STREAM resttest (a BIGINT, b STRING) WITH (FORMAT="json", DATASOURCE="/tmp/x.json")'
+    })
+    assert code == 201
+    code, names = _req(server, "GET", "/streams")
+    assert code == 200 and "resttest" in names
+    code, desc = _req(server, "GET", "/streams/resttest")
+    assert code == 200 and desc["format"] == "json"
+    code, _ = _req(server, "DELETE", "/streams/resttest")
+    assert code == 200
+    code, names = _req(server, "GET", "/streams")
+    assert "resttest" not in names
+
+
+def test_rule_crud_and_bounded_run(server, spark):
+    rule = {
+        "id": "rest_r1",
+        "sql": "SELECT event_id, value FROM events WHERE value > 150",
+        "actions": [{"memory": {"table": "rest_r1_out"}}],
+        "options": {"output_mode": "append"},
+    }
+    code, _ = _req(server, "POST", "/rules", rule)
+    assert code == 201
+    code, spec = _req(server, "GET", "/rules/rest_r1")
+    assert code == 200 and spec["sql"] == rule["sql"]
+    code, body = _req(server, "GET", "/rules/rest_r1/explain")
+    assert code == 200 and "value" in body["plan"]
+    # bounded run (availableNow) then check the sink table materialized
+    code, _ = _req(server, "POST", "/rules/rest_r1/start?availableNow=1")
+    assert code == 200
+    n = spark.table("rest_r1_out").count()
+    batch = spark.sql("SELECT 1").sparkSession  # noqa: session alive
+    assert n > 0
+    code, st = _req(server, "GET", "/rules/rest_r1/status")
+    assert code == 200 and st["state"] in ("running", "finished", "stopped")
+    code, _ = _req(server, "DELETE", "/rules/rest_r1")
+    assert code == 200
+    code, _ = _req(server, "GET", "/rules/rest_r1")
+    assert code == 404
+
+
+def test_rule_validation_errors(server):
+    code, body = _req(server, "GET", "/rules/nonexistent/status")
+    assert code == 404
+    code, body = _req(server, "POST", "/streams", {"sql": "CREATE NONSENSE x"})
+    assert code == 400 and "error" in body
+
+
+def test_ruletest_trial_run_with_mock_source(server):
+    """The /ruletest endpoint injects mock rows as a source and returns the
+    bounded result (internal/trial/ analog)."""
+    code, body = _req(server, "POST", "/ruletest", {
+        "sql": "SELECT temperature * 2 AS t2 FROM mockdemo WHERE temperature > 20",
+        "mockSource": {
+            "mockdemo": [
+                {"temperature": 10}, {"temperature": 25}, {"temperature": 30},
+            ]
+        },
+    })
+    assert code == 200
+    assert body["columns"] == ["t2"]
+    assert sorted(r[0] for r in body["rows"]) == [50, 60]
+
+
+def test_ruletest_on_registered_tables(server):
+    code, body = _req(server, "POST", "/ruletest", {
+        "sql": "SELECT count(*) AS n FROM events WHERE value > 100",
+        "limit": 5,
+    })
+    assert code == 200 and body["rows"][0][0] > 0
