@@ -129,7 +129,10 @@ class GraphRulePlanner:
             return df.select(*cols)
         if node_type == "function":
             out = df
-            for fspec in props["exprs"]:
+            # the reference accepts singular "expr" or a list "exprs"
+            # (planner_graph_test.go graph JSONs use both)
+            specs = props.get("exprs") or [props["expr"]]
+            for fspec in specs:
                 stmt = parse_sql(f"SELECT {fspec} FROM __dummy__")
                 f = stmt.fields[0]
                 name = f.alias or "expr"

@@ -549,3 +549,58 @@ def test_checkpoint_recovery_exactly_once(spark, catalog, tmp_path):
         for r in spark.read.parquet(src).filter("value >= 0").select("event_id").collect()
     )
     assert got == want  # exactly once: no dupes (restart did not re-read p1), no loss
+
+
+def test_reference_graph_rule_replay(spark, catalog):
+    """Replay the first ruleGraph JSON from the reference's planner test
+    verbatim (internal/topo/planner/planner_graph_test.go:32-120: mqtt
+    source -> filter -> function -> pick -> sink, with a second
+    function->sink branch off the source) and assert the emitted rows."""
+    import math
+
+    graph = {
+        "nodes": {
+            "abc": {"type": "source", "nodeType": "mqtt",
+                    "props": {"datasource": "demo"}},
+            "myfilter": {"type": "operator", "nodeType": "filter",
+                         "props": {"expr": "temperature > 20"}},
+            "logfunc": {"type": "operator", "nodeType": "function",
+                        "props": {"expr": "log(temperature) as log_temperature"}},
+            "sinfunc": {"type": "operator", "nodeType": "function",
+                        "props": {"expr": "sin(temperature) as sin_temperature"}},
+            "pick": {"type": "operator", "nodeType": "pick",
+                     "props": {"fields": ["log_temperature", "humidity"]}},
+            "mqttpv": {"type": "sink", "nodeType": "mqtt",
+                       "props": {"server": "tcp://syno.home:1883",
+                                 "topic": "result", "sendSingle": True}},
+            "mqtt2": {"type": "sink", "nodeType": "mqtt",
+                      "props": {"server": "tcp://syno.home:1883",
+                                "topic": "result2", "sendSingle": True}},
+        },
+        "topo": {
+            "sources": ["abc"],
+            "edges": {
+                "abc": ["myfilter", "sinfunc"],
+                "myfilter": ["logfunc"],
+                "logfunc": ["pick"],
+                "pick": ["mqttpv"],
+                "sinfunc": ["mqtt2"],
+            },
+        },
+    }
+    demo = spark.createDataFrame(
+        [(10.0, 55), (100.0, 60), (1000.0, 65)], ["temperature", "humidity"]
+    )
+    cat = Catalog()
+    cat.register_df("demo", demo)
+    from ekuiper_spark.plans.graph import GraphRulePlanner
+
+    out = GraphRulePlanner(spark, cat).plan(graph)
+    assert set(out) == {"mqttpv", "mqtt2"}
+    # branch 1: filter >20 -> log10 -> pick(log_temperature, humidity)
+    b1 = sorted(tuple(r) for r in out["mqttpv"].collect())
+    assert out["mqttpv"].columns == ["log_temperature", "humidity"]
+    assert b1 == [(2.0, 60), (3.0, 65)]
+    # branch 2: sin over ALL rows (no filter on this branch)
+    b2 = {round(r["sin_temperature"], 6) for r in out["mqtt2"].select("sin_temperature").collect()}
+    assert b2 == {round(math.sin(t), 6) for t in (10.0, 100.0, 1000.0)}
