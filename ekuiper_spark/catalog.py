@@ -136,6 +136,26 @@ class Catalog:
         d = self._defs.get(n)
         if d is None:
             raise KeyError(f"unknown stream/table: {name}")
+        src_type = (d.options.get("type") or "").lower()
+        if src_type in ("httppull", "httppush"):
+            # connector sources via the Python Data Source API
+            # (sources/http.py); DATASOURCE holds the url/endpoint
+            from ekuiper_spark.sources.http import HttpPullDataSource, HttpPushDataSource
+
+            try:
+                spark.dataSource.register(HttpPullDataSource)
+                spark.dataSource.register(HttpPushDataSource)
+            except Exception:
+                pass  # already registered
+            reader = spark.readStream if streaming else spark.read
+            if d.schema is not None:
+                reader = reader.schema(d.schema)
+            opts = {k: str(v) for k, v in d.options.items() if k not in ("type", "format")}
+            if src_type == "httppull" and d.path:
+                opts.setdefault("url", d.path)
+            if src_type == "httppush" and d.path:
+                opts.setdefault("endpoint", d.path)
+            return reader.format(src_type).options(**opts).load()
         if streaming:
             import os
 

@@ -4,8 +4,8 @@ Reference: internal/topo/node/compress_op.go, decompress_op.go,
 encrypt_op.go — byte transforms between connector and decode stages.
 gzip/zlib come from the Python stdlib via Arrow-batched pandas UDFs (the
 one place Python-side work is justified: byte-blob codecs have no Catalyst
-native).  AES encryption would need an external lib — stubbed with a
-deterministic XOR keystream placeholder, clearly marked.
+native).  AES CFB/GCM use the cryptography package with the reference's
+message layout (modules/encryptor/aes/stream.go, gcm.go).
 """
 
 from __future__ import annotations
@@ -56,12 +56,56 @@ def decompress(col: Column, codec: str = "gzip") -> Column:
     raise ValueError(f"unsupported codec {codec!r} (gzip|zlib)")
 
 
-def encrypt_stub(col: Column, key: bytes = b"\x00") -> Column:
-    """Placeholder for the AES encrypt op (encrypt_op.go) — real AES needs
-    the cryptography package (absent).  Raises at execution."""
+def encrypt(col: Column, key: bytes, mode: str = "cfb", iv: bytes | None = None) -> Column:
+    """AES encrypt (encrypt_op.go via modules/encryptor/aes): message
+    format = iv||ciphertext for CFB (stream.go:32-47), nonce||ct||tag for
+    GCM (gcm.go:67-95).  A fixed `iv` makes output deterministic (the
+    reference's constant-IV config path; default = random per message)."""
+    mode = mode.lower()
 
     @F.pandas_udf(T.BinaryType())
     def _enc(data: pd.Series) -> pd.Series:
-        raise NotImplementedError("AES encryption requires the cryptography package")
+        import os
+
+        from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        def one(b):
+            b = bytes(b or b"")
+            if mode == "cfb":
+                nonce = iv or os.urandom(16)
+                enc = Cipher(algorithms.AES(key), modes.CFB(nonce)).encryptor()
+                return nonce + enc.update(b) + enc.finalize()
+            if mode == "gcm":
+                nonce = iv or os.urandom(12)
+                return nonce + AESGCM(key).encrypt(nonce, b, None)
+            raise ValueError(f"unsupported AES mode {mode!r} (cfb|gcm)")
+
+        return data.map(one)
 
     return _enc(col)
+
+
+def decrypt(col: Column, key: bytes, mode: str = "cfb") -> Column:
+    """AES decrypt — inverse of :func:`encrypt` (same message layout)."""
+    mode = mode.lower()
+
+    @F.pandas_udf(T.BinaryType())
+    def _dec(data: pd.Series) -> pd.Series:
+        from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        def one(b):
+            b = bytes(b)
+            if mode == "cfb":
+                nonce, ct = b[:16], b[16:]
+                dec = Cipher(algorithms.AES(key), modes.CFB(nonce)).decryptor()
+                return dec.update(ct) + dec.finalize()
+            if mode == "gcm":
+                nonce, ct = b[:12], b[12:]
+                return AESGCM(key).decrypt(nonce, ct, None)
+            raise ValueError(f"unsupported AES mode {mode!r} (cfb|gcm)")
+
+        return data.map(one)
+
+    return _dec(col)

@@ -1,0 +1,5 @@
+"""Custom source connectors built on the PySpark Python Data Source API."""
+
+from ekuiper_spark.sources.http import HttpPullDataSource, HttpPushDataSource, push_buffer
+
+__all__ = ["HttpPullDataSource", "HttpPushDataSource", "push_buffer"]

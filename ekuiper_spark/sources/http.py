@@ -1,0 +1,229 @@
+"""HTTP pull/push sources via the PySpark Python Data Source API.
+
+Reference connectors:
+- httppull (internal/io/http/httppull_source.go): poll a URL on an
+  interval; each poll ingests the JSON body (object or array of objects).
+  The `incremental` option skips a poll whose body md5 equals the
+  previous one (the reference's lastMD5 dedup).
+- httppush (internal/io/http/httppush_source.go): an HTTP endpoint
+  receives POSTed JSON and feeds it into the stream (reference routes
+  through an in-process pubsub topic; here a driver-side buffer drained
+  by the stream reader).
+
+Spark-first: both are registered DataSources (spark.dataSource.register),
+so `spark.read.format("httppull")` / `readStream.format(...)` work like
+any built-in connector, with schemas applied at the scan.  Poll cadence is
+the streaming trigger interval (the reference's `interval` option).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import queue
+import threading
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+
+def _coerce(value: Any, dt_name: str) -> Any:
+    if value is None:
+        return None
+    try:
+        if dt_name in ("bigint", "int", "long", "integer", "short"):
+            return int(value)
+        if dt_name in ("double", "float"):
+            return float(value)
+        if dt_name == "boolean":
+            return bool(value)
+        return str(value) if dt_name == "string" else value
+    except (TypeError, ValueError):
+        return None
+
+
+def _rows_from_json(body: bytes, schema: StructType) -> list[tuple]:
+    data = json.loads(body)
+    if isinstance(data, dict):
+        data = [data]
+    names = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    return [tuple(_coerce(d.get(n), t) for n, t in names) for d in data]
+
+
+# --------------------------------------------------------------------------
+# httppull
+# --------------------------------------------------------------------------
+class _HttpPullBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_ = schema
+        self.url = options["url"]
+        self.timeout = float(options.get("timeout", 10))
+
+    def read(self, partition) -> Iterator[tuple]:
+        import urllib.request
+
+        with urllib.request.urlopen(self.url, timeout=self.timeout) as resp:
+            yield from _rows_from_json(resp.read(), self.schema_)
+
+
+class _HttpPullStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_ = schema
+        self.url = options["url"]
+        self.timeout = float(options.get("timeout", 10))
+        self.incremental = str(options.get("incremental", "false")).lower() == "true"
+        # bound the number of polls (test/availableNow support); 0 = endless
+        self.maxpulls = int(options.get("maxpulls", 0))
+
+    def initialOffset(self) -> dict:
+        return {"pull": 0, "md5": ""}
+
+    def read(self, start: dict):
+        import urllib.request
+
+        n = start.get("pull", 0)
+        if self.maxpulls and n >= self.maxpulls:
+            return iter([]), start
+        with urllib.request.urlopen(self.url, timeout=self.timeout) as resp:
+            body = resp.read()
+        digest = hashlib.md5(body).hexdigest()
+        if self.incremental and digest == start.get("md5"):
+            return iter([]), {"pull": n + 1, "md5": digest}
+        return iter(_rows_from_json(body, self.schema_)), {"pull": n + 1, "md5": digest}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # polls are not replayable (the reference's httppull is likewise
+        # at-most-once on restart); re-reads yield nothing
+        return iter([])
+
+
+class HttpPullDataSource(DataSource):
+    """spark.read/readStream format "httppull"; options: url, timeout,
+    incremental, maxpulls."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "httppull"
+
+    def schema(self):
+        return "value string"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _HttpPullBatchReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _HttpPullStreamReader(schema, self.options)
+
+
+# --------------------------------------------------------------------------
+# httppush
+# --------------------------------------------------------------------------
+# driver-side buffers keyed by endpoint (the reference's pubsub topic
+# analog, httppush_source.go -> httpserver/); the receiving HTTP server
+# lives in the driver process, like the reference's shared source server
+_PUSH_BUFFERS: dict[str, "queue.Queue[bytes]"] = {}
+_PUSH_LOCK = threading.Lock()
+
+
+def push_buffer(endpoint: str) -> "queue.Queue[bytes]":
+    with _PUSH_LOCK:
+        if endpoint not in _PUSH_BUFFERS:
+            _PUSH_BUFFERS[endpoint] = queue.Queue()
+        return _PUSH_BUFFERS[endpoint]
+
+
+def start_push_server(port: int = 0) -> tuple[Any, int]:
+    """HTTP server accepting POST/PUT at any registered endpoint; bodies
+    enqueue into the endpoint's buffer.  Returns (server, port).
+
+    The stream reader runs in a separate Python runner process, so it
+    drains over localhost HTTP (GET /__drain__?endpoint=...) rather than
+    shared memory — the server responds with a JSON array of the queued
+    payload strings and clears them."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code: int, body: bytes) -> None:
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _handle(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n)
+            push_buffer(self.path).put(body)
+            self._send(200, b"ok")
+
+        def do_POST(self):
+            self._handle()
+
+        def do_PUT(self):
+            self._handle()
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            if u.path != "/__drain__":
+                self._send(404, b"{}")
+                return
+            endpoint = parse_qs(u.query).get("endpoint", ["/"])[0]
+            buf = push_buffer(endpoint)
+            out = []
+            while True:
+                try:
+                    out.append(buf.get_nowait().decode())
+                except queue.Empty:
+                    break
+            self._send(200, json.dumps(out).encode())
+
+    srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]
+
+
+class _HttpPushStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_ = schema
+        self.endpoint = options.get("endpoint", "/")
+        self.drain = options["drain"]  # push server base URL
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def read(self, start: dict):
+        import urllib.parse
+        import urllib.request
+
+        url = f"{self.drain}/__drain__?endpoint={urllib.parse.quote(self.endpoint)}"
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            bodies = json.loads(resp.read())
+        rows: list[tuple] = []
+        for body in bodies:
+            rows.extend(_rows_from_json(body.encode(), self.schema_))
+        return iter(rows), {"seq": start.get("seq", 0) + len(bodies)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([])  # push payloads are not replayable
+
+
+class HttpPushDataSource(DataSource):
+    """readStream format "httppush"; option: endpoint (path).  Pair with
+    start_push_server() in the driver."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "httppush"
+
+    def schema(self):
+        return "value string"
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _HttpPushStreamReader(schema, self.options)

@@ -1,0 +1,145 @@
+"""HTTP pull/push source connectors (internal/io/http/httppull_source.go,
+httppush_source.go) through the PySpark Python Data Source API."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pull_server():
+    """Local JSON endpoint standing in for the polled device API."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    state = {"n": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            state["n"] += 1
+            body = json.dumps(
+                [
+                    {"device": "d1", "temperature": 20 + state["n"]},
+                    {"device": "d2", "temperature": 30 + state["n"]},
+                ]
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/data"
+    srv.shutdown()
+
+
+def _register(spark):
+    from ekuiper_spark.sources.http import HttpPullDataSource, HttpPushDataSource
+
+    try:
+        spark.dataSource.register(HttpPullDataSource)
+        spark.dataSource.register(HttpPushDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+def test_httppull_batch_read(spark, pull_server):
+    _register(spark)
+    df = (
+        spark.read.format("httppull")
+        .schema("device string, temperature double")
+        .option("url", pull_server)
+        .load()
+    )
+    rows = sorted(tuple(r) for r in df.collect())
+    assert len(rows) == 2 and rows[0][0] == "d1" and rows[0][1] > 20
+
+
+def test_httppull_streaming_polls(spark, pull_server):
+    """Streaming pull: each micro-batch polls once; maxpulls bounds the
+    run (the trigger interval is the reference's `interval` option)."""
+    import uuid
+
+    _register(spark)
+    sdf = (
+        spark.readStream.format("httppull")
+        .schema("device string, temperature double")
+        .option("url", pull_server)
+        .option("maxpulls", "3")
+        .load()
+    )
+    name = "hp_" + uuid.uuid4().hex[:6]
+    q = (
+        sdf.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(processingTime="250 milliseconds").start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 6:
+        time.sleep(0.5)
+    q.stop()
+    n = spark.table(name).count()
+    assert n == 6  # 3 polls x 2 devices
+
+
+def test_httppush_end_to_end(spark):
+    """POSTed JSON appears in the stream (httppush_source.go flow:
+    endpoint -> buffer -> source)."""
+    import urllib.request
+    import uuid
+
+    from ekuiper_spark.sources.http import start_push_server
+
+    _register(spark)
+    srv, port = start_push_server()
+    sdf = (
+        spark.readStream.format("httppush")
+        .schema("device string, temperature double")
+        .option("endpoint", "/push1")
+        .option("drain", f"http://127.0.0.1:{port}")
+        .load()
+    )
+    name = "hpush_" + uuid.uuid4().hex[:6]
+    q = (
+        sdf.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(processingTime="250 milliseconds").start()
+    )
+    for i in range(3):
+        body = json.dumps({"device": f"p{i}", "temperature": float(i)}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/push1", data=body, method="POST"
+        )
+        urllib.request.urlopen(req).read()
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 3:
+        time.sleep(0.5)
+    q.stop()
+    srv.shutdown()
+    rows = sorted(tuple(r) for r in spark.table(name).collect())
+    assert rows == [("p0", 0.0), ("p1", 1.0), ("p2", 2.0)]
+
+
+def test_httppull_via_create_stream_ddl(spark, pull_server):
+    """CREATE STREAM ... WITH (TYPE="httppull") loads through the catalog
+    and compiles through the dialect (sourceStmt TYPE option analog)."""
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.plans.ddl import StreamProcessor
+    from ekuiper_spark.translator import compile_sql
+
+    cat = Catalog()
+    sp = StreamProcessor(spark, cat)
+    sp.exec_stmt(
+        f'CREATE STREAM pulldemo (device STRING, temperature FLOAT) '
+        f'WITH (TYPE="httppull", DATASOURCE="{pull_server}", FORMAT="json")'
+    )
+    df = compile_sql(
+        spark, "SELECT device, temperature FROM pulldemo WHERE temperature > 25", cat
+    )
+    rows = df.collect()
+    assert len(rows) >= 1 and all(r["temperature"] > 25 for r in rows)

@@ -36,12 +36,35 @@ def test_zlib_shrinks(spark, catalog):
     assert sum(r["z"] for r in out) < sum(r["raw"] for r in out)
 
 
-def test_encrypt_stub_raises(spark, catalog):
-    from ekuiper_spark.operators.payload import encrypt_stub
+def test_aes_cfb_roundtrip(spark, catalog):
+    """AES-CFB encrypt/decrypt with the reference's iv||ciphertext layout
+    (modules/encryptor/aes/stream.go:32-58)."""
+    from ekuiper_spark.operators.payload import decrypt, encrypt
 
-    df = catalog.load(spark, "documents").limit(1)
+    key = b"0123456789abcdef"
+    df = catalog.load(spark, "documents").limit(5)
+    enc = df.select("doc_id", encrypt(F.encode("text", "utf-8"), key).alias("ct"), "text")
+    out = enc.select("doc_id", decrypt(F.col("ct"), key).alias("pt"), "text").collect()
+    assert all(bytes(r["pt"]).decode() == r["text"] for r in out)
+    # ciphertext differs from plaintext and carries the 16-byte IV
+    ct = enc.collect()[0]["ct"]
+    assert len(bytes(ct)) == len(enc.collect()[0]["text"].encode()) + 16
+
+
+def test_aes_gcm_roundtrip_and_tamper(spark, catalog):
+    """AES-GCM (gcm.go:67-113): authenticated — a flipped byte must fail."""
+    from ekuiper_spark.operators.payload import decrypt, encrypt
+
+    key = b"0123456789abcdef"
+    df = catalog.load(spark, "documents").limit(3)
+    enc = df.select("doc_id", encrypt(F.encode("text", "utf-8"), key, mode="gcm").alias("ct"), "text")
+    out = enc.select("doc_id", decrypt(F.col("ct"), key, mode="gcm").alias("pt"), "text").collect()
+    assert all(bytes(r["pt"]).decode() == r["text"] for r in out)
+    tampered = enc.select(
+        F.concat(F.expr("substring(ct, 1, octet_length(ct) - 1)"), F.lit(b"\x00")).alias("ct")
+    )
     with pytest.raises(Exception):
-        df.select(encrypt_stub(F.encode("text", "utf-8"))).collect()
+        tampered.select(decrypt(F.col("ct"), key, mode="gcm")).collect()
 
 
 def test_rate_limit_latest(spark, catalog):
