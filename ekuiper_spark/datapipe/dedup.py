@@ -130,13 +130,19 @@ def jaccard_pairs(
         posts.join(freq, "shingle")
         .withColumn("__rnk", rnk)
         .filter(F.col("__rnk") <= prefix_len)
-        .select("id", "shingle")
+        .select("id", "n_sh", "shingle")
     )
+    # PPJoin length filter: J(a,b) >= t requires t*|a| <= |b| (sets whose
+    # sizes differ too much cannot reach the threshold) — applied inside
+    # the candidate join so incompatible pairs never materialize
     cand = (
         pre.alias("a")
         .join(
             pre.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
