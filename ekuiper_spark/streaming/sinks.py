@@ -75,16 +75,28 @@ def encode_rows(df: DataFrame, props: dict[str, Any]) -> DataFrame:
     raise ValueError(f"unsupported sink format {fmt!r}")
 
 
-def sink_batch(df: DataFrame, props: dict[str, Any]) -> list[str]:
+def sink_batch(df: DataFrame, props: dict[str, Any], max_rows: int = 100_000) -> list[str]:
     """Batch-mode sink materialization (for tests / foreachBatch bodies).
 
     sendSingle=True -> one payload per row; False -> one JSON array payload
     per batch (the reference's default collection send,
     transform_op.go sendSingle handling).
+
+    This path COLLECTS to the driver — correct for the per-message sinks
+    it serves (memory/test/mqtt-style), wrong for bulk exports.  The row
+    cap fails fast instead of OOMing the driver; bulk writes belong on
+    write_file_sink / foreachPartition (partition-side, no collect).
     """
     t = apply_sink_transform(df, props)
     enc = encode_rows(t, props)
-    rows = [r["payload"] for r in enc.collect()]
+    capped = enc.limit(max_rows + 1).collect()
+    if len(capped) > max_rows:
+        raise ValueError(
+            f"sink_batch collects to the driver and the batch exceeds "
+            f"{max_rows} rows; use write_file_sink (partition-side writers) "
+            f"for bulk output or raise max_rows explicitly"
+        )
+    rows = [r["payload"] for r in capped]
     if props.get("omitIfEmpty") and not rows:
         return []
     if props.get("sendSingle", True):

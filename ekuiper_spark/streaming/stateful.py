@@ -210,6 +210,7 @@ def window_agg_stream(
     emit_col: Optional[str] = None,
     length_us: Optional[int] = None,
     dims: Sequence[str] = (),
+    subgroups: Sequence[str] = (),
     order_cols: Sequence[str] = ("ts",),
     aggs: Sequence[AggSpec] = (),
     passthrough: Sequence[str] = (),
@@ -234,11 +235,19 @@ def window_agg_stream(
 
     dims key the state (the 100 TB path); with no dims a single global
     key is used and a warning fires.
+
+    subgroups (count/state kinds): GROUP BY dims *within* each window —
+    the reference's aggregate-after-window order (the window op batches
+    rows, then AggregateOp groups the batch): each emitted window yields
+    one row per distinct subgroup value, aggregated over that subgroup's
+    rows only.
     """
     if kind not in ("count", "state", "sliding"):
         raise ValueError(f"unknown stateful window kind {kind!r}")
     schema = {f.name: f.dataType for f in sdf.schema.fields}
     order_cols = [c for c in order_cols if c in schema] or list(sdf.columns[:1])
+    if subgroups and kind == "sliding":
+        raise ValueError("subgroups apply to count/state windows; keyed sliding uses dims")
 
     if kind == "sliding":
         bad = [a.op for a in aggs if a.op not in _ROLLING_OPS]
@@ -253,7 +262,7 @@ def window_agg_stream(
     if kind == "sliding":
         needed = list(dict.fromkeys(list(order_cols) + agg_in + list(passthrough)))
     else:
-        needed = list(dict.fromkeys(list(order_cols) + agg_in + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else [])))
+        needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else [])))
     buffered = [c for c in needed if kind == "sliding" and (c == ts_col or c in agg_in)] if kind == "sliding" else [
         c for c in needed if c not in (begin_col, emit_col)
     ]
@@ -263,6 +272,8 @@ def window_agg_stream(
     out_fields: list[T.StructField] = []
     for d in dims:
         out_fields.append(T.StructField(d, schema[d]))
+    for s in subgroups:
+        out_fields.append(T.StructField(s, schema[s]))
     if emit_wid:
         out_fields.append(T.StructField("wid", T.LongType()))
     if kind == "sliding":
@@ -282,11 +293,64 @@ def window_agg_stream(
     state_schema = T.StructType(state_fields)
 
     dim_list = list(dims)
+    sub_list = list(subgroups)
     agg_list = list(aggs)
     pass_list = list(passthrough)
     order_list = list(order_cols)
     buf_types = {c: schema[c] for c in buffered}
     out_types = {f.name: f.dataType for f in out_fields}
+
+    def subgroup_window(win: dict, wid: int, sink: dict) -> None:
+        """One window's rows -> one output row per subgroup value
+        (pandas groupby; the window's rows stay in event order, so
+        first/last within a subgroup follow the reference)."""
+        src_cols = {a.in_col or ts_col for a in agg_list} | set(sub_list)
+        pdf = pd.DataFrame({c: win[c] for c in src_cols})
+        g = pdf.groupby(sub_list, sort=True)
+        keys = g.size().reset_index()
+        for sc in sub_list:
+            sink[sc].extend(keys[sc].tolist())
+        for a in agg_list:
+            src = a.in_col or ts_col
+            s = g[src]
+            if a.op == "count":
+                vals = g.size() if a.in_col is None else s.count()
+            elif a.op == "sum":
+                vals = s.sum()
+            elif a.op == "avg":
+                vals = s.mean()
+            elif a.op == "min":
+                vals = s.min()
+            elif a.op == "max":
+                vals = s.max()
+            elif a.op == "first":
+                vals = s.first()
+            elif a.op == "last":
+                vals = s.last()
+            elif a.op == "median":
+                vals = s.median()
+            elif a.op in ("stddev", "stddevs"):
+                vals = s.std(ddof=0 if a.op == "stddev" else 1)
+            elif a.op in ("var", "vars"):
+                vals = s.var(ddof=0 if a.op == "var" else 1)
+            elif a.op == "collect":
+                vals = s.apply(list)
+            else:  # pragma: no cover
+                raise KeyError(a.op)
+            vals = vals.reset_index(drop=True)
+            if a.op in ("min", "max", "first", "last") and _is_ts(buf_types.get(src, T.DoubleType())):
+                vals = pd.to_datetime(vals.astype("int64"), unit="us")
+            sink[a.out].extend(vals.tolist())
+        if emit_wid:
+            sink["wid"].extend([wid] * len(keys))
+
+    def new_sink() -> dict:
+        sink: dict[str, list] = {a.out: [] for a in agg_list}
+        for sc in sub_list:
+            sink[sc] = []
+        if emit_wid:
+            sink["wid"] = []
+        return sink
 
     def load_state(state: GroupState):
         if state.exists:
@@ -328,7 +392,19 @@ def window_agg_stream(
             buf = {c: np.concatenate([buf[c], add[c]]) for c in buffered}
         total = len(next(iter(buf.values()))) if buffered else 0
         n_win = total // n
-        if n_win:
+        if n_win and sub_list:
+            # sub-grouped: one output row per (window, subgroup value)
+            sink = new_sink()
+            for w in range(n_win):
+                win = {c: buf[c][w * n : (w + 1) * n] for c in buffered}
+                subgroup_window(win, emitted + w, sink)
+            buf = {c: buf[c][n_win * n :] for c in buffered}
+            emitted += n_win
+            save_state(state, emitted, False, buf)
+            n_out = len(next(iter(sink.values())))
+            if n_out:
+                yield emit_frame({k: pd.Series(v) for k, v in sink.items()}, n_out, key)
+        elif n_win:
             out_cols = {}
             if emit_wid:
                 out_cols["wid"] = np.arange(emitted, emitted + n_win, dtype="int64")
@@ -357,9 +433,7 @@ def window_agg_stream(
         eflags = batch[emit_col].to_numpy(dtype="bool") if emit_col else ~bflags
         single = emit_col is None  # island mode: run of begin-true rows
         m = len(batch)
-        out_rows: dict[str, list] = {a.out: [] for a in agg_list}
-        if emit_wid:
-            out_rows["wid"] = []
+        out_rows = new_sink()
         pos = 0
         while pos < m:
             if not is_open:
@@ -388,14 +462,17 @@ def window_agg_stream(
                 close_rel = int(np.argmax(later_emit))  # emit row is included
                 win = {c: np.concatenate([buf[c], rows[c][pos : pos + close_rel + 1]]) for c in buffered}
                 next_pos = pos + close_rel + 1
-            for a in agg_list:
-                src = a.in_col or ts_col
-                val = _SLICE_OPS[a.op](win[src])
-                if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
-                    val = pd.Timestamp(int(val), unit="us")
-                out_rows[a.out].append(val)
-            if emit_wid:
-                out_rows["wid"].append(emitted)
+            if sub_list:
+                subgroup_window(win, emitted, out_rows)
+            else:
+                for a in agg_list:
+                    src = a.in_col or ts_col
+                    val = _SLICE_OPS[a.op](win[src])
+                    if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
+                        val = pd.Timestamp(int(val), unit="us")
+                    out_rows[a.out].append(val)
+                if emit_wid:
+                    out_rows["wid"].append(emitted)
             emitted += 1
             is_open = False
             buf = {c: _empty_np(_state_elem_type(buf_types[c])) for c in buffered}

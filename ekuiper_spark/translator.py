@@ -180,11 +180,6 @@ class Translator:
                 df = df.filter(self._expr(group.window.filter, ctx))
             df, wnames = self._window_key(df, group.window, ctx)
             ctx.windowfunc_partition = wnames
-            if group.window.kind == "count":
-                # only full windows emit (window_op.go:520-568)
-                n = group.window.args[0]
-                wc = F.count(F.lit(1)).over(W.partitionBy(*[F.col(c) for c in wnames]))
-                df = df.withColumn("__wc", wc).filter(F.col("__wc") == n).drop("__wc")
             df = self._project(df, stmt, ctx)
         elif group is not None or has_agg:
             if self.streaming and window is not None and window.kind in ("count", "state"):
@@ -413,20 +408,13 @@ class Translator:
             ctx.agg_map[key] = name
             agg_exprs.append(self._agg_expr(call, ctx).alias(name))
 
-        # count-window batch emulation needs the row count to drop the
-        # trailing partial window (reference emits only full windows,
-        # internal/topo/node/window_op.go:520-568)
-        if window is not None and window.kind == "count":
-            agg_exprs.append(F.count(F.lit(1)).alias("__wcount"))
-
         if not agg_exprs:
             agg_exprs.append(F.count(F.lit(1)).alias("__dummy"))
 
+        # (count-window fullness is enforced in _window_key, on the whole
+        # window — a GROUP BY dim sub-groups the window contents and must
+        # not affect the full-window check)
         gdf = df.groupBy(*[F.col(c) for c in group_cols]).agg(*agg_exprs) if group_cols else df.groupBy().agg(*agg_exprs)
-
-        if window is not None and window.kind == "count":
-            n = window.args[0]
-            gdf = gdf.filter(F.col("__wcount") == n)
 
         ctx.post_agg = True
         # emission ordering for post-agg positional funcs
@@ -520,14 +508,21 @@ class Translator:
 
         group = stmt.group
         window = group.window
-        if group.dims:
-            raise NotImplementedError(
-                "streaming COUNTWINDOW/STATEWINDOW sub-grouping by extra "
-                "dims is not supported; use the window's partition args "
-                "(STATEWINDOW) or batch mode"
-            )
         if window.filter is not None:
             df = df.filter(self._expr(window.filter, ctx))
+
+        # GROUP BY dims sub-group WITHIN each window (the reference's
+        # window-then-aggregate order: the window op batches rows, then
+        # AggregateOp groups the batch contents)
+        subgroups: list[str] = []
+        for i, d in enumerate(group.dims or []):
+            if isinstance(d, ColumnRef) and d.source is None:
+                name = d.name
+            else:
+                name = f"__grp{i}"
+                df = df.withColumn(name, self._expr(d, ctx))
+            ctx.dim_map[canon(d)] = name
+            subgroups.append(name)
 
         kw: dict = {}
         dims: list[str] = []
@@ -554,6 +549,7 @@ class Translator:
             df,
             window.kind,
             dims=dims,
+            subgroups=subgroups,
             order_cols=ctx.order_cols,
             aggs=specs,
             **kw,
@@ -681,6 +677,11 @@ class Translator:
             )
             rn = F.row_number().over(W.orderBy(*order))
             df = df.withColumn("__wid", F.floor((rn - 1) / F.lit(n)))
+            # only full windows emit (window_op.go:520-568) — checked on
+            # the WINDOW's size here, before any GROUP BY dims sub-group
+            # the window contents
+            wc = F.count(F.lit(1)).over(W.partitionBy(F.col("__wid")))
+            df = df.withColumn("__wc", wc).filter(F.col("__wc") == n).drop("__wc")
             ctx.window_col = None
             return df, ["__wid"]
         if w.kind == "state":

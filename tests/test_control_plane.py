@@ -604,3 +604,22 @@ def test_reference_graph_rule_replay(spark, catalog):
     # branch 2: sin over ALL rows (no filter on this branch)
     b2 = {round(r["sin_temperature"], 6) for r in out["mqtt2"].select("sin_temperature").collect()}
     assert b2 == {round(math.sin(t), 6) for t in (10.0, 100.0, 1000.0)}
+
+
+def test_dialect_streaming_count_window_subgrouped(spark, catalog):
+    """GROUP BY dim, COUNTWINDOW(n) in streaming: the window batches n
+    events globally, then aggregates per dim WITHIN each window (the
+    reference's window-then-aggregate order) — matches the batch path."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    sql = (
+        "SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v "
+        "FROM events GROUP BY event_type, COUNTWINDOW(200)"
+    )
+    out = run_rule_available_now(
+        spark, catalog, sql, output_mode="append", order_cols=["ts", "event_id"]
+    )
+    stream = sorted(tuple(r) for r in out.collect())
+    batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
+    bt = sorted(tuple(r) for r in batch.collect())
+    assert stream == bt and len(stream) > 5
