@@ -82,3 +82,11 @@ def _deduplicate(c, r):
 # free with Spark; exposed as an extension.
 reg("count_distinct")(lambda c, r: F.count_distinct(*c))
 reg("approx_count_distinct")(lambda c, r: F.approx_count_distinct(c[0]))
+
+# incremental-aggregate rewrites (internal/binder/function/funcs_inc_agg.go,
+# used by the planner's incremental-agg pass, planner.go:1022-1104): Spark's
+# partial (map-side) + final aggregation IS the incremental computation, so
+# each inc_* resolves to its base aggregate — same results, one reduced row
+# per group/partition across the shuffle.
+for _base in ("avg", "count", "max", "min", "sum", "collect", "merge_agg", "last_value"):
+    REGISTRY[f"inc_{_base}"] = REGISTRY[_base]

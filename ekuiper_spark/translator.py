@@ -212,6 +212,8 @@ class Translator:
                 if n.name in fregistry.ANALYTIC or n.name.startswith("acc_") or n.name == "changed_cols":
                     calls.setdefault(canon(n), n)
                     return
+                if n.name in ("meta", "mqtt"):
+                    return  # args are metadata keys, not expressions
                 for a in n.args:
                     walk(a)
             elif isinstance(n, Binary):
@@ -306,7 +308,7 @@ class Translator:
         def walk(n):
             nonlocal found
             if isinstance(n, FuncCall):
-                if n.name == "meta":
+                if n.name in ("meta", "mqtt"):
                     found = True
                 for a in n.args:
                     walk(a)
@@ -1167,6 +1169,17 @@ class Translator:
                 fieldname = "start" if name == "window_start" else "end"
                 return F.col(f"{ctx.window_col}.{fieldname}")
             raise ValueError(f"{name}() outside a time window")
+
+        if name == "mqtt":
+            # mqtt(topic|messageid) metadata (funcs_misc.go:451-474); the
+            # file-source analog of topic is the source file path, and
+            # file messages carry no broker message id
+            key = call.args[0].name.lower() if isinstance(call.args[0], ColumnRef) else str(self._raw(call.args[0])).lower()
+            if key == "topic":
+                return F.col("_metadata.file_path")
+            if key == "messageid":
+                return F.lit(None).cast("string")
+            raise ValueError("mqtt() takes topic or messageid")
 
         if name in ("rule_id", "rule_start", "props"):
             if name == "rule_id":

@@ -226,3 +226,37 @@ def test_deduplicate_row_semantics(spark, catalog):
         if r["dl"] is not None:
             last_keys = keys  # first occurrences; dl's key must be the last seen
             assert round(r["dl"]["value"], -1) in last_keys
+
+
+def test_inc_agg_aliases(spark, catalog):
+    """inc_* incremental aggregates (funcs_inc_agg.go) resolve to the base
+    aggregates — Spark's partial+final aggregation IS the incremental
+    path, so results are identical."""
+    df = compile_sql(
+        spark,
+        "SELECT event_type, inc_count(*) AS n, round(inc_sum(value), 4) AS s, "
+        "round(inc_avg(value), 4) AS a, inc_max(value) AS mx "
+        "FROM events GROUP BY event_type",
+        catalog,
+    )
+    base = compile_sql(
+        spark,
+        "SELECT event_type, count(*) AS n, round(sum(value), 4) AS s, "
+        "round(avg(value), 4) AS a, max(value) AS mx "
+        "FROM events GROUP BY event_type",
+        catalog,
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_mqtt_metadata_analog(spark, catalog):
+    """mqtt(topic) maps to the file-source path metadata (funcs_misc.go
+    mqtt() topic/messageid; file analog documented)."""
+    df = compile_sql(
+        spark,
+        "SELECT event_id, mqtt(topic) AS topic, mqtt(messageid) AS mid "
+        "FROM events WHERE event_id = 1",
+        catalog,
+    )
+    r = df.collect()[0]
+    assert r["topic"].endswith("events.parquet") and r["mid"] is None
