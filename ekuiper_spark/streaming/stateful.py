@@ -209,6 +209,7 @@ def window_agg_stream(
     begin_col: Optional[str] = None,
     emit_col: Optional[str] = None,
     length_us: Optional[int] = None,
+    delay_us: int = 0,
     dims: Sequence[str] = (),
     subgroups: Sequence[str] = (),
     order_cols: Sequence[str] = ("ts",),
@@ -250,22 +251,29 @@ def window_agg_stream(
         raise ValueError("subgroups apply to count/state windows; keyed sliding uses dims")
 
     if kind == "sliding":
-        bad = [a.op for a in aggs if a.op not in _ROLLING_OPS]
+        allowed = {"count", "sum", "avg"} if delay_us else _ROLLING_OPS
+        bad = [a.op for a in aggs if a.op not in allowed]
         if bad:
             raise NotImplementedError(
-                f"streaming SLIDINGWINDOW supports {sorted(_ROLLING_OPS)} aggregates; got {bad}"
+                f"streaming SLIDINGWINDOW supports {sorted(allowed)} aggregates"
+                f"{' with delay' if delay_us else ''}; got {bad}"
             )
 
     # --- columns that must cross into the pandas fn -----------------------
     agg_in = [a.in_col for a in aggs if a.in_col is not None]
     ts_col = order_cols[0]
-    if kind == "sliding":
+    if kind == "sliding" and delay_us:
+        needed = list(dict.fromkeys([ts_col] + agg_in + list(passthrough)))
+    elif kind == "sliding":
         needed = list(dict.fromkeys(list(order_cols) + agg_in + list(passthrough)))
     else:
         needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else [])))
-    buffered = [c for c in needed if kind == "sliding" and (c == ts_col or c in agg_in)] if kind == "sliding" else [
-        c for c in needed if c not in (begin_col, emit_col)
-    ]
+    if kind == "sliding" and delay_us:
+        buffered = list(needed)  # pending rows wait in state with their row cols
+    elif kind == "sliding":
+        buffered = [c for c in needed if c == ts_col or c in agg_in]
+    else:
+        buffered = [c for c in needed if c not in (begin_col, emit_col)]
     buffered = list(dict.fromkeys(buffered))
 
     # --- schemas ----------------------------------------------------------
@@ -483,6 +491,60 @@ def window_agg_stream(
             yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
 
     # ------------------------------------------------------------------ #
+    def fn_sliding_delay(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        """SLIDINGWINDOW(unit, length, delay): a row's emission fires once
+        event time passes t+delay; its frame is [t-length, t+delay]
+        (window_op.go sliding delay scheduling, event-time analog).  Rows
+        later than the delay horizon are dropped (watermark semantics);
+        trailing rows whose trigger never passes stay pending."""
+        max_seen, _, buf = load_state(state)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        n_new = len(batch)
+        add = batch_arrays(batch.sort_values(order_list, kind="mergesort"), buffered) if n_new else {c: _empty_np(_state_elem_type(buf_types[c])) for c in buffered}
+        n_old = len(buf[ts_col])
+        full = {c: np.concatenate([buf[c], add[c]]) for c in buffered}
+        total = n_old + n_new
+        if not total:
+            save_state(state, max_seen, False, buf)
+            return
+        perm = np.argsort(full[ts_col], kind="stable")
+        full = {c: full[c][perm] for c in buffered}
+        from_old = (np.concatenate([np.ones(n_old, dtype=bool), np.zeros(n_new, dtype=bool)]))[perm]
+        ts_arr = full[ts_col]
+        new_max = max(int(max_seen), int(ts_arr.max()))
+        old_thr, new_thr = int(max_seen) - delay_us, new_max - delay_us
+        already = from_old & (ts_arr <= old_thr)
+        emit = (ts_arr <= new_thr) & ~already
+        idx = np.nonzero(emit)[0]
+        out_cols: dict = {}
+        if len(idx):
+            left = np.searchsorted(ts_arr, ts_arr[idx] - length_us, side="left")
+            right = np.searchsorted(ts_arr, ts_arr[idx] + delay_us, side="right")
+            for a in agg_list:
+                if a.op == "count" and a.in_col is None:
+                    res = (right - left).astype("int64")
+                else:
+                    vals = full[a.in_col].astype("float64")
+                    ok = ~np.isnan(vals)
+                    ccs = np.concatenate([[0], np.cumsum(ok.astype("int64"))])
+                    scs = np.concatenate([[0.0], np.cumsum(np.where(ok, vals, 0.0))])
+                    cnt = ccs[right] - ccs[left]
+                    sm = scs[right] - scs[left]
+                    if a.op == "count":
+                        res = cnt.astype("int64")
+                    elif a.op == "sum":
+                        res = sm.astype("int64") if isinstance(out_types[a.out], T.LongType) else sm
+                    else:  # avg
+                        res = np.where(cnt > 0, sm / np.maximum(cnt, 1), np.nan)
+                out_cols[a.out] = res
+            for c in pass_list:
+                v = full[c][idx]
+                out_cols[c] = pd.to_datetime(v.astype("int64"), unit="us") if _is_ts(buf_types[c]) else v
+        keep = ts_arr >= new_thr - length_us
+        save_state(state, new_max, False, {c: full[c][keep] for c in buffered})
+        if len(idx):
+            yield emit_frame(out_cols, len(idx), key)
+
     def fn_sliding(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         _, _, buf = load_state(state)
         batch = pd.concat(list(pdfs), ignore_index=True)
@@ -522,7 +584,7 @@ def window_agg_stream(
         save_state(state, 0, False, buf)
         yield emit_frame(out_cols, len(batch), key)
 
-    fn = {"count": fn_count, "state": fn_state, "sliding": fn_sliding}[kind]
+    fn = {"count": fn_count, "state": fn_state, "sliding": fn_sliding_delay if delay_us else fn_sliding}[kind]
     if dim_list:
         keyed = sdf.groupBy(*dim_list)
     else:

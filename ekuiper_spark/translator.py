@@ -569,11 +569,14 @@ class Translator:
 
         group = stmt.group
         window = group.window
-        if len(window.args) > 1 and window.args[1]:
-            raise NotImplementedError("SLIDINGWINDOW delay is batch-only for now")
         if window.filter is not None:
             df = df.filter(self._expr(window.filter, ctx))
         length_us = int(window.args[0] * UNIT_SECONDS[window.unit] * 1_000_000)
+        delay_us = (
+            int(window.args[1] * UNIT_SECONDS[window.unit] * 1_000_000)
+            if len(window.args) > 1
+            else 0
+        )
 
         # GROUP BY dims key the per-event frame (keyed sliding = scale path)
         dims: list[str] = []
@@ -627,6 +630,7 @@ class Translator:
             df,
             "sliding",
             length_us=length_us,
+            delay_us=delay_us,
             dims=dims,
             order_cols=ctx.order_cols,
             aggs=specs,

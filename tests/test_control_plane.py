@@ -623,3 +623,95 @@ def test_dialect_streaming_count_window_subgrouped(spark, catalog):
     batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
     bt = sorted(tuple(r) for r in batch.collect())
     assert stream == bt and len(stream) > 5
+
+
+def test_dialect_streaming_sliding_delay(spark, catalog):
+    """SLIDINGWINDOW(unit, length, delay) in streaming: emission fires
+    once event time passes t+delay; frame = [t-length, t+delay]
+    (window_op.go sliding delay, event-time analog).  Rows whose trigger
+    never passes (the trailing delay horizon) stay pending — parity with
+    batch holds for all triggered rows."""
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    sql = (
+        "SELECT event_id, count(*) AS n_w, round(sum(value), 4) AS sum_w "
+        "FROM events GROUP BY SLIDINGWINDOW(mi, 60, 10)"
+    )
+    out = run_rule_available_now(
+        spark, catalog, sql, output_mode="append", order_cols=["ts", "event_id"]
+    )
+    stream = {r["event_id"]: (r["n_w"], r["sum_w"]) for r in out.collect()}
+    batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
+    ev = catalog.load(spark, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = max_ts - __import__("datetime").timedelta(minutes=10)
+    triggered = {
+        r["event_id"]
+        for r in ev.filter(F.col("ts") <= horizon).select("event_id").collect()
+    }
+    bt = {r["event_id"]: (r["n_w"], r["sum_w"]) for r in batch.collect()}
+    assert set(stream) == triggered
+    mismatches = [k for k in stream if stream[k] != bt[k]]
+    assert not mismatches, mismatches[:5]
+
+
+def test_sliding_delay_cross_batch(spark, catalog, tmp_path):
+    """Delayed sliding across micro-batches: rows near the end of batch 1
+    trigger only when batch 2's events pass their t+delay, and their
+    frames must include batch-2 rows that landed inside [t, t+delay]."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    ev = catalog.load(spark, "events").orderBy("ts", "event_id")
+    d = tmp_path
+    ev.limit(500).coalesce(1).write.parquet(str(d / "p1"))
+    first = {r["event_id"] for r in ev.limit(500).select("event_id").collect()}
+    ev.filter(~F.col("event_id").isin(list(first))).coalesce(1).write.parquet(str(d / "p2"))
+    sdir = str(d / "stream")
+    os.makedirs(sdir)
+    now = _time.time()
+    for i, sub in enumerate(["p1", "p2"]):
+        dst = os.path.join(sdir, f"{sub}.parquet")
+        shutil.copy(glob.glob(str(d / sub / "*.parquet"))[0], dst)
+        os.utime(dst, (now - 60 + i * 30,) * 2)
+    from ekuiper_spark.catalog import Catalog, StreamDef
+
+    cat2 = Catalog()
+    cat2.register(StreamDef(name="events", format="parquet", path=sdir, kind="stream"))
+    cat2._dfs = {}
+    import uuid
+
+    from ekuiper_spark.translator import compile_sql as cs
+
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(sdir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(sdir)
+    )
+    cat2.register_df("events", sdf)
+    out = cs(
+        spark,
+        "SELECT event_id, count(*) AS n_w FROM events GROUP BY SLIDINGWINDOW(mi, 60, 10)",
+        cat2, streaming=True, order_cols=["ts", "event_id"],
+    )
+    name = "sd_" + uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    stream = {r["event_id"]: r["n_w"] for r in spark.table(name).collect()}
+    batch = compile_sql(
+        spark,
+        "SELECT event_id, count(*) AS n_w FROM events GROUP BY SLIDINGWINDOW(mi, 60, 10)",
+        catalog, order_cols=["ts", "event_id"],
+    )
+    bt = {r["event_id"]: r["n_w"] for r in batch.collect()}
+    assert len(stream) > 900  # both batches' triggered rows emitted
+    mismatches = [k for k in stream if stream[k] != bt[k]]
+    assert not mismatches, mismatches[:5]
