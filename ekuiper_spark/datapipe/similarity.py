@@ -112,6 +112,62 @@ def lsh_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def write_lsh_bucketed(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Materialize the corpus partitioned BY LSH bucket (the IVF-style
+    index layout): `path/lsh_bucket=<sig>/part-*.parquet`.
+
+    At 100 TB this is the ANN scale path — a query prunes to its probe
+    buckets AT THE SCAN (Hive-partition pruning, no data read outside the
+    probed buckets), instead of filtering after reading everything.
+    Returns the hyperplanes (persist them alongside the index in real use).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    (
+        with_lsh_buckets(df, planes, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("lsh_bucket")
+        .parquet(path)
+    )
+    return planes
+
+
+def lsh_topk_pruned(
+    spark,
+    path: str,
+    planes: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k over a bucket-partitioned index: the probe-bucket filter
+    becomes a partition PRUNE (PartitionFilters in the scan — verified in
+    tests), so only the probed buckets' files are ever opened."""
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    probes = {qsig}
+    if probe_hamming >= 1:
+        probes |= {qsig ^ (1 << i) for i in range(len(planes))}
+    if probe_hamming >= 2:
+        probes |= {
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(len(planes))
+            for j in range(i + 1, len(planes))
+        }
+    df = spark.read.parquet(path).filter(F.col("lsh_bucket").isin(list(probes)))
+    return cosine_topk(df, query_vec, k, vec_col, id_col)
+
+
 def knn_join_exact(
     df: DataFrame,
     k: int = 3,

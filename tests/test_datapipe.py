@@ -176,3 +176,30 @@ def test_lsh_topk_full_recall_on_true_neighbors(spark, catalog):
     exact = [r["vec_id"] for r in cosine_topk(rest, qv, k=3).collect()]
     ann = [r["vec_id"] for r in lsh_topk(rest, qv, k=3, n_planes=10).collect()]
     assert sorted(exact) == sorted(ann) == [200002, 200003, 200004]
+
+
+def test_lsh_bucketed_index_partition_prunes(spark, catalog, tmp_path):
+    """The IVF-style ANN layout: corpus written partitioned by LSH bucket;
+    a query's probe filter becomes a partition PRUNE at the scan (only the
+    probed buckets' files open) and returns the same result as the inline
+    LSH search."""
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.datapipe.similarity import (
+        lsh_topk, lsh_topk_pruned, write_lsh_bucketed,
+    )
+
+    emb = catalog.load(spark, "embeddings")
+    path = str(tmp_path / "ann_index")
+    planes = write_lsh_bucketed(emb, path, n_planes=8)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    pruned = lsh_topk_pruned(spark, path, planes, qv, k=5)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan
+    inline = lsh_topk(emb, qv, k=5, n_planes=8, probe_hamming=1)
+    assert sorted(r["vec_id"] for r in pruned.collect()) == sorted(
+        r["vec_id"] for r in inline.collect()
+    )
+    # the scan reads only probed buckets: 1 exact + 8 hamming-1 of the 2^8
+    n_buckets = spark.read.parquet(path).select("lsh_bucket").distinct().count()
+    assert n_buckets > 9  # corpus spans many more buckets than we probe
