@@ -28,6 +28,7 @@ from typing import Any, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 from ekuiper_spark import functions as fregistry
@@ -59,6 +60,8 @@ class TranslateCtx:
     hit_col: Optional[str] = None  # emission row-number col for last_hit_*
     order_cols: list[str] = dc_field(default_factory=list)
     event_col: Optional[str] = None
+    event_is_long: bool = False  # epoch-millis long event time (reference native)
+    window_bounds_ms: bool = False  # window struct holds ts but user time is ms
 
 
 def canon(node: Node) -> str:
@@ -106,6 +109,14 @@ class Translator:
             ec = "ts"
         ctx.event_col = ec
         ctx.order_cols = self.order_cols or ([ec] if ec else [])
+        ctx.row_cols = [
+            c for c in df.columns if not c.startswith("__") and c not in ("window", "_metadata")
+        ]
+        # long event-time columns are epoch millis (the reference's native
+        # representation); range frames order on micros either way
+        ctx.event_is_long = ec is not None and isinstance(
+            df.schema[ec].dataType, T.LongType
+        )
 
         if self.streaming and self.watermark and ec:
             df = df.withWatermark(ec, self.watermark)
@@ -167,10 +178,10 @@ class Translator:
                 # satisfying the trigger emit (window_op.go:757-784) — so
                 # the trigger filter applies after the window projection.
                 trig = self._expr(window.trigger, ctx)
-                cols = self._projection_cols(df, stmt, ctx) + [trig.alias("__trig")]
-                df = df.select(*cols).filter(F.col("__trig")).drop("__trig")
+                df = self._project_staged(df, stmt, ctx, extra=[(trig, "__trig")])
+                df = df.filter(F.col("__trig")).drop("__trig")
             else:
-                df = self._project(df, stmt, ctx)
+                df = self._project_staged(df, stmt, ctx)
         elif group is not None and group.window is not None and not has_agg:
             # window WITHOUT aggregation: the window batches rows and
             # window functions (row_number, ...) rank within each window
@@ -647,19 +658,27 @@ class Translator:
         ec = ctx.event_col
         if w.kind in ("tumbling", "hopping", "session") and ec is None:
             raise ValueError("time window requires an event-time column")
+        # long event columns carry epoch millis (the reference's native
+        # representation) — time windows need a timestamp, and the window
+        # bounds convert back to ms at projection
+        if ec and ctx.event_is_long and w.kind in ("tumbling", "hopping", "session"):
+            ecol = F.timestamp_millis(F.col(ec))
+            ctx.window_bounds_ms = True
+        else:
+            ecol = F.col(ec) if ec else None
         if w.kind == "tumbling":
             dur = self._dur(w, 0)
-            df = df.withColumn("window", F.window(F.col(ec), dur))
+            df = df.withColumn("window", F.window(ecol, dur))
             ctx.window_col = "window"
             return df, ["window"]
         if w.kind == "hopping":
             dur, hop = self._dur(w, 0), self._dur(w, 1)
-            df = df.withColumn("window", F.window(F.col(ec), dur, hop))
+            df = df.withColumn("window", F.window(ecol, dur, hop))
             ctx.window_col = "window"
             return df, ["window"]
         if w.kind == "session":
             gap = self._dur(w, 0)
-            df = df.withColumn("window", F.session_window(F.col(ec), gap))
+            df = df.withColumn("window", F.session_window(ecol, gap))
             ctx.window_col = "window"
             return df, ["window"]
         if w.kind == "count":
@@ -686,8 +705,22 @@ class Translator:
             # only full windows emit (window_op.go:520-568) — checked on
             # the WINDOW's size here, before any GROUP BY dims sub-group
             # the window contents
-            wc = F.count(F.lit(1)).over(W.partitionBy(F.col("__wid")))
+            wp = W.partitionBy(F.col("__wid"))
+            wc = F.count(F.lit(1)).over(wp)
             df = df.withColumn("__wc", wc).filter(F.col("__wc") == n).drop("__wc")
+            if ec is not None:
+                # count-window range = [first event time, last event time]
+                # (xsql/collection.go WindowRange; window_rule_test.go
+                # TestWindowRule9 expects window_end = the n-th row's ts)
+                df = df.withColumn(
+                    "window",
+                    F.struct(
+                        F.min(F.col(ec)).over(wp).alias("start"),
+                        F.max(F.col(ec)).over(wp).alias("end"),
+                    ),
+                )
+                ctx.window_col = "window"
+                return df, ["__wid", "window"]
             ctx.window_col = None
             return df, ["__wid"]
         if w.kind == "state":
@@ -800,14 +833,38 @@ class Translator:
     def _projection_cols(
         self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx
     ) -> list[Column]:
-        cols: list[Column] = []
+        return [c for c, _ in self._projection_pairs(df, stmt, ctx)]
+
+    def _project_staged(
+        self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx, extra=None
+    ) -> DataFrame:
+        """Two-stage projection for per-event (sliding) output: each field
+        materializes via withColumn under a temp name first, so window
+        expressions resolve against the INPUT columns — a same-named
+        output alias would otherwise trip Spark's lateral-column-alias
+        check (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW) when
+        the window expr nests inside a larger expression."""
+        items = self._projection_pairs(df, stmt, ctx) + list(extra or [])
+        tmp: list[tuple[str, str]] = []
+        for i, (c, n) in enumerate(items):
+            t = f"__prj{i}"
+            df = df.withColumn(t, c)
+            tmp.append((t, n))
+        return df.select(*[F.col(t).alias(n) for t, n in tmp])
+
+    def _projection_pairs(
+        self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx
+    ) -> list[tuple[Column, str]]:
+        """(aliased Column, output name) per projected field."""
+        out: list[tuple[Column, str]] = []
         for f in stmt.fields:
             if f.invisible:
                 continue
             if isinstance(f.expr, Wildcard):
-                cols.extend(self._expand_wildcard(df, f.expr, ctx))
+                out.extend(self._expand_wildcard(df, f.expr, ctx))
                 continue
             if isinstance(f.expr, FuncCall) and f.expr.name in fregistry.SRF:
+                name = self._field_name(f)
                 if f.expr.name == "extract":
                     # extract(map) emits the entries as row fields
                     # (funcs_srf.go:38-51) — one output row per input row.
@@ -821,19 +878,19 @@ class Translator:
                         and arg.name == "object_construct"
                         and all(self._raw(a) is not None for a in arg.args[0::2])
                     ):
-                        pairs = [
+                        fields = [
                             self._expr(arg.args[i + 1], ctx).alias(str(self._raw(arg.args[i])))
                             for i in range(0, len(arg.args), 2)
                         ]
-                        col = F.struct(*pairs)
+                        col = F.struct(*fields)
                     else:
                         col = self._expr(arg, ctx)
-                    cols.append(col.alias(self._field_name(f)))
+                    out.append((col.alias(name), name))
                     continue
                 # unnest(arr) -> explode; ProjectSet analog
                 # (internal/topo/operator/projectset_operator.go:25-100)
                 inner = self._expr(f.expr.args[0], ctx)
-                cols.append(F.explode(inner).alias(self._field_name(f)))
+                out.append((F.explode(inner).alias(name), name))
                 continue
             if isinstance(f.expr, FuncCall) and f.expr.name == "changed_cols":
                 # multi-column analytic: changed_cols(prefix, ignoreNull,
@@ -845,15 +902,19 @@ class Translator:
                 for a in call.args[2:]:
                     col = self._expr(a, ctx)
                     prev = F.lag(col).over(w)
-                    name = a.name if isinstance(a, ColumnRef) else "col"
-                    cols.append(
-                        F.when(prev.isNull() | (col != prev), col).alias(f"{prefix}{name}")
+                    base = a.name if isinstance(a, ColumnRef) else "col"
+                    name = f"{prefix}{base}"
+                    out.append(
+                        (F.when(prev.isNull() | (col != prev), col).alias(name), name)
                     )
                 continue
-            cols.append(self._expr(f.expr, ctx).alias(self._field_name(f)))
-        return cols
+            name = self._field_name(f)
+            out.append((self._expr(f.expr, ctx).alias(name), name))
+        return out
 
-    def _expand_wildcard(self, df: DataFrame, w: Wildcard, ctx: TranslateCtx) -> list[Column]:
+    def _expand_wildcard(
+        self, df: DataFrame, w: Wildcard, ctx: TranslateCtx
+    ) -> list[tuple[Column, str]]:
         hidden = {"window", "__wid", "__wcount", "__dummy", "_metadata"}
         hidden |= {c for c in df.columns if c.startswith("__")}
         replaces = {name: self._expr(e, ctx) for e, name in w.replaces}
@@ -863,11 +924,11 @@ class Translator:
             if c in hidden or c.lower() in {x.lower() for x in w.except_cols}:
                 continue
             if c in replaces:
-                out.append(replaces[c].alias(c))
+                out.append((replaces[c].alias(c), c))
             elif w.source:
-                out.append(F.col(f"{w.source}.{c}"))
+                out.append((F.col(f"{w.source}.{c}"), c))
             else:
-                out.append(F.col(c))
+                out.append((F.col(c), c))
         return out
 
     # ------------------------------------------------------------------ #
@@ -928,15 +989,40 @@ class Translator:
             return -node.operand.value
         return None
 
-    def _agg_expr(self, call: FuncCall, ctx: TranslateCtx) -> Column:
-        if call.name.lower() == "deduplicate" and ctx.row_cols:
-            return self._deduplicate_agg(call, ctx)
+    def _agg_expr(self, call: FuncCall, ctx: TranslateCtx, over=None) -> Column:
+        name = call.name.lower()
+        if name == "deduplicate" and ctx.row_cols:
+            return self._deduplicate_agg(call, ctx, over=over)
+        if name in ("collect", "inc_collect") and ctx.row_cols and call.args and all(
+            isinstance(a, Wildcard) for a in call.args
+        ):
+            # collect(*) collects whole ROWS in event order (funcs_agg.go:144
+            # with the * message argument)
+            entries = self._ordered_row_entries(ctx, None, over)
+            return F.transform(entries, lambda e: e["__zr"])
         args = [a for a in call.args if not isinstance(a, Wildcard)]
         cols = [self._expr(a, ctx) for a in args]
         raw = [self._raw(a) for a in args]
-        return fregistry.build_aggregate(call.name, cols, raw)
+        base = fregistry.build_aggregate(call.name, cols, raw)
+        return base.over(over) if over is not None else base
 
-    def _deduplicate_agg(self, call: FuncCall, ctx: TranslateCtx) -> Column:
+    def _ordered_row_entries(self, ctx: TranslateCtx, key: Optional[Column], over) -> Column:
+        """sort_array(collect_list(struct(order..., [key,] row))) — the
+        event-ordered row collection shared by deduplicate and collect(*);
+        `over` turns the collection into a frame aggregate (sliding)."""
+        row = F.struct(*[F.col(c) for c in ctx.row_cols])
+        parts = [
+            F.col(c).alias(f"__o{i}") for i, c in enumerate(ctx.order_cols)
+        ]
+        if key is not None:
+            parts.append(key.alias("__zk"))
+        parts.append(row.alias("__zr"))
+        collected = F.collect_list(F.struct(*parts))
+        if over is not None:
+            collected = collected.over(over)
+        return F.sort_array(collected)
+
+    def _deduplicate_agg(self, call: FuncCall, ctx: TranslateCtx, over=None) -> Column:
         """deduplicate(keyExpr, all) returns whole ROWS, not key values
         (funcs_agg.go:176 -> common_array_funcs.go:249-272):
 
@@ -948,15 +1034,11 @@ class Translator:
         Built as one native aggregate: rows collect into a sorted entry
         array (order cols lead the struct so sort_array restores event
         order); first-occurrence filtering runs via nested higher-order
-        functions — all JVM-side, group-local (no extra shuffle)."""
+        functions — all JVM-side, group-local (no extra shuffle).  With
+        `over`, the collection is a frame aggregate (sliding windows)."""
         key = self._expr(call.args[0], ctx)
         all_flag = self._raw(call.args[1]) if len(call.args) > 1 else True
-        row = F.struct(*[F.col(c) for c in ctx.row_cols])
-        parts = [
-            self._expr_if_exists(c, ctx).alias(f"__o{i}")
-            for i, c in enumerate(ctx.order_cols)
-        ] + [key.alias("__zk"), row.alias("__zr")]
-        entries = F.sort_array(F.collect_list(F.struct(*parts)))
+        entries = self._ordered_row_entries(ctx, key, over)
         if all_flag:
             withidx = F.transform(entries, lambda e, i: F.struct(e.alias("e"), i.alias("i")))
             firsts = F.filter(
@@ -973,8 +1055,6 @@ class Translator:
             ~F.exists(prior, lambda q: q["__zk"] == last["__zk"]), last["__zr"]
         )
 
-    def _expr_if_exists(self, name: str, ctx: TranslateCtx) -> Column:
-        return F.col(name)
 
     def _analytic_window(self, call: FuncCall, ctx: TranslateCtx):
         part = [self._expr(p, ctx) for p in call.partition_by]
@@ -991,7 +1071,10 @@ class Translator:
         length = w.args[0] * UNIT_SECONDS[w.unit]
         delay = (w.args[1] * UNIT_SECONDS[w.unit]) if len(w.args) > 1 else 0
         # exact integer-microsecond ordering (ties/boundaries deterministic)
-        order = F.unix_micros(F.col(ctx.event_col))
+        if ctx.event_is_long:
+            order = F.col(ctx.event_col) * 1000  # epoch ms -> micros
+        else:
+            order = F.unix_micros(F.col(ctx.event_col))
         if not ctx.sliding_parts:
             import warnings
 
@@ -1163,15 +1246,21 @@ class Translator:
 
         if ctx.sliding_frame is not None and fregistry.is_aggregate(name):
             # sliding window: aggregate over a range frame per event
-            base = self._agg_expr(call, ctx)
-            return base.over(self._sliding_frame_spec(ctx))
+            # (deduplicate/collect(*) embed the frame inside their row
+            # collection rather than wrapping the outer expression)
+            return self._agg_expr(call, ctx, over=self._sliding_frame_spec(ctx))
 
         if name in fregistry.WINDOW_META:
             if ctx.window_col:
                 # window_trigger = the window's firing time; for event-time
                 # windows that is the window end (xsql/collection.go:608)
                 fieldname = "start" if name == "window_start" else "end"
-                return F.col(f"{ctx.window_col}.{fieldname}")
+                col = F.col(f"{ctx.window_col}.{fieldname}")
+                if ctx.window_bounds_ms:
+                    # long (epoch-ms) event time: window bounds return ms
+                    # like the reference (WindowRange int64 fields)
+                    col = F.unix_millis(col)
+                return col
             raise ValueError(f"{name}() outside a time window")
 
         if name == "mqtt":

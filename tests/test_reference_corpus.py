@@ -213,3 +213,48 @@ def test_analytic_in_where(spark, demo_cat):
     # `WHERE last_hit_count() < 4` shapes, rule_test.go:787)
     df = run(spark, demo_cat, "SELECT size, ts FROM demo WHERE lag(size, 1, 0) > 2")
     assert [r["size"] for r in df.orderBy("ts").collect()] == [6, 2, 1]
+
+
+def test_collect_star_count_window(spark, demo_cat):
+    """TestWindowRule9 (window_rule_test.go:531): collect(*)[0]->color over
+    COUNTWINDOW(3) — whole-row collection in event order, first row's
+    color, window_end = the window's last event time.  The trailing
+    partial window (2 rows) must not emit."""
+    df = run(
+        spark, demo_cat,
+        "SELECT collect(*)[0]->color AS c, window_end() AS we "
+        "FROM demo GROUP BY COUNTWINDOW(3)",
+    )
+    rows = [(r["c"], r["we"]) for r in df.collect()]
+    assert rows == [("red", 1541152487632)]
+
+
+def test_deduplicate_false_sliding(spark, demo_cat):
+    """TestWindowRule10 (window_rule_test.go:560): deduplicate(color,
+    false)->color over a sliding window emits the color only when the
+    latest row's color is new within the frame (ts added to the SELECT for
+    deterministic ordering)."""
+    df = run(
+        spark, demo_cat,
+        "SELECT ts, deduplicate(color, false)->color AS c FROM demo "
+        "GROUP BY SLIDINGWINDOW(hh, 1)",
+    )
+    rows = [r["c"] for r in df.orderBy("ts").collect()]
+    assert rows == ["red", "blue", None, "yellow", None]
+
+
+def test_hopping_collect_keyed(spark, demo_cat):
+    """TestWindowRule12-style (window_rule_test.go:629): collect(size) per
+    color within hopping windows, ordered by color."""
+    df = run(
+        spark, demo_cat,
+        "SELECT color, window_start() AS ws, array_sort(collect(size)) AS all_size "
+        "FROM demo GROUP BY HOPPINGWINDOW(ss, 2, 1), color",
+    )
+    rows = df.collect()
+    # every (window, color) group collects that color's sizes only
+    by_color = {}
+    for r in rows:
+        by_color.setdefault(r["color"], set()).update(r["all_size"])
+    assert by_color["red"] == {1, 3} and by_color["blue"] == {2, 6}
+    assert by_color["yellow"] == {4}
