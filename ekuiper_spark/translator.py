@@ -1306,7 +1306,9 @@ class Translator:
         if name.startswith("acc_"):
             # accumulating aggregates: running totals across rows/windows,
             # keyed by the OVER partition (funcs_acc.go:93+).  Batch analog:
-            # cumulative frame.
+            # cumulative frame.  OVER (WHEN cond) accumulates only on
+            # cond-true rows (rule_test.go TestAccAggSql2-6) — the nulls
+            # that F.when leaves behind are skipped by every aggregate.
             base = {
                 "acc_sum": F.sum,
                 "acc_avg": F.avg,
@@ -1317,7 +1319,10 @@ class Translator:
             if base is None:
                 raise KeyError(f"unknown accumulator {name}")
             w = self._analytic_window(call, ctx).rowsBetween(W.unboundedPreceding, W.currentRow)
-            return base(self._expr(call.args[0], ctx)).over(w)
+            arg = self._expr(call.args[0], ctx)
+            if call.when is not None:
+                arg = F.when(self._expr(call.when, ctx), arg)
+            return base(arg).over(w)
 
         if name in fregistry.ANALYTIC:
             w = self._analytic_window(call, ctx)
@@ -1326,6 +1331,14 @@ class Translator:
                 col = self._expr(args[0], ctx)
                 n = int(self._raw(args[1])) if len(args) > 1 else 1
                 default = self._raw(args[2]) if len(args) > 2 else None
+                if call.when is not None and n == 1:
+                    # lag OVER (WHEN cond): previous value among cond-true
+                    # rows (funcs_analytic.go lag state updates only when
+                    # the condition holds)
+                    prior = F.last(
+                        F.when(self._expr(call.when, ctx), col), ignorenulls=True
+                    ).over(w.rowsBetween(W.unboundedPreceding, -1))
+                    return F.coalesce(prior, F.lit(default)) if default is not None else prior
                 return F.lag(col, n, default).over(w)
             if name == "latest":
                 col = self._expr(args[0], ctx)

