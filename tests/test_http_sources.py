@@ -143,3 +143,51 @@ def test_httppull_via_create_stream_ddl(spark, pull_server):
     )
     rows = df.collect()
     assert len(rows) >= 1 and all(r["temperature"] > 25 for r in rows)
+
+
+def test_simulator_source_loops(spark):
+    """Simulator source (internal/io/simulator): canned rows replay on the
+    rate-source clock; loop=False bounds to one pass."""
+    import time as _time
+    import uuid
+
+    from ekuiper_spark.sources.mock import simulator_source
+
+    data = [
+        {"device": "d1", "temperature": 20.0},
+        {"device": "d2", "temperature": 30.0},
+        {"device": "d3", "temperature": 40.0},
+    ]
+    sdf = simulator_source(spark, data, interval_ms=10, loop=False)
+    assert set(sdf.columns) == {"__sim_ts", "__seq", "device", "temperature"}
+    name = "sim_" + uuid.uuid4().hex[:6]
+    q = (
+        sdf.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(processingTime="100 milliseconds").start()
+    )
+    deadline = _time.time() + 60
+    while _time.time() < deadline and spark.table(name).count() < 3:
+        _time.sleep(0.3)
+    q.stop()
+    rows = sorted((r["device"], r["temperature"]) for r in spark.table(name).collect())
+    assert rows == [("d1", 20.0), ("d2", 30.0), ("d3", 40.0)]  # one pass, no loop
+
+
+def test_http_lookup_join_broadcasts(spark, pull_server):
+    """HTTP lookup table (internal/io/http/lookup_source.go): one fetch,
+    broadcast into the join — no per-event round trips."""
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.sources.mock import http_lookup_table
+    from ekuiper_spark.translator import compile_sql
+
+    lookup = http_lookup_table(spark, pull_server)
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    cat.register_df("devices", lookup)
+    events = cat.load(spark, "events")
+    from pyspark.sql import functions as F
+
+    joined = events.limit(100).join(
+        F.broadcast(lookup), events.event_type == lookup.device, "left"
+    )
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+    assert joined.count() == 100
