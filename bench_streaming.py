@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from ekuiper_spark import get_spark
-from ekuiper_spark.operators.gensource import measure_throughput, temperature_stream
+from ekuiper_spark.operators.gensource import (
+    bid_stream, measure_throughput, temperature_stream,
+)
 
 
 def bench_stateful_sliding(spark, n_rows: int = 100_000) -> dict:
@@ -69,6 +71,10 @@ def main() -> None:
     # the reference's rule: project + filter keeping ~80% out
     rule = src.filter(F.col("temperature") > 20).select("event_id", "temperature")
     res = measure_throughput(rule, duration_sec=dur, name="filter_rule")
+    # NEXMark Q2-shape: bid filter + projection (internal/io/nexmark)
+    bids = bid_stream(spark, rows_per_second=rps)
+    q2 = bids.filter(F.col("auction") % 123 == 0).select("auction", "price")
+    res_q2 = measure_throughput(q2, duration_sec=dur, name="nexmark_q2")
     sliding = bench_stateful_sliding(spark)
     print(
         json.dumps(
@@ -77,6 +83,10 @@ def main() -> None:
                 "value": res["rows_per_sec_overall"],
                 "unit": "rows/sec",
                 "detail": res,
+                # q2 keeps 1/123 of rows: the engine-side number is the
+                # input consumption rate, not the tiny emitted stream
+                "nexmark_q2_input_rows_per_sec": res_q2["input_rows_per_sec_mean"],
+                "nexmark_q2_emitted_rows_per_sec": res_q2["rows_per_sec_overall"],
                 "stateful_sliding_100k": sliding,
                 "reference_baseline_rows_per_sec": 12000,
             }

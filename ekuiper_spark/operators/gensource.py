@@ -78,8 +78,11 @@ def measure_throughput(
         if p.get("processedRowsPerSecond")
     ]
     return {
+        # sink-side: rows the query EMITTED (post-filter) per second
         "rows_processed": counts["rows"],
         "wall_sec": round(wall, 2),
         "rows_per_sec_overall": round(counts["rows"] / wall, 1),
-        "rows_per_sec_peak": round(max(rates), 1) if rates else None,
+        # source-side: rows the engine CONSUMED per second (per progress)
+        "input_rows_per_sec_peak": round(max(rates), 1) if rates else None,
+        "input_rows_per_sec_mean": round(sum(rates) / len(rates), 1) if rates else None,
     }
