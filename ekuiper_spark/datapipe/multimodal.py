@@ -116,16 +116,23 @@ def frame_sample_stub(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                n_frames = (len(row[payload_col] or b"") % 30) + 1
-                for fi in range(0, n_frames, every_n):
-                    r = row.to_dict()
-                    r["frame_idx"] = fi
-                    r["frame"] = b""
-                    rows.append(r)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            # vectorized fan-out: one repeat-index pass instead of per-row
+            # python loops (the real decoder would batch frames the same
+            # way — per-row iterrows is the hot-path anti-pattern here)
+            n_frames = (
+                pdf[payload_col].map(lambda b: len(b or b"")).to_numpy() % 30
+            ) + 1
+            reps = -(-n_frames // every_n)  # ceil(n/every_n) sampled frames
+            idx = np.repeat(np.arange(len(pdf)), reps)
+            out = pdf.iloc[idx].reset_index(drop=True)
+            # frame_idx = 0, every_n, 2*every_n, ... per source row
+            within = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.array([], dtype=int)
+            out["frame_idx"] = (within * every_n).astype("int32")
+            out["frame"] = b""
+            yield out[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(run, schema=out_schema)
 

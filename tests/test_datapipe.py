@@ -203,3 +203,19 @@ def test_lsh_bucketed_index_partition_prunes(spark, catalog, tmp_path):
     # the scan reads only probed buckets: 1 exact + 8 hamming-1 of the 2^8
     n_buckets = spark.read.parquet(path).select("lsh_bucket").distinct().count()
     assert n_buckets > 9  # corpus spans many more buckets than we probe
+
+
+def test_frame_sample_vectorized_fanout(spark, catalog):
+    """Frame sampling emits ceil(n_frames/every_n) rows per video with
+    frame_idx = 0, every_n, ... — vectorized repeat-index fan-out, no
+    per-row loops."""
+    from ekuiper_spark.datapipe.multimodal import documents_as_media, frame_sample_stub
+
+    media = documents_as_media(docs(spark, catalog).limit(20))
+    out = frame_sample_stub(media, every_n=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for doc_id, idxs in by_doc.items():
+        assert idxs == sorted(idxs) and all(i % 10 == 0 for i in idxs)
+    assert len(out) >= 20  # every media row yields at least frame 0
