@@ -11,6 +11,7 @@ Mirrors the reference's rule/stream endpoints (internal/server/rest.go:
     POST   /rules                   {"id", "sql", "actions", "options"}
     GET    /rules                   -> [{id, status}]
     GET    /rules/{id}              -> rule spec
+    PUT    /rules/{id}              replace sql/actions/options (stops first)
     DELETE /rules/{id}              (stops first)
     POST   /rules/{id}/start        (?availableNow=1 for bounded runs)
     POST   /rules/{id}/stop
@@ -85,6 +86,9 @@ class RestServer:
             def do_POST(self):
                 self._route("POST")
 
+            def do_PUT(self):
+                self._route("PUT")
+
             def do_DELETE(self):
                 self._route("DELETE")
 
@@ -131,6 +135,17 @@ class RestServer:
                     return 404, {"error": f"rule {rid} not found"}
                 if method == "GET" and len(parts) == 2:
                     return 200, asdict(self.runtime.rules[rid])
+                if method == "PUT" and len(parts) == 2:
+                    # update = stop + replace spec (rest.go rule update)
+                    self.runtime.stop_rule(rid)
+                    old = self.runtime.rules[rid]
+                    self.runtime.rules[rid] = Rule(
+                        id=rid,
+                        sql=body.get("sql", old.sql),
+                        actions=body.get("actions", old.actions),
+                        options=body.get("options", old.options),
+                    )
+                    return 200, {"result": f"rule {rid} updated"}
                 if method == "DELETE" and len(parts) == 2:
                     self.runtime.stop_rule(rid)
                     del self.runtime.rules[rid]

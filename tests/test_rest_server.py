@@ -80,6 +80,27 @@ def test_rule_crud_and_bounded_run(server, spark):
     assert code == 404
 
 
+def test_rule_update_put(server):
+    """PUT /rules/{id} replaces the spec (rest.go rule update)."""
+    rule = {
+        "id": "rest_upd",
+        "sql": "SELECT event_id FROM events WHERE value > 100",
+        "actions": [{"memory": {"table": "rest_upd_out"}}],
+        "options": {"output_mode": "append"},
+    }
+    code, _ = _req(server, "POST", "/rules", rule)
+    assert code == 201
+    code, _ = _req(server, "PUT", "/rules/rest_upd", {
+        "sql": "SELECT event_id, value FROM events WHERE value > 190"
+    })
+    assert code == 200
+    code, spec = _req(server, "GET", "/rules/rest_upd")
+    assert "value > 190" in spec["sql"]
+    assert spec["actions"] == rule["actions"]  # unchanged fields persist
+    code, _ = _req(server, "DELETE", "/rules/rest_upd")
+    assert code == 200
+
+
 def test_rule_validation_errors(server):
     code, body = _req(server, "GET", "/rules/nonexistent/status")
     assert code == 404
