@@ -11,8 +11,8 @@ oracle_sql()      -> matching ANSI SQL for DuckDB (same column names; float
 EXACTLY 50 queries are declared (the driver records at most 50 CORRECTNESS
 rows — r1 recorded the first 50 of 60 declared).  Queries are merged where
 one statement exercises several operators (e.g. lag+latest+acc_sum in one
-analytic query); every entry except dp_dedup_simhash (hash-family
-dependent) carries a value-level DuckDB oracle.
+analytic query); every entry carries a value-level DuckDB oracle
+(simhash uses a portable md5-based hash family to make that possible).
 
 Queries marked dialect-routed compile ekuiper SQL through
 ekuiper_spark.compile_sql — exercising lexer/parser/translator/registry —
@@ -624,11 +624,39 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ekuiper_spark.datapipe.dedup import simhash_dup_groups
+    """SimHash near-dup pairs within hamming distance 3, banded candidate
+    join (recall 1.0 by pigeonhole).  The portable 60-bit md5 hash family
+    makes the result bit-identical to the DuckDB brute-force oracle."""
+    from ekuiper_spark.datapipe.dedup import simhash_near_pairs
 
-    return simhash_dup_groups(_cat(sf_dir).load(spark, "documents")).select(
-        "simhash", "n", F.to_json("ids").alias("ids_json")
+    return simhash_near_pairs(
+        _cat(sf_dir).load(spark, "documents"), max_hamming=3, portable=True
     )
+
+
+_ORACLE_DEDUP_SIMHASH = r"""
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[.,;:!?''"()\[\]{}<>-]', '', 'g'), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(list_filter(w, t -> t <> ''),
+                        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+  FROM n
+), sh AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(60), b ->
+           CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > len(hs)
+                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM h
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,8 +1125,9 @@ def oracle_sql() -> dict[str, str]:
     # equals the exact jaccard pairs; pytest additionally enforces the
     # recall gate (tests/test_datapipe.py)
     out["dp_dedup_minhash_lsh"] = _ORACLE_DEDUP_JACCARD
-    # dp_dedup_simhash: hash-family dependent -> rows-only check
-    # (documented weaker gate)
+    # simhash: portable 60-bit md5 family -> bit-identical to the DuckDB
+    # brute-force hamming oracle; the banded join has recall 1.0 at r<=3
+    out["dp_dedup_simhash"] = _ORACLE_DEDUP_SIMHASH
     out["dp_text_quality"] = _oracle_text_quality()
     out["dp_lang_id"] = _oracle_lang_id()
     out["dp_sim_topk_bruteforce"] = _ORACLE_SIM_TOPK

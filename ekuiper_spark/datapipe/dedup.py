@@ -290,12 +290,12 @@ def _bitval(bit: int) -> int:
     return (1 << bit) if bit < 63 else -(1 << 63)
 
 
-def _simhash_of_hashes(hashes: Column) -> Column:
-    """64-bit SimHash from a *materialized* token-hash array column.
+def _simhash_of_hashes(hashes: Column, nbits: int = 64) -> Column:
+    """SimHash from a *materialized* token-hash array column.
 
     bit_i(doc) = 1 if sum over tokens of sign(bit_i(hash(token))) > 0.
-    The input must be a real column, not a nested expression — the 64
-    bit-vote aggregates each rescan it (Catalyst does not CSE across
+    The input must be a real column, not a nested expression — the
+    per-bit vote aggregates each rescan it (Catalyst does not CSE across
     lambda boundaries).
     """
 
@@ -304,13 +304,24 @@ def _simhash_of_hashes(hashes: Column) -> Column:
         return lambda a, h: a + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
 
     acc = None
-    for bit in range(64):
+    for bit in range(nbits):
         votes = F.aggregate(hashes, F.lit(0), vote(bit))
         contrib = (
             F.when(votes > 0, F.lit(_bitval(bit)).cast("long")).otherwise(F.lit(0).cast("long"))
         )
         acc = contrib if acc is None else acc.bitwiseOR(contrib)
     return acc
+
+
+def _md5_60(t: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex chars of md5, base-16.
+
+    Bit-identical in any engine with md5 (DuckDB:
+    ``('0x' || substr(md5(t), 1, 15))::BIGINT``), which makes
+    simhash results cross-checkable against an independent SQL engine.
+    xxhash64 stays the production family (one JVM intrinsic vs md5+conv).
+    """
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
 
 def simhash64(text: Column) -> Column:
@@ -323,21 +334,86 @@ def simhash64(text: Column) -> Column:
     return _simhash_of_hashes(hashes)
 
 
-def with_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id_col, simhash) with token hashes materialized before the 64
-    bit-vote aggregates (one tokenize pass per row, not 64)."""
+def with_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False
+) -> DataFrame:
+    """(id_col, simhash) with token hashes materialized before the
+    bit-vote aggregates (one tokenize pass per row, not one per bit).
+
+    ``portable=True`` switches to the 60-bit md5 family (:func:`_md5_60`)
+    so the result is reproducible in other engines for oracle checks."""
+    fam = _md5_60 if portable else F.xxhash64
     hashed = df.select(
         F.col(id_col),
-        F.transform(
-            tokens(normalize_text(F.col(text_col))), lambda t: F.xxhash64(t)
-        ).alias("__th"),
+        F.transform(tokens(normalize_text(F.col(text_col))), fam).alias("__th"),
     )
-    return hashed.select(F.col(id_col), _simhash_of_hashes(F.col("__th")).alias("simhash"))
+    nbits = 60 if portable else 64
+    return hashed.select(
+        F.col(id_col), _simhash_of_hashes(F.col("__th"), nbits).alias("simhash")
+    )
 
 
-def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Docs sharing an identical 64-bit simhash (strong near-dup signal)."""
-    s = with_simhash(df, text_col, id_col)
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs whose simhashes differ in at most
+    ``max_hamming`` bits, via a banded candidate join.
+
+    Scale path: the n-bit simhash is split into ``max_hamming + 1``
+    bands; by pigeonhole, any pair within the radius agrees on at least
+    one whole band, so candidates come from an equi-join on
+    (band_index, band_bits) — recall 1.0, never all-pairs.  The shuffle
+    carries only (band, bits, id, simhash) rows; the exact
+    ``bit_count(xor)`` filter runs on the (small) candidate set.
+    """
+    nbits = 60 if portable else 64
+    nb = max_hamming + 1
+    s = with_simhash(df, text_col, id_col, portable=portable)
+    base, rem = divmod(nbits, nb)
+    bands = []
+    start = 0
+    for i in range(nb):
+        w = base + (1 if i < rem else 0)
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned("simhash", start)
+                .bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+                .alias("bits"),
+            )
+        )
+        start += w
+    e = s.select(
+        F.col(id_col).alias("id"), "simhash", F.explode(F.array(*bands)).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    a, b = e.alias("a"), e.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False
+) -> DataFrame:
+    """Docs sharing an identical simhash (strong near-dup signal)."""
+    s = with_simhash(df, text_col, id_col, portable=portable)
     return (
         s.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))

@@ -53,6 +53,35 @@ def test_simhash_is_64bit_and_groups_dups(spark, catalog):
     assert all(isinstance(v["s"], int) for v in vals)
 
 
+def test_simhash_banded_pairs_equal_bruteforce(spark, catalog):
+    """The banded candidate join has recall 1.0 within the hamming radius
+    (pigeonhole: <=r differing bits over r+1 bands leaves one band
+    identical), so its output must EQUAL the all-pairs result."""
+    from ekuiper_spark.datapipe.dedup import simhash_near_pairs, with_simhash
+
+    d = docs(spark, catalog)
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(d, max_hamming=3, portable=True).collect()
+    }
+    s = with_simhash(d, portable=True)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert brute  # non-vacuous on the fixture
+
+
 def test_cosine_topk_orders_desc(spark, catalog):
     from ekuiper_spark.datapipe.similarity import cosine_topk
 
