@@ -63,6 +63,67 @@ def bench_stateful_sliding(spark, n_rows: int = 100_000) -> dict:
             "rows_per_sec": round(n_rows / wall)}
 
 
+def bench_shared_source_rules(spark, n_rules: int = 300, duration_sec: float = 10.0) -> dict:
+    """Shared-source multi-rule fanout (BASELINE row: 300 rules x 500 msg/s
+    = 150k rule-evaluations/s on a 2-core VM, README.md:146-159).
+
+    One rate stream feeds every rule — the micro-batch is cached once and
+    each rule's compiled plan (filter + project, 90% filtered, log/nop
+    sinks in the reference) is evaluated against it.  Rule-evals/s =
+    input rows/s x n_rules; the cache means the source is scanned once
+    per batch no matter how many rules share it.
+    """
+    import time
+    import uuid
+
+    src = temperature_stream(spark, rows_per_second=200_000)
+    stats = {"rows": 0, "batches": 0}
+
+    # foreachBatch re-expresses each rule on the batch frame (streaming
+    # DataFrames cannot be re-rooted onto a batch).  Rules are independent
+    # topologies in the reference, so evaluate them concurrently — the
+    # scheduler interleaves the tiny per-rule jobs over the shared cached
+    # batch; serial submission would be bounded by job-launch latency,
+    # not by work.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=16)
+
+    def one_rule(df, i):
+        df.filter(F.col("temperature") > 20 + (i % 60)).select(
+            "event_id", "temperature"
+        ).write.format("noop").mode("overwrite").save()
+
+    def fanout_batch(df, epoch_id):
+        df.persist()
+        n = df.count()
+        list(pool.map(lambda i: one_rule(df, i), range(n_rules)))
+        stats["rows"] += n
+        stats["batches"] += 1
+        df.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(fanout_batch)
+        .queryName(f"fanout_{uuid.uuid4().hex[:6]}")
+        .option("checkpointLocation", f"/tmp/ekuiper_spark_test/ckpt_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    t0 = time.time()
+    time.sleep(duration_sec)
+    q.stop()
+    q.awaitTermination()
+    wall = time.time() - t0
+    evals = stats["rows"] * n_rules
+    return {
+        "n_rules": n_rules,
+        "input_rows": stats["rows"],
+        "batches": stats["batches"],
+        "wall_s": round(wall, 2),
+        "rule_evals_per_sec": round(evals / wall),
+        "reference_rule_evals_per_sec": 150_000,
+    }
+
+
 def main() -> None:
     rps = int(os.environ.get("BENCH_STREAM_RPS", "2000000"))
     dur = float(os.environ.get("BENCH_STREAM_SEC", "15"))
@@ -76,6 +137,11 @@ def main() -> None:
     q2 = bids.filter(F.col("auction") % 123 == 0).select("auction", "price")
     res_q2 = measure_throughput(q2, duration_sec=dur, name="nexmark_q2")
     sliding = bench_stateful_sliding(spark)
+    fanout = bench_shared_source_rules(
+        spark,
+        n_rules=int(os.environ.get("BENCH_STREAM_RULES", "300")),
+        duration_sec=dur,
+    )
     print(
         json.dumps(
             {
@@ -88,6 +154,7 @@ def main() -> None:
                 "nexmark_q2_input_rows_per_sec": res_q2["input_rows_per_sec_mean"],
                 "nexmark_q2_emitted_rows_per_sec": res_q2["rows_per_sec_overall"],
                 "stateful_sliding_100k": sliding,
+                "shared_source_rules": fanout,
                 "reference_baseline_rows_per_sec": 12000,
             }
         )
