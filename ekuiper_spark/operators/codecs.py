@@ -10,9 +10,12 @@ sink encode op (rows -> bytes):
   one bytes value under the default field ``self``.
 - urlencoded (internal/converter/urlencoded/converter.go): form encoding
   k=v&k2=v2 with percent-escapes.
-- protobuf   (internal/converter/protobuf/): schema-registry-backed;
-  mapped to Spark's native from_protobuf/to_protobuf (requires the
-  spark-protobuf jar — gated, raises with guidance when absent).
+- protobuf   (internal/converter/protobuf/): schema-registry-backed.  Two
+  paths: Spark's native from_protobuf/to_protobuf when the spark-protobuf
+  jar is present (gated, raises with guidance when absent), and a
+  dependency-free wire-format codec (encode/decode_protobuf_wire) driven
+  by a (field_number, name, type) schema — the SCHEMAID registry analog —
+  which is what the format registry routes to.
 
 All encode/decode paths are native Catalyst expressions (concat_ws /
 split / url_encode / str_to_map) — one codegen'd projection, no Python in
@@ -173,17 +176,195 @@ def encode_protobuf(
 
 
 # --------------------------------------------------------------------------
+# protobuf wire format, no-dependency path
+# --------------------------------------------------------------------------
+# The reference compiles .proto schemas from its schema registry
+# (internal/converter/protobuf/converter.go); this runtime has neither the
+# protobuf lib nor the spark-protobuf jar, so the wire format (a public,
+# stable spec: varint tags, zigzag sints, little-endian fixed,
+# length-delimited strings) is implemented directly.  A message schema is
+# the SCHEMAID-registry analog: an ordered list of (field_number, name,
+# type) with types int64 | sint64 | bool | double | float | string | bytes.
+#
+# Decode/encode run as Arrow-batched mapInPandas — a binary wire format is
+# inherently per-row Python work; batches keep the transfer vectorized.
+
+_PB_WIRE = {"int64": 0, "sint64": 0, "bool": 0, "double": 1, "string": 2, "bytes": 2, "float": 5}
+
+
+def _pb_write_varint(n: int) -> bytes:
+    n &= (1 << 64) - 1  # two's-complement for negatives, 10-byte form
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = result = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift >= 70:
+            raise ValueError("malformed varint")
+
+
+def pb_encode_row(values: dict, schema: Sequence[tuple[int, str, str]]) -> bytes:
+    import struct
+
+    out = bytearray()
+    for num, name, typ in schema:
+        v = values.get(name)
+        if v is None:
+            continue  # proto3: absent/default fields are not serialized
+        wire = _PB_WIRE[typ]
+        out += _pb_write_varint((num << 3) | wire)
+        if typ == "int64":
+            out += _pb_write_varint(int(v))
+        elif typ == "sint64":
+            n = int(v)
+            out += _pb_write_varint((n << 1) ^ (n >> 63))  # zigzag
+        elif typ == "bool":
+            out += _pb_write_varint(1 if v else 0)
+        elif typ == "double":
+            out += struct.pack("<d", float(v))
+        elif typ == "float":
+            out += struct.pack("<f", float(v))
+        elif typ == "string":
+            b = str(v).encode("utf-8")
+            out += _pb_write_varint(len(b)) + b
+        elif typ == "bytes":
+            b = bytes(v)
+            out += _pb_write_varint(len(b)) + b
+    return bytes(out)
+
+
+def pb_decode_bytes(buf: bytes, schema: Sequence[tuple[int, str, str]]) -> dict:
+    import struct
+
+    by_num = {num: (name, typ) for num, name, typ in schema}
+    out: dict[str, Any] = {name: None for _, name, _ in schema}
+    pos, end = 0, len(buf)
+    while pos < end:
+        tag, pos = _pb_read_varint(buf, pos)
+        num, wire = tag >> 3, tag & 7
+        if wire == 0:
+            raw, pos = _pb_read_varint(buf, pos)
+        elif wire == 1:
+            raw, pos = buf[pos : pos + 8], pos + 8
+        elif wire == 2:
+            ln, pos = _pb_read_varint(buf, pos)
+            raw, pos = buf[pos : pos + ln], pos + ln
+        elif wire == 5:
+            raw, pos = buf[pos : pos + 4], pos + 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        if num not in by_num:
+            continue  # skip unknown fields (forward compatibility)
+        name, typ = by_num[num]
+        if typ == "int64":
+            v = raw - (1 << 64) if raw >= (1 << 63) else raw
+        elif typ == "sint64":
+            v = (raw >> 1) ^ -(raw & 1)
+        elif typ == "bool":
+            v = bool(raw)
+        elif typ == "double":
+            v = struct.unpack("<d", raw)[0]
+        elif typ == "float":
+            v = struct.unpack("<f", raw)[0]
+        elif typ == "string":
+            v = raw.decode("utf-8")
+        else:
+            v = bytes(raw)
+        out[name] = v
+    return out
+
+
+_PB_SPARK_TYPES = {
+    "int64": T.LongType(),
+    "sint64": T.LongType(),
+    "bool": T.BooleanType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def decode_protobuf_wire(
+    df: DataFrame,
+    schema: Sequence[tuple[int, str, str]],
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Protobuf payload bytes -> typed columns (schema-dict driven)."""
+    import pandas as pd
+
+    others = [c for c in df.columns if c != payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in others]
+        + [T.StructField(name, _PB_SPARK_TYPES[typ], True) for _, name, typ in schema]
+    )
+    names = [name for _, name, _ in schema]
+
+    def batches(it):
+        for pdf in it:
+            decoded = [pb_decode_bytes(bytes(b), schema) for b in pdf[payload_col]]
+            cols = pdf[others].copy() if others else pd.DataFrame(index=pdf.index)
+            for n in names:
+                cols[n] = [d[n] for d in decoded]
+            yield cols
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def encode_protobuf_wire(
+    df: DataFrame, schema: Sequence[tuple[int, str, str]]
+) -> DataFrame:
+    """Typed columns -> one protobuf ``payload`` bytes column."""
+    import pandas as pd
+
+    names = [name for _, name, _ in schema]
+
+    def batches(it):
+        for pdf in it:
+            series = [
+                [None if pd.isna(v) else v for v in pdf[n]] for n in names
+            ]
+            yield pd.DataFrame(
+                {
+                    "payload": [
+                        pb_encode_row(dict(zip(names, vals)), schema)
+                        for vals in zip(*series)
+                    ]
+                }
+            )
+
+    return df.mapInPandas(batches, T.StructType([T.StructField("payload", T.BinaryType())]))
+
+
+# --------------------------------------------------------------------------
 # registry (converter.go:35-52 analog)
 # --------------------------------------------------------------------------
 ENCODERS = {
     "delimited": encode_delimited,
     "binary": encode_binary,
     "urlencoded": encode_urlencoded,
+    "protobuf": encode_protobuf_wire,
 }
 DECODERS = {
     "delimited": decode_delimited,
     "binary": decode_binary,
     "urlencoded": decode_urlencoded,
+    "protobuf": decode_protobuf_wire,
 }
 
 

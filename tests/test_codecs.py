@@ -87,6 +87,56 @@ def test_protobuf_gated(spark, tmp_path):
         assert "spark-protobuf" in str(e)
 
 
+def test_protobuf_wire_golden_bytes():
+    """Wire-format goldens from the published encoding spec: field 1
+    varint 150 encodes as 08 96 01; field 2 string "testing" as
+    12 07 74 65 73 74 69 6e 67."""
+    from ekuiper_spark.operators.codecs import pb_decode_bytes, pb_encode_row
+
+    schema = [(1, "a", "int64"), (2, "b", "string")]
+    assert pb_encode_row({"a": 150, "b": None}, schema) == b"\x08\x96\x01"
+    assert pb_encode_row({"a": None, "b": "testing"}, schema) == b"\x12\x07testing"
+    assert pb_decode_bytes(b"\x08\x96\x01", schema) == {"a": 150, "b": None}
+    # unknown field 3 (varint) is skipped, not an error
+    assert pb_decode_bytes(b"\x18\x05\x08\x96\x01", schema)["a"] == 150
+    # negative int64 uses the 10-byte two's-complement varint
+    enc = pb_encode_row({"a": -2, "b": None}, schema)
+    assert pb_decode_bytes(enc, schema)["a"] == -2
+    # zigzag sint64
+    zz = [(1, "s", "sint64")]
+    for v in (0, -1, 1, -64, 2**40, -(2**40)):
+        assert pb_decode_bytes(pb_encode_row({"s": v}, zz), zz)["s"] == v
+
+
+def test_protobuf_wire_roundtrip_spark(spark):
+    """rows -> protobuf bytes -> rows through the registry, all types."""
+    from ekuiper_spark.operators.codecs import decode_payload, encode_payload
+
+    schema = [
+        (1, "device", "string"),
+        (2, "temperature", "double"),
+        (3, "humidity", "float"),
+        (4, "seq", "int64"),
+        (5, "delta", "sint64"),
+        (6, "ok", "bool"),
+        (7, "raw", "bytes"),
+    ]
+    rows = [
+        ("dev1", 21.5, 0.5, 1, -3, True, bytearray(b"\x00\xff")),
+        ("dev2", -40.25, 1.25, 2**40, 7, False, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(
+        rows, "device string, temperature double, humidity float, seq long, delta long, ok boolean, raw binary"
+    )
+    enc = encode_payload(df, "protobuf", schema=schema)
+    dec = decode_payload(enc, "protobuf", schema=schema).orderBy("seq")
+    got = [tuple(r) for r in dec.collect()]
+    assert got[0] == ("dev1", 21.5, 0.5, 1, -3, True, bytearray(b"\x00\xff"))
+    assert got[1][0] == "dev2" and got[1][3] == 2**40 and got[1][4] == 7
+    # only NULL means absent: explicit False / empty bytes round-trip
+    assert got[1][5] is False and got[1][6] == bytearray(b"")
+
+
 def test_schemaless_delimited_stream(spark, tmp_path):
     """Delimited payloads through a *streaming* rule: text-file source ->
     native split/cast projection -> memory sink (the reference's csv fvt
