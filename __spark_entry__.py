@@ -661,22 +661,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts + punctuation ratio + quality score + fingerprint in
-    one pass — all native expressions, no UDFs."""
-    from ekuiper_spark.datapipe.textstats import (
-        bpe_ish_token_count, fingerprint, punct_ratio, quality_score, token_count,
-    )
+    one fused pass (shared token array / punct-stripped intermediates) —
+    all native expressions, no UDFs."""
+    from ekuiper_spark.datapipe.textstats import text_profile
 
-    df = _cat(sf_dir).load(spark, "documents")
-    t = F.col("text")
-    return df.select(
-        "doc_id",
-        token_count(t).alias("n_tokens"),
-        bpe_ish_token_count(t).alias("n_tokens_bpe"),
-        F.length(t).alias("n_chars_calc"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        quality_score(t).alias("quality"),
-        fingerprint(t).alias("fingerprint"),
-    )
+    return text_profile(_cat(sf_dir).load(spark, "documents"))
 
 
 def _sw_list(lang: str) -> str:
@@ -718,9 +707,9 @@ def _oracle_text_quality() -> str:
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ekuiper_spark.datapipe.textstats import lang_id
+    from ekuiper_spark.datapipe.textstats import fanout_for_compute, lang_id
 
-    df = _cat(sf_dir).load(spark, "documents")
+    df = fanout_for_compute(_cat(sf_dir).load(spark, "documents"))
     return df.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ekuiper_spark.datapipe.textstats import normalize_text, tokens
+from ekuiper_spark.datapipe.textstats import fanout_for_compute, normalize_text, tokens
 
 
 # --------------------------------------------------------------------------
@@ -51,12 +51,17 @@ def _grams_of(toks: Column, k: int) -> Column:
 
 
 def shingle_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+    fanout: bool = True,
 ) -> DataFrame:
     """(id, shingles, n_sh) with the token array materialized as a real
     column before the k-gram lambda, so normalization/tokenization run once
-    per row instead of once per gram."""
-    toks_df = df.select(
+    per row instead of once per gram.
+
+    ``fanout=False`` skips the compute-fanout repartition — right when the
+    consumer shuffles immediately anyway (e.g. the minhash explode+groupBy
+    signature, where the post-shuffle aggregation is the heavy part)."""
+    toks_df = (fanout_for_compute(df) if fanout else df).select(
         F.col(id_col).alias("id"), tokens(normalize_text(F.col(text_col))).alias("__toks")
     )
     return (
@@ -73,6 +78,8 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
     Returns (content_hash, keep_id, dup_count) for groups with >1 doc.
     """
+    # no fanout_for_compute here: one md5 per row is cheaper than
+    # shuffling document bodies to spread it (measured slower with it)
     digest = F.md5(normalize_text(F.col(text_col)).cast("binary"))
     return (
         df.select(digest.alias("content_hash"), F.col(id_col))
@@ -217,7 +224,10 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = bands and num_hashes // bands
-    sh = shingle_df(df, text_col, id_col, k)
+    # fanout=False: the signature explode+groupBy shuffles right after
+    # shingling, so the aggregation already runs wide; an extra exchange
+    # before it was measured net-slower
+    sh = shingle_df(df, text_col, id_col, k, fanout=False)
     sh.persist()
     # signature via exploded aggregation: hash each shingle once, then H
     # universal-family minima as flat groupBy aggregates.  Measured at
@@ -343,7 +353,7 @@ def with_simhash(
     ``portable=True`` switches to the 60-bit md5 family (:func:`_md5_60`)
     so the result is reproducible in other engines for oracle checks."""
     fam = _md5_60 if portable else F.xxhash64
-    hashed = df.select(
+    hashed = fanout_for_compute(df).select(
         F.col(id_col),
         F.transform(tokens(normalize_text(F.col(text_col))), fam).alias("__th"),
     )

@@ -46,10 +46,12 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Brute-force cosine top-k against a literal query vector."""
+    from ekuiper_spark.datapipe.textstats import fanout_for_compute
+
     q = _lit_vec(query_vec)
     sim = cosine(F.col(vec_col).cast("array<double>"), q)
     return (
-        df.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        fanout_for_compute(df).select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
