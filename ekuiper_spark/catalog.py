@@ -99,6 +99,41 @@ class Catalog:
     def all_defs(self) -> dict[str, StreamDef]:
         return dict(self._defs)
 
+    def ddl_of(self, name: str) -> str | None:
+        """Reconstruct the CREATE statement for a registered def (ruleset
+        export, rest.go:227).  Returns None for DataFrame-only
+        registrations (mock/injected sources have no DDL form)."""
+        d = self.get(name)
+        if d is None:
+            return None
+
+        def tname(t: T.DataType) -> str:
+            if isinstance(t, T.ArrayType):
+                return f"array({tname(t.elementType)})"
+            if isinstance(t, T.StructType):
+                inner = ", ".join(f"{f.name} {tname(f.dataType)}" for f in t.fields)
+                return f"struct({inner})"
+            for k, v in EKUIPER_TYPES.items():
+                if v == t and k != "strings":
+                    return k
+            return "string"
+
+        cols = ""
+        if d.schema is not None:
+            cols = " (" + ", ".join(f"{f.name} {tname(f.dataType)}" for f in d.schema.fields) + ")"
+        opts = dict(d.options)
+        if d.path and "datasource" not in opts:
+            opts["datasource"] = d.path
+        if "format" not in opts:
+            opts["format"] = d.format
+        if d.timestamp_col and "timestamp" not in opts:
+            opts["timestamp"] = d.timestamp_col
+        if d.key and "key" not in opts:
+            opts["key"] = d.key
+        with_clause = ", ".join(f'{k.upper()}="{v}"' for k, v in sorted(opts.items()))
+        kw = "TABLE" if d.kind in ("scan", "lookup") else "STREAM"
+        return f"CREATE {kw} {d.name}{cols} WITH ({with_clause})"
+
     def unregister(self, name: str) -> None:
         n = name.lower()
         if n not in self._defs and n not in self._dfs:

@@ -289,6 +289,35 @@ def pb_decode_bytes(buf: bytes, schema: Sequence[tuple[int, str, str]]) -> dict:
     return out
 
 
+# SCHEMAID registry (pkg/ast/sourceStmt.go:284, internal/server/
+# schema_init.go): named message schemas resolvable by the codec layer and
+# the REST /schemas endpoints.
+SCHEMA_REGISTRY: dict[str, list[tuple[int, str, str]]] = {}
+
+
+def register_schema(name: str, fields: Sequence[Sequence[Any]]) -> None:
+    """Register a protobuf message schema: [[field_number, name, type], ...]."""
+    parsed = []
+    for f in fields:
+        num, fname, typ = int(f[0]), str(f[1]), str(f[2])
+        if typ not in _PB_WIRE:
+            raise ValueError(f"unsupported protobuf type {typ!r} for field {fname!r}")
+        parsed.append((num, fname, typ))
+    SCHEMA_REGISTRY[name] = parsed
+
+
+def resolve_schema(
+    schema: Sequence[tuple[int, str, str]] | None = None, schemaid: str | None = None
+) -> Sequence[tuple[int, str, str]]:
+    if schema is not None:
+        return schema
+    if schemaid is None:
+        raise ValueError("protobuf codec needs schema= or schemaid=")
+    if schemaid not in SCHEMA_REGISTRY:
+        raise KeyError(f"schema {schemaid!r} not registered")
+    return SCHEMA_REGISTRY[schemaid]
+
+
 _PB_SPARK_TYPES = {
     "int64": T.LongType(),
     "sint64": T.LongType(),
@@ -302,12 +331,14 @@ _PB_SPARK_TYPES = {
 
 def decode_protobuf_wire(
     df: DataFrame,
-    schema: Sequence[tuple[int, str, str]],
+    schema: Sequence[tuple[int, str, str]] | None = None,
     payload_col: str = "payload",
+    schemaid: str | None = None,
 ) -> DataFrame:
     """Protobuf payload bytes -> typed columns (schema-dict driven)."""
     import pandas as pd
 
+    schema = resolve_schema(schema, schemaid)
     others = [c for c in df.columns if c != payload_col]
     out_schema = T.StructType(
         [df.schema[c] for c in others]
@@ -327,11 +358,14 @@ def decode_protobuf_wire(
 
 
 def encode_protobuf_wire(
-    df: DataFrame, schema: Sequence[tuple[int, str, str]]
+    df: DataFrame,
+    schema: Sequence[tuple[int, str, str]] | None = None,
+    schemaid: str | None = None,
 ) -> DataFrame:
     """Typed columns -> one protobuf ``payload`` bytes column."""
     import pandas as pd
 
+    schema = resolve_schema(schema, schemaid)
     names = [name for _, name, _ in schema]
 
     def batches(it):

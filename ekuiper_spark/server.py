@@ -15,10 +15,19 @@ Mirrors the reference's rule/stream endpoints (internal/server/rest.go:
     DELETE /rules/{id}              (stops first)
     POST   /rules/{id}/start        (?availableNow=1 for bounded runs)
     POST   /rules/{id}/stop
+    POST   /rules/{id}/restart
     GET    /rules/{id}/status       -> {state, progress}
+    GET    /rules/status/all        -> {id: status}
+    POST   /rules/validate          {"sql"} -> {valid, error?}
     GET    /rules/{id}/explain      -> Catalyst formatted plan
+    GET    /rules/{id}/topo         -> {sources, edges} operator topology
     POST   /ruletest                {"sql", "mockSource"?: {name: [rows]}}
                                     -> {"rows": [...], "columns": [...]}
+    POST   /ruleset/export          -> {streams: {name: DDL}, rules: {...}}
+    POST   /ruleset/import          {streams?, rules?}
+    GET    /ping
+    GET/POST /schemas/protobuf      SCHEMAID registry (schema_init.go:52)
+    GET/PUT/DELETE /schemas/protobuf/{name}
 
 The trial run (`/ruletest`) injects mock rows as an in-memory source —
 the analog of the reference's mock-source trial topology
@@ -104,6 +113,65 @@ class RestServer:
         if parts == []:
             return 200, {"product": "ekuiper_spark", "rules": len(self.runtime.rules)}
 
+        if parts == ["ping"]:
+            return 200, {"result": "pong"}
+
+        if parts[0] == "schemas":
+            # schema registry (internal/server/schema_init.go:52-54); only
+            # the protobuf type carries payload schemas in this runtime
+            from ekuiper_spark.operators import codecs
+
+            if len(parts) >= 2 and parts[1] != "protobuf":
+                return 404, {"error": f"unknown schema type {parts[1]!r}"}
+            if method == "GET" and len(parts) == 2:
+                return 200, sorted(codecs.SCHEMA_REGISTRY)
+            if method == "POST" and len(parts) == 2:
+                codecs.register_schema(body["name"], body["fields"])
+                return 201, {"result": f"schema {body['name']} created"}
+            if len(parts) == 3:
+                name = parts[2]
+                if method == "PUT":
+                    codecs.register_schema(name, body["fields"])
+                    return 200, {"result": f"schema {name} updated"}
+                if name not in codecs.SCHEMA_REGISTRY:
+                    return 404, {"error": f"schema {name!r} not registered"}
+                if method == "GET":
+                    return 200, {
+                        "name": name,
+                        "fields": [list(f) for f in codecs.SCHEMA_REGISTRY[name]],
+                    }
+                if method == "DELETE":
+                    del codecs.SCHEMA_REGISTRY[name]
+                    return 200, {"result": f"schema {name} dropped"}
+
+        if parts[0] == "ruleset":
+            # rest.go:227-228 export/import: one JSON with streams + rules
+            if method == "POST" and parts[1:] == ["export"]:
+                return 200, {
+                    "streams": {n: self.catalog.ddl_of(n) for n in sorted(self.catalog.all_defs())
+                                if self.catalog.ddl_of(n)},
+                    "rules": {rid: asdict(r) for rid, r in sorted(self.runtime.rules.items())},
+                }
+            if method == "POST" and parts[1:] == ["import"]:
+                from ekuiper_spark.plans.ddl import DDLParser
+
+                n_s = n_r = 0
+                for _, sql in sorted((body.get("streams") or {}).items()):
+                    # replace-on-conflict (the reference's import overwrites)
+                    self.catalog.register(DDLParser(sql).parse_create())
+                    n_s += 1
+                for rid, spec in sorted((body.get("rules") or {}).items()):
+                    rule = Rule(id=rid, sql=spec["sql"],
+                                actions=spec.get("actions", []),
+                                options=spec.get("options", {}))
+                    if rid in self.runtime.rules:
+                        self.runtime.stop_rule(rid)
+                        self.runtime.rules[rid] = rule
+                    else:
+                        self.runtime.create_rule(rule)
+                    n_r += 1
+                return 200, {"imported": {"streams": n_s, "rules": n_r}}
+
         if parts[0] == "streams":
             if method == "POST" and len(parts) == 1:
                 return 201, {"result": self.processor.exec_stmt(body["sql"])}
@@ -129,6 +197,17 @@ class RestServer:
                     {"id": rid, **self.runtime.status(rid)}
                     for rid in sorted(self.runtime.rules)
                 ]
+            if method == "GET" and parts[1:] == ["status", "all"]:
+                return 200, {
+                    rid: self.runtime.status(rid) for rid in sorted(self.runtime.rules)
+                }
+            if method == "POST" and parts[1:] == ["validate"]:
+                # parse + compile without registering (rest.go:219)
+                try:
+                    compile_sql(self.spark, body["sql"], self.catalog)
+                    return 200, {"valid": True}
+                except Exception as e:
+                    return 200, {"valid": False, "error": f"{type(e).__name__}: {e}"}
             if len(parts) >= 2:
                 rid = parts[1]
                 if rid not in self.runtime.rules:
@@ -160,17 +239,59 @@ class RestServer:
                     return 200, {"result": f"rule {rid} stopped"}
                 if method == "GET" and len(parts) == 3 and parts[2] == "status":
                     return 200, self.runtime.status(rid)
+                if method == "POST" and len(parts) == 3 and parts[2] == "restart":
+                    self.runtime.stop_rule(rid)
+                    self.runtime.start_rule(rid, available_now="availableNow=1" in query)
+                    return 200, {"result": f"rule {rid} restarted"}
                 if method == "GET" and len(parts) == 3 and parts[2] == "explain":
                     return 200, {
                         "plan": self.processor.exec_stmt(
                             "EXPLAIN " + self.runtime.rules[rid].sql
                         )
                     }
+                if method == "GET" and len(parts) == 3 and parts[2] == "topo":
+                    return 200, self._topo(self.runtime.rules[rid])
 
         if parts == ["ruletest"] and method == "POST":
             return 200, self._ruletest(body)
 
         return 404, {"error": f"no route {method} {path}"}
+
+    def _topo(self, rule: Rule) -> dict:
+        """Operator topology of a rule (rest.go:214 getTopoRuleHandler):
+        {"sources": [...], "edges": {node: [next, ...]}} in the planner's
+        operator-chain order (source -> window -> join -> filter -> agg ->
+        having -> order -> project -> sinks)."""
+        from ekuiper_spark.parser import parse_sql
+
+        stmt = parse_sql(rule.sql)
+        sources = [f"source_{stmt.source}"] + [
+            f"source_{j.source}" for j in stmt.joins
+        ]
+        chain: list[str] = []
+        if stmt.group is not None and getattr(stmt.group, "window", None) is not None:
+            chain.append(f"op_window_{stmt.group.window.kind}")
+        if stmt.joins:
+            chain.append("op_join")
+        if stmt.where is not None:
+            chain.append("op_filter")
+        if stmt.group is not None and stmt.group.dims:
+            chain.append("op_aggregate")
+        elif stmt.group is not None and getattr(stmt.group, "window", None) is not None:
+            chain.append("op_window_agg")
+        if stmt.having is not None:
+            chain.append("op_having")
+        if stmt.order:
+            chain.append("op_order")
+        chain.append("op_project")
+        sinks = [f"sink_{next(iter(a))}" for a in rule.actions] or ["sink_log"]
+        edges: dict[str, list[str]] = {}
+        for s in sources:
+            edges[s] = [chain[0]]
+        for a, b in zip(chain, chain[1:]):
+            edges[a] = [b]
+        edges[chain[-1]] = sinks
+        return {"sources": sources, "edges": edges}
 
     def _ruletest(self, body: dict) -> dict:
         """Bounded trial run with optional mock sources

@@ -101,6 +101,89 @@ def test_rule_update_put(server):
     assert code == 200
 
 
+def test_ping_validate_status_all(server):
+    code, body = _req(server, "GET", "/ping")
+    assert (code, body) == (200, {"result": "pong"})
+    code, body = _req(server, "POST", "/rules/validate",
+                      {"sql": "SELECT event_id FROM events WHERE value > 1"})
+    assert (code, body["valid"]) == (200, True)
+    code, body = _req(server, "POST", "/rules/validate",
+                      {"sql": "SELECT FROM WHERE"})
+    assert code == 200 and body["valid"] is False and body["error"]
+    code, body = _req(server, "GET", "/rules/status/all")
+    assert code == 200 and isinstance(body, dict)
+
+
+def test_rule_topo(server):
+    rule = {
+        "id": "rest_topo",
+        "sql": "SELECT event_type, count(*) AS n FROM events "
+               "WHERE value > 10 GROUP BY event_type, TUMBLINGWINDOW(ss, 10) "
+               "HAVING count(*) > 1 ORDER BY n DESC LIMIT 5",
+        "actions": [{"memory": {"table": "rest_topo_out"}}],
+    }
+    code, _ = _req(server, "POST", "/rules", rule)
+    assert code == 201
+    code, topo = _req(server, "GET", "/rules/rest_topo/topo")
+    assert code == 200
+    assert topo["sources"] == ["source_events"]
+    # planner chain order: window -> filter -> agg -> having -> order -> project -> sink
+    chain = []
+    node = topo["edges"]["source_events"][0]
+    while node in topo["edges"]:
+        chain.append(node)
+        node = topo["edges"][node][0]
+    chain.append(node)
+    assert chain == [
+        "op_window_tumbling", "op_filter", "op_aggregate", "op_having",
+        "op_order", "op_project", "sink_memory",
+    ]
+    _req(server, "DELETE", "/rules/rest_topo")
+
+
+def test_ruleset_export_import_roundtrip(server):
+    rule = {
+        "id": "rest_rs",
+        "sql": "SELECT event_id FROM events WHERE value > 150",
+        "actions": [{"memory": {"table": "rest_rs_out"}}],
+        "options": {},
+    }
+    code, _ = _req(server, "POST", "/rules", rule)
+    assert code == 201
+    code, dump = _req(server, "POST", "/ruleset/export")
+    assert code == 200 and "rest_rs" in dump["rules"]
+    assert "events" in dump["streams"]
+    assert dump["streams"]["events"].upper().startswith("CREATE ")
+    # drop, then restore from the export
+    _req(server, "DELETE", "/rules/rest_rs")
+    code, body = _req(server, "POST", "/ruleset/import", dump)
+    assert code == 200 and body["imported"]["rules"] >= 1
+    code, spec = _req(server, "GET", "/rules/rest_rs")
+    assert code == 200 and spec["sql"] == rule["sql"]
+    _req(server, "DELETE", "/rules/rest_rs")
+
+
+def test_schema_registry_endpoints(server):
+    fields = [[1, "device", "string"], [2, "temperature", "double"]]
+    code, _ = _req(server, "POST", "/schemas/protobuf", {"name": "sensor", "fields": fields})
+    assert code == 201
+    code, names = _req(server, "GET", "/schemas/protobuf")
+    assert code == 200 and "sensor" in names
+    code, spec = _req(server, "GET", "/schemas/protobuf/sensor")
+    assert code == 200 and spec["fields"] == fields
+    # the registered SCHEMAID resolves in the codec layer
+    from ekuiper_spark.operators.codecs import pb_encode_row, resolve_schema
+
+    sch = resolve_schema(schemaid="sensor")
+    assert pb_encode_row({"device": "d", "temperature": None}, sch) == b"\x0a\x01d"
+    code, _ = _req(server, "DELETE", "/schemas/protobuf/sensor")
+    assert code == 200
+    code, _ = _req(server, "GET", "/schemas/protobuf/sensor")
+    assert code == 404
+    code, _ = _req(server, "GET", "/schemas/avro")
+    assert code == 404
+
+
 def test_rule_validation_errors(server):
     code, body = _req(server, "GET", "/rules/nonexistent/status")
     assert code == 404
