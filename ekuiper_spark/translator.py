@@ -47,6 +47,7 @@ UNIT_SECONDS = {"dd": 86400, "hh": 3600, "mi": 60, "ss": 1, "ms": 0.001}
 class TranslateCtx:
     source_aliases: set[str] = dc_field(default_factory=set)
     aliases: dict[str, Node] = dc_field(default_factory=dict)  # select alias -> AST (inlining)
+    alias_stack: set = dc_field(default_factory=set)  # aliases being expanded (shadowing guard)
     agg_map: dict[str, str] = dc_field(default_factory=dict)  # canonical agg repr -> col name
     dim_map: dict[str, str] = dc_field(default_factory=dict)  # canonical dim repr -> col name
     post_agg: bool = False
@@ -100,6 +101,12 @@ class Translator:
     # ------------------------------------------------------------------ #
     def compile(self, stmt: SelectStatement) -> DataFrame:
         ctx = TranslateCtx()
+        # register select aliases for inlining before source loading — the
+        # reference allows JOIN ON conditions over select aliases
+        # (rule_test.go TestSingleSQL `on demoTs = table1Id`)
+        for f in stmt.fields:
+            if f.alias:
+                ctx.aliases[f.alias.lower()] = f.expr
         df = self._load_sources(stmt, ctx)
 
         # event-time column resolution (TIMESTAMP option; default 'ts')
@@ -120,12 +127,6 @@ class Translator:
 
         if self.streaming and self.watermark and ec:
             df = df.withWatermark(ec, self.watermark)
-
-        # register select aliases for inlining (ekuiper alias chains,
-        # analyzer.go:273-423 topo-sorts these; inlining reproduces it)
-        for f in stmt.fields:
-            if f.alias:
-                ctx.aliases[f.alias.lower()] = f.expr
 
         # analytic-function hoisting: the reference computes analytic calls
         # BEFORE the filter (plan chain AnalyticFuncs -> ... -> Filter,
@@ -247,12 +248,17 @@ class Translator:
             elif isinstance(n, (Between, Like)):
                 walk(n.expr)
             elif isinstance(n, ColumnRef) and n.source is None:
-                tgt = ctx.aliases.get(n.name.lower())
-                if tgt is not None and tgt is not n:
+                key = n.name.lower()
+                tgt = ctx.aliases.get(key)
+                if tgt is not None and tgt is not n and key not in walk_stack:
+                    walk_stack.add(key)
                     walk(tgt)
+                    walk_stack.discard(key)
 
         for f in stmt.fields:
+            walk_stack = {f.alias.lower()} if f.alias else set()
             walk(f.expr)
+        walk_stack = set()
         walk(stmt.where)
         for i, (key, call) in enumerate(calls.items()):
             if call.name == "changed_cols":
@@ -860,6 +866,9 @@ class Translator:
         for f in stmt.fields:
             if f.invisible:
                 continue
+            # inside a field's own expression, a reference to the name it
+            # aliases means the SOURCE column, not the alias (shadowing)
+            ctx.alias_stack = {f.alias.lower()} if f.alias else set()
             if isinstance(f.expr, Wildcard):
                 out.extend(self._expand_wildcard(df, f.expr, ctx))
                 continue
@@ -910,6 +919,7 @@ class Translator:
                 continue
             name = self._field_name(f)
             out.append((self._expr(f.expr, ctx).alias(name), name))
+        ctx.alias_stack = set()
         return out
 
     def _expand_wildcard(
@@ -1110,10 +1120,23 @@ class Translator:
                     return F.col(f"{node.source}.{node.name}")
                 # not a source alias: struct/map access on column `source`
                 return F.col(node.source)[node.name]
-            # select-alias inlining (ekuiper alias chains)
-            tgt = ctx.aliases.get(node.name.lower())
-            if tgt is not None and not (isinstance(tgt, ColumnRef) and tgt.source is None and tgt.name.lower() == node.name.lower()):
-                return self._expr(tgt, ctx)
+            # select-alias inlining (ekuiper alias chains).  An alias that
+            # shadows a source column (`size + 1 AS size`) resolves to the
+            # SOURCE column inside its own defining expression and to the
+            # alias everywhere else (analyzer.go topo-sort semantics,
+            # TestChanged13: `size+1 as size, size+1 as b` -> b = size+2).
+            key = node.name.lower()
+            tgt = ctx.aliases.get(key)
+            if (
+                tgt is not None
+                and key not in ctx.alias_stack
+                and not (isinstance(tgt, ColumnRef) and tgt.source is None and tgt.name.lower() == key)
+            ):
+                ctx.alias_stack.add(key)
+                try:
+                    return self._expr(tgt, ctx)
+                finally:
+                    ctx.alias_stack.discard(key)
             return F.col(node.name)
 
         if isinstance(node, Binary):

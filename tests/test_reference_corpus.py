@@ -286,6 +286,40 @@ def test_acc_min_max_count_over_when(spark, demo_cat):
     assert rows == [(3, 3, 1), (3, 3, 1), (3, 3, 1), (3, 3, 1), (1, 3, 2)]
 
 
+def test_alias_shadows_source_column(spark, demo_cat):
+    """rule_test.go TestChanged13: `size + 1 as size, size + 1 as b` — the
+    defining expression sees the SOURCE column, later fields see the alias
+    (so b = source size + 2)."""
+    df = run(spark, demo_cat, "select size + 1 as size, size + 1 as b from demo")
+    assert [tuple(r) for r in df.collect()] == [(4, 5), (7, 8), (3, 4), (5, 6), (2, 3)]
+
+
+def test_alias_chain_simple(spark, demo_cat):
+    """rule_test.go TestAliasSQL1: `size as a, a + 1 as b`."""
+    df = run(spark, demo_cat, "select size as a, a + 1 as b from demo")
+    assert [tuple(r) for r in df.collect()] == [(3, 4), (6, 7), (2, 3), (4, 5), (1, 2)]
+
+
+def test_join_on_select_aliases(spark, demo_cat):
+    """rule_test.go TestSingleSQL join: ON references SELECT aliases
+    (`on demoTs = table1Id`)."""
+    t1 = spark.createDataFrame(
+        [(1541152486013,), (1541152487632,), (1541152489252,)], "id long"
+    )
+    demo_cat.register_df("table1", t1)
+    df = run(
+        spark, demo_cat,
+        "SELECT demo.ts as demoTs, table1.id as table1Id "
+        "FROM table1 INNER JOIN demo on demoTs = table1Id",
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [
+        (1541152486013, 1541152486013),
+        (1541152487632, 1541152487632),
+        (1541152489252, 1541152489252),
+    ]
+
+
 def test_count_window_keyed_order(spark, demo_cat):
     """TestSingleSQLRule16 (rule_test.go:1118): COUNTWINDOW(5) with a
     pre-filter and per-color sub-grouping, ordered by count desc.  With
