@@ -172,24 +172,30 @@ class Catalog:
         if d is None:
             raise KeyError(f"unknown stream/table: {name}")
         src_type = (d.options.get("type") or "").lower()
-        if src_type in ("httppull", "httppush"):
+        if src_type in ("httppull", "httppush", "mqtt"):
             # connector sources via the Python Data Source API
-            # (sources/http.py); DATASOURCE holds the url/endpoint
+            # (sources/http.py, sources/mqtt.py); DATASOURCE holds the
+            # url/endpoint/topic (mqtt conn.go:233-241)
             from ekuiper_spark.sources.http import HttpPullDataSource, HttpPushDataSource
+            from ekuiper_spark.sources.mqtt import MqttDataSource
 
-            try:
-                spark.dataSource.register(HttpPullDataSource)
-                spark.dataSource.register(HttpPushDataSource)
-            except Exception:
-                pass  # already registered
+            for ds in (HttpPullDataSource, HttpPushDataSource, MqttDataSource):
+                try:
+                    spark.dataSource.register(ds)
+                except Exception:
+                    pass  # already registered
             reader = spark.readStream if streaming else spark.read
             if d.schema is not None:
                 reader = reader.schema(d.schema)
             opts = {k: str(v) for k, v in d.options.items() if k not in ("type", "format")}
+            if d.options.get("format"):
+                opts["format"] = str(d.options["format"])
             if src_type == "httppull" and d.path:
                 opts.setdefault("url", d.path)
             if src_type == "httppush" and d.path:
                 opts.setdefault("endpoint", d.path)
+            if src_type == "mqtt" and d.path:
+                opts.setdefault("topic", d.path)
             return reader.format(src_type).options(**opts).load()
         if streaming:
             import os

@@ -1,0 +1,437 @@
+"""MQTT source/sink via a dependency-free MQTT 3.1.1 implementation.
+
+Reference connector: internal/io/mqtt/ — source.go subscribes one topic
+per stream (DATASOURCE option, conn.go:233-241), sink.go publishes rows;
+the reference links paho.  This container has no mqtt lib and no broker,
+so this module implements the 3.1.1 wire subset the connector needs
+(CONNECT/CONNACK, PUBLISH QoS 0/1 + PUBACK, SUBSCRIBE/SUBACK,
+UNSUBSCRIBE/UNSUBACK, PINGREQ/PINGRESP, DISCONNECT) over stdlib sockets,
+plus an in-process broker (topic wildcards ``+``/``#``, retained
+messages) so the connector is end-to-end testable.  Against a real
+deployment the same client speaks to any standards-compliant broker.
+
+Spark-first: the source registers through the Python Data Source API, so
+``readStream.format("mqtt")`` behaves like a built-in connector; each
+microbatch drains the subscriber queue on the reader (at-most-once, the
+reference's QoS-0 default).  The sink publishes per *partition* with one
+connection each (``foreachPartition``) — no driver collect.
+
+Schema-driven metadata: fields named ``mqtt_topic`` / ``mqtt_messageid``
+in the stream schema are filled from the message envelope instead of the
+payload — the analog of the reference's meta(topic)/meta(messageid).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import socketserver
+import struct
+import threading
+from typing import Any, Callable, Iterator, Optional
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+# --------------------------------------------------------------------------
+# MQTT 3.1.1 wire codec (packet framing)
+# --------------------------------------------------------------------------
+CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
+SUBSCRIBE, SUBACK, UNSUBSCRIBE, UNSUBACK = 8, 9, 10, 11
+PINGREQ, PINGRESP, DISCONNECT = 12, 13, 14
+
+
+def encode_varlen(n: int) -> bytes:
+    """Remaining-length varint: 7 bits per byte, MSB = continuation."""
+    out = bytearray()
+    while True:
+        b = n % 128
+        n //= 128
+        out.append(b | 0x80 if n else b)
+        if not n:
+            return bytes(out)
+
+
+def _utf8(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack(">H", len(b)) + b
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("mqtt peer closed")
+        buf += chunk
+    return buf
+
+
+def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
+    """Read one packet -> (type, flags, body).  Blocks."""
+    h = _read_exact(sock, 1)[0]
+    length, mult = 0, 1
+    for _ in range(4):
+        b = _read_exact(sock, 1)[0]
+        length += (b & 0x7F) * mult
+        if not (b & 0x80):
+            break
+        mult *= 128
+    else:
+        raise ValueError("malformed remaining length")
+    return h >> 4, h & 0x0F, _read_exact(sock, length) if length else b""
+
+
+def make_packet(ptype: int, flags: int, body: bytes) -> bytes:
+    return bytes([ptype << 4 | flags]) + encode_varlen(len(body)) + body
+
+
+def make_connect(client_id: str, keepalive: int = 60) -> bytes:
+    body = _utf8("MQTT") + bytes([4, 0x02]) + struct.pack(">H", keepalive) + _utf8(client_id)
+    return make_packet(CONNECT, 0, body)
+
+
+def make_publish(topic: str, payload: bytes, qos: int = 0, retain: bool = False, mid: int = 0) -> bytes:
+    flags = (qos << 1) | (1 if retain else 0)
+    body = _utf8(topic) + (struct.pack(">H", mid) if qos else b"") + payload
+    return make_packet(PUBLISH, flags, body)
+
+
+def parse_publish(flags: int, body: bytes) -> tuple[str, bytes, int, int, bool]:
+    """-> (topic, payload, qos, mid, retain)."""
+    qos, retain = (flags >> 1) & 0x3, bool(flags & 0x1)
+    tlen = struct.unpack(">H", body[:2])[0]
+    topic = body[2 : 2 + tlen].decode()
+    pos = 2 + tlen
+    mid = 0
+    if qos:
+        mid = struct.unpack(">H", body[pos : pos + 2])[0]
+        pos += 2
+    return topic, body[pos:], qos, mid, retain
+
+
+def make_subscribe(mid: int, filters: list[tuple[str, int]]) -> bytes:
+    body = struct.pack(">H", mid) + b"".join(_utf8(f) + bytes([q]) for f, q in filters)
+    return make_packet(SUBSCRIBE, 0x2, body)
+
+
+def topic_matches(filt: str, topic: str) -> bool:
+    """MQTT 3.1.1 filter matching: ``+`` = one level, ``#`` = rest (must
+    be last); wildcards do not match ``$``-prefixed topics."""
+    if topic.startswith("$") and filt[:1] in ("+", "#"):
+        return False
+    fseg, tseg = filt.split("/"), topic.split("/")
+    for i, seg in enumerate(fseg):
+        if seg == "#":
+            return True
+        if i >= len(tseg) or (seg != "+" and seg != tseg[i]):
+            return False
+    return len(fseg) == len(tseg)
+
+
+# --------------------------------------------------------------------------
+# In-process broker (test/dev analog of an external deployment's broker)
+# --------------------------------------------------------------------------
+class MqttBroker:
+    """Minimal 3.1.1 broker: pub/sub routing with wildcards, retained
+    messages, QoS 0/1 (PUBACK to publishers; downgrade-to-granted on
+    delivery).  One thread per connection; state under one lock — fine
+    for the test/dev role (a production deployment brings its own
+    broker; the connector only needs the client side)."""
+
+    def __init__(self, port: int = 0) -> None:
+        self._lock = threading.Lock()
+        self._subs: dict[Any, list[tuple[str, int]]] = {}  # wfile -> filters
+        self._retained: dict[str, bytes] = {}
+        broker = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:
+                sock = self.request
+                try:
+                    ptype, _, _ = read_packet(sock)
+                    if ptype != CONNECT:
+                        return
+                    sock.sendall(make_packet(CONNACK, 0, b"\x00\x00"))
+                    while True:
+                        ptype, flags, body = read_packet(sock)
+                        if ptype == PUBLISH:
+                            broker._on_publish(sock, flags, body)
+                        elif ptype == SUBSCRIBE:
+                            broker._on_subscribe(sock, body)
+                        elif ptype == UNSUBSCRIBE:
+                            broker._on_unsubscribe(sock, body)
+                        elif ptype == PINGREQ:
+                            sock.sendall(make_packet(PINGRESP, 0, b""))
+                        elif ptype == DISCONNECT:
+                            return
+                except (ConnectionError, OSError, ValueError):
+                    pass
+                finally:
+                    with broker._lock:
+                        broker._subs.pop(sock, None)
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server(("127.0.0.1", port), Handler)
+        self.port = self._server.server_address[1]
+        threading.Thread(target=self._server.serve_forever, daemon=True).start()
+
+    def _on_publish(self, src: socket.socket, flags: int, body: bytes) -> None:
+        topic, payload, qos, mid, retain = parse_publish(flags, body)
+        with self._lock:
+            if retain:
+                # empty retained payload clears (MQTT-3.3.1-10)
+                if payload:
+                    self._retained[topic] = payload
+                else:
+                    self._retained.pop(topic, None)
+            targets = [
+                (sock, min(qos, granted))
+                for sock, filters in self._subs.items()
+                for f, granted in filters
+                if topic_matches(f, topic)
+            ]
+        if qos == 1:
+            src.sendall(make_packet(PUBACK, 0, struct.pack(">H", mid)))
+        for sock, dqos in targets:
+            try:
+                sock.sendall(make_publish(topic, payload, dqos, mid=mid if dqos else 0))
+            except OSError:
+                pass
+
+    def _on_subscribe(self, sock: socket.socket, body: bytes) -> None:
+        mid = struct.unpack(">H", body[:2])[0]
+        pos, filters = 2, []
+        while pos < len(body):
+            flen = struct.unpack(">H", body[pos : pos + 2])[0]
+            filters.append((body[pos + 2 : pos + 2 + flen].decode(), body[pos + 2 + flen]))
+            pos += 3 + flen
+        with self._lock:
+            self._subs.setdefault(sock, []).extend(filters)
+            retained = [
+                (t, p) for t, p in self._retained.items()
+                if any(topic_matches(f, t) for f, _ in filters)
+            ]
+        sock.sendall(make_packet(SUBACK, 0, struct.pack(">H", mid) + bytes(q for _, q in filters)))
+        for t, p in retained:
+            sock.sendall(make_publish(t, p, 0, retain=True))
+
+    def _on_unsubscribe(self, sock: socket.socket, body: bytes) -> None:
+        mid = struct.unpack(">H", body[:2])[0]
+        pos, filters = 2, []
+        while pos < len(body):
+            flen = struct.unpack(">H", body[pos : pos + 2])[0]
+            filters.append(body[pos + 2 : pos + 2 + flen].decode())
+            pos += 2 + flen
+        with self._lock:
+            if sock in self._subs:
+                self._subs[sock] = [(f, q) for f, q in self._subs[sock] if f not in filters]
+        sock.sendall(make_packet(UNSUBACK, 0, struct.pack(">H", mid)))
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+# --------------------------------------------------------------------------
+# Client (used by the stream reader and the partition-side sink)
+# --------------------------------------------------------------------------
+class MqttClient:
+    """Blocking-connect client with a background receive loop.  Inbound
+    PUBLISHes land in ``inbox`` as (topic, payload, messageid); QoS-1
+    inbound is PUBACKed, QoS-1 outbound waits for the broker's PUBACK."""
+
+    def __init__(self, host: str, port: int, client_id: str = "", keepalive: int = 60) -> None:
+        self.sock = socket.create_connection((host, port), timeout=10)
+        self.inbox: "queue.Queue[tuple[str, bytes, int]]" = queue.Queue()
+        self._mid = 0
+        self._acks: set[int] = set()
+        self._ack_cv = threading.Condition()
+        self._suback = threading.Event()
+        self.sock.sendall(make_connect(client_id or f"es-{id(self):x}", keepalive))
+        ptype, _, body = read_packet(self.sock)
+        if ptype != CONNACK or body[1] != 0:
+            raise ConnectionError(f"mqtt connect refused: {body!r}")
+        self.sock.settimeout(None)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self) -> None:
+        try:
+            while True:
+                ptype, flags, body = read_packet(self.sock)
+                if ptype == PUBLISH:
+                    topic, payload, qos, mid, _ = parse_publish(flags, body)
+                    if qos == 1:
+                        self.sock.sendall(make_packet(PUBACK, 0, struct.pack(">H", mid)))
+                    self.inbox.put((topic, payload, mid))
+                elif ptype == PUBACK:
+                    with self._ack_cv:
+                        self._acks.add(struct.unpack(">H", body[:2])[0])
+                        self._ack_cv.notify_all()
+                elif ptype == SUBACK:
+                    self._suback.set()
+        except (ConnectionError, OSError, ValueError):
+            pass
+
+    def _next_mid(self) -> int:
+        self._mid = self._mid % 65535 + 1
+        return self._mid
+
+    def subscribe(self, topic_filter: str, qos: int = 0, timeout: float = 10) -> None:
+        self._suback.clear()
+        self.sock.sendall(make_subscribe(self._next_mid(), [(topic_filter, qos)]))
+        if not self._suback.wait(timeout):
+            raise TimeoutError(f"no SUBACK for {topic_filter}")
+
+    def publish(self, topic: str, payload: bytes, qos: int = 0, retain: bool = False, timeout: float = 10) -> None:
+        mid = self._next_mid() if qos else 0
+        self.sock.sendall(make_publish(topic, payload, qos, retain, mid))
+        if qos == 1:
+            with self._ack_cv:
+                if not self._ack_cv.wait_for(lambda: mid in self._acks, timeout):
+                    raise TimeoutError(f"no PUBACK for mid {mid}")
+                self._acks.discard(mid)
+
+    def disconnect(self) -> None:
+        try:
+            self.sock.sendall(make_packet(DISCONNECT, 0, b""))
+            self.sock.close()
+        except OSError:
+            pass
+
+
+# --------------------------------------------------------------------------
+# payload -> rows (per-message decode; format registry analog of
+# operators/codecs.py for the message-at-a-time connector path)
+# --------------------------------------------------------------------------
+def _coerce(value: Any, dt_name: str) -> Any:
+    if value is None:
+        return None
+    try:
+        if dt_name in ("bigint", "int", "long", "integer", "short"):
+            return int(value)
+        if dt_name in ("double", "float"):
+            return float(value)
+        if dt_name == "boolean":
+            return bool(value)
+        return str(value) if dt_name == "string" else value
+    except (TypeError, ValueError):
+        return None
+
+
+def decode_message(
+    payload: bytes, fmt: str, schema_fields: list[tuple[str, str]], props: dict
+) -> list[dict]:
+    """One MQTT payload -> list of row dicts (converter.go:35-52 registry,
+    message-at-a-time flavor)."""
+    if fmt == "json":
+        data = json.loads(payload)
+        return data if isinstance(data, list) else [data]
+    if fmt == "delimited":
+        delim = props.get("delimiter", ",")
+        names = [n for n, _ in schema_fields if not n.startswith("mqtt_")]
+        return [
+            dict(zip(names, line.split(delim)))
+            for line in payload.decode().splitlines()
+            if line
+        ]
+    if fmt == "binary":
+        return [{"payload": payload}]
+    if fmt == "protobuf":
+        from ekuiper_spark.operators.codecs import pb_decode_bytes
+
+        pb_schema = [tuple(f) for f in json.loads(props["pb_schema"])]
+        return [pb_decode_bytes(payload, pb_schema)]
+    raise ValueError(f"unknown mqtt payload format {fmt!r}")
+
+
+class _MqttStreamReader(SimpleDataSourceStreamReader):
+    """Driver-side subscriber: connects lazily on first read, buffers
+    inbound messages on the client's receive thread, drains per
+    microbatch.  At-most-once (the reference's QoS-0 source default;
+    qos=1 upgrades the subscription)."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        self.options = options
+        self.client: Optional[MqttClient] = None
+
+    def _ensure(self) -> MqttClient:
+        if self.client is None:
+            o = self.options
+            self.client = MqttClient(o.get("host", "127.0.0.1"), int(o["port"]),
+                                     o.get("clientid", ""))
+            self.client.subscribe(o.get("topic", "#"), int(o.get("qos", 0)))
+        return self.client
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def read(self, start: dict):
+        cli = self._ensure()
+        fmt = self.options.get("format", "json")
+        rows: list[tuple] = []
+        n = 0
+        while True:
+            try:
+                topic, payload, mid = cli.inbox.get_nowait()
+            except queue.Empty:
+                break
+            n += 1
+            for d in decode_message(payload, fmt, self.schema_fields, self.options):
+                rows.append(tuple(
+                    topic if name == "mqtt_topic"
+                    else mid if name == "mqtt_messageid"
+                    else _coerce(d.get(name), t)
+                    for name, t in self.schema_fields
+                ))
+        return iter(rows), {"seq": start.get("seq", 0) + n}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([])  # at-most-once: QoS-0 messages are not replayable
+
+
+class MqttDataSource(DataSource):
+    """``readStream.format("mqtt")``; options: host, port, topic
+    (DATASOURCE), qos, format (json|delimited|binary|protobuf), clientid,
+    delimiter, pb_schema."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mqtt"
+
+    def schema(self):
+        return "payload binary"
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _MqttStreamReader(schema, self.options)
+
+
+# --------------------------------------------------------------------------
+# sink (internal/io/mqtt/sink.go): publish rows, one connection per
+# partition — executors publish directly, nothing funnels through the
+# driver.  A pre-encoded single binary `payload` column (from
+# encode_payload) publishes raw; otherwise rows encode as JSON objects.
+# --------------------------------------------------------------------------
+def write_mqtt_sink(
+    df, host: str, port: int, topic: str, qos: int = 0, retain: bool = False
+) -> None:
+    cols = df.columns
+    raw = cols == ["payload"]
+
+    def publish_partition(rows: Iterator[Any]) -> None:
+        cli: Optional[MqttClient] = None
+        for r in rows:
+            if cli is None:
+                cli = MqttClient(host, int(port))
+            payload = bytes(r[0]) if raw else json.dumps(r.asDict(recursive=True), default=str).encode()
+            cli.publish(topic, payload, qos, retain)
+        if cli is not None:
+            cli.disconnect()
+
+    df.foreachPartition(publish_partition)

@@ -89,6 +89,21 @@ class RuleRuntime:
             )
         elif sink_type == "foreach_batch":
             q = writer.foreachBatch(sink_opts["fn"]).start()
+        elif sink_type == "mqtt":
+            # publish per partition (sources/mqtt.py write_mqtt_sink);
+            # reference sink.go resolves topic from the action config
+            from ekuiper_spark.sources.mqtt import write_mqtt_sink
+
+            def _mqtt_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
+                write_mqtt_sink(
+                    batch_df,
+                    _o.get("host", "127.0.0.1"),
+                    int(_o["port"]),
+                    _o["topic"],
+                    qos=int(_o.get("qos", 0)),
+                )
+
+            q = writer.foreachBatch(_mqtt_batch).start()
         else:
             raise ValueError(f"unknown sink {sink_type}")
         self.queries[rule_id] = q

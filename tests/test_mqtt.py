@@ -1,0 +1,197 @@
+"""MQTT connector (internal/io/mqtt/source.go, sink.go, conn.go) over the
+dependency-free 3.1.1 codec + in-process broker in sources/mqtt.py."""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+import pytest
+
+from ekuiper_spark.sources.mqtt import (
+    MqttBroker,
+    MqttClient,
+    encode_varlen,
+    make_publish,
+    parse_publish,
+    topic_matches,
+)
+
+
+# ------------------------------------------------------------------ codec
+def test_varlen_encoding_boundaries():
+    # MQTT spec examples: 0, 127 one byte; 128, 16383 two bytes; 2097152 four
+    assert encode_varlen(0) == b"\x00"
+    assert encode_varlen(127) == b"\x7f"
+    assert encode_varlen(128) == b"\x80\x01"
+    assert encode_varlen(16383) == b"\xff\x7f"
+    assert encode_varlen(2097152) == b"\x80\x80\x80\x01"
+
+
+def test_publish_roundtrip():
+    pkt = make_publish("a/b", b"hello", qos=1, retain=True, mid=7)
+    # fixed header: type 3, flags qos1|retain
+    assert pkt[0] == (3 << 4) | 0b0011
+    topic, payload, qos, mid, retain = parse_publish(pkt[0] & 0x0F, pkt[2:])
+    assert (topic, payload, qos, mid, retain) == ("a/b", b"hello", 1, 7, True)
+
+
+def test_topic_matching_rules():
+    assert topic_matches("a/b/c", "a/b/c")
+    assert topic_matches("a/+/c", "a/b/c")
+    assert not topic_matches("a/+/c", "a/b/d")
+    assert topic_matches("a/#", "a/b/c/d")
+    assert topic_matches("#", "a")
+    assert not topic_matches("a/b", "a/b/c")
+    assert not topic_matches("a/b/c", "a/b")
+    # + is exactly one level
+    assert not topic_matches("a/+", "a/b/c")
+    # wildcards must not match $SYS topics
+    assert not topic_matches("#", "$SYS/broker")
+    assert topic_matches("$SYS/#", "$SYS/broker")
+
+
+# ----------------------------------------------------------------- broker
+@pytest.fixture(scope="module")
+def broker():
+    b = MqttBroker()
+    yield b
+    b.close()
+
+
+def test_broker_pubsub_wildcard(broker):
+    sub = MqttClient("127.0.0.1", broker.port)
+    sub.subscribe("sensors/+/temp")
+    pub = MqttClient("127.0.0.1", broker.port)
+    pub.publish("sensors/dev1/temp", b'{"v": 1}')
+    pub.publish("sensors/dev1/humidity", b'{"v": 99}')  # not matched
+    pub.publish("sensors/dev2/temp", b'{"v": 2}')
+    got = [sub.inbox.get(timeout=5) for _ in range(2)]
+    assert [(t, p) for t, p, _ in got] == [
+        ("sensors/dev1/temp", b'{"v": 1}'),
+        ("sensors/dev2/temp", b'{"v": 2}'),
+    ]
+    assert sub.inbox.empty()
+    sub.disconnect()
+    pub.disconnect()
+
+
+def test_broker_qos1_puback_and_retained(broker):
+    pub = MqttClient("127.0.0.1", broker.port)
+    # qos1 publish blocks until the broker PUBACKs
+    pub.publish("state/device9", b"on", qos=1, retain=True)
+    # late subscriber receives the retained message
+    sub = MqttClient("127.0.0.1", broker.port)
+    sub.subscribe("state/#")
+    topic, payload, _ = sub.inbox.get(timeout=5)
+    assert (topic, payload) == ("state/device9", b"on")
+    # empty retained payload clears it
+    pub.publish("state/device9", b"", retain=True)
+    sub2 = MqttClient("127.0.0.1", broker.port)
+    sub2.subscribe("state/#")
+    time.sleep(0.3)
+    assert sub2.inbox.empty()
+    for c in (pub, sub, sub2):
+        c.disconnect()
+
+
+# ----------------------------------------------------- Spark source / sink
+def test_mqtt_stream_through_dialect(spark, broker):
+    """CREATE STREAM ... TYPE="mqtt" -> compile_sql(streaming) -> memory
+    sink; retained messages make delivery deterministic (they arrive on
+    subscribe, whenever the reader connects)."""
+    from ekuiper_spark.catalog import Catalog, StreamDef
+    from ekuiper_spark.translator import compile_sql
+
+    pub = MqttClient("127.0.0.1", broker.port)
+    for i in range(5):
+        pub.publish(
+            f"demo/dev{i}/t", json.dumps({"device": f"dev{i}", "temperature": 20.0 + i}).encode(),
+            retain=True,
+        )
+    pub.disconnect()
+
+    cat = Catalog()
+    cat.register(StreamDef(
+        name="mqtt_demo",
+        format="json",
+        path="demo/#",  # DATASOURCE = topic filter (conn.go:233-241)
+        schema="device string, temperature double, mqtt_topic string",
+        options={"type": "mqtt", "host": "127.0.0.1", "port": str(broker.port)},
+    ))
+    df = compile_sql(
+        spark,
+        "SELECT device, temperature, mqtt_topic FROM mqtt_demo WHERE temperature >= 21",
+        cat,
+        streaming=True,
+    )
+    name = "mq_" + uuid.uuid4().hex[:6]
+    q = (
+        df.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(processingTime="250 milliseconds").start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 4:
+        time.sleep(0.5)
+    q.stop()
+    rows = sorted(tuple(r) for r in spark.table(name).collect())
+    assert rows == [
+        ("dev1", 21.0, "demo/dev1/t"),
+        ("dev2", 22.0, "demo/dev2/t"),
+        ("dev3", 23.0, "demo/dev3/t"),
+        ("dev4", 24.0, "demo/dev4/t"),
+    ]
+
+
+def test_mqtt_sink_publishes_per_partition(spark, broker):
+    from ekuiper_spark.sources.mqtt import write_mqtt_sink
+
+    sub = MqttClient("127.0.0.1", broker.port)
+    sub.subscribe("out/result")
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "name string, v int"
+    ).repartition(2)
+    write_mqtt_sink(df, "127.0.0.1", broker.port, "out/result", qos=1)
+    got = sorted(json.loads(sub.inbox.get(timeout=10)[1])["name"] for _ in range(3))
+    assert got == ["a", "b", "c"]
+    sub.disconnect()
+
+
+def test_mqtt_rule_end_to_end(spark, broker):
+    """Full rule: mqtt source -> dialect filter -> mqtt sink (the
+    reference's canonical deployment shape, README quickstart)."""
+    from ekuiper_spark.catalog import Catalog, StreamDef
+    from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
+
+    pub = MqttClient("127.0.0.1", broker.port)
+    for i in range(4):
+        pub.publish(
+            f"in/dev{i}", json.dumps({"device": f"dev{i}", "temperature": 18.0 + i}).encode(),
+            retain=True,
+        )
+    pub.disconnect()
+
+    sub = MqttClient("127.0.0.1", broker.port)
+    sub.subscribe("alerts/high")
+
+    cat = Catalog()
+    cat.register(StreamDef(
+        name="mqtt_in",
+        format="json",
+        path="in/#",
+        schema="device string, temperature double",
+        options={"type": "mqtt", "host": "127.0.0.1", "port": str(broker.port)},
+    ))
+    rt = RuleRuntime(spark, cat)
+    rt.create_rule(Rule(
+        id="alert_rule",
+        sql="SELECT device, temperature FROM mqtt_in WHERE temperature > 19",
+        actions=[{"mqtt": {"host": "127.0.0.1", "port": broker.port, "topic": "alerts/high"}}],
+        options={"output_mode": "append"},
+    ))
+    rt.start_rule("alert_rule")
+    got = sorted(json.loads(sub.inbox.get(timeout=30)[1])["device"] for _ in range(2))
+    rt.stop_rule("alert_rule")
+    sub.disconnect()
+    assert got == ["dev2", "dev3"]
