@@ -213,8 +213,8 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
                sum(floor(value * 100 + 0.5)) OVER w / count(*) OVER w / 100 AS avg_1h,
                count(*) OVER w AS n_1h
         FROM events
-        WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
-                     AND CURRENT ROW)
+        WINDOW w AS (ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
         """,
     ),
     "q_sliding_keyed": (
@@ -224,8 +224,8 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         """
         SELECT event_id, user_id, count(*) OVER w AS n_6h
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                     RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
         """,
     ),
     "q_sliding_trigger": (
@@ -236,8 +236,8 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         WITH x AS (
           SELECT event_id, event_type, count(*) OVER w AS n_1h
           FROM events
-          WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
-                       AND CURRENT ROW)
+          WINDOW w AS (ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
         )
         SELECT event_id, n_1h FROM x WHERE event_type = 'error'
         """,

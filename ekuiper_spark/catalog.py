@@ -141,6 +141,13 @@ class Catalog:
         self._defs.pop(n, None)
         self._dfs.pop(n, None)
 
+    def unregister_df(self, name: str) -> None:
+        """Remove only an injected/mock DataFrame registration, leaving any
+        CREATE STREAM definition of the same name intact (mock-source
+        injection shadows a real stream for a trial run, planner.go:49-97 —
+        the trial must not delete the user's stream)."""
+        self._dfs.pop(name.lower(), None)
+
     @classmethod
     def from_dir(cls, sf_dir: str, tables: list[str] | None = None) -> "Catalog":
         import glob

@@ -297,12 +297,15 @@ class RestServer:
         """Bounded trial run with optional mock sources
         (internal/trial/ + planner.go:49-97 mock-source injection)."""
         limit = int(body.get("limit", 100))
-        injected: list[str] = []
+        injected: dict[str, object] = {}
         for name, rows in (body.get("mockSource") or {}).items():
             df = self.spark.createDataFrame([tuple(r.values()) for r in rows],
                                             list(rows[0].keys()))
+            # a mock may shadow an existing registration (the reference's
+            # primary trial-run use case); snapshot the prior DF so cleanup
+            # restores rather than deletes it
+            injected[name] = self.catalog._dfs.get(name.lower())
             self.catalog.register_df(name, df)
-            injected.append(name)
         try:
             df = compile_sql(self.spark, body["sql"], self.catalog)
             rows = df.limit(limit).collect()
@@ -311,8 +314,11 @@ class RestServer:
                 "rows": [list(r) for r in rows],
             }
         finally:
-            for name in injected:
-                self.catalog.unregister(name)
+            for name, prior in injected.items():
+                if prior is not None:
+                    self.catalog.register_df(name, prior)
+                else:
+                    self.catalog.unregister_df(name)
 
     # ------------------------------------------------------------------ #
     def start(self) -> "RestServer":

@@ -331,7 +331,12 @@ def decode_message(
     message-at-a-time flavor)."""
     if fmt == "json":
         data = json.loads(payload)
-        return data if isinstance(data, list) else [data]
+        # a scalar / list-of-scalars payload is valid JSON but not rows;
+        # skip the non-dict elements instead of failing the micro-batch
+        # (the reference converter drops undecodable messages per-message)
+        if isinstance(data, list):
+            return [d for d in data if isinstance(d, dict)]
+        return [data] if isinstance(data, dict) else []
     if fmt == "delimited":
         delim = props.get("delimiter", ",")
         names = [n for n, _ in schema_fields if not n.startswith("mqtt_")]

@@ -348,6 +348,10 @@ def window_agg_stream(
             vals = vals.reset_index(drop=True)
             if a.op in ("min", "max", "first", "last") and _is_ts(buf_types.get(src, T.DoubleType())):
                 vals = pd.to_datetime(vals.astype("int64"), unit="us")
+            elif a.op == "collect" and _is_ts(buf_types.get(src, T.DoubleType())):
+                # buffered timestamps are int64 micros; ArrayType(TimestampType)
+                # output needs datetime elements
+                vals = vals.apply(lambda lst: list(pd.to_datetime(np.asarray(lst, dtype="int64"), unit="us")))
             sink[a.out].extend(vals.tolist())
         if emit_wid:
             sink["wid"].extend([wid] * len(keys))
@@ -420,7 +424,11 @@ def window_agg_stream(
                 src = a.in_col or ts_col
                 mat = buf[src][: n_win * n].reshape(n_win, n)
                 res = _MATRIX_OPS[a.op](mat)
-                out_cols[a.out] = _np_to_out(res, out_types[a.out]) if a.op in ("min", "max", "first", "last", "sum") or a.op == "collect" else res
+                if a.op == "collect" and _is_ts(buf_types.get(src, T.DoubleType())):
+                    res = [list(pd.to_datetime(np.asarray(lst, dtype="int64"), unit="us")) for lst in res]
+                    out_cols[a.out] = res
+                else:
+                    out_cols[a.out] = _np_to_out(res, out_types[a.out]) if a.op in ("min", "max", "first", "last", "sum") else res
             buf = {c: buf[c][n_win * n :] for c in buffered}
             emitted += n_win
             save_state(state, emitted, False, buf)
@@ -478,6 +486,8 @@ def window_agg_stream(
                     val = _SLICE_OPS[a.op](win[src])
                     if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
                         val = pd.Timestamp(int(val), unit="us")
+                    elif a.op == "collect" and _is_ts(buf_types[src]):
+                        val = list(pd.to_datetime(np.asarray(val, dtype="int64"), unit="us"))
                     out_rows[a.out].append(val)
                 if emit_wid:
                     out_rows["wid"].append(emitted)
@@ -493,7 +503,7 @@ def window_agg_stream(
     # ------------------------------------------------------------------ #
     def fn_sliding_delay(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         """SLIDINGWINDOW(unit, length, delay): a row's emission fires once
-        event time passes t+delay; its frame is [t-length, t+delay]
+        event time passes t+delay; its frame is (t-length, t+delay]
         (window_op.go sliding delay scheduling, event-time analog).  Rows
         later than the delay horizon are dropped (watermark semantics);
         trailing rows whose trigger never passes stay pending."""
@@ -518,7 +528,9 @@ def window_agg_stream(
         idx = np.nonzero(emit)[0]
         out_cols: dict = {}
         if len(idx):
-            left = np.searchsorted(ts_arr, ts_arr[idx] - length_us, side="left")
+            # frame (t-length, t+delay] — left-exclusive like the reference
+            # scan (window_op.go:606 After(windowStart))
+            left = np.searchsorted(ts_arr, ts_arr[idx] - length_us, side="right")
             right = np.searchsorted(ts_arr, ts_arr[idx] + delay_us, side="right")
             for a in agg_list:
                 if a.op == "count" and a.in_col is None:
@@ -540,7 +552,7 @@ def window_agg_stream(
             for c in pass_list:
                 v = full[c][idx]
                 out_cols[c] = pd.to_datetime(v.astype("int64"), unit="us") if _is_ts(buf_types[c]) else v
-        keep = ts_arr >= new_thr - length_us
+        keep = ts_arr > new_thr - length_us
         save_state(state, new_max, False, {c: full[c][keep] for c in buffered})
         if len(idx):
             yield emit_frame(out_cols, len(idx), key)
@@ -554,7 +566,16 @@ def window_agg_stream(
         batch = batch.sort_values(order_list, kind="mergesort").reset_index(drop=True)
         add = batch_arrays(batch, buffered)
         n_carry = len(buf[ts_col])
+        n_new = len(batch)
         full = {c: np.concatenate([buf[c], add[c]]) for c in buffered}
+        # a late arrival may sort before the carried tail; stable argsort
+        # keeps the combined index monotonic (rolling requires it) while the
+        # is_new mask keeps emission aligned to this batch's rows
+        perm = np.argsort(full[ts_col], kind="stable")
+        full = {c: full[c][perm] for c in buffered}
+        is_new = np.concatenate(
+            [np.zeros(n_carry, dtype=bool), np.ones(n_new, dtype=bool)]
+        )[perm]
         idx = pd.to_datetime(full[ts_col], unit="us")
         roll_df = pd.DataFrame(
             {c: full[c] for c in buffered if c != ts_col or any(a.in_col == ts_col for a in agg_list)},
@@ -563,11 +584,13 @@ def window_agg_stream(
         if any(a.in_col is None for a in agg_list):
             # count(*) counts rows, not non-nulls of some column
             roll_df["__one"] = 1.0
-        roll = roll_df.rolling(pd.Timedelta(microseconds=length_us), closed="both")
+        # frame (t-length, t]: the reference scan is left-exclusive
+        # (window_op.go:606 After(windowStart))
+        roll = roll_df.rolling(pd.Timedelta(microseconds=length_us), closed="right")
         out_cols = {}
         for a in agg_list:
             src = a.in_col if a.in_col is not None else "__one"
-            res = _rolling_reduce(roll, src, a.op).to_numpy()[n_carry:]
+            res = _rolling_reduce(roll, src, a.op).to_numpy()[is_new]
             if a.op == "count":
                 res = res.astype("int64")
             elif a.op in ("min", "max") and _is_ts(buf_types.get(src, T.DoubleType())):
@@ -575,14 +598,17 @@ def window_agg_stream(
             elif a.op == "sum" and isinstance(out_types[a.out], T.LongType):
                 res = res.astype("int64")
             out_cols[a.out] = res
+        # stable argsort keeps the new rows in batch-sorted relative order,
+        # so res[is_new] aligns 1:1 with the sorted batch's rows
         for c in pass_list:
             out_cols[c] = batch[c].values
         # trim the carried buffer to the horizon of the newest row
+        # (left-exclusive frame: a row exactly `length` old never re-enters)
         last_ts = int(full[ts_col][-1])
-        keep = full[ts_col] >= last_ts - length_us
+        keep = full[ts_col] > last_ts - length_us
         buf = {c: full[c][keep] for c in buffered}
         save_state(state, 0, False, buf)
-        yield emit_frame(out_cols, len(batch), key)
+        yield emit_frame(out_cols, n_new, key)
 
     fn = {"count": fn_count, "state": fn_state, "sliding": fn_sliding_delay if delay_us else fn_sliding}[kind]
     if dim_list:
@@ -671,7 +697,7 @@ def sliding_window_stream(
     val_col: str = "value",
 ) -> DataFrame:
     """Streaming SLIDINGWINDOW: per-event emission of aggregates over
-    [t - length, t], with the in-horizon row buffer carried in state
+    (t - length, t], with the in-horizon row buffer carried in state
     (window_op.go:593-619 per-event sliding emission).
 
     Output: (event_id, n_w, sum_w) per input row."""

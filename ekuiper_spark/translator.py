@@ -1101,8 +1101,11 @@ class Translator:
         # GROUP BY dims partition the per-event frame (keyed sliding
         # windows are the 100 TB path: per-key sort instead of one global
         # partition)
+        # frame (t-length, t+delay]: the reference scan is left-exclusive
+        # (window_op.go:606 After(windowStart)); on the integer-microsecond
+        # grid that is a -(length-1µs) inclusive lower bound
         return spec.orderBy(order).rangeBetween(
-            -int(length * 1_000_000), int(delay * 1_000_000)
+            -int(length * 1_000_000) + 1, int(delay * 1_000_000)
         )
 
     def _expr(self, node: Node, ctx: TranslateCtx) -> Column:

@@ -715,3 +715,108 @@ def test_sliding_delay_cross_batch(spark, catalog, tmp_path):
     assert len(stream) > 900  # both batches' triggered rows emitted
     mismatches = [k for k in stream if stream[k] != bt[k]]
     assert not mismatches, mismatches[:5]
+
+
+def test_sliding_late_arrival_cross_batch(spark, catalog, tmp_path):
+    """A micro-batch whose rows sort BEFORE the carried state tail (normal
+    late arrival) must not kill the no-delay sliding query: the combined
+    buffer is re-sorted (stable argsort) before rolling.  Early rows'
+    frames only span early rows, so batch parity still holds."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.catalog import Catalog, StreamDef
+    from ekuiper_spark.translator import compile_sql as cs
+
+    ev = catalog.load(spark, "events").orderBy("ts", "event_id")
+    d = tmp_path
+    # batch 1 = the LATER half, batch 2 = the EARLIER half (late arrival)
+    late = {r["event_id"] for r in ev.limit(500).select("event_id").collect()}
+    ev.filter(~F.col("event_id").isin(list(late))).coalesce(1).write.parquet(str(d / "p1"))
+    ev.limit(500).coalesce(1).write.parquet(str(d / "p2"))
+    sdir = str(d / "stream")
+    os.makedirs(sdir)
+    now = _time.time()
+    for i, sub in enumerate(["p1", "p2"]):
+        dst = os.path.join(sdir, f"{sub}.parquet")
+        shutil.copy(glob.glob(str(d / sub / "*.parquet"))[0], dst)
+        os.utime(dst, (now - 60 + i * 30,) * 2)
+    cat2 = Catalog()
+    cat2.register(StreamDef(name="events", format="parquet", path=sdir, kind="stream"))
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(sdir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(sdir)
+    )
+    cat2.register_df("events", sdf)
+    sql = "SELECT event_id, count(*) AS n FROM events GROUP BY SLIDINGWINDOW(hh, 1)"
+    out = cs(spark, sql, cat2, streaming=True, order_cols=["ts", "event_id"])
+    name = "sl_" + uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    stream = {r["event_id"]: r["n"] for r in spark.table(name).collect()}
+    batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
+    bt = {r["event_id"]: r["n"] for r in batch.collect()}
+    assert len(stream) == 1000
+    mismatches = [k for k in stream if stream[k] != bt[k]]
+    assert not mismatches, mismatches[:5]
+
+
+def test_streaming_collect_timestamp_column(spark, catalog):
+    """collect(ts) over a streaming COUNTWINDOW: buffered int64-micros
+    must convert back to timestamps on emit (ArrayType(TimestampType))."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    sql = (
+        "SELECT count(*) AS n, collect(ts) AS tss "
+        "FROM events GROUP BY COUNTWINDOW(250)"
+    )
+    out = run_rule_available_now(
+        spark, catalog, sql, output_mode="append", order_cols=["ts", "event_id"]
+    )
+    rows = out.collect()
+    batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
+    brows = batch.collect()
+    assert len(rows) == len(brows) == 4
+    import datetime
+
+    for r in rows:
+        assert all(isinstance(t, datetime.datetime) for t in r["tss"])
+    s_sets = sorted(tuple(sorted(r["tss"])) for r in rows)
+    b_sets = sorted(tuple(sorted(r["tss"])) for r in brows)
+    assert s_sets == b_sets
+
+
+def test_sliding_left_exclusive_boundary(spark):
+    """The sliding frame is (t-length, t] — a row exactly `length` older
+    than the trigger is NOT in the frame (window_op.go:606
+    After(windowStart) is strict)."""
+    import datetime
+
+    from ekuiper_spark.catalog import Catalog
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (2, base + datetime.timedelta(hours=1)),   # exactly 1h later
+        (3, base + datetime.timedelta(hours=1, seconds=30)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    cat = Catalog()
+    cat.register_df("bnd", df)
+    out = compile_sql(
+        spark,
+        "SELECT event_id, count(*) AS n FROM bnd GROUP BY SLIDINGWINDOW(hh, 1)",
+        cat, order_cols=["ts", "event_id"],
+    )
+    got = {r["event_id"]: r["n"] for r in out.collect()}
+    # row 2's frame (t-1h, t] excludes row 1 (exactly 1h old); row 3's
+    # frame includes row 2 but not row 1 (1h + 30s old)
+    assert got == {1: 1, 2: 1, 3: 2}

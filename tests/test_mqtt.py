@@ -195,3 +195,17 @@ def test_mqtt_rule_end_to_end(spark, broker):
     rt.stop_rule("alert_rule")
     sub.disconnect()
     assert got == ["dev2", "dev3"]
+
+
+def test_decode_message_skips_non_object_json():
+    """A JSON payload that parses but is not an object / array of objects
+    (scalar, string, list of scalars) yields no rows instead of failing
+    the micro-batch (per-message error handling, converter.go:35-52)."""
+    from ekuiper_spark.sources.mqtt import decode_message
+
+    fields = [("device", "string"), ("temperature", "double")]
+    assert decode_message(b"5", "json", fields, {}) == []
+    assert decode_message(b'"x"', "json", fields, {}) == []
+    assert decode_message(b"[1, 2, 3]", "json", fields, {}) == []
+    mixed = decode_message(b'[{"device": "a"}, 7, {"device": "b"}]', "json", fields, {})
+    assert [d["device"] for d in mixed] == ["a", "b"]

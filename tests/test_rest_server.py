@@ -213,3 +213,23 @@ def test_ruletest_on_registered_tables(server):
         "limit": 5,
     })
     assert code == 200 and body["rows"][0][0] > 0
+
+
+def test_ruletest_mock_shadowing_registered_stream(server):
+    """A mock source with the SAME name as a registered stream (the
+    reference's primary trial-run use case, planner.go:49-97 mock
+    injection) must not delete the real stream definition: after the
+    trial, rules against the stream still compile and see real data."""
+    code, body = _req(server, "POST", "/ruletest", {
+        "sql": "SELECT value * 2 AS v2 FROM events WHERE value > 100",
+        "mockSource": {
+            "events": [{"value": 50.0}, {"value": 150.0}],
+        },
+    })
+    assert code == 200
+    assert [r[0] for r in body["rows"]] == [300.0]
+    # the real CREATE STREAM definition must survive the trial cleanup
+    code, body = _req(server, "POST", "/ruletest", {
+        "sql": "SELECT count(*) AS n FROM events WHERE value > 100",
+    })
+    assert code == 200 and body["rows"][0][0] > 2
