@@ -4,15 +4,21 @@ JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query materializes fully via the noop sink (no driver collect, no
-column-prune shortcut a count() would allow).
+column-prune shortcut a count() would allow).  Fault-isolated: a failing
+query records ``null`` (error on stderr) and the run continues.  Each
+query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+median, so one GC pause / sandbox-contention spike can't masquerade as a
+regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -43,6 +49,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("bench")
     qs = entrymod.queries()
 
@@ -51,29 +58,46 @@ def main() -> None:
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    results: dict[str, float] = {}
+    results: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        results[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        times: list[float] = []
+        for rep in range(reps):
+            try:
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"
+                print(f"# {name} rep{rep} FAILED: {e}", file=sys.stderr)
+                traceback.print_exc(file=sys.stderr)
+                break  # same query will fail identically; don't retry
+        if times:
+            med = statistics.median(times)
+            results[name] = round(med, 3)
+            total += med
+            print(
+                f"# {name}: median {med:.3f}s over {len(times)} reps "
+                f"({', '.join(f'{t:.3f}' for t in times)})",
+                file=sys.stderr,
+            )
+        else:
+            results[name] = None
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "reps": reps,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

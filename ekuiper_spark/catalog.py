@@ -231,6 +231,7 @@ class Catalog:
 
                 for c in self._nano_cols(d.path):
                     sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+                sdf = self._normalize_ntz(sdf)
             return sdf
         reader = spark.read
         if d.schema is not None:
@@ -291,4 +292,17 @@ class Catalog:
         for c in self._nano_cols(path):
             # integer division keeps full precision (ns epoch > 2^53)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return self._normalize_ntz(df)
+
+    @staticmethod
+    def _normalize_ntz(df: DataFrame) -> DataFrame:
+        """TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet columns arrive
+        as TIMESTAMP_NTZ; normalize to TimestampType so event-time
+        arithmetic (unix_micros, watermarks) sees one type.  The session tz
+        is pinned UTC (session.py), so the cast is lossless."""
+        from pyspark.sql import functions as F
+
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampNTZType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
         return df

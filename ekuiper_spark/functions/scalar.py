@@ -19,6 +19,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ekuiper_spark.timeutil import epoch_us as _epoch_us
+
 REGISTRY: dict[str, Any] = {}
 
 
@@ -140,7 +142,7 @@ reg("month_name")(lambda c, r: F.date_format(c[0], "MMMM"))
 reg("hour")(lambda c, r: F.hour(c[0]))
 reg("minute")(lambda c, r: F.minute(c[0]))
 reg("second")(lambda c, r: F.second(c[0]))
-reg("microsecond")(lambda c, r: (F.unix_micros(c[0]) % 1_000_000))
+reg("microsecond")(lambda c, r: (_epoch_us(c[0]) % 1_000_000))
 reg("month")(lambda c, r: F.month(c[0]))
 reg("year")(lambda c, r: F.year(c[0]))
 reg("date_diff")(lambda c, r: F.datediff(c[1], c[0]))

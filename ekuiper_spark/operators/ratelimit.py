@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ekuiper_spark.timeutil import epoch_us
+
 
 def rate_limit_latest(
     df: DataFrame,
@@ -24,13 +26,13 @@ def rate_limit_latest(
 ) -> DataFrame:
     """Keep only the latest row per interval bucket (per key)."""
     us = int(interval_sec * 1_000_000)
-    bucket = (F.unix_micros(F.col(ts_col)) / us).cast("long")
+    bucket = (epoch_us(F.col(ts_col)) / us).cast("long")
     keys = [F.col(k) for k in (key_cols or [])]
     payload = F.struct(*[F.col(c) for c in df.columns])
     out = (
         df.withColumn("__bucket", bucket)
         .groupBy(*keys, F.col("__bucket"))
-        .agg(F.max_by(payload, F.unix_micros(F.col(ts_col))).alias("__row"))
+        .agg(F.max_by(payload, epoch_us(F.col(ts_col))).alias("__row"))
         .select("__row.*")
     )
     return out
@@ -45,11 +47,11 @@ def merge_frames(
     """Merger variant: collapse each interval's rows into one row carrying
     the latest non-null value per column (frame merger semantics)."""
     us = int(interval_sec * 1_000_000)
-    bucket = (F.unix_micros(F.col(ts_col)) / us).cast("long")
+    bucket = (epoch_us(F.col(ts_col)) / us).cast("long")
     keys = key_cols or []
     val_cols = [c for c in df.columns if c not in keys]
     aggs = [
-        F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.unix_micros(F.col(ts_col)))).alias(c)
+        F.max_by(F.col(c), F.when(F.col(c).isNotNull(), epoch_us(F.col(ts_col)))).alias(c)
         for c in val_cols
     ]
     return (

@@ -1,0 +1,27 @@
+"""Event-time epoch helpers.
+
+Event-time columns arrive in three physical forms depending on how the
+fixture parquet was written:
+
+* ``TIMESTAMP(NANOS)``  -> epoch-nano longs under
+  ``spark.sql.legacy.parquet.nanosAsLong`` (normalized at catalog load)
+* ``TIMESTAMP(MICROS, isAdjustedToUTC=true)``  -> Spark ``TIMESTAMP``
+* ``TIMESTAMP(MICROS, isAdjustedToUTC=false)`` -> Spark ``TIMESTAMP_NTZ``
+
+``F.unix_micros`` only accepts ``TIMESTAMP``; :func:`epoch_us` is the one
+conversion point that also accepts ``TIMESTAMP_NTZ``.  The session
+timezone is pinned UTC (session.py), so the NTZ->TIMESTAMP cast is
+lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def epoch_us(col: Column) -> Column:
+    """Exact integer epoch-microseconds of a TIMESTAMP or TIMESTAMP_NTZ
+    column (the cast is a no-op for TIMESTAMP, a lossless wall-clock
+    reinterpretation for NTZ under the UTC session tz)."""
+    return F.unix_micros(col.cast("timestamp"))

@@ -39,6 +39,7 @@ from ekuiper_spark.ast_nodes import (
 )
 from ekuiper_spark.catalog import Catalog
 from ekuiper_spark.parser import parse_sql
+from ekuiper_spark.timeutil import epoch_us
 
 UNIT_SECONDS = {"dd": 86400, "hh": 3600, "mi": 60, "ss": 1, "ms": 0.001}
 
@@ -1084,7 +1085,7 @@ class Translator:
         if ctx.event_is_long:
             order = F.col(ctx.event_col) * 1000  # epoch ms -> micros
         else:
-            order = F.unix_micros(F.col(ctx.event_col))
+            order = epoch_us(F.col(ctx.event_col))
         if not ctx.sliding_parts:
             import warnings
 

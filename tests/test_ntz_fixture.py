@@ -1,0 +1,98 @@
+"""Regression: event-time parquet physical-type robustness.
+
+The driver's fixtures have shipped event time three ways across rounds:
+TIMESTAMP(NANOS), TIMESTAMP(MICROS, isAdjustedToUTC=true), and
+TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+TIMESTAMP_NTZ).  Round 3 broke because ``unix_micros`` rejects NTZ.  These
+tests write each variant locally and run the engine paths that order on
+event time — so a future fixture regeneration can't silently break them
+again.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ekuiper_spark import Catalog
+
+
+def _write_events(path: str, ts_type: pa.DataType) -> None:
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ts = [base + dt.timedelta(seconds=30 * i) for i in range(40)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(40), pa.int64()),
+            "ts": pa.array(ts, ts_type),
+            "user_id": pa.array([i % 4 for i in range(40)], pa.int64()),
+            "value": pa.array([float(i) for i in range(40)], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+VARIANTS = {
+    "ntz_micros": pa.timestamp("us"),  # isAdjustedToUTC=false -> TIMESTAMP_NTZ
+    "utc_micros": pa.timestamp("us", tz="UTC"),  # -> TIMESTAMP
+    "ntz_nanos": pa.timestamp("ns"),  # -> nanosAsLong path
+}
+
+
+@pytest.fixture(scope="module", params=sorted(VARIANTS))
+def ntz_catalog(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"fx_{request.param}")
+    _write_events(os.path.join(d, "events.parquet"), VARIANTS[request.param])
+    return Catalog.from_dir(str(d))
+
+
+def test_catalog_normalizes_to_timestamp(spark, ntz_catalog):
+    df = ntz_catalog.load(spark, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    first = df.orderBy("event_id").first()
+    assert first["ts"] == dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_sliding_window_on_any_ts_type(spark, ntz_catalog):
+    from ekuiper_spark.translator import compile_sql
+
+    out = compile_sql(
+        spark,
+        "SELECT event_id, count(*) AS c FROM events GROUP BY SLIDINGWINDOW(ss, 60)",
+        ntz_catalog,
+    )
+    rows = {r["event_id"]: r["c"] for r in out.collect()}
+    # 60s frame (t-60, t] left-exclusive, events every 30s: rows 0,1 see
+    # 1,2; every later row sees exactly 2 (the t-60 event is excluded)
+    assert rows[0] == 1 and rows[1] == 2
+    assert rows[39] == 2
+
+
+def test_rate_limit_on_any_ts_type(spark, ntz_catalog):
+    from ekuiper_spark.operators.ratelimit import rate_limit_latest
+
+    ev = ntz_catalog.load(spark, "events")
+    out = rate_limit_latest(ev, 600.0)  # 10-min buckets over 20 min of data
+    assert out.count() == 2
+    assert {r["event_id"] for r in out.collect()} == {19, 39}
+
+
+def test_epoch_us_accepts_ntz_directly(spark):
+    # direct DataFrames (not via catalog) may still carry NTZ
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 0, 0, 123456),)], "ts timestamp_ntz"
+    )
+    from ekuiper_spark.timeutil import epoch_us
+
+    us = df.select(epoch_us(F.col("ts")).alias("us")).first()["us"]
+    assert us == 1704067200123456
+    # microsecond() builtin routes through the same helper
+    from ekuiper_spark.functions.scalar import REGISTRY
+
+    micro = df.select(REGISTRY["microsecond"]([F.col("ts")], [None]).alias("m"))
+    assert micro.first()["m"] == 123456
