@@ -167,26 +167,46 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "count(*) AS n, floor(avg(value) * 100 + 0.5) / 100 AS avg_v "
         "FROM events, (SELECT unnest(range(0, 2)) AS k) GROUP BY 1",
     ),
+    # 2-int reference form SESSIONWINDOW(unit, length, interval):
+    # length = max-duration cap, interval = timeout (window_op.go:304-347).
+    # Construction (same in both engines): timeout gaps-and-islands, then
+    # cap-splitting = parity pairing of consecutive occupied cap-grid
+    # buckets per island (greedy close rule, half-open at the tick).
+    # The 1-arg gap dialect form keeps its own CORRECTNESS row via
+    # s_streaming_session (native session_window) + pytest coverage.
     "q_session_window": (
-        "SELECT user_id, window_start() AS s_start, count(*) AS n, "
-        "round(sum(value), 4) AS sum_v FROM events "
-        "GROUP BY user_id, SESSIONWINDOW(mi, 30)",
+        "SELECT user_id, window_start() AS s_start, window_end() AS s_end, "
+        "count(*) AS n, round(sum(value), 4) AS sum_v FROM events "
+        "GROUP BY user_id, SESSIONWINDOW(mi, 120, 30)",
         {},
         """
         WITH x AS (
-          SELECT user_id, event_id, ts, value,
+          SELECT user_id, value, epoch_us(ts) AS us,
                  CASE WHEN lag(ts) OVER w IS NULL
-                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                       THEN 1 ELSE 0 END AS new_s
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), y AS (
-          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS sid
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                     ROWS UNBOUNDED PRECEDING) AS isl,
+                 us // 7200000000 AS bkt
           FROM x
+        ), z AS (
+          SELECT *, bkt - dense_rank() OVER (PARTITION BY user_id, isl
+                                             ORDER BY bkt) AS run
+          FROM y
+        ), s AS (
+          SELECT *, min(bkt) OVER (PARTITION BY user_id, isl, run) AS run_first
+          FROM z
+        ), t AS (
+          SELECT *, (bkt - run_first) // 2 AS sess FROM s
         )
-        SELECT user_id, min(ts) AS s_start, count(*) AS n,
-               round(sum(value), 4) AS sum_v
-        FROM y GROUP BY user_id, sid
+        SELECT user_id,
+               make_timestamp(min(us)) AS s_start,
+               make_timestamp(least(max(us) + 1800000000,
+                    (min(run_first) + sess * 2 + 2) * 7200000000)) AS s_end,
+               count(*) AS n, round(sum(value), 4) AS sum_v
+        FROM t GROUP BY user_id, isl, run, sess
         """,
     ),
     "q_count_window": (
@@ -925,6 +945,26 @@ def _q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 1-arg gap-only session form (dialect relaxation; native session_window
+# splits at gap >= timeout, half-open)
+_ORACLE_SESSION_GAP = """
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id, min(ts) AS s_start, count(*) AS n,
+       round(sum(value), 4) AS sum_v
+FROM y GROUP BY user_id, sid
+"""
+
+
 def _q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows (session_window + complete mode)."""
     from ekuiper_spark.streaming.runtime import run_rule_available_now
@@ -1129,7 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type, count(*) AS n, round(sum(value), 4) AS sum_v "
         "FROM events GROUP BY 1, 2"
     )
-    out["s_streaming_session"] = DIALECT_QUERIES["q_session_window"][2]
+    out["s_streaming_session"] = _ORACLE_SESSION_GAP
     out["s_streaming_lookup_join"] = DIALECT_QUERIES["q_join_lookup"][2]
     out["s_streaming_count_window"] = _ORACLE_STREAM_COUNT_WINDOW
     out["s_streaming_state_window"] = DIALECT_QUERIES["q_state_window"][2]

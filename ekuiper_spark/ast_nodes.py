@@ -144,7 +144,9 @@ class WindowSpec(Node):
     kind: tumbling|hopping|sliding|session|count|state
     unit:  dd|hh|mi|ss|ms  (time windows)
     args:  ints — tumbling:[len]  hopping:[len,hop]  sliding:[len(,delay)]
-           session:[timeout,maxlen?]  count:[n(,interval)]
+           session:[gap] (1-arg dialect form) or [length(cap),
+           interval(timeout)] (reference form, window_op.go:304)
+           count:[n(,interval)]
     state: [begin_expr, emit_expr] conditions
     """
 

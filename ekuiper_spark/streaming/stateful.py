@@ -210,6 +210,8 @@ def window_agg_stream(
     emit_col: Optional[str] = None,
     length_us: Optional[int] = None,
     delay_us: int = 0,
+    cap_us: Optional[int] = None,
+    timeout_us: Optional[int] = None,
     dims: Sequence[str] = (),
     subgroups: Sequence[str] = (),
     order_cols: Sequence[str] = ("ts",),
@@ -233,6 +235,10 @@ def window_agg_stream(
                      over [t-length, t] (window_op.go:593-619); aggs are
                      restricted to the pandas-rolling subset; passthrough
                      columns of the triggering row are emitted alongside.
+    kind='session' : capped SESSIONWINDOW(unit, length, interval) —
+                     cap_us/timeout_us (window_op.go:304-347); sessions
+                     are keyed by dims (per-key state), closed sessions
+                     emit, the open tail carries in state.
 
     dims key the state (the 100 TB path); with no dims a single global
     key is used and a warning fires.
@@ -243,7 +249,7 @@ def window_agg_stream(
     one row per distinct subgroup value, aggregated over that subgroup's
     rows only.
     """
-    if kind not in ("count", "state", "sliding"):
+    if kind not in ("count", "state", "sliding", "session"):
         raise ValueError(f"unknown stateful window kind {kind!r}")
     schema = {f.name: f.dataType for f in sdf.schema.fields}
     order_cols = [c for c in order_cols if c in schema] or list(sdf.columns[:1])
@@ -501,6 +507,70 @@ def window_agg_stream(
             yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
 
     # ------------------------------------------------------------------ #
+    def fn_session(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        """Capped SESSIONWINDOW(unit, length=cap, interval=timeout) —
+        reference window_op.go:304-347: a session extends while
+        consecutive events are within `timeout` (a gap exactly equal
+        extends) and force-closes at the first cap-grid tick T = k*cap
+        with T - session_start > cap.  Half-open close (an event exactly
+        at T starts the next session) to match the batch construction.
+
+        State = the open session's rows (bounded: a session spans at most
+        2*cap of event time); closed sessions emit and leave state.  The
+        trailing open session emits only when a later event closes it —
+        in an unbounded run the reference closes it by wall-clock timer.
+        """
+        emitted, _, buf = load_state(state)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(order_list, kind="mergesort")
+            add = batch_arrays(batch, buffered)
+            buf = {c: np.concatenate([buf[c], add[c]]) for c in buffered}
+        ts_arr = buf[ts_col]
+        total = len(ts_arr)
+        if not total:
+            save_state(state, emitted, False, buf)
+            return
+        # a late arrival may sort before the carried open-session rows
+        perm = np.argsort(ts_arr, kind="stable")
+        buf = {c: buf[c][perm] for c in buffered}
+        ts_arr = buf[ts_col]
+        # sequential greedy close: the cap tick derives from the running
+        # session start, so this is a per-key scan (keyed state = the
+        # scale path; per-key per-batch row counts stay small)
+        bounds: list[tuple[int, int]] = []
+        cur = 0
+        close_tick = (int(ts_arr[0]) // cap_us + 2) * cap_us
+        for i in range(1, total):
+            t = int(ts_arr[i])
+            if t - int(ts_arr[i - 1]) > timeout_us or t >= close_tick:
+                bounds.append((cur, i))
+                cur = i
+                close_tick = (t // cap_us + 2) * cap_us
+        out_rows = new_sink()
+        for s, e in bounds:
+            win = {c: buf[c][s:e] for c in buffered}
+            if sub_list:
+                subgroup_window(win, emitted, out_rows)
+            else:
+                for a in agg_list:
+                    src = a.in_col or ts_col
+                    val = _SLICE_OPS[a.op](win[src])
+                    if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
+                        val = pd.Timestamp(int(val), unit="us")
+                    elif a.op == "collect" and _is_ts(buf_types[src]):
+                        val = list(pd.to_datetime(np.asarray(val, dtype="int64"), unit="us"))
+                    out_rows[a.out].append(val)
+                if emit_wid:
+                    out_rows["wid"].append(emitted)
+            emitted += 1
+        buf = {c: buf[c][cur:] for c in buffered}
+        save_state(state, emitted, bool(bounds) or total > 0, buf)
+        n_out = len(next(iter(out_rows.values()))) if out_rows else 0
+        if n_out:
+            yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
+
+    # ------------------------------------------------------------------ #
     def fn_sliding_delay(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         """SLIDINGWINDOW(unit, length, delay): a row's emission fires once
         event time passes t+delay; its frame is (t-length, t+delay]
@@ -610,7 +680,12 @@ def window_agg_stream(
         save_state(state, 0, False, buf)
         yield emit_frame(out_cols, n_new, key)
 
-    fn = {"count": fn_count, "state": fn_state, "sliding": fn_sliding_delay if delay_us else fn_sliding}[kind]
+    fn = {
+        "count": fn_count,
+        "state": fn_state,
+        "session": fn_session,
+        "sliding": fn_sliding_delay if delay_us else fn_sliding,
+    }[kind]
     if dim_list:
         keyed = sdf.groupBy(*dim_list)
     else:

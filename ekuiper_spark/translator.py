@@ -64,6 +64,7 @@ class TranslateCtx:
     event_col: Optional[str] = None
     event_is_long: bool = False  # epoch-millis long event time (reference native)
     window_bounds_ms: bool = False  # window struct holds ts but user time is ms
+    window_parts: list = dc_field(default_factory=list)  # GROUP BY dim col names (pre-window)
 
 
 def canon(node: Node) -> str:
@@ -195,7 +196,12 @@ class Translator:
             ctx.windowfunc_partition = wnames
             df = self._project(df, stmt, ctx)
         elif group is not None or has_agg:
-            if self.streaming and window is not None and window.kind in ("count", "state"):
+            if self.streaming and window is not None and (
+                window.kind in ("count", "state")
+                or (window.kind == "session" and len(window.args) >= 2)
+            ):
+                # capped sessions use window functions in batch; streaming
+                # needs the stateful per-key sessionizer
                 df = self._streaming_stateful_grouped(df, stmt, ctx)
             else:
                 df = self._grouped(df, stmt, ctx)
@@ -383,26 +389,32 @@ class Translator:
         if window is not None and window.filter is not None:
             df = df.filter(self._expr(window.filter, ctx))
 
-        if window is not None:
-            df, wnames = self._window_key(df, window, ctx)
-            group_cols.extend(wnames)
-
+        # dims are materialized before the window key: a capped session
+        # window partitions its gaps-and-islands computation by the dims
+        dim_names: list[str] = []
         for i, d in enumerate(dims):
             if isinstance(d, ColumnRef) and d.source is None:
                 ctx.dim_map[canon(d)] = d.name
-                group_cols.append(d.name)
+                dim_names.append(d.name)
             elif isinstance(d, ColumnRef) and d.source is not None and d.source.lower() in ctx.source_aliases:
                 # qualified simple column: group under its bare name so the
                 # output column is user-visible (r.r_name -> r_name)
                 name = d.name
                 df = df.withColumn(name, self._expr(d, ctx))
                 ctx.dim_map[canon(d)] = name
-                group_cols.append(name)
+                dim_names.append(name)
             else:
                 name = f"__grp{i}"
                 df = df.withColumn(name, self._expr(d, ctx))
                 ctx.dim_map[canon(d)] = name
-                group_cols.append(name)
+                dim_names.append(name)
+
+        if window is not None:
+            ctx.window_parts = dim_names
+            df, wnames = self._window_key(df, window, ctx)
+            group_cols.extend(wnames)
+
+        group_cols.extend(dim_names)
 
         ctx.row_cols = [
             c
@@ -548,6 +560,14 @@ class Translator:
         dims: list[str] = []
         if window.kind == "count":
             kw["n"] = window.args[0]
+        elif window.kind == "session":
+            # SESSIONWINDOW(unit, length, interval): length=cap,
+            # interval=timeout (window_op.go:304); sessions are keyed by
+            # the GROUP BY dims (per-key state = the scale path)
+            kw["cap_us"] = int(window.args[0] * UNIT_SECONDS[window.unit] * 1_000_000)
+            kw["timeout_us"] = int(window.args[1] * UNIT_SECONDS[window.unit] * 1_000_000)
+            dims = subgroups
+            subgroups = []
         else:  # state
             conds = window.state_conds
             for i, p in enumerate(conds[2:]):
@@ -684,6 +704,10 @@ class Translator:
             ctx.window_col = "window"
             return df, ["window"]
         if w.kind == "session":
+            if len(w.args) >= 2:
+                return self._session_capped(df, w, ctx)
+            # 1-arg dialect relaxation: plain gap sessionization (native
+            # session_window; splits at gap >= timeout, half-open)
             gap = self._dur(w, 0)
             df = df.withColumn("window", F.session_window(ecol, gap))
             ctx.window_col = "window"
@@ -733,6 +757,76 @@ class Translator:
         if w.kind == "state":
             return self._state_window(df, w, ctx)
         raise ValueError(f"unknown window kind {w.kind}")
+
+    def _session_capped(self, df: DataFrame, w: WindowSpec, ctx: TranslateCtx):
+        """SESSIONWINDOW(unit, length, interval) with reference semantics
+        (internal/topo/node/window_op.go:304-347, docs/en_US/sqls/
+        windows.md:62-74): a session extends while consecutive events are
+        within `interval` (timeout; a gap exactly equal to it extends),
+        and is force-closed at the first cap-grid tick T = k*length with
+        T - session_start > length — max-duration checks run on a grid the
+        size of the cap, so a session can live up to 2*length.
+
+        Construction (pure window functions; the oracle states it
+        identically in ANSI SQL): timeout islands via gaps-and-islands,
+        then cap-splitting.  Within an island, the occupied length-grid
+        buckets form runs of consecutive buckets, and the greedy close
+        rule (next session starts at the first event past the closing
+        tick) is exactly "pair buckets (run_first+2k, run_first+2k+1)" —
+        so the in-run session id is (bucket - run_first_bucket) div 2.
+        Boundary divergence from the reference, documented: an event
+        exactly AT the closing tick T starts the next session here
+        (half-open close); the reference includes it in the closing one.
+
+        Scale: all shuffles key on the GROUP BY dims; unkeyed capped
+        sessions collapse to one sort partition (reference single-process
+        semantics) and warn, same as the other unkeyed windows.
+        """
+        ec = ctx.event_col
+        cap_us = int(w.args[0] * UNIT_SECONDS[w.unit] * 1_000_000)
+        timeout_us = int(w.args[1] * UNIT_SECONDS[w.unit] * 1_000_000)
+        e = (F.col(ec) * 1000) if ctx.event_is_long else epoch_us(F.col(ec))
+        parts = [F.col(n) for n in ctx.window_parts]
+        if not parts:
+            import warnings
+
+            warnings.warn(
+                "unkeyed capped SESSIONWINDOW uses one global sort "
+                "partition (reference semantics); at scale add GROUP BY "
+                "key to partition the sessionization.",
+                UserWarning,
+                stacklevel=4,
+            )
+            parts = [F.lit(0)]
+        df = df.withColumn("__us", e)
+        wp = W.partitionBy(*parts).orderBy("__us")
+        prev = F.lag("__us").over(wp)
+        new_isl = (prev.isNull() | ((F.col("__us") - prev) > timeout_us)).cast("int")
+        df = df.withColumn(
+            "__isl", F.sum(new_isl).over(wp.rowsBetween(W.unboundedPreceding, 0))
+        )
+        df = df.withColumn("__bkt", F.floor(F.col("__us") / cap_us))
+        wpi = W.partitionBy(*parts, F.col("__isl")).orderBy("__bkt")
+        df = df.withColumn("__run", F.col("__bkt") - F.dense_rank().over(wpi))
+        wrun = W.partitionBy(*parts, F.col("__isl"), F.col("__run"))
+        run_first = F.min("__bkt").over(wrun)
+        df = df.withColumn("__sess", F.floor((F.col("__bkt") - run_first) / F.lit(2)))
+        df = df.withColumn("__sb", run_first + F.col("__sess") * 2)  # session start bucket
+        wsess = W.partitionBy(*parts, F.col("__isl"), F.col("__run"), F.col("__sess"))
+        start_us = F.min("__us").over(wsess)
+        # close = min(last event + timeout, the force-close tick)
+        end_us = F.least(
+            F.max("__us").over(wsess) + timeout_us, (F.col("__sb") + 2) * cap_us
+        )
+        df = df.withColumn(
+            "window",
+            F.struct(
+                F.timestamp_micros(start_us).alias("start"),
+                F.timestamp_micros(end_us).alias("end"),
+            ),
+        ).drop("__us", "__bkt", "__sb")
+        ctx.window_col = "window"
+        return df, ["__isl", "__run", "__sess", "window"]
 
     def _state_window(self, df: DataFrame, w: WindowSpec, ctx: TranslateCtx):
         """STATEWINDOW batch emulation (reference: window_v2_op.go:124-247).

@@ -1,0 +1,154 @@
+"""SESSIONWINDOW(unit, length, interval) — reference max-duration
+semantics (internal/topo/node/window_op.go:304-347,
+docs/en_US/sqls/windows.md:62-74): length = max-duration cap, interval =
+timeout.  Sessions extend while consecutive events arrive within the
+timeout (a gap exactly equal to it extends — strict `>` split) and are
+force-closed at the first cap-grid tick T = k*length with
+T - session_start > length.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekuiper_spark import Catalog, compile_sql
+
+
+def _mk(spark, rows):
+    # (key, seconds-offset, value) -> events-like frame, epoch-aligned
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    data = [
+        (k, base + dt.timedelta(seconds=s), float(v), i)
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "user_id string, ts timestamp, value double, event_id long"
+    )
+
+
+@pytest.fixture()
+def cat(spark):
+    c = Catalog()
+    return c
+
+
+def _run(spark, cat, df, sql):
+    cat.register_df("events", df)
+    out = compile_sql(spark, sql, cat)
+    return sorted(
+        (r["user_id"], r["s"], r["e"], r["n"]) for r in out.collect()
+    )
+
+
+SQL = (
+    "SELECT user_id, window_start() AS s, window_end() AS e, count(*) AS n "
+    "FROM events GROUP BY user_id, SESSIONWINDOW(ss, 120, 60)"
+)
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+
+def test_timeout_split_and_exact_gap_extends(spark, cat):
+    # gap of exactly 60s extends (reference: tt.Sub(p) > timeout splits);
+    # gap of 61s splits, closing at p+timeout
+    rows = [("a", 10, 1), ("a", 70, 1), ("a", 131, 1)]
+    got = _run(spark, cat, _mk(spark, rows), SQL)
+    assert got == [
+        ("a", _t(10), _t(130), 2),  # 10,70 (exact-60 gap extends); close 70+60
+        ("a", _t(131), _t(191), 1),
+    ]
+
+
+def test_cap_splits_at_grid_tick(spark, cat):
+    # events every 30s from t=10: session start bucket 0 (cap 120s),
+    # force-close tick = 240; events 10..220 in session 1, 250.. next.
+    rows = [("a", 10 + 30 * i, 1) for i in range(12)]  # 10..340
+    got = _run(spark, cat, _mk(spark, rows), SQL)
+    assert got == [
+        ("a", _t(10), _t(240), 8),   # 10..220, closed at tick 240
+        ("a", _t(250), _t(400), 4),  # 250..340, close = 340+60 (< tick 480)
+    ]
+
+
+def test_event_at_tick_starts_next_session(spark, cat):
+    # documented divergence: an event exactly at the closing tick T joins
+    # the NEXT session here (half-open close); reference includes it
+    rows = [("a", 60 * i, 1) for i in range(5)]  # 0,60,...,240: no timeout gap
+    got = _run(spark, cat, _mk(spark, rows), SQL)
+    assert got == [
+        ("a", _t(0), _t(240), 4),    # 0..180, force-closed at tick 240
+        ("a", _t(240), _t(300), 1),  # the tick-boundary event starts anew
+    ]
+
+
+def test_sessions_are_per_key(spark, cat):
+    rows = [("a", 0, 1), ("b", 30, 1), ("a", 50, 1), ("b", 200, 1)]
+    got = _run(spark, cat, _mk(spark, rows), SQL)
+    assert got == [
+        ("a", _t(0), _t(110), 2),
+        ("b", _t(30), _t(90), 1),
+        ("b", _t(200), _t(260), 1),
+    ]
+
+
+def test_aligned_start_closes_at_two_caps(spark, cat):
+    # session starting exactly on the grid closes at start+2*cap
+    rows = [("a", 0 + 50 * i, 1) for i in range(6)]  # 0,50,...,250
+    got = _run(spark, cat, _mk(spark, rows), SQL)
+    assert got == [
+        ("a", _t(0), _t(240), 5),    # 0..200, tick 240 closes
+        ("a", _t(250), _t(310), 1),
+    ]
+
+
+def test_streaming_capped_session_multi_batch(spark, cat, tmp_path):
+    """Stateful streaming path: the open session carries across
+    micro-batches; a later batch's events close it (by timeout and by
+    cap).  The trailing open session stays in state (the reference
+    closes it by wall-clock timer)."""
+    import os
+    import time
+    import uuid as _uuid
+
+    rows1 = [("a", 10 + 30 * i, 1) for i in range(4)]   # 10..100 (open)
+    rows2 = [("a", 130 + 30 * i, 1) for i in range(4)]  # 130..220 extends; then
+    rows2 += [("a", 250, 1), ("a", 500, 1)]  # 250 closes at tick 240; 500 closes 250 by timeout
+    df1, df2 = _mk(spark, rows1), _mk(spark, rows2)
+    sdir = str(tmp_path / "stream")
+    os.makedirs(sdir)
+    df1.coalesce(1).write.parquet(str(tmp_path / "p1"))
+    df2.coalesce(1).write.parquet(str(tmp_path / "p2"))
+    import glob
+    import shutil
+
+    now = time.time()
+    for i, sub in enumerate(["p1", "p2"]):
+        src = glob.glob(str(tmp_path / sub / "*.parquet"))[0]
+        dst = os.path.join(sdir, f"{sub}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (now - 60 + i * 30, now - 60 + i * 30))
+    sdf = spark.readStream.schema(df1.schema).option("maxFilesPerTrigger", 1).parquet(sdir)
+    cat.register_df("events", sdf)
+    out = compile_sql(
+        spark,
+        "SELECT user_id, count(*) AS n, min(ts) AS s FROM events "
+        "GROUP BY user_id, SESSIONWINDOW(ss, 120, 60)",
+        cat,
+        streaming=True,
+    )
+    name = "t_sess_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted((r["user_id"], r["n"], r["s"]) for r in spark.table(name).collect())
+    # session 1: 10..220 (8 events, cross-batch, closed by tick 240 when
+    # 250 arrives); session 2: {250} closed by timeout when 500 arrives;
+    # session 3: {500} stays open -> not emitted
+    assert got == [("a", 1, _t(250)), ("a", 8, _t(10))]
