@@ -65,6 +65,7 @@ class TranslateCtx:
     event_is_long: bool = False  # epoch-millis long event time (reference native)
     window_bounds_ms: bool = False  # window struct holds ts but user time is ms
     window_parts: list = dc_field(default_factory=list)  # GROUP BY dim col names (pre-window)
+    join_window_col: Optional[str] = None  # stream-stream join bucket col (reused as window)
 
 
 def canon(node: Node) -> str:
@@ -127,7 +128,8 @@ class Translator:
             df.schema[ec].dataType, T.LongType
         )
 
-        if self.streaming and self.watermark and ec:
+        if self.streaming and self.watermark and ec and not ctx.join_window_col:
+            # (stream-stream joins watermark each side before the join)
             df = df.withWatermark(ec, self.watermark)
 
         # analytic-function hoisting: the reference computes analytic calls
@@ -362,6 +364,13 @@ class Translator:
         ctx.source_aliases.add(left_alias.lower())
         for j in stmt.joins:
             r_alias = j.alias or j.source
+            if self.streaming and self._is_stream_source(j.source):
+                # stream-stream join: the reference only allows it within a
+                # window (planner.go:734-735 "a time window or count window
+                # is required to join multiple streams"); Spark analog is a
+                # watermarked equi-join on the window bucket
+                df = self._stream_stream_join(df, stmt, j, ctx, left_alias)
+                continue
             rdf = self.catalog.load(self.spark, j.source, streaming=False).alias(r_alias)
             ctx.source_aliases.add(r_alias.lower())
             rdef = self.catalog.get(j.source)
@@ -375,6 +384,70 @@ class Translator:
             else:
                 df = df.join(rdf, on=self._expr(j.on, ctx), how=j.kind)
         return df
+
+    def _is_stream_source(self, name: str) -> bool:
+        """True when the join side is an unbounded stream (registered
+        streaming DataFrame, or a CREATE STREAM def) rather than a
+        scan/lookup table or injected batch frame."""
+        injected = self.catalog._dfs.get(name.lower())
+        if injected is not None:
+            return injected.isStreaming
+        d = self.catalog.get(name)
+        return d is not None and d.kind == "stream"
+
+    def _stream_stream_join(
+        self, df: DataFrame, stmt: SelectStatement, j, ctx: TranslateCtx, left_alias: str
+    ) -> DataFrame:
+        """Two-stream windowed join (reference join_operator.go:27-398;
+        window-gated per planner.go:734-735): both streams are bucketed
+        into the statement's TUMBLINGWINDOW and joined on bucket equality
+        plus the ON condition — Spark's canonical watermarked
+        stream-stream equi-join, so state is evicted once the watermark
+        passes a bucket.  The bucket struct is kept as ``__ssw`` and
+        reused as the GROUP BY window key (it IS the statement's window).
+
+        Unwindowed stream-stream joins raise, mirroring the reference's
+        planner error.  Scale: the shuffle keys are (bucket, ON-equi
+        columns); per-bucket state is bounded by the watermark delay.
+        """
+        group = stmt.group
+        window = group.window if group else None
+        if window is None or window.kind != "tumbling":
+            raise NotImplementedError(
+                "a time window is required to join multiple streams "
+                "(reference planner.go:734-735); streaming stream-stream "
+                "joins support TUMBLINGWINDOW — register the right side "
+                "as a scan/lookup TABLE for a stream-static join"
+            )
+        if j.kind not in ("inner", "left"):
+            raise NotImplementedError(
+                f"streaming stream-stream {j.kind} join is unsupported"
+            )
+        r_alias = j.alias or j.source
+        rdf = self.catalog.load(self.spark, j.source, streaming=True).alias(r_alias)
+        ctx.source_aliases.add(r_alias.lower())
+        sdef = self.catalog.get(stmt.source)
+        lec = self.event_col or (sdef.timestamp_col if sdef else None) or (
+            "ts" if "ts" in df.columns else None
+        )
+        rdef = self.catalog.get(j.source)
+        rec = (rdef.timestamp_col if rdef else None) or (
+            "ts" if "ts" in rdf.columns else None
+        )
+        if lec is None or rec is None:
+            raise ValueError("stream-stream join requires event-time columns")
+        dur = self._dur(window, 0)
+        wm = self.watermark or "0 seconds"
+        ldf = df.withWatermark(lec, wm).withColumn(
+            "__ssw", F.window(F.col(f"{left_alias}.{lec}"), dur)
+        )
+        rdf = rdf.withWatermark(rec, wm).withColumn(
+            "__ssw_r", F.window(F.col(f"{r_alias}.{rec}"), dur)
+        )
+        cond = (F.col("__ssw") == F.col("__ssw_r")) & self._expr(j.on, ctx)
+        out = ldf.join(rdf, on=cond, how=j.kind).drop("__ssw_r")
+        ctx.join_window_col = "__ssw"
+        return out
 
     # ------------------------------------------------------------------ #
     # grouped path
@@ -694,6 +767,12 @@ class Translator:
         else:
             ecol = F.col(ec) if ec else None
         if w.kind == "tumbling":
+            if ctx.join_window_col:
+                # stream-stream join already bucketed both sides into this
+                # window; reuse the join bucket as the group key
+                df = df.withColumnRenamed(ctx.join_window_col, "window")
+                ctx.window_col = "window"
+                return df, ["window"]
             dur = self._dur(w, 0)
             df = df.withColumn("window", F.window(ecol, dur))
             ctx.window_col = "window"

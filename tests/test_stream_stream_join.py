@@ -1,0 +1,94 @@
+"""Two-stream windowed joins (reference join_operator.go:27-398,
+window-gated per planner.go:734-735).
+
+Streaming compiles a watermarked stream-stream equi-join on the
+TUMBLINGWINDOW bucket; an unwindowed stream-stream join raises the
+reference's planner error instead of silently freezing the right side.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid as _uuid
+
+import pytest
+
+from ekuiper_spark import Catalog, compile_sql
+from ekuiper_spark.catalog import StreamDef
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture()
+def two_streams(spark, tmp_path):
+    # u99/u98 sentinels never join; they advance each side's watermark past
+    # the second window's end so append-mode aggregation can finalize it
+    left = spark.createDataFrame(
+        [(1, _t(5), 10.0), (1, _t(65), 20.0), (2, _t(10), 30.0), (3, _t(70), 40.0),
+         (99, _t(200), 0.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(20), "a"), (1, _t(100), "b"), (2, _t(50), "c"), (2, _t(130), "d"),
+         (98, _t(200), "z")],
+        "user_id long, rts timestamp, tag string",
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left.coalesce(1).write.parquet(lp)
+    right.coalesce(1).write.parquet(rp)
+    cat = Catalog()
+    cat.register(StreamDef(name="s1", format="parquet", path=lp, kind="stream"))
+    cat.register(
+        StreamDef(name="s2", format="parquet", path=rp, kind="stream", timestamp_col="rts")
+    )
+    return cat
+
+
+def test_unwindowed_stream_stream_join_raises(spark, two_streams):
+    with pytest.raises(NotImplementedError, match="time window is required"):
+        compile_sql(
+            spark,
+            "SELECT s1.user_id FROM s1 INNER JOIN s2 ON s1.user_id = s2.user_id",
+            two_streams,
+            streaming=True,
+        )
+
+
+def test_windowed_stream_stream_join(spark, two_streams):
+    # 60s buckets: (u1,t5)x(u1,t20) in bucket 0; (u1,t65)x(u1,t100) in
+    # bucket 1; (u2,t10)x(u2,t50) in bucket 0; u2 t130 and u3 t70 no match
+    out = compile_sql(
+        spark,
+        "SELECT s1.user_id AS uid, s1.value AS v, s2.tag AS tag FROM s1 "
+        "INNER JOIN s2 ON s1.user_id = s2.user_id GROUP BY TUMBLINGWINDOW(ss, 60)",
+        two_streams,
+        streaming=True,
+    )
+    name = "t_ssj_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted((r["uid"], r["v"], r["tag"]) for r in spark.table(name).collect())
+    assert got == [(1, 10.0, "a"), (1, 20.0, "b"), (2, 30.0, "c")]
+
+
+def test_windowed_stream_stream_join_with_agg(spark, two_streams):
+    out = compile_sql(
+        spark,
+        "SELECT window_start() AS ws, count(*) AS n FROM s1 "
+        "INNER JOIN s2 ON s1.user_id = s2.user_id GROUP BY TUMBLINGWINDOW(ss, 60)",
+        two_streams,
+        streaming=True,
+    )
+    name = "t_ssja_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted((r["ws"], r["n"]) for r in spark.table(name).collect())
+    assert got == [(_t(0), 2), (_t(60), 1)]
