@@ -341,6 +341,8 @@ def _meta(c, r):
     return F.col(f"_metadata.{key}")
 
 
+# event_time() is a translator special form (it rebinds to the window end
+# after aggregation); registered here only so registry listings include it
 reg("event_time")(lambda c, r: F.col("ts"))
 
 

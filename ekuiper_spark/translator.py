@@ -1463,6 +1463,17 @@ class Translator:
                 return col
             raise ValueError(f"{name}() outside a time window")
 
+        if name == "event_time":
+            # the tuple's event timestamp (funcs_datetime.go); after a
+            # window aggregation the emission's event time is the window
+            # end (ctx.event_col is rebound there)
+            if ctx.event_col is None:
+                raise ValueError("event_time() needs an event-time column")
+            col = F.col(ctx.event_col)
+            if ctx.post_agg and ctx.window_bounds_ms and ctx.window_col:
+                col = F.unix_millis(col)
+            return col
+
         if name == "mqtt":
             # mqtt(topic|messageid) metadata (funcs_misc.go:451-474); the
             # file-source analog of topic is the source file path, and

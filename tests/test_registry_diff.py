@@ -1,0 +1,270 @@
+"""Registry-diff gate: every builtin the reference registers must parse
+and compile here.
+
+The name list is pinned from the reference's registry — every
+``builtins["<name>"]`` assignment under internal/binder/function/
+(function.go binder + funcs_*.go, 190 names).  If a name silently drops
+out of the engine's registries (functions/scalar.py, aggregates.py,
+translator special forms), this test fails naming it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ekuiper_spark import compile_sql
+
+# pinned from: grep -hoE 'builtins\["[a-z_0-9]+"\]' internal/binder/function/*.go
+REFERENCE_BUILTINS = """
+abs acc_avg acc_count acc_max acc_min acc_sum acos array_cardinality
+array_concat array_contains array_contains_any array_create array_distinct
+array_except array_flatten array_intersect array_join array_last_position
+array_map array_max array_min array_position array_remove array_shuffle
+array_sort array_union asin atan atan2 avg bitand bitnot bitor bitxor
+bypass cardinality cast ceil ceiling changed_col changed_cols chr coalesce
+collect concat conv convert_tz cos cosh cot count crc32 cur_date cur_time
+current_date current_time current_timestamp date_calc date_diff day
+day_name day_of_month day_of_week day_of_year dec2hex decode deduplicate
+degrees delay element_at encode endswith erase event_time exp extract
+floor format format_time from_days from_unix_time get_keyed_state
+had_changed hex2dec hour inc_avg inc_collect inc_count inc_last_value
+inc_max inc_merge_agg inc_min inc_sum indexof isnull items
+json_path_exists json_path_query json_path_query_first keys
+kvpair_array_to_obj lag last_agg_hit_count last_agg_hit_time last_day
+last_hit_count last_hit_time last_value latest length ln local_time
+local_timestamp log lower lpad ltrim max md5 median merge_agg meta
+microsecond min minute mod month month_name mqtt newuuid now numbytes
+obj_to_kvpair_array object object_concat object_construct object_pick
+object_size parse_json percentile_cont percentile_disc pi pow power props
+radians rand regexp_matches regexp_replace regexp_substr repeat reverse
+round row_number rpad rtrim rule_id rule_start second sequence sha1
+sha256 sha384 sha512 sign sin sinh split_value sqrt startswith stddev
+stddevs substring sum tan tanh to_json to_seconds trim trunc tstamp
+unnest upper values var vars window_end window_start window_trigger zip
+""".split()
+
+assert len(REFERENCE_BUILTINS) == 190
+
+# expression override per name; default is <name>(value)
+_N = "value"          # double column
+_S = "event_type"     # string column
+_TS = "ts"            # timestamp column
+_ARR = "array_create(1, 2, 2)"
+_OBJ = "object_construct('a', 1, 'b', 2)"
+
+EXPR = {
+    # zero-arg / context
+    "cur_date": "cur_date()", "cur_time": "cur_time()",
+    "current_date": "current_date()", "current_time": "current_time()",
+    "current_timestamp": "current_timestamp()", "now": "now()",
+    "local_time": "local_time()", "local_timestamp": "local_timestamp()",
+    "pi": "pi()", "rand": "rand()", "newuuid": "newuuid()",
+    "rule_id": "rule_id()", "rule_start": "rule_start()",
+    "event_time": "event_time()", "tstamp": "tstamp()",
+    "meta": "meta(topic)", "mqtt": "mqtt(topic)", "props": "props('k')",
+    # two+ numeric args
+    "atan2": f"atan2({_N}, 1)", "pow": f"pow({_N}, 2)",
+    "power": f"power({_N}, 2)", "mod": f"mod({_N}, 3)",
+    "bitand": "bitand(user_id, 3)", "bitor": "bitor(user_id, 3)",
+    "bitxor": "bitxor(user_id, 3)", "bitnot": "bitnot(user_id)",
+    "conv": "conv('ff', 16, 10)", "log": f"log({_N})",
+    "trunc": f"trunc({_N}, 1)", "round": f"round({_N}, 2)",
+    # string
+    "chr": "chr(65)", "concat": f"concat({_S}, 'x')",
+    "endswith": f"endswith({_S}, 'r')", "startswith": f"startswith({_S}, 'e')",
+    "format": f"format({_N}, 2)", "indexof": f"indexof({_S}, 'r')",
+    "length": f"length({_S})", "lower": f"lower({_S})", "upper": f"upper({_S})",
+    "lpad": f"lpad({_S}, 2)", "rpad": f"rpad({_S}, 2)",
+    "ltrim": f"ltrim({_S})", "rtrim": f"rtrim({_S})", "trim": f"trim({_S})",
+    "numbytes": f"numbytes({_S})", "repeat": f"repeat({_S}, 2)",
+    "reverse": f"reverse({_S})",
+    "regexp_matches": f"regexp_matches({_S}, 'e.*')",
+    "regexp_replace": f"regexp_replace({_S}, 'e', 'E')",
+    "regexp_substr": f"regexp_substr({_S}, 'e.*')",
+    "split_value": f"split_value({_S}, 'r', 0)",
+    "substring": f"substring({_S}, 1, 3)",
+    "md5": f"md5({_S})", "sha1": f"sha1({_S})", "sha256": f"sha256({_S})",
+    "sha384": f"sha384({_S})", "sha512": f"sha512({_S})", "crc32": f"crc32({_S})",
+    "dec2hex": "dec2hex(255)", "hex2dec": "hex2dec('ff')",
+    "encode": f"encode({_S}, 'base64')", "decode": f"decode(encode({_S}, 'base64'), 'base64')",
+    # datetime
+    "convert_tz": f"convert_tz({_TS}, 'UTC')",
+    "date_calc": f"date_calc({_TS}, '1h')", "date_diff": f"date_diff({_TS}, {_TS})",
+    "day": f"day({_TS})", "day_name": f"day_name({_TS})",
+    "day_of_month": f"day_of_month({_TS})", "day_of_week": f"day_of_week({_TS})",
+    "day_of_year": f"day_of_year({_TS})", "format_time": f"format_time({_TS}, 'YYYY')",
+    "from_days": "from_days(100)", "from_unix_time": "from_unix_time(1700000000)",
+    "hour": f"hour({_TS})", "last_day": f"last_day({_TS})",
+    "microsecond": f"microsecond({_TS})", "minute": f"minute({_TS})",
+    "month": f"month({_TS})", "month_name": f"month_name({_TS})",
+    "second": f"second({_TS})", "to_seconds": f"to_seconds({_TS})",
+    # array
+    "array_cardinality": f"array_cardinality({_ARR})",
+    "array_concat": f"array_concat({_ARR}, {_ARR})",
+    "array_contains": f"array_contains({_ARR}, 1)",
+    "array_contains_any": f"array_contains_any({_ARR}, {_ARR})",
+    "array_create": _ARR, "array_distinct": f"array_distinct({_ARR})",
+    "array_except": f"array_except({_ARR}, {_ARR})",
+    "array_flatten": f"array_flatten(array_create({_ARR}, {_ARR}))",
+    "array_intersect": f"array_intersect({_ARR}, {_ARR})",
+    "array_join": f"array_join({_ARR}, ',')",
+    "array_last_position": f"array_last_position({_ARR}, 2)",
+    "array_map": f"array_map('abs', {_ARR})",
+    "array_max": f"array_max({_ARR})", "array_min": f"array_min({_ARR})",
+    "array_position": f"array_position({_ARR}, 2)",
+    "array_remove": f"array_remove({_ARR}, 2)",
+    "array_shuffle": f"array_shuffle({_ARR})",
+    "array_sort": f"array_sort({_ARR})",
+    "array_union": f"array_union({_ARR}, {_ARR})",
+    "cardinality": f"cardinality({_ARR})",
+    "element_at": f"element_at({_ARR}, 0)",
+    "sequence": "sequence(1, 5)", "zip": f"zip({_ARR}, {_ARR})",
+    # object / json
+    "erase": f"erase({_OBJ}, 'a')", "items": f"items({_OBJ})",
+    "keys": f"keys({_OBJ})", "values": f"values({_OBJ})",
+    "kvpair_array_to_obj": f"kvpair_array_to_obj(obj_to_kvpair_array({_OBJ}))",
+    "obj_to_kvpair_array": f"obj_to_kvpair_array({_OBJ})",
+    "object": "object(array_create('a'), array_create(1))",
+    "object_concat": f"object_concat({_OBJ}, {_OBJ})",
+    "object_construct": _OBJ, "object_pick": f"object_pick({_OBJ}, 'a')",
+    "object_size": f"object_size({_OBJ})",
+    "json_path_exists": "json_path_exists(props, '$.k')",
+    "json_path_query": "json_path_query(props, '$.k')",
+    "json_path_query_first": "json_path_query_first(props, '$.k')",
+    "parse_json": "parse_json('{\"a\": 1}')", "to_json": f"to_json({_ARR})",
+    # misc
+    "cast": f"cast({_N}, 'string')", "coalesce": f"coalesce({_S}, 'x')",
+    "isnull": f"isnull({_N})", "bypass": f"bypass({_N})",
+    "delay": f"delay(1, {_N})",
+    "get_keyed_state": "get_keyed_state('k', 'float', 0.0)",
+}
+
+SCALARS = [
+    n for n in REFERENCE_BUILTINS
+    if n not in {
+        # aggregates
+        "avg", "count", "max", "min", "sum", "collect", "deduplicate",
+        "median", "merge_agg", "percentile_cont", "percentile_disc",
+        "stddev", "stddevs", "var", "vars", "last_value",
+        # incremental aggregates
+        "inc_avg", "inc_collect", "inc_count", "inc_last_value", "inc_max",
+        "inc_merge_agg", "inc_min", "inc_sum",
+        # analytic / accumulator
+        "acc_avg", "acc_count", "acc_max", "acc_min", "acc_sum",
+        "lag", "latest", "changed_col", "changed_cols", "had_changed",
+        # window context / SRF / ranking / trigger-state
+        "window_start", "window_end", "window_trigger", "event_time",
+        "row_number", "unnest", "extract",
+        "last_hit_count", "last_hit_time", "last_agg_hit_count",
+        "last_agg_hit_time",
+        # metadata (need source metadata column)
+        "meta", "mqtt",
+    }
+]
+
+
+def test_pinned_list_is_the_reference_registry():
+    assert len(set(REFERENCE_BUILTINS)) == 190
+
+
+def test_all_scalars_compile_and_run(spark, catalog):
+    # one SELECT per ~25 names keeps plan size sane; running (limit 1)
+    # catches codegen-invalid expressions, not just name resolution
+    chunk = 25
+    for i in range(0, len(SCALARS), chunk):
+        names = SCALARS[i : i + chunk]
+        sel = ", ".join(
+            f"{EXPR.get(n, f'{n}({_N})')} AS f{j}" for j, n in enumerate(names)
+        )
+        df = compile_sql(spark, f"SELECT {sel} FROM events", catalog)
+        df.limit(1).collect()
+
+
+def test_all_aggregates_compile_and_run(spark, catalog):
+    aggs = (
+        "avg(value) AS a1, count(*) AS a2, max(value) AS a3, min(value) AS a4, "
+        "sum(value) AS a5, collect(value) AS a6, deduplicate(value, true) AS a7, "
+        "median(value) AS a8, merge_agg(object_construct('a', value)) AS a9, "
+        "percentile_cont(value, 0.5) AS a10, percentile_disc(value, 0.5) AS a11, "
+        "stddev(value) AS a12, stddevs(value) AS a13, var(value) AS a14, "
+        "vars(value) AS a15, last_value(value, true) AS a16"
+    )
+    compile_sql(spark, f"SELECT {aggs} FROM events GROUP BY user_id", catalog).limit(1).collect()
+
+
+def test_all_inc_aggregates_compile(spark, catalog):
+    aggs = (
+        "inc_avg(value) AS i1, inc_count(*) AS i2, inc_max(value) AS i3, "
+        "inc_min(value) AS i4, inc_sum(value) AS i5, inc_collect(value) AS i6, "
+        "inc_last_value(value, true) AS i7, "
+        "inc_merge_agg(object_construct('a', value)) AS i8"
+    )
+    compile_sql(spark, f"SELECT {aggs} FROM events GROUP BY user_id", catalog).limit(1).collect()
+
+
+def test_all_analytics_compile_and_run(spark, catalog):
+    sel = (
+        "acc_avg(value) AS c1, acc_count(value) AS c2, acc_max(value) AS c3, "
+        "acc_min(value) AS c4, acc_sum(value) AS c5, lag(value) AS c6, "
+        "latest(value) AS c7, changed_col(true, value) AS c8, "
+        "changed_cols('p_', true, value) AS c9, had_changed(true, value) AS c10"
+    )
+    compile_sql(spark, f"SELECT {sel} FROM events", catalog).limit(1).collect()
+
+
+def test_window_context_builtins_compile_and_run(spark, catalog):
+    df = compile_sql(
+        spark,
+        "SELECT window_start() AS ws, window_end() AS we, "
+        "window_trigger() AS wt, count(*) AS n "
+        "FROM events GROUP BY TUMBLINGWINDOW(hh, 1)",
+        catalog,
+    )
+    df.limit(1).collect()
+    df = compile_sql(
+        spark,
+        "SELECT event_id, row_number() AS rn FROM events "
+        "GROUP BY COUNTWINDOW(100)",
+        catalog,
+    )
+    df.limit(1).collect()
+    df = compile_sql(
+        spark, "SELECT event_time() AS et, count(*) AS n "
+        "FROM events GROUP BY TUMBLINGWINDOW(hh, 1)", catalog,
+    )
+    df.limit(1).collect()
+
+
+def test_srf_builtins_compile_and_run(spark, catalog):
+    compile_sql(
+        spark, "SELECT unnest(array_create(1, 2)) AS u FROM events", catalog
+    ).limit(1).collect()
+    compile_sql(
+        spark,
+        "SELECT extract(json_path_query(props, '$')) FROM events",
+        catalog,
+    ).limit(1).collect()
+
+
+def test_trigger_state_builtins_compile(spark, catalog):
+    # count variants gate in WHERE/HAVING; time variants project the prior
+    # emission's event time (SELECT context, funcs_global_state.go)
+    compile_sql(
+        spark,
+        "SELECT event_id, last_hit_time() AS lht FROM events "
+        "WHERE value > 199 AND last_hit_count() < 5",
+        catalog,
+    ).limit(1).collect()
+    compile_sql(
+        spark,
+        "SELECT window_start() AS ws, count(*) AS n, "
+        "last_agg_hit_time() AS laht FROM events "
+        "GROUP BY TUMBLINGWINDOW(hh, 6) HAVING last_agg_hit_count() >= 2",
+        catalog,
+    ).limit(1).collect()
+
+
+def test_meta_builtins_compile(spark, catalog):
+    compile_sql(
+        spark, "SELECT event_id, meta(file) AS m FROM events", catalog
+    ).limit(1).collect()
