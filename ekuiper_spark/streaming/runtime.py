@@ -44,6 +44,7 @@ class RuleRuntime:
         self.catalog = catalog
         self.rules: dict[str, Rule] = {}
         self.queries: dict[str, Any] = {}
+        self.schedulers: dict[str, Any] = {}
 
     def create_rule(self, rule: Rule) -> None:
         if rule.id in self.rules:
@@ -51,6 +52,43 @@ class RuleRuntime:
         self.rules[rule.id] = rule
 
     def start_rule(self, rule_id: str, available_now: bool = False) -> Any:
+        """Start a rule.  With a ``cron`` option (rule.go:40-48) the rule
+        becomes *scheduled*: a daemon thread fires a duration-bounded run
+        per cron match (gated by ``cronDatetimeRange``); ``duration``
+        without cron bounds this single run."""
+        from ekuiper_spark.functions.scalar import parse_go_duration
+
+        rule = self.rules[rule_id]
+        opts = rule.options
+        cron_expr = opts.get("cron")
+        duration = opts.get("duration")
+        if cron_expr:
+            from ekuiper_spark.streaming.scheduler import RuleScheduler
+
+            if not duration:
+                raise ValueError("cron rules require a duration option")
+            if rule_id in self.schedulers and not self.schedulers[rule_id].stopped:
+                raise ValueError(f"rule {rule_id} already scheduled")
+            sched = RuleScheduler(
+                cron_expr,
+                parse_go_duration(duration),
+                start_fn=lambda: self._start_query(rule_id, available_now=False),
+                stop_fn=lambda q: q.stop(),
+                ranges=opts.get("cronDatetimeRange"),
+            )
+            self.schedulers[rule_id] = sched
+            sched.start()
+            return sched
+        q = self._start_query(rule_id, available_now)
+        if duration:
+            import threading
+
+            timer = threading.Timer(parse_go_duration(duration), q.stop)
+            timer.daemon = True
+            timer.start()
+        return q
+
+    def _start_query(self, rule_id: str, available_now: bool = False) -> Any:
         import time
 
         rule = self.rules[rule_id]
@@ -114,11 +152,24 @@ class RuleRuntime:
         return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
 
     def stop_rule(self, rule_id: str) -> None:
+        sched = self.schedulers.pop(rule_id, None)
+        if sched is not None:
+            sched.stop()
         q = self.queries.pop(rule_id, None)
         if q is not None:
             q.stop()
 
     def status(self, rule_id: str) -> dict[str, Any]:
+        sched = self.schedulers.get(rule_id)
+        if sched is not None and not sched.stopped:
+            # reference scheduled-rule states (topo/rule/state.go): the
+            # rule alternates running (in a bounded run) / scheduled
+            running = sched.active_query is not None
+            return {
+                "state": "running" if running else "scheduled",
+                "runs": sched.runs,
+                "cron": sched.cron_expr,
+            }
         q = self.queries.get(rule_id)
         if q is None:
             return {"state": "stopped"}

@@ -1,0 +1,151 @@
+"""Cron-scheduled / duration-bounded rule runs.
+
+Reference: internal/pkg/def/rule.go:40-48 (``cron``, ``duration``,
+``cronDatetimeRange`` rule options) and internal/topo/rule/state.go's
+scheduled start/stop transitions — a cron rule starts at each cron firing,
+runs for ``duration``, then stops; ``cronDatetimeRange`` gates firings to
+allowed wall-clock windows; ``duration`` without cron bounds a single run.
+
+The cron dialect matches the reference's robfig/cron: standard 5-field
+(minute hour dom month dow), plus an optional leading seconds field
+(6-field, robfig's WithSeconds) which also makes sub-minute schedules
+testable.  No external cron library — the matcher is ~30 lines.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from datetime import datetime
+from typing import Any, Callable, Optional
+
+_RANGE_LAYOUT = "%Y-%m-%d %H:%M:%S"  # reference schedule layout 2006-01-02 15:04:05
+
+
+def _field_matches(field: str, value: int, lo: int, hi: int) -> bool:
+    for part in field.split(","):
+        step = 1
+        body = part
+        if "/" in part:
+            body, s = part.split("/", 1)
+            step = int(s)
+        if body in ("*", ""):
+            start, end = lo, hi
+        elif "-" in body:
+            a, b = body.split("-", 1)
+            start, end = int(a), int(b)
+        else:
+            start = end = int(body)
+        if start <= value <= end and (value - start) % step == 0:
+            return True
+    return False
+
+
+def cron_matches(expr: str, dt: datetime) -> bool:
+    """True when ``dt`` matches the cron expression (5- or 6-field)."""
+    fields = expr.split()
+    if len(fields) == 6:
+        sec, minute, hour, dom, mon, dow = fields
+    elif len(fields) == 5:
+        sec = None
+        minute, hour, dom, mon, dow = fields
+    else:
+        raise ValueError(f"bad cron expression {expr!r}")
+    ok = (
+        _field_matches(minute, dt.minute, 0, 59)
+        and _field_matches(hour, dt.hour, 0, 23)
+        and _field_matches(dom, dt.day, 1, 31)
+        and _field_matches(mon, dt.month, 1, 12)
+        # cron dow: 0=Sunday; datetime.weekday(): 0=Monday
+        and _field_matches(dow, (dt.weekday() + 1) % 7, 0, 6)
+    )
+    if ok and sec is not None:
+        ok = _field_matches(sec, dt.second, 0, 59)
+    return ok
+
+
+def in_datetime_ranges(ranges: list[dict[str, str]], dt: datetime) -> bool:
+    """cronDatetimeRange gate: empty list = always allowed."""
+    if not ranges:
+        return True
+    for r in ranges:
+        begin = datetime.strptime(r["begin"], _RANGE_LAYOUT)
+        end = datetime.strptime(r["end"], _RANGE_LAYOUT)
+        if begin <= dt <= end:
+            return True
+    return False
+
+
+class RuleScheduler(threading.Thread):
+    """Fires duration-bounded runs of one rule on its cron schedule.
+
+    Each firing calls ``start_fn()`` (returns a StreamingQuery), waits out
+    ``duration_s`` (or until externally stopped), then calls ``stop_fn``.
+    One firing per matching tick — seconds resolution for 6-field
+    expressions, minutes otherwise.
+    """
+
+    def __init__(
+        self,
+        cron_expr: str,
+        duration_s: float,
+        start_fn: Callable[[], Any],
+        stop_fn: Callable[[Any], None],
+        ranges: Optional[list[dict[str, str]]] = None,
+    ) -> None:
+        super().__init__(daemon=True)
+        cron_matches(cron_expr, datetime.now())  # validate eagerly
+        self.cron_expr = cron_expr
+        self.duration_s = duration_s
+        self.start_fn = start_fn
+        self.stop_fn = stop_fn
+        self.ranges = ranges or []
+        self.runs = 0
+        self.active_query: Any = None
+        self._stop_evt = threading.Event()
+        self._tick_s = 1.0 if len(cron_expr.split()) == 6 else 60.0
+
+    @property
+    def stopped(self) -> bool:
+        return self._stop_evt.is_set()
+
+    def stop(self) -> None:
+        self._stop_evt.set()
+        q = self.active_query
+        if q is not None:
+            try:
+                self.stop_fn(q)
+            except Exception:
+                pass
+
+    def run(self) -> None:  # pragma: no branch
+        last_fired: Optional[int] = None
+        while not self._stop_evt.is_set():
+            now = datetime.now()
+            tick = int(now.timestamp() // self._tick_s)
+            if (
+                tick != last_fired
+                and cron_matches(self.cron_expr, now)
+                and in_datetime_ranges(self.ranges, now)
+            ):
+                last_fired = tick
+                self._one_run()
+            else:
+                self._stop_evt.wait(0.1 if self._tick_s == 1.0 else 1.0)
+
+    def _one_run(self) -> None:
+        q = self.start_fn()
+        self.active_query = q
+        self.runs += 1
+        deadline = time.monotonic() + self.duration_s
+        try:
+            while time.monotonic() < deadline and not self._stop_evt.is_set():
+                if not q.isActive:
+                    break
+                time.sleep(0.05)
+        finally:
+            self.active_query = None
+            try:
+                self.stop_fn(q)
+            except Exception:
+                pass

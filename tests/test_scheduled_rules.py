@@ -1,0 +1,127 @@
+"""Cron-scheduled / duration-bounded rules (internal/pkg/def/rule.go:40-48,
+internal/topo/rule/state.go scheduled transitions)."""
+
+from __future__ import annotations
+
+import time
+import uuid as _uuid
+from datetime import datetime
+
+import pytest
+
+from ekuiper_spark import compile_sql
+from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
+from ekuiper_spark.streaming.scheduler import cron_matches, in_datetime_ranges
+
+
+def test_cron_matcher():
+    dt = datetime(2024, 3, 5, 14, 30, 45)  # a Tuesday
+    assert cron_matches("30 14 5 3 *", dt)
+    assert cron_matches("*/15 * * * *", dt)
+    assert cron_matches("0-40 14 * * 2", dt)  # dow 2 = Tuesday
+    assert not cron_matches("31 14 5 3 *", dt)
+    assert not cron_matches("30 14 5 3 0", dt)  # Sunday
+    # 6-field (robfig WithSeconds): leading seconds
+    assert cron_matches("45 30 14 * * *", dt)
+    assert cron_matches("*/5 * * * * *", dt)
+    assert not cron_matches("44 30 14 * * *", dt)
+    with pytest.raises(ValueError):
+        cron_matches("* * *", dt)
+
+
+def test_datetime_ranges():
+    dt = datetime(2024, 3, 5, 14, 30, 45)
+    assert in_datetime_ranges([], dt)
+    assert in_datetime_ranges(
+        [{"begin": "2024-03-05 00:00:00", "end": "2024-03-05 23:59:59"}], dt
+    )
+    assert not in_datetime_ranges(
+        [{"begin": "2024-03-06 00:00:00", "end": "2024-03-07 00:00:00"}], dt
+    )
+
+
+def test_duration_bounded_rule_stops_itself(spark, catalog):
+    rt = RuleRuntime(spark, catalog)
+    rt.create_rule(
+        Rule(
+            id="dur1",
+            sql="SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+            actions=[{"memory": {"table": "t_dur_" + _uuid.uuid4().hex[:6]}}],
+            options={"duration": "2s"},
+        )
+    )
+    q = rt.start_rule("dur1")
+    assert q.isActive
+    deadline = time.time() + 15
+    while time.time() < deadline and q.isActive:
+        time.sleep(0.25)
+    assert not q.isActive
+    rt.stop_rule("dur1")
+
+
+def test_cron_rule_requires_duration(spark, catalog):
+    rt = RuleRuntime(spark, catalog)
+    rt.create_rule(
+        Rule(id="cr0", sql="SELECT event_id FROM events",
+             options={"cron": "* * * * *"})
+    )
+    with pytest.raises(ValueError, match="duration"):
+        rt.start_rule("cr0")
+
+
+def test_cron_rule_fires_bounded_runs(spark, catalog):
+    """A cron rule fires >= 2 duration-bounded runs whose emissions match
+    a plain run of the same SQL (the round's 'done' gate)."""
+    table = "t_cron_" + _uuid.uuid4().hex[:6]
+    rt = RuleRuntime(spark, catalog)
+    rt.create_rule(
+        Rule(
+            id="cr1",
+            sql="SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+            actions=[{"memory": {"table": table}}],
+            options={"cron": "*/5 * * * * *", "duration": "4s"},
+        )
+    )
+    sched = rt.start_rule("cr1")
+    assert rt.status("cr1")["state"] in ("scheduled", "running")
+    deadline = time.time() + 45
+    while time.time() < deadline and sched.runs < 2:
+        time.sleep(0.25)
+    # let the second run finish its bounded window before comparing
+    while time.time() < deadline and sched.active_query is not None:
+        time.sleep(0.25)
+    rt.stop_rule("cr1")
+    assert sched.runs >= 2
+    assert rt.status("cr1")["state"] == "stopped"
+    got = sorted(
+        (r["user_id"], r["n"]) for r in spark.table(table).collect()
+    )
+    plain = compile_sql(
+        spark, "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+        rt.catalog,
+    )
+    expected = sorted((r["user_id"], r["n"]) for r in plain.collect())
+    assert got == expected
+
+
+def test_cron_rule_outside_datetime_range_never_fires(spark, catalog):
+    rt = RuleRuntime(spark, catalog)
+    rt.create_rule(
+        Rule(
+            id="cr2",
+            sql="SELECT event_id FROM events",
+            actions=[{"memory": {"table": "t_never_" + _uuid.uuid4().hex[:6]}}],
+            options={
+                "cron": "* * * * * *",
+                "duration": "1s",
+                "cronDatetimeRange": [
+                    {"begin": "2000-01-01 00:00:00", "end": "2000-12-31 00:00:00"}
+                ],
+            },
+        )
+    )
+    sched = rt.start_rule("cr2")
+    time.sleep(2.5)
+    assert sched.runs == 0
+    assert rt.status("cr2")["state"] == "scheduled"
+    rt.stop_rule("cr2")
