@@ -212,6 +212,7 @@ def window_agg_stream(
     delay_us: int = 0,
     cap_us: Optional[int] = None,
     timeout_us: Optional[int] = None,
+    state_max_rows: int = 1_000_000,
     dims: Sequence[str] = (),
     subgroups: Sequence[str] = (),
     order_cols: Sequence[str] = ("ts",),
@@ -248,6 +249,13 @@ def window_agg_stream(
     rows, then AggregateOp groups the batch): each emitted window yields
     one row per distinct subgroup value, aggregated over that subgroup's
     rows only.
+
+    state_max_rows caps the per-key open-window buffer (scale guard the
+    reference lacks — a STATEWINDOW key whose emit condition never fires
+    would otherwise grow state forever at 100x).  On overflow the OLDEST
+    buffered rows are trimmed (emit-partial semantics: the window still
+    closes on its condition, aggregating the retained tail) and a warning
+    is logged on the executor.
     """
     if kind not in ("count", "state", "sliding", "session"):
         raise ValueError(f"unknown stateful window kind {kind!r}")
@@ -382,6 +390,18 @@ def window_agg_stream(
         return 0, False, {c: _empty_np(_state_elem_type(buf_types[c])) for c in buffered}
 
     def save_state(state: GroupState, emitted: int, is_open: bool, buf: dict) -> None:
+        if buffered and state_max_rows:
+            n_buf = len(next(iter(buf.values())))
+            if n_buf > state_max_rows:
+                import sys
+
+                print(
+                    f"ekuiper_spark: open-window state exceeded "
+                    f"{state_max_rows} rows ({n_buf}); trimming oldest "
+                    f"(emit-partial)",
+                    file=sys.stderr,
+                )
+                buf = {c: buf[c][-state_max_rows:] for c in buffered}
         state.update(
             tuple([int(emitted), bool(is_open)] + [list(buf[c].tolist()) for c in buffered])
         )
@@ -734,6 +754,7 @@ def state_window_stream(
     ts_col: str = "ts",
     id_col: str = "event_id",
     val_col: str = "value",
+    state_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Streaming STATEWINDOW(begin, emit, partition)
     (window_v2_op.go:124-247): per key, a window opens at the first
@@ -754,6 +775,7 @@ def state_window_stream(
             AggSpec("min", ts_col, "w_open"),
             AggSpec("max", ts_col, "w_close"),
         ),
+        state_max_rows=state_max_rows,
     )
     return out.select(
         F.col(partition_col).cast("long").alias("part"),

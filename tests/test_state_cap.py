@@ -1,0 +1,71 @@
+"""STATEWINDOW open-window state cap: a key whose emit condition never
+fires must not grow state without bound (scale guard; the reference
+buffers unboundedly, window_v2_op.go:124-247).  Overflow trims the oldest
+rows (emit-partial), so a later emit closes the window over the retained
+tail."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+import time
+import uuid as _uuid
+
+from pyspark.sql import functions as F
+
+
+def _mk(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), float(v), i, bg, em)
+         for i, (k, s, v, bg, em) in enumerate(rows)],
+        "k long, ts timestamp, value double, event_id long, bg boolean, em boolean",
+    )
+
+
+def test_state_window_open_buffer_is_capped(spark, tmp_path):
+    from ekuiper_spark.streaming.stateful import state_window_stream
+
+    # batch 1: begin fires, emit never does -> 100 open-window rows
+    rows1 = [(1, i, 1.0, i == 0, False) for i in range(100)]
+    # batch 2: the emit row finally closes the window
+    rows2 = [(1, 200, 1.0, False, True)]
+    df1, df2 = _mk(spark, rows1), _mk(spark, rows2)
+    sdir = str(tmp_path / "stream")
+    os.makedirs(sdir)
+    df1.coalesce(1).write.parquet(str(tmp_path / "p1"))
+    df2.coalesce(1).write.parquet(str(tmp_path / "p2"))
+    now = time.time()
+    for i, sub in enumerate(["p1", "p2"]):
+        src = glob.glob(str(tmp_path / sub / "*.parquet"))[0]
+        dst = os.path.join(sdir, f"{sub}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (now - 60 + i * 30, now - 60 + i * 30))
+    sdf = (
+        spark.readStream.schema(df1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    out = state_window_stream(sdf, "bg", "em", "k", state_max_rows=50)
+    name = "t_cap_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).collect()
+    # emitted window = retained 50-row tail + the emit row, NOT all 101
+    assert len(got) == 1
+    assert got[0]["n"] == 51
+    # the retained tail is the NEWEST rows: window opens at second 50
+    assert got[0]["w_open"] == dt.datetime(2024, 1, 1, 0, 0, 50)
+
+
+def test_default_cap_is_one_million_rows():
+    import inspect
+
+    from ekuiper_spark.streaming import stateful
+
+    sig = inspect.signature(stateful.window_agg_stream)
+    assert sig.parameters["state_max_rows"].default == 1_000_000
