@@ -179,14 +179,15 @@ class Catalog:
         if d is None:
             raise KeyError(f"unknown stream/table: {name}")
         src_type = (d.options.get("type") or "").lower()
-        if src_type in ("httppull", "httppush", "mqtt"):
+        if src_type in ("httppull", "httppush", "mqtt", "websocket"):
             # connector sources via the Python Data Source API
-            # (sources/http.py, sources/mqtt.py); DATASOURCE holds the
-            # url/endpoint/topic (mqtt conn.go:233-241)
+            # (sources/http.py, sources/mqtt.py, sources/websocket.py);
+            # DATASOURCE holds the url/endpoint/topic (mqtt conn.go:233-241)
             from ekuiper_spark.sources.http import HttpPullDataSource, HttpPushDataSource
             from ekuiper_spark.sources.mqtt import MqttDataSource
+            from ekuiper_spark.sources.websocket import WebsocketDataSource
 
-            for ds in (HttpPullDataSource, HttpPushDataSource, MqttDataSource):
+            for ds in (HttpPullDataSource, HttpPushDataSource, MqttDataSource, WebsocketDataSource):
                 try:
                     spark.dataSource.register(ds)
                 except Exception:
@@ -203,6 +204,8 @@ class Catalog:
                 opts.setdefault("endpoint", d.path)
             if src_type == "mqtt" and d.path:
                 opts.setdefault("topic", d.path)
+            if src_type == "websocket" and d.path:
+                opts.setdefault("url", d.path)
             return reader.format(src_type).options(**opts).load()
         if streaming:
             import os

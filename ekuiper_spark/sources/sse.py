@@ -1,0 +1,139 @@
+"""SSE (server-sent events) sink (reference internal/io/sse/sink.go):
+rule results stream to HTTP subscribers as ``text/event-stream`` events on
+a configured endpoint path.
+
+Pure stdlib: an in-process broadcast server (``SseBroker``) holds the
+subscriber connections; executors POST each partition's rows to it over
+localhost HTTP (``/publish``), so no driver-side collect is involved —
+the same topology as the reference, where the sink publishes into the
+shared HTTP server's pubsub.  ``sse_subscribe`` is the matching minimal
+client used by tests.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from typing import Any, Iterator, Optional
+
+
+class SseBroker:
+    """HTTP server: GET <endpoint> streams events (text/event-stream);
+    POST /publish?endpoint=... broadcasts one event to its subscribers."""
+
+    def __init__(self, port: int = 0) -> None:
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import parse_qs, urlparse
+
+        broker = self
+        self._subs: dict[str, list["queue.Queue[Optional[str]]"]] = {}
+        self._lock = threading.Lock()
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                q: "queue.Queue[Optional[str]]" = queue.Queue()
+                with broker._lock:
+                    broker._subs.setdefault(self.path, []).append(q)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                try:
+                    while True:
+                        data = q.get()
+                        if data is None:
+                            break
+                        self.wfile.write(f"data: {data}\n\n".encode())
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionError):
+                    pass
+                finally:
+                    with broker._lock:
+                        subs = broker._subs.get(self.path, [])
+                        if q in subs:
+                            subs.remove(q)
+
+            def do_POST(self):
+                u = urlparse(self.path)
+                if u.path != "/publish":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                endpoint = parse_qs(u.query).get("endpoint", ["/"])[0]
+                n = int(self.headers.get("Content-Length") or 0)
+                broker.publish(endpoint, self.rfile.read(n).decode())
+                body = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._srv.server_address[1]
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+
+    def publish(self, endpoint: str, data: str) -> None:
+        with self._lock:
+            subs = list(self._subs.get(endpoint, []))
+        for q in subs:
+            q.put(data)
+
+    def close(self) -> None:
+        with self._lock:
+            for subs in self._subs.values():
+                for q in subs:
+                    q.put(None)
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+def write_sse_sink(df, broker_port: int, endpoint: str = "/stream") -> None:
+    """Publish each row as one SSE event — per partition, from the
+    executors, POSTing to the broker over localhost (sink.go analog)."""
+    if not endpoint.startswith("/"):
+        raise ValueError("sse endpoint should start with /")
+
+    def _send(rows: Iterator) -> None:
+        import urllib.parse
+        import urllib.request
+
+        url = (
+            f"http://127.0.0.1:{broker_port}/publish?"
+            f"endpoint={urllib.parse.quote(endpoint)}"
+        )
+        for row in rows:
+            body = json.dumps(row.asDict(), default=str).encode()
+            urllib.request.urlopen(
+                urllib.request.Request(url, data=body, method="POST"), timeout=10
+            ).read()
+
+    df.foreachPartition(_send)
+
+
+def sse_subscribe(
+    port: int, endpoint: str = "/stream", timeout: float = 10.0
+) -> "queue.Queue[str]":
+    """Subscribe to an SSE endpoint; decoded `data:` payloads arrive on
+    the returned queue (minimal event-stream parser, the test client)."""
+    import urllib.request
+
+    out: "queue.Queue[str]" = queue.Queue()
+
+    def _pump() -> None:
+        try:
+            resp = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{endpoint}", timeout=timeout
+            )
+            for raw in resp:
+                line = raw.decode().rstrip("\n")
+                if line.startswith("data: "):
+                    out.put(line[len("data: "):])
+        except Exception:
+            pass
+
+    threading.Thread(target=_pump, daemon=True).start()
+    return out

@@ -1,0 +1,303 @@
+"""Websocket source + sink (reference internal/io/websocket/
+websocket_source.go, websocket_sink.go) — dependency-free RFC 6455.
+
+No websocket library ships in this container, so — like the MQTT module's
+3.1.1 wire codec — the frame codec, client handshake, and an in-process
+server are implemented over raw sockets (~120 lines of protocol).  The
+source registers as a Python Data Source (``readStream.format
+("websocket")``): each received text frame is a JSON message decoded
+against the stream schema.  The sink publishes each partition's rows as
+JSON text frames from the executors (no driver collect).
+
+Scale: the source is a single-connection ingress (the reference's model —
+one ws connection per rule); fan-out happens downstream via the shared
+source. The sink opens one connection per partition per micro-batch.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import socket
+import struct
+import threading
+from typing import Any, Iterator, Optional
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+# frame opcodes (RFC 6455 §5.2)
+OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0x1, 0x2, 0x8, 0x9, 0xA
+
+
+# ------------------------------------------------------------------ codec
+def make_frame(opcode: int, payload: bytes, mask: bool) -> bytes:
+    """One unfragmented frame (FIN set).  Clients MUST mask (§5.3)."""
+    b0 = 0x80 | (opcode & 0x0F)
+    n = len(payload)
+    if n < 126:
+        header = bytes([b0, (0x80 if mask else 0) | n])
+    elif n < 1 << 16:
+        header = bytes([b0, (0x80 if mask else 0) | 126]) + struct.pack(">H", n)
+    else:
+        header = bytes([b0, (0x80 if mask else 0) | 127]) + struct.pack(">Q", n)
+    if not mask:
+        return header + payload
+    key = os.urandom(4)
+    masked = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+    return header + key + masked
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("websocket peer closed")
+        buf += chunk
+    return buf
+
+
+def read_frame(sock: socket.socket) -> tuple[int, bytes]:
+    """Returns (opcode, payload); unmasks if the peer masked."""
+    b0, b1 = _read_exact(sock, 2)
+    opcode = b0 & 0x0F
+    masked = bool(b1 & 0x80)
+    n = b1 & 0x7F
+    if n == 126:
+        (n,) = struct.unpack(">H", _read_exact(sock, 2))
+    elif n == 127:
+        (n,) = struct.unpack(">Q", _read_exact(sock, 8))
+    key = _read_exact(sock, 4) if masked else b""
+    payload = _read_exact(sock, n)
+    if masked:
+        payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+    return opcode, payload
+
+
+def _accept_key(key: str) -> str:
+    return base64.b64encode(hashlib.sha1((key + _WS_GUID).encode()).digest()).decode()
+
+
+# ------------------------------------------------------------------ server
+class WsServer:
+    """In-process websocket server: handshakes clients, collects received
+    text messages into a queue, and broadcasts on demand (the test double
+    for an external ws endpoint, and the sink's receiving end)."""
+
+    def __init__(self, port: int = 0) -> None:
+        self._srv = socket.create_server(("127.0.0.1", port))
+        self.port = self._srv.getsockname()[1]
+        self._clients: list[socket.socket] = []
+        self._lock = threading.Lock()
+        self.received: list[str] = []
+        self._stop = threading.Event()
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        try:
+            request = b""
+            while b"\r\n\r\n" not in request:
+                request += conn.recv(4096)
+            headers = {}
+            for line in request.split(b"\r\n")[1:]:
+                if b":" in line:
+                    k, v = line.split(b":", 1)
+                    headers[k.strip().lower()] = v.strip()
+            key = headers.get(b"sec-websocket-key", b"").decode()
+            resp = (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+            )
+            conn.sendall(resp.encode())
+            with self._lock:
+                self._clients.append(conn)
+            while not self._stop.is_set():
+                opcode, payload = read_frame(conn)
+                if opcode == OP_CLOSE:
+                    conn.sendall(make_frame(OP_CLOSE, payload, mask=False))
+                    break
+                if opcode == OP_PING:
+                    conn.sendall(make_frame(OP_PONG, payload, mask=False))
+                elif opcode in (OP_TEXT, OP_BINARY):
+                    with self._lock:
+                        self.received.append(payload.decode())
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            with self._lock:
+                if conn in self._clients:
+                    self._clients.remove(conn)
+            conn.close()
+
+    def broadcast(self, text: str) -> None:
+        frame = make_frame(OP_TEXT, text.encode(), mask=False)
+        with self._lock:
+            clients = list(self._clients)
+        for c in clients:
+            try:
+                c.sendall(frame)
+            except OSError:
+                pass
+
+    def close(self) -> None:
+        self._stop.set()
+        self._srv.close()
+        with self._lock:
+            for c in self._clients:
+                c.close()
+            self._clients.clear()
+
+
+# ------------------------------------------------------------------ client
+class WsClient:
+    """Minimal RFC 6455 client: handshake + send/recv text frames."""
+
+    def __init__(self, host: str, port: int, path: str = "/", timeout: float = 10.0) -> None:
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        key = base64.b64encode(os.urandom(16)).decode()
+        req = (
+            f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        )
+        self.sock.sendall(req.encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += self.sock.recv(4096)
+        status = resp.split(b"\r\n", 1)[0]
+        if b"101" not in status:
+            raise ConnectionError(f"websocket handshake failed: {status!r}")
+
+    def send_text(self, text: str) -> None:
+        self.sock.sendall(make_frame(OP_TEXT, text.encode(), mask=True))
+
+    def recv_text(self, timeout: Optional[float] = None) -> Optional[str]:
+        """Next text message, or None on timeout; answers pings."""
+        self.sock.settimeout(timeout)
+        try:
+            while True:
+                opcode, payload = read_frame(self.sock)
+                if opcode == OP_PING:
+                    self.sock.sendall(make_frame(OP_PONG, payload, mask=True))
+                elif opcode == OP_CLOSE:
+                    raise ConnectionError("peer closed")
+                elif opcode in (OP_TEXT, OP_BINARY):
+                    return payload.decode()
+        except socket.timeout:
+            return None
+
+    def close(self) -> None:
+        try:
+            self.sock.sendall(make_frame(OP_CLOSE, b"", mask=True))
+        except OSError:
+            pass
+        self.sock.close()
+
+
+# ------------------------------------------------------------------ source
+def _coerce(value: Any, dt_name: str) -> Any:
+    if value is None:
+        return None
+    try:
+        if dt_name in ("bigint", "int", "long", "integer", "short"):
+            return int(value)
+        if dt_name in ("double", "float"):
+            return float(value)
+        if dt_name == "boolean":
+            return bool(value)
+        return str(value) if dt_name == "string" else value
+    except (TypeError, ValueError):
+        return None
+
+
+def _parse_ws_url(url: str) -> tuple[str, int, str]:
+    from urllib.parse import urlparse
+
+    u = urlparse(url)
+    return u.hostname or "127.0.0.1", u.port or 80, u.path or "/"
+
+
+class _WsStreamReader(SimpleDataSourceStreamReader):
+    """Persistent connection in the reader process; each micro-batch
+    drains whatever messages arrived since the previous one (the
+    reference's push-based source, websocket_source.go)."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_ = schema
+        self.url = options["url"]
+        self.idle = float(options.get("idle", 0.2))  # per-batch drain window
+        self._client: Optional[WsClient] = None
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _conn(self) -> WsClient:
+        if self._client is None:
+            self._client = WsClient(*_parse_ws_url(self.url))
+        return self._client
+
+    def read(self, start: dict):
+        names = [(f.name, f.dataType.simpleString()) for f in self.schema_.fields]
+        rows: list[tuple] = []
+        try:
+            client = self._conn()
+            while True:
+                msg = client.recv_text(timeout=self.idle)
+                if msg is None:
+                    break
+                data = json.loads(msg)
+                for d in data if isinstance(data, list) else [data]:
+                    rows.append(tuple(_coerce(d.get(n), t) for n, t in names))
+        except (ConnectionError, OSError):
+            self._client = None
+        return iter(rows), {"seq": start.get("seq", 0) + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([])  # push messages are not replayable (at-most-once)
+
+
+class WebsocketDataSource(DataSource):
+    """readStream format "websocket"; options: url (ws://host:port/path),
+    idle (per-batch drain window seconds)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "websocket"
+
+    def schema(self):
+        return "value string"
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _WsStreamReader(schema, self.options)
+
+
+# ------------------------------------------------------------------ sink
+def write_websocket_sink(df, url: str) -> None:
+    """Publish each row as a JSON text message — per partition, from the
+    executors (websocket_sink.go analog of the mqtt per-partition sink)."""
+    host, port, path = _parse_ws_url(url)
+
+    def _send(rows: Iterator) -> None:
+        client: Optional[WsClient] = None
+        for row in rows:
+            if client is None:
+                client = WsClient(host, port, path)
+            client.send_text(json.dumps(row.asDict(), default=str))
+        if client is not None:
+            client.close()
+
+    df.foreachPartition(_send)

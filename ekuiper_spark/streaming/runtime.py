@@ -142,6 +142,24 @@ class RuleRuntime:
                 )
 
             q = writer.foreachBatch(_mqtt_batch).start()
+        elif sink_type == "websocket":
+            # per-partition JSON text frames (websocket_sink.go)
+            from ekuiper_spark.sources.websocket import write_websocket_sink
+
+            def _ws_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
+                write_websocket_sink(batch_df, _o["url"])
+
+            q = writer.foreachBatch(_ws_batch).start()
+        elif sink_type == "sse":
+            # SSE broadcast via the in-process broker (sse/sink.go)
+            from ekuiper_spark.sources.sse import write_sse_sink
+
+            def _sse_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
+                write_sse_sink(
+                    batch_df, int(_o["port"]), _o.get("endpoint", "/stream")
+                )
+
+            q = writer.foreachBatch(_sse_batch).start()
         else:
             raise ValueError(f"unknown sink {sink_type}")
         self.queries[rule_id] = q

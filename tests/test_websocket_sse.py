@@ -1,0 +1,137 @@
+"""Websocket source/sink (internal/io/websocket/) and SSE sink
+(internal/io/sse/sink.go) over the dependency-free RFC 6455 codec and
+stdlib SSE broker."""
+
+from __future__ import annotations
+
+import json
+import queue
+import time
+import uuid as _uuid
+
+import pytest
+
+from ekuiper_spark.sources.sse import SseBroker, sse_subscribe, write_sse_sink
+from ekuiper_spark.sources.websocket import (
+    OP_TEXT,
+    WsClient,
+    WsServer,
+    make_frame,
+)
+
+
+# ------------------------------------------------------------------ codec
+def test_frame_roundtrip_lengths():
+    import io
+    import socket as _socket
+
+    from ekuiper_spark.sources import websocket as ws
+
+    for n in (0, 1, 125, 126, 65535, 65536):
+        frame = make_frame(OP_TEXT, b"x" * n, mask=True)
+
+        class FakeSock:
+            def __init__(self, data):
+                self.b = io.BytesIO(data)
+
+            def recv(self, k):
+                return self.b.read(k)
+
+        opcode, payload = ws.read_frame(FakeSock(frame))
+        assert opcode == OP_TEXT and payload == b"x" * n
+
+
+def test_client_server_roundtrip():
+    srv = WsServer()
+    try:
+        c = WsClient("127.0.0.1", srv.port)
+        c.send_text('{"a": 1}')
+        deadline = time.time() + 5
+        while time.time() < deadline and not srv.received:
+            time.sleep(0.05)
+        assert srv.received == ['{"a": 1}']
+        srv.broadcast('{"b": 2}')
+        assert c.recv_text(timeout=5) == '{"b": 2}'
+        c.close()
+    finally:
+        srv.close()
+
+
+# ------------------------------------------------------------------ source
+def test_websocket_source_stream(spark):
+    """readStream.format('websocket') ingests JSON text frames pushed by
+    the server while the query runs."""
+    srv = WsServer()
+    try:
+        from ekuiper_spark.sources.websocket import WebsocketDataSource
+
+        try:
+            spark.dataSource.register(WebsocketDataSource)
+        except Exception:
+            pass
+        sdf = (
+            spark.readStream.schema("k string, v bigint")
+            .format("websocket")
+            .option("url", f"ws://127.0.0.1:{srv.port}/")
+            .load()
+        )
+        name = "t_ws_" + _uuid.uuid4().hex[:6]
+        q = (
+            sdf.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 20
+            sent = 0
+            got = 0
+            while time.time() < deadline and got < 3:
+                # (re)send until the reader's connection is drained into rows
+                if sent < 10:
+                    srv.broadcast(json.dumps({"k": f"m{sent}", "v": sent}))
+                    sent += 1
+                time.sleep(0.5)
+                got = spark.table(name).count()
+            rows = {(r["k"], r["v"]) for r in spark.table(name).collect()}
+            assert got >= 3
+            assert all(k.startswith("m") for k, _ in rows)
+        finally:
+            q.stop()
+    finally:
+        srv.close()
+
+
+# ------------------------------------------------------------------ sinks
+def test_websocket_sink_publishes_rows(spark):
+    srv = WsServer()
+    try:
+        from ekuiper_spark.sources.websocket import write_websocket_sink
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        write_websocket_sink(df, f"ws://127.0.0.1:{srv.port}/")
+        deadline = time.time() + 10
+        while time.time() < deadline and len(srv.received) < 2:
+            time.sleep(0.05)
+        got = sorted(json.loads(m)["id"] for m in srv.received)
+        assert got == [1, 2]
+    finally:
+        srv.close()
+
+
+def test_sse_sink_broadcasts_to_subscribers(spark):
+    broker = SseBroker()
+    try:
+        sub = sse_subscribe(broker.port, "/stream", timeout=15)
+        time.sleep(0.3)  # let the subscriber attach
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+        write_sse_sink(df, broker.port, "/stream")
+        got = sorted(json.loads(sub.get(timeout=10))["id"] for _ in range(2))
+        assert got == [1, 2]
+    finally:
+        broker.close()
+
+
+def test_sse_endpoint_must_start_with_slash(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="start with /"):
+        write_sse_sink(df, 1, "stream")
