@@ -1,0 +1,94 @@
+"""Kafka sink adapter (reference extensions/impl/kafka/sink.go).
+
+Spark ships a native, exactly-once-capable kafka connector
+(``format("kafka")`` via the spark-sql-kafka package); the adapter is a
+thin mapping from the reference's sink config to it:
+
+    {"kafka": {"brokers": "...", "topic": "...", "key": "<field>"}}
+
+Rows serialize to a JSON ``value`` (the reference's default JSON sink
+format); ``key`` optionally names a column whose string form becomes the
+kafka message key (partitioning key — the scale lever: keyed topics
+preserve per-key order end-to-end).  The payload shaping is pure column
+work (to_json over a struct, JVM-side); no Python touches the hot path.
+
+The spark-sql-kafka jar is not bundled in this environment, so starting
+the writer needs ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13``
+on a real deployment; tests gate on its availability.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kafka_payload(df: DataFrame, key_field: Optional[str] = None) -> DataFrame:
+    """Shape rows into the kafka writer's (key?, value) contract."""
+    cols = []
+    if key_field:
+        cols.append(F.col(key_field).cast("string").alias("key"))
+    payload_cols = [F.col(c) for c in df.columns if not c.startswith("__")]
+    cols.append(F.to_json(F.struct(*payload_cols)).alias("value"))
+    return df.select(*cols)
+
+
+def kafka_stream_writer(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    key_field: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+    output_mode: str = "append",
+    options: Optional[dict[str, Any]] = None,
+):
+    """Configured DataStreamWriter for a streaming kafka sink (call
+    ``.start()`` to run; requires the spark-sql-kafka package)."""
+    import uuid
+
+    out = kafka_payload(df, key_field)
+    w = (
+        out.writeStream.format("kafka")
+        .outputMode(output_mode)
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option(
+            "checkpointLocation",
+            checkpoint or f"/tmp/ckpt_kafka_{uuid.uuid4().hex}",
+        )
+    )
+    for k, v in (options or {}).items():
+        w = w.option(k, str(v))
+    return w
+
+
+def write_kafka_batch(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    key_field: Optional[str] = None,
+    options: Optional[dict[str, Any]] = None,
+) -> None:
+    """Bounded batch publish (df.write path of the same connector)."""
+    out = kafka_payload(df, key_field)
+    w = (
+        out.write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+    )
+    for k, v in (options or {}).items():
+        w = w.option(k, str(v))
+    w.save()
+
+
+def kafka_available(spark) -> bool:
+    """True when the spark-sql-kafka connector class is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False

@@ -160,6 +160,25 @@ class RuleRuntime:
                 )
 
             q = writer.foreachBatch(_sse_batch).start()
+        elif sink_type == "kafka":
+            # extensions/impl/kafka sink -> Spark's native kafka writer;
+            # rows become JSON `value` (+ optional string `key`)
+            from ekuiper_spark.sources.kafka import kafka_stream_writer
+
+            kw = kafka_stream_writer(
+                df,
+                brokers=sink_opts["brokers"],
+                topic=sink_opts["topic"],
+                key_field=sink_opts.get("key"),
+                checkpoint=sink_opts.get("checkpoint"),
+                output_mode=opts.get(
+                    "output_mode", "complete" if self._has_agg(df) else "append"
+                ),
+                options=sink_opts.get("properties"),
+            )
+            if available_now:
+                kw = kw.trigger(availableNow=True)
+            q = kw.start()
         else:
             raise ValueError(f"unknown sink {sink_type}")
         self.queries[rule_id] = q

@@ -1,0 +1,70 @@
+"""Kafka sink adapter (extensions/impl/kafka -> Spark's native kafka
+writer).  The spark-sql-kafka package isn't bundled here, so the live
+publish test is skip-marked on connector availability; payload shaping
+and the action mapping are always verified."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ekuiper_spark.sources.kafka import (
+    kafka_available,
+    kafka_payload,
+    kafka_stream_writer,
+)
+
+
+def test_payload_shaping_value_json(spark):
+    df = spark.createDataFrame([(1, "a", 2.5)], "id long, s string, v double")
+    out = kafka_payload(df)
+    assert out.columns == ["value"]
+    assert json.loads(out.first()["value"]) == {"id": 1, "s": "a", "v": 2.5}
+
+
+def test_payload_shaping_with_key(spark):
+    df = spark.createDataFrame([(7, "a")], "id long, s string")
+    out = kafka_payload(df, key_field="id")
+    assert out.columns == ["key", "value"]
+    row = out.first()
+    assert row["key"] == "7" and json.loads(row["value"]) == {"id": 7, "s": "a"}
+
+
+def test_payload_drops_internal_columns(spark):
+    df = spark.createDataFrame([(1, 2)], "id long, __hidden long")
+    assert json.loads(kafka_payload(df).first()["value"]) == {"id": 1}
+
+
+def test_rule_action_maps_to_kafka_writer(spark, catalog):
+    """The rule runtime routes a kafka action into the adapter; without
+    the connector jar .start() must fail with the kafka source missing —
+    proving the mapping reached Spark's kafka provider lookup."""
+    from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
+
+    if kafka_available(spark):
+        pytest.skip("connector present; covered by the live test")
+    rt = RuleRuntime(spark, catalog)
+    rt.create_rule(
+        Rule(
+            id="k1",
+            sql="SELECT event_id, value FROM events WHERE value > 100",
+            actions=[{"kafka": {"brokers": "localhost:9092", "topic": "t"}}],
+        )
+    )
+    with pytest.raises(Exception, match="kafka|KAFKA|Failed to find"):
+        rt.start_rule("k1", available_now=True)
+
+
+@pytest.mark.skipif(
+    "not kafka_available(__import__('ekuiper_spark').get_spark('tests', 8))",
+    reason="spark-sql-kafka connector not on the classpath",
+)
+def test_kafka_live_publish(spark):  # pragma: no cover - needs a broker
+    writer = kafka_stream_writer(
+        spark.readStream.format("rate").load(),
+        brokers="localhost:9092",
+        topic="t_live",
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
