@@ -178,15 +178,28 @@ class Translator:
             ctx.sliding_parts = [self._expr(d, ctx) for d in (group.dims or [])]
             if window.filter is not None:
                 df = df.filter(self._expr(window.filter, ctx))
+            bucketed = False
+            if not ctx.sliding_parts and ec is not None:
+                # unkeyed sliding: instead of one global sort partition,
+                # bucket by a coarse time range (16x the frame span) and
+                # replicate boundary rows into the neighbor bucket as
+                # non-emitting "shadows", so every frame is complete
+                # within its bucket — parallel sort, ~6% row duplication
+                df = self._sliding_buckets(df, window, ctx)
+                bucketed = True
+            extras = []
             if window.trigger is not None:
                 # OVER (WHEN cond): frames still span ALL rows; only rows
                 # satisfying the trigger emit (window_op.go:757-784) — so
                 # the trigger filter applies after the window projection.
-                trig = self._expr(window.trigger, ctx)
-                df = self._project_staged(df, stmt, ctx, extra=[(trig, "__trig")])
+                extras.append((self._expr(window.trigger, ctx), "__trig"))
+            if bucketed:
+                extras.append((F.col("__shadow"), "__shadow"))
+            df = self._project_staged(df, stmt, ctx, extra=extras)
+            if bucketed:
+                df = df.filter(~F.col("__shadow")).drop("__shadow")
+            if window.trigger is not None:
                 df = df.filter(F.col("__trig")).drop("__trig")
-            else:
-                df = self._project_staged(df, stmt, ctx)
         elif group is not None and group.window is not None and not has_agg:
             # window WITHOUT aggregation: the window batches rows and
             # window functions (row_number, ...) rank within each window
@@ -799,19 +812,13 @@ class Translator:
                     "streaming COUNTWINDOW without aggregates is unsupported"
                 )
             n = w.args[0]
-            order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
-            # single global sequence — matches the reference's single
-            # process; at scale prefer a keyed count window (partition col).
-            import warnings
-
-            warnings.warn(
-                "COUNTWINDOW uses one global sort partition (reference "
-                "semantics); at scale prefer keyed windows (GROUP BY key).",
-                UserWarning,
-                stacklevel=4,
-            )
-            rn = F.row_number().over(W.orderBy(*order))
-            df = df.withColumn("__wid", F.floor((rn - 1) / F.lit(n)))
+            # global event sequence WITHOUT a single sort partition: range-
+            # repartition on the order cols (partition ids follow the sort
+            # order), number rows per partition, then add per-partition
+            # offsets (one tiny count job — the classic scalable
+            # zipWithIndex; two passes over the input, both parallel)
+            df, rn_col = self._global_row_number(df, ctx)
+            df = df.withColumn("__wid", F.floor((F.col(rn_col) - 1) / F.lit(n))).drop(rn_col)
             # only full windows emit (window_op.go:520-568) — checked on
             # the WINDOW's size here, before any GROUP BY dims sub-group
             # the window contents
@@ -906,6 +913,58 @@ class Translator:
         ).drop("__us", "__bkt", "__sb")
         ctx.window_col = "window"
         return df, ["__isl", "__run", "__sess", "window"]
+
+    def _global_row_number(self, df: DataFrame, ctx: TranslateCtx) -> tuple[DataFrame, str]:
+        """Globally-contiguous 1-based row numbers over ctx.order_cols
+        without a single sort partition (the classic scalable zipWithIndex):
+
+        1. approx-quantile boundaries of the leading order key (tiny job)
+        2. deterministic bucket id = #boundaries below the key — the SAME
+           expression feeds both later passes, so bucket assignment can't
+           drift between jobs (repartitionByRange would re-sample)
+        3. per-bucket counts (small job) -> prefix-sum offsets
+        4. row_number within bucket (parallel sort) + bucket offset
+
+        Rows with equal leading keys land in one bucket, so concatenating
+        buckets in id order preserves the global (ts, tiebreak...) order.
+        """
+        if not ctx.order_cols:
+            # no order key to range-bucket on; fall back to a global sort
+            order = [F.monotonically_increasing_id()]
+            rn = F.row_number().over(W.orderBy(*order))
+            return df.withColumn("__grn", rn), "__grn"
+        order = [F.col(c) for c in ctx.order_cols]
+        c0 = ctx.order_cols[0]
+        dt = df.schema[c0].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            key = epoch_us(F.col(c0))
+        else:
+            key = F.col(c0).cast("double")
+        parallelism = self.spark.sparkContext.defaultParallelism or 32
+        kdf = df.select(key.cast("double").alias("__gk"))
+        probs = [i / parallelism for i in range(1, parallelism)]
+        # boundaries only steer partition balance; 1% error is plenty
+        boundaries = sorted(set(kdf.approxQuantile("__gk", probs, 0.01)))
+        bucket: Column = F.lit(0)
+        for b in boundaries:
+            bucket = bucket + F.when(key.cast("double") > F.lit(b), 1).otherwise(0)
+        bdf = df.withColumn("__gbk", bucket)
+        counts = bdf.groupBy("__gbk").agg(F.count(F.lit(1)).alias("c")).collect()
+        offsets: dict[int, int] = {}
+        running = 0
+        for row in sorted(counts, key=lambda r: r["__gbk"]):
+            offsets[row["__gbk"]] = running
+            running += row["c"]
+        pairs: list[Column] = []
+        for bk, off in offsets.items():
+            pairs.extend([F.lit(bk), F.lit(off)])
+        off_col = (
+            F.coalesce(F.create_map(*pairs)[F.col("__gbk")], F.lit(0))
+            if pairs
+            else F.lit(0)
+        )
+        rn = F.row_number().over(W.partitionBy("__gbk").orderBy(*order)) + off_col
+        return bdf.withColumn("__grn", rn).drop("__gbk"), "__grn"
 
     def _state_window(self, df: DataFrame, w: WindowSpec, ctx: TranslateCtx):
         """STATEWINDOW batch emulation (reference: window_v2_op.go:124-247).
@@ -1249,6 +1308,51 @@ class Translator:
             part = [F.lit(1)]
         order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
         return W.partitionBy(*part).orderBy(*order)
+
+    def _sliding_buckets(self, df: DataFrame, w, ctx: TranslateCtx) -> DataFrame:
+        """Scale path for UNKEYED sliding windows: partition the per-event
+        range frame by a coarse time bucket instead of one global sort.
+
+        Bucket span B = 16 * (length + delay); rows within `length` of the
+        next bucket's start are replicated into it (and, with delay, rows
+        within `delay` of a bucket's start into the previous one) as
+        non-emitting shadows, so every row's frame (t-length, t+delay] is
+        complete inside its own bucket.  Cost: one extra union branch over
+        the boundary strips (~2/16 of rows); win: the sort parallelizes
+        across time_range/B partitions instead of serializing globally.
+        """
+        length_us = int(w.args[0] * UNIT_SECONDS[w.unit] * 1_000_000)
+        delay_us = (
+            int(w.args[1] * UNIT_SECONDS[w.unit] * 1_000_000)
+            if len(w.args) > 1
+            else 0
+        )
+        span = length_us + delay_us
+        bucket_us = 16 * span
+        e = (
+            (F.col(ctx.event_col) * 1000)
+            if ctx.event_is_long
+            else epoch_us(F.col(ctx.event_col))
+        )
+        b = F.floor(e / bucket_us)
+        main = df.withColumn("__slb", b).withColumn("__shadow", F.lit(False))
+        # rows feeding the NEXT bucket's backward-looking frames
+        back = (
+            df.filter(e >= (b + 1) * bucket_us - length_us)
+            .withColumn("__slb", b + 1)
+            .withColumn("__shadow", F.lit(True))
+        )
+        out = main.unionByName(back)
+        if delay_us:
+            # rows feeding the PREVIOUS bucket's forward-looking frames
+            fwd = (
+                df.filter(e < b * bucket_us + delay_us)
+                .withColumn("__slb", b - 1)
+                .withColumn("__shadow", F.lit(True))
+            )
+            out = out.unionByName(fwd)
+        ctx.sliding_parts = [F.col("__slb")]
+        return out
 
     def _sliding_frame_spec(self, ctx: TranslateCtx):
         w: WindowSpec = ctx.sliding_frame
