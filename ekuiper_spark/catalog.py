@@ -179,6 +179,18 @@ class Catalog:
         if d is None:
             raise KeyError(f"unknown stream/table: {name}")
         src_type = (d.options.get("type") or "").lower()
+        if src_type == "kafka":
+            # native Spark connector (sources/kafka.py); DATASOURCE = topic
+            from ekuiper_spark.sources.kafka import kafka_stream_reader
+
+            return kafka_stream_reader(
+                spark,
+                brokers=str(d.options.get("brokers", "localhost:9092")),
+                topic=d.path or str(d.options.get("topic", "")),
+                schema=d.schema,
+                starting=str(d.options.get("startingoffsets", "earliest")),
+                streaming=streaming,
+            )
         if src_type in ("httppull", "httppush", "mqtt", "websocket"):
             # connector sources via the Python Data Source API
             # (sources/http.py, sources/mqtt.py, sources/websocket.py);

@@ -83,6 +83,36 @@ def write_kafka_batch(
     w.save()
 
 
+def kafka_stream_reader(
+    spark,
+    brokers: str,
+    topic: str,
+    schema=None,
+    starting: str = "earliest",
+    options: Optional[dict[str, Any]] = None,
+    streaming: bool = True,
+) -> DataFrame:
+    """Kafka source (extensions/impl/kafka source analog): subscribe to a
+    topic and decode each message's JSON ``value`` against the stream
+    schema (from_json, JVM-side).  Without a schema the raw value string
+    column is returned (schemaless mode)."""
+    reader = spark.readStream if streaming else spark.read
+    r = (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting)
+    )
+    for k, v in (options or {}).items():
+        r = r.option(k, str(v))
+    raw = r.load()
+    if schema is None:
+        return raw.select(F.col("value").cast("string").alias("value"))
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("__r")
+    ).select("__r.*")
+
+
 def kafka_available(spark) -> bool:
     """True when the spark-sql-kafka connector class is on the classpath."""
     try:

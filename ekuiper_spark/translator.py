@@ -158,8 +158,12 @@ class Translator:
                 rn = F.row_number().over(W.orderBy(*order))
                 df = df.withColumn("__hit_rn", rn)
                 ctx.hit_col = "__hit_rn"
-                for c in hit_conjs:
-                    df = df.filter(self._expr(c, ctx))
+                for i, c in enumerate(hit_conjs):
+                    # materialize first: last_hit_time() is a window
+                    # expression, which filters reject but projections allow
+                    name = f"__hitc{i}"
+                    df = df.withColumn(name, self._expr(c, ctx))
+                    df = df.filter(F.col(name)).drop(name)
                 df = df.drop("__hit_rn")
                 ctx.hit_col = None
 
@@ -568,8 +572,10 @@ class Translator:
                 order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
                 gdf = gdf.withColumn("__hit_rn", F.row_number().over(W.orderBy(*order)))
                 ctx.hit_col = "__hit_rn"
-                for c in hitty:
-                    gdf = gdf.filter(self._expr(c, ctx))
+                for i, c in enumerate(hitty):
+                    name = f"__hitc{i}"
+                    gdf = gdf.withColumn(name, self._expr(c, ctx))
+                    gdf = gdf.filter(F.col(name)).drop(name)
                 gdf = gdf.drop("__hit_rn")
                 ctx.hit_col = None
 
@@ -1335,24 +1341,32 @@ class Translator:
             else epoch_us(F.col(ctx.event_col))
         )
         b = F.floor(e / bucket_us)
-        main = df.withColumn("__slb", b).withColumn("__shadow", F.lit(False))
-        # rows feeding the NEXT bucket's backward-looking frames
-        back = (
-            df.filter(e >= (b + 1) * bucket_us - length_us)
-            .withColumn("__slb", b + 1)
-            .withColumn("__shadow", F.lit(True))
-        )
-        out = main.unionByName(back)
+        # one scan: each row explodes into its home bucket plus (when in a
+        # boundary strip) shadow assignments for the neighbor bucket
+        branches = [
+            F.struct(b.alias("b"), F.lit(False).alias("sh")),
+            # feeds the NEXT bucket's backward-looking frames
+            F.when(
+                e >= (b + 1) * bucket_us - length_us,
+                F.struct((b + 1).alias("b"), F.lit(True).alias("sh")),
+            ),
+        ]
         if delay_us:
-            # rows feeding the PREVIOUS bucket's forward-looking frames
-            fwd = (
-                df.filter(e < b * bucket_us + delay_us)
-                .withColumn("__slb", b - 1)
-                .withColumn("__shadow", F.lit(True))
+            # feeds the PREVIOUS bucket's forward-looking frames
+            branches.append(
+                F.when(
+                    e < b * bucket_us + delay_us,
+                    F.struct((b - 1).alias("b"), F.lit(True).alias("sh")),
+                )
             )
-            out = out.unionByName(fwd)
+        df = (
+            df.withColumn("__sla", F.explode(F.array_compact(F.array(*branches))))
+            .withColumn("__slb", F.col("__sla.b"))
+            .withColumn("__shadow", F.col("__sla.sh"))
+            .drop("__sla")
+        )
         ctx.sliding_parts = [F.col("__slb")]
-        return out
+        return df
 
     def _sliding_frame_spec(self, ctx: TranslateCtx):
         w: WindowSpec = ctx.sliding_frame

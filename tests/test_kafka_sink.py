@@ -56,6 +56,25 @@ def test_rule_action_maps_to_kafka_writer(spark, catalog):
         rt.start_rule("k1", available_now=True)
 
 
+def test_kafka_source_routes_to_provider(spark):
+    """CREATE STREAM ... TYPE="kafka" loads through the native connector;
+    without the jar the provider lookup fails by name, proving routing."""
+    from ekuiper_spark import Catalog
+    from ekuiper_spark.catalog import StreamDef
+
+    if kafka_available(spark):
+        pytest.skip("connector present; covered by the live test")
+    cat = Catalog()
+    cat.register(
+        StreamDef(
+            name="ks", path="topic_in", kind="stream",
+            options={"type": "kafka", "brokers": "localhost:9092"},
+        )
+    )
+    with pytest.raises(Exception, match="kafka|KAFKA|Failed to find"):
+        cat.load(spark, "ks", streaming=True)
+
+
 @pytest.mark.skipif(
     "not kafka_available(__import__('ekuiper_spark').get_spark('tests', 8))",
     reason="spark-sql-kafka connector not on the classpath",

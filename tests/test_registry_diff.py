@@ -247,19 +247,21 @@ def test_srf_builtins_compile_and_run(spark, catalog):
 
 
 def test_trigger_state_builtins_compile(spark, catalog):
-    # count variants gate in WHERE/HAVING; time variants project the prior
-    # emission's event time (SELECT context, funcs_global_state.go)
+    # count AND time variants gate in WHERE/HAVING (hit conjuncts
+    # materialize as columns, so the lag()-backed time variants are legal)
     compile_sql(
         spark,
         "SELECT event_id, last_hit_time() AS lht FROM events "
-        "WHERE value > 199 AND last_hit_count() < 5",
+        "WHERE value > 199 AND last_hit_count() < 5 "
+        "AND (last_hit_time() IS NULL OR last_hit_time() < now())",
         catalog,
     ).limit(1).collect()
     compile_sql(
         spark,
         "SELECT window_start() AS ws, count(*) AS n, "
         "last_agg_hit_time() AS laht FROM events "
-        "GROUP BY TUMBLINGWINDOW(hh, 6) HAVING last_agg_hit_count() >= 2",
+        "GROUP BY TUMBLINGWINDOW(hh, 6) HAVING last_agg_hit_count() >= 2 "
+        "AND (last_agg_hit_time() IS NULL OR last_agg_hit_time() < now())",
         catalog,
     ).limit(1).collect()
 

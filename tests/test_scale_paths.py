@@ -24,8 +24,8 @@ def test_unkeyed_sliding_is_bucket_partitioned(spark, catalog):
     # the range frame partitions on the derived time bucket, not lit(1)
     assert "__slb" in plan
     assert not re.search(r"windowspecdefinition\(1,", plan)
-    # boundary shadows ride a union of scans
-    assert "Union" in plan
+    # boundary shadows explode from ONE scan (no union of rescans)
+    assert "Generate explode" in plan and "Union" not in plan
 
 
 def test_unkeyed_sliding_bucket_values_match_oracle_shape(spark, catalog):
