@@ -191,15 +191,29 @@ class Catalog:
                 starting=str(d.options.get("startingoffsets", "earliest")),
                 streaming=streaming,
             )
-        if src_type in ("httppull", "httppush", "mqtt", "websocket"):
+        if src_type == "redis" and d.kind == "lookup":
+            # load-once + broadcast lookup table (redis lookup.go); the
+            # DATASOURCE is the key pattern
+            from ekuiper_spark.sources.redis import redis_lookup_df
+
+            return redis_lookup_df(
+                spark,
+                host=str(d.options.get("host", "127.0.0.1")),
+                port=int(d.options["port"]),
+                pattern=d.path or "*",
+                schema=d.schema,
+                datatype=str(d.options.get("datatype", "string")),
+            )
+        if src_type in ("httppull", "httppush", "mqtt", "websocket", "redis"):
             # connector sources via the Python Data Source API
             # (sources/http.py, sources/mqtt.py, sources/websocket.py);
             # DATASOURCE holds the url/endpoint/topic (mqtt conn.go:233-241)
             from ekuiper_spark.sources.http import HttpPullDataSource, HttpPushDataSource
             from ekuiper_spark.sources.mqtt import MqttDataSource
+            from ekuiper_spark.sources.redis import RedisDataSource
             from ekuiper_spark.sources.websocket import WebsocketDataSource
 
-            for ds in (HttpPullDataSource, HttpPushDataSource, MqttDataSource, WebsocketDataSource):
+            for ds in (HttpPullDataSource, HttpPushDataSource, MqttDataSource, WebsocketDataSource, RedisDataSource):
                 try:
                     spark.dataSource.register(ds)
                 except Exception:
@@ -218,6 +232,8 @@ class Catalog:
                 opts.setdefault("topic", d.path)
             if src_type == "websocket" and d.path:
                 opts.setdefault("url", d.path)
+            if src_type == "redis" and d.path:
+                opts.setdefault("channels", d.path)
             return reader.format(src_type).options(**opts).load()
         if streaming:
             import os

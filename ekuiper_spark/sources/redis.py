@@ -1,0 +1,387 @@
+"""Redis connectors (reference internal/io/redis/: lookup.go, sink.go,
+redisPub.go, redisSub.go) — dependency-free RESP wire codec.
+
+No redis client library (or server) ships in this container, so — like
+the MQTT and websocket modules — the RESP2 codec, a mini in-process
+server (string/list/pubsub subset), and a client are implemented over raw
+sockets.  The pieces a rule engine needs:
+
+* lookup table: ``TYPE="redis"`` + ``kind=lookup`` — keys matching the
+  DATASOURCE pattern load once into a DataFrame (values are JSON objects,
+  the reference's string dataType) and broadcast into lookup joins, the
+  same load-once-and-broadcast model as the http lookup table.
+* sink: per-partition SET (string) / LPUSH (list) of each row's JSON by a
+  key field (sink.go), or PUBLISH to a channel (redisPub.go).
+* subscribe source: ``readStream.format("redis")`` drains PSUBSCRIBE'd
+  channel messages per micro-batch (redisSub.go).
+
+Scale: lookup tables are small dims (driver load + broadcast); the sink
+opens one connection per partition per batch; the subscribe source is a
+single-connection ingress like the reference's.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import socket
+import threading
+from typing import Any, Iterator, Optional
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+
+# ------------------------------------------------------------------ codec
+def encode_command(*args: str | bytes) -> bytes:
+    """RESP array of bulk strings (the client->server command form)."""
+    out = [f"*{len(args)}\r\n".encode()]
+    for a in args:
+        b = a if isinstance(a, bytes) else str(a).encode()
+        out.append(f"${len(b)}\r\n".encode() + b + b"\r\n")
+    return b"".join(out)
+
+
+def _read_line(sock_file) -> bytes:
+    line = sock_file.readline()
+    if not line:
+        raise ConnectionError("redis peer closed")
+    return line.rstrip(b"\r\n")
+
+
+def decode_reply(sock_file) -> Any:
+    """One RESP2 reply: +simple -error :int $bulk *array."""
+    line = _read_line(sock_file)
+    t, rest = line[:1], line[1:]
+    if t == b"+":
+        return rest.decode()
+    if t == b"-":
+        raise RuntimeError(rest.decode())
+    if t == b":":
+        return int(rest)
+    if t == b"$":
+        n = int(rest)
+        if n == -1:
+            return None
+        body = sock_file.read(n + 2)[:-2]
+        return body.decode()
+    if t == b"*":
+        n = int(rest)
+        if n == -1:
+            return None
+        return [decode_reply(sock_file) for _ in range(n)]
+    raise ValueError(f"bad RESP type byte {t!r}")
+
+
+# ------------------------------------------------------------------ server
+class MiniRedis:
+    """In-process RESP server: GET/SET/DEL/KEYS/LPUSH/LRANGE/PING +
+    PUBLISH/SUBSCRIBE/PSUBSCRIBE (the subset the connectors touch)."""
+
+    def __init__(self, port: int = 0) -> None:
+        self._srv = socket.create_server(("127.0.0.1", port))
+        self.port = self._srv.getsockname()[1]
+        self.strings: dict[str, str] = {}
+        self.lists: dict[str, list[str]] = {}
+        self._subs: list[tuple[socket.socket, list[str]]] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        f = conn.makefile("rb")
+        try:
+            while not self._stop.is_set():
+                cmd = decode_reply(f)
+                if cmd is None:
+                    break
+                name = cmd[0].upper()
+                args = cmd[1:]
+                if name == "PING":
+                    conn.sendall(b"+PONG\r\n")
+                elif name == "SET":
+                    with self._lock:
+                        self.strings[args[0]] = args[1]
+                    conn.sendall(b"+OK\r\n")
+                elif name == "GET":
+                    v = self.strings.get(args[0])
+                    conn.sendall(
+                        b"$-1\r\n" if v is None
+                        else f"${len(v.encode())}\r\n".encode() + v.encode() + b"\r\n"
+                    )
+                elif name == "DEL":
+                    with self._lock:
+                        n = sum(1 for k in args if self.strings.pop(k, None) is not None)
+                    conn.sendall(f":{n}\r\n".encode())
+                elif name == "KEYS":
+                    with self._lock:
+                        ks = sorted(
+                            k for k in list(self.strings) + list(self.lists)
+                            if fnmatch.fnmatchcase(k, args[0])
+                        )
+                    out = [f"*{len(ks)}\r\n".encode()]
+                    for k in ks:
+                        out.append(f"${len(k.encode())}\r\n".encode() + k.encode() + b"\r\n")
+                    conn.sendall(b"".join(out))
+                elif name == "LPUSH":
+                    with self._lock:
+                        lst = self.lists.setdefault(args[0], [])
+                        for v in args[1:]:
+                            lst.insert(0, v)
+                        n = len(lst)
+                    conn.sendall(f":{n}\r\n".encode())
+                elif name == "LRANGE":
+                    with self._lock:
+                        lst = list(self.lists.get(args[0], []))
+                    lo, hi = int(args[1]), int(args[2])
+                    hi = len(lst) - 1 if hi == -1 else hi
+                    vals = lst[lo : hi + 1]
+                    out = [f"*{len(vals)}\r\n".encode()]
+                    for v in vals:
+                        out.append(f"${len(v.encode())}\r\n".encode() + v.encode() + b"\r\n")
+                    conn.sendall(b"".join(out))
+                elif name in ("SUBSCRIBE", "PSUBSCRIBE"):
+                    with self._lock:
+                        self._subs.append((conn, list(args)))
+                    for i, ch in enumerate(args):
+                        kind = name.lower()
+                        conn.sendall(
+                            encode_reply_array([kind, ch, i + 1])
+                        )
+                elif name == "PUBLISH":
+                    ch, msg = args[0], args[1]
+                    n = 0
+                    with self._lock:
+                        subs = list(self._subs)
+                    for c, pats in subs:
+                        if any(fnmatch.fnmatchcase(ch, p) for p in pats):
+                            try:
+                                c.sendall(encode_reply_array(["message", ch, msg]))
+                                n += 1
+                            except OSError:
+                                pass
+                    conn.sendall(f":{n}\r\n".encode())
+                else:
+                    conn.sendall(f"-ERR unknown command '{name}'\r\n".encode())
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            with self._lock:
+                self._subs = [(c, p) for c, p in self._subs if c is not conn]
+            conn.close()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._srv.close()
+
+
+def encode_reply_array(items: list) -> bytes:
+    """Server->client RESP array (ints pass through, strings as bulk)."""
+    out = [f"*{len(items)}\r\n".encode()]
+    for it in items:
+        if isinstance(it, int):
+            out.append(f":{it}\r\n".encode())
+        else:
+            b = str(it).encode()
+            out.append(f"${len(b)}\r\n".encode() + b + b"\r\n")
+    return b"".join(out)
+
+
+# ------------------------------------------------------------------ client
+class RedisClient:
+    def __init__(self, host: str, port: int, timeout: float = 10.0) -> None:
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self._f = self.sock.makefile("rb")
+
+    def cmd(self, *args: str | bytes) -> Any:
+        self.sock.sendall(encode_command(*args))
+        return decode_reply(self._f)
+
+    def subscribe(self, *patterns: str) -> None:
+        """PSUBSCRIBE + a pump thread with BLOCKING reads draining into a
+        queue — socket timeouts on a buffered reader would desync the RESP
+        stream mid-frame, so the timeout lives on the queue instead."""
+        import queue as _q
+
+        self.sock.sendall(encode_command("PSUBSCRIBE", *patterns))
+        for _ in patterns:
+            decode_reply(self._f)  # psubscribe acks
+        self._msgs: "_q.Queue[tuple[str, str]]" = _q.Queue()
+
+        def _pump() -> None:
+            try:
+                while True:
+                    reply = decode_reply(self._f)
+                    if isinstance(reply, list) and reply and reply[0] == "message":
+                        self._msgs.put((reply[1], reply[2]))
+            except (ConnectionError, OSError, ValueError):
+                pass
+
+        threading.Thread(target=_pump, daemon=True).start()
+
+    def next_message(self, timeout: Optional[float] = None) -> Optional[tuple[str, str]]:
+        """(channel, payload) of the next pubsub message, None on timeout."""
+        import queue as _q
+
+        try:
+            return self._msgs.get(timeout=timeout)
+        except _q.Empty:
+            return None
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+# ------------------------------------------------------------------ lookup
+def _coerce(value: Any, dt_name: str) -> Any:
+    if value is None:
+        return None
+    try:
+        if dt_name in ("bigint", "int", "long", "integer", "short"):
+            return int(value)
+        if dt_name in ("double", "float"):
+            return float(value)
+        if dt_name == "boolean":
+            return bool(value)
+        return str(value) if dt_name == "string" else value
+    except (TypeError, ValueError):
+        return None
+
+
+def redis_lookup_df(
+    spark,
+    host: str,
+    port: int,
+    pattern: str = "*",
+    schema: Optional[StructType] = None,
+    datatype: str = "string",
+):
+    """Load keys matching `pattern` into a DataFrame (lookup.go: values
+    are JSON objects; dataType list = one row per element).  Lookup
+    tables are small dims: load once on the driver, broadcast at the
+    join (the engine's lookup-join policy, catalog kind=lookup)."""
+    cli = RedisClient(host, port)
+    try:
+        rows_raw: list[dict] = []
+        for key in cli.cmd("KEYS", pattern) or []:
+            if datatype == "list":
+                vals = cli.cmd("LRANGE", key, 0, -1) or []
+            else:
+                v = cli.cmd("GET", key)
+                vals = [] if v is None else [v]
+            for v in vals:
+                try:
+                    d = json.loads(v)
+                except ValueError:
+                    d = {"value": v}
+                d.setdefault("key", key)
+                rows_raw.append(d)
+    finally:
+        cli.close()
+    if schema is not None:
+        names = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        data = [tuple(_coerce(d.get(n), t) for n, t in names) for d in rows_raw]
+        return spark.createDataFrame(data, schema)
+    return spark.createDataFrame([json.dumps(d) for d in rows_raw], "string").selectExpr(
+        "value AS json"
+    )
+
+
+# ------------------------------------------------------------------ sink
+def write_redis_sink(
+    df,
+    host: str,
+    port: int,
+    key_field: str,
+    datatype: str = "string",
+    channel: Optional[str] = None,
+) -> None:
+    """SET/LPUSH each row's JSON under its key field (sink.go), or
+    PUBLISH to a channel (redisPub.go) — per partition, executor-side."""
+
+    def _send(rows: Iterator) -> None:
+        cli: Optional[RedisClient] = None
+        for row in rows:
+            if cli is None:
+                cli = RedisClient(host, port)
+            d = row.asDict()
+            payload = json.dumps(d, default=str)
+            if channel:
+                cli.cmd("PUBLISH", channel, payload)
+            elif datatype == "list":
+                cli.cmd("LPUSH", str(d[key_field]), payload)
+            else:
+                cli.cmd("SET", str(d[key_field]), payload)
+        if cli is not None:
+            cli.close()
+
+    df.foreachPartition(_send)
+
+
+# ------------------------------------------------------------------ source
+class _RedisSubStreamReader(SimpleDataSourceStreamReader):
+    """PSUBSCRIBE ingress (redisSub.go): a persistent subscriber in the
+    reader process; each micro-batch drains pending channel messages."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_ = schema
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options["port"])
+        self.channels = str(options.get("channels", "*")).split(",")
+        self.idle = float(options.get("idle", 0.2))
+        self._cli: Optional[RedisClient] = None
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _conn(self) -> RedisClient:
+        if self._cli is None:
+            self._cli = RedisClient(self.host, self.port)
+            self._cli.subscribe(*self.channels)
+        return self._cli
+
+    def read(self, start: dict):
+        names = [(f.name, f.dataType.simpleString()) for f in self.schema_.fields]
+        rows: list[tuple] = []
+        try:
+            cli = self._conn()
+            while True:
+                msg = cli.next_message(timeout=self.idle)
+                if msg is None:
+                    break
+                _, payload = msg
+                try:
+                    data = json.loads(payload)
+                except ValueError:
+                    data = {"value": payload}
+                for d in data if isinstance(data, list) else [data]:
+                    rows.append(tuple(_coerce(d.get(n), t) for n, t in names))
+        except (ConnectionError, OSError):
+            self._cli = None
+        return iter(rows), {"seq": start.get("seq", 0) + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([])  # pubsub is fire-and-forget (at-most-once)
+
+
+class RedisDataSource(DataSource):
+    """readStream format "redis"; options: host, port, channels (comma
+    patterns), idle."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "redis"
+
+    def schema(self):
+        return "value string"
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _RedisSubStreamReader(schema, self.options)

@@ -62,9 +62,10 @@ def _read_exact(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
-def read_frame(sock: socket.socket) -> tuple[int, bytes]:
+def read_frame(sock: socket.socket, first_byte: bytes = b"") -> tuple[int, bytes]:
     """Returns (opcode, payload); unmasks if the peer masked."""
-    b0, b1 = _read_exact(sock, 2)
+    header = first_byte + _read_exact(sock, 2 - len(first_byte))
+    b0, b1 = header
     opcode = b0 & 0x0F
     masked = bool(b1 & 0x80)
     n = b1 & 0x7F
@@ -186,19 +187,27 @@ class WsClient:
         self.sock.sendall(make_frame(OP_TEXT, text.encode(), mask=True))
 
     def recv_text(self, timeout: Optional[float] = None) -> Optional[str]:
-        """Next text message, or None on timeout; answers pings."""
-        self.sock.settimeout(timeout)
-        try:
-            while True:
-                opcode, payload = read_frame(self.sock)
-                if opcode == OP_PING:
-                    self.sock.sendall(make_frame(OP_PONG, payload, mask=True))
-                elif opcode == OP_CLOSE:
-                    raise ConnectionError("peer closed")
-                elif opcode in (OP_TEXT, OP_BINARY):
-                    return payload.decode()
-        except socket.timeout:
-            return None
+        """Next text message, or None on timeout; answers pings.
+
+        The idle timeout applies only to the FIRST byte of a frame; once a
+        frame is in flight the read blocks (with a generous cap) until it
+        completes — a timeout mid-frame would desync the stream."""
+        while True:
+            self.sock.settimeout(timeout)
+            try:
+                first = self.sock.recv(1)
+            except socket.timeout:
+                return None
+            if not first:
+                raise ConnectionError("websocket peer closed")
+            self.sock.settimeout(30.0)
+            opcode, payload = read_frame(self.sock, first_byte=first)
+            if opcode == OP_PING:
+                self.sock.sendall(make_frame(OP_PONG, payload, mask=True))
+            elif opcode == OP_CLOSE:
+                raise ConnectionError("peer closed")
+            elif opcode in (OP_TEXT, OP_BINARY):
+                return payload.decode()
 
     def close(self) -> None:
         try:

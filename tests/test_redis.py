@@ -1,0 +1,150 @@
+"""Redis connectors (internal/io/redis/) over the dependency-free RESP
+codec + in-process MiniRedis: codec, lookup table -> broadcast join,
+sink SET/LPUSH/PUBLISH, and the PSUBSCRIBE streaming source."""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+import uuid as _uuid
+
+import pytest
+
+from ekuiper_spark import Catalog, compile_sql
+from ekuiper_spark.catalog import StreamDef
+from ekuiper_spark.sources.redis import (
+    MiniRedis,
+    RedisClient,
+    decode_reply,
+    encode_command,
+    redis_lookup_df,
+    write_redis_sink,
+)
+
+
+# ------------------------------------------------------------------ codec
+def test_resp_codec_roundtrip():
+    assert encode_command("SET", "k", "v") == b"*3\r\n$3\r\nSET\r\n$1\r\nk\r\n$1\r\nv\r\n"
+    f = io.BytesIO(b"+OK\r\n:42\r\n$3\r\nabc\r\n$-1\r\n*2\r\n$1\r\na\r\n:7\r\n")
+    assert decode_reply(f) == "OK"
+    assert decode_reply(f) == 42
+    assert decode_reply(f) == "abc"
+    assert decode_reply(f) is None
+    assert decode_reply(f) == ["a", 7]
+    with pytest.raises(RuntimeError, match="boom"):
+        decode_reply(io.BytesIO(b"-boom\r\n"))
+
+
+@pytest.fixture()
+def redis_srv():
+    srv = MiniRedis()
+    yield srv
+    srv.close()
+
+
+def test_mini_redis_commands(redis_srv):
+    c = RedisClient("127.0.0.1", redis_srv.port)
+    assert c.cmd("PING") == "PONG"
+    assert c.cmd("SET", "a", "1") == "OK"
+    assert c.cmd("GET", "a") == "1"
+    assert c.cmd("GET", "missing") is None
+    assert c.cmd("LPUSH", "l", "x", "y") == 2
+    assert c.cmd("LRANGE", "l", 0, -1) == ["y", "x"]
+    assert c.cmd("KEYS", "*") == ["a", "l"]
+    assert c.cmd("DEL", "a") == 1
+    c.close()
+
+
+def test_pubsub(redis_srv):
+    sub = RedisClient("127.0.0.1", redis_srv.port)
+    sub.subscribe("news.*")
+    pub = RedisClient("127.0.0.1", redis_srv.port)
+    assert pub.cmd("PUBLISH", "news.sports", "hello") == 1
+    assert pub.cmd("PUBLISH", "weather", "nope") == 0
+    assert sub.next_message(timeout=5) == ("news.sports", "hello")
+    sub.close()
+    pub.close()
+
+
+# ------------------------------------------------------------------ lookup
+def test_redis_lookup_join(spark, catalog, redis_srv):
+    c = RedisClient("127.0.0.1", redis_srv.port)
+    for uid, tier in [(1, "gold"), (2, "silver")]:
+        c.cmd("SET", f"user:{uid}", json.dumps({"uid": uid, "tier": tier}))
+    c.close()
+    cat = Catalog()
+    cat.register_df("events", catalog.load(spark, "events"))
+    cat.register(
+        StreamDef(
+            name="tiers", path="user:*", kind="lookup",
+            schema=compile_sql(spark, "SELECT event_id FROM events", catalog)
+            .sparkSession.createDataFrame([], "uid long, tier string").schema,
+            options={"type": "redis", "port": redis_srv.port},
+        )
+    )
+    out = compile_sql(
+        spark,
+        "SELECT e.event_id, t.tier FROM events e INNER JOIN tiers t "
+        "ON e.user_id = t.uid WHERE e.value > 195",
+        cat,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # lookup tables broadcast
+    rows = out.collect()
+    assert rows and all(r["tier"] in ("gold", "silver") for r in rows)
+
+
+# ------------------------------------------------------------------ sink
+def test_redis_sink_set_and_publish(spark, redis_srv):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    write_redis_sink(df, "127.0.0.1", redis_srv.port, key_field="id")
+    c = RedisClient("127.0.0.1", redis_srv.port)
+    assert json.loads(c.cmd("GET", "1"))["s"] == "a"
+    assert json.loads(c.cmd("GET", "2"))["s"] == "b"
+    # publish mode
+    sub = RedisClient("127.0.0.1", redis_srv.port)
+    sub.subscribe("out")
+    write_redis_sink(df, "127.0.0.1", redis_srv.port, key_field="id", channel="out")
+    got = {json.loads(sub.next_message(timeout=5)[1])["id"] for _ in range(2)}
+    assert got == {1, 2}
+    sub.close()
+    c.close()
+
+
+# ------------------------------------------------------------------ source
+def test_redis_subscribe_source_stream(spark, redis_srv):
+    from ekuiper_spark.sources.redis import RedisDataSource
+
+    try:
+        spark.dataSource.register(RedisDataSource)
+    except Exception:
+        pass
+    sdf = (
+        spark.readStream.schema("k string, v bigint")
+        .format("redis")
+        .option("host", "127.0.0.1")
+        .option("port", redis_srv.port)
+        .option("channels", "data.*")
+        .load()
+    )
+    name = "t_redis_" + _uuid.uuid4().hex[:6]
+    q = (
+        sdf.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(processingTime="300 milliseconds").start()
+    )
+    try:
+        pub = RedisClient("127.0.0.1", redis_srv.port)
+        deadline = time.time() + 20
+        sent = 0
+        got = 0
+        while time.time() < deadline and got < 3:
+            if sent < 10:
+                pub.cmd("PUBLISH", "data.in", json.dumps({"k": f"m{sent}", "v": sent}))
+                sent += 1
+            time.sleep(0.5)
+            got = spark.table(name).count()
+        pub.close()
+        assert got >= 3
+    finally:
+        q.stop()
