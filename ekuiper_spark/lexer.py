@@ -58,7 +58,10 @@ def tokenize(sql: str) -> list[Token]:
         elif m.group("bident"):
             out.append(Token("ident", m.group("bident")[1:-1], m.start()))
         elif m.group("dident"):
-            out.append(Token("ident", m.group("dident")[1:-1], m.start()))
+            # double quotes are STRING literals in the reference dialect
+            # (lexical.go isQuotation: both quote styles scan as strings);
+            # backquotes remain the identifier-quoting form
+            out.append(Token("string", m.group("dident")[1:-1], m.start()))
         elif m.group("ident"):
             v = m.group("ident")
             kind = "keyword" if v.lower() in KEYWORDS else "ident"

@@ -148,7 +148,7 @@ class Translator:
         # passing the plain conjuncts are numbered, and last_hit_count is
         # the count of prior emissions.
         if stmt.where is not None:
-            pre, agg_conjs, hit_conjs = self._split_where(stmt.where)
+            pre, agg_conjs, hit_conjs = self._split_where(stmt.where, ctx.aliases)
             if pre is not None:
                 df = df.filter(self._expr(pre, ctx))
             for c in agg_conjs:
@@ -297,24 +297,30 @@ class Translator:
     _HIT_FNS = ("last_hit_count", "last_hit_time", "last_agg_hit_count", "last_agg_hit_time")
 
     @staticmethod
-    def _has_hit_fn(n: Node) -> bool:
+    def _has_hit_fn(n: Node, aliases: Optional[dict] = None) -> bool:
+        a = aliases or {}
+        if isinstance(n, ColumnRef) and n.source is None and n.name.lower() in a:
+            # a select alias of a hit expression counts (`lc < 2` where
+            # `last_hit_count() as lc`, rule_test.go:1338)
+            return Translator._has_hit_fn(a[n.name.lower()], a)
         if isinstance(n, FuncCall):
             if n.name in Translator._HIT_FNS:
                 return True
-            return any(Translator._has_hit_fn(a) for a in n.args)
+            return any(Translator._has_hit_fn(x, a) for x in n.args)
         if isinstance(n, Binary):
-            return Translator._has_hit_fn(n.left) or Translator._has_hit_fn(n.right)
+            return Translator._has_hit_fn(n.left, a) or Translator._has_hit_fn(n.right, a)
         if isinstance(n, Unary):
-            return Translator._has_hit_fn(n.operand)
+            return Translator._has_hit_fn(n.operand, a)
         if isinstance(n, (Index, Slice, Access, JsonPath)):
-            return Translator._has_hit_fn(n.expr)
+            return Translator._has_hit_fn(n.expr, a)
         if isinstance(n, (Between, Like, InExpr)):
-            return Translator._has_hit_fn(n.expr)
+            return Translator._has_hit_fn(n.expr, a)
         return False
 
-    def _split_where(self, where: Node):
+    def _split_where(self, where: Node, aliases: Optional[dict] = None):
         """Split WHERE conjuncts into (plain predicate, [agg-bearing],
-        [last_hit_*-bearing])."""
+        [last_hit_*-bearing]); alias map resolves select aliases when
+        classifying."""
         conjs: list[Node] = []
 
         def flatten(n: Node) -> None:
@@ -326,7 +332,7 @@ class Translator:
 
         flatten(where)
         aggy = [c for c in conjs if self._find_aggs(c)]
-        hitty = [c for c in conjs if not self._find_aggs(c) and self._has_hit_fn(c)]
+        hitty = [c for c in conjs if not self._find_aggs(c) and self._has_hit_fn(c, aliases)]
         plain = [c for c in conjs if c not in aggy and c not in hitty]
         pre: Optional[Node] = None
         for c in plain:
@@ -797,6 +803,25 @@ class Translator:
             ctx.window_col = "window"
             return df, ["window"]
         if w.kind == "hopping":
+            if w.args[1] > w.args[0]:
+                # sparse hopping (interval > length, TestHoppingWindowSQL1/3
+                # in rule_test.go): windows at k*interval covering
+                # [k*interval, k*interval+length); Spark's window() rejects
+                # slide > duration, so membership is a filter + derived
+                # bucket (rows between windows drop)
+                length_us = int(w.args[0] * UNIT_SECONDS[w.unit] * 1_000_000)
+                hop_us = int(w.args[1] * UNIT_SECONDS[w.unit] * 1_000_000)
+                e = epoch_us(ecol)
+                wstart = F.floor(e / hop_us) * hop_us
+                df = df.filter(e < wstart + length_us).withColumn(
+                    "window",
+                    F.struct(
+                        F.timestamp_micros(wstart).alias("start"),
+                        F.timestamp_micros(wstart + length_us).alias("end"),
+                    ),
+                )
+                ctx.window_col = "window"
+                return df, ["window"]
             dur, hop = self._dur(w, 0), self._dur(w, 1)
             df = df.withColumn("window", F.window(ecol, dur, hop))
             ctx.window_col = "window"
@@ -1630,7 +1655,12 @@ class Translator:
             ec = ctx.event_col
             if ec is None:
                 raise ValueError(f"{name}() needs an event-time column / time window")
-            return F.lag(F.col(ec)).over(W.orderBy(*order))
+            prev = F.lag(F.col(ec)).over(W.orderBy(*order))
+            if ctx.event_is_long:
+                # reference returns the Go zero value 0 before any emission
+                # (funcs_global_state.go), not null
+                prev = F.coalesce(prev, F.lit(0))
+            return prev
 
         if name.startswith("acc_"):
             # accumulating aggregates: running totals across rows/windows,

@@ -129,9 +129,11 @@ def test_order_limit():
 
 
 def test_quoted_reserved_identifier():
+    # backquotes quote identifiers; double quotes are STRING literals
+    # (reference lexical.go isQuotation — both quote styles scan strings)
     st = parse_sql('SELECT `from`, "select" FROM d')
     assert st.fields[0].expr.name == "from"
-    assert st.fields[1].expr.name == "select"
+    assert st.fields[1].expr.value == "select"
 
 
 def test_string_escape():

@@ -335,3 +335,91 @@ def test_count_window_keyed_order(spark, demo_cat):
     )
     rows = [(r["color"], r["c"]) for r in df.collect()]
     assert rows[0] == ("blue", 2) and ("yellow", 1) in rows
+
+
+DEMOE_ROWS = [
+    # (color, size, ts) — arrival order per mock_data.go demoE; the 4th
+    # row is the reference's watermark-dropped late arrival (windowless
+    # batch rules process it in ts order instead)
+    ("red", 3, 1541152486013),
+    ("blue", 2, 1541152487632),
+    ("red", 1, 1541152489252),
+    ("blue", 6, 1541152486822),
+    ("yellow", 4, 1541152488442),
+    ("yellow", 4, 1541152492342),
+]
+
+
+@pytest.fixture(scope="module")
+def demoe_cat(spark):
+    cat = Catalog()
+    cat.register_df(
+        "demoE", spark.createDataFrame(DEMOE_ROWS, "color string, size long, ts long")
+    )
+    return cat
+
+
+def test_wildcard_upper_event_time(spark, demo_cat):
+    # rule_test.go:628 — `SELECT *, upper(color), event_time() FROM demo`:
+    # unaliased calls project under their function name; event_time() is
+    # the row's event timestamp (long ms here)
+    df = run(spark, demo_cat, "SELECT *, upper(color), event_time() FROM demo")
+    rows = sorted((r["ts"], r["upper"], r["event_time"]) for r in df.collect())
+    assert rows == [
+        (1541152486013, "RED", 1541152486013),
+        (1541152486822, "BLUE", 1541152486822),
+        (1541152487632, "BLUE", 1541152487632),
+        (1541152488442, "YELLOW", 1541152488442),
+        (1541152489252, "RED", 1541152489252),
+    ]
+
+
+def test_last_hit_time_and_alias_in_where(spark, demoe_cat):
+    # rule_test.go:1338 — select aliases referenced from WHERE (lc < 2),
+    # last_hit_time() defaulting to 0 (Go zero) before any emission, and
+    # event_time() per emitted row
+    df = run(
+        spark, demoe_cat,
+        "SELECT *, last_hit_time() as lt, last_hit_count() as lc, "
+        "event_time() as et FROM demoE WHERE size < 3 AND lc < 2",
+    )
+    rows = [(r["color"], r["size"], r["lc"], r["lt"], r["et"]) for r in df.orderBy("ts").collect()]
+    assert rows == [
+        ("blue", 2, 0, 0, 1541152487632),
+        ("red", 1, 1, 1541152487632, 1541152489252),
+    ]
+
+
+def test_case_when_double_quoted_strings(spark, demo_cat):
+    # rule_test.go — CASE WHEN with double-quoted string literals
+    df = run(
+        spark, demo_cat,
+        'SELECT color, CASE WHEN size < 2 THEN "S" WHEN size < 4 THEN "M" '
+        'ELSE "L" END as s, ts FROM demo',
+    )
+    rows = sorted((r["ts"], r["color"], r["s"]) for r in df.collect())
+    assert rows == [
+        (1541152486013, "red", "M"),
+        (1541152486822, "blue", "L"),
+        (1541152487632, "blue", "M"),
+        (1541152488442, "yellow", "L"),
+        (1541152489252, "red", "S"),
+    ]
+
+
+def test_sparse_hopping_window(spark, demoe_cat):
+    # HOPPINGWINDOW(ss, 3, 5): interval > length (TestHoppingWindowSQL1's
+    # shape) — epoch-aligned windows [k*5s, k*5s+3s); rows in the 2s gaps
+    # drop.  ts seconds: 486.013 487.632 [window 485-488]; 489.252 and
+    # 488.442 fall in the gap [488, 490); 486.822 in 485-488; 492.342 in
+    # 490-493.
+    df = run(
+        spark, demoe_cat,
+        "SELECT window_start() AS ws, count(*) AS n "
+        "FROM demoE GROUP BY HOPPINGWINDOW(ss, 3, 5)",
+    )
+    rows = sorted((r["ws"], r["n"]) for r in df.collect())
+    assert rows == [
+        (1541152485000, 3),  # 486.013, 486.822, 487.632
+        (1541152490000, 1),  # 492.342
+    ]
