@@ -1,0 +1,166 @@
+"""Property-based tests (hypothesis) for the pure-Python protocol codecs
+and the mathematical derivations the engine's constructions rest on.
+These run without Spark, so hundreds of examples are cheap."""
+
+from __future__ import annotations
+
+import io
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ------------------------------------------------------------------ MQTT
+from ekuiper_spark.sources.mqtt import encode_varlen, make_publish, parse_publish
+
+
+@given(st.integers(min_value=0, max_value=268_435_455))
+def test_mqtt_varlen_roundtrip(n):
+    data = encode_varlen(n)
+    # decode per spec
+    val, mult, i = 0, 1, 0
+    while True:
+        b = data[i]
+        val += (b & 0x7F) * mult
+        if not b & 0x80:
+            break
+        mult *= 128
+        i += 1
+    assert val == n and len(data) == i + 1
+
+
+@given(
+    st.text(min_size=1, max_size=60).filter(lambda s: "\x00" not in s),
+    st.binary(max_size=200),
+    st.integers(0, 2),
+    st.booleans(),
+)
+def test_mqtt_publish_roundtrip(topic, payload, qos, retain):
+    mid = 7 if qos else 0
+    pkt = make_publish(topic, payload, qos=qos, retain=retain, mid=mid)
+    # skip the varlen remaining-length header
+    i = 1
+    while pkt[i] & 0x80:
+        i += 1
+    t, p, q, m, r = parse_publish(pkt[0] & 0x0F, pkt[i + 1 :])
+    assert (t, p, q, r) == (topic, payload, qos, retain)
+    if qos:
+        assert m == mid
+
+
+# ------------------------------------------------------------------ RESP
+from ekuiper_spark.sources.redis import decode_reply, encode_command
+
+
+@given(st.lists(st.text(max_size=50), min_size=1, max_size=8))
+def test_resp_command_roundtrip(args):
+    f = io.BytesIO(encode_command(*args))
+    assert decode_reply(f) == args
+
+
+# ------------------------------------------------------------------ WS
+from ekuiper_spark.sources.websocket import OP_TEXT, make_frame, read_frame
+
+
+class _FakeSock:
+    def __init__(self, data: bytes) -> None:
+        self._b = io.BytesIO(data)
+
+    def recv(self, n: int) -> bytes:
+        return self._b.read(n)
+
+
+@given(st.binary(max_size=70_000), st.booleans())
+@settings(max_examples=50)
+def test_ws_frame_roundtrip(payload, mask):
+    opcode, out = read_frame(_FakeSock(make_frame(OP_TEXT, payload, mask)))
+    assert opcode == OP_TEXT and out == payload
+
+
+# ------------------------------------------------------------------ cron
+from datetime import datetime, timedelta
+
+from ekuiper_spark.streaming.scheduler import cron_matches
+
+
+@given(
+    st.datetimes(
+        min_value=datetime(2020, 1, 1), max_value=datetime(2030, 1, 1)
+    ),
+    st.integers(1, 30),
+)
+def test_cron_step_fields_match_arithmetic(dt, step):
+    # */step on the minute field == (minute % step == 0)
+    assert cron_matches(f"*/{step} * * * *", dt) == (dt.minute % step == 0)
+
+
+# ------------------------------------------------------- go durations
+from ekuiper_spark.functions.scalar import parse_go_duration
+
+
+@given(st.integers(0, 48), st.integers(0, 59), st.integers(0, 59), st.integers(0, 999))
+def test_go_duration_composition(h, m, s, ms):
+    total = parse_go_duration(f"{h}h{m}m{s}s{ms}ms")
+    assert abs(total - (h * 3600 + m * 60 + s + ms / 1000)) < 1e-9
+
+
+# ------------------------------------------- capped-session derivation
+def _greedy_sessions(ts: list[int], cap: int, timeout: int) -> list[list[int]]:
+    """Direct simulation of the engine's capped-session semantics: extend
+    while gap <= timeout; force-close (half-open) at the first grid tick
+    T = k*cap with T - start > cap; next session starts at the next
+    event."""
+    out: list[list[int]] = []
+    cur: list[int] = []
+    close_tick = None
+    for t in sorted(ts):
+        if cur:
+            if t - cur[-1] > timeout or t >= close_tick:
+                out.append(cur)
+                cur = []
+        if not cur:
+            close_tick = (t // cap + 2) * cap
+        cur.append(t)
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _parity_sessions(ts: list[int], cap: int, timeout: int) -> list[list[int]]:
+    """The window-function construction used in Spark AND the DuckDB
+    oracle: timeout gaps-and-islands, then within an island pair
+    consecutive occupied cap-grid buckets (run parity)."""
+    ts = sorted(ts)
+    # islands
+    islands: list[list[int]] = []
+    for t in ts:
+        if islands and t - islands[-1][-1] <= timeout:
+            islands[-1].append(t)
+        else:
+            islands.append([t])
+    out: list[list[int]] = []
+    for isl in islands:
+        # runs of consecutive occupied buckets
+        buckets = sorted({t // cap for t in isl})
+        run_first: dict[int, int] = {}
+        for b in buckets:
+            run_first[b] = run_first[b - 1] if b - 1 in run_first else b
+        key = lambda t: (
+            run_first[t // cap],
+            (t // cap - run_first[t // cap]) // 2,
+        )
+        groups: dict = {}
+        for t in isl:
+            groups.setdefault(key(t), []).append(t)
+        out.extend(groups[k] for k in sorted(groups))
+    return out
+
+
+@given(
+    st.lists(st.integers(0, 5_000), min_size=1, max_size=60, unique=True),
+    st.integers(10, 400),
+    st.integers(1, 300),
+)
+@settings(max_examples=300)
+def test_capped_session_parity_equals_greedy(ts, cap, timeout):
+    assert _parity_sessions(ts, cap, timeout) == _greedy_sessions(ts, cap, timeout)
