@@ -387,11 +387,14 @@ class Translator:
         ctx.source_aliases.add(left_alias.lower())
         for j in stmt.joins:
             r_alias = j.alias or j.source
-            if self.streaming and self._is_stream_source(j.source):
+            if self._is_stream_source(j.source):
                 # stream-stream join: the reference only allows it within a
                 # window (planner.go:734-735 "a time window or count window
-                # is required to join multiple streams"); Spark analog is a
-                # watermarked equi-join on the window bucket
+                # is required to join multiple streams") and the window
+                # GATES the join — cross-window pairs never meet.  Spark
+                # analog: an equi-join on the window bucket (watermarked in
+                # streaming).  Scan/lookup TABLE sides below stay ungated
+                # (side-input semantics).
                 df = self._stream_stream_join(df, stmt, j, ctx, left_alias)
                 continue
             rdf = self.catalog.load(self.spark, j.source, streaming=False).alias(r_alias)
@@ -447,7 +450,9 @@ class Translator:
                 f"streaming stream-stream {j.kind} join is unsupported"
             )
         r_alias = j.alias or j.source
-        rdf = self.catalog.load(self.spark, j.source, streaming=True).alias(r_alias)
+        rdf = self.catalog.load(
+            self.spark, j.source, streaming=self.streaming
+        ).alias(r_alias)
         ctx.source_aliases.add(r_alias.lower())
         sdef = self.catalog.get(stmt.source)
         lec = self.event_col or (sdef.timestamp_col if sdef else None) or (
@@ -460,13 +465,13 @@ class Translator:
         if lec is None or rec is None:
             raise ValueError("stream-stream join requires event-time columns")
         dur = self._dur(window, 0)
-        wm = self.watermark or "0 seconds"
-        ldf = df.withWatermark(lec, wm).withColumn(
-            "__ssw", F.window(F.col(f"{left_alias}.{lec}"), dur)
-        )
-        rdf = rdf.withWatermark(rec, wm).withColumn(
-            "__ssw_r", F.window(F.col(f"{r_alias}.{rec}"), dur)
-        )
+        ldf, rdf_w = df, rdf
+        if self.streaming:
+            wm = self.watermark or "0 seconds"
+            ldf = ldf.withWatermark(lec, wm)
+            rdf_w = rdf_w.withWatermark(rec, wm)
+        ldf = ldf.withColumn("__ssw", F.window(F.col(f"{left_alias}.{lec}"), dur))
+        rdf = rdf_w.withColumn("__ssw_r", F.window(F.col(f"{r_alias}.{rec}"), dur))
         cond = (F.col("__ssw") == F.col("__ssw_r")) & self._expr(j.on, ctx)
         out = ldf.join(rdf, on=cond, how=j.kind).drop("__ssw_r")
         ctx.join_window_col = "__ssw"

@@ -92,3 +92,25 @@ def test_windowed_stream_stream_join_with_agg(spark, two_streams):
     q.awaitTermination()
     got = sorted((r["ws"], r["n"]) for r in spark.table(name).collect())
     assert got == [(_t(0), 2), (_t(60), 1)]
+
+
+def test_batch_mode_two_stream_join_is_window_gated(spark, two_streams):
+    """Batch runs of a two-STREAM rule apply the same window gating:
+    cross-window pairs (u1 t5 x u1 t100, buckets 0 vs 1) never join,
+    matching the streaming result exactly."""
+    out = compile_sql(
+        spark,
+        "SELECT s1.user_id AS uid, s1.value AS v, s2.tag AS tag FROM s1 "
+        "INNER JOIN s2 ON s1.user_id = s2.user_id GROUP BY TUMBLINGWINDOW(ss, 60)",
+        two_streams,
+        streaming=False,
+    )
+    got = sorted((r["uid"], r["v"], r["tag"]) for r in out.collect())
+    assert got == [(1, 10.0, "a"), (1, 20.0, "b"), (2, 30.0, "c")]
+    with pytest.raises(NotImplementedError, match="time window is required"):
+        compile_sql(
+            spark,
+            "SELECT s1.user_id FROM s1 INNER JOIN s2 ON s1.user_id = s2.user_id",
+            two_streams,
+            streaming=False,
+        )
