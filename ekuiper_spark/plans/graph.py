@@ -171,6 +171,32 @@ class GraphRulePlanner:
             return df.orderBy(*sorts)
         if node_type == "switch":
             return df  # routing handled per-edge in upstream_df
+        if node_type == "watermark":
+            # event-time watermark insertion (planner_graph.go "watermark",
+            # NewWatermarkOp); bounded batch replays need no watermark
+            if df.isStreaming:
+                ec = "ts" if "ts" in df.columns else None
+                tol = str(props.get("lateTolerance", "0 seconds"))
+                if ec:
+                    return df.withWatermark(ec, tol)
+            return df
+        if node_type == "aggfunc":
+            # aggregate transform (planner_graph.go "aggfunc": a function
+            # node with IsAgg — requires windowed/grouped input in the
+            # reference; over a bounded frame it reduces the whole frame,
+            # or each window if one is pending upstream)
+            specs = props.get("exprs") or [props["expr"]]
+            dims = []
+            if getattr(self, "_pending_window", None):
+                dims.append(self._pending_window)
+                self._pending_window = None
+            sql = f"SELECT {', '.join(specs)} FROM __graph_input__"
+            if dims:
+                sql += " GROUP BY " + ", ".join(dims)
+            tmp_cat = Catalog()
+            tmp_cat.register_df("__graph_input__", df)
+            tr = Translator(self.spark, tmp_cat, streaming=False)
+            return tr.compile(parse_sql(sql))
         raise ValueError(f"unknown graph node type: {node_type}")
 
     def _apply_join(self, left: DataFrame, right: DataFrame, props: dict[str, Any]) -> DataFrame:

@@ -569,7 +569,7 @@ class Translator:
                     conjs.append(n)
 
             flatten(stmt.having)
-            hitty = [c for c in conjs if self._has_hit_fn(c)]
+            hitty = [c for c in conjs if self._has_hit_fn(c, ctx.aliases)]
             plain = [c for c in conjs if c not in hitty]
             pre: Optional[Node] = None
             for c in plain:

@@ -820,3 +820,38 @@ def test_sliding_left_exclusive_boundary(spark):
     # row 2's frame (t-1h, t] excludes row 1 (exactly 1h old); row 3's
     # frame includes row 2 but not row 1 (1h + 30s old)
     assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_graph_aggfunc_and_watermark_nodes(spark, catalog):
+    """planner_graph.go "aggfunc" (function with IsAgg over the windowed
+    collection) and "watermark" (no-op on bounded replays) nodes."""
+    from ekuiper_spark.plans.graph import GraphRulePlanner
+
+    g = GraphRulePlanner(spark, catalog)
+    out = g.plan(
+        {
+            "nodes": {
+                "src": {"type": "source", "props": {"datasource": "events"}},
+                "wm": {"type": "operator", "nodeType": "watermark",
+                       "props": {"lateTolerance": "5 seconds"}},
+                "win": {"type": "operator", "nodeType": "window",
+                        "props": {"windowType": "tumblingwindow",
+                                  "unit": "hh", "size": 1}},
+                "agg": {"type": "operator", "nodeType": "aggfunc",
+                        "props": {"expr": "round(avg(value), 4) AS avg_v"}},
+            },
+            "topo": {"sources": ["src"],
+                     "edges": {"src": ["wm"], "wm": ["win"], "win": ["agg"]}},
+        }
+    )
+    rows = sorted(r["avg_v"] for r in out["agg"].collect())
+    sql_rows = sorted(
+        r["avg_v"]
+        for r in compile_sql(
+            spark,
+            "SELECT round(avg(value), 4) AS avg_v FROM events "
+            "GROUP BY TUMBLINGWINDOW(hh, 1)",
+            catalog,
+        ).collect()
+    )
+    assert rows == sql_rows and len(rows) > 100
