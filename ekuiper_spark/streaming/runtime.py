@@ -45,6 +45,7 @@ class RuleRuntime:
         self.rules: dict[str, Rule] = {}
         self.queries: dict[str, Any] = {}
         self.schedulers: dict[str, Any] = {}
+        self.restarts: dict[str, int] = {}
 
     def create_rule(self, rule: Rule) -> None:
         if rule.id in self.rules:
@@ -86,7 +87,52 @@ class RuleRuntime:
             timer = threading.Timer(parse_go_duration(duration), q.stop)
             timer.daemon = True
             timer.start()
+        strategy = opts.get("restartStrategy")
+        if strategy:
+            self._monitor_restart(rule_id, strategy, available_now)
         return q
+
+    def _monitor_restart(
+        self, rule_id: str, strategy: dict[str, Any], available_now: bool
+    ) -> None:
+        """Auto-restart on failure with exponential backoff
+        (def.RestartStrategy, rule.go: attempts/delay/multiplier/maxDelay/
+        jitterFactor; state machine topo/rule/state.go).  A clean stop
+        (no exception) ends monitoring."""
+        import random
+        import threading
+        import time
+
+        from ekuiper_spark.functions.scalar import parse_go_duration
+
+        attempts = int(strategy.get("attempts", 0))
+        delay = parse_go_duration(str(strategy.get("delay", "1s")))
+        multiplier = float(strategy.get("multiplier", 2.0))
+        max_delay = parse_go_duration(str(strategy.get("maxDelay", "30s")))
+        jitter = float(strategy.get("jitterFactor", 0.1))
+        self.restarts[rule_id] = 0
+
+        def run() -> None:
+            wait = delay
+            while self.restarts[rule_id] < attempts:
+                q = self.queries.get(rule_id)
+                if q is None:
+                    return
+                try:
+                    q.awaitTermination()
+                except Exception:
+                    pass
+                if q.exception() is None:
+                    return  # clean stop/finish
+                self.restarts[rule_id] += 1
+                time.sleep(min(wait, max_delay) * (1 + jitter * random.random()))
+                wait *= multiplier
+                try:
+                    self.queries[rule_id] = self._start_query(rule_id, available_now)
+                except Exception:
+                    continue
+
+        threading.Thread(target=run, daemon=True).start()
 
     def _start_query(self, rule_id: str, available_now: bool = False) -> Any:
         import time

@@ -125,3 +125,35 @@ def test_cron_rule_outside_datetime_range_never_fires(spark, catalog):
     assert sched.runs == 0
     assert rt.status("cr2")["state"] == "scheduled"
     rt.stop_rule("cr2")
+
+
+def test_restart_strategy_recovers_failing_rule(spark, catalog, tmp_path):
+    """def.RestartStrategy: a rule whose sink fails on the first run is
+    restarted with backoff and completes on the retry."""
+    import os
+
+    marker = str(tmp_path / "failed_once")
+    seen = []
+
+    def flaky_sink(batch_df, epoch):
+        if not os.path.exists(marker):
+            open(marker, "w").write("x")
+            raise RuntimeError("injected first-run failure")
+        seen.append(batch_df.count())
+
+    rt = RuleRuntime(spark, catalog)
+    rt.create_rule(
+        Rule(
+            id="rs1",
+            sql="SELECT event_id FROM events WHERE value > 150",
+            actions=[{"foreach_batch": {"fn": flaky_sink}}],
+            options={"restartStrategy": {"attempts": 3, "delay": "500ms"}},
+        )
+    )
+    rt.start_rule("rs1", available_now=True)
+    deadline = time.time() + 60
+    while time.time() < deadline and not seen:
+        time.sleep(0.5)
+    rt.stop_rule("rs1")
+    assert seen and seen[0] > 0
+    assert rt.restarts["rs1"] == 1
