@@ -179,6 +179,30 @@ class Catalog:
         if d is None:
             raise KeyError(f"unknown stream/table: {name}")
         src_type = (d.options.get("type") or "").lower()
+        if src_type == "memory":
+            # memory source with MQTT-style topic wildcards (reference
+            # pubsub manager.go regex subs): union every registered frame
+            # and memory-sink table whose topic matches DATASOURCE
+            from ekuiper_spark.sources.mqtt import topic_matches
+
+            pattern = d.path or d.name
+            names = set(self._dfs)
+            try:
+                names |= {
+                    t.name for t in spark.catalog.listTables() if t.isTemporary
+                }
+            except Exception:
+                pass
+            matches = sorted(n for n in names if topic_matches(pattern, n))
+            if not matches:
+                raise KeyError(f"no memory topics match {pattern!r}")
+            frames = [
+                self._dfs[m] if m in self._dfs else spark.table(m) for m in matches
+            ]
+            out = frames[0]
+            for x in frames[1:]:
+                out = out.unionByName(x, allowMissingColumns=True)
+            return out
         if src_type == "kafka":
             # native Spark connector (sources/kafka.py); DATASOURCE = topic
             from ekuiper_spark.sources.kafka import kafka_stream_reader

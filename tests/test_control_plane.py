@@ -855,3 +855,46 @@ def test_graph_aggfunc_and_watermark_nodes(spark, catalog):
         ).collect()
     )
     assert rows == sql_rows and len(rows) > 100
+
+
+def test_memory_source_topic_wildcards(spark, catalog):
+    """Memory source with MQTT-style wildcards (pubsub manager.go regex
+    subscriptions): `sensors/#` unions every matching registered topic;
+    rule chaining reads a memory-sink table through the same path."""
+    import uuid as _uuid
+
+    from ekuiper_spark.catalog import Catalog, StreamDef
+
+    cat = Catalog()
+    a = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    b = spark.createDataFrame([(2, 20.0), (3, 30.0)], "id long, v double")
+    cat.register_df("sensors/roomA", a)
+    cat.register_df("sensors/roomB", b)
+    cat.register_df("other/roomC", spark.createDataFrame([(9, 0.0)], "id long, v double"))
+    cat.register(
+        StreamDef(name="allsensors", path="sensors/#", kind="scan",
+                  options={"type": "memory"})
+    )
+    df = compile_sql(spark, "SELECT id, v FROM allsensors WHERE v > 5", cat)
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+
+    # chaining: rule A's memory sink table is visible to a memory source
+    table = "chain_" + _uuid.uuid4().hex[:6]
+    from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
+
+    rt = RuleRuntime(spark, catalog)
+    rt.create_rule(
+        Rule(id="chainA", sql="SELECT event_id, value FROM events WHERE value > 190",
+             actions=[{"memory": {"table": table}}])
+    )
+    q = rt.start_rule("chainA", available_now=True)
+    q.awaitTermination()
+    cat.register(
+        StreamDef(name="chained", path=table, kind="scan", options={"type": "memory"})
+    )
+    n = compile_sql(spark, "SELECT count(*) AS n FROM chained", cat).first()["n"]
+    expected = compile_sql(
+        spark, "SELECT count(*) AS n FROM events WHERE value > 190", catalog
+    ).first()["n"]
+    assert n == expected > 0
+    rt.stop_rule("chainA")

@@ -114,3 +114,26 @@ def test_batch_mode_two_stream_join_is_window_gated(spark, two_streams):
             two_streams,
             streaming=False,
         )
+
+
+def test_windowed_stream_stream_left_join(spark, two_streams):
+    """LEFT stream-stream join: unmatched left rows emit nulls once the
+    watermark passes their window (u3 t70 has no s2 match in bucket 1)."""
+    out = compile_sql(
+        spark,
+        "SELECT s1.user_id AS uid, s2.tag AS tag FROM s1 "
+        "LEFT JOIN s2 ON s1.user_id = s2.user_id GROUP BY TUMBLINGWINDOW(ss, 60)",
+        two_streams,
+        streaming=True,
+    )
+    name = "t_sslj_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["uid"], r["tag"]) for r in spark.table(name).collect()
+        if r["uid"] != 99  # watermark sentinel
+    )
+    assert got == [(1, "a"), (1, "b"), (2, "c"), (3, None)]
