@@ -972,35 +972,47 @@ class Translator:
         order = [F.col(c) for c in ctx.order_cols]
         c0 = ctx.order_cols[0]
         dt = df.schema[c0].dataType
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            key = epoch_us(F.col(c0))
-        else:
-            key = F.col(c0).cast("double")
+        is_ts = isinstance(dt, (T.TimestampType, T.TimestampNTZType))
+        key = epoch_us(F.col(c0)) if is_ts else F.col(c0).cast("double")
         parallelism = self.spark.sparkContext.defaultParallelism or 32
-        kdf = df.select(key.cast("double").alias("__gk"))
-        probs = [i / parallelism for i in range(1, parallelism)]
-        # boundaries only steer partition balance; 1% error is plenty
-        boundaries = sorted(set(kdf.approxQuantile("__gk", probs, 0.01)))
-        bucket: Column = F.lit(0)
-        for b in boundaries:
-            bucket = bucket + F.when(key.cast("double") > F.lit(b), 1).otherwise(0)
-        bdf = df.withColumn("__gbk", bucket)
-        counts = bdf.groupBy("__gbk").agg(F.count(F.lit(1)).alias("c")).collect()
+        counts = None
+        if is_ts:
+            # timestamp keys: a fixed hour grid needs NO boundary job —
+            # counts-per-hour is the single extra pass
+            bucket = F.floor(key / F.lit(3_600_000_000))
+            bdf = df.withColumn("__gbk", bucket)
+            counts = bdf.groupBy("__gbk").agg(F.count(F.lit(1)).alias("c")).collect()
+            if len(counts) <= 2:
+                counts = None  # sub-hour span: fall through to quantiles
+        if counts is None:
+            kdf = df.select(key.cast("double").alias("__gk"))
+            probs = [i / parallelism for i in range(1, parallelism)]
+            # boundaries only steer partition balance; 1% error is plenty
+            boundaries = sorted(set(kdf.approxQuantile("__gk", probs, 0.01)))
+            bucket = F.lit(0)
+            for b in boundaries:
+                bucket = bucket + F.when(key.cast("double") > F.lit(b), 1).otherwise(0)
+            bdf = df.withColumn("__gbk", bucket)
+            counts = bdf.groupBy("__gbk").agg(F.count(F.lit(1)).alias("c")).collect()
         offsets: dict[int, int] = {}
         running = 0
         for row in sorted(counts, key=lambda r: r["__gbk"]):
             offsets[row["__gbk"]] = running
             running += row["c"]
-        pairs: list[Column] = []
-        for bk, off in offsets.items():
-            pairs.extend([F.lit(bk), F.lit(off)])
-        off_col = (
-            F.coalesce(F.create_map(*pairs)[F.col("__gbk")], F.lit(0))
-            if pairs
-            else F.lit(0)
-        )
-        rn = F.row_number().over(W.partitionBy("__gbk").orderBy(*order)) + off_col
-        return bdf.withColumn("__grn", rn).drop("__gbk"), "__grn"
+        # offsets attach via a broadcast join (a create_map literal scans
+        # linearly per row — at hundreds of buckets that dominates)
+        if offsets:
+            off_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(int(bk), int(off)) for bk, off in offsets.items()],
+                    "__gbk long, __goff long",
+                )
+            )
+            bdf = bdf.join(off_df, "__gbk", "left").fillna(0, ["__goff"])
+        else:
+            bdf = bdf.withColumn("__goff", F.lit(0))
+        rn = F.row_number().over(W.partitionBy("__gbk").orderBy(*order)) + F.col("__goff")
+        return bdf.withColumn("__grn", rn).drop("__gbk", "__goff"), "__grn"
 
     def _state_window(self, df: DataFrame, w: WindowSpec, ctx: TranslateCtx):
         """STATEWINDOW batch emulation (reference: window_v2_op.go:124-247).
