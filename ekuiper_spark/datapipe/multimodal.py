@@ -137,6 +137,46 @@ def frame_sample_stub(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def feature_extract_stub(
+    df: DataFrame,
+    payload_col: str = "payload",
+    dim: int = 32,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Feature extraction plumbing: payload bytes -> float feature vector
+    (`array<float>`), Arrow-batched.  Deterministic fake: features derive
+    from a rolling byte hash, so equal payloads embed identically and the
+    output composes with the similarity operators (cosine top-k / LSH ANN
+    over the extracted column).  The real model inference plugs in at the
+    marked line; batch shape and schema are production-real.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "real feature extraction requires a vision/audio "
+                        "model; run with fake_decode=True"
+                    )
+                b = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+                # deterministic fake: bucketed byte-histogram, L2-normalized
+                hist = np.bincount(b % dim, minlength=dim).astype("float32")
+                norm = float(np.linalg.norm(hist)) or 1.0
+                feats.append((hist / norm).tolist())
+            out = pdf.copy()
+            out["features"] = feats
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def documents_as_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Fixture adapter: treat document text bytes as opaque media payloads
     (the container has no real image/audio fixtures)."""

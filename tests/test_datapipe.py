@@ -248,3 +248,39 @@ def test_frame_sample_vectorized_fanout(spark, catalog):
     for doc_id, idxs in by_doc.items():
         assert idxs == sorted(idxs) and all(i % 10 == 0 for i in idxs)
     assert len(out) >= 20  # every media row yields at least frame 0
+
+
+def test_feature_extract_composes_with_ann(spark, catalog):
+    """feature_extract_stub: payload -> L2-normalized float vector via
+    mapInPandas (deterministic fake); the extracted column feeds the
+    similarity operators directly — media -> features -> cosine top-k."""
+    from ekuiper_spark.datapipe.multimodal import documents_as_media, feature_extract_stub
+    from ekuiper_spark.datapipe.similarity import cosine_topk
+
+    docs = catalog.load(spark, "documents").limit(50)
+    media = documents_as_media(docs)
+    feats = feature_extract_stub(media, dim=16)
+    rows = feats.select("doc_id", "features").collect()
+    assert all(len(r["features"]) == 16 for r in rows)
+    import math
+
+    for r in rows[:5]:
+        assert abs(math.sqrt(sum(x * x for x in r["features"])) - 1.0) < 1e-5
+    # determinism: same payload -> same vector
+    again = {r["doc_id"]: r["features"] for r in feature_extract_stub(media, dim=16).collect()}
+    assert all(again[r["doc_id"]] == r["features"] for r in rows)
+    # compose with ANN: the top-1 neighbor of a row's own vector is itself
+    probe = rows[0]
+    top = cosine_topk(
+        feats, probe["features"], k=1, vec_col="features", id_col="doc_id"
+    ).first()
+    assert top["cosine_sim"] >= 0.999999
+
+
+def test_feature_extract_real_mode_raises(spark, catalog):
+    from ekuiper_spark.datapipe.multimodal import documents_as_media, feature_extract_stub
+    import pytest as _pytest
+
+    media = documents_as_media(catalog.load(spark, "documents").limit(1))
+    with _pytest.raises(Exception, match="NotImplementedError|feature extraction"):
+        feature_extract_stub(media, fake_decode=False).collect()
