@@ -1,0 +1,288 @@
+"""Neuron connector (reference internal/io/neuron/: source.go, sink.go)
+— dependency-free nanomsg/SP PAIR wire protocol.
+
+Neuron (the industrial-gateway peer) speaks nanomsg PAIR over
+``ipc:///path`` or ``tcp://host:port`` (source.go DefaultNeuronUrl,
+PROTOCOL="pair"); messages are JSON objects.  No nanomsg library ships in
+this container, so — like the MQTT/websocket/redis modules — the SP
+stream framing is implemented directly:
+
+* connection handshake: 8 bytes ``00 53 50 00 <proto:u16be> 00 00``
+  (PAIR v0 = 16), exchanged both ways
+* each message: u64 big-endian length prefix + payload
+
+The in-process :class:`MockNeuron` mirrors the reference's own test
+double (neuron_test.go mockNeuron — an nng pair listener).  Source rows
+decode the neuron JSON shape ``{timestamp, node_name, group_name,
+values{...}, errors{...}}`` with values flattened to columns; the sink
+publishes each partition's rows as JSON (sink.go's default template).
+
+Scale: one PAIR connection per query (the protocol is point-to-point by
+design); fan-out happens downstream of the shared source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import struct
+import threading
+from typing import Any, Iterator, Optional
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+PAIR_PROTO = 16  # nanomsg PAIR v0 protocol number
+
+
+def sp_handshake(proto: int = PAIR_PROTO) -> bytes:
+    return b"\x00SP\x00" + struct.pack(">H", proto) + b"\x00\x00"
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("nanomsg peer closed")
+        buf += chunk
+    return buf
+
+
+def send_msg(sock: socket.socket, payload: bytes) -> None:
+    sock.sendall(struct.pack(">Q", len(payload)) + payload)
+
+
+def recv_msg(sock: socket.socket) -> bytes:
+    (n,) = struct.unpack(">Q", _read_exact(sock, 8))
+    return _read_exact(sock, n)
+
+
+def _parse_url(url: str) -> tuple[str, Any]:
+    if url.startswith("ipc://"):
+        return "ipc", url[len("ipc://"):]
+    if url.startswith("tcp://"):
+        host, _, port = url[len("tcp://"):].rpartition(":")
+        return "tcp", (host or "127.0.0.1", int(port))
+    raise ValueError(f"unsupported nanomsg url {url!r} (ipc:// or tcp://)")
+
+
+def _connect(url: str, timeout: float = 10.0) -> socket.socket:
+    kind, addr = _parse_url(url)
+    if kind == "ipc":
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        s.settimeout(timeout)
+        s.connect(addr)
+    else:
+        s = socket.create_connection(addr, timeout=timeout)
+    s.sendall(sp_handshake())
+    peer = _read_exact(s, 8)
+    if peer[:4] != b"\x00SP\x00":
+        raise ConnectionError(f"bad SP handshake {peer!r}")
+    return s
+
+
+class PairSocket:
+    """Client side of a nanomsg PAIR connection."""
+
+    def __init__(self, url: str, timeout: float = 10.0) -> None:
+        self.sock = _connect(url, timeout)
+
+    def send_json(self, obj: Any) -> None:
+        send_msg(self.sock, json.dumps(obj, default=str).encode())
+
+    def recv(self, timeout: Optional[float] = None) -> Optional[bytes]:
+        """Next message; timeout applies only to the first byte (a
+        mid-frame timeout would desync the length-prefixed stream)."""
+        self.sock.settimeout(timeout)
+        try:
+            first = self.sock.recv(1)
+        except socket.timeout:
+            return None
+        if not first:
+            raise ConnectionError("nanomsg peer closed")
+        self.sock.settimeout(30.0)
+        rest = _read_exact(self.sock, 7)
+        (n,) = struct.unpack(">Q", first + rest)
+        return _read_exact(self.sock, n)
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+class MockNeuron:
+    """In-process PAIR listener (the reference's neuron_test.go
+    mockNeuron): collects received messages, can push messages to the
+    connected peer."""
+
+    def __init__(self, url: Optional[str] = None) -> None:
+        if url is None:
+            self._srv = socket.create_server(("127.0.0.1", 0))
+            self.url = f"tcp://127.0.0.1:{self._srv.getsockname()[1]}"
+        else:
+            kind, addr = _parse_url(url)
+            if kind == "ipc":
+                try:
+                    os.unlink(addr)
+                except OSError:
+                    pass
+                self._srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                self._srv.bind(addr)
+                self._srv.listen()
+            else:
+                self._srv = socket.create_server(addr)
+            self.url = url
+        self.received: list[bytes] = []
+        self._peers: list[socket.socket] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        try:
+            hs = _read_exact(conn, 8)
+            if hs[:4] != b"\x00SP\x00":
+                conn.close()
+                return
+            conn.sendall(sp_handshake())
+            with self._lock:
+                self._peers.append(conn)
+            while not self._stop.is_set():
+                msg = recv_msg(conn)
+                with self._lock:
+                    self.received.append(msg)
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            with self._lock:
+                if conn in self._peers:
+                    self._peers.remove(conn)
+            conn.close()
+
+    def publish(self, obj: Any) -> None:
+        data = json.dumps(obj, default=str).encode()
+        with self._lock:
+            peers = list(self._peers)
+        for p in peers:
+            try:
+                send_msg(p, data)
+            except OSError:
+                pass
+
+    def close(self) -> None:
+        self._stop.set()
+        self._srv.close()
+        with self._lock:
+            for p in self._peers:
+                p.close()
+
+
+# ------------------------------------------------------------------ source
+def _coerce(value: Any, dt_name: str) -> Any:
+    if value is None:
+        return None
+    try:
+        if dt_name in ("bigint", "int", "long", "integer", "short"):
+            return int(value)
+        if dt_name in ("double", "float"):
+            return float(value)
+        if dt_name == "boolean":
+            return bool(value)
+        return str(value) if dt_name == "string" else value
+    except (TypeError, ValueError):
+        return None
+
+
+def neuron_row(data: dict, names: list[tuple[str, str]]) -> tuple:
+    """Flatten one neuron message: top-level fields + `values` entries
+    become columns (source.go decodes the JSON body; values carry the
+    tag readings)."""
+    flat = dict(data)
+    for k, v in (data.get("values") or {}).items():
+        flat.setdefault(k, v)
+    return tuple(_coerce(flat.get(n), t) for n, t in names)
+
+
+class _NeuronStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_ = schema
+        self.url = options.get("url", "ipc:///tmp/neuron-ekuiper.ipc")
+        self.idle = float(options.get("idle", 0.2))
+        self._sock: Optional[PairSocket] = None
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def read(self, start: dict):
+        names = [(f.name, f.dataType.simpleString()) for f in self.schema_.fields]
+        rows: list[tuple] = []
+        try:
+            if self._sock is None:
+                self._sock = PairSocket(self.url)
+            while True:
+                msg = self._sock.recv(timeout=self.idle)
+                if msg is None:
+                    break
+                try:
+                    data = json.loads(msg)
+                except ValueError:
+                    continue
+                for d in data if isinstance(data, list) else [data]:
+                    rows.append(neuron_row(d, names))
+        except (ConnectionError, OSError):
+            self._sock = None
+        return iter(rows), {"seq": start.get("seq", 0) + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([])  # pair messages are not replayable (at-most-once)
+
+
+class NeuronDataSource(DataSource):
+    """readStream format "neuron"; options: url (ipc:///... or
+    tcp://host:port), idle."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "neuron"
+
+    def schema(self):
+        return "value string"
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _NeuronStreamReader(schema, self.options)
+
+
+# ------------------------------------------------------------------ sink
+def write_neuron_sink(
+    df, url: str, group_name: str = "grp", node_name: str = "node"
+) -> None:
+    """Publish each row to neuron as {group_name, node_name, tags:{...}}
+    (sink.go's message shape) — per partition, executor-side.  ipc:// urls
+    require the executor and broker to share a filesystem (true for
+    local[*]; use tcp:// on a cluster)."""
+
+    def _send(rows: Iterator) -> None:
+        sock: Optional[PairSocket] = None
+        for row in rows:
+            if sock is None:
+                sock = PairSocket(url)
+            sock.send_json(
+                {
+                    "group_name": group_name,
+                    "node_name": node_name,
+                    "tags": row.asDict(),
+                }
+            )
+        if sock is not None:
+            sock.close()
+
+    df.foreachPartition(_send)

@@ -206,6 +206,18 @@ class RuleRuntime:
                 )
 
             q = writer.foreachBatch(_sse_batch).start()
+        elif sink_type == "neuron":
+            # nanomsg PAIR publish (neuron sink.go message shape)
+            from ekuiper_spark.sources.neuron import write_neuron_sink
+
+            def _neuron_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
+                write_neuron_sink(
+                    batch_df, _o["url"],
+                    group_name=_o.get("groupName", "grp"),
+                    node_name=_o.get("nodeName", "node"),
+                )
+
+            q = writer.foreachBatch(_neuron_batch).start()
         elif sink_type == "kafka":
             # extensions/impl/kafka sink -> Spark's native kafka writer;
             # rows become JSON `value` (+ optional string `key`)

@@ -1,0 +1,113 @@
+"""Neuron connector (internal/io/neuron/) over the dependency-free
+nanomsg/SP PAIR codec: handshake + framing, in-process mock (the
+reference's own neuron_test.go test double), streaming source, sink."""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid as _uuid
+
+import pytest
+
+from ekuiper_spark.sources.neuron import (
+    MockNeuron,
+    PairSocket,
+    sp_handshake,
+    write_neuron_sink,
+)
+
+
+def test_sp_handshake_bytes():
+    assert sp_handshake() == b"\x00SP\x00\x00\x10\x00\x00"  # PAIR v0 = 16
+
+
+@pytest.fixture()
+def neuron_srv():
+    srv = MockNeuron()
+    yield srv
+    srv.close()
+
+
+def test_pair_roundtrip_tcp(neuron_srv):
+    c = PairSocket(neuron_srv.url)
+    c.send_json({"a": 1})
+    deadline = time.time() + 5
+    while time.time() < deadline and not neuron_srv.received:
+        time.sleep(0.05)
+    assert json.loads(neuron_srv.received[0]) == {"a": 1}
+    neuron_srv.publish({"b": 2})
+    assert json.loads(c.recv(timeout=5)) == {"b": 2}
+    c.close()
+
+
+def test_pair_roundtrip_ipc(tmp_path):
+    url = f"ipc://{tmp_path}/neuron.ipc"
+    srv = MockNeuron(url)
+    try:
+        c = PairSocket(url)
+        c.send_json({"x": 9})
+        deadline = time.time() + 5
+        while time.time() < deadline and not srv.received:
+            time.sleep(0.05)
+        assert json.loads(srv.received[0]) == {"x": 9}
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_neuron_source_stream_decodes_values(spark, neuron_srv):
+    """readStream.format('neuron'): neuron JSON messages flatten their
+    `values` map into schema columns (source.go decode shape)."""
+    from ekuiper_spark.sources.neuron import NeuronDataSource
+
+    try:
+        spark.dataSource.register(NeuronDataSource)
+    except Exception:
+        pass
+    sdf = (
+        spark.readStream.schema("node_name string, temperature double, hum bigint")
+        .format("neuron")
+        .option("url", neuron_srv.url)
+        .load()
+    )
+    name = "t_neu_" + _uuid.uuid4().hex[:6]
+    q = (
+        sdf.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(processingTime="300 milliseconds").start()
+    )
+    try:
+        deadline = time.time() + 20
+        sent = 0
+        got = 0
+        while time.time() < deadline and got < 3:
+            if sent < 10:
+                neuron_srv.publish(
+                    {
+                        "timestamp": 1646125996000 + sent,
+                        "node_name": "node1",
+                        "group_name": "group1",
+                        "values": {"temperature": 11.5 + sent, "hum": 50 + sent},
+                        "errors": {},
+                    }
+                )
+                sent += 1
+            time.sleep(0.5)
+            got = spark.table(name).count()
+        assert got >= 3
+        row = spark.table(name).first()
+        assert row["node_name"] == "node1" and row["hum"] >= 50
+    finally:
+        q.stop()
+
+
+def test_neuron_sink_publishes_tag_rows(spark, neuron_srv):
+    df = spark.createDataFrame([(1, 20.5), (2, 30.5)], "id long, temp double")
+    write_neuron_sink(df, neuron_srv.url, group_name="g1", node_name="n1")
+    deadline = time.time() + 10
+    while time.time() < deadline and len(neuron_srv.received) < 2:
+        time.sleep(0.05)
+    msgs = sorted(json.loads(m)["tags"]["id"] for m in neuron_srv.received)
+    assert msgs == [1, 2]
+    one = json.loads(neuron_srv.received[0])
+    assert one["group_name"] == "g1" and one["node_name"] == "n1"
