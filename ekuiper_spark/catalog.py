@@ -228,17 +228,18 @@ class Catalog:
                 schema=d.schema,
                 datatype=str(d.options.get("datatype", "string")),
             )
-        if src_type in ("httppull", "httppush", "mqtt", "websocket", "redis", "neuron"):
+        if src_type in ("httppull", "httppush", "mqtt", "websocket", "redis", "neuron", "edgex"):
             # connector sources via the Python Data Source API
             # (sources/http.py, sources/mqtt.py, sources/websocket.py);
             # DATASOURCE holds the url/endpoint/topic (mqtt conn.go:233-241)
             from ekuiper_spark.sources.http import HttpPullDataSource, HttpPushDataSource
             from ekuiper_spark.sources.mqtt import MqttDataSource
+            from ekuiper_spark.sources.edgex import EdgexDataSource
             from ekuiper_spark.sources.neuron import NeuronDataSource
             from ekuiper_spark.sources.redis import RedisDataSource
             from ekuiper_spark.sources.websocket import WebsocketDataSource
 
-            for ds in (HttpPullDataSource, HttpPushDataSource, MqttDataSource, WebsocketDataSource, RedisDataSource, NeuronDataSource):
+            for ds in (HttpPullDataSource, HttpPushDataSource, MqttDataSource, WebsocketDataSource, RedisDataSource, NeuronDataSource, EdgexDataSource):
                 try:
                     spark.dataSource.register(ds)
                 except Exception:
@@ -261,6 +262,8 @@ class Catalog:
                 opts.setdefault("channels", d.path)
             if src_type == "neuron" and d.path:
                 opts.setdefault("url", d.path)
+            if src_type == "edgex" and d.path:
+                opts.setdefault("topic", d.path)
             return reader.format(src_type).options(**opts).load()
         if streaming:
             import os

@@ -1,0 +1,242 @@
+"""EdgeX connector (reference internal/io/edgex/: source.go, sink.go).
+
+EdgeX's message bus is a transport + an envelope: events ride redis
+pub/sub (EdgeX v3 default) or MQTT, wrapped in a MessageEnvelope whose
+``payload`` is the base64 of an Event JSON ``{deviceName, readings:
+[{resourceName, valueType, value, ...}]}``.  Both transports already
+exist in this repo (sources/redis.py MiniRedis pub/sub, sources/mqtt.py),
+so this module adds the envelope + reading codec and wires them:
+
+* :func:`decode_edgex_event` folds readings into one row keyed by
+  resourceName, parsing ``value`` strings per ``valueType``
+  (source.go getValue: Bool/Int*/Uint64/Float*/String + arrays)
+* ``readStream.format("edgex")`` subscribes to the bus topic pattern
+  over redis pub/sub and emits one row per event
+* :func:`write_edgex_sink` publishes rows as AddEventRequest envelopes
+  (sink.go), one reading per column
+
+Scale: single-connection bus ingress like the reference; the decode is
+driver-light (the simple stream reader), heavy lifting stays downstream.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import time
+import uuid
+from typing import Any, Iterator, Optional
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+_INT_TYPES = {
+    "Int8", "Int16", "Int32", "Int64", "Uint8", "Uint16", "Uint32", "Uint64",
+}
+_FLOAT_TYPES = {"Float32", "Float64"}
+
+
+def decode_reading(value_type: str, value: str) -> Any:
+    """One BaseReading value string -> python value (source.go getValue)."""
+    if value_type == "Bool":
+        return str(value).lower() in ("true", "1")
+    if value_type in _INT_TYPES:
+        return int(value)
+    if value_type in _FLOAT_TYPES:
+        return float(value)
+    if value_type == "String":
+        return value
+    if value_type.endswith("Array"):
+        return json.loads(value)
+    return value  # Binary/Object pass through
+
+
+def decode_edgex_event(event: dict) -> dict:
+    """Event -> one flat row {resourceName: typed value} (+deviceName)."""
+    row: dict[str, Any] = {}
+    for r in event.get("readings") or []:
+        name = r.get("resourceName")
+        if not name:
+            continue
+        try:
+            row[name] = decode_reading(r.get("valueType", "String"), r.get("value"))
+        except (TypeError, ValueError):
+            row[name] = None
+    row.setdefault("deviceName", event.get("deviceName"))
+    return row
+
+
+def decode_envelope(raw: bytes | str) -> Optional[dict]:
+    """MessageEnvelope -> Event dict; payload is base64-of-JSON on the
+    bus (inline objects accepted defensively).  AddEventRequest wrapping
+    ({"event": {...}}) unwraps (source.go GetMsgPayload paths)."""
+    try:
+        env = json.loads(raw)
+    except (TypeError, ValueError):
+        return None
+    payload = env.get("payload", env)
+    if isinstance(payload, str):
+        try:
+            payload = json.loads(base64.b64decode(payload))
+        except (ValueError, TypeError):
+            return None
+    if isinstance(payload, dict) and "event" in payload:
+        payload = payload["event"]
+    return payload if isinstance(payload, dict) else None
+
+
+def make_envelope(event: dict, content_type: str = "application/json") -> str:
+    """AddEventRequest envelope for publishing (sink.go)."""
+    payload = json.dumps(
+        {"apiVersion": "v3", "event": event}, default=str
+    ).encode()
+    return json.dumps(
+        {
+            "apiVersion": "v3",
+            "receivedTopic": "",
+            "correlationID": str(uuid.uuid4()),
+            "contentType": content_type,
+            "payload": base64.b64encode(payload).decode(),
+        }
+    )
+
+
+def rows_to_events(
+    rows: Iterator,
+    device_name: str,
+    profile_name: str = "ekuiperProfile",
+    source_name: str = "ruleResult",
+) -> Iterator[dict]:
+    for row in rows:
+        d = row.asDict()
+        readings = []
+        for k, v in d.items():
+            if isinstance(v, bool):
+                vt, sv = "Bool", str(v).lower()
+            elif isinstance(v, int):
+                vt, sv = "Int64", str(v)
+            elif isinstance(v, float):
+                vt, sv = "Float64", str(v)
+            else:
+                vt, sv = "String", str(v)
+            readings.append(
+                {
+                    "resourceName": k,
+                    "deviceName": device_name,
+                    "profileName": profile_name,
+                    "valueType": vt,
+                    "value": sv,
+                    "origin": int(time.time() * 1e9),
+                }
+            )
+        yield {
+            "deviceName": device_name,
+            "profileName": profile_name,
+            "sourceName": source_name,
+            "origin": int(time.time() * 1e9),
+            "readings": readings,
+        }
+
+
+# ------------------------------------------------------------------ source
+def _coerce(value: Any, dt_name: str) -> Any:
+    if value is None:
+        return None
+    try:
+        if dt_name in ("bigint", "int", "long", "integer", "short"):
+            return int(value)
+        if dt_name in ("double", "float"):
+            return float(value)
+        if dt_name == "boolean":
+            return bool(value)
+        return str(value) if dt_name == "string" else value
+    except (TypeError, ValueError):
+        return None
+
+
+class _EdgexStreamReader(SimpleDataSourceStreamReader):
+    """Bus subscriber (redis pub/sub transport, EdgeX v3 default): each
+    micro-batch drains envelopes from the topic pattern and decodes one
+    row per event."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_ = schema
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options["port"])
+        self.topic = options.get("topic", "edgex/events/#")
+        self.idle = float(options.get("idle", 0.2))
+        self._cli = None
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _conn(self):
+        if self._cli is None:
+            from ekuiper_spark.sources.redis import RedisClient
+
+            # redis pub/sub patterns: MQTT-style '#' -> glob '*'
+            pattern = self.topic.replace("#", "*").replace("+", "*")
+            self._cli = RedisClient(self.host, self.port)
+            self._cli.subscribe(pattern)
+        return self._cli
+
+    def read(self, start: dict):
+        names = [(f.name, f.dataType.simpleString()) for f in self.schema_.fields]
+        rows: list[tuple] = []
+        try:
+            cli = self._conn()
+            while True:
+                msg = cli.next_message(timeout=self.idle)
+                if msg is None:
+                    break
+                event = decode_envelope(msg[1])
+                if event is None:
+                    continue
+                flat = decode_edgex_event(event)
+                rows.append(tuple(_coerce(flat.get(n), t) for n, t in names))
+        except (ConnectionError, OSError):
+            self._cli = None
+        return iter(rows), {"seq": start.get("seq", 0) + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([])  # bus messages are fire-and-forget
+
+
+class EdgexDataSource(DataSource):
+    """readStream format "edgex"; options: host, port (redis bus), topic
+    (default edgex/events/#), idle."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "edgex"
+
+    def schema(self):
+        return "value string"
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _EdgexStreamReader(schema, self.options)
+
+
+# ------------------------------------------------------------------ sink
+def write_edgex_sink(
+    df,
+    host: str,
+    port: int,
+    topic: str = "edgex/events/device/ekuiperProfile/ekuiper/ruleResult",
+    device_name: str = "ekuiper",
+) -> None:
+    """Publish rows as AddEventRequest envelopes on the redis bus — per
+    partition, executor-side (sink.go)."""
+
+    def _send(rows: Iterator) -> None:
+        from ekuiper_spark.sources.redis import RedisClient
+
+        cli = None
+        for event in rows_to_events(rows, device_name):
+            if cli is None:
+                cli = RedisClient(host, port)
+            cli.cmd("PUBLISH", topic, make_envelope(event))
+        if cli is not None:
+            cli.close()
+
+    df.foreachPartition(_send)

@@ -218,6 +218,20 @@ class RuleRuntime:
                 )
 
             q = writer.foreachBatch(_neuron_batch).start()
+        elif sink_type == "edgex":
+            # AddEventRequest envelopes on the redis bus (edgex sink.go)
+            from ekuiper_spark.sources.edgex import write_edgex_sink
+
+            def _edgex_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
+                write_edgex_sink(
+                    batch_df,
+                    _o.get("host", "127.0.0.1"),
+                    int(_o["port"]),
+                    topic=_o.get("topic", "edgex/events/device/ekuiperProfile/ekuiper/ruleResult"),
+                    device_name=_o.get("deviceName", "ekuiper"),
+                )
+
+            q = writer.foreachBatch(_edgex_batch).start()
         elif sink_type == "kafka":
             # extensions/impl/kafka sink -> Spark's native kafka writer;
             # rows become JSON `value` (+ optional string `key`)

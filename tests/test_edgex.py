@@ -1,0 +1,129 @@
+"""EdgeX connector (internal/io/edgex/): envelope + typed-reading codec
+over the redis message bus (EdgeX v3 default transport, served by the
+in-process MiniRedis)."""
+
+from __future__ import annotations
+
+import base64
+import json
+import time
+import uuid as _uuid
+
+import pytest
+
+from ekuiper_spark.sources.edgex import (
+    decode_edgex_event,
+    decode_envelope,
+    decode_reading,
+    make_envelope,
+    write_edgex_sink,
+)
+from ekuiper_spark.sources.redis import MiniRedis, RedisClient
+
+
+def test_reading_value_types():
+    # source.go getValue type table
+    assert decode_reading("Bool", "true") is True
+    assert decode_reading("Int32", "42") == 42
+    assert decode_reading("Uint64", "18446744073709551615") == 2**64 - 1
+    assert decode_reading("Float64", "2.5") == 2.5
+    assert decode_reading("String", "x") == "x"
+    assert decode_reading("Int32Array", "[1, 2]") == [1, 2]
+    assert decode_reading("BoolArray", "[true, false]") == [True, False]
+
+
+def test_event_folds_readings():
+    event = {
+        "deviceName": "d1",
+        "readings": [
+            {"resourceName": "temperature", "valueType": "Float64", "value": "20.5"},
+            {"resourceName": "hum", "valueType": "Int32", "value": "60"},
+        ],
+    }
+    assert decode_edgex_event(event) == {
+        "temperature": 20.5, "hum": 60, "deviceName": "d1"
+    }
+
+
+def test_envelope_roundtrip():
+    event = {"deviceName": "d1", "readings": []}
+    env = make_envelope(event)
+    out = decode_envelope(env)
+    assert out["deviceName"] == "d1"
+    # inline payload accepted too
+    assert decode_envelope(json.dumps({"payload": {"event": event}}))["deviceName"] == "d1"
+
+
+@pytest.fixture()
+def bus():
+    srv = MiniRedis()
+    yield srv
+    srv.close()
+
+
+def test_edgex_source_stream(spark, bus):
+    from ekuiper_spark.sources.edgex import EdgexDataSource
+
+    try:
+        spark.dataSource.register(EdgexDataSource)
+    except Exception:
+        pass
+    sdf = (
+        spark.readStream.schema("deviceName string, temperature double, hum bigint")
+        .format("edgex")
+        .option("host", "127.0.0.1")
+        .option("port", bus.port)
+        .option("topic", "edgex/events/#")
+        .load()
+    )
+    name = "t_edgex_" + _uuid.uuid4().hex[:6]
+    q = (
+        sdf.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(processingTime="300 milliseconds").start()
+    )
+    try:
+        pub = RedisClient("127.0.0.1", bus.port)
+        deadline = time.time() + 20
+        sent = 0
+        got = 0
+        while time.time() < deadline and got < 3:
+            if sent < 10:
+                event = {
+                    "deviceName": "dev1",
+                    "readings": [
+                        {"resourceName": "temperature", "valueType": "Float64",
+                         "value": str(20.0 + sent)},
+                        {"resourceName": "hum", "valueType": "Int32",
+                         "value": str(50 + sent)},
+                    ],
+                }
+                pub.cmd(
+                    "PUBLISH",
+                    "edgex/events/device/p1/dev1/src1",
+                    make_envelope(event),
+                )
+                sent += 1
+            time.sleep(0.5)
+            got = spark.table(name).count()
+        pub.close()
+        assert got >= 3
+        row = spark.table(name).first()
+        assert row["deviceName"] == "dev1" and row["hum"] >= 50
+    finally:
+        q.stop()
+
+
+def test_edgex_sink_publishes_envelopes(spark, bus):
+    sub = RedisClient("127.0.0.1", bus.port)
+    sub.subscribe("edgex/*")
+    df = spark.createDataFrame([(1, 20.5, True)], "id long, temp double, ok boolean")
+    write_edgex_sink(df, "127.0.0.1", bus.port)
+    msg = sub.next_message(timeout=10)
+    assert msg is not None
+    event = decode_envelope(msg[1])
+    flat = decode_edgex_event(event)
+    assert flat["id"] == 1 and flat["temp"] == 20.5 and flat["ok"] is True
+    by_name = {r["resourceName"]: r for r in event["readings"]}
+    assert by_name["temp"]["valueType"] == "Float64"
+    assert by_name["ok"]["valueType"] == "Bool"
+    sub.close()
