@@ -423,3 +423,16 @@ def test_sparse_hopping_window(spark, demoe_cat):
         (1541152485000, 3),  # 486.013, 486.822, 487.632
         (1541152490000, 1),  # 492.342
     ]
+
+
+def test_binary_passthrough(spark, demo_cat):
+    # TestSingleSQLForBinary (rule_test.go:1617): a BYTEA payload column
+    # survives SELECT * byte-identical (binDemo carries an image; any
+    # opaque bytes prove the path)
+    payload = bytes(range(256)) * 4
+    demo_cat.register_df(
+        "binDemo", spark.createDataFrame([(payload,)], "self binary")
+    )
+    df = run(spark, demo_cat, "SELECT * FROM binDemo")
+    got = df.collect()
+    assert len(got) == 1 and bytes(got[0]["self"]) == payload
