@@ -1560,7 +1560,28 @@ class Translator:
                 "/": F.try_divide,
                 "%": F.try_mod,
             }[op]
-            return fn(left, right)
+            # try_* stops overflow, but the implicit string->number cast of
+            # a type-flipped schemaless column still throws under ANSI;
+            # try_cast makes unparseable operands null (the reference does
+            # float64 arithmetic on JSON values, so double matches)
+            return fn(left.try_cast("double"), right.try_cast("double"))
+        if self.on_error == "null" and op in ("<", "<=", ">", ">=", "=", "!="):
+            # comparison against a numeric literal: try-coerce the other
+            # side, so a type-flipped value compares as null (row drops)
+            # instead of throwing CAST_INVALID_INPUT
+            def _is_num_lit(n: Node) -> bool:
+                return (
+                    isinstance(n, Literal)
+                    and isinstance(n.value, (int, float))
+                    and not isinstance(n.value, bool)
+                )
+
+            if _is_num_lit(node.right) and not _is_num_lit(node.left):
+                left = left.try_cast("double")
+                right = right.try_cast("double")
+            elif _is_num_lit(node.left) and not _is_num_lit(node.right):
+                left = left.try_cast("double")
+                right = right.try_cast("double")
         if op == "+":
             return left + right
         if op == "-":

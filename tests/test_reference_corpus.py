@@ -436,3 +436,36 @@ def test_binary_passthrough(spark, demo_cat):
     df = run(spark, demo_cat, "SELECT * FROM binDemo")
     got = df.collect()
     assert len(got) == 1 and bytes(got[0]["self"]) == payload
+
+
+def test_ldemo_schemaless_type_flips(spark, tmp_path):
+    """ldemo (mock_data.go:562): schemaless stream with type-flipping and
+    missing fields.  Error-as-value policy (documented divergence from
+    SendError error tuples): a non-numeric `size` contributes null, rows
+    failing the predicate drop rather than emitting an error tuple."""
+    import json as _json
+
+    rows = [
+        {"color": "red", "size": 3, "ts": 1541152486013},
+        {"color": "blue", "size": "string", "ts": 1541152486822},
+        {"size": 3, "ts": 1541152487632},
+        {"color": 49, "size": 2, "ts": 1541152488442},
+        {"color": "red", "ts": 1541152489252},
+    ]
+    p = tmp_path / "ldemo.json"
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    from ekuiper_spark.catalog import Catalog, StreamDef
+
+    cat = Catalog()
+    cat.register(StreamDef(name="ldemo", format="json", path=str(p)))
+    # size * 5: type-flipped "string" and the missing field -> null
+    df = compile_sql(spark, "SELECT size * 5 as c, ts FROM ldemo", cat,
+                     on_error="null", order_cols=["ts"])
+    got = [r["c"] for r in df.orderBy("ts").collect()]
+    assert got == [15.0, None, 15.0, 10.0, None]
+    # predicate over the flipping column: castable strings compare, the
+    # junk row drops
+    df2 = compile_sql(spark, "SELECT color, ts FROM ldemo where size >= 3",
+                      cat, on_error="null", order_cols=["ts"])
+    got2 = [(r["color"], r["ts"]) for r in df2.orderBy("ts").collect()]
+    assert got2 == [("red", 1541152486013), (None, 1541152487632)]
