@@ -65,3 +65,50 @@ def test_keyed_sliding_still_partitions_by_dims(spark, catalog):
     plan = _plan(df)
     assert re.search(r"windowspecdefinition\(user_id#\d+L", plan)
     assert "__slb" not in plan
+
+
+def test_capped_session_single_exchange(spark, catalog):
+    """Keyed capped sessionization costs exactly one shuffle: every window
+    spec is co-partitioned on the dims after the first Exchange."""
+    df = compile_sql(
+        spark,
+        "SELECT user_id, window_start() AS s, count(*) AS n FROM events "
+        "GROUP BY user_id, SESSIONWINDOW(mi, 120, 30)",
+        catalog,
+    )
+    plan = _plan(df)
+    pre_agg = plan.split("HashAggregate")[-1]  # below the aggregation
+    assert pre_agg.count("Exchange") == 1
+
+
+def test_stream_stream_join_shuffles_on_window_and_key(spark, tmp_path):
+    """The stream-stream join keys its shuffle on (window bucket, equi
+    cols) — state partitions by both, the scale requirement."""
+    import datetime as dt
+
+    from ekuiper_spark.catalog import Catalog, StreamDef
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a")], "user_id long, rts timestamp, tag string"
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+    cat = Catalog()
+    cat.register(StreamDef(name="s1", path=lp, kind="stream"))
+    cat.register(StreamDef(name="s2", path=rp, kind="stream", timestamp_col="rts"))
+    df = compile_sql(
+        spark,
+        "SELECT s1.user_id AS uid FROM s1 INNER JOIN s2 ON s1.user_id = s2.user_id "
+        "GROUP BY TUMBLINGWINDOW(ss, 60)",
+        cat,
+        streaming=True,
+    )
+    import re as _re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # join condition carries both the bucket equality and the user key
+    assert "__ssw" in plan and _re.search(r"user_id#\d+L = user_id#\d+L", plan)
