@@ -282,7 +282,10 @@ class RuleRuntime:
         q = self.queries.get(rule_id)
         if q is None:
             return {"state": "stopped"}
-        return {"state": "running" if q.isActive else "finished", "progress": q.lastProgress}
+        out = {"state": "running" if q.isActive else "finished", "progress": q.lastProgress}
+        if rule_id in self.restarts:
+            out["restarts"] = self.restarts[rule_id]
+        return out
 
     # -- persistence (the reference keeps rules in a KV store,
     # internal/processor/rule.go:54; here a JSON file per registry) --------

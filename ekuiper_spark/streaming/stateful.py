@@ -177,6 +177,36 @@ _SLICE_OPS = {
 _ROLLING_OPS = {"count", "sum", "avg", "min", "max", "stddev", "stddevs", "median"}
 
 
+def _range_extrema(
+    vals: np.ndarray, left: np.ndarray, right: np.ndarray, op: str
+) -> np.ndarray:
+    """min/max of vals[l:r) per (l, r) pair — sparse table, O(n log n)
+    build + O(1) per query; NaNs (nulls) are ignored (fmin/fmax)."""
+    n = len(vals)
+    reduce_ = np.fmin if op == "min" else np.fmax
+    out = np.full(len(left), np.nan)
+    if n == 0 or len(left) == 0:
+        return out
+    levels = max(1, n.bit_length())
+    table = np.full((levels, n), np.nan)
+    table[0] = vals
+    j = 1
+    while (1 << j) <= n:
+        span = 1 << j
+        half = span >> 1
+        m = n - span + 1
+        table[j, :m] = reduce_(table[j - 1, :m], table[j - 1, half : half + m])
+        j += 1
+    width = (right - left).astype("int64")
+    nz = width > 0
+    if nz.any():
+        k = np.zeros(len(left), dtype="int64")
+        k[nz] = np.floor(np.log2(width[nz])).astype("int64")
+        l_, r_, kk = left[nz], right[nz], k[nz]
+        out[nz] = reduce_(table[kk, l_], table[kk, r_ - (1 << kk)])
+    return out
+
+
 def _rolling_reduce(roll, col: str, op: str) -> pd.Series:
     r = roll[col]
     if op == "count":
@@ -265,7 +295,7 @@ def window_agg_stream(
         raise ValueError("subgroups apply to count/state windows; keyed sliding uses dims")
 
     if kind == "sliding":
-        allowed = {"count", "sum", "avg"} if delay_us else _ROLLING_OPS
+        allowed = {"count", "sum", "avg", "min", "max"} if delay_us else _ROLLING_OPS
         bad = [a.op for a in aggs if a.op not in allowed]
         if bad:
             raise NotImplementedError(
@@ -625,6 +655,13 @@ def window_agg_stream(
             for a in agg_list:
                 if a.op == "count" and a.in_col is None:
                     res = (right - left).astype("int64")
+                elif a.op in ("min", "max"):
+                    vals = full[a.in_col].astype("float64")
+                    res = _range_extrema(vals, left, right, a.op)
+                    if _is_ts(buf_types[a.in_col]):
+                        res = pd.to_datetime(res.astype("int64"), unit="us")
+                    elif isinstance(out_types[a.out], T.LongType):
+                        res = res.astype("int64")
                 else:
                     vals = full[a.in_col].astype("float64")
                     ok = ~np.isnan(vals)

@@ -898,3 +898,39 @@ def test_memory_source_topic_wildcards(spark, catalog):
     ).first()["n"]
     assert n == expected > 0
     rt.stop_rule("chainA")
+
+
+def test_sliding_delay_min_max_matches_batch(spark, catalog):
+    """Delayed sliding windows now support min/max (sparse-table range
+    queries over the sorted buffer) — streaming equals the batch range
+    frame for emitted rows."""
+    import uuid as _uuid
+
+    from ekuiper_spark.translator import compile_sql as cs
+
+    sdf = catalog.load(spark, "events", streaming=True)
+    cat2 = Catalog()
+    cat2.register_df("events", sdf)
+    out = cs(
+        spark,
+        "SELECT event_id, min(value) AS mn, max(value) AS mx FROM events "
+        "GROUP BY SLIDINGWINDOW(mi, 60, 10)",
+        cat2, streaming=True, order_cols=["ts", "event_id"],
+    )
+    name = "sdm_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    stream = {r["event_id"]: (r["mn"], r["mx"]) for r in spark.table(name).collect()}
+    batch = compile_sql(
+        spark,
+        "SELECT event_id, min(value) AS mn, max(value) AS mx FROM events "
+        "GROUP BY SLIDINGWINDOW(mi, 60, 10)",
+        catalog, order_cols=["ts", "event_id"],
+    )
+    bt = {r["event_id"]: (r["mn"], r["mx"]) for r in batch.collect()}
+    assert len(stream) > 900
+    mismatches = [k for k in stream if stream[k] != bt[k]]
+    assert not mismatches, mismatches[:5]
