@@ -30,19 +30,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
-def _coerce(value: Any, dt_name: str) -> Any:
-    if value is None:
-        return None
-    try:
-        if dt_name in ("bigint", "int", "long", "integer", "short"):
-            return int(value)
-        if dt_name in ("double", "float"):
-            return float(value)
-        if dt_name == "boolean":
-            return bool(value)
-        return str(value) if dt_name == "string" else value
-    except (TypeError, ValueError):
-        return None
+from ekuiper_spark.sources.util import coerce as _coerce  # noqa: E402
 
 
 def _rows_from_json(body: bytes, schema: StructType) -> list[tuple]:

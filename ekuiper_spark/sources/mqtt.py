@@ -309,19 +309,7 @@ class MqttClient:
 # payload -> rows (per-message decode; format registry analog of
 # operators/codecs.py for the message-at-a-time connector path)
 # --------------------------------------------------------------------------
-def _coerce(value: Any, dt_name: str) -> Any:
-    if value is None:
-        return None
-    try:
-        if dt_name in ("bigint", "int", "long", "integer", "short"):
-            return int(value)
-        if dt_name in ("double", "float"):
-            return float(value)
-        if dt_name == "boolean":
-            return bool(value)
-        return str(value) if dt_name == "string" else value
-    except (TypeError, ValueError):
-        return None
+from ekuiper_spark.sources.util import coerce as _coerce  # noqa: E402
 
 
 def decode_message(

@@ -1,0 +1,23 @@
+"""Shared connector helpers."""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def coerce(value: Any, dt_name: str) -> Any:
+    """Best-effort cast of a decoded message value to a Spark simple-type
+    name; unconvertible values become null (the connectors' schemaless
+    leniency — a malformed field must not kill the stream)."""
+    if value is None:
+        return None
+    try:
+        if dt_name in ("bigint", "int", "long", "integer", "short"):
+            return int(value)
+        if dt_name in ("double", "float"):
+            return float(value)
+        if dt_name == "boolean":
+            return bool(value)
+        return str(value) if dt_name == "string" else value
+    except (TypeError, ValueError):
+        return None
