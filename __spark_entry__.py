@@ -171,7 +171,9 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
     # length = max-duration cap, interval = timeout (window_op.go:304-347).
     # Construction (same in both engines): timeout gaps-and-islands, then
     # cap-splitting = parity pairing of consecutive occupied cap-grid
-    # buckets per island (greedy close rule, half-open at the tick).
+    # buckets per island (greedy close rule); an event exactly AT the
+    # force-close tick joins the CLOSING session (inclusive close, like
+    # the reference's strict tt.After(tick) at window_op.go:322).
     # The 1-arg gap dialect form keeps its own CORRECTNESS row via
     # s_streaming_session (native session_window) + pytest coverage.
     "q_session_window": (
@@ -199,7 +201,12 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
           SELECT *, min(bkt) OVER (PARTITION BY user_id, isl, run) AS run_first
           FROM z
         ), t AS (
-          SELECT *, (bkt - run_first) // 2 AS sess FROM s
+          SELECT *, (bkt - run_first) // 2
+                 - CASE WHEN us % 7200000000 = 0
+                         AND (bkt - run_first) % 2 = 0
+                         AND bkt > run_first
+                        THEN 1 ELSE 0 END AS sess
+          FROM s
         )
         SELECT user_id,
                make_timestamp(min(us)) AS s_start,

@@ -45,6 +45,32 @@ def ekuiper_type(name: str) -> T.DataType:
     raise ValueError(f"unknown ekuiper type: {name!r}")
 
 
+def _infer_json_schema(url: str, timeout: float = 10.0) -> T.StructType:
+    """Schemaless lookup table: one driver-side sample fetch decides the
+    schema (Options.IsSchemaLess analog for lookup sources)."""
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        data = json.loads(resp.read())
+    if isinstance(data, dict):
+        data = [data]
+    if not data:
+        raise ValueError(f"lookup table {url} returned no rows to infer a schema")
+    fields = []
+    for k, v in data[0].items():
+        if isinstance(v, bool):
+            t: T.DataType = T.BooleanType()
+        elif isinstance(v, int):
+            t = T.LongType()
+        elif isinstance(v, float):
+            t = T.DoubleType()
+        else:
+            t = T.StringType()
+        fields.append(T.StructField(k, t))
+    return T.StructType(fields)
+
+
 @dataclass
 class StreamDef:
     """One CREATE STREAM/TABLE entry.
@@ -215,6 +241,31 @@ class Catalog:
                 starting=str(d.options.get("startingoffsets", "earliest")),
                 streaming=streaming,
             )
+        if d.kind == "lookup" and src_type in ("http", "httppull", "lookup"):
+            # refreshing lookup table with the reference's TTL-cache
+            # semantics (lookup_node.go:36-124 LookupConf cache/cacheTtl):
+            # the static side of a stream-static join replans every
+            # micro-batch, so the data source re-fetches (TTL-gated,
+            # driver-side cache) and continuous rules see backing-store
+            # mutations within cacheTtl
+            from ekuiper_spark.sources.lookup import LookupDataSource
+
+            try:
+                spark.dataSource.register(LookupDataSource)
+            except Exception:
+                pass
+            url = d.path or str(d.options.get("url", ""))
+            schema = d.schema
+            if schema is None:
+                # one sample fetch decides the schema for the table's
+                # lifetime (re-registering the table re-infers)
+                schema = _infer_json_schema(url, float(d.options.get("timeout", 10)))
+                d.schema = schema
+            reader = spark.read.schema(schema).format("ekuiper_lookup").option("url", url)
+            for opt in ("cacheTtl", "cache", "timeout"):
+                if opt in d.options:
+                    reader = reader.option(opt, str(d.options[opt]))
+            return reader.load()
         if src_type == "redis" and d.kind == "lookup":
             # load-once + broadcast lookup table (redis lookup.go); the
             # DATASOURCE is the key pattern

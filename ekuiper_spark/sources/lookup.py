@@ -1,0 +1,166 @@
+"""Refreshing lookup tables with reference TTL-cache semantics.
+
+Reference: lookup joins are per-event point queries against an external
+table with an LRU+TTL cache (internal/topo/node/lookup_node.go:36-124,
+LookupConf {cache, cacheTtl, cacheMissingKey}; internal/topo/lookup/
+cache/cache.go expiry).  A long-running rule therefore observes backing
+-store mutations within cacheTtl.
+
+Spark-first analog: the lookup side of a stream-static join is REPLANNED
+and re-executed every micro-batch (IncrementalExecution), so a lookup
+table expressed as a Python Data Source re-fetches naturally; the TTL
+cache lives driver-side (``partitions()`` runs on the driver) keyed by
+the fetch URL, so at most one backing-store round-trip per TTL window —
+the whole per-event point-query + LRU machinery collapses into
+fetch-once-per-TTL + broadcast-hash-join.
+
+- cacheTtl <= 0 (or cache=false): fetch every (re)execution — maximum
+  freshness, the reference's no-cache mode.
+- cacheTtl = N ms: a fetch younger than N is reused across micro-batches
+  and across rules in the same driver.
+- TTL=infinity ("inf") never refreshes after the first fetch —
+  compatibility with the round-4 fetch-once behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from typing import Iterator, Optional
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from ekuiper_spark.sources.util import coerce as _coerce
+
+# The TTL cache must survive across Python planner workers (Spark runs
+# ``partitions()`` in a driver-side python worker process that is not
+# stable across queries), so it lives on the DRIVER NODE's local disk —
+# planning always happens on the driver, so this holds on a cluster too.
+# An in-process dict fronts it as a fast path.
+_CACHE: dict[str, tuple[float, list]] = {}
+_LOCK = threading.Lock()
+
+
+def _cache_dir() -> str:
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "ekuiper_lookup_cache")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _cache_path(url: str) -> str:
+    import hashlib
+    import os
+
+    return os.path.join(_cache_dir(), hashlib.md5(url.encode()).hexdigest() + ".json")
+
+
+def invalidate(url: Optional[str] = None) -> None:
+    """Drop cached fetches (all, or one url) — the REST control plane's
+    table-update hook calls this, mirroring the reference's cache drop on
+    table re-creation."""
+    import glob
+    import os
+
+    with _LOCK:
+        if url is None:
+            _CACHE.clear()
+            for p in glob.glob(os.path.join(_cache_dir(), "*.json")):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+        else:
+            _CACHE.pop(url, None)
+            try:
+                os.unlink(_cache_path(url))
+            except OSError:
+                pass
+
+
+def _fetch_rows(url: str, timeout: float, schema: StructType) -> list[tuple]:
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        data = json.loads(resp.read())
+    if isinstance(data, dict):
+        data = [data]
+    names = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    return [tuple(_coerce(d.get(n), t) for n, t in names) for d in data]
+
+
+def fetch_with_ttl(url: str, ttl_ms: float, timeout: float, schema: StructType) -> list[tuple]:
+    import os
+
+    if ttl_ms <= 0:
+        return _fetch_rows(url, timeout, schema)
+    now = time.time()
+    with _LOCK:
+        hit = _CACHE.get(url)
+        if hit is not None and (ttl_ms == float("inf") or (now - hit[0]) * 1000.0 < ttl_ms):
+            return hit[1]
+    path = _cache_path(url)
+    try:
+        with open(path) as f:
+            payload = json.load(f)
+        if ttl_ms == float("inf") or (now - payload["at"]) * 1000.0 < ttl_ms:
+            rows = [tuple(r) for r in payload["rows"]]
+            with _LOCK:
+                _CACHE[url] = (payload["at"], rows)
+            return rows
+    except (OSError, ValueError, KeyError):
+        pass
+    rows = _fetch_rows(url, timeout, schema)
+    at = time.time()
+    tmp = path + f".tmp{os.getpid()}"
+    try:
+        with open(tmp, "w") as f:
+            json.dump({"at": at, "rows": [list(r) for r in rows]}, f)
+        os.replace(tmp, path)  # atomic publish; racers just refetch
+    except (OSError, TypeError):
+        pass  # non-JSON-serializable cells: fall back to fetch-per-plan
+    with _LOCK:
+        _CACHE[url] = (at, rows)
+    return rows
+
+
+class _LookupReader(DataSourceReader):
+    """One partition; the fetch happens inside ``read()`` because Spark
+    calls ``partitions()`` only ONCE per query (plan reuse) but re-runs
+    ``read()`` on every execution — i.e. once per micro-batch in a
+    stream-static join (verified against pyspark 4.1's
+    MicroBatchExecution).  The TTL gate is the node-local disk cache, so
+    repeated executions inside the TTL window cost zero round-trips."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_ = schema
+        self.url = options["url"]
+        self.timeout = float(options.get("timeout", 10))
+        cache_on = str(options.get("cache", "true")).lower() != "false"
+        raw = str(options.get("cachettl", "0"))
+        self.ttl_ms = (float("inf") if raw in ("inf", "-1") else float(raw)) if cache_on else 0.0
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(0)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        return iter(fetch_with_ttl(self.url, self.ttl_ms, self.timeout, self.schema_))
+
+
+class LookupDataSource(DataSource):
+    """format "ekuiper_lookup"; options: url, cacheTtl (ms; "inf"/-1 =
+    never refresh), cache (false disables caching), timeout."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ekuiper_lookup"
+
+    def schema(self):
+        raise ValueError("ekuiper_lookup requires an explicit schema")
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _LookupReader(schema, self.options)

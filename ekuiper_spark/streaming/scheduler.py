@@ -51,13 +51,20 @@ def cron_matches(expr: str, dt: datetime) -> bool:
         minute, hour, dom, mon, dow = fields
     else:
         raise ValueError(f"bad cron expression {expr!r}")
+    dom_ok = _field_matches(dom, dt.day, 1, 31)
+    # cron dow: 0=Sunday; datetime.weekday(): 0=Monday
+    dow_ok = _field_matches(dow, (dt.weekday() + 1) % 7, 0, 6)
+    if dom.split("/", 1)[0] not in ("*", "") and dow.split("/", 1)[0] not in ("*", ""):
+        # standard cron (and robfig/cron): when BOTH dom and dow are
+        # restricted, the day matches when EITHER matches
+        day_ok = dom_ok or dow_ok
+    else:
+        day_ok = dom_ok and dow_ok
     ok = (
         _field_matches(minute, dt.minute, 0, 59)
         and _field_matches(hour, dt.hour, 0, 23)
-        and _field_matches(dom, dt.day, 1, 31)
+        and day_ok
         and _field_matches(mon, dt.month, 1, 12)
-        # cron dow: 0=Sunday; datetime.weekday(): 0=Monday
-        and _field_matches(dow, (dt.weekday() + 1) % 7, 0, 6)
     )
     if ok and sec is not None:
         ok = _field_matches(sec, dt.second, 0, 59)

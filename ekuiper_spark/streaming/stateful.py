@@ -110,16 +110,32 @@ def _agg_out_type(op: str, in_type: Optional[T.DataType]) -> T.DataType:
     return in_type
 
 
+# null longs buffer as an explicit sentinel (int64 arrays cannot hold NaN;
+# an implicit NaN->int64 cast is undefined and must never happen silently)
+_LONG_NULL = np.iinfo("int64").min
+
+
 def _col_to_np(series: pd.Series, dt: T.DataType) -> np.ndarray:
     if _is_ts(dt):
         return series.values.astype("datetime64[us]").astype("int64")
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         return series.to_numpy(dtype="float64")
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        if series.isna().any():
+            arr = series.to_numpy(dtype="float64")
+            return np.where(np.isnan(arr), _LONG_NULL, arr).astype("int64")
         return series.to_numpy(dtype="int64")
     if isinstance(dt, T.BooleanType):
         return series.to_numpy(dtype="bool")
     return series.to_numpy(dtype="object")
+
+
+def _f64_nulls(arr: np.ndarray, dt: T.DataType) -> np.ndarray:
+    """float64 view of a buffered column with nulls restored to NaN."""
+    v = arr.astype("float64")
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        v[arr == _LONG_NULL] = np.nan
+    return v
 
 
 def _np_to_out(arr: np.ndarray, dt: T.DataType):
@@ -242,6 +258,7 @@ def window_agg_stream(
     delay_us: int = 0,
     cap_us: Optional[int] = None,
     timeout_us: Optional[int] = None,
+    flush_open_ms: Optional[int] = None,
     state_max_rows: int = 1_000_000,
     dims: Sequence[str] = (),
     subgroups: Sequence[str] = (),
@@ -567,9 +584,35 @@ def window_agg_stream(
 
         State = the open session's rows (bounded: a session spans at most
         2*cap of event time); closed sessions emit and leave state.  The
-        trailing open session emits only when a later event closes it —
-        in an unbounded run the reference closes it by wall-clock timer.
+        trailing open session emits when a later event closes it, or —
+        with ``flush_open_ms`` set — by a processing-time state timeout,
+        matching the reference's wall-clock close timer
+        (window_op.go:304-347 ticker close).
         """
+        if flush_open_ms and state.hasTimedOut:
+            # quiet key: flush the open session like the reference's timer
+            emitted, _, buf = load_state(state)
+            out_rows = new_sink()
+            if len(buf[ts_col]):
+                win = {c: buf[c] for c in buffered}
+                if sub_list:
+                    subgroup_window(win, emitted, out_rows)
+                else:
+                    for a in agg_list:
+                        src = a.in_col or ts_col
+                        val = _SLICE_OPS[a.op](win[src])
+                        if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
+                            val = pd.Timestamp(int(val), unit="us")
+                        elif a.op == "collect" and _is_ts(buf_types[src]):
+                            val = list(pd.to_datetime(np.asarray(val, dtype="int64"), unit="us"))
+                        out_rows[a.out].append(val)
+                    if emit_wid:
+                        out_rows["wid"].append(emitted)
+            state.remove()
+            n_out = len(next(iter(out_rows.values()))) if out_rows else 0
+            if n_out:
+                yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
+            return
         emitted, _, buf = load_state(state)
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
@@ -593,7 +636,10 @@ def window_agg_stream(
         close_tick = (int(ts_arr[0]) // cap_us + 2) * cap_us
         for i in range(1, total):
             t = int(ts_arr[i])
-            if t - int(ts_arr[i - 1]) > timeout_us or t >= close_tick:
+            # inclusive close like the reference (window_op.go:322
+            # tt.After(tick) is strict): an event exactly AT the
+            # force-close tick stays in the closing session
+            if t - int(ts_arr[i - 1]) > timeout_us or t > close_tick:
                 bounds.append((cur, i))
                 cur = i
                 close_tick = (t // cap_us + 2) * cap_us
@@ -616,6 +662,8 @@ def window_agg_stream(
             emitted += 1
         buf = {c: buf[c][cur:] for c in buffered}
         save_state(state, emitted, bool(bounds) or total > 0, buf)
+        if flush_open_ms and len(buf[ts_col]):
+            state.setTimeoutDuration(int(flush_open_ms))
         n_out = len(next(iter(out_rows.values()))) if out_rows else 0
         if n_out:
             yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
@@ -656,14 +704,23 @@ def window_agg_stream(
                 if a.op == "count" and a.in_col is None:
                     res = (right - left).astype("int64")
                 elif a.op in ("min", "max"):
-                    vals = full[a.in_col].astype("float64")
+                    vals = _f64_nulls(full[a.in_col], buf_types[a.in_col])
                     res = _range_extrema(vals, left, right, a.op)
+                    # all-null frame → NaN; NaN.astype(int64) is INT64_MIN,
+                    # so keep it null instead of casting the raw array
+                    nanmask = np.isnan(res)
                     if _is_ts(buf_types[a.in_col]):
-                        res = pd.to_datetime(res.astype("int64"), unit="us")
+                        ts = pd.to_datetime(
+                            np.where(nanmask, 0, res).astype("int64"), unit="us"
+                        )
+                        res = pd.Series(ts).mask(nanmask, pd.NaT)
                     elif isinstance(out_types[a.out], T.LongType):
-                        res = res.astype("int64")
+                        res = pd.Series(
+                            np.where(nanmask, 0, res).astype("int64"),
+                            dtype="Int64",
+                        ).mask(nanmask, pd.NA)
                 else:
-                    vals = full[a.in_col].astype("float64")
+                    vals = _f64_nulls(full[a.in_col], buf_types[a.in_col])
                     ok = ~np.isnan(vals)
                     ccs = np.concatenate([[0], np.cumsum(ok.astype("int64"))])
                     scs = np.concatenate([[0.0], np.cumsum(np.where(ok, vals, 0.0))])
@@ -705,7 +762,17 @@ def window_agg_stream(
         )[perm]
         idx = pd.to_datetime(full[ts_col], unit="us")
         roll_df = pd.DataFrame(
-            {c: full[c] for c in buffered if c != ts_col or any(a.in_col == ts_col for a in agg_list)},
+            # integer agg inputs go through float64 with nulls as NaN so
+            # rolling reductions skip them (pandas NaN-skipping = SQL null)
+            {
+                c: (
+                    _f64_nulls(full[c], buf_types[c])
+                    if isinstance(buf_types[c], (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
+                    else full[c]
+                )
+                for c in buffered
+                if c != ts_col or any(a.in_col == ts_col for a in agg_list)
+            },
             index=idx,
         )
         if any(a.in_col is None for a in agg_list):
@@ -722,8 +789,12 @@ def window_agg_stream(
                 res = res.astype("int64")
             elif a.op in ("min", "max") and _is_ts(buf_types.get(src, T.DoubleType())):
                 res = pd.to_datetime(res.astype("int64"), unit="us")
-            elif a.op == "sum" and isinstance(out_types[a.out], T.LongType):
-                res = res.astype("int64")
+            elif a.op in ("sum", "min", "max") and isinstance(out_types[a.out], T.LongType):
+                # all-null frame -> NaN; keep it null (NaN->int64 is UB)
+                nanmask = np.isnan(res)
+                res = pd.Series(
+                    np.where(nanmask, 0, res).astype("int64"), dtype="Int64"
+                ).mask(nanmask, pd.NA)
             out_cols[a.out] = res
         # stable argsort keeps the new rows in batch-sorted relative order,
         # so res[is_new] aligns 1:1 with the sorted batch's rows
@@ -748,8 +819,13 @@ def window_agg_stream(
     else:
         _warn_global(kind)
         keyed = sdf.withColumn("__k", F.lit(1)).groupBy("__k")
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if (kind == "session" and flush_open_ms)
+        else GroupStateTimeout.NoTimeout
+    )
     return keyed.applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout_conf
     )
 
 

@@ -669,6 +669,13 @@ class Translator:
             # the GROUP BY dims (per-key state = the scale path)
             kw["cap_us"] = int(window.args[0] * UNIT_SECONDS[window.unit] * 1_000_000)
             kw["timeout_us"] = int(window.args[1] * UNIT_SECONDS[window.unit] * 1_000_000)
+            # rule option session_flush_ms: close the trailing open session
+            # by processing-time state timeout (the reference's wall-clock
+            # ticker close, window_op.go:304-347); off by default so
+            # bounded replays stay deterministic
+            flush = (self.rule_ctx.get("props") or {}).get("session_flush_ms")
+            if flush:
+                kw["flush_open_ms"] = int(flush)
             dims = subgroups
             subgroups = []
         else:  # state
@@ -896,9 +903,20 @@ class Translator:
         rule (next session starts at the first event past the closing
         tick) is exactly "pair buckets (run_first+2k, run_first+2k+1)" —
         so the in-run session id is (bucket - run_first_bucket) div 2.
-        Boundary divergence from the reference, documented: an event
-        exactly AT the closing tick T starts the next session here
-        (half-open close); the reference includes it in the closing one.
+        Closing-tick membership is INCLUSIVE like the reference
+        (window_op.go:322 ``tt.After(tick)`` is strict): an event exactly
+        AT the closing tick T = (run_first + 2k) * cap lands at the left
+        edge of an even-offset bucket and is re-assigned to the closing
+        session k-1 (whose bucket run_first+2k-1 is occupied — runs are
+        consecutive).  This is exact whenever interval < length: the next
+        in-island event after an on-tick one is <= timeout < cap later,
+        i.e. still inside bucket run_first+2k, so session starts keep
+        their even-bucket parity.  Residual (documented) corner when
+        interval >= length: a bucket whose only events sit exactly on
+        its left-edge tick shifts the true greedy start of the following
+        session by one bucket; the streaming sessionizer
+        (stateful.fn_session) runs the exact sequential scan and has no
+        such corner.
 
         Scale: all shuffles key on the GROUP BY dims; unkeyed capped
         sessions collapse to one sort partition (reference single-process
@@ -933,6 +951,14 @@ class Translator:
         wrun = W.partitionBy(*parts, F.col("__isl"), F.col("__run"))
         run_first = F.min("__bkt").over(wrun)
         df = df.withColumn("__sess", F.floor((F.col("__bkt") - run_first) / F.lit(2)))
+        # inclusive close: an event exactly at an even-offset bucket's left
+        # edge is at the previous session's force-close tick — move it there
+        on_tick = (
+            ((F.col("__us") % cap_us) == 0)
+            & (((F.col("__bkt") - run_first) % 2) == 0)
+            & (F.col("__bkt") > run_first)
+        )
+        df = df.withColumn("__sess", F.col("__sess") - on_tick.cast("long"))
         df = df.withColumn("__sb", run_first + F.col("__sess") * 2)  # session start bucket
         wsess = W.partitionBy(*parts, F.col("__isl"), F.col("__run"), F.col("__sess"))
         start_us = F.min("__us").over(wsess)
@@ -976,10 +1002,16 @@ class Translator:
         key = epoch_us(F.col(c0)) if is_ts else F.col(c0).cast("double")
         parallelism = self.spark.sparkContext.defaultParallelism or 32
         counts = None
+        # null order keys sort first (Spark asc default), so they must land
+        # in the lowest bucket — never in a null __gbk (which would break
+        # the driver-side prefix sum)
+        _NULLS_BUCKET = -(2**62)
         if is_ts:
             # timestamp keys: a fixed hour grid needs NO boundary job —
             # counts-per-hour is the single extra pass
-            bucket = F.floor(key / F.lit(3_600_000_000))
+            bucket = F.coalesce(
+                F.floor(key / F.lit(3_600_000_000)), F.lit(_NULLS_BUCKET)
+            )
             bdf = df.withColumn("__gbk", bucket)
             counts = bdf.groupBy("__gbk").agg(F.count(F.lit(1)).alias("c")).collect()
             if len(counts) <= 2:
@@ -988,15 +1020,26 @@ class Translator:
             kdf = df.select(key.cast("double").alias("__gk"))
             probs = [i / parallelism for i in range(1, parallelism)]
             # boundaries only steer partition balance; 1% error is plenty
-            boundaries = sorted(set(kdf.approxQuantile("__gk", probs, 0.01)))
-            bucket = F.lit(0)
-            for b in boundaries:
-                bucket = bucket + F.when(key.cast("double") > F.lit(b), 1).otherwise(0)
+            boundaries = sorted(set(kdf.approxQuantile("__gk", probs, 0.01))) if probs else []
+            # bucket id = #boundaries strictly below the key.  A single
+            # array literal + JVM-side filter keeps the plan CONSTANT-size
+            # (the old F.when chain was O(parallelism) expression depth —
+            # 2,000 nested CASEs at cluster scale); runtime is O(B) per row
+            # over a flat double[] which codegen scans without branching.
+            # Null keys: `b < null` filters to empty -> bucket 0, which is
+            # also where the smallest keys live, so order is preserved.
+            if boundaries:
+                barr = F.lit([float(b) for b in boundaries])
+                bucket = F.size(
+                    F.filter(barr, lambda b: b < key.cast("double"))
+                ).cast("long")
+            else:
+                bucket = F.lit(0).cast("long")
             bdf = df.withColumn("__gbk", bucket)
             counts = bdf.groupBy("__gbk").agg(F.count(F.lit(1)).alias("c")).collect()
         offsets: dict[int, int] = {}
         running = 0
-        for row in sorted(counts, key=lambda r: r["__gbk"]):
+        for row in sorted(counts, key=lambda r: (r["__gbk"] is None, r["__gbk"])):
             offsets[row["__gbk"]] = running
             running += row["c"]
         # offsets attach via a broadcast join (a create_map literal scans
@@ -1576,12 +1619,18 @@ class Translator:
                     and not isinstance(n.value, bool)
                 )
 
-            if _is_num_lit(node.right) and not _is_num_lit(node.left):
-                left = left.try_cast("double")
-                right = right.try_cast("double")
-            elif _is_num_lit(node.left) and not _is_num_lit(node.right):
-                left = left.try_cast("double")
-                right = right.try_cast("double")
+            if _is_num_lit(node.right) != _is_num_lit(node.left):
+                lit_node = node.right if _is_num_lit(node.right) else node.left
+                # integer literals coerce through decimal(38,9): exact for
+                # the full int64 range (a double cast silently loses
+                # precision above 2^53) while still parsing numeric strings
+                target = (
+                    "decimal(38,9)"
+                    if isinstance(lit_node.value, int)
+                    else "double"
+                )
+                left = left.try_cast(target)
+                right = right.try_cast(target)
         if op == "+":
             return left + right
         if op == "-":

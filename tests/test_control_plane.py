@@ -934,3 +934,41 @@ def test_sliding_delay_min_max_matches_batch(spark, catalog):
     assert len(stream) > 900
     mismatches = [k for k in stream if stream[k] != bt[k]]
     assert not mismatches, mismatches[:5]
+
+
+def test_sliding_delay_min_max_all_null_frame(spark, tmp_path):
+    """min/max over an all-null frame emits NULL, not INT64_MIN (the
+    NaN->int64 cast is undefined; the result must stay null for long and
+    timestamp outputs alike)."""
+    import datetime as dt
+    import uuid as _uuid
+
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.translator import compile_sql as cs
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=30 * i), None) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, amount long")
+    p = str(tmp_path / "nulls")
+    df.coalesce(1).write.parquet(p)
+    sdf = spark.readStream.schema(df.schema).parquet(p)
+    cat2 = Catalog()
+    cat2.register_df("events", sdf)
+    out = cs(
+        spark,
+        "SELECT event_id, min(amount) AS mn, max(amount) AS mx FROM events "
+        "GROUP BY SLIDINGWINDOW(ss, 60, 30)",
+        cat2, streaming=True, order_cols=["ts", "event_id"],
+    )
+    name = "sdn_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["mn"] is None and r["mx"] is None, r

@@ -112,3 +112,53 @@ def test_stream_stream_join_shuffles_on_window_and_key(spark, tmp_path):
     plan = df._jdf.queryExecution().analyzed().toString()
     # join condition carries both the bucket equality and the user key
     assert "__ssw" in plan and _re.search(r"user_id#\d+L = user_id#\d+L", plan)
+
+
+def test_count_window_null_order_key(spark):
+    """A null timestamp in the order key must not break the range-bucketed
+    global row number (null bucket keys previously raised TypeError on the
+    driver-side prefix-sum sort); null-ts rows sort first (Spark asc)."""
+    import datetime as dt
+
+    from ekuiper_spark.catalog import Catalog
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(hours=i), float(i)) for i in range(9)]
+    rows.append((99, None, 99.0))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    cat = Catalog()
+    cat.register_df("events", df)
+    out = compile_sql(
+        spark,
+        "SELECT count(*) AS n, round(sum(value), 3) AS s FROM events GROUP BY COUNTWINDOW(5)",
+        cat,
+        order_cols=["ts", "event_id"],
+    )
+    got = sorted((r["n"], r["s"]) for r in out.collect())
+    # null-ts row sorts first: window 1 = {null, h0..h3}, window 2 = {h4..h8}
+    assert got == sorted([(5, 99.0 + 0 + 1 + 2 + 3), (5, 4.0 + 5 + 6 + 7 + 8)])
+
+
+def test_global_row_number_bucket_expr_is_constant_size(spark):
+    """The quantile-fallback bucket id is a single array-literal filter,
+    not an O(parallelism) chain of CASE comparisons — the plan must not
+    contain hundreds of nested CASE WHEN nodes."""
+    import datetime as dt
+
+    from ekuiper_spark.catalog import Catalog
+
+    # sub-hour timestamp span forces the quantile fallback path
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(seconds=i), float(i)) for i in range(600)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    cat = Catalog()
+    cat.register_df("events", df)
+    out = compile_sql(
+        spark,
+        "SELECT count(*) AS n FROM events GROUP BY COUNTWINDOW(100)",
+        cat,
+        order_cols=["ts", "event_id"],
+    )
+    plan = _plan(out)
+    assert plan.count("CASE WHEN") < 20, "bucket id must not be a CASE chain"
+    assert out.count() == 6

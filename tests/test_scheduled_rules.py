@@ -20,7 +20,14 @@ def test_cron_matcher():
     assert cron_matches("*/15 * * * *", dt)
     assert cron_matches("0-40 14 * * 2", dt)  # dow 2 = Tuesday
     assert not cron_matches("31 14 5 3 *", dt)
-    assert not cron_matches("30 14 5 3 0", dt)  # Sunday
+    # standard cron (robfig too): BOTH dom and dow restricted -> the day
+    # matches when EITHER matches — "the 5th OR Sundays" fires on the 5th
+    assert cron_matches("30 14 5 3 0", dt)
+    assert cron_matches("30 14 1 3 2", dt)   # "the 1st OR Tuesdays": Tuesday
+    assert not cron_matches("30 14 1 3 0", dt)  # neither the 1st nor Sunday
+    # only one of dom/dow restricted -> plain AND
+    assert not cron_matches("30 14 * 3 0", dt)  # Sundays only
+    assert not cron_matches("30 14 1 3 *", dt)  # the 1st only
     # 6-field (robfig WithSeconds): leading seconds
     assert cron_matches("45 30 14 * * *", dt)
     assert cron_matches("*/5 * * * * *", dt)

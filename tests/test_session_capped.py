@@ -75,15 +75,102 @@ def test_cap_splits_at_grid_tick(spark, cat):
     ]
 
 
-def test_event_at_tick_starts_next_session(spark, cat):
-    # documented divergence: an event exactly at the closing tick T joins
-    # the NEXT session here (half-open close); reference includes it
+def test_event_at_tick_joins_closing_session(spark, cat):
+    # reference parity (window_op.go:322 tt.After(tick) is strict): an
+    # event exactly at the closing tick T is INCLUDED in the closing
+    # session; the session closes at T
     rows = [("a", 60 * i, 1) for i in range(5)]  # 0,60,...,240: no timeout gap
     got = _run(spark, cat, _mk(spark, rows), SQL)
     assert got == [
-        ("a", _t(0), _t(240), 4),    # 0..180, force-closed at tick 240
-        ("a", _t(240), _t(300), 1),  # the tick-boundary event starts anew
+        ("a", _t(0), _t(240), 5),  # 0..240 inclusive, force-closed at tick 240
     ]
+
+
+def test_event_at_tick_with_following_session(spark, cat):
+    # on-tick event closes session 1 at T=240; the NEXT event (within
+    # timeout) starts session 2, whose own close tick derives from its
+    # start bucket (golden corpus case from the round-4 verdict)
+    rows = [("a", 60 * i, 1) for i in range(5)] + [("a", 290, 1), ("a", 340, 1)]
+    got = _run(spark, cat, _mk(spark, rows), SQL)
+    assert got == [
+        ("a", _t(0), _t(240), 5),    # 0..240 inclusive
+        ("a", _t(290), _t(400), 2),  # 290,340; close = 340+60 (< tick 480)
+    ]
+
+
+def test_event_at_tick_streaming_matches_batch(spark, cat):
+    # the streaming sessionizer (exact sequential scan) agrees with the
+    # batch construction on the on-tick membership
+    import os
+    import uuid as _uuid
+
+    rows = [("a", 60 * i, 1) for i in range(5)] + [("a", 290, 1), ("a", 500, 1)]
+    df = _mk(spark, rows)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "p")
+        df.coalesce(1).write.parquet(p)
+        sdf = spark.readStream.schema(df.schema).parquet(p)
+        cat.register_df("events", sdf)
+        out = compile_sql(
+            spark,
+            "SELECT user_id, count(*) AS n, min(ts) AS s FROM events "
+            "GROUP BY user_id, SESSIONWINDOW(ss, 120, 60)",
+            cat,
+            streaming=True,
+        )
+        name = "t_tick_" + _uuid.uuid4().hex[:6]
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted((r["user_id"], r["n"], r["s"]) for r in spark.table(name).collect())
+    # session 1: 0..240 inclusive (5 events); session 2: {290} closed by
+    # timeout when 500 arrives; {500} stays open (no flush configured)
+    assert got == [("a", 1, _t(290)), ("a", 5, _t(0))]
+
+
+def test_session_flush_open_on_quiet_key(spark, cat, tmp_path):
+    """rule option session_flush_ms: the trailing open session closes by
+    a processing-time state timeout (the reference's wall-clock ticker,
+    window_op.go:304-347) instead of waiting for a later event."""
+    import os
+    import time
+    import uuid as _uuid
+
+    rows = [("a", 10, 1), ("a", 40, 1)]  # one open session, never closed by data
+    df = _mk(spark, rows)
+    p = str(tmp_path / "p")
+    df.coalesce(1).write.parquet(p)
+    sdf = spark.readStream.schema(df.schema).parquet(p)
+    cat.register_df("events", sdf)
+    out = compile_sql(
+        spark,
+        "SELECT user_id, count(*) AS n, min(ts) AS s FROM events "
+        "GROUP BY user_id, SESSIONWINDOW(ss, 120, 60)",
+        cat,
+        streaming=True,
+        rule_ctx={"props": {"session_flush_ms": 300}},
+    )
+    name = "t_flush_" + _uuid.uuid4().hex[:6]
+    # default (continuous) trigger: ProcessingTimeTimeout keeps batches
+    # running, so the timed-out key flushes without new data
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        deadline = time.time() + 60
+        got = []
+        while time.time() < deadline:
+            got = sorted(
+                (r["user_id"], r["n"], r["s"]) for r in spark.table(name).collect()
+            )
+            if got:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    assert got == [("a", 2, _t(10))]
 
 
 def test_sessions_are_per_key(spark, cat):
