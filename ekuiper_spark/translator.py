@@ -438,14 +438,24 @@ class Translator:
         """
         group = stmt.group
         window = group.window if group else None
-        if window is None or window.kind != "tumbling":
+        if window is None or window.kind not in ("tumbling", "hopping"):
             raise NotImplementedError(
                 "a time window is required to join multiple streams "
                 "(reference planner.go:734-735); streaming stream-stream "
-                "joins support TUMBLINGWINDOW — register the right side "
-                "as a scan/lookup TABLE for a stream-static join"
+                "joins support TUMBLING/HOPPINGWINDOW — register the right "
+                "side as a scan/lookup TABLE for a stream-static join"
             )
-        if j.kind not in ("inner", "left"):
+        if window.kind == "hopping" and window.args[1] > window.args[0]:
+            raise NotImplementedError(
+                "streaming stream-stream join inside a SPARSE hopping "
+                "window (interval > length) is unsupported: the derived "
+                "bucket is opaque to Spark's watermark state eviction"
+            )
+        if j.kind not in ("inner", "left", "right"):
+            # FULL/CROSS window joins stay batch-only
+            # (join_operator.go:27-398 supports them single-process; a
+            # streaming full-outer on a composite bucket key is not
+            # watermark-evictable in Spark)
             raise NotImplementedError(
                 f"streaming stream-stream {j.kind} join is unsupported"
             )
@@ -465,13 +475,17 @@ class Translator:
         if lec is None or rec is None:
             raise ValueError("stream-stream join requires event-time columns")
         dur = self._dur(window, 0)
+        hop = self._dur(window, 1) if window.kind == "hopping" else None
         ldf, rdf_w = df, rdf
         if self.streaming:
             wm = self.watermark or "0 seconds"
             ldf = ldf.withWatermark(lec, wm)
             rdf_w = rdf_w.withWatermark(rec, wm)
-        ldf = ldf.withColumn("__ssw", F.window(F.col(f"{left_alias}.{lec}"), dur))
-        rdf = rdf_w.withColumn("__ssw_r", F.window(F.col(f"{r_alias}.{rec}"), dur))
+        # hopping: F.window(ts, size, slide) expands each event into one
+        # row per covering window instance, so bucket equality gates pairs
+        # per-instance exactly like the reference's per-window join scan
+        ldf = ldf.withColumn("__ssw", F.window(F.col(f"{left_alias}.{lec}"), dur, hop) if hop else F.window(F.col(f"{left_alias}.{lec}"), dur))
+        rdf = rdf_w.withColumn("__ssw_r", F.window(F.col(f"{r_alias}.{rec}"), dur, hop) if hop else F.window(F.col(f"{r_alias}.{rec}"), dur))
         cond = (F.col("__ssw") == F.col("__ssw_r")) & self._expr(j.on, ctx)
         out = ldf.join(rdf, on=cond, how=j.kind).drop("__ssw_r")
         ctx.join_window_col = "__ssw"
@@ -815,6 +829,12 @@ class Translator:
             ctx.window_col = "window"
             return df, ["window"]
         if w.kind == "hopping":
+            if ctx.join_window_col:
+                # stream-stream join already exploded/bucketed both sides
+                # into the hopping instances; reuse the join bucket
+                df = df.withColumnRenamed(ctx.join_window_col, "window")
+                ctx.window_col = "window"
+                return df, ["window"]
             if w.args[1] > w.args[0]:
                 # sparse hopping (interval > length, TestHoppingWindowSQL1/3
                 # in rule_test.go): windows at k*interval covering
@@ -928,12 +948,17 @@ class Translator:
         e = (F.col(ec) * 1000) if ctx.event_is_long else epoch_us(F.col(ec))
         parts = [F.col(n) for n in ctx.window_parts]
         if not parts:
+            if timeout_us <= cap_us:
+                # scale path: cap-grid bucket partitioning with boundary
+                # shadows (see _session_capped_unkeyed) — no global sort
+                return self._session_capped_unkeyed(df, e, cap_us, timeout_us, ctx)
             import warnings
 
             warnings.warn(
-                "unkeyed capped SESSIONWINDOW uses one global sort "
-                "partition (reference semantics); at scale add GROUP BY "
-                "key to partition the sessionization.",
+                "unkeyed capped SESSIONWINDOW with interval > length uses "
+                "one global sort partition (island lookback can cross "
+                "multiple cap buckets); at scale add GROUP BY key to "
+                "partition the sessionization.",
                 UserWarning,
                 stacklevel=4,
             )
@@ -973,6 +998,106 @@ class Translator:
                 F.timestamp_micros(end_us).alias("end"),
             ),
         ).drop("__us", "__bkt", "__sb")
+        ctx.window_col = "window"
+        return df, ["__isl", "__run", "__sess", "window"]
+
+    def _session_capped_unkeyed(
+        self, df: DataFrame, e, cap_us: int, timeout_us: int, ctx: TranslateCtx
+    ):
+        """Unkeyed capped SESSIONWINDOW without a global sort partition.
+
+        With timeout <= cap, the island-gap lag looks back at most
+        ``timeout`` — i.e. never beyond the previous cap bucket — so the
+        sequential prefix computations distribute:
+
+        1. each row whose time falls in the boundary strip
+           [(k+1)*cap - timeout, (k+1)*cap) also SHADOWS into bucket k+1
+           (one scan, explode — the _sliding_buckets technique), giving
+           every bucket's first native row its true predecessor for the
+           gap check;
+        2. island ids = per-bucket running sum of new-island flags plus a
+           broadcast prefix-sum of per-bucket flag counts (one tiny job —
+           the same pattern as the COUNTWINDOW global sequence).  A
+           bucket whose predecessor bucket is empty implies gap > cap >=
+           timeout, so a missing shadow correctly reads as a new island;
+        3. the run/pairing metadata lives on the DISTINCT (island, bucket)
+           table — one row per occupied cap bucket, O(time_range / cap)
+           << data — whose window functions are cheap at any scale; it
+           broadcast-joins back onto the rows;
+        4. session start/end/aggregation then partition by (isl, run,
+           sess) — millions of sessions spread across the cluster.
+
+        Output is bit-identical to the keyed construction (same pairing +
+        inclusive-close adjustment); pinned by tests/test_scale_paths.py.
+        """
+        df = df.withColumn("__us", e).withColumn("__bkt", F.floor(F.col("__us") / cap_us))
+        # 1. explode into home bucket + boundary-strip shadow
+        strip = F.col("__us") >= (F.col("__bkt") + 1) * cap_us - timeout_us
+        branches = F.array_compact(
+            F.array(
+                F.struct(F.col("__bkt").alias("b"), F.lit(False).alias("sh")),
+                F.when(
+                    strip,
+                    F.struct((F.col("__bkt") + 1).alias("b"), F.lit(True).alias("sh")),
+                ),
+            )
+        )
+        df = (
+            df.withColumn("__sca", F.explode(branches))
+            .withColumn("__scb", F.col("__sca.b"))
+            .withColumn("__shadow", F.col("__sca.sh"))
+            .drop("__sca")
+        )
+        # 2. gap check inside the shadow bucket, then drop shadows
+        wb = W.partitionBy("__scb").orderBy("__us")
+        prev = F.lag("__us").over(wb)
+        new_isl = (prev.isNull() | ((F.col("__us") - prev) > timeout_us)).cast("long")
+        df = df.withColumn("__ni", new_isl).filter(~F.col("__shadow")).drop("__shadow")
+        counts = (
+            df.groupBy("__scb").agg(F.sum("__ni").alias("c")).collect()
+        )
+        offsets, running = [], 0
+        for row in sorted(counts, key=lambda r: r["__scb"]):
+            offsets.append((int(row["__scb"]), running))
+            running += int(row["c"] or 0)
+        off_df = F.broadcast(
+            self.spark.createDataFrame(offsets, "__scb long, __ioff long")
+        )
+        df = df.join(off_df, "__scb", "left").fillna(0, ["__ioff"])
+        df = df.withColumn(
+            "__isl",
+            F.col("__ioff")
+            + F.sum("__ni").over(wb.rowsBetween(W.unboundedPreceding, 0)),
+        ).drop("__ni", "__ioff", "__scb")
+        # 3. run/pairing metadata on the tiny distinct-bucket table
+        D = df.select("__isl", "__bkt").distinct()
+        wdi = W.partitionBy("__isl").orderBy("__bkt")
+        D = D.withColumn("__run", F.col("__bkt") - F.dense_rank().over(wdi))
+        D = D.withColumn(
+            "__rf", F.min("__bkt").over(W.partitionBy("__isl", "__run"))
+        )
+        df = df.join(F.broadcast(D), ["__isl", "__bkt"], "left")
+        # 4. parity pairing + inclusive-close adjustment (same as keyed)
+        sess = F.floor((F.col("__bkt") - F.col("__rf")) / F.lit(2))
+        on_tick = (
+            ((F.col("__us") % cap_us) == 0)
+            & (((F.col("__bkt") - F.col("__rf")) % 2) == 0)
+            & (F.col("__bkt") > F.col("__rf"))
+        )
+        df = df.withColumn("__sess", sess - on_tick.cast("long"))
+        df = df.withColumn("__sb", F.col("__rf") + F.col("__sess") * 2)
+        wsess = W.partitionBy("__isl", "__run", "__sess")
+        start_us = F.min("__us").over(wsess)
+        end_us = F.least(
+            F.max("__us").over(wsess) + timeout_us, (F.col("__sb") + 2) * cap_us
+        )
+        df = df.withColumn(
+            "window",
+            F.struct(
+                F.timestamp_micros(start_us).alias("start"),
+                F.timestamp_micros(end_us).alias("end"),
+            ),
+        ).drop("__us", "__bkt", "__sb", "__rf")
         ctx.window_col = "window"
         return df, ["__isl", "__run", "__sess", "window"]
 

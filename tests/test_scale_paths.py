@@ -162,3 +162,69 @@ def test_global_row_number_bucket_expr_is_constant_size(spark):
     plan = _plan(out)
     assert plan.count("CASE WHEN") < 20, "bucket id must not be a CASE chain"
     assert out.count() == 6
+
+
+def test_unkeyed_capped_session_no_global_sort(spark, catalog):
+    """Unkeyed capped SESSIONWINDOW (timeout <= cap) now distributes via
+    cap-bucket shadows + broadcast island offsets — no lit(1)/empty
+    window partition spec anywhere in the plan."""
+    df = compile_sql(
+        spark,
+        "SELECT window_start() AS s, window_end() AS e, count(*) AS n "
+        "FROM events GROUP BY SESSIONWINDOW(mi, 120, 30)",
+        catalog,
+    )
+    plan = _plan(df)
+    assert not re.search(r"windowspecdefinition\(1,", plan)
+    assert not re.search(r"windowspecdefinition\(0,", plan)
+    assert "__scb" in plan or "__isl" in plan  # bucketed construction
+    assert "Generate explode" in plan  # boundary-strip shadows, one scan
+
+
+def test_unkeyed_capped_session_matches_keyed_construction(spark, catalog):
+    """Value check: the unkeyed scale path emits exactly the sessions the
+    keyed construction produces for a constant key."""
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.catalog import Catalog
+
+    ev = catalog.load(spark, "events")
+    cat2 = Catalog()
+    cat2.register_df("events", ev.withColumn("k", F.lit(1)))
+    unkeyed = compile_sql(
+        spark,
+        "SELECT window_start() AS s, window_end() AS e, count(*) AS n "
+        "FROM events GROUP BY SESSIONWINDOW(mi, 120, 30)",
+        catalog,
+    )
+    keyed = compile_sql(
+        spark,
+        "SELECT window_start() AS s, window_end() AS e, count(*) AS n "
+        "FROM events GROUP BY k, SESSIONWINDOW(mi, 120, 30)",
+        cat2,
+    )
+    a = sorted((r["s"], r["e"], r["n"]) for r in unkeyed.collect())
+    b = sorted((r["s"], r["e"], r["n"]) for r in keyed.select("s", "e", "n").collect())
+    assert a == b and len(a) > 10
+
+
+def test_unkeyed_capped_session_on_tick_membership(spark):
+    """The inclusive-close adjustment holds on the unkeyed path too: an
+    event exactly at the force-close tick joins the closing session."""
+    import datetime as dt
+
+    from ekuiper_spark.catalog import Catalog
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(seconds=60 * i), 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    cat = Catalog()
+    cat.register_df("events", df)
+    out = compile_sql(
+        spark,
+        "SELECT window_start() AS s, window_end() AS e, count(*) AS n "
+        "FROM events GROUP BY SESSIONWINDOW(ss, 120, 60)",
+        cat,
+    )
+    got = sorted((r["s"], r["e"], r["n"]) for r in out.collect())
+    assert got == [(base, base + dt.timedelta(seconds=240), 5)]

@@ -137,3 +137,72 @@ def test_windowed_stream_stream_left_join(spark, two_streams):
         if r["uid"] != 99  # watermark sentinel
     )
     assert got == [(1, "a"), (1, "b"), (2, "c"), (3, None)]
+
+
+def test_windowed_stream_stream_right_join(spark, two_streams):
+    """RIGHT stream-stream join (symmetric of LEFT, join_operator.go
+    RIGHT_JOIN): unmatched right rows emit nulls once the watermark
+    passes their window (u2 t130 in bucket 2 has no s1 match)."""
+    out = compile_sql(
+        spark,
+        "SELECT s1.value AS v, s2.user_id AS uid, s2.tag AS tag FROM s1 "
+        "RIGHT JOIN s2 ON s1.user_id = s2.user_id GROUP BY TUMBLINGWINDOW(ss, 60)",
+        two_streams,
+        streaming=True,
+    )
+    name = "t_ssrj_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        ((r["uid"], r["v"], r["tag"]) for r in spark.table(name).collect()
+         if r["uid"] != 98),  # watermark sentinel
+        key=str,
+    )
+    assert got == sorted(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (2, 30.0, "c"), (2, None, "d")], key=str
+    )
+
+
+def test_windowed_stream_stream_hopping_join(spark, two_streams):
+    """HOPPING window gate: each event joins per covering window instance
+    (size 60s, slide 30s -> two instances per event).  (u1,t5)x(u1,t20)
+    share instances [-30,30) and [0,60); (u2,t10)x(u2,t50) share only
+    [0,60); (u1,t65)x(u1,t100) share only [60,120)."""
+    out = compile_sql(
+        spark,
+        "SELECT window_start() AS ws, s1.user_id AS uid, s1.value AS v, "
+        "s2.tag AS tag FROM s1 "
+        "INNER JOIN s2 ON s1.user_id = s2.user_id "
+        "GROUP BY HOPPINGWINDOW(ss, 60, 30)",
+        two_streams,
+        streaming=True,
+    )
+    name = "t_sshj_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["ws"], r["uid"], r["v"], r["tag"]) for r in spark.table(name).collect()
+    )
+    assert got == [
+        (_t(-30), 1, 10.0, "a"),
+        (_t(0), 1, 10.0, "a"),
+        (_t(0), 2, 30.0, "c"),
+        (_t(60), 1, 20.0, "b"),
+    ]
+
+
+def test_streaming_full_stream_stream_join_still_raises(spark, two_streams):
+    with pytest.raises(NotImplementedError, match="full join is unsupported"):
+        compile_sql(
+            spark,
+            "SELECT s1.user_id FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id "
+            "GROUP BY TUMBLINGWINDOW(ss, 60)",
+            two_streams,
+            streaming=True,
+        )
