@@ -36,13 +36,70 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
+def parse_image_header(payload: bytes):
+    """(format, width, height) parsed dependency-free from the leading
+    bytes of PNG / JPEG / GIF / BMP payloads, else None.
+
+    All four formats put dimensions in a fixed-layout header (PNG IHDR,
+    JPEG SOFn, GIF logical screen descriptor, BMP info header), so real
+    image metadata needs no decoder library — this replaces the blanket
+    NotImplementedError for the metadata case flagged in round 4.
+    """
+    import struct
+
+    b = payload or b""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", int(w), int(h))
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # walk JPEG segments to the first SOF marker (C0-CF minus the
+        # non-frame C4/C8/CC): height/width are big-endian at offset+5
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", int(w), int(h))
+            i += 2 + seg_len
+        return None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", int(w), int(h))
+    if len(b) >= 26 and b[:2] == b"BM":
+        # require a known DIB header size so plain text starting with
+        # "BM" can't masquerade as a bitmap
+        dib = struct.unpack("<I", b[14:18])[0]
+        if dib in (12, 40, 52, 56, 64, 108, 124):
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("bmp", int(w), abs(int(h)))  # negative height = top-down
+    return None
+
+
 def _decode_one(payload: bytes, media_type: str, fake: bool) -> dict:
+    n = len(payload)
+    hdr = parse_image_header(payload)
+    if hdr is not None:
+        fmt, w, h = hdr
+        return {
+            "media_type": f"image/{fmt}",
+            "n_bytes": n,
+            "width": w,
+            "height": h,
+            "n_frames": 1,
+            "sample_rate": 0,
+        }
     if not fake:
         raise NotImplementedError(
-            "real media decode requires PIL/soundfile/ffmpeg; "
+            "decode beyond image headers requires PIL/soundfile/ffmpeg; "
             "run with fake_decode=True or install decoders"
         )
-    n = len(payload)
     # deterministic fake: metadata derived purely from byte length/content
     return {
         "media_type": media_type,

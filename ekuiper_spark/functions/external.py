@@ -1,0 +1,117 @@
+"""External service functions: an HTTP endpoint registered as a SQL
+function.
+
+Reference: internal/service/manager.go maps gRPC/REST service methods to
+SQL functions via protobuf/schema descriptors, and executors.go invokes
+the service once PER CALL (per event).  The Spark analog keeps the
+registration surface (REST + programmatic) but invokes BATCHED: the
+function compiles to an Arrow pandas_udf that POSTs one JSON array of
+argument tuples per Arrow batch and receives a positional JSON array of
+results — thousands of rows per round-trip instead of one, from the
+executors (parallel per partition), which is the only shape that
+survives 100 TB.
+
+Wire protocol (the reference's REST executor posts JSON bodies too):
+
+    request:  POST <url>   {"args": [[a0, b0], [a1, b1], ...]}
+    response: 200          [r0, r1, ...]   (same length, positional)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# name -> descriptor dict {url, result_type, timeout}
+SERVICES: dict[str, dict[str, Any]] = {}
+
+_RESULT_TYPES = {
+    "string": T.StringType(),
+    "bigint": T.LongType(),
+    "float": T.DoubleType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+}
+
+
+def _call_service(url: str, timeout: float, arg_lists: list) -> list:
+    import urllib.request
+
+    payload = json.dumps({"args": arg_lists}).encode()
+    req = urllib.request.Request(
+        url, data=payload, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        out = json.loads(resp.read())
+    if not isinstance(out, list) or len(out) != len(arg_lists):
+        raise ValueError(
+            f"service {url} returned {type(out).__name__} of length "
+            f"{len(out) if isinstance(out, list) else 'n/a'}; expected a "
+            f"positional array of {len(arg_lists)} results"
+        )
+    return out
+
+
+def register_service_function(
+    name: str,
+    url: str,
+    result_type: str = "string",
+    timeout: float = 10.0,
+) -> None:
+    """Register ``name(...)`` as a callable SQL function backed by ``url``.
+
+    The builder lands in the scalar registry, so the function is usable in
+    any rule expression; each executor batch becomes one POST.
+    """
+    rt = _RESULT_TYPES.get(result_type.lower())
+    if rt is None:
+        raise ValueError(
+            f"unsupported resultType {result_type!r}; one of {sorted(_RESULT_TYPES)}"
+        )
+    lname = name.lower()
+
+    def builder(cols, raw):
+        import pandas as pd
+
+        # no type hints: the hinted form rejects *args signatures, and the
+        # arity here is caller-defined
+        @pandas_udf(rt)
+        def call(*series):
+            if not series:
+                return pd.Series([], dtype="object")
+            n = len(series[0])
+            args = [
+                [None if pd.isna(s.iloc[i]) else _plain(s.iloc[i]) for s in series]
+                for i in range(n)
+            ]
+            res = _call_service(url, timeout, args)
+            return pd.Series(res)
+
+        if not cols:
+            raise ValueError(f"external function {name} needs at least one argument")
+        return call(*cols)
+
+    from ekuiper_spark import functions as fregistry
+
+    SERVICES[lname] = {"url": url, "resultType": result_type, "timeout": timeout}
+    fregistry.SCALAR[lname] = builder
+
+
+def _plain(v: Any) -> Any:
+    """numpy scalar -> JSON-serializable python value."""
+    item = getattr(v, "item", None)
+    return item() if callable(item) else v
+
+
+def unregister_service_function(name: str) -> bool:
+    from ekuiper_spark import functions as fregistry
+
+    lname = name.lower()
+    if lname not in SERVICES:
+        return False
+    del SERVICES[lname]
+    fregistry.SCALAR.pop(lname, None)
+    return True

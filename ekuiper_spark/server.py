@@ -60,6 +60,7 @@ class RestServer:
         self.catalog = catalog
         self.runtime = RuleRuntime(spark, catalog)
         self.processor = StreamProcessor(spark, catalog)
+        self.services: dict[str, list[str]] = {}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -143,6 +144,45 @@ class RestServer:
                 if method == "DELETE":
                     del codecs.SCHEMA_REGISTRY[name]
                     return 200, {"result": f"schema {name} dropped"}
+
+        if parts[0] == "services":
+            # external service functions (internal/service/manager.go):
+            # a descriptor maps HTTP endpoints to SQL function names; the
+            # functions compile to batched Arrow UDFs (functions/external.py)
+            from ekuiper_spark.functions import external as _ext
+
+            if method == "POST" and len(parts) == 1:
+                svc = body["name"]
+                fns = body.get("functions") or []
+                if not fns:
+                    return 400, {"error": "service needs at least one function"}
+                for f in fns:
+                    _ext.register_service_function(
+                        f["name"],
+                        f["url"],
+                        result_type=f.get("resultType", "string"),
+                        timeout=float(f.get("timeout", 10.0)),
+                    )
+                self.services[svc] = [f["name"].lower() for f in fns]
+                return 201, {"result": f"service {svc} created"}
+            if method == "GET" and len(parts) == 1:
+                return 200, sorted(self.services)
+            if method == "GET" and len(parts) == 2:
+                if parts[1] not in self.services:
+                    return 404, {"error": f"service {parts[1]!r} not registered"}
+                return 200, {
+                    "name": parts[1],
+                    "functions": {
+                        fn: _ext.SERVICES[fn] for fn in self.services[parts[1]]
+                    },
+                }
+            if method == "DELETE" and len(parts) == 2:
+                fns = self.services.pop(parts[1], None)
+                if fns is None:
+                    return 404, {"error": f"service {parts[1]!r} not registered"}
+                for fn in fns:
+                    _ext.unregister_service_function(fn)
+                return 200, {"result": f"service {parts[1]} dropped"}
 
         if parts[0] == "ruleset":
             # rest.go:227-228 export/import: one JSON with streams + rules

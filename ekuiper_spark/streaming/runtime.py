@@ -46,6 +46,7 @@ class RuleRuntime:
         self.queries: dict[str, Any] = {}
         self.schedulers: dict[str, Any] = {}
         self.restarts: dict[str, int] = {}
+        self.rolling_writers: dict[str, Any] = {}
 
     def create_rule(self, rule: Rule) -> None:
         if rule.id in self.rules:
@@ -164,6 +165,27 @@ class RuleRuntime:
             q = writer.format("memory").queryName(name).start()
         elif sink_type == "console":
             q = writer.format("console").start()
+        elif sink_type == "file" and any(
+            k in sink_opts for k in ("rollingInterval", "rollingCount", "rollingNamePattern")
+        ):
+            # reference file-sink rolling (internal/io/file/sink.go:38-43):
+            # single-writer append file rolled by count/interval with
+            # timestamped names; payloads go through the sink transform
+            # chain (fields/dataTemplate/format) like any message sink
+            from ekuiper_spark.streaming.sinks import RollingFileWriter, sink_batch
+
+            roller = RollingFileWriter(
+                path=sink_opts["path"],
+                rolling_interval_ms=int(sink_opts.get("rollingInterval", 0)),
+                rolling_count=int(sink_opts.get("rollingCount", 0)),
+                rolling_name_pattern=str(sink_opts.get("rollingNamePattern", "none")),
+            )
+            self.rolling_writers[rule_id] = roller
+
+            def _roll_batch(batch_df: DataFrame, _epoch: int, _w=roller, _o=sink_opts) -> None:
+                _w.write_payloads(sink_batch(batch_df, _o))
+
+            q = writer.foreachBatch(_roll_batch).start()
         elif sink_type == "file":
             q = (
                 writer.format(sink_opts.get("format", "parquet"))
@@ -267,6 +289,9 @@ class RuleRuntime:
         q = self.queries.pop(rule_id, None)
         if q is not None:
             q.stop()
+        roller = self.rolling_writers.pop(rule_id, None)
+        if roller is not None:
+            roller.close()
 
     def status(self, rule_id: str) -> dict[str, Any]:
         sched = self.schedulers.get(rule_id)

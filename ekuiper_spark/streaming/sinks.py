@@ -121,3 +121,100 @@ def write_file_sink(df: DataFrame, path: str, props: dict[str, Any]) -> None:
         writer.json(path)
     else:
         raise ValueError(f"unsupported file sink format {fmt!r}")
+
+
+class RollingFileWriter:
+    """Reference file-sink rolling (internal/io/file/sink.go:38-43 conf,
+    :285-291 name patterns): an append file that rolls to a new
+    timestamped file when rollingCount rows are written or
+    rollingInterval ms elapse since the file opened; rollingNamePattern
+    places the open-timestamp as `prefix` ({ms}-name.ext), `suffix`
+    (name-{ms}.ext) or `none` (plain name, re-rolled in place).
+
+    This is the reference's SINGLE-WRITER semantics verbatim (the file
+    sink appends to one local file) — correct for the driver-side
+    compat mode it serves.  Bulk distributed exports use
+    ``write_file_sink`` (native columnar writers; rollingCount maps to
+    Spark's maxRecordsPerFile, rollingInterval to a time-bucket
+    partitionBy).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        rolling_interval_ms: int = 0,
+        rolling_count: int = 0,
+        rolling_name_pattern: str = "none",
+        clock=None,
+    ) -> None:
+        if rolling_interval_ms < 0:
+            raise ValueError("rollingInterval must be positive")
+        if rolling_count < 0:
+            raise ValueError("rollingCount must be positive")
+        if rolling_interval_ms == 0 and rolling_count == 0:
+            raise ValueError(
+                "one of rollingInterval or rollingCount must be set"
+            )
+        if rolling_name_pattern not in ("", "none", "prefix", "suffix"):
+            raise ValueError("rollingNamePattern must be one of prefix, suffix or none")
+        import time as _time
+
+        self.path = path
+        self.interval_ms = rolling_interval_ms
+        self.count = rolling_count
+        self.pattern = rolling_name_pattern or "none"
+        self._clock = clock or (lambda: int(_time.time() * 1000))
+        self._fh = None
+        self._rows = 0
+        self._opened_ms = 0
+        self._last_ms = -1
+        self.files: list[str] = []
+
+    def _file_name(self, now_ms: int) -> str:
+        import os
+
+        d, base = os.path.split(self.path)
+        if self.pattern == "prefix":
+            base = f"{now_ms}-{base}"
+        elif self.pattern == "suffix":
+            stem, ext = os.path.splitext(base)
+            base = f"{stem}-{now_ms}{ext}"
+        return os.path.join(d, base)
+
+    def _roll(self, now_ms: int) -> None:
+        import os
+
+        if self._fh is not None:
+            self._fh.close()
+        # distinct timestamps even for sub-ms rolls (the reference relies
+        # on wall-clock ms; a collision would silently append)
+        if now_ms <= self._last_ms:
+            now_ms = self._last_ms + 1
+        self._last_ms = now_ms
+        name = self._file_name(now_ms)
+        os.makedirs(os.path.dirname(name) or ".", exist_ok=True)
+        mode = "a" if self.pattern == "none" and name in self.files else "w"
+        self._fh = open(name, mode)
+        if name not in self.files:
+            self.files.append(name)
+        self._rows = 0
+        self._opened_ms = now_ms
+
+    def write_payloads(self, payloads: list[str]) -> None:
+        for p in payloads:
+            now = self._clock()
+            if (
+                self._fh is None
+                or (self.count and self._rows >= self.count)
+                or (self.interval_ms and now - self._opened_ms >= self.interval_ms)
+            ):
+                self._roll(now)
+            self._fh.write(p + "\n")
+            self._rows += 1
+        if self._fh is not None:
+            self._fh.flush()
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None

@@ -1,0 +1,142 @@
+"""External service functions (internal/service/manager.go,
+executors.go): an HTTP endpoint descriptor registered as a SQL function.
+The Spark analog calls BATCHED — one POST per Arrow batch, not per row."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+
+from ekuiper_spark import Catalog, compile_sql
+
+
+@pytest.fixture()
+def echo_service():
+    """Endpoint doubling numeric args; counts requests to prove batching."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    state = {"requests": 0, "rows": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n))
+            args = body["args"]
+            state["requests"] += 1
+            state["rows"] += len(args)
+            out = json.dumps([a[0] * 2 for a in args]).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/fn", state
+    srv.shutdown()
+
+
+def test_service_function_in_rule_sql(spark, echo_service):
+    url, state = echo_service
+    from ekuiper_spark.functions.external import (
+        register_service_function,
+        unregister_service_function,
+    )
+
+    register_service_function("svc_double", url, result_type="double")
+    try:
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(500)], "event_id long, value double"
+        ).coalesce(2)
+        cat = Catalog()
+        cat.register_df("events", df)
+        out = compile_sql(
+            spark,
+            "SELECT event_id, svc_double(value) AS dv FROM events WHERE event_id < 100",
+            cat,
+        )
+        got = {r["event_id"]: r["dv"] for r in out.collect()}
+        assert got == {i: float(i) * 2 for i in range(100)}
+        # batched: 100 surviving rows over <= 2 partitions -> few requests,
+        # never one per row
+        assert 1 <= state["requests"] <= 8
+        assert state["rows"] == 100  # filter ran BEFORE the service call
+    finally:
+        assert unregister_service_function("svc_double")
+
+
+def test_service_function_unknown_after_unregister(spark, echo_service):
+    url, _ = echo_service
+    from ekuiper_spark.functions.external import (
+        register_service_function,
+        unregister_service_function,
+    )
+
+    register_service_function("svc_tmp", url)
+    unregister_service_function("svc_tmp")
+    cat = Catalog()
+    cat.register_df("events", spark.createDataFrame([(1.0,)], "value double"))
+    with pytest.raises(KeyError, match="svc_tmp"):
+        compile_sql(spark, "SELECT svc_tmp(value) AS x FROM events", cat)
+
+
+def test_service_rest_registration(spark, echo_service, catalog):
+    """REST surface: POST /services registers callable functions; DELETE
+    removes them (manager.go service lifecycle)."""
+    import urllib.request
+
+    from ekuiper_spark.server import RestServer
+
+    url, state = echo_service
+    srv = RestServer(spark, catalog).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def call(method, path, body=None):
+            data = json.dumps(body).encode() if body is not None else None
+            req = urllib.request.Request(base + path, data=data, method=method)
+            if data:
+                req.add_header("Content-Type", "application/json")
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, _ = call(
+            "POST",
+            "/services",
+            {
+                "name": "mysvc",
+                "functions": [
+                    {"name": "rest_double", "url": url, "resultType": "double"}
+                ],
+            },
+        )
+        assert code == 201
+        code, listed = call("GET", "/services")
+        assert code == 200 and listed == ["mysvc"]
+        code, detail = call("GET", "/services/mysvc")
+        assert code == 200 and "rest_double" in detail["functions"]
+
+        out = compile_sql(
+            spark,
+            "SELECT event_id, rest_double(value) AS dv FROM events "
+            "WHERE event_id <= 3",
+            catalog,
+        )
+        rows = {r["event_id"]: r["dv"] for r in out.collect()}
+        assert len(rows) > 0
+        code, _ = call("DELETE", "/services/mysvc")
+        assert code == 200
+        code, _ = call("GET", "/services/mysvc")
+        assert code == 404
+        with pytest.raises(KeyError):
+            compile_sql(spark, "SELECT rest_double(value) AS x FROM events", catalog)
+    finally:
+        srv.stop()
