@@ -1,0 +1,108 @@
+"""Generate an sf1 bench dataset (10x sf0.1) at /tmp/sf1 without touching
+the read-only fixtures.
+
+Scaling is structure-preserving so per-query work scales ~linearly:
+- events: 10 time-shifted copies (+30 days each) — constant event density,
+  10x the windows, same per-key frame sizes; event_ids stay unique.
+- lineitem/orders: 10 copies with shifted order keys (join consistency);
+  ship/order dates unchanged so filter selectivities hold.
+- documents: copies splice the front half of doc d with the back half of
+  doc (d + i) — new unique ids, realistic partial-overlap near-dups, NOT
+  identical clones (identical copies would inflate all similarity-join
+  pair counts superlinearly and bench the explosion, not the operator).
+- embeddings: copies rotate each vector by i positions — same norm
+  distribution, distinct vectors.
+- dims (region nation customer supplier part): copied as-is.
+
+Usage: python tools/gen_sf1.py [out_dir]   (default /tmp/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def main(out: str = "/tmp/sf1") -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW k AS SELECT unnest(range({COPIES})) AS i")
+
+    def gen(name: str, sql: str) -> None:
+        dst = f"{out}/{name}.parquet"
+        con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT parquet)")
+        n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        print(f"{name}: {n} rows")
+
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        gen(dim, f"SELECT * FROM '{SRC}/{dim}.parquet'")
+
+    gen(
+        "events",
+        f"""
+        SELECT event_id + i * 100000 AS event_id,
+               ts + INTERVAL (i * 30) DAY AS ts,
+               user_id, event_type, value, props
+        FROM '{SRC}/events.parquet', k
+        """,
+    )
+    gen(
+        "orders",
+        f"""
+        SELECT o_orderkey + i * 150000 AS o_orderkey,
+               o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM '{SRC}/orders.parquet', k
+        """,
+    )
+    gen(
+        "lineitem",
+        f"""
+        SELECT l_orderkey + i * 150000 AS l_orderkey,
+               * EXCLUDE (l_orderkey)
+        FROM '{SRC}/lineitem.parquet', k
+        """,
+    )
+    gen(
+        "documents",
+        f"""
+        WITH d AS (SELECT * FROM '{SRC}/documents.parquet'),
+        n AS (SELECT count(*) AS c FROM d)
+        SELECT a.doc_id + i * (SELECT c FROM n) AS doc_id,
+               CASE WHEN i = 0 THEN a.text
+                    ELSE substr(a.text, 1, len(a.text) // 2)
+                         || substr(b.text, len(b.text) // 2 + 1)
+               END AS text,
+               a.lang, a.source,
+               CASE WHEN i = 0 THEN a.n_chars
+                    ELSE len(substr(a.text, 1, len(a.text) // 2)
+                             || substr(b.text, len(b.text) // 2 + 1))
+               END AS n_chars
+        FROM d a
+        JOIN k ON true
+        JOIN d b ON b.doc_id = (a.doc_id + i) % (SELECT c FROM n)
+        """,
+    )
+    gen(
+        "embeddings",
+        f"""
+        WITH e AS (SELECT * FROM '{SRC}/embeddings.parquet'),
+        n AS (SELECT count(*) AS c FROM e)
+        SELECT vec_id + i * (SELECT c FROM n) AS vec_id,
+               CASE WHEN i = 0 THEN embedding
+                    ELSE list_concat(embedding[i + 1:], embedding[1:i])
+               END::FLOAT[] AS embedding,
+               label
+        FROM e JOIN k ON true
+        """,
+    )
+    print(f"sf1 dataset at {out}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")
