@@ -1,0 +1,92 @@
+"""Streaming scan-table buffers with the reference's RETAIN_SIZE
+semantics.
+
+Reference: a TABLE backed by an unbounded source buffers its last
+``RETAIN_SIZE`` tuples (pkg/ast/sourceStmt.go:289; planner.go:615-635
+picks the size) and JoinAlignNode (internal/topo/node/
+join_align_node.go:28-60) joins each stream event against the refreshed
+buffer.
+
+Spark analog: a foreachBatch feeder keeps the ring buffer (driver-side —
+scan tables are bounded at 9999 rows by the reference's MaxRetainSize,
+so this is tiny by contract) and publishes it atomically as a JSON
+snapshot file; the table registers as an ``ekuiper_lookup`` def with a
+``file://`` URL and cacheTtl=0, so every micro-batch of a joining rule
+re-reads the current snapshot — the JoinAlignNode refresh collapses into
+the same replanned-static-side mechanism as lookup-table TTL refresh.
+
+Values round-trip through JSON, so complex/timestamp columns arrive as
+strings on the join side; join keys (ids, names) are unaffected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from collections import deque
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+
+from ekuiper_spark.catalog import Catalog, StreamDef
+
+MAX_RETAIN_SIZE = 9999  # planner.go MaxRetainSize
+
+
+class ScanTableBuffer:
+    def __init__(self, path: str, retain_size: int = 1) -> None:
+        if retain_size <= 0:
+            raise ValueError("retainSize must be positive")
+        self.path = path
+        self.retain = min(retain_size, MAX_RETAIN_SIZE)
+        self._rows: deque = deque(maxlen=self.retain)
+        self._lock = threading.Lock()
+        self._query: Any = None
+        self._publish()
+
+    def append_rows(self, dicts: list[dict]) -> None:
+        with self._lock:
+            self._rows.extend(dicts)
+            self._publish()
+
+    def _publish(self) -> None:
+        tmp = self.path + f".tmp{os.getpid()}"
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(list(self._rows), f)
+        os.replace(tmp, self.path)  # atomic snapshot swap
+
+    def feed(self, sdf: DataFrame, available_now: bool = False) -> Any:
+        """Start the buffer-feeding query from the table's source stream."""
+
+        def _append(batch_df: DataFrame, _epoch: int) -> None:
+            self.append_rows([json.loads(s) for s in batch_df.toJSON().collect()])
+
+        w = sdf.writeStream.foreachBatch(_append).outputMode("append")
+        if available_now:
+            w = w.trigger(availableNow=True)
+        self._query = w.start()
+        return self._query
+
+    def register(self, catalog: Catalog, name: str, schema=None) -> None:
+        """Register the buffer as a refreshing lookup table: joins re-read
+        the snapshot every micro-batch (cacheTtl=0 = no staleness)."""
+        catalog.register(
+            StreamDef(
+                name=name,
+                kind="lookup",
+                path="file://" + self.path,
+                schema=schema,
+                options={"type": "lookup", "cacheTtl": 0},
+            )
+        )
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+
+    def snapshot(self) -> list[dict]:
+        with self._lock:
+            return list(self._rows)

@@ -1,0 +1,104 @@
+"""Streaming scan tables with RETAIN_SIZE (pkg/ast/sourceStmt.go:289,
+join_align_node.go:28-60): a table fed by a stream retains its last N
+rows and joining rules see the refreshed snapshot per micro-batch."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+import uuid as _uuid
+
+import pytest
+
+from ekuiper_spark import Catalog, compile_sql
+from ekuiper_spark.sources.scantable import ScanTableBuffer
+
+
+def test_retain_ring(tmp_path):
+    buf = ScanTableBuffer(str(tmp_path / "t.json"), retain_size=3)
+    buf.append_rows([{"k": 1}, {"k": 2}])
+    assert [r["k"] for r in buf.snapshot()] == [1, 2]
+    buf.append_rows([{"k": 3}, {"k": 4}])
+    # ring truncates to the LAST retain_size rows (JoinAlignNode trim)
+    assert [r["k"] for r in buf.snapshot()] == [2, 3, 4]
+    with pytest.raises(ValueError):
+        ScanTableBuffer(str(tmp_path / "x.json"), retain_size=0)
+
+
+def test_stream_joins_refreshed_scan_table(spark, tmp_path):
+    """The JoinAlignNode case: the table's source stream updates the
+    buffer mid-rule; later stream events join the refreshed rows."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    base = dt.datetime(2024, 1, 1)
+    # the scan-table source stream: device -> site mapping that changes
+    tb1 = spark.createDataFrame([(1, "berlin")], "device_id long, site string")
+    tb2 = spark.createDataFrame([(1, "munich")], "device_id long, site string")
+    tdir = str(tmp_path / "tstream")
+    os.makedirs(tdir)
+    tb1.coalesce(1).write.parquet(str(tmp_path / "t1"))
+    tb2.coalesce(1).write.parquet(str(tmp_path / "t2"))
+    shutil.copy(glob.glob(str(tmp_path / "t1" / "*.parquet"))[0], os.path.join(tdir, "a.parquet"))
+
+    buf = ScanTableBuffer(str(tmp_path / "devices.json"), retain_size=1)
+    table_stream = (
+        spark.readStream.schema(tb1.schema).option("maxFilesPerTrigger", 1).parquet(tdir)
+    )
+    fq = buf.feed(table_stream)
+
+    # the main event stream: two files released around the table update
+    e1 = spark.createDataFrame([(1, base, 1.0)], "device_id long, ts timestamp, value double")
+    e2 = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=60), 2.0)],
+        "device_id long, ts timestamp, value double",
+    )
+    edir = str(tmp_path / "estream")
+    os.makedirs(edir)
+    e1.coalesce(1).write.parquet(str(tmp_path / "e1"))
+    e2.coalesce(1).write.parquet(str(tmp_path / "e2"))
+
+    cat = Catalog()
+    buf.register(
+        cat,
+        "devices",
+        schema=T.StructType(
+            [T.StructField("device_id", T.LongType()), T.StructField("site", T.StringType())]
+        ),
+    )
+    sdf = spark.readStream.schema(e1.schema).option("maxFilesPerTrigger", 1).parquet(edir)
+    cat.register_df("events", sdf)
+    out = compile_sql(
+        spark,
+        "SELECT events.value AS value, devices.site AS site FROM events "
+        "INNER JOIN devices ON events.device_id = devices.device_id",
+        cat,
+        streaming=True,
+    )
+    name = "scan_" + _uuid.uuid4().hex[:6]
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        deadline = time.time() + 60
+        # wait until the table buffer holds batch 1
+        while time.time() < deadline and not buf.snapshot():
+            time.sleep(0.2)
+        shutil.copy(glob.glob(str(tmp_path / "e1" / "*.parquet"))[0], os.path.join(edir, "a.parquet"))
+        while time.time() < deadline and len(spark.table(name).collect()) < 1:
+            time.sleep(0.2)
+        # table update: retain_size=1 replaces berlin with munich
+        shutil.copy(glob.glob(str(tmp_path / "t2" / "*.parquet"))[0], os.path.join(tdir, "b.parquet"))
+        while time.time() < deadline and buf.snapshot() != [{"device_id": 1, "site": "munich"}]:
+            time.sleep(0.2)
+        shutil.copy(glob.glob(str(tmp_path / "e2" / "*.parquet"))[0], os.path.join(edir, "b.parquet"))
+        while time.time() < deadline and len(spark.table(name).collect()) < 2:
+            time.sleep(0.2)
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+        buf.stop()
+        fq.stop()
+    got = {(r["value"], r["site"]) for r in rows}
+    assert got == {(1.0, "berlin"), (2.0, "munich")}, got
