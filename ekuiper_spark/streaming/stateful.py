@@ -259,6 +259,7 @@ def window_agg_stream(
     cap_us: Optional[int] = None,
     timeout_us: Optional[int] = None,
     flush_open_ms: Optional[int] = None,
+    watermark_gated: bool = False,
     state_max_rows: int = 1_000_000,
     dims: Sequence[str] = (),
     subgroups: Sequence[str] = (),
@@ -574,47 +575,127 @@ def window_agg_stream(
             yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
 
     # ------------------------------------------------------------------ #
+    def _session_bounds(ts_arr: np.ndarray, total: int):
+        """Greedy close scan with close evidence per the reference
+        (window_op.go:304-347): a session closes at r = min(prev+timeout
+        if the gap splits, the cap tick if an event passes it) — strict
+        ``>`` on the tick, so an event exactly AT it stays (inclusive
+        close, window_op.go:322).  Returns (closed bounds with their
+        close time, tail start, tail's would-be close time)."""
+        bounds: list[tuple[int, int, int]] = []
+        cur = 0
+        close_tick = (int(ts_arr[0]) // cap_us + 2) * cap_us
+        for i in range(1, total):
+            t, prev = int(ts_arr[i]), int(ts_arr[i - 1])
+            gap_c = prev + timeout_us if t - prev > timeout_us else None
+            tick_c = close_tick if t > close_tick else None
+            if gap_c is not None or tick_c is not None:
+                c_us = min(x for x in (gap_c, tick_c) if x is not None)
+                bounds.append((cur, i, c_us))
+                cur = i
+                close_tick = (t // cap_us + 2) * cap_us
+        open_close = min(int(ts_arr[total - 1]) + timeout_us, close_tick)
+        return bounds, cur, open_close
+
+    def _emit_session(buf: dict, s: int, e: int, emitted: int, out_rows: dict) -> None:
+        win = {c: buf[c][s:e] for c in buffered}
+        if sub_list:
+            subgroup_window(win, emitted, out_rows)
+            return
+        for a in agg_list:
+            src = a.in_col or ts_col
+            val = _SLICE_OPS[a.op](win[src])
+            if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
+                val = pd.Timestamp(int(val), unit="us")
+            elif a.op == "collect" and _is_ts(buf_types[src]):
+                val = list(pd.to_datetime(np.asarray(val, dtype="int64"), unit="us"))
+            out_rows[a.out].append(val)
+        if emit_wid:
+            out_rows["wid"].append(emitted)
+
     def fn_session(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         """Capped SESSIONWINDOW(unit, length=cap, interval=timeout) —
-        reference window_op.go:304-347: a session extends while
-        consecutive events are within `timeout` (a gap exactly equal
-        extends) and force-closes at the first cap-grid tick T = k*cap
-        with T - session_start > cap.  Half-open close (an event exactly
-        at T starts the next session) to match the batch construction.
+        reference window_op.go:304-347.
 
-        State = the open session's rows (bounded: a session spans at most
-        2*cap of event time); closed sessions emit and leave state.  The
-        trailing open session emits when a later event closes it, or —
-        with ``flush_open_ms`` set — by a processing-time state timeout,
-        matching the reference's wall-clock close timer
-        (window_op.go:304-347 ticker close).
+        State = rows of sessions not yet sealed; closed sessions emit and
+        leave state.  Two closing disciplines:
+
+        - eager (default, processing-order): a session emits as soon as a
+          buffered event proves its close — right for in-order replays
+          and the availableNow driver contract;
+        - watermark-gated (``watermark_gated=True``, set when the rule
+          has a late-tolerance): rows below the watermark DROP (the
+          reference's watermark filter), and a session emits only once
+          the watermark passes its close time, so out-of-order events
+          inside the tolerance still join their session (the reference's
+          event_window_trigger discipline).  The trailing session closes
+          by watermark too (event-time analog of the wall-clock ticker);
+          an EventTimeTimeout re-fires the function when the watermark
+          advances past a pending close with no new data.
+
+        ``flush_open_ms`` (processing-time flush of a quiet key's open
+        session) applies to the eager discipline only.
         """
-        if flush_open_ms and state.hasTimedOut:
-            # quiet key: flush the open session like the reference's timer
+        wm_us: Optional[int] = None
+        if watermark_gated:
+            wm_us = int(state.getCurrentWatermarkMs()) * 1000
+
+        if state.hasTimedOut:
             emitted, _, buf = load_state(state)
             out_rows = new_sink()
-            if len(buf[ts_col]):
-                win = {c: buf[c] for c in buffered}
-                if sub_list:
-                    subgroup_window(win, emitted, out_rows)
+            total = len(buf[ts_col])
+            if wm_us is None:
+                # processing-time flush (flush_open_ms): emit the whole
+                # open session like the reference's wall-clock timer
+                if total:
+                    _emit_session(buf, 0, total, emitted, out_rows)
+                state.remove()
+                n_out = len(next(iter(out_rows.values()))) if out_rows else 0
+                if n_out:
+                    yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
+                return
+            # event-time: the watermark advanced past a pending close
+            if not total:
+                state.remove()
+                return
+            ts_arr = buf[ts_col]
+            bounds, cur, open_close = _session_bounds(ts_arr, total)
+            keep_from, pending = None, []
+            for s, e, c_us in bounds:
+                if keep_from is None and c_us <= wm_us:
+                    _emit_session(buf, s, e, emitted, out_rows)
+                    emitted += 1
                 else:
-                    for a in agg_list:
-                        src = a.in_col or ts_col
-                        val = _SLICE_OPS[a.op](win[src])
-                        if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
-                            val = pd.Timestamp(int(val), unit="us")
-                        elif a.op == "collect" and _is_ts(buf_types[src]):
-                            val = list(pd.to_datetime(np.asarray(val, dtype="int64"), unit="us"))
-                        out_rows[a.out].append(val)
-                    if emit_wid:
-                        out_rows["wid"].append(emitted)
-            state.remove()
+                    keep_from = s if keep_from is None else keep_from
+                    pending.append(c_us)
+            if keep_from is None:
+                if open_close <= wm_us:
+                    _emit_session(buf, cur, total, emitted, out_rows)
+                    emitted += 1
+                    keep_from = total
+                else:
+                    keep_from = cur
+                    pending.append(open_close)
+            else:
+                pending.append(open_close)
+            buf = {c: buf[c][keep_from:] for c in buffered}
+            if len(buf[ts_col]):
+                save_state(state, emitted, True, buf)
+                state.setTimeoutTimestamp(min(pending) // 1000)
+            else:
+                state.remove()
             n_out = len(next(iter(out_rows.values()))) if out_rows else 0
             if n_out:
                 yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
             return
+
         emitted, _, buf = load_state(state)
         batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) and wm_us is not None and wm_us > 0:
+            # the reference drops events below the watermark BEFORE the
+            # window op (Spark does not auto-filter stateful-op input)
+            keep = batch[ts_col].values.astype("datetime64[us]").astype("int64") >= wm_us
+            batch = batch[keep]
         if len(batch):
             batch = batch.sort_values(order_list, kind="mergesort")
             add = batch_arrays(batch, buffered)
@@ -624,46 +705,46 @@ def window_agg_stream(
         if not total:
             save_state(state, emitted, False, buf)
             return
-        # a late arrival may sort before the carried open-session rows
+        # a late-but-in-tolerance arrival may sort before carried rows
         perm = np.argsort(ts_arr, kind="stable")
         buf = {c: buf[c][perm] for c in buffered}
         ts_arr = buf[ts_col]
         # sequential greedy close: the cap tick derives from the running
         # session start, so this is a per-key scan (keyed state = the
         # scale path; per-key per-batch row counts stay small)
-        bounds: list[tuple[int, int]] = []
-        cur = 0
-        close_tick = (int(ts_arr[0]) // cap_us + 2) * cap_us
-        for i in range(1, total):
-            t = int(ts_arr[i])
-            # inclusive close like the reference (window_op.go:322
-            # tt.After(tick) is strict): an event exactly AT the
-            # force-close tick stays in the closing session
-            if t - int(ts_arr[i - 1]) > timeout_us or t > close_tick:
-                bounds.append((cur, i))
-                cur = i
-                close_tick = (t // cap_us + 2) * cap_us
+        bounds, cur, open_close = _session_bounds(ts_arr, total)
         out_rows = new_sink()
-        for s, e in bounds:
-            win = {c: buf[c][s:e] for c in buffered}
-            if sub_list:
-                subgroup_window(win, emitted, out_rows)
+        if wm_us is None:
+            for s, e, _c in bounds:
+                _emit_session(buf, s, e, emitted, out_rows)
+                emitted += 1
+            keep_from = cur
+        else:
+            keep_from, pending = None, []
+            for s, e, c_us in bounds:
+                if keep_from is None and c_us <= wm_us:
+                    _emit_session(buf, s, e, emitted, out_rows)
+                    emitted += 1
+                else:
+                    keep_from = s if keep_from is None else keep_from
+                    pending.append(c_us)
+            if keep_from is None:
+                if open_close <= wm_us:
+                    _emit_session(buf, cur, total, emitted, out_rows)
+                    emitted += 1
+                    keep_from = total
+                else:
+                    keep_from = cur
+                    pending.append(open_close)
             else:
-                for a in agg_list:
-                    src = a.in_col or ts_col
-                    val = _SLICE_OPS[a.op](win[src])
-                    if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
-                        val = pd.Timestamp(int(val), unit="us")
-                    elif a.op == "collect" and _is_ts(buf_types[src]):
-                        val = list(pd.to_datetime(np.asarray(val, dtype="int64"), unit="us"))
-                    out_rows[a.out].append(val)
-                if emit_wid:
-                    out_rows["wid"].append(emitted)
-            emitted += 1
-        buf = {c: buf[c][cur:] for c in buffered}
-        save_state(state, emitted, bool(bounds) or total > 0, buf)
-        if flush_open_ms and len(buf[ts_col]):
-            state.setTimeoutDuration(int(flush_open_ms))
+                pending.append(open_close)
+        buf = {c: buf[c][keep_from:] for c in buffered}
+        save_state(state, emitted, len(buf[ts_col]) > 0, buf)
+        if len(buf[ts_col]):
+            if watermark_gated:
+                state.setTimeoutTimestamp(min(pending) // 1000)
+            elif flush_open_ms:
+                state.setTimeoutDuration(int(flush_open_ms))
         n_out = len(next(iter(out_rows.values()))) if out_rows else 0
         if n_out:
             yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
@@ -819,11 +900,12 @@ def window_agg_stream(
     else:
         _warn_global(kind)
         keyed = sdf.withColumn("__k", F.lit(1)).groupBy("__k")
-    timeout_conf = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if (kind == "session" and flush_open_ms)
-        else GroupStateTimeout.NoTimeout
-    )
+    if kind == "session" and watermark_gated:
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    elif kind == "session" and flush_open_ms:
+        timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout_conf = GroupStateTimeout.NoTimeout
     return keyed.applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout_conf
     )

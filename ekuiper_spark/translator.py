@@ -451,11 +451,7 @@ class Translator:
                 "window (interval > length) is unsupported: the derived "
                 "bucket is opaque to Spark's watermark state eviction"
             )
-        if j.kind not in ("inner", "left", "right"):
-            # FULL/CROSS window joins stay batch-only
-            # (join_operator.go:27-398 supports them single-process; a
-            # streaming full-outer on a composite bucket key is not
-            # watermark-evictable in Spark)
+        if j.kind not in ("inner", "left", "right", "full", "cross"):
             raise NotImplementedError(
                 f"streaming stream-stream {j.kind} join is unsupported"
             )
@@ -486,8 +482,30 @@ class Translator:
         # per-instance exactly like the reference's per-window join scan
         ldf = ldf.withColumn("__ssw", F.window(F.col(f"{left_alias}.{lec}"), dur, hop) if hop else F.window(F.col(f"{left_alias}.{lec}"), dur))
         rdf = rdf_w.withColumn("__ssw_r", F.window(F.col(f"{r_alias}.{rec}"), dur, hop) if hop else F.window(F.col(f"{r_alias}.{rec}"), dur))
-        cond = (F.col("__ssw") == F.col("__ssw_r")) & self._expr(j.on, ctx)
-        out = ldf.join(rdf, on=cond, how=j.kind).drop("__ssw_r")
+        if self.streaming:
+            # the window struct inherits the event-time marker from the
+            # watermarked column, leaving TWO event-time columns per
+            # stream; FULL outer (and analysis generally) requires exactly
+            # one, and the watermark must sit IN the join keys for outer
+            # eviction — strip the marker off the raw column, keep it on
+            # the bucket (alias(metadata={}) resets column metadata)
+            def _strip(sdf: DataFrame, tc: str, alias: str) -> DataFrame:
+                cols = [
+                    F.col(c).alias(c, metadata={}) if c == tc else F.col(c)
+                    for c in sdf.columns
+                ]
+                return sdf.select(*cols).alias(alias)
+
+            ldf = _strip(ldf, lec, left_alias)
+            rdf = _strip(rdf, rec, r_alias)
+        cond = F.col("__ssw") == F.col("__ssw_r")
+        if j.kind == "cross":
+            # CROSS within the window = every same-window pair
+            # (join_operator.go CROSS_JOIN over the window batch); the
+            # bucket equality IS the join condition
+            out = ldf.join(rdf, on=cond, how="inner").drop("__ssw_r")
+        else:
+            out = ldf.join(rdf, on=cond & self._expr(j.on, ctx), how=j.kind).drop("__ssw_r")
         ctx.join_window_col = "__ssw"
         return out
 
@@ -690,6 +708,12 @@ class Translator:
             flush = (self.rule_ctx.get("props") or {}).get("session_flush_ms")
             if flush:
                 kw["flush_open_ms"] = int(flush)
+            if self.watermark:
+                # a late-tolerance makes the rule event-time: sessions
+                # close when the watermark passes their close time (the
+                # reference's event_window_trigger discipline), so
+                # in-tolerance out-of-order events still join
+                kw["watermark_gated"] = True
             dims = subgroups
             subgroups = []
         else:  # state

@@ -239,3 +239,79 @@ def test_streaming_capped_session_multi_batch(spark, cat, tmp_path):
     # 250 arrives); session 2: {250} closed by timeout when 500 arrives;
     # session 3: {500} stays open -> not emitted
     assert got == [("a", 1, _t(250)), ("a", 8, _t(10))]
+
+
+def test_reference_corpus_session_demo_e(spark, cat, tmp_path):
+    """Golden replay of the reference's TestEventWindow sessionDemoE case
+    (window_rule_test.go:1003-1030, mocknode/mock_data.go:396-505):
+    SessionWindow(ss, 2, 1) over event-time `ts` with out-of-order
+    arrival.  Exercises, in one stream: late-arrival drop (27.5 arrives
+    after the watermark passed), in-tolerance reorder (27.4 arrives after
+    25.5 but within tolerance), cap-grid force close, timeout close, and
+    the trailing open session staying in state.  Expected windows:
+    [25.5], [28.1, 27.4, 25.5], [26.2, 26.8, 28.9, 29.1, 32.2], [30.9]."""
+    import glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    # (temp, event-time ms) in ARRIVAL order from the reference mock
+    arrival = [
+        (25.5, 1541152486013),
+        (28.1, 1541152487932),
+        (27.5, 1541152486823),  # late: watermark passed after 28.1
+        (25.5, 1541152489252),
+        (27.4, 1541152488442),  # out-of-order but inside the tolerance
+        (26.2, 1541152490062),
+        (28.9, 1541152491682),
+        (26.8, 1541152490872),
+        (29.1, 1541152492492),
+        (30.9, 1541152494112),
+        (32.2, 1541152493202),
+        (32.2, 1541152499202),  # trailing open session, never emitted
+    ]
+    sdir = str(tmp_path / "sde")
+    os.makedirs(sdir)
+    schema = "temp double, ts timestamp"
+    for i, (temp, ms) in enumerate(arrival):
+        one = spark.createDataFrame(
+            [(temp, dt.datetime.utcfromtimestamp(ms / 1000.0))], schema
+        )
+        one.coalesce(1).write.parquet(str(tmp_path / f"r{i}"))
+        shutil.copy(
+            glob.glob(str(tmp_path / f"r{i}" / "*.parquet"))[0],
+            os.path.join(sdir, f"{i:02d}.parquet"),
+        )
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(sdir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    cat.register_df("sessionDemoE", sdf)
+    out = compile_sql(
+        spark,
+        "SELECT collect(temp) AS temps, count(*) AS n FROM sessionDemoE "
+        "GROUP BY SESSIONWINDOW(ss, 2, 1)",
+        cat,
+        streaming=True,
+        watermark="1 seconds",
+    )
+    name = "sde_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (tuple(r["temps"]) for r in spark.table(name).collect()), key=lambda t: t[0]
+    )
+    expect = sorted(
+        [
+            (25.5,),
+            (28.1, 27.4, 25.5),
+            (26.2, 26.8, 28.9, 29.1, 32.2),
+            (30.9,),
+        ],
+        key=lambda t: t[0],
+    )
+    assert got == expect, got

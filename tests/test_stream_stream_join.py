@@ -197,12 +197,66 @@ def test_windowed_stream_stream_hopping_join(spark, two_streams):
     ]
 
 
-def test_streaming_full_stream_stream_join_still_raises(spark, two_streams):
-    with pytest.raises(NotImplementedError, match="full join is unsupported"):
-        compile_sql(
-            spark,
-            "SELECT s1.user_id FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id "
-            "GROUP BY TUMBLINGWINDOW(ss, 60)",
-            two_streams,
-            streaming=True,
-        )
+def test_windowed_stream_stream_full_join(spark, two_streams):
+    """FULL stream-stream join (join_operator.go FULL_JOIN): matched pairs
+    plus both sides' unmatched rows once the watermark passes their
+    window.  Works because the watermark rides the window bucket in the
+    join keys (the raw ts column's event-time marker is stripped)."""
+    out = compile_sql(
+        spark,
+        "SELECT s1.user_id AS luid, s1.value AS v, s2.user_id AS ruid, "
+        "s2.tag AS tag FROM s1 "
+        "FULL JOIN s2 ON s1.user_id = s2.user_id GROUP BY TUMBLINGWINDOW(ss, 60)",
+        two_streams,
+        streaming=True,
+    )
+    name = "t_ssfj_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        ((r["luid"], r["v"], r["ruid"], r["tag"]) for r in spark.table(name).collect()
+         if r["luid"] not in (99,) and r["ruid"] not in (98,)),
+        key=str,
+    )
+    # matched: (1,t5)x(1,t20), (1,t65)x(1,t100), (2,t10)x(2,t50);
+    # left-only: (3,t70); right-only: (2,t130)
+    assert got == sorted(
+        [
+            (1, 10.0, 1, "a"),
+            (1, 20.0, 1, "b"),
+            (2, 30.0, 2, "c"),
+            (3, 40.0, None, None),
+            (None, None, 2, "d"),
+        ],
+        key=str,
+    )
+
+
+def test_windowed_stream_stream_cross_join(spark, two_streams):
+    """CROSS join within the window: every same-bucket pair joins
+    (join_operator.go CROSS_JOIN over the window batch)."""
+    out = compile_sql(
+        spark,
+        "SELECT s1.user_id AS luid, s2.user_id AS ruid FROM s1 "
+        "CROSS JOIN s2 GROUP BY TUMBLINGWINDOW(ss, 60)",
+        two_streams,
+        streaming=True,
+    )
+    name = "t_sscj_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["luid"], r["ruid"]) for r in spark.table(name).collect()
+    )
+    # bucket 0: s1 {u1 t5, u2 t10} x s2 {u1 t20, u2 t50} = 4 pairs;
+    # bucket 1: s1 {u1 t65, u3 t70} x s2 {u1 t100} = 2 pairs;
+    # bucket 2: s2-only {u2 t130} no pairs; sentinels pair at t200
+    assert got == [
+        (1, 1), (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (99, 98),
+    ]
