@@ -212,6 +212,31 @@ class Translator:
             if group.window.filter is not None:
                 df = df.filter(self._expr(group.window.filter, ctx))
             df, wnames = self._window_key(df, group.window, ctx)
+            if (
+                self.streaming
+                and self.watermark
+                and ctx.window_col == "window"
+                and group.window.kind in ("tumbling", "hopping", "session")
+            ):
+                # event-time content emission (the reference's
+                # event_window_trigger): rows batch per window and release
+                # only when the watermark passes the window close — late
+                # rows drop, unclosed windows never emit.  collect_list +
+                # explode keeps this a single watermark-finalized
+                # aggregation; the packed struct leads with the order
+                # cols so sort_array restores event order.
+                cols = [
+                    c for c in df.columns
+                    if c != "window" and not c.startswith("__") and c != "_metadata"
+                ]
+                lead = [c for c in ctx.order_cols if c in cols]
+                packed = F.struct(*[F.col(c) for c in lead + [c for c in cols if c not in lead]])
+                gdf = df.groupBy(F.col("window")).agg(
+                    F.collect_list(packed).alias("__rows")
+                )
+                df = gdf.select(
+                    "window", F.explode(F.sort_array("__rows")).alias("__row")
+                ).select("window", "__row.*")
             ctx.windowfunc_partition = wnames
             df = self._project(df, stmt, ctx)
         elif group is not None or has_agg:

@@ -83,11 +83,14 @@ def test_edgex_source_stream(spark, bus):
     )
     try:
         pub = RedisClient("127.0.0.1", bus.port)
-        deadline = time.time() + 20
+        deadline = time.time() + 45
         sent = 0
         got = 0
+        # keep publishing until the stream has delivered: messages sent
+        # before the source's subscriber connects are lost by pub/sub
+        # design, and under full-suite load the query can start late
         while time.time() < deadline and got < 3:
-            if sent < 10:
+            if True:
                 event = {
                     "deviceName": "dev1",
                     "readings": [

@@ -469,3 +469,91 @@ def test_ldemo_schemaless_type_flips(spark, tmp_path):
                       cat, on_error="null", order_cols=["ts"])
     got2 = [(r["color"], r["ts"]) for r in df2.orderBy("ts").collect()]
     assert got2 == [("red", 1541152486013), (None, 1541152487632)]
+
+
+def test_event_window_rule2_streaming_replay(spark, tmp_path):
+    """TestEventWindowRule2 (window_rule_test.go:856-890): event-time
+    TUMBLINGWINDOW content emission over demoE with out-of-order arrival
+    — windows release only at watermark close, rows later than the
+    watermark drop, and the last window (492.3s) never closes so its row
+    never emits.
+
+    Two documented deltas vs the reference's emission: (1) the reference
+    clamps the FIRST window's window_start() to the rule start time (a
+    processing-context value), so the assertion covers window_end/color/
+    ts; (2) Spark commits the watermark one micro-batch behind the data
+    that produced it, so the blue row — late by exactly one batch — still
+    merges into its window here where the reference's per-event watermark
+    drops it; a row late by more than one batch (the appended 'ancient'
+    row) drops identically in both engines."""
+    import glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    arrival = [
+        ("red", 3, 1541152486013),
+        ("blue", 2, 1541152487632),
+        ("red", 1, 1541152489252),
+        ("blue", 6, 1541152486822),   # late by ONE batch: Spark merges it
+        ("yellow", 4, 1541152488442),
+        ("ancient", 9, 1541152480000),  # late by many batches: drops
+        ("yellow", 4, 1541152492342),  # its window never closes
+    ]
+    sdir = str(tmp_path / "ew2")
+    os.makedirs(sdir)
+    import datetime as dt
+
+    import time as _time
+
+    now = _time.time()
+    schema = "color string, size long, ts timestamp"
+    empty = spark.createDataFrame([], schema)
+    empty.coalesce(1).write.parquet(str(tmp_path / "wempty"))
+    empty_src = glob.glob(str(tmp_path / "wempty" / "*.parquet"))[0]
+    for i, (color, size, ms) in enumerate(arrival):
+        one = spark.createDataFrame(
+            [(color, size, dt.datetime.utcfromtimestamp(ms / 1000.0))], schema
+        )
+        one.coalesce(1).write.parquet(str(tmp_path / f"w{i}"))
+        dst = os.path.join(sdir, f"{i:02d}a.parquet")
+        shutil.copy(glob.glob(str(tmp_path / f"w{i}" / "*.parquet"))[0], dst)
+        # strictly increasing mtimes: the file source orders batches by
+        # (mtime, path), and arrival order IS the semantics under test.
+        # Each data file is followed by an EMPTY spacer batch: Spark's
+        # late-row filter uses the watermark committed one batch behind,
+        # so the spacer publishes the data batch's watermark before the
+        # next arrival — aligning the timeline with the reference's
+        # per-event watermark advance.
+        os.utime(dst, (now - 240 + i * 10, now - 240 + i * 10))
+        spacer = os.path.join(sdir, f"{i:02d}b.parquet")
+        shutil.copy(empty_src, spacer)
+        os.utime(spacer, (now - 235 + i * 10, now - 235 + i * 10))
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(sdir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    cat = Catalog()
+    cat.register_df("demoE", sdf)
+    out = compile_sql(
+        spark,
+        "SELECT window_end() AS we, color, ts FROM demoE "
+        "WHERE size > 2 GROUP BY TUMBLINGWINDOW(ss, 1)",
+        cat,
+        streaming=True,
+        watermark="1 seconds",
+    )
+    name = "ew2_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted((r["color"], r["ts"], r["we"]) for r in spark.table(name).collect())
+    base = dt.datetime.utcfromtimestamp
+    assert got == [
+        ("blue", base(1541152486.822), base(1541152487)),  # delta (2) above
+        ("red", base(1541152486.013), base(1541152487)),
+        ("yellow", base(1541152488.442), base(1541152489)),
+    ], got
