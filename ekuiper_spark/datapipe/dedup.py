@@ -137,11 +137,20 @@ def jaccard_pairs(
         posts.join(freq, "shingle")
         .withColumn("__rnk", rnk)
         .filter(F.col("__rnk") <= prefix_len)
-        .select("id", "n_sh", "shingle")
+        .select("id", "n_sh", "shingle", "__rnk")
     )
     # PPJoin length filter: J(a,b) >= t requires t*|a| <= |b| (sets whose
-    # sizes differ too much cannot reach the threshold) — applied inside
-    # the candidate join so incompatible pairs never materialize
+    # sizes differ too much cannot reach the threshold); PPJoin POSITIONAL
+    # filter: a match at canonical ranks (i, j) bounds the overlap by
+    # 1 + min(|a|-i, |b|-j), which must reach the equivalent-overlap
+    # threshold t/(1+t)*(|a|+|b|).  Both are exact-safe (for J >= t the
+    # FIRST common token in canonical order is inside both prefixes and
+    # its bound >= the true overlap >= the threshold) and both apply
+    # inside the candidate join so pruned pairs never materialize.
+    alpha = F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    pos_bound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.__rnk"), F.col("b.n_sh") - F.col("b.__rnk")
+    )
     cand = (
         pre.alias("a")
         .join(
@@ -149,7 +158,8 @@ def jaccard_pairs(
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
-            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+            & (pos_bound >= alpha),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
