@@ -1080,6 +1080,10 @@ class Translator:
         inclusive-close adjustment); pinned by tests/test_scale_paths.py.
         """
         df = df.withColumn("__us", e).withColumn("__bkt", F.floor(F.col("__us") / cap_us))
+        # deterministic tiebreaker: the gap-lag and the island cumsum run
+        # in different Window operators, so equal timestamps need a total
+        # order or a flagged row's ties could land in different islands
+        df = df.withColumn("__rid", F.monotonically_increasing_id())
         # 1. explode into home bucket + boundary-strip shadow
         strip = F.col("__us") >= (F.col("__bkt") + 1) * cap_us - timeout_us
         branches = F.array_compact(
@@ -1098,7 +1102,7 @@ class Translator:
             .drop("__sca")
         )
         # 2. gap check inside the shadow bucket, then drop shadows
-        wb = W.partitionBy("__scb").orderBy("__us")
+        wb = W.partitionBy("__scb").orderBy("__us", "__rid")
         prev = F.lag("__us").over(wb)
         new_isl = (prev.isNull() | ((F.col("__us") - prev) > timeout_us)).cast("long")
         df = df.withColumn("__ni", new_isl).filter(~F.col("__shadow")).drop("__shadow")
@@ -1146,7 +1150,7 @@ class Translator:
                 F.timestamp_micros(start_us).alias("start"),
                 F.timestamp_micros(end_us).alias("end"),
             ),
-        ).drop("__us", "__bkt", "__sb", "__rf")
+        ).drop("__us", "__bkt", "__sb", "__rf", "__rid")
         ctx.window_col = "window"
         return df, ["__isl", "__run", "__sess", "window"]
 

@@ -164,3 +164,71 @@ def _parity_sessions(ts: list[int], cap: int, timeout: int) -> list[list[int]]:
 @settings(max_examples=300)
 def test_capped_session_parity_equals_greedy(ts, cap, timeout):
     assert _parity_sessions(ts, cap, timeout) == _greedy_sessions(ts, cap, timeout)
+
+
+# --------------------------------------------------- capped sessions math
+def _ref_greedy_sessions(ts, cap, timeout):
+    """Transliteration of the reference's session trigger scan
+    (window_op.go:304-347, inclusive close): sessions split on gap >
+    timeout or an event strictly past the force-close tick
+    T = (floor(start/cap)+2)*cap; end = min(last+timeout, T)."""
+    sessions = []
+    cur = [ts[0]]
+    tick = (ts[0] // cap + 2) * cap
+    for t in ts[1:]:
+        if t - cur[-1] > timeout or t > tick:
+            sessions.append((tuple(cur), min(cur[-1] + timeout, tick)))
+            cur = [t]
+            tick = (t // cap + 2) * cap
+        else:
+            cur.append(t)
+    sessions.append((tuple(cur), min(cur[-1] + timeout, tick)))
+    return sessions
+
+
+def _pairing_sessions(ts, cap, timeout):
+    """The batch construction's math (translator._session_capped):
+    timeout islands -> occupied-bucket runs -> parity pairing with the
+    on-tick adjustment; end = min(last+timeout, (run_first+2s+2)*cap)."""
+    islands = [[ts[0]]]
+    for t in ts[1:]:
+        if t - islands[-1][-1] > timeout:
+            islands.append([t])
+        else:
+            islands[-1].append(t)
+    out = []
+    for island in islands:
+        buckets = sorted({t // cap for t in island})
+        run_first = {}
+        for b in buckets:
+            run_first[b] = run_first.get(b - 1, b) if b - 1 in run_first else b
+        groups = {}
+        for t in island:
+            b = t // cap
+            rf = run_first[b]
+            s = (b - rf) // 2
+            if t % cap == 0 and (b - rf) % 2 == 0 and b > rf:
+                s -= 1
+            groups.setdefault((rf, s), []).append(t)
+        for (rf, s), rows in groups.items():
+            rows.sort()
+            out.append((tuple(rows), min(rows[-1] + timeout, (rf + 2 * s + 2) * cap)))
+    return out
+
+
+@settings(max_examples=500)
+@given(
+    st.lists(st.integers(0, 400), min_size=1, max_size=40),
+    st.integers(2, 40),
+    st.data(),
+)
+def test_capped_session_pairing_equals_reference_greedy(raw_ts, cap, data):
+    """The parity-pairing construction is EXACT against the transliterated
+    reference greedy for timeout <= cap (the regime where one event can
+    pass at most one grid tick) — including events exactly on ticks,
+    on-grid session starts, duplicate timestamps, and empty buckets."""
+    timeout = data.draw(st.integers(1, cap))
+    ts = sorted(raw_ts)
+    ref = sorted(_ref_greedy_sessions(ts, cap, timeout))
+    got = sorted(_pairing_sessions(ts, cap, timeout))
+    assert got == ref, (ts, cap, timeout)
