@@ -86,6 +86,13 @@ def main() -> None:
             )
         else:
             results[name] = None
+        # drop caches a query persisted (the similarity operators persist
+        # their shingle frames); otherwise reps accumulate cache entries
+        # and later queries pay the memory churn
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
 
     out = {
         "metric": "headline_queries_total_wall",

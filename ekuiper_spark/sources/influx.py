@@ -1,0 +1,107 @@
+"""InfluxDB sink via the line protocol over HTTP.
+
+Reference: extensions/impl/influx/influx.go (v1 client BatchPoints with
+addr/database/measurement, tag/field maps, optional ts field) and
+influx2's v2 write API.  The wire format both clients emit is the public
+line protocol:
+
+    measurement,tag1=v1 field1=1.0,field2="s",n=3i <ts-ns>
+
+so the Spark sink needs no client library: each PARTITION renders its
+rows to lines and POSTs one batch to ``/write?db=...&precision=ns`` (v1)
+or ``/api/v2/write?bucket=...`` (v2) — executor-side, batched, never
+per-row.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+
+def _esc_ident(s: str) -> str:
+    """Escape measurement/tag names+values: commas, spaces, equals."""
+    return s.replace("\\", "\\\\").replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")
+
+
+def _field_literal(v) -> Optional[str]:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return f"{v}i"
+    if isinstance(v, float):
+        return repr(v)
+    s = str(v).replace("\\", "\\\\").replace('"', '\\"')
+    return f'"{s}"'
+
+
+def render_lines(
+    rows: list[dict],
+    measurement: str,
+    tag_cols: list[str],
+    ts_col: Optional[str] = None,
+) -> list[str]:
+    """Rows -> line-protocol lines (public InfluxDB wire format)."""
+    out = []
+    m = _esc_ident(measurement)
+    for r in rows:
+        tags = "".join(
+            f",{_esc_ident(t)}={_esc_ident(str(r[t]))}"
+            for t in tag_cols
+            if r.get(t) is not None
+        )
+        fields = []
+        for k, v in r.items():
+            if k in tag_cols or k == ts_col:
+                continue
+            lit = _field_literal(v)
+            if lit is not None:
+                fields.append(f"{_esc_ident(k)}={lit}")
+        if not fields:
+            continue
+        line = f"{m}{tags} {','.join(fields)}"
+        if ts_col is not None and r.get(ts_col) is not None:
+            ts = r[ts_col]
+            ns = int(ts.timestamp() * 1e9) if hasattr(ts, "timestamp") else int(ts) * 1_000_000
+            line += f" {ns}"
+        out.append(line)
+    return out
+
+
+def write_influx_sink(
+    df: DataFrame,
+    addr: str,
+    database: str,
+    measurement: str,
+    tags: Optional[list[str]] = None,
+    ts_col: Optional[str] = None,
+    v2_bucket: Optional[str] = None,
+    token: Optional[str] = None,
+    timeout: float = 10.0,
+) -> None:
+    """POST the DataFrame as line protocol, one request per partition."""
+    tag_cols = list(tags or [])
+    if v2_bucket:
+        url = f"{addr}/api/v2/write?bucket={v2_bucket}&precision=ns"
+    else:
+        url = f"{addr}/write?db={database}&precision=ns"
+
+    def send(it) -> None:
+        import urllib.request
+
+        rows = [r.asDict() for r in it]
+        if not rows:
+            return
+        lines = render_lines(rows, measurement, tag_cols, ts_col)
+        if not lines:
+            return
+        req = urllib.request.Request(url, data="\n".join(lines).encode())
+        if token:
+            req.add_header("Authorization", f"Token {token}")
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            resp.read()
+
+    df.foreachPartition(send)

@@ -166,7 +166,8 @@ class RuleRuntime:
         elif sink_type == "console":
             q = writer.format("console").start()
         elif sink_type == "file" and any(
-            k in sink_opts for k in ("rollingInterval", "rollingCount", "rollingNamePattern")
+            k in sink_opts
+            for k in ("rollingInterval", "rollingCount", "rollingSize", "rollingNamePattern")
         ):
             # reference file-sink rolling (internal/io/file/sink.go:38-43):
             # single-writer append file rolled by count/interval with
@@ -178,6 +179,7 @@ class RuleRuntime:
                 path=sink_opts["path"],
                 rolling_interval_ms=int(sink_opts.get("rollingInterval", 0)),
                 rolling_count=int(sink_opts.get("rollingCount", 0)),
+                rolling_size=int(sink_opts.get("rollingSize", 0)),
                 rolling_name_pattern=str(sink_opts.get("rollingNamePattern", "none")),
             )
             self.rolling_writers[rule_id] = roller
@@ -254,6 +256,39 @@ class RuleRuntime:
                 )
 
             q = writer.foreachBatch(_edgex_batch).start()
+        elif sink_type == "influx":
+            # line-protocol HTTP writes, one POST per partition
+            # (extensions/impl/influx/influx.go BatchPoints analog)
+            from ekuiper_spark.sources.influx import write_influx_sink
+
+            def _influx_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
+                write_influx_sink(
+                    batch_df,
+                    addr=_o["addr"],
+                    database=_o.get("database", ""),
+                    measurement=_o["measurement"],
+                    tags=_o.get("tags"),
+                    ts_col=_o.get("tsFieldName"),
+                    v2_bucket=_o.get("bucket"),
+                    token=_o.get("token"),
+                )
+
+            q = writer.foreachBatch(_influx_batch).start()
+        elif sink_type == "image":
+            # save binary payloads as image files with count pruning
+            # (extensions/impl/image/image.go)
+            from ekuiper_spark.streaming.sinks import write_image_sink
+
+            def _image_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
+                write_image_sink(
+                    batch_df,
+                    path=_o["path"],
+                    payload_col=_o.get("payloadField", "image"),
+                    image_format=_o.get("imageFormat", "png"),
+                    max_count=int(_o.get("maxCount", 0)),
+                )
+
+            q = writer.foreachBatch(_image_batch).start()
         elif sink_type == "kafka":
             # extensions/impl/kafka sink -> Spark's native kafka writer;
             # rows become JSON `value` (+ optional string `key`)

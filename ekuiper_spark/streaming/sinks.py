@@ -144,6 +144,7 @@ class RollingFileWriter:
         path: str,
         rolling_interval_ms: int = 0,
         rolling_count: int = 0,
+        rolling_size: int = 0,
         rolling_name_pattern: str = "none",
         clock=None,
     ) -> None:
@@ -151,9 +152,11 @@ class RollingFileWriter:
             raise ValueError("rollingInterval must be positive")
         if rolling_count < 0:
             raise ValueError("rollingCount must be positive")
-        if rolling_interval_ms == 0 and rolling_count == 0:
+        if rolling_size < 0:
+            raise ValueError("rollingSize must be positive")
+        if rolling_interval_ms == 0 and rolling_count == 0 and rolling_size == 0:
             raise ValueError(
-                "one of rollingInterval or rollingCount must be set"
+                "one of rollingInterval, rollingCount, or rollingSize must be set"
             )
         if rolling_name_pattern not in ("", "none", "prefix", "suffix"):
             raise ValueError("rollingNamePattern must be one of prefix, suffix or none")
@@ -162,10 +165,12 @@ class RollingFileWriter:
         self.path = path
         self.interval_ms = rolling_interval_ms
         self.count = rolling_count
+        self.size = rolling_size
         self.pattern = rolling_name_pattern or "none"
         self._clock = clock or (lambda: int(_time.time() * 1000))
         self._fh = None
         self._rows = 0
+        self._bytes = 0
         self._opened_ms = 0
         self._last_ms = -1
         self.files: list[str] = []
@@ -198,6 +203,7 @@ class RollingFileWriter:
         if name not in self.files:
             self.files.append(name)
         self._rows = 0
+        self._bytes = 0
         self._opened_ms = now_ms
 
     def write_payloads(self, payloads: list[str]) -> None:
@@ -206,11 +212,13 @@ class RollingFileWriter:
             if (
                 self._fh is None
                 or (self.count and self._rows >= self.count)
+                or (self.size and self._bytes >= self.size)
                 or (self.interval_ms and now - self._opened_ms >= self.interval_ms)
             ):
                 self._roll(now)
             self._fh.write(p + "\n")
             self._rows += 1
+            self._bytes += len(p) + 1
         if self._fh is not None:
             self._fh.flush()
 
@@ -218,3 +226,61 @@ class RollingFileWriter:
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+
+
+def write_image_sink(
+    df: DataFrame,
+    path: str,
+    payload_col: str = "image",
+    image_format: str = "png",
+    max_count: int = 0,
+) -> list[str]:
+    """Image sink (extensions/impl/image/image.go): each row's binary
+    payload saves to ``path/<ns>.<fmt>``; maxCount prunes the oldest
+    files beyond the cap (the reference also supports maxAge via a
+    periodic scan — time-based pruning composes with an external tmp
+    cleaner here).
+
+    Validation is the reference's decode step re-expressed dependency-
+    free: the payload's REAL header must parse as the configured format
+    (datapipe.multimodal.parse_image_header) — a corrupt payload raises
+    instead of writing garbage, like the png/jpeg Decode error path.
+    Returns the written file paths (driver-side collect: image sinks are
+    row-capped preview/export sinks by contract, like sink_batch).
+    """
+    import os
+    import time as _time
+
+    from ekuiper_spark.datapipe.multimodal import parse_image_header
+
+    if image_format not in ("png", "jpeg"):
+        raise ValueError(f"invalid image format: {image_format}")
+    os.makedirs(path, exist_ok=True)
+    rows = df.select(payload_col).limit(10_000).collect()
+    written: list[str] = []
+    last_ns = 0
+    for r in rows:
+        payload = r[payload_col]
+        hdr = parse_image_header(payload or b"")
+        if hdr is None or hdr[0] != image_format:
+            raise ValueError(
+                f"image sink: payload does not decode as {image_format} "
+                f"(got {hdr[0] if hdr else 'unparseable bytes'})"
+            )
+        ns = max(_time.time_ns(), last_ns + 1)
+        last_ns = ns
+        fpath = os.path.join(path, f"{ns}.{image_format}")
+        with open(fpath, "wb") as f:
+            f.write(payload)
+        written.append(fpath)
+    if max_count:
+        existing = sorted(
+            os.path.join(path, n) for n in os.listdir(path)
+            if n.endswith("." + image_format)
+        )
+        for stale in existing[:-max_count] if len(existing) > max_count else []:
+            try:
+                os.unlink(stale)
+            except OSError:
+                pass
+    return written

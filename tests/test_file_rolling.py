@@ -52,7 +52,7 @@ def test_rolling_interval_and_prefix_pattern(tmp_path):
 
 
 def test_rolling_validation():
-    with pytest.raises(ValueError, match="one of rollingInterval or rollingCount"):
+    with pytest.raises(ValueError, match="one of rollingInterval, rollingCount"):
         RollingFileWriter(path="x")
     with pytest.raises(ValueError, match="rollingNamePattern"):
         RollingFileWriter(path="x", rolling_count=1, rolling_name_pattern="bogus")
@@ -109,3 +109,19 @@ def test_streaming_file_action_rolls(spark, catalog, tmp_path):
     for f in roller.files:
         base = os.path.basename(f)
         assert base.startswith("out-") and base.endswith(".log")
+
+
+def test_rolling_size(tmp_path):
+    """rollingSize (bytes, sink.go:43): the file rolls once the written
+    byte count reaches the limit."""
+    w = RollingFileWriter(
+        path=str(tmp_path / "sz.log"),
+        rolling_size=20,
+        rolling_name_pattern="suffix",
+        clock=lambda: 9000,
+    )
+    w.write_payloads(["aaaaaaaaa"] * 5)  # 10 bytes per line with newline
+    w.close()
+    assert len(w.files) == 3  # 2 lines per file (20 bytes), last file 1
+    assert open(w.files[0]).read().splitlines() == ["aaaaaaaaa"] * 2
+    assert open(w.files[2]).read().splitlines() == ["aaaaaaaaa"]

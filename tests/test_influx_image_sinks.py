@@ -1,0 +1,106 @@
+"""Influx line-protocol sink (extensions/impl/influx/influx.go — the v1/
+v2 clients emit the public line protocol, re-expressed as partition-side
+HTTP POSTs) and the image sink (extensions/impl/image/image.go)."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from ekuiper_spark.sources.influx import render_lines, write_influx_sink
+
+
+def test_line_protocol_rendering():
+    import datetime as dt
+
+    rows = [
+        {"device": "d 1", "temp": 20.5, "n": 3, "ok": True, "note": 'say "hi"',
+         "ts": dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)},
+        {"device": "d2", "temp": None, "n": None, "ok": False, "note": None, "ts": None},
+    ]
+    lines = render_lines(rows, "my measure", ["device"], ts_col="ts")
+    assert lines[0] == (
+        'my\\ measure,device=d\\ 1 temp=20.5,n=3i,ok=true,note="say \\"hi\\"" '
+        "1704067200000000000"
+    )
+    assert lines[1] == "my\\ measure,device=d2 ok=false"  # nulls skipped, no ts
+
+
+def test_line_protocol_all_null_fields_skips_row():
+    assert render_lines([{"device": "d", "x": None}], "m", ["device"]) == []
+
+
+@pytest.fixture()
+def influx_server():
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    state = {"bodies": [], "paths": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            state["bodies"].append(self.rfile.read(n).decode())
+            state["paths"].append(self.path)
+            self.send_response(204)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", state
+    srv.shutdown()
+
+
+def test_influx_sink_posts_partition_batches(spark, influx_server):
+    addr, state = influx_server
+    df = spark.createDataFrame(
+        [("dev1", 20.5, 50), ("dev2", 21.0, 60)], "device string, temp double, hum long"
+    ).coalesce(1)
+    write_influx_sink(df, addr, database="iot", measurement="readings", tags=["device"])
+    assert len(state["bodies"]) == 1  # one POST per (non-empty) partition
+    lines = sorted(state["bodies"][0].splitlines())
+    assert lines == [
+        "readings,device=dev1 temp=20.5,hum=50i",
+        "readings,device=dev2 temp=21.0,hum=60i",
+    ]
+    assert state["paths"][0] == "/write?db=iot&precision=ns"
+
+
+def test_influx_sink_v2_bucket_url(spark, influx_server):
+    addr, state = influx_server
+    df = spark.createDataFrame([("d", 1.0)], "device string, v double")
+    write_influx_sink(df, addr, database="", measurement="m", v2_bucket="b1", token="tk")
+    assert state["paths"][-1] == "/api/v2/write?bucket=b1&precision=ns"
+
+
+def test_image_sink_writes_and_prunes(spark, tmp_path):
+    import os
+    import struct
+    import zlib
+
+    from ekuiper_spark.streaming.sinks import write_image_sink
+
+    def png(w, h):
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+        )
+
+    rows = [(i, png(10 + i, 10)) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, image binary")
+    out = str(tmp_path / "imgs")
+    written = write_image_sink(df, out, max_count=3)
+    assert len(written) == 5
+    remaining = sorted(os.listdir(out))
+    assert len(remaining) == 3  # oldest two pruned
+    assert all(n.endswith(".png") for n in remaining)
+    # a payload that is not a real png raises like the reference's decode
+    bad = spark.createDataFrame([(1, b"not an image")], "id long, image binary")
+    with pytest.raises(ValueError, match="does not decode as png"):
+        write_image_sink(bad, str(tmp_path / "imgs2"))
