@@ -71,3 +71,41 @@ def http_lookup_table(
         raise ValueError(f"http lookup {url} returned no rows")
     keys = list(rows[0].keys())
     return spark.createDataFrame([tuple(r.get(k) for k in keys) for r in rows], keys)
+
+
+def random_source(
+    spark: SparkSession,
+    pattern: dict[str, Any],
+    interval_ms: int = 1000,
+    seed: int = 10,
+    deduplicate: int = 0,
+) -> DataFrame:
+    """Random source (extensions/impl/random/random.go): each tick emits
+    the pattern object with every integer field bumped by a uniform
+    random in [0, seed) (randomize() at random.go:102-110); other fields
+    pass through.  `deduplicate` != 0 suppresses repeats of recently
+    seen messages — here Spark's stateful dropDuplicates over the value
+    columns (state grows with distinct messages; the reference bounds
+    its list at |deduplicate|, a cap Spark's operator replaces with
+    watermark-based eviction when an event-time column exists)."""
+    if not pattern:
+        raise ValueError("source `random` requires a pattern")
+    if seed <= 0:
+        raise ValueError(
+            f"source `random` property `seed` must be a positive integer but got {seed}"
+        )
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", max(1, round(1000 / interval_ms))
+    ).load()
+    cols = [F.col("timestamp").alias("__rnd_ts")]
+    for k, v in pattern.items():
+        if isinstance(v, bool) or not isinstance(v, int):
+            cols.append(F.lit(v).alias(k))
+        else:
+            cols.append(
+                (F.lit(v) + F.floor(F.rand() * seed)).cast("long").alias(k)
+            )
+    out = rate.select(*cols)
+    if deduplicate:
+        out = out.dropDuplicates([k for k in pattern])
+    return out

@@ -238,3 +238,34 @@ def test_watermark_drops_late_rows(spark):
         if p["stateOperators"]
     )
     assert dropped == 1
+
+
+def test_random_source(spark):
+    """extensions/impl/random/random.go: integer pattern fields bump by
+    rand in [0, seed); other fields pass through; seed validation."""
+    import time
+    import uuid as _uuid
+
+    import pytest as _pytest
+
+    from ekuiper_spark.sources.mock import random_source
+
+    out = random_source(
+        spark, {"count": 50, "tag": "t1"}, interval_ms=50, seed=10
+    )
+    name = "rnd_" + _uuid.uuid4().hex[:6]
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline and len(rows) < 5:
+            rows = spark.table(name).collect()
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert len(rows) >= 5
+    assert all(50 <= r["count"] < 60 and r["tag"] == "t1" for r in rows)
+    with _pytest.raises(ValueError, match="seed"):
+        random_source(spark, {"a": 1}, seed=0)
+    with _pytest.raises(ValueError, match="pattern"):
+        random_source(spark, {})
