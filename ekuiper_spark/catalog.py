@@ -266,6 +266,28 @@ class Catalog:
                 if opt in d.options:
                     reader = reader.option(opt, str(d.options[opt]))
             return reader.load()
+        if src_type == "sql":
+            # SQL database connector (extensions/impl/sql) backed by
+            # DuckDB files; DATASOURCE = table, options dburl/indexField
+            from ekuiper_spark.sources.sqldb import SqlDataSource, sql_lookup_df
+
+            dburl = str(d.options.get("dburl", ""))
+            if d.kind == "lookup":
+                return sql_lookup_df(spark, dburl, d.path or "", schema=d.schema)
+            try:
+                spark.dataSource.register(SqlDataSource)
+            except Exception:
+                pass
+            reader = spark.readStream if streaming else spark.read
+            if d.schema is not None:
+                reader = reader.schema(d.schema)
+            reader = reader.format("sqldb").option("dburl", dburl)
+            if d.path:
+                reader = reader.option("datasource", d.path)
+            for opt in ("indexField", "query", "maxpulls"):
+                if opt in d.options:
+                    reader = reader.option(opt, str(d.options[opt]))
+            return reader.load()
         if src_type == "redis" and d.kind == "lookup":
             # load-once + broadcast lookup table (redis lookup.go); the
             # DATASOURCE is the key pattern

@@ -1,0 +1,206 @@
+"""SQL database source / lookup / sink (reference extensions/impl/sql).
+
+The reference's plugin speaks JDBC to external databases: the source
+polls ``SELECT * FROM <datasource>`` every interval — incrementally via
+``indexField`` (WHERE idx > last-seen ORDER BY idx,
+sqldatabase/sqlgen/commonSqlDialect.go) — the lookup source point-queries
+per key, and the sink INSERTs rows with optional rowKindField/keyField
+upsert-delete semantics (sink.go:53-56).
+
+Here the same surface runs against DuckDB files (the engine available in
+this environment; any DB reachable from Python can slot into `_connect`):
+
+- ``spark.readStream.format("sqldb")`` polls incrementally — the
+  indexField watermark IS the streaming offset, so restarts resume from
+  the checkpoint exactly like the reference's rewindable source state;
+- batch reads run the full query;
+- ``sql_lookup_df`` loads a table for broadcast lookup joins (compose
+  with kind='lookup' + cacheTtl for refresh);
+- ``write_sql_sink`` appends/upserts/deletes per rowKindField.
+
+Scale note: the DB is a side system by contract (config tables, device
+registries) — row volumes are lookup-sized.  Bulk exchange with real
+warehouses belongs on Spark's native JDBC/parquet readers.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+from ekuiper_spark.sources.util import coerce as _coerce
+
+
+def _connect(dburl: str):
+    import duckdb
+
+    path = dburl
+    for prefix in ("duckdb://", "sqlite://"):
+        if path.startswith(prefix):
+            path = path[len(prefix):]
+    return duckdb.connect(path)
+
+
+def _rows_to_tuples(cols: list[str], rows: list[tuple], schema: StructType) -> list[tuple]:
+    names = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    idx = {c: i for i, c in enumerate(cols)}
+    return [
+        tuple(_coerce(r[idx[n]], t) if n in idx else None for n, t in names)
+        for r in rows
+    ]
+
+
+def _query(dburl: str, sql: str, schema: StructType) -> list[tuple]:
+    con = _connect(dburl)
+    try:
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        return _rows_to_tuples(cols, cur.fetchall(), schema)
+    finally:
+        con.close()
+
+
+class _SqlBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_ = schema
+        self.dburl = options["dburl"]
+        self.sql = options.get("query") or f"SELECT * FROM {options['datasource']}"
+
+    def read(self, partition) -> Iterator[tuple]:
+        return iter(_query(self.dburl, self.sql, self.schema_))
+
+
+class _SqlStreamReader(SimpleDataSourceStreamReader):
+    """Incremental polling: each micro-batch reads rows with
+    indexField > the last seen value (commonSqlDialect.go getCondition),
+    or the full table when no indexField is configured (the reference's
+    non-incremental poll)."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_ = schema
+        self.dburl = options["dburl"]
+        self.table = options.get("datasource", "")
+        self.index_field = options.get("indexfield")
+        self.maxpulls = int(options.get("maxpulls", 0))
+
+    def initialOffset(self) -> dict:
+        return {"pull": 0, "max_idx": None}
+
+    def read(self, start: dict):
+        n = start.get("pull", 0)
+        if self.maxpulls and n >= self.maxpulls:
+            return iter([]), start
+        sql = f"SELECT * FROM {self.table}"
+        last = start.get("max_idx")
+        if self.index_field:
+            if last is not None:
+                lit = json.dumps(last) if isinstance(last, str) else str(last)
+                sql += f" WHERE {self.index_field} > {lit}"
+            sql += f" ORDER BY {self.index_field}"
+        con = _connect(self.dburl)
+        try:
+            cur = con.execute(sql)
+            cols = [d[0] for d in cur.description]
+            raw = cur.fetchall()
+        finally:
+            con.close()
+        new_max = last
+        if self.index_field and raw:
+            i = cols.index(self.index_field)
+            new_max = raw[-1][i]
+            if hasattr(new_max, "isoformat"):
+                new_max = str(new_max)
+        rows = _rows_to_tuples(cols, raw, self.schema_)
+        return iter(rows), {"pull": n + 1, "max_idx": new_max}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([])  # polls are not replayable (reference likewise)
+
+
+class SqlDataSource(DataSource):
+    """format "sqldb"; options: dburl, datasource (table) or query,
+    indexField (incremental streaming), maxpulls (bounded test runs)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqldb"
+
+    def schema(self):
+        raise ValueError("sqldb requires an explicit schema")
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _SqlBatchReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _SqlStreamReader(schema, self.options)
+
+
+def sql_lookup_df(
+    spark: SparkSession, dburl: str, table: str, schema: Optional[StructType] = None
+) -> DataFrame:
+    """Load a DB table as a broadcastable lookup frame (lookupSource.go's
+    per-key point query collapses into fetch + broadcast-hash-join, the
+    same move as the http lookup)."""
+    con = _connect(dburl)
+    try:
+        cur = con.execute(f"SELECT * FROM {table}")
+        cols = [d[0] for d in cur.description]
+        raw = cur.fetchall()
+    finally:
+        con.close()
+    if schema is not None:
+        return spark.createDataFrame(_rows_to_tuples(cols, raw, schema), schema)
+    return spark.createDataFrame(raw, cols)
+
+
+def write_sql_sink(
+    df: DataFrame,
+    dburl: str,
+    table: str,
+    fields: Optional[list[str]] = None,
+    key_field: Optional[str] = None,
+    row_kind_field: Optional[str] = None,
+    max_rows: int = 100_000,
+) -> None:
+    """INSERT (default) or per-row upsert/delete when rowKindField names
+    a column carrying insert|update|delete (sink.go:53-56 semantics;
+    update requires keyField).  Driver-side like the reference's single
+    connection — the sink is a side-system writer, not a bulk exporter.
+    """
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(f"sql sink batch exceeds {max_rows} rows; bulk export belongs on native writers")
+    if not rows:
+        return
+    cols = fields or [c for c in df.columns if c != row_kind_field]
+    if row_kind_field and not key_field:
+        raise ValueError("rowKindField requires keyField")
+    con = _connect(dburl)
+    try:
+        for r in rows:
+            d = r.asDict()
+            kind = (d.get(row_kind_field) or "insert") if row_kind_field else "insert"
+            if kind == "delete":
+                con.execute(
+                    f"DELETE FROM {table} WHERE {key_field} = ?", [d[key_field]]
+                )
+            elif kind == "update":
+                sets = ", ".join(f"{c} = ?" for c in cols if c != key_field)
+                vals = [d[c] for c in cols if c != key_field] + [d[key_field]]
+                con.execute(
+                    f"UPDATE {table} SET {sets} WHERE {key_field} = ?", vals
+                )
+            else:
+                ph = ", ".join("?" for _ in cols)
+                con.execute(
+                    f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({ph})",
+                    [d[c] for c in cols],
+                )
+    finally:
+        con.close()

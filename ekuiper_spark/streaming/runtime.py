@@ -289,6 +289,22 @@ class RuleRuntime:
                 )
 
             q = writer.foreachBatch(_image_batch).start()
+        elif sink_type == "sql":
+            # DB writes with insert/update/delete rowkind semantics
+            # (extensions/impl/sql/sink.go:53-56)
+            from ekuiper_spark.sources.sqldb import write_sql_sink
+
+            def _sql_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
+                write_sql_sink(
+                    batch_df,
+                    dburl=_o["dburl"],
+                    table=_o["table"],
+                    fields=_o.get("fields"),
+                    key_field=_o.get("keyField"),
+                    row_kind_field=_o.get("rowKindField"),
+                )
+
+            q = writer.foreachBatch(_sql_batch).start()
         elif sink_type == "kafka":
             # extensions/impl/kafka sink -> Spark's native kafka writer;
             # rows become JSON `value` (+ optional string `key`)
