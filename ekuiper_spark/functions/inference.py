@@ -1,0 +1,130 @@
+"""Model-inference SQL functions (reference extensions/impl/onnx,
+extensions/impl/tflite): ``model_fn(tensor_col, ...)`` runs a saved model
+over the argument tensors.
+
+The reference executes per event (onnx.go:46 Exec); the Spark analog is
+a batched Arrow pandas UDF: each executor python worker loads the model
+ONCE (module-level cache keyed by path) and runs one inference per Arrow
+batch over a stacked (batch, dim) matrix — thousands of rows per
+session.run, the only shape that survives 100 TB.
+
+Frameworks:
+- "linear": a dependency-free reference implementation (npz with W and
+  optional b; y = xW + b) — a REAL file-loaded model exercising the full
+  executor-side load/stack/infer path, used by tests and as the template
+  for wiring heavier runtimes;
+- "onnx" / "tflite": load via onnxruntime / tflite-runtime when
+  installed; absent runtimes raise at call time with the install hint
+  (this container ships neither, the honest-stub policy from the
+  multimodal operators).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# registered descriptors: name -> {path, framework}
+MODELS: dict[str, dict[str, Any]] = {}
+
+# executor-side model cache: (framework, path) -> callable(batch) -> batch
+_SESSIONS: dict[tuple, Any] = {}
+
+
+def _load_model(framework: str, path: str):
+    key = (framework, path)
+    if key in _SESSIONS:
+        return _SESSIONS[key]
+    if framework == "linear":
+        data = np.load(path)
+        w = data["W"].astype("float32")
+        b = data["b"].astype("float32") if "b" in data else np.zeros(w.shape[1], "float32")
+
+        def run(x: np.ndarray) -> np.ndarray:
+            return x @ w + b
+
+    elif framework == "onnx":
+        try:
+            import onnxruntime  # type: ignore
+        except ImportError as e:  # pragma: no cover - runtime not shipped
+            raise NotImplementedError(
+                "onnx inference requires the onnxruntime package"
+            ) from e
+        sess = onnxruntime.InferenceSession(path)
+        in_name = sess.get_inputs()[0].name
+
+        def run(x: np.ndarray) -> np.ndarray:
+            return np.asarray(sess.run(None, {in_name: x})[0])
+
+    elif framework == "tflite":
+        try:
+            from tflite_runtime.interpreter import Interpreter  # type: ignore
+        except ImportError as e:  # pragma: no cover - runtime not shipped
+            raise NotImplementedError(
+                "tflite inference requires the tflite-runtime package"
+            ) from e
+        interp = Interpreter(model_path=path)
+        interp.allocate_tensors()
+        in_idx = interp.get_input_details()[0]["index"]
+        out_idx = interp.get_output_details()[0]["index"]
+
+        def run(x: np.ndarray) -> np.ndarray:
+            outs = []
+            for row in x:  # tflite interpreters are single-sample
+                interp.set_tensor(in_idx, row[None, :])
+                interp.invoke()
+                outs.append(interp.get_tensor(out_idx)[0])
+            return np.asarray(outs)
+
+    else:
+        raise ValueError(f"unknown inference framework {framework!r}")
+    _SESSIONS[key] = run
+    return run
+
+
+def register_model_function(
+    name: str, model_path: str, framework: str = "linear"
+) -> None:
+    """Register ``name(tensor)`` as a SQL function returning the model's
+    output row as array<float>; lands in the scalar registry like any
+    builtin, callable from rule SQL."""
+    if framework not in ("linear", "onnx", "tflite"):
+        raise ValueError(f"unknown inference framework {framework!r}")
+    lname = name.lower()
+
+    def builder(cols, raw):
+        import pandas as pd
+
+        @pandas_udf(T.ArrayType(T.FloatType()))
+        def infer(s):
+            if not len(s):
+                return pd.Series([], dtype="object")
+            x = np.stack(
+                [np.asarray(v, dtype="float32") if v is not None else None for v in s]
+            ).astype("float32")
+            y = _load_model(framework, model_path)(x)
+            return pd.Series(list(np.asarray(y, dtype="float32").tolist()))
+
+        if len(cols) != 1:
+            raise ValueError(f"model function {name} takes one tensor argument")
+        return infer(cols[0])
+
+    from ekuiper_spark import functions as fregistry
+
+    MODELS[lname] = {"path": model_path, "framework": framework}
+    fregistry.SCALAR[lname] = builder
+
+
+def unregister_model_function(name: str) -> bool:
+    from ekuiper_spark import functions as fregistry
+
+    lname = name.lower()
+    if lname not in MODELS:
+        return False
+    del MODELS[lname]
+    fregistry.SCALAR.pop(lname, None)
+    return True

@@ -1,0 +1,77 @@
+"""Model-inference SQL functions (extensions/impl/onnx + tflite): batched
+executor-side inference over tensor columns; the 'linear' framework is a
+real file-loaded model exercising the full path dependency-free."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ekuiper_spark import Catalog, compile_sql
+from ekuiper_spark.functions.inference import (
+    register_model_function,
+    unregister_model_function,
+)
+
+
+def test_model_function_in_rule_sql(spark, tmp_path):
+    # y = xW + b with W = [[1,2],[3,4],[5,6]], b = [10, 20]
+    w = np.array([[1, 2], [3, 4], [5, 6]], dtype="float32")
+    b = np.array([10, 20], dtype="float32")
+    path = str(tmp_path / "model.npz")
+    np.savez(path, W=w, b=b)
+    register_model_function("score", path, framework="linear")
+    try:
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 1.0])],
+            "id long, features array<float>",
+        )
+        cat = Catalog()
+        cat.register_df("events", df)
+        out = compile_sql(
+            spark, "SELECT id, score(features) AS y FROM events", cat
+        )
+        got = {r["id"]: [round(v, 3) for v in r["y"]] for r in out.collect()}
+        assert got == {1: [11.0, 22.0], 2: [18.0, 30.0]}
+    finally:
+        assert unregister_model_function("score")
+
+
+def test_model_function_composes_with_embeddings(spark, tmp_path, catalog):
+    """Inference over the embeddings fixture column composes with the
+    similarity operators' input shape (array<float> in, array<float> out)."""
+    dim = len(
+        catalog.load(spark, "embeddings").select("embedding").first()["embedding"]
+    )
+    w = np.eye(dim, 4, dtype="float32")  # project fixture embeddings to dim 4
+    path = str(tmp_path / "proj.npz")
+    np.savez(path, W=w)
+    register_model_function("proj4", path, framework="linear")
+    try:
+        out = compile_sql(
+            spark,
+            "SELECT vec_id, proj4(embedding) AS p FROM embeddings",
+            catalog,
+        )
+        rows = out.limit(5).collect()
+        assert len(rows) == 5 and all(len(r["p"]) == 4 for r in rows)
+    finally:
+        unregister_model_function("proj4")
+
+
+def test_missing_runtime_raises_at_call(spark, tmp_path):
+    register_model_function("onnx_fn", str(tmp_path / "m.onnx"), framework="onnx")
+    try:
+        df = spark.createDataFrame([([1.0],)], "features array<float>")
+        cat = Catalog()
+        cat.register_df("events", df)
+        out = compile_sql(spark, "SELECT onnx_fn(features) AS y FROM events", cat)
+        with pytest.raises(Exception, match="onnxruntime"):
+            out.collect()
+    finally:
+        unregister_model_function("onnx_fn")
+
+
+def test_bad_framework_rejected():
+    with pytest.raises(ValueError, match="framework"):
+        register_model_function("x", "p", framework="caffe")
