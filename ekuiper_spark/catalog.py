@@ -301,7 +301,7 @@ class Catalog:
                 schema=d.schema,
                 datatype=str(d.options.get("datatype", "string")),
             )
-        if src_type in ("httppull", "httppush", "mqtt", "websocket", "redis", "neuron", "edgex"):
+        if src_type in ("httppull", "httppush", "mqtt", "websocket", "redis", "neuron", "edgex", "zmq"):
             # connector sources via the Python Data Source API
             # (sources/http.py, sources/mqtt.py, sources/websocket.py);
             # DATASOURCE holds the url/endpoint/topic (mqtt conn.go:233-241)
@@ -311,8 +311,9 @@ class Catalog:
             from ekuiper_spark.sources.neuron import NeuronDataSource
             from ekuiper_spark.sources.redis import RedisDataSource
             from ekuiper_spark.sources.websocket import WebsocketDataSource
+            from ekuiper_spark.sources.zmq import ZmqDataSource
 
-            for ds in (HttpPullDataSource, HttpPushDataSource, MqttDataSource, WebsocketDataSource, RedisDataSource, NeuronDataSource, EdgexDataSource):
+            for ds in (HttpPullDataSource, HttpPushDataSource, MqttDataSource, WebsocketDataSource, RedisDataSource, NeuronDataSource, EdgexDataSource, ZmqDataSource):
                 try:
                     spark.dataSource.register(ds)
                 except Exception:
@@ -337,6 +338,12 @@ class Catalog:
                 opts.setdefault("url", d.path)
             if src_type == "edgex" and d.path:
                 opts.setdefault("topic", d.path)
+            if src_type == "zmq":
+                # DATASOURCE = topic; `server` option = endpoint (conf.go)
+                if d.path:
+                    opts.setdefault("topic", d.path)
+                if d.options.get("server"):
+                    opts.setdefault("endpoint", str(d.options["server"]))
             return reader.format(src_type).options(**opts).load()
         if streaming:
             import os

@@ -1,0 +1,282 @@
+"""ZeroMQ source + sink over a hand-rolled ZMTP 3.0 codec.
+
+Reference: extensions/impl/zmq — a SUB source (source.go:61-105,
+subscribe to `topic`, multipart [topic, payload] collapses to payload
+with topic metadata) and a PUB sink (sink.go:50-82, bare payload or
+[topic, payload] multipart).  The reference links libzmq; here the wire
+protocol (ZMTP 3.0, the public spec at rfc.zeromq.org/spec/23) is ~120
+lines of stdlib sockets, matching the repo's other dependency-free
+codecs (nanomsg SP, MQTT 3.1.1, RESP):
+
+- 64-byte greeting: \\xff + 8 pad + \\x7f signature, version 3.0,
+  mechanism "NULL", as-server flag, filler;
+- NULL handshake: READY command frame carrying Socket-Type metadata;
+- frames: flags byte (0x01 MORE, 0x02 LONG, 0x04 COMMAND) + 1- or
+  8-byte length + body;
+- subscriptions: both dialects accepted — ZMTP 3.0's \\x01+prefix
+  message and 3.1's SUBSCRIBE command.
+
+The PUB side binds (the reference sink's `server` endpoint) and fans
+each message out to subscribers whose prefix matches the first frame.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from typing import Iterator, Optional
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+# --------------------------------------------------------------------- wire
+_SIGNATURE = b"\xff" + b"\x00" * 8 + b"\x7f"
+
+
+def greeting(as_server: bool = False) -> bytes:
+    mech = b"NULL" + b"\x00" * 16
+    return _SIGNATURE + b"\x03\x00" + mech + (b"\x01" if as_server else b"\x00") + b"\x00" * 31
+
+
+def encode_frame(body: bytes, more: bool = False, command: bool = False) -> bytes:
+    flags = (0x01 if more else 0) | (0x04 if command else 0)
+    if len(body) > 255:
+        return bytes([flags | 0x02]) + struct.pack(">Q", len(body)) + body
+    return bytes([flags, len(body)]) + body
+
+
+def ready_command(socket_type: str) -> bytes:
+    name = b"Socket-Type"
+    val = socket_type.encode()
+    meta = bytes([len(name)]) + name + struct.pack(">I", len(val)) + val
+    return encode_frame(b"\x05READY" + meta, command=True)
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("zmq peer closed")
+        buf += chunk
+    return buf
+
+
+def read_frame(sock: socket.socket) -> tuple[int, bytes]:
+    flags = _read_exact(sock, 1)[0]
+    if flags & 0x02:
+        size = struct.unpack(">Q", _read_exact(sock, 8))[0]
+    else:
+        size = _read_exact(sock, 1)[0]
+    return flags, _read_exact(sock, size)
+
+
+def handshake(sock: socket.socket, socket_type: str, as_server: bool) -> None:
+    sock.sendall(greeting(as_server))
+    peer = _read_exact(sock, 64)
+    if peer[0:1] != b"\xff" or peer[9:10] != b"\x7f":
+        raise ConnectionError("bad ZMTP signature")
+    sock.sendall(ready_command(socket_type))
+    flags, body = read_frame(sock)
+    if not (flags & 0x04) or not body.startswith(b"\x05READY"):
+        raise ConnectionError("expected READY command")
+
+
+def _parse(endpoint: str) -> tuple[str, int]:
+    hp = endpoint.replace("tcp://", "")
+    host, _, port = hp.rpartition(":")
+    return host or "127.0.0.1", int(port)
+
+
+# --------------------------------------------------------------------- PUB
+class ZmqPubSocket:
+    """Binding PUB socket: accepts SUB peers, tracks their subscription
+    prefixes, fans published multiparts out to matching peers."""
+
+    def __init__(self, endpoint: str) -> None:
+        host, port = _parse(endpoint)
+        self._srv = socket.create_server((host, port))
+        self.port = self._srv.getsockname()[1]
+        self._peers: list[tuple[socket.socket, set[bytes]]] = []
+        self._lock = threading.Lock()
+        self._closed = False
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _accept_loop(self) -> None:
+        while not self._closed:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            try:
+                handshake(conn, "PUB", as_server=True)
+            except Exception:
+                conn.close()
+                continue
+            entry = (conn, set())
+            with self._lock:
+                self._peers.append(entry)
+            threading.Thread(
+                target=self._sub_loop, args=(entry,), daemon=True
+            ).start()
+
+    def _sub_loop(self, entry) -> None:
+        conn, subs = entry
+        while not self._closed:
+            try:
+                flags, body = read_frame(conn)
+            except (ConnectionError, OSError):
+                return
+            if flags & 0x04 and body.startswith(b"\x09SUBSCRIBE"):
+                subs.add(body[len(b"\x09SUBSCRIBE"):])  # ZMTP 3.1 dialect
+            elif flags & 0x04 and body.startswith(b"\x0bUNSUBSCRIBE"):
+                subs.discard(body[len(b"\x0bUNSUBSCRIBE"):])
+            elif not flags & 0x04 and body[:1] == b"\x01":
+                subs.add(body[1:])  # ZMTP 3.0 subscribe message
+            elif not flags & 0x04 and body[:1] == b"\x00":
+                subs.discard(body[1:])
+
+    def publish(self, frames: list[bytes]) -> None:
+        if not frames:
+            return
+        payload = b"".join(
+            encode_frame(f, more=(i < len(frames) - 1))
+            for i, f in enumerate(frames)
+        )
+        with self._lock:
+            peers = list(self._peers)
+        for conn, subs in peers:
+            if subs and not any(frames[0].startswith(p) for p in subs):
+                continue
+            if not subs:
+                continue  # PUB drops when no subscription matches
+            try:
+                conn.sendall(payload)
+            except OSError:
+                with self._lock:
+                    self._peers = [p for p in self._peers if p[0] is not conn]
+
+    def subscriber_count(self) -> int:
+        with self._lock:
+            return len(self._peers)
+
+    def close(self) -> None:
+        self._closed = True
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+        with self._lock:
+            for conn, _ in self._peers:
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+            self._peers = []
+
+
+# --------------------------------------------------------------------- SUB
+class ZmqSubSocket:
+    """Connecting SUB socket with a prefix subscription."""
+
+    def __init__(self, endpoint: str, topic: str = "", timeout: float = 10.0) -> None:
+        host, port = _parse(endpoint)
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        handshake(self._sock, "SUB", as_server=False)
+        # send both dialects so either peer generation accepts it
+        self._sock.sendall(encode_frame(b"\x01" + topic.encode()))
+        self._sock.sendall(
+            encode_frame(b"\x09SUBSCRIBE" + topic.encode(), command=True)
+        )
+
+    def recv_multipart(self, timeout: Optional[float] = None) -> Optional[list[bytes]]:
+        self._sock.settimeout(timeout)
+        frames: list[bytes] = []
+        try:
+            while True:
+                flags, body = read_frame(self._sock)
+                if flags & 0x04:
+                    continue  # ignore commands
+                frames.append(body)
+                if not flags & 0x01:
+                    return frames
+        except socket.timeout:
+            return None
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+# ------------------------------------------------------------------ source
+def write_zmq_sink(df, endpoint_or_pub, topic: str = "", max_rows: int = 100_000) -> None:
+    """PUB the DataFrame's rows as JSON payloads (sink.go:66-76: bare
+    payload, or [topic, payload] multipart when a topic is set).  The
+    publisher BINDS (the reference's `server` endpoint), so the driver
+    owns the socket and partitions stream through it."""
+    own = not isinstance(endpoint_or_pub, ZmqPubSocket)
+    pub = ZmqPubSocket(endpoint_or_pub) if own else endpoint_or_pub
+    try:
+        rows = df.toJSON().take(max_rows)
+        for payload in rows:
+            b = payload.encode()
+            pub.publish([topic.encode(), b] if topic else [b])
+    finally:
+        if own:
+            pub.close()
+
+
+class _ZmqStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema_ = schema
+        self.endpoint = options["endpoint"]
+        self.topic = options.get("topic", "")
+        self.poll_s = float(options.get("poll", 0.5))
+        self._sub: Optional[ZmqSubSocket] = None
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def read(self, start: dict):
+        from ekuiper_spark.sources.http import _rows_from_json
+
+        if self._sub is None:
+            self._sub = ZmqSubSocket(self.endpoint, self.topic)
+        rows: list[tuple] = []
+        deadline_hit = False
+        while not deadline_hit:
+            msg = self._sub.recv_multipart(timeout=self.poll_s)
+            if msg is None:
+                deadline_hit = True
+                break
+            payload = msg[-1] if self.topic else b"".join(msg)
+            try:
+                rows.extend(_rows_from_json(payload, self.schema_))
+            except Exception:
+                pass  # undecodable payloads drop (reference ingest error)
+        return iter(rows), {"n": start.get("n", 0) + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([])  # pub/sub is not replayable
+
+
+class ZmqDataSource(DataSource):
+    """readStream format "zmq"; options: endpoint, topic, poll."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zmq"
+
+    def schema(self):
+        raise ValueError("zmq source requires an explicit schema")
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _ZmqStreamReader(schema, self.options)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        raise NotImplementedError("zmq is a streaming source")

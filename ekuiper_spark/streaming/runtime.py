@@ -289,6 +289,19 @@ class RuleRuntime:
                 )
 
             q = writer.foreachBatch(_image_batch).start()
+        elif sink_type == "zmq":
+            # PUB the batch as JSON payloads (extensions/impl/zmq/sink.go);
+            # the binding PUB socket lives for the rule's lifetime
+            from ekuiper_spark.sources.zmq import ZmqPubSocket, write_zmq_sink
+
+            zpub = ZmqPubSocket(sink_opts["server"])
+            # closed by stop_rule like the rolling writer (both expose close())
+            self.rolling_writers[rule_id] = zpub
+
+            def _zmq_batch(batch_df: DataFrame, _epoch: int, _p=zpub, _o=sink_opts) -> None:
+                write_zmq_sink(batch_df, _p, topic=_o.get("topic", ""))
+
+            q = writer.foreachBatch(_zmq_batch).start()
         elif sink_type == "sql":
             # DB writes with insert/update/delete rowkind semantics
             # (extensions/impl/sql/sink.go:53-56)

@@ -1,0 +1,109 @@
+"""ZeroMQ connector (extensions/impl/zmq) over the hand-rolled ZMTP 3.0
+codec: greeting/READY handshake, short+long frames, both subscription
+dialects, prefix filtering, multipart [topic, payload]."""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid as _uuid
+
+import pytest
+
+from ekuiper_spark.sources.zmq import (
+    ZmqPubSocket,
+    ZmqSubSocket,
+    encode_frame,
+    greeting,
+    write_zmq_sink,
+)
+
+
+def test_greeting_shape():
+    g = greeting()
+    assert len(g) == 64
+    assert g[0:1] == b"\xff" and g[9:10] == b"\x7f"
+    assert g[10:12] == b"\x03\x00" and g[12:16] == b"NULL"
+
+
+def test_frame_encoding_short_and_long():
+    f = encode_frame(b"abc")
+    assert f == b"\x00\x03abc"
+    body = b"x" * 300
+    f2 = encode_frame(body, more=True)
+    assert f2[0] == 0x03 and int.from_bytes(f2[1:9], "big") == 300
+
+
+def _pubsub(topic=""):
+    pub = ZmqPubSocket("tcp://127.0.0.1:0")
+    sub = ZmqSubSocket(f"tcp://127.0.0.1:{pub.port}", topic=topic)
+    deadline = time.time() + 10
+    while time.time() < deadline and pub.subscriber_count() < 1:
+        time.sleep(0.02)
+    time.sleep(0.2)  # let the subscription frame land
+    return pub, sub
+
+
+def test_pubsub_roundtrip_multipart():
+    pub, sub = _pubsub(topic="sensors")
+    try:
+        pub.publish([b"sensors/room1", b'{"t": 20.5}'])
+        pub.publish([b"other", b"dropped"])  # prefix mismatch
+        pub.publish([b"sensors", b"x" * 300])  # long frame
+        got = sub.recv_multipart(timeout=5)
+        assert got == [b"sensors/room1", b'{"t": 20.5}']
+        got2 = sub.recv_multipart(timeout=5)
+        assert got2 == [b"sensors", b"x" * 300]
+    finally:
+        sub.close()
+        pub.close()
+
+
+def test_pub_drops_without_matching_subscription():
+    pub, sub = _pubsub(topic="only/this")
+    try:
+        pub.publish([b"something/else", b"payload"])
+        assert sub.recv_multipart(timeout=1.0) is None
+    finally:
+        sub.close()
+        pub.close()
+
+
+def test_zmq_sink_and_streaming_source(spark):
+    """End-to-end: a rule's output PUBs as [topic, payload]; the zmq
+    streaming source SUBs and decodes rows (source.go:84-105 collapse:
+    payload frames after the topic)."""
+    from ekuiper_spark.sources.zmq import ZmqDataSource
+
+    try:
+        spark.dataSource.register(ZmqDataSource)
+    except Exception:
+        pass
+    pub = ZmqPubSocket("tcp://127.0.0.1:0")
+    sdf = (
+        spark.readStream.schema("device string, temp double")
+        .format("zmq")
+        .option("endpoint", f"tcp://127.0.0.1:{pub.port}")
+        .option("topic", "readings")
+        .load()
+    )
+    name = "zmq_" + _uuid.uuid4().hex[:6]
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        deadline = time.time() + 45
+        sent = 0
+        got = 0
+        while time.time() < deadline and got < 3:
+            df = spark.createDataFrame(
+                [(f"d{sent}", 20.0 + sent)], "device string, temp double"
+            )
+            write_zmq_sink(df, pub, topic="readings")
+            sent += 1
+            time.sleep(0.5)
+            got = spark.table(name).count()
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+        pub.close()
+    assert got >= 3
+    assert all(r["device"].startswith("d") and r["temp"] >= 20.0 for r in rows)
