@@ -100,13 +100,21 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "FROM events WHERE event_type IN ('error', 'signup') "
         "AND value BETWEEN 50 AND 150 AND event_type NOT LIKE '%rror'",
     ),
+    # avg_v derives from the ROUNDED sum in both engines: raw avg differs
+    # between Spark and DuckDB in the last ulp (summation order), and a
+    # group landing exactly on a round() boundary would flip the 4th
+    # decimal (observed at sf0.1); the floor(x*1e4+0.5) form also pins
+    # the rounding MODE (Spark rounds half-up, DuckDB half-even — exact
+    # .5 boundaries are common when a 2-decimal sum divides by a count)
     "q_groupby_agg_having": (
         "SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_v, "
-        "round(avg(value), 4) AS avg_v, min(value) AS min_v, max(value) AS max_v "
+        "floor(round(sum(value), 4) / count(*) * 10000 + 0.5) / 10000 AS avg_v, "
+        "min(value) AS min_v, max(value) AS max_v "
         "FROM events GROUP BY user_id HAVING count(*) > 5",
         {},
         "SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_v, "
-        "round(avg(value), 4) AS avg_v, min(value) AS min_v, max(value) AS max_v "
+        "floor(round(sum(value), 4) / count(*) * 10000 + 0.5) / 10000 AS avg_v, "
+        "min(value) AS min_v, max(value) AS max_v "
         "FROM events GROUP BY user_id HAVING count(*) > 5",
     ),
     "q_agg_stats": (

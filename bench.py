@@ -70,6 +70,10 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
+                # each rep re-persists its own frames (the similarity
+                # operators cache shingles); drop them so reps measure
+                # the same cold plan instead of accumulating copies
+                spark.catalog.clearCache()
             except Exception as e:
                 errors[name] = f"{type(e).__name__}: {e}"
                 print(f"# {name} rep{rep} FAILED: {e}", file=sys.stderr)
@@ -86,13 +90,6 @@ def main() -> None:
             )
         else:
             results[name] = None
-        # drop caches a query persisted (the similarity operators persist
-        # their shingle frames); otherwise reps accumulate cache entries
-        # and later queries pay the memory churn
-        try:
-            spark.catalog.clearCache()
-        except Exception:
-            pass
 
     out = {
         "metric": "headline_queries_total_wall",

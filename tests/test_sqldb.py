@@ -143,3 +143,40 @@ def test_sql_source_via_catalog_ddl_options(spark, db):
     )
     got = sorted((r["device"], r["temp"]) for r in out.collect())
     assert got == [("d1", 22.5), ("d2", 21.0)]
+
+
+def test_sql_stream_offsets_resume_from_checkpoint(spark, db, tmp_path):
+    """The indexField watermark is a real streaming offset: a restarted
+    query with the same checkpoint resumes past the rows the first run
+    delivered (no re-emission, no gap)."""
+    _register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        sdf = (
+            spark.readStream.format("sqldb")
+            .schema("idx long, device string, temp double")
+            .option("dburl", db)
+            .option("datasource", "readings")
+            .option("indexField", "idx")
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(r["idx"] for r in spark.read.parquet(out_dir).collect()) == [1, 2, 3]
+    con = duckdb.connect(db)
+    con.execute("INSERT INTO readings VALUES (4, 'd9', 9.0), (5, 'd9', 9.5)")
+    con.close()
+    run_once()
+    # the restart resumed past the checkpointed index watermark: rows 1-3
+    # did NOT re-emit, rows 4-5 arrived exactly once
+    got = sorted(r["idx"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 3, 4, 5], got
