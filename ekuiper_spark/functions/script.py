@@ -1,0 +1,102 @@
+"""Script UDFs: user-submitted function source registered as SQL
+functions at runtime.
+
+Reference: internal/plugin/js/manager.go + function.go — a stored script
+whose top-level symbol named after the script id becomes a SQL function
+(scalar, or aggregate with ``isAgg`` where each argument arrives as the
+window's value list); REST lifecycle under /udf (script_init.go).
+
+The reference embeds JavaScript (goja) because the host is Go; the
+natural analog in a Python engine is PYTHON script text — same
+registration surface, same execution contract.  Scripts compile once at
+registration (syntax errors fail the REST call like the reference's
+vm.RunString), and the callable wraps into an Arrow-batched UDF: the
+batch transfer is columnar even though the user function itself runs
+row-at-a-time, which is inherent to arbitrary user scripts (the
+reference's Exec is likewise per event).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+SCRIPTS: dict[str, dict[str, Any]] = {}
+
+_RESULT_TYPES = {
+    "string": T.StringType(),
+    "bigint": T.LongType(),
+    "float": T.DoubleType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "array<float>": T.ArrayType(T.FloatType()),
+    "array<bigint>": T.ArrayType(T.LongType()),
+    "array<string>": T.ArrayType(T.StringType()),
+}
+
+
+def register_script_function(
+    fid: str, script: str, is_agg: bool = False, result_type: str = "string"
+) -> None:
+    """Compile ``script`` and register its top-level ``fid`` symbol as a
+    SQL function (the reference resolves the same-named symbol,
+    function.go:35-44)."""
+    rt = _RESULT_TYPES.get(result_type.lower())
+    if rt is None:
+        raise ValueError(
+            f"unsupported resultType {result_type!r}; one of {sorted(_RESULT_TYPES)}"
+        )
+    ns: dict[str, Any] = {}
+    exec(compile(script, f"<script:{fid}>", "exec"), ns)  # noqa: S102 - the feature IS user scripts
+    fn = ns.get(fid)
+    if not callable(fn):
+        raise ValueError(
+            f"script must define a function named {fid!r} (the script id)"
+        )
+    lname = fid.lower()
+
+    if is_agg:
+        # aggregate scripts receive each argument as the group's value
+        # list (js function.go isAgg contract)
+        def agg_builder(cols, raw):
+            import pandas as pd
+
+            @pandas_udf(rt)
+            def call(*series):
+                return pd.Series([fn(*vals) for vals in zip(*(s.tolist() for s in series))])
+
+            return call(*[F.collect_list(c) for c in cols])
+
+        from ekuiper_spark import functions as fregistry
+
+        SCRIPTS[lname] = {"script": script, "isAgg": True, "resultType": result_type}
+        fregistry.AGGREGATE[lname] = agg_builder
+        return
+
+    def builder(cols, raw):
+        import pandas as pd
+
+        @pandas_udf(rt)
+        def call(*series):
+            return pd.Series([fn(*vals) for vals in zip(*(s.tolist() for s in series))])
+
+        return call(*cols)
+
+    from ekuiper_spark import functions as fregistry
+
+    SCRIPTS[lname] = {"script": script, "isAgg": False, "resultType": result_type}
+    fregistry.SCALAR[lname] = builder
+
+
+def unregister_script_function(fid: str) -> bool:
+    from ekuiper_spark import functions as fregistry
+
+    lname = fid.lower()
+    info = SCRIPTS.pop(lname, None)
+    if info is None:
+        return False
+    (fregistry.AGGREGATE if info["isAgg"] else fregistry.SCALAR).pop(lname, None)
+    return True

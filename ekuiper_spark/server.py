@@ -145,6 +145,48 @@ class RestServer:
                     del codecs.SCHEMA_REGISTRY[name]
                     return 200, {"result": f"schema {name} dropped"}
 
+        if parts[0] == "udf" and len(parts) >= 2 and parts[1] == "script":
+            # script UDF lifecycle (script_init.go:46-47 /udf/javascript —
+            # python script text here, same contract: the top-level symbol
+            # named after the id becomes the SQL function)
+            from ekuiper_spark.functions import script as _script
+
+            if method == "POST" and len(parts) == 2:
+                try:
+                    _script.register_script_function(
+                        body["id"],
+                        body["script"],
+                        is_agg=bool(body.get("isAgg", False)),
+                        result_type=body.get("resultType", "string"),
+                    )
+                except (SyntaxError, ValueError) as e:
+                    return 400, {"error": str(e)}
+                return 201, {"result": f"script function {body['id']} is created"}
+            if method == "GET" and len(parts) == 2:
+                return 200, sorted(_script.SCRIPTS)
+            if len(parts) == 3:
+                fid = parts[2].lower()
+                if method == "GET":
+                    if fid not in _script.SCRIPTS:
+                        return 404, {"error": f"script function {fid!r} not registered"}
+                    return 200, {"id": fid, **_script.SCRIPTS[fid]}
+                if method == "PUT":
+                    _script.unregister_script_function(fid)
+                    try:
+                        _script.register_script_function(
+                            fid,
+                            body["script"],
+                            is_agg=bool(body.get("isAgg", False)),
+                            result_type=body.get("resultType", "string"),
+                        )
+                    except (SyntaxError, ValueError) as e:
+                        return 400, {"error": str(e)}
+                    return 200, {"result": f"script function {fid} is updated"}
+                if method == "DELETE":
+                    if not _script.unregister_script_function(fid):
+                        return 404, {"error": f"script function {fid!r} not registered"}
+                    return 200, {"result": f"script function {fid} is deleted"}
+
         if parts[0] == "services":
             # external service functions (internal/service/manager.go):
             # a descriptor maps HTTP endpoints to SQL function names; the

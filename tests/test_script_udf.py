@@ -1,0 +1,106 @@
+"""Script UDFs (internal/plugin/js/manager.go + function.go,
+script_init.go REST lifecycle): user function source registered at
+runtime as scalar/aggregate SQL functions — python text in this engine
+where the Go reference embeds JavaScript."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from ekuiper_spark import Catalog, compile_sql
+from ekuiper_spark.functions.script import (
+    register_script_function,
+    unregister_script_function,
+)
+
+
+def test_scalar_script_function(spark):
+    register_script_function(
+        "area", "def area(w, h):\n    return float(w) * float(h)\n",
+        result_type="double",
+    )
+    try:
+        cat = Catalog()
+        cat.register_df(
+            "events", spark.createDataFrame([(2.0, 3.0), (4.0, 5.0)], "w double, h double")
+        )
+        out = compile_sql(spark, "SELECT area(w, h) AS a FROM events", cat)
+        assert sorted(r["a"] for r in out.collect()) == [6.0, 20.0]
+    finally:
+        assert unregister_script_function("area")
+
+
+def test_aggregate_script_function(spark):
+    # isAgg: each arg arrives as the group's value list (js contract)
+    register_script_function(
+        "span",
+        "def span(vals):\n    return float(max(vals) - min(vals))\n",
+        is_agg=True,
+        result_type="double",
+    )
+    try:
+        cat = Catalog()
+        cat.register_df(
+            "events",
+            spark.createDataFrame(
+                [("a", 1.0), ("a", 5.0), ("b", 10.0), ("b", 12.5)], "k string, v double"
+            ),
+        )
+        out = compile_sql(spark, "SELECT k, span(v) AS s FROM events GROUP BY k", cat)
+        assert sorted((r["k"], r["s"]) for r in out.collect()) == [("a", 4.0), ("b", 2.5)]
+    finally:
+        assert unregister_script_function("span")
+
+
+def test_script_must_define_id_symbol():
+    with pytest.raises(ValueError, match="named 'f'"):
+        register_script_function("f", "def g():\n    return 1\n")
+    with pytest.raises(SyntaxError):
+        register_script_function("f", "def f(:\n")
+
+
+def test_script_rest_lifecycle(spark, catalog):
+    from ekuiper_spark.server import RestServer
+
+    srv = RestServer(spark, catalog).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def call(method, path, body=None):
+            data = json.dumps(body).encode() if body is not None else None
+            req = urllib.request.Request(base + path, data=data, method=method)
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, _ = call(
+            "POST",
+            "/udf/script",
+            {"id": "v_scaled", "script": "def v_scaled(v):\n    return v * 10\n",
+             "resultType": "double"},
+        )
+        assert code == 201
+        code, listed = call("GET", "/udf/script")
+        assert code == 200 and "v_scaled" in listed
+        out = compile_sql(
+            spark, "SELECT event_id, v_scaled(value) AS vs FROM events WHERE event_id < 3",
+            catalog,
+        )
+        rows = {r["event_id"]: r["vs"] for r in out.collect()}
+        assert len(rows) > 0 and all(v is not None for v in rows.values())
+        code, _ = call("DELETE", "/udf/script/v_scaled")
+        assert code == 200
+        with pytest.raises(KeyError):
+            compile_sql(spark, "SELECT v_scaled(value) AS x FROM events", catalog)
+        # syntax errors fail the REST call (vm.RunString analog)
+        code, err = call("POST", "/udf/script", {"id": "bad", "script": "def bad(:"})
+        assert code == 400
+    finally:
+        srv.stop()
