@@ -254,15 +254,32 @@ class RestServer:
                     n_r += 1
                 return 200, {"imported": {"streams": n_s, "rules": n_r}}
 
-        if parts[0] == "streams":
+        if parts[0] in ("streams", "tables"):
+            # /tables is the TABLE-kind view of the same registry
+            # (rest.go:202-205); /streams lists stream-kind defs
+            want_table = parts[0] == "tables"
+            kw = "TABLE" if want_table else "STREAM"
             if method == "POST" and len(parts) == 1:
                 return 201, {"result": self.processor.exec_stmt(body["sql"])}
             if method == "GET" and len(parts) == 1:
-                return 200, sorted(self.catalog.all_defs())
+                return 200, sorted(
+                    n for n, d in self.catalog.all_defs().items()
+                    if (d.kind in ("scan", "lookup")) == want_table
+                )
+            if method == "GET" and len(parts) == 3 and parts[2] == "schema":
+                # rest.go:201 stream schema endpoint: field name -> type
+                d = self.catalog.get(parts[1])
+                if d is None:
+                    return 404, {"error": f"unknown stream/table {parts[1]!r}"}
+                if d.schema is None:
+                    return 200, {}  # schemaless
+                return 200, {
+                    f.name: f.dataType.simpleString() for f in d.schema.fields
+                }
             if method == "GET" and len(parts) == 2:
                 return 200, self.processor.exec_stmt(f"DESCRIBE {parts[1]}")
             if method == "DELETE" and len(parts) == 2:
-                return 200, {"result": self.processor.exec_stmt(f"DROP STREAM {parts[1]}")}
+                return 200, {"result": self.processor.exec_stmt(f"DROP {kw} {parts[1]}")}
 
         if parts[0] == "rules":
             if method == "POST" and len(parts) == 1:
@@ -283,6 +300,25 @@ class RestServer:
                 return 200, {
                     rid: self.runtime.status(rid) for rid in sorted(self.runtime.rules)
                 }
+            if method == "POST" and parts[1:] == ["bulkstart"]:
+                # rest.go:225: start many rules in one call
+                started, failed = [], {}
+                for rid in body.get("rules", []):
+                    try:
+                        self.runtime.start_rule(rid)
+                        started.append(rid)
+                    except Exception as e:
+                        failed[rid] = str(e)
+                return 200, {"started": started, "failed": failed}
+            if method == "POST" and parts[1:] == ["bulkstop"]:
+                stopped = []
+                for rid in body.get("rules", []):
+                    try:
+                        self.runtime.stop_rule(rid)
+                        stopped.append(rid)
+                    except Exception:
+                        pass
+                return 200, {"stopped": stopped}
             if method == "POST" and parts[1:] == ["validate"]:
                 # parse + compile without registering (rest.go:219)
                 try:

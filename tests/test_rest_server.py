@@ -233,3 +233,42 @@ def test_ruletest_mock_shadowing_registered_stream(server):
         "sql": "SELECT count(*) AS n FROM events WHERE value > 100",
     })
     assert code == 200 and body["rows"][0][0] > 2
+
+
+def test_tables_and_schema_endpoints(server):
+    """rest.go:202-205 /tables + :201 schema endpoints: the TABLE-kind
+    view of the registry and per-def field->type maps."""
+    code, _ = _req(
+        server, "POST", "/streams",
+        {"sql": 'CREATE TABLE t_sch (id BIGINT, name STRING) WITH (DATASOURCE="x", TYPE="mock")'},
+    )
+    assert code == 201
+    code, tables = _req(server, "GET", "/tables")
+    assert code == 200 and "t_sch" in tables
+    code, streams = _req(server, "GET", "/streams")
+    assert "t_sch" not in streams
+    code, schema = _req(server, "GET", "/tables/t_sch/schema")
+    assert code == 200 and schema == {"id": "bigint", "name": "string"}
+    code, _ = _req(server, "DELETE", "/tables/t_sch")
+    assert code == 200
+    code, _ = _req(server, "GET", "/tables/t_sch/schema")
+    assert code == 404
+
+
+def test_rules_bulk_start_stop(server):
+    """rest.go:225-226 bulkstart/bulkstop."""
+    for rid in ("bulk_a", "bulk_b"):
+        code, _ = _req(
+            server, "POST", "/rules",
+            {"id": rid, "sql": "SELECT event_id FROM events WHERE value > 150",
+             "actions": [{"memory": {"table": f"t_{rid}"}}],
+             "options": {"output_mode": "append"}},
+        )
+        assert code == 201
+    code, res = _req(server, "POST", "/rules/bulkstart", {"rules": ["bulk_a", "bulk_b", "nope"]})
+    assert code == 200
+    assert sorted(res["started"]) == ["bulk_a", "bulk_b"] and "nope" in res["failed"]
+    code, res = _req(server, "POST", "/rules/bulkstop", {"rules": ["bulk_a", "bulk_b"]})
+    assert code == 200 and sorted(res["stopped"]) == ["bulk_a", "bulk_b"]
+    for rid in ("bulk_a", "bulk_b"):
+        _req(server, "DELETE", f"/rules/{rid}")
