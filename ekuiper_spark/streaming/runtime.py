@@ -374,7 +374,40 @@ class RuleRuntime:
         out = {"state": "running" if q.isActive else "finished", "progress": q.lastProgress}
         if rule_id in self.restarts:
             out["restarts"] = self.restarts[rule_id]
+        out.update(self._ref_metrics(rule_id, q))
         return out
+
+    def _ref_metrics(self, rule_id: str, q: Any) -> dict[str, Any]:
+        """Reference-style status metric keys (rule status JSON in
+        rest.go / topotest assertions: source_<name>_0_records_in_total,
+        sink_<type>_0_records_out_total), synthesized from the query's
+        recent progress — monitoring dashboards keyed on the reference's
+        names keep working.  Sums cover the retained progress window
+        (Spark keeps ~100 recent batches), cumulative-enough for health
+        dashboards; exact lifetime totals live in the checkpoint."""
+        rule = self.rules.get(rule_id)
+        if rule is None:
+            return {}
+        try:
+            from ekuiper_spark.parser import Parser
+
+            src = Parser(rule.sql).parse().source
+        except Exception:
+            src = "stream"
+        action = rule.actions[0] if rule.actions else {"memory": {}}
+        (sink_type, _), = action.items()
+        rows_in = 0
+        rows_out = 0
+        for p in q.recentProgress or []:
+            for s in p.get("sources") or []:
+                rows_in += int(s.get("numInputRows") or 0)
+            sink = p.get("sink") or {}
+            n = int(sink.get("numOutputRows") or 0)
+            rows_out += max(n, 0)  # -1 = unreported (foreachBatch)
+        return {
+            f"source_{src}_0_records_in_total": rows_in,
+            f"sink_{sink_type}_0_records_out_total": rows_out,
+        }
 
     # -- persistence (the reference keeps rules in a KV store,
     # internal/processor/rule.go:54; here a JSON file per registry) --------

@@ -972,3 +972,26 @@ def test_sliding_delay_min_max_all_null_frame(spark, tmp_path):
     assert len(got) > 0
     for r in got:
         assert r["mn"] is None and r["mx"] is None, r
+
+
+def test_status_reference_metric_keys(spark, catalog):
+    """Rule status carries the reference's metric key names
+    (source_<name>_0_records_in_total / sink_<type>_0_records_out_total,
+    the keys the topotest assertions and dashboards read)."""
+    from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
+
+    rt = RuleRuntime(spark, catalog)
+    rt.create_rule(
+        Rule(
+            id="met1",
+            sql="SELECT event_id FROM events WHERE value > 150",
+            actions=[{"memory": {"table": "met1_out"}}],
+            options={"output_mode": "append"},
+        )
+    )
+    q = rt.start_rule("met1", available_now=True)
+    q.awaitTermination()
+    st = rt.status("met1")
+    assert st["source_events_0_records_in_total"] == 1000
+    assert st["sink_memory_0_records_out_total"] > 0
+    rt.stop_rule("met1")
