@@ -1,0 +1,51 @@
+"""Bucketed tables for shuffle-free co-located joins.
+
+At 100 TB the dominant cost of a fact-fact join (orders x lineitem) is
+the shuffle of both sides onto the join key.  Pre-bucketing both tables
+on that key at WRITE time moves the exchange to ingestion — every
+subsequent join, aggregation, or dedup keyed on the bucket column plans
+WITHOUT an Exchange (Catalyst recognizes compatible bucketing through
+``HashPartitioning``).  This is the standing recommendation the engine
+makes for repeatedly-joined reference tables (device registries, order
+facts), and `tests/test_bucketing.py` pins the no-Exchange plan shape.
+
+Spark requirements worth knowing at scale:
+- both sides bucketed on the join key with the SAME bucket count (or a
+  divisor, with spark.sql.bucketing.coalesceBucketsInJoin.enabled);
+- buckets are per-table-directory metadata, so tables go through
+  ``saveAsTable`` (catalog-managed), not plain parquet paths;
+- spark.sql.sources.bucketing.enabled is on by default; AQE leaves
+  bucketed scans alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) catalog table.
+
+    Sorting within buckets upgrades later SortMergeJoins to skip the
+    per-task sort as well (bucketed + sorted on the join key = pure
+    zip-merge)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two bucketed tables on their bucket key — compiles without an
+    Exchange when both were written via ``write_bucketed`` with matching
+    keys/bucket counts."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)

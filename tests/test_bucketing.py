@@ -1,0 +1,50 @@
+"""Bucketed co-located joins: the fact-fact join shuffle moves to write
+time — the join plan itself contains NO Exchange (the 100 TB claim,
+pinned as a plan shape)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ekuiper_spark.plans.bucketing import bucketed_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, catalog):
+    orders = catalog.load(spark, "orders")
+    lineitem = catalog.load(spark, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, catalog, bucketed_tables):
+    from pyspark.sql import functions as F
+
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    j = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+    # disable broadcast so the join exercises the bucketed SMJ path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        # rows equal the plain join
+        po, pl = catalog.load(spark, "orders"), catalog.load(spark, "lineitem")
+        plain = po.join(pl, po["o_orderkey"] == pl["l_orderkey"])
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, bucketed_tables):
+    """GroupBy on the bucket key also skips the shuffle."""
+    from pyspark.sql import functions as F
+
+    agg = spark.table("b_lineitem").groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
