@@ -371,3 +371,43 @@ def _get_keyed_state(c, r):
         "datetime": "timestamp",
     }.get(target, "string")
     return F.lit(val).cast(spark_type)
+
+
+# --------------------------------------------------------------------------
+# vector math (ENGINE EXTENSIONS beyond the reference's 190 builtins):
+# pure-Catalyst array expressions composing with the datapipe similarity
+# operators — dot products / norms stay inside whole-stage codegen, no
+# UDF on the hot path.
+# --------------------------------------------------------------------------
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@reg("dot_product")
+def _dot_product(c, r):
+    return _dot(c[0].cast("array<double>"), c[1].cast("array<double>"))
+
+
+@reg("vec_norm")
+def _vec_norm(c, r):
+    a = c[0].cast("array<double>")
+    return F.sqrt(_dot(a, a))
+
+
+@reg("cosine_similarity")
+def _cosine_similarity(c, r):
+    a = c[0].cast("array<double>")
+    b = c[1].cast("array<double>")
+    denom = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+    return F.when(denom != 0, _dot(a, b) / denom)
+
+
+@reg("vec_normalize")
+def _vec_normalize(c, r):
+    a = c[0].cast("array<double>")
+    n = F.sqrt(_dot(a, a))
+    return F.when(n != 0, F.transform(a, lambda x: x / n))

@@ -260,3 +260,34 @@ def test_mqtt_metadata_analog(spark, catalog):
     )
     r = df.collect()[0]
     assert r["topic"].endswith("events.parquet") and r["mid"] is None
+
+
+def test_vector_math_builtins(spark):
+    """Engine-extension vector builtins: pure-Catalyst dot/norm/cosine
+    over array columns (no UDF; compose with the ANN operators)."""
+    from ekuiper_spark import Catalog, compile_sql
+
+    cat = Catalog()
+    cat.register_df(
+        "v",
+        spark.createDataFrame(
+            [([1.0, 0.0, 2.0], [2.0, 1.0, 0.0])], "a array<double>, b array<double>"
+        ),
+    )
+    out = compile_sql(
+        spark,
+        "SELECT dot_product(a, b) AS d, round(vec_norm(a), 6) AS na, "
+        "round(cosine_similarity(a, a), 6) AS self_cos, "
+        "round(cosine_similarity(a, b), 6) AS ab_cos, "
+        "vec_normalize(b) AS bn FROM v",
+        cat,
+    )
+    r = out.collect()[0]
+    assert r["d"] == 2.0
+    assert r["na"] == round(5 ** 0.5, 6)
+    assert r["self_cos"] == 1.0
+    assert r["ab_cos"] == round(2.0 / (5 ** 0.5 * 5 ** 0.5), 6)
+    assert [round(x, 4) for x in r["bn"]] == [0.8944, 0.4472, 0.0]
+    # UDF-free: the plan is pure codegen expressions
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
