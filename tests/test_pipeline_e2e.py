@@ -1,0 +1,88 @@
+"""End-to-end training-data pipeline: the composition a 100 TB corpus
+build actually runs, chained from the repo's own operators —
+
+    language-ID -> quality gate -> exact dedup -> MinHash near-dup
+    removal -> embedding join -> model projection -> ANN top-k
+
+Every stage is the production operator (no test doubles); the test
+asserts monotone row-count reduction, output schemas, and a UDF-free
+plan through the relational stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ekuiper_spark.datapipe.dedup import exact_dedup, minhash_lsh_pairs
+from ekuiper_spark.datapipe.similarity import cosine, with_lsh_buckets
+from ekuiper_spark.datapipe.textstats import lang_id, quality_score
+
+
+def test_training_data_pipeline(spark, catalog, tmp_path):
+    docs = catalog.load(spark, "documents")
+    n_raw = docs.count()
+
+    # 1. language ID + quality gate (pure Catalyst expressions)
+    scored = docs.withColumn("lang_pred", lang_id(F.col("text"))).withColumn(
+        "quality", quality_score(F.col("text"))
+    )
+    gated = scored.filter(F.col("quality") > 0.2)
+    n_gated = gated.count()
+    assert 0 < n_gated <= n_raw
+
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # no row-at-a-time python
+
+    # 2. exact dedup (digest groupBy; bodies never shuffle)
+    deduped = exact_dedup(gated, text_col="text", id_col="doc_id")
+    n_exact = deduped.count()
+    assert n_exact <= n_gated
+
+    # 3. near-dup removal: drop the higher doc_id of each MinHash pair
+    pairs = minhash_lsh_pairs(deduped, text_col="text", id_col="doc_id")
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    cleaned = deduped.join(losers, "doc_id", "left_anti")
+    n_clean = cleaned.count()
+    assert n_clean <= n_exact
+    assert n_clean > 0
+
+    # 4. attach embeddings (broadcast: the embedding side is dim-bounded)
+    emb = catalog.load(spark, "embeddings")
+    joined = cleaned.join(
+        F.broadcast(emb), cleaned["doc_id"] % 500 == emb["vec_id"], "inner"
+    ).select("doc_id", "text", "embedding")
+    assert joined.count() > 0
+
+    # 5. model projection (registered inference fn over the embedding)
+    from ekuiper_spark.functions.inference import (
+        register_model_function,
+        unregister_model_function,
+    )
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    path = str(tmp_path / "proj.npz")
+    np.savez(path, W=np.eye(dim, 16, dtype="float32"))
+    register_model_function("pipe_proj", path)
+    try:
+        from ekuiper_spark import functions as fregistry
+
+        projected = joined.withColumn(
+            "features", fregistry.SCALAR["pipe_proj"]([F.col("embedding")], [None])
+        )
+        rows = projected.limit(3).collect()
+        assert all(len(r["features"]) == 16 for r in rows)
+    finally:
+        unregister_model_function("pipe_proj")
+
+    # 6. ANN top-k against a probe vector over the cleaned corpus
+    probe = emb.select("embedding").first()["embedding"]
+    sims = joined.withColumn(
+        "sim", cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in probe]))
+    )
+    top = sims.orderBy(F.desc("sim")).limit(5).collect()
+    assert len(top) == 5
+    assert top[0]["sim"] >= top[-1]["sim"]
+    tplan = sims.orderBy(F.desc("sim")).limit(5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in tplan  # top-k, not a global sort
