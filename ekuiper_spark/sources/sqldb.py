@@ -37,14 +37,16 @@ from pyspark.sql.types import StructType
 from ekuiper_spark.sources.util import coerce as _coerce
 
 
-def _connect(dburl: str):
+def _connect(dburl: str, read_only: bool = False):
     import duckdb
 
     path = dburl
     for prefix in ("duckdb://", "sqlite://"):
         if path.startswith(prefix):
             path = path[len(prefix):]
-    return duckdb.connect(path)
+    # readers open read-only: DuckDB allows many readers beside one
+    # writer, so polls never contend with concurrent sink/DDL writes
+    return duckdb.connect(path, read_only=read_only)
 
 
 def _rows_to_tuples(cols: list[str], rows: list[tuple], schema: StructType) -> list[tuple]:
@@ -57,7 +59,7 @@ def _rows_to_tuples(cols: list[str], rows: list[tuple], schema: StructType) -> l
 
 
 def _query(dburl: str, sql: str, schema: StructType) -> list[tuple]:
-    con = _connect(dburl)
+    con = _connect(dburl, read_only=True)
     try:
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
@@ -103,7 +105,7 @@ class _SqlStreamReader(SimpleDataSourceStreamReader):
                 lit = json.dumps(last) if isinstance(last, str) else str(last)
                 sql += f" WHERE {self.index_field} > {lit}"
             sql += f" ORDER BY {self.index_field}"
-        con = _connect(self.dburl)
+        con = _connect(self.dburl, read_only=True)
         try:
             cur = con.execute(sql)
             cols = [d[0] for d in cur.description]
@@ -147,7 +149,7 @@ def sql_lookup_df(
     """Load a DB table as a broadcastable lookup frame (lookupSource.go's
     per-key point query collapses into fetch + broadcast-hash-join, the
     same move as the http lookup)."""
-    con = _connect(dburl)
+    con = _connect(dburl, read_only=True)
     try:
         cur = con.execute(f"SELECT * FROM {table}")
         cols = [d[0] for d in cur.description]
