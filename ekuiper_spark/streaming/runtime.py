@@ -274,6 +274,15 @@ class RuleRuntime:
                 )
 
             q = writer.foreachBatch(_influx_batch).start()
+        elif sink_type == "tdengine3":
+            # per-row INSERT statements merged per partition, shipped over
+            # the REST API (extensions/impl/tdengine3/tdengine3.go)
+            from ekuiper_spark.sources.tdengine import write_tdengine_sink
+
+            def _tdengine_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
+                write_tdengine_sink(batch_df, _o, addr=_o.get("addr"))
+
+            q = writer.foreachBatch(_tdengine_batch).start()
         elif sink_type == "image":
             # save binary payloads as image files with count pruning
             # (extensions/impl/image/image.go)

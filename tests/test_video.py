@@ -1,0 +1,121 @@
+"""Video/MJPEG source: splitter parity with split.go, distributed frame
+extraction, and composition with the image header parser."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from ekuiper_spark.sources.video import (
+    ffmpeg_available,
+    ffmpeg_command,
+    iter_frames,
+    read_mjpeg_files,
+    split_jpegs,
+    validate_url,
+)
+
+
+def _jpeg(w, h, fill=0):
+    # SOI, APP0, SOF0 with dims, filler, EOI — same fixture family as
+    # test_datapipe's header-parse tests
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + bytes([fill % 251]) * fill + b"\xff\xd9"
+
+
+def test_split_single_frame():
+    f = _jpeg(10, 10)
+    advance, token = split_jpegs(f, at_eof=False)
+    assert advance == len(f) and token == f
+
+
+def test_split_skips_leading_garbage():
+    # garbage before SOI: first step consumes up to the marker, no token
+    f = _jpeg(4, 4)
+    data = b"\x00\x01\x02" + f
+    advance, token = split_jpegs(data, at_eof=False)
+    assert advance == 3 and token is None
+    advance, token = split_jpegs(data[3:], at_eof=False)
+    assert token == f
+
+
+def test_split_no_soi_consumes_all():
+    assert split_jpegs(b"\x00" * 64, at_eof=False) == (64, None)
+
+
+def test_split_partial_frame_requests_more():
+    f = _jpeg(4, 4)
+    assert split_jpegs(f[:-2], at_eof=False) == (0, None)
+    # at EOF an unterminated frame is dropped, not emitted
+    assert split_jpegs(f[:-2], at_eof=True) == (len(f) - 2, None)
+
+
+def test_split_eof_empty():
+    assert split_jpegs(b"", at_eof=True) == (0, None)
+
+
+def test_iter_frames_across_chunk_boundaries():
+    frames = [_jpeg(4, 4, fill=100), _jpeg(8, 8, fill=50), _jpeg(2, 2)]
+    stream = b"junk" + b"".join(frames)
+    # feed in 7-byte chunks: every frame straddles chunks
+    chunks = [stream[i : i + 7] for i in range(0, len(stream), 7)]
+    assert list(iter_frames(chunks)) == frames
+
+
+def test_iter_frames_drops_trailing_partial():
+    frames = [_jpeg(4, 4), _jpeg(6, 6)]
+    stream = b"".join(frames) + _jpeg(9, 9)[:-1]
+    assert list(iter_frames([stream])) == frames
+
+
+def test_validate_url():
+    with pytest.raises(ValueError, match="url is empty"):
+        validate_url("")
+    with pytest.raises(ValueError, match="url is invalid"):
+        validate_url("not a url")
+    validate_url("rtsp://cam.local/stream")
+
+
+def test_ffmpeg_command_shape():
+    # reference output args: image2pipe + vcodec + q:v 2 (source.go:127-131)
+    cmd = ffmpeg_command("rtsp://c/s", interval_s=2.0)
+    assert cmd[:3] == ["ffmpeg", "-i", "rtsp://c/s"]
+    assert "-vf" in cmd and cmd[cmd.index("-vf") + 1].startswith("fps=1/2")
+    assert cmd[-7:] == ["-f", "image2pipe", "-vcodec", "mjpeg", "-q:v", "2", "pipe:"]
+    # no interval -> no fps filter
+    assert "-vf" not in ffmpeg_command("rtsp://c/s")
+
+
+def test_read_mjpeg_files_distributed(spark, tmp_path):
+    """binaryFile -> mapInPandas frame explosion, composed with the
+    dependency-free image header parser for per-frame dimensions."""
+    d = tmp_path / "cams"
+    d.mkdir()
+    fa = [_jpeg(16, 9, fill=30), _jpeg(16, 9, fill=40)]
+    fb = [_jpeg(4, 3, fill=10)]
+    (d / "a.mjpeg").write_bytes(b"".join(fa))
+    (d / "b.mjpeg").write_bytes(b"".join(fb))
+
+    df = read_mjpeg_files(spark, str(d))
+    rows = sorted(
+        df.collect(), key=lambda r: (r["url"], r["frame_idx"])
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 0]
+    assert bytes(rows[0]["frame"]) == fa[0] and bytes(rows[2]["frame"]) == fb[0]
+    assert rows[1]["frame_bytes"] == len(fa[1])
+
+    from ekuiper_spark.datapipe.multimodal import parse_image_header
+
+    dims = {parse_image_header(bytes(r["frame"]))[1:] for r in rows}
+    assert dims == {(16, 9), (4, 3)}
+
+
+def test_capture_frames_gates_on_ffmpeg():
+    from ekuiper_spark.sources.video import capture_frames
+
+    if ffmpeg_available():  # pragma: no cover - container has no ffmpeg
+        pytest.skip("ffmpeg present; live path exercised manually")
+    with pytest.raises(RuntimeError, match="check ffmpeg failed"):
+        next(capture_frames("rtsp://cam.local/stream"))
