@@ -716,6 +716,7 @@ def _oracle_text_quality() -> str:
     return rf"""
     WITH t AS (
       SELECT doc_id, text,
+             {toks} AS toks,
              len({toks})::INTEGER AS n_tokens,
              (len(list_filter(string_split_regex(text, '[^A-Za-z0-9_]+'), x -> x != ''))
                + {punct})::INTEGER AS n_tokens_bpe,
@@ -736,6 +737,12 @@ def _oracle_text_quality() -> str:
             + CASE WHEN swr > 0.01 THEN 1.0 ELSE 0.0 END
             + CASE WHEN wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) / 4.0
              AS quality,
+           CASE WHEN len(toks) >= 2 THEN
+             round(1.0 - len(list_distinct(list_transform(
+                 range(1, len(toks)),
+                 i -> array_to_string(toks[i:i+1], ' ')))) * 1.0
+               / (len(toks) - 1), 6)
+           ELSE 0.0 END AS dup_2gram_frac,
            md5({norm}) AS fingerprint
     FROM t
     """

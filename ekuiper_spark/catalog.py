@@ -345,6 +345,20 @@ class Catalog:
                 if d.options.get("server"):
                     opts.setdefault("endpoint", str(d.options["server"]))
             return reader.format(src_type).options(**opts).load()
+        if d.format == "lines":
+            # fileType=lines (internal/io/file/constant.go:22): one
+            # message per line, optional header/footer skip
+            from ekuiper_spark.sources.filesource import read_lines_df
+
+            return read_lines_df(
+                spark,
+                d.path,
+                schema=d.schema,
+                payload_format=str(d.options.get("payloadFormat", "json")),
+                ignore_start=int(d.options.get("ignoreStartLines", 0)),
+                ignore_end=int(d.options.get("ignoreEndLines", 0)),
+                streaming=streaming,
+            )
         if streaming:
             import os
 

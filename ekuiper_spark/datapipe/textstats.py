@@ -151,6 +151,85 @@ def lang_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def nonempty_lines(text: Column) -> Column:
+    return F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of (non-empty) lines that
+    duplicate another line in the same document.  Pure Catalyst — one
+    split + distinct per doc, no shuffle."""
+    lines = nonempty_lines(text)
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as joined strings from a token array."""
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that repeat an earlier n-gram, from an
+    already-materialized token array (shared-intermediate form used by
+    text_profile)."""
+    grams = word_ngrams(toks, n)
+    k = F.size(grams)
+    return F.when(
+        k > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / k,
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction(text: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    (Gopher's duplicate n-gram family).  0.0 for docs shorter than n
+    words."""
+    return dup_ngram_fraction_from_tokens(tokens(text), n)
+
+
+# Public PII surface patterns (RE2-safe: portable to both the Java regex
+# engine and the DuckDB oracle).  Order matters: SSN before phone so the
+# ddd-dd-dddd shape is not half-eaten by the phone rule.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\+?\d{1,2}[ -]?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace PII surface forms with typed placeholder tokens — the
+    standard scrub step before training-data use.  A chain of codegen
+    regexp_replace calls; no UDF."""
+    out = text
+    for _name, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-category PII match counts (for filtering/reporting
+    without materializing redacted text)."""
+    return F.struct(
+        *[
+            F.regexp_count(text, F.lit(pat)).alias(name)
+            for name, pat, _t in PII_PATTERNS
+        ]
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Normalization used by fingerprinting/dedup: lowercase, strip
     punctuation, collapse whitespace."""
@@ -208,6 +287,9 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         n.alias("n_chars_calc"),
         F.round(pr, 6).alias("punct_ratio"),
         quality.alias("quality"),
+        F.round(
+            dup_ngram_fraction_from_tokens(F.col("__toks"), 2), 6
+        ).alias("dup_2gram_frac"),
         F.md5(norm.cast("binary")).alias("fingerprint"),
     )
 

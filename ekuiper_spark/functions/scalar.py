@@ -76,7 +76,9 @@ reg("bitnot")(lambda c, r: F.expr("-1").bitwiseXOR(c[0]))
 # --------------------------------------------------------------------------
 # string (funcs_str.go)
 # --------------------------------------------------------------------------
-reg("concat")(lambda c, r: F.concat(*c))
+# null args are skipped, not propagated (funcs_str_test.go:46-49:
+# concat("1", nil, "2") = "12") — concat_ws has exactly that contract
+reg("concat")(lambda c, r: F.concat_ws("", *[x.cast("string") for x in c]))
 reg("endswith")(lambda c, r: c[0].endswith(c[1]))
 reg("startswith")(lambda c, r: c[0].startswith(c[1]))
 reg("indexof")(lambda c, r: F.instr(c[0], c[1]) - 1)
@@ -255,7 +257,23 @@ reg("object_pick")(
 reg("erase")(
     lambda c, r: F.map_filter(c[0], lambda k, v: ~F.array_contains(F.array(*[x for x in c[1:]]), k))
 )
-reg("zip")(lambda c, r: F.arrays_zip(*c))
+# zip([[k,v],...]) -> map (funcs_obj.go:93-123): one pairs argument, nil
+# items skipped, keys stringified; empty input yields null per the
+# reference's early return
+reg("zip")(
+    lambda c, r: F.when(
+        F.size(c[0]) > 0,
+        F.map_from_entries(
+            F.transform(
+                F.filter(c[0], lambda p: p.isNotNull()),
+                lambda p: F.struct(
+                    F.element_at(p, 1).cast("string").alias("key"),
+                    F.element_at(p, 2).alias("value"),
+                ),
+            )
+        ),
+    )
+)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,125 @@
+"""File-source extras: ``lines`` fileType, header/footer skipping, and
+post-read file actions.
+
+Reference: internal/io/file/source.go — SourceConfig carries fileType
+(json/csv/lines/parquet, constant.go:20-23), ignoreStartLines /
+ignoreEndLines (a sliding skip-queue over each file's line stream,
+source.go:332-370), actionAfterRead 0=none 1=delete 2=move-to
+(source.go:125-145 validation, :317-330 the post-read dispatch) and
+decompression.
+
+Spark mapping: plain ``lines`` reads use the splittable text source (the
+scale path — a 100 TB line corpus splits by range).  ignoreStart/End
+require per-file line positions, so those reads switch to one-row-per-
+file ``wholetext`` + an array slice + explode — per-FILE parallelism,
+matching the reference's sequential per-file scan semantics.  gzip
+decompression is native to the text source by extension.  File actions
+run on the driver after a bounded read completes (file moves are
+metadata operations, never data-sized).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sliced_lines(value, ignore_start: int, ignore_end: int):
+    """Column expr: file text -> array of lines minus the first
+    ignore_start and last ignore_end lines (source.go ignoreLines)."""
+    lines = F.split(value, r"\r?\n")
+    # a trailing newline produces one empty trailing element; the
+    # reference's line scanner never sees it as a line
+    lines = F.when(
+        F.element_at(lines, -1) == "", F.slice(lines, 1, F.size(lines) - 1)
+    ).otherwise(lines)
+    n = F.size(lines)
+    keep = n - ignore_start - ignore_end
+    return F.when(keep > 0, F.slice(lines, ignore_start + 1, keep)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def read_lines_df(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    payload_format: str = "json",
+    ignore_start: int = 0,
+    ignore_end: int = 0,
+    streaming: bool = False,
+) -> DataFrame:
+    """fileType=lines: each line is one message payload.
+
+    payload_format json decodes each line through the stream schema
+    (inferred from the data when absent, like the schemaless file
+    source); anything else yields raw ``value`` lines for downstream
+    decode ops.
+    """
+    reader = spark.readStream if streaming else spark.read
+    if streaming and os.path.isfile(path):
+        # the streaming file source requires a directory: point at the
+        # parent and glob-filter to this file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    if ignore_start or ignore_end:
+        # .text(path) would override the wholetext option with its
+        # parameter default; format/load passes it through
+        whole = reader.format("text").option("wholetext", "true").load(path)
+        df = whole.select(
+            F.explode(sliced_lines(F.col("value"), ignore_start, ignore_end)).alias(
+                "value"
+            )
+        )
+    else:
+        df = reader.text(path)
+    if payload_format != "json":
+        return df
+    if schema is None:
+        # schema inference needs a bounded sample: batch-read the same
+        # slice and let the JSON reader unify types (schemaless contract)
+        sample = read_lines_df(
+            spark, path, schema=None, payload_format="raw",
+            ignore_start=ignore_start, ignore_end=ignore_end, streaming=False,
+        )
+        schema = spark.read.json(
+            sample.limit(1000).rdd.map(lambda r: r.value)
+        ).schema
+    return df.select(F.from_json("value", schema).alias("__r")).select("__r.*")
+
+
+def validate_after_read(action: int, move_to: Optional[str]) -> None:
+    """source.go:125-145 validation with the reference's messages."""
+    if action < 0 or action > 2:
+        raise ValueError(f"invalid actionAfterRead: {action}")
+    if action == 2:
+        if not move_to:
+            raise ValueError("missing moveTo when actionAfterRead is 2")
+        if os.path.exists(move_to) and not os.path.isdir(move_to):
+            raise ValueError(f"moveTo {move_to} is not a directory")
+        os.makedirs(move_to, exist_ok=True)
+
+
+def apply_after_read(
+    files: list[str], action: int, move_to: Optional[str] = None
+) -> list[str]:
+    """Post-read dispatch (source.go:317-330): 1 deletes each fully-read
+    file, 2 moves it into moveTo.  Returns the paths acted on."""
+    validate_after_read(action, move_to)
+    acted = []
+    for f in files:
+        p = f[len("file:"):] if f.startswith("file:") else f
+        if not os.path.exists(p):
+            continue
+        if action == 1:
+            os.remove(p)
+            acted.append(p)
+        elif action == 2:
+            dest = os.path.join(move_to, os.path.basename(p))
+            shutil.move(p, dest)
+            acted.append(dest)
+    return acted

@@ -111,6 +111,7 @@ class Translator:
             if f.alias:
                 ctx.aliases[f.alias.lower()] = f.expr
         df = self._load_sources(stmt, ctx)
+        self._cur_df = df  # for compile-time type probes (_probe_type)
 
         # event-time column resolution (TIMESTAMP option; default 'ts')
         sdef = self.catalog.get(stmt.source)
@@ -538,6 +539,7 @@ class Translator:
     # grouped path
     # ------------------------------------------------------------------ #
     def _grouped(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
+        self._cur_df = df
         group = stmt.group
         dims = list(group.dims) if group else []
         window = group.window if group else None
@@ -1320,6 +1322,7 @@ class Translator:
         return "expr"
 
     def _project(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
+        self._cur_df = df
         out = df.select(*self._projection_cols(df, stmt, ctx))
         # unaliased unnest over a struct array flattens the struct into
         # top-level columns (funcs_srf.go:26-51: unnest emits the map's
@@ -1994,7 +1997,25 @@ class Translator:
         args = [a for a in call.args if not isinstance(a, Wildcard)]
         cols = [self._expr(a, ctx) for a in args]
         raw = [self._raw(a) for a in args]
+        if name.lower() == "length" and cols:
+            # the reference's length() is polymorphic over strings, arrays
+            # and maps (funcs_array_test.go:76-81 length([1,2,3]) = 3);
+            # resolve by a compile-time schema probe (no job runs)
+            if self._probe_type(cols[0]) in ("array", "map"):
+                return F.size(cols[0])
         return fregistry.build_scalar(name, cols, raw)
+
+    def _probe_type(self, col: Column) -> Optional[str]:
+        """Analysis-only type probe of one expression against the current
+        phase's DataFrame; None when indeterminable (falls back to the
+        registry's default builder)."""
+        df = getattr(self, "_cur_df", None)
+        if df is None:
+            return None
+        try:
+            return df.select(col).schema[0].dataType.typeName()
+        except Exception:
+            return None
 
 
 def compile_sql(

@@ -361,3 +361,90 @@ def test_image_meta_real_dims_through_dataframe(spark):
         3: ("image/gif", 320, 200),
         4: ("image/bmp", 800, 600),
     }
+
+
+def test_repetition_metrics_goldens(spark):
+    """Gopher-style repetition: duplicate-line and duplicate-ngram
+    fractions on hand-computed fixtures."""
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.datapipe.textstats import (
+        dup_line_fraction,
+        dup_ngram_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a\nb\na\n\n", "dup line a"),           # 3 lines, 2 distinct
+            ("x\ny\nz", "all distinct"),
+            ("", "empty"),
+            ("a b a b a", "bigrams: ab ba ab ba"),
+        ],
+        "text string, label string",
+    )
+    rows = {r["label"]: r for r in df.select(
+        "label",
+        F.round(dup_line_fraction(F.col("text")), 6).alias("dl"),
+        F.round(dup_ngram_fraction(F.col("text"), 2), 6).alias("d2"),
+        F.round(dup_ngram_fraction(F.col("text"), 3), 6).alias("d3"),
+    ).collect()}
+    assert rows["dup line a"]["dl"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert rows["all distinct"]["dl"] == 0.0
+    assert rows["empty"]["dl"] == 0.0 and rows["empty"]["d2"] == 0.0
+    # "a b a b a": 4 bigrams (ab ba ab ba) -> 2 distinct -> 0.5;
+    # 3 trigrams (aba bab aba) -> 2 distinct -> 1/3
+    assert rows["bigrams: ab ba ab ba"]["d2"] == pytest.approx(0.5, abs=1e-6)
+    assert rows["bigrams: ab ba ab ba"]["d3"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_pii_redaction_goldens(spark):
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.datapipe.textstats import pii_counts, redact_pii
+
+    text = ("mail john.doe@example.com or admin@sub.example.org, "
+            "call +1 (555) 123-4567, host 10.0.0.1, ssn 123-45-6789 done")
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        redact_pii(F.col("text")).alias("red"),
+        pii_counts(F.col("text")).alias("n"),
+    ).collect()[0]
+    red = row["red"]
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<IP>" in red and "<SSN>" in red
+    assert "example.com" not in red and "555" not in red
+    assert "10.0.0.1" not in red and "123-45-6789" not in red
+    assert red.endswith("done")
+    n = row["n"].asDict()
+    assert n == {"email": 2, "ssn": 1, "ipv4": 1, "phone": 1}
+
+
+def test_pii_redaction_leaves_clean_text_alone(spark):
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.datapipe.textstats import redact_pii
+
+    clean = "a plain sentence with numbers 42 and 3.14 in it"
+    df = spark.createDataFrame([(clean,)], "text string")
+    assert df.select(redact_pii(F.col("text")).alias("r")).collect()[0]["r"] == clean
+
+
+def test_text_profile_includes_dup_2gram(spark, catalog):
+    """The fused profile's dup_2gram_frac equals the a-la-carte
+    dup_ngram_fraction over the documents fixture."""
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.datapipe.textstats import (
+        dup_ngram_fraction,
+        text_profile,
+    )
+
+    docs = catalog.load(spark, "documents")
+    prof = {r["doc_id"]: r["dup_2gram_frac"]
+            for r in text_profile(docs).select("doc_id", "dup_2gram_frac").collect()}
+    ala = {r["doc_id"]: r["d"]
+           for r in docs.select(
+               "doc_id",
+               F.round(dup_ngram_fraction(F.col("text"), 2), 6).alias("d"),
+           ).collect()}
+    assert prof == ala
+    assert any(v > 0 for v in prof.values())

@@ -1,0 +1,134 @@
+"""File-source extras: lines fileType, ignoreStart/EndLines, and
+actionAfterRead (internal/io/file/source.go)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ekuiper_spark import Catalog
+from ekuiper_spark.sources.filesource import (
+    apply_after_read,
+    read_lines_df,
+    validate_after_read,
+)
+
+
+@pytest.fixture()
+def lines_file(tmp_path):
+    p = tmp_path / "data.lines"
+    p.write_text(
+        "header to skip\n"
+        '{"id": 1, "v": "a"}\n'
+        '{"id": 2, "v": "b"}\n'
+        '{"id": 3, "v": "c"}\n'
+        "footer to skip\n"
+    )
+    return str(p)
+
+
+def test_lines_with_ignore_start_end(spark, lines_file):
+    df = read_lines_df(spark, lines_file, ignore_start=1, ignore_end=1)
+    rows = sorted((r["id"], r["v"]) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_lines_raw_payload(spark, lines_file):
+    df = read_lines_df(
+        spark, lines_file, payload_format="raw", ignore_start=1, ignore_end=1
+    )
+    assert df.columns == ["value"]
+    assert df.count() == 3
+
+
+def test_lines_no_ignores_uses_splittable_text(spark, tmp_path):
+    """Without ignores the plan must read through the splittable text
+    source (scale path), not wholetext."""
+    p = tmp_path / "plain.lines"
+    p.write_text('{"id": 1}\n{"id": 2}\n')
+    df = read_lines_df(spark, str(p))
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "wholetext" not in plan.lower()
+
+
+def test_lines_ignore_all_lines_yields_empty(spark, lines_file):
+    df = read_lines_df(
+        spark, lines_file, payload_format="raw", ignore_start=4, ignore_end=4
+    )
+    assert df.count() == 0
+
+
+def test_lines_through_catalog_and_sql(spark, lines_file):
+    from ekuiper_spark import compile_sql
+    from ekuiper_spark.catalog import StreamDef
+
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    cat.register(
+        StreamDef(
+            name="linestream",
+            format="lines",
+            path=lines_file,
+            kind="scan",
+            options={"ignoreStartLines": 1, "ignoreEndLines": 1},
+        )
+    )
+    out = compile_sql(
+        spark, "SELECT id, upper(v) AS vv FROM linestream WHERE id > 1", cat
+    ).collect()
+    assert sorted((r["id"], r["vv"]) for r in out) == [(2, "B"), (3, "C")]
+
+
+def test_lines_streaming_bounded(spark, lines_file, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = read_lines_df(
+        spark, lines_file, schema=schema, ignore_start=1, ignore_end=1,
+        streaming=True,
+    )
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory")
+        .queryName("linesmem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM linesmem ORDER BY id").collect()
+    q.stop()
+    assert [(r["id"], r["v"]) for r in rows] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_after_read_validation_messages():
+    with pytest.raises(ValueError, match="invalid actionAfterRead: 3"):
+        validate_after_read(3, None)
+    with pytest.raises(ValueError, match="missing moveTo when actionAfterRead is 2"):
+        validate_after_read(2, None)
+    validate_after_read(0, None)
+    validate_after_read(1, None)
+
+
+def test_after_read_moveto_not_a_directory(tmp_path):
+    f = tmp_path / "afile"
+    f.write_text("x")
+    with pytest.raises(ValueError, match="is not a directory"):
+        validate_after_read(2, str(f))
+
+
+def test_after_read_delete_and_move(tmp_path):
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text("{}")
+    b.write_text("{}")
+    assert apply_after_read([f"file:{a}"], 1) == [str(a)]
+    assert not a.exists()
+    dest = tmp_path / "done"
+    moved = apply_after_read([str(b)], 2, str(dest))
+    assert moved == [str(dest / "b.json")]
+    assert not b.exists() and (dest / "b.json").exists()
+    # idempotent on missing files
+    assert apply_after_read([str(a)], 1) == []

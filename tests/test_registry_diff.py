@@ -118,7 +118,7 @@ EXPR = {
     "array_union": f"array_union({_ARR}, {_ARR})",
     "cardinality": f"cardinality({_ARR})",
     "element_at": f"element_at({_ARR}, 0)",
-    "sequence": "sequence(1, 5)", "zip": f"zip({_ARR}, {_ARR})",
+    "sequence": "sequence(1, 5)", "zip": "zip(array(array('k1', '1'), array('k2', '2')))",
     # object / json
     "erase": f"erase({_OBJ}, 'a')", "items": f"items({_OBJ})",
     "keys": f"keys({_OBJ})", "values": f"values({_OBJ})",
