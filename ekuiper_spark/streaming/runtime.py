@@ -365,6 +365,40 @@ class RuleRuntime:
         roller = self.rolling_writers.pop(rule_id, None)
         if roller is not None:
             roller.close()
+        self._after_read_actions(rule_id)
+
+    def _after_read_actions(self, rule_id: str) -> None:
+        """File-source actionAfterRead (internal/io/file/source.go:317-330):
+        when a rule over a file stream with actionAfterRead set finishes,
+        its fully-read files are deleted (1) or moved to moveTo (2) —
+        driver-side metadata ops on the source's file list."""
+        import glob
+        import os
+
+        rule = self.rules.get(rule_id)
+        if rule is None:
+            return
+        from ekuiper_spark.parser import parse_sql
+        from ekuiper_spark.sources.filesource import apply_after_read
+
+        try:
+            stmt = parse_sql(rule.sql)
+        except Exception:
+            return
+        names = [stmt.source] + [j.source for j in stmt.joins]
+        for n in names:
+            d = self.catalog.get(n)
+            if d is None or "actionAfterRead" not in d.options:
+                continue
+            action = int(d.options["actionAfterRead"])
+            if action == 0:
+                continue
+            files = (
+                [d.path]
+                if os.path.isfile(d.path)
+                else sorted(glob.glob(os.path.join(d.path, "*")))
+            )
+            apply_after_read(files, action, d.options.get("moveTo"))
 
     def status(self, rule_id: str) -> dict[str, Any]:
         sched = self.schedulers.get(rule_id)

@@ -132,3 +132,40 @@ def test_after_read_delete_and_move(tmp_path):
     assert not b.exists() and (dest / "b.json").exists()
     # idempotent on missing files
     assert apply_after_read([str(a)], 1) == []
+
+
+def test_rule_applies_action_after_read(spark, tmp_path):
+    """A bounded rule over a file stream with actionAfterRead=2 moves the
+    consumed file into moveTo when the rule stops (source.go:317-330)."""
+    import json
+
+    from ekuiper_spark.catalog import StreamDef
+    from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    f = src_dir / "batch1.json"
+    f.write_text("\n".join(json.dumps({"id": i, "v": i * 10}) for i in range(5)))
+    done = tmp_path / "done"
+
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    cat.register(
+        StreamDef(
+            name="fstream", format="json", path=str(src_dir), kind="scan",
+            options={"actionAfterRead": 2, "moveTo": str(done)},
+        )
+    )
+    rt = RuleRuntime(spark, cat)
+    rule = Rule(
+        id="far1",
+        sql="SELECT id, v FROM fstream WHERE v >= 20",
+        actions=[{"memory": {"table": "far1_out"}}],
+        options={"output_mode": "append"},
+    )
+    rt.create_rule(rule)
+    q = rt.start_rule("far1", available_now=True)
+    q.awaitTermination()
+    assert spark.sql("SELECT count(*) AS n FROM far1_out").collect()[0]["n"] == 3
+    rt.stop_rule("far1")
+    assert not f.exists()
+    assert (done / "batch1.json").exists()
