@@ -338,7 +338,10 @@ reg("rule_id")(lambda c, r: F.lit("rule_0"))
 reg("tstamp")(lambda c, r: F.unix_millis(F.current_timestamp()))
 reg("greatest")(lambda c, r: F.greatest(*c))
 reg("least")(lambda c, r: F.least(*c))
-reg("convert_tz")(lambda c, r: F.to_utc_timestamp(c[0], r[1] or "UTC"))
+# same instant re-expressed in the target zone's wall clock
+# (funcs_misc_test.go:232-258: 06:22 UTC + Asia/Shanghai -> 14:22);
+# session time is UTC, so that is from_utc_timestamp
+reg("convert_tz")(lambda c, r: F.from_utc_timestamp(c[0], r[1] or "UTC"))
 
 
 # nullif/ifnull-style helpers the docs expose via coalesce/case — provide

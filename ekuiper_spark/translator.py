@@ -2003,6 +2003,25 @@ class Translator:
             # resolve by a compile-time schema probe (no job runs)
             if self._probe_type(cols[0]) in ("array", "map"):
                 return F.size(cols[0])
+        if name.lower() == "to_json" and cols:
+            # the reference JSON-encodes ANY value (funcs_misc_test.go:
+            # 135-175: to_json("foo") = '"foo"'); Spark's to_json only
+            # takes containers, so scalars encode through a one-element
+            # array with the brackets stripped (escaping preserved)
+            if self._probe_type(cols[0]) not in ("struct", "array", "map", "variant"):
+                arr = F.to_json(F.array(cols[0]))
+                return arr.substr(F.lit(2), F.length(arr) - 2)
+        if (
+            name.lower() == "cast"
+            and cols
+            and len(raw) > 1
+            and str(raw[1] or "").lower() == "bytea"
+            and self._probe_type(cols[0]) == "string"
+        ):
+            # cast(string, 'bytea') base64-DECODES (cast.go contract,
+            # funcs_misc_test.go:542-560: "Ynl0ZWE=" -> b"bytea");
+            # binary input stays a passthrough via the registry
+            return F.unbase64(cols[0])
         return fregistry.build_scalar(name, cols, raw)
 
     def _probe_type(self, col: Column) -> Optional[str]:

@@ -107,11 +107,33 @@ VECTORS = [
     ("object", "object(array('a', 'b'), array(1, 2))", {"a": 1, "b": 2}),
     ("element_at_map",
      "element_at(object(array('a', 'b'), array(1, 2)), 'a')", 1),
+    # ---- funcs_misc_test.go:42-103, 104-134, 135-175, 232-290, 462-498,
+    #      542-650 (coalesce/to_seconds/to_json/convert_tz/hex/cast) ----
+    ("hex2dec", "hex2dec('0x10')", 16),
+    ("dec2hex", "dec2hex(16)", "0x10"),
+    ("coalesce_null_first", "coalesce(nullcol, 'a')", "a"),
+    ("to_json_str", "to_json('foo')", '"foo"'),
+    ("to_json_obj",
+     "to_json(object(array('key1', 'key2'), array('bar', 'foo')))",
+     '{"key1":"bar","key2":"foo"}'),
+    ("to_seconds",
+     "to_seconds(cast('2001-09-09 01:46:40', 'datetime'))", 1_000_000_000),
+    ("convert_tz_shanghai",
+     "format_time(convert_tz(cast('2022-04-13 06:22:32', 'datetime'),"
+     " 'Asia/Shanghai'), 'yyyy-MM-dd HH:mm:ss')",
+     "2022-04-13 14:22:32"),
+    ("cast_bytea_base64", "cast('Ynl0ZWE=', 'bytea')", b"bytea"),
+    ("cast_bigint_truncates", "cast(101.5, 'bigint')", 101),
+    ("cast_int_boolean", "cast(1, 'boolean')", True),
+    ("cast_int_float", "cast(1, 'float')", 1.0),
+    ("cast_int_string", "cast(1, 'string')", "1"),
 ]
 
 
 def _match(label: str, got, want) -> None:
-    if isinstance(want, float):
+    if isinstance(want, bytes):
+        assert bytes(got) == want, (label, got, want)
+    elif isinstance(want, float):
         assert got == pytest.approx(want, rel=1e-12), (label, got, want)
     elif isinstance(want, list):
         got = list(got) if got is not None else None
