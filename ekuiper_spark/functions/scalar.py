@@ -108,9 +108,55 @@ def _substring(c, r):
     return c[0].substr(c[1].cast("int") + 1, F.length(c[0]))
 
 
-# format(number, decimals[, locale]) -> fixed-decimal string
-# (funcs_str.go:360-392; locale grouping unsupported -> plain formatting)
-reg("format")(lambda c, r: F.format_string(f"%.{int(r[1])}f", c[0].cast("double")))
+# format(number, decimals[, locale]) -> fixed-decimal string.
+# CLDR digit-group/decimal separators for format()'s locale arg
+# (funcs_str.go:360-388 delegates to x/text; the four separator families
+# below cover its locale table —   is the CLDR non-breaking group
+# space).  Unknown locales raise the reference's exact error.
+_SEP_COMMA_DOT = (",", ".")
+_SEP_DOT_COMMA = (".", ",")
+_SEP_NBSP_COMMA = ("\u00a0", ",")
+_SEP_APOS_DOT = ("’", ".")
+_LOCALE_SEPS = {
+    **{l: _SEP_COMMA_DOT for l in (
+        "en_US en_AU en_CA en_GB en_IN en_NZ en_PH en_ZW ar_AE ar_BH "
+        "ar_EG ar_IQ ar_JO ar_KW ar_OM ar_QA ar_SA ar_SD ar_SY ar_YE "
+        "es_DO es_GT es_HN es_MX es_NI es_PA es_PE es_PR es_SV es_US "
+        "gu_IN he_IL hi_IN ja_JP ko_KR mn_MN ms_MY no_NO ta_IN te_IN "
+        "th_TH ur_PK zh_CN zh_HK zh_TW".split()
+    )},
+    **{l: _SEP_DOT_COMMA for l in (
+        "ar_DZ ar_LB ar_LY ar_MA ar_TN ca_ES da_DK de_BE de_DE de_LU "
+        "el_GR es_AR es_BO es_CL es_CO es_EC es_ES es_PY es_UY es_VE "
+        "eu_ES fo_FO fr_LU gl_ES hr_HR id_ID is_IS it_IT mk_MK nl_BE "
+        "nl_NL pt_BR ro_RO sl_SI sr_RS tr_TR vi_VN".split()
+    )},
+    **{l: _SEP_NBSP_COMMA for l in (
+        "be_BY bg_BG cs_CZ de_AT en_ZA es_CR et_EE fi_FI fr_BE fr_CA "
+        "fr_CH fr_FR hu_HU lt_LT lv_LV nb_NO pl_PL pt_PT ru_RU ru_UA "
+        "sk_SK sq_AL sv_FI sv_SE uk_UA".split()
+    )},
+    **{l: _SEP_APOS_DOT for l in ("de_CH", "it_CH", "rm_CH")},
+}
+
+
+@reg("format")
+def _format(c, r):
+    d = int(r[1])
+    if d < 0:
+        raise ValueError("the decimal places must greater or equal than 0")
+    if len(c) < 3:
+        return F.format_string(f"%.{d}f", c[0].cast("double"))
+    loc = str(r[2])
+    seps = _LOCALE_SEPS.get(loc)
+    if seps is None:
+        raise ValueError(f"not support for the specific locale:{loc}")
+    grouped = F.format_number(c[0].cast("double"), d)
+    if seps == _SEP_COMMA_DOT:
+        return grouped
+    return F.translate(grouped, ",.", seps[0] + seps[1])
+
+
 reg("conv")(lambda c, r: F.conv(c[0], int(r[1]), int(r[2])))
 
 

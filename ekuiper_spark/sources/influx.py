@@ -38,13 +38,46 @@ def _field_literal(v) -> Optional[str]:
     return f'"{s}"'
 
 
+_PRECISION_MULT = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
+
+
+def validate_precision(precision: str) -> None:
+    """tspoint WriteOptions.Validate (transform.go:37-44)."""
+    if precision not in _PRECISION_MULT:
+        raise ValueError(f"precision {precision} is not supported")
+
+
+def render_tag_template(template: str, row: dict) -> str:
+    """The `{{.field}}` Go-template form the reference's tag conf uses
+    (transform.go mapToPoint -> ctx.ParseTemplate); literals pass
+    through."""
+    import re
+
+    def sub(m):
+        v = row.get(m.group(1))
+        return "" if v is None else str(v)
+
+    return re.sub(r"\{\{\s*\.(\w+)\s*\}\}", sub, template)
+
+
 def render_lines(
     rows: list[dict],
     measurement: str,
     tag_cols: list[str],
     ts_col: Optional[str] = None,
+    tag_templates: Optional[dict] = None,
+    fields: Optional[list[str]] = None,
+    precision: str = "ns",
 ) -> list[str]:
-    """Rows -> line-protocol lines (public InfluxDB wire format)."""
+    """Rows -> line-protocol lines (public InfluxDB wire format).
+
+    tag_templates / fields / precision mirror the shared tspoint
+    transform (extensions/impl/tspoint/transform.go WriteOptions): tags
+    render `{{.field}}` templates per row, a non-empty fields list
+    selects the written subset, and the timestamp is emitted in the
+    configured precision unit.
+    """
+    validate_precision(precision)
     out = []
     m = _esc_ident(measurement)
     for r in rows:
@@ -53,20 +86,24 @@ def render_lines(
             for t in tag_cols
             if r.get(t) is not None
         )
-        fields = []
+        for name, tmpl in sorted((tag_templates or {}).items()):
+            tags += f",{_esc_ident(name)}={_esc_ident(render_tag_template(tmpl, r))}"
+        flds = []
         for k, v in r.items():
             if k in tag_cols or k == ts_col:
                 continue
+            if fields and k not in fields:
+                continue
             lit = _field_literal(v)
             if lit is not None:
-                fields.append(f"{_esc_ident(k)}={lit}")
-        if not fields:
+                flds.append(f"{_esc_ident(k)}={lit}")
+        if not flds:
             continue
-        line = f"{m}{tags} {','.join(fields)}"
+        line = f"{m}{tags} {','.join(flds)}"
         if ts_col is not None and r.get(ts_col) is not None:
             ts = r[ts_col]
             ns = int(ts.timestamp() * 1e9) if hasattr(ts, "timestamp") else int(ts) * 1_000_000
-            line += f" {ns}"
+            line += f" {ns // _PRECISION_MULT[precision]}"
         out.append(line)
     return out
 
@@ -81,13 +118,17 @@ def write_influx_sink(
     v2_bucket: Optional[str] = None,
     token: Optional[str] = None,
     timeout: float = 10.0,
+    tag_templates: Optional[dict] = None,
+    fields: Optional[list[str]] = None,
+    precision: str = "ns",
 ) -> None:
     """POST the DataFrame as line protocol, one request per partition."""
+    validate_precision(precision)
     tag_cols = list(tags or [])
     if v2_bucket:
-        url = f"{addr}/api/v2/write?bucket={v2_bucket}&precision=ns"
+        url = f"{addr}/api/v2/write?bucket={v2_bucket}&precision={precision}"
     else:
-        url = f"{addr}/write?db={database}&precision=ns"
+        url = f"{addr}/write?db={database}&precision={precision}"
 
     def send(it) -> None:
         import urllib.request
@@ -95,7 +136,10 @@ def write_influx_sink(
         rows = [r.asDict() for r in it]
         if not rows:
             return
-        lines = render_lines(rows, measurement, tag_cols, ts_col)
+        lines = render_lines(
+            rows, measurement, tag_cols, ts_col,
+            tag_templates=tag_templates, fields=fields, precision=precision,
+        )
         if not lines:
             return
         req = urllib.request.Request(url, data="\n".join(lines).encode())

@@ -262,15 +262,21 @@ class RuleRuntime:
             from ekuiper_spark.sources.influx import write_influx_sink
 
             def _influx_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
+                # reference tags conf is a template MAP (tspoint
+                # WriteOptions.Tags); a plain list means column tags
+                tags_conf = _o.get("tags")
                 write_influx_sink(
                     batch_df,
                     addr=_o["addr"],
                     database=_o.get("database", ""),
                     measurement=_o["measurement"],
-                    tags=_o.get("tags"),
+                    tags=tags_conf if isinstance(tags_conf, list) else None,
+                    tag_templates=tags_conf if isinstance(tags_conf, dict) else None,
                     ts_col=_o.get("tsFieldName"),
                     v2_bucket=_o.get("bucket"),
                     token=_o.get("token"),
+                    fields=_o.get("fields"),
+                    precision=str(_o.get("precision", "ns")),
                 )
 
             q = writer.foreachBatch(_influx_batch).start()

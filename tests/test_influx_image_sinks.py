@@ -104,3 +104,25 @@ def test_image_sink_writes_and_prunes(spark, tmp_path):
     bad = spark.createDataFrame([(1, b"not an image")], "id long, image binary")
     with pytest.raises(ValueError, match="does not decode as png"):
         write_image_sink(bad, str(tmp_path / "imgs2"))
+
+
+def test_tspoint_tag_templates_fields_precision():
+    """tspoint WriteOptions parity (extensions/impl/tspoint/transform.go):
+    {{.field}} tag templates, field subset selection, and ms precision."""
+    import datetime as dt
+
+    from ekuiper_spark.sources.influx import render_lines, validate_precision
+
+    rows = [{
+        "device": "d1", "temp": 20.5, "hum": 33, "noise": 1,
+        "ts": dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc),
+    }]
+    lines = render_lines(
+        rows, "m", [], ts_col="ts",
+        tag_templates={"t1": "value1", "t2": "{{.device}}-x"},
+        fields=["temp", "hum"],
+        precision="ms",
+    )
+    assert lines == ["m,t1=value1,t2=d1-x temp=20.5,hum=33i 1704067200000"]
+    with pytest.raises(ValueError, match="precision m is not supported"):
+        validate_precision("m")

@@ -127,6 +127,15 @@ VECTORS = [
     ("cast_int_boolean", "cast(1, 'boolean')", True),
     ("cast_int_float", "cast(1, 'float')", 1.0),
     ("cast_int_string", "cast(1, 'string')", "1"),
+    # ---- funcs_str_test.go:128-292 (format with and without locale) ----
+    ("format_round", "format(12332.123456, 4)", "12332.1235"),
+    ("format_pad", "format(12332.1, 4)", "12332.1000"),
+    ("format_zero_places", "format(12332.2, 0)", "12332"),
+    ("format_en_us", "format(12332.123456, 4, 'en_US')", "12,332.1235"),
+    ("format_de_de", "format(12332.2, 2, 'de_DE')", "12.332,20"),
+    ("format_fr_fr", "format(12332.2, 2, 'fr_FR')", "12 332,20"),
+    ("format_de_ch", "format(-123456.7899, 2, 'de_CH')", "-123’456.79"),
+    ("format_ru_ru", "format(12332.2, 2, 'ru_RU')", "12 332,20"),
 ]
 
 
