@@ -1518,7 +1518,20 @@ class Translator:
         args = [a for a in call.args if not isinstance(a, Wildcard)]
         cols = [self._expr(a, ctx) for a in args]
         raw = [self._raw(a) for a in args]
-        base = fregistry.build_aggregate(call.name, cols, raw)
+        if name in ("avg", "inc_avg") and cols and self._probe_type(cols[0]) in (
+            "byte", "short", "integer", "long"
+        ):
+            # the reference's avg over integer inputs is INTEGER division
+            # (funcs_agg.go:56-81: sliceIntTotal / int64(count)).  Spark's
+            # avg widens to double, so integral inputs compute truncating
+            # division instead: subtracting s % n (Spark's % on longs
+            # follows the dividend's sign, like Go) makes the quotient
+            # exact before the double division
+            s = F.sum(cols[0]).cast("long")
+            n = F.count(cols[0])
+            base = ((s - s % n) / n).cast("long")
+        else:
+            base = fregistry.build_aggregate(call.name, cols, raw)
         return base.over(over) if over is not None else base
 
     def _ordered_row_entries(self, ctx: TranslateCtx, key: Optional[Column], over) -> Column:

@@ -184,6 +184,30 @@ def test_reference_function_vectors(spark):
     assert not failures, "\n".join(failures)
 
 
+def test_avg_integer_division(spark):
+    """The reference's avg over integer inputs truncates toward zero
+    (funcs_agg.go:56-81: sliceIntTotal / int64(count)); float inputs
+    divide as floats.  Batch/grouped path; the vectorized streaming
+    stateful operators keep float averages (documented)."""
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", -1, -1.0), ("b", -2, -2.0)],
+        "k string, i int, f double",
+    )
+    cat.register_df("avg_rows", df)
+    rows = {
+        r["k"]: r
+        for r in compile_sql(
+            spark,
+            "SELECT k, avg(i) AS ai, avg(f) AS af FROM avg_rows GROUP BY k",
+            cat,
+        ).collect()
+    }
+    assert rows["a"]["ai"] == 1 and rows["a"]["af"] == 1.5
+    # Go -3/2 = -1 (truncation toward zero, not floor's -2)
+    assert rows["b"]["ai"] == -1 and rows["b"]["af"] == -1.5
+
+
 def test_zip_and_items_roundtrip(spark):
     """zip([[k,v],...]) -> map and items(map) -> [[k,v],...]
     (funcs_obj_test.go:221-283) — run as expressions over an array-typed
