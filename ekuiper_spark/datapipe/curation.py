@@ -1,0 +1,216 @@
+"""Training-data curation operators: clustering, semantic dedup,
+stratified mixing, sequence packing.
+
+All Spark-first designs sized for the 100 TB case:
+
+- ``kmeans_fit`` is Lloyd's algorithm with BROADCAST centroids: each
+  iteration is one map-side assignment pass (pure Catalyst expressions —
+  zip_with/aggregate distance, struct-array argmin, no UDF) plus a
+  partial+final aggregate; only k x dim doubles ever reach the driver.
+- ``semdedup`` (cluster-then-dedup, after the SemDeDup recipe): pairwise
+  cosine comparison happens only WITHIN a cluster — the self-join
+  shuffles on the cluster id, so no all-pairs blowup across the corpus.
+- ``stratified_sample`` is Spark's native per-stratum Bernoulli sampling
+  (one scan, no shuffle).
+- ``pack_sequences`` assigns documents to fixed-token-budget training
+  packs.  Packing is inherently sequential, so the corpus shards by id
+  hash and each shard packs independently with a vectorized next-fit
+  (applyInPandas); shards are the parallelism unit, pack ids are globally
+  unique (shard << 32 | seq).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec, centroid_lit):
+    return F.aggregate(
+        F.zip_with(vec, centroid_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_lit(c: list[float]):
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Map-side cluster assignment against broadcast centroid literals:
+    argmin of squared distance, ties to the lowest index (struct-array
+    min compares distance first, then index)."""
+    vec = F.col(vec_col).cast("array<double>")
+    pairs = F.array(
+        *[
+            F.struct(
+                _sq_dist(vec, _centroid_lit(c)).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(pairs)
+    return df.withColumn("cluster", best["i"]).withColumn("cluster_dist", best["d"])
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 10,
+    seed: int = 0,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means; returns (assigned df, centroids).
+
+    Init is deterministic farthest-point traversal: the min-hash row
+    seeds centroid 0, then each next seed is the row farthest from its
+    nearest chosen centroid (k-1 extra passes, each a map + global
+    top-1 reduce — random seeding routinely drops two seeds into one
+    blob and Lloyd cannot split them apart again).  Each iteration: one
+    assignment pass + one partial+final aggregate computing per-cluster
+    elementwise means; an emptied cluster keeps its previous centroid.
+    """
+    dim = df.select(F.size(vec_col).alias("n")).first()["n"]
+    first = (
+        df.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .first()
+    )
+    centroids = [list(first["v"])]
+    for _ in range(k - 1):
+        far = (
+            assign_clusters(df, vec_col, centroids)
+            .select(F.col(vec_col).cast("array<double>").alias("v"), "cluster_dist")
+            .orderBy(F.desc("cluster_dist"))
+            .first()
+        )
+        centroids.append(list(far["v"]))
+    for _ in range(iters):
+        assigned = assign_clusters(df, vec_col, centroids)
+        vec = F.col(vec_col).cast("array<double>")
+        means = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.element_at(vec, i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[r["cluster"]] = [r[f"m{i}"] for i in range(dim)]
+        centroids = new
+    return assign_clusters(df, vec_col, centroids), centroids
+
+
+def inertia(assigned: DataFrame) -> float:
+    """Sum of squared distances to the assigned centroid (the k-means
+    objective; monotone non-increasing across Lloyd iterations)."""
+    return assigned.agg(F.sum("cluster_dist").alias("s")).first()["s"]
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    threshold: float = 0.95,
+    iters: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cluster, then drop any row
+    whose cosine similarity to a LOWER-id row in the same cluster
+    exceeds the threshold.  The pairwise join shuffles on the cluster id
+    only — within-cluster quadratic, never corpus-quadratic (cluster
+    count scales with corpus size at a fixed cluster width)."""
+    assigned, _ = kmeans_fit(df, id_col, vec_col, k, iters=iters, seed=seed)
+    vec = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__id"),
+        F.col("cluster").alias("__c"),
+        vec.alias("__v"),
+        norm.alias("__n"),
+    )
+    b = (
+        a.select(
+            F.col("__id").alias("__id2"),
+            F.col("__c").alias("__c2"),
+            F.col("__v").alias("__v2"),
+            F.col("__n").alias("__n2"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("__v", "__v2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    dups = (
+        a.join(b, (F.col("__c") == F.col("__c2")) & (F.col("__id") > F.col("__id2")))
+        .where(dot / (F.col("__n") * F.col("__n2")) > threshold)
+        .select(F.col("__id").alias("__dup"))
+        .distinct()
+    )
+    return (
+        df.join(dups, df[id_col] == dups["__dup"], "left_anti")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 0
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling for training-data mixing (e.g.
+    upweight rare languages/domains) — native sampleBy, one scan."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign each document to a training pack with a token budget.
+
+    Next-fit within a hash shard: docs ordered by id accumulate into the
+    current pack until the next doc would exceed the budget, then a new
+    pack opens.  A single doc larger than the budget gets its own pack.
+    Invariant: every pack's token sum <= budget unless it is one
+    oversized doc.  Output adds ``pack_id`` (= shard << 32 | seq).
+    """
+    import pandas as pd
+
+    out_schema = df.schema.add("pack_id", "long")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        shard = int(pdf["__shard"].iloc[0])
+        sizes = pdf[tokens_col].to_numpy()
+        pack_idx = []
+        cur, used = 0, 0
+        for s in sizes:
+            if used > 0 and used + s > budget:
+                cur += 1
+                used = 0
+            used += int(s)
+            pack_idx.append(cur)
+        pdf = pdf.drop(columns="__shard")
+        pdf["pack_id"] = [(shard << 32) | i for i in pack_idx]
+        return pdf
+
+    sharded = df.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(shards))
+    )
+    return sharded.groupBy("__shard").applyInPandas(pack, schema=out_schema)

@@ -1,0 +1,138 @@
+"""Curation operators: k-means (validated against the fixture's ground-
+truth labels), SemDeDup, stratified sampling, sequence packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekuiper_spark.datapipe.curation import (
+    assign_clusters,
+    inertia,
+    kmeans_fit,
+    pack_sequences,
+    semdedup,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, catalog):
+    return catalog.load(spark, "embeddings")
+
+
+def test_kmeans_recovers_blob_structure(spark):
+    """Synthetic well-separated blobs (the fixture embeddings are near-
+    uniform, so ground truth is built here): k=4 Lloyd must reach ~pure
+    majority-label clusters."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = np.array(
+        [[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0], [0, 0, 0, 10]], dtype=float
+    )
+    rows = []
+    for lbl, c in enumerate(centers):
+        for i in range(60):
+            v = c + rng.normal(0, 0.5, size=4)
+            rows.append((lbl * 1000 + i, [float(x) for x in v], lbl))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    assigned, centroids = kmeans_fit(df, "vec_id", "embedding", k=4, iters=8)
+    assert len(centroids) == 4 and len(centroids[0]) == 4
+    counts = assigned.groupBy("cluster", "label").count().collect()
+    by_cluster: dict[int, dict[int, int]] = {}
+    for r in counts:
+        by_cluster.setdefault(r["cluster"], {})[r["label"]] = r["count"]
+    total = sum(sum(d.values()) for d in by_cluster.values())
+    pure = sum(max(d.values()) for d in by_cluster.values())
+    assert total == 240
+    assert pure / total > 0.95, f"purity {pure / total:.2f}"
+
+
+def test_kmeans_inertia_monotone(spark, emb):
+    sub = emb.limit(200)
+    prev = None
+    for iters in (1, 3, 6):
+        assigned, _ = kmeans_fit(sub, "vec_id", "embedding", k=5, iters=iters)
+        cur = inertia(assigned)
+        if prev is not None:
+            assert cur <= prev * (1 + 1e-9)
+        prev = cur
+
+
+def test_assignment_is_argmin_with_low_index_ties(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [2.5, 2.5])],
+        "id long, v array<float>",
+    )
+    out = {
+        r["id"]: r["cluster"]
+        for r in assign_clusters(df, "v", [[0.0, 0.0], [5.0, 5.0]]).collect()
+    }
+    # id 3 is equidistant: ties break to the lower centroid index
+    assert out == {1: 0, 2: 1, 3: 0}
+
+
+def test_semdedup_drops_injected_near_duplicates(spark, emb):
+    """Clone 5 vectors with tiny jitter under new ids; SemDeDup must drop
+    the clones (cosine ~1 within a cluster) and keep the originals."""
+    base = emb.select("vec_id", "embedding")
+    clones = (
+        base.orderBy("vec_id").limit(5)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * 1.0001).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    together = base.unionByName(clones)
+    kept = semdedup(together, "vec_id", "embedding", k=8, threshold=0.99, iters=4)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # all clone ids dropped (their lower-id original is in-cluster)...
+    assert not any(i >= 1_000_000 for i in kept_ids)
+    # ...and the originals all kept? No: the fixture corpus itself may
+    # contain near-dups; assert at least that every clone's ORIGINAL
+    # survives relative to the clone, and the overall drop is bounded
+    originals = {r["vec_id"] for r in base.orderBy("vec_id").limit(5).collect()}
+    assert originals <= kept_ids
+    assert kept.count() >= base.count() * 0.9
+
+
+def test_stratified_sample_fractions(spark, emb):
+    frac = {0: 1.0, 1: 0.0}
+    out = stratified_sample(emb.select("vec_id", "label"), "label", frac, seed=7)
+    labels = {r["label"] for r in out.collect()}
+    assert 0 in labels and 1 not in labels and labels <= {0}
+
+
+def test_pack_sequences_budget_invariant(spark, catalog):
+    from ekuiper_spark.datapipe.textstats import token_count
+
+    docs = catalog.load(spark, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tok", budget=200, shards=8)
+    assert packed.count() == docs.count()  # every doc assigned once
+    stats = (
+        packed.groupBy("pack_id")
+        .agg(F.sum("n_tok").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in stats:
+        # budget respected unless the pack is a single oversized doc
+        assert r["tot"] <= 200 or r["n"] == 1
+    # next-fit should not be pathologically sparse: average fill > 50%
+    fills = [r["tot"] for r in stats if r["n"] > 1 or r["tot"] <= 200]
+    assert sum(fills) / (len(fills) * 200) > 0.5
+
+
+def test_pack_sequences_oversized_doc_gets_own_pack(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 500), (3, 60)], "id long, tok long"
+    )
+    packed = pack_sequences(df, "id", "tok", budget=100, shards=1)
+    rows = {r["id"]: r["pack_id"] for r in packed.collect()}
+    # the 500-token doc shares no pack with any other doc
+    big = rows[2]
+    assert [p for p in rows.values()].count(big) == 1
