@@ -1,5 +1,6 @@
-"""Curation operators: k-means (validated against the fixture's ground-
-truth labels), SemDeDup, stratified sampling, sequence packing."""
+"""Curation operators: k-means (validated on synthetic separable blobs
+— the fixture embeddings are near-uniform), SemDeDup, stratified
+sampling, sequence packing, and 100 TB plan-shape pins."""
 
 from __future__ import annotations
 
@@ -136,3 +137,24 @@ def test_pack_sequences_oversized_doc_gets_own_pack(spark):
     # the 500-token doc shares no pack with any other doc
     big = rows[2]
     assert [p for p in rows.values()].count(big) == 1
+
+
+def test_curation_plan_shapes(spark, emb):
+    """100 TB plan pins: cluster assignment stays JVM-side (no Python
+    eval in the plan), and the SemDeDup pair join keys on the cluster
+    id (SortMergeJoin/ShuffledHashJoin on __c, never a cartesian)."""
+    from ekuiper_spark.datapipe.curation import assign_clusters
+
+    a = assign_clusters(emb, "embedding", [[0.0] * 64, [1.0] * 64])
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # zip_with/aggregate argmin, no UDF
+
+    # build the semdedup join shape without running kmeans: two aliased
+    # sides joined on cluster
+    from pyspark.sql import functions as F
+
+    left = a.select(F.col("vec_id").alias("__id"), F.col("cluster").alias("__c"))
+    right = a.select(F.col("vec_id").alias("__id2"), F.col("cluster").alias("__c2"))
+    j = left.join(right, (F.col("__c") == F.col("__c2")) & (F.col("__id") > F.col("__id2")))
+    jplan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in jplan and "BroadcastNestedLoop" not in jplan
