@@ -98,6 +98,13 @@ def _state_elem_type(dt: T.DataType) -> T.DataType:
 def _agg_out_type(op: str, in_type: Optional[T.DataType]) -> T.DataType:
     if op == "count":
         return T.LongType()
+    if op == "avg" and isinstance(
+        in_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        # integer avg is integer division in the reference
+        # (funcs_agg.go:56-81) — matches the batch translator's
+        # truncating division
+        return T.LongType()
     if op in ("avg", "stddev", "stddevs", "var", "vars", "median"):
         return T.DoubleType()
     if op == "collect":
@@ -191,6 +198,67 @@ _SLICE_OPS = {
 
 # pandas rolling methods for the sliding path
 _ROLLING_OPS = {"count", "sum", "avg", "min", "max", "stddev", "stddevs", "median"}
+
+
+def _null_mask(arr: np.ndarray, dt: T.DataType) -> np.ndarray:
+    """True where a buffered value is a SQL null (sentinel for ints, NaN
+    for floats)."""
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return arr == _LONG_NULL
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return np.isnan(arr)
+    return np.zeros(np.shape(arr), dtype=bool)
+
+
+_NAN_MATRIX_OPS = {
+    "sum": lambda f: np.nansum(f, axis=1),
+    "avg": lambda f: np.nanmean(f, axis=1),
+    "min": lambda f: np.nanmin(f, axis=1),
+    "max": lambda f: np.nanmax(f, axis=1),
+    "stddev": lambda f: np.nanstd(f, axis=1, ddof=0),
+    "stddevs": lambda f: np.nanstd(f, axis=1, ddof=1),
+    "var": lambda f: np.nanvar(f, axis=1, ddof=0),
+    "vars": lambda f: np.nanvar(f, axis=1, ddof=1),
+    "median": lambda f: np.nanmedian(f, axis=1),
+}
+
+
+def _reduce_matrix(op: str, mat: np.ndarray, dt: T.DataType) -> np.ndarray:
+    """(n_win, n) -> (n_win,) with SQL null semantics: nulls are skipped
+    (reference getCount/sliceTotal skip nil), an all-null frame yields
+    null (NaN placeholder, mapped back at emit)."""
+    if op in ("collect", "first", "last"):
+        return _MATRIX_OPS[op](mat)
+    mask = _null_mask(mat, dt)
+    if op == "count":
+        return (~mask).sum(axis=1).astype("int64")
+    if not mask.any():
+        return _MATRIX_OPS[op](mat)
+    import warnings
+
+    f = _f64_nulls(mat, dt)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        res = _NAN_MATRIX_OPS[op](f)
+    res = np.asarray(res, dtype="float64")
+    res[mask.all(axis=1)] = np.nan
+    return res
+
+
+def _reduce_slice(op: str, arr: np.ndarray, dt: T.DataType):
+    """(k,) -> scalar with the same null semantics as _reduce_matrix."""
+    if op in ("collect", "first", "last"):
+        return _SLICE_OPS[op](arr)
+    mask = _null_mask(arr, dt)
+    if op == "count":
+        return int((~mask).sum())
+    if not mask.any():
+        return _SLICE_OPS[op](arr)
+    valid = _f64_nulls(np.asarray(arr), dt)
+    valid = valid[~np.isnan(valid)]
+    if len(valid) == 0:
+        return None
+    return _SLICE_OPS[op](valid)
 
 
 def _range_extrema(
@@ -375,7 +443,16 @@ def window_agg_stream(
         (pandas groupby; the window's rows stay in event order, so
         first/last within a subgroup follow the reference)."""
         src_cols = {a.in_col or ts_col for a in agg_list} | set(sub_list)
-        pdf = pd.DataFrame({c: win[c] for c in src_cols})
+        # restore buffered int-null sentinels to NaN for agg inputs so
+        # pandas' null-skipping groupby aggregations see real nulls
+        # (subgroup key columns keep their raw values)
+        data = {}
+        for c in src_cols:
+            arr = win[c]
+            if c not in sub_list and _null_mask(arr, buf_types.get(c, T.StringType())).any():
+                arr = _f64_nulls(arr, buf_types[c])
+            data[c] = arr
+        pdf = pd.DataFrame(data)
         g = pdf.groupby(sub_list, sort=True)
         keys = g.size().reset_index()
         for sc in sub_list:
@@ -464,8 +541,21 @@ def window_agg_stream(
         data.update(out_cols)
         frame = pd.DataFrame(data)
         for name, vals in list(frame.items()):
-            if _is_ts(out_types.get(name, T.StringType())) and vals.dtype != "datetime64[ns]":
+            t = out_types.get(name, T.StringType())
+            if _is_ts(t) and vals.dtype != "datetime64[ns]":
                 frame[name] = pd.to_datetime(frame[name])
+            elif (
+                isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
+                and getattr(vals.dtype, "kind", "") == "f"
+            ):
+                # float results (integer avg, all-null frames -> NaN)
+                # destined for an integral column: truncate toward zero
+                # and keep NaN as SQL null — an unguarded NaN->int64
+                # cast is UB and lands on INT64_MIN
+                tr = np.trunc(vals.to_numpy(dtype="float64"))
+                frame[name] = pd.array(
+                    [None if np.isnan(x) else int(x) for x in tr], dtype="Int64"
+                )
         return frame[[f.name for f in out_fields]]
 
     # ------------------------------------------------------------------ #
@@ -497,7 +587,7 @@ def window_agg_stream(
             for a in agg_list:
                 src = a.in_col or ts_col
                 mat = buf[src][: n_win * n].reshape(n_win, n)
-                res = _MATRIX_OPS[a.op](mat)
+                res = _reduce_matrix(a.op, mat, buf_types.get(src, T.DoubleType()))
                 if a.op == "collect" and _is_ts(buf_types.get(src, T.DoubleType())):
                     res = [list(pd.to_datetime(np.asarray(lst, dtype="int64"), unit="us")) for lst in res]
                     out_cols[a.out] = res
@@ -557,7 +647,7 @@ def window_agg_stream(
             else:
                 for a in agg_list:
                     src = a.in_col or ts_col
-                    val = _SLICE_OPS[a.op](win[src])
+                    val = _reduce_slice(a.op, win[src], buf_types.get(src, T.DoubleType()))
                     if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
                         val = pd.Timestamp(int(val), unit="us")
                     elif a.op == "collect" and _is_ts(buf_types[src]):
@@ -604,7 +694,7 @@ def window_agg_stream(
             return
         for a in agg_list:
             src = a.in_col or ts_col
-            val = _SLICE_OPS[a.op](win[src])
+            val = _reduce_slice(a.op, win[src], buf_types.get(src, T.DoubleType()))
             if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
                 val = pd.Timestamp(int(val), unit="us")
             elif a.op == "collect" and _is_ts(buf_types[src]):

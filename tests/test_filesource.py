@@ -169,3 +169,16 @@ def test_rule_applies_action_after_read(spark, tmp_path):
     rt.stop_rule("far1")
     assert not f.exists()
     assert (done / "batch1.json").exists()
+
+
+def test_lines_reads_gzip_natively(spark, tmp_path):
+    """The reference's file-source `decompression: gzip` maps to the text
+    source's native codec-by-extension handling (zstd is not in this
+    Spark build's codec list — gated, not silently wrong)."""
+    import gzip
+
+    p = tmp_path / "z.lines.gz"
+    with gzip.open(p, "wt") as f:
+        f.write('{"id": 1}\n{"id": 2}\n')
+    df = read_lines_df(spark, str(p))
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]

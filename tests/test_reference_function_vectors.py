@@ -224,3 +224,80 @@ def test_zip_and_items_roundtrip(spark):
     ).collect()[0]
     assert dict(row["m"]) == {"a": "1", "b": "2"}
     assert sorted([list(p) for p in row["back"]]) == [["a", "1"], ["b", "2"]]
+
+
+def test_avg_integer_division_streaming_stateful(spark, catalog):
+    """Streaming stateful path (COUNTWINDOW routes through
+    window_agg_stream): integer avg truncates there too, and matches the
+    batch construction row for row."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    sql = (
+        "SELECT user_id, avg(user_id) AS a, avg(value) AS af FROM events "
+        "GROUP BY user_id, COUNTWINDOW(7)"
+    )
+    out = run_rule_available_now(
+        spark, catalog, sql, output_mode="append", order_cols=["ts", "event_id"]
+    )
+    stream = sorted((r["user_id"], r["a"], r["af"]) for r in out.collect())
+    assert stream, "no emissions"
+    # integer avg column is integral-valued and equals user_id exactly
+    # (grouped by user_id, so the truncating mean of a constant is it)
+    for uid, a, af in stream:
+        assert a == uid and isinstance(a, int)
+        assert isinstance(af, float)
+    batch = compile_sql(
+        spark, sql, catalog, order_cols=["ts", "event_id"]
+    )
+    bt = sorted((r["user_id"], r["a"], r["af"]) for r in batch.collect())
+    assert len(stream) == len(bt)
+    for (u1, a1, f1), (u2, a2, f2) in zip(stream, bt):
+        # float avg compares approximately: pandas and Spark sum the
+        # frame in different orders
+        assert (u1, a1) == (u2, a2) and f1 == pytest.approx(f2, rel=1e-12)
+
+
+def test_avg_integer_all_null_frame_emits_null(spark, tmp_path):
+    """A count-window frame whose integer agg column is entirely null
+    must emit null, not INT64_MIN (the NaN->int64 UB guard, applied
+    generically in emit_frame)."""
+    import datetime as dt
+
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    import json
+
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    lines = [
+        json.dumps({
+            "event_id": i,
+            "ts": (t0 + dt.timedelta(seconds=i)).isoformat(),
+            "x": None if i < 2 else 10,
+        })
+        for i in range(4)
+    ]
+    (src / "d.json").write_text("\n".join(lines))
+    from pyspark.sql import types as T
+
+    from ekuiper_spark.catalog import StreamDef
+
+    cat.register(StreamDef(
+        name="nullint_stream", format="json", path=str(src), kind="scan",
+        schema=T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("x", T.IntegerType()),
+        ]),
+    ))
+    sql = "SELECT avg(x) AS a FROM nullint_stream GROUP BY COUNTWINDOW(2)"
+    out = run_rule_available_now(
+        spark, cat, sql, output_mode="append", order_cols=["ts", "event_id"]
+    )
+    vals = sorted(
+        (r["a"] is None, r["a"]) for r in out.collect()
+    )
+    # window 1 = two nulls -> null; window 2 = (10, 10) -> 10
+    assert [v for _n, v in vals] == [10, None]
