@@ -58,9 +58,10 @@ def shingle_df(
     column before the k-gram lambda, so normalization/tokenization run once
     per row instead of once per gram.
 
-    ``fanout=False`` skips the compute-fanout repartition — right when the
-    consumer shuffles immediately anyway (e.g. the minhash explode+groupBy
-    signature, where the post-shuffle aggregation is the heavy part)."""
+    ``fanout=False`` skips the compute-fanout repartition — only right if
+    the caller has already spread the scan (measured: the minhash
+    pipeline is ~40% faster WITH the fanout at sf1, because shingling +
+    per-shingle hashing + the 64 partial mins are all map-side)."""
     toks_df = (fanout_for_compute(df) if fanout else df).select(
         F.col(id_col).alias("id"), tokens(normalize_text(F.col(text_col))).alias("__toks")
     )
@@ -228,16 +229,19 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     verify_threshold: float | None = 0.5,
+    fanout: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, optionally verified
     with exact Jaccard on the candipairs only (cheap: candidates << n²).
     """
     assert num_hashes % bands == 0
     rows = bands and num_hashes // bands
-    # fanout=False: the signature explode+groupBy shuffles right after
-    # shingling, so the aggregation already runs wide; an extra exchange
-    # before it was measured net-slower
-    sh = shingle_df(df, text_col, id_col, k, fanout=False)
+    # fanout: the shingling + per-shingle hashing + 64 partial-min
+    # aggregates all run MAP-SIDE, before the groupBy shuffle — on a
+    # few-partition scan (one small fixture file) that serializes the
+    # dominant compute, so spread it first (no-op at real scale where
+    # the scan already has many splits)
+    sh = shingle_df(df, text_col, id_col, k, fanout=fanout)
     sh.persist()
     # signature via exploded aggregation: hash each shingle once, then H
     # universal-family minima as flat groupBy aggregates.  Measured at
