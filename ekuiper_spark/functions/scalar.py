@@ -367,6 +367,24 @@ def _cast(c, r):
     return c[0].cast(_CAST_TYPES[t])
 
 
+# compress/decompress SQL builtins (funcs_misc.go:390-397 registers them
+# in builtinStatfulFuncs; algorithms per internal/compressor: gzip, zlib,
+# flate — zstd gated, not in this build).  Unknown algorithm raises the
+# reference's error at compile time.
+@reg("compress")
+def _compress_fn(c, r):
+    from ekuiper_spark.operators.payload import compress as _pc
+
+    return _pc(c[0].cast("binary"), str(r[1]))
+
+
+@reg("decompress")
+def _decompress_fn(c, r):
+    from ekuiper_spark.operators.payload import decompress as _pd
+
+    return _pd(c[0].cast("binary"), str(r[1]))
+
+
 reg("isnull")(lambda c, r: c[0].isNull())
 reg("isnotnull")(lambda c, r: c[0].isNotNull())
 reg("coalesce")(lambda c, r: F.coalesce(*c))

@@ -40,12 +40,29 @@ def zlib_decompress(data: pd.Series) -> pd.Series:
     return data.map(lambda b: _zlib.decompress(b) if b else b"")
 
 
+@F.pandas_udf(T.BinaryType())
+def flate_compress(data: pd.Series) -> pd.Series:
+    # raw DEFLATE stream (Go compress/flate): zlib with no header/trailer
+    def one(b):
+        co = _zlib.compressobj(wbits=-15)
+        return co.compress(b if b is not None else b"") + co.flush()
+
+    return data.map(one)
+
+
+@F.pandas_udf(T.BinaryType())
+def flate_decompress(data: pd.Series) -> pd.Series:
+    return data.map(lambda b: _zlib.decompress(b, wbits=-15) if b else b"")
+
+
 def compress(col: Column, codec: str = "gzip") -> Column:
     if codec == "gzip":
         return gzip_compress(col)
     if codec in ("zlib", "deflate"):
         return zlib_compress(col)
-    raise ValueError(f"unsupported codec {codec!r} (gzip|zlib)")
+    if codec == "flate":
+        return flate_compress(col)
+    raise ValueError(f"unsupported compressor: {codec}")
 
 
 def decompress(col: Column, codec: str = "gzip") -> Column:
@@ -53,7 +70,9 @@ def decompress(col: Column, codec: str = "gzip") -> Column:
         return gzip_decompress(col)
     if codec in ("zlib", "deflate"):
         return zlib_decompress(col)
-    raise ValueError(f"unsupported codec {codec!r} (gzip|zlib)")
+    if codec == "flate":
+        return flate_decompress(col)
+    raise ValueError(f"unsupported decompressor: {codec}")
 
 
 def encrypt(col: Column, key: bytes, mode: str = "cfb", iv: bytes | None = None) -> Column:

@@ -301,3 +301,24 @@ def test_avg_integer_all_null_frame_emits_null(spark, tmp_path):
     )
     # window 1 = two nulls -> null; window 2 = (10, 10) -> 10
     assert [v for _n, v in vals] == [10, None]
+
+
+def test_compress_decompress_sql_builtins(spark):
+    """compress()/decompress() as SQL builtins (funcs_misc.go:390-397,
+    algorithms per internal/compressor: gzip/zlib/flate): roundtrip
+    through the SQL surface, plus the reference's unknown-algorithm
+    error."""
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    df = spark.createDataFrame([("hello compression world " * 10,)], "t string")
+    cat.register_df("comp_row", df)
+    for alg in ("gzip", "zlib", "flate"):
+        row = compile_sql(
+            spark,
+            f"SELECT cast(decompress(compress(t, '{alg}'), '{alg}'), 'string') AS back, "
+            f"length(compress(t, '{alg}')) AS clen, length(t) AS tlen FROM comp_row",
+            cat,
+        ).collect()[0]
+        assert row["back"] == "hello compression world " * 10
+        assert row["clen"] < row["tlen"]  # it actually compressed
+    with pytest.raises(ValueError, match="unsupported compressor: bar"):
+        compile_sql(spark, "SELECT compress(t, 'bar') AS x FROM comp_row", cat)
