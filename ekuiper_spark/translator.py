@@ -1526,12 +1526,16 @@ class Translator:
             # avg widens to double, so integral inputs compute truncating
             # division instead: subtracting s % n (Spark's % on longs
             # follows the dividend's sign, like Go) makes the quotient
-            # exact before the double division
-            s = F.sum(cols[0]).cast("long")
+            # exact before the double division.  The frame spec applies
+            # to each PRIMITIVE aggregate — a composite expression has no
+            # .over()
+            s = F.sum(cols[0])
             n = F.count(cols[0])
-            base = ((s - s % n) / n).cast("long")
-        else:
-            base = fregistry.build_aggregate(call.name, cols, raw)
+            if over is not None:
+                s, n = s.over(over), n.over(over)
+            s = s.cast("long")
+            return ((s - s % n) / n).cast("long")
+        base = fregistry.build_aggregate(call.name, cols, raw)
         return base.over(over) if over is not None else base
 
     def _ordered_row_entries(self, ctx: TranslateCtx, key: Optional[Column], over) -> Column:

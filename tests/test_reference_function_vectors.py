@@ -322,3 +322,32 @@ def test_compress_decompress_sql_builtins(spark):
         assert row["clen"] < row["tlen"]  # it actually compressed
     with pytest.raises(ValueError, match="unsupported compressor: bar"):
         compile_sql(spark, "SELECT compress(t, 'bar') AS x FROM comp_row", cat)
+
+
+def test_avg_integer_in_sliding_frame(spark):
+    """Integer avg inside a per-event sliding frame: the truncating
+    division applies the frame spec to each primitive aggregate (a
+    composite expression has no .over())."""
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    df = compile_sql(
+        spark,
+        "SELECT event_id, avg(user_id) AS a, count(*) AS n "
+        "FROM events GROUP BY SLIDINGWINDOW(hh, 6)",
+        cat,
+    )
+    rows = df.orderBy("event_id").collect()
+    assert rows and all(isinstance(r["a"], int) for r in rows)
+    # spot-check one frame against a driver-side truncating mean
+    import math
+
+    base = compile_sql(
+        spark, "SELECT event_id, ts, user_id FROM events", cat
+    ).collect()
+    by_ts = sorted(base, key=lambda r: (r["ts"], r["event_id"]))
+    target = by_ts[len(by_ts) // 2]
+    lo = target["ts"] - __import__("datetime").timedelta(hours=6)
+    frame = [r["user_id"] for r in by_ts if lo < r["ts"] <= target["ts"]]
+    s = sum(frame)
+    expect = int(math.trunc(s / len(frame))) if s >= 0 else -(-s // len(frame))
+    got = {r["event_id"]: r["a"] for r in rows}[target["event_id"]]
+    assert got == expect
