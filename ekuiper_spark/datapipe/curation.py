@@ -57,6 +57,73 @@ def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
     return df.withColumn("cluster", best["i"]).withColumn("cluster_dist", best["d"])
 
 
+def _init_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int, seed: int
+) -> list[list[float]]:
+    """Deterministic seeding.
+
+    k <= 64: exact farthest-point traversal — k-1 passes, each a map +
+    global top-1 reduce (random seeding routinely drops two seeds into
+    one blob and Lloyd cannot split them apart again).
+
+    k > 64: k-means||-style oversampling (Bahmani et al., VLDB'12) so
+    init stays O(rounds) passes instead of O(k): a few rounds sample
+    points with probability proportional to their distance to the
+    current centroid set (deterministic via a hash-uniform), then the
+    ~2k-point oversample reduces to k seeds with a driver-side
+    farthest-point pass (numpy, tiny).
+    """
+    first = (
+        df.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .first()
+    )
+    centroids = [list(first["v"])]
+    if k <= 64:
+        for _ in range(k - 1):
+            far = (
+                assign_clusters(df, vec_col, centroids)
+                .select(F.col(vec_col).cast("array<double>").alias("v"), "cluster_dist")
+                .orderBy(F.desc("cluster_dist"))
+                .first()
+            )
+            centroids.append(list(far["v"]))
+        return centroids
+
+    import numpy as np
+
+    oversample = []
+    for rnd in range(3):
+        assigned = assign_clusters(df, vec_col, centroids)
+        total = assigned.agg(F.sum("cluster_dist").alias("s")).first()["s"] or 1.0
+        # P(pick) = min(1, 2k * d² / Σd²); uniform from a per-round hash
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1 + rnd)), F.lit(1 << 30))
+            / F.lit(float(1 << 30))
+        )
+        picked = (
+            assigned.where(u < F.col("cluster_dist") * (2.0 * k) / F.lit(float(total)))
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(4 * k)
+            .collect()
+        )
+        new_pts = [list(r["v"]) for r in picked]
+        oversample.extend(new_pts)
+        centroids = centroids + new_pts  # sharpen next round's distances
+    pool = np.array([centroids[0]] + oversample, dtype="float64")
+    # driver-side farthest-point reduction of the small pool
+    chosen = [0]
+    d = ((pool - pool[0]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(pool)):
+        nxt = int(np.argmax(d))
+        chosen.append(nxt)
+        d = np.minimum(d, ((pool - pool[nxt]) ** 2).sum(axis=1))
+    return [list(pool[i]) for i in chosen]
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str,
@@ -67,32 +134,14 @@ def kmeans_fit(
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means; returns (assigned df, centroids).
 
-    Init is deterministic farthest-point traversal: the min-hash row
-    seeds centroid 0, then each next seed is the row farthest from its
-    nearest chosen centroid (k-1 extra passes, each a map + global
-    top-1 reduce — random seeding routinely drops two seeds into one
-    blob and Lloyd cannot split them apart again).  Each iteration: one
+    Init is deterministic (see :func:`_init_centroids`): exact
+    farthest-point for small k, k-means||-style oversampling for large
+    k so seeding never costs O(k) passes.  Each iteration: one
     assignment pass + one partial+final aggregate computing per-cluster
     elementwise means; an emptied cluster keeps its previous centroid.
     """
     dim = df.select(F.size(vec_col).alias("n")).first()["n"]
-    first = (
-        df.select(
-            F.col(vec_col).cast("array<double>").alias("v"),
-            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
-        )
-        .orderBy("__h")
-        .first()
-    )
-    centroids = [list(first["v"])]
-    for _ in range(k - 1):
-        far = (
-            assign_clusters(df, vec_col, centroids)
-            .select(F.col(vec_col).cast("array<double>").alias("v"), "cluster_dist")
-            .orderBy(F.desc("cluster_dist"))
-            .first()
-        )
-        centroids.append(list(far["v"]))
+    centroids = _init_centroids(df, id_col, vec_col, k, seed)
     for _ in range(iters):
         assigned = assign_clusters(df, vec_col, centroids)
         vec = F.col(vec_col).cast("array<double>")

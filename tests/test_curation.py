@@ -158,3 +158,19 @@ def test_curation_plan_shapes(spark, emb):
     j = left.join(right, (F.col("__c") == F.col("__c2")) & (F.col("__id") > F.col("__id2")))
     jplan = j._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in jplan and "BroadcastNestedLoop" not in jplan
+
+
+def test_kmeans_large_k_oversampled_init(spark, emb):
+    """k > 64 routes through the k-means||-style init: O(rounds) passes,
+    k centroids out, deterministic for a fixed seed."""
+    from ekuiper_spark.datapipe.curation import _init_centroids
+
+    c1 = _init_centroids(emb, "vec_id", "embedding", k=80, seed=3)
+    c2 = _init_centroids(emb, "vec_id", "embedding", k=80, seed=3)
+    assert len(c1) == 80 and c1 == c2
+    # distinct seeds (no duplicate centroid rows)
+    assert len({tuple(c) for c in c1}) == 80
+    assigned, cents = kmeans_fit(emb, "vec_id", "embedding", k=80, iters=2)
+    assert len(cents) == 80
+    n_clusters = assigned.select("cluster").distinct().count()
+    assert n_clusters > 40  # most seeds attract members on 500 rows
