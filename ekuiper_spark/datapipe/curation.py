@@ -240,8 +240,11 @@ def pack_sequences(
     oversized doc.  Output adds ``pack_id`` (= shard << 32 | seq).
     """
     import pandas as pd
+    from pyspark.sql import types as T
 
-    out_schema = df.schema.add("pack_id", "long")
+    # copy the field list: StructType.add mutates in place and
+    # df.schema is cached on the caller's DataFrame
+    out_schema = T.StructType(list(df.schema.fields)).add("pack_id", "long")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)

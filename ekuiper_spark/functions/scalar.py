@@ -304,22 +304,27 @@ reg("erase")(
     lambda c, r: F.map_filter(c[0], lambda k, v: ~F.array_contains(F.array(*[x for x in c[1:]]), k))
 )
 # zip([[k,v],...]) -> map (funcs_obj.go:93-123): one pairs argument, nil
-# items skipped, keys stringified; empty input yields null per the
-# reference's early return
-reg("zip")(
-    lambda c, r: F.when(
-        F.size(c[0]) > 0,
-        F.map_from_entries(
-            F.transform(
-                F.filter(c[0], lambda p: p.isNotNull()),
-                lambda p: F.struct(
-                    F.element_at(p, 1).cast("string").alias("key"),
-                    F.element_at(p, 2).alias("value"),
-                ),
-            )
+# items skipped, keys stringified, duplicate keys LAST-WIN (Go map
+# assignment overwrites); empty input yields null per the reference's
+# early return.  The last-occurrence filter is O(k²) per row — pairs
+# lists are message-sized.
+@reg("zip")
+def _zip_fn(c, r):
+    entries = F.transform(
+        F.filter(c[0], lambda p: p.isNotNull()),
+        lambda p: F.struct(
+            F.element_at(p, 1).cast("string").alias("key"),
+            F.element_at(p, 2).alias("value"),
         ),
     )
-)
+    last_only = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda q: q["key"] == e["key"],
+        ),
+    )
+    return F.when(F.size(c[0]) > 0, F.map_from_entries(last_only))
 
 
 # --------------------------------------------------------------------------

@@ -60,6 +60,7 @@ def read_lines_df(
     source); anything else yields raw ``value`` lines for downstream
     decode ops.
     """
+    orig_path = path
     reader = spark.readStream if streaming else spark.read
     if streaming and os.path.isfile(path):
         # the streaming file source requires a directory: point at the
@@ -81,9 +82,12 @@ def read_lines_df(
         return df
     if schema is None:
         # schema inference needs a bounded sample: batch-read the same
-        # slice and let the JSON reader unify types (schemaless contract)
+        # slice and let the JSON reader unify types (schemaless contract).
+        # Sample the ORIGINAL path — the streaming rewrite above widened
+        # `path` to the parent directory, which would leak sibling files
+        # into inference
         sample = read_lines_df(
-            spark, path, schema=None, payload_format="raw",
+            spark, orig_path, schema=None, payload_format="raw",
             ignore_start=ignore_start, ignore_end=ignore_end, streaming=False,
         )
         schema = spark.read.json(

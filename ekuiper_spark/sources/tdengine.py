@@ -87,17 +87,24 @@ def _go_v(v) -> str:
     return str(v)
 
 
+def _quote(s: str) -> str:
+    # the Go reference interpolates strings unescaped (a quoting flaw
+    # that loses one row); here a partition ships ONE merged INSERT, so
+    # an embedded quote would lose the whole partition — escape it
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
 def _tag_literal(v) -> str:
     # buildSql tags: strings quoted, default %v (tdengine3.go:164-171)
     if isinstance(v, str):
-        return f'"{v}"'
+        return _quote(v)
     return _go_v(v)
 
 
 def _field_literal(v) -> str:
     # buildSql values: reflect.String -> quoted, else %v (tdengine3.go:181-186)
     if isinstance(v, str):
-        return f'"{v}"'
+        return _quote(v)
     return _go_v(v)
 
 

@@ -47,6 +47,7 @@ class RuleRuntime:
         self.schedulers: dict[str, Any] = {}
         self.restarts: dict[str, int] = {}
         self.rolling_writers: dict[str, Any] = {}
+        self._read_snapshots: dict[str, dict[str, list]] = {}
 
     def create_rule(self, rule: Rule) -> None:
         if rule.id in self.rules:
@@ -138,6 +139,7 @@ class RuleRuntime:
     def _start_query(self, rule_id: str, available_now: bool = False) -> Any:
         import time
 
+        self._snapshot_read_files(rule_id)
         rule = self.rules[rule_id]
         opts = rule.options
         df = compile_sql(
@@ -373,38 +375,60 @@ class RuleRuntime:
             roller.close()
         self._after_read_actions(rule_id)
 
-    def _after_read_actions(self, rule_id: str) -> None:
-        """File-source actionAfterRead (internal/io/file/source.go:317-330):
-        when a rule over a file stream with actionAfterRead set finishes,
-        its fully-read files are deleted (1) or moved to moveTo (2) —
-        driver-side metadata ops on the source's file list."""
+    def _snapshot_read_files(self, rule_id: str) -> None:
+        """At rule start, record the file list of every actionAfterRead
+        source — the bounded run reads exactly the files present then;
+        files that appear later are NOT acted on (source.go:317-330 only
+        dispatches after a full read)."""
         import glob
         import os
 
+        files: dict[str, list[str]] = {}
+        for d in self._after_read_defs(rule_id):
+            if os.path.isfile(d.path):
+                files[d.name] = [d.path]
+            else:
+                files[d.name] = sorted(
+                    f
+                    for f in glob.glob(os.path.join(d.path, "*"))
+                    if os.path.isfile(f)
+                )
+        if files:
+            self._read_snapshots[rule_id] = files
+
+    def _after_read_defs(self, rule_id: str):
+        from ekuiper_spark.parser import parse_sql
+
         rule = self.rules.get(rule_id)
         if rule is None:
-            return
-        from ekuiper_spark.parser import parse_sql
-        from ekuiper_spark.sources.filesource import apply_after_read
-
+            return []
         try:
             stmt = parse_sql(rule.sql)
         except Exception:
-            return
-        names = [stmt.source] + [j.source for j in stmt.joins]
-        for n in names:
+            return []
+        out = []
+        for n in [stmt.source] + [j.source for j in stmt.joins]:
             d = self.catalog.get(n)
-            if d is None or "actionAfterRead" not in d.options:
-                continue
-            action = int(d.options["actionAfterRead"])
-            if action == 0:
-                continue
-            files = (
-                [d.path]
-                if os.path.isfile(d.path)
-                else sorted(glob.glob(os.path.join(d.path, "*")))
-            )
-            apply_after_read(files, action, d.options.get("moveTo"))
+            if d is not None and int(d.options.get("actionAfterRead", 0)):
+                out.append(d)
+        return out
+
+    def _after_read_actions(self, rule_id: str) -> None:
+        """File-source actionAfterRead (internal/io/file/source.go:317-330):
+        when a rule over a file stream with actionAfterRead set stops,
+        the files captured at start (the ones the bounded run read) are
+        deleted (1) or moved to moveTo (2) — driver-side metadata ops."""
+        from ekuiper_spark.sources.filesource import apply_after_read
+
+        snap = self._read_snapshots.pop(rule_id, None)
+        if not snap:
+            return
+        for d in self._after_read_defs(rule_id):
+            files = snap.get(d.name)
+            if files:
+                apply_after_read(
+                    files, int(d.options["actionAfterRead"]), d.options.get("moveTo")
+                )
 
     def status(self, rule_id: str) -> dict[str, Any]:
         sched = self.schedulers.get(rule_id)

@@ -140,15 +140,24 @@ def _col_to_np(series: pd.Series, dt: T.DataType) -> np.ndarray:
 def _f64_nulls(arr: np.ndarray, dt: T.DataType) -> np.ndarray:
     """float64 view of a buffered column with nulls restored to NaN."""
     v = arr.astype("float64")
-    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+    if _is_ts(dt) or isinstance(
+        dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
         v[arr == _LONG_NULL] = np.nan
     return v
 
 
 def _np_to_out(arr: np.ndarray, dt: T.DataType):
-    """Emit-side conversion: int64-micros back to timestamps."""
+    """Emit-side conversion: int64-micros back to timestamps.  A float
+    array here means nulls were restored (NaN) by the reducers —
+    to_datetime maps NaN to NaT; micros stay float64-exact to ~year
+    2255."""
     if _is_ts(dt):
-        return pd.to_datetime(np.asarray(arr, dtype="int64"), unit="us")
+        a = np.asarray(arr)
+        if a.dtype.kind in ("f", "O"):
+            # float = NaN-restored nulls; object = micros-or-None picks
+            return pd.to_datetime(pd.Series(a), unit="us")
+        return pd.to_datetime(a.astype("int64"), unit="us")
     return arr
 
 
@@ -201,12 +210,16 @@ _ROLLING_OPS = {"count", "sum", "avg", "min", "max", "stddev", "stddevs", "media
 
 
 def _null_mask(arr: np.ndarray, dt: T.DataType) -> np.ndarray:
-    """True where a buffered value is a SQL null (sentinel for ints, NaN
-    for floats)."""
-    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+    """True where a buffered value is a SQL null (sentinel for ints AND
+    timestamps — NaT buffers as the same INT64_MIN — NaN for floats)."""
+    if _is_ts(dt) or isinstance(
+        dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
         return arr == _LONG_NULL
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         return np.isnan(arr)
+    if np.asarray(arr).dtype.kind == "O":
+        return pd.isnull(np.asarray(arr))
     return np.zeros(np.shape(arr), dtype=bool)
 
 
@@ -227,7 +240,33 @@ def _reduce_matrix(op: str, mat: np.ndarray, dt: T.DataType) -> np.ndarray:
     """(n_win, n) -> (n_win,) with SQL null semantics: nulls are skipped
     (reference getCount/sliceTotal skip nil), an all-null frame yields
     null (NaN placeholder, mapped back at emit)."""
-    if op in ("collect", "first", "last"):
+    if op == "last_nn":
+        # last non-null per row (last_value(col, true), funcs_agg.go:371);
+        # object-array picks keep int64 exactness and cover strings —
+        # the loop runs once per EMITTED window, not per row
+        valid = ~_null_mask(mat, dt)
+        idx = mat.shape[1] - 1 - np.argmax(valid[:, ::-1], axis=1)
+        picks = [
+            mat[i, idx[i]] if valid[i].any() else None
+            for i in range(mat.shape[0])
+        ]
+        return np.array(picks, dtype=object)
+    if op in ("first", "last"):
+        res = _MATRIX_OPS[op](mat)
+        if np.asarray(res).dtype.kind in "fiu":
+            m = _null_mask(res, dt)
+            if m.any():
+                # sentinel pick -> NaN float so the emit path nulls it
+                res = res.astype("float64")
+                res[m] = np.nan
+        return res
+    if op == "collect":
+        m = _null_mask(mat, dt)
+        if m.any():
+            return [
+                [None if nn else v for v, nn in zip(row, mrow)]
+                for row, mrow in zip(mat.tolist(), m.tolist())
+            ]
         return _MATRIX_OPS[op](mat)
     mask = _null_mask(mat, dt)
     if op == "count":
@@ -247,7 +286,16 @@ def _reduce_matrix(op: str, mat: np.ndarray, dt: T.DataType) -> np.ndarray:
 
 def _reduce_slice(op: str, arr: np.ndarray, dt: T.DataType):
     """(k,) -> scalar with the same null semantics as _reduce_matrix."""
-    if op in ("collect", "first", "last"):
+    if op == "last_nn":
+        valid = np.asarray(arr)[~_null_mask(arr, dt)]
+        return valid[-1] if len(valid) else None
+    if op in ("first", "last"):
+        v = _SLICE_OPS[op](arr)
+        return None if _null_mask(np.asarray([v]), dt)[0] else v
+    if op == "collect":
+        m = _null_mask(arr, dt)
+        if m.any():
+            return [None if nn else v for v, nn in zip(arr.tolist(), m.tolist())]
         return _SLICE_OPS[op](arr)
     mask = _null_mask(arr, dt)
     if op == "count":
@@ -471,8 +519,13 @@ def window_agg_stream(
             elif a.op == "max":
                 vals = s.max()
             elif a.op == "first":
-                vals = s.first()
+                # positional first INCLUDING nulls (pandas .first() would
+                # skip NaN — that is the ignore-null variant)
+                vals = s.agg(lambda x: x.iloc[0])
             elif a.op == "last":
+                vals = s.agg(lambda x: x.iloc[-1])
+            elif a.op == "last_nn":
+                # last_value(col, true): last non-null (funcs_agg.go:371)
                 vals = s.last()
             elif a.op == "median":
                 vals = s.median()
@@ -485,8 +538,11 @@ def window_agg_stream(
             else:  # pragma: no cover
                 raise KeyError(a.op)
             vals = vals.reset_index(drop=True)
-            if a.op in ("min", "max", "first", "last") and _is_ts(buf_types.get(src, T.DoubleType())):
-                vals = pd.to_datetime(vals.astype("int64"), unit="us")
+            if a.op in ("min", "max", "first", "last", "last_nn") and _is_ts(
+                buf_types.get(src, T.DoubleType())
+            ):
+                # float (null-restored) series convert directly: NaN -> NaT
+                vals = pd.to_datetime(vals, unit="us")
             elif a.op == "collect" and _is_ts(buf_types.get(src, T.DoubleType())):
                 # buffered timestamps are int64 micros; ArrayType(TimestampType)
                 # output needs datetime elements
@@ -592,7 +648,7 @@ def window_agg_stream(
                     res = [list(pd.to_datetime(np.asarray(lst, dtype="int64"), unit="us")) for lst in res]
                     out_cols[a.out] = res
                 else:
-                    out_cols[a.out] = _np_to_out(res, out_types[a.out]) if a.op in ("min", "max", "first", "last", "sum") else res
+                    out_cols[a.out] = _np_to_out(res, out_types[a.out]) if a.op in ("min", "max", "first", "last", "last_nn", "sum") else res
             buf = {c: buf[c][n_win * n :] for c in buffered}
             emitted += n_win
             save_state(state, emitted, False, buf)
@@ -648,8 +704,8 @@ def window_agg_stream(
                 for a in agg_list:
                     src = a.in_col or ts_col
                     val = _reduce_slice(a.op, win[src], buf_types.get(src, T.DoubleType()))
-                    if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
-                        val = pd.Timestamp(int(val), unit="us")
+                    if a.op in ("min", "max", "first", "last", "last_nn") and _is_ts(buf_types[src]):
+                        val = pd.NaT if val is None or (isinstance(val, float) and np.isnan(val)) else pd.Timestamp(int(val), unit="us")
                     elif a.op == "collect" and _is_ts(buf_types[src]):
                         val = list(pd.to_datetime(np.asarray(val, dtype="int64"), unit="us"))
                     out_rows[a.out].append(val)
@@ -695,8 +751,8 @@ def window_agg_stream(
         for a in agg_list:
             src = a.in_col or ts_col
             val = _reduce_slice(a.op, win[src], buf_types.get(src, T.DoubleType()))
-            if a.op in ("min", "max", "first", "last") and _is_ts(buf_types[src]):
-                val = pd.Timestamp(int(val), unit="us")
+            if a.op in ("min", "max", "first", "last", "last_nn") and _is_ts(buf_types[src]):
+                val = pd.NaT if val is None or (isinstance(val, float) and np.isnan(val)) else pd.Timestamp(int(val), unit="us")
             elif a.op == "collect" and _is_ts(buf_types[src]):
                 val = list(pd.to_datetime(np.asarray(val, dtype="int64"), unit="us"))
             out_rows[a.out].append(val)
@@ -959,7 +1015,7 @@ def window_agg_stream(
             if a.op == "count":
                 res = res.astype("int64")
             elif a.op in ("min", "max") and _is_ts(buf_types.get(src, T.DoubleType())):
-                res = pd.to_datetime(res.astype("int64"), unit="us")
+                res = pd.to_datetime(res, unit="us")  # float NaN -> NaT
             elif a.op in ("sum", "min", "max") and isinstance(out_types[a.out], T.LongType):
                 # all-null frame -> NaN; keep it null (NaN->int64 is UB)
                 nanmask = np.isnan(res)

@@ -684,6 +684,8 @@ class Translator:
                 raise NotImplementedError(
                     f"{call.name} is not supported in streaming stateful windows"
                 )
+            if op == "last" and len(call.args) > 1 and self._raw(call.args[1]):
+                op = "last_nn"  # last_value(col, true): skip nulls
             out = f"__agg{i}"
             args = [a for a in call.args if not isinstance(a, Wildcard)]
             if not args:
@@ -1222,16 +1224,21 @@ class Translator:
         for row in sorted(counts, key=lambda r: (r["__gbk"] is None, r["__gbk"])):
             offsets[row["__gbk"]] = running
             running += row["c"]
-        # offsets attach via a broadcast join (a create_map literal scans
-        # linearly per row — at hundreds of buckets that dominates)
+        # offsets attach via sorted array literals (same constant-plan
+        # pattern as the bucket assignment above: O(B) runtime over a
+        # flat array, no join).  A broadcast-join attach was observed to
+        # intermittently mis-bind on first execution (Spark pushed a
+        # streamed-side filter onto the tiny build side); pure
+        # expressions cannot.
         if offsets:
-            off_df = F.broadcast(
-                self.spark.createDataFrame(
-                    [(int(bk), int(off)) for bk, off in offsets.items()],
-                    "__gbk long, __goff long",
-                )
+            keys = sorted(offsets)
+            karr = F.lit([int(k) for k in keys])
+            oarr = F.lit([int(offsets[k]) for k in keys])
+            idx = F.size(F.filter(karr, lambda b: b <= F.col("__gbk")))
+            bdf = bdf.withColumn(
+                "__goff",
+                F.when(idx > 0, F.element_at(oarr, idx)).otherwise(F.lit(0)),
             )
-            bdf = bdf.join(off_df, "__gbk", "left").fillna(0, ["__goff"])
         else:
             bdf = bdf.withColumn("__goff", F.lit(0))
         rn = F.row_number().over(W.partitionBy("__gbk").orderBy(*order)) + F.col("__goff")
@@ -1534,7 +1541,11 @@ class Translator:
             if over is not None:
                 s, n = s.over(over), n.over(over)
             s = s.cast("long")
-            return ((s - s % n) / n).cast("long")
+            # decimal division keeps the exactly-divisible quotient exact
+            # for the FULL int64 range (a double round-trip loses
+            # precision above 2^53)
+            exact = (s - s % n).cast("decimal(38,0)")
+            return (exact / n.cast("decimal(38,0)")).cast("long")
         base = fregistry.build_aggregate(call.name, cols, raw)
         return base.over(over) if over is not None else base
 

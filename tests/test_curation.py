@@ -174,3 +174,10 @@ def test_kmeans_large_k_oversampled_init(spark, emb):
     assert len(cents) == 80
     n_clusters = assigned.select("cluster").distinct().count()
     assert n_clusters > 40  # most seeds attract members on 500 rows
+
+
+def test_pack_sequences_does_not_mutate_input_schema(spark):
+    df = spark.createDataFrame([(1, 5)], "id long, tok long")
+    before = df.columns[:]
+    pack_sequences(df, "id", "tok", budget=10, shards=1).collect()
+    assert df.columns == before  # StructType.add must not leak into df

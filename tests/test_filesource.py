@@ -182,3 +182,43 @@ def test_lines_reads_gzip_natively(spark, tmp_path):
         f.write('{"id": 1}\n{"id": 2}\n')
     df = read_lines_df(spark, str(p))
     assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
+
+def test_action_after_read_only_touches_files_read(spark, tmp_path):
+    """Only the files present at rule START are acted on: a file that
+    appears mid-run survives, and a subdirectory never crashes the
+    dispatch (source.go:317-330 acts per fully-read file)."""
+    import json
+
+    from ekuiper_spark.catalog import StreamDef
+    from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
+
+    src_dir = tmp_path / "in2"
+    src_dir.mkdir()
+    (src_dir / "subdir").mkdir()  # must be ignored, not os.remove'd
+    f = src_dir / "b1.json"
+    f.write_text(json.dumps({"id": 1, "v": 10}))
+
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    cat.register(
+        StreamDef(
+            name="fstream2", format="json", path=str(src_dir), kind="scan",
+            options={"actionAfterRead": 1},
+        )
+    )
+    rt = RuleRuntime(spark, cat)
+    rule = Rule(
+        id="far2",
+        sql="SELECT id, v FROM fstream2",
+        actions=[{"memory": {"table": "far2_out"}}],
+        options={"output_mode": "append"},
+    )
+    rt.create_rule(rule)
+    q = rt.start_rule("far2", available_now=True)
+    q.awaitTermination()
+    late = src_dir / "late.json"
+    late.write_text(json.dumps({"id": 2, "v": 20}))  # never read by the run
+    rt.stop_rule("far2")
+    assert not f.exists()          # consumed file deleted
+    assert late.exists()           # unread file untouched
+    assert (src_dir / "subdir").exists()

@@ -351,3 +351,75 @@ def test_avg_integer_in_sliding_frame(spark):
     expect = int(math.trunc(s / len(frame))) if s >= 0 else -(-s // len(frame))
     got = {r["event_id"]: r["a"] for r in rows}[target["event_id"]]
     assert got == expect
+
+
+def test_zip_duplicate_keys_last_win(spark):
+    """zip with duplicate keys: Go map assignment overwrites — last pair
+    wins (funcs_obj.go:103-120), no duplicate-key error."""
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    df = spark.createDataFrame(
+        [([["a", "1"], ["b", "2"], ["a", "3"]],)], "pairs array<array<string>>"
+    )
+    cat.register_df("dup_pairs", df)
+    row = compile_sql(spark, "SELECT zip(pairs) AS m FROM dup_pairs", cat).collect()[0]
+    assert dict(row["m"]) == {"a": "3", "b": "2"}
+
+
+def test_avg_integer_exact_beyond_double_precision(spark):
+    """Integer avg must stay exact past 2^53 (decimal division, not a
+    double round-trip)."""
+    big = (1 << 55) + 3
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    df = spark.createDataFrame([(1, big), (2, big)], "k int, x long")
+    cat.register_df("big_rows", df)
+    row = compile_sql(spark, "SELECT avg(x) AS a FROM big_rows", cat).collect()[0]
+    assert row["a"] == big  # exact: (2*big)/2
+
+
+def test_streaming_last_value_of_null_int_is_null(spark, tmp_path):
+    """first/last over a frame whose picked value is an integer null must
+    emit null, not the INT64_MIN buffer sentinel."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import types as T
+
+    from ekuiper_spark.catalog import StreamDef
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    src = tmp_path / "src2"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    lines = [
+        json.dumps({
+            "event_id": i,
+            "ts": (t0 + dt.timedelta(seconds=i)).isoformat(),
+            # window 1: (5, null); window 2: (null, 7)
+            "x": [5, None, None, 7][i],
+        })
+        for i in range(4)
+    ]
+    (src / "d.json").write_text("\n".join(lines))
+    cat.register(StreamDef(
+        name="lastnull_stream", format="json", path=str(src), kind="scan",
+        schema=T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("x", T.IntegerType()),
+        ]),
+    ))
+    out = run_rule_available_now(
+        spark, cat,
+        "SELECT last_value(x, true) AS lv, collect(x) AS cx "
+        "FROM lastnull_stream GROUP BY COUNTWINDOW(2)",
+        output_mode="append", order_cols=["ts", "event_id"],
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    all_collected = sorted(
+        (v for r in rows for v in r["cx"]), key=lambda v: (v is None, v)
+    )
+    assert all_collected == [5, 7, None, None]  # sentinel never leaks
+    # last_value(x, true) skips nulls: windows (5,null) -> 5, (null,7) -> 7
+    assert sorted(r["lv"] for r in rows) == [5, 7]

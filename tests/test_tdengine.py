@@ -202,3 +202,12 @@ def test_sink_posts_merged_insert_per_partition(spark, rest_double):
         'INSERT INTO meters (ts,device,temp) values (1737628594255,"d1",20.5) '
         'meters (ts,device,temp) values (1737628594256,"d2",21)'
     )
+
+
+def test_build_sql_escapes_embedded_quotes():
+    """String literals escape quotes/backslashes — one bad row must not
+    corrupt the partition's merged INSERT (improves on the reference's
+    unescaped interpolation, which loses the row)."""
+    cfg = TaosConfig(database="db", table="t", ts_field_name="ts", provide_ts=True)
+    sql = build_sql(cfg, {"ts": 1, "msg": 'say "hi"', "p": "a\\b"})
+    assert sql == 'INSERT INTO t (ts,msg,p) values (1,"say \\"hi\\"","a\\\\b")'
