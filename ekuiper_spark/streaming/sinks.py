@@ -55,7 +55,15 @@ def encode_rows(df: DataFrame, props: dict[str, Any]) -> DataFrame:
             F.format_string(fmt_str, *[F.col(c).cast("string") for c in cols]).alias("payload")
         )
     if fmt == "json":
-        return df.select(F.to_json(F.struct(*df.columns)).alias("payload"))
+        # sendNilField (def.RuleOption.SendNil): nil fields are omitted
+        # unless the option asks for them — Spark's to_json default
+        # matches the reference's default exactly
+        opts = (
+            {"ignoreNullFields": "false"} if props.get("sendNilField") else {}
+        )
+        return df.select(
+            F.to_json(F.struct(*df.columns), opts).alias("payload")
+        )
     if fmt == "csv":
         return df.select(
             F.concat_ws(

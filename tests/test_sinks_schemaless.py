@@ -112,3 +112,16 @@ def test_date_calc_and_format(spark, catalog):
     assert r["d2"] == "2019-01-01 08:30:00"
     assert r["f1"] == "3.14"
     assert r["c1"] == "255"
+
+
+def test_send_nil_field_option(spark):
+    """sendNilField (def.RuleOption.SendNil): default omits null fields
+    from JSON payloads (the reference and Spark defaults agree); the
+    option includes them as explicit nulls."""
+    from ekuiper_spark.streaming.sinks import encode_rows
+
+    df = spark.createDataFrame([(1, None)], "a int, b string")
+    default = encode_rows(df, {"format": "json"}).collect()[0]["payload"]
+    assert default == '{"a":1}'
+    withnil = encode_rows(df, {"format": "json", "sendNilField": True}).collect()[0]["payload"]
+    assert withnil == '{"a":1,"b":null}'
