@@ -48,6 +48,7 @@ class RuleRuntime:
         self.restarts: dict[str, int] = {}
         self.rolling_writers: dict[str, Any] = {}
         self._read_snapshots: dict[str, dict[str, list]] = {}
+        self._checkpoints: dict[str, str] = {}
 
     def create_rule(self, rule: Rule) -> None:
         if rule.id in self.rules:
@@ -159,6 +160,10 @@ class RuleRuntime:
         )
         action = rule.actions[0] if rule.actions else {"memory": {}}
         (sink_type, sink_opts), = action.items()
+        if "sendNilField" in opts and "sendNilField" not in sink_opts:
+            # def.RuleOption.SendNil is rule-level; thread it into the
+            # sink transform chain
+            sink_opts = {**sink_opts, "sendNilField": opts["sendNilField"]}
         writer = df.writeStream.outputMode(opts.get("output_mode", "complete" if self._has_agg(df) else "append"))
         if available_now:
             writer = writer.trigger(availableNow=True)
@@ -191,10 +196,12 @@ class RuleRuntime:
 
             q = writer.foreachBatch(_roll_batch).start()
         elif sink_type == "file":
+            ckpt = sink_opts.get("checkpoint", f"/tmp/ckpt_{rule_id}_{uuid.uuid4().hex}")
+            self._checkpoints[rule_id] = ckpt
             q = (
                 writer.format(sink_opts.get("format", "parquet"))
                 .option("path", sink_opts["path"])
-                .option("checkpointLocation", sink_opts.get("checkpoint", f"/tmp/ckpt_{rule_id}_{uuid.uuid4().hex}"))
+                .option("checkpointLocation", ckpt)
                 .start()
             )
         elif sink_type == "foreach_batch":
@@ -413,18 +420,62 @@ class RuleRuntime:
                 out.append(d)
         return out
 
+    @staticmethod
+    def _processed_files_from_checkpoint(ckpt: str) -> list[str]:
+        """Paths the FileStreamSource committed, read from the
+        checkpoint's source log (<ckpt>/sources/<i>/<batch>: a version
+        header then one JSON entry per fully-read file) — the exact
+        'fully read' set the reference acts on."""
+        import glob
+        import json
+        import os
+
+        out = []
+        for f in sorted(glob.glob(os.path.join(ckpt, "sources", "*", "*"))):
+            if not os.path.isfile(f):
+                continue
+            try:
+                for line in open(f):
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue
+                    p = json.loads(line).get("path", "")
+                    if p:
+                        out.append(p)
+            except (OSError, ValueError):
+                continue
+        return out
+
     def _after_read_actions(self, rule_id: str) -> None:
         """File-source actionAfterRead (internal/io/file/source.go:317-330):
         when a rule over a file stream with actionAfterRead set stops,
-        the files captured at start (the ones the bounded run read) are
-        deleted (1) or moved to moveTo (2) — driver-side metadata ops."""
+        the fully-read files are deleted (1) or moved to moveTo (2) —
+        driver-side metadata ops.  With a checkpoint, the source log is
+        the authoritative read set (covers files that arrived mid-run);
+        otherwise the start-time snapshot stands in (exact for bounded
+        availableNow runs)."""
+        import os
+
         from ekuiper_spark.sources.filesource import apply_after_read
 
-        snap = self._read_snapshots.pop(rule_id, None)
-        if not snap:
+        snap = self._read_snapshots.pop(rule_id, {})
+        defs = self._after_read_defs(rule_id)
+        if not defs:
             return
-        for d in self._after_read_defs(rule_id):
-            files = snap.get(d.name)
+        processed = None
+        ckpt = self._checkpoints.pop(rule_id, None)
+        if ckpt:
+            logged = self._processed_files_from_checkpoint(ckpt)
+            if logged:
+                processed = [
+                    p[len("file:"):] if p.startswith("file:") else p for p in logged
+                ]
+        for d in defs:
+            if processed is not None:
+                root = os.path.abspath(d.path)
+                files = [p for p in processed if os.path.abspath(p).startswith(root)]
+            else:
+                files = snap.get(d.name, [])
             if files:
                 apply_after_read(
                     files, int(d.options["actionAfterRead"]), d.options.get("moveTo")

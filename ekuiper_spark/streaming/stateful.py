@@ -129,6 +129,10 @@ def _col_to_np(series: pd.Series, dt: T.DataType) -> np.ndarray:
         return series.to_numpy(dtype="float64")
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
         if series.isna().any():
+            # a nullable long column has ALREADY crossed the Arrow ->
+            # pandas boundary as float64 (Spark's applyInPandas
+            # conversion), so values here are float64-exact only to
+            # 2^53; the sentinel swap below adds no further loss
             arr = series.to_numpy(dtype="float64")
             return np.where(np.isnan(arr), _LONG_NULL, arr).astype("int64")
         return series.to_numpy(dtype="int64")
@@ -253,12 +257,13 @@ def _reduce_matrix(op: str, mat: np.ndarray, dt: T.DataType) -> np.ndarray:
         return np.array(picks, dtype=object)
     if op in ("first", "last"):
         res = _MATRIX_OPS[op](mat)
-        if np.asarray(res).dtype.kind in "fiu":
-            m = _null_mask(res, dt)
-            if m.any():
-                # sentinel pick -> NaN float so the emit path nulls it
-                res = res.astype("float64")
-                res[m] = np.nan
+        m = _null_mask(res, dt)
+        if m.any():
+            # null picks -> None via an object array (a float64 detour
+            # would corrupt valid int64 picks above 2^53)
+            out = np.array(list(res), dtype=object)
+            out[m] = None
+            return out
         return res
     if op == "collect":
         m = _null_mask(mat, dt)
@@ -497,8 +502,24 @@ def window_agg_stream(
         data = {}
         for c in src_cols:
             arr = win[c]
-            if c not in sub_list and _null_mask(arr, buf_types.get(c, T.StringType())).any():
-                arr = _f64_nulls(arr, buf_types[c])
+            dt = buf_types.get(c, T.StringType())
+            # restore sentinel-buffered nulls so pandas aggregations see
+            # real NA — nullable Int64 (not float64, which would round
+            # int64 values above 2^53) for integral/ts columns; object
+            # arrays already hold real None; float NaN is already NA
+            if (
+                c not in sub_list
+                and (
+                    _is_ts(dt)
+                    or isinstance(
+                        dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+                    )
+                )
+                and _null_mask(arr, dt).any()
+            ):
+                ser = pd.Series(arr, dtype="Int64")
+                ser[arr == _LONG_NULL] = pd.NA
+                arr = ser
             data[c] = arr
         pdf = pd.DataFrame(data)
         g = pdf.groupby(sub_list, sort=True)
@@ -546,7 +567,7 @@ def window_agg_stream(
             elif a.op == "collect" and _is_ts(buf_types.get(src, T.DoubleType())):
                 # buffered timestamps are int64 micros; ArrayType(TimestampType)
                 # output needs datetime elements
-                vals = vals.apply(lambda lst: list(pd.to_datetime(np.asarray(lst, dtype="int64"), unit="us")))
+                vals = vals.apply(lambda lst: list(pd.to_datetime(pd.Series(list(lst)), unit="us")))
             sink[a.out].extend(vals.tolist())
         if emit_wid:
             sink["wid"].extend([wid] * len(keys))
@@ -645,7 +666,7 @@ def window_agg_stream(
                 mat = buf[src][: n_win * n].reshape(n_win, n)
                 res = _reduce_matrix(a.op, mat, buf_types.get(src, T.DoubleType()))
                 if a.op == "collect" and _is_ts(buf_types.get(src, T.DoubleType())):
-                    res = [list(pd.to_datetime(np.asarray(lst, dtype="int64"), unit="us")) for lst in res]
+                    res = [list(pd.to_datetime(pd.Series(list(lst)), unit="us")) for lst in res]
                     out_cols[a.out] = res
                 else:
                     out_cols[a.out] = _np_to_out(res, out_types[a.out]) if a.op in ("min", "max", "first", "last", "last_nn", "sum") else res
@@ -707,7 +728,7 @@ def window_agg_stream(
                     if a.op in ("min", "max", "first", "last", "last_nn") and _is_ts(buf_types[src]):
                         val = pd.NaT if val is None or (isinstance(val, float) and np.isnan(val)) else pd.Timestamp(int(val), unit="us")
                     elif a.op == "collect" and _is_ts(buf_types[src]):
-                        val = list(pd.to_datetime(np.asarray(val, dtype="int64"), unit="us"))
+                        val = list(pd.to_datetime(pd.Series(list(val)), unit="us"))
                     out_rows[a.out].append(val)
                 if emit_wid:
                     out_rows["wid"].append(emitted)
@@ -754,7 +775,7 @@ def window_agg_stream(
             if a.op in ("min", "max", "first", "last", "last_nn") and _is_ts(buf_types[src]):
                 val = pd.NaT if val is None or (isinstance(val, float) and np.isnan(val)) else pd.Timestamp(int(val), unit="us")
             elif a.op == "collect" and _is_ts(buf_types[src]):
-                val = list(pd.to_datetime(np.asarray(val, dtype="int64"), unit="us"))
+                val = list(pd.to_datetime(pd.Series(list(val)), unit="us"))
             out_rows[a.out].append(val)
         if emit_wid:
             out_rows["wid"].append(emitted)

@@ -222,3 +222,45 @@ def test_action_after_read_only_touches_files_read(spark, tmp_path):
     assert not f.exists()          # consumed file deleted
     assert late.exists()           # unread file untouched
     assert (src_dir / "subdir").exists()
+
+
+def test_action_after_read_uses_checkpoint_log(spark, tmp_path):
+    """With a checkpointed rule, the FileStreamSource log (not the start
+    snapshot) is the authoritative fully-read set (source.go:317-330
+    per-file dispatch)."""
+    import json
+
+    from ekuiper_spark.catalog import StreamDef
+    from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
+
+    src_dir = tmp_path / "in3"
+    src_dir.mkdir()
+    f = src_dir / "c1.json"
+    f.write_text(json.dumps({"id": 1, "v": 10}))
+    done = tmp_path / "done3"
+    out_dir = tmp_path / "out3"
+    ckpt = tmp_path / "ckpt3"
+
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    cat.register(
+        StreamDef(
+            name="fstream3", format="json", path=str(src_dir), kind="scan",
+            options={"actionAfterRead": 2, "moveTo": str(done)},
+        )
+    )
+    rt = RuleRuntime(spark, cat)
+    rule = Rule(
+        id="far3",
+        sql="SELECT id, v FROM fstream3",
+        actions=[{"file": {"path": str(out_dir), "format": "json",
+                           "checkpoint": str(ckpt)}}],
+        options={"output_mode": "append"},
+    )
+    rt.create_rule(rule)
+    q = rt.start_rule("far3", available_now=True)
+    q.awaitTermination()
+    # the checkpoint's source log lists the consumed file
+    logged = rt._processed_files_from_checkpoint(str(ckpt))
+    assert any(p.endswith("c1.json") for p in logged)
+    rt.stop_rule("far3")
+    assert not f.exists() and (done / "c1.json").exists()

