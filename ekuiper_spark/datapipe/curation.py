@@ -266,3 +266,68 @@ def pack_sequences(
         "__shard", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(shards))
     )
     return sharded.groupBy("__shard").applyInPandas(pack, schema=out_schema)
+
+
+def global_shuffle(
+    df: DataFrame,
+    seed: int = 0,
+    num_partitions: Optional[int] = None,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """Deterministic pseudorandom global shuffle for training-data writes.
+
+    Orders the dataset by ``xxhash64(key, seed)``: hash-repartition on the
+    shuffle key places each row by ``hash % n`` (layout-independent — the
+    same input multiset lands identically however it was partitioned
+    before), and an in-partition sort on the same key fixes the order
+    within every partition.  Reading the written partitions in index
+    order therefore yields one global permutation that is a pure function
+    of (row keys, seed): fully distributed, no global sort, no sampling
+    pass, reproducible across runs and cluster sizes with the same ``n``.
+
+    ``id_col`` names a unique key; omitted, the hash covers all columns
+    (exact duplicate rows then travel together — fine for shuffling, pass
+    an id to split them).  ``num_partitions`` defaults to the session
+    shuffle parallelism.
+    """
+    key_cols = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns]
+    keyed = df.withColumn("__shk", F.xxhash64(*key_cols, F.lit(seed)))
+    parted = (
+        keyed.repartition(num_partitions, "__shk")
+        if num_partitions
+        else keyed.repartition("__shk")
+    )
+    return parted.sortWithinPartitions("__shk").drop("__shk")
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+    target_rows: Optional[int] = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based domain mixing: sample so domain shares follow
+    ``p_i^alpha`` (renormalized) of the original shares — the published
+    multilingual/multi-domain rebalancing recipe (alpha=1 keeps the
+    natural distribution, alpha=0 is uniform across domains).
+
+    One tiny count aggregate drives the per-domain fractions (driver
+    holds |domains| numbers), then a single native ``sampleBy`` scan
+    draws the mixture.  Fractions cap at 1.0 — upsampling beyond 1x is
+    out of scope for a Bernoulli pass (callers can union extra draws).
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    total = sum(counts.values())
+    if not total:
+        return df
+    weights = {d: (c / total) ** alpha for d, c in counts.items()}
+    wsum = sum(weights.values())
+    budget = target_rows if target_rows is not None else total
+    fractions = {
+        d: min(1.0, (weights[d] / wsum) * budget / counts[d]) for d in counts
+    }
+    return df.sampleBy(domain_col, fractions=fractions, seed=seed)

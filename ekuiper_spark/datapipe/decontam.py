@@ -1,0 +1,109 @@
+"""Benchmark decontamination: flag/drop training documents that overlap
+an evaluation set by shared word n-grams.
+
+The standard published recipe (n-gram collision against the eval corpus,
+as used for public LLM training-data hygiene): build the set of word
+n-grams occurring in any eval example, then mark a training document
+contaminated when it contains at least ``min_hits`` of those n-grams.
+
+Scale design (the 100 TB lens):
+
+- The eval side is small (10^3..10^6 examples) and reduces to DISTINCT
+  64-bit n-gram hashes — a few MB — so it is **broadcast**; the training
+  corpus never shuffles its bodies.
+- Doc n-grams explode map-side and are filtered BY THE BROADCAST JOIN in
+  the same stage, so only (doc_id, matched-gram) hits ever reach a
+  shuffle, and those are aggregated map-side (partial count) before it.
+- Everything is pure Catalyst (split/slice/xxhash64); no Python UDFs.
+
+Normalization and gram construction intentionally reuse the dedup
+module's helpers so "same n-gram" means the same thing across dedup and
+decontamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ekuiper_spark.datapipe.dedup import _grams_of
+from ekuiper_spark.datapipe.textstats import fanout_for_compute, normalize_text, tokens
+
+
+def _gram_hashes(text: Column, n: int) -> Column:
+    """Distinct 64-bit hashes of the word n-grams of normalized text.
+    Docs shorter than n words hash their full token string (so an eval
+    example shorter than n can still be matched verbatim)."""
+    toks = tokens(normalize_text(text))
+    return F.transform(_grams_of(toks, n), lambda g: F.xxhash64(g))
+
+
+def eval_ngram_hashes(
+    eval_df: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """DISTINCT n-gram hashes over the whole eval set — one small
+    DataFrame (column ``gram_h``) meant to ride a broadcast join."""
+    return (
+        eval_df.select(
+            F.explode(_gram_hashes(F.col(text_col), n)).alias("gram_h")
+        )
+        .distinct()
+    )
+
+
+def contamination_profile(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-document contamination stats vs the eval set.
+
+    Returns (id_col, n_grams, n_hits, contamination_frac, contaminated):
+    ``n_grams`` distinct n-grams in the doc, ``n_hits`` of them that occur
+    anywhere in the eval set, ``contaminated`` = n_hits >= min_hits.
+
+    Plan shape: doc grams explode → **broadcast** semi-side join with the
+    eval hash set (map-side filter, no corpus shuffle) → partial+final
+    count by doc → one small left join back onto the (id, n_grams) spine.
+    """
+    grams = fanout_for_compute(docs).select(
+        F.col(id_col), _gram_hashes(F.col(text_col), n).alias("__gh")
+    )
+    spine = grams.select(id_col, F.size("__gh").alias("n_grams"))
+    hits = (
+        grams.select(F.col(id_col), F.explode("__gh").alias("gram_h"))
+        .join(F.broadcast(eval_ngram_hashes(eval_df, text_col, n)), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = spine.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+            6,
+        ).alias("contamination_frac"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+    )
+    return out
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Training docs with contaminated ones removed (anti-join on the
+    flagged ids — doc bodies cross exactly one shuffle, keyed by id)."""
+    flagged = contamination_profile(
+        docs, eval_df, text_col, id_col, n, min_hits
+    ).where("contaminated")
+    return docs.join(flagged.select(id_col), id_col, "left_anti")

@@ -1,0 +1,148 @@
+"""Benchmark decontamination + training-shuffle/mixture curation ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekuiper_spark.datapipe.curation import global_shuffle, temperature_mixture
+from ekuiper_spark.datapipe.decontam import (
+    contamination_profile,
+    decontaminate,
+    eval_ngram_hashes,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    eval_rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "entropy is a measure of uncertainty in information theory"),
+    ]
+    docs = [
+        # contains an exact 8-gram of eval #1
+        (10, "intro text the quick brown fox jumps over the lazy dog and more"),
+        # contains an exact 8-gram of eval #2 with punctuation/case noise
+        (11, "Entropy, is a MEASURE of uncertainty in information; unrelated tail"),
+        # shares words but no 8-gram run
+        (12, "the brown dog jumps while the fox is lazy tonight quick over"),
+        # totally clean
+        (13, "completely different content about spark partitioning strategies"),
+        # shorter than 8 words and not an eval verbatim
+        (14, "short clean doc"),
+    ]
+    return (
+        spark.createDataFrame(eval_rows, ["eval_id", "text"]),
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+    )
+
+
+def test_contamination_flags_exact_ngram_overlap(corpus):
+    eval_df, docs = corpus
+    prof = {
+        r["doc_id"]: r.asDict()
+        for r in contamination_profile(docs, eval_df, n=8).collect()
+    }
+    assert prof[10]["contaminated"] and prof[10]["n_hits"] >= 1
+    assert prof[11]["contaminated"]  # normalization strips case/punct
+    assert not prof[12]["contaminated"]  # shared words, no shared 8-gram
+    assert not prof[13]["contaminated"]
+    assert not prof[14]["contaminated"]
+    assert prof[13]["n_hits"] == 0 and prof[13]["contamination_frac"] == 0.0
+    # every doc appears exactly once, clean or not
+    assert len(prof) == 5
+
+
+def test_decontaminate_removes_only_flagged(corpus):
+    eval_df, docs = corpus
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(docs, eval_df, n=8).collect()
+    )
+    assert kept == [12, 13, 14]
+
+
+def test_short_eval_example_matches_verbatim(spark):
+    # eval example shorter than n hashes its full token string, so a
+    # training doc that is exactly that text still gets caught
+    eval_df = spark.createDataFrame([(1, "secret eval answer")], ["eval_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "secret eval answer"), (2, "secret eval")], ["doc_id", "text"]
+    )
+    prof = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_profile(docs, eval_df, n=8).collect()
+    }
+    assert prof[1] and not prof[2]
+
+
+def test_contamination_plan_broadcasts_eval_side(corpus):
+    eval_df, docs = corpus
+    plan = contamination_profile(docs, eval_df, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_eval_hashes_distinct(corpus):
+    eval_df, _ = corpus
+    hashes = [r["gram_h"] for r in eval_ngram_hashes(eval_df, n=8).collect()]
+    assert len(hashes) == len(set(hashes)) > 0
+
+
+def test_contamination_on_documents_table(spark, catalog):
+    # real fixture: an eval set built FROM documents must flag its own
+    # source docs and (overwhelmingly) not the rest
+    docs = catalog.load(spark, "documents").select("doc_id", "text").limit(200).cache()
+    eval_df = docs.orderBy("doc_id").limit(5).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    src_ids = {r["eval_id"] for r in eval_df.collect()}
+    prof = contamination_profile(docs, eval_df, n=8).collect()
+    flagged = {r["doc_id"] for r in prof if r["contaminated"]}
+    assert src_ids <= flagged  # every eval source doc is caught
+    assert len(prof) == docs.count()
+
+
+def test_global_shuffle_is_deterministic_permutation(spark):
+    rows = [(i, f"doc {i}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+
+    def order(d):
+        return [r["id"] for r in d.toLocalIterator()]
+
+    a = order(global_shuffle(df, seed=7, num_partitions=8, id_col="id"))
+    b = order(global_shuffle(df, seed=7, num_partitions=8, id_col="id"))
+    c = order(global_shuffle(df, seed=8, num_partitions=8, id_col="id"))
+    assert a == b  # same seed -> identical order
+    assert a != c  # different seed -> different permutation
+    assert sorted(a) == [i for i in range(500)]  # still a permutation
+    assert a != list(range(500))  # actually shuffled
+
+
+def test_global_shuffle_layout_independent(spark):
+    rows = [(i, f"doc {i}") for i in range(300)]
+    df1 = spark.createDataFrame(rows, ["id", "text"]).repartition(3)
+    df2 = spark.createDataFrame(list(reversed(rows)), ["id", "text"]).repartition(11)
+    a = [r["id"] for r in global_shuffle(df1, seed=1, num_partitions=4, id_col="id").toLocalIterator()]
+    b = [r["id"] for r in global_shuffle(df2, seed=1, num_partitions=4, id_col="id").toLocalIterator()]
+    assert a == b  # order is a pure function of (keys, seed, n)
+
+
+def test_temperature_mixture_rebalances_toward_uniform(spark):
+    rows = [(i, "big") for i in range(2000)] + [(i, "small") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "domain"])
+    # natural share of 'small' is ~9%; alpha=0 targets uniform shares
+    # (target 400 -> 200 expected per domain; 'small' keeps all its rows)
+    mixed = temperature_mixture(df, "domain", alpha=0.0, target_rows=400, seed=3)
+    shares = {
+        r["domain"]: r["c"]
+        for r in mixed.groupBy("domain").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    total = sum(shares.values())
+    assert 0.4 <= shares["small"] / total <= 0.6  # pulled up toward 50%
+    assert shares["small"] == 200  # fraction capped at 1.0 keeps all rows
+
+
+def test_temperature_mixture_alpha1_keeps_everything(spark):
+    rows = [(i, "a") for i in range(100)] + [(i, "b") for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "domain"])
+    assert temperature_mixture(df, "domain", alpha=1.0).count() == 150
