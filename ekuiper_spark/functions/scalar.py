@@ -183,7 +183,10 @@ reg("cur_time", "current_time", "local_time")(
     lambda c, r: F.date_format(F.current_timestamp(), "HH:mm:ss")
 )
 reg("day", "day_of_month")(lambda c, r: F.dayofmonth(c[0]))
-reg("day_of_week")(lambda c, r: F.dayofweek(c[0]))
+# Go time.Weekday: Sunday=0..Saturday=6 (funcs_datetime.go:207 Weekday();
+# funcs_datetime_test.go:409 expects time.Tuesday=2 — the docs' "Sunday is
+# 1" text is stale vs the executable behavior)
+reg("day_of_week")(lambda c, r: F.dayofweek(c[0]) - 1)
 reg("day_of_year")(lambda c, r: F.dayofyear(c[0]))
 reg("day_name")(lambda c, r: F.date_format(c[0], "EEEE"))
 reg("month_name")(lambda c, r: F.date_format(c[0], "MMMM"))
@@ -193,12 +196,35 @@ reg("second")(lambda c, r: F.second(c[0]))
 reg("microsecond")(lambda c, r: (_epoch_us(c[0]) % 1_000_000))
 reg("month")(lambda c, r: F.month(c[0]))
 reg("year")(lambda c, r: F.year(c[0]))
-reg("date_diff")(lambda c, r: F.datediff(c[1], c[0]))
+# date_diff returns arg1.Sub(arg0), a Go time.Duration — which JSON-
+# marshals as int64 NANOSECONDS (funcs_datetime.go:141, test vector
+# date_diff('2019-01-01','2019-01-02').Milliseconds()==86400000); the
+# docs' "difference in days" text is stale vs the executable behavior
+reg("date_diff")(
+    lambda c, r: ((_epoch_us(c[1]) - _epoch_us(c[0])) * 1000).cast("long")
+)
 reg("format_time")(lambda c, r: F.date_format(c[0], go_format_to_jdk(r[1])))
-reg("from_unix_time", "from_unixtime")(lambda c, r: F.to_timestamp(F.from_unixtime(c[0])))
+# from_unix_time formats in the configured zone (UTC here) and maps the
+# 0 sentinel to null (funcs_datetime.go:278-283)
+reg("from_unix_time", "from_unixtime")(
+    lambda c, r: F.when(
+        c[0].cast("long") != 0,
+        F.date_format(F.to_timestamp(F.from_unixtime(c[0])), "yyyy-MM-dd HH:mm:ss"),
+    )
+)
 reg("last_day")(lambda c, r: F.last_day(c[0]))
 reg("to_seconds")(lambda c, r: F.unix_timestamp(c[0]))
-reg("from_days")(lambda c, r: F.date_add(F.lit("1970-01-01").cast("date"), c[0].cast("int")))
+# from_days(n): 0 -> null, else epoch + (n-1) days as a yyyy-MM-dd string
+# (funcs_datetime.go:248-253: time.Unix(0,0).Add((days-1)*24h))
+reg("from_days")(
+    lambda c, r: F.when(
+        c[0].cast("int") != 0,
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), c[0].cast("int") - 1),
+            "yyyy-MM-dd",
+        ),
+    )
+)
 
 
 def parse_go_duration(s: str) -> float:

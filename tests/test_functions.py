@@ -106,7 +106,9 @@ def test_scalar_semantics(spark, catalog, expr, expected):
         ("month_name(cast('2024-03-15', 'datetime'))", "March"),
         ("last_day(cast('2024-02-10', 'datetime'))", None),  # date compare below
         ("to_seconds(cast('1970-01-01 00:01:40', 'datetime'))", 100),
-        ("date_diff(cast('2024-01-01', 'datetime'), cast('2024-01-11', 'datetime'))", 10),
+        # a Go time.Duration = int64 nanoseconds (funcs_datetime.go:141)
+        ("date_diff(cast('2024-01-01', 'datetime'), cast('2024-01-11', 'datetime'))",
+         10 * 86400 * 1_000_000_000),
     ],
 )
 def test_object_json_datetime(spark, catalog, expr, expected):

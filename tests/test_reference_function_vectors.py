@@ -127,6 +127,39 @@ VECTORS = [
     ("cast_int_boolean", "cast(1, 'boolean')", True),
     ("cast_int_float", "cast(1, 'float')", 1.0),
     ("cast_int_string", "cast(1, 'string')", "1"),
+    # ---- funcs_datetime_test.go:280-770 (the concrete-value vectors;
+    #      now()/cur_*() format-shape cases are time-dependent, skipped).
+    #      NOTE the reference's docs disagree with its own code for
+    #      day_of_week ("Sunday is 1" vs Weekday() Sunday=0) and
+    #      date_diff ("days" vs time.Duration) — these vectors pin the
+    #      EXECUTABLE behavior, which its unit tests assert. ----
+    ("dt_day_name", "day_name(cast('2019-01-01 00:00:00', 'datetime'))", "Tuesday"),
+    ("dt_day_of_month", "day_of_month(cast('2019-01-01 00:00:00', 'datetime'))", 1),
+    ("dt_day_of_week_tue", "day_of_week(cast('2019-01-01 00:00:00', 'datetime'))", 2),
+    ("dt_day_of_week_sun", "day_of_week(cast('2019-01-06 00:00:00', 'datetime'))", 0),
+    ("dt_day_of_year", "day_of_year(cast('2019-01-01 00:00:00', 'datetime'))", 1),
+    ("dt_from_days_100", "from_days(100)", "1970-04-10"),
+    ("dt_from_days_zero_null", "from_days(0)", None),
+    ("dt_from_unix_100", "from_unix_time(100)", "1970-01-01 00:01:40"),
+    ("dt_from_unix_tz", "from_unix_time(1691995105)", "2023-08-14 06:38:25"),
+    ("dt_from_unix_zero_null", "from_unix_time(0)", None),
+    ("dt_hour", "hour(cast('2019-01-01 01:00:00', 'datetime'))", 1),
+    ("dt_last_day", "format_time(last_day(cast('2019-01-01 01:00:00', 'datetime')), 'yyyy-MM-dd')", "2019-01-31"),
+    ("dt_microsecond", "microsecond(cast('2019-01-01 01:00:00.123456', 'datetime'))", 123456),
+    ("dt_minute", "minute(cast('2019-01-01 01:23:45', 'datetime'))", 23),
+    ("dt_month", "month(cast('2019-01-01 01:23:45', 'datetime'))", 1),
+    ("dt_month_name", "month_name(cast('2019-01-01 01:23:45', 'datetime'))", "January"),
+    ("dt_second", "second(cast('2019-01-01 01:23:45', 'datetime'))", 45),
+    ("dt_date_diff_duration_ns",
+     "date_diff(cast('2019-01-01 00:00:00', 'datetime'),"
+     " cast('2019-01-02 00:00:00', 'datetime'))",
+     24 * 3600 * 1_000_000_000),
+    ("dt_date_calc_add_day",
+     "format_time(date_calc(cast('2019-01-01 00:00:00', 'datetime'), '24h'),"
+     " 'yyyy-MM-dd')", "2019-01-02"),
+    ("dt_date_calc_sub_day",
+     "format_time(date_calc(cast('2019-01-01 00:00:00', 'datetime'), '-24h'),"
+     " 'yyyy-MM-dd')", "2018-12-31"),
     # ---- funcs_str_test.go:128-292 (format with and without locale) ----
     ("format_round", "format(12332.123456, 4)", "12332.1235"),
     ("format_pad", "format(12332.1, 4)", "12332.1000"),
