@@ -600,6 +600,44 @@ class Translator:
             ctx.agg_map[key] = name
             agg_exprs.append(self._agg_expr(call, ctx).alias(name))
 
+        if agg_nodes:
+            # raw (non-grouped) column refs in an aggregated query take
+            # the FIRST row's value per group — the reference projects the
+            # grouped collection against its first row (TestWindowRule8:
+            # color/ts emit the first window row alongside count(*)).
+            # Compiled as min_by on the event order so "first" stays
+            # deterministic under parallel aggregation; a plain first()
+            # only when no order column exists.
+            raw_refs: dict[str, ColumnRef] = {}
+            for f in stmt.fields:
+                for ref in self._find_raw_cols(f.expr):
+                    raw_refs.setdefault(canon(ref), ref)
+            if stmt.having is not None:
+                for ref in self._find_raw_cols(stmt.having):
+                    raw_refs.setdefault(canon(ref), ref)
+            for s in stmt.order:
+                for ref in self._find_raw_cols(s.expr):
+                    raw_refs.setdefault(canon(ref), ref)
+            okey = None
+            if ctx.event_col and ctx.event_col in df.columns:
+                okey = ctx.event_col
+            elif ctx.order_cols and ctx.order_cols[0] in df.columns:
+                okey = ctx.order_cols[0]
+            nfr = 0
+            for key, ref in raw_refs.items():
+                if key in ctx.dim_map or key in ctx.agg_map:
+                    continue
+                if ref.source is None and ref.name in ctx.aliases:
+                    continue  # alias of a select expression, resolved there
+                if ref.source is None and ref.name not in df.columns:
+                    continue  # not a source column (fails loudly later)
+                col = self._expr(ref, ctx)
+                name = f"__fr{nfr}"
+                nfr += 1
+                first = F.min_by(col, F.col(okey)) if okey else F.first(col)
+                agg_exprs.append(first.alias(name))
+                ctx.dim_map[key] = name
+
         if not agg_exprs:
             agg_exprs.append(F.count(F.lit(1)).alias("__dummy"))
 
@@ -1496,6 +1534,48 @@ class Translator:
                 target = self._alias_target(n)
                 if target is not None:
                     walk(target)
+
+        walk(node)
+        return out
+
+    def _find_raw_cols(self, node: Node) -> list[ColumnRef]:
+        """Column refs OUTSIDE aggregate calls (the refs that need the
+        first-row-per-group treatment in an aggregated query)."""
+        out: list[ColumnRef] = []
+
+        def walk(n: Node) -> None:
+            if isinstance(n, FuncCall):
+                if fregistry.is_aggregate(n.name):
+                    return  # agg args aggregate, they don't project raw
+                for a in n.args:
+                    walk(a)
+            elif isinstance(n, Binary):
+                walk(n.left)
+                walk(n.right)
+            elif isinstance(n, Unary):
+                walk(n.operand)
+            elif isinstance(n, CaseWhen):
+                if n.operand:
+                    walk(n.operand)
+                for c, v in n.whens:
+                    walk(c)
+                    walk(v)
+                if n.else_:
+                    walk(n.else_)
+            elif isinstance(n, (Index, Slice, Access, JsonPath)):
+                walk(n.expr)
+            elif isinstance(n, InExpr):
+                walk(n.expr)
+                for i in n.items:
+                    walk(i)
+            elif isinstance(n, Between):
+                walk(n.expr)
+                walk(n.lo)
+                walk(n.hi)
+            elif isinstance(n, Like):
+                walk(n.expr)
+            elif isinstance(n, ColumnRef):
+                out.append(n)
 
         walk(node)
         return out

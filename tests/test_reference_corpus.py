@@ -243,6 +243,72 @@ def test_deduplicate_false_sliding(spark, demo_cat):
     assert rows == ["red", "blue", None, "yellow", None]
 
 
+def test_tumbling_filtered_content(spark, demo_cat):
+    """TestWindowRule2 (window_rule_test.go:112-147): tumbling(ss,1) with
+    WHERE size>2 — window contents emit per window, empty-after-filter
+    windows emit nothing.  Flattened expected emission: (red,486013),
+    (blue,486822) from [486,487); nothing from [487,488) (blue size 2
+    filtered); (yellow,488442) from [488,489)."""
+    df = run(
+        spark, demo_cat,
+        "SELECT color, ts FROM demo where size > 2 GROUP BY tumblingwindow(ss, 1)",
+    )
+    rows = [(r["color"], r["ts"]) for r in df.orderBy("ts").collect()]
+    assert rows == [
+        ("red", 1541152486013),
+        ("blue", 1541152486822),
+        ("yellow", 1541152488442),
+    ]
+
+
+def test_tumbling_having_first_row_values(spark, demo_cat):
+    """TestWindowRule8 (window_rule_test.go:444-487): an aggregated
+    tumbling window selecting RAW columns takes the window's FIRST row's
+    values (reference project-over-grouped semantics); event_time() in a
+    windowed aggregate is the window end; HAVING c>1 keeps only the
+    two-row window."""
+    df = run(
+        spark, demo_cat,
+        "SELECT color, window_end() AS we, event_time() AS et, ts, "
+        "count(*) AS c, window_start() AS ws FROM demo where size > 2 "
+        "GROUP BY tumblingwindow(ss, 1) having c > 1",
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["color"], r["ts"], r["c"]) == ("red", 1541152486013, 2)
+    assert (r["ws"], r["we"], r["et"]) == (
+        1541152486000, 1541152487000, 1541152487000,
+    )
+
+
+def test_hopping_window_filter_clause(spark, demo_cat):
+    """TestWindowRule9 (window_rule_test.go:487-530): HOPPINGWINDOW(ss,2,1)
+    FILTER(WHERE size>2).  The reference fires a window only when event
+    time passes its end (last ts 489252 closes windows ending <= 489252);
+    a bounded batch replay knows the input is complete, so trailing
+    windows also emit — the assertion checks the reference's closed-window
+    emissions exactly and tolerates only trailing windows beyond them
+    (the documented bounded-replay delta)."""
+    df = run(
+        spark, demo_cat,
+        "SELECT color, window_start() AS ws, window_end() AS we "
+        "FROM demo GROUP BY HOPPINGWINDOW(ss, 2, 1) FILTER( WHERE size > 2)",
+    )
+    rows = [(r["ws"], r["we"], r["color"]) for r in df.collect()]
+    closed = sorted(t for t in rows if t[1] <= 1541152489252)
+    assert closed == [
+        (1541152485000, 1541152487000, "blue"),
+        (1541152485000, 1541152487000, "red"),
+        (1541152486000, 1541152488000, "blue"),
+        (1541152486000, 1541152488000, "red"),
+        (1541152487000, 1541152489000, "yellow"),
+    ]
+    for ws, we, color in rows:
+        if we > 1541152489252:  # trailing windows may only contain yellow
+            assert color == "yellow" and ws == 1541152488000
+
+
 def test_hopping_collect_keyed(spark, demo_cat):
     """TestWindowRule12-style (window_rule_test.go:629): collect(size) per
     color within hopping windows, ordered by color."""
