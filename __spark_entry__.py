@@ -217,7 +217,11 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
           FROM s
         )
         SELECT user_id,
-               make_timestamp(min(us)) AS s_start,
+               -- in-island follow-up sessions open AT the previous
+               -- force-close tick (window_op.go:734)
+               make_timestamp(CASE WHEN sess > 0
+                    THEN (min(run_first) + sess * 2) * 7200000000
+                    ELSE min(us) END) AS s_start,
                make_timestamp(least(max(us) + 1800000000,
                     (min(run_first) + sess * 2 + 2) * 7200000000)) AS s_end,
                count(*) AS n, round(sum(value), 4) AS sum_v

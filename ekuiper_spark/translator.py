@@ -1077,7 +1077,19 @@ class Translator:
         df = df.withColumn("__sess", F.col("__sess") - on_tick.cast("long"))
         df = df.withColumn("__sb", run_first + F.col("__sess") * 2)  # session start bucket
         wsess = W.partitionBy(*parts, F.col("__isl"), F.col("__run"), F.col("__sess"))
-        start_us = F.min("__us").over(wsess)
+        # window start: an island's FIRST session opens at its first event;
+        # follow-up sessions open AT the previous force-close tick —
+        # window_op.go:734 keeps triggerTime = the close time, and
+        # TestWindowRule5/TestEventWindowRule8 expect ws = tick (490000)
+        # for the 2nd+ session even though its first event is later.  The
+        # previous session's close tick is exactly __sb * cap.  (With
+        # interval >= length an island can span non-adjacent bucket runs;
+        # a later run's first session then re-opens at its first event
+        # here rather than the stale close tick — same documented corner
+        # as the pairing construction above.)
+        start_us = F.when(
+            F.col("__sess") > 0, F.col("__sb") * cap_us
+        ).otherwise(F.min("__us").over(wsess))
         # close = min(last event + timeout, the force-close tick)
         end_us = F.least(
             F.max("__us").over(wsess) + timeout_us, (F.col("__sb") + 2) * cap_us
@@ -1182,7 +1194,11 @@ class Translator:
         df = df.withColumn("__sess", sess - on_tick.cast("long"))
         df = df.withColumn("__sb", F.col("__rf") + F.col("__sess") * 2)
         wsess = W.partitionBy("__isl", "__run", "__sess")
-        start_us = F.min("__us").over(wsess)
+        # follow-up sessions open at the previous force-close tick (see
+        # the keyed construction for the reference citation)
+        start_us = F.when(
+            F.col("__sess") > 0, F.col("__sb") * cap_us
+        ).otherwise(F.min("__us").over(wsess))
         end_us = F.least(
             F.max("__us").over(wsess) + timeout_us, (F.col("__sb") + 2) * cap_us
         )

@@ -71,7 +71,9 @@ def test_cap_splits_at_grid_tick(spark, cat):
     got = _run(spark, cat, _mk(spark, rows), SQL)
     assert got == [
         ("a", _t(10), _t(240), 8),   # 10..220, closed at tick 240
-        ("a", _t(250), _t(400), 4),  # 250..340, close = 340+60 (< tick 480)
+        # in-island follow-up session opens AT the closing tick
+        # (window_op.go:734 triggerTime = close; TestWindowRule5)
+        ("a", _t(240), _t(400), 4),  # 250..340, close = 340+60 (< tick 480)
     ]
 
 
@@ -94,7 +96,8 @@ def test_event_at_tick_with_following_session(spark, cat):
     got = _run(spark, cat, _mk(spark, rows), SQL)
     assert got == [
         ("a", _t(0), _t(240), 5),    # 0..240 inclusive
-        ("a", _t(290), _t(400), 2),  # 290,340; close = 340+60 (< tick 480)
+        # same island (gap 50 <= timeout): session 2 opens at the tick
+        ("a", _t(240), _t(400), 2),  # 290,340; close = 340+60 (< tick 480)
     ]
 
 
@@ -189,7 +192,7 @@ def test_aligned_start_closes_at_two_caps(spark, cat):
     got = _run(spark, cat, _mk(spark, rows), SQL)
     assert got == [
         ("a", _t(0), _t(240), 5),    # 0..200, tick 240 closes
-        ("a", _t(250), _t(310), 1),
+        ("a", _t(240), _t(310), 1),  # follow-up session opens at the tick
     ]
 
 
@@ -315,3 +318,39 @@ def test_reference_corpus_session_demo_e(spark, cat, tmp_path):
         key=lambda t: t[0],
     )
     assert got == expect, got
+
+
+def test_reference_window_rule5_session_demo_batch(spark, cat):
+    """Golden replay of TestWindowRule5 (window_rule_test.go:282-316) over
+    the sessionDemo mock rows (mock_data.go:183-283): count(temp) with
+    window_start/window_end per SessionWindow(ss, 2, 1).
+
+    Pins the ws-at-tick rule: the island's first session opens at its
+    first event (486013, 487932) while in-island follow-up sessions open
+    AT the previous force-close tick (490000), and close times are
+    last+timeout (487823) for timeout splits vs the cap tick (490000,
+    494000) for force-closes.  The trailing session (one event, 494112)
+    is the bounded-replay extra the reference only emits once the
+    wall-clock/watermark closes it — TestEventWindowRule8 pins its exact
+    bounds (494000, 495112)."""
+    rows = [
+        (25.5, 1541152486013), (27.5, 1541152486823), (28.1, 1541152487932),
+        (27.4, 1541152488442), (25.5, 1541152489252), (26.2, 1541152490062),
+        (26.8, 1541152490872), (28.9, 1541152491682), (29.1, 1541152492492),
+        (32.2, 1541152493202), (30.9, 1541152494112),
+    ]
+    sdf = spark.createDataFrame(rows, "temp double, ts long")
+    cat.register_df("sessionDemo", sdf)
+    out = compile_sql(
+        spark,
+        "SELECT count(temp) AS n, window_start() AS ws, window_end() AS we "
+        "FROM sessionDemo GROUP BY SessionWindow(ss, 2, 1)",
+        cat,
+    )
+    got = sorted((r["ws"], r["we"], r["n"]) for r in out.collect())
+    assert got == [
+        (1541152486013, 1541152487823, 2),
+        (1541152487932, 1541152490000, 3),
+        (1541152490000, 1541152494000, 5),
+        (1541152494000, 1541152495112, 1),
+    ]
