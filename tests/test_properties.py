@@ -174,15 +174,22 @@ def _ref_greedy_sessions(ts, cap, timeout):
     T = (floor(start/cap)+2)*cap; end = min(last+timeout, T)."""
     sessions = []
     cur = [ts[0]]
+    ws = ts[0]
     tick = (ts[0] // cap + 2) * cap
     for t in ts[1:]:
         if t - cur[-1] > timeout or t > tick:
-            sessions.append((tuple(cur), min(cur[-1] + timeout, tick)))
+            close = min(cur[-1] + timeout, tick)
+            sessions.append((tuple(cur), close, ws))
+            # triggerTime stays = the close after a tick split (same
+            # island), so the next window opens AT the tick; a timeout
+            # split ends the island and the next first event re-opens
+            # (window_op.go:404 vs :734)
+            ws = close if t - cur[-1] <= timeout else t
             cur = [t]
             tick = (t // cap + 2) * cap
         else:
             cur.append(t)
-    sessions.append((tuple(cur), min(cur[-1] + timeout, tick)))
+    sessions.append((tuple(cur), min(cur[-1] + timeout, tick), ws))
     return sessions
 
 
@@ -212,7 +219,10 @@ def _pairing_sessions(ts, cap, timeout):
             groups.setdefault((rf, s), []).append(t)
         for (rf, s), rows in groups.items():
             rows.sort()
-            out.append((tuple(rows), min(rows[-1] + timeout, (rf + 2 * s + 2) * cap)))
+            start = rows[0] if s == 0 else (rf + 2 * s) * cap
+            out.append(
+                (tuple(rows), min(rows[-1] + timeout, (rf + 2 * s + 2) * cap), start)
+            )
     return out
 
 
