@@ -388,6 +388,7 @@ def window_agg_stream(
     aggs: Sequence[AggSpec] = (),
     passthrough: Sequence[str] = (),
     emit_wid: bool = False,
+    emit_bounds: bool = False,
 ) -> DataFrame:
     """Generic stateful streaming window aggregation.
 
@@ -467,6 +468,13 @@ def window_agg_stream(
         out_fields.append(T.StructField(s, schema[s]))
     if emit_wid:
         out_fields.append(T.StructField("wid", T.LongType()))
+    if emit_bounds and kind != "session":
+        raise ValueError("emit_bounds is a session-window feature")
+    if emit_bounds:
+        # window_start/window_end as epoch-micros longs; the translator
+        # wraps them into the `window` struct the projection reads
+        out_fields.append(T.StructField("__ws", T.LongType()))
+        out_fields.append(T.StructField("__we", T.LongType()))
     if kind == "sliding":
         for c in passthrough:
             out_fields.append(T.StructField(c, schema[c]))
@@ -475,10 +483,17 @@ def window_agg_stream(
         out_fields.append(T.StructField(a.out, _agg_out_type(a.op, in_t)))
     out_schema = T.StructType(out_fields)
 
+    # session state carries the open session's window start (-1 = derive
+    # from the first buffered event): after a cap-tick split the follow-up
+    # session opens AT the tick (window_op.go:734), which the next batch
+    # cannot reconstruct from the trimmed buffer alone
+    has_ws = kind == "session"
     state_fields = [
         T.StructField("emitted", T.LongType()),
         T.StructField("is_open", T.BooleanType()),
-    ] + [
+    ] + (
+        [T.StructField("ws_open", T.LongType())] if has_ws else []
+    ) + [
         T.StructField(f"b_{c}", T.ArrayType(_state_elem_type(schema[c]))) for c in buffered
     ]
     state_schema = T.StructType(state_fields)
@@ -578,20 +593,32 @@ def window_agg_stream(
             sink[sc] = []
         if emit_wid:
             sink["wid"] = []
+        if emit_bounds:
+            sink["__ws"] = []
+            sink["__we"] = []
         return sink
+
+    _ws_slot = 1 if has_ws else 0  # extra scalar before the buffers
 
     def load_state(state: GroupState):
         if state.exists:
             vals = state.get
             emitted, is_open = vals[0], vals[1]
+            base = 2 + _ws_slot
             buf = {}
             for i, c in enumerate(buffered):
-                raw = np.asarray(list(vals[2 + i]), dtype=_empty_np(_state_elem_type(buf_types[c])).dtype) if vals[2 + i] else _empty_np(_state_elem_type(buf_types[c]))
+                raw = np.asarray(list(vals[base + i]), dtype=_empty_np(_state_elem_type(buf_types[c])).dtype) if vals[base + i] else _empty_np(_state_elem_type(buf_types[c]))
                 buf[c] = raw
             return emitted, is_open, buf
         return 0, False, {c: _empty_np(_state_elem_type(buf_types[c])) for c in buffered}
 
-    def save_state(state: GroupState, emitted: int, is_open: bool, buf: dict) -> None:
+    def load_ws(state: GroupState) -> int:
+        if has_ws and state.exists:
+            v = state.get[2]
+            return int(v) if v is not None else -1
+        return -1
+
+    def save_state(state: GroupState, emitted: int, is_open: bool, buf: dict, ws_open: int = -1) -> None:
         if buffered and state_max_rows:
             n_buf = len(next(iter(buf.values())))
             if n_buf > state_max_rows:
@@ -605,7 +632,11 @@ def window_agg_stream(
                 )
                 buf = {c: buf[c][-state_max_rows:] for c in buffered}
         state.update(
-            tuple([int(emitted), bool(is_open)] + [list(buf[c].tolist()) for c in buffered])
+            tuple(
+                [int(emitted), bool(is_open)]
+                + ([int(ws_open)] if has_ws else [])
+                + [list(buf[c].tolist()) for c in buffered]
+            )
         )
 
     def batch_arrays(batch: pd.DataFrame, cols: Sequence[str]) -> dict:
@@ -764,7 +795,37 @@ def window_agg_stream(
         open_close = min(int(ts_arr[total - 1]) + timeout_us, close_tick)
         return bounds, cur, open_close
 
-    def _emit_session(buf: dict, s: int, e: int, emitted: int, out_rows: dict) -> None:
+    def _ws_chain(ts_arr, bounds, cur, ws_stored: int):
+        """Window starts per the reference: an island's first session
+        opens at its first event, a cap-split follow-up opens AT the
+        previous close tick (window_op.go:404 vs :734).  ``ws_stored``
+        carries the open session's start across batches; a late arrival
+        that sorts before it falls back to the first-event rule."""
+        first = int(ts_arr[0])
+        ws0 = ws_stored if 0 <= ws_stored <= first else first
+        ws_list: list[int] = []
+        prev_close = None
+        for k, (s, _e, c_us) in enumerate(bounds):
+            if k == 0:
+                ws_list.append(ws0)
+            else:
+                tick_split = int(ts_arr[s]) - int(ts_arr[s - 1]) <= timeout_us
+                ws_list.append(prev_close if tick_split else int(ts_arr[s]))
+            prev_close = c_us
+        if bounds:
+            tick_split = cur > 0 and int(ts_arr[cur]) - int(ts_arr[cur - 1]) <= timeout_us
+            tail_ws = prev_close if tick_split else int(ts_arr[cur])
+        else:
+            tail_ws = ws0
+        return ws_list, tail_ws
+
+    def _emit_session(
+        buf: dict, s: int, e: int, emitted: int, out_rows: dict,
+        ws_us: Optional[int] = None, we_us: Optional[int] = None,
+    ) -> None:
+        if emit_bounds:
+            out_rows["__ws"].append(ws_us)
+            out_rows["__we"].append(we_us)
         win = {c: buf[c][s:e] for c in buffered}
         if sub_list:
             subgroup_window(win, emitted, out_rows)
@@ -808,6 +869,7 @@ def window_agg_stream(
             wm_us = int(state.getCurrentWatermarkMs()) * 1000
 
         if state.hasTimedOut:
+            ws_stored = load_ws(state)
             emitted, _, buf = load_state(state)
             out_rows = new_sink()
             total = len(buf[ts_col])
@@ -815,7 +877,11 @@ def window_agg_stream(
                 # processing-time flush (flush_open_ms): emit the whole
                 # open session like the reference's wall-clock timer
                 if total:
-                    _emit_session(buf, 0, total, emitted, out_rows)
+                    _, _, open_close = _session_bounds(buf[ts_col], total)
+                    _, tail_ws = _ws_chain(buf[ts_col], [], 0, ws_stored)
+                    _emit_session(
+                        buf, 0, total, emitted, out_rows, tail_ws, open_close
+                    )
                 state.remove()
                 n_out = len(next(iter(out_rows.values()))) if out_rows else 0
                 if n_out:
@@ -827,27 +893,32 @@ def window_agg_stream(
                 return
             ts_arr = buf[ts_col]
             bounds, cur, open_close = _session_bounds(ts_arr, total)
+            ws_list, tail_ws = _ws_chain(ts_arr, bounds, cur, ws_stored)
             keep_from, pending = None, []
-            for s, e, c_us in bounds:
+            keep_ws = tail_ws
+            for k, (s, e, c_us) in enumerate(bounds):
                 if keep_from is None and c_us <= wm_us:
-                    _emit_session(buf, s, e, emitted, out_rows)
+                    _emit_session(buf, s, e, emitted, out_rows, ws_list[k], c_us)
                     emitted += 1
                 else:
-                    keep_from = s if keep_from is None else keep_from
+                    if keep_from is None:
+                        keep_from, keep_ws = s, ws_list[k]
                     pending.append(c_us)
             if keep_from is None:
                 if open_close <= wm_us:
-                    _emit_session(buf, cur, total, emitted, out_rows)
+                    _emit_session(
+                        buf, cur, total, emitted, out_rows, tail_ws, open_close
+                    )
                     emitted += 1
                     keep_from = total
                 else:
-                    keep_from = cur
+                    keep_from, keep_ws = cur, tail_ws
                     pending.append(open_close)
             else:
                 pending.append(open_close)
             buf = {c: buf[c][keep_from:] for c in buffered}
             if len(buf[ts_col]):
-                save_state(state, emitted, True, buf)
+                save_state(state, emitted, True, buf, keep_ws)
                 state.setTimeoutTimestamp(min(pending) // 1000)
             else:
                 state.remove()
@@ -856,6 +927,7 @@ def window_agg_stream(
                 yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
             return
 
+        ws_stored = load_ws(state)
         emitted, _, buf = load_state(state)
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) and wm_us is not None and wm_us > 0:
@@ -870,7 +942,7 @@ def window_agg_stream(
         ts_arr = buf[ts_col]
         total = len(ts_arr)
         if not total:
-            save_state(state, emitted, False, buf)
+            save_state(state, emitted, False, buf, ws_stored)
             return
         # a late-but-in-tolerance arrival may sort before carried rows
         perm = np.argsort(ts_arr, kind="stable")
@@ -880,24 +952,29 @@ def window_agg_stream(
         # session start, so this is a per-key scan (keyed state = the
         # scale path; per-key per-batch row counts stay small)
         bounds, cur, open_close = _session_bounds(ts_arr, total)
+        ws_list, tail_ws = _ws_chain(ts_arr, bounds, cur, ws_stored)
         out_rows = new_sink()
+        keep_ws = tail_ws
         if wm_us is None:
-            for s, e, _c in bounds:
-                _emit_session(buf, s, e, emitted, out_rows)
+            for k, (s, e, c_us) in enumerate(bounds):
+                _emit_session(buf, s, e, emitted, out_rows, ws_list[k], c_us)
                 emitted += 1
             keep_from = cur
         else:
             keep_from, pending = None, []
-            for s, e, c_us in bounds:
+            for k, (s, e, c_us) in enumerate(bounds):
                 if keep_from is None and c_us <= wm_us:
-                    _emit_session(buf, s, e, emitted, out_rows)
+                    _emit_session(buf, s, e, emitted, out_rows, ws_list[k], c_us)
                     emitted += 1
                 else:
-                    keep_from = s if keep_from is None else keep_from
+                    if keep_from is None:
+                        keep_from, keep_ws = s, ws_list[k]
                     pending.append(c_us)
             if keep_from is None:
                 if open_close <= wm_us:
-                    _emit_session(buf, cur, total, emitted, out_rows)
+                    _emit_session(
+                        buf, cur, total, emitted, out_rows, tail_ws, open_close
+                    )
                     emitted += 1
                     keep_from = total
                 else:
@@ -906,7 +983,7 @@ def window_agg_stream(
             else:
                 pending.append(open_close)
         buf = {c: buf[c][keep_from:] for c in buffered}
-        save_state(state, emitted, len(buf[ts_col]) > 0, buf)
+        save_state(state, emitted, len(buf[ts_col]) > 0, buf, keep_ws)
         if len(buf[ts_col]):
             if watermark_gated:
                 state.setTimeoutTimestamp(min(pending) // 1000)

@@ -781,6 +781,27 @@ class Translator:
                 # reference's event_window_trigger discipline), so
                 # in-tolerance out-of-order events still join
                 kw["watermark_gated"] = True
+            # window_start()/window_end()/event_time() in the SELECT pull
+            # per-session bounds from the sessionizer (ws-at-tick rule)
+            meta_names = set(fregistry.WINDOW_META) | {"event_time"}
+
+            def _uses_window_meta(n: Node) -> bool:
+                if isinstance(n, FuncCall):
+                    if n.name in meta_names:
+                        return True
+                    return any(_uses_window_meta(a) for a in n.args)
+                if isinstance(n, Binary):
+                    return _uses_window_meta(n.left) or _uses_window_meta(n.right)
+                if isinstance(n, Unary):
+                    return _uses_window_meta(n.operand)
+                if isinstance(n, (Index, Slice, Access, JsonPath, InExpr, Between, Like)):
+                    return _uses_window_meta(n.expr)
+                return False
+
+            if any(_uses_window_meta(f.expr) for f in stmt.fields) or (
+                stmt.having is not None and _uses_window_meta(stmt.having)
+            ):
+                kw["emit_bounds"] = True
             dims = subgroups
             subgroups = []
         else:  # state
@@ -811,6 +832,17 @@ class Translator:
         )
         ctx.post_agg = True
         ctx.window_col = None
+        if kw.get("emit_bounds"):
+            out = out.withColumn(
+                "window",
+                F.struct(
+                    F.timestamp_micros(F.col("__ws")).alias("start"),
+                    F.timestamp_micros(F.col("__we")).alias("end"),
+                ),
+            ).drop("__ws", "__we")
+            ctx.window_col = "window"
+            ctx.window_bounds_ms = ctx.event_is_long
+            ctx.event_col = "window.end"
         if stmt.having is not None:
             out = out.filter(self._expr(stmt.having, ctx))
         return self._project(out, stmt, ctx)

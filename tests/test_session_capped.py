@@ -354,3 +354,50 @@ def test_reference_window_rule5_session_demo_batch(spark, cat):
         (1541152490000, 1541152494000, 5),
         (1541152494000, 1541152495112, 1),
     ]
+
+
+def test_streaming_session_window_bounds(spark, cat, tmp_path):
+    """Streaming capped sessions expose window_start()/window_end(): the
+    sessionizer emits per-session bounds, including the ws-at-tick rule
+    across micro-batches (the cross-batch follow-up session opens at the
+    tick its predecessor closed on, carried in state)."""
+    import glob
+    import os
+    import shutil
+    import time
+    import uuid as _uuid
+
+    rows1 = [("a", 10 + 30 * i, 1) for i in range(4)]   # 10..100 (open)
+    rows2 = [("a", 130 + 30 * i, 1) for i in range(4)]  # extends to 220; then
+    rows2 += [("a", 250, 1), ("a", 500, 1)]  # tick close 240; timeout close
+    df1, df2 = _mk(spark, rows1), _mk(spark, rows2)
+    sdir = str(tmp_path / "stream")
+    os.makedirs(sdir)
+    df1.coalesce(1).write.parquet(str(tmp_path / "p1"))
+    df2.coalesce(1).write.parquet(str(tmp_path / "p2"))
+    now = time.time()
+    for i, sub in enumerate(["p1", "p2"]):
+        src = glob.glob(str(tmp_path / sub / "*.parquet"))[0]
+        dst = os.path.join(sdir, f"{sub}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (now - 60 + i * 30, now - 60 + i * 30))
+    sdf = spark.readStream.schema(df1.schema).option("maxFilesPerTrigger", 1).parquet(sdir)
+    cat.register_df("events", sdf)
+    out = compile_sql(
+        spark,
+        "SELECT user_id, count(*) AS n, window_start() AS ws, "
+        "window_end() AS we FROM events "
+        "GROUP BY user_id, SESSIONWINDOW(ss, 120, 60)",
+        cat,
+        streaming=True,
+    )
+    name = "t_sessb_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted((r["ws"], r["we"], r["n"]) for r in spark.table(name).collect())
+    # session 1: first event 10, tick close 240; session 2: same island
+    # (gap 250-220=30 <= 60) -> opens AT the tick 240, timeout close 310
+    assert got == [(_t(10), _t(240), 8), (_t(240), _t(310), 1)]
