@@ -1310,23 +1310,40 @@ class Translator:
         for row in sorted(counts, key=lambda r: (r["__gbk"] is None, r["__gbk"])):
             offsets[row["__gbk"]] = running
             running += row["c"]
-        # offsets attach via sorted array literals (same constant-plan
-        # pattern as the bucket assignment above: O(B) runtime over a
-        # flat array, no join).  A broadcast-join attach was observed to
-        # intermittently mis-bind on first execution (Spark pushed a
-        # streamed-side filter onto the tiny build side); pure
-        # expressions cannot.
-        if offsets:
-            keys = sorted(offsets)
+        # offsets attach as a DENSE array literal indexed by bucket id —
+        # O(1) element_at per row.  Every row's bucket is by construction
+        # a key of `offsets` (its own count contributed), so an exact
+        # positional lookup suffices; bucket ids are dense integers (hour
+        # indices / boundary counts), so the array spans [min, max].  A
+        # broadcast-join attach was observed to intermittently mis-bind on
+        # first execution (Spark pushed a streamed-side filter onto the
+        # tiny build side) and the earlier filter()-scan attach was O(B)
+        # lambda evals per row — 5x wall on a 720-hour range, unbounded
+        # at 100x — pure O(1) indexing has neither problem.
+        nulls_off = offsets.pop(_NULLS_BUCKET, None)
+        keys = sorted(offsets)
+        span = (keys[-1] - keys[0] + 1) if keys else 0
+        if keys and span <= 4_000_000:
+            lo = keys[0]
+            dense = [0] * span
+            for k in keys:
+                dense[k - lo] = int(offsets[k])
+            oarr = F.lit(dense)
+            att = F.element_at(oarr, (F.col("__gbk") - F.lit(lo) + 1).cast("int"))
+        elif keys:
+            # degenerate span (sparse multi-century keys): predecessor
+            # scan fallback, O(B) per row
             karr = F.lit([int(k) for k in keys])
             oarr = F.lit([int(offsets[k]) for k in keys])
             idx = F.size(F.filter(karr, lambda b: b <= F.col("__gbk")))
-            bdf = bdf.withColumn(
-                "__goff",
-                F.when(idx > 0, F.element_at(oarr, idx)).otherwise(F.lit(0)),
-            )
+            att = F.when(idx > 0, F.element_at(oarr, idx)).otherwise(F.lit(0))
         else:
-            bdf = bdf.withColumn("__goff", F.lit(0))
+            att = F.lit(0)
+        if nulls_off is not None:
+            att = F.when(
+                F.col("__gbk") == F.lit(_NULLS_BUCKET), F.lit(int(nulls_off))
+            ).otherwise(att)
+        bdf = bdf.withColumn("__goff", att)
         rn = F.row_number().over(W.partitionBy("__gbk").orderBy(*order)) + F.col("__goff")
         return bdf.withColumn("__grn", rn).drop("__gbk", "__goff"), "__grn"
 
