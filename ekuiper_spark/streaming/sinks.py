@@ -46,14 +46,34 @@ def encode_rows(df: DataFrame, props: dict[str, Any]) -> DataFrame:
     fmt = props.get("format", "json")
     template = props.get("dataTemplate")
     if template:
-        # {col} placeholders -> format_string; deterministic col order
+        # Go text/template subset (the reference's dataTemplate syntax,
+        # fvt/rule_test.go:700 `[{"v":{{.a}}},...]`): {{.col}} field refs
+        # and the {{json .}} / {{json .col}} helper, plus the legacy
+        # {col} placeholder form — all compiled to one format_string
         import re as _re
 
-        cols = _re.findall(r"\{(\w+)\}", template)
-        fmt_str = _re.sub(r"\{\w+\}", "%s", template)
-        return df.select(
-            F.format_string(fmt_str, *[F.col(c).cast("string") for c in cols]).alias("payload")
+        exprs: list = []
+
+        def _sub(m: "_re.Match") -> str:
+            go_body, legacy = m.group(1), m.group(2)
+            if go_body is not None:
+                body = go_body.strip()
+                if body in ("json .", "."):
+                    exprs.append(F.to_json(F.struct(*df.columns)))
+                elif body.startswith("json ."):
+                    exprs.append(F.to_json(F.col(body[6:].strip())))
+                elif body.startswith("."):
+                    exprs.append(F.col(body[1:]).cast("string"))
+                else:
+                    return m.group(0)  # unsupported directive: literal
+            else:
+                exprs.append(F.col(legacy).cast("string"))
+            return "%s"
+
+        fmt_str = _re.sub(
+            r"\{\{([^}]*)\}\}|\{(\w+)\}", _sub, template.replace("%", "%%")
         )
+        return df.select(F.format_string(fmt_str, *exprs).alias("payload"))
     if fmt == "json":
         # sendNilField (def.RuleOption.SendNil): nil fields are omitted
         # unless the option asks for them — Spark's to_json default
@@ -108,6 +128,26 @@ def sink_batch(df: DataFrame, props: dict[str, Any], max_rows: int = 100_000) ->
     if props.get("omitIfEmpty") and not rows:
         return []
     if props.get("sendSingle", True):
+        if props.get("dataTemplate") and props.get("format", "json") == "json":
+            # a template whose output decodes to a JSON ARRAY fans out one
+            # message per element (the reference sink node's CollectList
+            # path, fvt/rule_test.go TestDataTemplateArrayDecode)
+            import json as _json
+
+            out: list[str] = []
+            for p in rows:
+                try:
+                    obj = _json.loads(p)
+                except (ValueError, TypeError):
+                    out.append(p)
+                    continue
+                if isinstance(obj, list):
+                    out.extend(
+                        _json.dumps(e, separators=(",", ":")) for e in obj
+                    )
+                else:
+                    out.append(p)
+            return out
         return rows
     if props.get("format", "json") == "json":
         return ["[" + ",".join(rows) + "]"] if rows else ["[]"]

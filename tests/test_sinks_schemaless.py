@@ -125,3 +125,43 @@ def test_send_nil_field_option(spark):
     assert default == '{"a":1}'
     withnil = encode_rows(df, {"format": "json", "sendNilField": True}).collect()[0]["payload"]
     assert withnil == '{"a":1,"b":null}'
+
+
+def test_sink_go_template_syntax(spark):
+    """dataTemplate with the reference's Go text/template syntax:
+    {{.field}} refs and the {{json .}} / {{json .field}} helper."""
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    payloads = sink_batch(
+        df, {"dataTemplate": 'a={{.a}} b={{.b}}', "sendSingle": True}
+    )
+    assert payloads == ["a=1 b=2"]
+    payloads = sink_batch(
+        df, {"dataTemplate": 'row: {{json .}}', "sendSingle": True}
+    )
+    assert payloads == ['row: {"a":1,"b":2}']
+    # mixed legacy {col} and Go {{.col}} forms bind positionally correct
+    payloads = sink_batch(
+        df, {"dataTemplate": '{b} then {{.a}}', "sendSingle": True}
+    )
+    assert payloads == ["2 then 1"]
+    # literal percent signs survive the format_string compile
+    payloads = sink_batch(
+        df, {"dataTemplate": '100% of {{.a}}', "sendSingle": True}
+    )
+    assert payloads == ["100% of 1"]
+
+
+def test_sink_template_array_decode(spark):
+    """fvt/rule_test.go TestDataTemplateArrayDecode: a template whose
+    output is a JSON ARRAY fans out one message per element under
+    sendSingle."""
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    payloads = sink_batch(
+        df,
+        {
+            "dataTemplate": '[{"v":{{.a}}},{"v":{{.b}}}]',
+            "sendSingle": True,
+            "format": "json",
+        },
+    )
+    assert [json.loads(p) for p in payloads] == [{"v": 1.0}, {"v": 2.0}]
