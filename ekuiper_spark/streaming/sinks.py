@@ -62,6 +62,11 @@ def encode_rows(df: DataFrame, props: dict[str, Any]) -> DataFrame:
                     exprs.append(F.to_json(F.struct(*df.columns)))
                 elif body.startswith("json ."):
                     exprs.append(F.to_json(F.col(body[6:].strip())))
+                elif body.startswith("base64 ."):
+                    # transform/func.go:36 Base64Encode template helper
+                    exprs.append(
+                        F.base64(F.col(body[8:].strip()).cast("string").cast("binary"))
+                    )
                 elif body.startswith("."):
                     exprs.append(F.col(body[1:]).cast("string"))
                 else:

@@ -149,6 +149,11 @@ def test_sink_go_template_syntax(spark):
         df, {"dataTemplate": '100% of {{.a}}', "sendSingle": True}
     )
     assert payloads == ["100% of 1"]
+    # {{base64 .col}} helper (transform/func.go:36)
+    payloads = sink_batch(
+        df, {"dataTemplate": '{{base64 .a}}', "sendSingle": True}
+    )
+    assert payloads == ["MQ=="]
 
 
 def test_sink_template_array_decode(spark):
