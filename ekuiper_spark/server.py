@@ -369,6 +369,29 @@ class RestServer:
                     }
                 if method == "GET" and len(parts) == 3 and parts[2] == "topo":
                     return 200, self._topo(self.runtime.rules[rid])
+                if method == "GET" and len(parts) == 3 and parts[2] == "scantables":
+                    # scan_table_shower.go:32: snapshot the scan-table
+                    # content a joining rule aligns against
+                    import re as _re
+
+                    sql = self.runtime.rules[rid].sql
+                    words = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql))
+                    hits = [
+                        (n, b) for n, b in self.runtime.scan_tables.items()
+                        if n in words
+                    ]
+                    if not hits:
+                        return 400, {"error": f"join node is not found for {rid}"}
+                    res = [
+                        {"emitter": n, "content": row}
+                        for n, b in hits
+                        for row in b.snapshot()
+                    ]
+                    if not res:
+                        return 400, {
+                            "error": "unable to find tuples for the given scan table"
+                        }
+                    return 200, res
 
         if parts == ["ruletest"] and method == "POST":
             return 200, self._ruletest(body)

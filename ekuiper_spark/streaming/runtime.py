@@ -49,6 +49,13 @@ class RuleRuntime:
         self.rolling_writers: dict[str, Any] = {}
         self._read_snapshots: dict[str, dict[str, list]] = {}
         self._checkpoints: dict[str, str] = {}
+        # scan-table buffers by table name (sources/scantable.py), so the
+        # control plane can snapshot a joining rule's aligned content
+        # (rest.go:224 /rules/{name}/scantables)
+        self.scan_tables: dict[str, Any] = {}
+
+    def register_scan_table(self, name: str, buffer: Any) -> None:
+        self.scan_tables[name] = buffer
 
     def create_rule(self, rule: Rule) -> None:
         if rule.id in self.rules:

@@ -272,3 +272,39 @@ def test_rules_bulk_start_stop(server):
     assert code == 200 and sorted(res["stopped"]) == ["bulk_a", "bulk_b"]
     for rid in ("bulk_a", "bulk_b"):
         _req(server, "DELETE", f"/rules/{rid}")
+
+
+def test_rule_scantables_snapshot(server, tmp_path):
+    """GET /rules/{id}/scantables returns the aligned scan-table content a
+    joining rule sees (scan_table_shower.go:32: one {emitter, content}
+    entry per buffered tuple); no scan table in the rule -> the
+    reference's join-node error."""
+    from ekuiper_spark.sources.scantable import ScanTableBuffer
+
+    buf = ScanTableBuffer(str(tmp_path / "devices.json"), retain_size=3)
+    buf.append_rows(
+        [
+            {"id": 1, "name": "Device1"},
+            {"id": 2, "name": "Device2"},
+        ]
+    )
+    server.runtime.register_scan_table("deviceTable", buf)
+    code, _ = _req(
+        server, "POST", "/rules",
+        {"id": "join_scan", "sql": "SELECT event_id FROM events INNER JOIN deviceTable ON events.event_id = deviceTable.id"},
+    )
+    assert code == 201
+    code, body = _req(server, "GET", "/rules/join_scan/scantables")
+    assert code == 200
+    assert body == [
+        {"emitter": "deviceTable", "content": {"id": 1, "name": "Device1"}},
+        {"emitter": "deviceTable", "content": {"id": 2, "name": "Device2"}},
+    ]
+    # a rule without any registered scan table errors like the reference
+    code, _ = _req(
+        server, "POST", "/rules",
+        {"id": "no_scan", "sql": "SELECT event_id FROM events"},
+    )
+    assert code == 201
+    code, body = _req(server, "GET", "/rules/no_scan/scantables")
+    assert code == 400 and "join node is not found" in body["error"]
