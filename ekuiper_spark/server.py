@@ -369,6 +369,19 @@ class RestServer:
                     }
                 if method == "GET" and len(parts) == 3 and parts[2] == "topo":
                     return 200, self._topo(self.runtime.rules[rid])
+                if method == "GET" and len(parts) == 3 and parts[2] == "schema":
+                    # rest.go:215 rule output schema: column -> slice index
+                    # (fvt TestRuleSchema shape: {hasIndex, index})
+                    try:
+                        out = compile_sql(
+                            self.spark, self.runtime.rules[rid].sql, self.catalog
+                        )
+                    except Exception as e:
+                        return 400, {"error": f"{type(e).__name__}: {e}"}
+                    return 200, {
+                        c: {"hasIndex": True, "index": i}
+                        for i, c in enumerate(out.columns)
+                    }
                 if method == "GET" and len(parts) == 3 and parts[2] == "scantables":
                     # scan_table_shower.go:32: snapshot the scan-table
                     # content a joining rule aligns against

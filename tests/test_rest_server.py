@@ -308,3 +308,19 @@ def test_rule_scantables_snapshot(server, tmp_path):
     assert code == 201
     code, body = _req(server, "GET", "/rules/no_scan/scantables")
     assert code == 400 and "join node is not found" in body["error"]
+
+
+def test_rule_schema_endpoint(server):
+    """GET /rules/{id}/schema (rest.go:215): output column -> slice index
+    in the fvt TestRuleSchema shape."""
+    code, _ = _req(
+        server, "POST", "/rules",
+        {"id": "schema_rule", "sql": "SELECT event_id, event_type FROM events"},
+    )
+    assert code == 201
+    code, body = _req(server, "GET", "/rules/schema_rule/schema")
+    assert code == 200
+    assert body == {
+        "event_id": {"hasIndex": True, "index": 0},
+        "event_type": {"hasIndex": True, "index": 1},
+    }
