@@ -61,6 +61,10 @@ class RestServer:
         self.runtime = RuleRuntime(spark, catalog)
         self.processor = StreamProcessor(spark, catalog)
         self.services: dict[str, list[str]] = {}
+        import tempfile
+
+        # /config/uploads file store (rest.go:181 dataDir/uploads)
+        self.upload_dir = tempfile.mkdtemp(prefix="ekuiper_spark_uploads_")
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -186,6 +190,44 @@ class RestServer:
                     if not _script.unregister_script_function(fid):
                         return 404, {"error": f"script function {fid!r} not registered"}
                     return 200, {"result": f"script function {fid} is deleted"}
+
+        if parts[0] == "config" and len(parts) >= 2 and parts[1] == "uploads":
+            # rest.go:230 /config/uploads — the JSON fileContent variant
+            # ({name, content} or {name, file: <url>}); uploaded files back
+            # file sources and certificates by absolute path
+            import os as _os
+
+            if method == "POST" and len(parts) == 2:
+                name = body.get("name")
+                if not name or ("/" in name or name.startswith(".")):
+                    return 400, {"error": "Invalid body: missing necessary field"}
+                content = body.get("content")
+                file_url = body.get("file")
+                if content is None and not file_url:
+                    return 400, {"error": "Invalid body: missing necessary field"}
+                dst = _os.path.join(self.upload_dir, name)
+                if content is not None:
+                    with open(dst, "w") as f:
+                        f.write(content)
+                else:
+                    import urllib.request as _ur
+
+                    if not str(file_url).startswith(("http://", "https://", "file://")):
+                        return 400, {"error": "Invalid file url"}
+                    with _ur.urlopen(file_url) as r, open(dst, "wb") as f:
+                        f.write(r.read())
+                return 201, dst
+            if method == "GET" and len(parts) == 2:
+                return 200, sorted(
+                    _os.path.join(self.upload_dir, n)
+                    for n in _os.listdir(self.upload_dir)
+                )
+            if method == "DELETE" and len(parts) == 3:
+                dst = _os.path.join(self.upload_dir, parts[2])
+                if not _os.path.exists(dst):
+                    return 404, {"error": f"upload {parts[2]!r} not found"}
+                _os.remove(dst)
+                return 200, {"result": f"deleted {parts[2]}"}
 
         if parts[0] == "services":
             # external service functions (internal/service/manager.go):

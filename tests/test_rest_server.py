@@ -324,3 +324,26 @@ def test_rule_schema_endpoint(server):
         "event_id": {"hasIndex": True, "index": 0},
         "event_type": {"hasIndex": True, "index": 1},
     }
+
+
+def test_config_uploads_lifecycle(server):
+    """/config/uploads JSON fileContent variant (rest.go:415-441): POST
+    {name, content} writes into the upload dir and returns the absolute
+    path; GET lists; DELETE removes; a missing field is a 400."""
+    code, path = _req(
+        server, "POST", "/config/uploads",
+        {"name": "init.json", "content": '[{"id": 1}]'},
+    )
+    assert code == 201 and path.endswith("/init.json")
+    with open(path) as f:
+        assert f.read() == '[{"id": 1}]'
+    code, listing = _req(server, "GET", "/config/uploads")
+    assert code == 200 and path in listing
+    code, _ = _req(server, "POST", "/config/uploads", {"name": "x"})
+    assert code == 400
+    code, _ = _req(server, "DELETE", "/config/uploads/init.json")
+    assert code == 200
+    code, listing = _req(server, "GET", "/config/uploads")
+    assert path not in listing
+    code, _ = _req(server, "DELETE", "/config/uploads/init.json")
+    assert code == 404
