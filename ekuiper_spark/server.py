@@ -85,7 +85,9 @@ class RestServer:
 
             def _route(self, method: str) -> None:
                 try:
-                    code, body = outer.handle(method, self.path, self._body() if method in ("POST", "PUT") else {})
+                    # PATCH/DELETE and the reference's GET-with-body
+                    # (/rules/tags/match) also carry JSON payloads
+                    code, body = outer.handle(method, self.path, self._body())
                 except KeyError as e:
                     code, body = 404, {"error": str(e)}
                 except (ValueError, SyntaxError) as e:
@@ -105,6 +107,9 @@ class RestServer:
 
             def do_DELETE(self):
                 self._route("DELETE")
+
+            def do_PATCH(self):
+                self._route("PATCH")
 
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self.port = self.httpd.server_address[1]
@@ -330,9 +335,20 @@ class RestServer:
                     sql=body["sql"],
                     actions=body.get("actions", []),
                     options=body.get("options", {}),
+                    tags=body.get("tags", []),
                 )
                 self.runtime.create_rule(rule)
                 return 201, {"result": f"rule {rule.id} created"}
+            if parts[1:] == ["tags", "match"]:
+                # rule_tag.go:205 — match = requested tags are a SUBSET of
+                # the rule's tags
+                want = set(body.get("tags") or [])
+                return 200, {
+                    "rules": sorted(
+                        rid for rid, r in self.runtime.rules.items()
+                        if want <= set(r.tags)
+                    )
+                }
             if method == "GET" and len(parts) == 1:
                 return 200, [
                     {"id": rid, **self.runtime.status(rid)}
@@ -411,6 +427,30 @@ class RestServer:
                     }
                 if method == "GET" and len(parts) == 3 and parts[2] == "topo":
                     return 200, self._topo(self.runtime.rules[rid])
+                if len(parts) == 3 and parts[2] == "tags":
+                    # rule_tag.go:111: PUT replaces, PATCH adds, DELETE
+                    # removes; body = {"tags": [...]}
+                    req = list(body.get("tags") or [])
+                    r = self.runtime.rules[rid]
+                    if method == "PUT":
+                        r.tags = req
+                    elif method == "PATCH":
+                        r.tags = r.tags + [t for t in req if t not in r.tags]
+                    elif method == "DELETE":
+                        r.tags = [t for t in r.tags if t not in req]
+                    else:
+                        return 404, {"error": "tags supports PUT/PATCH/DELETE"}
+                    return 200, {"tags": r.tags}
+                if method == "PUT" and len(parts) == 3 and parts[2] == "reset_state":
+                    # rest.go /rules/{name}/reset_state: drop the rule's
+                    # checkpointed state so the next start replays fresh
+                    import shutil as _sh
+
+                    ck = self.runtime._checkpoints.pop(rid, None)
+                    if ck:
+                        _sh.rmtree(ck, ignore_errors=True)
+                    self.runtime._read_snapshots.pop(rid, None)
+                    return 200, {"result": f"rule {rid} state reset"}
                 if method == "GET" and len(parts) == 3 and parts[2] == "schema":
                     # rest.go:215 rule output schema: column -> slice index
                     # (fvt TestRuleSchema shape: {hasIndex, index})
@@ -447,6 +487,24 @@ class RestServer:
                             "error": "unable to find tuples for the given scan table"
                         }
                     return 200, res
+
+        if parts == ["batch", "req"] and method == "POST":
+            # rest.go:1132 batchRequestHandler: [{method, path, body}] ->
+            # [{code, response}] — each sub-request routes through the
+            # same dispatch (body is the reference's raw-string form)
+            out = []
+            for each in (body if isinstance(body, list) else []):
+                try:
+                    sub_body = each.get("body") or "{}"
+                    if isinstance(sub_body, str):
+                        sub_body = json.loads(sub_body or "{}")
+                    c, resp = self.handle(
+                        each.get("method", "GET"), each.get("path", "/"), sub_body
+                    )
+                    out.append({"code": c, "response": json.dumps(resp, default=str)})
+                except Exception as e:
+                    out.append({"code": 0, "error": str(e)})
+            return 200, out
 
         if parts == ["ruletest"] and method == "POST":
             return 200, self._ruletest(body)

@@ -34,6 +34,7 @@ class Rule:
     sql: str
     actions: list[dict[str, Any]] = field(default_factory=list)  # [{"memory": {...}}]
     options: dict[str, Any] = field(default_factory=dict)
+    tags: list[str] = field(default_factory=list)  # def.Rule Tags (rule_tag.go)
 
 
 class RuleRuntime:

@@ -64,7 +64,7 @@ def test_sql_stream_incremental_poll(spark, db):
     name = "sqlst_" + _uuid.uuid4().hex[:6]
     q = sdf.writeStream.format("memory").queryName(name).outputMode("append").start()
     try:
-        deadline = time.time() + 90
+        deadline = time.time() + 180  # generous: the full suite saturates all cores
         while time.time() < deadline and spark.table(name).count() < 3:
             time.sleep(0.3)
         # several more polls must NOT re-deliver already-seen index values
