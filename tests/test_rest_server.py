@@ -347,3 +347,52 @@ def test_config_uploads_lifecycle(server):
     assert path not in listing
     code, _ = _req(server, "DELETE", "/config/uploads/init.json")
     assert code == 404
+
+
+def test_rule_tags_crud_and_match(server):
+    """rule_tag.go: PUT replaces, PATCH adds, DELETE removes; GET
+    /rules/tags/match returns rules whose tags contain ALL requested."""
+    for rid, tags in [("tag_a", ["edge", "prod"]), ("tag_b", ["edge"])]:
+        code, _ = _req(
+            server, "POST", "/rules",
+            {"id": rid, "sql": "SELECT event_id FROM events", "tags": tags},
+        )
+        assert code == 201
+    code, body = _req(server, "GET", "/rules/tags/match", {"tags": ["edge"]})
+    assert code == 200 and set(body["rules"]) >= {"tag_a", "tag_b"}
+    code, body = _req(server, "GET", "/rules/tags/match", {"tags": ["edge", "prod"]})
+    assert code == 200 and "tag_a" in body["rules"] and "tag_b" not in body["rules"]
+    code, body = _req(server, "PATCH", "/rules/tag_b/tags", {"tags": ["prod", "edge"]})
+    assert code == 200 and body["tags"] == ["edge", "prod"]
+    code, body = _req(server, "DELETE", "/rules/tag_b/tags", {"tags": ["edge"]})
+    assert code == 200 and body["tags"] == ["prod"]
+    code, body = _req(server, "PUT", "/rules/tag_b/tags", {"tags": ["x"]})
+    assert code == 200 and body["tags"] == ["x"]
+
+
+def test_batch_request(server):
+    """rest.go:1132 /batch/req: sub-requests route through the same
+    dispatch and return per-request {code, response} (fvt
+    TestBatchRequest shape — body is a raw JSON string)."""
+    reqs = [
+        {"method": "POST", "path": "/rules",
+         "body": json.dumps({"id": "batch_rule", "sql": "SELECT event_id FROM events"})},
+        {"method": "GET", "path": "/rules/batch_rule"},
+        {"method": "GET", "path": "/rules/definitely_missing"},
+    ]
+    code, body = _req(server, "POST", "/batch/req", reqs)
+    assert code == 200 and len(body) == 3
+    assert body[0]["code"] == 201
+    assert body[1]["code"] == 200
+    assert json.loads(body[1]["response"])["sql"] == "SELECT event_id FROM events"
+    assert body[2]["code"] == 404
+
+
+def test_rule_reset_state(server, spark):
+    code, _ = _req(
+        server, "POST", "/rules",
+        {"id": "reset_me", "sql": "SELECT event_id FROM events"},
+    )
+    assert code == 201
+    code, body = _req(server, "PUT", "/rules/reset_me/reset_state")
+    assert code == 200 and "state reset" in body["result"]
