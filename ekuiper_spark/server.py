@@ -301,6 +301,91 @@ class RestServer:
                     n_r += 1
                 return 200, {"imported": {"streams": n_s, "rules": n_r}}
 
+        if parts[0] == "data":
+            # rest.go:231-233 full-configuration export/import — the
+            # Configuration shape (import_export.go:60-73) with this
+            # runtime's live sections (streams/tables/rules/schemas/
+            # scripts/uploads); plugin/config sections stay empty maps
+            import os as _os
+
+            from ekuiper_spark.functions import script as _script
+            from ekuiper_spark.operators import codecs as _codecs
+
+            if method in ("GET", "POST") and parts[1:] == ["export"]:
+                defs = self.catalog.all_defs()
+                return 200, {
+                    "streams": {
+                        n: self.catalog.ddl_of(n) or ""
+                        for n, d in sorted(defs.items())
+                        if d.kind not in ("scan", "lookup") and self.catalog.ddl_of(n)
+                    },
+                    "tables": {
+                        n: self.catalog.ddl_of(n) or ""
+                        for n, d in sorted(defs.items())
+                        if d.kind in ("scan", "lookup") and self.catalog.ddl_of(n)
+                    },
+                    "rules": {
+                        rid: json.dumps(asdict(r))
+                        for rid, r in sorted(self.runtime.rules.items())
+                    },
+                    "nativePlugins": {},
+                    "portablePlugins": {},
+                    "sourceConfig": {},
+                    "sinkConfig": {},
+                    "connectionConfig": {},
+                    "Service": {},
+                    "Schema": {
+                        n: json.dumps([list(f) for f in fs])
+                        for n, fs in sorted(_codecs.SCHEMA_REGISTRY.items())
+                    },
+                    "uploads": {
+                        n: open(_os.path.join(self.upload_dir, n)).read()
+                        for n in sorted(_os.listdir(self.upload_dir))
+                    },
+                    "scripts": {
+                        fid: spec["script"]
+                        for fid, spec in sorted(_script.SCRIPTS.items())
+                    },
+                }
+            if method == "POST" and parts[1:] == ["import"]:
+                from ekuiper_spark.plans.ddl import DDLParser
+
+                counts = {"streams": 0, "tables": 0, "rules": 0, "scripts": 0, "schemas": 0, "uploads": 0}
+                for sec in ("streams", "tables"):
+                    for _, sql in sorted((body.get(sec) or {}).items()):
+                        self.catalog.register(DDLParser(sql).parse_create())
+                        counts[sec] += 1
+                for rid, spec in sorted((body.get("rules") or {}).items()):
+                    if isinstance(spec, str):
+                        spec = json.loads(spec)
+                    rule = Rule(id=rid, sql=spec["sql"],
+                                actions=spec.get("actions", []),
+                                options=spec.get("options", {}),
+                                tags=spec.get("tags", []))
+                    if rid in self.runtime.rules:
+                        self.runtime.stop_rule(rid)
+                        self.runtime.rules[rid] = rule
+                    else:
+                        self.runtime.create_rule(rule)
+                    counts["rules"] += 1
+                for fid, src in sorted((body.get("scripts") or {}).items()):
+                    _script.unregister_script_function(fid)
+                    _script.register_script_function(fid, src)
+                    counts["scripts"] += 1
+                for n, fields in sorted((body.get("Schema") or {}).items()):
+                    _codecs.register_schema(
+                        n, [tuple(f) for f in json.loads(fields)]
+                    )
+                    counts["schemas"] += 1
+                for n, content in sorted((body.get("uploads") or {}).items()):
+                    with open(_os.path.join(self.upload_dir, n), "w") as f:
+                        f.write(content)
+                    counts["uploads"] += 1
+                return 200, {"imported": counts}
+            if method == "GET" and parts[1:] == ["import", "status"]:
+                # imports here are synchronous; status reports completion
+                return 200, {"status": "finished"}
+
         if parts[0] in ("streams", "tables"):
             # /tables is the TABLE-kind view of the same registry
             # (rest.go:202-205); /streams lists stream-kind defs

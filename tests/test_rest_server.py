@@ -396,3 +396,33 @@ def test_rule_reset_state(server, spark):
     assert code == 201
     code, body = _req(server, "PUT", "/rules/reset_me/reset_state")
     assert code == 200 and "state reset" in body["result"]
+
+
+def test_data_export_import_roundtrip(server):
+    """/data/export|import (import_export.go:60-119): the Configuration
+    shape carries streams/tables/rules/scripts/schemas/uploads; import
+    restores every section (rules are JSON strings like the reference)."""
+    code, _ = _req(server, "POST", "/streams",
+                   {"sql": 'CREATE STREAM exp_s (a BIGINT) WITH (FORMAT="json", TYPE="file", DATASOURCE="/tmp/x.json")'})
+    assert code == 201
+    code, _ = _req(server, "POST", "/rules",
+                   {"id": "exp_rule", "sql": "SELECT a FROM exp_s", "tags": ["exported"]})
+    assert code == 201
+    code, _ = _req(server, "POST", "/config/uploads",
+                   {"name": "exp.txt", "content": "hello"})
+    assert code == 201
+    code, conf = _req(server, "GET", "/data/export")
+    assert code == 200
+    assert "exp_s" in conf["streams"]
+    assert json.loads(conf["rules"]["exp_rule"])["tags"] == ["exported"]
+    assert conf["uploads"]["exp.txt"] == "hello"
+    assert set(conf) >= {"streams", "tables", "rules", "nativePlugins",
+                         "sourceConfig", "sinkConfig", "Schema", "uploads", "scripts"}
+    # wipe the rule, then import the snapshot back
+    _req(server, "DELETE", "/rules/exp_rule")
+    code, body = _req(server, "POST", "/data/import", conf)
+    assert code == 200 and body["imported"]["rules"] >= 1
+    code, rule = _req(server, "GET", "/rules/exp_rule")
+    assert code == 200 and rule["tags"] == ["exported"]
+    code, body = _req(server, "GET", "/data/import/status")
+    assert code == 200 and body["status"] == "finished"
