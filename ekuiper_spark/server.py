@@ -65,6 +65,8 @@ class RestServer:
 
         # /config/uploads file store (rest.go:181 dataDir/uploads)
         self.upload_dir = tempfile.mkdtemp(prefix="ekuiper_spark_uploads_")
+        # named connections (rest.go:235; connection.go:33-81)
+        self.connections: dict[str, dict[str, Any]] = {}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -300,6 +302,55 @@ class RestServer:
                         self.runtime.create_rule(rule)
                     n_r += 1
                 return 200, {"imported": {"streams": n_s, "rules": n_r}}
+
+        if parts[0] == "connections":
+            # rest.go:235-236 named-connection registry (connection.go:
+            # 33-81 request/response shapes); connections are reusable
+            # source/sink endpoint configs referenced by connectionSelector
+            if method == "POST" and len(parts) == 1:
+                cid = body.get("id")
+                if not cid or not re.match(r"^[A-Za-z0-9_.-]+$", cid):
+                    return 400, {"error": "invalid connection id"}
+                if cid in self.connections:
+                    return 400, {"error": f"connection {cid} already exists"}
+                self.connections[cid] = {
+                    "typ": body.get("typ", ""),
+                    "props": body.get("props") or {},
+                }
+                return 201, "success"
+            if method == "GET" and len(parts) == 1:
+                return 200, [
+                    {
+                        "id": cid,
+                        "typ": c["typ"],
+                        "props": c["props"],
+                        "isNamed": True,
+                        "status": "connected",
+                    }
+                    for cid, c in sorted(self.connections.items())
+                ]
+            if len(parts) == 2:
+                cid = parts[1]
+                if method == "PUT":
+                    self.connections[cid] = {
+                        "typ": body.get("typ", ""),
+                        "props": body.get("props") or {},
+                    }
+                    return 200, "success"
+                if cid not in self.connections:
+                    return 404, {"error": f"connection {cid} not found"}
+                if method == "GET":
+                    c = self.connections[cid]
+                    return 200, {
+                        "id": cid,
+                        "typ": c["typ"],
+                        "props": c["props"],
+                        "isNamed": True,
+                        "status": "connected",
+                    }
+                if method == "DELETE":
+                    del self.connections[cid]
+                    return 200, {"result": f"connection {cid} dropped"}
 
         if parts[0] == "data":
             # rest.go:231-233 full-configuration export/import — the

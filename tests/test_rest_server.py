@@ -426,3 +426,32 @@ def test_data_export_import_roundtrip(server):
     assert code == 200 and rule["tags"] == ["exported"]
     code, body = _req(server, "GET", "/data/import/status")
     assert code == 200 and body["status"] == "finished"
+
+
+def test_connections_crud(server):
+    """/connections named-connection registry (connection.go:33-81
+    shapes): POST creates, duplicate id is a 400, GET lists/details,
+    PUT upserts, DELETE removes."""
+    code, body = _req(server, "POST", "/connections",
+                      {"id": "mqtt_east", "typ": "mqtt",
+                       "props": {"server": "tcp://broker:1883"}})
+    assert code == 201 and body == "success"
+    code, _ = _req(server, "POST", "/connections", {"id": "mqtt_east", "typ": "mqtt"})
+    assert code == 400
+    code, _ = _req(server, "POST", "/connections", {"id": "bad/id"})
+    assert code == 400
+    code, listing = _req(server, "GET", "/connections")
+    assert code == 200
+    entry = next(c for c in listing if c["id"] == "mqtt_east")
+    assert entry["typ"] == "mqtt" and entry["isNamed"] is True
+    code, detail = _req(server, "GET", "/connections/mqtt_east")
+    assert code == 200 and detail["props"]["server"] == "tcp://broker:1883"
+    code, _ = _req(server, "PUT", "/connections/mqtt_east",
+                   {"typ": "mqtt", "props": {"server": "tcp://other:1883"}})
+    assert code == 200
+    code, detail = _req(server, "GET", "/connections/mqtt_east")
+    assert detail["props"]["server"] == "tcp://other:1883"
+    code, _ = _req(server, "DELETE", "/connections/mqtt_east")
+    assert code == 200
+    code, _ = _req(server, "GET", "/connections/mqtt_east")
+    assert code == 404
