@@ -99,6 +99,96 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # --------------------------------------------------------------------------
+# paragraph-level exact dedup (the C4-style corpus-wide pass)
+# --------------------------------------------------------------------------
+def paragraph_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+) -> DataFrame:
+    """Per-paragraph duplication counts across the WHOLE corpus.
+
+    Paragraphs (blank-line- or newline-separated blocks with >=
+    ``min_words`` words) hash to 64-bit keys map-side; only
+    (hash, doc_id) pairs shuffle — bodies never move.  Returns
+    (para_hash, n_docs, n_occurrences, keep_id) for paragraphs seen in
+    more than one document.
+
+    100 TB shape: explode is map-side; one hash-partitioned partial+final
+    aggregate over fixed-width keys.  Corpus-frequent boilerplate (nav
+    text, footers) dominates the output, which is the point of the pass.
+    """
+    paras = F.filter(
+        F.split(F.col(text_col), r"\n+"),
+        lambda p: F.size(F.split(F.trim(p), r"\s+")) >= min_words,
+    )
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(paras).alias("__p"),
+    ).select(
+        F.col(id_col), F.xxhash64(F.lower(F.trim(F.col("__p")))).alias("para_hash")
+    )
+    return (
+        pairs.groupBy("para_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def drop_duplicate_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+) -> DataFrame:
+    """Remove every paragraph occurrence except the one in the minimum-id
+    document (the C4 recipe: corpus-level three-sentence-span dedup,
+    simplified to paragraph granularity).
+
+    Two-pass construction: the duplicate-paragraph table (tiny relative to
+    the corpus — hashes only) broadcast-or-shuffle joins back onto the
+    exploded paragraphs; documents reassemble with their surviving
+    paragraphs in original order.  Short paragraphs (< min_words) never
+    participate and always survive.
+    """
+    dups = paragraph_dup_stats(df, text_col, id_col, min_words)
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n+")).alias("__i", "__p"),
+    ).withColumn("__h", F.xxhash64(F.lower(F.trim(F.col("__p")))))
+    keep = parts.join(
+        dups.select("para_hash", "keep_id"),
+        (parts["__h"] == dups["para_hash"]) & (parts[id_col] != dups["keep_id"]),
+        "left_anti",
+    )
+    # short paragraphs never enter the dup table, so the anti-join keeps
+    # them unconditionally; a keeper doc retains ALL its own occurrences
+    rebuilt = (
+        keep.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__i"), F.col("__p")))
+                    ),
+                    lambda s: s["__p"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others).join(rebuilt, id_col, "left").select(
+        *others, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard (exact, inverted-index join)
 # --------------------------------------------------------------------------
 def jaccard_pairs(

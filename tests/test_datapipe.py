@@ -448,3 +448,46 @@ def test_text_profile_includes_dup_2gram(spark, catalog):
            ).collect()}
     assert prof == ala
     assert any(v > 0 for v in prof.values())
+
+
+def test_paragraph_dup_stats_and_drop(spark):
+    """Corpus-wide paragraph dedup (the C4-style pass): duplicated
+    paragraphs are counted across docs and removed everywhere except the
+    min-id document; short and unique paragraphs survive untouched."""
+    from ekuiper_spark.datapipe.dedup import (
+        drop_duplicate_paragraphs,
+        paragraph_dup_stats,
+    )
+
+    boiler = "subscribe to our newsletter for updates"
+    docs = [
+        (1, f"unique intro one\n{boiler}\nclosing thoughts here now"),
+        (2, f"different body text entirely\n{boiler}"),
+        (3, f"{boiler}\nthird doc real content stays"),
+        (4, "no duplicates in this one\nok"),  # 'ok' is short (<3 words)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = paragraph_dup_stats(df).collect()
+    assert len(stats) == 1
+    assert stats[0]["n_docs"] == 3 and stats[0]["keep_id"] == 1
+    out = {r["doc_id"]: r["text"] for r in drop_duplicate_paragraphs(df).collect()}
+    assert boiler in out[1]            # keeper retains it
+    assert boiler not in out[2] and boiler not in out[3]
+    assert out[2] == "different body text entirely"
+    assert out[3] == "third doc real content stays"
+    assert out[4] == "no duplicates in this one\nok"  # short para survives
+    # paragraph order is preserved in rebuilt docs
+    assert out[1].splitlines()[0] == "unique intro one"
+
+
+def test_drop_duplicate_paragraphs_plan_shape(spark):
+    """The dup table joins as an anti-join on hashes — no cartesian, and
+    document bodies only shuffle for the per-doc reassembly."""
+    from ekuiper_spark.datapipe.dedup import drop_duplicate_paragraphs
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}\nshared boilerplate line here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = drop_duplicate_paragraphs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
