@@ -67,6 +67,8 @@ class RestServer:
         self.upload_dir = tempfile.mkdtemp(prefix="ekuiper_spark_uploads_")
         # named connections (rest.go:235; connection.go:33-81)
         self.connections: dict[str, dict[str, Any]] = {}
+        # rules with tracing enabled (rest.go:216 trace/start|stop)
+        self.traced: set[str] = set()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -577,6 +579,15 @@ class RestServer:
                     else:
                         return 404, {"error": "tags supports PUT/PATCH/DELETE"}
                     return 200, {"tags": r.tags}
+                if method == "POST" and len(parts) == 4 and parts[2] == "trace":
+                    # rest.go:216-217 rule tracing toggle; spans here are
+                    # Spark's per-micro-batch durationMs breakdown
+                    if parts[3] == "start":
+                        self.traced.add(rid)
+                        return 200, {"result": f"rule {rid} tracing enabled"}
+                    if parts[3] == "stop":
+                        self.traced.discard(rid)
+                        return 200, {"result": f"rule {rid} tracing disabled"}
                 if method == "PUT" and len(parts) == 3 and parts[2] == "reset_state":
                     # rest.go /rules/{name}/reset_state: drop the rule's
                     # checkpointed state so the next start replays fresh
@@ -623,6 +634,46 @@ class RestServer:
                             "error": "unable to find tuples for the given scan table"
                         }
                     return 200, res
+
+        if parts[0] == "trace":
+            # rest.go:249-250: /trace/rule/{id} lists a traced rule's
+            # trace ids; /trace/{id} returns that trace's spans.  A trace
+            # = one micro-batch; spans = Spark's durationMs phases.
+            def _progress(rid: str) -> list[dict]:
+                q = self.runtime.queries.get(rid)
+                if q is None:
+                    return []
+                import json as _json
+
+                out = []
+                for p in q.recentProgress or []:
+                    out.append(_json.loads(p) if isinstance(p, str) else dict(p))
+                return out
+
+            if method == "GET" and len(parts) == 3 and parts[1] == "rule":
+                rid = parts[2]
+                if rid not in self.traced:
+                    return 200, []
+                return 200, [
+                    f"{rid}-{p.get('batchId')}" for p in _progress(rid)
+                ]
+            if method == "GET" and len(parts) == 2:
+                tid = parts[1]
+                rid, _, batch = tid.rpartition("-")
+                for p in _progress(rid):
+                    if str(p.get("batchId")) == batch:
+                        spans = [
+                            {"name": k, "durationMs": v}
+                            for k, v in (p.get("durationMs") or {}).items()
+                        ]
+                        return 200, {
+                            "traceId": tid,
+                            "rule": rid,
+                            "timestamp": p.get("timestamp"),
+                            "numInputRows": p.get("numInputRows"),
+                            "spans": spans,
+                        }
+                return 404, {"error": f"trace {tid!r} not found"}
 
         if parts == ["batch", "req"] and method == "POST":
             # rest.go:1132 batchRequestHandler: [{method, path, body}] ->

@@ -455,3 +455,35 @@ def test_connections_crud(server):
     assert code == 200
     code, _ = _req(server, "GET", "/connections/mqtt_east")
     assert code == 404
+
+
+def test_rule_tracing(server, spark):
+    """Trace toggle + span retrieval (rest.go:216-217, 249-250): a traced
+    bounded run exposes one trace per micro-batch; each trace's spans
+    are the batch's duration phases."""
+    rule = {
+        "id": "trace_r1",
+        "sql": "SELECT event_id FROM events",
+        "actions": [{"memory": {"table": "trace_r1_out"}}],
+        "options": {"output_mode": "append"},
+    }
+    code, _ = _req(server, "POST", "/rules", rule)
+    assert code == 201
+    # not traced yet -> empty id list
+    code, ids = _req(server, "GET", "/trace/rule/trace_r1")
+    assert code == 200 and ids == []
+    code, _ = _req(server, "POST", "/rules/trace_r1/trace/start")
+    assert code == 200
+    code, _ = _req(server, "POST", "/rules/trace_r1/start?availableNow=1")
+    assert code == 200
+    code, ids = _req(server, "GET", "/trace/rule/trace_r1")
+    assert code == 200 and len(ids) >= 1
+    code, tr = _req(server, "GET", f"/trace/{ids[-1]}")
+    assert code == 200 and tr["rule"] == "trace_r1"
+    assert any(s["name"] == "triggerExecution" for s in tr["spans"])
+    code, _ = _req(server, "POST", "/rules/trace_r1/trace/stop")
+    assert code == 200
+    code, ids = _req(server, "GET", "/trace/rule/trace_r1")
+    assert ids == []
+    code, _ = _req(server, "GET", "/trace/trace_r1-99999")
+    assert code == 404
