@@ -69,6 +69,8 @@ class RestServer:
         self.connections: dict[str, dict[str, Any]] = {}
         # rules with tracing enabled (rest.go:216 trace/start|stop)
         self.traced: set[str] = set()
+        # hot-updatable basic config (rest.go:229 PATCH /configs)
+        self.basic_config: dict[str, Any] = {}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -304,6 +306,55 @@ class RestServer:
                         self.runtime.create_rule(rule)
                     n_r += 1
                 return 200, {"imported": {"streams": n_s, "rules": n_r}}
+
+        if parts[0] in ("streamdetails", "tabledetails") and method == "GET":
+            # rest.go:200/204 detail listings (processor.StreamDetail:
+            # name/type/format)
+            want_table = parts[0] == "tabledetails"
+            out = []
+            for n, d in sorted(self.catalog.all_defs().items()):
+                if (d.kind in ("scan", "lookup")) != want_table:
+                    continue
+                opts = d.options or {}
+                out.append(
+                    {
+                        "name": n,
+                        "type": opts.get("type", "file"),
+                        "format": opts.get("format", getattr(d, "format", "") or "json"),
+                    }
+                )
+            return 200, out
+
+        if parts == ["rules", "usage", "cpu"] and method == "GET":
+            # rest.go:1107 top-CPU rules; the per-rule stat here is the
+            # cumulative micro-batch triggerExecution time (ms)
+            import json as _json
+
+            result: dict[str, int] = {}
+            for rid, q in self.runtime.queries.items():
+                total = 0
+                try:
+                    for p in q.recentProgress or []:
+                        d = _json.loads(p) if isinstance(p, str) else p
+                        total += int((d.get("durationMs") or {}).get("triggerExecution", 0))
+                except Exception:
+                    continue
+                result[rid] = total
+            return 200, result
+
+        if parts == ["configs"] and method == "PATCH":
+            # rest.go:229 basic-config hot update; accepted keys are
+            # stored and echoed (debug/consoleLog/fileLog/timezone)
+            allowed = {"debug", "consoleLog", "fileLog", "timezone"}
+            bad = sorted(set(body) - allowed)
+            if bad:
+                return 400, {"error": f"unsupported config keys: {bad}"}
+            self.basic_config.update(body)
+            return 200, self.basic_config
+
+        if parts == ["stop"]:
+            threading.Thread(target=self.stop, daemon=True).start()
+            return 200, "stop success"
 
         if parts[0] == "connections":
             # rest.go:235-236 named-connection registry (connection.go:

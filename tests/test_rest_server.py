@@ -487,3 +487,23 @@ def test_rule_tracing(server, spark):
     assert ids == []
     code, _ = _req(server, "GET", "/trace/trace_r1-99999")
     assert code == 404
+
+
+def test_details_configs_cpu_endpoints(server):
+    """streamdetails/tabledetails listings (StreamDetail shape), PATCH
+    /configs hot update with key validation, and /rules/usage/cpu."""
+    code, _ = _req(server, "POST", "/streams",
+                   {"sql": 'CREATE STREAM det_s (a BIGINT) WITH (FORMAT="json", TYPE="mqtt", DATASOURCE="t/1")'})
+    assert code == 201
+    code, details = _req(server, "GET", "/streamdetails")
+    assert code == 200
+    entry = next(d for d in details if d["name"] == "det_s")
+    assert entry["type"] == "mqtt" and entry["format"] == "json"
+    code, tdetails = _req(server, "GET", "/tabledetails")
+    assert code == 200 and all(d["name"] != "det_s" for d in tdetails)
+    code, body = _req(server, "PATCH", "/configs", {"debug": True, "timezone": "UTC"})
+    assert code == 200 and body["debug"] is True
+    code, body = _req(server, "PATCH", "/configs", {"nonsense": 1})
+    assert code == 400
+    code, body = _req(server, "GET", "/rules/usage/cpu")
+    assert code == 200 and isinstance(body, dict)
