@@ -1285,24 +1285,32 @@ class Translator:
             if len(counts) <= 2:
                 counts = None  # sub-hour span: fall through to quantiles
         if counts is None:
-            kdf = df.select(key.cast("double").alias("__gk"))
-            probs = [i / parallelism for i in range(1, parallelism)]
-            # boundaries only steer partition balance; 1% error is plenty
-            boundaries = sorted(set(kdf.approxQuantile("__gk", probs, 0.01))) if probs else []
-            # bucket id = #boundaries strictly below the key.  A single
-            # array literal + JVM-side filter keeps the plan CONSTANT-size
-            # (the old F.when chain was O(parallelism) expression depth —
-            # 2,000 nested CASEs at cluster scale); runtime is O(B) per row
-            # over a flat double[] which codegen scans without branching.
-            # Null keys: `b < null` filters to empty -> bucket 0, which is
-            # also where the smallest keys live, so order is preserved.
-            if boundaries:
-                barr = F.lit([float(b) for b in boundaries])
-                bucket = F.size(
-                    F.filter(barr, lambda b: b < key.cast("double"))
-                ).cast("long")
+            # non-timestamp keys: uniform-width buckets over [min, max] —
+            # ANY deterministic monotone bucketing preserves the global
+            # order (equal keys share a bucket; concatenation in bucket-id
+            # order = key order), so width_bucket's O(1) per-row codegen
+            # replaces both earlier shapes (the O(parallelism) CASE chain
+            # and the O(B) array-filter scan).  Skewed keys can unbalance
+            # uniform widths, but the per-bucket row_number stays correct
+            # — only partition balance suffers, same as the hour grid.
+            lo_hi = df.select(
+                F.min(key.cast("double")).alias("lo"),
+                F.max(key.cast("double")).alias("hi"),
+            ).collect()[0]
+            lo, hi = lo_hi["lo"], lo_hi["hi"]
+            if lo is None or hi is None or lo == hi:
+                bucket = F.coalesce(
+                    F.when(key.isNotNull(), F.lit(0)).cast("long"),
+                    F.lit(_NULLS_BUCKET),
+                )
             else:
-                bucket = F.lit(0).cast("long")
+                nb = max(2, parallelism * 4)
+                bucket = F.coalesce(
+                    F.width_bucket(
+                        key.cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(nb)
+                    ).cast("long"),
+                    F.lit(_NULLS_BUCKET),
+                )
             bdf = df.withColumn("__gbk", bucket)
             counts = bdf.groupBy("__gbk").agg(F.count(F.lit(1)).alias("c")).collect()
         offsets: dict[int, int] = {}
