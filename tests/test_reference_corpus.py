@@ -243,6 +243,45 @@ def test_deduplicate_false_sliding(spark, demo_cat):
     assert rows == ["red", "blue", None, "yellow", None]
 
 
+def test_alias_visible_in_join_condition(spark, demo_cat):
+    """rule_test.go:1043 TestSingleSQLRule (scan-table join): SELECT
+    aliases are visible inside the ON condition (`on demoTs = table1Id`
+    references both sides' aliases, not source columns)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from ekuiper_spark.catalog import Catalog as _Cat
+
+    cat = _Cat()
+    demo = spark.createDataFrame(DEMO_ROWS, "color string, size long, ts long")
+    cat.register_df("demo", demo)
+    cat.register_df(
+        "table1",
+        spark.createDataFrame([(1541152486013, "name1", 2)], "id long, name string, size long"),
+    )
+    df = compile_sql(
+        spark,
+        "SELECT demo.ts as demoTs, table1.id as table1Id FROM table1 "
+        "INNER JOIN demo on demoTs = table1Id",
+        cat,
+        order_cols=["ts"],
+    )
+    assert [tuple(r) for r in df.collect()] == [(1541152486013, 1541152486013)]
+
+
+def test_star_plus_extra_columns(spark, demo_cat):
+    """rule_test.go:628: `SELECT *, upper(color), event_time() FROM demo`
+    — the wildcard expands beside additional computed fields and
+    event_time() is the tuple's timestamp outside a window."""
+    df = run(
+        spark, demo_cat,
+        "SELECT *, upper(color) AS u, event_time() AS et FROM demo",
+    )
+    assert df.columns == ["color", "size", "ts", "u", "et"]
+    r = df.orderBy("ts").collect()[0]
+    assert (r["u"], r["et"]) == ("RED", 1541152486013)
+
+
 def test_tumbling_filtered_content(spark, demo_cat):
     """TestWindowRule2 (window_rule_test.go:112-147): tumbling(ss,1) with
     WHERE size>2 — window contents emit per window, empty-after-filter
