@@ -71,6 +71,9 @@ class RestServer:
         self.traced: set[str] = set()
         # hot-updatable basic config (rest.go:229 PATCH /configs)
         self.basic_config: dict[str, Any] = {}
+        # trial rules (rest.go:1065 /ruletest lifecycle)
+        self.trials: dict[str, dict[str, Any]] = {}
+        self._trial_ws_srv: Any = None
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -745,9 +748,43 @@ class RestServer:
             return 200, out
 
         if parts == ["ruletest"] and method == "POST":
+            if "id" in body:
+                # trial lifecycle (rest.go:1065-1083): register the trial
+                # and return the websocket port where results stream
+                tid = body["id"]
+                self.trials[tid] = dict(body)
+                return 200, {"id": tid, "port": self._trial_ws().port}
             return 200, self._ruletest(body)
 
+        if parts[0] == "ruletest" and len(parts) == 3 and parts[2] == "start" and method == "POST":
+            tid = parts[1]
+            if tid not in self.trials:
+                return 404, {"error": f"test rule {tid} not found"}
+            res = self._ruletest(self.trials[tid])
+            ws = self._trial_ws()
+            cols = res["columns"]
+            for row in res["rows"]:
+                # the reference streams each emitted tuple as one JSON
+                # message to the trial websocket endpoint
+                ws.broadcast(json.dumps(dict(zip(cols, row)), default=str))
+            self.trials[tid]["result"] = res
+            return 200, f"Test rule {tid} was started"
+
+        if parts[0] == "ruletest" and len(parts) == 2 and method == "DELETE":
+            if self.trials.pop(parts[1], None) is None:
+                return 404, {"error": f"test rule {parts[1]} not found"}
+            return 200, f"Test rule {parts[1]} was stopped."
+
         return 404, {"error": f"no route {method} {path}"}
+
+    def _trial_ws(self):
+        """Lazy shared websocket server for trial-run result streaming
+        (the reference serves trials on Source.HttpServerPort)."""
+        if self._trial_ws_srv is None:
+            from ekuiper_spark.sources.websocket import WsServer
+
+            self._trial_ws_srv = WsServer()
+        return self._trial_ws_srv
 
     def _topo(self, rule: Rule) -> dict:
         """Operator topology of a rule (rest.go:214 getTopoRuleHandler):
@@ -819,6 +856,9 @@ class RestServer:
         return self
 
     def stop(self) -> None:
+        if self._trial_ws_srv is not None:
+            self._trial_ws_srv.close()
+            self._trial_ws_srv = None
         self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread:

@@ -507,3 +507,39 @@ def test_details_configs_cpu_endpoints(server):
     assert code == 400
     code, body = _req(server, "GET", "/rules/usage/cpu")
     assert code == 200 and isinstance(body, dict)
+
+
+def test_ruletest_trial_lifecycle_with_ws_stream(server):
+    """Trial-run lifecycle (rest.go:1065-1105): POST /ruletest with an id
+    registers the trial and returns the websocket port; /ruletest/{id}/
+    start runs it and streams each emitted tuple as one JSON message to
+    connected websocket clients; DELETE stops it."""
+    from ekuiper_spark.sources.websocket import WsClient
+
+    spec = {
+        "id": "trial1",
+        "sql": "SELECT a, b FROM trialmock WHERE a > 1",
+        "mockSource": {
+            "trialmock": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}, {"a": 3, "b": "z"}]
+        },
+    }
+    code, body = _req(server, "POST", "/ruletest", spec)
+    assert code == 200 and body["id"] == "trial1" and body["port"] > 0
+    client = WsClient("127.0.0.1", body["port"])
+    try:
+        code, msg = _req(server, "POST", "/ruletest/trial1/start")
+        assert code == 200 and "was started" in msg
+        got = []
+        for _ in range(2):
+            m = client.recv_text(timeout=10)
+            assert m is not None
+            got.append(json.loads(m))
+        assert sorted(got, key=lambda d: d["a"]) == [
+            {"a": 2, "b": "y"}, {"a": 3, "b": "z"},
+        ]
+    finally:
+        client.close()
+    code, msg = _req(server, "DELETE", "/ruletest/trial1")
+    assert code == 200 and "was stopped" in msg
+    code, _ = _req(server, "POST", "/ruletest/trial1/start")
+    assert code == 404
