@@ -248,7 +248,9 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "count(*) AS n_1h FROM events GROUP BY SLIDINGWINDOW(hh, 1)",
         {"order_cols": _ORD},
         """
-        SELECT event_id,
+        -- raw column beside aggregates = FIRST frame row's value
+        -- (reference project-over-grouped, TestWindowRule8 rule)
+        SELECT arg_min(event_id, epoch_us(ts)) OVER w AS event_id,
                sum(floor(value * 100 + 0.5)) OVER w / count(*) OVER w / 100 AS avg_1h,
                count(*) OVER w AS n_1h
         FROM events
@@ -256,15 +258,23 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
                      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
         """,
     ),
+    # reference window-then-aggregate order (TestWindowRule4): each
+    # trigger's frame CONTENT sub-groups by user_id — one row per user in
+    # the frame per trigger, not per-key partitioned frames
     "q_sliding_keyed": (
-        "SELECT event_id, user_id, count(*) AS n_6h FROM events "
-        "GROUP BY user_id, SLIDINGWINDOW(hh, 6)",
+        "SELECT user_id, count(*) AS n_w, window_end() AS we FROM events "
+        "GROUP BY SLIDINGWINDOW(mi, 30), user_id",
         {"order_cols": _ORD},
         """
-        SELECT event_id, user_id, count(*) OVER w AS n_6h
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                     RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
+        WITH t AS (SELECT epoch_us(ts) AS tu FROM events),
+             j AS (
+               SELECT t.tu, r.user_id, count(*) AS n_w
+               FROM t JOIN events r
+                 ON epoch_us(r.ts) > t.tu - 1800000000
+                AND epoch_us(r.ts) <= t.tu
+               GROUP BY t.tu, r.user_id
+             )
+        SELECT user_id, n_w, make_timestamp(tu) AS we FROM j
         """,
     ),
     "q_sliding_trigger": (
@@ -273,7 +283,8 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         {"order_cols": _ORD},
         """
         WITH x AS (
-          SELECT event_id, event_type, count(*) OVER w AS n_1h
+          SELECT arg_min(event_id, epoch_us(ts)) OVER w AS event_id,
+                 event_type, count(*) OVER w AS n_1h
           FROM events
           WINDOW w AS (ORDER BY epoch_us(ts)
                        RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
@@ -1111,7 +1122,8 @@ def _q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_STREAM_SLIDING = """
-SELECT event_id, count(*) OVER w AS n_w, round(sum(value) OVER w, 4) AS sum_w
+SELECT arg_min(event_id, ts) OVER w AS event_id,
+       count(*) OVER w AS n_w, round(sum(value) OVER w, 4) AS sum_w
 FROM events
 WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """

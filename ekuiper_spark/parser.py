@@ -179,12 +179,22 @@ class Parser:
                 g.dims.append(self.parse_expr())
             if not self.accept_op(","):
                 break
-        # trailing FILTER(where expr) applies to the window
-        if g.window is not None and self.accept_kw("filter"):
-            self.expect_op("(")
-            self.expect_kw("where")
-            g.window.filter = self.parse_expr()
-            self.expect_op(")")
+        # trailing FILTER(where expr) / OVER(when expr) apply to the
+        # window, in either order (the reference accepts
+        # `Filter (...) Over (...)`, window_rule_test.go TestWindowRule0)
+        while g.window is not None:
+            if self.accept_kw("filter"):
+                self.expect_op("(")
+                self.expect_kw("where")
+                g.window.filter = self.parse_expr()
+                self.expect_op(")")
+            elif g.window.trigger is None and self.accept_kw("over"):
+                self.expect_op("(")
+                self.expect_kw("when")
+                g.window.trigger = self.parse_expr()
+                self.expect_op(")")
+            else:
+                break
         return g
 
     def parse_window_spec(self) -> WindowSpec:

@@ -431,10 +431,7 @@ def window_agg_stream(
         raise ValueError(f"unknown stateful window kind {kind!r}")
     schema = {f.name: f.dataType for f in sdf.schema.fields}
     order_cols = [c for c in order_cols if c in schema] or list(sdf.columns[:1])
-    if subgroups and kind == "sliding":
-        raise ValueError("subgroups apply to count/state windows; keyed sliding uses dims")
-
-    if kind == "sliding":
+    if kind == "sliding" and not subgroups:
         allowed = {"count", "sum", "avg", "min", "max"} if delay_us else _ROLLING_OPS
         bad = [a.op for a in aggs if a.op not in allowed]
         if bad:
@@ -449,11 +446,21 @@ def window_agg_stream(
     if kind == "sliding" and delay_us:
         needed = list(dict.fromkeys([ts_col] + agg_in + list(passthrough)))
     elif kind == "sliding":
-        needed = list(dict.fromkeys(list(order_cols) + agg_in + list(passthrough)))
+        needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + list(passthrough)))
     else:
         needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else [])))
     if kind == "sliding" and delay_us:
         buffered = list(needed)  # pending rows wait in state with their row cols
+    elif kind == "sliding" and aggs:
+        # aggregated sliding: passthrough raw columns emit the FIRST frame
+        # row's value (reference project-over-grouped), so they must ride
+        # the frame buffer across batches (as do subgroup columns for the
+        # content-sub-grouped form); __trig stays trigger-row-local
+        buffered = [
+            c for c in needed
+            if c == ts_col or c in agg_in or c in subgroups
+            or (c in passthrough and not c.startswith("__"))
+        ]
     elif kind == "sliding":
         buffered = [c for c in needed if c == ts_col or c in agg_in]
     else:
@@ -475,7 +482,7 @@ def window_agg_stream(
         # wraps them into the `window` struct the projection reads
         out_fields.append(T.StructField("__ws", T.LongType()))
         out_fields.append(T.StructField("__we", T.LongType()))
-    if kind == "sliding":
+    if kind == "sliding" and not subgroups:
         for c in passthrough:
             out_fields.append(T.StructField(c, schema[c]))
     for a in aggs:
@@ -1059,7 +1066,11 @@ def window_agg_stream(
                         res = np.where(cnt > 0, sm / np.maximum(cnt, 1), np.nan)
                 out_cols[a.out] = res
             for c in pass_list:
-                v = full[c][idx]
+                # aggregated delayed sliding: raw columns take the first
+                # frame row's value (frame (t-L, t+delay] starts at
+                # `left`); __-prefixed pass cols (__trig/__et) and the
+                # non-aggregated form stay trigger-row-local
+                v = full[c][idx] if (c.startswith("__") or not agg_list) else full[c][left]
                 out_cols[c] = pd.to_datetime(v.astype("int64"), unit="us") if _is_ts(buf_types[c]) else v
         keep = ts_arr > new_thr - length_us
         save_state(state, new_max, False, {c: full[c][keep] for c in buffered})
@@ -1085,6 +1096,35 @@ def window_agg_stream(
         is_new = np.concatenate(
             [np.zeros(n_carry, dtype=bool), np.ones(n_new, dtype=bool)]
         )[perm]
+        if sub_list:
+            # content sub-grouping (reference window-then-aggregate,
+            # TestWindowRule4): each triggering event's whole frame groups
+            # by the dims — one output row per dim value per trigger.
+            # State is global by construction (a trigger needs the full
+            # frame); raw columns arrive as per-subgroup `first` specs.
+            trig_mask = (
+                batch["__trig"].to_numpy(dtype="bool")
+                if "__trig" in batch.columns
+                else np.ones(n_new, dtype=bool)
+            )
+            new_pos = np.nonzero(is_new)[0]
+            new_ts = full[ts_col][new_pos]
+            lefts = np.searchsorted(full[ts_col], new_ts - length_us, side="right")
+            sink = new_sink()
+            n_trig = 0
+            for k, pos in enumerate(new_pos):
+                if not trig_mask[k]:
+                    continue
+                win = {c: full[c][lefts[k] : pos + 1] for c in buffered}
+                subgroup_window(win, 0, sink)
+                n_trig += 1
+            last_ts = int(full[ts_col][-1])
+            keep = full[ts_col] > last_ts - length_us
+            save_state(state, 0, False, {c: full[c][keep] for c in buffered})
+            n_out = len(next(iter(sink.values()))) if sink else 0
+            if n_out:
+                yield emit_frame({k2: pd.Series(v) for k2, v in sink.items()}, n_out, key)
+            return
         idx = pd.to_datetime(full[ts_col], unit="us")
         roll_df = pd.DataFrame(
             # integer agg inputs go through float64 with nulls as NaN so
@@ -1123,8 +1163,23 @@ def window_agg_stream(
             out_cols[a.out] = res
         # stable argsort keeps the new rows in batch-sorted relative order,
         # so res[is_new] aligns 1:1 with the sorted batch's rows
+        if agg_list and any(not c.startswith("__") for c in pass_list):
+            # first-of-frame raw columns: the frame (t-L, t] starts at the
+            # first buffered index with us > t - L
+            new_ts = full[ts_col][is_new]
+            left_idx = np.searchsorted(full[ts_col], new_ts - length_us, side="right")
         for c in pass_list:
-            out_cols[c] = batch[c].values
+            if c.startswith("__") or not agg_list:
+                # __-prefixed pass cols are trigger-row locals (__trig,
+                # __et); plain raw cols take the first frame row's value
+                out_cols[c] = batch[c].values
+            else:
+                vals = full[c][left_idx]
+                out_cols[c] = (
+                    pd.to_datetime(vals.astype("int64"), unit="us")
+                    if _is_ts(buf_types.get(c, T.DoubleType()))
+                    else vals
+                )
         # trim the carried buffer to the horizon of the newest row
         # (left-exclusive frame: a row exactly `length` old never re-enters)
         last_ts = int(full[ts_col][-1])

@@ -56,6 +56,7 @@ class TranslateCtx:
     window_bounds: tuple[Optional[Column], Optional[Column]] = (None, None)
     sliding_frame: Optional[Any] = None  # WindowSpec for over()-style aggs
     sliding_parts: list = dc_field(default_factory=list)  # partition Columns
+    frame_first: dict = dc_field(default_factory=dict)  # canon raw ref -> first-of-frame Column
     windowfunc_partition: list = dc_field(default_factory=list)  # window-key col names
     row_cols: list[str] = dc_field(default_factory=list)  # user-visible cols at agg input
     analytic_map: dict[str, str] = dc_field(default_factory=dict)  # hoisted analytic cols
@@ -174,9 +175,21 @@ class Translator:
         group = stmt.group
         window = group.window if group else None
 
+        # batch sliding whose output exceeds one row per trigger — GROUP BY
+        # dims (content sub-grouping) or no aggregates (content emission) —
+        # routes through the window-key machinery below via the
+        # frame-membership join (_sliding_membership_key); the unkeyed
+        # aggregate case keeps the O(n log n) range-frame path
+        sliding_content = (
+            window is not None
+            and window.kind == "sliding"
+            and not self.streaming
+            and (bool(group.dims) if has_agg else True)
+        )
+
         if window is not None and window.kind == "sliding" and self.streaming:
             df = self._streaming_sliding(df, stmt, ctx)
-        elif window is not None and window.kind == "sliding":
+        elif window is not None and window.kind == "sliding" and not sliding_content:
             # per-event emission: aggs become range-frame window functions;
             # GROUP BY dims become the frame partition (keyed sliding)
             ctx.sliding_frame = window
@@ -200,7 +213,64 @@ class Translator:
                 extras.append((self._expr(window.trigger, ctx), "__trig"))
             if bucketed:
                 extras.append((F.col("__shadow"), "__shadow"))
+            if ec is not None:
+                # per-row window bounds: the trigger's frame is (t-L, t+D]
+                # (window_op.go:718 windowStart = trigger - length)
+                _sl_len = int(window.args[0] * UNIT_SECONDS[window.unit] * 1_000_000)
+                _sl_delay = (
+                    int(window.args[1] * UNIT_SECONDS[window.unit] * 1_000_000)
+                    if len(window.args) > 1
+                    else 0
+                )
+                _sl_us = (
+                    (F.col(ec) * 1000) if ctx.event_is_long else epoch_us(F.col(ec))
+                )
+                df = df.withColumn(
+                    "window",
+                    F.struct(
+                        F.timestamp_micros(_sl_us - _sl_len).alias("start"),
+                        F.timestamp_micros(_sl_us + _sl_delay).alias("end"),
+                    ),
+                )
+                ctx.window_col = "window"
+                if ctx.event_is_long:
+                    ctx.window_bounds_ms = True
+            if any(self._find_aggs(f.expr) for f in stmt.fields):
+                # aggregated sliding: raw columns beside the aggregates
+                # take the FIRST frame row's value (the reference projects
+                # the window collection against its first tuple — same
+                # rule as TestWindowRule8, here per per-event frame).
+                # min_by on (event-us, tiebreaks) over the same range
+                # frame stays deterministic under parallel evaluation.
+                us = (
+                    (F.col(ec) * 1000)
+                    if ctx.event_is_long
+                    else epoch_us(F.col(ec))
+                )
+                fkey = F.struct(
+                    us.alias("u"),
+                    *[
+                        F.col(c).alias(f"t{i}")
+                        for i, c in enumerate(ctx.order_cols or [])
+                        if c in df.columns
+                    ],
+                )
+                dim_canons = {canon(d) for d in (group.dims or [])}
+                fspec = self._sliding_frame_spec(ctx)
+                for f in stmt.fields:
+                    for ref in self._find_raw_cols(f.expr):
+                        key = canon(ref)
+                        if key in dim_canons or key in ctx.frame_first:
+                            continue
+                        if ref.source is None and (
+                            ref.name in ctx.aliases or ref.name not in df.columns
+                        ):
+                            continue
+                        ctx.frame_first[key] = F.min_by(
+                            self._expr(ref, ctx), fkey
+                        ).over(fspec)
             df = self._project_staged(df, stmt, ctx, extra=extras)
+            ctx.frame_first = {}
             if bucketed:
                 df = df.filter(~F.col("__shadow")).drop("__shadow")
             if window.trigger is not None:
@@ -911,25 +981,229 @@ class Translator:
             df = df.withColumn("__trig", self._expr(window.trigger, ctx))
             passthrough.append("__trig")
 
-        out = window_agg_stream(
-            df,
-            "sliding",
-            length_us=length_us,
-            delay_us=delay_us,
-            dims=dims,
-            order_cols=ctx.order_cols,
-            aggs=specs,
-            passthrough=passthrough,
-        )
-        if window.trigger is not None:
+        # window_start()/window_end()/event_time() need the TRIGGER time on
+        # the emission — carried as a hidden trigger-row passthrough
+        # (__-prefixed pass cols stay trigger-local, not first-of-frame)
+        meta_names = set(fregistry.WINDOW_META) | {"event_time"}
+
+        def _uses_wmeta(n: Node) -> bool:
+            if isinstance(n, FuncCall):
+                return n.name in meta_names or any(_uses_wmeta(a) for a in n.args)
+            if isinstance(n, Binary):
+                return _uses_wmeta(n.left) or _uses_wmeta(n.right)
+            if isinstance(n, Unary):
+                return _uses_wmeta(n.operand)
+            if isinstance(n, (Index, Slice, Access, JsonPath, InExpr, Between, Like)):
+                return _uses_wmeta(n.expr)
+            return False
+
+        want_meta = any(_uses_wmeta(f.expr) for f in stmt.fields)
+        if want_meta:
+            if dims:
+                raise NotImplementedError(
+                    "window_start/window_end/event_time with GROUP BY dims "
+                    "on a streaming SLIDINGWINDOW is not supported yet"
+                )
+            ec = ctx.event_col
+            df = df.withColumn(
+                "__et",
+                F.timestamp_millis(F.col(ec)) if ctx.event_is_long else F.col(ec),
+            )
+            passthrough.append("__et")
+
+        if dims:
+            # reference window-then-aggregate order: GROUP BY dims
+            # sub-group the frame CONTENT per trigger (TestWindowRule4),
+            # so the whole frame must be visible to every trigger — the
+            # state key is global (reference single-process semantics)
+            # and raw passthrough columns become per-subgroup `first`
+            # aggregates (project-over-grouped first-row rule)
+            from ekuiper_spark.streaming.stateful import AggSpec
+
+            extra_specs = [
+                AggSpec("first", c, c)
+                for c in passthrough
+                if c != "__trig"
+            ]
+            if delay_us:
+                raise NotImplementedError(
+                    "streaming SLIDINGWINDOW with GROUP BY dims does not "
+                    "support the delay argument yet"
+                )
+            out = window_agg_stream(
+                df,
+                "sliding",
+                length_us=length_us,
+                delay_us=0,
+                dims=(),
+                subgroups=dims,
+                order_cols=ctx.order_cols,
+                aggs=list(specs) + extra_specs,
+                passthrough=["__trig"] if window.trigger is not None else (),
+            )
+        else:
+            out = window_agg_stream(
+                df,
+                "sliding",
+                length_us=length_us,
+                delay_us=delay_us,
+                dims=dims,
+                order_cols=ctx.order_cols,
+                aggs=specs,
+                passthrough=passthrough,
+            )
+        if window.trigger is not None and not dims:
             out = out.filter(F.col("__trig")).drop("__trig")
         ctx.post_agg = True
         ctx.window_col = None
+        if want_meta and not dims:
+            et_us = epoch_us(F.col("__et"))
+            out = out.withColumn(
+                "window",
+                F.struct(
+                    F.timestamp_micros(et_us - length_us).alias("start"),
+                    F.timestamp_micros(et_us + delay_us).alias("end"),
+                ),
+            )
+            ctx.window_col = "window"
+            ctx.window_bounds_ms = ctx.event_is_long
+            ctx.event_col = "__et"
+            out = self._project(out, stmt, ctx)
+            return out.drop("__et") if "__et" in out.columns else out
         return self._project(out, stmt, ctx)
+
+    def _sliding_membership_key(self, df: DataFrame, w: WindowSpec, ctx: TranslateCtx):
+        """Batch sliding windows as REAL window collections: every
+        triggering event t defines a frame (t-L, t+D], and each row joins
+        every frame it belongs to — the reference's window-then-aggregate
+        order (window_op.go:593-619 scan + AggregateOp/ProjectOp over the
+        batched content), needed when the output cardinality exceeds one
+        row per trigger: GROUP BY dims sub-groups the CONTENT per trigger
+        (TestWindowRule4 emits blue AND red rows at a blue trigger) and
+        non-aggregated sliding emits the whole frame (TestWindowRule0).
+
+        Join shape: rows bucket by W=L+D and explode into the <=2 buckets
+        their candidate triggers occupy; triggers carry their own bucket —
+        an equi-join on the bucket plus the range predicate, shuffling on
+        the bucket id.  Output size = total frame membership, which IS the
+        semantic output (the reference materializes the same collections
+        per trigger); the one-row-per-trigger aggregate case without dims
+        stays on the O(n log n) range-frame path instead.
+        """
+        ec = ctx.event_col
+        if ec is None:
+            raise ValueError("sliding window requires an event-time column")
+        L = int(w.args[0] * UNIT_SECONDS[w.unit] * 1_000_000)
+        D = int(w.args[1] * UNIT_SECONDS[w.unit] * 1_000_000) if len(w.args) > 1 else 0
+        Wd = L + D
+        if ctx.event_is_long:
+            us = F.col(ec) * 1000
+            ctx.window_bounds_ms = True
+        else:
+            us = epoch_us(F.col(ec))
+        base = df.withColumn("__ru", us)
+        throttle = self._throttle_spec(w.trigger, ctx) if w.trigger is not None else None
+        if throttle is not None:
+            trig = self._throttle_triggers(base, throttle[0], throttle[1])
+        elif w.trigger is not None:
+            trig = base.filter(self._expr(w.trigger, ctx))
+        else:
+            trig = base
+        tie = [c for c in ctx.order_cols if c in df.columns]
+        tkey = F.struct(
+            F.col("__ru").alias("u"),
+            *[F.col(c).alias(f"t{i}") for i, c in enumerate(tie)],
+        )
+        triggers = (
+            trig.select(F.col("__ru").alias("__tu"), tkey.alias("__tkey"))
+            .withColumn("__tb", F.floor(F.col("__tu") / Wd))
+        )
+        # row u belongs to trigger t's frame iff t-L < u <= t+D, i.e.
+        # t in [u-D, u+L) — an interval of width exactly W, so it spans at
+        # most two W-buckets
+        b1 = F.floor((F.col("__ru") - D) / Wd)
+        b2 = F.floor((F.col("__ru") + L) / Wd)
+        rows = base.withColumn("__rb", F.explode(F.array_distinct(F.array(b1, b2))))
+        j = rows.join(
+            triggers,
+            (rows["__rb"] == triggers["__tb"])
+            & (rows["__ru"] > triggers["__tu"] - L)
+            & (rows["__ru"] <= triggers["__tu"] + D),
+        ).drop("__rb", "__tb", "__ru")
+        j = j.withColumn(
+            "window",
+            F.struct(
+                F.timestamp_micros(F.col("__tu") - L).alias("start"),
+                F.timestamp_micros(F.col("__tu") + D).alias("end"),
+            ),
+        ).drop("__tu")
+        ctx.window_col = "window"
+        return j, ["__tkey", "window"]
+
+    def _throttle_spec(self, node, ctx: TranslateCtx):
+        """Detect the gap-throttle trigger form ``ts - last_hit_time() > K``
+        (TestWindowRule4): last_hit_time() is the time of the previous
+        EMISSION, so the trigger set is a sequential scan — emit when the
+        gap since the last emitted event exceeds K, then advance.  Only
+        exact for the epoch-millis event column the reference uses
+        natively; other shapes keep the per-row approximation."""
+        if not (isinstance(node, Binary) and node.op in (">", ">=")):
+            return None
+        k = self._raw(node.right)
+        l = node.left
+        if (
+            k is not None
+            and ctx.event_is_long
+            and isinstance(l, Binary)
+            and l.op == "-"
+            and isinstance(l.right, FuncCall)
+            and l.right.name == "last_hit_time"
+            and isinstance(l.left, ColumnRef)
+            and l.left.source is None
+            and l.left.name == ctx.event_col
+        ):
+            return int(k) * 1000, node.op == ">="  # ms -> us
+        return None
+
+    def _throttle_triggers(self, base: DataFrame, thresh_us: int, ge: bool) -> DataFrame:
+        """Sequential throttle scan (single partition — the reference's
+        single-process trigger bookkeeping; loudly warned)."""
+        import warnings
+
+        warnings.warn(
+            "last_hit_time() gap-throttle trigger runs a sequential scan "
+            "on one partition (reference single-process semantics)",
+            UserWarning,
+            stacklevel=4,
+        )
+        import pandas as pd
+
+        schema = base.schema
+
+        def scan(_key, pdf: "pd.DataFrame"):
+            pdf = pdf.sort_values("__ru").reset_index(drop=True)
+            last = 0  # reference initial lastHit = Go zero value
+            keep = []
+            for u in pdf["__ru"]:
+                gap = int(u) - last
+                hit = gap >= thresh_us if ge else gap > thresh_us
+                keep.append(hit)
+                if hit:
+                    last = int(u)
+            return pdf[pd.Series(keep, index=pdf.index)].drop(columns="__g0")
+
+        gschema = T.StructType(list(schema.fields))
+        return (
+            base.withColumn("__g0", F.lit(0))
+            .groupBy("__g0")
+            .applyInPandas(lambda key, pdf: scan(key, pdf), gschema)
+        )
 
     def _window_key(self, df: DataFrame, w: WindowSpec, ctx: TranslateCtx):
         """Materialize the window group key column; returns (df, key_name)."""
         ec = ctx.event_col
+        if w.kind == "sliding":
+            return self._sliding_membership_key(df, w, ctx)
         if w.kind in ("tumbling", "hopping", "session") and ec is None:
             raise ValueError("time window requires an event-time column")
         # long event columns carry epoch millis (the reference's native
@@ -1852,6 +2126,13 @@ class Translator:
             # any expression that structurally equals a GROUP BY dim resolves
             # to the materialized group column after aggregation
             return F.col(ctx.dim_map[canon(node)])
+
+        if ctx.frame_first and isinstance(node, ColumnRef) and canon(node) in ctx.frame_first:
+            # aggregated sliding window: a raw column projects the FIRST
+            # frame row's value (reference project-over-grouped semantics
+            # — the window content's first tuple, window order = event
+            # order; same rule TestWindowRule8 pins for tumbling)
+            return ctx.frame_first[canon(node)]
 
         if isinstance(node, Literal):
             return F.lit(node.value)

@@ -474,8 +474,11 @@ def test_dialect_streaming_sliding_trigger(spark, catalog):
 
 
 def test_dialect_streaming_keyed_sliding(spark, catalog):
-    """Keyed sliding (GROUP BY key, SLIDINGWINDOW): state partitions by the
-    key — the distributed scale path."""
+    """Sliding with GROUP BY dims sub-groups each trigger's frame CONTENT
+    (reference window-then-aggregate order, TestWindowRule4): one row per
+    dim value per trigger, raw columns = the subgroup's first row.  The
+    streaming state is global by construction (every trigger needs the
+    whole frame); batch and streaming agree value-for-value."""
     from ekuiper_spark.streaming.runtime import run_rule_available_now
 
     sql = (
@@ -488,7 +491,10 @@ def test_dialect_streaming_keyed_sliding(spark, catalog):
     stream = sorted((r["event_id"], r["user_id"], r["n_6h"]) for r in out.collect())
     batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
     bt = sorted((r["event_id"], r["user_id"], r["n_6h"]) for r in batch.collect())
-    assert stream == bt and len(stream) == 1000
+    assert stream == bt
+    # one row per user in each trigger's frame: strictly more rows than
+    # triggers, and every trigger contributes at least one row
+    assert len(stream) > 1000
 
 
 def test_checkpoint_recovery_exactly_once(spark, catalog, tmp_path):
@@ -635,23 +641,25 @@ def test_dialect_streaming_sliding_delay(spark, catalog):
 
     from ekuiper_spark.streaming.runtime import run_rule_available_now
 
+    # event_time() identifies the trigger (raw event_id is now the FIRST
+    # frame row's id per the reference project-over-grouped rule)
     sql = (
-        "SELECT event_id, count(*) AS n_w, round(sum(value), 4) AS sum_w "
+        "SELECT event_id, event_time() AS et, count(*) AS n_w, "
+        "round(sum(value), 4) AS sum_w "
         "FROM events GROUP BY SLIDINGWINDOW(mi, 60, 10)"
     )
     out = run_rule_available_now(
         spark, catalog, sql, output_mode="append", order_cols=["ts", "event_id"]
     )
-    stream = {r["event_id"]: (r["n_w"], r["sum_w"]) for r in out.collect()}
+    stream = {r["et"]: (r["event_id"], r["n_w"], r["sum_w"]) for r in out.collect()}
     batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
     ev = catalog.load(spark, "events")
     max_ts = ev.agg(F.max("ts")).first()[0]
     horizon = max_ts - __import__("datetime").timedelta(minutes=10)
     triggered = {
-        r["event_id"]
-        for r in ev.filter(F.col("ts") <= horizon).select("event_id").collect()
+        r["ts"] for r in ev.filter(F.col("ts") <= horizon).select("ts").collect()
     }
-    bt = {r["event_id"]: (r["n_w"], r["sum_w"]) for r in batch.collect()}
+    bt = {r["et"]: (r["event_id"], r["n_w"], r["sum_w"]) for r in batch.collect()}
     assert set(stream) == triggered
     mismatches = [k for k in stream if stream[k] != bt[k]]
     assert not mismatches, mismatches[:5]
@@ -694,24 +702,20 @@ def test_sliding_delay_cross_batch(spark, catalog, tmp_path):
         .option("maxFilesPerTrigger", 1).parquet(sdir)
     )
     cat2.register_df("events", sdf)
-    out = cs(
-        spark,
-        "SELECT event_id, count(*) AS n_w FROM events GROUP BY SLIDINGWINDOW(mi, 60, 10)",
-        cat2, streaming=True, order_cols=["ts", "event_id"],
+    _sql = (
+        "SELECT event_id, event_time() AS et, count(*) AS n_w "
+        "FROM events GROUP BY SLIDINGWINDOW(mi, 60, 10)"
     )
+    out = cs(spark, _sql, cat2, streaming=True, order_cols=["ts", "event_id"])
     name = "sd_" + uuid.uuid4().hex[:6]
     q = (
         out.writeStream.format("memory").queryName(name).outputMode("append")
         .trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    stream = {r["event_id"]: r["n_w"] for r in spark.table(name).collect()}
-    batch = compile_sql(
-        spark,
-        "SELECT event_id, count(*) AS n_w FROM events GROUP BY SLIDINGWINDOW(mi, 60, 10)",
-        catalog, order_cols=["ts", "event_id"],
-    )
-    bt = {r["event_id"]: r["n_w"] for r in batch.collect()}
+    stream = {r["et"]: (r["event_id"], r["n_w"]) for r in spark.table(name).collect()}
+    batch = compile_sql(spark, _sql, catalog, order_cols=["ts", "event_id"])
+    bt = {r["et"]: (r["event_id"], r["n_w"]) for r in batch.collect()}
     assert len(stream) > 900  # both batches' triggered rows emitted
     mismatches = [k for k in stream if stream[k] != bt[k]]
     assert not mismatches, mismatches[:5]
@@ -753,7 +757,8 @@ def test_sliding_late_arrival_cross_batch(spark, catalog, tmp_path):
         .option("maxFilesPerTrigger", 1).parquet(sdir)
     )
     cat2.register_df("events", sdf)
-    sql = "SELECT event_id, count(*) AS n FROM events GROUP BY SLIDINGWINDOW(hh, 1)"
+    sql = ("SELECT event_id, event_time() AS et, count(*) AS n "
+           "FROM events GROUP BY SLIDINGWINDOW(hh, 1)")
     out = cs(spark, sql, cat2, streaming=True, order_cols=["ts", "event_id"])
     name = "sl_" + uuid.uuid4().hex[:6]
     q = (
@@ -761,9 +766,9 @@ def test_sliding_late_arrival_cross_batch(spark, catalog, tmp_path):
         .trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    stream = {r["event_id"]: r["n"] for r in spark.table(name).collect()}
+    stream = {r["et"]: (r["event_id"], r["n"]) for r in spark.table(name).collect()}
     batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
-    bt = {r["event_id"]: r["n"] for r in batch.collect()}
+    bt = {r["et"]: (r["event_id"], r["n"]) for r in batch.collect()}
     assert len(stream) == 1000
     mismatches = [k for k in stream if stream[k] != bt[k]]
     assert not mismatches, mismatches[:5]
@@ -816,10 +821,11 @@ def test_sliding_left_exclusive_boundary(spark):
         "SELECT event_id, count(*) AS n FROM bnd GROUP BY SLIDINGWINDOW(hh, 1)",
         cat, order_cols=["ts", "event_id"],
     )
-    got = {r["event_id"]: r["n"] for r in out.collect()}
+    got = sorted((r["event_id"], r["n"]) for r in out.collect())
     # row 2's frame (t-1h, t] excludes row 1 (exactly 1h old); row 3's
-    # frame includes row 2 but not row 1 (1h + 30s old)
-    assert got == {1: 1, 2: 1, 3: 2}
+    # frame includes row 2 but not row 1 (1h + 30s old).  event_id is the
+    # FIRST frame row's id (reference project-over-grouped).
+    assert got == [(1, 1), (2, 1), (2, 2)]
 
 
 def test_graph_aggfunc_and_watermark_nodes(spark, catalog):
@@ -911,26 +917,18 @@ def test_sliding_delay_min_max_matches_batch(spark, catalog):
     sdf = catalog.load(spark, "events", streaming=True)
     cat2 = Catalog()
     cat2.register_df("events", sdf)
-    out = cs(
-        spark,
-        "SELECT event_id, min(value) AS mn, max(value) AS mx FROM events "
-        "GROUP BY SLIDINGWINDOW(mi, 60, 10)",
-        cat2, streaming=True, order_cols=["ts", "event_id"],
-    )
+    _sql = ("SELECT event_time() AS et, min(value) AS mn, max(value) AS mx "
+            "FROM events GROUP BY SLIDINGWINDOW(mi, 60, 10)")
+    out = cs(spark, _sql, cat2, streaming=True, order_cols=["ts", "event_id"])
     name = "sdm_" + _uuid.uuid4().hex[:6]
     q = (
         out.writeStream.format("memory").queryName(name).outputMode("append")
         .trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    stream = {r["event_id"]: (r["mn"], r["mx"]) for r in spark.table(name).collect()}
-    batch = compile_sql(
-        spark,
-        "SELECT event_id, min(value) AS mn, max(value) AS mx FROM events "
-        "GROUP BY SLIDINGWINDOW(mi, 60, 10)",
-        catalog, order_cols=["ts", "event_id"],
-    )
-    bt = {r["event_id"]: (r["mn"], r["mx"]) for r in batch.collect()}
+    stream = {r["et"]: (r["mn"], r["mx"]) for r in spark.table(name).collect()}
+    batch = compile_sql(spark, _sql, catalog, order_cols=["ts", "event_id"])
+    bt = {r["et"]: (r["mn"], r["mx"]) for r in batch.collect()}
     assert len(stream) > 900
     mismatches = [k for k in stream if stream[k] != bt[k]]
     assert not mismatches, mismatches[:5]

@@ -348,6 +348,42 @@ def test_hopping_window_filter_clause(spark, demo_cat):
             assert color == "yellow" and ws == 1541152488000
 
 
+def test_sliding_content_subgrouped_with_throttle(spark, demo_cat):
+    """TestWindowRule4 (window_rule_test.go:238-281): sliding(ss,2) with
+    the gap-throttle trigger `ts - last_hit_time() > 1000`, GROUP BY
+    color, ORDER BY color.  The window content sub-groups by color per
+    trigger — the second emission carries blue AND red rows at a blue
+    trigger — and the throttle sequence is emission-based (triggers at
+    486013, 487632, 489252)."""
+    df = run(
+        spark, demo_cat,
+        "SELECT color, count(*) as c, window_end() AS we FROM demo "
+        "GROUP BY SlidingWindow(ss, 2) OVER(WHEN ts - last_hit_time() > 1000), "
+        "color ORDER BY color",
+    )
+    rows = sorted((r["we"], r["color"], r["c"]) for r in df.collect())
+    assert rows == [
+        (1541152486013, "red", 1),
+        (1541152487632, "blue", 2),
+        (1541152487632, "red", 1),
+        (1541152489252, "blue", 1),
+        (1541152489252, "red", 1),
+        (1541152489252, "yellow", 1),
+    ]
+
+
+def test_sliding_content_emission_nonagg(spark, demo_cat):
+    """TestWindowRule0 (window_rule_test.go:32-47): non-aggregated sliding
+    emits the triggered frame's CONTENT — the size=1 trigger's 5s frame,
+    filtered to red, emits both red rows."""
+    df = run(
+        spark, demo_cat,
+        'SELECT size, color FROM demo GROUP BY SlidingWindow(ss, 5) '
+        'Filter (where color = "red") Over (when size = 1)',
+    )
+    assert sorted(tuple(r) for r in df.collect()) == [(1, "red"), (3, "red")]
+
+
 def test_hopping_collect_keyed(spark, demo_cat):
     """TestWindowRule12-style (window_rule_test.go:629): collect(size) per
     color within hopping windows, ordered by color."""

@@ -55,7 +55,11 @@ def test_count_window_has_no_global_sort_partition(spark, catalog):
     assert not re.search(r"windowspecdefinition\(ts#\d+L? ASC", plan)
 
 
-def test_keyed_sliding_still_partitions_by_dims(spark, catalog):
+def test_keyed_sliding_membership_join_shape(spark, catalog):
+    """Batch sliding with GROUP BY dims is the frame-membership join
+    (reference content sub-grouping, TestWindowRule4): an equi-join on
+    the W-bucket id — no cartesian/nested-loop join, no single global
+    sort partition."""
     df = compile_sql(
         spark,
         "SELECT event_id, count(*) AS c FROM events "
@@ -63,8 +67,8 @@ def test_keyed_sliding_still_partitions_by_dims(spark, catalog):
         catalog,
     )
     plan = _plan(df)
-    assert re.search(r"windowspecdefinition\(user_id#\d+L", plan)
-    assert "__slb" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(1," not in plan  # no global sort partition
 
 
 def test_capped_session_single_exchange(spark, catalog):
