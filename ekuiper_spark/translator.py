@@ -47,6 +47,7 @@ UNIT_SECONDS = {"dd": 86400, "hh": 3600, "mi": 60, "ss": 1, "ms": 0.001}
 @dataclass
 class TranslateCtx:
     source_aliases: set[str] = dc_field(default_factory=set)
+    primary_alias: Optional[str] = None  # the left/stream source alias
     aliases: dict[str, Node] = dc_field(default_factory=dict)  # select alias -> AST (inlining)
     alias_stack: set = dc_field(default_factory=set)  # aliases being expanded (shadowing guard)
     agg_map: dict[str, str] = dc_field(default_factory=dict)  # canonical agg repr -> col name
@@ -223,7 +224,9 @@ class Translator:
                     else 0
                 )
                 _sl_us = (
-                    (F.col(ec) * 1000) if ctx.event_is_long else epoch_us(F.col(ec))
+                    (self._event_ref(ctx) * 1000)
+                    if ctx.event_is_long
+                    else epoch_us(self._event_ref(ctx))
                 )
                 df = df.withColumn(
                     "window",
@@ -243,9 +246,9 @@ class Translator:
                 # min_by on (event-us, tiebreaks) over the same range
                 # frame stays deterministic under parallel evaluation.
                 us = (
-                    (F.col(ec) * 1000)
+                    (self._event_ref(ctx) * 1000)
                     if ctx.event_is_long
-                    else epoch_us(F.col(ec))
+                    else epoch_us(self._event_ref(ctx))
                 )
                 fkey = F.struct(
                     us.alias("u"),
@@ -481,6 +484,7 @@ class Translator:
         )
         df = df.alias(left_alias)
         ctx.source_aliases.add(left_alias.lower())
+        ctx.primary_alias = left_alias
         for j in stmt.joins:
             r_alias = j.alias or j.source
             if self._is_stream_source(j.source):
@@ -1097,10 +1101,10 @@ class Translator:
         D = int(w.args[1] * UNIT_SECONDS[w.unit] * 1_000_000) if len(w.args) > 1 else 0
         Wd = L + D
         if ctx.event_is_long:
-            us = F.col(ec) * 1000
+            us = self._event_ref(ctx) * 1000
             ctx.window_bounds_ms = True
         else:
-            us = epoch_us(F.col(ec))
+            us = epoch_us(self._event_ref(ctx))
         base = df.withColumn("__ru", us)
         throttle = self._throttle_spec(w.trigger, ctx) if w.trigger is not None else None
         if throttle is not None:
@@ -1139,6 +1143,18 @@ class Translator:
         ).drop("__tu")
         ctx.window_col = "window"
         return j, ["__tkey", "window"]
+
+    def _event_ref(self, ctx: TranslateCtx) -> Column:
+        """The event-time column, qualified with the primary (stream)
+        source when a join makes the bare name ambiguous."""
+        ec = ctx.event_col
+        if (
+            len(ctx.source_aliases) > 1
+            and ctx.primary_alias
+            and "." not in (ec or "")
+        ):
+            return F.col(f"{ctx.primary_alias}.{ec}")
+        return F.col(ec)
 
     def _throttle_spec(self, node, ctx: TranslateCtx):
         """Detect the gap-throttle trigger form ``ts - last_hit_time() > K``
@@ -2057,9 +2073,9 @@ class Translator:
         span = length_us + delay_us
         bucket_us = 16 * span
         e = (
-            (F.col(ctx.event_col) * 1000)
+            (self._event_ref(ctx) * 1000)
             if ctx.event_is_long
-            else epoch_us(F.col(ctx.event_col))
+            else epoch_us(self._event_ref(ctx))
         )
         b = F.floor(e / bucket_us)
         # one scan: each row explodes into its home bucket plus (when in a
@@ -2095,9 +2111,9 @@ class Translator:
         delay = (w.args[1] * UNIT_SECONDS[w.unit]) if len(w.args) > 1 else 0
         # exact integer-microsecond ordering (ties/boundaries deterministic)
         if ctx.event_is_long:
-            order = F.col(ctx.event_col) * 1000  # epoch ms -> micros
+            order = self._event_ref(ctx) * 1000  # epoch ms -> micros
         else:
-            order = epoch_us(F.col(ctx.event_col))
+            order = epoch_us(self._event_ref(ctx))
         if not ctx.sliding_parts:
             import warnings
 
