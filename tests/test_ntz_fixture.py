@@ -66,11 +66,13 @@ def test_sliding_window_on_any_ts_type(spark, ntz_catalog):
         "SELECT event_id, count(*) AS c FROM events GROUP BY SLIDINGWINDOW(ss, 60)",
         ntz_catalog,
     )
-    rows = {r["event_id"]: r["c"] for r in out.collect()}
-    # 60s frame (t-60, t] left-exclusive, events every 30s: rows 0,1 see
-    # 1,2; every later row sees exactly 2 (the t-60 event is excluded)
-    assert rows[0] == 1 and rows[1] == 2
-    assert rows[39] == 2
+    rows = sorted((r["event_id"], r["c"]) for r in out.collect())
+    # 60s frame (t-60, t] left-exclusive, events every 30s: the first
+    # frame has 1 row, every later one exactly 2 (the t-60 event is
+    # excluded).  event_id is the FIRST frame row's id (reference
+    # project-over-grouped), so frame k>=1 reports id k-1.
+    assert rows[0] == (0, 1) and rows[1] == (0, 2)
+    assert rows[-1] == (38, 2)
 
 
 def test_rate_limit_on_any_ts_type(spark, ntz_catalog):

@@ -364,13 +364,15 @@ def test_avg_integer_in_sliding_frame(spark):
     cat = Catalog.from_dir("/root/testdata/sf0.001")
     df = compile_sql(
         spark,
-        "SELECT event_id, avg(user_id) AS a, count(*) AS n "
-        "FROM events GROUP BY SLIDINGWINDOW(hh, 6)",
+        "SELECT event_id, event_time() AS et, avg(user_id) AS a, "
+        "count(*) AS n FROM events GROUP BY SLIDINGWINDOW(hh, 6)",
         cat,
     )
-    rows = df.orderBy("event_id").collect()
+    rows = df.collect()
     assert rows and all(isinstance(r["a"], int) for r in rows)
-    # spot-check one frame against a driver-side truncating mean
+    # spot-check one frame against a driver-side truncating mean,
+    # keyed by event_time() = the trigger's timestamp (raw event_id is
+    # the FIRST frame row's id under the reference projection rule)
     import math
 
     base = compile_sql(
@@ -382,7 +384,7 @@ def test_avg_integer_in_sliding_frame(spark):
     frame = [r["user_id"] for r in by_ts if lo < r["ts"] <= target["ts"]]
     s = sum(frame)
     expect = int(math.trunc(s / len(frame))) if s >= 0 else -(-s // len(frame))
-    got = {r["event_id"]: r["a"] for r in rows}[target["event_id"]]
+    got = {r["et"]: r["a"] for r in rows}[target["ts"]]
     assert got == expect
 
 
