@@ -69,26 +69,35 @@ def contamination_profile(
     eval hash set (map-side filter, no corpus shuffle) → partial+final
     count by doc → one small left join back onto the (id, n_grams) spine.
     """
+    # single corpus scan: tokenize once, explode, LEFT-join the broadcast
+    # eval hash set (hit = matched), then one partial+final agg per doc —
+    # the two-branch spine/hits formulation re-tokenized the corpus twice
     grams = fanout_for_compute(docs).select(
         F.col(id_col), _gram_hashes(F.col(text_col), n).alias("__gh")
     )
-    spine = grams.select(id_col, F.size("__gh").alias("n_grams"))
-    hits = (
-        grams.select(F.col(id_col), F.explode("__gh").alias("gram_h"))
-        .join(F.broadcast(eval_ngram_hashes(eval_df, text_col, n)), "gram_h")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    ev = F.broadcast(
+        eval_ngram_hashes(eval_df, text_col, n).withColumn("__hit", F.lit(1))
     )
-    out = spine.join(hits, id_col, "left").select(
-        id_col,
-        "n_grams",
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-        F.round(
-            F.coalesce(F.col("n_hits"), F.lit(0))
-            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
-            6,
-        ).alias("contamination_frac"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+    exploded = grams.select(
+        F.col(id_col), F.size("__gh").alias("__ng"), F.explode("__gh").alias("gram_h")
+    )
+    out = (
+        exploded.join(ev, "gram_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("__ng").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+                6,
+            ).alias("contamination_frac"),
+            (F.col("n_hits") >= min_hits).alias("contaminated"),
+        )
     )
     return out
 
