@@ -272,12 +272,21 @@ class Translator:
                         ctx.frame_first[key] = F.min_by(
                             self._expr(ref, ctx), fkey
                         ).over(fspec)
+            if stmt.having is not None:
+                # HAVING over a per-event sliding window gates each
+                # trigger's emission on its frame aggregates (the
+                # reference's HavingOp after the window aggregate);
+                # compiled with the frame context so agg calls and
+                # select aliases resolve over the frame
+                extras.append((self._expr(stmt.having, ctx), "__hav"))
             df = self._project_staged(df, stmt, ctx, extra=extras)
             ctx.frame_first = {}
             if bucketed:
                 df = df.filter(~F.col("__shadow")).drop("__shadow")
             if window.trigger is not None:
                 df = df.filter(F.col("__trig")).drop("__trig")
+            if stmt.having is not None:
+                df = df.filter(F.col("__hav")).drop("__hav")
         elif group is not None and group.window is not None and not has_agg:
             # window WITHOUT aggregation: the window batches rows and
             # window functions (row_number, ...) rank within each window

@@ -698,3 +698,15 @@ def test_event_window_rule2_streaming_replay(spark, tmp_path):
         ("red", base(1541152486.013), base(1541152487)),
         ("yellow", base(1541152488.442), base(1541152489)),
     ], got
+
+
+def test_sliding_having_gates_emission(spark, demo_cat):
+    """HAVING over a per-event sliding window gates each trigger on its
+    frame aggregates (the reference's HavingOp after the window op) —
+    both through the select alias and the raw aggregate call."""
+    for having in ("HAVING c > 2", "HAVING count(*) > 2"):
+        df = run(
+            spark, demo_cat,
+            f"SELECT count(*) AS c FROM demo GROUP BY SlidingWindow(ss, 2) {having}",
+        )
+        assert [r["c"] for r in df.collect()] == [3, 3, 3]
