@@ -710,3 +710,18 @@ def test_sliding_having_gates_emission(spark, demo_cat):
             f"SELECT count(*) AS c FROM demo GROUP BY SlidingWindow(ss, 2) {having}",
         )
         assert [r["c"] for r in df.collect()] == [3, 3, 3]
+
+
+def test_analytic_alias_invisible_countwindow(spark, demo_cat):
+    """TestAnalyzeFuncAlias1 (rule_test.go:542): an INVISIBLE analytic
+    alias feeds later fields (temp+1 as b, lag(b)) inside a COUNTWINDOW
+    but never projects; lag defaults apply."""
+    df = run(
+        spark, demo_cat,
+        "SELECT lag(size,1,0) as temp INVISIBLE, temp + 1 as b, "
+        "lag(b,1,0), size FROM demo Group by COUNTWINDOW(5)",
+    )
+    assert df.columns == ["b", "lag", "size"]
+    assert sorted((r["b"], r["lag"], r["size"]) for r in df.collect()) == [
+        (1, 0, 3), (3, 7, 4), (4, 1, 6), (5, 3, 1), (7, 4, 2),
+    ]
