@@ -725,3 +725,19 @@ def test_analytic_alias_invisible_countwindow(spark, demo_cat):
     assert sorted((r["b"], r["lag"], r["size"]) for r in df.collect()) == [
         (1, 0, 3), (3, 7, 4), (4, 1, 6), (5, 3, 1), (7, 4, 2),
     ]
+
+
+def test_state_func_hit_bookkeeping(spark, demo_cat):
+    """TestStateFunc (rule_test.go:1337): last_hit_time/last_hit_count in
+    a WHERE with an alias-referenced hit conjunct — the emission sequence
+    drives the counters (first hit sees the Go zero values 0/0)."""
+    df = run(
+        spark, demo_cat,
+        "SELECT color, size, ts, last_hit_time() as lt, last_hit_count() as lc, "
+        "event_time() as et FROM demo WHERE size < 3 AND lc < 2",
+    )
+    got = [tuple(r) for r in df.orderBy("ts").collect()]
+    assert got == [
+        ("blue", 2, 1541152487632, 0, 0, 1541152487632),
+        ("red", 1, 1541152489252, 1541152487632, 1, 1541152489252),
+    ]
