@@ -741,3 +741,30 @@ def test_state_func_hit_bookkeeping(spark, demo_cat):
         ("blue", 2, 1541152487632, 0, 0, 1541152487632),
         ("red", 1, 1541152489252, 1541152487632, 1, 1541152489252),
     ]
+
+
+def test_hopping_content_star_event_time(spark, demo_cat):
+    """TestWindowRule1 (window_rule_test.go:49-111): non-aggregated
+    HOPPINGWINDOW(ss,2,1) emits each window's CONTENT with `*` expansion,
+    and event_time() is each ROW's own timestamp (content emission keeps
+    per-row event times).  Closed windows ([485,487), [486,488),
+    [487,489)) match the reference exactly; trailing windows beyond the
+    last event are the bounded-replay delta."""
+    df = run(
+        spark, demo_cat,
+        "SELECT *, event_time() as et, window_start() AS ws, window_end() AS we "
+        "FROM demo GROUP BY HOPPINGWINDOW(ss, 2, 1)",
+    )
+    rows = [(r["ws"], r["color"], r["size"], r["ts"], r["et"]) for r in df.collect()]
+    for _ws, _c, _s, ts, et in rows:
+        assert et == ts  # per-row event time, not the window end
+    closed = sorted(t for t in rows if t[0] <= 1541152487000)
+    assert closed == sorted([
+        (1541152485000, "red", 3, 1541152486013, 1541152486013),
+        (1541152485000, "blue", 6, 1541152486822, 1541152486822),
+        (1541152486000, "red", 3, 1541152486013, 1541152486013),
+        (1541152486000, "blue", 6, 1541152486822, 1541152486822),
+        (1541152486000, "blue", 2, 1541152487632, 1541152487632),
+        (1541152487000, "blue", 2, 1541152487632, 1541152487632),
+        (1541152487000, "yellow", 4, 1541152488442, 1541152488442),
+    ])
