@@ -2410,8 +2410,14 @@ class Translator:
             ec = ctx.event_col
             if ec is None:
                 raise ValueError(f"{name}() needs an event-time column / time window")
-            prev = F.lag(F.col(ec)).over(W.orderBy(*order))
-            if ctx.event_is_long:
+            col = F.col(ec)
+            as_ms = ctx.post_agg and ctx.window_bounds_ms and ctx.window_col
+            if as_ms:
+                # post-agg emission time is the window end (a timestamp);
+                # the reference reports hit times as epoch millis
+                col = F.unix_millis(col)
+            prev = F.lag(col).over(W.orderBy(*order))
+            if ctx.event_is_long or as_ms:
                 # reference returns the Go zero value 0 before any emission
                 # (funcs_global_state.go), not null
                 prev = F.coalesce(prev, F.lit(0))

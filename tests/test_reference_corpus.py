@@ -768,3 +768,24 @@ def test_hopping_content_star_event_time(spark, demo_cat):
         (1541152487000, "blue", 2, 1541152487632, 1541152487632),
         (1541152487000, "yellow", 4, 1541152488442, 1541152488442),
     ])
+
+
+def test_last_agg_hit_in_having_hopping(spark, demo_cat):
+    """TestEventWindowRule1 discipline (window_rule_test.go:779): the
+    agg-hit counters in HAVING run over the emission sequence ordered by
+    window start — lc counts prior emissions (0-based), lt is the
+    previous emission's event time in epoch millis (Go zero value 0
+    first), and HAVING lc < 4 cuts the fifth window."""
+    df = run(
+        spark, demo_cat,
+        "SELECT count(*) AS c, last_agg_hit_time() as lt, "
+        "last_agg_hit_count() as lc, event_time() as et FROM demo "
+        "GROUP BY HOPPINGWINDOW(ss, 2, 1) HAVING lc < 4",
+    )
+    got = sorted((r["et"], r["lc"], r["lt"], r["c"]) for r in df.collect())
+    assert got == [
+        (1541152487000, 0, 0, 2),
+        (1541152488000, 1, 1541152487000, 3),
+        (1541152489000, 2, 1541152488000, 2),
+        (1541152490000, 3, 1541152489000, 2),
+    ]
