@@ -757,18 +757,41 @@ class Translator:
             if pre is not None:
                 gdf = gdf.filter(self._expr(pre, ctx))
             if hitty:
-                # agg-emission bookkeeping: rows passing the plain HAVING
-                # are the emission sequence (last_agg_hit_* counts/times
-                # prior agg emissions)
-                order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
-                gdf = gdf.withColumn("__hit_rn", F.row_number().over(W.orderBy(*order)))
-                ctx.hit_col = "__hit_rn"
-                for i, c in enumerate(hitty):
-                    name = f"__hitc{i}"
-                    gdf = gdf.withColumn(name, self._expr(c, ctx))
-                    gdf = gdf.filter(F.col(name)).drop(name)
-                gdf = gdf.drop("__hit_rn")
-                ctx.hit_col = None
+                # throttle-form conjuncts `X - last_agg_hit_time() > K`
+                # advance the hit state only on EMISSIONS (the reference's
+                # alert-dedup idiom, TestEventWindowRule0: a suppressed
+                # window widens the gap until the next one passes) — a
+                # sequential scan, not a per-row lag
+                rest = []
+                for c in hitty:
+                    spec = self._agg_hit_throttle_spec(c, ctx)
+                    if spec is None:
+                        rest.append(c)
+                        continue
+                    x_node, k, ge = spec
+                    gdf = gdf.withColumn("__thx", self._expr(x_node, ctx))
+                    if isinstance(
+                        gdf.schema["__thx"].dataType,
+                        (T.LongType, T.IntegerType, T.DoubleType, T.FloatType),
+                    ):
+                        gdf = self._sequential_throttle(gdf, "__thx", k, ge)
+                        gdf = gdf.drop("__thx")
+                    else:
+                        gdf = gdf.drop("__thx")
+                        rest.append(c)
+                if rest:
+                    # agg-emission bookkeeping: rows passing the plain
+                    # HAVING are the emission sequence (last_agg_hit_*
+                    # counts/times prior agg emissions)
+                    order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
+                    gdf = gdf.withColumn("__hit_rn", F.row_number().over(W.orderBy(*order)))
+                    ctx.hit_col = "__hit_rn"
+                    for i, c in enumerate(rest):
+                        name = f"__hitc{i}"
+                        gdf = gdf.withColumn(name, self._expr(c, ctx))
+                        gdf = gdf.filter(F.col(name)).drop(name)
+                    gdf = gdf.drop("__hit_rn")
+                    ctx.hit_col = None
 
         return self._project(gdf, stmt, ctx)
 
@@ -1191,13 +1214,40 @@ class Translator:
         return None
 
     def _throttle_triggers(self, base: DataFrame, thresh_us: int, ge: bool) -> DataFrame:
-        """Sequential throttle scan (single partition — the reference's
-        single-process trigger bookkeeping; loudly warned)."""
+        return self._sequential_throttle(base, "__ru", thresh_us, ge)
+
+    def _agg_hit_throttle_spec(self, node, ctx: TranslateCtx):
+        """Detect ``X - last_agg_hit_time() > K`` in a HAVING conjunct;
+        returns (X node, K, ge) or None.  The alias map is consulted so
+        `lc`-style HAVING aliases still route through the generic path."""
+        if not (isinstance(node, Binary) and node.op in (">", ">=")):
+            return None
+        k = self._raw(node.right)
+        l = node.left
+        if (
+            k is not None
+            and isinstance(l, Binary)
+            and l.op == "-"
+            and isinstance(l.right, FuncCall)
+            and l.right.name == "last_agg_hit_time"
+        ):
+            return l.left, int(k), node.op == ">="
+        return None
+
+    def _sequential_throttle(
+        self, base: DataFrame, value_col: str, thresh: int, ge: bool
+    ) -> DataFrame:
+        """Sequential gap-throttle over ``value_col``: keep a row iff its
+        value minus the LAST KEPT value exceeds the threshold, advancing
+        only on keeps (funcs_global_state.go hit bookkeeping — the state
+        updates on emission, not on every candidate).  Single partition,
+        like the reference's single-process trigger state; loudly warned."""
         import warnings
 
         warnings.warn(
-            "last_hit_time() gap-throttle trigger runs a sequential scan "
-            "on one partition (reference single-process semantics)",
+            "gap-throttle over last_hit_time()/last_agg_hit_time() runs a "
+            "sequential scan on one partition (reference single-process "
+            "emission bookkeeping)",
             UserWarning,
             stacklevel=4,
         )
@@ -1206,12 +1256,12 @@ class Translator:
         schema = base.schema
 
         def scan(_key, pdf: "pd.DataFrame"):
-            pdf = pdf.sort_values("__ru").reset_index(drop=True)
+            pdf = pdf.sort_values(value_col).reset_index(drop=True)
             last = 0  # reference initial lastHit = Go zero value
             keep = []
-            for u in pdf["__ru"]:
+            for u in pdf[value_col]:
                 gap = int(u) - last
-                hit = gap >= thresh_us if ge else gap > thresh_us
+                hit = gap >= thresh if ge else gap > thresh
                 keep.append(hit)
                 if hit:
                     last = int(u)

@@ -789,3 +789,24 @@ def test_last_agg_hit_in_having_hopping(spark, demo_cat):
         (1541152489000, 2, 1541152488000, 2),
         (1541152490000, 3, 1541152489000, 2),
     ]
+
+
+def test_agg_hit_throttle_advances_on_emission(spark, demo_cat):
+    """TestEventWindowRule0 (window_rule_test.go:826) idiom: HAVING
+    last_value(et, true) - last_agg_hit_time() > 1500 throttles window
+    emissions by the gap since the LAST EMITTED window (the hit state
+    advances only on emissions — a suppressed window widens the gap).
+    Windows end 487..491s; last-event times gate hits at 487000
+    (initial state 0) and 489000 (gap 1620 from the 486822 hit); the
+    488/490/491 windows' gaps (810..1620 vs their own last hits) stay
+    under or reset the threshold exactly as the sequential scan says."""
+    df = run(
+        spark, demo_cat,
+        "SELECT count(*) AS c, event_time() as et FROM demo "
+        "GROUP BY HOPPINGWINDOW(ss, 2, 1) "
+        "HAVING last_value(et, true) - last_agg_hit_time() > 1500",
+    )
+    assert sorted((r["et"], r["c"]) for r in df.collect()) == [
+        (1541152487000, 2),
+        (1541152489000, 2),
+    ]
