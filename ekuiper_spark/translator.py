@@ -1145,7 +1145,13 @@ class Translator:
             trig = base.filter(self._expr(w.trigger, ctx))
         else:
             trig = base
+        # every trigger ROW is its own window (the reference emits one per
+        # event), so the trigger key must be row-unique even under equal
+        # timestamps: order tiebreaks + a synthetic id (internal only —
+        # dropped before output, so its run-to-run variation is invisible)
         tie = [c for c in ctx.order_cols if c in df.columns]
+        trig = trig.withColumn("__tid", F.monotonically_increasing_id())
+        tie = tie + ["__tid"]
         tkey = F.struct(
             F.col("__ru").alias("u"),
             *[F.col(c).alias(f"t{i}") for i, c in enumerate(tie)],

@@ -810,3 +810,26 @@ def test_agg_hit_throttle_advances_on_emission(spark, demo_cat):
         (1541152487000, 2),
         (1541152489000, 2),
     ]
+
+
+def test_sliding_duplicate_ts_triggers_stay_distinct(spark):
+    """Two events with EQUAL timestamps are two distinct sliding-window
+    triggers (the reference emits one window per event); the membership
+    join must not merge their frames even when no order tiebreak column
+    distinguishes them."""
+    cat = Catalog()
+    rows = [("a", 1, 1000), ("b", 2, 1000), ("c", 3, 2500)]
+    cat.register_df("s", spark.createDataFrame(rows, "k string, v long, ts long"))
+    df = compile_sql(
+        spark,
+        "SELECT k, count(*) AS c, window_end() AS we FROM s "
+        "GROUP BY SlidingWindow(ss, 2), k",
+        cat,
+    )
+    got = sorted((r["k"], r["c"], r["we"]) for r in df.collect())
+    # triggers at 1000 (x2, same frame {a,b}) and 2500 (frame {a,b,c})
+    assert got == [
+        ("a", 1, 1000), ("a", 1, 1000), ("a", 1, 2500),
+        ("b", 1, 1000), ("b", 1, 1000), ("b", 1, 2500),
+        ("c", 1, 2500),
+    ]
