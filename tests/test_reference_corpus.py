@@ -833,3 +833,15 @@ def test_sliding_duplicate_ts_triggers_stay_distinct(spark):
         ("b", 1, 1000), ("b", 1, 1000), ("b", 1, 2500),
         ("c", 1, 2500),
     ]
+
+
+def test_sliding_filter_single_row_content(spark, demo_cat):
+    """TestWindowRule13 (window_rule_test.go:663): FILTER(size=3) leaves
+    one event; its hour-long frame contains only itself, so exactly one
+    content row emits."""
+    df = run(
+        spark, demo_cat,
+        "SELECT color as c FROM demo GROUP BY SlidingWindow(ss, 3600) "
+        "filter (where size = 3)",
+    )
+    assert [r["c"] for r in df.collect()] == ["red"]
