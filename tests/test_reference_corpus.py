@@ -845,3 +845,18 @@ def test_sliding_filter_single_row_content(spark, demo_cat):
         "filter (where size = 3)",
     )
     assert [r["c"] for r in df.collect()] == ["red"]
+
+
+def test_sliding_delay_trigger_content(spark, demo_cat):
+    """TestSlidingDelay (window_rule_test.go:681): SlidingWindow(ss,5,1)
+    OVER(WHEN size=2) — the single trigger's frame (t-5s, t+1s] emits its
+    whole content including the yellow event that arrives INSIDE the
+    delay horizon after the trigger."""
+    df = run(
+        spark, demo_cat,
+        "SELECT size, color FROM demo GROUP BY SlidingWindow(ss, 5, 1) "
+        "Over (when size = 2)",
+    )
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (2, "blue"), (3, "red"), (4, "yellow"), (6, "blue"),
+    ]
