@@ -502,7 +502,10 @@ def simhash_near_pairs(
         )
         start += w
     e = s.select(
-        F.col(id_col).alias("id"), "simhash", F.explode(F.array(*bands)).alias("bb")
+        # explode_outer: explode's implicit size>0 filter would embed the
+        # whole simhash expression and push below the fanout exchange
+        # (single-task recompute); the band array is a non-empty literal.
+        F.col(id_col).alias("id"), "simhash", F.explode_outer(F.array(*bands)).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
     a, b = e.alias("a"), e.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
