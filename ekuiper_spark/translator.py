@@ -68,6 +68,7 @@ class TranslateCtx:
     window_bounds_ms: bool = False  # window struct holds ts but user time is ms
     window_parts: list = dc_field(default_factory=list)  # GROUP BY dim col names (pre-window)
     join_window_col: Optional[str] = None  # stream-stream join bucket col (reused as window)
+    join_sliding_keys: Optional[list] = None  # precomputed per-trigger keys (batch sliding join)
 
 
 def canon(node: Node) -> str:
@@ -186,6 +187,17 @@ class Translator:
             and window.kind == "sliding"
             and not self.streaming
             and (bool(group.dims) if has_agg else True)
+        ) or bool(ctx.join_sliding_keys)
+        # windowed-join sliding with non-aggregated fields emits the whole
+        # joined frame per trigger (TestWindowRule3) — a hit-only HAVING
+        # (last_agg_hit_*) gates EMISSIONS, not frame rows, so it must not
+        # force the one-row-per-trigger grouped path
+        join_content_hit = (
+            bool(ctx.join_sliding_keys)
+            and not any(self._find_aggs(f.expr) for f in stmt.fields)
+            and stmt.having is not None
+            and not self._find_aggs(stmt.having)
+            and self._has_hit_fn(stmt.having, ctx.aliases)
         )
 
         if window is not None and window.kind == "sliding" and self.streaming:
@@ -287,7 +299,9 @@ class Translator:
                 df = df.filter(F.col("__trig")).drop("__trig")
             if stmt.having is not None:
                 df = df.filter(F.col("__hav")).drop("__hav")
-        elif group is not None and group.window is not None and not has_agg:
+        elif group is not None and group.window is not None and (
+            not has_agg or join_content_hit
+        ):
             # window WITHOUT aggregation: the window batches rows and
             # window functions (row_number, ...) rank within each window
             # collection (reference WindowFuncOperator over window
@@ -295,6 +309,33 @@ class Translator:
             if group.window.filter is not None:
                 df = df.filter(self._expr(group.window.filter, ctx))
             df, wnames = self._window_key(df, group.window, ctx)
+            if join_content_hit:
+                # hit-only HAVING over windowed-join content emission
+                # (TestWindowRule3 `HAVING last_agg_hit_count() < 7`): one
+                # representative per trigger, row-numbered in emission
+                # order; hit conjuncts count prior EMISSIONS (ctx.hit_col)
+                # and surviving triggers semi-join back onto their frames
+                reps = df.select("__tkey").distinct().withColumn(
+                    "__hit_rn",
+                    F.row_number().over(
+                        W.orderBy(F.col("__tkey.u"), F.col("__tkey.t0"))
+                    ),
+                )
+                ctx.hit_col = "__hit_rn"
+                hconjs: list[Node] = []
+
+                def _flat(n: Node) -> None:
+                    if isinstance(n, Binary) and n.op == "AND":
+                        _flat(n.left)
+                        _flat(n.right)
+                    else:
+                        hconjs.append(n)
+
+                _flat(stmt.having)
+                for c in hconjs:
+                    reps = reps.filter(self._expr(c, ctx))
+                ctx.hit_col = None
+                df = df.join(reps.select("__tkey"), "__tkey", "left_semi")
             if (
                 self.streaming
                 and self.watermark
@@ -496,6 +537,23 @@ class Translator:
         ctx.primary_alias = left_alias
         for j in stmt.joins:
             r_alias = j.alias or j.source
+            if (
+                not self.streaming
+                and stmt.group is not None
+                and stmt.group.window is not None
+                and stmt.group.window.kind == "sliding"
+                and self._def_is_stream(stmt.source)
+                and self._def_is_stream(j.source)
+            ):
+                # batch replay of the reference's window-then-join order:
+                # the sliding window batches tuples from BOTH streams (by
+                # each stream's own arrival time), then the join runs over
+                # each window's contents (window_op.go merged inputs ->
+                # join_operator.go per-window scan).  A plain join + left-
+                # stream window is NOT equivalent: triggers come from both
+                # streams and pairs are gated per trigger frame.
+                df = self._batch_sliding_join(df, stmt, j, ctx, left_alias)
+                continue
             if self._is_stream_source(j.source):
                 # stream-stream join: the reference only allows it within a
                 # window (planner.go:734-735 "a time window or count window
@@ -529,6 +587,137 @@ class Translator:
             return injected.isStreaming
         d = self.catalog.get(name)
         return d is not None and d.kind == "stream"
+
+    def _def_is_stream(self, name: str) -> bool:
+        """True when the source is DECLARED as an unbounded stream (a
+        CREATE STREAM def, or a registered streaming DataFrame) — even
+        when a batch DataFrame is injected for it (the corpus-replay /
+        trial-run pattern: mock rows stand in for the stream's history)."""
+        injected = self.catalog._dfs.get(name.lower())
+        if injected is not None and injected.isStreaming:
+            return True
+        d = self.catalog.get(name)
+        return d is not None and d.kind == "stream"
+
+    def _batch_sliding_join(
+        self, ldf: DataFrame, stmt: SelectStatement, j, ctx: TranslateCtx, left_alias: str
+    ) -> DataFrame:
+        """Batch per-event sliding window over a two-stream join, in the
+        reference's window-then-join order (window_op.go:593-619 scan over
+        the MERGED inputs; join_operator.go:27-398 per-window join):
+
+        - every tuple from EITHER stream is a trigger; its frame is
+          (t-L, t+D] over each stream's own event time,
+        - the join runs within each trigger's frame contents (cross-frame
+          pairs never meet; an empty join result emits nothing),
+        - downstream GROUP BY/HAVING/projection treat (trigger, frame) as
+          the window collection (``ctx.join_sliding_keys``).
+
+        Join shape: each side membership-joins the shared trigger relation
+        on a W-bucket equi-key plus the range predicate (the
+        _sliding_membership_key technique), then the sides equi-join on
+        the trigger key + ON condition — all shuffles are keyed, no
+        global sort.  Only two streams are supported (the corpus shape);
+        a third stream raises.
+        """
+        if ctx.join_sliding_keys:
+            raise NotImplementedError(
+                "batch sliding-window join supports exactly two streams"
+            )
+        w = stmt.group.window
+        L = int(w.args[0] * UNIT_SECONDS[w.unit] * 1_000_000)
+        D = int(w.args[1] * UNIT_SECONDS[w.unit] * 1_000_000) if len(w.args) > 1 else 0
+        Wd = L + D
+        r_alias = j.alias or j.source
+        rdf = self.catalog.load(self.spark, j.source, streaming=False).alias(r_alias)
+        ctx.source_aliases.add(r_alias.lower())
+        if j.kind not in ("inner", "left", "right", "full", "cross"):
+            raise NotImplementedError(
+                f"sliding-window {j.kind} join is unsupported"
+            )
+
+        def _ev_us(sdf: DataFrame, alias: str, name: str):
+            d = self.catalog.get(name)
+            ec = self.event_col or (d.timestamp_col if d else None) or (
+                "ts" if "ts" in sdf.columns else None
+            )
+            if ec is None:
+                raise ValueError("sliding-window join requires event-time columns")
+            col = F.col(f"{alias}.{ec}")
+            is_long = isinstance(sdf.schema[ec].dataType, T.LongType)
+            return (col * 1000) if is_long else epoch_us(col), is_long
+
+        lu, l_long = _ev_us(ldf, left_alias, stmt.source)
+        ru, _ = _ev_us(rdf, r_alias, j.source)
+        # trigger relation: every arrival from both streams, row-unique
+        # (equal timestamps stay distinct windows)
+        trig = (
+            ldf.select(lu.alias("__tu"))
+            .unionAll(rdf.select(ru.alias("__tu")))
+            .withColumn("__ttid", F.monotonically_increasing_id())
+        )
+        # persist: the trigger relation is referenced by BOTH membership
+        # joins, and the synthetic id must be identical across them (it is
+        # deterministic for batch inputs, but the cache also computes the
+        # relation once instead of twice)
+        triggers = trig.select(
+            "__tu",
+            F.struct(F.col("__tu").alias("u"), F.col("__ttid").alias("t0")).alias("__tkey"),
+            F.floor(F.col("__tu") / Wd).alias("__tb"),
+        ).persist()
+
+        def _members(sdf: DataFrame, ucol, tkey_name: str, tu_name: str) -> DataFrame:
+            # row u belongs to trigger t iff t-L < u <= t+D, i.e. t in
+            # [u-D, u+L): an interval of width W spanning <= 2 W-buckets
+            b1 = F.floor((ucol - D) / Wd)
+            b2 = F.floor((ucol + L) / Wd)
+            rows = sdf.withColumn("__mu", ucol).withColumn(
+                "__mb", F.explode_outer(F.array_distinct(F.array(b1, b2)))
+            )
+            t = triggers.withColumnRenamed("__tkey", tkey_name).withColumnRenamed(
+                "__tu", tu_name
+            )
+            return rows.join(
+                t,
+                (rows["__mb"] == t["__tb"])
+                & (rows["__mu"] > t[tu_name] - L)
+                & (rows["__mu"] <= t[tu_name] + D),
+            ).drop("__mb", "__tb", "__mu")
+
+        lm = _members(ldf, lu, "__tkey", "__tu").withColumn("__muL", lu)
+        rm = _members(rdf, ru, "__tkR", "__tuR").withColumn("__muR", ru)
+        cond = F.col("__tkey") == F.col("__tkR")
+        if j.kind == "cross":
+            out = lm.join(rm, on=cond, how="inner")
+        else:
+            out = lm.join(rm, on=cond & self._expr(j.on, ctx), how=j.kind)
+        u = F.coalesce(F.col("__tu"), F.col("__tuR"))
+        out = (
+            out.withColumn("__tkey", F.coalesce(F.col("__tkey"), F.col("__tkR")))
+            .withColumn(
+                "window",
+                F.struct(
+                    F.timestamp_micros(u - L).alias("start"),
+                    F.timestamp_micros(u + D).alias("end"),
+                ),
+            )
+            # row order within a frame = reference join scan order: left
+            # tuples in window order, right tuples inner (JoinTuples) —
+            # used for first-of-frame raw columns in aggregated queries
+            .withColumn(
+                "__rowu",
+                F.struct(
+                    F.coalesce(F.col("__muL"), F.col("__muR")).alias("a"),
+                    F.coalesce(F.col("__muR"), F.col("__muL")).alias("b"),
+                ),
+            )
+            .drop("__tkR", "__tu", "__tuR", "__muL", "__muR")
+        )
+        ctx.join_sliding_keys = ["__tkey", "window"]
+        ctx.window_col = "window"
+        if l_long:
+            ctx.window_bounds_ms = True
+        return out
 
     def _stream_stream_join(
         self, df: DataFrame, stmt: SelectStatement, j, ctx: TranslateCtx, left_alias: str
@@ -702,7 +891,11 @@ class Translator:
                 for ref in self._find_raw_cols(s.expr):
                     raw_refs.setdefault(canon(ref), ref)
             okey = None
-            if ctx.event_col and ctx.event_col in df.columns:
+            if ctx.join_sliding_keys and "__rowu" in df.columns:
+                # windowed join: the bare event col exists on BOTH sides;
+                # __rowu carries the reference's join scan order
+                okey = "__rowu"
+            elif ctx.event_col and ctx.event_col in df.columns:
                 okey = ctx.event_col
             elif ctx.order_cols and ctx.order_cols[0] in df.columns:
                 okey = ctx.order_cols[0]
@@ -1284,6 +1477,10 @@ class Translator:
         """Materialize the window group key column; returns (df, key_name)."""
         ec = ctx.event_col
         if w.kind == "sliding":
+            if ctx.join_sliding_keys:
+                # windowed join: membership + trigger keys were computed
+                # with the join in _batch_sliding_join
+                return df, list(ctx.join_sliding_keys)
             return self._sliding_membership_key(df, w, ctx)
         if w.kind in ("tumbling", "hopping", "session") and ec is None:
             raise ValueError("time window requires an event-time column")

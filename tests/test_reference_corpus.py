@@ -860,3 +860,96 @@ def test_sliding_delay_trigger_content(spark, demo_cat):
     assert sorted(tuple(r) for r in df.collect()) == [
         (2, "blue"), (3, "red"), (4, "yellow"), (6, "blue"),
     ]
+
+
+# ---------------------------------------------------------------------- #
+# windowed two-stream join (window-then-join order): TestWindowRule3/6
+# ---------------------------------------------------------------------- #
+# demo1's full 5-row mock (mock_data.go:131-180) carries an ARRIVAL time
+# distinct from its ts field — the reference windows on tuple.Timestamp,
+# so the replay registers the arrival as the stream's TIMESTAMP column.
+DEMO1_FULL_ROWS = [  # temp, hum, from, ts, mts(arrival)
+    (25.5, 65, "device1", 1541152486013, 1541152486115),
+    (27.5, 59, "device2", 1541152486823, 1541152486903),
+    (28.1, 75, "device3", 1541152487632, 1541152487702),
+    (27.4, 80, "device1", 1541152488442, 1541152488605),
+    (25.5, 62, "device3", 1541152489252, 1541152489305),
+]
+
+
+@pytest.fixture(scope="module")
+def wjoin_cat(spark):
+    from ekuiper_spark.catalog import StreamDef
+
+    cat = Catalog()
+    cat.register_df(
+        "demo", spark.createDataFrame(DEMO_ROWS, "color string, size long, ts long")
+    )
+    cat.register(StreamDef(name="demo", kind="stream"))
+    cat.register_df(
+        "demo1",
+        spark.createDataFrame(
+            DEMO1_FULL_ROWS, "temp double, hum long, `from` string, ts long, mts long"
+        ),
+    )
+    cat.register(StreamDef(name="demo1", kind="stream", timestamp_col="mts"))
+    return cat
+
+
+def test_window_rule6_sliding_join_agg(spark, wjoin_cat):
+    """TestWindowRule6 (window_rule_test.go): SlidingWindow(ss,1) over
+    demo INNER JOIN demo1 — every arrival from EITHER stream triggers a
+    window over both streams' last second; the join runs within each
+    window's contents and empty results emit nothing (8 of 10 triggers
+    emit)."""
+    df = compile_sql(
+        spark,
+        "SELECT window_end(), event_time(), sum(temp) as temp1, "
+        "count(color) as c, window_start() FROM demo INNER JOIN demo1 "
+        "ON demo.ts = demo1.ts GROUP BY SlidingWindow(ss, 1)",
+        wjoin_cat,
+        order_cols=["ts"],
+    )
+    rows = sorted(
+        (r["window_start"], r["window_end"], r["event_time"], r["temp1"], r["c"])
+        for r in df.collect()
+    )
+    assert rows == [
+        (1541152485115, 1541152486115, 1541152486115, 25.5, 1),
+        (1541152485822, 1541152486822, 1541152486822, 25.5, 1),
+        (1541152485903, 1541152486903, 1541152486903, 25.5, 1),
+        (1541152486702, 1541152487702, 1541152487702, 28.1, 1),
+        (1541152487442, 1541152488442, 1541152488442, 28.1, 1),
+        (1541152487605, 1541152488605, 1541152488605, 55.5, 2),
+        (1541152488252, 1541152489252, 1541152489252, 27.4, 1),
+        (1541152488305, 1541152489305, 1541152489305, 52.9, 2),
+    ]
+
+
+def test_window_rule3_sliding_join_content_hit(spark, wjoin_cat):
+    """TestWindowRule3 (window_rule_test.go:149): non-aggregated sliding
+    join emits each window's whole JOINED content (the 6th emission holds
+    two rows); HAVING last_agg_hit_count() < 7 caps EMISSIONS at 7,
+    dropping the final trigger's two-row window."""
+    df = compile_sql(
+        spark,
+        "SELECT color, temp, demo.ts as ts1, demo1.ts as ts2, "
+        "demo.ts - demo1.ts as diff FROM demo INNER JOIN demo1 "
+        "ON ts1 = ts2 GROUP BY SlidingWindow(ss, 1) "
+        "HAVING last_agg_hit_count() < 7",
+        wjoin_cat,
+        order_cols=["ts"],
+    )
+    rows = sorted(
+        (r["color"], r["temp"], r["ts1"], r["ts2"], r["diff"]) for r in df.collect()
+    )
+    assert rows == [
+        ("blue", 28.1, 1541152487632, 1541152487632, 0),
+        ("blue", 28.1, 1541152487632, 1541152487632, 0),
+        ("blue", 28.1, 1541152487632, 1541152487632, 0),
+        ("red", 25.5, 1541152486013, 1541152486013, 0),
+        ("red", 25.5, 1541152486013, 1541152486013, 0),
+        ("red", 25.5, 1541152486013, 1541152486013, 0),
+        ("yellow", 27.4, 1541152488442, 1541152488442, 0),
+        ("yellow", 27.4, 1541152488442, 1541152488442, 0),
+    ]
