@@ -1623,21 +1623,12 @@ class Translator:
         e = (F.col(ec) * 1000) if ctx.event_is_long else epoch_us(F.col(ec))
         parts = [F.col(n) for n in ctx.window_parts]
         if not parts:
-            if timeout_us <= cap_us:
-                # scale path: cap-grid bucket partitioning with boundary
-                # shadows (see _session_capped_unkeyed) — no global sort
-                return self._session_capped_unkeyed(df, e, cap_us, timeout_us, ctx)
-            import warnings
-
-            warnings.warn(
-                "unkeyed capped SESSIONWINDOW with interval > length uses "
-                "one global sort partition (island lookback can cross "
-                "multiple cap buckets); at scale add GROUP BY key to "
-                "partition the sessionization.",
-                UserWarning,
-                stacklevel=4,
-            )
-            parts = [F.lit(0)]
+            # scale path: cap-grid bucket partitioning with boundary
+            # shadows (see _session_capped_unkeyed) — no global sort.
+            # With interval > length the shadow depth grows to
+            # ceil(timeout/cap) buckets; still bounded row duplication,
+            # never a single partition.
+            return self._session_capped_unkeyed(df, e, cap_us, timeout_us, ctx)
         df = df.withColumn("__us", e)
         wp = W.partitionBy(*parts).orderBy("__us")
         prev = F.lag("__us").over(wp)
@@ -1722,15 +1713,25 @@ class Translator:
         # in different Window operators, so equal timestamps need a total
         # order or a flagged row's ties could land in different islands
         df = df.withColumn("__rid", F.monotonically_increasing_id())
-        # 1. explode into home bucket + boundary-strip shadow
-        strip = F.col("__us") >= (F.col("__bkt") + 1) * cap_us - timeout_us
+        # 1. explode into home bucket + boundary-strip shadows.  A row
+        # must be visible to the gap-lag of every bucket whose start lies
+        # within `timeout` after it — ceil(timeout/cap) following buckets
+        # (exactly one when timeout <= cap, the common case).  Any
+        # predecessor within timeout of bucket b's start therefore shadows
+        # into b, so a bucket-first native row's lag is its true
+        # predecessor, and a missing shadow correctly means gap > timeout.
+        depth = -(-timeout_us // cap_us)
+        strips = [
+            F.when(
+                F.col("__us") >= (F.col("__bkt") + jj) * cap_us - timeout_us,
+                F.struct((F.col("__bkt") + jj).alias("b"), F.lit(True).alias("sh")),
+            )
+            for jj in range(1, depth + 1)
+        ]
         branches = F.array_compact(
             F.array(
                 F.struct(F.col("__bkt").alias("b"), F.lit(False).alias("sh")),
-                F.when(
-                    strip,
-                    F.struct((F.col("__bkt") + 1).alias("b"), F.lit(True).alias("sh")),
-                ),
+                *strips,
             )
         )
         df = (

@@ -232,3 +232,33 @@ def test_unkeyed_capped_session_on_tick_membership(spark):
     )
     got = sorted((r["s"], r["e"], r["n"]) for r in out.collect())
     assert got == [(base, base + dt.timedelta(seconds=240), 5)]
+
+
+def test_unkeyed_capped_session_sparse_timeout_no_global_sort(spark, catalog):
+    """interval > length: the shadow depth grows to ceil(timeout/cap)
+    buckets and the construction still distributes — no single sort
+    partition, and values match the keyed construction."""
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.catalog import Catalog
+
+    sql = (
+        "SELECT window_start() AS s, window_end() AS e, count(*) AS n "
+        "FROM events GROUP BY SESSIONWINDOW(mi, 30, 120)"
+    )
+    df = compile_sql(spark, sql, catalog)
+    plan = _plan(df)
+    assert not re.search(r"windowspecdefinition\(1,", plan)
+    assert not re.search(r"windowspecdefinition\(0,", plan)
+    ev = catalog.load(spark, "events")
+    cat2 = Catalog()
+    cat2.register_df("events", ev.withColumn("k", F.lit(1)))
+    keyed = compile_sql(
+        spark,
+        "SELECT window_start() AS s, window_end() AS e, count(*) AS n "
+        "FROM events GROUP BY k, SESSIONWINDOW(mi, 30, 120)",
+        cat2,
+    )
+    a = sorted((r["s"], r["e"], r["n"]) for r in df.collect())
+    b = sorted((r["s"], r["e"], r["n"]) for r in keyed.select("s", "e", "n").collect())
+    assert a == b and len(a) > 1
