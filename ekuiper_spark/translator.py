@@ -2334,12 +2334,28 @@ class Translator:
             else 0
         )
         span = length_us + delay_us
-        bucket_us = 16 * span
         e = (
             (self._event_ref(ctx) * 1000)
             if ctx.event_is_long
             else epoch_us(self._event_ref(ctx))
         )
+        # adaptive bucket width: 16*span is the low-duplication default,
+        # but when the data's time range is short relative to it (e.g. an
+        # hour-long frame over a two-day table) that caps parallelism at
+        # range/16span sort partitions.  Clamp to [span, 16*span] targeting
+        # ~4 buckets per core; bucket >= span keeps the one-neighbor
+        # shadow construction valid, and bucket == span bounds duplication
+        # at 2x.  The min/max probe is one column-pruned agg — trivial
+        # next to the sort it parallelizes.
+        par = self.spark.sparkContext.defaultParallelism or 32
+        lo_hi = df.select(
+            F.min(e).alias("lo"), F.max(e).alias("hi")
+        ).collect()[0]
+        if lo_hi["lo"] is None:
+            bucket_us = 16 * span
+        else:
+            rng = int(lo_hi["hi"]) - int(lo_hi["lo"])
+            bucket_us = min(16 * span, max(span, rng // (4 * par) or span))
         b = F.floor(e / bucket_us)
         # one scan: each row explodes into its home bucket plus (when in a
         # boundary strip) shadow assignments for the neighbor bucket
@@ -2365,6 +2381,12 @@ class Translator:
             .withColumn("__shadow", F.col("__sla.sh"))
             .drop("__sla")
         )
+        # explicit repartition: the per-bucket sort is CPU-bound, but its
+        # shuffle is byte-small, so AQE would coalesce the bucket exchange
+        # down to a few tasks; a user-specified partition count is exempt
+        # from coalescing and the Window's clustered-distribution
+        # requirement is already satisfied (no second exchange)
+        df = df.repartition(par, F.col("__slb"))
         ctx.sliding_parts = [F.col("__slb")]
         return df
 
