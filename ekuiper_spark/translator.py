@@ -69,6 +69,7 @@ class TranslateCtx:
     window_parts: list = dc_field(default_factory=list)  # GROUP BY dim col names (pre-window)
     join_window_col: Optional[str] = None  # stream-stream join bucket col (reused as window)
     join_sliding_keys: Optional[list] = None  # precomputed per-trigger keys (batch sliding join)
+    source_order: list = dc_field(default_factory=list)  # FROM-order aliases (star collision precedence)
 
 
 def canon(node: Node) -> str:
@@ -534,6 +535,7 @@ class Translator:
         )
         df = df.alias(left_alias)
         ctx.source_aliases.add(left_alias.lower())
+        ctx.source_order.append(left_alias)
         ctx.primary_alias = left_alias
         for j in stmt.joins:
             r_alias = j.alias or j.source
@@ -566,6 +568,7 @@ class Translator:
                 continue
             rdf = self.catalog.load(self.spark, j.source, streaming=False).alias(r_alias)
             ctx.source_aliases.add(r_alias.lower())
+            ctx.source_order.append(r_alias)
             rdef = self.catalog.get(j.source)
             if rdef is not None and rdef.kind == "lookup":
                 # lookup tables are point-query side inputs in the reference
@@ -631,6 +634,7 @@ class Translator:
         r_alias = j.alias or j.source
         rdf = self.catalog.load(self.spark, j.source, streaming=False).alias(r_alias)
         ctx.source_aliases.add(r_alias.lower())
+        ctx.source_order.append(r_alias)
         if j.kind not in ("inner", "left", "right", "full", "cross"):
             raise NotImplementedError(
                 f"sliding-window {j.kind} join is unsupported"
@@ -758,6 +762,7 @@ class Translator:
             self.spark, j.source, streaming=self.streaming
         ).alias(r_alias)
         ctx.source_aliases.add(r_alias.lower())
+        ctx.source_order.append(r_alias)
         sdef = self.catalog.get(stmt.source)
         lec = self.event_col or (sdef.timestamp_col if sdef else None) or (
             "ts" if "ts" in df.columns else None
@@ -2105,6 +2110,39 @@ class Translator:
         hidden |= {c for c in df.columns if c.startswith("__")}
         replaces = {name: self._expr(e, ctx) for e, name in w.replaces}
         out = []
+        if (
+            not w.source
+            and len(ctx.source_order) > 1
+            and len(set(df.columns)) < len(df.columns)
+        ):
+            # `*` over a join with colliding column names: the reference
+            # merges tuples with the FIRST source winning each name
+            # (JoinTuple.ToMap iterates tuples backward, row.go:692-699;
+            # TestSingleSQLRule10 expects demo.size over table1.size).
+            # Emit each name once, qualified by its first-owning source.
+            exc = {x.lower() for x in w.except_cols}
+            emitted: set[str] = set()
+            for alias in ctx.source_order:
+                try:
+                    cols = df.select(f"{alias}.*").columns
+                except Exception:
+                    continue
+                for c in cols:
+                    if c in hidden or c.lower() in exc or c in emitted:
+                        continue
+                    emitted.add(c)
+                    if c in replaces:
+                        out.append((replaces[c].alias(c), c))
+                    else:
+                        out.append((F.col(f"{alias}.{c}").alias(c), c))
+            for c in df.columns:  # non-source computed columns
+                if c in hidden or c.lower() in exc or c in emitted:
+                    continue
+                emitted.add(c)
+                out.append(
+                    ((replaces[c].alias(c), c) if c in replaces else (F.col(c), c))
+                )
+            return out
         names = df.select(f"{w.source}.*").columns if w.source else df.columns
         for c in names:
             if c in hidden or c.lower() in {x.lower() for x in w.except_cols}:

@@ -953,3 +953,70 @@ def test_window_rule3_sliding_join_content_hit(spark, wjoin_cat):
         ("yellow", 27.4, 1541152488442, 1541152488442, 0),
         ("yellow", 27.4, 1541152488442, 1541152488442, 0),
     ]
+
+
+TABLE1_ROWS = [  # test/lookup.json — the table1 scan-table fixture
+    ("name1", 2, 1541152486013),
+    ("name2", 6, 1541152487632),
+    ("name3", 4, 1541152489252),
+]
+
+
+@pytest.fixture(scope="module")
+def table1_cat(spark, demo_cat):
+    demo_cat.register_df(
+        "table1_full",
+        spark.createDataFrame(TABLE1_ROWS, "name string, size long, id long"),
+    )
+    return demo_cat
+
+
+def test_star_over_join_first_source_wins(spark, table1_cat):
+    """TestSingleSQLRule10 (rule_test.go:974): `SELECT *` over a join
+    merges both sides with the FIRST source winning name collisions
+    (JoinTuple.ToMap iterates tuples backward, row.go:692-699) — demo's
+    size=3 beats table1's size=2 for the red row."""
+    df = run(
+        spark, table1_cat,
+        "SELECT * FROM demo INNER JOIN table1_full on demo.ts = table1_full.id",
+    )
+    got = sorted(
+        (r["color"], r["size"], r["ts"], r["name"], r["id"]) for r in df.collect()
+    )
+    assert got == [
+        ("blue", 2, 1541152487632, "name2", 1541152487632),
+        ("red", 1, 1541152489252, "name3", 1541152489252),
+        ("red", 3, 1541152486013, "name1", 1541152486013),
+    ]
+
+
+def test_table_left_join_stream_on_aliases(spark, table1_cat):
+    """TestSingleSQLRule12 (rule_test.go:1042): the TABLE side may be the
+    FROM source with the stream joined on; the ON condition resolves
+    through select aliases (demoTs = table1Id)."""
+    df = run(
+        spark, table1_cat,
+        "SELECT demo.ts as demoTs, table1_full.id as table1Id "
+        "FROM table1_full INNER JOIN demo on demoTs = table1Id",
+    )
+    got = sorted((r["demoTs"], r["table1Id"]) for r in df.collect())
+    assert got == [
+        (1541152486013, 1541152486013),
+        (1541152487632, 1541152487632),
+        (1541152489252, 1541152489252),
+    ]
+
+
+def test_window_rule11_tumbling_join_table_where(spark, table1_cat):
+    """TestWindowRule11 (window_rule_test.go): tumbling window over a
+    stream x scan-table join with WHERE predicates on both sides — only
+    the red row survives demo.size > 2 AND table1.size > 1."""
+    df = run(
+        spark, table1_cat,
+        "SELECT color, name, window_start(), window_end() FROM demo "
+        "INNER JOIN table1_full on demo.ts = table1_full.id "
+        "where demo.size > 2 and table1_full.size > 1 "
+        "GROUP BY tumblingwindow(ss, 1)",
+    )
+    got = [(r["color"], r["name"], r["window_start"], r["window_end"]) for r in df.collect()]
+    assert got == [("red", "name1", 1541152486000, 1541152487000)]
