@@ -255,7 +255,7 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
                count(*) OVER w AS n_1h
         FROM events
         WINDOW w AS (ORDER BY epoch_us(ts)
-                     RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         """,
     ),
     # reference window-then-aggregate order (TestWindowRule4): each
@@ -270,7 +270,7 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
              j AS (
                SELECT t.tu, r.user_id, count(*) AS n_w
                FROM t JOIN events r
-                 ON epoch_us(r.ts) > t.tu - 1800000000
+                 ON epoch_us(r.ts) >= t.tu - 1800000000
                 AND epoch_us(r.ts) <= t.tu
                GROUP BY t.tu, r.user_id
              )
@@ -287,7 +287,7 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
                  event_type, count(*) OVER w AS n_1h
           FROM events
           WINDOW w AS (ORDER BY epoch_us(ts)
-                       RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         )
         SELECT event_id, n_1h FROM x WHERE event_type = 'error'
         """,

@@ -1003,7 +1003,7 @@ def window_agg_stream(
     # ------------------------------------------------------------------ #
     def fn_sliding_delay(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         """SLIDINGWINDOW(unit, length, delay): a row's emission fires once
-        event time passes t+delay; its frame is (t-length, t+delay]
+        event time passes t+delay; its frame is [t-length, t+delay)
         (window_op.go sliding delay scheduling, event-time analog).  Rows
         later than the delay horizon are dropped (watermark semantics);
         trailing rows whose trigger never passes stay pending."""
@@ -1028,10 +1028,12 @@ def window_agg_stream(
         idx = np.nonzero(emit)[0]
         out_cols: dict = {}
         if len(idx):
-            # frame (t-length, t+delay] — left-exclusive like the reference
-            # scan (window_op.go:606 After(windowStart))
-            left = np.searchsorted(ts_arr, ts_arr[idx] - length_us, side="right")
-            right = np.searchsorted(ts_arr, ts_arr[idx] + delay_us, side="right")
+            # frame [t-length, t+delay) — left-INCLUSIVE (handleInputs
+            # keeps ts >= left, window_op.go:641-647), right-EXCLUSIVE
+            # because Delay > 0 makes the window time-related
+            # (window_op.go:571-573; TestSlidingWindowInterval11)
+            left = np.searchsorted(ts_arr, ts_arr[idx] - length_us, side="left")
+            right = np.searchsorted(ts_arr, ts_arr[idx] + delay_us, side="left")
             for a in agg_list:
                 if a.op == "count" and a.in_col is None:
                     res = (right - left).astype("int64")
@@ -1072,7 +1074,7 @@ def window_agg_stream(
                 # non-aggregated form stay trigger-row-local
                 v = full[c][idx] if (c.startswith("__") or not agg_list) else full[c][left]
                 out_cols[c] = pd.to_datetime(v.astype("int64"), unit="us") if _is_ts(buf_types[c]) else v
-        keep = ts_arr > new_thr - length_us
+        keep = ts_arr >= new_thr - length_us
         save_state(state, new_max, False, {c: full[c][keep] for c in buffered})
         if len(idx):
             yield emit_frame(out_cols, len(idx), key)
@@ -1109,7 +1111,7 @@ def window_agg_stream(
             )
             new_pos = np.nonzero(is_new)[0]
             new_ts = full[ts_col][new_pos]
-            lefts = np.searchsorted(full[ts_col], new_ts - length_us, side="right")
+            lefts = np.searchsorted(full[ts_col], new_ts - length_us, side="left")
             sink = new_sink()
             n_trig = 0
             for k, pos in enumerate(new_pos):
@@ -1119,7 +1121,7 @@ def window_agg_stream(
                 subgroup_window(win, 0, sink)
                 n_trig += 1
             last_ts = int(full[ts_col][-1])
-            keep = full[ts_col] > last_ts - length_us
+            keep = full[ts_col] >= last_ts - length_us
             save_state(state, 0, False, {c: full[c][keep] for c in buffered})
             n_out = len(next(iter(sink.values()))) if sink else 0
             if n_out:
@@ -1143,9 +1145,10 @@ def window_agg_stream(
         if any(a.in_col is None for a in agg_list):
             # count(*) counts rows, not non-nulls of some column
             roll_df["__one"] = 1.0
-        # frame (t-length, t]: the reference scan is left-exclusive
-        # (window_op.go:606 After(windowStart))
-        roll = roll_df.rolling(pd.Timedelta(microseconds=length_us), closed="right")
+        # frame [t-length, t]: the reference scan is left-INCLUSIVE
+        # (handleInputs keeps ts >= left, window_op.go:641-647;
+        # TestSlidingWindowInterval12 pins the boundary)
+        roll = roll_df.rolling(pd.Timedelta(microseconds=length_us), closed="both")
         out_cols = {}
         for a in agg_list:
             src = a.in_col if a.in_col is not None else "__one"
@@ -1164,10 +1167,10 @@ def window_agg_stream(
         # stable argsort keeps the new rows in batch-sorted relative order,
         # so res[is_new] aligns 1:1 with the sorted batch's rows
         if agg_list and any(not c.startswith("__") for c in pass_list):
-            # first-of-frame raw columns: the frame (t-L, t] starts at the
-            # first buffered index with us > t - L
+            # first-of-frame raw columns: the frame [t-L, t] starts at the
+            # first buffered index with us >= t - L
             new_ts = full[ts_col][is_new]
-            left_idx = np.searchsorted(full[ts_col], new_ts - length_us, side="right")
+            left_idx = np.searchsorted(full[ts_col], new_ts - length_us, side="left")
         for c in pass_list:
             if c.startswith("__") or not agg_list:
                 # __-prefixed pass cols are trigger-row locals (__trig,
@@ -1181,9 +1184,10 @@ def window_agg_stream(
                     else vals
                 )
         # trim the carried buffer to the horizon of the newest row
-        # (left-exclusive frame: a row exactly `length` old never re-enters)
+        # (left-INCLUSIVE frame: a tie with the newest row can still need
+        # the row exactly `length` old)
         last_ts = int(full[ts_col][-1])
-        keep = full[ts_col] > last_ts - length_us
+        keep = full[ts_col] >= last_ts - length_us
         buf = {c: full[c][keep] for c in buffered}
         save_state(state, 0, False, buf)
         yield emit_frame(out_cols, n_new, key)

@@ -671,8 +671,10 @@ class Translator:
         ).persist()
 
         def _members(sdf: DataFrame, ucol, tkey_name: str, tu_name: str) -> DataFrame:
-            # row u belongs to trigger t iff t-L < u <= t+D, i.e. t in
-            # [u-D, u+L): an interval of width W spanning <= 2 W-buckets
+            # row u belongs to trigger t iff t-L <= u <= t+D (right bound
+            # EXCLUSIVE with delay — same contract as
+            # _sliding_membership_key), i.e. t in (u-D, u+L]: an interval
+            # of width W spanning <= 2 W-buckets
             b1 = F.floor((ucol - D) / Wd)
             b2 = F.floor((ucol + L) / Wd)
             rows = sdf.withColumn("__mu", ucol).withColumn(
@@ -681,11 +683,16 @@ class Translator:
             t = triggers.withColumnRenamed("__tkey", tkey_name).withColumnRenamed(
                 "__tu", tu_name
             )
+            right_ok = (
+                (rows["__mu"] < t[tu_name] + D)
+                if D
+                else (rows["__mu"] <= t[tu_name])
+            )
             return rows.join(
                 t,
                 (rows["__mb"] == t["__tb"])
-                & (rows["__mu"] > t[tu_name] - L)
-                & (rows["__mu"] <= t[tu_name] + D),
+                & (rows["__mu"] >= t[tu_name] - L)
+                & right_ok,
             ).drop("__mb", "__tb", "__mu")
 
         lm = _members(ldf, lu, "__tkey", "__tu").withColumn("__muL", lu)
@@ -1358,17 +1365,24 @@ class Translator:
             trig.select(F.col("__ru").alias("__tu"), tkey.alias("__tkey"))
             .withColumn("__tb", F.floor(F.col("__tu") / Wd))
         )
-        # row u belongs to trigger t's frame iff t-L < u <= t+D, i.e.
-        # t in [u-D, u+L) — an interval of width exactly W, so it spans at
+        # row u belongs to trigger t's frame iff t-L <= u <= t+D (delay:
+        # right bound t+D EXCLUSIVE — handleInputs keeps ts >= left,
+        # isTimeRelatedWindow makes ts < right when Delay > 0), i.e.
+        # t in (u-D, u+L] — an interval of width exactly W, so it spans at
         # most two W-buckets
         b1 = F.floor((F.col("__ru") - D) / Wd)
         b2 = F.floor((F.col("__ru") + L) / Wd)
         rows = base.withColumn("__rb", F.explode(F.array_distinct(F.array(b1, b2))))
+        right_ok = (
+            (rows["__ru"] < triggers["__tu"] + D)
+            if D
+            else (rows["__ru"] <= triggers["__tu"])
+        )
         j = rows.join(
             triggers,
             (rows["__rb"] == triggers["__tb"])
-            & (rows["__ru"] > triggers["__tu"] - L)
-            & (rows["__ru"] <= triggers["__tu"] + D),
+            & (rows["__ru"] >= triggers["__tu"] - L)
+            & right_ok,
         ).drop("__rb", "__tb", "__ru")
         j = j.withColumn(
             "window",
@@ -2453,11 +2467,15 @@ class Translator:
         # GROUP BY dims partition the per-event frame (keyed sliding
         # windows are the 100 TB path: per-key sort instead of one global
         # partition)
-        # frame (t-length, t+delay]: the reference scan is left-exclusive
-        # (window_op.go:606 After(windowStart)); on the integer-microsecond
-        # grid that is a -(length-1µs) inclusive lower bound
+        # frame [t-length, t] (delay: [t-length, t+delay)): the reference
+        # scan keeps ts >= left (handleInputs window_op.go:641-647 discards
+        # only left.After(ts)) and is right-INCLUSIVE without delay but
+        # right-EXCLUSIVE with one (isTimeRelatedWindow window_op.go:571-573
+        # + the ts<right meet rule; TestSlidingWindowInterval11/12 pin both
+        # boundaries).  Integer-microsecond grid: upper = delay-1µs.
+        d_us = int(delay * 1_000_000)
         return spec.orderBy(order).rangeBetween(
-            -int(length * 1_000_000) + 1, int(delay * 1_000_000)
+            -int(length * 1_000_000), d_us - 1 if d_us else 0
         )
 
     def _expr(self, node: Node, ctx: TranslateCtx) -> Column:

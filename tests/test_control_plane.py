@@ -799,10 +799,13 @@ def test_streaming_collect_timestamp_column(spark, catalog):
     assert s_sets == b_sets
 
 
-def test_sliding_left_exclusive_boundary(spark):
-    """The sliding frame is (t-length, t] — a row exactly `length` older
-    than the trigger is NOT in the frame (window_op.go:606
-    After(windowStart) is strict)."""
+def test_sliding_left_inclusive_boundary(spark):
+    """The sliding frame is [t-length, t] — a row exactly `length` older
+    than the trigger IS in the frame.  The normal scan keeps ts >= left
+    (handleInputs, window_op.go:641-647); the strict After(windowStart)
+    at window_op.go:606 is the sendTwice-mode path only.
+    TestSlidingWindowInterval12's golden output pins the inclusive
+    boundary (a row exactly 1s old appears in the trigger's frame)."""
     import datetime
 
     from ekuiper_spark.catalog import Catalog
@@ -822,10 +825,10 @@ def test_sliding_left_exclusive_boundary(spark):
         cat, order_cols=["ts", "event_id"],
     )
     got = sorted((r["event_id"], r["n"]) for r in out.collect())
-    # row 2's frame (t-1h, t] excludes row 1 (exactly 1h old); row 3's
+    # row 2's frame [t-1h, t] INCLUDES row 1 (exactly 1h old); row 3's
     # frame includes row 2 but not row 1 (1h + 30s old).  event_id is the
     # FIRST frame row's id (reference project-over-grouped).
-    assert got == [(1, 1), (2, 1), (2, 2)]
+    assert got == [(1, 1), (1, 2), (2, 2)]
 
 
 def test_graph_aggfunc_and_watermark_nodes(spark, catalog):

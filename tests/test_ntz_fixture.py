@@ -67,12 +67,14 @@ def test_sliding_window_on_any_ts_type(spark, ntz_catalog):
         ntz_catalog,
     )
     rows = sorted((r["event_id"], r["c"]) for r in out.collect())
-    # 60s frame (t-60, t] left-exclusive, events every 30s: the first
-    # frame has 1 row, every later one exactly 2 (the t-60 event is
-    # excluded).  event_id is the FIRST frame row's id (reference
-    # project-over-grouped), so frame k>=1 reports id k-1.
-    assert rows[0] == (0, 1) and rows[1] == (0, 2)
-    assert rows[-1] == (38, 2)
+    # 60s frame [t-60, t] left-INCLUSIVE (handleInputs keeps ts >= left,
+    # window_op.go:641-647; TestSlidingWindowInterval12), events every
+    # 30s: the first frame has 1 row, the second 2, every later one
+    # exactly 3 (the t-60 event is included).  event_id is the FIRST
+    # frame row's id (reference project-over-grouped), so frame k>=2
+    # reports id k-2.
+    assert rows[0] == (0, 1) and rows[1] == (0, 2) and rows[2] == (0, 3)
+    assert rows[-1] == (37, 3)
 
 
 def test_rate_limit_on_any_ts_type(spark, ntz_catalog):

@@ -1020,3 +1020,138 @@ def test_window_rule11_tumbling_join_table_where(spark, table1_cat):
     )
     got = [(r["color"], r["name"], r["window_start"], r["window_end"]) for r in df.collect()]
     assert got == [("red", "name1", 1541152486000, 1541152487000)]
+
+
+def test_event_window_rule9_hopping_streaming_replay(spark, tmp_path):
+    """TestEventWindowRule9 (window_rule_test.go:1227): event-time
+    HOPPINGWINDOW(ss,2,1) content emission over demoE — the late blue
+    row (ts 486.822 arriving after the watermark passed 488.252) drops,
+    closed hop instances emit their contents, and the final yellow's
+    windows never close.  Documented delta vs the reference: the first
+    window's window_start() is clamped to the rule start there
+    (485013), so the assertion uses the grid start (485000)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    arrival = [
+        ("red", 3, 1541152486013),
+        ("blue", 2, 1541152487632),
+        ("red", 1, 1541152489252),
+        ("blue", 6, 1541152486822),   # late: wm already 488.252
+        ("yellow", 4, 1541152488442),
+        ("yellow", 4, 1541152492342),  # its windows never close
+    ]
+    sdir = str(tmp_path / "ew9")
+    os.makedirs(sdir)
+    now = _time.time()
+    schema = "color string, size long, ts timestamp"
+    empty = spark.createDataFrame([], schema)
+    empty.coalesce(1).write.parquet(str(tmp_path / "w9empty"))
+    empty_src = glob.glob(str(tmp_path / "w9empty" / "*.parquet"))[0]
+    for i, (color, size, ms) in enumerate(arrival):
+        one = spark.createDataFrame(
+            [(color, size, dt.datetime.utcfromtimestamp(ms / 1000.0))], schema
+        )
+        one.coalesce(1).write.parquet(str(tmp_path / f"w9_{i}"))
+        dst = os.path.join(sdir, f"{i:02d}a.parquet")
+        shutil.copy(glob.glob(str(tmp_path / f"w9_{i}" / "*.parquet"))[0], dst)
+        os.utime(dst, (now - 240 + i * 10, now - 240 + i * 10))
+        spacer = os.path.join(sdir, f"{i:02d}b.parquet")
+        shutil.copy(empty_src, spacer)
+        os.utime(spacer, (now - 235 + i * 10, now - 235 + i * 10))
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(sdir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    cat = Catalog()
+    cat.register_df("demoE", sdf)
+    out = compile_sql(
+        spark,
+        "SELECT window_end() AS we, color, window_start() AS ws FROM demoE "
+        "GROUP BY HOPPINGWINDOW(ss, 2, 1)",
+        cat,
+        streaming=True,
+        watermark="1 seconds",
+    )
+    name = "ew9_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    base = dt.datetime.utcfromtimestamp
+    got = sorted((r["we"], r["color"], r["ws"]) for r in spark.table(name).collect())
+    assert got == [
+        (base(1541152487), "red", base(1541152485)),
+        (base(1541152488), "blue", base(1541152486)),
+        (base(1541152488), "red", base(1541152486)),
+        (base(1541152489), "blue", base(1541152487)),
+        (base(1541152489), "yellow", base(1541152487)),
+        (base(1541152490), "red", base(1541152488)),
+        (base(1541152490), "yellow", base(1541152488)),
+        (base(1541152491), "red", base(1541152489)),
+    ], got
+
+
+def test_sliding_boundary_inclusive_left(spark):
+    """TestSlidingWindowInterval12 (window_rule_test.go:1324): the sliding
+    frame is [t-L, t] with the LEFT boundary INCLUSIVE — handleInputs
+    discards only left.After(ts) (window_op.go:641-647) — so a row exactly
+    `length` before the trigger is in the frame.  Replays the
+    watermark-released prefix of demoE2 (the third row only drives the
+    reference's watermark and is never released into the window op)."""
+    cat = Catalog()
+    cat.register_df(
+        "demoE2",
+        spark.createDataFrame(
+            [(27.5, 59, 1541152486000), (25.5, 65, 1541152487000)],
+            "temp double, hum long, ts long",
+        ),
+    )
+    df = compile_sql(
+        spark, "SELECT temp FROM demoE2 GROUP BY SLIDINGWINDOW(ss, 1)",
+        cat, order_cols=["ts"],
+    )
+    assert sorted(r["temp"] for r in df.collect()) == [25.5, 27.5, 27.5]
+
+
+def test_sliding_delay_boundary_right_exclusive(spark):
+    """TestSlidingWindowInterval11 (window_rule_test.go:1303): with a
+    delay the sliding window is time-related (window_op.go:571-573), so
+    the RIGHT boundary t+delay is EXCLUSIVE — a row exactly at t+delay
+    stays out of the frame — while the left stays inclusive."""
+    cat = Catalog()
+    cat.register_df(
+        "s",
+        spark.createDataFrame(
+            [(1, 1000), (2, 2000), (3, 3000)], "v long, ts long"
+        ),
+    )
+    df = compile_sql(
+        spark, "SELECT v FROM s GROUP BY SLIDINGWINDOW(ss, 1, 1)",
+        cat, order_cols=["ts"],
+    )
+    # trigger 1000: [0,2000) = {1}; 2000: [1000,3000) = {1,2}; 3000: {2,3}
+    assert sorted(r["v"] for r in df.collect()) == [1, 1, 2, 2, 3]
+
+
+def test_sliding_agg_boundary_inclusive_left(spark):
+    """Same boundary through the aggregated (range-frame) sliding path:
+    count over [t-L, t] includes the row exactly L before the trigger."""
+    cat = Catalog()
+    cat.register_df(
+        "s",
+        spark.createDataFrame(
+            [(1, 1000), (2, 2000), (3, 3000)], "v long, ts long"
+        ),
+    )
+    df = compile_sql(
+        spark, "SELECT count(*) AS n FROM s GROUP BY SLIDINGWINDOW(ss, 1)",
+        cat, order_cols=["ts"],
+    )
+    assert sorted(r["n"] for r in df.collect()) == [1, 2, 2]
