@@ -107,6 +107,7 @@ class Catalog:
     def __init__(self) -> None:
         self._defs: dict[str, StreamDef] = {}
         self._dfs: dict[str, DataFrame] = {}
+        self._validation_errors: dict[str, DataFrame] = {}
 
     # -- registration ------------------------------------------------------
     def register(self, d: StreamDef) -> None:
@@ -394,10 +395,33 @@ class Catalog:
         if d.format == "parquet":
             return self._read_parquet(spark, d.path, with_meta=with_meta)
         if d.format == "json":
+            if d.schema is not None and self._strict_opt(d):
+                # STRICT_VALIDATION (preprocessor.go:29-90): tuples whose
+                # JSON dynamic types fail the samekind check become error
+                # rows (kept on validation_errors()) and never enter the
+                # rule — variant-based, pure Catalyst
+                from ekuiper_spark.operators.preprocessor import strict_validate
+
+                valid, errors = strict_validate(spark.read.text(d.path), d.schema)
+                self._validation_errors[d.name.lower()] = errors
+                return valid
             return reader.json(d.path)
         if d.format == "csv":
             return reader.csv(d.path, header=d.options.get("header", True))
         raise ValueError(f"unsupported format {d.format!r} for {name}")
+
+    @staticmethod
+    def _strict_opt(d: StreamDef) -> bool:
+        for k in ("strict_validation", "strictvalidation", "strictValidation"):
+            if k in d.options:
+                return str(d.options[k]).lower() in ("true", "1", "yes")
+        return False
+
+    def validation_errors(self, name: str):
+        """Error rows from the last strict-validation load of ``name``
+        (reference: failed tuples emit 'error in preprocessor: ...'
+        messages to the sink, TestWindowRule7)."""
+        return self._validation_errors.get(name.lower())
 
     # parquet TIMESTAMP(NANOS) columns (fixture files) are unreadable by
     # Spark natively; with spark.sql.legacy.parquet.nanosAsLong they arrive

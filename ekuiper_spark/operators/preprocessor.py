@@ -1,0 +1,145 @@
+"""Strict schema validation — the reference preprocessor's samekind
+conversion over schemaless JSON input.
+
+Reference: internal/topo/operator/preprocessor.go:29-90 (planned when
+``STRICT_VALIDATION`` is on), field_processor.go:86-150
+(``validateAndConvertField`` with ``cast.CONVERT_SAMEKIND``), and
+pkg/cast/cast.go (samekind = numeric kinds interconvert; string never
+converts to a number and numbers never convert to string).
+
+The hard part in Spark is that a schemaless JSON column loses the
+original JSON value types when inferred (a mixed int/string field
+unifies to string).  VARIANT keeps them: ``parse_json`` preserves each
+value's dynamic type and ``schema_of_variant`` reports it per row, so
+the samekind check is expressible in pure Catalyst — no Python UDFs.
+
+A tuple that fails validation becomes an error MESSAGE in the reference
+(emitted to the sink in arrival order, TestWindowRule7) and never enters
+the window.  Batch analog: :func:`strict_validate` splits the frame into
+(valid_rows, error_rows) with reference-formatted error strings; the
+ordering interleave with window emissions is a streaming-runtime concern
+and is documented as out of scope for batch replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# variant type tag -> the Go dynamic-type name the reference prints in
+# its error messages (the JSON converter yields int for integral
+# numbers, float64 otherwise — cast.go ToInt64/ToFloat64 switch arms)
+_GO_TYPE = {
+    "BIGINT": "int",
+    "DOUBLE": "float64",
+    "STRING": "string",
+    "BOOLEAN": "bool",
+    "VOID": "<nil>",
+}
+
+
+def _go_type_of(vt: Column) -> Column:
+    expr = None
+    for tag, name in _GO_TYPE.items():
+        expr = (
+            F.when(vt == tag, F.lit(name))
+            if expr is None
+            else expr.when(vt == tag, F.lit(name))
+        )
+    expr = expr.when(vt.startswith("DECIMAL"), F.lit("float64"))
+    # missing field: schema_of_variant(null) is NULL -> "<nil>"
+    return F.coalesce(expr, vt, F.lit("<nil>"))
+
+
+def _valid_for(decl: T.DataType, vt: Column) -> Column:
+    """Samekind validity of a variant value (type tag ``vt``) for the
+    declared Spark type (field_processor.go:86-150)."""
+    # JSON numbers arrive as BIGINT, DOUBLE, or DECIMAL(p,s) (variant
+    # keeps exact decimals); samekind treats them all as the number kind
+    num = vt.isin("BIGINT", "DOUBLE") | vt.startswith("DECIMAL")
+    if isinstance(decl, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return num
+    if isinstance(decl, (T.DoubleType, T.FloatType)):
+        return num
+    if isinstance(decl, T.StringType):
+        return vt == "STRING"
+    if isinstance(decl, T.BooleanType):
+        return vt == "BOOLEAN"
+    if isinstance(decl, (T.TimestampType, T.TimestampNTZType)):
+        # InterfaceToTime accepts numbers (epoch ms) and parseable strings
+        return num | (vt == "STRING")
+    if isinstance(decl, T.BinaryType):
+        return vt == "STRING"  # base64 text (cast.ToByteA)
+    # arrays/structs validate element-wise in the reference; top-level
+    # kind check here (samekind: a non-array cannot become one)
+    if isinstance(decl, T.ArrayType):
+        return vt.startswith("ARRAY")
+    if isinstance(decl, T.StructType):
+        return vt.startswith("OBJECT") | vt.startswith("STRUCT")
+    return F.lit(True)
+
+
+def _decl_name(decl: T.DataType) -> str:
+    """The ekuiper type name used in the reference's error text."""
+    if isinstance(decl, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "int64"
+    if isinstance(decl, (T.DoubleType, T.FloatType)):
+        return "float64"
+    if isinstance(decl, T.StringType):
+        return "string"
+    if isinstance(decl, T.BooleanType):
+        return "bool"
+    if isinstance(decl, (T.TimestampType, T.TimestampNTZType)):
+        return "datetime"
+    if isinstance(decl, T.BinaryType):
+        return "bytea"
+    return str(decl)
+
+
+def strict_validate(
+    raw: DataFrame, schema: T.StructType, json_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a raw-JSON frame into (valid_rows, error_rows).
+
+    ``raw`` holds one JSON object per row in ``json_col`` (any other
+    columns — arrival metadata, offsets — pass through both outputs).
+    Valid rows carry the declared columns, typed; error rows carry an
+    ``error`` string formatted exactly like the reference
+    ("error in preprocessor: field size type mismatch: cannot convert
+    string(red) to int64", preprocessor.go:76 + field_processor.go:77).
+
+    The whole check is Catalyst expressions over a VARIANT parse — one
+    scan, no shuffle, no Python.
+    """
+    v = F.parse_json(F.col(json_col))
+    passthru = [c for c in raw.columns if c != json_col]
+    checked = raw.withColumn("__v", v)
+    err_expr = F.lit(None).cast("string")
+    for f in schema.fields:
+        fv = F.try_variant_get(F.col("__v"), f"$.{f.name}", "variant")
+        vt = F.schema_of_variant(fv)
+        missing = fv.isNull() | (vt == "VOID")
+        bad = missing | ~_valid_for(f.dataType, vt)
+        raw_txt = fv.cast("string")  # "red" / "6" — unquoted either way
+        msg = F.concat(
+            F.lit(f"error in preprocessor: field {f.name} type mismatch: "
+                  f"cannot convert "),
+            _go_type_of(vt),
+            F.lit("("),
+            F.coalesce(raw_txt, F.lit("<nil>")),
+            F.lit(f") to {_decl_name(f.dataType)}"),
+        )
+        err_expr = F.coalesce(err_expr, F.when(bad, msg))
+    checked = checked.withColumn("__err", err_expr)
+    typed = [
+        F.try_variant_get(F.col("__v"), f"$.{f.name}", f.dataType.simpleString()).alias(
+            f.name
+        )
+        for f in schema.fields
+    ]
+    valid = checked.filter(F.col("__err").isNull()).select(*typed, *passthru)
+    errors = checked.filter(F.col("__err").isNotNull()).select(
+        F.col("__err").alias("error"), *passthru
+    )
+    return valid, errors

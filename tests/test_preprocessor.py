@@ -1,0 +1,128 @@
+"""Strict schema validation (reference preprocessor, samekind casts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ekuiper_spark.catalog import Catalog
+from ekuiper_spark.operators.preprocessor import strict_validate
+from ekuiper_spark.translator import compile_sql
+
+DEMO_ERROR_JSON = [
+    '{"color":"blue","size":"red","ts":1541152486013}',
+    '{"color":"blue","size":6,"ts":1541152486822}',
+    '{"color":"blue","size":2,"ts":1541152487632}',
+    '{"color":7,"size":4,"ts":1541152488442}',
+    '{"color":"red","size":"blue","ts":1541152489252}',
+]
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("color", T.StringType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("ts", T.LongType()),
+    ]
+)
+
+
+def test_strict_validate_samekind_split(spark):
+    """field_processor.go:86-150 with cast.CONVERT_SAMEKIND: a JSON
+    string never converts to BIGINT and a JSON number never converts to
+    STRING; failing tuples become reference-formatted error messages
+    (preprocessor.go:76, demoError expectations in TestWindowRule7)."""
+    raw = spark.createDataFrame([(s,) for s in DEMO_ERROR_JSON], "value string")
+    valid, errors = strict_validate(raw, SCHEMA)
+    rows = sorted((r["color"], r["size"], r["ts"]) for r in valid.collect())
+    assert rows == [
+        ("blue", 2, 1541152487632),
+        ("blue", 6, 1541152486822),
+    ]
+    msgs = sorted(r["error"] for r in errors.collect())
+    assert msgs == [
+        "error in preprocessor: field color type mismatch: "
+        "cannot convert int(7) to string",
+        "error in preprocessor: field size type mismatch: "
+        "cannot convert string(blue) to int64",
+        "error in preprocessor: field size type mismatch: "
+        "cannot convert string(red) to int64",
+    ]
+
+
+def test_strict_validate_missing_field_errors(spark):
+    """preprocessor_test.go:54-64: an absent or null declared field is an
+    error under strict validation, not a silent null."""
+    raw = spark.createDataFrame(
+        [('{"color":"blue","ts":1}',), ('{"color":"blue","size":null,"ts":2}',)],
+        "value string",
+    )
+    valid, errors = strict_validate(raw, SCHEMA)
+    assert valid.count() == 0
+    for m in (r["error"] for r in errors.collect()):
+        assert "field size type mismatch" in m and "<nil>" in m
+
+
+def test_strict_validate_float_to_int_samekind(spark):
+    """Samekind: numeric kinds interconvert (cast.go ToInt64 float64 arm
+    truncates), so a JSON float satisfies a BIGINT field."""
+    raw = spark.createDataFrame(
+        [('{"color":"a","size":6.9,"ts":1}',)], "value string"
+    )
+    valid, errors = strict_validate(raw, SCHEMA)
+    assert errors.count() == 0
+    assert valid.first()["size"] == 6
+
+
+def test_window_rule7_valid_window_contents(spark):
+    """TestWindowRule7 (window_rule_test.go): HOPPINGWINDOW(ss,2,1) over
+    demoError — invalid tuples become error emissions and never enter
+    the window; the valid blue rows produce exactly the golden window
+    contents.  (The error/window emission interleave is a streaming sink
+    ordering concern; batch checks the two sides separately.)"""
+    raw = spark.createDataFrame([(s,) for s in DEMO_ERROR_JSON], "value string")
+    valid, errors = strict_validate(raw, SCHEMA)
+    assert errors.count() == 3
+    cat = Catalog()
+    cat.register_df("demoError", valid)
+    df = compile_sql(
+        spark,
+        "SELECT color, size, ts FROM demoError GROUP BY HOPPINGWINDOW(ss, 2, 1)",
+        cat,
+        order_cols=["ts"],
+    )
+    got = sorted((r["size"], r["ts"]) for r in df.collect())
+    # golden: [blue6], [blue6, blue2], [blue2]
+    assert got == [
+        (2, 1541152487632),
+        (2, 1541152487632),
+        (6, 1541152486822),
+        (6, 1541152486822),
+    ]
+
+
+def test_catalog_strict_validation_json_source(spark, tmp_path):
+    """End-to-end: a CREATE STREAM json source with STRICT_VALIDATION
+    drops failing tuples at load and surfaces them as error rows."""
+    from ekuiper_spark.catalog import StreamDef
+
+    p = tmp_path / "demoError.json"
+    p.write_text("\n".join(DEMO_ERROR_JSON) + "\n")
+    cat = Catalog()
+    cat.register(
+        StreamDef(
+            name="demoError",
+            format="json",
+            path=str(p),
+            schema=SCHEMA,
+            options={"strict_validation": "true"},
+        )
+    )
+    df = compile_sql(
+        spark, "SELECT color, size FROM demoError WHERE size > 1", cat,
+        order_cols=["ts"],
+    )
+    assert sorted((r["color"], r["size"]) for r in df.collect()) == [
+        ("blue", 2), ("blue", 6),
+    ]
+    errs = cat.validation_errors("demoError")
+    assert errs is not None and errs.count() == 3
