@@ -660,6 +660,25 @@ class Translator:
             .unionAll(rdf.select(ru.alias("__tu")))
             .withColumn("__ttid", F.monotonically_increasing_id())
         )
+        if w.trigger is not None:
+            # OVER (WHEN <src>.ts - last_hit_time() > K [or <other>.ts -
+            # last_hit_time() > K]): the reference evaluates the condition
+            # per raw tuple, where the OTHER stream's field is nil (false),
+            # so the disjunction collapses to a gap-throttle on the
+            # tuple's own event time over the MERGED trigger sequence
+            # (TestEventWindowRule3).  last_hit advances on trigger hits.
+            spec = self._join_gap_throttle_spec(w.trigger, l_long)
+            if spec is None:
+                raise NotImplementedError(
+                    "sliding-window join triggers support the "
+                    "'<stream>.ts - last_hit_time() > K' gap-throttle form "
+                    "(per-tuple trigger evaluation, window_op.go "
+                    "isMatchCondition)"
+                )
+            k_us, ge = spec
+            trig = self._sequential_throttle(
+                trig.select("__tu", "__ttid"), "__tu", k_us, ge
+            )
         # persist: the trigger relation is referenced by BOTH membership
         # joins, and the synthetic id must be identical across them (it is
         # deterministic for batch inputs, but the cache also computes the
@@ -729,6 +748,43 @@ class Translator:
         if l_long:
             ctx.window_bounds_ms = True
         return out
+
+    def _join_gap_throttle_spec(self, node, is_long: bool):
+        """Parse an OR of '<col> - last_hit_time() > K' disjuncts with one
+        shared K/op; returns (K_us, ge) or None.  Only exact for
+        epoch-millis event columns (like _throttle_spec)."""
+        if not is_long:
+            return None
+        disjs: list[Node] = []
+
+        def flat(n: Node) -> None:
+            if isinstance(n, Binary) and n.op == "OR":
+                flat(n.left)
+                flat(n.right)
+            else:
+                disjs.append(n)
+
+        flat(node)
+        ks: set = set()
+        for d in disjs:
+            if not (isinstance(d, Binary) and d.op in (">", ">=")):
+                return None
+            k = self._raw(d.right)
+            l = d.left
+            if (
+                k is None
+                or not isinstance(l, Binary)
+                or l.op != "-"
+                or not isinstance(l.right, FuncCall)
+                or l.right.name != "last_hit_time"
+                or not isinstance(l.left, ColumnRef)
+            ):
+                return None
+            ks.add((int(k), d.op))
+        if len(ks) != 1:
+            return None
+        k, op = next(iter(ks))
+        return k * 1000, op == ">="
 
     def _stream_stream_join(
         self, df: DataFrame, stmt: SelectStatement, j, ctx: TranslateCtx, left_alias: str

@@ -1155,3 +1155,119 @@ def test_sliding_agg_boundary_inclusive_left(spark):
         cat, order_cols=["ts"],
     )
     assert sorted(r["n"] for r in df.collect()) == [1, 2, 2]
+
+
+def test_event_window_rule6_sliding_join_agg(spark):
+    """TestEventWindowRule6 (window_rule_test.go:1041): EVENT-time
+    sliding join — windows key on each stream's ts.  The reference's
+    multi-source watermark is min(per-source max ts) - lateTol(1s);
+    a tuple with ts <= wm at arrival drops (demoE's 486822), and rows
+    above the final watermark (492342, 499252) are never released by the
+    watermark op (source in 6+6, window in 9).  The batch replay feeds
+    exactly the released rows; every released row triggers a [t-1s, t]
+    frame over BOTH streams and the join runs inside it — 9 non-empty
+    emissions."""
+    from ekuiper_spark.catalog import StreamDef
+
+    cat = Catalog()
+    cat.register_df(
+        "demoE",
+        spark.createDataFrame(
+            [  # released demoE rows (ts order)
+                ("red", 3, 1541152486013),
+                ("blue", 2, 1541152487632),
+                ("yellow", 4, 1541152488442),
+                ("red", 1, 1541152489252),
+            ],
+            "color string, size long, ts long",
+        ),
+    )
+    cat.register(StreamDef(name="demoE", kind="stream"))
+    cat.register_df(
+        "demo1E",
+        spark.createDataFrame(
+            [  # released demo1E rows
+                (25.5, 65, 1541152486013),
+                (27.5, 59, 1541152486823),
+                (28.1, 75, 1541152487632),
+                (27.4, 80, 1541152488442),
+                (25.5, 62, 1541152489252),
+            ],
+            "temp double, hum long, ts long",
+        ),
+    )
+    cat.register(StreamDef(name="demo1E", kind="stream"))
+    df = compile_sql(
+        spark,
+        "SELECT max(temp) as m, count(color) as c FROM demoE "
+        "INNER JOIN demo1E ON demoE.ts = demo1E.ts "
+        "GROUP BY SlidingWindow(ss, 1)",
+        cat,
+        order_cols=["ts"],
+    )
+    got = sorted((r["m"], r["c"]) for r in df.collect())
+    assert got == [
+        (25.5, 1), (25.5, 1), (25.5, 1),
+        (27.4, 2), (27.4, 2),
+        (28.1, 1), (28.1, 1),
+        (28.1, 2), (28.1, 2),
+    ]
+
+
+def test_event_window_rule3_sliding_join_gap_trigger(spark):
+    """TestEventWindowRule3 (window_rule_test.go:892): joined event-time
+    sliding with OVER (WHEN demoE.ts - last_hit_time() > 400 or
+    demo1E.ts - last_hit_time() > 400).  The reference evaluates the
+    trigger per raw tuple (the other stream's field is nil), so it is a
+    gap-throttle over the merged trigger sequence; last_hit advances on
+    hits.  Released rows per the min-source watermark model (see
+    rule6 replay).  Five triggers emit their joined frame contents."""
+    from ekuiper_spark.catalog import StreamDef
+
+    cat = Catalog()
+    cat.register_df(
+        "demoE",
+        spark.createDataFrame(
+            [
+                ("red", 3, 1541152486013),
+                ("blue", 2, 1541152487632),
+                ("yellow", 4, 1541152488442),
+                ("red", 1, 1541152489252),
+            ],
+            "color string, size long, ts long",
+        ),
+    )
+    cat.register(StreamDef(name="demoE", kind="stream"))
+    cat.register_df(
+        "demo1E",
+        spark.createDataFrame(
+            [
+                (25.5, 65, 1541152486013),
+                (27.5, 59, 1541152486823),
+                (28.1, 75, 1541152487632),
+                (27.4, 80, 1541152488442),
+                (25.5, 62, 1541152489252),
+            ],
+            "temp double, hum long, ts long",
+        ),
+    )
+    cat.register(StreamDef(name="demo1E", kind="stream"))
+    df = compile_sql(
+        spark,
+        "SELECT color, temp, demoE.ts FROM demoE INNER JOIN demo1E "
+        "ON demoE.ts = demo1E.ts GROUP BY SlidingWindow(ss, 1) "
+        "OVER (WHEN demoE.ts - last_hit_time() > 400 "
+        "or demo1E.ts - last_hit_time() > 400)",
+        cat,
+        order_cols=["ts"],
+    )
+    got = sorted((r["color"], r["temp"], r["ts"]) for r in df.collect())
+    assert got == [
+        ("blue", 28.1, 1541152487632),
+        ("blue", 28.1, 1541152487632),
+        ("red", 25.5, 1541152486013),
+        ("red", 25.5, 1541152486013),
+        ("red", 25.5, 1541152489252),
+        ("yellow", 27.4, 1541152488442),
+        ("yellow", 27.4, 1541152488442),
+    ]
