@@ -1271,3 +1271,41 @@ def test_event_window_rule3_sliding_join_gap_trigger(spark):
         ("yellow", 27.4, 1541152488442),
         ("yellow", 27.4, 1541152488442),
     ]
+
+
+def test_event_window_rule4_throttle_dims_order(spark):
+    """TestEventWindowRule4 (window_rule_test.go:959): event-time sliding
+    with a gap-throttle trigger AND GROUP BY color content sub-grouping.
+    Released rows per the single-source watermark model (486822 drops
+    late, 492342 never releases); triggers at 486013/487632/489252 emit
+    their frames sub-grouped by color with ws/we = [t-2s, t]."""
+    cat = Catalog()
+    cat.register_df(
+        "demoE4",
+        spark.createDataFrame(
+            [
+                ("red", 3, 1541152486013),
+                ("blue", 2, 1541152487632),
+                ("yellow", 4, 1541152488442),
+                ("red", 1, 1541152489252),
+            ],
+            "color string, size long, ts long",
+        ),
+    )
+    df = compile_sql(
+        spark,
+        "SELECT window_start() as ws, color, window_end() as we FROM demoE4 "
+        "GROUP BY SlidingWindow(ss, 2) OVER (WHEN ts - last_hit_time() > 1000), "
+        "color ORDER BY color",
+        cat,
+        order_cols=["ts"],
+    )
+    got = sorted((r["ws"], r["color"], r["we"]) for r in df.collect())
+    assert got == [
+        (1541152484013, "red", 1541152486013),
+        (1541152485632, "blue", 1541152487632),
+        (1541152485632, "red", 1541152487632),
+        (1541152487252, "blue", 1541152489252),
+        (1541152487252, "red", 1541152489252),
+        (1541152487252, "yellow", 1541152489252),
+    ]
