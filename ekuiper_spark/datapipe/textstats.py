@@ -77,7 +77,10 @@ def bpe_ish_token_count(text: Column) -> Column:
     Counts maximal runs of word chars, plus each punctuation char — a
     deterministic proxy for subword tokenizers.
     """
-    words = F.size(F.filter(F.split(text, r"[^A-Za-z0-9_]+"), lambda t: t != ""))
+    # regexp_count of word runs == size(filter(split(...), != "")) but
+    # ~8x faster: no per-doc array materialization (profiled at sf1
+    # where the split dominated the whole text_profile stage)
+    words = F.regexp_count(text, F.lit(r"[A-Za-z0-9_]+"))
     punct = F.length(text) - F.length(F.regexp_replace(text, _PUNCT_RE, ""))
     return words + punct
 
@@ -182,9 +185,28 @@ def word_ngrams(toks: Column, n: int) -> Column:
 def dup_ngram_fraction_from_tokens(toks: Column, n: int = 3) -> Column:
     """Fraction of word n-grams that repeat an earlier n-gram, from an
     already-materialized token array (shared-intermediate form used by
-    text_profile)."""
-    grams = word_ngrams(toks, n)
-    k = F.size(grams)
+    text_profile).
+
+    The distinct count runs over xxhash64 of the token-array SLICES
+    instead of joined gram strings — slice equality ≡ string equality
+    (tokens cannot contain the joiner), so the ratio is identical modulo
+    64-bit collisions, and skipping the per-gram string materialization
+    plus the string array_distinct halves the profile's CPU (profiled at
+    sf1, where this column dominated the stage)."""
+    k = F.size(toks) - (n - 1)
+    if n == 2:
+        # bigram fast path: pair hashing via zip_with against the
+        # shifted array — no index sequence, no slice copies
+        grams = F.zip_with(
+            F.slice(toks, 1, F.greatest(k, F.lit(1))),
+            F.slice(toks, 2, F.greatest(k, F.lit(1))),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.xxhash64(F.slice(toks, i, n)),
+        )
     return F.when(
         k > 0,
         F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / k,
@@ -261,7 +283,9 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         t.alias("__t"),
         tokens(t).alias("__toks"),
         F.regexp_replace(t, _PUNCT_RE, "").alias("__nopunct"),
-        F.size(F.filter(F.split(t, r"[^A-Za-z0-9_]+"), lambda x: x != "")).alias("__bpe_words"),
+        # regexp_count == filtered-split size, minus the array (see
+        # bpe_ish_token_count)
+        F.regexp_count(t, F.lit(r"[A-Za-z0-9_]+")).alias("__bpe_words"),
     )
     n = F.length("__t")
     n_punct = n - F.length("__nopunct")
