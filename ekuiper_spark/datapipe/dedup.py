@@ -50,9 +50,21 @@ def _grams_of(toks: Column, k: int) -> Column:
     return F.array_distinct(grams)
 
 
+def _gram_hashes_of(toks: Column, k: int) -> Column:
+    """64-bit slice hashes of the k-grams — equality-compatible with
+    :func:`_grams_of` modulo xxhash64 collisions, with no per-gram string
+    materialization (see shingle_df)."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.slice(toks, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
 def shingle_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
-    fanout: bool = True,
+    fanout: bool = True, hashed: bool = False,
 ) -> DataFrame:
     """(id, shingles, n_sh) with the token array materialized as a real
     column before the k-gram lambda, so normalization/tokenization run once
@@ -65,8 +77,15 @@ def shingle_df(
     toks_df = (fanout_for_compute(df) if fanout else df).select(
         F.col(id_col).alias("id"), tokens(normalize_text(F.col(text_col))).alias("__toks")
     )
+    # hashed=True: shingles as xxhash64 of the token-array slices (slice
+    # equality ≡ joined-string equality — tokens cannot contain the
+    # joiner), so downstream set algebra runs over 8-byte longs instead
+    # of gram strings: smaller posting-list shuffles, cheaper distinct
+    # and intersections.  Jaccard/minhash only ever compare shingles for
+    # equality, never read their text.
+    grams = _gram_hashes_of if hashed else _grams_of
     return (
-        toks_df.select("id", _grams_of(F.col("__toks"), k).alias("shingles"))
+        toks_df.select("id", grams(F.col("__toks"), k).alias("shingles"))
         .withColumn("n_sh", F.size("shingles"))
     )
 
@@ -211,7 +230,7 @@ def jaccard_pairs(
     """
     from pyspark.sql import Window as W
 
-    sh = shingle_df(df, text_col, id_col, k)
+    sh = shingle_df(df, text_col, id_col, k, hashed=True)
     sh.persist()
     posts = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
     freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -331,7 +350,7 @@ def minhash_lsh_pairs(
     # few-partition scan (one small fixture file) that serializes the
     # dominant compute, so spread it first (no-op at real scale where
     # the scan already has many splits)
-    sh = shingle_df(df, text_col, id_col, k, fanout=fanout)
+    sh = shingle_df(df, text_col, id_col, k, fanout=fanout, hashed=True)
     sh.persist()
     # signature via exploded aggregation: hash each shingle once, then H
     # universal-family minima as flat groupBy aggregates.  Measured at
