@@ -80,7 +80,7 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "SELECT event_id, value * 2 + 1 AS v2, fmod(value, 10) AS m, "
         "user_id & 15 AS band, user_id | 1 AS bor, xor(user_id, 3) AS bxor, "
         "abs(value - 100) AS a, round(sqrt(value), 4) AS sq, "
-        "CAST(floor(value) AS BIGINT) AS fl, CAST(ceil(value) AS BIGINT) AS ce, "
+        "floor(value) AS fl, ceil(value) AS ce, "
         "round(ln(value + 1), 4) AS lnv, round(log10(value + 1), 4) AS lg, "
         "round(pow(value, 2), 4) AS p2, round(sin(value), 4) AS sn, "
         "CAST(sign(value - 100) AS BIGINT) AS sg "

@@ -46,13 +46,16 @@ reg("acos")(lambda c, r: F.acos(c[0]))
 reg("asin")(lambda c, r: F.asin(c[0]))
 reg("atan")(lambda c, r: F.atan(c[0]))
 reg("atan2")(lambda c, r: F.atan2(c[0], c[1]))
-reg("ceil", "ceiling")(lambda c, r: F.ceil(c[0]))
+reg("ceil", "ceiling")(lambda c, r: F.ceil(c[0]).cast("double"))
 reg("cos")(lambda c, r: F.cos(c[0]))
 reg("cosh")(lambda c, r: F.cosh(c[0]))
 reg("cot")(lambda c, r: F.cot(c[0]))
 reg("degrees")(lambda c, r: F.degrees(c[0]))
 reg("exp")(lambda c, r: F.exp(c[0]))
-reg("floor")(lambda c, r: F.floor(c[0]))
+# floor/ceil/round return float64 in the reference (funcs_math.go
+# math.Floor/Ceil/Round over a ToFloat64 cast) — the double return type
+# matters downstream because int/int division is INTEGER division
+reg("floor")(lambda c, r: F.floor(c[0]).cast("double"))
 reg("ln")(lambda c, r: F.log(c[0]))
 reg("log")(lambda c, r: F.log10(c[0]))  # ekuiper log = base 10 (funcs_math.go)
 reg("mod")(lambda c, r: c[0] % c[1])
@@ -60,7 +63,7 @@ reg("pi")(lambda c, r: F.lit(3.141592653589793))
 reg("pow", "power")(lambda c, r: F.pow(c[0], c[1]))
 reg("radians")(lambda c, r: F.radians(c[0]))
 reg("rand")(lambda c, r: F.rand())
-reg("round")(lambda c, r: F.round(c[0], int(r[1]) if len(c) > 1 else 0))
+reg("round")(lambda c, r: F.round(c[0], int(r[1]) if len(c) > 1 else 0).cast("double"))
 reg("sign")(lambda c, r: F.signum(c[0]).cast("bigint"))
 reg("sin")(lambda c, r: F.sin(c[0]))
 reg("sinh")(lambda c, r: F.sinh(c[0]))

@@ -108,6 +108,7 @@ class Translator:
     # ------------------------------------------------------------------ #
     def compile(self, stmt: SelectStatement) -> DataFrame:
         ctx = TranslateCtx()
+        self._cur_stmt = stmt  # default-field-name numbering (_field_name)
         # register select aliases for inlining before source loading — the
         # reference allows JOIN ON conditions over select aliases
         # (rule_test.go TestSingleSQL `on demoTs = table1Id`)
@@ -2057,7 +2058,7 @@ class Translator:
     # ------------------------------------------------------------------ #
     # projection
     # ------------------------------------------------------------------ #
-    def _field_name(self, f: Field) -> str:
+    def _field_name(self, f: Field, stmt: Optional[SelectStatement] = None) -> str:
         if f.alias:
             return f.alias
         e = f.expr
@@ -2065,6 +2066,20 @@ class Translator:
             return e.name
         if isinstance(e, FuncCall):
             return e.name
+        if stmt is None:
+            stmt = getattr(self, "_cur_stmt", None)
+        if stmt is not None:
+            # reference default name for an unaliased non-column,
+            # non-function expression: kuiper_field_<n>, where n counts
+            # only the UNNAMED fields (parser.go:494-497 increments p.f
+            # per default-named field, not per field)
+            n = 0
+            for g in stmt.fields:
+                if g is f:
+                    break
+                if not g.alias and not isinstance(g.expr, (ColumnRef, FuncCall)):
+                    n += 1
+            return f"kuiper_field_{n}"
         return "expr"
 
     def _project(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
@@ -2694,6 +2709,21 @@ class Translator:
         if op == "*":
             return left * right
         if op == "/":
+            ints = ("byte", "short", "integer", "long")
+            if (
+                self._probe_type(left) in ints
+                and self._probe_type(right) in ints
+            ):
+                # the reference's int/int division is Go INTEGER division
+                # truncating toward zero (valuer.go:953-984;
+                # IntegerFloatDivision exists but is never set anywhere).
+                # TestLagPartition pins it: changeRate = 6/2 = int64(3).
+                # Exact for the full int64 range: subtract the Go-sign
+                # remainder, then divide the exact multiple in decimal.
+                q = left - (left % right)
+                return (
+                    q.cast("decimal(38,0)") / right.cast("decimal(38,0)")
+                ).cast("long")
             return left / right
         if op == "%":
             return left % right

@@ -1309,3 +1309,38 @@ def test_event_window_rule4_throttle_dims_order(spark):
         (1541152487252, "red", 1541152489252),
         (1541152487252, "yellow", 1541152489252),
     ]
+
+
+def test_lag_partition_integer_division(spark, demo_cat):
+    """TestLagPartition (rule_test.go): lag over PARTITION BY color, and
+    the alias arithmetic lastSize/size — int64/int64 is Go INTEGER
+    division in the reference (valuer.go:953-984, IntegerFloatDivision
+    never set): changeRate = 6/2 = 3 and 3/1 = 3, as int64."""
+    df = run(
+        spark, demo_cat,
+        "SELECT color, lag(size) over (partition by color) as lastSize, "
+        "size, lastSize/size as changeRate FROM demo",
+    )
+    got = sorted((tuple(r) for r in df.collect()), key=lambda t: (t[0], t[2]))
+    assert got == [
+        ("blue", 6, 2, 3),
+        ("blue", None, 6, None),
+        ("red", 3, 1, 3),
+        ("red", None, 3, None),
+        ("yellow", None, 4, None),
+    ]
+    assert all(
+        r["changeRate"] is None or isinstance(r["changeRate"], int)
+        for r in df.collect()
+    )
+
+
+def test_default_field_names_kuiper_field(spark, demo_cat):
+    """TestSingleSQLErrorRule2 (rule_test.go): an unaliased non-column,
+    non-function projection gets the reference's default name
+    kuiper_field_<n>, numbering only the unnamed fields
+    (parser.go:494-497 + xsql/constants.go DEFAULT_FIELD_NAME_PREFIX)."""
+    df = run(spark, demo_cat, "SELECT size * 5, color, size + 1 FROM demo")
+    assert df.columns == ["kuiper_field_0", "color", "kuiper_field_1"]
+    first = df.orderBy("kuiper_field_0").first()
+    assert first["kuiper_field_0"] == 5 and first["kuiper_field_1"] == 2
