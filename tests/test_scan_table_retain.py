@@ -102,3 +102,89 @@ def test_stream_joins_refreshed_scan_table(spark, tmp_path):
         fq.stop()
     got = {(r["value"], r["site"]) for r in rows}
     assert got == {(1.0, "berlin"), (2.0, "munich")}, got
+
+
+def test_single_sql_rule11_align_snapshots(spark, tmp_path):
+    """TestSingleSQLRule11 (rule_test.go:1013): demo INNER JOIN demoTable
+    ON ts — the scan table is fed by its own source and each stream event
+    joins the SNAPSHOT buffered at its arrival (join_align_node.go):
+    device1/3 never match because their table rows arrive after the
+    matching demo events; device2/4/5 do.  Golden output: exactly
+    [device2, device4, device5]."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    demo_rows = [  # mock_data.go demo: arrival == ts
+        ("red", 3, 1541152486013),
+        ("blue", 6, 1541152486822),
+        ("blue", 2, 1541152487632),
+        ("yellow", 4, 1541152488442),
+        ("red", 1, 1541152489252),
+    ]
+    table_batches = [  # mock_data.go demoTable, split at the arrival gap
+        [(1541152486013, "device1"), (1541152486822, "device2")],  # 486501-2
+        [(1541152487632, "device3"), (1541152488442, "device4"),
+         (1541152489252, "device5")],  # 488001-3
+    ]
+    tdir, edir = str(tmp_path / "t11"), str(tmp_path / "e11")
+    os.makedirs(tdir)
+    os.makedirs(edir)
+    tfiles = []
+    for i, batch in enumerate(table_batches):
+        b = spark.createDataFrame(batch, "ts long, device string")
+        b.coalesce(1).write.parquet(str(tmp_path / f"tb{i}"))
+        tfiles.append(glob.glob(str(tmp_path / f"tb{i}" / "*.parquet"))[0])
+    efiles = []
+    for i, row in enumerate(demo_rows):
+        e = spark.createDataFrame([row], "color string, size long, ts long")
+        e.coalesce(1).write.parquet(str(tmp_path / f"eb{i}"))
+        efiles.append(glob.glob(str(tmp_path / f"eb{i}" / "*.parquet"))[0])
+
+    buf = ScanTableBuffer(str(tmp_path / "demoTable.json"), retain_size=5)
+    tschema = T.StructType(
+        [T.StructField("ts", T.LongType()), T.StructField("device", T.StringType())]
+    )
+    table_stream = (
+        spark.readStream.schema(tschema).option("maxFilesPerTrigger", 1).parquet(tdir)
+    )
+    fq = buf.feed(table_stream)
+    cat = Catalog()
+    buf.register(cat, "demoTable", schema=tschema)
+    eschema = "color string, size long, ts long"
+    sdf = spark.readStream.schema(eschema).option("maxFilesPerTrigger", 1).parquet(edir)
+    cat.register_df("demo", sdf)
+    out = compile_sql(
+        spark,
+        "SELECT device FROM demo INNER JOIN demoTable on demo.ts = demoTable.ts",
+        cat,
+        streaming=True,
+    )
+    name = "r11_" + _uuid.uuid4().hex[:6]
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        deadline = time.time() + 120
+
+        def feed_event(i):
+            shutil.copy(efiles[i], os.path.join(edir, f"{i}.parquet"))
+            q.processAllAvailable()
+
+        feed_event(0)  # arrives before ANY table row: no device1 match
+        shutil.copy(tfiles[0], os.path.join(tdir, "0.parquet"))
+        while time.time() < deadline and len(buf.snapshot()) < 2:
+            time.sleep(0.2)
+        feed_event(1)  # device2 matches
+        feed_event(2)  # device3's row not buffered yet: no match
+        shutil.copy(tfiles[1], os.path.join(tdir, "1.parquet"))
+        while time.time() < deadline and len(buf.snapshot()) < 5:
+            time.sleep(0.2)
+        feed_event(3)  # device4
+        feed_event(4)  # device5
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+        buf.stop()
+        fq.stop()
+    assert sorted(r["device"] for r in rows) == ["device2", "device4", "device5"]
