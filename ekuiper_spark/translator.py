@@ -1136,6 +1136,11 @@ class Translator:
             # the GROUP BY dims (per-key state = the scale path)
             kw["cap_us"] = int(window.args[0] * UNIT_SECONDS[window.unit] * 1_000_000)
             kw["timeout_us"] = int(window.args[1] * UNIT_SECONDS[window.unit] * 1_000_000)
+            if ctx.event_is_long:
+                # ms-native long event columns: frame math runs in the
+                # column's own unit (see _streaming_sliding)
+                kw["cap_us"] //= 1000
+                kw["timeout_us"] //= 1000
             # rule option session_flush_ms: close the trailing open session
             # by processing-time state timeout (the reference's wall-clock
             # ticker close, window_op.go:304-347); off by default so
@@ -1230,6 +1235,13 @@ class Translator:
             if len(window.args) > 1
             else 0
         )
+        if ctx.event_is_long:
+            # long event columns carry epoch MILLIS (the reference's
+            # native unit) and the stateful reducers do all frame math in
+            # the column's own unit — scale the window parameters to ms
+            # (they'd otherwise be 1000x too wide)
+            length_us //= 1000
+            delay_us //= 1000
 
         # GROUP BY dims key the per-event frame (keyed sliding = scale path)
         dims: list[str] = []

@@ -242,3 +242,29 @@ def test_capped_session_pairing_equals_reference_greedy(raw_ts, cap, data):
     ref = sorted(_ref_greedy_sessions(ts, cap, timeout))
     got = sorted(_pairing_sessions(ts, cap, timeout))
     assert got == ref, (ts, cap, timeout)
+
+
+# ------------------------------------------------ sliding frame buckets
+def _sliding_bucket_candidates(u, L, D):
+    """The <=2 W-buckets a row explodes into (translator
+    _sliding_membership_key): its frame triggers t satisfy t in
+    (u-D, u+L], an interval of width exactly W = L+D."""
+    W = L + D
+    return {(u - D) // W, (u + L) // W}
+
+
+@given(
+    st.integers(0, 10**7),   # row time u (us)
+    st.integers(0, 10**7),   # trigger time t (us)
+    st.integers(1, 10**6),   # length L
+    st.integers(0, 10**5),   # delay D
+)
+@settings(max_examples=500)
+def test_sliding_bucket_join_is_lossless(u, t, L, D):
+    """If row u belongs to trigger t's frame — [t-L, t] inclusive, or
+    [t-L, t+D) with a delay (window_op.go:641-647 + 571-573) — then t's
+    W-bucket is one of the <=2 buckets the row explodes into, so the
+    bucket equi-join never loses a (row, trigger) pair."""
+    in_frame = (u >= t - L) and (u < t + D if D else u <= t)
+    if in_frame:
+        assert t // (L + D) in _sliding_bucket_candidates(u, L, D)

@@ -1344,3 +1344,30 @@ def test_default_field_names_kuiper_field(spark, demo_cat):
     assert df.columns == ["kuiper_field_0", "color", "kuiper_field_1"]
     first = df.orderBy("kuiper_field_0").first()
     assert first["kuiper_field_0"] == 5 and first["kuiper_field_1"] == 2
+
+
+def test_streaming_sliding_boundary_inclusive_left(spark, tmp_path):
+    """The streaming stateful sliding reducer honors the same [t-L, t]
+    inclusive-left frame as batch (rolling closed='both'): rows exactly
+    L apart count each other."""
+    import uuid as _uuid
+
+    rows = spark.createDataFrame(
+        [(1, 1000), (2, 2000), (3, 3000)], "v long, ts long"
+    )
+    d = str(tmp_path / "sb")
+    rows.coalesce(1).write.parquet(d)
+    sdf = spark.readStream.schema(rows.schema).parquet(d)
+    cat = Catalog()
+    cat.register_df("s", sdf)
+    out = compile_sql(
+        spark, "SELECT count(*) AS n FROM s GROUP BY SLIDINGWINDOW(ss, 1)",
+        cat, streaming=True, order_cols=["ts"],
+    )
+    name = "sb_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(r["n"] for r in spark.table(name).collect()) == [1, 2, 2]

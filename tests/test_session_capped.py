@@ -401,3 +401,37 @@ def test_streaming_session_window_bounds(spark, cat, tmp_path):
     # session 1: first event 10, tick close 240; session 2: same island
     # (gap 250-220=30 <= 60) -> opens AT the tick 240, timeout close 310
     assert got == [(_t(10), _t(240), 8), (_t(240), _t(310), 1)]
+
+
+def test_streaming_session_ms_long_event_col(spark, cat, tmp_path):
+    """Long event columns carry epoch MILLIS (the reference's native
+    unit); the streaming sessionizer's cap/timeout must scale to the
+    column's unit or every gap looks 1000x smaller (caught by the
+    sliding-window variant of the same bug)."""
+    import os
+    import uuid as _uuid
+
+    # ms-long ts: two sessions split by a 70s gap (timeout 60s)
+    rows = [("a", 1_000_000 + 1000 * s, 1.0) for s in (0, 30, 100, 130)]
+    df = spark.createDataFrame(rows, "user_id string, ts long, value double")
+    p = os.path.join(str(tmp_path), "msl")
+    df.coalesce(1).write.parquet(p)
+    sdf = spark.readStream.schema(df.schema).parquet(p)
+    cat.register_df("events", sdf)
+    out = compile_sql(
+        spark,
+        "SELECT user_id, count(*) AS n, min(ts) AS s FROM events "
+        "GROUP BY user_id, SESSIONWINDOW(ss, 120, 60)",
+        cat,
+        streaming=True,
+        order_cols=["ts"],
+    )
+    name = "msl_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted((r["user_id"], r["n"], r["s"]) for r in spark.table(name).collect())
+    # {0,30} closed by the 70s gap; {100,130} stays open (no flush)
+    assert got == [("a", 2, 1_000_000)]
