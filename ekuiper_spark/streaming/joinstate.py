@@ -1,0 +1,203 @@
+"""Streaming two-stream SLIDING window join.
+
+Reference: the window op batches tuples from BOTH streams and every
+arrival triggers a scan (window_op.go:593-619); JoinOp then joins within
+each window's contents (join_operator.go:27-398).  The Spark analog for
+TUMBLING/HOPPING is a watermarked bucket equi-join, but a per-event
+sliding frame has no bucket Spark state eviction can key on — so this
+op mirrors the reference's single-process window+join chain directly:
+both streams union into ONE stateful operator (single state partition,
+loudly warned by the caller — exactly the reference's process model),
+which buffers the lookback, joins each trigger's frame contents with a
+pandas merge on the extracted equi keys, and emits either the joined
+content rows or per-trigger aggregates.
+
+Restrictions (raised by the translator): equi-ON only, no GROUP BY dims,
+no HAVING, no delay.  Batch mode supports the full surface
+(translator._batch_sliding_join).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+@dataclass
+class JoinAggSpec:
+    op: str              # count | sum | avg | min | max | first
+    in_col: Optional[str]  # None => count(*)
+    out: str
+
+
+def _pd_agg(merged: pd.DataFrame, spec: JoinAggSpec):
+    if spec.op == "count":
+        if spec.in_col is None:
+            return len(merged)
+        return int(merged[spec.in_col].count())
+    s = merged[spec.in_col]
+    if spec.op == "first":
+        return None if not len(s) else s.iloc[0]
+    if s.isna().all():
+        return None
+    if spec.op == "sum":
+        return s.sum()
+    if spec.op == "avg":
+        return s.mean()
+    if spec.op == "min":
+        return s.min()
+    if spec.op == "max":
+        return s.max()
+    raise ValueError(f"unsupported streaming join aggregate {spec.op}")
+
+
+def sliding_join_stream(
+    union_df: DataFrame,
+    *,
+    length: int,                 # in the __u column's own unit
+    how: str,                    # inner | left | right | full | cross
+    lkeys: Sequence[str],
+    rkeys: Sequence[str],
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    aggs: Optional[Sequence[JoinAggSpec]] = None,
+) -> DataFrame:
+    """Stateful per-event sliding join over a packed two-stream union.
+
+    ``union_df`` columns: __src ('L'/'R'), __u (long event time in the
+    source unit), then all left columns (right-side rows carry nulls)
+    and all right columns (flat, pre-renamed to avoid collisions).
+
+    Content mode (aggs None): emits the joined frame rows per trigger
+    with __ws/__we bounds.  Aggregate mode: one row per trigger with the
+    spec outputs + bounds.  Triggers whose join result is empty emit
+    nothing (join_operator records_out < windows in TestWindowRule3).
+    """
+    schema = union_df.schema
+    buffered = ["__src", "__u"] + list(left_cols) + list(right_cols)
+    buf_types = {f.name: f.dataType for f in schema.fields}
+
+    state_fields = [
+        T.StructField(c, T.ArrayType(buf_types[c]), True) for c in buffered
+    ]
+    state_schema = T.StructType(state_fields)
+
+    if aggs is None:
+        out_fields = (
+            [T.StructField(c, buf_types[c], True) for c in list(left_cols) + list(right_cols)]
+            + [T.StructField("__ws", T.LongType()), T.StructField("__we", T.LongType())]
+        )
+    else:
+        out_fields = []
+        for a in aggs:
+            if a.op == "count":
+                dt: T.DataType = T.LongType()
+            elif a.op == "avg":
+                dt = T.DoubleType()
+            else:
+                dt = buf_types[a.in_col]
+            out_fields.append(T.StructField(a.out, dt, True))
+        out_fields += [T.StructField("__ws", T.LongType()), T.StructField("__we", T.LongType())]
+    out_schema = T.StructType(out_fields)
+    agg_list = list(aggs) if aggs is not None else None
+    how_ = how
+    lk, rk = list(lkeys), list(rkeys)
+    lcols, rcols = list(left_cols), list(right_cols)
+
+    def _merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        # SQL null-key semantics: pandas merge matches NaN keys with each
+        # other, so null-key rows are stripped from every non-preserved
+        # side (a preserved side's null keys simply find no match)
+        if how_ == "cross":
+            if not len(lf) or not len(rf):
+                return lf.iloc[0:0].merge(rf.iloc[0:0], how="cross")
+            return lf.merge(rf, how="cross")
+        lfn = lf.dropna(subset=lk)
+        rfn = rf.dropna(subset=rk)
+        if how_ == "inner":
+            return lfn.merge(rfn, left_on=lk, right_on=rk, how="inner")
+        if how_ == "left":
+            return lf.merge(rfn, left_on=lk, right_on=rk, how="left")
+        if how_ == "right":
+            return lfn.merge(rf, left_on=lk, right_on=rk, how="right")
+        # full: non-null x non-null outer, plus null-key rows from both
+        base = lfn.merge(rfn, left_on=lk, right_on=rk, how="outer")
+        lx = lf[lf[lk].isna().any(axis=1)] if len(lf) else lf
+        rx = rf[rf[rk].isna().any(axis=1)] if len(rf) else rf
+        return pd.concat([base, lx, rx], ignore_index=True)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals = state.get
+            carry = pd.DataFrame({c: pd.Series(list(vals[i] or [])) for i, c in enumerate(buffered)})
+            if not len(carry):
+                carry = pd.DataFrame({c: pd.Series(dtype="object") for c in buffered})
+        else:
+            carry = pd.DataFrame({c: pd.Series(dtype="object") for c in buffered})
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        n_new = len(batch)
+        if n_new:
+            batch = batch.sort_values("__u", kind="mergesort").reset_index(drop=True)
+        full = pd.concat([carry[buffered] if len(carry) else carry, batch[buffered] if n_new else pd.DataFrame(columns=buffered)], ignore_index=True)
+        if not len(full):
+            state.update(tuple([[] for _ in buffered]))
+            return
+        order = np.argsort(full["__u"].to_numpy(dtype="float64"), kind="stable")
+        full = full.iloc[order].reset_index(drop=True)
+        is_new = np.concatenate(
+            [np.zeros(len(carry), dtype=bool), np.ones(n_new, dtype=bool)]
+        )[order]
+        u_arr = full["__u"].to_numpy(dtype="int64")
+        outs: list[pd.DataFrame] = []
+        for pos in np.nonzero(is_new)[0]:
+            t = int(u_arr[pos])
+            left_idx = int(np.searchsorted(u_arr, t - length, side="left"))
+            frame = full.iloc[left_idx : pos + 1]
+            lf = frame[frame["__src"] == "L"][lcols]
+            rf = frame[frame["__src"] == "R"][rcols]
+            merged = _merge(lf, rf)
+            if not len(merged):
+                continue
+            if agg_list is None:
+                em = merged.copy()
+                em["__ws"] = t - length
+                em["__we"] = t
+                outs.append(em)
+            else:
+                row = {a.out: [_pd_agg(merged, a)] for a in agg_list}
+                row["__ws"] = [t - length]
+                row["__we"] = [t]
+                outs.append(pd.DataFrame(row))
+        # trim the lookback (inclusive: equal-ts future triggers still
+        # need the row exactly `length` old)
+        last = int(u_arr[-1])
+        keep = full[u_arr >= last - length]
+        state.update(tuple([keep[c].tolist() for c in buffered]))
+        if outs:
+            out = pd.concat(outs, ignore_index=True)
+            for f in out_fields:
+                if f.name not in out.columns:
+                    out[f.name] = None
+                col = out[f.name]
+                if isinstance(
+                    f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+                ) and getattr(col.dtype, "kind", "") == "f":
+                    out[f.name] = pd.array(
+                        [None if pd.isna(x) else int(x) for x in col], dtype="Int64"
+                    )
+            yield out[[f.name for f in out_fields]]
+
+    return (
+        union_df.withColumn("__g0", F.lit(0))
+        .groupBy("__g0")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -70,6 +70,8 @@ class TranslateCtx:
     join_window_col: Optional[str] = None  # stream-stream join bucket col (reused as window)
     join_sliding_keys: Optional[list] = None  # precomputed per-trigger keys (batch sliding join)
     source_order: list = dc_field(default_factory=list)  # FROM-order aliases (star collision precedence)
+    flat_col_map: dict = dc_field(default_factory=dict)  # (qualified|bare) name -> flat column (post-stateful-join)
+    finalized: bool = False  # source loading fully translated the statement
 
 
 def canon(node: Node) -> str:
@@ -133,6 +135,22 @@ class Translator:
         ctx.event_is_long = ec is not None and isinstance(
             df.schema[ec].dataType, T.LongType
         )
+
+        if ctx.finalized:
+            # source loading fully translated the statement (streaming
+            # sliding join: the stateful op folds window+join+aggregation)
+            if stmt.order:
+                df = df.orderBy(
+                    *[
+                        F.col(self._sort_name(s.expr, stmt)).asc()
+                        if s.asc
+                        else F.col(self._sort_name(s.expr, stmt)).desc()
+                        for s in stmt.order
+                    ]
+                )
+            if stmt.limit is not None:
+                df = df.limit(stmt.limit)
+            return df
 
         if self.streaming and self.watermark and ec and not ctx.join_window_col:
             # (stream-stream joins watermark each side before the join)
@@ -750,6 +768,259 @@ class Translator:
             ctx.window_bounds_ms = True
         return out
 
+    _JOIN_STREAM_AGG_OPS = {
+        "count": "count", "sum": "sum", "avg": "avg", "min": "min", "max": "max",
+    }
+
+    def _equi_pairs(self, node, ctx: TranslateCtx, la: str, ra: str):
+        """Extract [(left_col, right_col)] from a conjunction of equality
+        comparisons between one column of each side (resolving select
+        aliases); None when the ON has any other shape."""
+        pairs = []
+
+        def side_of(n) -> Optional[tuple[str, str]]:
+            # resolve through select aliases to a single-source ColumnRef
+            if isinstance(n, ColumnRef):
+                if n.source is None:
+                    tgt = ctx.aliases.get(n.name.lower())
+                    if tgt is not None:
+                        return side_of(tgt)
+                    return None
+                s = n.source.lower()
+                if s == la.lower():
+                    return ("L", n.name)
+                if s == ra.lower():
+                    return ("R", n.name)
+            return None
+
+        def walk(n) -> bool:
+            if isinstance(n, Binary) and n.op == "AND":
+                return walk(n.left) and walk(n.right)
+            if isinstance(n, Binary) and n.op == "=":
+                a, b = side_of(n.left), side_of(n.right)
+                if a and b and {a[0], b[0]} == {"L", "R"}:
+                    l = a if a[0] == "L" else b
+                    r = b if b[0] == "R" else a
+                    pairs.append((l[1], r[1]))
+                    return True
+            return False
+
+        return pairs if walk(node) else None
+
+    def _streaming_sliding_join(
+        self, ldf: DataFrame, stmt: SelectStatement, j, ctx: TranslateCtx, left_alias: str
+    ) -> DataFrame:
+        """Streaming per-event sliding join (window-then-join order): both
+        streams union into one stateful op that buffers the lookback,
+        joins each trigger's frame on the extracted equi keys, and emits
+        content rows or per-trigger aggregates — the reference's
+        single-process window+join chain (window_op.go:593-619 +
+        join_operator.go).  Single state partition, loudly warned, like
+        the other unkeyed streaming windows; the batch path
+        (_batch_sliding_join) is the distributed surface.
+        """
+        import warnings
+
+        from ekuiper_spark.streaming.joinstate import JoinAggSpec, sliding_join_stream
+
+        w = stmt.group.window
+        if len(w.args) > 1 and w.args[1]:
+            raise NotImplementedError(
+                "streaming sliding join does not support the delay argument"
+            )
+        if stmt.group.dims:
+            raise NotImplementedError(
+                "streaming sliding join with GROUP BY dims is unsupported "
+                "(batch mode supports it)"
+            )
+        if stmt.having is not None or stmt.where is not None or w.trigger is not None:
+            raise NotImplementedError(
+                "streaming sliding join supports plain SELECT over the "
+                "joined frames (WHERE/HAVING/OVER(WHEN) gate in batch mode)"
+            )
+        if j.kind not in ("inner", "left", "right", "full", "cross"):
+            raise NotImplementedError(
+                f"streaming sliding {j.kind} join is unsupported"
+            )
+        warnings.warn(
+            "streaming sliding join: all rows route through ONE state "
+            "partition (the reference's single-process window+join chain); "
+            "use TUMBLING/HOPPING for the distributed bucket join.",
+            UserWarning,
+            stacklevel=6,
+        )
+        r_alias = j.alias or j.source
+        rdf = self.catalog.load(self.spark, j.source, streaming=self.streaming).alias(r_alias)
+        ctx.source_aliases.add(r_alias.lower())
+        ctx.source_order.append(r_alias)
+        length_us = int(w.args[0] * UNIT_SECONDS[w.unit] * 1_000_000)
+
+        def _ev(sdf: DataFrame, alias: str, name: str):
+            d = self.catalog.get(name)
+            ec = self.event_col or (d.timestamp_col if d else None) or (
+                "ts" if "ts" in sdf.columns else None
+            )
+            if ec is None:
+                raise ValueError("sliding-window join requires event-time columns")
+            col = F.col(f"{alias}.{ec}")
+            is_long = isinstance(sdf.schema[ec].dataType, T.LongType)
+            return (col * 1000) if is_long else epoch_us(col), is_long
+
+        lu, l_long = _ev(ldf, left_alias, stmt.source)
+        ru, _ = _ev(rdf, r_alias, j.source)
+        lcols, rcols = list(ldf.columns), list(rdf.columns)
+        rflat = {c: f"__r_{c}" for c in rcols}
+        lsel = ldf.select(
+            F.lit("L").alias("__src"),
+            lu.cast("long").alias("__u"),
+            *[F.col(f"{left_alias}.{c}").alias(c) for c in lcols],
+            *[F.lit(None).cast(rdf.schema[c].dataType).alias(rflat[c]) for c in rcols],
+        )
+        rsel = rdf.select(
+            F.lit("R").alias("__src"),
+            ru.cast("long").alias("__u"),
+            *[F.lit(None).cast(ldf.schema[c].dataType).alias(c) for c in lcols],
+            *[F.col(f"{r_alias}.{c}").alias(rflat[c]) for c in rcols],
+        )
+        union = lsel.unionByName(rsel)
+        fm: dict[str, str] = {}
+        for c in lcols:
+            fm[f"{left_alias.lower()}.{c.lower()}"] = c
+        for c in rcols:
+            fm[f"{r_alias.lower()}.{c.lower()}"] = rflat[c]
+        for c in lcols:
+            if c not in rcols:
+                fm.setdefault(c.lower(), c)
+        for c in rcols:
+            if c not in lcols:
+                fm.setdefault(c.lower(), rflat[c])
+        ctx.flat_col_map = fm
+        pairs = None
+        if j.kind != "cross":
+            pairs = self._equi_pairs(j.on, ctx, left_alias, r_alias)
+            if not pairs:
+                raise NotImplementedError(
+                    "streaming sliding join requires an equi-join ON "
+                    "condition (col = col conjunctions); batch mode "
+                    "supports arbitrary conditions"
+                )
+        lkeys = [p[0] for p in (pairs or [])]
+        rkeys = [rflat[p[1]] for p in (pairs or [])]
+
+        agg_nodes: dict[str, FuncCall] = {}
+        for f in stmt.fields:
+            for a in self._find_aggs(f.expr):
+                agg_nodes.setdefault(canon(a), a)
+        specs: list[JoinAggSpec] = []
+        extra_left: list[str] = []
+        extra_right: list[str] = []
+
+        def owner_of(node: Node) -> str:
+            sides = set()
+            for ref in self._find_raw_cols(node):
+                k = (
+                    f"{ref.source.lower()}.{ref.name.lower()}"
+                    if ref.source
+                    else ref.name.lower()
+                )
+                flat = ctx.flat_col_map.get(k)
+                if flat is None:
+                    tgt = ctx.aliases.get(ref.name.lower()) if ref.source is None else None
+                    if tgt is not None:
+                        sides.add(owner_of(tgt))
+                        continue
+                    raise ValueError(f"unknown column {ref.name} in sliding join")
+                sides.add("R" if flat.startswith("__r_") else "L")
+            if len(sides) > 1:
+                raise NotImplementedError(
+                    "a streaming sliding-join aggregate input may reference "
+                    "only one stream's columns (compute mixed expressions "
+                    "in batch mode)"
+                )
+            return sides.pop() if sides else "L"
+
+        nonlocal_union = union
+        for i, (key, call) in enumerate(agg_nodes.items()):
+            op = self._JOIN_STREAM_AGG_OPS.get(call.name.lower())
+            if op is None:
+                raise NotImplementedError(
+                    f"{call.name} is unsupported over a streaming sliding join"
+                )
+            args = [a for a in call.args if not isinstance(a, Wildcard)]
+            if not args:
+                in_col = None
+            else:
+                in_col = f"__in{i}"
+                nonlocal_union = nonlocal_union.withColumn(
+                    in_col, self._expr(args[0], ctx)
+                )
+                if owner_of(args[0]) == "R":
+                    extra_right.append(in_col)
+                else:
+                    extra_left.append(in_col)
+            specs.append(JoinAggSpec(op, in_col, f"__agg{i}"))
+            ctx.agg_map[key] = f"__agg{i}"
+
+        if agg_nodes:
+            # raw columns beside aggregates: FIRST joined row's value
+            # (project-over-grouped, same rule as the batch path)
+            raw_refs: dict[str, ColumnRef] = {}
+            for f in stmt.fields:
+                for ref in self._find_raw_cols(f.expr):
+                    raw_refs.setdefault(canon(ref), ref)
+            for n_i, (key, ref) in enumerate(raw_refs.items()):
+                if key in ctx.agg_map or (
+                    ref.source is None and ref.name.lower() in ctx.aliases
+                ):
+                    continue
+                k = (
+                    f"{ref.source.lower()}.{ref.name.lower()}"
+                    if ref.source
+                    else ref.name.lower()
+                )
+                flat = ctx.flat_col_map.get(k)
+                if flat is None:
+                    continue
+                out_name = f"__fr{n_i}"
+                specs.append(JoinAggSpec("first", flat, out_name))
+                ctx.dim_map[key] = out_name
+            union = nonlocal_union
+            out = sliding_join_stream(
+                union,
+                length=length_us,
+                how=j.kind,
+                lkeys=lkeys,
+                rkeys=rkeys,
+                left_cols=lcols + extra_left,
+                right_cols=[rflat[c] for c in rcols] + extra_right,
+                aggs=specs,
+            )
+            ctx.post_agg = True
+        else:
+            out = sliding_join_stream(
+                nonlocal_union,
+                length=length_us,
+                how=j.kind,
+                lkeys=lkeys,
+                rkeys=rkeys,
+                left_cols=lcols,
+                right_cols=[rflat[c] for c in rcols],
+                aggs=None,
+            )
+        out = out.withColumn(
+            "window",
+            F.struct(
+                F.timestamp_micros(F.col("__ws")).alias("start"),
+                F.timestamp_micros(F.col("__we")).alias("end"),
+            ),
+        ).drop("__ws", "__we")
+        ctx.window_col = "window"
+        ctx.window_bounds_ms = l_long
+        ctx.event_col = "window.end"
+        out = self._project(out, stmt, ctx)
+        ctx.finalized = True
+        return out
+
     def _join_gap_throttle_spec(self, node, is_long: bool):
         """Parse an OR of '<col> - last_hit_time() > K' disjuncts with one
         shared K/op; returns (K_us, ge) or None.  Only exact for
@@ -804,12 +1075,18 @@ class Translator:
         """
         group = stmt.group
         window = group.window if group else None
+        if window is not None and window.kind == "sliding" and self.streaming:
+            # per-event sliding joins have no bucket for Spark's join
+            # state eviction — route through the reference-style stateful
+            # window+join chain (streaming/joinstate.py)
+            return self._streaming_sliding_join(df, stmt, j, ctx, left_alias)
         if window is None or window.kind not in ("tumbling", "hopping"):
             raise NotImplementedError(
                 "a time window is required to join multiple streams "
                 "(reference planner.go:734-735); streaming stream-stream "
-                "joins support TUMBLING/HOPPINGWINDOW — register the right "
-                "side as a scan/lookup TABLE for a stream-static join"
+                "joins support TUMBLING/HOPPING/SLIDINGWINDOW — register "
+                "the right side as a scan/lookup TABLE for a stream-static "
+                "join"
             )
         if window.kind == "hopping" and window.args[1] > window.args[0]:
             raise NotImplementedError(
@@ -2578,6 +2855,16 @@ class Translator:
             return F.lit(node.value)
 
         if isinstance(node, ColumnRef):
+            if ctx.flat_col_map:
+                # post-stateful-join flat output: qualified refs resolve
+                # through the side map (alias scopes no longer exist)
+                k = (
+                    f"{node.source.lower()}.{node.name.lower()}"
+                    if node.source
+                    else node.name.lower()
+                )
+                if k in ctx.flat_col_map:
+                    return F.col(ctx.flat_col_map[k])
             if node.source is not None:
                 if node.source.lower() in ctx.source_aliases:
                     return F.col(f"{node.source}.{node.name}")

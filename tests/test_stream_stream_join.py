@@ -260,3 +260,133 @@ def test_windowed_stream_stream_cross_join(spark, two_streams):
     assert got == [
         (1, 1), (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (99, 98),
     ]
+
+
+def _feed_two_batch_join(spark, tmp_path, tag):
+    """demo + demo1 mock rows split into two arrival-ordered micro-batches
+    per source (mock_data.go; demo1 windows on its ARRIVAL time mts)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from ekuiper_spark.catalog import Catalog, StreamDef
+
+    demo_batches = [
+        [("red", 3, 1541152486013), ("blue", 6, 1541152486822)],
+        [("blue", 2, 1541152487632), ("yellow", 4, 1541152488442), ("red", 1, 1541152489252)],
+    ]
+    demo1_batches = [
+        [(25.5, 65, 1541152486013, 1541152486115), (27.5, 59, 1541152486823, 1541152486903)],
+        [(28.1, 75, 1541152487632, 1541152487702), (27.4, 80, 1541152488442, 1541152488605),
+         (25.5, 62, 1541152489252, 1541152489305)],
+    ]
+    now = _time.time()
+    ddir = str(tmp_path / f"d_{tag}")
+    d1dir = str(tmp_path / f"d1_{tag}")
+    os.makedirs(ddir)
+    os.makedirs(d1dir)
+    for i, rows in enumerate(demo_batches):
+        df = spark.createDataFrame(rows, "color string, size long, ts long")
+        df.coalesce(1).write.parquet(str(tmp_path / f"db_{tag}{i}"))
+        dst = os.path.join(ddir, f"{i}.parquet")
+        shutil.copy(glob.glob(str(tmp_path / f"db_{tag}{i}" / "*.parquet"))[0], dst)
+        os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
+    for i, rows in enumerate(demo1_batches):
+        df = spark.createDataFrame(rows, "temp double, hum long, ts long, mts long")
+        df.coalesce(1).write.parquet(str(tmp_path / f"d1b_{tag}{i}"))
+        dst = os.path.join(d1dir, f"{i}.parquet")
+        shutil.copy(glob.glob(str(tmp_path / f"d1b_{tag}{i}" / "*.parquet"))[0], dst)
+        os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
+    cat = Catalog()
+    cat.register_df(
+        "demo",
+        spark.readStream.schema("color string, size long, ts long")
+        .option("maxFilesPerTrigger", 1).parquet(ddir),
+    )
+    cat.register(StreamDef(name="demo", kind="stream"))
+    cat.register_df(
+        "demo1",
+        spark.readStream.schema("temp double, hum long, ts long, mts long")
+        .option("maxFilesPerTrigger", 1).parquet(d1dir),
+    )
+    cat.register(StreamDef(name="demo1", kind="stream", timestamp_col="mts"))
+    return cat
+
+
+def test_streaming_sliding_join_agg(spark, tmp_path):
+    """TestWindowRule6 through the STREAMING stateful window+join chain
+    (two micro-batches per source — state carries the lookback): every
+    arrival triggers a [t-1s, t] frame over both streams; empty join
+    results emit nothing; 8 of 10 triggers emit."""
+    import uuid as _uuid
+
+    cat = _feed_two_batch_join(spark, tmp_path, "agg")
+    out = compile_sql(
+        spark,
+        "SELECT window_end(), event_time(), sum(temp) as temp1, "
+        "count(color) as c, window_start() FROM demo INNER JOIN demo1 "
+        "ON demo.ts = demo1.ts GROUP BY SlidingWindow(ss, 1)",
+        cat,
+        streaming=True,
+        order_cols=["ts"],
+    )
+    name = "ssj_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["window_start"], r["window_end"], r["event_time"], r["temp1"], r["c"])
+        for r in spark.table(name).collect()
+    )
+    assert rows == [
+        (1541152485115, 1541152486115, 1541152486115, 25.5, 1),
+        (1541152485822, 1541152486822, 1541152486822, 25.5, 1),
+        (1541152485903, 1541152486903, 1541152486903, 25.5, 1),
+        (1541152486702, 1541152487702, 1541152487702, 28.1, 1),
+        (1541152487442, 1541152488442, 1541152488442, 28.1, 1),
+        (1541152487605, 1541152488605, 1541152488605, 55.5, 2),
+        (1541152488252, 1541152489252, 1541152489252, 27.4, 1),
+        (1541152488305, 1541152489305, 1541152489305, 52.9, 2),
+    ], rows
+
+
+def test_streaming_sliding_join_content(spark, tmp_path):
+    """TestWindowRule3's content emission (sans the HAVING throttle, which
+    stays batch-only): each trigger emits its whole joined frame."""
+    import uuid as _uuid
+
+    cat = _feed_two_batch_join(spark, tmp_path, "cnt")
+    out = compile_sql(
+        spark,
+        "SELECT color, temp, demo.ts as ts1, demo1.ts as ts2, "
+        "demo.ts - demo1.ts as diff FROM demo INNER JOIN demo1 "
+        "ON ts1 = ts2 GROUP BY SlidingWindow(ss, 1)",
+        cat,
+        streaming=True,
+        order_cols=["ts"],
+    )
+    name = "ssc_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["color"], r["temp"], r["ts1"], r["ts2"], r["diff"])
+        for r in spark.table(name).collect()
+    )
+    assert rows == [
+        ("blue", 28.1, 1541152487632, 1541152487632, 0),
+        ("blue", 28.1, 1541152487632, 1541152487632, 0),
+        ("blue", 28.1, 1541152487632, 1541152487632, 0),
+        ("red", 25.5, 1541152486013, 1541152486013, 0),
+        ("red", 25.5, 1541152486013, 1541152486013, 0),
+        ("red", 25.5, 1541152486013, 1541152486013, 0),
+        ("red", 25.5, 1541152489252, 1541152489252, 0),
+        ("yellow", 27.4, 1541152488442, 1541152488442, 0),
+        ("yellow", 27.4, 1541152488442, 1541152488442, 0),
+        ("yellow", 27.4, 1541152488442, 1541152488442, 0),
+    ], rows
