@@ -124,11 +124,30 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "round(percentile_cont(value, 0.9), 4) AS p90, "
         "percentile_disc(value, 0.5) AS p50d FROM events GROUP BY event_type",
         {},
-        "SELECT event_type, round(stddev_pop(value), 4) AS sd_pop, "
-        "round(stddev_samp(value), 4) AS sd_samp, round(var_pop(value), 4) AS var_pop, "
-        "round(var_samp(value), 4) AS var_samp, round(median(value), 4) AS med, "
-        "round(quantile_cont(value, 0.9), 4) AS p90, "
-        "quantile_disc(value, 0.5) AS p50d FROM events GROUP BY event_type",
+        # percentile_cont follows the reference's montanaflynn algorithm
+        # (index = p*n; whole index picks v[i], fractional averages
+        # v[floor] and v[floor+1]) — stated here explicitly because
+        # DuckDB's quantile_cont is the SQL-standard p*(n-1) interpolation
+        """
+        WITH g AS (
+          SELECT event_type, list_sort(list(value)) AS vals,
+                 stddev_pop(value) AS sdp, stddev_samp(value) AS sds,
+                 var_pop(value) AS vp, var_samp(value) AS vs,
+                 median(value) AS med, quantile_disc(value, 0.5) AS p50d
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, round(sdp, 4) AS sd_pop, round(sds, 4) AS sd_samp,
+               round(vp, 4) AS var_pop, round(vs, 4) AS var_samp,
+               round(med, 4) AS med,
+               round(CASE WHEN len(vals) = 1 THEN vals[1]
+                          WHEN (0.9 * len(vals)) = floor(0.9 * len(vals))
+                               THEN vals[CAST(0.9 * len(vals) AS INT)]
+                          ELSE (vals[CAST(floor(0.9 * len(vals)) AS INT)]
+                                + vals[CAST(floor(0.9 * len(vals)) AS INT) + 1]) / 2
+                     END, 4) AS p90,
+               p50d
+        FROM g
+        """,
     ),
     # collection aggregates with reference row semantics (funcs_agg.go:176,
     # common_array_funcs.go:249-272): deduplicate returns ROWS — all=true

@@ -42,7 +42,10 @@ reg("max")(lambda c, r: F.max(c[0]))
 reg("min")(lambda c, r: F.min(c[0]))
 reg("collect")(lambda c, r: F.collect_list(c[0]))
 reg("collect_set")(lambda c, r: F.collect_set(c[0]))
-reg("median")(lambda c, r: F.median(c[0]))
+# reference median of an empty/all-ignored collection is 0, not null
+# (funcs_agg.go:29-54 + TestMedianFunc); non-empty values match Spark's
+# interpolating median exactly (mean of the two middle elements)
+reg("median")(lambda c, r: F.coalesce(F.median(c[0]), F.lit(0.0)))
 reg("stddev")(lambda c, r: F.stddev_pop(c[0]))
 reg("stddevs")(lambda c, r: F.stddev_samp(c[0]))
 reg("var")(lambda c, r: F.var_pop(c[0]))
@@ -50,7 +53,28 @@ reg("vars")(lambda c, r: F.var_samp(c[0]))
 reg("last_value")(
     lambda c, r: F.last(c[0], ignorenulls=bool(r[1]) if len(c) > 1 else False)
 )
-reg("percentile_cont")(lambda c, r: F.percentile(c[0], F.lit(float(r[1]))))
+@reg("percentile_cont")
+def _percentile_cont(c, r):
+    # montanaflynn/stats Percentile (the reference's dependency,
+    # funcs_agg.go:298-334): index = p * n over the sorted values; a
+    # whole index picks v[index], a fractional one averages v[floor] and
+    # v[floor+1] — NOT the SQL-standard p*(n-1) interpolation
+    # (TestPercentileExec: p=0.5 over [100,150,200] is 125, not 150).
+    # Out-of-bounds fractional indices below 1 error in the reference;
+    # here they yield null (error-as-value).
+    p = float(r[1])
+    vals = F.sort_array(F.collect_list(c[0].cast("double")))
+    n = F.size(vals)
+    idx = F.lit(p) * n
+    i = F.floor(idx).cast("int")
+    whole = idx == F.floor(idx)
+    return (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n == 1, F.element_at(vals, 1))
+        .when(whole & (i >= 1), F.element_at(vals, i))
+        .when(~whole & (i >= 1), (F.element_at(vals, i) + F.element_at(vals, i + 1)) / 2)
+        .otherwise(F.lit(None).cast("double"))
+    )
 
 
 @reg("percentile_disc")

@@ -133,8 +133,21 @@ def test_agg_percentiles(spark, catalog):
         catalog,
     )
     r = df.collect()[0]
-    assert abs(r["pc"] - r["md"]) < 1e-9
-    assert r["pd"] is not None
+    # percentile_cont follows the reference's montanaflynn p*n rule
+    # (funcs_agg.go:298-334), which differs from the SQL-standard median
+    # interpolation — recompute the expectation from the sorted values
+    vals = sorted(
+        x["value"]
+        for x in catalog.load(spark, "events").select("value").collect()
+    )
+    idx = 0.5 * len(vals)
+    if idx == int(idx):
+        expect = vals[int(idx) - 1]
+    else:
+        i = int(idx)
+        expect = (vals[i - 1] + vals[i]) / 2
+    assert abs(r["pc"] - expect) < 1e-9
+    assert r["pd"] is not None and r["md"] is not None
 
 
 def test_array_map(spark, catalog):

@@ -518,3 +518,35 @@ def test_streaming_null_aware_ops_stress(spark, tmp_path):
     # collect over nullable ts keeps order with None slots, no crash
     a_cts = rows_out["a"]["cts"]
     assert len(a_cts) == 2 and a_cts[0] is not None and a_cts[1] is None
+
+
+def test_agg_percentile_median_vectors(spark):
+    """funcs_agg_test.go TestAggExec/TestPercentileExec/TestMedianFunc:
+    integer avg truncates; stddev/var are population, stddevs/vars
+    sample; percentile_cont uses the montanaflynn p*n rule (0.5 over
+    [100,150,200] is 125, NOT the SQL-standard 150); percentile_disc is
+    nearest-rank ceil(p*n); median interpolates the middle pair."""
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.translator import compile_sql
+
+    cat = Catalog()
+    cat.register_df(
+        "d", spark.createDataFrame([(100,), (150,), (200,)], "v long")
+    )
+    r = compile_sql(
+        spark,
+        "SELECT avg(v) AS a, round(stddev(v), 10) AS sd, stddevs(v) AS sds, "
+        "round(var(v), 10) AS vr, vars(v) AS vrs, "
+        "percentile_cont(v, 0.5) AS pc, percentile_disc(v, 0.5) AS pd, "
+        "median(v) AS m FROM d GROUP BY COUNTWINDOW(3)",
+        cat,
+        order_cols=["v"],
+    ).first()
+    assert r["a"] == 150           # integer avg (int64 truncating)
+    assert abs(r["sd"] - 40.824829046386306) < 1e-9
+    assert r["sds"] == 50.0
+    assert abs(r["vr"] - 1666.6666666666667) < 1e-9
+    assert r["vrs"] == 2500.0
+    assert r["pc"] == 125.0        # p*n rule
+    assert r["pd"] == 150
+    assert r["m"] == 150.0
