@@ -202,23 +202,27 @@ class Translator:
         # routes through the window-key machinery below via the
         # frame-membership join (_sliding_membership_key); the unkeyed
         # aggregate case keeps the O(n log n) range-frame path
+        fields_agg = any(self._find_aggs(f.expr) for f in stmt.fields)
+        # non-aggregated sliding with a HAVING emits whole frame CONTENTS
+        # per passing trigger (the reference HavingOp filters the window
+        # COLLECTION and passes it intact to ProjectOp — TestWindowRule3's
+        # two-row sixth emission); hit-only conjuncts (last_agg_hit_*)
+        # gate EMISSIONS sequentially.  GROUP BY dims instead sub-group to
+        # one row per (trigger, dim) via the grouped path.
+        content_having = (
+            window is not None
+            and window.kind == "sliding"
+            and not self.streaming
+            and not fields_agg
+            and stmt.having is not None
+            and not group.dims
+        )
         sliding_content = (
             window is not None
             and window.kind == "sliding"
             and not self.streaming
             and (bool(group.dims) if has_agg else True)
-        ) or bool(ctx.join_sliding_keys)
-        # windowed-join sliding with non-aggregated fields emits the whole
-        # joined frame per trigger (TestWindowRule3) — a hit-only HAVING
-        # (last_agg_hit_*) gates EMISSIONS, not frame rows, so it must not
-        # force the one-row-per-trigger grouped path
-        join_content_hit = (
-            bool(ctx.join_sliding_keys)
-            and not any(self._find_aggs(f.expr) for f in stmt.fields)
-            and stmt.having is not None
-            and not self._find_aggs(stmt.having)
-            and self._has_hit_fn(stmt.having, ctx.aliases)
-        )
+        ) or bool(ctx.join_sliding_keys) or content_having
 
         if window is not None and window.kind == "sliding" and self.streaming:
             df = self._streaming_sliding(df, stmt, ctx)
@@ -320,7 +324,7 @@ class Translator:
             if stmt.having is not None:
                 df = df.filter(F.col("__hav")).drop("__hav")
         elif group is not None and group.window is not None and (
-            not has_agg or join_content_hit
+            not has_agg or content_having
         ):
             # window WITHOUT aggregation: the window batches rows and
             # window functions (row_number, ...) rank within each window
@@ -329,19 +333,13 @@ class Translator:
             if group.window.filter is not None:
                 df = df.filter(self._expr(group.window.filter, ctx))
             df, wnames = self._window_key(df, group.window, ctx)
-            if join_content_hit:
-                # hit-only HAVING over windowed-join content emission
-                # (TestWindowRule3 `HAVING last_agg_hit_count() < 7`): one
-                # representative per trigger, row-numbered in emission
-                # order; hit conjuncts count prior EMISSIONS (ctx.hit_col)
-                # and surviving triggers semi-join back onto their frames
-                reps = df.select("__tkey").distinct().withColumn(
-                    "__hit_rn",
-                    F.row_number().over(
-                        W.orderBy(F.col("__tkey.u"), F.col("__tkey.t0"))
-                    ),
-                )
-                ctx.hit_col = "__hit_rn"
+            if content_having:
+                # HAVING over non-aggregated sliding content: plain agg
+                # conjuncts evaluate over each trigger's FRAME (window
+                # functions partitioned by the trigger key) and pass or
+                # drop the whole collection; hit conjuncts
+                # (last_agg_hit_*) then count prior EMISSIONS
+                # sequentially (TestWindowRule3's `< 7` cap)
                 hconjs: list[Node] = []
 
                 def _flat(n: Node) -> None:
@@ -352,10 +350,38 @@ class Translator:
                         hconjs.append(n)
 
                 _flat(stmt.having)
-                for c in hconjs:
-                    reps = reps.filter(self._expr(c, ctx))
-                ctx.hit_col = None
-                df = df.join(reps.select("__tkey"), "__tkey", "left_semi")
+                hitty = [c for c in hconjs if self._has_hit_fn(c, ctx.aliases)]
+                plain = [c for c in hconjs if c not in hitty]
+                if plain:
+                    wspec = W.partitionBy(*[F.col(c) for c in wnames])
+                    agg_nodes: dict[str, FuncCall] = {}
+                    for c in plain:
+                        for a in self._find_aggs(c):
+                            agg_nodes.setdefault(canon(a), a)
+                    for i2, (k2, call) in enumerate(agg_nodes.items()):
+                        hname = f"__havagg{i2}"
+                        df = df.withColumn(
+                            hname, self._agg_expr(call, ctx).over(wspec)
+                        )
+                        ctx.agg_map[k2] = hname
+                    ctx.post_agg = True
+                    for c in plain:
+                        df = df.withColumn("__havc", self._expr(c, ctx))
+                        df = df.filter(F.col("__havc")).drop("__havc")
+                    ctx.post_agg = False
+                    ctx.agg_map = {}
+                    df = df.drop(*[f"__havagg{i2}" for i2 in range(len(agg_nodes))])
+                if hitty:
+                    tkey = wnames[0]
+                    reps = df.select(tkey).distinct().withColumn(
+                        "__hit_rn",
+                        F.row_number().over(W.orderBy(F.col(tkey))),
+                    )
+                    ctx.hit_col = "__hit_rn"
+                    for c in hitty:
+                        reps = reps.filter(self._expr(c, ctx))
+                    ctx.hit_col = None
+                    df = df.join(reps.select(tkey), tkey, "left_semi")
             if (
                 self.streaming
                 and self.watermark

@@ -1371,3 +1371,18 @@ def test_streaming_sliding_boundary_inclusive_left(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(r["n"] for r in spark.table(name).collect()) == [1, 2, 2]
+
+
+def test_sliding_content_having_emits_whole_frames(spark, demo_cat):
+    """HAVING over a NON-aggregated sliding window passes or drops the
+    whole window COLLECTION (HavingOp evaluates the frame's aggregates
+    and forwards the intact collection to ProjectOp) — emission is every
+    frame row, not the trigger row."""
+    df = run(
+        spark, demo_cat,
+        "SELECT color FROM demo GROUP BY SlidingWindow(ss, 2) "
+        "HAVING count(*) > 2",
+    )
+    got = sorted(r["color"] for r in df.collect())
+    # passing frames: [486013..487632], [486822..488442], [487632..489252]
+    assert got == ["blue"] * 5 + ["red"] * 2 + ["yellow"] * 2
