@@ -209,9 +209,10 @@ class Translator:
         # two-row sixth emission); hit-only conjuncts (last_agg_hit_*)
         # gate EMISSIONS sequentially.  GROUP BY dims instead sub-group to
         # one row per (trigger, dim) via the grouped path.
+        # applies to EVERY batch window kind: tumbling/hopping/count/
+        # session collections pass or drop whole too
         content_having = (
             window is not None
-            and window.kind == "sliding"
             and not self.streaming
             and not fields_agg
             and stmt.having is not None

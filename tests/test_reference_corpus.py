@@ -1386,3 +1386,16 @@ def test_sliding_content_having_emits_whole_frames(spark, demo_cat):
     got = sorted(r["color"] for r in df.collect())
     # passing frames: [486013..487632], [486822..488442], [487632..489252]
     assert got == ["blue"] * 5 + ["red"] * 2 + ["yellow"] * 2
+
+
+def test_tumbling_content_having_emits_whole_windows(spark, demo_cat):
+    """Content-HAVING applies to tumbling windows too: a non-aggregated
+    select with HAVING count(*) > 1 emits BOTH rows of the passing
+    window (the 486s window holds red+blue)."""
+    df = run(
+        spark, demo_cat,
+        "SELECT color, ts FROM demo GROUP BY tumblingwindow(ss, 1) "
+        "HAVING count(*) > 1",
+    )
+    got = sorted((r["color"], r["ts"]) for r in df.collect())
+    assert got == [("blue", 1541152486822), ("red", 1541152486013)]
