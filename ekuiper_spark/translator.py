@@ -2490,13 +2490,18 @@ class Translator:
                 call = f.expr
                 prefix = self._raw(call.args[0]) or ""
                 w = self._analytic_window(call, ctx)
+                ign_cc = bool(self._raw(call.args[1]))
                 for a in call.args[2:]:
                     col = self._expr(a, ctx)
-                    prev = F.lag(col).over(w)
                     base = a.name if isinstance(a, ColumnRef) else "col"
                     name = f"{prefix}{base}"
                     out.append(
-                        (F.when(prev.isNull() | (col != prev), col).alias(name), name)
+                        (
+                            F.when(
+                                self._changed_cond(col, ign_cc, w), col
+                            ).alias(name),
+                            name,
+                        )
                     )
                 continue
             name = self._field_name(f)
@@ -2743,6 +2748,20 @@ class Translator:
             ~F.exists(prior, lambda q: q["__zk"] == last["__zk"]), last["__zr"]
         )
 
+
+    def _changed_cond(self, col: Column, ignore_null: bool, w) -> Column:
+        """Per-column 'changed vs state' condition (funcs_analytic.go:
+        86-110): with ignoreNull the state is the last NON-NULL value and
+        null inputs contribute nothing (and never clobber the state);
+        without it the state is the previous row's value compared with
+        DeepEqual semantics (null equals null)."""
+        if ignore_null:
+            prev_nn = F.last(col, ignorenulls=True).over(
+                w.rowsBetween(W.unboundedPreceding, -1)
+            )
+            return col.isNotNull() & ~col.eqNullSafe(prev_nn)
+        prev = F.lag(col).over(w)
+        return ~col.eqNullSafe(prev)
 
     def _analytic_window(self, call: FuncCall, ctx: TranslateCtx):
         part = [self._expr(p, ctx) for p in call.partition_by]
@@ -3210,17 +3229,22 @@ class Translator:
                     w.rowsBetween(W.unboundedPreceding, W.currentRow)
                 )
             if name == "changed_col":
-                # value if changed since previous row else null
-                # (funcs_analytic.go:31-71)
+                # value if changed since the per-column STATE else null
+                # (funcs_analytic.go:31-71); the ignoreNull flag decides
+                # whether nulls update the state or are skipped entirely
+                ign = bool(self._raw(args[0]))
                 col = self._expr(args[1], ctx)
-                prev = F.lag(col).over(w)
-                return F.when(prev.isNull() | (col != prev), col)
+                return F.when(self._changed_cond(col, ign, w), col)
             if name == "had_changed":
-                conds = []
-                for a in args[1:]:
-                    col = self._expr(a, ctx)
-                    prev = F.lag(col).over(w)
-                    conds.append(prev.isNull() | (col != prev))
+                # per-column state comparison with DeepEqual null
+                # semantics (funcs_analytic.go:86-110;
+                # TestHadChangedExec case 6/7: an ignored null neither
+                # counts as a change nor clobbers the column's state)
+                ign = bool(self._raw(args[0]))
+                conds = [
+                    self._changed_cond(self._expr(a, ctx), ign, w)
+                    for a in args[1:]
+                ]
                 out = conds[0]
                 for c in conds[1:]:
                     out = out | c

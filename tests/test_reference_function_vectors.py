@@ -550,3 +550,45 @@ def test_agg_percentile_median_vectors(spark):
     assert r["pc"] == 125.0        # p*n rule
     assert r["pd"] == 150
     assert r["m"] == 150.0
+
+
+def test_changed_family_null_state_vectors(spark):
+    """funcs_analytic_test.go TestHadChangedExec / TestHadChangedExecAllowNull:
+    with ignoreNull=true a null input neither counts as a change nor
+    clobbers the column's state (case 6/7: foo,nil -> false then foo,44
+    -> false because the state is still 44); with ignoreNull=false nulls
+    are values under DeepEqual (nil == nil is NOT a change)."""
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.translator import compile_sql
+
+    cat = Catalog()
+    rows = [
+        (1, "bar", 20), (2, "baz", 44), (3, "baz", 44), (4, "foo", 44),
+        (5, "foo", None), (6, "foo", 44), (7, "baz", 44),
+    ]
+    cat.register_df("s", spark.createDataFrame(rows, "ts long, a string, b int"))
+    hc = compile_sql(
+        spark, "SELECT ts, had_changed(true, a, b) AS hc FROM s",
+        cat, order_cols=["ts"],
+    )
+    assert [r["hc"] for r in hc.orderBy("ts").collect()] == [
+        True, True, False, True, False, False, True,
+    ]
+    # AllowNull sequence (cases 2-4): false,"bar",20 / false,"baz",nil /
+    # false,"baz",44 -> true, true, true
+    cat2 = Catalog()
+    rows2 = [(1, "bar", 20), (2, "baz", None), (3, "baz", 44)]
+    cat2.register_df("s", spark.createDataFrame(rows2, "ts long, a string, b int"))
+    hc2 = compile_sql(
+        spark, "SELECT ts, had_changed(false, a, b) AS hc FROM s",
+        cat2, order_cols=["ts"],
+    )
+    assert [r["hc"] for r in hc2.orderBy("ts").collect()] == [True, True, True]
+    # changed_col skips ignored nulls and keeps the state
+    cc = compile_sql(
+        spark, "SELECT ts, changed_col(true, b) AS cb FROM s",
+        cat, order_cols=["ts"],
+    )
+    assert [r["cb"] for r in cc.orderBy("ts").collect()] == [
+        20, 44, None, None, None, None, None,
+    ]
