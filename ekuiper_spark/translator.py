@@ -3224,10 +3224,19 @@ class Translator:
                     return F.coalesce(prior, F.lit(default)) if default is not None else prior
                 return F.lag(col, n, default).over(w)
             if name == "latest":
+                # latest(col[, default]) — last non-null value, optional
+                # default before any state exists; OVER (WHEN cond) gates
+                # state updates (funcs_analytic.go:208-240: nil inputs and
+                # invalid rows read the state instead of updating it)
                 col = self._expr(args[0], ctx)
-                return F.last(col, ignorenulls=True).over(
+                if call.when is not None:
+                    col = F.when(self._expr(call.when, ctx), col)
+                out = F.last(col, ignorenulls=True).over(
                     w.rowsBetween(W.unboundedPreceding, W.currentRow)
                 )
+                if len(args) > 1:
+                    out = F.coalesce(out, self._expr(args[1], ctx))
+                return out
             if name == "changed_col":
                 # value if changed since the per-column STATE else null
                 # (funcs_analytic.go:31-71); the ignoreNull flag decides
