@@ -3214,6 +3214,10 @@ class Translator:
                 col = self._expr(args[0], ctx)
                 n = int(self._raw(args[1])) if len(args) > 1 else 1
                 default = self._raw(args[2]) if len(args) > 2 else None
+                # 4th arg ignoreNull defaults TRUE (funcs_analytic.go:
+                # 151-157): null inputs neither enter the ring queue nor
+                # advance it, so lag counts NON-NULL predecessors
+                ign = bool(self._raw(args[3])) if len(args) > 3 else True
                 if call.when is not None and n == 1:
                     # lag OVER (WHEN cond): previous value among cond-true
                     # rows (funcs_analytic.go lag state updates only when
@@ -3222,6 +3226,18 @@ class Translator:
                         F.when(self._expr(call.when, ctx), col), ignorenulls=True
                     ).over(w.rowsBetween(W.unboundedPreceding, -1))
                     return F.coalesce(prior, F.lit(default)) if default is not None else prior
+                if ign:
+                    before = w.rowsBetween(W.unboundedPreceding, -1)
+                    if n == 1:
+                        prior = F.last(col, ignorenulls=True).over(before)
+                    else:
+                        arr = F.collect_list(col).over(before)  # skips nulls
+                        prior = F.when(F.size(arr) >= n, F.element_at(arr, -n))
+                    return (
+                        F.coalesce(prior, F.lit(default))
+                        if default is not None
+                        else prior
+                    )
                 return F.lag(col, n, default).over(w)
             if name == "latest":
                 # latest(col[, default]) — last non-null value, optional

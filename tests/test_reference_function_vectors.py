@@ -592,3 +592,29 @@ def test_changed_family_null_state_vectors(spark):
     assert [r["cb"] for r in cc.orderBy("ts").collect()] == [
         20, 44, None, None, None, None, None,
     ]
+
+
+def test_lag_ignore_null_ring_vectors(spark):
+    """funcs_analytic.go:150-207: lag's 4th arg ignoreNull defaults TRUE —
+    a null input neither enters nor advances the ring queue, so lag
+    counts NON-NULL predecessors and a null-input row still reads the
+    current queue head.  ignoreNull=false is plain positional lag."""
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.translator import compile_sql
+
+    cat = Catalog()
+    rows = [(1, 5), (2, 6), (3, None), (4, 7)]
+    cat.register_df("s", spark.createDataFrame(rows, "ts long, v int"))
+    df = compile_sql(
+        spark,
+        "SELECT ts, lag(v) AS l1, lag(v, 2) AS l2, "
+        "lag(v, 1, 0, false) AS lpos FROM s",
+        cat, order_cols=["ts"],
+    )
+    got = [(r["l1"], r["l2"], r["lpos"]) for r in df.orderBy("ts").collect()]
+    assert got == [
+        (None, None, 0),   # nothing before
+        (5, None, 5),      # ring: [5]
+        (6, 5, 6),         # null input: reads head, no advance
+        (6, 5, None),      # positional lag sees the null row
+    ]
