@@ -1335,9 +1335,11 @@ def lag_stream(
         if not len(batch):
             return
         batch = batch.sort_values([ts_col, id_col], kind="mergesort")
-        prev = batch[value_col].shift(1)
-        if last is not None:
-            prev.iloc[0] = last
+        # ignoreNull ring semantics (funcs_analytic.go:150-207, default
+        # true): null inputs neither enter nor advance the state, so the
+        # previous value is the last NON-NULL among [carried, v0..v_{i-1}]
+        seq = pd.Series([last] + batch[value_col].tolist(), dtype="float64").ffill()
+        prev = seq.iloc[:-1].reset_index(drop=True)
         out = pd.DataFrame(
             {
                 "part": batch[partition_col].astype("int64"),
@@ -1346,7 +1348,8 @@ def lag_stream(
                 "prev_value": prev,
             }
         )
-        state.update((float(batch[value_col].iloc[-1]),))
+        new_last = seq.iloc[-1]
+        state.update((None if pd.isna(new_last) else float(new_last),))
         yield out
 
     return sdf.groupBy(partition_col).applyInPandasWithState(
