@@ -122,7 +122,36 @@ class _SqlStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), {"pull": n + 1, "max_idx": new_max}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter([])  # polls are not replayable (reference likewise)
+        """Deterministic replay of one committed poll range.  Spark calls
+        this not only for failure recovery but whenever the prefetched
+        batch must be re-read (cache eviction, task retry) — returning
+        empty here silently DROPS the batch's rows.  With an indexField
+        the range (start.max_idx, end.max_idx] is exactly replayable from
+        the database; without one the poll is genuinely non-replayable
+        (the reference's non-incremental poll likewise)."""
+        if not self.index_field:
+            return iter([])
+        lo, hi = start.get("max_idx"), end.get("max_idx")
+        if hi is None:
+            return iter([])
+        conds = []
+        if lo is not None:
+            llit = json.dumps(lo) if isinstance(lo, str) else str(lo)
+            conds.append(f"{self.index_field} > {llit}")
+        hlit = json.dumps(hi) if isinstance(hi, str) else str(hi)
+        conds.append(f"{self.index_field} <= {hlit}")
+        sql = (
+            f"SELECT * FROM {self.table} WHERE {' AND '.join(conds)} "
+            f"ORDER BY {self.index_field}"
+        )
+        con = _connect(self.dburl, read_only=True)
+        try:
+            cur = con.execute(sql)
+            cols = [d[0] for d in cur.description]
+            raw = cur.fetchall()
+        finally:
+            con.close()
+        return iter(_rows_to_tuples(cols, raw, self.schema_))
 
 
 class SqlDataSource(DataSource):
