@@ -395,6 +395,26 @@ class Catalog:
         if d.format == "parquet":
             return self._read_parquet(spark, d.path, with_meta=with_meta)
         if d.format == "json":
+            if d.schema is None and self._dynamic_opt(d):
+                # dynamic schemaless: the reference keeps each tuple's JSON
+                # types (map[string]interface{}, converter/json); VARIANT is
+                # the Spark analog — every top-level field loads as a
+                # variant column so a type-flipping field stays int64 on one
+                # row and string on the next (rule_test.go TestSingleSQLError
+                # `ldemo` corpus).  Field-name union comes from a schema
+                # probe; missing fields are null variants (omitted on sink).
+                from pyspark.sql import functions as F
+
+                names = [f.name for f in spark.read.json(d.path).schema.fields]
+                raw = spark.read.text(d.path)
+                return raw.select(
+                    *[
+                        F.expr(
+                            f"try_variant_get(try_parse_json(value), '$.{n}')"
+                        ).alias(n)
+                        for n in names
+                    ]
+                )
             if d.schema is not None and self._strict_opt(d):
                 # STRICT_VALIDATION (preprocessor.go:29-90): tuples whose
                 # JSON dynamic types fail the samekind check become error
@@ -409,6 +429,13 @@ class Catalog:
         if d.format == "csv":
             return reader.csv(d.path, header=d.options.get("header", True))
         raise ValueError(f"unsupported format {d.format!r} for {name}")
+
+    @staticmethod
+    def _dynamic_opt(d: StreamDef) -> bool:
+        for k in ("dynamic", "dynamicTypes", "dynamictypes"):
+            if k in d.options:
+                return str(d.options[k]).lower() in ("true", "1", "yes")
+        return False
 
     @staticmethod
     def _strict_opt(d: StreamDef) -> bool:

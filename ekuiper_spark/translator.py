@@ -44,6 +44,11 @@ from ekuiper_spark.timeutil import epoch_us
 UNIT_SECONDS = {"dd": 86400, "hh": 3600, "mi": 60, "ss": 1, "ms": 0.001}
 
 
+class _SRFTypeError(TypeError):
+    """Set-returning-function argument type error — surfaces as an error
+    emission under the reference's SendError contract, not an exception."""
+
+
 @dataclass
 class TranslateCtx:
     source_aliases: set[str] = dc_field(default_factory=set)
@@ -70,6 +75,7 @@ class TranslateCtx:
     join_window_col: Optional[str] = None  # stream-stream join bucket col (reused as window)
     join_sliding_keys: Optional[list] = None  # precomputed per-trigger keys (batch sliding join)
     source_order: list = dc_field(default_factory=list)  # FROM-order aliases (star collision precedence)
+    dyn_errs: list = dc_field(default_factory=list)  # per-row dynamic-type error messages (SendError)
     flat_col_map: dict = dc_field(default_factory=dict)  # (qualified|bare) name -> flat column (post-stateful-join)
     finalized: bool = False  # source loading fully translated the statement
 
@@ -135,6 +141,19 @@ class Translator:
         ctx.event_is_long = ec is not None and isinstance(
             df.schema[ec].dataType, T.LongType
         )
+
+        if (
+            self.on_error in ("emit", "omit")
+            and not self.streaming
+            and not stmt.joins
+            and stmt.group is None
+            and stmt.having is None
+            and not any(self._find_aggs(f.expr) for f in stmt.fields)
+            and any(
+                isinstance(fld.dataType, T.VariantType) for fld in df.schema.fields
+            )
+        ):
+            return self._compile_send_error(df, stmt, ctx)
 
         if ctx.finalized:
             # source loading fully translated the statement (streaming
@@ -2400,7 +2419,12 @@ class Translator:
 
     def _project(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
         self._cur_df = df
-        out = df.select(*self._projection_cols(df, stmt, ctx))
+        try:
+            out = df.select(*self._projection_cols(df, stmt, ctx))
+        except _SRFTypeError as e:
+            # reference SendError mode: the failing event emits an error
+            # message row instead of data (rule_test.go TestSingleSQLRule24)
+            return df.select(F.lit(str(e)).alias("error"))
         # unaliased unnest over a struct array flattens the struct into
         # top-level columns (funcs_srf.go:26-51: unnest emits the map's
         # entries as row fields)
@@ -2414,7 +2438,11 @@ class Translator:
                 from pyspark.sql import types as T
 
                 if isinstance(out.schema[name].dataType, T.StructType):
-                    others = [c for c in out.columns if c != name]
+                    # the unnest mapping COVERS same-named source columns
+                    # (rule_test.go:451 TestSingleSQLRule19: `unnest(arr2),a`
+                    # emits the struct's a, not the source a)
+                    shadowed = {sf.name for sf in out.schema[name].dataType.fields}
+                    others = [c for c in out.columns if c != name and c not in shadowed]
                     out = out.select(*others, f"{name}.*")
         return out
 
@@ -2481,6 +2509,21 @@ class Translator:
                 # unnest(arr) -> explode; ProjectSet analog
                 # (internal/topo/operator/projectset_operator.go:25-100)
                 inner = self._expr(f.expr.args[0], ctx)
+                from pyspark.sql import types as T
+
+                try:
+                    arg_dt = df.select(inner).schema[0].dataType
+                except Exception:
+                    arg_dt = None
+                if arg_dt is not None and not isinstance(
+                    arg_dt, (T.ArrayType, T.MapType)
+                ):
+                    # runtime type error becomes an error emission, not an
+                    # exception (rule_test.go:421 TestSingleSQLRule24 with
+                    # SendError; projectset_operator.go validation)
+                    raise _SRFTypeError(
+                        "the argument for the unnest function should be array"
+                    )
                 out.append((F.explode(inner).alias(name), name))
                 continue
             if isinstance(f.expr, FuncCall) and f.expr.name == "changed_cols":
@@ -3011,6 +3054,9 @@ class Translator:
         left = self._expr(node.left, ctx)
         right = self._expr(node.right, ctx)
         op = node.op
+        if self.on_error in ("emit", "omit") and op not in ("AND", "OR"):
+            if "variant" in (self._probe_type(left), self._probe_type(right)):
+                return self._dyn_binary(node, left, right, ctx)
         if self.on_error == "null" and op in ("+", "-", "*", "/", "%"):
             fn = {
                 "+": F.try_add,
@@ -3096,6 +3142,165 @@ class Translator:
             return left.bitwiseXOR(right)
         raise ValueError(f"unknown operator {op}")
 
+    # ------------------------------------------------------------------ #
+    # dynamic (schemaless VARIANT) operators — SendError semantics
+    # ------------------------------------------------------------------ #
+    def _variant_side(self, col: Column, ty: Optional[str]):
+        """(go_kind, str_val, double_val, long_val) for one operand.
+
+        go_kind mirrors the reference's runtime type names as printed in
+        its error text (valuer.go invalid-operation messages): int64,
+        float64, string, bool; null/missing values have a null kind."""
+        if ty == "variant":
+            k = F.schema_of_variant(col)
+            gok = (
+                F.when(k.isNull() | (k == "VOID"), F.lit(None).cast("string"))
+                .when(k.isin("BIGINT", "INT", "SMALLINT", "TINYINT"), F.lit("int64"))
+                .when(k.startswith("DECIMAL") | k.isin("DOUBLE", "FLOAT"), F.lit("float64"))
+                .when(k == "STRING", F.lit("string"))
+                .when(k == "BOOLEAN", F.lit("bool"))
+                .otherwise(F.lower(k))
+            )
+            return gok, col.try_cast("string"), col.try_cast("double"), col.try_cast("long")
+        base = {
+            "long": "int64", "integer": "int64", "short": "int64", "byte": "int64",
+            "double": "float64", "float": "float64", "decimal": "float64",
+            "string": "string", "boolean": "bool",
+        }.get(ty or "", ty or "?")
+        gok = F.when(col.isNull(), F.lit(None).cast("string")).otherwise(F.lit(base))
+        return gok, col.cast("string"), col.try_cast("double"), col.try_cast("long")
+
+    def _dyn_binary(self, node: Binary, left: Column, right: Column, ctx: TranslateCtx) -> Column:
+        """Binary op over dynamically-typed (VARIANT) operands.
+
+        The reference evaluates ops on runtime types and turns a kind
+        mismatch into an error VALUE that the rule emits as a message row
+        (valuer.go; rule_test.go TestSingleSQLError).  Here: numeric kinds
+        interoperate (int64/int64 keeps Go integer semantics, any float64
+        widens), strings compare with strings, and a mismatch records a
+        per-row message on ctx.dyn_errs while the value goes null."""
+        op = node.op
+        lg, ls, ld, ll = self._variant_side(left, self._probe_type(left))
+        rg, rs, rd, rl = self._variant_side(right, self._probe_type(right))
+        lnum = lg.isin("int64", "float64")
+        rnum = rg.isin("int64", "float64")
+        missing = lg.isNull() | rg.isNull()
+        if op in ("+", "-", "*", "/", "%"):
+            ok = lnum & rnum
+            both_int = (lg == "int64") & (rg == "int64")
+            if op == "/":
+                q = ll - (ll % rl)
+                ival = (q.cast("decimal(38,0)") / rl.cast("decimal(38,0)")).cast("long")
+            else:
+                ival = {"+": ll + rl, "-": ll - rl, "*": ll * rl, "%": ll % rl}[op]
+            dval = {"+": ld + rd, "-": ld - rd, "*": ld * rd, "/": ld / rd, "%": ld % rd}[op]
+            val = (
+                F.when(missing | ~ok, F.lit(None).cast("variant"))
+                .when(both_int, ival.cast("variant"))
+                .otherwise(dval.cast("variant"))
+            )
+        else:
+            ok = (lnum & rnum) | ((lg == "string") & (rg == "string")) | (
+                (lg == "bool") & (rg == "bool")
+            )
+            num_cmp = {
+                "=": ld == rd, "!=": ld != rd, "<": ld < rd,
+                "<=": ld <= rd, ">": ld > rd, ">=": ld >= rd,
+            }[op]
+            str_cmp = {
+                "=": ls == rs, "!=": ls != rs, "<": ls < rs,
+                "<=": ls <= rs, ">": ls > rs, ">=": ls >= rs,
+            }[op]
+            val = (
+                F.when(missing | ~ok, F.lit(None).cast("boolean"))
+                .when(lnum & rnum, num_cmp)
+                .otherwise(str_cmp)
+            )
+        err = F.when(
+            missing | ok, F.lit(None).cast("string")
+        ).otherwise(
+            F.format_string(
+                "invalid operation %s(%s) " + op + " %s(%s)", lg, ls, rg, rs
+            )
+        )
+        ctx.dyn_errs.append(err)
+        return val
+
+    def _go_expr_str(self, node: Node, src: str) -> str:
+        """The reference's Expr.String() rendering used in runtime error
+        messages (e.g. `binaryExpr:{ ldemo.size * 5 }`, ast/expr.go)."""
+        if isinstance(node, Binary):
+            return (
+                "binaryExpr:{ "
+                + self._go_expr_str(node.left, src)
+                + f" {node.op} "
+                + self._go_expr_str(node.right, src)
+                + " }"
+            )
+        if isinstance(node, ColumnRef):
+            return f"{src}.{node.name}"
+        if isinstance(node, Literal):
+            v = node.value
+            return str(v).lower() if isinstance(v, bool) else str(v)
+        if isinstance(node, FuncCall):
+            return f"Call:{{ name:{node.name} }}"
+        return str(node)
+
+    def _compile_send_error(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
+        """Simple-statement path under the reference's SendError contract:
+        a runtime type error in WHERE or SELECT becomes an `error` message
+        emission in place of the data row (rule_test.go TestSingleSQLError,
+        SendError=true) or is silently dropped (TestSingleSQLOmitError,
+        SendError=false => on_error='omit')."""
+        werr = F.lit(None).cast("string")
+        if stmt.where is not None:
+            ctx.dyn_errs = []
+            pred = self._expr(stmt.where, ctx)
+            if ctx.dyn_errs:
+                werr = F.concat(F.lit("run Where error: "), F.coalesce(*ctx.dyn_errs)) \
+                    if len(ctx.dyn_errs) > 1 else F.concat(
+                        F.lit("run Where error: "), ctx.dyn_errs[0])
+            df = df.withColumn("__werr", werr)
+            # an erroring filter emits the error; otherwise the predicate
+            # decides (null/missing compares drop silently, no error)
+            df = df.filter(
+                F.col("__werr").isNotNull() | F.coalesce(pred, F.lit(False))
+            )
+        else:
+            df = df.withColumn("__werr", werr)
+        pairs: list[tuple[Column, str]] = []
+        ferrs: list[Column] = []
+        for f in stmt.fields:
+            if f.invisible:
+                continue
+            if isinstance(f.expr, Wildcard):
+                ctx.alias_stack = set()
+                pairs.extend(self._expand_wildcard(df, f.expr, ctx))
+                continue
+            ctx.alias_stack = {f.alias.lower()} if f.alias else set()
+            ctx.dyn_errs = []
+            name = self._field_name(f, stmt)
+            col = self._expr(f.expr, ctx)
+            if ctx.dyn_errs:
+                prefix = "run Select error: " + (
+                    f"alias: {f.alias} " if f.alias else ""
+                )
+                msg = F.concat(
+                    F.lit(prefix + "expr: " + self._go_expr_str(f.expr, stmt.source)
+                          + " meet error, err:"),
+                    F.coalesce(*ctx.dyn_errs) if len(ctx.dyn_errs) > 1 else ctx.dyn_errs[0],
+                )
+                ferrs.append(msg)
+            pairs.append((col, name))
+        total_err = F.coalesce(F.col("__werr"), *ferrs) if ferrs else F.col("__werr")
+        out = df.select(
+            *[F.when(total_err.isNull(), c).alias(n) for c, n in pairs],
+            total_err.alias("error"),
+        )
+        if self.on_error == "omit":
+            out = out.filter(F.col("error").isNull()).drop("error")
+        return out
+
     def _func(self, call: FuncCall, ctx: TranslateCtx) -> Column:
         name = call.name
 
@@ -3156,6 +3361,10 @@ class Translator:
             return F.lit(None if val is None else str(val))
 
         if name == "row_number":
+            if not call.partition_by and not ctx.windowfunc_partition:
+                # no window: every event is its own collection, so the rank
+                # is always 1 (rule_test.go:79 TestRowNumber1)
+                return F.lit(1)
             return F.row_number().over(self._analytic_window(call, ctx))
 
         if name in self._HIT_FNS:
@@ -3205,7 +3414,13 @@ class Translator:
             arg = self._expr(call.args[0], ctx)
             if call.when is not None:
                 arg = F.when(self._expr(call.when, ctx), arg)
-            return base(arg).over(w)
+            if name == "acc_count":
+                # int64 state starting at 0 (funcs_acc.go:222-247)
+                return F.count(arg).over(w)
+            # the accumulator state is float64 regardless of input type, and
+            # reads 0.0 before the first valid row (funcs_acc.go:26-92
+            # `case nil: return float64(0)`; accSumFunc widens int/int64)
+            return F.coalesce(base(arg.cast("double")).over(w), F.lit(0.0))
 
         if name in fregistry.ANALYTIC:
             w = self._analytic_window(call, ctx)

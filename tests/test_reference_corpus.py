@@ -121,6 +121,34 @@ def test_unnest_struct_array(spark, demo_cat):
     assert [r["col"] for r in df2.collect()] == [1, 2, 3]
 
 
+def test_unnest_covers_same_named_column(spark, demo_cat):
+    """TestSingleSQLRule19 (rule_test.go:451): the mapping schema created
+    by unnest covers the original column when names collide — `unnest(arr2),a`
+    emits the struct's a (1/3), not the source a (6)."""
+    df = run(spark, demo_cat, "SELECT unnest(arr2),a FROM demoArr where x=1")
+    assert sorted(df.columns) == ["a", "b"]
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [(1, 2), (3, 4)]
+
+
+def test_unnest_with_sibling_column(spark, demo_cat):
+    """TestSingleSQLRule21 (rule_test.go:490): unnest plus an ordinary
+    column replicates the column across the fanned-out rows."""
+    df = run(spark, demo_cat, "SELECT unnest(arr2),x FROM demoArr where x=1")
+    assert sorted((r["a"], r["b"], r["x"]) for r in df.collect()) == [
+        (1, 2, 1), (3, 4, 1),
+    ]
+
+
+def test_unnest_non_array_emits_error_row(spark, demo_cat):
+    """TestSingleSQLRule24 (rule_test.go:421): unnest over a scalar column
+    emits the reference's error message as a row (SendError), not a raise."""
+    df = run(spark, demo_cat, "Select unnest(a) from demoArr")
+    assert df.columns == ["error"]
+    assert [r["error"] for r in df.collect()] == [
+        "the argument for the unnest function should be array"
+    ]
+
+
 def test_reserved_word_column(spark, demo_cat):
     # rule_test.go:851/886 — `from` as a quoted column name
     df = run(spark, demo_cat, "SELECT `from` FROM demo1")
@@ -413,6 +441,9 @@ def test_acc_sum_over_when(spark, demo_cat):
     assert rows == [
         (3, "red"), (3, "blue"), (3, "blue"), (3, "yellow"), (4, "red"),
     ]
+    # the accumulator state is float64 even over int inputs
+    # (funcs_acc.go:249-283; TestAccAggSql2 expects float64(3))
+    assert isinstance(rows[0][0], float)
 
 
 def test_acc_min_max_count_over_when(spark, demo_cat):
@@ -425,6 +456,50 @@ def test_acc_min_max_count_over_when(spark, demo_cat):
     )
     rows = [(r["mn"], r["mx"], r["n"]) for r in df.orderBy("ts").collect()]
     assert rows == [(3, 3, 1), (3, 3, 1), (3, 3, 1), (3, 3, 1), (1, 3, 2)]
+    # min/max carry float64 state, count int64 (funcs_acc.go:222-353)
+    assert isinstance(rows[0][0], float) and isinstance(rows[0][1], float)
+    assert isinstance(rows[0][2], int)
+
+
+def test_acc_avg_over_when(spark, demo_cat):
+    """TestAccAggSql6 (rule_test.go:354): acc_avg over red rows —
+    3, 3, 3, 3, then (3+1)/2 = 2.0."""
+    df = run(
+        spark, demo_cat,
+        "SELECT ts, acc_avg(size) OVER (WHEN color = 'red') AS av FROM demo",
+    )
+    rows = [r["av"] for r in df.orderBy("ts").collect()]
+    assert rows == [3.0, 3.0, 3.0, 3.0, 2.0]
+    assert isinstance(rows[0], float)
+
+
+def test_acc_reads_zero_before_first_valid_row(spark, demo_cat):
+    """funcs_acc.go:26-92: with no accumulated state yet every acc_*
+    returns float64(0) (acc_count int64 0) — rows before the first
+    WHEN-match emit 0, not null."""
+    df = run(
+        spark, demo_cat,
+        "SELECT ts, acc_sum(size) OVER (WHEN color = 'yellow') AS s, "
+        "acc_min(size) OVER (WHEN color = 'yellow') AS mn, "
+        "acc_avg(size) OVER (WHEN color = 'yellow') AS av, "
+        "acc_count(size) OVER (WHEN color = 'yellow') AS n FROM demo",
+    )
+    rows = [(r["s"], r["mn"], r["av"], r["n"]) for r in df.orderBy("ts").collect()]
+    assert rows == [
+        (0.0, 0.0, 0.0, 0),
+        (0.0, 0.0, 0.0, 0),
+        (0.0, 0.0, 0.0, 0),
+        (4.0, 4.0, 4.0, 1),
+        (4.0, 4.0, 4.0, 1),
+    ]
+
+
+def test_row_number_without_window_is_per_event(spark, demo_cat):
+    """TestRowNumber1 (rule_test.go:79): without a window each event is its
+    own collection, so row_number() is 1 on every emission."""
+    df = run(spark, demo_cat, "select size, row_number() from demo")
+    rows = [(r["row_number"], r["size"]) for r in df.orderBy("size").collect()]
+    assert rows == [(1, 1), (1, 2), (1, 3), (1, 4), (1, 6)]
 
 
 def test_alias_shadows_source_column(spark, demo_cat):
@@ -1399,3 +1474,133 @@ def test_tumbling_content_having_emits_whole_windows(spark, demo_cat):
     )
     got = sorted((r["color"], r["ts"]) for r in df.collect())
     assert got == [("blue", 1541152486822), ("red", 1541152486013)]
+
+
+# --------------------------------------------------------------------- #
+# dynamic schemaless (VARIANT) + SendError semantics
+# rule_test.go TestSingleSQLError / TestSingleSQLOmitError over `ldemo`
+# (mocknode/mock_data.go:562-608: per-row JSON types, type-flipping size)
+# --------------------------------------------------------------------- #
+
+LDEMO_ROWS = [
+    {"color": "red", "size": 3, "ts": 1541152486013},
+    {"color": "blue", "size": "string", "ts": 1541152486822},
+    {"size": 3, "ts": 1541152487632},
+    {"color": 49, "size": 2, "ts": 1541152488442},
+    {"color": "red", "ts": 1541152489252},
+]
+
+
+@pytest.fixture(scope="module")
+def ldemo_cat(spark, tmp_path_factory):
+    import json as _json
+
+    from ekuiper_spark.catalog import StreamDef
+
+    p = tmp_path_factory.mktemp("ldemo") / "ldemo.json"
+    with open(p, "w") as f:
+        for r in LDEMO_ROWS:
+            f.write(_json.dumps(r) + "\n")
+    cat = Catalog()
+    cat.register(
+        StreamDef(
+            name="ldemo", format="json", path=str(p), schema=None,
+            kind="stream", options={"dynamic": True},
+        )
+    )
+    return cat
+
+
+def _emissions(df):
+    """Rows as reference emissions: null fields omitted, VariantVal
+    unwrapped to its dynamic Python value."""
+    from pyspark.sql.types import VariantVal
+
+    out = []
+    for r in df.collect():
+        d = {}
+        for k, v in r.asDict().items():
+            if v is None:
+                continue
+            d[k] = v.toPython() if isinstance(v, VariantVal) else v
+        out.append(d)
+    return out
+
+
+def test_send_error_where_type_mismatch(spark, ldemo_cat):
+    """TestSingleSQLErrorRule1 (rule_test.go:1434): `where size >= 3` over
+    the type-flipping ldemo — the string row errors, the colorless row
+    emits only ts, the missing-size row drops silently."""
+    df = compile_sql(
+        spark, "SELECT color, ts FROM ldemo where size >= 3",
+        ldemo_cat, order_cols=["ts"], on_error="emit",
+    )
+    got = _emissions(df.orderBy(F.expr("try_cast(ts as long)")))
+    assert {"color": "red", "ts": 1541152486013} in got
+    assert {"ts": 1541152487632} in got
+    errs = [d for d in got if "error" in d]
+    assert errs == [
+        {"error": "run Where error: invalid operation string(string) >= int64(3)"}
+    ]
+    assert len(got) == 3
+
+
+def test_send_error_select_unaliased(spark, ldemo_cat):
+    """TestSingleSQLErrorRule2 (rule_test.go:1469): `SELECT size * 5` —
+    int rows emit kuiper_field_0 (int64, not float), the string row emits
+    the reference-formatted Select error, the missing-size row emits {}."""
+    df = compile_sql(
+        spark, "SELECT size * 5 FROM ldemo", ldemo_cat,
+        order_cols=["ts"], on_error="emit",
+    )
+    got = _emissions(df)
+    vals = sorted(
+        (d["kuiper_field_0"] for d in got if "kuiper_field_0" in d)
+    )
+    assert vals == [10, 15, 15]
+    assert all(isinstance(v, int) for v in vals)
+    assert {} in got
+    errs = [d["error"] for d in got if "error" in d]
+    assert errs == [
+        "run Select error: expr: binaryExpr:{ ldemo.size * 5 } meet error, "
+        "err:invalid operation string(string) * int64(5)"
+    ]
+    assert len(got) == 5
+
+
+def test_send_error_select_aliased(spark, ldemo_cat):
+    """TestSingleSQLErrorRule3 (rule_test.go:1502): the aliased variant
+    prefixes `alias: c` in the error text."""
+    df = compile_sql(
+        spark, "SELECT size * 5 as c FROM ldemo", ldemo_cat,
+        order_cols=["ts"], on_error="emit",
+    )
+    got = _emissions(df)
+    errs = [d["error"] for d in got if "error" in d]
+    assert errs == [
+        "run Select error: alias: c expr: binaryExpr:{ ldemo.size * 5 } "
+        "meet error, err:invalid operation string(string) * int64(5)"
+    ]
+
+
+def test_omit_error_drops_error_emissions(spark, ldemo_cat):
+    """TestSingleSQLOmitError (rule_test.go:1542): SendError=false drops
+    the error rows; data emissions (including the empty one) survive."""
+    df = compile_sql(
+        spark, "SELECT color, ts FROM ldemo where size >= 3",
+        ldemo_cat, order_cols=["ts"], on_error="omit",
+    )
+    got = _emissions(df.orderBy(F.expr("try_cast(ts as long)")))
+    assert got == [
+        {"color": "red", "ts": 1541152486013},
+        {"ts": 1541152487632},
+    ]
+    df2 = compile_sql(
+        spark, "SELECT size * 5 FROM ldemo", ldemo_cat,
+        order_cols=["ts"], on_error="omit",
+    )
+    got2 = _emissions(df2)
+    assert sorted(
+        d.get("kuiper_field_0", 0) for d in got2
+    ) == [0, 10, 15, 15]
+    assert len(got2) == 4
