@@ -76,6 +76,7 @@ class TranslateCtx:
     join_sliding_keys: Optional[list] = None  # precomputed per-trigger keys (batch sliding join)
     source_order: list = dc_field(default_factory=list)  # FROM-order aliases (star collision precedence)
     dyn_errs: list = dc_field(default_factory=list)  # per-row dynamic-type error messages (SendError)
+    deferred_where: Optional[Any] = None  # WHERE kept ABOVE count/sliding windows (filters window CONTENT)
     flat_col_map: dict = dc_field(default_factory=dict)  # (qualified|bare) name -> flat column (post-stateful-join)
     finalized: bool = False  # source loading fully translated the statement
 
@@ -192,7 +193,22 @@ class Translator:
         # the count of prior emissions.
         if stmt.where is not None:
             pre, agg_conjs, hit_conjs = self._split_where(stmt.where, ctx.aliases)
-            if pre is not None:
+            _w = stmt.group.window if stmt.group else None
+            if (
+                pre is not None
+                and not self.streaming
+                and _w is not None
+                and _w.kind in ("count", "sliding")
+            ):
+                # COUNT and SLIDING windows form over ALL rows — the
+                # reference never pushes WHERE below them
+                # (windowPlan.go:92-95 PushDownPredicate); the filter then
+                # prunes each window's CONTENT, and a fully-pruned window
+                # drops whole (filter_operator.go:84-87).
+                # TestAliasOrderBy14: 3 of 5 rows pass, yet COUNTWINDOW(5)
+                # fills and emits.
+                ctx.deferred_where = pre
+            elif pre is not None:
                 df = df.filter(self._expr(pre, ctx))
             for c in agg_conjs:
                 stmt.having = c if stmt.having is None else Binary("AND", stmt.having, c)
@@ -241,7 +257,11 @@ class Translator:
             window is not None
             and window.kind == "sliding"
             and not self.streaming
-            and (bool(group.dims) if has_agg else True)
+            and (
+                (bool(group.dims) or ctx.deferred_where is not None)
+                if has_agg
+                else True
+            )
         ) or bool(ctx.join_sliding_keys) or content_having
 
         if window is not None and window.kind == "sliding" and self.streaming:
@@ -1764,7 +1784,15 @@ class Translator:
         # most two W-buckets
         b1 = F.floor((F.col("__ru") - D) / Wd)
         b2 = F.floor((F.col("__ru") + L) / Wd)
-        rows = base.withColumn("__rb", F.explode(F.array_distinct(F.array(b1, b2))))
+        members = base
+        if ctx.deferred_where is not None:
+            # WHERE above the window (windowPlan.go:92-95): triggers come
+            # from ALL rows, but only passing rows are frame CONTENT; a
+            # trigger whose frame empties drops via the inner join (the
+            # FilterOp all-pruned rule, filter_operator.go:84-87)
+            members = base.filter(self._expr(ctx.deferred_where, ctx))
+            ctx.deferred_where = None
+        rows = members.withColumn("__rb", F.explode(F.array_distinct(F.array(b1, b2))))
         right_ok = (
             (rows["__ru"] < triggers["__tu"] + D)
             if D
@@ -1923,25 +1951,43 @@ class Translator:
                 return df, ["window"]
             if w.args[1] > w.args[0]:
                 # sparse hopping (interval > length, TestHoppingWindowSQL1/3
-                # in rule_test.go): windows at k*interval covering
-                # [k*interval, k*interval+length); Spark's window() rejects
-                # slide > duration, so membership is a filter + derived
-                # bucket (rows between windows drop)
+                # in rule_test.go): the reference aligns window ENDS to the
+                # interval grid (getAlignedWindowEndTime, window_op.go:212-245;
+                # first end via event_window_trigger.go:57-75, then +interval)
+                # so each window is [k*interval - length, k*interval).
+                # Spark's window() rejects slide > duration, so membership is
+                # a filter + derived bucket (rows in the gaps drop).  For
+                # intervals that don't divide the reference's minute/hour
+                # alignment grid its first end is seeded from the first
+                # event's minute; we use the epoch grid (identical whenever
+                # interval divides the coarser unit — every corpus case).
                 length_us = int(w.args[0] * UNIT_SECONDS[w.unit] * 1_000_000)
                 hop_us = int(w.args[1] * UNIT_SECONDS[w.unit] * 1_000_000)
                 e = epoch_us(ecol)
-                wstart = F.floor(e / hop_us) * hop_us
-                df = df.filter(e < wstart + length_us).withColumn(
+                wend = (F.floor(e / hop_us) + 1) * hop_us
+                df = df.filter(e >= wend - length_us).withColumn(
                     "window",
                     F.struct(
-                        F.timestamp_micros(wstart).alias("start"),
-                        F.timestamp_micros(wstart + length_us).alias("end"),
+                        F.timestamp_micros(wend - length_us).alias("start"),
+                        F.timestamp_micros(wend).alias("end"),
                     ),
                 )
                 ctx.window_col = "window"
                 return df, ["window"]
             dur, hop = self._dur(w, 0), self._dur(w, 1)
-            df = df.withColumn("window", F.window(ecol, dur, hop))
+            # dense hopping: the reference's windows are end-aligned to the
+            # interval grid ([k*hop - length, k*hop)); Spark's window() is
+            # start-aligned.  The families coincide iff hop | length —
+            # otherwise shift Spark's grid by (-length) mod hop.
+            length_us = int(w.args[0] * UNIT_SECONDS[w.unit] * 1_000_000)
+            hop_us = int(w.args[1] * UNIT_SECONDS[w.unit] * 1_000_000)
+            off_us = (hop_us - (length_us % hop_us)) % hop_us
+            if off_us:
+                df = df.withColumn(
+                    "window", F.window(ecol, dur, hop, f"{off_us} microseconds")
+                )
+            else:
+                df = df.withColumn("window", F.window(ecol, dur, hop))
             ctx.window_col = "window"
             return df, ["window"]
         if w.kind == "session":
@@ -1977,7 +2023,9 @@ class Translator:
             if ec is not None:
                 # count-window range = [first event time, last event time]
                 # (xsql/collection.go WindowRange; window_rule_test.go
-                # TestWindowRule9 expects window_end = the n-th row's ts)
+                # TestWindowRule9 expects window_end = the n-th row's ts) —
+                # computed over the UNFILTERED window, before any deferred
+                # WHERE prunes content
                 df = df.withColumn(
                     "window",
                     F.struct(
@@ -1986,9 +2034,19 @@ class Translator:
                     ),
                 )
                 ctx.window_col = "window"
-                return df, ["__wid", "window"]
-            ctx.window_col = None
-            return df, ["__wid"]
+                wnames = ["__wid", "window"]
+            else:
+                ctx.window_col = None
+                wnames = ["__wid"]
+            if ctx.deferred_where is not None:
+                # WHERE above the count window (windowPlan.go:92-95): the
+                # window fills from ALL rows, then the filter prunes its
+                # content (TestAliasOrderBy14: COUNTWINDOW(5) fills from 5
+                # rows, 3 survive the filter); a fully-pruned window drops
+                # whole (filter_operator.go:84-87)
+                df = df.filter(self._expr(ctx.deferred_where, ctx))
+                ctx.deferred_where = None
+            return df, wnames
         if w.kind == "state":
             return self._state_window(df, w, ctx)
         raise ValueError(f"unknown window kind {w.kind}")

@@ -164,21 +164,6 @@ def test_changed_cols_corpus(spark, demo_cat):
     assert got == [("red", 3), ("blue", 6), (None, 2), ("yellow", 4), ("red", 1)]
 
 
-def test_count_window_group_order(spark, demo_cat):
-    # rule_test.go:1118 — COUNTWINDOW + color dim + ORDER BY count
-    df = run(
-        spark,
-        demo_cat,
-        "SELECT color, count(*) as c FROM demo where color != 'red' "
-        "GROUP BY COUNTWINDOW(5), color Order by c DESC",
-    )
-    got = [(r["color"], r["c"]) for r in df.collect()]
-    # 3 non-red rows never fill the 5-window -> reference emits nothing?
-    # window_op count windows emit on n collected; with <n rows at EOF no
-    # emission.  Batch emulation matches: partial window dropped.
-    assert got == []
-
-
 def test_analytic_where_filter_state(spark, demo_cat):
     # rule_test.go:1179 — lag computed BEFORE the WHERE filter (the
     # AnalyticFuncs plan precedes Filter in the reference chain); the
@@ -516,6 +501,71 @@ def test_alias_chain_simple(spark, demo_cat):
     assert [tuple(r) for r in df.collect()] == [(3, 4), (6, 7), (2, 3), (4, 5), (1, 2)]
 
 
+def test_alias_backward_reference(spark, demo_cat):
+    """TestAliasSQL2 (rule_test.go:1826): `a + 1 as b, size as a` — alias
+    resolution is order-independent, so b reads the alias defined LATER
+    in the field list."""
+    df = run(spark, demo_cat, "select a + 1 as b, size as a from demo")
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [
+        (1, 2), (2, 3), (3, 4), (4, 5), (6, 7),
+    ]
+
+
+def test_lag_alias_division_where(spark, demo_cat):
+    """TestLagAlias (rule_test.go:1178): lag runs PRE-WHERE (the size-2 row
+    feeds lag even though WHERE drops it), unaliased lag(had_changed(...))
+    projects as `lag`, and lastSize/size is int64 division (3/6 = 0)."""
+    df = run(
+        spark, demo_cat,
+        "SELECT lag(size) as lastSize, lag(had_changed(true,size)), size, "
+        "lastSize/size as changeRate FROM demo WHERE size > 2",
+    )
+    rows = [
+        (r["lastSize"], r["lag"], r["size"], r["changeRate"])
+        for r in df.orderBy("size").collect()
+    ]
+    assert rows == [
+        (None, None, 3, None),
+        (2, True, 4, 0),
+        (3, True, 6, 0),
+    ]
+    assert isinstance(rows[1][3], int)
+
+
+def test_where_filters_sliding_content_not_triggers(spark, demo_cat):
+    """windowPlan.go:92-95: WHERE is never pushed below a SLIDING window —
+    every row still triggers its frame, the filter prunes frame CONTENT,
+    and a fully-pruned frame drops whole (filter_operator.go:84-87).  Over
+    demo with `size > 2`: the blue-2 trigger (487632) still emits, its
+    frame holding only the passing blue-6 row."""
+    df = run(
+        spark, demo_cat,
+        "SELECT count(*) as c, window_end() as we FROM demo "
+        "WHERE size > 2 GROUP BY SLIDINGWINDOW(ss, 1)",
+    )
+    got = sorted((r["we"], r["c"]) for r in df.collect())
+    assert got == [
+        (1541152486013, 1),  # {red 3}
+        (1541152486822, 2),  # {red 3, blue 6}
+        (1541152487632, 1),  # trigger fails WHERE; content {blue 6}
+        (1541152488442, 1),  # {yellow 4} (blue 2 pruned)
+        (1541152489252, 1),  # {yellow 4} (red 1 pruned)
+    ]
+
+
+def test_alias_order_by_desc_count_window(spark, demo_cat):
+    """TestAliasOrderBy14 (rule_test.go:1117): COUNTWINDOW(5) + color dims
+    with a WHERE prefilter, ordered by the aggregate alias DESC."""
+    df = run(
+        spark, demo_cat,
+        "SELECT color, count(*) as c FROM demo where color != 'red' "
+        "GROUP BY COUNTWINDOW(5), color Order by c DESC",
+    )
+    assert [(r["color"], r["c"]) for r in df.collect()] == [
+        ("blue", 2), ("yellow", 1),
+    ]
+
+
 def test_join_on_select_aliases(spark, demo_cat):
     """rule_test.go TestSingleSQL join: ON references SELECT aliases
     (`on demoTs = table1Id`)."""
@@ -536,21 +586,17 @@ def test_join_on_select_aliases(spark, demo_cat):
     ]
 
 
-def test_count_window_keyed_order(spark, demo_cat):
-    """TestSingleSQLRule16 (rule_test.go:1118): COUNTWINDOW(5) with a
-    pre-filter and per-color sub-grouping, ordered by count desc.  With
-    color != 'red' only 3 rows remain -> no FULL 5-window -> but the
-    reference window fills on the post-filter stream? It emits {blue:2,
-    yellow:1}: the COUNTWINDOW counts the FILTERED rows and flushes at
-    stream end in the mock run; batch mode keeps only full windows, so we
-    replay with COUNTWINDOW(3) for the same grouping semantics."""
+def test_count_window_keyed_where_above(spark, demo_cat):
+    """COUNTWINDOW(3) fills from ALL five rows (WHERE never pushes below a
+    count window, windowPlan.go:92-95): window 1 = rows 1-3 (red 3, blue
+    6, blue 2), the 2-row tail never fills.  The filter then prunes the
+    window's CONTENT to the two blue rows."""
     df = run(
         spark, demo_cat,
         "SELECT color, count(*) AS c FROM demo WHERE color != 'red' "
         "GROUP BY COUNTWINDOW(3), color ORDER BY c DESC",
     )
-    rows = [(r["color"], r["c"]) for r in df.collect()]
-    assert rows[0] == ("blue", 2) and ("yellow", 1) in rows
+    assert [(r["color"], r["c"]) for r in df.collect()] == [("blue", 2)]
 
 
 DEMOE_ROWS = [
@@ -625,10 +671,11 @@ def test_case_when_double_quoted_strings(spark, demo_cat):
 
 def test_sparse_hopping_window(spark, demoe_cat):
     # HOPPINGWINDOW(ss, 3, 5): interval > length (TestHoppingWindowSQL1's
-    # shape) — epoch-aligned windows [k*5s, k*5s+3s); rows in the 2s gaps
-    # drop.  ts seconds: 486.013 487.632 [window 485-488]; 489.252 and
-    # 488.442 fall in the gap [488, 490); 486.822 in 485-488; 492.342 in
-    # 490-493.
+    # shape) — the reference aligns window ENDS to the interval grid
+    # (getAlignedWindowEndTime, window_op.go:212-245), so windows are
+    # [k*5s-3s, k*5s); rows in the 2s gaps drop.  ts seconds over the
+    # 6-row demoE set: 487.632, 488.442, 489.252 in [487, 490); 486.013
+    # and 486.822 in the gap [485, 487); 492.342 in [492, 495).
     df = run(
         spark, demoe_cat,
         "SELECT window_start() AS ws, count(*) AS n "
@@ -636,9 +683,82 @@ def test_sparse_hopping_window(spark, demoe_cat):
     )
     rows = sorted((r["ws"], r["n"]) for r in df.collect())
     assert rows == [
-        (1541152485000, 3),  # 486.013, 486.822, 487.632
-        (1541152490000, 1),  # 492.342
+        (1541152487000, 3),  # 487.632, 488.442, 489.252
+        (1541152492000, 1),  # 492.342
     ]
+
+
+# arrival-surviving demoE rows under TestWindowSQL's event-time options
+# (rule_test.go:1669: IsEventTime=true, LateTol unset => 0): watermark =
+# max arrived ts, so blue6@486822 (arrives after 489252) AND
+# yellow4@488442 (arrives after 489252) drop at the watermark op;
+# yellow4@492342 only lifts the watermark.
+DEMOE_KEPT_ROWS = [
+    ("red", 3, 1541152486013),
+    ("blue", 2, 1541152487632),
+    ("red", 1, 1541152489252),
+    ("yellow", 4, 1541152492342),
+]
+
+
+@pytest.fixture(scope="module")
+def demoe_kept_cat(spark):
+    cat = Catalog()
+    cat.register_df(
+        "demoEK",
+        spark.createDataFrame(DEMOE_KEPT_ROWS, "color string, size long, ts long"),
+    )
+    return cat
+
+
+def test_hopping_window_sql1_event_time(spark, demoe_kept_cat):
+    """TestHoppingWindowSQL1 (rule_test.go:1675): HOPPINGWINDOW(ss, 3, 5)
+    over event-time demoE emits ONE window [487000, 490000) = {blue 2,
+    red 1} — end-aligned to the 5s grid.  The watermark-lifter row
+    (492342) sits in [492000, 495000), whose end never passes the final
+    watermark; bounded batch replay emits it as the documented extra."""
+    df = run(
+        spark, demoe_kept_cat,
+        "SELECT size, color, window_start() AS ws "
+        "FROM demoEK GROUP BY HOPPINGWINDOW(ss, 3, 5)",
+    )
+    got = sorted((r["ws"], r["color"], r["size"]) for r in df.collect())
+    assert got == [
+        (1541152487000, "blue", 2),
+        (1541152487000, "red", 1),
+        (1541152492000, "yellow", 4),  # bounded-replay extra (untriggered)
+    ]
+
+
+def test_hopping_window_sql2_event_time(spark, demoe_kept_cat):
+    """TestHoppingWindowSQL2 (rule_test.go:1690): HOPPINGWINDOW(ss, 1, 2)
+    — windows [487000,488000)={blue 2} and [489000,490000)={red 1}; red3
+    @486013 and yellow@492342 fall in grid gaps and never emit.  (The
+    reference's third emission is an EMPTY window — zero tuples — which a
+    batch DataFrame has no row to carry.)"""
+    df = run(
+        spark, demoe_kept_cat,
+        "SELECT size, color, window_start() AS ws "
+        "FROM demoEK GROUP BY HOPPINGWINDOW(ss, 1, 2)",
+    )
+    got = sorted((r["ws"], r["color"], r["size"]) for r in df.collect())
+    assert got == [
+        (1541152487000, "blue", 2),
+        (1541152489000, "red", 1),
+    ]
+
+
+def test_hopping_window_sql3_event_time(spark, demoe_kept_cat):
+    """TestHoppingWindowSQL3 (rule_test.go:1709): HOPPINGWINDOW(ss, 2, 5)
+    — only [488000,490000)={red 1}; every other surviving row is in a
+    gap."""
+    df = run(
+        spark, demoe_kept_cat,
+        "SELECT size, color, window_start() AS ws "
+        "FROM demoEK GROUP BY HOPPINGWINDOW(ss, 2, 5)",
+    )
+    got = [(r["ws"], r["color"], r["size"]) for r in df.collect()]
+    assert got == [(1541152488000, "red", 1)]
 
 
 def test_binary_passthrough(spark, demo_cat):
