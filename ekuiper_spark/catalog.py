@@ -198,7 +198,9 @@ class Catalog:
         name: str,
         streaming: bool = False,
         with_meta: bool = False,
+        used_cols: "set[str] | None" = None,
     ) -> DataFrame:
+        self._used_cols = used_cols  # consumed by the strict-validation read
         n = name.lower()
         if n in self._dfs:
             return self._dfs[n]
@@ -422,7 +424,10 @@ class Catalog:
                 # rule — variant-based, pure Catalyst
                 from ekuiper_spark.operators.preprocessor import strict_validate
 
-                valid, errors = strict_validate(spark.read.text(d.path), d.schema)
+                valid, errors = strict_validate(
+                    spark.read.text(d.path), d.schema,
+                    used_fields=getattr(self, "_used_cols", None),
+                )
                 self._validation_errors[d.name.lower()] = errors
                 return valid
             return reader.json(d.path)

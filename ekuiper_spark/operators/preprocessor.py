@@ -98,7 +98,8 @@ def _decl_name(decl: T.DataType) -> str:
 
 
 def strict_validate(
-    raw: DataFrame, schema: T.StructType, json_col: str = "value"
+    raw: DataFrame, schema: T.StructType, json_col: str = "value",
+    used_fields: "set[str] | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split a raw-JSON frame into (valid_rows, error_rows).
 
@@ -109,6 +110,13 @@ def strict_validate(
     ("error in preprocessor: field size type mismatch: cannot convert
     string(red) to int64", preprocessor.go:76 + field_processor.go:77).
 
+    ``used_fields`` limits validation to the rule's PRUNED column set —
+    the reference only validates/converts fields the rule references
+    (PruneColumns pushes the used set into the preprocessor), so
+    `SELECT size, ts FROM demoError` never errors on a bad `color`
+    (TestSingleSQLRule4: the int-color row emits data).  Unvalidated
+    declared columns still project, leniently (null on mismatch).
+
     The whole check is Catalyst expressions over a VARIANT parse — one
     scan, no shuffle, no Python.
     """
@@ -116,7 +124,11 @@ def strict_validate(
     passthru = [c for c in raw.columns if c != json_col]
     checked = raw.withColumn("__v", v)
     err_expr = F.lit(None).cast("string")
-    for f in schema.fields:
+    check_fields = [
+        f for f in schema.fields
+        if used_fields is None or f.name.lower() in used_fields
+    ]
+    for f in check_fields:
         fv = F.try_variant_get(F.col("__v"), f"$.{f.name}", "variant")
         vt = F.schema_of_variant(fv)
         missing = fv.isNull() | (vt == "VOID")

@@ -116,6 +116,86 @@ class Translator:
 
     # ------------------------------------------------------------------ #
     def compile(self, stmt: SelectStatement) -> DataFrame:
+        out = self._compile_stmt(stmt)
+        if self.on_error != "emit" or self.streaming:
+            return out
+        errs = None
+        if hasattr(self.catalog, "validation_errors"):
+            errs = self.catalog.validation_errors(stmt.source)
+        if errs is None:
+            return out
+        # SendError: preprocessor type-mismatch rows bypass every operator
+        # — source decode errors are broadcast straight through filters,
+        # windows and projections to the sink (rule_test.go
+        # TestSingleSQLRule4; window bypass event_window_trigger.go:227-232
+        # / TestEventWindowRule7) — so the error rows union onto the final
+        # output with all data columns null.
+        if "error" in out.columns:
+            data = out
+        else:
+            data = out.withColumn("error", F.lit(None).cast("string"))
+        bypass = errs.select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in data.schema
+                if f.name != "error"
+            ],
+            F.col("error"),
+        )
+        return data.unionByName(bypass)
+
+    def _used_columns(self, stmt: SelectStatement) -> Optional[set[str]]:
+        """The rule's pruned column set (reference PruneColumns): the
+        preprocessor only validates fields the statement references, so a
+        type-mismatched UNUSED column never errors (TestSingleSQLRule4's
+        int-color row emits data).  None = all columns (wildcards)."""
+        import dataclasses
+
+        used: set[str] = set()
+        wildcard = False
+
+        def walk(n) -> None:
+            nonlocal wildcard
+            if n is None or isinstance(n, (str, int, float, bool, bytes)):
+                return
+            if isinstance(n, Wildcard):
+                wildcard = True
+                return
+            if isinstance(n, ColumnRef):
+                used.add(n.name.lower())
+                return
+            if isinstance(n, (list, tuple)):
+                for x in n:
+                    walk(x)
+                return
+            if dataclasses.is_dataclass(n) and not isinstance(n, type):
+                for fld in dataclasses.fields(n):
+                    walk(getattr(n, fld.name))
+
+        for f in stmt.fields:
+            walk(f.expr)
+        walk(stmt.where)
+        walk(stmt.having)
+        walk(stmt.group)
+        for s in stmt.order or []:
+            walk(s.expr)
+        for j in stmt.joins or []:
+            walk(j)
+        if wildcard:
+            return None
+        # the event-time column is consumed implicitly (windows, analytic
+        # ordering) even when never projected
+        if self.event_col:
+            used.add(self.event_col.lower())
+        for c in self.order_cols or []:
+            used.add(c.lower())
+        sdef = self.catalog.get(stmt.source)
+        if sdef is not None and sdef.timestamp_col:
+            used.add(sdef.timestamp_col.lower())
+        used.add("ts")
+        return used
+
+    def _compile_stmt(self, stmt: SelectStatement) -> DataFrame:
         ctx = TranslateCtx()
         self._cur_stmt = stmt  # default-field-name numbering (_field_name)
         # register select aliases for inlining before source loading — the
@@ -147,7 +227,14 @@ class Translator:
             self.on_error in ("emit", "omit")
             and not self.streaming
             and not stmt.joins
-            and stmt.group is None
+            and (
+                stmt.group is None
+                or (
+                    stmt.group.window is not None
+                    and stmt.group.window.kind == "tumbling"
+                    and not stmt.group.dims
+                )
+            )
             and stmt.having is None
             and not any(self._find_aggs(f.expr) for f in stmt.fields)
             and any(
@@ -617,6 +704,7 @@ class Translator:
             stmt.source,
             streaming=self.streaming,
             with_meta=self._uses_meta(stmt),
+            used_cols=self._used_columns(stmt) if not stmt.joins else None,
         )
         df = df.alias(left_alias)
         ctx.source_aliases.add(left_alias.lower())
@@ -3350,7 +3438,137 @@ class Translator:
                 )
                 ferrs.append(msg)
             pairs.append((col, name))
-        total_err = F.coalesce(F.col("__werr"), *ferrs) if ferrs else F.col("__werr")
+        total_ferr = (
+            (F.coalesce(*ferrs) if len(ferrs) > 1 else ferrs[0])
+            if ferrs
+            else F.lit(None).cast("string")
+        )
+        window = stmt.group.window if stmt.group else None
+        if window is not None:
+            # windowed SendError (window_rule_test.go TestWindowErrorRule1/2):
+            # a WHERE error bypasses the window entirely — the window op's
+            # ingest broadcasts error values straight through
+            # (event_window_trigger.go:227-232) — while a Select error
+            # POISONS its window: ProjectOp stops at the first erroring row
+            # of the collection and the whole window emits that ONE error
+            # message instead of content.  Windows whose rows all filter
+            # away emit nothing here (batch cannot carry the reference's
+            # live empty-tick emissions).
+            ec = ctx.event_col
+            length_ms = int(window.args[0] * UNIT_SECONDS[window.unit] * 1000)
+            ord_c = (
+                F.col(ec).try_cast("long") if ec in df.columns else None
+            )
+            if ord_c is None:
+                raise NotImplementedError(
+                    "windowed SendError requires an event-time column"
+                )
+            df = (
+                df.withColumn("__ord", ord_c)
+                .withColumn("__mid", F.monotonically_increasing_id())
+                .withColumn("__ferr", total_ferr)
+            )
+            df = df.withColumn(
+                "__wid",
+                F.when(
+                    F.col("__werr").isNull(), F.floor(F.col("__ord") / length_ms)
+                ),
+            )
+            wspec = W.partitionBy("__wid")
+            first_err = F.min(
+                F.when(
+                    F.col("__ferr").isNotNull() & F.col("__werr").isNull(),
+                    F.struct(
+                        F.col("__ord").alias("o"),
+                        F.col("__mid").alias("m"),
+                        F.col("__ferr").alias("e"),
+                    ),
+                )
+            ).over(wspec)
+            # ORDER BY over dynamic values validates runtime kinds while
+            # sorting the window collection (sorter.go:132-165: the first
+            # non-nil value fixes the expected kind, numeric kinds
+            # interoperate, any other mix aborts the sort) — an aborted
+            # sort poisons the window BEFORE projection (OrderOp precedes
+            # ProjectOp), so it outranks Select errors
+            # (TestWindowErrorRule5).
+            order_bad = None
+            for s in stmt.order or []:
+                oc = self._expr(s.expr, ctx)
+                if self._probe_type(oc) != "variant":
+                    continue
+                kind = self._variant_side(oc, "variant")[0]
+                fk = F.min(
+                    F.when(
+                        kind.isNotNull() & F.col("__werr").isNull(),
+                        F.struct(
+                            F.col("__ord").alias("o"),
+                            F.col("__mid").alias("m"),
+                            kind.alias("k"),
+                        ),
+                    )
+                ).over(wspec)
+                numeric = ("int64", "float64", "uint64", "int")
+                compat = (fk["k"].isin(*numeric) & kind.isin(*numeric)) | (
+                    fk["k"] == kind
+                )
+                # rows before the kind-fixing row pass (types[j] unset)
+                before_first = F.struct(
+                    F.col("__ord").alias("o"), F.col("__mid").alias("m")
+                ) < F.struct(fk["o"].alias("o"), fk["m"].alias("m"))
+                bad = (
+                    kind.isNotNull()
+                    & F.col("__werr").isNull()
+                    & fk.isNotNull()
+                    & ~before_first
+                    & ~compat
+                )
+                msg = F.concat(
+                    F.lit(
+                        "run Order By error: incompatible types for "
+                        "comparison: "
+                    ),
+                    fk["k"],
+                    F.lit(" and "),
+                    kind,
+                )
+                this_bad = F.when(bad, msg)
+                order_bad = (
+                    this_bad if order_bad is None
+                    else F.coalesce(order_bad, this_bad)
+                )
+            if order_bad is not None:
+                # materialize first (order_bad nests a window expression —
+                # Spark rejects window-in-window aggregates)
+                df = df.withColumn("__obad", order_bad)
+                first_obad = F.min(
+                    F.when(
+                        F.col("__obad").isNotNull(),
+                        F.struct(
+                            F.col("__ord").alias("o"),
+                            F.col("__mid").alias("m"),
+                            F.col("__obad").alias("e"),
+                        ),
+                    )
+                ).over(wspec)
+                win_err = F.coalesce(first_obad, first_err)
+            else:
+                win_err = first_err
+            df = df.withColumn(
+                "__we", F.when(F.col("__wid").isNotNull(), win_err)
+            ).drop("__obad")
+            keep = (
+                F.col("__werr").isNotNull()
+                | F.col("__we").isNull()
+                | (
+                    (F.col("__we.o") == F.col("__ord"))
+                    & (F.col("__we.m") == F.col("__mid"))
+                )
+            )
+            df = df.filter(keep)
+            total_err = F.coalesce(F.col("__werr"), F.col("__we.e"))
+        else:
+            total_err = F.coalesce(F.col("__werr"), total_ferr)
         out = df.select(
             *[F.when(total_err.isNull(), c).alias(n) for c, n in pairs],
             total_err.alias("error"),

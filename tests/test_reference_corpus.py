@@ -711,6 +711,35 @@ def demoe_kept_cat(spark):
     return cat
 
 
+def test_tumbling_boundary_event_at_start(spark, demoe_kept_cat):
+    """TestTUMBLINGWindowInterval14 (window_rule_test.go:1370, demoE3):
+    tumbling windows are START-inclusive — an event exactly at 487000
+    belongs to [487000, 488000), never to the closing [486000, 487000)."""
+    cat = Catalog()
+    cat.register_df(
+        "demoE3",
+        spark.createDataFrame(
+            [(26.0, 1541152486000), (27.0, 1541152487000)], "temp double, ts long"
+        ),
+    )
+    df = run(spark, cat, "SELECT temp, ts FROM demoE3 GROUP BY TUMBLINGWINDOW(ss, 1)")
+    assert sorted((r["temp"], r["ts"]) for r in df.collect()) == [
+        (26.0, 1541152486000),
+        (27.0, 1541152487000),
+    ]
+
+
+def test_event_window_condition10_sliding_over_when(spark, demoe_kept_cat):
+    """TestEventWindowCondition10 (window_rule_test.go:1279): sliding
+    OVER (WHEN size = 3) over event-time demoE — only the size-3 arrival
+    triggers, emitting its one-row frame."""
+    df = run(
+        spark, demoe_kept_cat,
+        "SELECT color FROM demoEK GROUP BY SlidingWindow(ss, 1) Over (When size = 3)",
+    )
+    assert [r["color"] for r in df.collect()] == ["red"]
+
+
 def test_hopping_window_sql1_event_time(spark, demoe_kept_cat):
     """TestHoppingWindowSQL1 (rule_test.go:1675): HOPPINGWINDOW(ss, 3, 5)
     over event-time demoE emits ONE window [487000, 490000) = {blue 2,
@@ -1701,6 +1730,195 @@ def test_send_error_select_aliased(spark, ldemo_cat):
         "run Select error: alias: c expr: binaryExpr:{ ldemo.size * 5 } "
         "meet error, err:invalid operation string(string) * int64(5)"
     ]
+
+
+def test_window_error_select_poisons_window(spark, ldemo_cat):
+    """TestWindowErrorRule1 (window_rule_test.go:1424): a Select error
+    inside a window collection poisons the WHOLE window — ProjectOp stops
+    at the first erroring row and the window emits one error message
+    instead of content.  TUMBLINGWINDOW(ss, 2): rows 1-3 share the
+    [486000, 488000) window, so the string row's error swallows both int
+    rows.  The second window's rows ({6} and {}) are the bounded-replay
+    extra — in the reference that window's tick never fires before the
+    stream ends."""
+    df = compile_sql(
+        spark, "SELECT size * 3 FROM ldemo GROUP BY TUMBLINGWINDOW(ss, 2)",
+        ldemo_cat, order_cols=["ts"], on_error="emit",
+    )
+    got = _emissions(df)
+    errs = [d["error"] for d in got if "error" in d]
+    assert errs == [
+        "run Select error: expr: binaryExpr:{ ldemo.size * 3 } meet error, "
+        "err:invalid operation string(string) * int64(3)"
+    ]
+    rest = sorted(
+        (d.get("kuiper_field_0") for d in got if "error" not in d),
+        key=lambda v: (v is None, v),
+    )
+    assert rest == [6, None]  # bounded-replay extra window
+    assert len(got) == 3
+
+
+def test_window_error_where_bypasses_window(spark, ldemo_cat):
+    """TestWindowErrorRule2 (window_rule_test.go:1444): a WHERE error
+    bypasses the window op entirely (ingest broadcasts error values,
+    event_window_trigger.go:227-232) while passing rows window normally;
+    null/false compares drop silently."""
+    df = compile_sql(
+        spark,
+        "SELECT color, ts FROM ldemo where size > 2 "
+        "GROUP BY tumblingwindow(ss, 1)",
+        ldemo_cat, order_cols=["ts"], on_error="emit",
+    )
+    got = _emissions(df)
+    assert {"error": "run Where error: invalid operation string(string) > int64(2)"} in got
+    assert {"color": "red", "ts": 1541152486013} in got
+    assert {"ts": 1541152487632} in got
+    assert len(got) == 3
+
+
+def test_preprocessor_error_rows_inline(spark, tmp_path):
+    """TestSingleSQLRule4 (rule_test.go:757): STRICT_VALIDATION failures
+    emit inline as error rows among the data emissions (SendError), and
+    validation is PRUNED to the rule's used columns — the int-color row
+    passes because `SELECT size, ts` never touches color."""
+    import json as _json
+
+    from ekuiper_spark.catalog import StreamDef
+    from pyspark.sql import types as T
+
+    rows = [  # mock_data.go demoError
+        {"color": "blue", "size": "red", "ts": 1541152486013},
+        {"color": "blue", "size": 6, "ts": 1541152486822},
+        {"color": "blue", "size": 2, "ts": 1541152487632},
+        {"color": 7, "size": 4, "ts": 1541152488442},
+        {"color": "red", "size": "blue", "ts": 1541152489252},
+    ]
+    p = tmp_path / "demoError.json"
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("color", T.StringType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    cat = Catalog()
+    cat.register(
+        StreamDef(
+            name="demoError", format="json", path=str(p), schema=schema,
+            options={"strict_validation": "true"},
+        )
+    )
+    df = compile_sql(
+        spark, "SELECT size as Int8, ts FROM demoError where size > 3",
+        cat, order_cols=["ts"], on_error="emit",
+    )
+    got = _emissions(df)
+    errs = sorted(d["error"] for d in got if "error" in d)
+    assert errs == [
+        "error in preprocessor: field size type mismatch: "
+        "cannot convert string(blue) to int64",
+        "error in preprocessor: field size type mismatch: "
+        "cannot convert string(red) to int64",
+    ]
+    data = sorted((d["Int8"], d["ts"]) for d in got if "error" not in d)
+    assert data == [(4, 1541152488442), (6, 1541152486822)]
+    assert len(got) == 4
+
+
+def test_event_window_rule7_errors_bypass_window(spark, tmp_path):
+    """TestEventWindowRule7 (window_rule_test.go:1117): preprocessor error
+    rows bypass the hopping window (broadcast straight through, window op
+    ingest) while valid rows window normally.  `SELECT *` means NO column
+    pruning, so the int-color row errors.  The fixture feeds the
+    watermark-surviving arrivals (blue-6 drops late, LateTol 1s); the two
+    windows holding the final watermark-lifter row are the bounded-replay
+    extra."""
+    import json as _json
+
+    from ekuiper_spark.catalog import StreamDef
+    from pyspark.sql import types as T
+
+    rows = [  # mock_data.go demoErr minus the watermark-dropped blue-6
+        {"color": "red", "size": 3, "ts": 1541152486013},
+        {"color": 2, "size": 5, "ts": 1541152487632},
+        {"color": "red", "size": 1, "ts": 1541152489252},
+        {"color": "yellow", "size": 4, "ts": 1541152488442},
+        {"color": "yellow", "size": 4, "ts": 1541152492342},
+    ]
+    p = tmp_path / "demoErr.json"
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("color", T.StringType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    cat = Catalog()
+    cat.register(
+        StreamDef(
+            name="demoErr", format="json", path=str(p), schema=schema,
+            options={"strict_validation": "true"},
+        )
+    )
+    df = compile_sql(
+        spark, "SELECT * FROM demoErr GROUP BY HOPPINGWINDOW(ss, 2, 1)",
+        cat, order_cols=["ts"], on_error="emit",
+    )
+    got = _emissions(df)
+    errs = [d["error"] for d in got if "error" in d]
+    assert errs == [
+        "error in preprocessor: field color type mismatch: "
+        "cannot convert int(2) to string"
+    ]
+    data = sorted(
+        (d["color"], d["size"], d["ts"]) for d in got if "error" not in d
+    )
+    # reference emissions: red-3 in 2 windows, yellow-4@488442 in 2,
+    # red-1 in 2; + the lifter row's 2 windows (bounded-replay extra)
+    assert data == [
+        ("red", 1, 1541152489252), ("red", 1, 1541152489252),
+        ("red", 3, 1541152486013), ("red", 3, 1541152486013),
+        ("yellow", 4, 1541152488442), ("yellow", 4, 1541152488442),
+        ("yellow", 4, 1541152492342), ("yellow", 4, 1541152492342),
+    ]
+
+
+def test_window_error_order_by_kind_mismatch(spark, ldemo_cat):
+    """TestWindowErrorRule5 (window_rule_test.go:1569): ORDER BY over a
+    window collection validates runtime kinds while sorting (sorter.go:
+    132-165: first non-nil value fixes the kind, numerics interoperate) —
+    a mixed int/string window aborts the sort and emits ONE error row,
+    outranking any Select error (OrderOp precedes ProjectOp).  The mock
+    run prints `int` (in-process Go ints); over the JSON wire the kind
+    normalizes to int64, which is what the variant path derives.  The
+    final {color: red} row is the bounded-replay extra (its window's tick
+    never fires before the stream ends)."""
+    df = compile_sql(
+        spark,
+        "SELECT color, size FROM ldemo GROUP BY tumblingwindow(ss, 1) "
+        "ORDER BY size",
+        ldemo_cat, order_cols=["ts"], on_error="emit",
+    )
+    got = _emissions(df)
+    errs = [d["error"] for d in got if "error" in d]
+    assert errs == [
+        "run Order By error: incompatible types for comparison: "
+        "int64 and string"
+    ]
+    data = sorted(
+        (d for d in got if "error" not in d), key=repr
+    )
+    assert data == sorted(
+        [
+            {"color": 49, "size": 2},
+            {"color": "red"},  # bounded-replay extra window
+            {"size": 3},
+        ],
+        key=repr,
+    )
 
 
 def test_omit_error_drops_error_emissions(spark, ldemo_cat):

@@ -64,12 +64,14 @@ def test_sql_stream_incremental_poll(spark, db):
     name = "sqlst_" + _uuid.uuid4().hex[:6]
     q = sdf.writeStream.format("memory").queryName(name).outputMode("append").start()
     try:
-        deadline = time.time() + 180  # generous: the full suite saturates all cores
+        deadline = time.time() + 300  # generous: the full suite saturates all cores
         while time.time() < deadline and spark.table(name).count() < 3:
             time.sleep(0.3)
         # several more polls must NOT re-deliver already-seen index values
         time.sleep(2.5)
-        assert spark.table(name).count() == 3
+        assert spark.table(name).count() == 3, sorted(
+            (r["idx"], r["device"]) for r in spark.table(name).collect()
+        )
         con = duckdb.connect(db)
         con.execute("INSERT INTO readings VALUES (4, 'd3', 30.0)")
         con.close()
