@@ -77,6 +77,7 @@ class TranslateCtx:
     source_order: list = dc_field(default_factory=list)  # FROM-order aliases (star collision precedence)
     dyn_errs: list = dc_field(default_factory=list)  # per-row dynamic-type error messages (SendError)
     deferred_where: Optional[Any] = None  # WHERE kept ABOVE count/sliding windows (filters window CONTENT)
+    count_fast: bool = False  # aggregated COUNTWINDOW: fullness check + bounds on the post-agg frame
     flat_col_map: dict = dc_field(default_factory=dict)  # (qualified|bare) name -> flat column (post-stateful-join)
     finalized: bool = False  # source loading fully translated the statement
 
@@ -1343,6 +1344,12 @@ class Translator:
 
         if window is not None:
             ctx.window_parts = dim_names
+            ctx.count_fast = (
+                window.kind == "count"
+                and not self.streaming
+                and ctx.deferred_where is None
+                and len(window.args) == 1
+            )
             df, wnames = self._window_key(df, window, ctx)
             group_cols.extend(wnames)
 
@@ -1417,10 +1424,38 @@ class Translator:
         if not agg_exprs:
             agg_exprs.append(F.count(F.lit(1)).alias("__dummy"))
 
-        # (count-window fullness is enforced in _window_key, on the whole
-        # window — a GROUP BY dim sub-groups the window contents and must
-        # not affect the full-window check)
+        if ctx.count_fast:
+            # per-(window, dims) partials that reconstruct the WHOLE
+            # window's fullness and bounds on the aggregated frame
+            agg_exprs.append(F.count(F.lit(1)).alias("__subn"))
+            if ctx.window_col:
+                ec = ctx.event_col
+                agg_exprs.append(F.min(F.col(ec)).alias("__submin"))
+                agg_exprs.append(F.max(F.col(ec)).alias("__submax"))
+
+        # (count-window fullness is otherwise enforced in _window_key, on
+        # the whole window — a GROUP BY dim sub-groups the window contents
+        # and must not affect the full-window check)
         gdf = df.groupBy(*[F.col(c) for c in group_cols]).agg(*agg_exprs) if group_cols else df.groupBy().agg(*agg_exprs)
+
+        if ctx.count_fast:
+            # full-window check + count-window range on the tiny post-agg
+            # frame: sum/min/max of the sub-group partials over the window
+            # id (window_op.go:520-568 only FULL windows emit;
+            # xsql/collection.go WindowRange = [first, last] event time)
+            n_full = window.args[0]
+            cw = W.partitionBy(F.col("__wid"))
+            gdf = gdf.withColumn("__wn", F.sum(F.col("__subn")).over(cw))
+            gdf = gdf.filter(F.col("__wn") == n_full).drop("__wn", "__subn")
+            if ctx.window_col:
+                gdf = gdf.withColumn(
+                    "window",
+                    F.struct(
+                        F.min(F.col("__submin")).over(cw).alias("start"),
+                        F.max(F.col("__submax")).over(cw).alias("end"),
+                    ),
+                ).drop("__submin", "__submax")
+            ctx.count_fast = False
 
         ctx.post_agg = True
         # emission ordering for post-agg positional funcs
@@ -2102,6 +2137,14 @@ class Translator:
             # zipWithIndex; two passes over the input, both parallel)
             df, rn_col = self._global_row_number(df, ctx)
             df = df.withColumn("__wid", F.floor((F.col(rn_col) - 1) / F.lit(n))).drop(rn_col)
+            if ctx.count_fast:
+                # aggregated caller: the full-window check and window
+                # bounds move ONTO the post-aggregation frame (one row per
+                # (window, dims)), so the only full-row shuffle is the
+                # row-number bucketing — the groupBy that follows combines
+                # map-side and its shuffle carries partial rows
+                ctx.window_col = "window" if ec is not None else None
+                return df, ["__wid"]
             # only full windows emit (window_op.go:520-568) — checked on
             # the WINDOW's size here, before any GROUP BY dims sub-group
             # the window contents
@@ -2441,18 +2484,25 @@ class Translator:
         nulls_off = offsets.pop(_NULLS_BUCKET, None)
         keys = sorted(offsets)
         span = (keys[-1] - keys[0] + 1) if keys else 0
+
+        def _long_array(vals: list[int]) -> Column:
+            # ONE py4j call: F.lit(list) round-trips per ELEMENT (a
+            # 7000-bucket sf1 span cost ~3s of socket hops per compile);
+            # the SQL literal parses once and constant-folds
+            return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
         if keys and span <= 4_000_000:
             lo = keys[0]
             dense = [0] * span
             for k in keys:
                 dense[k - lo] = int(offsets[k])
-            oarr = F.lit(dense)
+            oarr = _long_array(dense)
             att = F.element_at(oarr, (F.col("__gbk") - F.lit(lo) + 1).cast("int"))
         elif keys:
             # degenerate span (sparse multi-century keys): predecessor
             # scan fallback, O(B) per row
-            karr = F.lit([int(k) for k in keys])
-            oarr = F.lit([int(offsets[k]) for k in keys])
+            karr = _long_array([int(k) for k in keys])
+            oarr = _long_array([int(offsets[k]) for k in keys])
             idx = F.size(F.filter(karr, lambda b: b <= F.col("__gbk")))
             att = F.when(idx > 0, F.element_at(oarr, idx)).otherwise(F.lit(0))
         else:
