@@ -3677,6 +3677,32 @@ class Translator:
                 return F.lit(None).cast("string")
             raise ValueError("mqtt() takes topic or messageid")
 
+        if name == "meta":
+            # meta(key): per-row source metadata (funcs_misc.go:489;
+            # rule_test.go TestSingleSQLRule5/6 expect meta(topic) = the
+            # stream's topic).  topic resolves to the stream's registered
+            # topic option or DATASOURCE path — the mqtt/mock analog —
+            # falling back to the file scan's path; other keys read
+            # Spark's hidden _metadata struct; unknown keys are nil.
+            key = None
+            if call.args:
+                a0 = call.args[0]
+                key = a0.name.lower() if isinstance(a0, ColumnRef) else str(
+                    self._raw(a0) or ""
+                ).lower()
+            if not key:
+                return F.col("_metadata")
+            if key == "topic":
+                d = self.catalog.get(self._cur_stmt.source) if self._cur_stmt else None
+                topic = (d.options or {}).get("topic") if d else None
+                topic = topic or (d.path if d else None)
+                if topic:
+                    return F.lit(str(topic))
+                return F.col("_metadata.file_path")
+            if key in ("file_path", "file_name", "file_size", "file_modification_time"):
+                return F.col(f"_metadata.{key}")
+            return F.lit(None).cast("string")
+
         if name in ("rule_id", "rule_start", "props"):
             if name == "rule_id":
                 return F.lit(self.rule_ctx.get("rule_id", "rule_0"))

@@ -1942,3 +1942,208 @@ def test_omit_error_drops_error_emissions(spark, ldemo_cat):
         d.get("kuiper_field_0", 0) for d in got2
     ) == [0, 10, 15, 15]
     assert len(got2) == 4
+
+
+# ---------------------------------------------------------------------- #
+# LateTol=1s event-time released rows (TestSingleSQLWithEventTime /
+# TestChanged options, rule_test.go:1390-1404: IsEventTime=true, LateTol
+# 1s).  Watermark = max arrived ts - 1000, rows at or below it on arrival
+# drop, buffered rows release in event-time order, rows above the FINAL
+# watermark (491342) never release.  demoE arrivals: blue-6@486822
+# arrives after red-1@489252 (wm 488252 > 486822 -> drop);
+# yellow-4@492342 only lifts the watermark and never releases.
+# ---------------------------------------------------------------------- #
+DEMOE_TOL1_ROWS = [
+    ("red", 3, 1541152486013),
+    ("blue", 2, 1541152487632),
+    ("yellow", 4, 1541152488442),
+    ("red", 1, 1541152489252),
+]
+
+
+@pytest.fixture(scope="module")
+def demoe_tol1_cat(spark):
+    cat = Catalog()
+    cat.register_df(
+        "demoE",
+        spark.createDataFrame(DEMOE_TOL1_ROWS, "color string, size long, ts long"),
+    )
+    return cat
+
+
+def test_changed_cols_event_time_release_order(spark, demoe_tol1_cat):
+    """TestChanged (rule_test.go:1368): changed_cols("tt_", true, color,
+    size) over event-time demoE — the analytic runs over the RELEASED
+    sequence in event-time order, so every released row differs from its
+    event-time predecessor and emits; the dropped blue-6 and the
+    unreleased watermark-lifter never appear."""
+    df = run(
+        spark, demoe_tol1_cat,
+        'SELECT changed_cols("tt_", true, color, size) FROM demoE',
+    )
+    got = [(r["tt_color"], r["tt_size"]) for r in df.collect()]
+    assert got == [("red", 3), ("blue", 2), ("yellow", 4), ("red", 1)]
+
+
+def test_event_window_delay_rule0(spark, demoe_tol1_cat):
+    """TestEventWindowDelayRule0 (window_rule_test.go:752): SlidingWindow
+    (ss, 1, 4) FILTER (where color = "red") — the filter prunes BOTH
+    triggers and content before the window op (windowFilter precedes
+    window), so only red rows trigger; red-3's frame [485013, 490013)
+    holds red-3 and red-1.  The reference's single emission is red-3's
+    (red-1's own trigger fires at t+delay = 493252, above the final
+    watermark); bounded batch replay emits it as the documented extra."""
+    df = run(
+        spark, demoe_tol1_cat,
+        'SELECT size, window_start() AS ws FROM demoE '
+        'GROUP BY SlidingWindow(ss, 1, 4) FILTER (where color = "red")',
+    )
+    got = sorted((r["ws"], r["size"]) for r in df.collect())
+    assert got == sorted(
+        [
+            (1541152485013, 3),
+            (1541152485013, 1),
+            (1541152488252, 1),  # bounded-replay extra (untriggered frame)
+        ]
+    )
+
+
+def test_event_window_rule_delay(spark, demoe_tol1_cat):
+    """TestEventWindowRuleDelay (window_rule_test.go:1605): SlidingWindow
+    (ss, 1, 1) FILTER (where size = 3) — only red-3 passes the filter, so
+    it is the only trigger and its frame holds itself alone; exactly one
+    emission."""
+    df = run(
+        spark, demoe_tol1_cat,
+        "SELECT color FROM demoE "
+        "GROUP BY SlidingWindow(ss, 1, 1) FILTER (where size = 3)",
+    )
+    assert [r["color"] for r in df.collect()] == ["red"]
+
+
+def test_analyze_func_alias2_unaliased_lag(spark, demo_cat):
+    """TestAnalyzeFuncAlias2 (rule_test.go:575): the unaliased
+    `lag(b,1,0)` projects under the default name `lag` while resolving
+    the alias b = lag(size,1,0) + 1 per event."""
+    df = run(
+        spark, demo_cat,
+        "SELECT lag(size,1,0) + 1 as b, lag(b,1,0),size, ts FROM demo",
+    )
+    got = [(r["b"], r["lag"], r["size"]) for r in df.orderBy("ts").collect()]
+    assert got == [(1, 0, 3), (4, 1, 6), (7, 4, 2), (3, 7, 4), (5, 3, 1)]
+
+
+@pytest.fixture(scope="module")
+def demo_file_cat(spark, tmp_path_factory):
+    """demo as a FILE-backed stream with topic='mock' — the replay
+    surface for meta(topic) (the reference mock source's topic)."""
+    import json as _json
+
+    from ekuiper_spark.catalog import StreamDef
+
+    p = tmp_path_factory.mktemp("demometa") / "demo.json"
+    p.write_text(
+        "\n".join(
+            _json.dumps({"color": c, "size": s, "ts": t})
+            for c, s, t in DEMO_ROWS
+        )
+        + "\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("color", T.StringType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    cat = Catalog()
+    cat.register(
+        StreamDef(
+            name="demo", format="json", path=str(p), schema=schema,
+            options={"topic": "mock"},
+        )
+    )
+    return cat
+
+
+def test_meta_topic_with_hit_cap(spark, demo_file_cat):
+    """TestSingleSQLRule5 (rule_test.go:786): meta(topic) returns the
+    stream's topic and last_hit_count() < 4 caps the emissions at 4."""
+    df = run(
+        spark, demo_file_cat,
+        "SELECT meta(topic) as m, ts FROM demo WHERE last_hit_count() < 4",
+    )
+    got = [(r["m"], r["ts"]) for r in df.orderBy("ts").collect()]
+    assert got == [
+        ("mock", 1541152486013),
+        ("mock", 1541152486822),
+        ("mock", 1541152487632),
+        ("mock", 1541152488442),
+    ]
+
+
+def test_meta_topic_in_where(spark, demo_file_cat):
+    """TestSingleSQLRule6 (rule_test.go:817): meta(topic)="mock" composes
+    with data predicates in WHERE."""
+    df = run(
+        spark, demo_file_cat,
+        'SELECT color, ts FROM demo where size > 3 and meta(topic)="mock"',
+    )
+    got = sorted((r["ts"], r["color"]) for r in df.collect())
+    assert got == [(1541152486822, "blue"), (1541152488442, "yellow")]
+
+
+def test_tumbling_interval13_streaming_watermark_holdback(spark, tmp_path):
+    """TestTUMBLINGWindowInterval13 (window_rule_test.go:1349): demoE2
+    in-order arrivals 486s/487s/488s under event time with 1s late
+    tolerance — only [486s, 487s) closes (its end equals the final
+    watermark 487s); [487s, 488s) stays open when the stream ends, so
+    25.5 never emits.  Replayed through the streaming runtime: Spark
+    holds the window back identically."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    arrival = [(27.5, 59, 1541152486000), (25.5, 65, 1541152487000), (25.5, 65, 1541152488000)]
+    sdir = str(tmp_path / "t13")
+    os.makedirs(sdir)
+    schema = "temp double, hum long, ts timestamp"
+    empty = spark.createDataFrame([], schema)
+    empty.coalesce(1).write.parquet(str(tmp_path / "t13empty"))
+    empty_src = glob.glob(str(tmp_path / "t13empty" / "*.parquet"))[0]
+    now = _time.time()
+    for i, (temp, hum, ms) in enumerate(arrival):
+        one = spark.createDataFrame(
+            [(temp, hum, dt.datetime.utcfromtimestamp(ms / 1000.0))], schema
+        )
+        one.coalesce(1).write.parquet(str(tmp_path / f"t13w{i}"))
+        dst = os.path.join(sdir, f"{i:02d}a.parquet")
+        shutil.copy(glob.glob(str(tmp_path / f"t13w{i}" / "*.parquet"))[0], dst)
+        os.utime(dst, (now - 240 + i * 10, now - 240 + i * 10))
+        spacer = os.path.join(sdir, f"{i:02d}b.parquet")
+        shutil.copy(empty_src, spacer)
+        os.utime(spacer, (now - 235 + i * 10, now - 235 + i * 10))
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(sdir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    cat = Catalog()
+    cat.register_df("demoE2", sdf)
+    out = compile_sql(
+        spark,
+        "SELECT temp, ts FROM demoE2 GROUP BY TUMBLINGWINDOW(ss, 1)",
+        cat, streaming=True, watermark="1 seconds",
+    )
+    name = "t13_" + _uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = [(r["temp"], r["ts"]) for r in spark.table(name).collect()]
+    import datetime as _dt
+    assert got == [(27.5, _dt.datetime.utcfromtimestamp(1541152486.0))], got
