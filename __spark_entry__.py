@@ -523,7 +523,7 @@ DIALECT_QUERIES: dict[str, tuple[str, dict, str]] = {
         "length(event_type)::INTEGER AS ln, event_type[1:3] AS sub3, "
         "concat(event_type, '-', user_id::VARCHAR) AS cc, "
         "(strpos(event_type, 'r') - 1)::INTEGER AS idx, reverse(event_type) AS rev, "
-        "lpad(event_type, 9, ' ') AS pad, trim(event_type) AS tr, "
+        "concat(repeat(' ', 9), event_type) AS pad, trim(event_type) AS tr, "
         "string_split(event_type, 'r')[1] AS sv, "
         "year(ts)::INTEGER AS y, month(ts)::INTEGER AS mo, day(ts)::INTEGER AS d, "
         "hour(ts)::INTEGER AS h, minute(ts)::INTEGER AS mi, "

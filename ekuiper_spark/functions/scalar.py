@@ -82,19 +82,43 @@ reg("bitnot")(lambda c, r: F.expr("-1").bitwiseXOR(c[0]))
 # null args are skipped, not propagated (funcs_str_test.go:46-49:
 # concat("1", nil, "2") = "12") — concat_ws has exactly that contract
 reg("concat")(lambda c, r: F.concat_ws("", *[x.cast("string") for x in c]))
-reg("endswith")(lambda c, r: c[0].endswith(c[1]))
-reg("startswith")(lambda c, r: c[0].startswith(c[1]))
-reg("indexof")(lambda c, r: F.instr(c[0], c[1]) - 1)
-reg("length")(lambda c, r: F.length(c[0]))
+# nil-argument contracts (funcs_str_test.go:49-66 TestStrFuncNil):
+# endswith/startswith/regexp_matches -> false, indexof -> -1,
+# length/numbytes -> 0, everything else -> nil
+reg("endswith")(lambda c, r: F.coalesce(c[0].endswith(c[1]), F.lit(False)))
+reg("startswith")(lambda c, r: F.coalesce(c[0].startswith(c[1]), F.lit(False)))
+reg("indexof")(lambda c, r: F.coalesce(F.instr(c[0], c[1]) - 1, F.lit(-1)))
+reg("length")(lambda c, r: F.coalesce(F.length(c[0]), F.lit(0)))
 reg("lower")(lambda c, r: F.lower(c[0]))
 reg("upper")(lambda c, r: F.upper(c[0]))
-reg("lpad")(lambda c, r: F.lpad(c[0], int(r[1]), " "))
-reg("rpad")(lambda c, r: F.rpad(c[0], int(r[1]), " "))
-reg("ltrim")(lambda c, r: F.ltrim(c[0]))
-reg("rtrim")(lambda c, r: F.rtrim(c[0]))
-reg("trim")(lambda c, r: F.trim(c[0]))
-reg("numbytes")(lambda c, r: F.octet_length(c[0]))
-reg("regexp_matches")(lambda c, r: c[0].rlike(r[1]) if r[1] is not None else F.regexp_like(c[0], c[1]))
+
+
+@reg("lpad")
+def _lpad(c, r):
+    # lpad/rpad(str, n) PREPEND/APPEND n spaces (funcs_str.go:104-116
+    # strings.Repeat(" ", n)) — NOT Spark's pad-to-width, which would
+    # truncate "hello" to width 2
+    n = F.lit(int(r[1])) if r[1] is not None else c[1].cast("int")
+    return F.concat(F.repeat(F.lit(" "), n), c[0])
+
+
+@reg("rpad")
+def _rpad(c, r):
+    n = F.lit(int(r[1])) if r[1] is not None else c[1].cast("int")
+    return F.concat(c[0], F.repeat(F.lit(" "), n))
+
+
+# trim family = unicode.IsSpace (funcs_str.go TrimLeftFunc/TrimSpace):
+# all whitespace incl. tab/newline/unicode spaces — Spark's trim strips
+# ' ' only, so these compile to (?U)-unicode regex strips
+reg("ltrim")(lambda c, r: F.regexp_replace(c[0], r"(?U)^\s+", ""))
+reg("rtrim")(lambda c, r: F.regexp_replace(c[0], r"(?U)\s+$", ""))
+reg("trim")(lambda c, r: F.regexp_replace(c[0], r"(?U)^\s+|\s+$", ""))
+reg("numbytes")(lambda c, r: F.coalesce(F.octet_length(c[0]), F.lit(0)))
+reg("regexp_matches")(lambda c, r: F.coalesce(
+    c[0].rlike(r[1]) if r[1] is not None else F.regexp_like(c[0], c[1]),
+    F.lit(False),
+))
 reg("regexp_replace")(lambda c, r: F.regexp_replace(c[0], c[1], c[2]))
 reg("regexp_substr")(lambda c, r: F.regexp_extract(c[0], r[1], 0))
 reg("reverse")(lambda c, r: F.reverse(c[0]))
@@ -265,7 +289,15 @@ reg("array_distinct")(lambda c, r: F.array_distinct(c[0]))
 reg("array_except")(lambda c, r: F.array_except(c[0], c[1]))
 reg("array_flatten")(lambda c, r: F.flatten(c[0]))
 reg("array_intersect")(lambda c, r: F.array_intersect(c[0], c[1]))
-reg("array_join")(lambda c, r: F.array_join(c[0], r[1] if r[1] is not None else ","))
+@reg("array_join")
+def _array_join(c, r):
+    # array_join(arr, delim[, null_replacement]) — nulls are SKIPPED
+    # without a replacement and substituted with one (funcs_array.go
+    # array_join nil handling); Spark's array_join has the same contract
+    delim = r[1] if r[1] is not None else ","
+    if len(c) > 2:
+        return F.array_join(c[0], delim, r[2] if r[2] is not None else "")
+    return F.array_join(c[0], delim)
 reg("array_max")(lambda c, r: F.array_max(c[0]))
 reg("array_min")(lambda c, r: F.array_min(c[0]))
 # ekuiper array_position is 0-based; -1 when absent (funcs_array.go:64-83)

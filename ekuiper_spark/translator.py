@@ -70,6 +70,7 @@ class TranslateCtx:
     order_cols: list[str] = dc_field(default_factory=list)
     event_col: Optional[str] = None
     event_is_long: bool = False  # epoch-millis long event time (reference native)
+    event_is_variant: bool = False  # dynamic stream: event col under VARIANT
     window_bounds_ms: bool = False  # window struct holds ts but user time is ms
     window_parts: list = dc_field(default_factory=list)  # GROUP BY dim col names (pre-window)
     join_window_col: Optional[str] = None  # stream-stream join bucket col (reused as window)
@@ -219,9 +220,14 @@ class Translator:
             c for c in df.columns if not c.startswith("__") and c not in ("window", "_metadata")
         ]
         # long event-time columns are epoch millis (the reference's native
-        # representation); range frames order on micros either way
+        # representation); range frames order on micros either way.  A
+        # dynamic (VARIANT) event column carries the same epoch ms —
+        # _event_ref casts it, string values parsing leniently (cast.go)
         ctx.event_is_long = ec is not None and isinstance(
-            df.schema[ec].dataType, T.LongType
+            df.schema[ec].dataType, (T.LongType, T.VariantType)
+        )
+        ctx.event_is_variant = ec is not None and isinstance(
+            df.schema[ec].dataType, T.VariantType
         )
 
         if (
@@ -551,14 +557,25 @@ class Translator:
             df = self._project(df, stmt, ctx)
 
         if stmt.order:
-            df = df.orderBy(
-                *[
-                    (F.col(self._sort_name(s.expr, stmt)) if self._sort_name(s.expr, stmt) else self._expr(s.expr, ctx)).asc()
-                    if s.asc
-                    else (F.col(self._sort_name(s.expr, stmt)) if self._sort_name(s.expr, stmt) else self._expr(s.expr, ctx)).desc()
-                    for s in stmt.order
-                ]
-            )
+            keys: list[Column] = []
+            for s in stmt.order:
+                nm = self._sort_name(s.expr, stmt)
+                col = F.col(nm) if nm else self._expr(s.expr, ctx)
+                try:
+                    dt = df.select(col).schema[0].dataType
+                except Exception:
+                    dt = None
+                if isinstance(dt, T.VariantType):
+                    # VARIANT is not orderable in Spark; the reference
+                    # sorts dynamic values on their runtime kind (numerics
+                    # interoperate, sorter.go) with nil values last —
+                    # surrogate: (nil-flag, numeric value, string value)
+                    gok, sv, dv, _lv = self._variant_side(col, "variant")
+                    subs = [gok.isNull().cast("int"), dv, sv]
+                else:
+                    subs = [col]
+                keys.extend(k.asc() if s.asc else k.desc() for k in subs)
+            df = df.orderBy(*keys)
         if stmt.limit is not None:
             df = df.limit(stmt.limit)
         return df
@@ -822,8 +839,44 @@ class Translator:
             if ec is None:
                 raise ValueError("sliding-window join requires event-time columns")
             col = F.col(f"{alias}.{ec}")
+            if isinstance(sdf.schema[ec].dataType, T.VariantType):
+                # dynamic stream: the event column carries epoch ms like
+                # the reference's int64 tuple timestamps (string-typed
+                # values parse leniently, mirroring cast.go)
+                return col.try_cast("long") * 1000, True
             is_long = isinstance(sdf.schema[ec].dataType, T.LongType)
             return (col * 1000) if is_long else epoch_us(col), is_long
+
+        def _side_has_variant(sdf: DataFrame, name: str) -> bool:
+            return any(
+                f.name == name and isinstance(f.dataType, T.VariantType)
+                for f in sdf.schema.fields
+            )
+
+        # dynamic (schemaless) ON operands under SendError: the join
+        # evaluates per (left, right) pair in scan order and the FIRST
+        # kind-mismatch ABORTS the whole trigger's join, emitting one
+        # error row (join_operator.go evalOn error return;
+        # TestWindowErrorRule3) — so the pairs must materialize with the
+        # comparison as a column, not as a join condition
+        dyn_join = (
+            self.on_error in ("emit", "omit")
+            and j.on is not None
+            and any(
+                _side_has_variant(ldf, ref.name) or _side_has_variant(rdf, ref.name)
+                for ref in self._find_raw_cols(j.on)
+            )
+        )
+        if dyn_join:
+            if j.kind != "inner":
+                raise NotImplementedError(
+                    "SendError sliding-window joins support INNER "
+                    "(join_operator.go:27-398 error semantics)"
+                )
+            # in-side scan order ids, assigned BEFORE the membership
+            # explode so bucket duplicates of a row share one identity
+            ldf = ldf.withColumn("__lmid", F.monotonically_increasing_id())
+            rdf = rdf.withColumn("__rmid", F.monotonically_increasing_id())
 
         lu, l_long = _ev_us(ldf, left_alias, stmt.source)
         ru, _ = _ev_us(rdf, r_alias, j.source)
@@ -891,7 +944,48 @@ class Translator:
         lm = _members(ldf, lu, "__tkey", "__tu").withColumn("__muL", lu)
         rm = _members(rdf, ru, "__tkR", "__tuR").withColumn("__muR", ru)
         cond = F.col("__tkey") == F.col("__tkR")
-        if j.kind == "cross":
+        if dyn_join:
+            # all pairs per trigger, ON evaluated as a column so kind
+            # mismatches surface; scan order = left tuples in window
+            # order, right tuples inner (the reference's nested loop)
+            pairs = lm.join(rm, on=cond, how="inner")
+            self._cur_df = pairs
+            ctx.dyn_errs = []
+            onc = self._expr(j.on, ctx)
+            de, ctx.dyn_errs = ctx.dyn_errs, []
+            err = (
+                (F.coalesce(*de) if len(de) > 1 else de[0])
+                if de
+                else F.lit(None).cast("string")
+            )
+            ordk = F.struct(
+                F.col("__muL").alias("a"), F.col("__lmid").alias("b"),
+                F.col("__muR").alias("c"), F.col("__rmid").alias("d"),
+            )
+            wsp = W.partitionBy("__tkey")
+            first_err = F.min(
+                F.when(err.isNotNull(), F.struct(ordk.alias("o"), err.alias("e")))
+            ).over(wsp)
+            pairs = (
+                pairs.withColumn("__pe", err)
+                .withColumn("__fe", first_err)
+                .withColumn("__ok", F.coalesce(onc, F.lit(False)))
+            )
+            keep = F.when(
+                F.col("__fe").isNotNull(), F.col("__fe.o") == ordk
+            ).otherwise(F.col("__ok"))
+            out = (
+                pairs.filter(keep)
+                .withColumn(
+                    "__jerr",
+                    F.when(
+                        F.col("__fe").isNotNull(),
+                        F.concat(F.lit("run Join error: "), F.col("__fe.e")),
+                    ),
+                )
+                .drop("__fe", "__pe", "__ok", "__lmid", "__rmid")
+            )
+        elif j.kind == "cross":
             out = lm.join(rm, on=cond, how="inner")
         else:
             out = lm.join(rm, on=cond & self._expr(j.on, ctx), how=j.kind)
@@ -1325,6 +1419,7 @@ class Translator:
         # dims are materialized before the window key: a capped session
         # window partitions its gaps-and-islands computation by the dims
         dim_names: list[str] = []
+        variant_dims: list[tuple[str, str]] = []  # (carry-agg name, source col)
         for i, d in enumerate(dims):
             if isinstance(d, ColumnRef) and d.source is None:
                 ctx.dim_map[canon(d)] = d.name
@@ -1341,6 +1436,21 @@ class Translator:
                 df = df.withColumn(name, self._expr(d, ctx))
                 ctx.dim_map[canon(d)] = name
                 dim_names.append(name)
+
+        for k, nm in enumerate(list(dim_names)):
+            if nm in df.columns and isinstance(df.schema[nm].dataType, T.VariantType):
+                # a dynamic (VARIANT) dim is neither groupable nor
+                # orderable in Spark: group on its JSON encoding (which
+                # keeps 49 distinct from "49" and missing as null) and
+                # carry the dynamic value back via a first() aggregate
+                sname = f"__gvk{k}"
+                df = df.withColumn(sname, F.to_json(F.col(nm)))
+                vname = f"__gvv{k}"
+                variant_dims.append((vname, nm))
+                dim_names[dim_names.index(nm)] = sname
+                for ck, cv in list(ctx.dim_map.items()):
+                    if cv == nm:
+                        ctx.dim_map[ck] = vname
 
         if window is not None:
             ctx.window_parts = dim_names
@@ -1421,6 +1531,34 @@ class Translator:
                 agg_exprs.append(first.alias(name))
                 ctx.dim_map[key] = name
 
+        for vname, nm in variant_dims:
+            # all rows of a group share the dim value (grouped on its
+            # JSON encoding), so first() is deterministic
+            agg_exprs.append(F.first(F.col(nm)).alias(vname))
+
+        # SendError HAVING over dynamic values needs the group's scan
+        # position within its window (the reference's HavingOp iterates
+        # groups in first-row order and the FIRST error aborts the whole
+        # window emission, filter_operator/having semantics in
+        # TestWindowErrorRule4)
+        dyn_having = (
+            self.on_error in ("emit", "omit")
+            and stmt.having is not None
+            and window is not None
+            and any(isinstance(fl.dataType, T.VariantType) for fl in df.schema.fields)
+        )
+        if dyn_having:
+            oc = ctx.event_col if ctx.event_col and ctx.event_col in df.columns else None
+            if oc is not None:
+                ordc = (
+                    F.col(oc).try_cast("long")
+                    if isinstance(df.schema[oc].dataType, T.VariantType)
+                    else F.col(oc)
+                )
+            else:
+                ordc = F.monotonically_increasing_id()
+            agg_exprs.append(F.min(ordc).alias("__gord"))
+
         if not agg_exprs:
             agg_exprs.append(F.count(F.lit(1)).alias("__dummy"))
 
@@ -1483,7 +1621,52 @@ class Translator:
             for c in plain:
                 pre = c if pre is None else Binary("AND", pre, c)
             if pre is not None:
-                gdf = gdf.filter(self._expr(pre, ctx))
+                self._cur_df = gdf  # post-agg type probes (variant routing)
+                ctx.dyn_errs = []
+                hc = self._expr(pre, ctx)
+                de, ctx.dyn_errs = ctx.dyn_errs, []
+                if de and "__gord" in gdf.columns:
+                    # dynamic HAVING under SendError: groups evaluate in
+                    # first-row order and the FIRST kind mismatch aborts
+                    # the whole window's emission with ONE error row;
+                    # null/missing compares drop their group silently
+                    # (TestWindowErrorRule4)
+                    herr = F.coalesce(*de) if len(de) > 1 else de[0]
+                    wn2 = [c for c in group_cols if c not in dim_names]
+                    wsp2 = (
+                        W.partitionBy(*[F.col(c) for c in wn2])
+                        if wn2
+                        else W.partitionBy(F.lit(1))
+                    )
+                    fe = F.min(
+                        F.when(
+                            herr.isNotNull(),
+                            F.struct(F.col("__gord").alias("o"), herr.alias("e")),
+                        )
+                    ).over(wsp2)
+                    gdf = (
+                        gdf.withColumn("__fe", fe)
+                        .withColumn("__hok", F.coalesce(hc, F.lit(False)))
+                    )
+                    keep = F.when(
+                        F.col("__fe").isNotNull(),
+                        F.col("__fe.o") == F.col("__gord"),
+                    ).otherwise(F.col("__hok"))
+                    gdf = (
+                        gdf.filter(keep)
+                        .withColumn(
+                            "__jerr",
+                            F.when(
+                                F.col("__fe").isNotNull(),
+                                F.concat(
+                                    F.lit("run Having error: "), F.col("__fe.e")
+                                ),
+                            ),
+                        )
+                        .drop("__fe", "__hok")
+                    )
+                else:
+                    gdf = gdf.filter(hc)
             if hitty:
                 # throttle-form conjuncts `X - last_agg_hit_time() > K`
                 # advance the hit state only on EMISSIONS (the reference's
@@ -1892,9 +2075,17 @@ class Translator:
         tie = [c for c in ctx.order_cols if c in df.columns]
         trig = trig.withColumn("__tid", F.monotonically_increasing_id())
         tie = tie + ["__tid"]
+
+        def _tie_col(c: str) -> Column:
+            # variant order columns (dynamic streams) are not orderable
+            # inside a group key; their epoch-ms long is
+            if c in df.columns and isinstance(df.schema[c].dataType, T.VariantType):
+                return F.col(c).try_cast("long")
+            return F.col(c)
+
         tkey = F.struct(
             F.col("__ru").alias("u"),
-            *[F.col(c).alias(f"t{i}") for i, c in enumerate(tie)],
+            *[_tie_col(c).alias(f"t{i}") for i, c in enumerate(tie)],
         )
         triggers = (
             trig.select(F.col("__ru").alias("__tu"), tkey.alias("__tkey"))
@@ -1946,8 +2137,13 @@ class Translator:
             and ctx.primary_alias
             and "." not in (ec or "")
         ):
-            return F.col(f"{ctx.primary_alias}.{ec}")
-        return F.col(ec)
+            col = F.col(f"{ctx.primary_alias}.{ec}")
+        else:
+            col = F.col(ec)
+        if getattr(ctx, "event_is_variant", False):
+            # dynamic stream: epoch-ms long under a VARIANT wrapper
+            col = col.try_cast("long")
+        return col
 
     def _throttle_spec(self, node, ctx: TranslateCtx):
         """Detect the gap-throttle trigger form ``ts - last_hit_time() > K``
@@ -2050,7 +2246,7 @@ class Translator:
         # representation) — time windows need a timestamp, and the window
         # bounds convert back to ms at projection
         if ec and ctx.event_is_long and w.kind in ("tumbling", "hopping", "session"):
-            ecol = F.timestamp_millis(F.col(ec))
+            ecol = F.timestamp_millis(self._event_ref(ctx))
             ctx.window_bounds_ms = True
         else:
             ecol = F.col(ec) if ec else None
@@ -2615,6 +2811,20 @@ class Translator:
 
     def _project(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
         self._cur_df = df
+        if "__jerr" in df.columns:
+            # an upstream operator (join/HAVING under SendError) marked
+            # rows as error emissions: data fields null out, the message
+            # rides an `error` column (rule emission contract, the same
+            # shape _compile_send_error produces)
+            err = F.col("__jerr")
+            prs = self._projection_pairs(df, stmt, ctx)
+            out = df.select(
+                *[F.when(err.isNull(), c).alias(n) for c, n in prs],
+                err.alias("error"),
+            )
+            if self.on_error == "omit":
+                out = out.filter(F.col("error").isNull()).drop("error")
+            return out
         try:
             out = df.select(*self._projection_cols(df, stmt, ctx))
         except _SRFTypeError as e:
@@ -3172,6 +3382,22 @@ class Translator:
                     return self._expr(tgt, ctx)
                 finally:
                     ctx.alias_stack.discard(key)
+            if (
+                len(ctx.source_order) > 1
+                and self._cur_df is not None
+                and sum(1 for c in self._cur_df.columns if c == node.name) > 1
+            ):
+                # unqualified ref over a join where BOTH sides own the
+                # name: the reference merges tuples with FIRST-source
+                # precedence (JoinTuple.ToMap iterates backward,
+                # row.go:692-699) — resolve via the first owning source
+                # instead of letting Spark raise AMBIGUOUS_REFERENCE
+                for alias in ctx.source_order:
+                    try:
+                        if node.name in self._cur_df.select(f"{alias}.*").columns:
+                            return F.col(f"{alias}.{node.name}")
+                    except Exception:
+                        continue
             return F.col(node.name)
 
         if isinstance(node, Binary):
@@ -3224,7 +3450,11 @@ class Translator:
                 return base[raw]
             idx = self._expr(node.index, ctx)
             one_based = F.when(idx >= 0, idx + 1).otherwise(idx)
-            return F.element_at(base, one_based.cast("int"))
+            # out-of-range indexing yields nil, not an ANSI error (the
+            # reference's valuer returns nil for a missing element —
+            # TestWindowErrorRule4's empty collect(size) group drops
+            # silently on the nil compare)
+            return F.try_element_at(base, one_based.cast("int"))
 
         if isinstance(node, Slice):
             base = self._expr(node.expr, ctx)

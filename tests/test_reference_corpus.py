@@ -2147,3 +2147,118 @@ def test_tumbling_interval13_streaming_watermark_holdback(spark, tmp_path):
     got = [(r["temp"], r["ts"]) for r in spark.table(name).collect()]
     import datetime as _dt
     assert got == [(27.5, _dt.datetime.utcfromtimestamp(1541152486.0))], got
+
+
+@pytest.fixture(scope="module")
+def ldemo_join_cat(spark, tmp_path_factory):
+    """ldemo + ldemo1 dynamic streams (mock_data.go:562-653); ldemo1's
+    fourth row carries ts as a STRING — the join-error trigger."""
+    import json as _json
+
+    from ekuiper_spark.catalog import StreamDef
+
+    d = tmp_path_factory.mktemp("ljoin2")
+    p1 = d / "ldemo.json"
+    with open(p1, "w") as f:
+        for r in LDEMO_ROWS:
+            f.write(_json.dumps(r) + "\n")
+    p2 = d / "ldemo1.json"
+    # mts = the mock ARRIVAL instant (windows form on tuple.Timestamp):
+    # ldemo1's Timestamps equal ldemo's, and at a shared instant the
+    # first-declared source's event processes first — encoded as +1ms
+    rows1 = [
+        {"temp": 25.5, "hum": 65, "ts": 1541152486013, "mts": 1541152486014},
+        {"temp": 27.5, "hum": 59, "ts": 1541152486823, "mts": 1541152486824},
+        {"temp": 28.1, "hum": 75, "ts": 1541152487632, "mts": 1541152487633},
+        {"temp": 27.4, "hum": 80, "ts": "1541152488442", "mts": 1541152488443},
+        {"temp": 25.5, "hum": 62, "ts": 1541152489252, "mts": 1541152489253},
+    ]
+    with open(p2, "w") as f:
+        for r in rows1:
+            f.write(_json.dumps(r) + "\n")
+    cat = Catalog()
+    cat.register(
+        StreamDef(
+            name="ldemo", format="json", path=str(p1), schema=None,
+            kind="stream", options={"dynamic": True},
+        )
+    )
+    cat.register(
+        StreamDef(
+            name="ldemo1", format="json", path=str(p2), schema=None,
+            kind="stream", options={"dynamic": True}, timestamp_col="mts",
+        )
+    )
+    return cat
+
+
+def test_window_error_join_type_mismatch(spark, ldemo_join_cat):
+    """TestWindowErrorRule3 (window_rule_test.go:1466): sliding-window
+    join over dynamic streams — the join scans (left, right) pairs in
+    window order and the FIRST kind-mismatched ON comparison aborts the
+    whole trigger, emitting ONE error row (even when an earlier pair
+    already matched); triggers whose join result is empty emit nothing.
+    10 triggers -> 3 red matches, 2 temp-28.1 matches, 3 errors, 2
+    empties."""
+    df = compile_sql(
+        spark,
+        "SELECT color, temp, ts FROM ldemo INNER JOIN ldemo1 "
+        "ON ldemo.ts = ldemo1.ts GROUP BY SlidingWindow(ss, 1)",
+        ldemo_join_cat, order_cols=["ts"], on_error="emit",
+    )
+    got = _emissions(df)
+    errs = sorted(d["error"] for d in got if "error" in d)
+    assert errs == [
+        "run Join error: invalid operation int64(1541152487632) = string(1541152488442)",
+        "run Join error: invalid operation int64(1541152488442) = string(1541152488442)",
+        "run Join error: invalid operation int64(1541152488442) = string(1541152488442)",
+    ]
+    from decimal import Decimal
+
+    data = sorted(
+        (
+            {k: float(v) if isinstance(v, Decimal) else v for k, v in d.items()}
+            for d in got
+            if "error" not in d
+        ),
+        key=repr,
+    )
+    assert data == sorted(
+        [
+            {"color": "red", "temp": 25.5, "ts": 1541152486013},
+            {"color": "red", "temp": 25.5, "ts": 1541152486013},
+            {"color": "red", "temp": 25.5, "ts": 1541152486013},
+            {"temp": 28.1, "ts": 1541152487632},
+            {"temp": 28.1, "ts": 1541152487632},
+        ],
+        key=repr,
+    )
+    assert len(got) == 8
+
+
+def test_window_error_having_type_mismatch(spark, ldemo_cat):
+    """TestWindowErrorRule4 (window_rule_test.go:1524): grouped sliding
+    window with a dynamic HAVING — groups evaluate in first-row order and
+    the FIRST kind-mismatched compare (`collect(size)[0] >= 2` over the
+    string-size blue group) aborts the whole trigger with ONE error row;
+    a null/missing compare drops its group silently (the size-less red
+    group in the final trigger); surviving groups order by the variant
+    color with nil last.  5 triggers -> [red], 3 errors, [49, {}]."""
+    df = compile_sql(
+        spark,
+        "SELECT color FROM ldemo GROUP BY SlidingWindow(ss, 2), color "
+        "having collect(size)[0] >= 2 order by color",
+        ldemo_cat, order_cols=["ts"], on_error="emit",
+    )
+    got = _emissions(df)
+    errs = [d["error"] for d in got if "error" in d]
+    assert errs == [
+        "run Having error: invalid operation string(string) >= int64(2)",
+        "run Having error: invalid operation string(string) >= int64(2)",
+        "run Having error: invalid operation string(string) >= int64(2)",
+    ]
+    data = sorted((d for d in got if "error" not in d), key=repr)
+    assert data == sorted(
+        [{"color": "red"}, {"color": 49}, {}], key=repr
+    )
+    assert len(got) == 6

@@ -101,6 +101,18 @@ VECTORS = [
     ("sequence_step", "sequence(1, 10, 2)", [1, 3, 5, 7, 9]),
     ("sequence_down", "sequence(10, 1, -3)", [10, 7, 4, 1]),
     ("array_cardinality", "array_cardinality(array(1, 2, 3))", 3),
+    # ---- funcs_array_test.go:616-684 (array_join null handling) ----
+    ("array_join_plain", "array_join(array('a', 'b', 'c'), ':')", "a:b:c"),
+    ("array_join_empty_delim", "array_join(array('a', 'b', 'c'), '')", "abc"),
+    ("array_join_null_skip", "array_join(array('a', nullcol, 'b'), ':')", "a:b"),
+    ("array_join_null_replace",
+     "array_join(array('a', nullcol, 'c'), ':', 'nullReplacementStr')",
+     "a:nullReplacementStr:c"),
+    ("array_concat_vec", "array_concat(array(1, 2), array(3))", [1, 2, 3]),
+    ("array_flatten_vec",
+     "array_flatten(array(array(1, 2), array(3)))", [1, 2, 3]),
+    ("array_distinct_vec", "array_distinct(array(1, 1, 2))", [1, 2]),
+    ("array_sort_vec", "array_sort(array(3, 1, 2))", [1, 2, 3]),
     # ---- funcs_obj_test.go:147-290 ----
     ("keys", "keys(object(array('a', 'b'), array(1, 2)))", ["a", "b"]),
     ("values", "values(object(array('a', 'b'), array('c', 'd')))", ["c", "d"]),
@@ -160,6 +172,32 @@ VECTORS = [
     ("dt_date_calc_sub_day",
      "format_time(date_calc(cast('2019-01-01 00:00:00', 'datetime'), '-24h'),"
      " 'yyyy-MM-dd')", "2018-12-31"),
+    # ---- funcs_str.go semantics pins (drift hunt: lpad/rpad are
+    #      PREPEND/APPEND-n-spaces via strings.Repeat, funcs_str.go:
+    #      104-116/197-209 — not pad-to-width; trim family strips ALL
+    #      unicode whitespace via unicode.IsSpace; indexof is 0-based
+    #      strings.Index (byte offsets coincide with chars for ASCII —
+    #      non-ASCII byte offsets are a declared non-goal); substring is
+    #      0-based with an exclusive end, clamped at the string length) --
+    ("lpad_prepends_spaces", "lpad('hello', 2)", "  hello"),
+    ("rpad_appends_spaces", "rpad('hello', 3)", "hello   "),
+    ("ltrim_unicode_space", "ltrim(concat(chr(9), ' hello '))", "hello "),
+    ("rtrim_unicode_space", "rtrim(concat(' hello ', chr(10)))", " hello"),
+    ("trim_unicode_space", "trim(concat(chr(10), ' hello ', chr(9)))", "hello"),
+    ("indexof_hit", "indexof('hello', 'l')", 2),
+    ("indexof_miss", "indexof('hello', 'z')", -1),
+    ("indexof_nil", "indexof(nullcol, 'z')", -1),
+    ("length_nil_zero", "length(nullcol)", 0),
+    ("numbytes_ascii", "numbytes('hello')", 5),
+    ("numbytes_nil_zero", "numbytes(nullcol)", 0),
+    ("endswith_nil_false", "endswith(nullcol, 'x')", False),
+    ("startswith_nil_false", "startswith(nullcol, 'x')", False),
+    ("substring_from", "substring('hello', 1)", "ello"),
+    ("substring_range", "substring('hello', 1, 3)", "el"),
+    ("substring_past_end", "substring('hello', 2, 99)", "llo"),
+    ("regexp_replace_all", "regexp_replace('hello world', 'o', '0')", "hell0 w0rld"),
+    ("regexp_substr_first", "regexp_substr('hello123world456', '[0-9]+')", "123"),
+    ("reverse_str", "reverse('hello')", "olleh"),
     # ---- funcs_str_test.go:128-292 (format with and without locale) ----
     ("format_round", "format(12332.123456, 4)", "12332.1235"),
     ("format_pad", "format(12332.1, 4)", "12332.1000"),
