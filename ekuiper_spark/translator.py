@@ -3006,6 +3006,10 @@ class Translator:
                 out.append((replaces[c].alias(c), c))
             elif w.source:
                 out.append((F.col(f"{w.source}.{c}"), c))
+            elif "." in c:
+                # dotted column names need backquote protection from
+                # Spark's nested-field parsing
+                out.append((F.col(f"`{c}`").alias(c), c))
             else:
                 out.append((F.col(c), c))
         return out
@@ -3398,6 +3402,10 @@ class Translator:
                             return F.col(f"{alias}.{node.name}")
                     except Exception:
                         continue
+            if "." in node.name:
+                # backquoted identifier with dots (`a.b.c`, project_test.go
+                # :632): protect from Spark's nested-field parsing
+                return F.col(f"`{node.name}`")
             return F.col(node.name)
 
         if isinstance(node, Binary):

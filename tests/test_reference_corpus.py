@@ -2262,3 +2262,19 @@ def test_window_error_having_type_mismatch(spark, ldemo_cat):
         [{"color": "red"}, {"color": 49}, {}], key=repr
     )
     assert len(got) == 6
+
+
+def test_backquoted_dotted_identifier(spark, demo_cat):
+    """project_test.go:632: a backquoted identifier containing dots
+    (`a.b.c`) is ONE column name, not a nested-field path."""
+    cat = Catalog()
+    cat.register_df(
+        "dottest",
+        spark.createDataFrame([(6, 1)], "`a.b.c` long, ts long"),
+    )
+    df = run(spark, cat, "SELECT `a.b.c` FROM dottest")
+    assert df.columns == ["a.b.c"]
+    assert df.collect()[0]["a.b.c"] == 6
+    # and through the wildcard
+    df2 = run(spark, cat, "SELECT * FROM dottest")
+    assert sorted(df2.columns) == ["a.b.c", "ts"]
