@@ -1,6 +1,22 @@
 """LLM-training-data pipeline operators: dedup, similarity search, text
 analysis, multimodal column plumbing.  See each module's scale notes."""
 
-from ekuiper_spark.datapipe import dedup, multimodal, similarity, textstats
+from ekuiper_spark.datapipe import (
+    components,
+    curation,
+    decontam,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "textstats"]
+__all__ = [
+    "components",
+    "curation",
+    "decontam",
+    "dedup",
+    "multimodal",
+    "similarity",
+    "textstats",
+]
