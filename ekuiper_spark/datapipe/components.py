@@ -105,12 +105,17 @@ def connected_components(
             F.col("src").alias("id"), F.col("dst").alias("component")
         )
     for _ in range(max_rounds):
-        after_large = _star_round(edges, small=False).localCheckpoint(eager=True)
+        after_large = _star_round(edges, small=False)
         after_small = _star_round(after_large, small=True).localCheckpoint(eager=True)
         # fixed point: the round was a no-op (same canonical edge set).
-        # exceptAll both ways is two keyed anti-joins over (long,long).
+        # ONE job: a row in the symmetric difference appears exactly once
+        # in the union of the two (deduplicated) edge sets.
         changed = (
-            after_small.exceptAll(edges).take(1) or edges.exceptAll(after_small).take(1)
+            after_small.unionAll(edges)
+            .groupBy("src", "dst")
+            .count()
+            .filter(F.col("count") == 1)
+            .take(1)
         )
         edges = after_small
         if not changed:
