@@ -331,3 +331,39 @@ def temperature_mixture(
         d: min(1.0, (weights[d] / wsum) * budget / counts[d]) for d in counts
     }
     return df.sampleBy(domain_col, fractions=fractions, seed=seed)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_by: Optional[str] = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the per-domain/per-source cap
+    every web-scale corpus applies so one hot domain cannot dominate the
+    mixture.  With ``order_by`` the kept rows are the top-n by that
+    column (e.g. a quality score); otherwise an arbitrary-but-
+    deterministic n.
+
+    Scale: one keyed shuffle (row_number over the group partition); the
+    rank filter prunes before any further stage, and AQE's skew handling
+    splits oversized hash partitions.  A pathological single-domain
+    corpus still ranks that domain on one partition — pre-salt by
+    ``n``-sized buckets upstream if one group exceeds executor memory.
+    """
+    from pyspark.sql import Window
+
+    ob = (
+        (F.col(order_by).desc() if descending else F.col(order_by).asc())
+        if order_by
+        # arbitrary deterministic tiebreak: stable across runs on the
+        # same data, no sort requirement beyond the hash
+        else F.xxhash64(*[F.col(c) for c in df.columns]).asc()
+    )
+    w = Window.partitionBy(group_col).orderBy(ob)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )

@@ -555,3 +555,31 @@ def simhash_dup_groups(
         .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.col("n") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# streaming dedup
+# --------------------------------------------------------------------------
+def streaming_exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    time_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Continuous-ingestion exact dedup: drop any document whose
+    normalized-content digest was already seen within the watermark
+    horizon (``dropDuplicatesWithinWatermark``), so state is evicted as
+    event time advances instead of growing with the corpus.
+
+    The digest is computed map-side before the stateful operator — the
+    dedup state and its shuffle key on the (16-byte) digest, never the
+    body.  For bounded frames the same call degrades to a plain digest
+    dropDuplicates.
+    """
+    keyed = df.withColumn("__digest", F.md5(normalize_text(F.col(text_col))))
+    if df.isStreaming:
+        keyed = keyed.withWatermark(time_col, delay)
+        out = keyed.dropDuplicatesWithinWatermark(["__digest"])
+    else:
+        out = keyed.dropDuplicates(["__digest"])
+    return out.drop("__digest")

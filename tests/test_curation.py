@@ -181,3 +181,32 @@ def test_pack_sequences_does_not_mutate_input_schema(spark):
     before = df.columns[:]
     pack_sequences(df, "id", "tok", budget=10, shards=1).collect()
     assert df.columns == before  # StructType.add must not leak into df
+
+
+def test_cap_per_group_top_n_by_quality(spark, catalog):
+    from ekuiper_spark.datapipe.curation import cap_per_group
+
+    d = catalog.load(spark, "documents").select("doc_id", "source", "n_chars")
+    capped = cap_per_group(d, "source", 5, order_by="n_chars")
+    rows = capped.collect()
+    # per-group cap holds
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    assert all(len(v) <= 5 for v in by_src.values())
+    # kept rows are the top-5 n_chars of each source (driver oracle)
+    want = {}
+    for r in d.collect():
+        want.setdefault(r["source"], []).append(r["n_chars"])
+    for src, kept in by_src.items():
+        top = sorted(want[src], reverse=True)[:5]
+        assert sorted(kept, reverse=True) == top
+
+
+def test_cap_per_group_deterministic_without_order(spark, catalog):
+    from ekuiper_spark.datapipe.curation import cap_per_group
+
+    d = catalog.load(spark, "documents").select("doc_id", "source")
+    a = {r["doc_id"] for r in cap_per_group(d, "source", 3).collect()}
+    b = {r["doc_id"] for r in cap_per_group(d, "source", 3).collect()}
+    assert a == b and len(a) > 0

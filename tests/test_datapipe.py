@@ -491,3 +491,51 @@ def test_drop_duplicate_paragraphs_plan_shape(spark):
     )
     plan = drop_duplicate_paragraphs(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state carries across micro-batches:
+    a duplicate arriving in a LATER file (later batch via
+    maxFilesPerTrigger=1) is still dropped."""
+    import datetime as dt
+
+    from ekuiper_spark.datapipe.dedup import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    f1 = spark.createDataFrame(
+        [(1, "the quick brown fox", t0),
+         (2, "a different document", t0 + dt.timedelta(seconds=1))],
+        "doc_id long, text string, ts timestamp",
+    )
+    f2 = spark.createDataFrame(
+        [(3, "The  quick   brown fox.", t0 + dt.timedelta(seconds=2)),  # near-dup of 1 after normalization
+         (4, "fresh content here", t0 + dt.timedelta(seconds=3))],
+        "doc_id long, text string, ts timestamp",
+    )
+    src = tmp_path / "stream"
+    f1.coalesce(1).write.parquet(str(src / "f1.parquet"))
+    f2.coalesce(1).write.parquet(str(src / "f2.parquet"))
+
+    sdf = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_exact_dedup(sdf, text_col="text", time_col="ts")
+    name = "dedup_sink_t"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql(f"select doc_id from {name}").collect()}
+    assert 1 in got or 3 in got
+    assert not (1 in got and 3 in got)  # normalized dup dropped cross-batch
+    assert {2, 4} <= got
+
+
+def test_streaming_exact_dedup_batch_degrade(spark, catalog):
+    from ekuiper_spark.datapipe.dedup import exact_dedup, streaming_exact_dedup
+
+    d = catalog.load(spark, "documents")
+    assert streaming_exact_dedup(d).count() == exact_dedup(d).count()
