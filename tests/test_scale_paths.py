@@ -262,3 +262,50 @@ def test_unkeyed_capped_session_sparse_timeout_no_global_sort(spark, catalog):
     a = sorted((r["s"], r["e"], r["n"]) for r in df.collect())
     b = sorted((r["s"], r["e"], r["n"]) for r in keyed.select("s", "e", "n").collect())
     assert a == b and len(a) > 1
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Worst-case topology for star contraction is a long chain; rounds
+    grow O(log n), so a 4096-node chain must converge well inside
+    max_rounds=20 (a linear-propagation algorithm would need 4096)."""
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.datapipe.components import connected_components
+
+    edges = (
+        spark.range(4095)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .repartition(32)
+    )
+    cc = connected_components(edges, max_rounds=20)
+    rows = cc.groupBy("component").count().collect()
+    assert len(rows) == 1
+    assert rows[0]["component"] == 0 and rows[0]["count"] == 4096
+
+
+def test_cc_star_rounds_never_cartesian(spark):
+    """The contraction loop is groupBy/explode only — no join at all, so
+    no room for a cartesian blowup; the final anti-join in near_dedup is
+    keyed. Pin: a star round's plan has exactly one Exchange (the keyed
+    groupBy) and no joins."""
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.datapipe import components as C
+
+    edges = spark.range(100).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    plan = _plan(C._star_round(edges, small=False))
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_cap_per_group_single_exchange(spark, catalog):
+    """Per-domain capping costs exactly one shuffle: the row_number
+    window partitions by the group key, and the rank filter prunes in
+    the same stage."""
+    from ekuiper_spark.datapipe.curation import cap_per_group
+
+    d = catalog.load(spark, "documents").select("doc_id", "source", "n_chars")
+    plan = _plan(cap_per_group(d, "source", 5, order_by="n_chars"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
