@@ -264,3 +264,68 @@ def pairwise_topk_join(
         .filter(F.col("rnk") <= k)
         .select("l_id", "r_id", "cosine_sim", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF index (k-means cells + nprobe search)
+# --------------------------------------------------------------------------
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+    seed: int = 0,
+) -> list[list[float]]:
+    """Materialize an IVF (inverted-file) ANN index: k-means partitions
+    the corpus into ``n_cells`` Voronoi cells, written Hive-partitioned
+    by cell id (`path/ivf_cell=<i>/part-*.parquet`).  Returns the
+    centroids — persist them alongside the index in real use (they are
+    n_cells x dim doubles, driver-small).
+
+    vs the LSH layout: cells adapt to the data distribution (dense
+    regions get finer cells), so probe recall is higher at equal read
+    volume for clustered corpora.  Training cost is kmeans_fit's
+    broadcast-assignment passes; the write is one scan + one keyed
+    shuffle into partitions.
+    """
+    from ekuiper_spark.datapipe.curation import kmeans_fit
+
+    assigned, centroids = kmeans_fit(df, id_col, vec_col, n_cells, iters, seed)
+    (
+        assigned.withColumnRenamed("cluster", "ivf_cell")
+        .drop("cluster_dist")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+    return centroids
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over an IVF index: rank cells by centroid distance to
+    the query (driver-side over the small centroid list), read only the
+    ``nprobe`` nearest cells — a partition PRUNE at the scan, like the
+    LSH variant — and brute-force cosine inside them.
+
+    Recall tuning is the standard IVF dial: nprobe=n_cells is exact;
+    published practice probes 1-10% of cells for ~0.9+ recall on
+    clustered data.
+    """
+    dists = [
+        (i, sum((a - b) ** 2 for a, b in zip(query_vec, c)))
+        for i, c in enumerate(centroids)
+    ]
+    probes = [i for i, _ in sorted(dists, key=lambda t: t[1])[: max(1, nprobe)]]
+    df = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probes))
+    return cosine_topk(df, query_vec, k, vec_col, id_col)

@@ -539,3 +539,33 @@ def test_streaming_exact_dedup_batch_degrade(spark, catalog):
 
     d = catalog.load(spark, "documents")
     assert streaming_exact_dedup(d).count() == exact_dedup(d).count()
+
+
+def test_ivf_index_prunes_partitions_and_recalls(spark, catalog, tmp_path):
+    """IVF ANN: probe-cell filter is a partition prune at the scan, and
+    recall@10 vs brute force is high with a minority of cells probed
+    (exact when nprobe = n_cells)."""
+    from ekuiper_spark.datapipe.similarity import (
+        cosine_topk, ivf_topk, write_ivf_index,
+    )
+
+    emb = catalog.load(spark, "embeddings")
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    centroids = write_ivf_index(emb, path, n_cells=16, iters=3)
+
+    pruned = ivf_topk(spark, path, centroids, qv, k=10, nprobe=4)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+    exact = [r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()]
+    got = [r["vec_id"] for r in pruned.collect()]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.5, recall
+
+    # probing every cell is exact
+    full = [
+        r["vec_id"]
+        for r in ivf_topk(spark, path, centroids, qv, k=10, nprobe=16).collect()
+    ]
+    assert full == exact
