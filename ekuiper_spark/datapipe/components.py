@@ -52,10 +52,16 @@ def _star_round(edges: DataFrame, small: bool) -> DataFrame:
 
     Both operate on the neighborhood of each node u (u itself included):
     let m = min(neighborhood).  Large-star connects every STRICTLY LARGER
-    neighbor v > u to m; small-star connects every v <= u to m.  Each is
-    one groupBy on the center node over edges emitted in both directions
-    — a keyed shuffle of (long, long) rows, no driver data.
+    neighbor v > u to m; small-star connects every v <= u to m.
+
+    The per-node minimum is a WINDOW min over partitionBy(u) — one keyed
+    shuffle, no sort (unbounded frame), and crucially no neighborhood
+    array ever materializes: a hub node whose dup cluster has millions of
+    members streams through as rows, where a collect_set formulation
+    would build one executor-resident array per hub.
     """
+    from pyspark.sql import Window as W
+
     # neighborhoods: emit each edge in both directions for large-star;
     # small-star only needs the (greater -> lesser) direction.
     if small:
@@ -64,17 +70,22 @@ def _star_round(edges: DataFrame, small: bool) -> DataFrame:
         nbrs = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
             edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
         )
-    grouped = nbrs.groupBy("u").agg(F.collect_set("v").alias("vs"))
-    m = F.array_min(F.array_union(F.col("vs"), F.array(F.col("u"))))
+    m = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
+    with_m = nbrs.withColumn("m", m)
     if small:
-        # connect every collected (<= u) neighbor and u itself to m
-        out_nodes = F.array_union(F.col("vs"), F.array(F.col("u")))
+        # connect every (< u) neighbor and u itself to m; (m, u) repeats
+        # per row and the final dropDuplicates collapses it — cheaper
+        # than a row_number pick (which would force a per-partition sort)
+        out = with_m.select(
+            "m", F.explode(F.array(F.col("v"), F.col("u"))).alias("n")
+        )
     else:
         # connect every strictly-larger neighbor to m
-        out_nodes = F.filter(F.col("vs"), lambda v: v > F.col("u"))
+        out = with_m.filter(F.col("v") > F.col("u")).select(
+            "m", F.col("v").alias("n")
+        )
     return (
-        grouped.select(m.alias("m"), F.explode(out_nodes).alias("n"))
-        .filter(F.col("m") != F.col("n"))
+        out.filter(F.col("m") != F.col("n"))
         .select(F.col("m").alias("src"), F.col("n").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
