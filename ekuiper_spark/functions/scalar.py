@@ -280,11 +280,48 @@ def _date_calc(c, r):
 # --------------------------------------------------------------------------
 # array (funcs_array.go)
 # --------------------------------------------------------------------------
-reg("array_cardinality", "cardinality")(lambda c, r: F.size(c[0]))
-reg("array_concat")(lambda c, r: F.concat(*c))
-reg("array_contains")(lambda c, r: F.array_contains(c[0], c[1]))
-reg("array_contains_any")(lambda c, r: F.arrays_overlap(c[0], c[1]))
-reg("array_create", "array")(lambda c, r: F.array(*c))
+# cardinality counts NON-NIL elements (funcs_array.go:430-443 getCount;
+# [1,nil,2] -> 2), and a nil array is 0 (return0IfHasAnyNil)
+reg("array_cardinality", "cardinality")(
+    lambda c, r: F.when(c[0].isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(c[0], lambda x: x.isNotNull()))
+    )
+)
+
+
+@reg("array_concat")
+def _array_concat(c, r):
+    # nil arguments are SKIPPED (funcs_array.go:652-673); all-nil returns
+    # nil (the Go `var res` never appends -> nil slice)
+    import functools
+    import operator
+
+    all_null = functools.reduce(operator.and_, [x.isNull() for x in c])
+    return F.when(all_null, F.lit(None)).otherwise(
+        F.concat(*[F.coalesce(x, F.array()) for x in c])
+    )
+
+
+# membership is null-SAFE (Go `item == args[1]` matches nil elements,
+# funcs_array_test.go TestArrayNil) and a nil array is false
+# (returnFalseIfHasAnyNil)
+reg("array_contains")(
+    lambda c, r: F.coalesce(
+        F.exists(c[0], lambda x: x.eqNullSafe(c[1])), F.lit(False)
+    )
+)
+reg("array_contains_any")(
+    lambda c, r: F.coalesce(
+        F.exists(c[0], lambda x: F.exists(c[1], lambda y: x.eqNullSafe(y))),
+        F.lit(False),
+    )
+)
+# array_create drops nil arguments; all-nil (or no args) -> nil
+# (funcs_array.go:45-63)
+@reg("array_create", "array")
+def _array_create(c, r):
+    arr = F.filter(F.array(*c), lambda x: x.isNotNull())
+    return F.when(F.size(arr) == 0, F.lit(None)).otherwise(arr)
 reg("array_distinct")(lambda c, r: F.array_distinct(c[0]))
 reg("array_except")(lambda c, r: F.array_except(c[0], c[1]))
 reg("array_flatten")(lambda c, r: F.flatten(c[0]))
@@ -300,12 +337,31 @@ def _array_join(c, r):
     return F.array_join(c[0], delim)
 reg("array_max")(lambda c, r: F.array_max(c[0]))
 reg("array_min")(lambda c, r: F.array_min(c[0]))
-# ekuiper array_position is 0-based; -1 when absent (funcs_array.go:64-83)
-reg("array_position")(lambda c, r: F.array_position(c[0], c[1]).cast("bigint") - 1)
+def _position_pairs(arr, val):
+    """(element, index) structs whose element null-safe-equals val —
+    the Go loop compares with `==`, so nil matches nil
+    (funcs_array.go:64-83; vectors in TestArrayNil)."""
+    pairs = F.transform(arr, lambda x, i: F.struct(x.alias("x"), i.alias("i")))
+    return F.filter(pairs, lambda s: s["x"].eqNullSafe(val))
+
+
+# ekuiper array_position is 0-based; -1 when absent OR nil array
+reg("array_position")(
+    lambda c, r: F.coalesce(
+        F.try_element_at(_position_pairs(c[0], c[1]), F.lit(1))["i"].cast("bigint"),
+        F.lit(-1).cast("bigint"),
+    )
+)
 reg("array_remove")(lambda c, r: F.array_remove(c[0], c[1]))
 reg("array_shuffle")(lambda c, r: F.shuffle(c[0]))
 reg("array_sort")(lambda c, r: F.array_sort(c[0]))
-reg("array_union")(lambda c, r: F.array_union(c[0], c[1]))
+# a nil side is an empty set; union of two nils is the empty array
+# (funcs_array.go:254-287 builds a non-nil slice unconditionally)
+reg("array_union")(
+    lambda c, r: F.array_union(
+        F.coalesce(c[0], F.array()), F.coalesce(c[1], F.array())
+    )
+)
 reg("element_at")(
     lambda c, r: F.element_at(
         c[0], _zero_based(c[1]).cast("int") if not isinstance(r[1], str) else c[1]
@@ -337,9 +393,12 @@ def _array_map(c, r):
 
 @reg("array_last_position")
 def _array_last_position(c, r):
-    # last 0-based index of element, -1 if absent (funcs_array.go:164+)
-    rev_pos = F.array_position(F.reverse(c[0]), c[1]).cast("bigint")
-    return F.when(rev_pos == 0, F.lit(-1)).otherwise(F.size(c[0]) - rev_pos)
+    # last 0-based index of element (null-safe, nil matches nil), -1 if
+    # absent or nil array (funcs_array.go:164+)
+    return F.coalesce(
+        F.try_element_at(_position_pairs(c[0], c[1]), F.lit(-1))["i"].cast("bigint"),
+        F.lit(-1).cast("bigint"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -73,9 +73,14 @@ VECTORS = [
     ("array_remove", "array_remove(array(3, 1, 2), 1)", [3, 2]),
     ("array_remove_all", "array_remove(array(1, 2, 3, 4, 3), 3)", [1, 2, 4]),
     ("array_remove_empty", "array_remove(array(3, 3, 3), 3)", []),
-    ("array_last_position", "array_last_position(array(5, nullint, 5), 5)", 2),
-    ("array_last_position_first", "array_last_position(array(5, nullint, 7), 5)", 0),
-    ("array_last_position_miss", "array_last_position(array(5, nullint, 5), 8)", -1),
+    # array_create DROPS nil args (funcs_array.go:45-59), so arrays that
+    # literally contain nil (the []interface{}{5,nil,5} vectors) come from
+    # the one_row fixture's array columns instead
+    ("array_last_position", "array_last_position(arr55, 5)", 2),
+    ("array_last_position_first", "array_last_position(arr57, 5)", 0),
+    ("array_last_position_miss", "array_last_position(arr55, 8)", -1),
+    ("array_last_position_nil_val", "array_last_position(arr55, nullint)", 1),
+    ("array_last_position_nil_arr", "array_last_position(nilarr, 1)", -1),
     ("array_contains_any_hit",
      "array_contains_any(array(1, 2, 3), array(0, 2, 4))", True),
     ("array_contains_any_miss",
@@ -101,12 +106,32 @@ VECTORS = [
     ("sequence_step", "sequence(1, 10, 2)", [1, 3, 5, 7, 9]),
     ("sequence_down", "sequence(10, 1, -3)", [10, 7, 4, 1]),
     ("array_cardinality", "array_cardinality(array(1, 2, 3))", 3),
+    # ---- funcs_array_test.go TestArrayFuncNil / TestArrayNil (nil
+    # contracts: getCount non-nil cardinality, null-safe membership,
+    # nil-skipping create/concat, nil-as-empty union) ----
+    ("array_cardinality_skips_nil", "array_cardinality(arr1n2)", 2),
+    ("array_cardinality_nil_arr", "array_cardinality(nilarr)", 0),
+    ("array_create_skips_nil", "array(5, nullint, 5)", [5, 5]),
+    ("array_create_all_nil", "array(nullint)", None),
+    ("array_contains_nil_elem", "array_contains(arr1n2, nullint)", True),
+    ("array_contains_nil_arr", "array_contains(nilarr, 1)", False),
+    ("array_contains_any_nil_arr", "array_contains_any(nilarr, array(1))", False),
+    ("array_position_nil_arr", "array_position(nilarr, 2)", -1),
+    ("array_position_nil_val", "array_position(arr1n2, nullint)", 1),
+    ("array_position_nil_elem_hit", "array_position(arr1n2, 1)", 0),
+    ("array_concat_skips_nil_arg", "array_concat(array(1), nilarr, array(2))", [1, 2]),
+    ("array_union_nil_side", "array_union(array(1, 2), nilarr)", [1, 2]),
+    ("array_union_nil_elems", "array_union(arr1n2, arr1n3)", [1, None, 2, 3]),
+    ("array_intersect_nil_elems", "array_intersect(arr1n2, arr1n3)", [1, None]),
+    ("array_except_nil_elems", "array_except(arr1n2, arr1n3)", [2]),
+    ("array_distinct_keeps_one_nil",
+     "array_distinct(array_concat(arr1n2, arr1n2))", [1, None, 2]),
     # ---- funcs_array_test.go:616-684 (array_join null handling) ----
     ("array_join_plain", "array_join(array('a', 'b', 'c'), ':')", "a:b:c"),
     ("array_join_empty_delim", "array_join(array('a', 'b', 'c'), '')", "abc"),
-    ("array_join_null_skip", "array_join(array('a', nullcol, 'b'), ':')", "a:b"),
+    ("array_join_null_skip", "array_join(arrac, ':')", "a:c"),
     ("array_join_null_replace",
-     "array_join(array('a', nullcol, 'c'), ':', 'nullReplacementStr')",
+     "array_join(arrac, ':', 'nullReplacementStr')",
      "a:nullReplacementStr:c"),
     ("array_concat_vec", "array_concat(array(1, 2), array(3))", [1, 2, 3]),
     ("array_flatten_vec",
@@ -233,7 +258,14 @@ def _match(label: str, got, want) -> None:
 def test_reference_function_vectors(spark):
     cat = Catalog.from_dir("/root/testdata/sf0.001")
     one = spark.createDataFrame(
-        [(1, None, None)], "k int, nullcol string, nullint int"
+        [(
+            1, None, None,
+            [5, None, 5], [5, None, 7], [1, None, 2], [1, None, 3],
+            ["a", None, "c"], None,
+        )],
+        "k int, nullcol string, nullint int, "
+        "arr55 array<int>, arr57 array<int>, arr1n2 array<int>, "
+        "arr1n3 array<int>, arrac array<string>, nilarr array<int>",
     )
     cat.register_df("one_row", one)
     # batch ~20 vectors per compiled query: a handful of Spark actions
