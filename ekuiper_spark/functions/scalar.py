@@ -407,9 +407,26 @@ def _array_last_position(c, r):
 reg("keys")(lambda c, r: F.map_keys(c[0]))
 reg("values")(lambda c, r: F.map_values(c[0]))
 reg("object")(lambda c, r: F.map_from_arrays(c[0], c[1]))
-reg("object_construct")(lambda c, r: F.create_map(*c))
-reg("object_concat")(lambda c, r: F.map_concat(*c))
-reg("object_size")(lambda c, r: F.size(c[0]))
+# nil KEYS drop their pair (funcs_obj.go:167-181: `if args[i] != nil`);
+# an all-nil-keys construct is the empty map
+@reg("object_construct")
+def _object_construct(c, r):
+    entries = [
+        F.struct(c[i].cast("string").alias("key"), c[i + 1].alias("value"))
+        for i in range(0, len(c), 2)
+    ]
+    return F.map_from_entries(
+        F.filter(F.array(*entries), lambda s: s["key"].isNotNull())
+    )
+
+
+# nil arguments are SKIPPED (funcs_obj.go:145-161); duplicate keys take
+# the LAST map's value (Go overwrite order = mapKeyDedupPolicy LAST_WIN)
+reg("object_concat")(
+    lambda c, r: F.map_concat(*[F.coalesce(x, F.create_map()) for x in c])
+)
+# nil map has size 0 (funcs_obj.go:240-245)
+reg("object_size")(lambda c, r: F.coalesce(F.size(c[0]), F.lit(0)))
 reg("items")(lambda c, r: F.map_entries(c[0]))
 reg("obj_to_kvpair_array")(
     lambda c, r: F.transform(

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from ekuiper_spark import Catalog, compile_sql
@@ -126,6 +128,18 @@ VECTORS = [
     ("array_except_nil_elems", "array_except(arr1n2, arr1n3)", [2]),
     ("array_distinct_keeps_one_nil",
      "array_distinct(array_concat(arr1n2, arr1n2))", [1, None, 2]),
+    # ---- funcs_obj_test.go TestObjectFunctions / TestObjectFuncArgNil ----
+    ("object_size_two", "object_size(mab)", 2),
+    ("object_size_nil", "object_size(nilmap)", 0),
+    ("object_concat_last_wins", "object_concat(mab, mbc)",
+     {"a": 1, "b": 3, "c": 4}),
+    ("object_concat_skips_nil", "object_concat(mab, nilmap)",
+     {"a": 1, "b": 2}),
+    ("object_concat_all_nil_empty", "object_concat(nilmap, nilmap)", {}),
+    ("object_construct_nil_key_skipped",
+     "object_construct(nullcol, 'v1', 'k2', 'v2')", {"k2": "v2"}),
+    ("object_pick_keeps", "object_pick(mab, 'a')", {"a": 1}),
+    ("erase_key", "erase(mab, 'a')", {"b": 2}),
     # ---- funcs_array_test.go:616-684 (array_join null handling) ----
     ("array_join_plain", "array_join(array('a', 'b', 'c'), ':')", "a:b:c"),
     ("array_join_empty_delim", "array_join(array('a', 'b', 'c'), '')", "abc"),
@@ -266,6 +280,12 @@ def test_reference_function_vectors(spark):
         "k int, nullcol string, nullint int, "
         "arr55 array<int>, arr57 array<int>, arr1n2 array<int>, "
         "arr1n3 array<int>, arrac array<string>, nilarr array<int>",
+    ).withColumn(
+        "mab", F.expr("map('a', 1, 'b', 2)")
+    ).withColumn(
+        "mbc", F.expr("map('b', 3, 'c', 4)")
+    ).withColumn(
+        "nilmap", F.expr("cast(null as map<string,int>)")
     )
     cat.register_df("one_row", one)
     # batch ~20 vectors per compiled query: a handful of Spark actions
