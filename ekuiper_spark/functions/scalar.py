@@ -531,9 +531,18 @@ reg("isnull")(lambda c, r: c[0].isNull())
 reg("isnotnull")(lambda c, r: c[0].isNotNull())
 reg("coalesce")(lambda c, r: F.coalesce(*c))
 reg("chr")(lambda c, r: F.char(c[0]))
-reg("trunc")(lambda c, r: F.expr("1"))  # replaced below
-REGISTRY["trunc"] = lambda c, r: (
-    F.floor(c[0] * F.pow(F.lit(10.0), c[1])) / F.pow(F.lit(10.0), c[1])
+# trunc is NOT a truncation: funcs_misc.go:686-689 toFixed =
+# round(x*10^p)/10^p with round() = int(x + copysign(0.5, x)) —
+# half-away-from-zero rounding, exactly Spark's HALF_UP round.
+# floor-based truncation would drift on every negative non-half
+# (trunc(-3.141, 2): reference -3.14, floor gives -3.15).
+reg("trunc")(
+    lambda c, r: (
+        F.round(c[0].cast("double"), int(r[1]))
+        if r[1] is not None
+        else F.round(c[0] * F.pow(F.lit(10.0), c[1]), 0)
+        / F.pow(F.lit(10.0), c[1])
+    ).cast("double")
 )
 reg("newuuid")(lambda c, r: F.expr("uuid()"))
 reg("bypass")(lambda c, r: c[0])

@@ -140,6 +140,12 @@ VECTORS = [
      "object_construct(nullcol, 'v1', 'k2', 'v2')", {"k2": "v2"}),
     ("object_pick_keeps", "object_pick(mab, 'a')", {"a": 1}),
     ("erase_key", "erase(mab, 'a')", {"b": 2}),
+    # ---- funcs_misc.go:686-689 toFixed: trunc is half-away-from-zero
+    # rounding, not floor truncation ----
+    ("trunc_plain", "trunc(3.1415, 2)", 3.14),
+    ("trunc_neg_rounds_up", "trunc(-3.141, 2)", -3.14),
+    ("trunc_half_away_pos", "trunc(3.145, 2)", 3.15),
+    ("trunc_half_away_neg", "trunc(-3.145, 2)", -3.15),
     # ---- funcs_array_test.go:616-684 (array_join null handling) ----
     ("array_join_plain", "array_join(array('a', 'b', 'c'), ':')", "a:b:c"),
     ("array_join_empty_delim", "array_join(array('a', 'b', 'c'), '')", "abc"),
