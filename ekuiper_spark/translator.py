@@ -4103,6 +4103,23 @@ class Translator:
                 arr = F.to_json(F.array(cols[0]))
                 return arr.substr(F.lit(2), F.length(arr) - 2)
         if (
+            name.lower() in ("object_pick", "erase")
+            and len(cols) == 2
+            and self._probe_type(cols[1]) == "array"
+        ):
+            # the reference's second argument is {string arr} OR
+            # {string}... (funcs_obj.go:256 "The argument can be {obj},
+            # {string arr} OR {obj}, {string}..."); the registry builder
+            # handles the vararg form, the array form dispatches here on
+            # a schema probe
+            if name.lower() == "object_pick":
+                return F.map_filter(
+                    cols[0], lambda k, v: F.array_contains(cols[1], k)
+                )
+            return F.map_filter(
+                cols[0], lambda k, v: ~F.array_contains(cols[1], k)
+            )
+        if (
             name.lower() == "cast"
             and cols
             and len(raw) > 1

@@ -139,7 +139,11 @@ VECTORS = [
     ("object_construct_nil_key_skipped",
      "object_construct(nullcol, 'v1', 'k2', 'v2')", {"k2": "v2"}),
     ("object_pick_keeps", "object_pick(mab, 'a')", {"a": 1}),
+    ("object_pick_key_array",
+     "object_pick(mab, array_create('a', 'b'))", {"a": 1, "b": 2}),
+    ("object_pick_missing_key", "object_pick(mab, 'zzz')", {}),
     ("erase_key", "erase(mab, 'a')", {"b": 2}),
+    ("erase_key_array", "erase(mab, array_create('a', 'b'))", {}),
     # ---- funcs_misc.go:686-689 toFixed: trunc is half-away-from-zero
     # rounding, not floor truncation ----
     ("trunc_plain", "trunc(3.1415, 2)", 3.14),
