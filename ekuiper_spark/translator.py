@@ -3125,6 +3125,16 @@ class Translator:
             # with the * message argument)
             entries = self._ordered_row_entries(ctx, None, over)
             return F.transform(entries, lambda e: e["__zr"])
+        if name in ("merge_agg", "inc_merge_agg") and ctx.row_cols and call.args and all(
+            isinstance(a, Wildcard) for a in call.args
+        ):
+            # merge_agg(*) merges the group's row-objects key-by-key with
+            # LAST key winning (funcs_agg.go:154, funcs_agg_test.go
+            # "concat wildcard").  Typed rows carry every schema field, so
+            # the merge is the last row in event order (a later nil
+            # overwrites too — Go map assignment keeps the nil).
+            entries = self._ordered_row_entries(ctx, None, over)
+            return F.element_at(entries, -1)["__zr"]
         args = [a for a in call.args if not isinstance(a, Wildcard)]
         cols = [self._expr(a, ctx) for a in args]
         raw = [self._raw(a) for a in args]

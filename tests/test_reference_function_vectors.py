@@ -718,3 +718,33 @@ def test_lag_ignore_null_ring_vectors(spark):
         (6, 5, 6),         # null input: reads head, no advance
         (6, 5, None),      # positional lag sees the null row
     ]
+
+
+def test_merge_agg_wildcard_last_wins(spark):
+    """funcs_agg_test.go TestConcatExec "concat wildcard": merge_agg(*)
+    merges the group's row objects with the LAST key winning — for typed
+    rows that is the last row in event order (later nils overwrite too,
+    matching Go map assignment)."""
+    from ekuiper_spark import Catalog, compile_sql
+
+    cat = Catalog()
+    cat.register_df(
+        "m",
+        spark.createDataFrame(
+            [("bar", 123, 1, 1), (None, 243, 1, 2), ("bar1", 342, 1, 3)],
+            "foo string, a int, g int, ts long",
+        ),
+    )
+    row = compile_sql(spark, "SELECT merge_agg(*) AS r FROM m GROUP BY g", cat).collect()[0]["r"]
+    assert row["foo"] == "bar1" and row["a"] == 342
+
+    # out-of-order arrival: event order (ts) decides, not input order
+    cat.register_df(
+        "m2",
+        spark.createDataFrame(
+            [("late", 1, 1, 3), ("early", 2, 1, 1)],
+            "foo string, a int, g int, ts long",
+        ),
+    )
+    row2 = compile_sql(spark, "SELECT merge_agg(*) AS r FROM m2 GROUP BY g", cat).collect()[0]["r"]
+    assert row2["foo"] == "late"
