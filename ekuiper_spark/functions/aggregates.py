@@ -106,6 +106,14 @@ def _deduplicate(c, r):
 # free with Spark; exposed as an extension.
 reg("count_distinct")(lambda c, r: F.count_distinct(*c))
 reg("approx_count_distinct")(lambda c, r: F.approx_count_distinct(c[0]))
+# approx_percentile(col, p[, accuracy]) — extension beside the exact
+# percentile_cont/disc: the exact forms shuffle every value to sort; the
+# KLL-sketch form merges fixed-size sketches map-side, the 100 TB path.
+reg("approx_percentile")(
+    lambda c, r: F.percentile_approx(
+        c[0], float(r[1]), int(r[2]) if len(r) > 2 and r[2] is not None else 10000
+    )
+)
 
 # incremental-aggregate rewrites (internal/binder/function/funcs_inc_agg.go,
 # used by the planner's incremental-agg pass, planner.go:1022-1104): Spark's

@@ -748,3 +748,22 @@ def test_merge_agg_wildcard_last_wins(spark):
     )
     row2 = compile_sql(spark, "SELECT merge_agg(*) AS r FROM m2 GROUP BY g", cat).collect()[0]["r"]
     assert row2["foo"] == "late"
+
+
+def test_approx_percentile_extension(spark):
+    """Extension beside the exact percentile family: KLL-sketch
+    percentile with map-side sketch merge — at high accuracy it matches
+    the exact rank on a small frame."""
+    from ekuiper_spark import Catalog, compile_sql
+
+    cat = Catalog()
+    cat.register_df(
+        "p", spark.createDataFrame([(i, 1) for i in range(1, 101)], "v int, g int")
+    )
+    row = compile_sql(
+        spark,
+        "SELECT approx_percentile(v, 0.5) AS p50, "
+        "approx_percentile(v, 0.9, 10000) AS p90 FROM p GROUP BY g",
+        cat,
+    ).collect()[0]
+    assert row["p50"] == 50 and row["p90"] == 90
