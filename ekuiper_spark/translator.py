@@ -571,10 +571,18 @@ class Translator:
                     # interoperate, sorter.go) with nil values last —
                     # surrogate: (nil-flag, numeric value, string value)
                     gok, sv, dv, _lv = self._variant_side(col, "variant")
-                    subs = [gok.isNull().cast("int"), dv, sv]
+                    # nil sorts LAST regardless of direction
+                    # (sorter.go:68-73 ignores field.Ascending for nils)
+                    keys.append(gok.isNull().cast("int").asc())
+                    subs = [dv, sv]
                 else:
                     subs = [col]
-                keys.extend(k.asc() if s.asc else k.desc() for k in subs)
+                # nulls LAST in BOTH directions (sorter.go:68-73; Spark's
+                # asc() default would put them first)
+                keys.extend(
+                    k.asc_nulls_last() if s.asc else k.desc_nulls_last()
+                    for k in subs
+                )
             df = df.orderBy(*keys)
         if stmt.limit is not None:
             df = df.limit(stmt.limit)

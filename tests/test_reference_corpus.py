@@ -2278,3 +2278,20 @@ def test_backquoted_dotted_identifier(spark, demo_cat):
     # and through the wildcard
     df2 = run(spark, cat, "SELECT * FROM dottest")
     assert sorted(df2.columns) == ["a.b.c", "ts"]
+
+
+def test_order_by_nil_last_both_directions(spark):
+    """order_test.go:104-135 + sorter.go:68-73: a row whose sort key is
+    missing/nil sorts LAST regardless of ASC/DESC (the nil branch ignores
+    field.Ascending)."""
+    cat = Catalog()
+    cat.register_df(
+        "src1",
+        spark.createDataFrame(
+            [(1, "v1"), (None, "v2"), (3, "v1")], "id1 int, f1 string"
+        ),
+    )
+    desc = [r["id1"] for r in run(spark, cat, "SELECT id1 FROM src1 ORDER BY id1 DESC").collect()]
+    asc = [r["id1"] for r in run(spark, cat, "SELECT id1 FROM src1 ORDER BY id1").collect()]
+    assert desc == [3, 1, None]
+    assert asc == [1, 3, None]
