@@ -543,6 +543,20 @@ class Translator:
                 ).select("window", "__row.*")
             ctx.windowfunc_partition = wnames
             df = self._project(df, stmt, ctx)
+        elif (
+            group is None
+            and stmt.having is not None
+            and not fields_agg
+            and not self.streaming
+        ):
+            # unwindowed non-aggregated HAVING: the bounded frame is ONE
+            # collection — HavingOp gates the whole collection and passes
+            # its content intact to ProjectOp (having_test.go:36-130:
+            # avg(id1)>1 over [1,2,5] emits all three rows; a failing
+            # gate emits none).  Consistent with the engine's batch
+            # mapping of unwindowed aggregates (frame = one collection).
+            df = self._frame_content_having(df, stmt, ctx)
+            df = self._project(df, stmt, ctx)
         elif group is not None or has_agg:
             if self.streaming and window is not None and (
                 window.kind in ("count", "state")
@@ -3025,6 +3039,65 @@ class Translator:
     # ------------------------------------------------------------------ #
     # expression translation
     # ------------------------------------------------------------------ #
+    def _frame_content_having(
+        self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx
+    ) -> DataFrame:
+        """Unwindowed batch HAVING over the whole-frame collection:
+        aggregate the frame to ONE gate row (map-side partial + final,
+        no single-task sort), evaluate the condition there — bare column
+        refs resolve to the first row's value like the reference's
+        collection valuer — and broadcast the 0/1-row verdict back as a
+        cross join (keep-all or drop-all, fully parallel).
+        having_test.go:36-130: a passing gate emits the whole
+        collection, a failing one emits nothing.
+        """
+        agg_nodes: dict[str, FuncCall] = {}
+        for a in self._find_aggs(stmt.having):
+            agg_nodes.setdefault(canon(a), a)
+        bare: list[str] = []
+
+        def refs(n: Node) -> None:
+            if isinstance(n, ColumnRef):
+                if n.name in df.columns and n.name not in bare:
+                    bare.append(n.name)
+            elif isinstance(n, Binary):
+                refs(n.left)
+                refs(n.right)
+            elif isinstance(n, Unary):
+                refs(n.operand)
+            elif isinstance(n, FuncCall):
+                if fregistry.is_aggregate(n.name):
+                    return
+                for a in n.args:
+                    refs(a)
+            elif isinstance(n, InExpr):
+                refs(n.expr)
+            elif isinstance(n, Between):
+                refs(n.expr)
+
+        refs(stmt.having)
+        order = [F.col(c) for c in ctx.order_cols if c in df.columns]
+        exprs: list[Column] = []
+        for i, (k, call) in enumerate(agg_nodes.items()):
+            hname = f"__havagg{i}"
+            exprs.append(self._agg_expr(call, ctx).alias(hname))
+            ctx.agg_map[k] = hname
+        for c in bare:
+            first = (
+                F.min_by(F.col(c), F.struct(*order)) if order else F.first(F.col(c))
+            )
+            exprs.append(first.alias(c))
+        if not exprs:
+            exprs = [F.count(F.lit(1)).alias("__havn")]
+        gate = df.agg(*exprs)
+        ctx.post_agg = True
+        ok = gate.filter(self._expr(stmt.having, ctx))
+        ctx.post_agg = False
+        ctx.agg_map = {}
+        return df.crossJoin(
+            F.broadcast(ok.select(F.lit(1).alias("__havok")))
+        ).drop("__havok")
+
     def _find_aggs(self, node: Node) -> list[FuncCall]:
         out: list[FuncCall] = []
 

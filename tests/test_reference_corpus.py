@@ -2295,3 +2295,29 @@ def test_order_by_nil_last_both_directions(spark):
     asc = [r["id1"] for r in run(spark, cat, "SELECT id1 FROM src1 ORDER BY id1").collect()]
     assert desc == [3, 1, None]
     assert asc == [1, 3, None]
+
+
+def test_unwindowed_having_gates_whole_collection(spark):
+    """having_test.go:36-130: HavingOp gates the COLLECTION — a passing
+    aggregate condition emits every row of the frame, a failing one
+    emits none (in batch mode the bounded frame is one collection,
+    consistent with the engine's global unwindowed aggregates)."""
+    cat = Catalog()
+    cat.register_df(
+        "src1",
+        spark.createDataFrame([(1, "v1"), (2, "v2"), (5, "v1")], "id1 int, f1 string"),
+    )
+    cat.register_df("one", spark.createDataFrame([(1, "v1")], "id1 int, f1 string"))
+    assert sorted(
+        r["id1"] for r in run(spark, cat, "SELECT id1 FROM src1 HAVING avg(id1) > 1").collect()
+    ) == [1, 2, 5]
+    assert run(spark, cat, "SELECT id1 FROM one HAVING sum(id1) > 1").count() == 0
+    assert run(spark, cat, "SELECT id1 FROM one HAVING sum(id1) = 1").collect()[0]["id1"] == 1
+    assert run(spark, cat, "SELECT id1 FROM one HAVING max(id1) > 10").count() == 0
+    # bare column refs resolve against the collection (first row)
+    assert sorted(
+        r["id1"]
+        for r in run(
+            spark, cat, 'SELECT id1 FROM src1 HAVING avg(id1) > 1 AND f1 = "v1"'
+        ).collect()
+    ) == [1, 2, 5]
