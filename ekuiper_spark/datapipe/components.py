@@ -169,7 +169,10 @@ def near_dedup(
     Pass precomputed ``pairs`` (from ``minhash_lsh_pairs``,
     ``simhash_near_pairs``, ``jaccard_pairs``, ``embedding_near_pairs``…)
     or a ``detector`` callable applied to ``df``.  Default detector is
-    MinHash+LSH.
+    MinHash+LSH in its star-edge scale mode (``minhash_lsh_edges``): each
+    LSH bucket contributes O(n) (min-id, member) edges instead of O(n²)
+    pairs — the component closure is identical, and a hot boilerplate
+    bucket can no longer blow up the candidate join.
 
     Scale: the component labeling runs over the PAIR graph only; the
     final filter is one left-anti join of the corpus against the small
@@ -178,9 +181,9 @@ def near_dedup(
     """
     if pairs is None:
         if detector is None:
-            from ekuiper_spark.datapipe.dedup import minhash_lsh_pairs
+            from ekuiper_spark.datapipe.dedup import minhash_lsh_edges
 
-            detector = lambda d: minhash_lsh_pairs(d, text_col=text_col, id_col=id_col)
+            detector = lambda d: minhash_lsh_edges(d, text_col=text_col, id_col=id_col)
         pairs = detector(df)
     cc = connected_components(pairs, id_a, id_b)
     drop = cc.filter(F.col("id") != F.col("component")).select(

@@ -330,28 +330,29 @@ def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) ->
     return F.array(*sigs)
 
 
-def minhash_lsh_pairs(
+def _lsh_banded(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-    verify_threshold: float | None = 0.5,
-    fanout: bool = True,
-) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH, optionally verified
-    with exact Jaccard on the candipairs only (cheap: candidates << n²).
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    fanout: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, sh): banded = (id, band, bh) bucket memberships; sh = the
+    shingle frame (for exact-Jaccard verification re-joins).
+
+    Shared by the pair-report route (:func:`minhash_lsh_pairs`) and the
+    clustering route (:func:`minhash_lsh_edges`).
     """
     assert num_hashes % bands == 0
-    rows = bands and num_hashes // bands
+    rows = num_hashes // bands
     # fanout: the shingling + per-shingle hashing + 64 partial-min
     # aggregates all run MAP-SIDE, before the groupBy shuffle — on a
     # few-partition scan (one small fixture file) that serializes the
     # dominant compute, so spread it first (no-op at real scale where
     # the scan already has many splits)
     sh = shingle_df(df, text_col, id_col, k, fanout=fanout, hashed=True)
-    sh.persist()
     # signature via exploded aggregation: hash each shingle once, then H
     # universal-family minima as flat groupBy aggregates.  Measured at
     # sf0.1 against a map-only nested-transform variant
@@ -370,8 +371,8 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(coefs)
         ]
     ).withColumn("sig", F.array(*[f"m{i}" for i in range(num_hashes)]))
-    # band keys only — the candidate join shuffles (band, hash, id) triples,
-    # never the shingle arrays
+    # band keys only — everything downstream shuffles (band, hash, id)
+    # triples, never the shingle arrays
     banded = sig.select(
         "id",
         F.explode(
@@ -386,6 +387,59 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bh")
+    return banded, sh
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float | None = 0.5,
+    fanout: bool = True,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, optionally verified
+    with exact Jaccard on the candipairs only (cheap: candidates << n²).
+
+    The band self-join is QUADRATIC inside a bucket: a degenerate hot
+    bucket (thousands of boilerplate near-identical docs sharing a band
+    hash — guaranteed at 100 TB) emits O(n²) candidate pairs before any
+    verification.  Two escape hatches:
+
+    - ``bucket_cap=N`` keeps at most N members per (band, hash) bucket
+      (lowest ids win) and WARNS with the dropped-membership count, so the
+      pair report stays bounded at the cost of partial recall on hot
+      buckets.  The cap sort is per-bucket over (band, bh, id) triples —
+      24-byte rows, so even a million-member bucket sorts in one task.
+    - for transitive CLUSTERING, skip pairs entirely:
+      :func:`minhash_lsh_edges` emits O(n) star edges per bucket with no
+      self-join and yields identical connected components.
+    """
+    banded, sh = _lsh_banded(df, text_col, id_col, k, num_hashes, bands, fanout)
+    if verify_threshold is not None:
+        sh.persist()
+    if bucket_cap is not None:
+        from pyspark.sql import Window as W
+
+        ranked = banded.withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("band", "bh").orderBy("id")),
+        ).persist()
+        dropped = ranked.filter(F.col("__rn") > bucket_cap).count()
+        if dropped:
+            import warnings
+
+            warnings.warn(
+                f"minhash_lsh_pairs: bucket_cap={bucket_cap} dropped {dropped} "
+                "(band, doc) memberships from hot buckets — pair recall is "
+                "partial there; use minhash_lsh_edges for the clustering route",
+                UserWarning,
+                stacklevel=2,
+            )
+        banded = ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -412,6 +466,48 @@ def minhash_lsh_pairs(
         joined.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    fanout: bool = True,
+) -> DataFrame:
+    """Per-bucket STAR edges (bucket-min-id, member) — the LSH scale mode
+    for the transitive-clustering route.
+
+    For clustering, the all-pairs output of :func:`minhash_lsh_pairs` is
+    redundant: connected components of the "shares an LSH bucket" relation
+    are IDENTICAL whether a bucket contributes all C(n,2) pairs or an
+    n-1-edge star rooted at its min id — a star keeps every bucket member
+    connected, and any cross-bucket path through a member survives because
+    the member is still reachable from the root.  So this emits O(n) edges
+    per bucket and needs NO self-join at all: one window min per bucket
+    key (unbounded frame — no per-bucket sort), shuffling only
+    (band, hash, id) triples.  A boilerplate bucket with a million
+    near-identical docs costs a million edges, not half a trillion pairs.
+
+    No exact-Jaccard verification happens here — a star edge's endpoints
+    are co-bucketed, not a claimed near-pair, so per-edge verification
+    would change the cluster closure.  For a verified pair *report*, use
+    :func:`minhash_lsh_pairs` (with ``bucket_cap`` at scale).
+
+    Feed the result straight to ``connected_components`` / ``near_dedup``.
+    """
+    from pyspark.sql import Window as W
+
+    banded, _ = _lsh_banded(df, text_col, id_col, k, num_hashes, bands, fanout)
+    root = F.min("id").over(W.partitionBy("band", "bh"))
+    return (
+        banded.withColumn("__root", root)
+        .filter(F.col("id") != F.col("__root"))
+        .select(F.col("__root").alias("id_a"), F.col("id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

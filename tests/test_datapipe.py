@@ -569,3 +569,105 @@ def test_ivf_index_prunes_partitions_and_recalls(spark, catalog, tmp_path):
         for r in ivf_topk(spark, path, centroids, qv, k=10, nprobe=16).collect()
     ]
     assert full == exact
+
+
+# --------------------------------------------------------------------------
+# LSH star-edge scale mode + bucket cap (round-7: hot-bucket O(n²) fix)
+# --------------------------------------------------------------------------
+def _hot_bucket_corpus(spark, n=1200):
+    """n near-identical boilerplate docs — every doc lands in the same LSH
+    buckets, the adversarial case where all-pairs banding goes quadratic."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base * 3 + f"tail{i % 7}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_star_edges_linear_on_hot_bucket(spark):
+    """>=1k copies of one doc: star edges are O(n), where the all-pairs
+    self-join would emit ~n²/2 candidates."""
+    from ekuiper_spark.datapipe.dedup import minhash_lsh_edges
+
+    n = 1200
+    d = _hot_bucket_corpus(spark, n)
+    edges = minhash_lsh_edges(d, num_hashes=32, bands=8)
+    cnt = edges.count()
+    # at most one star root per (band, bucket); 7 tail-variants cannot
+    # create more than bands * n memberships, and after dedup the edge
+    # count is strictly linear in n — nowhere near n(n-1)/2 = 719_400
+    assert 0 < cnt < 8 * n
+    # every edge is rooted at a smaller id
+    bad = edges.filter(F.col("id_a") >= F.col("id_b")).count()
+    assert bad == 0
+
+
+def test_lsh_star_edges_plan_has_no_join(spark):
+    """The star-edge route replaces the band self-join with a window min:
+    the executed plan must contain NO join node of any kind, and the only
+    shuffles carry (band, hash, id) triples."""
+    from ekuiper_spark.datapipe.dedup import minhash_lsh_edges
+
+    d = _hot_bucket_corpus(spark, 50)
+    plan = (
+        minhash_lsh_edges(d, num_hashes=32, bands=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+
+
+def test_lsh_star_edges_same_components_as_all_pairs(spark, catalog):
+    """connected components over star edges == over unverified all-pairs
+    candidates: a star keeps every bucket member connected, so the
+    transitive closure of bucket co-membership is identical."""
+    from ekuiper_spark.datapipe.components import connected_components
+    from ekuiper_spark.datapipe.dedup import minhash_lsh_edges, minhash_lsh_pairs
+
+    d = docs(spark, catalog).limit(300)
+    pairs = minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=None)
+    edges = minhash_lsh_edges(d, num_hashes=32, bands=8)
+    lab_pairs = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    lab_edges = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert lab_pairs == lab_edges
+
+
+def test_lsh_bucket_cap_bounds_pairs_and_warns(spark):
+    """bucket_cap keeps <=cap members per bucket (<=C(cap,2) pairs per
+    bucket) and warns with the dropped-membership count."""
+    import warnings
+
+    from ekuiper_spark.datapipe.dedup import minhash_lsh_pairs
+
+    n, cap = 400, 10
+    d = _hot_bucket_corpus(spark, n)
+    with pytest.warns(UserWarning, match="bucket_cap=10 dropped"):
+        capped = minhash_lsh_pairs(
+            d, num_hashes=32, bands=8, verify_threshold=None, bucket_cap=cap
+        ).count()
+    # 8 bands x 7 tail-variant buckets x C(10,2) is a loose upper bound,
+    # versus ~n²/2 = 79_800 uncapped
+    assert 0 < capped <= 8 * 7 * cap * (cap - 1) // 2
+
+    # cap larger than every bucket: no warning, output == uncapped output
+    uncapped = minhash_lsh_pairs(
+        _hot_bucket_corpus(spark, 30), num_hashes=32, bands=8, verify_threshold=None
+    ).count()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        same = minhash_lsh_pairs(
+            _hot_bucket_corpus(spark, 30), num_hashes=32, bands=8,
+            verify_threshold=None, bucket_cap=100_000,
+        ).count()
+    assert same == uncapped
+
+
+def test_near_dedup_default_detector_collapses_hot_bucket(spark):
+    """Default near_dedup (star-edge detector) keeps exactly the per-variant
+    representatives of the boilerplate corpus without a quadratic join."""
+    from ekuiper_spark.datapipe.components import near_dedup
+
+    d = _hot_bucket_corpus(spark, 700)
+    kept = near_dedup(d)
+    # 7 tail variants of one boilerplate doc; LSH at 32/8 clusters them
+    # into at most a handful of groups and every group keeps one rep
+    assert 1 <= kept.count() <= 7
