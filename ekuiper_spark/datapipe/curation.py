@@ -354,13 +354,29 @@ def cap_per_group(
     """
     from pyspark.sql import Window
 
-    ob = (
-        (F.col(order_by).desc() if descending else F.col(order_by).asc())
-        if order_by
+    if order_by:
+        ob = F.col(order_by).desc() if descending else F.col(order_by).asc()
+    else:
         # arbitrary deterministic tiebreak: stable across runs on the
-        # same data, no sort requirement beyond the hash
-        else F.xxhash64(*[F.col(c) for c in df.columns]).asc()
-    )
+        # same data, no sort requirement beyond the hash.  Spark forbids
+        # hash expressions on map/variant columns, so hash only the
+        # hashable ones; an (improbable) all-unhashable frame falls back
+        # to partition order via a constant key.
+        from pyspark.sql import types as T
+
+        def unhashable(dt):
+            if isinstance(dt, (T.MapType, T.VariantType)):
+                return True
+            if isinstance(dt, T.ArrayType):
+                return unhashable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return any(unhashable(f.dataType) for f in dt.fields)
+            return False
+
+        cols = [
+            F.col(f.name) for f in df.schema.fields if not unhashable(f.dataType)
+        ]
+        ob = (F.xxhash64(*cols) if cols else F.lit(0)).asc()
     w = Window.partitionBy(group_col).orderBy(ob)
     return (
         df.withColumn("__rk", F.row_number().over(w))

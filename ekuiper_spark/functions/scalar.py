@@ -191,17 +191,132 @@ reg("conv")(lambda c, r: F.conv(c[0], int(r[1]), int(r[2])))
 # datetime (funcs_datetime.go) — ekuiper format strings use the
 # YYYY-MM-dd HH:mm:ss token dialect; convert to JDK DateTimeFormatter.
 # --------------------------------------------------------------------------
-_TIME_TOKEN_MAP = [
-    ("YYYY", "yyyy"),
-    ("SSS", "SSS"),
-    ("YY", "yy"),
-]
-
-
 def go_format_to_jdk(fmt: str) -> str:
-    for a, b in _TIME_TOKEN_MAP:
-        fmt = fmt.replace(a, b)
-    return fmt
+    """Translate the reference's time-format dialect to a JDK
+    DateTimeFormatter pattern (cast/time.go:179 convertFormat — same token
+    grammar, but targeting Spark's JDK formatter instead of Go layouts).
+
+    Contracts mirrored from cast/time_test.go:46-77,288-303:
+
+    - an S-run emits the decimal DOT itself: 'HH:mm:ssSSS' -> '02:14:24.913'
+      (Go fraction layouts '.000' include the dot)
+    - unknown letters (e.g. the T in 'ddTHH') are literals, not errors
+    - 'YYY', 'E'/'EE', single 'H' raise with the reference's error texts
+    - X maps to JDK 'x' (Go '-07' prints '+00' at UTC, never 'Z')
+    - '\\c' escapes one char; '...' quotes literal text; '' is a real quote
+    """
+    out: list[str] = []
+
+    def lit(text: str) -> None:
+        # JDK patterns treat every ASCII letter as a token — quote any
+        # literal run containing one; embedded quotes double
+        if not text:
+            return
+        if any(ch.isalpha() for ch in text) or "'" in text:
+            out.append("'" + text.replace("'", "''") + "'")
+        else:
+            out.append(text)
+
+    i, n = 0, len(fmt)
+    while i < n:
+        r = fmt[i]
+
+        def run(cap: int) -> int:
+            # length of the same-char run starting at i, capped like the
+            # reference's `j <= cap` loop (so j may reach cap+1)
+            j = 1
+            while i + j < n and j <= cap and fmt[i + j] == r:
+                j += 1
+            return j
+
+        if r == "\\":
+            if i + 1 >= n:
+                raise ValueError(f"{fmt} is invalid")
+            lit(fmt[i + 1])
+            i += 2
+        elif r in ("Y", "y"):
+            j = run(4)
+            if j == 4:
+                out.append("yyyy")
+            elif j == 2:
+                out.append("yy")
+            else:
+                raise ValueError(f"invalid time format {fmt} for Y/y")
+            i += j
+        elif r == "G":
+            out.append("G")
+            i += 1
+        elif r == "M":
+            j = run(4)
+            out.append({1: "M", 2: "MM", 3: "MMM", 4: "MMMM"}.get(j, ""))
+            i += j
+        elif r == "d":
+            j = run(2)
+            out.append({1: "d", 2: "dd"}.get(j, ""))
+            i += j
+        elif r == "E":
+            j = run(4)
+            if j == 3:
+                out.append("EEE")
+            elif j == 4:
+                out.append("EEEE")
+            else:
+                raise ValueError(f"invalid time format {fmt} for E")
+            i += j
+        elif r == "H":
+            j = run(2)
+            if j == 2:
+                out.append("HH")
+            else:
+                raise ValueError(
+                    f"invalid time format {fmt} of H, only HH is supported"
+                )
+            i += j
+        elif r == "h":
+            j = run(2)
+            out.append({1: "h", 2: "hh"}.get(j, ""))
+            i += j
+        elif r == "a":
+            out.append("a")
+            i += 1
+        elif r == "m":
+            j = run(2)
+            out.append({1: "m", 2: "mm"}.get(j, ""))
+            i += j
+        elif r == "s":
+            j = run(2)
+            out.append({1: "s", 2: "ss"}.get(j, ""))
+            i += j
+        elif r == "S":
+            j = 1
+            while i + j < n and fmt[i + j] == "S":
+                j += 1
+            out.append("." + "S" * j)
+            i += j
+        elif r == "z":
+            out.append("zzz")
+            i += 1
+        elif r == "Z":
+            out.append("Z")
+            i += 1
+        elif r == "X":
+            j = run(3)
+            out.append({1: "x", 2: "xx", 3: "xxx"}.get(j, ""))
+            i += j
+        elif r == "'":
+            if i + 1 < n and fmt[i + 1] == "'":
+                lit("'")
+                i += 2
+            else:
+                j = i + 1
+                while j < n and fmt[j] != "'":
+                    j += 1
+                lit(fmt[i + 1 : j])
+                i = j + 1
+        else:
+            lit(r)
+            i += 1
+    return "".join(out)
 
 
 reg("now", "current_timestamp", "local_timestamp")(lambda c, r: F.current_timestamp())
@@ -408,9 +523,14 @@ reg("keys")(lambda c, r: F.map_keys(c[0]))
 reg("values")(lambda c, r: F.map_values(c[0]))
 reg("object")(lambda c, r: F.map_from_arrays(c[0], c[1]))
 # nil KEYS drop their pair (funcs_obj.go:167-181: `if args[i] != nil`);
-# an all-nil-keys construct is the empty map
+# an all-nil-keys construct is the empty map.  NON-STRING keys are an
+# ERROR, not a cast (funcs_obj.go cast.ToString CONVERT_SAMEKIND fails
+# on numbers/bools -> 'key %v is not a string').
 @reg("object_construct")
 def _object_construct(c, r):
+    for i in range(0, len(r), 2):
+        if r[i] is not None and not isinstance(r[i], str):
+            raise ValueError(f"key {r[i]} is not a string")
     entries = [
         F.struct(c[i].cast("string").alias("key"), c[i + 1].alias("value"))
         for i in range(0, len(c), 2)
@@ -467,7 +587,19 @@ def _zip_fn(c, r):
 # --------------------------------------------------------------------------
 # JSON (funcs_misc.go:136-148,527-560) — jsonpath via get_json_object
 # --------------------------------------------------------------------------
-reg("to_json")(lambda c, r: F.to_json(c[0]))
+# to_json is Go json.Marshal of ANY value (funcs_misc.go:136-147):
+# scalars serialize too (to_json(42) -> "42", to_json('s') -> "\"s\"")
+# and null fields inside objects are KEPT as null.  Spark's to_json only
+# accepts struct/array/map, so wrap the value in a one-field struct and
+# strip the {"v": ... } envelope — uniform over every input type.
+@reg("to_json")
+def _to_json(c, r):
+    j = F.to_json(
+        F.struct(c[0].alias("v")), {"ignoreNullFields": "false"}
+    )
+    body = j.substr(F.lit(6), F.length(j) - F.lit(6))
+    # returnNilIfHasAnyNil: a nil input yields nil, not "null"
+    return F.when(c[0].isNull(), F.lit(None).cast("string")).otherwise(body)
 reg("parse_json")(lambda c, r: F.parse_json(c[0]))
 reg("json_path_query", "json_path_query_first")(lambda c, r: F.get_json_object(c[0], r[1]))
 reg("json_path_exists")(lambda c, r: F.get_json_object(c[0], r[1]).isNotNull())
@@ -481,11 +613,24 @@ reg("sha1")(lambda c, r: F.sha1(c[0].cast("binary")))
 reg("sha256")(lambda c, r: F.sha2(c[0].cast("binary"), 256))
 reg("sha384")(lambda c, r: F.sha2(c[0].cast("binary"), 384))
 reg("sha512")(lambda c, r: F.sha2(c[0].cast("binary"), 512))
-reg("crc32")(lambda c, r: F.crc32(c[0].cast("binary")))
+# crc32 returns the checksum as a LOWERCASE HEX STRING, not a number
+# (funcs_misc.go:381-389: fmt.Sprintf("%x", ChecksumIEEE) — no padding)
+reg("crc32")(lambda c, r: F.lower(F.hex(F.crc32(c[0].cast("binary")))))
 reg("encode")(lambda c, r: F.base64(c[0].cast("binary")))  # base64 only (as reference)
 reg("decode")(lambda c, r: F.unbase64(c[0]))
 reg("hex2dec")(lambda c, r: F.conv(F.regexp_replace(c[0], "^0x", ""), 16, 10).cast("bigint"))
-reg("dec2hex")(lambda c, r: F.concat(F.lit("0x"), F.lower(F.hex(c[0]))))
+
+
+@reg("dec2hex")
+def _dec2hex(c, r):
+    # "0x" + strconv.FormatInt(v, 16) (funcs_misc.go:667-676): Go renders
+    # negatives as a signed magnitude ("0x-ff"), NOT two's complement
+    v = c[0].cast("long")
+    mag = F.lower(F.hex(F.abs(v)))
+    return F.concat(
+        F.lit("0x"),
+        F.when(v < 0, F.concat(F.lit("-"), mag)).otherwise(mag),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -530,15 +675,40 @@ def _decompress_fn(c, r):
 reg("isnull")(lambda c, r: c[0].isNull())
 reg("isnotnull")(lambda c, r: c[0].isNotNull())
 reg("coalesce")(lambda c, r: F.coalesce(*c))
-reg("chr")(lambda c, r: F.char(c[0]))
+# chr returns the RUNE — a codepoint NUMBER, not a character string
+# (funcs_misc.go:167-185: rune(v) for int/float; r[0] for a 1-char
+# string; json.Marshal(rune) serializes as an int)
+@reg("chr")
+def _chr(c, r):
+    if isinstance(r[0], str):
+        if len(r[0].encode()) > 1:
+            raise ValueError("Parameter length cannot larger than 1.")
+        return F.lit(ord(r[0])).cast("long")
+    if isinstance(r[0], bool):
+        raise ValueError(
+            "Only bigint, float and string type can be convert to char type."
+        )
+    if isinstance(r[0], (int, float)):
+        return F.lit(int(r[0])).cast("long")
+    # column input: numeric kinds truncate to the codepoint; strings
+    # yield their first rune's codepoint
+    num = c[0].try_cast("double")
+    return F.when(num.isNotNull(), num.cast("long")).otherwise(
+        F.ascii(c[0].cast("string")).cast("long")
+    )
 # trunc is NOT a truncation: funcs_misc.go:686-689 toFixed =
 # round(x*10^p)/10^p with round() = int(x + copysign(0.5, x)) —
 # half-away-from-zero rounding, exactly Spark's HALF_UP round.
 # floor-based truncation would drift on every negative non-half
 # (trunc(-3.141, 2): reference -3.14, floor gives -3.15).
+# Both precision paths use the same FLOAT-PRODUCT formula: toFixed
+# rounds num*10^p as a float64, so representation-edge inputs follow the
+# product's value (trunc(2.675, 2) -> 2.67 via 267.4999…), which
+# F.round(double, p) on the shortest-repr decimal would miss.
 reg("trunc")(
     lambda c, r: (
-        F.round(c[0].cast("double"), int(r[1]))
+        F.round(c[0].cast("double") * F.pow(F.lit(10.0), F.lit(int(r[1]))), 0)
+        / F.pow(F.lit(10.0), F.lit(int(r[1])))
         if r[1] is not None
         else F.round(c[0] * F.pow(F.lit(10.0), c[1]), 0)
         / F.pow(F.lit(10.0), c[1])

@@ -3956,6 +3956,20 @@ class Translator:
             out = out.filter(F.col("error").isNull()).drop("error")
         return out
 
+    def _file_metadata_col(self, key: str | None) -> Column:
+        """Spark's hidden _metadata struct exists only for file-scan
+        sources; for register_df/memory sources absent metadata is NIL
+        like the reference's meta() (funcs_misc.go:489 returns the raw
+        metadata value, nil when the source attached none) — not an
+        UNRESOLVED_COLUMN analysis error."""
+        try:
+            if self._cur_df is not None:
+                self._cur_df.select("_metadata")
+                return F.col("_metadata" if key is None else f"_metadata.{key}")
+        except Exception:
+            pass
+        return F.lit(None).cast("string")
+
     def _func(self, call: FuncCall, ctx: TranslateCtx) -> Column:
         name = call.name
 
@@ -4001,7 +4015,7 @@ class Translator:
             # file messages carry no broker message id
             key = call.args[0].name.lower() if isinstance(call.args[0], ColumnRef) else str(self._raw(call.args[0])).lower()
             if key == "topic":
-                return F.col("_metadata.file_path")
+                return self._file_metadata_col("file_path")
             if key == "messageid":
                 return F.lit(None).cast("string")
             raise ValueError("mqtt() takes topic or messageid")
@@ -4020,16 +4034,16 @@ class Translator:
                     self._raw(a0) or ""
                 ).lower()
             if not key:
-                return F.col("_metadata")
+                return self._file_metadata_col(None)
             if key == "topic":
                 d = self.catalog.get(self._cur_stmt.source) if self._cur_stmt else None
                 topic = (d.options or {}).get("topic") if d else None
                 topic = topic or (d.path if d else None)
                 if topic:
                     return F.lit(str(topic))
-                return F.col("_metadata.file_path")
+                return self._file_metadata_col("file_path")
             if key in ("file_path", "file_name", "file_size", "file_modification_time"):
-                return F.col(f"_metadata.{key}")
+                return self._file_metadata_col(key)
             return F.lit(None).cast("string")
 
         if name in ("rule_id", "rule_start", "props"):
@@ -4185,14 +4199,10 @@ class Translator:
             # resolve by a compile-time schema probe (no job runs)
             if self._probe_type(cols[0]) in ("array", "map"):
                 return F.size(cols[0])
-        if name.lower() == "to_json" and cols:
-            # the reference JSON-encodes ANY value (funcs_misc_test.go:
-            # 135-175: to_json("foo") = '"foo"'); Spark's to_json only
-            # takes containers, so scalars encode through a one-element
-            # array with the brackets stripped (escaping preserved)
-            if self._probe_type(cols[0]) not in ("struct", "array", "map", "variant"):
-                arr = F.to_json(F.array(cols[0]))
-                return arr.substr(F.lit(2), F.length(arr) - 2)
+        # (to_json's encode-any-value semantics live in the registry
+        # builder now: a one-field-struct envelope handles scalars AND
+        # containers uniformly, keeps null fields, and returns nil for a
+        # nil input per returnNilIfHasAnyNil)
         if (
             name.lower() in ("object_pick", "erase")
             and len(cols) == 2

@@ -210,3 +210,22 @@ def test_cap_per_group_deterministic_without_order(spark, catalog):
     a = {r["doc_id"] for r in cap_per_group(d, "source", 3).collect()}
     b = {r["doc_id"] for r in cap_per_group(d, "source", 3).collect()}
     assert a == b and len(a) > 0
+
+
+def test_cap_per_group_with_map_column(spark):
+    """The no-order tiebreak hashes only hashable columns: a frame that
+    carries a map (or variant) column must still cap cleanly — Spark
+    forbids hash expressions on MapType."""
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark.datapipe.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(10)], "g string, i int"
+    ).withColumn("m", F.create_map(F.lit("k"), F.col("i")))
+    out = cap_per_group(df, "g", 3)
+    assert out.count() == 6
+    # deterministic across runs
+    a = {(r["g"], r["i"]) for r in cap_per_group(df, "g", 3).collect()}
+    b = {(r["g"], r["i"]) for r in cap_per_group(df, "g", 3).collect()}
+    assert a == b

@@ -70,7 +70,10 @@ def one(spark, catalog, expr: str):
         ("cast('42', 'bigint')", 42),
         ("cast(1, 'boolean')", True),
         ("trunc(3.14159, 2)", 3.14),
-        ("chr(65)", "A"),
+        # chr returns the rune codepoint NUMBER (funcs_misc.go:167-185:
+        # rune(v) — json-serializes as an int, not a character string)
+        ("chr(65)", 65),
+        ("chr('A')", 65),
         # case/ops through the evaluator
         ("CASE WHEN 1 > 2 THEN 'a' ELSE 'b' END", "b"),
         ("5 % 3", 2),

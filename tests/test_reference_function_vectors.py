@@ -221,6 +221,83 @@ VECTORS = [
     ("dt_date_calc_sub_day",
      "format_time(date_calc(cast('2019-01-01 00:00:00', 'datetime'), '-24h'),"
      " 'yyyy-MM-dd')", "2018-12-31"),
+    # ---- cast/time.go:179 convertFormat token walk (vectors from
+    #      cast/time_test.go:46-77 TestFormatTime and :288-303
+    #      TestConvertFormat — the format dialect's corner tokens) ----
+    # an S-run emits the decimal dot itself (Go '.000' layouts)
+    ("dt_fmt_srun_emits_dot",
+     "format_time(cast('2020-01-16 02:14:24.913', 'datetime'),"
+     " 'YYYY-MM-dd HH:mm:ssSSS')", "2020-01-16 02:14:24.913"),
+    # unknown letters are literals, not pattern errors
+    ("dt_fmt_literal_T",
+     "format_time(cast('2020-01-16 02:14:24', 'datetime'),"
+     " 'YYYY-MM-dd T HH:mm:ss')", "2020-01-16 T 02:14:24"),
+    # TestConvertFormat's exact layout: backslash escape, SS run, XX offset
+    ("dt_fmt_backslash_escape",
+     "format_time(cast('2020-01-16 02:14:24.913', 'datetime'),"
+     " 'yyyy-MM-ddTHH:mm:ssSS\\ZXX')", "2020-01-16T02:14:24.91Z+0000"),
+    # X prints the numeric offset even at UTC (Go '-07', never 'Z')
+    ("dt_fmt_x_offset_utc",
+     "format_time(cast('2020-01-16 02:14:24', 'datetime'), 'HH:mmX')",
+     "02:14+00"),
+    ("dt_fmt_xxx_offset_utc",
+     "format_time(cast('2020-01-16 02:14:24', 'datetime'), 'HH:mmXXX')",
+     "02:14+00:00"),
+    ("dt_fmt_cap_z_offset",
+     "format_time(cast('2020-01-16 02:14:24', 'datetime'), 'HH:mmZ')",
+     "02:14+0000"),
+    # 12-hour clock + meridiem, era, quoted literal text, doubled quote
+    ("dt_fmt_12h_meridiem",
+     "format_time(cast('2020-01-16 14:05:00', 'datetime'), 'hh:mm a')",
+     "02:05 PM"),
+    ("dt_fmt_era",
+     "format_time(cast('2020-01-16 00:00:00', 'datetime'), 'yyyy G')",
+     "2020 AD"),
+    ("dt_fmt_quoted_text",
+     "format_time(cast('2020-01-16 02:14:00', 'datetime'), '''at'' HH:mm')",
+     "at 02:14"),
+    ("dt_fmt_fsp2_truncates",
+     "format_time(cast('2020-01-16 02:14:24.917', 'datetime'), 'ssSS')",
+     "24.91"),
+    # ---- funcs_misc.go walk (chr/crc32/dec2hex/hex2dec/to_json/isnull/
+    #      trunc — the executable contracts, not the docs') ----
+    # chr returns rune(v): a codepoint NUMBER (funcs_misc.go:167-185)
+    ("misc_chr_int", "chr(65)", 65),
+    ("misc_chr_str", "chr('A')", 65),
+    ("misc_chr_float_truncates", "chr(66.7)", 66),
+    # crc32 prints %x — lowercase hex STRING, unpadded (funcs_misc.go:381)
+    ("misc_crc32_hex_string", "crc32('hello')", "3610a686"),
+    ("misc_crc32_empty", "crc32('')", "0"),
+    # dec2hex: Go FormatInt signed magnitude (funcs_misc.go:667-676)
+    ("misc_dec2hex_pos", "dec2hex(255)", "0xff"),
+    ("misc_dec2hex_neg", "dec2hex(0 - 255)", "0x-ff"),
+    ("misc_dec2hex_zero", "dec2hex(0)", "0x0"),
+    ("misc_hex2dec_prefix", "hex2dec('0x10')", 16),
+    ("misc_hex2dec_bare", "hex2dec('ff')", 255),
+    # to_json is json.Marshal of ANY value — scalars serialize too,
+    # strings get quoted (funcs_misc.go:136-147)
+    ("misc_to_json_int", "to_json(42)", "42"),
+    ("misc_to_json_str", "to_json('s')", "\"s\""),
+    ("misc_to_json_nil", "to_json(nullcol)", None),
+    ("misc_to_json_arr", "to_json(array(1, 2))", "[1,2]"),
+    ("misc_isnull_true", "isnull(nullcol)", True),
+    ("misc_isnull_false", "isnull(1)", False),
+    # convert_tz re-expresses the instant in the target zone's wall clock
+    # THROUGH its DST rules (time.LoadLocation): 2022-03-13 07:30 UTC is
+    # 03:30 EDT (spring-forward has happened at 07:00 UTC), and
+    # 2022-11-06 07:00 UTC is 02:00 EST (fall-back at 06:00 UTC)
+    ("misc_convert_tz_dst_spring",
+     "format_time(convert_tz(cast('2022-03-13 07:30:00', 'datetime'),"
+     " 'America/New_York'), 'yyyy-MM-dd HH:mm:ss')", "2022-03-13 03:30:00"),
+    ("misc_convert_tz_dst_fall",
+     "format_time(convert_tz(cast('2022-11-06 07:00:00', 'datetime'),"
+     " 'America/New_York'), 'yyyy-MM-dd HH:mm:ss')", "2022-11-06 02:00:00"),
+    # trunc follows the float64 PRODUCT num*10^p (funcs_misc.go:686-689
+    # toFixed): 1.005*100 = 100.4999... so the reference yields 1.0 where
+    # decimal-repr HALF_UP (Spark's round(col, 2)) would say 1.01
+    ("misc_trunc_repr_edge", "trunc(1.005, 2)", 1.0),
+    ("misc_trunc_half_up", "trunc(2.675, 2)", 2.68),
+    ("misc_trunc_neg_half", "trunc(0 - 2.675, 2)", -2.68),
     # ---- funcs_str.go semantics pins (drift hunt: lpad/rpad are
     #      PREPEND/APPEND-n-spaces via strings.Repeat, funcs_str.go:
     #      104-116/197-209 — not pad-to-width; trim family strips ALL
@@ -230,9 +307,13 @@ VECTORS = [
     #      0-based with an exclusive end, clamped at the string length) --
     ("lpad_prepends_spaces", "lpad('hello', 2)", "  hello"),
     ("rpad_appends_spaces", "rpad('hello', 3)", "hello   "),
-    ("ltrim_unicode_space", "ltrim(concat(chr(9), ' hello '))", "hello "),
-    ("rtrim_unicode_space", "rtrim(concat(' hello ', chr(10)))", " hello"),
-    ("trim_unicode_space", "trim(concat(chr(10), ' hello ', chr(9)))", "hello"),
+    # NB the whitespace rides as literal control chars: chr() cannot build
+    # it — chr returns a rune, and concat's ToStringAlways renders a rune
+    # as its NUMBER ("%v" of int32), so concat(chr(9), x) = "9"+x
+    ("ltrim_unicode_space", "ltrim('\t hello ')", "hello "),
+    ("rtrim_unicode_space", "rtrim(' hello \n')", " hello"),
+    ("trim_unicode_space", "trim('\n hello \t')", "hello"),
+    ("concat_rune_is_number", "concat(chr(9), 'x')", "9x"),
     ("indexof_hit", "indexof('hello', 'l')", 2),
     ("indexof_miss", "indexof('hello', 'z')", -1),
     ("indexof_nil", "indexof(nullcol, 'z')", -1),
@@ -767,3 +848,53 @@ def test_approx_percentile_extension(spark):
         cat,
     ).collect()[0]
     assert row["p50"] == 50 and row["p90"] == 90
+
+
+def test_format_time_invalid_patterns_error(spark):
+    """convertFormat rejects YYY, E/EE, single H, and a trailing backslash
+    with specific error texts (cast/time.go:205,255,269,188; vectors from
+    cast/time_test.go:63-67,288-295)."""
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    cases = [
+        ("YYY", "for Y/y"),
+        ("E HH:mm", "for E"),
+        ("H:mm", "only HH is supported"),
+        ("\\", "is invalid"),
+    ]
+    for fmt, msg in cases:
+        with pytest.raises(Exception, match=msg):
+            compile_sql(
+                spark,
+                f"SELECT format_time(ts, '{fmt}') AS x FROM events",
+                cat,
+            ).collect()
+
+
+def test_meta_on_dataframe_source_is_nil(spark):
+    """meta()/mqtt() on a source with no file scan and no registered topic
+    return nil like the reference's meta for absent metadata
+    (funcs_misc.go:489), not an UNRESOLVED_COLUMN analysis error."""
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    df = spark.createDataFrame([(1,)], "k int")
+    cat.register_df("memsrc", df)
+    row = compile_sql(
+        spark,
+        "SELECT meta(topic) AS t, meta(file_path) AS p, mqtt(topic) AS mt,"
+        " k FROM memsrc",
+        cat,
+    ).collect()[0]
+    assert row["t"] is None and row["p"] is None and row["mt"] is None
+    assert row["k"] == 1
+
+
+def test_object_construct_non_string_key_errors(spark):
+    """object_construct rejects non-string literal keys with the
+    reference's error (funcs_obj.go cast.ToString CONVERT_SAMEKIND:
+    'key %v is not a string') instead of casting to string."""
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    with pytest.raises(Exception, match="key 1 is not a string"):
+        compile_sql(
+            spark,
+            "SELECT object_construct(1, 'v') AS o FROM events",
+            cat,
+        ).collect()
