@@ -56,8 +56,11 @@ class FuncCall(Node):
     name: str
     args: list[Node] = field(default_factory=list)
     # analytic funcs support OVER (PARTITION BY ...) WHEN cond
-    # (internal/binder/function/funcs_analytic.go:124-207)
+    # (internal/binder/function/funcs_analytic.go:124-207); window funcs
+    # (row_number) additionally take ORDER BY sort fields
+    # (xsql/parser.go:1781-1787 parseOver -> c.SortFields)
     partition_by: list[Node] = field(default_factory=list)
+    order_by: list["SortSpec"] = field(default_factory=list)
     when: Optional[Node] = None
 
 

@@ -498,6 +498,11 @@ class Parser:
                 call.partition_by.append(self.parse_expr())
                 while self.accept_op(","):
                     call.partition_by.append(self.parse_expr())
+            if self.accept_kw("order"):
+                # window funcs rank by explicit sort fields
+                # (xsql/parser.go:1781-1787)
+                self.expect_kw("by")
+                call.order_by = self.parse_sorts()
             if self.accept_kw("when"):
                 call.when = self.parse_expr()
             self.expect_op(")")

@@ -3314,7 +3314,20 @@ class Translator:
             part = [F.col(c) for c in ctx.windowfunc_partition]
         if not part:
             part = [F.lit(1)]
-        order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
+        if call.order_by:
+            # explicit OVER (... ORDER BY b [DESC]) sort fields
+            # (windowfunc_operator.go:115-127 sorts each partition by
+            # SortFields via OrderOp before assigning ranks; OrderOp puts
+            # nil keys LAST in both directions)
+            order = [
+                self._expr(s.expr, ctx).asc_nulls_last() if s.asc
+                else self._expr(s.expr, ctx).desc_nulls_last()
+                for s in call.order_by
+            ]
+        else:
+            order = [F.col(c) for c in ctx.order_cols] or [
+                F.monotonically_increasing_id()
+            ]
         return W.partitionBy(*part).orderBy(*order)
 
     def _sliding_buckets(self, df: DataFrame, w, ctx: TranslateCtx) -> DataFrame:

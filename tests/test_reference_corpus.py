@@ -2321,3 +2321,37 @@ def test_unwindowed_having_gates_whole_collection(spark):
             spark, cat, 'SELECT id1 FROM src1 HAVING avg(id1) > 1 AND f1 = "v1"'
         ).collect()
     ) == [1, 2, 5]
+
+
+def test_window_func_partition_order_by(spark):
+    """TestWindowFuncApplyCollection (windowfunc_operator_test.go:28-171):
+    row_number() OVER (PARTITION BY a ORDER BY b) ranks within each
+    partition by the explicit sort fields, and OVER (ORDER BY b) ranks the
+    whole collection by them — not by arrival order."""
+    cat = Catalog()
+    rows = [(1, 2, 1000), (1, 1, 2000), (2, 2, 3000), (2, 1, 4000)]
+    cat.register_df(
+        "wf", spark.createDataFrame(rows, "a long, b long, ts long")
+    )
+    df = compile_sql(
+        spark,
+        "select a, b, row_number() over (partition by a order by b) as rn "
+        "from wf group by TUMBLINGWINDOW(ss, 100)",
+        cat,
+        order_cols=["ts"],
+    )
+    got = sorted((r["a"], r["b"], r["rn"]) for r in df.collect())
+    # arrival order is b-descending inside each a; ranks follow b ASC
+    assert got == [(1, 1, 1), (1, 2, 2), (2, 1, 1), (2, 2, 2)]
+
+    df2 = compile_sql(
+        spark,
+        "select a, b, row_number() over (order by b desc) as rn "
+        "from wf group by TUMBLINGWINDOW(ss, 100)",
+        cat,
+        order_cols=["ts"],
+    )
+    got2 = sorted((r["rn"], r["a"], r["b"]) for r in df2.collect())
+    assert [g[0] for g in got2] == [1, 2, 3, 4]
+    # highest b gets rank 1 (ties broken deterministically)
+    assert {g[2] for g in got2[:2]} == {2}
