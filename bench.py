@@ -81,18 +81,9 @@ BENCH_EXTRA = {
 }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    spark = get_spark("bench")
-    qs = entrymod.queries()
-
-    # warm the JVM + parquet datasource with one tiny action so q1 doesn't
-    # pay one-time startup (file index, codegen bootstrap)
-    spark.range(1).count()
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
-
+def _measure(spark, qs, sf_dir: str, reps: int, tag: str = ""):
+    """Run the HEADLINE set at sf_dir; returns (per-query medians, total,
+    errors)."""
     results: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     total = 0.0
@@ -111,7 +102,7 @@ def main() -> None:
                 spark.catalog.clearCache()
             except Exception as e:
                 errors[name] = f"{type(e).__name__}: {e}"
-                print(f"# {name} rep{rep} FAILED: {e}", file=sys.stderr)
+                print(f"# {tag}{name} rep{rep} FAILED: {e}", file=sys.stderr)
                 traceback.print_exc(file=sys.stderr)
                 break  # same query will fail identically; don't retry
         if times:
@@ -119,12 +110,50 @@ def main() -> None:
             results[name] = round(med, 3)
             total += med
             print(
-                f"# {name}: median {med:.3f}s over {len(times)} reps "
+                f"# {tag}{name}: median {med:.3f}s over {len(times)} reps "
                 f"({', '.join(f'{t:.3f}' for t in times)})",
                 file=sys.stderr,
             )
         else:
             results[name] = None
+    return results, total, errors
+
+
+def _ensure_sf1(sf1_dir: str) -> bool:
+    """Generate the 10x dataset via tools/gen_sf1.py if absent (seeded,
+    structure-preserving — see that file's docstring).  Cached across
+    runs; returns False if generation fails."""
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    if all(os.path.exists(f"{sf1_dir}/{t}.parquet") for t in tables):
+        return True
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import gen_sf1
+
+        gen_sf1.main(sf1_dir)
+        return True
+    except Exception as e:
+        print(f"# sf1 generation failed: {e}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        return False
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet datasource with one tiny action so q1 doesn't
+    # pay one-time startup (file index, codegen bootstrap)
+    spark.range(1).count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    results, total, errors = _measure(spark, qs, sf_dir, reps)
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -136,6 +165,31 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # 10x scaling check: one cold rep of the same query set on the
+    # generated sf1 dataset, reported as its own section so the scaling
+    # ratio is captured third-party per round.  Disable with
+    # SPARK_GRAFT_SF1=0 or --no-sf1; only meaningful from the sf0.1 base.
+    want_sf1 = (
+        os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+        and "--no-sf1" not in sys.argv
+        and abs(sf - 0.1) < 1e-9
+    )
+    if want_sf1:
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+        if _ensure_sf1(sf1_dir):
+            r1, t1, e1 = _measure(spark, qs, sf1_dir, 1, tag="sf1/")
+            out["sf1"] = {
+                "value": round(t1, 3),
+                "unit": "sec",
+                "queries": r1,
+                "reps": 1,
+                "data_ratio": 10,
+                "wall_ratio_vs_sf0_1": round(t1 / total, 2) if total else None,
+            }
+            if e1:
+                out["sf1"]["errors"] = e1
+
     print(json.dumps(out))
 
 
