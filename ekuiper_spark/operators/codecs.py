@@ -189,7 +189,28 @@ def encode_protobuf(
 # Decode/encode run as Arrow-batched mapInPandas — a binary wire format is
 # inherently per-row Python work; batches keep the transfer vectorized.
 
-_PB_WIRE = {"int64": 0, "sint64": 0, "bool": 0, "double": 1, "string": 2, "bytes": 2, "float": 5}
+# A message schema is an ordered list of field entries
+# (field_number, name, type[, subschema]); `type` may carry a
+# "repeated " prefix, and type "message" nests a subschema list —
+# enough to express the reference's own .proto test corpus
+# (internal/schema/test/test1.proto Person/ListOfDoubles,
+# test3.proto DrivingData with enums + nested messages).
+_PB_WIRE = {
+    "int64": 0, "int32": 0, "uint64": 0, "enum": 0, "sint64": 0,
+    "bool": 0, "double": 1, "string": 2, "bytes": 2, "message": 2,
+    "float": 5,
+}
+
+
+def _pb_field(field):
+    """(num, name, base_type, repeated, subschema) from a schema entry."""
+    num, name, typ = int(field[0]), str(field[1]), str(field[2])
+    sub = field[3] if len(field) > 3 else None
+    repeated = typ.startswith("repeated ") or typ == "repeated"
+    base = typ.split(" ", 1)[1] if typ.startswith("repeated ") else typ
+    if repeated and typ == "repeated":
+        base = "message" if sub is not None else "int64"
+    return num, name, base, repeated, sub
 
 
 def _pb_write_varint(n: int) -> bytes:
@@ -218,41 +239,87 @@ def _pb_read_varint(buf: bytes, pos: int) -> tuple[int, int]:
             raise ValueError("malformed varint")
 
 
-def pb_encode_row(values: dict, schema: Sequence[tuple[int, str, str]]) -> bytes:
+def _pd_isnull(v) -> bool:
+    """pandas-null check that treats list/array cells (repeated fields)
+    as present — pd.isna on them is elementwise/ambiguous."""
+    import pandas as pd
+
+    try:
+        r = pd.isna(v)
+    except (TypeError, ValueError):
+        return False
+    return bool(r) if not hasattr(r, "__iter__") else False
+
+
+def _pb_encode_scalar(typ: str, v) -> bytes:
     import struct
 
+    if typ in ("int64", "int32", "uint64", "enum"):
+        return _pb_write_varint(int(v))
+    if typ == "sint64":
+        n = int(v)
+        return _pb_write_varint((n << 1) ^ (n >> 63))  # zigzag
+    if typ == "bool":
+        return _pb_write_varint(1 if v else 0)
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    if typ == "float":
+        return struct.pack("<f", float(v))
+    if typ == "string":
+        b = str(v).encode("utf-8")
+        return _pb_write_varint(len(b)) + b
+    b = bytes(v)  # bytes
+    return _pb_write_varint(len(b)) + b
+
+
+def pb_encode_row(values: dict, schema: Sequence[Sequence[Any]]) -> bytes:
     out = bytearray()
-    for num, name, typ in schema:
+    for field in schema:
+        num, name, base, repeated, sub = _pb_field(field)
         v = values.get(name)
         if v is None:
-            continue  # proto3: absent/default fields are not serialized
-        wire = _PB_WIRE[typ]
-        out += _pb_write_varint((num << 3) | wire)
-        if typ == "int64":
-            out += _pb_write_varint(int(v))
-        elif typ == "sint64":
-            n = int(v)
-            out += _pb_write_varint((n << 1) ^ (n >> 63))  # zigzag
-        elif typ == "bool":
-            out += _pb_write_varint(1 if v else 0)
-        elif typ == "double":
-            out += struct.pack("<d", float(v))
-        elif typ == "float":
-            out += struct.pack("<f", float(v))
-        elif typ == "string":
-            b = str(v).encode("utf-8")
-            out += _pb_write_varint(len(b)) + b
-        elif typ == "bytes":
-            b = bytes(v)
-            out += _pb_write_varint(len(b)) + b
+            continue  # absent/default fields are not serialized
+        items = list(v) if repeated else [v]
+        wire = _PB_WIRE[base]
+        for item in items:
+            out += _pb_write_varint((num << 3) | wire)
+            if base == "message":
+                body = pb_encode_row(item, sub or [])
+                out += _pb_write_varint(len(body)) + body
+            else:
+                out += _pb_encode_scalar(base, item)
     return bytes(out)
 
 
-def pb_decode_bytes(buf: bytes, schema: Sequence[tuple[int, str, str]]) -> dict:
+def _pb_decode_scalar(base: str, wire: int, raw) -> Any:
     import struct
 
-    by_num = {num: (name, typ) for num, name, typ in schema}
-    out: dict[str, Any] = {name: None for _, name, _ in schema}
+    if base in ("int64", "int32", "enum"):
+        return raw - (1 << 64) if raw >= (1 << 63) else raw
+    if base == "uint64":
+        return raw
+    if base == "sint64":
+        return (raw >> 1) ^ -(raw & 1)
+    if base == "bool":
+        return bool(raw)
+    if base == "double":
+        return struct.unpack("<d", raw)[0]
+    if base == "float":
+        return struct.unpack("<f", raw)[0]
+    if base == "string":
+        return raw.decode("utf-8")
+    return bytes(raw)
+
+
+def pb_decode_bytes(buf: bytes, schema: Sequence[Sequence[Any]]) -> dict:
+    import struct
+
+    by_num = {}
+    out: dict[str, Any] = {}
+    for field in schema:
+        num, name, base, repeated, sub = _pb_field(field)
+        by_num[num] = (name, base, repeated, sub)
+        out[name] = [] if repeated else None
     pos, end = 0, len(buf)
     while pos < end:
         tag, pos = _pb_read_varint(buf, pos)
@@ -270,22 +337,28 @@ def pb_decode_bytes(buf: bytes, schema: Sequence[tuple[int, str, str]]) -> dict:
             raise ValueError(f"unsupported wire type {wire}")
         if num not in by_num:
             continue  # skip unknown fields (forward compatibility)
-        name, typ = by_num[num]
-        if typ == "int64":
-            v = raw - (1 << 64) if raw >= (1 << 63) else raw
-        elif typ == "sint64":
-            v = (raw >> 1) ^ -(raw & 1)
-        elif typ == "bool":
-            v = bool(raw)
-        elif typ == "double":
-            v = struct.unpack("<d", raw)[0]
-        elif typ == "float":
-            v = struct.unpack("<f", raw)[0]
-        elif typ == "string":
-            v = raw.decode("utf-8")
+        name, base, repeated, sub = by_num[num]
+        if base == "message":
+            vs = [pb_decode_bytes(bytes(raw), sub or [])]
+        elif repeated and wire == 2 and _PB_WIRE[base] != 2:
+            # PACKED repeated scalars (proto3 default): parse the
+            # length-delimited run element-by-element
+            vs, p2 = [], 0
+            raw = bytes(raw)
+            while p2 < len(raw):
+                if _PB_WIRE[base] == 0:
+                    x, p2 = _pb_read_varint(raw, p2)
+                elif _PB_WIRE[base] == 1:
+                    x, p2 = raw[p2 : p2 + 8], p2 + 8
+                else:
+                    x, p2 = raw[p2 : p2 + 4], p2 + 4
+                vs.append(_pb_decode_scalar(base, _PB_WIRE[base], x))
         else:
-            v = bytes(raw)
-        out[name] = v
+            vs = [_pb_decode_scalar(base, wire, raw)]
+        if repeated:
+            out[name].extend(vs)
+        else:
+            out[name] = vs[0]
     return out
 
 
@@ -296,13 +369,23 @@ SCHEMA_REGISTRY: dict[str, list[tuple[int, str, str]]] = {}
 
 
 def register_schema(name: str, fields: Sequence[Sequence[Any]]) -> None:
-    """Register a protobuf message schema: [[field_number, name, type], ...]."""
+    """Register a protobuf message schema:
+    [[field_number, name, type[, subschema]], ...] where type may carry a
+    "repeated " prefix and "message" types nest a subschema list."""
     parsed = []
     for f in fields:
-        num, fname, typ = int(f[0]), str(f[1]), str(f[2])
-        if typ not in _PB_WIRE:
-            raise ValueError(f"unsupported protobuf type {typ!r} for field {fname!r}")
-        parsed.append((num, fname, typ))
+        num, fname, base, repeated, sub = _pb_field(f)
+        if base not in _PB_WIRE:
+            raise ValueError(
+                f"unsupported protobuf type {f[2]!r} for field {fname!r}"
+            )
+        if base == "message" and sub is not None:
+            # validate the nested schema recursively (raises on bad types)
+            probe = f"__sub_{name}_{fname}"
+            register_schema(probe, sub)
+            del SCHEMA_REGISTRY[probe]
+        entry = (num, fname, str(f[2]))
+        parsed.append(entry if sub is None else (*entry, sub))
     SCHEMA_REGISTRY[name] = parsed
 
 
@@ -320,6 +403,9 @@ def resolve_schema(
 
 _PB_SPARK_TYPES = {
     "int64": T.LongType(),
+    "int32": T.LongType(),
+    "uint64": T.LongType(),
+    "enum": T.LongType(),
     "sint64": T.LongType(),
     "bool": T.BooleanType(),
     "double": T.DoubleType(),
@@ -327,6 +413,20 @@ _PB_SPARK_TYPES = {
     "string": T.StringType(),
     "bytes": T.BinaryType(),
 }
+
+
+def _pb_spark_type(field) -> T.DataType:
+    _, _, base, repeated, sub = _pb_field(field)
+    if base == "message":
+        dt: T.DataType = T.StructType(
+            [
+                T.StructField(_pb_field(f)[1], _pb_spark_type(f), True)
+                for f in (sub or [])
+            ]
+        )
+    else:
+        dt = _PB_SPARK_TYPES[base]
+    return T.ArrayType(dt) if repeated else dt
 
 
 def decode_protobuf_wire(
@@ -342,9 +442,12 @@ def decode_protobuf_wire(
     others = [c for c in df.columns if c != payload_col]
     out_schema = T.StructType(
         [df.schema[c] for c in others]
-        + [T.StructField(name, _PB_SPARK_TYPES[typ], True) for _, name, typ in schema]
+        + [
+            T.StructField(_pb_field(f)[1], _pb_spark_type(f), True)
+            for f in schema
+        ]
     )
-    names = [name for _, name, _ in schema]
+    names = [_pb_field(f)[1] for f in schema]
 
     def batches(it):
         for pdf in it:
@@ -366,12 +469,12 @@ def encode_protobuf_wire(
     import pandas as pd
 
     schema = resolve_schema(schema, schemaid)
-    names = [name for _, name, _ in schema]
+    names = [_pb_field(f)[1] for f in schema]
 
     def batches(it):
         for pdf in it:
             series = [
-                [None if pd.isna(v) else v for v in pdf[n]] for n in names
+                [None if _pd_isnull(v) else v for v in pdf[n]] for n in names
             ]
             yield pd.DataFrame(
                 {

@@ -164,3 +164,149 @@ def test_schemaless_delimited_stream(spark, tmp_path):
     q.awaitTermination()
     rows = sorted(tuple(r) for r in spark.table(name).collect())
     assert rows == [(2, 30.5, "off"), (3, 40.0, "on")]
+
+
+# --------------------------------------------------------------------------
+# reference golden bytes: internal/converter/protobuf/converter_test.go
+# --------------------------------------------------------------------------
+_PERSON = [  # internal/schema/test/test1.proto
+    (1, "name", "string"),
+    (2, "id", "int32"),
+    (3, "email", "string"),
+    (4, "code", "repeated message", [(1, "doubles", "repeated double")]),
+]
+
+_DRIVING = [  # internal/schema/test/test3.proto
+    (1, "drvg_mod", "enum"),
+    (2, "average_speed", "double"),
+    (3, "brk_pedal_sts", "message", [(1, "valid", "enum")]),
+    (4, "drvg_mod_history", "repeated enum"),
+]
+
+_BOOK = [(1, "a", "string"), (3, "c", "string"), (4, "d", "string")]
+
+
+def _set(d):
+    return {k: v for k, v in d.items() if v is not None and v != []}
+
+
+def test_protobuf_reference_encode_person():
+    """TestEncode vectors (converter_test.go:50-96): schema-absent input
+    keys are ignored, optional fields skip when unset, repeated nested
+    messages emit one length-delimited frame per element."""
+    from ekuiper_spark.operators.codecs import pb_decode_bytes, pb_encode_row
+
+    assert pb_encode_row({"name": "test", "id": 1, "age": 1}, _PERSON) == bytes(
+        [0x0A, 0x04, 0x74, 0x65, 0x73, 0x74, 0x10, 0x01]
+    )
+    assert pb_encode_row(
+        {"name": "test", "id": 1, "email": "Dddd"}, _PERSON
+    ) == bytes(
+        [0x0A, 0x04, 0x74, 0x65, 0x73, 0x74, 0x10, 0x01,
+         0x1A, 0x04, 0x44, 0x64, 0x64, 0x64]
+    )
+    golden = bytes(
+        [0x0A, 0x04, 0x74, 0x65, 0x73, 0x74, 0x10, 0x01, 0x22, 0x1B,
+         0x09, 0x9A, 0x99, 0x99, 0x99, 0x99, 0x99, 0xF1, 0x3F,
+         0x09, 0x9A, 0x99, 0x99, 0x99, 0x99, 0x99, 0x01, 0x40,
+         0x09, 0x66, 0x66, 0x66, 0x66, 0x66, 0x66, 0x0A, 0x40,
+         0x22, 0x12,
+         0x09, 0x66, 0x66, 0x66, 0x66, 0x66, 0x66, 0x0A, 0x40,
+         0x09, 0x9A, 0x99, 0x99, 0x99, 0x99, 0x99, 0xF1, 0x3F]
+    )
+    m = {
+        "name": "test", "id": 1,
+        "code": [{"doubles": [1.1, 2.2, 3.3]}, {"doubles": [3.3, 1.1]}],
+    }
+    assert pb_encode_row(m, _PERSON) == golden
+    # and the decode of the golden bytes recovers the value
+    back = _set(pb_decode_bytes(golden, _PERSON))
+    assert back == {
+        "name": "test", "id": 1,
+        "code": [{"doubles": [1.1, 2.2, 3.3]}, {"doubles": [3.3, 1.1]}],
+    }
+
+
+def test_protobuf_reference_embed_type_roundtrip():
+    """TestEmbedType (converter_test.go:98-137): enums as varints, nested
+    message with explicit zero, unpacked repeated enum history."""
+    from ekuiper_spark.operators.codecs import pb_decode_bytes, pb_encode_row
+
+    golden = bytes(
+        [0x08, 0x01, 0x11, 0xA4, 0x70, 0x3D, 0x0A, 0xD7, 0xA3, 0x56, 0x40,
+         0x1A, 0x02, 0x08, 0x00, 0x20, 0x01, 0x20, 0x02, 0x20, 0x03]
+    )
+    m = {
+        "drvg_mod": 1,
+        "average_speed": 90.56,
+        "brk_pedal_sts": {"valid": 0},
+        "drvg_mod_history": [1, 2, 3],
+    }
+    assert pb_encode_row(m, _DRIVING) == golden
+    back = _set(pb_decode_bytes(golden, _DRIVING))
+    assert back == m
+
+
+def test_protobuf_reference_oneof_decode():
+    """TestOneOfDecode (converter_test.go:33-48): only the set oneof arm
+    appears in the decoded message."""
+    from ekuiper_spark.operators.codecs import pb_decode_bytes
+
+    v = _set(pb_decode_bytes(
+        bytes([0x0A, 0x03, 0x31, 0x32, 0x33, 0x1A, 0x04, 0x31, 0x32, 0x33, 0x34]),
+        _BOOK,
+    ))
+    assert v == {"a": "123", "c": "1234"}
+    v = _set(pb_decode_bytes(
+        bytes([0x0A, 0x03, 0x31, 0x32, 0x33, 0x22, 0x04, 0x31, 0x32, 0x33, 0x34]),
+        _BOOK,
+    ))
+    assert v == {"a": "123", "d": "1234"}
+
+
+def test_protobuf_nested_repeated_through_spark(spark):
+    """The SCHEMAID registry path end-to-end: nested/repeated schema
+    registered, rows encoded and decoded through the Arrow-batched
+    mapInPandas codec."""
+    from ekuiper_spark.operators.codecs import (
+        decode_payload,
+        encode_payload,
+        register_schema,
+    )
+
+    register_schema("person_v2", _PERSON)
+    rows = [
+        ("test", 1, None, [([1.1, 2.2, 3.3],), ([3.3, 1.1],)]),
+        ("x", 2, "e@x", None),
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("code", T.ArrayType(T.StructType([
+            T.StructField("doubles", T.ArrayType(T.DoubleType()))
+        ]))),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    enc = encode_payload(df, "protobuf", schemaid="person_v2")
+    dec = decode_payload(enc, "protobuf", schemaid="person_v2")
+    got = {r["name"]: r for r in dec.collect()}
+    assert got["test"]["id"] == 1
+    assert [list(c["doubles"]) for c in got["test"]["code"]] == [
+        [1.1, 2.2, 3.3], [3.3, 1.1]
+    ]
+    assert got["x"]["email"] == "e@x" and got["x"]["code"] == []
+
+
+def test_protobuf_packed_repeated_decode():
+    """proto3 encoders PACK repeated scalars (one length-delimited run);
+    the decoder accepts both packed and unpacked forms."""
+    from ekuiper_spark.operators.codecs import pb_decode_bytes
+
+    sch = [(4, "hist", "repeated int64")]
+    packed = bytes([0x22, 0x03, 0x01, 0x02, 0x03])
+    unpacked = bytes([0x20, 0x01, 0x20, 0x02, 0x20, 0x03])
+    assert pb_decode_bytes(packed, sch)["hist"] == [1, 2, 3]
+    assert pb_decode_bytes(unpacked, sch)["hist"] == [1, 2, 3]
