@@ -74,6 +74,16 @@ class RestServer:
         # trial rules (rest.go:1065 /ruletest lifecycle)
         self.trials: dict[str, dict[str, Any]] = {}
         self._trial_ws_srv: Any = None
+        # async import tasks (internal/pkg/async/async.go AsyncManager)
+        self.async_tasks: dict[str, dict[str, Any]] = {}
+        self._async_threads: dict[str, threading.Thread] = {}
+        self._async_cancels: dict[str, threading.Event] = {}
+        # tracer config (pkg/tracer; rest.go:249 POST /tracer)
+        self.tracer_config: dict[str, Any] = {
+            "enableRemoteCollector": False,
+            "serviceName": "kuiperd-service",
+            "remoteEndpoint": "",
+        }
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -81,6 +91,14 @@ class RestServer:
                 pass
 
             def _send(self, code: int, body: Any) -> None:
+                if isinstance(body, (bytes, bytearray)):
+                    # binary download (metrics_init.go downloadHandler)
+                    self.send_response(code)
+                    self.send_header("Content-Type", "application/zip")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(bytes(body))
+                    return
                 data = json.dumps(body, default=str).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
@@ -125,6 +143,49 @@ class RestServer:
         self._thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------------ #
+    def _import_configuration(self, body: dict) -> dict[str, int]:
+        """Apply a Configuration payload (import_export.go:418
+        handleConfigurationImport): streams/tables DDL, rules, scripts,
+        schemas, uploads.  Shared by the synchronous /data/import and the
+        async /async/data/import task."""
+        import os as _os
+
+        from ekuiper_spark.functions import script as _script
+        from ekuiper_spark.operators import codecs as _codecs
+        from ekuiper_spark.plans.ddl import DDLParser
+
+        counts = {"streams": 0, "tables": 0, "rules": 0, "scripts": 0,
+                  "schemas": 0, "uploads": 0}
+        for sec in ("streams", "tables"):
+            for _, sql in sorted((body.get(sec) or {}).items()):
+                self.catalog.register(DDLParser(sql).parse_create())
+                counts[sec] += 1
+        for rid, spec in sorted((body.get("rules") or {}).items()):
+            if isinstance(spec, str):
+                spec = json.loads(spec)
+            rule = Rule(id=rid, sql=spec["sql"],
+                        actions=spec.get("actions", []),
+                        options=spec.get("options", {}),
+                        tags=spec.get("tags", []))
+            if rid in self.runtime.rules:
+                self.runtime.stop_rule(rid)
+                self.runtime.rules[rid] = rule
+            else:
+                self.runtime.create_rule(rule)
+            counts["rules"] += 1
+        for fid, src in sorted((body.get("scripts") or {}).items()):
+            _script.unregister_script_function(fid)
+            _script.register_script_function(fid, src)
+            counts["scripts"] += 1
+        for n, fields in sorted((body.get("Schema") or {}).items()):
+            _codecs.register_schema(n, [tuple(f) for f in json.loads(fields)])
+            counts["schemas"] += 1
+        for n, content in sorted((body.get("uploads") or {}).items()):
+            with open(_os.path.join(self.upload_dir, n), "w") as f:
+                f.write(content)
+            counts["uploads"] += 1
+        return counts
+
     def handle(self, method: str, path: str, body: dict) -> tuple[int, Any]:
         path, _, query = path.partition("?")
         parts = [p for p in path.split("/") if p]
@@ -455,40 +516,7 @@ class RestServer:
                     },
                 }
             if method == "POST" and parts[1:] == ["import"]:
-                from ekuiper_spark.plans.ddl import DDLParser
-
-                counts = {"streams": 0, "tables": 0, "rules": 0, "scripts": 0, "schemas": 0, "uploads": 0}
-                for sec in ("streams", "tables"):
-                    for _, sql in sorted((body.get(sec) or {}).items()):
-                        self.catalog.register(DDLParser(sql).parse_create())
-                        counts[sec] += 1
-                for rid, spec in sorted((body.get("rules") or {}).items()):
-                    if isinstance(spec, str):
-                        spec = json.loads(spec)
-                    rule = Rule(id=rid, sql=spec["sql"],
-                                actions=spec.get("actions", []),
-                                options=spec.get("options", {}),
-                                tags=spec.get("tags", []))
-                    if rid in self.runtime.rules:
-                        self.runtime.stop_rule(rid)
-                        self.runtime.rules[rid] = rule
-                    else:
-                        self.runtime.create_rule(rule)
-                    counts["rules"] += 1
-                for fid, src in sorted((body.get("scripts") or {}).items()):
-                    _script.unregister_script_function(fid)
-                    _script.register_script_function(fid, src)
-                    counts["scripts"] += 1
-                for n, fields in sorted((body.get("Schema") or {}).items()):
-                    _codecs.register_schema(
-                        n, [tuple(f) for f in json.loads(fields)]
-                    )
-                    counts["schemas"] += 1
-                for n, content in sorted((body.get("uploads") or {}).items()):
-                    with open(_os.path.join(self.upload_dir, n), "w") as f:
-                        f.write(content)
-                    counts["uploads"] += 1
-                return 200, {"imported": counts}
+                return 200, {"imported": self._import_configuration(body)}
             if method == "GET" and parts[1:] == ["import", "status"]:
                 # imports here are synchronous; status reports completion
                 return 200, {"status": "finished"}
@@ -688,6 +716,91 @@ class RestServer:
                             "error": "unable to find tuples for the given scan table"
                         }
                     return 200, res
+
+        if parts[0] == "async":
+            # async_rest.go:36-100: /async/data/import registers a
+            # background import task; /async/task/{id} reports its
+            # status; /async/task/{id}/cancel cancels it.  Status
+            # lifecycle register -> running -> finish|error|cancel
+            # (async.go:29-34, AsyncTaskStatus shape async.go:170-176).
+            import time as _time
+
+            if method == "POST" and parts[1:] == ["data", "import"]:
+                task_id = f"dataImport-{int(_time.time())}"
+                n = int(_time.time())
+                st = {
+                    "id": task_id, "status": "register", "message": "",
+                    "createdTimestamp": n, "updatedTimestamp": n,
+                }
+                self.async_tasks[task_id] = st
+                cancel = threading.Event()
+                self._async_cancels[task_id] = cancel
+
+                def work(b=body, tid=task_id, ev=cancel):
+                    s = self.async_tasks[tid]
+                    s["status"] = "running"
+                    s["updatedTimestamp"] = int(_time.time())
+                    try:
+                        counts = self._import_configuration(b)
+                        if ev.is_set():
+                            return  # cancel won the race; keep "cancel"
+                        s["status"] = "finish"
+                        s["message"] = json.dumps({"imported": counts})
+                    except Exception as e:
+                        if not ev.is_set():
+                            s["status"] = "error"
+                            s["message"] = str(e)
+                    s["updatedTimestamp"] = int(_time.time())
+
+                t = threading.Thread(target=work, daemon=True)
+                t.start()
+                self._async_threads[task_id] = t
+                return 200, {"id": task_id}
+            if parts[1] == "task" and len(parts) >= 3:
+                task_id = parts[2]
+                st = self.async_tasks.get(task_id)
+                if st is None:
+                    return 404, {"error": f"async task: {task_id} not found"}
+                if method == "GET" and len(parts) == 3:
+                    return 200, st
+                if method == "POST" and parts[3:] == ["cancel"]:
+                    self._async_cancels[task_id].set()
+                    st["status"] = "cancel"
+                    st["updatedTimestamp"] = int(__import__("time").time())
+                    return 200, {"result": "cancel success"}
+
+        if parts[0] == "tracer" and method == "POST":
+            # tracer.go:43-61 SetTracer: action start|stop toggles the
+            # remote collector; config persists for later /tracer calls
+            self.tracer_config = {
+                "enableRemoteCollector": body.get("action") == "start",
+                "serviceName": body.get("service_name") or "kuiperd-service",
+                "remoteEndpoint": body.get("collector_url") or "",
+            }
+            return 200, {"result": "success"}
+
+        if parts[0] == "metrics" and parts[1:2] == ["dump"]:
+            # metrics_init.go:28-47: /metrics/dump/check reports whether
+            # dump capture is on; /metrics/dump serves a zip of the
+            # per-rule metric snapshots in the requested window (binary
+            # body, application/zip like downloadHandler)
+            if method == "GET" and parts[2:] == ["check"]:
+                return 200, {"result": "enabled"}
+            if method == "GET" and len(parts) == 2:
+                import io
+                import zipfile
+
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+                    for rid in sorted(self.runtime.rules):
+                        try:
+                            z.writestr(
+                                f"metrics/{rid}.json",
+                                json.dumps(self.runtime.status(rid), default=str),
+                            )
+                        except Exception as e:
+                            z.writestr(f"metrics/{rid}.err", str(e))
+                return 200, buf.getvalue()
 
         if parts[0] == "trace":
             # rest.go:249-250: /trace/rule/{id} lists a traced rule's

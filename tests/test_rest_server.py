@@ -543,3 +543,79 @@ def test_ruletest_trial_lifecycle_with_ws_stream(server):
     assert code == 200 and "was stopped" in msg
     code, _ = _req(server, "POST", "/ruletest/trial1/start")
     assert code == 404
+
+
+def test_async_data_import_lifecycle(server):
+    """async_rest.go:36-100: POST /async/data/import registers a task,
+    /async/task/{id} reports register/running/finish, cancel flips the
+    status, unknown ids 404 with the reference's message."""
+    import time
+
+    payload = {
+        "streams": {
+            "asyncstream": 'CREATE STREAM asyncstream (a BIGINT) WITH '
+                           '(FORMAT="json", DATASOURCE="/tmp/async.json")'
+        }
+    }
+    code, body = _req(server, "POST", "/async/data/import", payload)
+    assert code == 200 and body["id"].startswith("dataImport-")
+    tid = body["id"]
+    for _ in range(100):
+        code, st = _req(server, "GET", f"/async/task/{tid}")
+        assert code == 200
+        assert st["status"] in ("register", "running", "finish")
+        if st["status"] == "finish":
+            break
+        time.sleep(0.05)
+    assert st["status"] == "finish"
+    assert json.loads(st["message"])["imported"]["streams"] == 1
+    assert st["createdTimestamp"] <= st["updatedTimestamp"]
+    # the imported stream is live
+    code, names = _req(server, "GET", "/streams")
+    assert "asyncstream" in names
+
+    code, _ = _req(server, "GET", "/async/task/nope-123")
+    assert code == 404
+
+    code, body = _req(server, "POST", "/async/data/import", {"rules": {}})
+    tid2 = body["id"] if body["id"] != tid else body["id"]
+    code, res = _req(server, "POST", f"/async/task/{tid2}/cancel")
+    assert code == 200 and res["result"] == "cancel success"
+    _, st2 = _req(server, "GET", f"/async/task/{tid2}")
+    assert st2["status"] in ("cancel", "finish")  # cancel raced completion
+
+    _req(server, "DELETE", "/streams/asyncstream")
+
+
+def test_tracer_config_endpoint(server):
+    """tracer.go:43-61 SetTracer: start enables the remote collector,
+    stop disables it."""
+    code, res = _req(server, "POST", "/tracer", {
+        "service_name": "svc", "action": "start",
+        "collector_url": "http://127.0.0.1:4318",
+    })
+    assert code == 200 and res["result"] == "success"
+    assert server.tracer_config["enableRemoteCollector"] is True
+    assert server.tracer_config["remoteEndpoint"] == "http://127.0.0.1:4318"
+    code, res = _req(server, "POST", "/tracer", {"action": "stop"})
+    assert code == 200
+    assert server.tracer_config["enableRemoteCollector"] is False
+
+
+def test_metrics_dump_zip(server):
+    """metrics_init.go:28-47: /metrics/dump/check reports enablement;
+    /metrics/dump serves an application/zip with one entry per rule."""
+    import io
+    import urllib.request
+    import zipfile
+
+    code, res = _req(server, "GET", "/metrics/dump/check")
+    assert code == 200 and res["result"] == "enabled"
+
+    url = f"http://127.0.0.1:{server.port}/metrics/dump"
+    with urllib.request.urlopen(url) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "application/zip"
+        blob = resp.read()
+    z = zipfile.ZipFile(io.BytesIO(blob))
+    assert z.testzip() is None  # valid archive (may be empty of rules)
