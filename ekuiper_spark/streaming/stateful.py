@@ -129,10 +129,11 @@ def _col_to_np(series: pd.Series, dt: T.DataType) -> np.ndarray:
         return series.to_numpy(dtype="float64")
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
         if series.isna().any():
-            # a nullable long column has ALREADY crossed the Arrow ->
-            # pandas boundary as float64 (Spark's applyInPandas
-            # conversion), so values here are float64-exact only to
-            # 2^53; the sentinel swap below adds no further loss
+            # narrower-than-long ints with nulls cross Arrow -> pandas
+            # as float64 — exact for their whole range (< 2^53).  LONG
+            # agg inputs never reach here: window_agg_stream swaps their
+            # nulls for _LONG_NULL map-side, so the series arrives as
+            # never-null int64 and full 64-bit exactness holds
             arr = series.to_numpy(dtype="float64")
             return np.where(np.isnan(arr), _LONG_NULL, arr).astype("int64")
         return series.to_numpy(dtype="int64")
@@ -278,6 +279,25 @@ def _reduce_matrix(op: str, mat: np.ndarray, dt: T.DataType) -> np.ndarray:
         return (~mask).sum(axis=1).astype("int64")
     if not mask.any():
         return _MATRIX_OPS[op](mat)
+    if (
+        np.asarray(mat).dtype.kind == "i"
+        and not _is_ts(dt)
+        and op in ("sum", "min", "max")
+    ):
+        # exact int64 null-skipping path: a float64 detour would lose
+        # integer exactness above 2^53 for the non-null values
+        all_null = mask.all(axis=1)
+        if op == "sum":
+            res = np.where(mask, 0, mat).sum(axis=1)
+        elif op == "min":
+            res = np.where(mask, np.iinfo("int64").max, mat).min(axis=1)
+        else:
+            res = np.where(mask, np.iinfo("int64").min, mat).max(axis=1)
+        if all_null.any():
+            out = np.array(list(res), dtype=object)
+            out[all_null] = None
+            return out
+        return res
     import warnings
 
     f = _f64_nulls(mat, dt)
@@ -307,6 +327,15 @@ def _reduce_slice(op: str, arr: np.ndarray, dt: T.DataType):
         return int((~mask).sum())
     if not mask.any():
         return _SLICE_OPS[op](arr)
+    if (
+        np.asarray(arr).dtype.kind == "i"
+        and not _is_ts(dt)
+        and op in ("sum", "min", "max")
+    ):
+        ivalid = np.asarray(arr)[~mask]
+        if len(ivalid) == 0:
+            return None
+        return _SLICE_OPS[op](ivalid)  # stays int64-exact
     valid = _f64_nulls(np.asarray(arr), dt)
     valid = valid[~np.isnan(valid)]
     if len(valid) == 0:
@@ -466,6 +495,24 @@ def window_agg_stream(
     else:
         buffered = [c for c in needed if c not in (begin_col, emit_col)]
     buffered = list(dict.fromkeys(buffered))
+
+    # --- nullable-long exactness ------------------------------------------
+    # a nullable LONG column crosses Spark's Arrow->pandas boundary as
+    # float64 (exact only to 2^53).  Agg INPUT columns therefore swap
+    # nulls for the buffer's own sentinel MAP-SIDE (pure-JVM coalesce), so
+    # the series arrives as never-null int64 and _col_to_np keeps the
+    # exact fast path; the reducers already treat _LONG_NULL as SQL null.
+    # Narrower ints are float64-exact anyway; dims/subgroups/order/
+    # passthrough columns emit verbatim and are left untouched.
+    protected = (
+        set(dims) | set(subgroups) | set(passthrough) | set(order_cols)
+        | {begin_col, emit_col}
+    )
+    for c in dict.fromkeys(agg_in):
+        if c not in protected and isinstance(schema[c], T.LongType):
+            sdf = sdf.withColumn(
+                c, F.coalesce(F.col(c), F.lit(int(_LONG_NULL)).cast("long"))
+            )
 
     # --- schemas ----------------------------------------------------------
     out_fields: list[T.StructField] = []

@@ -898,3 +898,51 @@ def test_object_construct_non_string_key_errors(spark):
             "SELECT object_construct(1, 'v') AS o FROM events",
             cat,
         ).collect()
+
+
+def test_streaming_long_exactness_above_2_53_with_nulls(spark, tmp_path):
+    """A nullable LONG agg input stays int64-exact through the streaming
+    stateful path even when the batch mixes nulls with values above 2^53:
+    nulls swap to the buffer sentinel map-side (pure JVM), so the column
+    never crosses Arrow as float64, and sum/min/max skip nulls on exact
+    integer paths."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import types as T
+
+    from ekuiper_spark.catalog import Catalog, StreamDef
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    big = (1 << 53) + 1  # 9007199254740993 — float64 rounds it to ...992
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {"event_id": 0, "ts": t0.isoformat(), "x": big},
+        {"event_id": 1, "ts": (t0 + dt.timedelta(seconds=1)).isoformat(), "x": None},
+        {"event_id": 2, "ts": (t0 + dt.timedelta(seconds=2)).isoformat(), "x": big + 4},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "d.json").write_text("\n".join(json.dumps(r) for r in rows))
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    cat.register(StreamDef(
+        name="bigs", format="json", path=str(src), kind="stream",
+        schema=T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("x", T.LongType()),
+        ]),
+    ))
+    out = run_rule_available_now(
+        spark,
+        cat,
+        "SELECT count(*) AS n, sum(x) AS s, min(x) AS mn, max(x) AS mx, "
+        "collect(x) AS xs FROM bigs GROUP BY COUNTWINDOW(3)",
+        output_mode="append",
+        order_cols=["ts", "event_id"],
+    )
+    r = out.collect()[0]
+    assert r["n"] == 3
+    assert r["s"] == big + big + 4      # 18014398509481990, not ...988.0
+    assert r["mn"] == big and r["mx"] == big + 4
+    assert list(r["xs"]) == [big, None, big + 4]
