@@ -1,0 +1,800 @@
+"""A small JavaScript-subset interpreter for script UDFs.
+
+The reference executes script UDFs as goja-interpreted JavaScript
+(internal/plugin/js/manager.go, internal/topo/operator/
+script_operator.go:29-98): a stored script defines `function <id>(...)`
+and the engine calls that symbol per row/collection.  This runtime has
+no JS engine, so `/udf/script` accepts BOTH dialects: Python source
+(the native path) and this JS subset, detected by the
+`function <id>(...)` declaration the reference contract requires.
+
+Supported subset (covers the reference's js test corpus and typical
+message-shaping functions):
+
+- function declarations, `return`, `var`/`let`/`const`, assignment
+  (incl. `+=` etc., member and index targets), `if`/`else`,
+  `while`, classic `for (init; cond; update)`, `for (x of arr)`
+- expressions: ternary, `&&` `||` `!`, `===` `!==` `==` `!=`,
+  comparisons, arithmetic (JS `/` is float division), unary -/+,
+  `++`/`--` (statement form), string/number/bool/null/undefined
+  literals, array and object literals, grouping
+- member/index access + calls on a curated builtin surface:
+  string `.length .toUpperCase .toLowerCase .substring .slice
+  .indexOf .charAt .split .trim .concat .replace .startsWith
+  .endsWith .includes`, array `.length .push .join .indexOf .slice
+  .includes .concat`, `Math.*`, `JSON.stringify/parse`,
+  `parseInt/parseFloat/String/Number/isNaN`, `Object.keys/values`
+
+Not supported (raises at compile): closures/function expressions,
+classes, regex literals, `this`, prototypes, async.  That boundary is
+documented in README — a script outside the subset fails registration
+loudly, exactly like a goja syntax error fails the reference's
+vm.RunString.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import math as _math
+import re
+from typing import Any, Callable
+
+
+class JsError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
+  | (?P<num>\d+\.\d*|\.\d+|\d+)
+  | (?P<str>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
+  | (?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)
+  | (?P<op>===|!==|==|!=|<=|>=|&&|\|\||\+\+|--|\+=|-=|\*=|/=|%=|=>|[-+*/%<>=!?:;,.(){}\[\]])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_KEYWORDS = {
+    "function", "return", "var", "let", "const", "if", "else", "while",
+    "for", "of", "true", "false", "null", "undefined", "new", "typeof",
+}
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            raise JsError(f"unexpected character {src[pos]!r} at {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "ident" and text in _KEYWORDS:
+            out.append(("kw", text))
+        else:
+            out.append((kind, text))
+    out.append(("eof", ""))
+    return out
+
+
+class _Undefined:
+    _inst: "_Undefined | None" = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "undefined"
+
+    def __bool__(self):
+        return False
+
+
+UNDEFINED = _Undefined()
+
+
+def _truthy(v: Any) -> bool:
+    if v is None or v is UNDEFINED:
+        return False
+    if isinstance(v, float) and _math.isnan(v):
+        return False
+    if isinstance(v, (int, float, str, bool)):
+        return bool(v)
+    return True  # objects/arrays are truthy even when empty (JS)
+
+
+def _js_str(v: Any) -> str:
+    if v is UNDEFINED:
+        return "undefined"
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    if isinstance(v, (list, dict)):
+        return _json.dumps(v)
+    return str(v)
+
+
+def _js_add(a: Any, b: Any) -> Any:
+    if isinstance(a, str) or isinstance(b, str):
+        return _js_str(a) + _js_str(b)
+    return a + b
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind, text=None):
+        k, v = self.peek()
+        if k == kind and (text is None or v == text):
+            self.i += 1
+            return v
+        return None
+
+    def expect(self, kind, text=None):
+        v = self.accept(kind, text)
+        if v is None:
+            raise JsError(f"expected {text or kind}, got {self.peek()!r}")
+        return v
+
+    # ---- program ---------------------------------------------------------
+    def parse_program(self) -> dict[str, Callable]:
+        funcs: dict[str, Callable] = {}
+        while self.peek()[0] != "eof":
+            self.expect("kw", "function")
+            name = self.expect("ident")
+            self.expect("op", "(")
+            params = []
+            if not self.accept("op", ")"):
+                params.append(self.expect("ident"))
+                while self.accept("op", ","):
+                    params.append(self.expect("ident"))
+                self.expect("op", ")")
+            body = self.parse_block()
+            funcs[name] = self._make_callable(params, body, funcs)
+            self.accept("op", ";")
+        return funcs
+
+    def _make_callable(self, params, body, funcs):
+        def call(*args):
+            env: dict[str, Any] = dict(_GLOBALS)
+            env.update(funcs)
+            for i, p in enumerate(params):
+                env[p] = args[i] if i < len(args) else UNDEFINED
+            try:
+                for st in body:
+                    st(env)
+            except _Return as r:
+                return r.value
+            return UNDEFINED
+
+        return call
+
+    # ---- statements ------------------------------------------------------
+    def parse_block(self):
+        self.expect("op", "{")
+        stmts = []
+        while not self.accept("op", "}"):
+            stmts.append(self.parse_stmt())
+        return stmts
+
+    def parse_stmt(self):
+        k, v = self.peek()
+        if k == "kw" and v == "return":
+            self.next()
+            if self.peek() in (("op", ";"), ("op", "}")):
+                self.accept("op", ";")
+                return lambda env: (_ for _ in ()).throw(_Return(UNDEFINED))
+            e = self.parse_expr()
+            self.accept("op", ";")
+
+            def ret(env, e=e):
+                raise _Return(e(env))
+
+            return ret
+        if k == "kw" and v in ("var", "let", "const"):
+            self.next()
+            name = self.expect("ident")
+            init = None
+            if self.accept("op", "="):
+                init = self.parse_expr()
+            self.accept("op", ";")
+
+            def decl(env, name=name, init=init):
+                env[name] = init(env) if init else UNDEFINED
+
+            return decl
+        if k == "kw" and v == "if":
+            return self.parse_if()
+        if k == "kw" and v == "while":
+            self.next()
+            self.expect("op", "(")
+            cond = self.parse_expr()
+            self.expect("op", ")")
+            body = self.parse_block()
+
+            def wloop(env, cond=cond, body=body):
+                n = 0
+                while _truthy(cond(env)):
+                    for st in body:
+                        st(env)
+                    n += 1
+                    if n > 10_000_000:
+                        raise JsError("script loop exceeded 1e7 iterations")
+
+            return wloop
+        if k == "kw" and v == "for":
+            return self.parse_for()
+        # expression / assignment statement
+        st = self.parse_simple_stmt()
+        self.accept("op", ";")
+        return st
+
+    def parse_if(self):
+        self.expect("kw", "if")
+        self.expect("op", "(")
+        cond = self.parse_expr()
+        self.expect("op", ")")
+        then = self.parse_block()
+        other = None
+        if self.accept("kw", "else"):
+            if self.peek() == ("kw", "if"):
+                other = [self.parse_if()]
+            else:
+                other = self.parse_block()
+
+        def run(env, cond=cond, then=then, other=other):
+            branch = then if _truthy(cond(env)) else other
+            for st in branch or ():
+                st(env)
+
+        return run
+
+    def parse_for(self):
+        self.expect("kw", "for")
+        self.expect("op", "(")
+        # for (x of arr) / for (var x of arr)
+        save = self.i
+        self.accept("kw", "var") or self.accept("kw", "let") or self.accept("kw", "const")
+        name = self.accept("ident")
+        if name and self.accept("kw", "of"):
+            it = self.parse_expr()
+            self.expect("op", ")")
+            body = self.parse_block()
+
+            def forof(env, name=name, it=it, body=body):
+                for x in it(env):
+                    env[name] = x
+                    for st in body:
+                        st(env)
+
+            return forof
+        self.i = save
+        init = None if self.peek() == ("op", ";") else self.parse_stmt_for_header()
+        self.expect("op", ";")
+        cond = None if self.peek() == ("op", ";") else self.parse_expr()
+        self.expect("op", ";")
+        upd = None if self.peek() == ("op", ")") else self.parse_simple_stmt()
+        self.expect("op", ")")
+        body = self.parse_block()
+
+        def forloop(env, init=init, cond=cond, upd=upd, body=body):
+            if init:
+                init(env)
+            n = 0
+            while cond is None or _truthy(cond(env)):
+                for st in body:
+                    st(env)
+                if upd:
+                    upd(env)
+                n += 1
+                if n > 10_000_000:
+                    raise JsError("script loop exceeded 1e7 iterations")
+
+        return forloop
+
+    def parse_stmt_for_header(self):
+        k, v = self.peek()
+        if k == "kw" and v in ("var", "let", "const"):
+            self.next()
+            name = self.expect("ident")
+            self.expect("op", "=")
+            e = self.parse_expr()
+
+            def decl(env, name=name, e=e):
+                env[name] = e(env)
+
+            return decl
+        return self.parse_simple_stmt()
+
+    def parse_simple_stmt(self):
+        """assignment (incl. compound and member targets), ++/--, or a bare
+        expression evaluated for effect."""
+        save = self.i
+        target = self._try_parse_target()
+        if target is not None:
+            k, v = self.peek()
+            if k == "op" and v in ("=", "+=", "-=", "*=", "/=", "%="):
+                self.next()
+                e = self.parse_expr()
+                get, set_ = target
+
+                def assign(env, v=v, e=e, get=get, set_=set_):
+                    rhs = e(env)
+                    if v != "=":
+                        cur = get(env)
+                        rhs = {
+                            "+=": _js_add, "-=": lambda a, b: a - b,
+                            "*=": lambda a, b: a * b,
+                            "/=": lambda a, b: a / b,
+                            "%=": lambda a, b: _math.fmod(a, b),
+                        }[v](cur, rhs)
+                    set_(env, rhs)
+
+                return assign
+            if k == "op" and v in ("++", "--"):
+                self.next()
+                get, set_ = target
+
+                def incr(env, v=v, get=get, set_=set_):
+                    set_(env, get(env) + (1 if v == "++" else -1))
+
+                return incr
+        self.i = save
+        e = self.parse_expr()
+        return lambda env, e=e: e(env)
+
+    def _try_parse_target(self):
+        """Parse an lvalue (ident / member / index chain); returns
+        (getter, setter) or None."""
+        if self.peek()[0] != "ident":
+            return None
+        name = self.next()[1]
+        base = lambda env, name=name: _lookup(env, name)
+
+        def set_var(env, val, name=name):
+            env[name] = val
+
+        setter = set_var
+        while True:
+            if self.accept("op", "."):
+                # stop if this is a method call, not an lvalue
+                attr = self.expect("ident")
+                if self.peek() == ("op", "("):
+                    return None  # method call — not an assignment target
+                prev = base
+                base = lambda env, prev=prev, attr=attr: _member(prev(env), attr)
+
+                def set_attr(env, val, prev=prev, attr=attr):
+                    obj = prev(env)
+                    obj[attr] = val
+
+                setter = set_attr
+            elif self.accept("op", "["):
+                idx = self.parse_expr()
+                self.expect("op", "]")
+                prev = base
+                base = lambda env, prev=prev, idx=idx: _index(prev(env), idx(env))
+
+                def set_idx(env, val, prev=prev, idx=idx):
+                    obj = prev(env)
+                    key = idx(env)
+                    if isinstance(obj, list):
+                        obj[int(key)] = val
+                    else:
+                        obj[key] = val
+
+                setter = set_idx
+            else:
+                break
+        return base, setter
+
+    # ---- expressions -----------------------------------------------------
+    def parse_expr(self):
+        cond = self.parse_or()
+        if self.accept("op", "?"):
+            a = self.parse_expr()
+            self.expect("op", ":")
+            b = self.parse_expr()
+            return lambda env, cond=cond, a=a, b=b: (
+                a(env) if _truthy(cond(env)) else b(env)
+            )
+        return cond
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.accept("op", "||"):
+            right = self.parse_and()
+            prev = left
+            left = lambda env, prev=prev, right=right: (
+                prev(env) if _truthy(prev(env)) else right(env)
+            )
+        return left
+
+    def parse_and(self):
+        left = self.parse_eq()
+        while self.accept("op", "&&"):
+            right = self.parse_eq()
+            prev = left
+            left = lambda env, prev=prev, right=right: (
+                right(env) if _truthy(prev(env)) else prev(env)
+            )
+        return left
+
+    def parse_eq(self):
+        left = self.parse_rel()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("===", "!==", "==", "!="):
+                self.next()
+                right = self.parse_rel()
+                prev = left
+
+                def eq(env, prev=prev, right=right, v=v):
+                    a, b = prev(env), right(env)
+                    if v in ("===", "!=="):
+                        same = type(a) is type(b) and a == b
+                        if isinstance(a, bool) != isinstance(b, bool):
+                            same = False
+                        elif isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+                                and not isinstance(a, bool) and not isinstance(b, bool):
+                            same = a == b  # 1 === 1.0 (one JS number type)
+                        return same if v == "===" else not same
+                    eqv = a == b
+                    return eqv if v == "==" else not eqv
+
+                left = eq
+            else:
+                return left
+
+    def parse_rel(self):
+        left = self.parse_add()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("<", ">", "<=", ">="):
+                self.next()
+                right = self.parse_add()
+                prev = left
+                import operator as _op
+
+                fn = {"<": _op.lt, ">": _op.gt, "<=": _op.le, ">=": _op.ge}[v]
+                left = lambda env, prev=prev, right=right, fn=fn: fn(
+                    prev(env), right(env)
+                )
+            else:
+                return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("+", "-"):
+                self.next()
+                right = self.parse_mul()
+                prev = left
+                if v == "+":
+                    left = lambda env, prev=prev, right=right: _js_add(
+                        prev(env), right(env)
+                    )
+                else:
+                    left = lambda env, prev=prev, right=right: prev(env) - right(env)
+            else:
+                return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("*", "/", "%"):
+                self.next()
+                right = self.parse_unary()
+                prev = left
+
+                def mul(env, prev=prev, right=right, v=v):
+                    a, b = prev(env), right(env)
+                    if v == "*":
+                        return a * b
+                    if v == "/":
+                        return a / b  # JS division is float division
+                    return _math.fmod(a, b) if isinstance(a, float) or isinstance(b, float) else (
+                        int(_math.fmod(a, b))
+                    )
+
+                left = mul
+            else:
+                return left
+
+    def parse_unary(self):
+        k, v = self.peek()
+        if k == "op" and v in ("!", "-", "+"):
+            self.next()
+            e = self.parse_unary()
+            if v == "!":
+                return lambda env, e=e: not _truthy(e(env))
+            if v == "-":
+                return lambda env, e=e: -e(env)
+            return lambda env, e=e: +e(env)
+        if k == "kw" and v == "typeof":
+            self.next()
+            e = self.parse_unary()
+
+            def tof(env, e=e):
+                x = e(env)
+                if x is UNDEFINED:
+                    return "undefined"
+                if x is None:
+                    return "object"
+                if isinstance(x, bool):
+                    return "boolean"
+                if isinstance(x, (int, float)):
+                    return "number"
+                if isinstance(x, str):
+                    return "string"
+                if callable(x):
+                    return "function"
+                return "object"
+
+            return tof
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        e = self.parse_primary()
+        while True:
+            if self.accept("op", "."):
+                attr = self.expect("ident")
+                if self.accept("op", "("):
+                    args = self._parse_args()
+                    prev = e
+                    e = lambda env, prev=prev, attr=attr, args=args: _method(
+                        prev(env), attr, [a(env) for a in args]
+                    )
+                else:
+                    prev = e
+                    e = lambda env, prev=prev, attr=attr: _member(prev(env), attr)
+            elif self.accept("op", "["):
+                idx = self.parse_expr()
+                self.expect("op", "]")
+                prev = e
+                e = lambda env, prev=prev, idx=idx: _index(prev(env), idx(env))
+            elif self.accept("op", "("):
+                args = self._parse_args()
+                prev = e
+
+                def call(env, prev=prev, args=args):
+                    fn = prev(env)
+                    if not callable(fn):
+                        raise JsError(f"{fn!r} is not a function")
+                    return fn(*[a(env) for a in args])
+
+                e = call
+            else:
+                return e
+
+    def _parse_args(self):
+        args = []
+        if not self.accept("op", ")"):
+            args.append(self.parse_expr())
+            while self.accept("op", ","):
+                args.append(self.parse_expr())
+            self.expect("op", ")")
+        return args
+
+    def parse_primary(self):
+        k, v = self.next()
+        if k == "num":
+            n = float(v)
+            val = int(n) if n.is_integer() and "." not in v else n
+            return lambda env, val=val: val
+        if k == "str":
+            s = v[1:-1]
+            s = s.encode().decode("unicode_escape") if "\\" in s else s
+            return lambda env, s=s: s
+        if k == "kw":
+            if v == "true":
+                return lambda env: True
+            if v == "false":
+                return lambda env: False
+            if v == "null":
+                return lambda env: None
+            if v == "undefined":
+                return lambda env: UNDEFINED
+            raise JsError(f"unsupported keyword {v!r} in expression")
+        if k == "ident":
+            return lambda env, v=v: _lookup(env, v)
+        if k == "op" and v == "(":
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return e
+        if k == "op" and v == "[":
+            elems = []
+            if not self.accept("op", "]"):
+                elems.append(self.parse_expr())
+                while self.accept("op", ","):
+                    elems.append(self.parse_expr())
+                self.expect("op", "]")
+            return lambda env, elems=elems: [e(env) for e in elems]
+        if k == "op" and v == "{":
+            props = []
+            if not self.accept("op", "}"):
+                while True:
+                    pk, pv = self.next()
+                    if pk == "str":
+                        key = pv[1:-1]
+                    elif pk in ("ident", "kw"):
+                        key = pv
+                    else:
+                        raise JsError(f"bad object key {pv!r}")
+                    self.expect("op", ":")
+                    props.append((key, self.parse_expr()))
+                    if not self.accept("op", ","):
+                        break
+                self.expect("op", "}")
+            return lambda env, props=props: {key: e(env) for key, e in props}
+        raise JsError(f"unexpected token {v!r}")
+
+
+def _lookup(env, name):
+    if name in env:
+        return env[name]
+    raise JsError(f"{name} is not defined")
+
+
+class _Namespace(dict):
+    """Builtin namespace (Math/JSON/Object) — a marker class, NOT an
+    identity check: the compiled closures cross into Spark workers via
+    pickle, where module-global identity does not survive."""
+
+
+def _member(obj, attr):
+    if isinstance(obj, _Namespace):
+        return obj[attr]
+    if attr == "length":
+        return len(obj)
+    if isinstance(obj, dict):
+        return obj.get(attr, UNDEFINED)
+    raise JsError(f"unsupported property {attr!r} on {type(obj).__name__}")
+
+
+def _method(obj, name, args):
+    if isinstance(obj, str):
+        m = _STR_METHODS.get(name)
+        if m:
+            return m(obj, *args)
+    if isinstance(obj, list):
+        m = _ARR_METHODS.get(name)
+        if m:
+            return m(obj, *args)
+    if isinstance(obj, _Namespace):
+        return obj[name](*args)
+    if isinstance(obj, dict):
+        raise JsError(f"unsupported method {name!r} on object")
+    raise JsError(f"unsupported method {name!r} on {type(obj).__name__}")
+
+
+def _index(obj, key):
+    if isinstance(obj, dict):
+        return obj.get(key, UNDEFINED)
+    if isinstance(obj, (list, str)):
+        i = int(key)
+        if 0 <= i < len(obj):
+            return obj[i]
+        return UNDEFINED
+    raise JsError(f"cannot index {type(obj).__name__}")
+
+
+_STR_METHODS = {
+    "toUpperCase": lambda s: s.upper(),
+    "toLowerCase": lambda s: s.lower(),
+    "substring": lambda s, a, b=None: s[int(a): int(b) if b is not None else None],
+    "slice": lambda s, a=0, b=None: s[int(a): int(b) if b is not None else None],
+    "indexOf": lambda s, x: s.find(x),
+    "charAt": lambda s, i: s[int(i)] if 0 <= int(i) < len(s) else "",
+    "split": lambda s, sep=None: s.split(sep) if sep else list(s),
+    "trim": lambda s: s.strip(),
+    "concat": lambda s, *xs: s + "".join(_js_str(x) for x in xs),
+    "replace": lambda s, a, b: s.replace(a, b, 1),
+    "startsWith": lambda s, p: s.startswith(p),
+    "endsWith": lambda s, p: s.endswith(p),
+    "includes": lambda s, p: p in s,
+    "repeat": lambda s, n: s * int(n),
+    "padStart": lambda s, n, p=" ": s.rjust(int(n), p),
+    "padEnd": lambda s, n, p=" ": s.ljust(int(n), p),
+}
+
+_ARR_METHODS = {
+    "push": lambda a, *xs: (a.extend(xs), len(a))[1],
+    "join": lambda a, sep=",": sep.join(_js_str(x) for x in a),
+    "indexOf": lambda a, x: a.index(x) if x in a else -1,
+    "slice": lambda a, i=0, j=None: a[int(i): int(j) if j is not None else None],
+    "includes": lambda a, x: x in a,
+    "concat": lambda a, *bs: sum((list(b) for b in bs), list(a)),
+    "pop": lambda a: a.pop() if a else UNDEFINED,
+    "reverse": lambda a: (a.reverse(), a)[1],
+    "sort": lambda a: (a.sort(), a)[1],
+}
+
+_MATH = _Namespace({
+    "floor": lambda x: int(_math.floor(x)),
+    "ceil": lambda x: int(_math.ceil(x)),
+    "round": lambda x: int(_math.floor(x + 0.5)),  # JS rounds .5 UP, also for negatives
+    "abs": abs,
+    "sqrt": _math.sqrt,
+    "pow": lambda a, b: a ** b,
+    "max": max,
+    "min": min,
+    "trunc": lambda x: int(x),
+    "log": _math.log,
+    "exp": _math.exp,
+    "PI": _math.pi,
+    "E": _math.e,
+})
+
+_JSON_NS = _Namespace({
+    "stringify": lambda v: _json.dumps(v, separators=(",", ":")),
+    "parse": lambda s: _json.loads(s),
+})
+
+_OBJECT_NS = _Namespace({
+    "keys": lambda o: list(o.keys()),
+    "values": lambda o: list(o.values()),
+})
+
+
+def _parse_int(s, base=10):
+    try:
+        return int(str(s).strip() or "x", int(base))
+    except ValueError:
+        m = re.match(r"\s*[-+]?\d+", str(s))
+        return int(m.group()) if m else float("nan")
+
+
+_GLOBALS: dict[str, Any] = {
+    "Math": _MATH,
+    "JSON": _JSON_NS,
+    "Object": _OBJECT_NS,
+    "parseInt": _parse_int,
+    "parseFloat": lambda s: float(s),
+    "String": _js_str,
+    "Number": lambda v=0: float(v),
+    "isNaN": lambda v: isinstance(v, float) and _math.isnan(v),
+    "NaN": float("nan"),
+    "Infinity": float("inf"),
+}
+
+
+def looks_like_js(script: str, fid: str) -> bool:
+    """JS dialect detection: ANY goja-style `function name(...)`
+    declaration marks the script as JavaScript — including one with the
+    wrong symbol name, which must then fail with the reference's
+    'cannot find function "<id>"' (js/manager_test.go:102), not a
+    Python syntax error."""
+    return re.search(r"\bfunction\s+[A-Za-z_$][A-Za-z0-9_$]*\s*\(", script) is not None
+
+
+def compile_js(script: str) -> dict[str, Callable]:
+    """Parse a JS-subset program; returns {function name: callable}.
+    Raises JsError on syntax/unsupported constructs (the analog of goja's
+    vm.RunString failure failing the REST registration)."""
+    return _Parser(_tokenize(script)).parse_program()

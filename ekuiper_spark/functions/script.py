@@ -6,10 +6,13 @@ whose top-level symbol named after the script id becomes a SQL function
 (scalar, or aggregate with ``isAgg`` where each argument arrives as the
 window's value list); REST lifecycle under /udf (script_init.go).
 
-The reference embeds JavaScript (goja) because the host is Go; the
-natural analog in a Python engine is PYTHON script text — same
-registration surface, same execution contract.  Scripts compile once at
-registration (syntax errors fail the REST call like the reference's
+The reference embeds JavaScript (goja).  /udf/script here accepts BOTH
+dialects: a script declaring `function <id>(...)` runs through the
+bundled JS-subset interpreter (``functions.jsinterp`` — the goja
+contract, so a reference user's JS function body runs unmodified within
+the documented subset), anything else is compiled as PYTHON script text
+(the native dialect of this engine).  Either way scripts compile once
+at registration (syntax errors fail the REST call like the reference's
 vm.RunString), and the callable wraps into an Arrow-batched UDF: the
 batch transfer is columnar even though the user function itself runs
 row-at-a-time, which is inherent to arbitrary user scripts (the
@@ -38,6 +41,33 @@ _RESULT_TYPES = {
 }
 
 
+def _coerced(fn, result_type: str, dialect: str):
+    """Wrap a script callable so its dynamic result lands in the declared
+    column type: undefined/None -> null, string type JS-stringifies,
+    numeric/boolean types cast.  Array types pass through."""
+    from ekuiper_spark.functions import jsinterp
+
+    def conv(v):
+        if v is None or v is jsinterp.UNDEFINED:
+            return None
+        if result_type == "string":
+            return jsinterp._js_str(v) if dialect == "javascript" else (
+                v if isinstance(v, str) else str(v)
+            )
+        if result_type == "bigint":
+            return int(v)
+        if result_type in ("float", "double"):
+            return float(v)
+        if result_type == "boolean":
+            return bool(v)
+        return v
+
+    def wrapped(*args):
+        return conv(fn(*args))
+
+    return wrapped
+
+
 def register_script_function(
     fid: str, script: str, is_agg: bool = False, result_type: str = "string"
 ) -> None:
@@ -49,14 +79,37 @@ def register_script_function(
         raise ValueError(
             f"unsupported resultType {result_type!r}; one of {sorted(_RESULT_TYPES)}"
         )
-    ns: dict[str, Any] = {}
-    exec(compile(script, f"<script:{fid}>", "exec"), ns)  # noqa: S102 - the feature IS user scripts
-    fn = ns.get(fid)
-    if not callable(fn):
-        raise ValueError(
-            f"script must define a function named {fid!r} (the script id)"
-        )
+    from ekuiper_spark.functions import jsinterp
+
+    if jsinterp.looks_like_js(script, fid):
+        # the reference's goja contract: `function <id>(...)` JavaScript
+        # (js/manager.go).  Interpreted by the bundled JS-subset engine;
+        # an unsupported construct fails registration like a goja
+        # vm.RunString error.
+        try:
+            fn = jsinterp.compile_js(script).get(fid)
+        except jsinterp.JsError as e:
+            raise ValueError(f"failed to interprete script: {e}") from e
+        if fn is None:
+            raise ValueError(f'cannot find function "{fid}" in script')
+        dialect = "javascript"
+    else:
+        ns: dict[str, Any] = {}
+        exec(compile(script, f"<script:{fid}>", "exec"), ns)  # noqa: S102 - the feature IS user scripts
+        fn = ns.get(fid)
+        if not callable(fn):
+            raise ValueError(
+                f"script must define a function named {fid!r} (the script id)"
+            )
+        dialect = "python"
     lname = fid.lower()
+
+    # goja returns dynamically-typed values; the declared resultType is
+    # this engine's column contract, so coerce (JS-stringification for
+    # the default string type, numeric casts otherwise) instead of
+    # failing the Arrow conversion on e.g. a number returned under the
+    # default 'string'
+    fn = _coerced(fn, result_type.lower(), dialect)
 
     if is_agg:
         # aggregate scripts receive each argument as the group's value
@@ -72,7 +125,7 @@ def register_script_function(
 
         from ekuiper_spark import functions as fregistry
 
-        SCRIPTS[lname] = {"script": script, "isAgg": True, "resultType": result_type}
+        SCRIPTS[lname] = {"script": script, "isAgg": True, "resultType": result_type, "dialect": dialect}
         fregistry.AGGREGATE[lname] = agg_builder
         return
 
@@ -87,7 +140,7 @@ def register_script_function(
 
     from ekuiper_spark import functions as fregistry
 
-    SCRIPTS[lname] = {"script": script, "isAgg": False, "resultType": result_type}
+    SCRIPTS[lname] = {"script": script, "isAgg": False, "resultType": result_type, "dialect": dialect}
     fregistry.SCALAR[lname] = builder
 
 

@@ -104,3 +104,92 @@ def test_script_rest_lifecycle(spark, catalog):
         assert code == 400
     finally:
         srv.stop()
+
+
+# --------------------------------------------------------------------------
+# JavaScript dialect (the reference's goja contract, js/manager_test.go)
+# --------------------------------------------------------------------------
+def test_js_scalar_script_function(spark):
+    """js/manager_test.go:89 `function testScript(x, y) { return x*y; }`
+    runs through the JS-subset interpreter as a SQL function."""
+    register_script_function(
+        "mulxy", "function mulxy(x, y) { return x*y; }", result_type="double",
+    )
+    try:
+        cat = Catalog()
+        cat.register_df(
+            "ev", spark.createDataFrame([(2.0, 3.0), (4.0, 5.0)], "x double, y double")
+        )
+        out = compile_sql(spark, "SELECT mulxy(x, y) AS a FROM ev", cat)
+        assert sorted(r["a"] for r in out.collect()) == [6.0, 20.0]
+    finally:
+        assert unregister_script_function("mulxy")
+
+
+def test_js_message_shaping_function(spark):
+    """A representative goja-style body: locals, for loop, ternary,
+    string/Math/JSON builtins."""
+    src = """function shape(name, v) {
+        var tag = v > 10 ? 'big' : 'small';
+        var s = name.toUpperCase();
+        var total = 0;
+        for (var i = 0; i < 3; i++) { total += i; }
+        return JSON.stringify({n: s, t: tag, sum: total, r: Math.round(v)});
+    }"""
+    register_script_function("shape", src, result_type="string")
+    try:
+        cat = Catalog()
+        cat.register_df("ev", spark.createDataFrame([("ab", 12.4)], "name string, v double"))
+        out = compile_sql(spark, "SELECT shape(name, v) AS j FROM ev", cat)
+        assert json.loads(out.collect()[0]["j"]) == {
+            "n": "AB", "t": "big", "sum": 3, "r": 12
+        }
+    finally:
+        assert unregister_script_function("shape")
+
+
+def test_js_aggregate_script_function(spark):
+    register_script_function(
+        "jsum",
+        """function jsum(vals) {
+            var t = 0;
+            for (var v of vals) { t += v; }
+            return t;
+        }""",
+        is_agg=True,
+        result_type="bigint",
+    )
+    try:
+        cat = Catalog()
+        cat.register_df(
+            "ev", spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], "k string, v long")
+        )
+        out = compile_sql(spark, "SELECT k, jsum(v) AS s FROM ev GROUP BY k", cat)
+        assert {(r["k"], r["s"]) for r in out.collect()} == {("a", 3), ("b", 5)}
+    finally:
+        assert unregister_script_function("jsum")
+
+
+def test_js_syntax_error_fails_registration():
+    """js/manager_test.go:61 — an unterminated body fails like goja's
+    vm.RunString."""
+    with pytest.raises(ValueError, match="failed to interprete script"):
+        register_script_function(
+            "badjs", "function badjs() { return 'Hello, World!';",
+        )
+
+
+def test_js_wrong_symbol_name_fails():
+    """js/manager_test.go:102 — the declared function must match the id."""
+    with pytest.raises(ValueError, match='cannot find function "needle"'):
+        register_script_function(
+            "needle", "function wrongName(x) { return x; } function needle2(x) { return x; }",
+        )
+
+
+def test_js_division_is_float():
+    """JS has one number type: 5/2 === 2.5 (not Go/SQL integer division)."""
+    from ekuiper_spark.functions.jsinterp import compile_js
+
+    assert compile_js("function d(a, b) { return a / b; }")["d"](5, 2) == 2.5
+    assert compile_js("function c(s) { return s + 1; }")["c"]("v") == "v1"
