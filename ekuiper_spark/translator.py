@@ -4217,6 +4217,16 @@ class Translator:
         # containers uniformly, keeps null fields, and returns nil for a
         # nil input per returnNilIfHasAnyNil)
         if (
+            name.lower() == "object_pick"
+            and len(cols) >= 2
+            and any(isinstance(r, str) and "." in r for r in raw[1:])
+            and all(isinstance(r, str) for r in raw[1:])
+        ):
+            # dotted nested paths need literal keys + the map's full type
+            dt = self._probe_dtype(cols[0])
+            if isinstance(dt, T.MapType):
+                return self._object_pick_nested(cols[0], list(raw[1:]), dt)
+        if (
             name.lower() in ("object_pick", "erase")
             and len(cols) == 2
             and self._probe_type(cols[1]) == "array"
@@ -4257,6 +4267,67 @@ class Translator:
             return df.select(col).schema[0].dataType.typeName()
         except Exception:
             return None
+
+    def _probe_dtype(self, col: Column) -> Optional[T.DataType]:
+        """Full DataType probe (same mechanism as _probe_type)."""
+        df = getattr(self, "_cur_df", None)
+        if df is None:
+            return None
+        try:
+            return df.select(col).schema[0].dataType
+        except Exception:
+            return None
+
+    @staticmethod
+    def _object_pick_nested(obj: Column, keys: list[str], dt: T.MapType) -> Column:
+        """object_pick with DOTTED nested paths on typed map columns
+        (funcs_obj.go:319-348 pick): 'k1.temp' navigates nested maps and
+        rebuilds the nested result shape ({k1: {temp: v}}); a segment
+        that is missing or not a map skips that key (reference warns and
+        skips).  Keys sharing a prefix merge into one submap."""
+
+        def build(o: Column, mt: T.MapType, seglists: list[list[str]]) -> Column:
+            groups: dict[str, list[list[str]]] = {}
+            for segs in seglists:
+                groups.setdefault(segs[0], []).append(segs[1:])
+            entries = []
+            for head, rests in groups.items():
+                terminal = any(len(r) == 0 for r in rests)
+                deeper = [r for r in rests if r]
+                if terminal:
+                    # whole-value pick wins over a sibling nested pick of
+                    # the same head (reference's res[k] overwrite order)
+                    cond = F.map_contains_key(o, F.lit(head))
+                    val = o.getItem(head)
+                elif isinstance(mt.valueType, T.MapType):
+                    sub = build(o.getItem(head), mt.valueType, deeper)
+                    cond = F.map_contains_key(o, F.lit(head)) & (F.size(sub) > 0)
+                    val = sub
+                else:
+                    continue  # cannot navigate a non-map value: skip
+                entries.append(
+                    F.when(
+                        cond,
+                        F.struct(F.lit(head).alias("key"), val.alias("value")),
+                    )
+                )
+            if not entries:
+                return F.map_from_entries(
+                    F.expr("array()").cast(
+                        T.ArrayType(
+                            T.StructType([
+                                T.StructField("key", T.StringType()),
+                                T.StructField("value", mt.valueType),
+                            ])
+                        )
+                    )
+                )
+            return F.map_from_entries(
+                F.filter(F.array(*entries), lambda s: s.isNotNull())
+            )
+
+        out = build(obj, dt, [k.split(".") for k in keys])
+        return F.when(obj.isNull(), F.lit(None)).otherwise(out)
 
 
 def compile_sql(

@@ -946,3 +946,32 @@ def test_streaming_long_exactness_above_2_53_with_nulls(spark, tmp_path):
     assert r["s"] == big + big + 4      # 18014398509481990, not ...988.0
     assert r["mn"] == big and r["mx"] == big + 4
     assert list(r["xs"]) == [big, None, big + 4]
+
+
+def test_object_pick_dotted_nested_path(spark):
+    """funcs_obj.go:319-348 pick: object_pick(obj, 'k1.temp') navigates
+    nested maps and rebuilds the nested shape; missing/non-navigable
+    segments skip; sibling nested picks of one head merge."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    df = spark.createDataFrame([(1,)], "i int").withColumn(
+        "obj",
+        F.expr("map('k1', map('temp', 20, 'hum', 2), 'k2', map('x', 9))"),
+    )
+    cat.register_df("one", df)
+
+    def run(expr):
+        return compile_sql(spark, f"SELECT {expr} AS o FROM one", cat).collect()[0]["o"]
+
+    assert run("object_pick(obj, 'k1.temp')") == {"k1": {"temp": 20}}
+    assert run("object_pick(obj, 'k1.temp', 'k1.hum')") == {
+        "k1": {"temp": 20, "hum": 2}
+    }
+    assert run("object_pick(obj, 'k1.temp', 'k2')") == {
+        "k1": {"temp": 20}, "k2": {"x": 9}
+    }
+    # missing leaf / missing head / too-deep path all skip
+    assert run("object_pick(obj, 'k1.nope')") == {}
+    assert run("object_pick(obj, 'zzz.temp')") == {}
+    assert run("object_pick(obj, 'k1.temp.deeper')") == {}
