@@ -72,7 +72,18 @@ def test_sql_stream_incremental_poll(spark, db):
         assert spark.table(name).count() == 3, sorted(
             (r["idx"], r["device"]) for r in spark.table(name).collect()
         )
-        con = duckdb.connect(db)
+        # the read-write connect races the poller's read-only window
+        # (duckdb: one writer XOR many readers) — retry until the lock
+        # frees between polls
+        deadline = time.time() + 60
+        while True:
+            try:
+                con = duckdb.connect(db)
+                break
+            except duckdb.Error:
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.2)
         con.execute("INSERT INTO readings VALUES (4, 'd3', 30.0)")
         con.close()
         # fresh budget: the first wait may have consumed most of the
