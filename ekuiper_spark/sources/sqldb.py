@@ -37,16 +37,30 @@ from pyspark.sql.types import StructType
 from ekuiper_spark.sources.util import coerce as _coerce
 
 
-def _connect(dburl: str, read_only: bool = False):
+def _connect(dburl: str, read_only: bool = False, retry_s: float = 10.0):
+    """Open the database, retrying through transient file-lock windows.
+
+    DuckDB's process locking is one WRITER xor many READERS — a
+    read-only poll and a concurrent application write to the same file
+    contend, exactly like the reference's shared SQL source against a
+    live operational DB.  A short bounded backoff rides out the other
+    side's connection window instead of killing the streaming query."""
+    import time
+
     import duckdb
 
     path = dburl
     for prefix in ("duckdb://", "sqlite://"):
         if path.startswith(prefix):
             path = path[len(prefix):]
-    # readers open read-only: DuckDB allows many readers beside one
-    # writer, so polls never contend with concurrent sink/DDL writes
-    return duckdb.connect(path, read_only=read_only)
+    deadline = time.monotonic() + retry_s
+    while True:
+        try:
+            return duckdb.connect(path, read_only=read_only)
+        except duckdb.Error:
+            if time.monotonic() >= deadline:
+                raise
+            time.sleep(0.1)
 
 
 def _rows_to_tuples(cols: list[str], rows: list[tuple], schema: StructType) -> list[tuple]:
@@ -105,7 +119,15 @@ class _SqlStreamReader(SimpleDataSourceStreamReader):
                 lit = json.dumps(last) if isinstance(last, str) else str(last)
                 sql += f" WHERE {self.index_field} > {lit}"
             sql += f" ORDER BY {self.index_field}"
-        con = _connect(self.dburl, read_only=True)
+        import duckdb as _duckdb
+
+        try:
+            con = _connect(self.dburl, read_only=True)
+        except _duckdb.Error:
+            # a writer held the lock past the retry budget: record NO
+            # progress (same offset, empty batch) and let the next
+            # trigger poll again — never kill the continuous rule
+            return iter([]), {"pull": n, "max_idx": last}
         try:
             cur = con.execute(sql)
             cols = [d[0] for d in cur.description]
