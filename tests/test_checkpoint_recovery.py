@@ -264,3 +264,47 @@ def test_streaming_dedup_checkpoint_recovery(spark, tmp_path):
     b = {r["doc_id"] for r in spark.read.parquet(out_b).collect()}
     assert a == b
     assert 3 not in b and {1, 2, 4} <= b  # the cross-crash dup stayed dropped
+
+
+def test_stream_table_join_checkpoint_recovery(spark, catalog, tmp_path):
+    """TestTableJoinCheckpoint (checkpoint_test.go:106) analog: a
+    stream/static-table join restarted from checkpoint emits each joined
+    row exactly once — rows arriving after the restart still join
+    against the reloaded table."""
+    files = _split_events(spark, catalog, tmp_path)
+    schema = spark.read.parquet(files[0]).schema
+    sql = (
+        "SELECT e.event_id, e.user_id, n.n_name FROM ev e "
+        "INNER JOIN nation n ON e.user_id % 25 = n.n_nationkey"
+    )
+
+    def run(sdir, ckpt, out):
+        cat = Catalog.from_dir("/root/testdata/sf0.001")
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(sdir)
+        )
+        cat.register_df("ev", sdf)
+        df = compile_sql(spark, sql, cat, streaming=True, order_cols=["ts", "event_id"])
+        q = (
+            df.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    s_all = str(tmp_path / "jt_all")
+    _feed(files, s_all)
+    out_a = str(tmp_path / "jt_outA")
+    run(s_all, str(tmp_path / "jt_ckA"), out_a)
+
+    s_half = str(tmp_path / "jt_half")
+    _feed(files[:2], s_half)
+    out_b = str(tmp_path / "jt_outB")
+    ck_b = str(tmp_path / "jt_ckB")
+    run(s_half, ck_b, out_b)
+    _feed(files[2:], s_half, start=2)
+    run(s_half, ck_b, out_b)
+
+    a, b = _rows(spark, out_a), _rows(spark, out_b)
+    assert len(a) > 0 and a == b
