@@ -269,3 +269,43 @@ def test_random_source(spark):
         random_source(spark, {"a": 1}, seed=0)
     with _pytest.raises(ValueError, match="pattern"):
         random_source(spark, {})
+
+
+def test_decompress_reference_golden_bytes(spark):
+    """funcs_trans_test.go TestDecompressExec vectors: the reference's own
+    zlib streams (Go flate framing — stored/sync-flushed blocks) decode to
+    the expected payloads.  Byte-exact COMPRESS parity is not a goal (Go
+    and Python deflate choose different, equally valid encodings); stream
+    interop is."""
+    from ekuiper_spark.operators.payload import decompress
+
+    v1 = bytes([120, 156, 202, 72, 205, 201, 201, 87, 40, 207, 47, 202, 73,
+                1, 4, 0, 0, 255, 255, 26, 11, 4, 93])
+    v2 = bytes([120, 156, 170, 86, 202, 75, 204, 77, 85, 178, 82, 242, 202,
+                207, 200, 83, 112, 201, 79, 85, 210, 81, 74, 76, 79, 85, 178,
+                50, 54, 208, 81, 74, 205, 77, 204, 204, 81, 178, 82, 202, 202,
+                207, 200, 211, 75, 201, 79, 117, 72, 173, 72, 204, 45, 200,
+                73, 213, 75, 206, 207, 85, 170, 5, 4, 0, 0, 255, 255, 32, 223,
+                19, 1])
+    # and the stored-block shape the reference's COMPRESS emits
+    v3 = bytes([120, 156, 0, 11, 0, 244, 255, 104, 101, 108, 108, 111, 32,
+                119, 111, 114, 108, 100, 3, 0, 26, 11, 4, 93])
+    df = spark.createDataFrame([(v1, v2, v3)], "a binary, b binary, c binary")
+    r = df.select(
+        F.decode(decompress(F.col("a"), "zlib"), "utf-8").alias("a"),
+        F.decode(decompress(F.col("b"), "zlib"), "utf-8").alias("b"),
+        F.decode(decompress(F.col("c"), "zlib"), "utf-8").alias("c"),
+    ).collect()[0]
+    assert r["a"] == "hello world"
+    assert r["b"] == '{"name":"John Doe","age":30,"email":"john.doe@example.com"}'
+    assert r["c"] == "hello world"
+
+
+def test_compress_unsupported_codec_error():
+    """funcs_trans_test.go vector 0: the reference's exact error text."""
+    from ekuiper_spark.operators.payload import compress, decompress
+
+    with pytest.raises(ValueError, match="unsupported compressor: bar"):
+        compress(F.lit(b"x"), "bar")
+    with pytest.raises(ValueError, match="unsupported decompressor: bar"):
+        decompress(F.lit(b"x"), "bar")
