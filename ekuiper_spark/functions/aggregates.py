@@ -122,3 +122,10 @@ reg("approx_percentile")(
 # per group/partition across the shuffle.
 for _base in ("avg", "count", "max", "min", "sum", "collect", "merge_agg", "last_value"):
     REGISTRY[f"inc_{_base}"] = REGISTRY[_base]
+
+# inc_sum/inc_avg accumulate in FLOAT64 regardless of input type
+# (funcs_inc_agg.go:102-117 ToFloat64 CONVERT_ALL; funcs_inc_agg_test.go
+# pins inc_sum(3), inc_sum(1) -> 4.0) — unlike batch sum/avg, which keep
+# integer semantics for integer inputs
+REGISTRY["inc_sum"] = lambda c, r: F.sum(c[0].cast("double"))
+REGISTRY["inc_avg"] = lambda c, r: F.avg(c[0].cast("double"))

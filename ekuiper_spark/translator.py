@@ -3219,7 +3219,10 @@ class Translator:
         args = [a for a in call.args if not isinstance(a, Wildcard)]
         cols = [self._expr(a, ctx) for a in args]
         raw = [self._raw(a) for a in args]
-        if name in ("avg", "inc_avg") and cols and self._probe_type(cols[0]) in (
+        # NB only plain avg: the reference's inc_avg accumulates float64
+        # (funcs_inc_agg.go:105 ToFloat64 CONVERT_ALL; its own test pins
+        # inc_avg(1), inc_avg(3) -> 2.0), so it does NOT integer-divide
+        if name == "avg" and cols and self._probe_type(cols[0]) in (
             "byte", "short", "integer", "long"
         ):
             # the reference's avg over integer inputs is INTEGER division

@@ -268,6 +268,27 @@ def test_inc_agg_aliases(spark, catalog):
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, base.collect()))
 
 
+def test_inc_sum_avg_are_float64_over_ints(spark):
+    """funcs_inc_agg.go:102-117 + its test: inc_sum/inc_avg accumulate
+    float64 regardless of input type (inc_sum(3)+inc_sum(1) -> 4.0,
+    inc_avg(1), inc_avg(3) -> 2.0) — unlike batch sum/avg, which keep
+    integer semantics (avg is integer division) for integer inputs."""
+    from ekuiper_spark import Catalog, compile_sql
+
+    cat = Catalog()
+    cat.register_df("iv", spark.createDataFrame([(1,), (3,)], "i long"))
+    r = compile_sql(
+        spark,
+        "SELECT inc_sum(i) AS s, inc_avg(i) AS a, sum(i) AS bs, avg(i) AS ba "
+        "FROM iv GROUP BY i < 100",
+        cat,
+    ).collect()[0]
+    assert r["s"] == 4.0 and isinstance(r["s"], float)
+    assert r["a"] == 2.0 and isinstance(r["a"], float)
+    assert r["bs"] == 4 and isinstance(r["bs"], int)
+    assert r["ba"] == 2 and isinstance(r["ba"], int)  # integer division
+
+
 def test_mqtt_metadata_analog(spark, catalog):
     """mqtt(topic) maps to the file-source path metadata (funcs_misc.go
     mqtt() topic/messageid; file analog documented)."""
