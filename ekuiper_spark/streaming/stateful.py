@@ -418,6 +418,7 @@ def window_agg_stream(
     passthrough: Sequence[str] = (),
     emit_wid: bool = False,
     emit_bounds: bool = False,
+    keep_col: Optional[str] = None,
 ) -> DataFrame:
     """Generic stateful streaming window aggregation.
 
@@ -455,9 +456,17 @@ def window_agg_stream(
     buffered rows are trimmed (emit-partial semantics: the window still
     closes on its condition, aggregating the retained tail) and a warning
     is logged on the executor.
+
+    keep_col (count/sliding): a boolean column carrying the rule's WHERE
+    predicate — the reference never pushes WHERE below COUNT/SLIDING
+    windows (windowPlan.go:92-95): windows form and trigger from ALL
+    rows, the filter prunes each window's CONTENT, and a fully-pruned
+    window drops whole (filter_operator.go:84-87).
     """
     if kind not in ("count", "state", "sliding", "session"):
         raise ValueError(f"unknown stateful window kind {kind!r}")
+    if keep_col is not None and kind not in ("count", "sliding"):
+        raise ValueError("keep_col applies to count/sliding windows only")
     schema = {f.name: f.dataType for f in sdf.schema.fields}
     order_cols = [c for c in order_cols if c in schema] or list(sdf.columns[:1])
     if kind == "sliding" and not subgroups:
@@ -472,12 +481,13 @@ def window_agg_stream(
     # --- columns that must cross into the pandas fn -----------------------
     agg_in = [a.in_col for a in aggs if a.in_col is not None]
     ts_col = order_cols[0]
+    keep_extra = [keep_col] if keep_col else []
     if kind == "sliding" and delay_us:
-        needed = list(dict.fromkeys([ts_col] + agg_in + list(passthrough)))
+        needed = list(dict.fromkeys([ts_col] + agg_in + list(passthrough) + keep_extra))
     elif kind == "sliding":
-        needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + list(passthrough)))
+        needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + list(passthrough) + keep_extra))
     else:
-        needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else [])))
+        needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else []) + keep_extra))
     if kind == "sliding" and delay_us:
         buffered = list(needed)  # pending rows wait in state with their row cols
     elif kind == "sliding" and aggs:
@@ -494,7 +504,7 @@ def window_agg_stream(
         buffered = [c for c in needed if c == ts_col or c in agg_in]
     else:
         buffered = [c for c in needed if c not in (begin_col, emit_col)]
-    buffered = list(dict.fromkeys(buffered))
+    buffered = list(dict.fromkeys(buffered + keep_extra))
 
     # --- nullable-long exactness ------------------------------------------
     # a nullable LONG column crosses Spark's Arrow->pandas boundary as
@@ -730,7 +740,38 @@ def window_agg_stream(
             buf = {c: np.concatenate([buf[c], add[c]]) for c in buffered}
         total = len(next(iter(buf.values()))) if buffered else 0
         n_win = total // n
-        if n_win and sub_list:
+        if n_win and keep_col:
+            # WHERE above the window: windows fill from ALL rows, the
+            # predicate prunes each window's CONTENT, an all-pruned
+            # window drops whole (still consuming its wid) — the
+            # streaming analog of the batch deferred-WHERE rule
+            out_rows = new_sink()
+            for w in range(n_win):
+                sl = slice(w * n, (w + 1) * n)
+                kmask = buf[keep_col][sl].astype(bool)
+                if not kmask.any():
+                    continue
+                win = {c: buf[c][sl][kmask] for c in buffered}
+                if sub_list:
+                    subgroup_window(win, emitted + w, out_rows)
+                    continue
+                for a in agg_list:
+                    src = a.in_col or ts_col
+                    val = _reduce_slice(a.op, win[src], buf_types.get(src, T.DoubleType()))
+                    if a.op in ("min", "max", "first", "last", "last_nn") and _is_ts(buf_types[src]):
+                        val = pd.NaT if val is None or (isinstance(val, float) and np.isnan(val)) else pd.Timestamp(int(val), unit="us")
+                    elif a.op == "collect" and _is_ts(buf_types[src]):
+                        val = list(pd.to_datetime(pd.Series(list(val)), unit="us"))
+                    out_rows[a.out].append(val)
+                if emit_wid:
+                    out_rows["wid"].append(emitted + w)
+            buf = {c: buf[c][n_win * n :] for c in buffered}
+            emitted += n_win
+            save_state(state, emitted, False, buf)
+            n_out = len(next(iter(out_rows.values()))) if out_rows else 0
+            if n_out:
+                yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
+        elif n_win and sub_list:
             # sub-grouped: one output row per (window, subgroup value)
             sink = new_sink()
             for w in range(n_win):
@@ -1073,6 +1114,7 @@ def window_agg_stream(
         already = from_old & (ts_arr <= old_thr)
         emit = (ts_arr <= new_thr) & ~already
         idx = np.nonzero(emit)[0]
+        dkmask = full[keep_col].astype(bool) if keep_col else None
         out_cols: dict = {}
         if len(idx):
             # frame [t-length, t+delay) — left-INCLUSIVE (handleInputs
@@ -1081,11 +1123,26 @@ def window_agg_stream(
             # (window_op.go:571-573; TestSlidingWindowInterval11)
             left = np.searchsorted(ts_arr, ts_arr[idx] - length_us, side="left")
             right = np.searchsorted(ts_arr, ts_arr[idx] + delay_us, side="left")
+            if dkmask is not None:
+                # all-pruned frames drop whole (WHERE above the window)
+                kcs = np.concatenate([[0], np.cumsum(dkmask.astype("int64"))])
+                kept_in_frame = kcs[right] - kcs[left]
+                sel = kept_in_frame > 0
+                idx, left, right = idx[sel], left[sel], right[sel]
+                if not len(idx):
+                    keep = ts_arr >= new_thr - length_us
+                    save_state(state, new_max, False, {c: full[c][keep] for c in buffered})
+                    return
             for a in agg_list:
                 if a.op == "count" and a.in_col is None:
-                    res = (right - left).astype("int64")
+                    if dkmask is None:
+                        res = (right - left).astype("int64")
+                    else:
+                        res = (kcs[right] - kcs[left]).astype("int64")
                 elif a.op in ("min", "max"):
                     vals = _f64_nulls(full[a.in_col], buf_types[a.in_col])
+                    if dkmask is not None:
+                        vals = np.where(dkmask, vals, np.nan)
                     res = _range_extrema(vals, left, right, a.op)
                     # all-null frame → NaN; NaN.astype(int64) is INT64_MIN,
                     # so keep it null instead of casting the raw array
@@ -1102,6 +1159,8 @@ def window_agg_stream(
                         ).mask(nanmask, pd.NA)
                 else:
                     vals = _f64_nulls(full[a.in_col], buf_types[a.in_col])
+                    if dkmask is not None:
+                        vals = np.where(dkmask, vals, np.nan)
                     ok = ~np.isnan(vals)
                     ccs = np.concatenate([[0], np.cumsum(ok.astype("int64"))])
                     scs = np.concatenate([[0.0], np.cumsum(np.where(ok, vals, 0.0))])
@@ -1114,12 +1173,20 @@ def window_agg_stream(
                     else:  # avg
                         res = np.where(cnt > 0, sm / np.maximum(cnt, 1), np.nan)
                 out_cols[a.out] = res
+            first_pos = left
+            if dkmask is not None and any(
+                not c.startswith("__") for c in pass_list
+            ):
+                # first KEPT row at/after the frame start (frames are
+                # non-empty after the all-pruned selection above)
+                kpos = np.nonzero(dkmask)[0]
+                first_pos = kpos[np.searchsorted(kpos, left, side="left")]
             for c in pass_list:
                 # aggregated delayed sliding: raw columns take the first
                 # frame row's value (frame (t-L, t+delay] starts at
                 # `left`); __-prefixed pass cols (__trig/__et) and the
                 # non-aggregated form stay trigger-row-local
-                v = full[c][idx] if (c.startswith("__") or not agg_list) else full[c][left]
+                v = full[c][idx] if (c.startswith("__") or not agg_list) else full[c][first_pos]
                 out_cols[c] = pd.to_datetime(v.astype("int64"), unit="us") if _is_ts(buf_types[c]) else v
         keep = ts_arr >= new_thr - length_us
         save_state(state, new_max, False, {c: full[c][keep] for c in buffered})
@@ -1145,6 +1212,7 @@ def window_agg_stream(
         is_new = np.concatenate(
             [np.zeros(n_carry, dtype=bool), np.ones(n_new, dtype=bool)]
         )[perm]
+        kmask = full[keep_col].astype(bool) if keep_col else None
         if sub_list:
             # content sub-grouping (reference window-then-aggregate,
             # TestWindowRule4): each triggering event's whole frame groups
@@ -1164,7 +1232,14 @@ def window_agg_stream(
             for k, pos in enumerate(new_pos):
                 if not trig_mask[k]:
                     continue
-                win = {c: full[c][lefts[k] : pos + 1] for c in buffered}
+                sl = slice(lefts[k], pos + 1)
+                if kmask is not None:
+                    km = kmask[sl]
+                    if not km.any():
+                        continue  # all-pruned frame drops whole
+                    win = {c: full[c][sl][km] for c in buffered}
+                else:
+                    win = {c: full[c][sl] for c in buffered}
                 subgroup_window(win, 0, sink)
                 n_trig += 1
             last_ts = int(full[ts_col][-1])
@@ -1175,23 +1250,41 @@ def window_agg_stream(
                 yield emit_frame({k2: pd.Series(v) for k2, v in sink.items()}, n_out, key)
             return
         idx = pd.to_datetime(full[ts_col], unit="us")
+
+        def _roll_vals(c: str) -> np.ndarray:
+            v = (
+                _f64_nulls(full[c], buf_types[c])
+                if isinstance(
+                    buf_types[c],
+                    (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+                ) or _is_ts(buf_types[c])
+                else np.asarray(full[c], dtype="float64")
+                if np.asarray(full[c]).dtype.kind in ("i", "u", "f", "b")
+                else full[c]
+            )
+            if kmask is not None:
+                # WHERE above the window: non-kept rows still trigger
+                # frames but are not CONTENT — NaN them out so the
+                # NaN-skipping rolling reductions ignore them
+                v = np.where(kmask, np.asarray(v, dtype="float64"), np.nan)
+            return v
+
         roll_df = pd.DataFrame(
             # integer agg inputs go through float64 with nulls as NaN so
             # rolling reductions skip them (pandas NaN-skipping = SQL null)
             {
-                c: (
-                    _f64_nulls(full[c], buf_types[c])
-                    if isinstance(buf_types[c], (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
-                    else full[c]
-                )
+                c: _roll_vals(c)
                 for c in buffered
-                if c != ts_col or any(a.in_col == ts_col for a in agg_list)
+                if (c != ts_col or any(a.in_col == ts_col for a in agg_list))
+                and c != keep_col
             },
             index=idx,
         )
         if any(a.in_col is None for a in agg_list):
             # count(*) counts rows, not non-nulls of some column
-            roll_df["__one"] = 1.0
+            roll_df["__one"] = 1.0 if kmask is None else np.where(kmask, 1.0, np.nan)
+        if kmask is not None:
+            roll_df["__keepn"] = np.where(kmask, 1.0, np.nan)
         # frame [t-length, t]: the reference scan is left-INCLUSIVE
         # (handleInputs keeps ts >= left, window_op.go:641-647;
         # TestSlidingWindowInterval12 pins the boundary)
@@ -1215,21 +1308,43 @@ def window_agg_stream(
         # so res[is_new] aligns 1:1 with the sorted batch's rows
         if agg_list and any(not c.startswith("__") for c in pass_list):
             # first-of-frame raw columns: the frame [t-L, t] starts at the
-            # first buffered index with us >= t - L
+            # first buffered index with us >= t - L.  With a content
+            # filter, "first" means the first KEPT frame row
             new_ts = full[ts_col][is_new]
-            left_idx = np.searchsorted(full[ts_col], new_ts - length_us, side="left")
+            if kmask is None:
+                src_full = full
+                left_idx = np.searchsorted(full[ts_col], new_ts - length_us, side="left")
+            else:
+                src_full = {c: full[c][kmask] for c in buffered}
+                kept_ts = full[ts_col][kmask]
+                left_idx = np.searchsorted(kept_ts, new_ts - length_us, side="left")
+                left_idx = np.minimum(left_idx, max(len(kept_ts) - 1, 0))
         for c in pass_list:
             if c.startswith("__") or not agg_list:
                 # __-prefixed pass cols are trigger-row locals (__trig,
                 # __et); plain raw cols take the first frame row's value
                 out_cols[c] = batch[c].values
             else:
-                vals = full[c][left_idx]
+                vals = src_full[c][left_idx] if len(src_full[ts_col]) else np.empty(0, dtype=full[c].dtype)
                 out_cols[c] = (
-                    pd.to_datetime(vals.astype("int64"), unit="us")
+                    pd.to_datetime(np.asarray(vals).astype("int64"), unit="us")
                     if _is_ts(buf_types.get(c, T.DoubleType()))
                     else vals
                 )
+        emit_mask = None
+        if kmask is not None:
+            # a trigger whose frame holds no kept rows drops whole
+            # (filter_operator.go:84-87 all-pruned collection)
+            frame_kept = roll.count()["__keepn"].to_numpy()[is_new]
+            emit_mask = frame_kept > 0
+            out_cols = {
+                k: (
+                    np.asarray(v)[emit_mask]
+                    if not isinstance(v, pd.Series)
+                    else v.reset_index(drop=True)[emit_mask].reset_index(drop=True)
+                )
+                for k, v in out_cols.items()
+            }
         # trim the carried buffer to the horizon of the newest row
         # (left-INCLUSIVE frame: a tie with the newest row can still need
         # the row exactly `length` old)
@@ -1237,7 +1352,9 @@ def window_agg_stream(
         keep = full[ts_col] >= last_ts - length_us
         buf = {c: full[c][keep] for c in buffered}
         save_state(state, 0, False, buf)
-        yield emit_frame(out_cols, n_new, key)
+        n_out = n_new if emit_mask is None else int(emit_mask.sum())
+        if n_out:
+            yield emit_frame(out_cols, n_out, key)
 
     fn = {
         "count": fn_count,

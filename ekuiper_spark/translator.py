@@ -290,9 +290,9 @@ class Translator:
             _w = stmt.group.window if stmt.group else None
             if (
                 pre is not None
-                and not self.streaming
                 and _w is not None
                 and _w.kind in ("count", "sliding")
+                and (not self.streaming or not stmt.joins)
             ):
                 # COUNT and SLIDING windows form over ALL rows — the
                 # reference never pushes WHERE below them
@@ -300,7 +300,11 @@ class Translator:
                 # prunes each window's CONTENT, and a fully-pruned window
                 # drops whole (filter_operator.go:84-87).
                 # TestAliasOrderBy14: 3 of 5 rows pass, yet COUNTWINDOW(5)
-                # fills and emits.
+                # fills and emits.  STREAMING single-source rules route
+                # the predicate into the stateful operator as a keep
+                # column (windows form from all rows, content prunes);
+                # the streaming sliding JOIN keeps the pushed-down filter
+                # (its restrictions are documented).
                 ctx.deferred_where = pre
             elif pre is not None:
                 df = df.filter(self._expr(pre, ctx))
@@ -1865,6 +1869,19 @@ class Translator:
                 kw["emit_col"] = "__swe"
 
         df, specs = self._stream_agg_specs(df, stmt, ctx)
+        if ctx.deferred_where is not None and window.kind == "count":
+            # WHERE above the count window (windowPlan.go:92-95): the
+            # stateful operator forms windows from ALL rows and prunes
+            # content by this keep column; all-pruned windows drop
+            df = df.withColumn(
+                "__keep",
+                F.coalesce(
+                    self._expr(ctx.deferred_where, ctx).cast("boolean"),
+                    F.lit(False),
+                ),
+            )
+            kw["keep_col"] = "__keep"
+            ctx.deferred_where = None
         out = window_agg_stream(
             df,
             window.kind,
@@ -1992,6 +2009,28 @@ class Translator:
             )
             passthrough.append("__et")
 
+        keep_kw: dict = {}
+        if ctx.deferred_where is not None:
+            if not specs:
+                # the non-aggregated streaming sliding form emits the
+                # trigger row only (documented divergence from the batch
+                # frame-content emission), so the filter applies to the
+                # trigger rows directly
+                df = df.filter(self._expr(ctx.deferred_where, ctx))
+            else:
+                # WHERE above the window: all rows trigger and fill
+                # frames; the keep column prunes frame CONTENT inside
+                # the stateful operator (windowPlan.go:92-95)
+                df = df.withColumn(
+                    "__keep",
+                    F.coalesce(
+                        self._expr(ctx.deferred_where, ctx).cast("boolean"),
+                        F.lit(False),
+                    ),
+                )
+                keep_kw["keep_col"] = "__keep"
+            ctx.deferred_where = None
+
         if dims:
             # reference window-then-aggregate order: GROUP BY dims
             # sub-group the frame CONTENT per trigger (TestWindowRule4),
@@ -2021,6 +2060,7 @@ class Translator:
                 order_cols=ctx.order_cols,
                 aggs=list(specs) + extra_specs,
                 passthrough=["__trig"] if window.trigger is not None else (),
+                **keep_kw,
             )
         else:
             out = window_agg_stream(
@@ -2032,6 +2072,7 @@ class Translator:
                 order_cols=ctx.order_cols,
                 aggs=specs,
                 passthrough=passthrough,
+                **keep_kw,
             )
         if window.trigger is not None and not dims:
             out = out.filter(F.col("__trig")).drop("__trig")

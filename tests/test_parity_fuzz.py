@@ -1,0 +1,120 @@
+"""Seeded batch/streaming parity fuzz.
+
+The engine's contract is that a rule compiled for batch and the same
+rule run through Structured Streaming (availableNow over the same data)
+produce the same rows.  The targeted tests pin that per window kind;
+this fuzz sweeps seeded COMBINATIONS — window kind x WHERE filter x
+GROUP BY dims x HAVING x aggregate set — so interactions between the
+translator's batch and streaming code paths can't drift silently.
+
+Deterministic: the query list derives from a fixed seed, so a failure
+reproduces by name.  Floats round before comparison (partial-aggregation
+order differs between modes).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ekuiper_spark import Catalog, compile_sql
+from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+_WINDOWS = [
+    "TUMBLINGWINDOW(ss, 120)",
+    "TUMBLINGWINDOW(mi, 10)",
+    "HOPPINGWINDOW(ss, 120, 60)",
+    "HOPPINGWINDOW(mi, 10, 5)",
+    "COUNTWINDOW(50)",
+    "COUNTWINDOW(100)",
+    "SLIDINGWINDOW(mi, 30)",
+    "SLIDINGWINDOW(mi, 30, 10)",
+]
+_FILTERS = [
+    "",
+    "WHERE value > 50",
+    "WHERE event_type = 'purchase'",
+    "WHERE user_id % 3 = 0 AND value < 180",
+]
+_DIMS = ["", "event_type", "user_id % 4"]
+_AGGS = [
+    "count(*) AS n, min(event_id) AS a, max(event_id) AS b",
+    "count(*) AS n, sum(user_id) AS su, round(sum(value), 2) AS sv",
+    "count(*) AS n, round(avg(value), 2) AS av, min(ts) AS mt",
+]
+_HAVINGS = ["", "HAVING count(*) > 2"]
+
+
+def _gen_queries(seed: int, n: int) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    while len(out) < n:
+        w = rng.choice(_WINDOWS)
+        f = rng.choice(_FILTERS)
+        d = rng.choice(_DIMS)
+        a = rng.choice(_AGGS)
+        h = rng.choice(_HAVINGS)
+        if w.startswith(("COUNTWINDOW", "SLIDINGWINDOW")) and d:
+            # count-window sub-grouping parity is pinned separately;
+            # keep the fuzz on the unambiguous combos
+            d = ""
+        if w.startswith("SLIDINGWINDOW"):
+            # per-event emission: HAVING gates each trigger's frame,
+            # pinned by targeted tests; drop it here.  The delay form's
+            # streaming aggregates are the restricted set.
+            h = ""
+            if w.endswith("10)"):
+                a = "count(*) AS n, sum(user_id) AS su, min(event_id) AS a"
+        dims = f"{d}, " if d else ""
+        sel = f"{d} AS g, " if d else ""
+        q = (
+            f"SELECT {sel}{a} FROM events {f} "
+            f"GROUP BY {dims}{w} {h}"
+        ).strip()
+        if q not in out:
+            out.append(q)
+    return out
+
+
+_QUERIES = _gen_queries(seed=20260815, n=14) + [
+    # guaranteed WHERE-above-sliding coverage regardless of the seed:
+    # the delayed form, the plain per-event form, and the sub-grouped
+    # content form all keep triggers from ALL rows and prune CONTENT
+    "SELECT count(*) AS n, sum(user_id) AS su, min(event_id) AS a "
+    "FROM events WHERE value > 100 GROUP BY SLIDINGWINDOW(mi, 30, 10)",
+    "SELECT count(*) AS n, max(event_id) AS b FROM events "
+    "WHERE event_type = 'error' GROUP BY SLIDINGWINDOW(ss, 90)",
+    "SELECT event_type AS g, count(*) AS n FROM events "
+    "WHERE value > 100 GROUP BY event_type, SLIDINGWINDOW(mi, 30)",
+    "SELECT count(*) AS n, min(event_id) AS a FROM events "
+    "WHERE value > 120 GROUP BY COUNTWINDOW(40)",
+]
+
+
+def _rows(df):
+    out = []
+    for r in df.collect():
+        row = []
+        for v in r:
+            if isinstance(v, float):
+                v = round(v, 2)
+            row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("sql", _QUERIES)
+def test_batch_stream_parity_fuzz(spark, catalog, sql):
+    batch = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
+    # output mode: the runtime picks complete for native windowed aggs
+    # (no watermark) and append for the stateful operators
+    stream = run_rule_available_now(
+        spark, catalog, sql, order_cols=["ts", "event_id"]
+    )
+    b, s = _rows(batch), _rows(stream)
+    assert b == s, (
+        f"parity drift for {sql!r}: batch {len(b)} rows vs stream {len(s)};"
+        f" first diff {next((x for x in b if x not in s), None)} /"
+        f" {next((x for x in s if x not in b), None)}"
+    )
