@@ -1,0 +1,527 @@
+"""jsonpath for json_path_query / json_path_query_first / json_path_exists.
+
+The reference evaluates these with the PaesslerAG/gval jsonpath engine
+over DYNAMIC data (internal/conf/jsonpath_eval.go): the first argument
+may be a map, a slice, or a JSON string, and the path supports member
+access (``$.a``, ``$["dotted.name"]``), array indexes (``$[0]``),
+wildcards (``$.rings[*].weight``) and filter expressions
+(``$.rings[? @.weight>1].name``).  ``json_path_query`` returns the
+selected value (an ARRAY of matches once a wildcard/filter appears);
+``json_path_query_first`` requires an array result and takes its first
+element (funcs_misc.go:538-552); ``json_path_exists`` maps errors and
+nil to false and an array result to len>0 (funcs_misc.go:553-575).
+
+Spark-first mapping:
+
+- Typed container columns (struct/map/array) compile to NATIVE Catalyst
+  expressions — ``getField``/``element_at`` for members, ``F.filter``
+  for filter predicates, ``F.transform`` for wildcard projections — so
+  the whole reference test corpus runs JVM-side with zero Python.
+- JSON STRING columns with member/index-only paths stay on
+  ``get_json_object`` (JVM).  Paths with wildcards/filters over strings
+  fall back to an Arrow-batched pandas UDF running the same segment
+  evaluator in Python (the data is opaque to Catalyst there, exactly as
+  it is to the reference's interpreter).
+
+Statically-invalid navigation (a member that cannot exist on the typed
+shape) mirrors gval's unknown-key ERROR: query returns nil (the
+engine's error-as-value convention) and exists returns false.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "parse_path",
+    "string_path",
+    "compile_typed",
+    "eval_path",
+    "JsonPathStaticError",
+]
+
+
+class JsonPathStaticError(ValueError):
+    """Navigation that can never succeed on the probed static type."""
+
+
+# --------------------------------------------------------------------------
+# path parser
+# --------------------------------------------------------------------------
+# segments: ("name", str) | ("idx", int) | ("wild",) | ("filt", expr-ast)
+# filter ast: ("or"/"and", l, r) | ("cmp", op, l, r) | ("at", [segs]) |
+#             ("lit", value)
+
+
+def parse_path(path: str) -> list[tuple]:
+    s = path.strip()
+    if not s.startswith("$"):
+        raise ValueError(f"invalid jsonpath {path!r}: must start with $")
+    i, n = 1, len(s)
+    segs: list[tuple] = []
+    while i < n:
+        ch = s[i]
+        if ch == ".":
+            if i + 1 < n and s[i + 1] == ".":
+                raise ValueError(
+                    f"unsupported jsonpath {path!r}: recursive descent '..'"
+                )
+            i += 1
+            j = i
+            while j < n and s[j] not in ".[":
+                j += 1
+            name = s[i:j]
+            if name == "*":
+                segs.append(("wild",))
+            elif name:
+                segs.append(("name", name))
+            else:
+                raise ValueError(f"invalid jsonpath {path!r}: empty member")
+            i = j
+        elif ch == "[":
+            j = _match_bracket(s, i)
+            inner = s[i + 1 : j].strip()
+            if inner == "*":
+                segs.append(("wild",))
+            elif inner.startswith("?"):
+                expr, k = _parse_filter(inner[1:].strip(), 0)
+                if k != len(inner[1:].strip()):
+                    raise ValueError(f"invalid filter in {path!r}")
+                segs.append(("filt", expr))
+            elif inner[:1] in "\"'":
+                if len(inner) < 2 or inner[-1] != inner[0]:
+                    raise ValueError(f"invalid quoted member in {path!r}")
+                segs.append(("name", inner[1:-1]))
+            else:
+                segs.append(("idx", int(inner)))
+            i = j + 1
+        else:
+            raise ValueError(f"invalid jsonpath {path!r} at offset {i}")
+    return segs
+
+
+def _match_bracket(s: str, i: int) -> int:
+    """index of the ] matching s[i]=='[', respecting quotes and parens."""
+    depth, j, n = 0, i, len(s)
+    quote = None
+    while j < n:
+        c = s[j]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "\"'":
+            quote = c
+        elif c in "[(":
+            depth += 1
+        elif c in "])":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise ValueError(f"unbalanced bracket in jsonpath {s!r}")
+
+
+# ---- filter expression parser (comparisons, && ||, parens) ---------------
+def _parse_filter(s: str, i: int) -> tuple[tuple, int]:
+    return _parse_or(s, _skip_ws(s, i))
+
+
+def _skip_ws(s: str, i: int) -> int:
+    while i < len(s) and s[i] in " \t":
+        i += 1
+    return i
+
+
+def _parse_or(s: str, i: int) -> tuple[tuple, int]:
+    left, i = _parse_and(s, i)
+    i = _skip_ws(s, i)
+    while s[i : i + 2] == "||":
+        right, i = _parse_and(s, _skip_ws(s, i + 2))
+        left = ("or", left, right)
+        i = _skip_ws(s, i)
+    return left, i
+
+
+def _parse_and(s: str, i: int) -> tuple[tuple, int]:
+    left, i = _parse_cmp(s, i)
+    i = _skip_ws(s, i)
+    while s[i : i + 2] == "&&":
+        right, i = _parse_cmp(s, _skip_ws(s, i + 2))
+        left = ("and", left, right)
+        i = _skip_ws(s, i)
+    return left, i
+
+
+_CMP_OPS = ("==", "!=", "<=", ">=", "<", ">")
+
+
+def _parse_cmp(s: str, i: int) -> tuple[tuple, int]:
+    left, i = _parse_operand(s, i)
+    i = _skip_ws(s, i)
+    for op in _CMP_OPS:
+        if s[i : i + len(op)] == op:
+            right, i = _parse_operand(s, _skip_ws(s, i + len(op)))
+            return ("cmp", op, left, right), i
+    return left, i
+
+
+def _parse_operand(s: str, i: int) -> tuple[tuple, int]:
+    i = _skip_ws(s, i)
+    if i >= len(s):
+        raise ValueError(f"truncated filter expression {s!r}")
+    c = s[i]
+    if c == "(":
+        expr, j = _parse_or(s, i + 1)
+        j = _skip_ws(s, j)
+        if j >= len(s) or s[j] != ")":
+            raise ValueError(f"unbalanced paren in filter {s!r}")
+        return expr, j + 1
+    if c == "@":
+        j = i + 1
+        segs: list[tuple] = []
+        while j < len(s):
+            if s[j] == ".":
+                k = j + 1
+                while k < len(s) and (s[k].isalnum() or s[k] in "_-"):
+                    k += 1
+                segs.append(("name", s[j + 1 : k]))
+                j = k
+            elif s[j] == "[":
+                k = _match_bracket(s, j)
+                inner = s[j + 1 : k].strip()
+                if inner[:1] in "\"'":
+                    segs.append(("name", inner[1:-1]))
+                else:
+                    segs.append(("idx", int(inner)))
+                j = k + 1
+            else:
+                break
+        return ("at", segs), j
+    if c in "\"'":
+        j = i + 1
+        while j < len(s) and s[j] != c:
+            j += 1
+        if j >= len(s):
+            raise ValueError(f"unterminated string in filter {s!r}")
+        return ("lit", s[i + 1 : j]), j + 1
+    # number / true / false / null
+    j = i
+    while j < len(s) and (s[j].isalnum() or s[j] in "+-._"):
+        j += 1
+    tok = s[i:j]
+    if tok in ("true", "false"):
+        return ("lit", tok == "true"), j
+    if tok == "null":
+        return ("lit", None), j
+    try:
+        return ("lit", int(tok)), j
+    except ValueError:
+        return ("lit", float(tok)), j
+
+
+# --------------------------------------------------------------------------
+# get_json_object path rebuild (member/index-only)
+# --------------------------------------------------------------------------
+def string_path(segs: list[tuple]) -> Optional[str]:
+    """Rebuild a path Spark's get_json_object accepts, or None when the
+    path needs the evaluator (wildcard/filter)."""
+    out = "$"
+    for seg in segs:
+        if seg[0] == "name":
+            nm = seg[1]
+            if nm.replace("_", "").replace("-", "").isalnum() and "." not in nm:
+                out += f".{nm}"
+            else:
+                out += f"['{nm}']"
+        elif seg[0] == "idx":
+            if seg[1] < 0:
+                return None
+            out += f"[{seg[1]}]"
+        else:
+            return None
+    return out
+
+
+# --------------------------------------------------------------------------
+# typed Catalyst compiler
+# --------------------------------------------------------------------------
+def _field_type(dt: T.DataType, name: str) -> T.DataType:
+    if isinstance(dt, T.StructType):
+        for f in dt.fields:
+            if f.name == name:
+                return f.dataType
+        raise JsonPathStaticError(f"no member {name!r} on {dt.simpleString()}")
+    if isinstance(dt, T.MapType):
+        return dt.valueType
+    raise JsonPathStaticError(f"member access {name!r} on {dt.simpleString()}")
+
+
+def _get_name(col: Column, dt: T.DataType, name: str) -> tuple[Column, T.DataType]:
+    if isinstance(dt, T.StructType):
+        return col.getField(name), _field_type(dt, name)
+    if isinstance(dt, T.MapType):
+        return F.element_at(col, F.lit(name)), dt.valueType
+    raise JsonPathStaticError(f"member access {name!r} on {dt.simpleString()}")
+
+
+def _compile_pred(x: Column, et: T.DataType, expr: tuple) -> Column:
+    kind = expr[0]
+    if kind == "or":
+        return _compile_pred(x, et, expr[1]) | _compile_pred(x, et, expr[2])
+    if kind == "and":
+        return _compile_pred(x, et, expr[1]) & _compile_pred(x, et, expr[2])
+    if kind == "cmp":
+        op, l, r = expr[1], expr[2], expr[3]
+        lc = _compile_operand(x, et, l)
+        rc = _compile_operand(x, et, r)
+        if op == "==":
+            return lc == rc
+        if op == "!=":
+            return lc != rc
+        if op == "<":
+            return lc < rc
+        if op == "<=":
+            return lc <= rc
+        if op == ">":
+            return lc > rc
+        return lc >= rc
+    if kind == "at":
+        # bare @-path truthiness: exists and is not null
+        return _compile_operand(x, et, expr).isNotNull()
+    raise ValueError(f"unsupported filter expression {expr!r}")
+
+
+def _compile_operand(x: Column, et: T.DataType, expr: tuple) -> Column:
+    if expr[0] == "lit":
+        return F.lit(expr[1])
+    if expr[0] == "at":
+        col, dt = x, et
+        for seg in expr[1]:
+            if seg[0] == "name":
+                col, dt = _get_name(col, dt, seg[1])
+            else:
+                if not isinstance(dt, T.ArrayType):
+                    raise JsonPathStaticError(
+                        f"index on {dt.simpleString()} in filter"
+                    )
+                col, dt = F.element_at(col, seg[1] + 1), dt.elementType
+        return col
+    raise ValueError(f"unsupported operand {expr!r}")
+
+
+def _name_getter(dt: T.DataType, name: str):
+    # single-parameter closures: F.transform/F.filter switch to the
+    # (element, index) calling convention when the callable takes two
+    # parameters, and default args count toward that signature
+    if isinstance(dt, T.StructType):
+        return lambda x: x.getField(name)
+    return lambda x: F.element_at(x, F.lit(name))
+
+
+def _pred_fn(dt: T.DataType, expr: tuple):
+    return lambda x: _compile_pred(x, dt, expr)
+
+
+def compile_typed(
+    col: Column, dt: T.DataType, segs: list[tuple]
+) -> tuple[Column, T.DataType, bool]:
+    """Compile the path over a typed container column.
+
+    Returns (column, result dtype, collected) where collected=True means a
+    wildcard/filter made the result an ARRAY of matches (the reference's
+    []interface{} result shape).  Raises JsonPathStaticError when the path
+    cannot navigate the static type (gval's unknown-key error analog).
+    """
+    collected = False
+    for seg in segs:
+        k = seg[0]
+        if collected:
+            # col is array<dt>; remaining member segs project per element
+            if k == "name":
+                et = _field_type(dt, seg[1])
+                col = F.transform(col, _name_getter(dt, seg[1]))
+                dt = et
+            elif k == "filt":
+                if not isinstance(dt, (T.StructType, T.MapType)):
+                    raise JsonPathStaticError(
+                        f"filter over {dt.simpleString()} elements"
+                    )
+                col = F.filter(col, _pred_fn(dt, seg[1]))
+            elif k == "idx":
+                raise JsonPathStaticError("index after a collecting segment")
+            else:  # wild over array-of-arrays
+                if not isinstance(dt, T.ArrayType):
+                    raise JsonPathStaticError(
+                        f"wildcard over {dt.simpleString()} elements"
+                    )
+                col, dt = F.flatten(col), dt.elementType
+            continue
+        if k == "name":
+            col, dt = _get_name(col, dt, seg[1])
+        elif k == "idx":
+            if not isinstance(dt, T.ArrayType):
+                raise JsonPathStaticError(
+                    f"index on {dt.simpleString()}"
+                )
+            if seg[1] < 0:
+                raise JsonPathStaticError("negative jsonpath index")
+            col, dt = F.element_at(col, seg[1] + 1), dt.elementType
+        elif k == "wild":
+            if isinstance(dt, T.ArrayType):
+                dt = dt.elementType
+            elif isinstance(dt, T.MapType):
+                col, dt = F.map_values(col), dt.valueType
+            else:
+                raise JsonPathStaticError(
+                    f"wildcard on {dt.simpleString()}"
+                )
+            collected = True
+        else:  # filt
+            if not isinstance(dt, T.ArrayType):
+                raise JsonPathStaticError(
+                    f"filter on {dt.simpleString()}"
+                )
+            et = dt.elementType
+            col = F.filter(col, _pred_fn(et, seg[1]))
+            dt = et
+            collected = True
+    return col, dt, collected
+
+
+# --------------------------------------------------------------------------
+# Python evaluator (string fallback; also the unit-test oracle)
+# --------------------------------------------------------------------------
+def eval_path(obj: Any, segs: list[tuple]) -> Any:
+    """Evaluate segments over parsed JSON data; mirrors the gval subset.
+
+    Raises KeyError/IndexError/TypeError on invalid navigation (callers
+    map to the reference's error contract)."""
+    cur = [obj]
+    collected = False
+    for seg in segs:
+        k = seg[0]
+        if k == "name":
+            nxt = []
+            for c in cur:
+                if not isinstance(c, dict):
+                    if collected:
+                        continue  # gval skips non-matching elements
+                    raise TypeError(f"member access on {type(c).__name__}")
+                if seg[1] in c:
+                    nxt.append(c[seg[1]])
+                elif not collected:
+                    raise KeyError(seg[1])
+            cur = nxt
+        elif k == "idx":
+            nxt = []
+            for c in cur:
+                if not isinstance(c, list):
+                    raise TypeError(f"index on {type(c).__name__}")
+                nxt.append(c[seg[1]])  # IndexError propagates
+            cur = nxt
+        elif k == "wild":
+            nxt = []
+            for c in cur:
+                if isinstance(c, list):
+                    nxt.extend(c)
+                elif isinstance(c, dict):
+                    nxt.extend(c.values())
+                else:
+                    raise TypeError(f"wildcard on {type(c).__name__}")
+            cur = nxt
+            collected = True
+        else:  # filt
+            nxt = []
+            for c in cur:
+                if not isinstance(c, list):
+                    raise TypeError(f"filter on {type(c).__name__}")
+                nxt.extend(x for x in c if _eval_pred(x, seg[1]))
+            cur = nxt
+            collected = True
+    if collected:
+        return cur
+    return cur[0]
+
+
+def _eval_pred(x: Any, expr: tuple) -> bool:
+    k = expr[0]
+    if k == "or":
+        return _eval_pred(x, expr[1]) or _eval_pred(x, expr[2])
+    if k == "and":
+        return _eval_pred(x, expr[1]) and _eval_pred(x, expr[2])
+    if k == "cmp":
+        try:
+            l = _eval_operand(x, expr[2])
+            r = _eval_operand(x, expr[3])
+        except (KeyError, IndexError, TypeError):
+            return False
+        op = expr[1]
+        try:
+            if op == "==":
+                return l == r
+            if op == "!=":
+                return l != r
+            if op == "<":
+                return l < r
+            if op == "<=":
+                return l <= r
+            if op == ">":
+                return l > r
+            return l >= r
+        except TypeError:
+            return False
+    if k == "at":
+        try:
+            return _eval_operand(x, expr) is not None
+        except (KeyError, IndexError, TypeError):
+            return False
+    raise ValueError(f"unsupported filter expression {expr!r}")
+
+
+def _eval_operand(x: Any, expr: tuple) -> Any:
+    if expr[0] == "lit":
+        return expr[1]
+    cur = x
+    for seg in expr[1]:
+        if seg[0] == "name":
+            if not isinstance(cur, dict):
+                raise TypeError("member access in filter")
+            cur = cur[seg[1]]
+        else:
+            if not isinstance(cur, list):
+                raise TypeError("index in filter")
+            cur = cur[seg[1]]
+    return cur
+
+
+def eval_path_json(text: Optional[str], segs: list[tuple], mode: str):
+    """String-input evaluator used by the pandas-UDF fallback.
+
+    mode: 'query' -> JSON text of the result (None on error),
+          'first' -> JSON text of result[0] (None unless result is a
+                     non-empty array; mirrors funcs_misc.go:545-549),
+          'exists' -> bool (errors/nil -> False, arrays -> len>0).
+    """
+    try:
+        if text is None:
+            raise ValueError("nil input")
+        obj = json.loads(text)
+        res = eval_path(obj, segs)
+    except Exception:
+        return False if mode == "exists" else None
+    if mode == "exists":
+        if res is None:
+            return False
+        if isinstance(res, list):
+            return len(res) > 0
+        return True
+    if mode == "first":
+        if not isinstance(res, list) or not res:
+            return None
+        res = res[0]
+    return json.dumps(res)

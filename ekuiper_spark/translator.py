@@ -2874,6 +2874,23 @@ class Translator:
 
     def _project(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
         self._cur_df = df
+        if (
+            stmt.limit is not None
+            and not stmt.order
+            and not self.streaming
+            and any(
+                isinstance(f.expr, FuncCall) and f.expr.name in fregistry.SRF
+                for f in stmt.fields
+            )
+        ):
+            # LIMIT with an SRF routes to ProjectSet, which caps the
+            # collection's ROWS at LimitCount BEFORE expansion and the
+            # expanded output after (projectset_operator.go:54-71,
+            # planner.go:897 keeps LIMIT off ProjectOp when an SRF is
+            # present) — so LIMIT n can emit FEWER than n rows when an
+            # early row under-expands (an empty array contributes zero).
+            df = df.limit(stmt.limit)
+            self._cur_df = df
         if "__jerr" in df.columns:
             # an upstream operator (join/HAVING under SendError) marked
             # rows as error emissions: data fields null out, the message
@@ -4288,6 +4305,13 @@ class Translator:
                 cols[0], lambda k, v: ~F.array_contains(cols[1], k)
             )
         if (
+            name.lower()
+            in ("json_path_query", "json_path_query_first", "json_path_exists")
+            and len(cols) == 2
+            and isinstance(raw[1], str)
+        ):
+            return self._json_path(name.lower(), cols[0], raw[1])
+        if (
             name.lower() == "cast"
             and cols
             and len(raw) > 1
@@ -4299,6 +4323,94 @@ class Translator:
             # binary input stays a passthrough via the registry
             return F.unbase64(cols[0])
         return fregistry.build_scalar(name, cols, raw)
+
+    def _json_path(self, name: str, col: Column, path: str) -> Column:
+        """json_path_query / _query_first / _exists with the reference's
+        gval jsonpath semantics (internal/conf/jsonpath_eval.go;
+        funcs_misc.go:527-575): the input may be a typed container OR a
+        JSON string; wildcards/filters collect an array of matches;
+        query_first takes result[0] of an array result; exists maps
+        errors and nil to false and arrays to len>0.
+
+        Typed containers compile to NATIVE Catalyst ops (getField /
+        element_at / F.filter / F.transform); member/index-only paths on
+        strings use get_json_object; wildcard/filter paths on strings run
+        the same evaluator as an Arrow-batched UDF (the data is as opaque
+        to Catalyst as it is to the reference's interpreter)."""
+        from ekuiper_spark.functions import jsonpath as jp
+
+        segs = jp.parse_path(path)
+        dt = self._probe_dtype(col)
+        if isinstance(dt, (T.StructType, T.MapType, T.ArrayType)):
+            try:
+                out, rdt, collected = jp.compile_typed(col, dt, segs)
+            except jp.JsonPathStaticError:
+                # gval unknown-key error: exists -> false, query -> nil
+                # (error-as-value; funcs_misc.go:553-560)
+                return F.lit(False) if name == "json_path_exists" else F.lit(None)
+            if name == "json_path_query":
+                return out
+            if name == "json_path_query_first":
+                if collected or isinstance(rdt, T.ArrayType):
+                    return F.element_at(out, 1)
+                # "query result (%v) is not an array" — statically known
+                # for every row of a typed frame, so fail the compile
+                raise ValueError(
+                    f"json_path_query_first: query result of {path!r} "
+                    "is not an array"
+                )
+            if collected or isinstance(rdt, T.ArrayType):
+                return F.coalesce(F.size(out) > 0, F.lit(False))
+            return out.isNotNull()
+        if isinstance(dt, T.VariantType):
+            sp = jp.string_path(segs)
+            if sp is not None:
+                tvg = F.try_variant_get(col, sp, "variant")
+                if name == "json_path_query":
+                    return tvg
+                if name == "json_path_query_first":
+                    return F.try_variant_get(col, sp + "[0]", "variant")
+                head = F.try_variant_get(col, sp + "[0]", "variant")
+                return F.coalesce(
+                    F.when(
+                        F.schema_of_variant(tvg).startswith("ARRAY"),
+                        head.isNotNull(),
+                    ).otherwise(tvg.isNotNull()),
+                    F.lit(False),
+                )
+            col = F.to_json(col)
+        # JSON string input
+        sp = jp.string_path(segs)
+        if sp is not None:
+            if name == "json_path_query":
+                return F.get_json_object(col, sp)
+            if name == "json_path_query_first":
+                # result[0] of an array result; a scalar result yields nil
+                # here where the reference raises per-row (error-as-value)
+                return F.get_json_object(col, sp + "[0]")
+            gjo = F.get_json_object(col, sp)
+            # a selected EMPTY array exists=false (len>0 rule); JSON null
+            # selects as SQL null -> false
+            return F.coalesce(
+                gjo.isNotNull() & (gjo != F.lit("[]")) & (gjo != F.lit("null")),
+                F.lit(False),
+            )
+        # wildcard/filter over an opaque JSON string: Arrow-batched UDF
+        from pyspark.sql.functions import pandas_udf
+
+        if name == "json_path_exists":
+            fn = pandas_udf(
+                lambda s: s.map(lambda t: jp.eval_path_json(t, segs, "exists")),
+                "boolean",
+            )
+            return fn(col)
+        mode = "first" if name == "json_path_query_first" else "query"
+        fn = pandas_udf(
+            lambda s: s.map(lambda t: jp.eval_path_json(t, segs, mode)),
+            "string",
+        )
+        # dynamic result shape -> VARIANT (the engine's dynamic-value type)
+        return F.parse_json(fn(col))
 
     def _probe_type(self, col: Column) -> Optional[str]:
         """Analysis-only type probe of one expression against the current

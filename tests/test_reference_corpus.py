@@ -139,6 +139,31 @@ def test_unnest_with_sibling_column(spark, demo_cat):
     ]
 
 
+def test_unnest_limit_precaps_rows_before_expansion(spark, demo_cat):
+    """ProjectSet + LIMIT (projectset_operator.go:54-71, planner.go:897):
+    with an SRF in the projection, LIMIT caps the collection's ROWS before
+    expansion and the expanded output after — so an early under-expanding
+    row (empty array) makes LIMIT n emit FEWER than n rows even though
+    later rows hold more values."""
+    cat = Catalog()
+    cat.register_df(
+        "srclim",
+        spark.createDataFrame(
+            [(1, []), (2, [10]), (3, [20, 30, 40])],
+            "i long, arr array<long>",
+        ).coalesce(1),
+    )
+    # pre-cap keeps rows i=1,2 -> expansion yields ONE row (10); the
+    # naive explode-then-limit would return [10, 20]
+    df = run(spark, cat, "SELECT unnest(arr) as v FROM srclim LIMIT 2")
+    assert [r["v"] for r in df.collect()] == [10]
+    # cap after expansion still binds: rows i=1..3 expand to 4 values
+    df = run(spark, cat, "SELECT unnest(arr) as v FROM srclim LIMIT 3")
+    assert [r["v"] for r in df.collect()] == [10, 20, 30]
+    # LIMIT 0 with EnableLimit short-circuits to empty
+    assert run(spark, cat, "SELECT unnest(arr) as v FROM srclim LIMIT 0").count() == 0
+
+
 def test_unnest_non_array_emits_error_row(spark, demo_cat):
     """TestSingleSQLRule24 (rule_test.go:421): unnest over a scalar column
     emits the reference's error message as a row (SendError), not a raise."""

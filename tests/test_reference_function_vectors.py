@@ -14,6 +14,7 @@ are the portable semantic contract.
 
 from __future__ import annotations
 
+import json
 import math
 
 from pyspark.sql import functions as F
@@ -975,3 +976,144 @@ def test_object_pick_dotted_nested_path(spark):
     assert run("object_pick(obj, 'k1.nope')") == {}
     assert run("object_pick(obj, 'zzz.temp')") == {}
     assert run("object_pick(obj, 'k1.temp.deeper')") == {}
+
+
+def test_json_path_typed_corpus(spark):
+    """TestJsonPathFunc_Apply1 (misc_func_test.go:459-841): gval jsonpath
+    over TYPED container columns — member access, wildcards, filter
+    expressions, quoted dotted members — compiled to native Catalyst ops
+    (jsonpath.py compile_typed; zero Python in the plan)."""
+    cat = Catalog()
+    df = spark.createDataFrame([(1,)], "i int").withColumn(
+        "equipment",
+        F.expr(
+            "named_struct("
+            "'rings', array(named_struct('name', 'ring of despair', 'weight', 0.1d),"
+            "              named_struct('name', 'ring of strength', 'weight', 2.4d)),"
+            "'arm_right', 'Sword of flame', 'arm_left', 'Shield of faith')"
+        ),
+    )
+    cat.register_df("one", df)
+
+    def run(expr):
+        return compile_sql(spark, f"SELECT {expr} AS a FROM one", cat).collect()[0]["a"]
+
+    # member select (misc_func_test.go:466)
+    assert run('json_path_query(equipment, "$.arm_right")') == "Sword of flame"
+    # wildcard projection collects matches (…:491)
+    assert run('json_path_query(equipment, "$.rings[*].weight")') == [0.1, 2.4]
+    # query_first takes result[0] of the array result (…:517)
+    assert run('json_path_query_first(equipment, "$.rings[*].weight")') == 0.1
+    # filter expression keeps matching elements (…:540)
+    got = run('json_path_query(equipment, "$.rings[? @.weight>1]")')
+    assert [r.asDict() for r in got] == [
+        {"name": "ring of strength", "weight": 2.4}
+    ]
+    # filter + member projection (…:570)
+    assert run('json_path_query(equipment, "$.rings[? @.weight>1].name")') == [
+        "ring of strength"
+    ]
+    # parenthesized filter form (…:668)
+    assert run('json_path_query(equipment, "$.rings[? (@.weight>1)].name")') == [
+        "ring of strength"
+    ]
+    # exists: no match -> false; unknown member -> false; present -> true
+    # (…:596-664; funcs_misc.go:553-575 errors/nil/empty-array are false)
+    assert run('json_path_exists(equipment, "$.rings[? @.weight>5]")') is False
+    assert run('json_path_exists(equipment, "$.ring1")') is False
+    assert run('json_path_exists(equipment, "$.rings")') is True
+
+    # scalar-array rings (…:692-725) + array-root equipment (…:727-753)
+    cat2 = Catalog()
+    df2 = spark.createDataFrame([(1,)], "i int").withColumn(
+        "equipment",
+        F.expr(
+            "array(named_struct('rings', array(0.1d, 2.4d),"
+            "'arm.right', 'Sword of flame', 'arm.left', 'Shield of faith'))"
+        ),
+    )
+    cat2.register_df("one", df2)
+
+    def run2(expr):
+        return compile_sql(spark, f"SELECT {expr} AS a FROM one", cat2).collect()[0]["a"]
+
+    assert run2('json_path_query(equipment, "$[0].rings[*]")') == [0.1, 2.4]
+    assert run2('json_path_query(equipment, "$[0].rings")') == [0.1, 2.4]
+    assert run2('json_path_query(equipment, "$[0].rings[1]")') == 2.4
+    # bracket-quoted DOTTED member over a typed struct (…:755-773)
+    assert run2("json_path_query(equipment, \"$[0]['arm.left']\")") == "Shield of faith"
+
+
+def test_json_path_typed_plan_is_native(spark):
+    """The typed jsonpath compile must not plant a PythonUDF in the plan."""
+    cat = Catalog()
+    df = spark.createDataFrame([(1,)], "i int").withColumn(
+        "equipment",
+        F.expr(
+            "named_struct('rings', array(named_struct('name', 'r1', 'weight', 0.1d)))"
+        ),
+    )
+    cat.register_df("one", df)
+    out = compile_sql(
+        spark,
+        'SELECT json_path_query(equipment, "$.rings[? @.weight>1].name") AS a FROM one',
+        cat,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_json_path_string_corpus(spark):
+    """TestJsonPathFunc_Apply1 string-input rows (misc_func_test.go:775-800)
+    plus the filter-over-string fallback path."""
+    cat = Catalog()
+    obj = (
+        '{"rings": [0.1, 2.4],"arm.right": "Sword of flame",'
+        '"arm.left":  "Shield of faith"}'
+    )
+    df = spark.createDataFrame(
+        [(obj, f"[{obj}]")], "equipment string, equiparr string"
+    )
+    cat.register_df("one", df)
+
+    def run(expr):
+        return compile_sql(spark, f"SELECT {expr} AS a FROM one", cat).collect()[0]["a"]
+
+    # quoted dotted member on a JSON string (…:775)
+    assert run("json_path_query(equipment, \"$['arm.left']\")") == "Shield of faith"
+    # array-rooted JSON string (…:787)
+    assert run("json_path_query(equiparr, \"$[0]['arm.left']\")") == "Shield of faith"
+    # exists semantics on strings: empty-array select is false
+    assert run('json_path_exists(equipment, "$.rings")') is True
+    assert run('json_path_exists(equipment, "$.nope")') is False
+    # wildcard over an opaque string falls back to the Arrow UDF and
+    # returns the collected matches as a dynamic (variant) value
+    got = run('json_path_query(equipment, "$.rings[*]")')
+    assert json.loads(str(got)) == [0.1, 2.4]
+
+
+def test_json_path_eval_unit_vectors():
+    """The Python evaluator (string fallback) against the same corpus."""
+    from ekuiper_spark.functions.jsonpath import eval_path, parse_path
+
+    data = {
+        "rings": [
+            {"name": "ring of despair", "weight": 0.1},
+            {"name": "ring of strength", "weight": 2.4},
+        ],
+        "arm_right": "Sword of flame",
+        "arm_left": "Shield of faith",
+    }
+    assert eval_path(data, parse_path("$.arm_right")) == "Sword of flame"
+    assert eval_path(data, parse_path("$.rings[*].weight")) == [0.1, 2.4]
+    assert eval_path(data, parse_path("$.rings[? @.weight>1].name")) == [
+        "ring of strength"
+    ]
+    assert eval_path(data, parse_path("$.rings[? (@.weight>1)]")) == [
+        {"name": "ring of strength", "weight": 2.4}
+    ]
+    assert eval_path(data, parse_path("$.rings[? @.weight>5]")) == []
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        eval_path(data, parse_path("$.ring1"))
