@@ -58,7 +58,9 @@ reg("exp")(lambda c, r: F.exp(c[0]))
 reg("floor")(lambda c, r: F.floor(c[0]).cast("double"))
 reg("ln")(lambda c, r: F.log(c[0]))
 reg("log")(lambda c, r: F.log10(c[0]))  # ekuiper log = base 10 (funcs_math.go)
-reg("mod")(lambda c, r: c[0] % c[1])
+# mod is ALWAYS float64: math.Mod over ToFloat64 args (funcs_math.go:332-337;
+# math_func_test.go mod(10,3) == float64(1)); sign follows the dividend
+reg("mod")(lambda c, r: c[0].cast("double") % c[1].cast("double"))
 reg("pi")(lambda c, r: F.lit(3.141592653589793))
 reg("pow", "power")(lambda c, r: F.pow(c[0], c[1]))
 reg("radians")(lambda c, r: F.radians(c[0]))

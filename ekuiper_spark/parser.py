@@ -480,15 +480,24 @@ class Parser:
     def parse_func_call(self, name: str) -> FuncCall:
         self.expect_op("(")
         args: list[Node] = []
-        if not (self.peek().kind == "op" and self.peek().value == ")"):
+        def parse_arg() -> Node:
+            # `*` as a whole argument (count(*), changed_cols(p, b, *, c):
+            # the reference parses cols-func args as ColFuncField and
+            # allows a wildcard in any position, xsql/valuer.go:420).  A
+            # bare `*` here is unambiguous: no prefix-`*` operator exists,
+            # so only treat it as a wildcard when it IS the argument —
+            # i.e. the next token closes it.
             if self.peek().kind == "op" and self.peek().value == "*":
-                # count(*)
-                self.next()
-                args.append(Wildcard())
-            else:
-                args.append(self.parse_expr())
+                nxt = self.peek(1)
+                if nxt.kind == "op" and nxt.value in (",", ")"):
+                    self.next()
+                    return Wildcard()
+            return self.parse_expr()
+
+        if not (self.peek().kind == "op" and self.peek().value == ")"):
+            args.append(parse_arg())
             while self.accept_op(","):
-                args.append(self.parse_expr())
+                args.append(parse_arg())
         self.expect_op(")")
         call = FuncCall(name=name.lower(), args=args)
         if self.accept_kw("over"):

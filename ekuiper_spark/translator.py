@@ -3020,10 +3020,31 @@ class Translator:
                 prefix = self._raw(call.args[0]) or ""
                 w = self._analytic_window(call, ctx)
                 ign_cc = bool(self._raw(call.args[1]))
+                # a `*` argument expands to every message column
+                # (xsql/valuer.go:420-428 flattens the Wildcarder map into
+                # per-key args; cols_func_test.go changed_cols("",true,*,c));
+                # duplicate output names collapse to ONE column — the
+                # reference writes them into a single ResultCols map key
+                hidden_cc = {"window", "_metadata"}
+                cc_cols: list[tuple[Column, str]] = []
+                seen_cc: set[str] = set()
                 for a in call.args[2:]:
-                    col = self._expr(a, ctx)
-                    base = a.name if isinstance(a, ColumnRef) else "col"
-                    name = f"{prefix}{base}"
+                    if isinstance(a, Wildcard):
+                        expanded: list[tuple[Column, str]] = [
+                            (F.col(c), c)
+                            for c in df.columns
+                            if c not in hidden_cc and not c.startswith("__")
+                        ]
+                    else:
+                        base = a.name if isinstance(a, ColumnRef) else "col"
+                        expanded = [(self._expr(a, ctx), base)]
+                    for col, base in expanded:
+                        name = f"{prefix}{base}"
+                        if name in seen_cc:
+                            continue
+                        seen_cc.add(name)
+                        cc_cols.append((col, name))
+                for col, name in cc_cols:
                     out.append(
                         (
                             F.when(

@@ -189,6 +189,81 @@ def test_changed_cols_corpus(spark, demo_cat):
     assert got == [("red", 3), ("blue", 6), (None, 2), ("yellow", 4), ("red", 1)]
 
 
+def test_changed_cols_explicit_and_wildcard(spark):
+    """cols_func_test.go TestChangedColsFunc_Apply1: changed_cols with
+    explicit columns and with a `*` argument.  ignoreNull=true means a
+    nil column emits nothing and never clobbers the per-column state;
+    `*` expands to every message column (xsql/valuer.go:420-428), and a
+    duplicate explicit column collapses into the same output key."""
+    cat = Catalog()
+    rows1 = [
+        ("a1", "b1", "c1"),
+        ("a1", "b2", "c1"),
+        ("a1", None, "c1"),
+        ("a1", "b2", "c2"),
+    ]
+    df1 = spark.createDataFrame(rows1, "a string, b string, c string").coalesce(1)
+    cat.register_df("test", df1)
+    r1 = compile_sql(spark, 'SELECT changed_cols("", true, a, b, c) FROM test', cat)
+    assert r1.columns == ["a", "b", "c"]
+    got1 = [(r["a"], r["b"], r["c"]) for r in r1.collect()]
+    assert got1 == [
+        ("a1", "b1", "c1"),
+        (None, "b2", None),
+        (None, None, None),
+        (None, None, "c2"),
+    ]
+    # second bucket: `*` plus an explicit repeat of c
+    cat2 = Catalog()
+    rows2 = [
+        ("a1", "b1", None),
+        ("a1", "b2", "c1"),
+        ("a1", None, "c1"),
+        ("a1", "b2", "c2"),
+    ]
+    df2 = spark.createDataFrame(rows2, "a string, b string, c string").coalesce(1)
+    cat2.register_df("test", df2)
+    r2 = compile_sql(spark, 'SELECT changed_cols("", true, *, c) FROM test', cat2)
+    assert r2.columns == ["a", "b", "c"]
+    got2 = [(r["a"], r["b"], r["c"]) for r in r2.collect()]
+    assert got2 == [
+        ("a1", "b1", None),
+        (None, "b2", "c1"),
+        (None, None, None),
+        (None, None, "c2"),
+    ]
+
+
+def test_analytic_funcs_composite(spark):
+    """analyticfuncs_operator_test.go TestAnalyticFuncs case 1: three
+    analytic functions sharing one event sequence with missing fields.
+    changed_col(false, a) emits only on the first event; lag(b) with the
+    default ignoreNull skips nil b's (stays 'b1' even after events whose
+    b is absent); had_changed(true, c) treats the absent first c as
+    no-observation (false), then flips on each real change."""
+    cat = Catalog()
+    rows = [
+        ("a1", "b1", None),
+        ("a1", None, "c1"),
+        ("a1", None, "c1"),
+        ("a1", "b2", "c2"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, c string").coalesce(1)
+    cat.register_df("test", df)
+    r = compile_sql(
+        spark,
+        "SELECT changed_col(false, a) AS cc, lag(b) AS lb, had_changed(true, c) AS hc FROM test",
+        cat,
+    )
+    got = [(x["cc"], x["lb"], x["hc"]) for x in r.collect()]
+    assert got == [
+        ("a1", None, False),
+        (None, "b1", True),
+        (None, "b1", False),
+        (None, "b1", True),
+    ]
+
+
 def test_analytic_where_filter_state(spark, demo_cat):
     # rule_test.go:1179 — lag computed BEFORE the WHERE filter (the
     # AnalyticFuncs plan precedes Filter in the reference chain); the

@@ -48,6 +48,26 @@ VECTORS = [
     ("mod_neg_float", "mod(-10.5, 2)", -0.5),  # sign follows dividend
     ("mod_pos_float", "mod(10.5, 2)", 0.5),
     ("mod_int", "mod(-10, 2)", 0.0),
+    # mod is math.Mod over float64 regardless of input types
+    # (funcs_math.go:332-337; math_func_test.go mod(10,3) == float64(1))
+    ("mod_int_float_result", "mod(10, 3)", 1.0),
+    # ---- str_func_test.go operator-level walk (round 7) ------------------
+    ("concat_skips_nil", "concat('mya', nullcol, 'myb')", "myamyb"),
+    ("endswith_nil_arg0", "endswith(nullcol, 'a')", False),
+    ("endswith_nil_arg1", "endswith('a', nullcol)", False),
+    ("startswith_nil_false", "startswith(nullcol, 'a')", False),
+    ("indexof_nil_minus1", "indexof(nullcol, 'a')", -1),
+    ("indexof_found", "indexof('mya', 'a')", 2),
+    ("length_nil_zero", "length(nullcol)", 0),
+    ("numbytes_nil_zero", "numbytes(nullcol)", 0),
+    ("numbytes_utf8", "numbytes('中国')", 6),
+    ("regexp_matches_nil_false", "regexp_matches(nullcol, 'foo.*')", False),
+    ("regexp_substr_nil_nil", "regexp_substr(nullcol, 'foo.*')", None),
+    ("substring_end_exclusive", "substring('NYCNicks', 3, 5)", "Ni"),
+    ("substring_end_clamped", "substring('NYCNicks', 3, 100)", "Nicks"),
+    ("substring_start_past_len", "substring('NYCNicks', 100)", ""),
+    ("split_value_neg_index", "split_value('/t/d/message', '/', -1)", "message"),
+    ("split_value_leading_empty", "split_value('/t/d/m', '/', 0)", ""),
     ("sign_neg", "sign(-10)", -1),
     ("sign_pos", "sign(10)", 1),
     ("sign_zero", "sign(0)", 0),
@@ -397,6 +417,17 @@ def test_reference_function_vectors(spark):
             except AssertionError as exc:
                 failures.append(str(exc.args[0] if exc.args else exc))
     assert not failures, "\n".join(failures)
+
+
+def test_mod_type_is_double(spark):
+    """funcs_math.go:332-337 — mod computes math.Mod over ToFloat64 args,
+    so the RESULT TYPE is float64 even for int inputs (math_func_test.go
+    expects float64(1) from mod(10,3))."""
+    cat = Catalog()
+    cat.register_df("t", spark.createDataFrame([(10,)], "x long"))
+    df = compile_sql(spark, "SELECT mod(x, 3) AS m FROM t", cat)
+    assert df.schema["m"].dataType.simpleString() == "double"
+    assert df.collect()[0]["m"] == 1.0
 
 
 def test_avg_integer_division(spark):
