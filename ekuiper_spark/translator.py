@@ -3665,6 +3665,17 @@ class Translator:
         if isinstance(node, JsonPath):
             return F.get_json_object(self._expr(node.expr, ctx), node.path)
 
+        if isinstance(node, Wildcard):
+            # `*` in expression position — changed_col(true, *) compares
+            # and emits the ENTIRE message as one value (misc_func_test.go
+            # TestChangedFuncs_Apply1 case 1: the Wildcarder map).  The
+            # typed analog is a struct of every visible column.
+            exc = {x.lower() for x in node.except_cols}
+            cols = [c for c in ctx.row_cols if c.lower() not in exc]
+            if not cols:
+                raise TypeError("wildcard expression with no visible columns")
+            return F.struct(*[F.col(c).alias(c) for c in cols])
+
         raise TypeError(f"cannot translate node {node!r}")
 
     def _binary(self, node: Binary, ctx: TranslateCtx) -> Column:
@@ -4343,6 +4354,19 @@ class Translator:
             # funcs_misc_test.go:542-560: "Ynl0ZWE=" -> b"bytea");
             # binary input stays a passthrough via the registry
             return F.unbase64(cols[0])
+        if (
+            name.lower() == "cast"
+            and cols
+            and len(raw) > 1
+            and str(raw[1] or "").lower() == "datetime"
+            and self._probe_type(cols[0])
+            in ("long", "integer", "double", "float", "short", "byte")
+        ):
+            # numeric -> datetime is epoch MILLISECONDS, floats truncated
+            # (cast/time.go InterfaceToTime -> TimeFromUnixMilli;
+            # misc_func_test.go cast(a*1000,"datetime") on 1.62e12);
+            # a bare Spark cast would read numerics as SECONDS
+            return F.timestamp_millis(cols[0].cast("long"))
         return fregistry.build_scalar(name, cols, raw)
 
     def _json_path(self, name: str, col: Column, path: str) -> Column:
@@ -4352,6 +4376,13 @@ class Translator:
         JSON string; wildcards/filters collect an array of matches;
         query_first takes result[0] of an array result; exists maps
         errors and nil to false and arrays to len>0.
+
+        Declared divergence: a NULL input document yields NULL here (and
+        false for _exists); the reference emits the error row "invalid
+        data nil for jsonpath" (misc_func_test.go:819-840).  On typed
+        frames this engine's error-as-value channel is reserved for
+        dynamic (VARIANT) streams; a lenient nil matches how every other
+        nil-input scalar behaves here.
 
         Typed containers compile to NATIVE Catalyst ops (getField /
         element_at / F.filter / F.transform); member/index-only paths on

@@ -264,6 +264,56 @@ def test_analytic_funcs_composite(spark):
     ]
 
 
+def test_changed_col_whole_message_wildcard(spark):
+    """misc_func_test.go TestChangedFuncs_Apply1 case 1: changed_col(true,
+    *) treats the ENTIRE message as the compared value and emits the whole
+    row (typed analog: a struct of every column) only when any field
+    differs from the previous emission."""
+    cat = Catalog()
+    rows = [
+        ("a1", "b1", None),
+        ("a1", None, "c1"),
+        ("a1", None, "c1"),
+        ("a1", "b2", "c2"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, c string").coalesce(1)
+    cat.register_df("test", df)
+    r = compile_sql(spark, "SELECT changed_col(true, *) FROM test", cat)
+    assert r.columns == ["changed_col"]
+    got = [
+        None if row["changed_col"] is None else tuple(row["changed_col"])
+        for row in r.collect()
+    ]
+    assert got == [
+        ("a1", "b1", None),
+        ("a1", None, "c1"),
+        None,
+        ("a1", "b2", "c2"),
+    ]
+
+
+def test_computed_negative_array_index(spark):
+    """misc_func_test.go TestJsonFunc_Apply1: all[poi[-1] + 1]->ts —
+    negative indices wrap from the end and the index expression is
+    computed per row."""
+    cat = Catalog()
+    schema = (
+        "all array<struct<SystemPowerMode:long, ts:long>>, poi array<long>"
+    )
+    rows = [
+        (
+            [(0, 0), (0, 500), (2, 1000), (2, 60000)],
+            [0, 1],
+        )
+    ]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    cat.register_df("test", df)
+    r = compile_sql(
+        spark, "SELECT all[poi[-1] + 1]->ts as powerOnTs FROM test", cat
+    )
+    assert r.collect()[0]["powerOnTs"] == 1000
+
+
 def test_analytic_where_filter_state(spark, demo_cat):
     # rule_test.go:1179 — lag computed BEFORE the WHERE filter (the
     # AnalyticFuncs plan precedes Filter in the reference chain); the

@@ -68,6 +68,16 @@ VECTORS = [
     ("substring_start_past_len", "substring('NYCNicks', 100)", ""),
     ("split_value_neg_index", "split_value('/t/d/message', '/', -1)", "message"),
     ("split_value_leading_empty", "split_value('/t/d/m', '/', 0)", ""),
+    # numeric -> datetime reads epoch MILLISECONDS, floats truncate
+    # (cast/time.go InterfaceToTime; misc_func_test.go cast(a*1000,..))
+    ("cast_numeric_datetime_ms",
+     "format_time(cast(1620002730000, 'datetime'), 'yyyy-MM-dd HH:mm:ss')",
+     "2021-05-03 00:45:30"),
+    # float ms truncate; S-run supplies its own decimal dot (ssSSS, the
+    # Go-layout idiom — an explicit '.' before SSS would double up)
+    ("cast_float_datetime_trunc",
+     "format_time(cast(1620002730999.7, 'datetime'), 'yyyy-MM-dd HH:mm:ssSSS')",
+     "2021-05-03 00:45:30.999"),
     ("sign_neg", "sign(-10)", -1),
     ("sign_pos", "sign(10)", 1),
     ("sign_zero", "sign(0)", 0),
