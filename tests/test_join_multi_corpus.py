@@ -1,0 +1,120 @@
+"""Replay of join_multi_test.go — multi-way joins with MIXED kinds.
+
+The reference's JoinOp chains evaluate left-deep with ANSI semantics
+(verified by hand against the file's expected JoinTuples for the
+full+inner / full+right / full+full / right-chain cases), so DuckDB on
+identical frames is a sound value oracle for every SQL form in the file.
+Data = the file's src1/src2/src3/src4 fixtures (id + f1..f4).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ekuiper_spark.catalog import Catalog
+from ekuiper_spark.translator import compile_sql
+
+SRC1 = [(1, "v1"), (2, "v5"), (3, "v3")]
+SRC2 = [(1, "w1"), (2, "w2"), (4, "w3")]
+SRC3 = [(1, "x1"), (1, "x3"), (5, "x5")]
+SRC4 = [(1, "x4"), (2, "x4")]
+
+# every join-kind chain exercised by join_multi_test.go, normalized to the
+# id/fN fixture (cases at lines 36-1100); the projection names each
+# source's key so DuckDB's column-sorted compare is deterministic
+CHAINS = [
+    "left join src2 on src1.id = src2.id left join src3 on src2.id = src3.id",
+    "left join src2 on src1.id = src2.id inner join src3 on src2.id = src3.id",
+    "left join src2 on src1.id = src2.id inner join src3 on src1.id = src3.id",
+    "left join src2 on src1.id = src2.id full join src3 on src1.id = src3.id",
+    "left join src2 on src1.id = src2.id right join src3 on src2.id = src3.id",
+    "left join src2 on src1.id = src2.id cross join src3",
+    "inner join src2 on src1.id = src2.id inner join src3 on src1.id = src3.id",
+    "inner join src2 on src1.id = src2.id right join src3 on src1.id = src3.id",
+    "inner join src2 on src1.id * 10 = src2.id right join src3 on src1.id = src3.id",
+    "full join src2 on src1.id = src2.id inner join src3 on src1.id = src3.id",
+    "full join src2 on src1.id = src2.id right join src3 on src1.id = src3.id",
+    "full join src2 on src1.id = src2.id full join src3 on src1.id = src3.id",
+    "right join src2 on src1.id = src2.id right join src3 on src1.id = src3.id",
+    "cross join src2 left join src3 on src1.id = src3.id",
+]
+
+CHAINS4 = [
+    "right join src2 on src1.id = src2.id right join src3 on src1.id = src3.id "
+    "right join src4 on src4.id = src3.id",
+    "right join src2 on src1.id = src2.id right join src3 on src1.id = src3.id "
+    "cross join src4",
+]
+
+
+def _oracle(sql: str) -> list[tuple]:
+    con = duckdb.connect()
+    con.register("src1", pd.DataFrame(SRC1, columns=["id", "f1"]))
+    con.register("src2", pd.DataFrame(SRC2, columns=["id", "f2"]))
+    con.register("src3", pd.DataFrame(SRC3, columns=["id", "f3"]))
+    con.register("src4", pd.DataFrame(SRC4, columns=["id", "f4"]))
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return sorted(rows, key=lambda r: tuple((v is None, v) for v in r))
+
+
+@pytest.fixture(scope="module")
+def join_cat(spark):
+    cat = Catalog()
+    cat.register_df("src1", spark.createDataFrame(SRC1, "id long, f1 string"))
+    cat.register_df("src2", spark.createDataFrame(SRC2, "id long, f2 string"))
+    cat.register_df("src3", spark.createDataFrame(SRC3, "id long, f3 string"))
+    cat.register_df("src4", spark.createDataFrame(SRC4, "id long, f4 string"))
+    return cat
+
+
+@pytest.mark.parametrize("chain", CHAINS, ids=lambda c: c[:48].replace(" ", "_"))
+def test_three_way_mixed_join_chain(spark, join_cat, chain):
+    proj = "src1.id AS a, f1, src2.id AS b, f2, src3.id AS c, f3"
+    sql = f"SELECT {proj} FROM src1 {chain}"
+    got = compile_sql(spark, sql, join_cat).collect()
+    got = sorted(
+        (tuple(r) for r in got),
+        key=lambda r: tuple((v is None, v) for v in r),
+    )
+    assert got == _oracle(sql)
+
+
+@pytest.mark.parametrize("chain", CHAINS4, ids=["right_chain_4way", "right_right_cross"])
+def test_four_way_join_chain(spark, join_cat, chain):
+    proj = (
+        "src1.id AS a, f1, src2.id AS b, f2, src3.id AS c, f3, "
+        "src4.id AS d, f4"
+    )
+    sql = f"SELECT {proj} FROM src1 {chain}"
+    got = compile_sql(spark, sql, join_cat).collect()
+    got = sorted(
+        (tuple(r) for r in got),
+        key=lambda r: tuple((v is None, v) for v in r),
+    )
+    assert got == _oracle(sql)
+
+
+def test_right_chain_preserves_unmatched_last_source(spark, join_cat):
+    """join_multi_test.go:848 — the src4-only row (id=2) survives the
+    triple right chain; pins the literal expected contents, not just the
+    oracle agreement."""
+    sql = (
+        "SELECT src4.id AS d, f4, f3, src2.id AS b, src1.id AS a "
+        "FROM src1 right join src2 on src1.id = src2.id "
+        "right join src3 on src1.id = src3.id "
+        "right join src4 on src4.id = src3.id"
+    )
+    got = sorted(
+        (tuple(r) for r in compile_sql(spark, sql, join_cat).collect()),
+        key=lambda r: tuple((v is None, v) for v in r),
+    )
+    # this fixture's src3 carries TWO id=1 rows (x1, x3), so the matched
+    # side doubles vs the file's literal; the src4-only row is the pin
+    assert got == [
+        (1, "x4", "x1", 1, 1),
+        (1, "x4", "x3", 1, 1),
+        (2, "x4", None, None, None),
+    ]
