@@ -1,0 +1,182 @@
+"""Rule-level JavaScript script node.
+
+Reference: internal/topo/operator/script_operator.go:28-98 (ScriptOp) +
+internal/topo/planner/ext_graph_node.go:30-49 (graph node kind "script",
+props {script, isAgg}).  A goja-dialect `function exec(...)` reshapes
+messages mid-pipeline:
+
+- per-event: ``exec(msg, meta)`` -> map (the new message)
+- collection, isAgg=false: ``exec(msgs)`` -> array of maps
+- collection, isAgg=true: ``exec(msgs)`` -> one map
+
+Spark-first shape: the script is a black box to Catalyst, so this is an
+honest Python boundary — but it stays Arrow-batched (``mapInPandas``),
+never row-at-a-time Python UDFs.  Output schema is decided ONCE at plan
+time by probing ``exec`` on a driver-side sample (the typed bridge for a
+dynamically-typed operator), so executors stream batches against a fixed
+schema.  Per-event mode distributes; collection modes coalesce to one
+partition, matching the reference's single-threaded per-rule evaluation
+(same contract as the other global-order compat modes)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ekuiper_spark.functions.jsinterp import UNDEFINED, JsError, compile_js
+
+
+def _exec_fn(script: str):
+    fns = compile_js(script)
+    fn = fns.get("exec")
+    if fn is None:
+        # script_operator.go:41 error text
+        raise JsError('cannot find function "exec" in script')
+    return fn
+
+
+def _plain(v: Any) -> Any:
+    """jsinterp value -> plain python (undefined -> absent marker None)."""
+    if v is UNDEFINED:
+        return None
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items() if x is not UNDEFINED}
+    if isinstance(v, list):
+        return [_plain(x) for x in v]
+    return v
+
+
+def _infer_type(v: Any) -> T.DataType:
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, bytes):
+        return T.BinaryType()
+    if isinstance(v, list):
+        inner = _infer_type(v[0]) if v else T.StringType()
+        return T.ArrayType(inner)
+    if isinstance(v, dict):
+        return T.StructType(
+            [T.StructField(k, _infer_type(x)) for k, x in v.items()]
+        )
+    return T.StringType()
+
+
+def _infer_schema(samples: list[dict]) -> T.StructType:
+    fields: dict[str, T.DataType] = {}
+    for m in samples:
+        for k, v in m.items():
+            if k not in fields or isinstance(fields[k], T.StringType) and v is not None:
+                fields[k] = _infer_type(v) if v is not None else T.StringType()
+    return T.StructType([T.StructField(k, t) for k, t in fields.items()])
+
+
+def _coerce(v: Any, dt: T.DataType) -> Any:
+    if v is None:
+        return None
+    if isinstance(dt, T.LongType):
+        return int(v)
+    if isinstance(dt, T.DoubleType):
+        return float(v)
+    if isinstance(dt, T.BooleanType):
+        return bool(v)
+    if isinstance(dt, T.StringType) and not isinstance(v, str):
+        import json
+
+        return json.dumps(v) if isinstance(v, (dict, list)) else str(v)
+    if isinstance(dt, T.ArrayType) and isinstance(v, list):
+        return [_coerce(x, dt.elementType) for x in v]
+    if isinstance(dt, T.StructType) and isinstance(v, dict):
+        return tuple(_coerce(v.get(f.name), f.dataType) for f in dt.fields)
+    return v
+
+
+def apply_script(
+    df: DataFrame, script: str, is_agg: bool = False, collection: bool = False
+) -> DataFrame:
+    """Run a ScriptOp over a DataFrame.
+
+    ``collection=True`` (or ``is_agg``) calls ``exec(msgs)`` once over the
+    whole bounded frame; otherwise ``exec(msg, meta)`` runs per event."""
+    fn = _exec_fn(script)  # plan-time syntax/symbol validation
+    in_cols = df.columns
+    sample_rows = [r.asDict(recursive=True) for r in df.take(20)]
+
+    if is_agg or collection:
+        probe_in = sample_rows
+        out = _plain(fn(probe_in))
+        if is_agg:
+            if not isinstance(out, dict):
+                raise ValueError(
+                    f"script node is aggregate but exec result is not aggreagated: {out!r}"
+                )
+            samples = [out]
+        else:
+            if not isinstance(out, list) or (out and not isinstance(out[0], dict)):
+                raise ValueError(
+                    f"script node is not aggregate but exec result is aggregated: {out!r}"
+                )
+            samples = [m for m in out if m is not None]
+        schema = _infer_schema(samples or sample_rows)
+
+        def run_collection(iterator):
+            import pandas as pd
+
+            rows: list[dict] = []
+            for pdf in iterator:
+                rows.extend(pdf.to_dict("records"))
+            fn2 = _exec_fn(script)
+            res = _plain(fn2(rows))
+            if isinstance(res, dict):
+                res = [res]
+            data = [
+                tuple(_coerce(m.get(f.name), f.dataType) for f in schema.fields)
+                for m in res
+                if m is not None
+            ]
+            yield pd.DataFrame(data, columns=[f.name for f in schema.fields])
+
+        # one collection == one partition: the reference evaluates the
+        # whole window in one single-threaded pass (scale note in module
+        # docstring; keyed/per-event scripts are the distributed path)
+        return df.coalesce(1).mapInPandas(run_collection, schema)
+
+    # per-event: exec(msg, meta) on every row, distributed
+    if sample_rows:
+        outs = []
+        for m in sample_rows:
+            o = _plain(fn(dict(m), {}))
+            if not isinstance(o, dict):
+                raise ValueError(f"script exec result is not a map: {o!r}")
+            outs.append(o)
+        schema = _infer_schema(outs)
+    else:
+        schema = df.schema
+
+    def run_rows(iterator):
+        import pandas as pd
+
+        fn2 = _exec_fn(script)
+        names = [f.name for f in schema.fields]
+        for pdf in iterator:
+            recs = pdf.to_dict("records")
+            data = []
+            for m in recs:
+                o = _plain(fn2(dict(m), {}))
+                if isinstance(o, dict):
+                    data.append(
+                        tuple(
+                            _coerce(o.get(f.name), f.dataType)
+                            for f in schema.fields
+                        )
+                    )
+            yield pd.DataFrame(data, columns=names)
+
+    out_df = df.mapInPandas(run_rows, schema)
+    _ = in_cols  # input shape only matters for the empty-frame fallback
+    return out_df

@@ -197,6 +197,17 @@ class GraphRulePlanner:
             tmp_cat.register_df("__graph_input__", df)
             tr = Translator(self.spark, tmp_cat, streaming=False)
             return tr.compile(parse_sql(sql))
+        if node_type == "script":
+            # ext_graph_node.go:30-49 extNodes["script"] (props {script,
+            # isAgg}): a goja-dialect exec() reshapes messages; per-event
+            # distributed, isAgg reduces the frame
+            from ekuiper_spark.operators.scriptop import apply_script
+
+            if not props.get("script"):
+                raise ValueError("script node must have script")
+            return apply_script(
+                df, props["script"], is_agg=bool(props.get("isAgg"))
+            )
         raise ValueError(f"unknown graph node type: {node_type}")
 
     def _apply_join(self, left: DataFrame, right: DataFrame, props: dict[str, Any]) -> DataFrame:

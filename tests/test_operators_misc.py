@@ -309,3 +309,97 @@ def test_compress_unsupported_codec_error():
         compress(F.lit(b"x"), "bar")
     with pytest.raises(ValueError, match="unsupported decompressor: bar"):
         decompress(F.lit(b"x"), "bar")
+
+
+def test_graph_script_node_per_event(spark):
+    """script_test.go case 0: exec(msg, meta) increments value per event;
+    int stays int (goja int64 arithmetic)."""
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.plans.graph import GraphRulePlanner
+
+    cat = Catalog()
+    cat.register_df(
+        "tbl", spark.createDataFrame([(6,), (10,)], "value long")
+    )
+    g = GraphRulePlanner(spark, cat)
+    out = g.plan(
+        {
+            "nodes": {
+                "src": {"type": "source", "props": {"datasource": "tbl"}},
+                "js": {
+                    "type": "operator",
+                    "nodeType": "script",
+                    "props": {
+                        "script": "function exec(msg, meta) {msg.value = msg.value + 1; return msg}"
+                    },
+                },
+            },
+            "topo": {"sources": ["src"], "edges": {"src": ["js"]}},
+        }
+    )
+    rows = sorted(r["value"] for r in out["js"].collect())
+    assert rows == [7, 11]
+    assert out["js"].schema["value"].dataType.simpleString() == "bigint"
+
+
+def test_graph_script_node_aggregate(spark):
+    """script_test.go case 2: isAgg exec(msgs) reduces the frame to one
+    message (6 + 8.5 + 10.2 = 24.7)."""
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.plans.graph import GraphRulePlanner
+
+    cat = Catalog()
+    cat.register_df(
+        "tbl", spark.createDataFrame([(6.0,), (8.5,), (10.2,)], "value double")
+    )
+    g = GraphRulePlanner(spark, cat)
+    script = (
+        "function exec(msgs) {"
+        "  var agg = {value: 0};"
+        "  for (let i = 0; i < msgs.length; i++) {"
+        "    agg.value = agg.value + msgs[i].value;"
+        "  }"
+        "  return agg"
+        "}"
+    )
+    out = g.plan(
+        {
+            "nodes": {
+                "src": {"type": "source", "props": {"datasource": "tbl"}},
+                "js": {
+                    "type": "operator",
+                    "nodeType": "script",
+                    "props": {"script": script, "isAgg": True},
+                },
+            },
+            "topo": {"sources": ["src"], "edges": {"src": ["js"]}},
+        }
+    )
+    rows = out["js"].collect()
+    assert len(rows) == 1
+    assert rows[0]["value"] == pytest.approx(24.7)
+
+
+def test_graph_script_node_missing_exec_errors(spark):
+    """script_operator.go:41 — a script without exec fails planning."""
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.plans.graph import GraphRulePlanner
+    from ekuiper_spark.functions.jsinterp import JsError
+
+    cat = Catalog()
+    cat.register_df("tbl", spark.createDataFrame([(1,)], "value long"))
+    g = GraphRulePlanner(spark, cat)
+    with pytest.raises(JsError, match='cannot find function "exec"'):
+        g.plan(
+            {
+                "nodes": {
+                    "src": {"type": "source", "props": {"datasource": "tbl"}},
+                    "js": {
+                        "type": "operator",
+                        "nodeType": "script",
+                        "props": {"script": "function other(m) {return m}"},
+                    },
+                },
+                "topo": {"sources": ["src"], "edges": {"src": ["js"]}},
+            }
+        )
