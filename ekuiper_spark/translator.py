@@ -274,8 +274,9 @@ class Translator:
         # BEFORE the filter (plan chain AnalyticFuncs -> ... -> Filter,
         # planner.go:572-959; Call.CachedField hidden columns) — so lag()
         # etc. see all rows, and WHERE may reference analytic results.
-        if stmt.where is not None:
-            df = self._hoist_analytics(df, stmt, ctx)
+        # (without a WHERE only begin/reset accumulators need the
+        # pre-pass — they are two-window computations, not one expression)
+        df = self._hoist_analytics(df, stmt, ctx, all_calls=stmt.where is not None)
 
         # WHERE — before any window/agg so Catalyst pushes it to the scan.
         # Aggregate calls in WHERE (reference AggFuncOp, planner.go:789-795
@@ -606,9 +607,17 @@ class Translator:
             df = df.limit(stmt.limit)
         return df
 
-    def _hoist_analytics(self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx) -> DataFrame:
+    def _hoist_analytics(
+        self,
+        df: DataFrame,
+        stmt: SelectStatement,
+        ctx: TranslateCtx,
+        all_calls: bool = True,
+    ) -> DataFrame:
         """Materialize analytic calls as hidden columns on the pre-filter
-        DataFrame and register them so later references use the columns."""
+        DataFrame and register them so later references use the columns.
+        ``all_calls=False`` hoists only the calls that REQUIRE a pre-pass
+        (begin/reset accumulators), leaving the rest inline."""
         calls: dict[str, FuncCall] = {}
 
         def walk(n: Node) -> None:
@@ -655,8 +664,16 @@ class Translator:
         for i, (key, call) in enumerate(calls.items()):
             if call.name == "changed_cols":
                 continue  # multi-column; expanded at projection, not filterable
+            is_cond_acc = call.name.startswith("acc_") and len(call.args) >= 3
+            if not all_calls and not is_cond_acc:
+                continue
             name = f"__an{i}"
-            df = df.withColumn(name, self._expr(call, ctx))
+            if is_cond_acc:
+                # begin/reset-conditioned accumulator: needs a two-pass
+                # window (segment split, then gated cumulative agg)
+                df = self._acc_cond_col(df, call, ctx, name)
+            else:
+                df = df.withColumn(name, self._expr(call, ctx))
             ctx.analytic_map[key] = name
         return df
 
@@ -3389,7 +3406,7 @@ class Translator:
         prev = F.lag(col).over(w)
         return ~col.eqNullSafe(prev)
 
-    def _analytic_window(self, call: FuncCall, ctx: TranslateCtx):
+    def _analytic_parts_order(self, call: FuncCall, ctx: TranslateCtx):
         part = [self._expr(p, ctx) for p in call.partition_by]
         if not part and ctx.windowfunc_partition:
             # non-aggregated window query: rank within the window collection
@@ -3410,7 +3427,56 @@ class Translator:
             order = [F.col(c) for c in ctx.order_cols] or [
                 F.monotonically_increasing_id()
             ]
+        return part, order
+
+    def _analytic_window(self, call: FuncCall, ctx: TranslateCtx):
+        part, order = self._analytic_parts_order(call, ctx)
         return W.partitionBy(*part).orderBy(*order)
+
+    def _acc_cond_col(
+        self, df: DataFrame, call: FuncCall, ctx: TranslateCtx, out_name: str
+    ) -> DataFrame:
+        """acc_*(value, onBegin, onReset): accumulate only inside
+        begin..reset segments (funcs_acc.go:184-211 accFuncWithCond;
+        funcs_acc_test.go TestAccumulateAggCond).  Per event: inactive ->
+        zero; onBegin starts a segment (inclusive); onReset ends it AFTER
+        accumulating its own row.  Two window passes: a shifted reset
+        count splits segment regions (resets only affect LATER rows), then
+        a cumulative agg gated on begin-seen runs inside each region —
+        spurious resets while inactive split only inactive rows, so the
+        closure is identical."""
+        part, order = self._analytic_parts_order(call, ctx)
+        w1 = W.partitionBy(*part).orderBy(*order)
+        arg = self._expr(call.args[0], ctx)
+        b = self._expr(call.args[1], ctx).cast("boolean")
+        r = self._expr(call.args[2], ctx).cast("boolean")
+        if call.when is not None:
+            arg = F.when(self._expr(call.when, ctx), arg)
+        rcnt = F.count(F.when(r, F.lit(1))).over(
+            w1.rowsBetween(W.unboundedPreceding, -1)
+        )
+        rcol = f"{out_name}_r"
+        df = df.withColumn(rcol, F.coalesce(rcnt, F.lit(0)))
+        w2 = (
+            W.partitionBy(*part, F.col(rcol))
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        active = F.count(F.when(b, F.lit(1))).over(w2) > 0
+        gated = F.when(active, arg)
+        if call.name == "acc_count":
+            out = F.when(active, F.count(gated).over(w2)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        else:
+            base = {
+                "acc_sum": F.sum, "acc_avg": F.avg,
+                "acc_max": F.max, "acc_min": F.min,
+            }[call.name]
+            out = F.when(
+                active, F.coalesce(base(gated.cast("double")).over(w2), F.lit(0.0))
+            ).otherwise(F.lit(0.0))
+        return df.withColumn(out_name, out).drop(rcol)
 
     def _sliding_buckets(self, df: DataFrame, w, ctx: TranslateCtx) -> DataFrame:
         """Scale path for UNKEYED sliding windows: partition the per-event

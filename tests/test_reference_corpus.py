@@ -314,6 +314,38 @@ def test_computed_negative_array_index(spark):
     assert r.collect()[0]["powerOnTs"] == 1000
 
 
+def test_acc_begin_reset_conditions(spark):
+    """funcs_acc_test.go TestAccumulateAggCond: acc_*(value, onBegin,
+    onReset) accumulates only inside begin..reset segments — zero before
+    begin, the reset row still accumulates its own value, zero after."""
+    cat = Catalog()
+    rows = [
+        (1, 1, False, False),
+        (1, 5, True, False),
+        (1, 4, False, False),
+        (1, 3, False, True),
+        (1, 2, False, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "v long, m long, b boolean, r boolean"
+    ).coalesce(1)
+    cat.register_df("t", df)
+    res = compile_sql(
+        spark,
+        "SELECT acc_sum(v, b, r) AS s, acc_count(v, b, r) AS c, "
+        "acc_avg(v, b, r) AS a, acc_min(m, b, r) AS mn FROM t",
+        cat,
+    )
+    got = [(x["s"], x["c"], x["a"], x["mn"]) for x in res.collect()]
+    assert got == [
+        (0.0, 0, 0.0, 0.0),
+        (1.0, 1, 1.0, 5.0),
+        (2.0, 2, 1.0, 4.0),
+        (3.0, 3, 1.0, 3.0),
+        (0.0, 0, 0.0, 0.0),
+    ]
+
+
 def test_analytic_where_filter_state(spark, demo_cat):
     # rule_test.go:1179 — lag computed BEFORE the WHERE filter (the
     # AnalyticFuncs plan precedes Filter in the reference chain); the
