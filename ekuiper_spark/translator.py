@@ -3445,6 +3445,13 @@ class Translator:
         a cumulative agg gated on begin-seen runs inside each region —
         spurious resets while inactive split only inactive rows, so the
         closure is identical."""
+        if df.isStreaming:
+            raise NotImplementedError(
+                "begin/reset-conditioned accumulators (acc_*(v, onBegin, "
+                "onReset)) are batch-only: the segment state machine needs "
+                "a custom stateful op in streaming; use the 1-arg form or "
+                "OVER (WHEN ...) gating"
+            )
         part, order = self._analytic_parts_order(call, ctx)
         w1 = W.partitionBy(*part).orderBy(*order)
         arg = self._expr(call.args[0], ctx)
