@@ -332,3 +332,112 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    word_len_lo: float = 3.0,
+    word_len_hi: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+    appendix A1.1) as per-rule boolean flags plus a combined ``keep``.
+
+    All seven published rules, pure Catalyst over one staged projection
+    (token array + line array materialized once — no UDF, no shuffle;
+    the filter composes with a parquet scan and prunes to the text
+    column):
+
+    - word count in [min_words, max_words]
+    - mean word length in [word_len_lo, word_len_hi]
+    - symbol-to-word ratio (# and ...) <= max_symbol_ratio
+    - < max_bullet_frac of lines start with a bullet
+    - < max_ellipsis_frac of lines end with an ellipsis
+    - >= min_alpha_word_frac of words contain an alphabetic char
+    - >= min_stopword_hits distinct "stop word" hits (Gopher's list:
+      the, be, to, of, and, that, have, with)
+    """
+    t = F.col(text_col)
+    staged = df.select(
+        "*",
+        tokens(t).alias("__gw"),
+        F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "").alias("__gl"),
+    )
+    w = F.col("__gw")
+    lines = F.col("__gl")
+    n_words = F.size(w)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.regexp_count(t, F.lit(r"#"))
+    n_ellipsis = F.regexp_count(t, F.lit(r"\.\.\.|…"))
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    ).otherwise(F.lit(1.0))
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.trim(x).rlike(r"^([•‣▪◦\-\*])"),
+            )
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(w, lambda x: x.rlike(r"[A-Za-z]"))).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    gopher_sw = F.array(
+        *[F.lit(x) for x in ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    sw_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(w, lambda x: F.lower(x))), gopher_sw
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_word_length": (mean_wl >= word_len_lo) & (mean_wl <= word_len_hi),
+        "ok_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "ok_bullets": bullet_frac < max_bullet_frac,
+        "ok_ellipsis": ellipsis_frac < max_ellipsis_frac,
+        "ok_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "ok_stopwords": sw_hits >= min_stopword_hits,
+    }
+    out = staged
+    keep = F.lit(True)
+    for name, cond in flags.items():
+        out = out.withColumn(name, cond)
+        keep = keep & cond
+    return out.withColumn("gopher_keep", keep).drop("__gw", "__gl")
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw
+) -> DataFrame:
+    """Documents passing every Gopher rule (see :func:`gopher_rules`)."""
+    flagged = gopher_rules(df, text_col, id_col, **kw)
+    drop_cols = [c for c in flagged.columns if c.startswith("ok_")] + [
+        "gopher_keep"
+    ]
+    return flagged.filter(F.col("gopher_keep")).drop(*drop_cols)

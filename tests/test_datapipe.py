@@ -671,3 +671,57 @@ def test_near_dedup_default_detector_collapses_hot_bucket(spark):
     # 7 tail variants of one boilerplate doc; LSH at 32/8 clusters them
     # into at most a handful of groups and every group keeps one rep
     assert 1 <= kept.count() <= 7
+
+
+def test_gopher_rules_flags(spark):
+    """Gopher A1.1 rules as Catalyst flags: each rule trips on a crafted
+    document and the clean document passes all seven."""
+    from ekuiper_spark.datapipe.textstats import gopher_filter, gopher_rules
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs to the "
+        "hills with great joy that morning. " * 3
+    ).strip()
+    docs = [
+        (1, good),                                # passes everything
+        (2, "short text"),                        # word count < 50
+        (3, " ".join(["a"] * 60)),                # mean word length < 3
+        (4, " ".join(["the##", "of##"] * 30)),    # symbol ratio > 0.1
+        (5, "\n".join(["- item " + good[:40]] * 10)),  # 100% bullet lines
+        (6, "\n".join([(good[:40] + "...")] * 10)),    # 100% ellipsis ends
+        (7, " ".join(["1234", "5678"] * 30)),     # alpha word frac 0
+        (8, " ".join(["zzz", "qqq", "rrr"] * 25)),  # no gopher stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    flags = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert flags[1]["gopher_keep"]
+    assert not flags[2]["ok_word_count"]
+    assert not flags[3]["ok_word_length"]
+    assert not flags[4]["ok_symbol_ratio"]
+    assert not flags[5]["ok_bullets"]
+    assert not flags[6]["ok_ellipsis"]
+    assert not flags[7]["ok_alpha_words"]
+    assert not flags[8]["ok_stopwords"]
+    kept = gopher_filter(df).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    # flags compose with column pruning: scanning parquet through the
+    # filter must not read beyond doc_id/text
+    assert set(kept[0].asDict().keys()) == {"doc_id", "text"}
+
+
+def test_gopher_filter_on_fixture(spark):
+    """gopher_filter over the documents fixture: deterministic subset,
+    keep-rate sane, plan stays UDF-free."""
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.datapipe.textstats import gopher_rules
+
+    cat = Catalog.from_dir("/root/testdata/sf0.001")
+    docs = cat.load(spark, "documents")
+    # the synthetic corpus is keyword soup (< 2 distinct Gopher stop
+    # words per doc), so relax that one rule for the fixture run
+    flagged = gopher_rules(docs, min_stopword_hits=0)
+    total = docs.count()
+    kept = flagged.filter("gopher_keep").count()
+    assert 0 < kept <= total
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
