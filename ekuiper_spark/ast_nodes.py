@@ -76,6 +76,7 @@ class InExpr(Node):
     expr: Node
     items: list[Node]
     negated: bool = False
+    set_expr: Node | None = None  # IN <array-valued expr> form (no parens)
 
 
 @dataclass

@@ -23,16 +23,16 @@ KEYWORDS = {
 
 _TOKEN_RE = re.compile(
     r"""
-    (?P<ws>\s+)
+    (?P<ws>\s+|/\*.*?\*/|--[^\n]*)
   | (?P<number>\d+\.\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+([eE][+-]?\d+)?)
   | (?P<bident>`[^`]*`)
-  | (?P<dident>"[^"]*")
+  | (?P<dident>"(?:\\.|[^"\\])*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<string>'(?:[^']|'')*')
+  | (?P<string>'(?:\\.|''|[^'\\])*')
   | (?P<arrow>->)
-  | (?P<op><=|>=|!=|<>|\*\*|[-+*/%&|^=<>()\[\],.:])
+  | (?P<op><=|>=|!=|<>|\*\*|[-+*/%&|^=<>()\[\],.:#;!])
     """,
-    re.VERBOSE,
+    re.VERBOSE | re.DOTALL,
 )
 
 
@@ -61,17 +61,43 @@ def tokenize(sql: str) -> list[Token]:
             # double quotes are STRING literals in the reference dialect
             # (lexical.go isQuotation: both quote styles scan as strings);
             # backquotes remain the identifier-quoting form
-            out.append(Token("string", m.group("dident")[1:-1], m.start()))
+            raw = m.group("dident")[1:-1]
+            raw = re.sub(r"\\(.)", r"\1", raw)
+            out.append(Token("string", raw, m.start()))
         elif m.group("ident"):
             v = m.group("ident")
             kind = "keyword" if v.lower() in KEYWORDS else "ident"
             out.append(Token(kind, v, m.start()))
         elif m.group("string"):
             raw = m.group("string")[1:-1].replace("''", "'")
+            raw = re.sub(r"\\(.)", r"\1", raw)
             out.append(Token("string", raw, m.start()))
         elif m.group("arrow"):
             out.append(Token("op", "->", m.start()))
         else:
             out.append(Token("op", m.group("op"), m.start()))
+    # the reference lexer scans `!`/`>`/`<` then skips whitespace looking
+    # for `=` (lexical.go), so `field !   = 5` and `t > = 20.5` lex as
+    # `!=` / `>=`; merge the separated pair (a lone `!` is otherwise
+    # invalid, and `a > = b` cannot parse any other way)
+    merged: list[Token] = []
+    i2 = 0
+    while i2 < len(out):
+        t = out[i2]
+        if (
+            t.kind == "op"
+            and t.value in ("!", ">", "<")
+            and i2 + 1 < len(out)
+            and out[i2 + 1].kind == "op"
+            and out[i2 + 1].value == "="
+        ):
+            merged.append(Token("op", t.value + "=", t.pos))
+            i2 += 2
+            continue
+        if t.kind == "op" and t.value == "!":
+            raise SyntaxError(f"lex error at {t.pos}: '!'")
+        merged.append(t)
+        i2 += 1
+    out = merged
     out.append(Token("eof", "", n))
     return out

@@ -84,12 +84,58 @@ class Parser:
             return t.value
         raise SyntaxError(f"expected identifier at {t.pos}: got {t.value!r}")
 
+    def parse_source_path(self) -> str:
+        """A FROM source: a plain stream name OR an MQTT topic path
+        (parser_test.go `FROM topic/sensor1`, `/topic/sensor1/#`,
+        `topic/+/temp` — the reference lexer scans the whole
+        whitespace-delimited path as the source).  Path continuation
+        requires token ADJACENCY so `a / 2` stays arithmetic."""
+        def last_tok():
+            return self.toks[self.i - 1]
+
+        def adjacent(b):
+            a = last_tok()
+            return b.pos == a.pos + len(a.value)
+
+        def take_segment() -> Optional[str]:
+            seg = self.peek()
+            if (
+                seg.kind in ("ident", "keyword", "number")
+                or (seg.kind == "op" and seg.value in ("#", "+"))
+            ) and adjacent(seg):
+                self.next()
+                return seg.value
+            return None
+
+        parts: list[str] = []
+        t = self.peek()
+        if t.kind == "op" and t.value == "/":
+            self.next()
+            parts.append("/")
+            seg = take_segment()
+            if seg is None:
+                raise SyntaxError(f"expected identifier at {t.pos}: got '/'")
+            parts.append(seg)
+        else:
+            parts.append(self.expect_ident())
+        while True:
+            nxt = self.peek()
+            if not (nxt.kind == "op" and nxt.value == "/" and adjacent(nxt)):
+                break
+            self.next()
+            parts.append("/")
+            seg = take_segment()
+            if seg is None:
+                break  # trailing slash
+            parts.append(seg)
+        return "".join(parts)
+
     # -- entry -------------------------------------------------------------
     def parse(self) -> SelectStatement:
         self.expect_kw("select")
         stmt = SelectStatement(fields=self.parse_fields())
         self.expect_kw("from")
-        stmt.source = self.expect_ident()
+        stmt.source = self.parse_source_path()
         if self.accept_kw("as"):
             stmt.source_alias = self.expect_ident()
         elif self.peek().kind == "ident":
@@ -131,6 +177,9 @@ class Parser:
             alias = self.next().value
         if self.accept_kw("invisible"):
             invisible = True
+        if alias is not None and isinstance(expr, Wildcard):
+            # parser.go: `SELECT * AS alias` is rejected
+            raise SyntaxError("alias is not supported for *")
         return Field(expr=expr, alias=alias, invisible=invisible)
 
     # -- joins -------------------------------------------------------------
@@ -156,7 +205,7 @@ class Parser:
             if kind is None:
                 return joins
             self.expect_kw("join")
-            src = self.expect_ident()
+            src = self.parse_source_path()
             alias = None
             if self.accept_kw("as"):
                 alias = self.expect_ident()
@@ -175,25 +224,27 @@ class Parser:
             t = self.peek()
             if t.kind == "ident" and t.value.lower() in WINDOW_FUNCS and self.peek(1).value == "(":
                 g.window = self.parse_window_spec()
+                # FILTER(where expr) / OVER(when expr) attach to the
+                # window in either order, and further dims may follow
+                # (parser_test.go `COUNTWINDOW(3,1) FILTER(...), year`;
+                # window_rule_test.go TestWindowRule0 `Filter (...) Over
+                # (...)`)
+                while True:
+                    if self.accept_kw("filter"):
+                        self.expect_op("(")
+                        self.expect_kw("where")
+                        g.window.filter = self.parse_expr()
+                        self.expect_op(")")
+                    elif g.window.trigger is None and self.accept_kw("over"):
+                        self.expect_op("(")
+                        self.expect_kw("when")
+                        g.window.trigger = self.parse_expr()
+                        self.expect_op(")")
+                    else:
+                        break
             else:
                 g.dims.append(self.parse_expr())
             if not self.accept_op(","):
-                break
-        # trailing FILTER(where expr) / OVER(when expr) apply to the
-        # window, in either order (the reference accepts
-        # `Filter (...) Over (...)`, window_rule_test.go TestWindowRule0)
-        while g.window is not None:
-            if self.accept_kw("filter"):
-                self.expect_op("(")
-                self.expect_kw("where")
-                g.window.filter = self.parse_expr()
-                self.expect_op(")")
-            elif g.window.trigger is None and self.accept_kw("over"):
-                self.expect_op("(")
-                self.expect_kw("when")
-                g.window.trigger = self.parse_expr()
-                self.expect_op(")")
-            else:
                 break
         return g
 
@@ -218,6 +269,28 @@ class Parser:
             while self.accept_op(","):
                 spec.args.append(self._expect_int())
         self.expect_op(")")
+        # arity validation (xsql/parser.go:1046-1100 validateWindows;
+        # counts include the unit literal).  Extension kept: SESSION also
+        # accepts (unit, timeout) — pure gap sessions with no max-length
+        # cap, which the reference cannot express (its 2nd arg is always
+        # the cap); 3-arg form matches the reference exactly.
+        n = len(spec.args) + (1 if spec.unit else 0)
+        if kind == "tumbling" and n != 2:
+            raise SyntaxError(f"The arguments for {name} should be 2.")
+        if kind == "hopping" and n != 3:
+            raise SyntaxError(f"The arguments for {name} should be 3.")
+        if kind == "session" and n not in (2, 3):
+            raise SyntaxError(f"The arguments for {name} should be 3.")
+        if kind == "sliding" and n not in (2, 3):
+            raise SyntaxError(f"The arguments for {name} should be 2 or 3.")
+        if kind == "count":
+            if len(spec.args) not in (1, 2):
+                raise SyntaxError("Invalid parameter count.")
+            if len(spec.args) == 2 and spec.args[1] > spec.args[0]:
+                raise SyntaxError(
+                    f"The second parameter value {spec.args[1]} should be "
+                    f"less than the first parameter {spec.args[0]}."
+                )
         # sliding OVER (WHEN cond)
         if self.accept_kw("over"):
             self.expect_op("(")
@@ -286,12 +359,17 @@ class Parser:
                     kw = self.peek().value.lower()
                 if kw == "in":
                     self.next()
-                    self.expect_op("(")
-                    items = [self.parse_expr()]
-                    while self.accept_op(","):
-                        items.append(self.parse_expr())
-                    self.expect_op(")")
-                    left = InExpr(left, items, negated)
+                    if self.peek().kind == "op" and self.peek().value == "(":
+                        self.next()
+                        items = [self.parse_expr()]
+                        while self.accept_op(","):
+                            items.append(self.parse_expr())
+                        self.expect_op(")")
+                        left = InExpr(left, items, negated)
+                    else:
+                        # IN <expression> — a single array-valued operand
+                        # (parser.go:750-768 "IN (...) or IN expression")
+                        left = InExpr(left, [], negated, set_expr=self.parse_bitor())
                     continue
                 if kw == "between":
                     self.next()
@@ -386,7 +464,7 @@ class Parser:
             if (
                 self.peek().kind == "op"
                 and self.peek().value == "."
-                and isinstance(expr, (ColumnRef, Access, Index))
+                and isinstance(expr, (ColumnRef, Access, Index, Slice, JsonPath))
                 and self.peek(1).kind in ("ident", "keyword")
             ):
                 self.next()
@@ -414,6 +492,17 @@ class Parser:
         if t.kind == "string":
             self.next()
             return Literal(t.value)
+        if (
+            t.kind == "op"
+            and t.value == "."
+            and self.peek(1).kind == "number"
+            and "." not in self.peek(1).value
+        ):
+            # `. 3` = 0.3: the reference number scanner accepts a leading
+            # dot with whitespace before the digits (parser_test.go
+            # `SELECT -. 3` == NumberLiteral -0.3)
+            self.next()
+            return Literal(float("." + self.next().value))
         if t.kind == "op" and t.value == "*":
             self.next()
             return self.parse_wildcard_tail(None)
@@ -500,7 +589,28 @@ class Parser:
                 args.append(parse_arg())
         self.expect_op(")")
         call = FuncCall(name=name.lower(), args=args)
+        # arity strictness mirrored from the reference's parse-time
+        # validation (parser_test.go:784-796)
+        if call.name == "count" and len(args) > 1:
+            raise SyntaxError(
+                f"validate function count error: Expect 1 arguments but "
+                f"found {len(args)}."
+            )
+        if call.name == "lag" and len(args) == 0:
+            raise SyntaxError(
+                "validate function lag error: expect one two or three "
+                "args but got 0"
+            )
         if self.accept_kw("over"):
+            # OVER is an analytic-function clause (xsql/parser.go: only
+            # analytic funcs, acc_* and window funcs take OVER —
+            # `avg(x) OVER (...)` is a parse error in the reference)
+            _over_ok = call.name in (
+                "lag", "latest", "changed_col", "had_changed",
+                "changed_cols", "row_number", "dedup_trigger",
+            ) or call.name.startswith(("acc_", "last_hit", "last_agg_hit"))
+            if not _over_ok:
+                raise SyntaxError(f"function {call.name} does not support OVER")
             self.expect_op("(")
             if self.accept_kw("partition"):
                 self.expect_kw("by")
@@ -527,6 +637,13 @@ class Parser:
             cond = self.parse_expr()
             self.expect_kw("then")
             whens.append((cond, self.parse_expr()))
+        if not whens:
+            # parser.go:1032-1038
+            nxt = self.peek().value.lower()
+            raise SyntaxError(
+                "invalid CASE expression, WHEN expected before "
+                + ("ELSE" if nxt == "else" else "END")
+            )
         else_ = None
         if self.accept_kw("else"):
             else_ = self.parse_expr()

@@ -3694,7 +3694,11 @@ class Translator:
 
         if isinstance(node, InExpr):
             col = self._expr(node.expr, ctx)
-            res = col.isin(*[self._expr(i, ctx) for i in node.items])
+            if node.set_expr is not None:
+                # IN <array expr>: membership in a runtime array value
+                res = F.array_contains(self._expr(node.set_expr, ctx), col)
+            else:
+                res = col.isin(*[self._expr(i, ctx) for i in node.items])
             return ~res if node.negated else res
 
         if isinstance(node, Between):

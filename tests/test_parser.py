@@ -146,3 +146,42 @@ def test_syntax_error_position():
         parse_sql("SELECT FROM WHERE")
     with pytest.raises(SyntaxError):
         parse_sql("SELECT a FROM d GROUP BY TUMBLINGWINDOW(xx, 10)")
+
+
+def test_reference_parser_corpus_sweep():
+    """Every SQL the reference's parser accepts (parser_test.go, 245
+    statements incl. MQTT topic paths, IN <expr>, postfix member access,
+    multi-statement semicolons) must parse here too.  Statements the
+    reference REJECTS are allowed to pass (leniencies are additive), but
+    accepted ones failing is a regression."""
+    import re
+
+    from ekuiper_spark.parser import parse_sql
+
+    src = open("/root/reference/internal/xsql/parser_test.go").read()
+    cases = re.findall(
+        r'\{\s*s:\s+(`[^`]*`|"(?:[^"\\]|\\.)*")(.*?)(?=\n\t\t\{|\Z)', src, re.S
+    )
+
+    def unq(x):
+        if x.startswith("`"):
+            return x[1:-1]
+        return x[1:-1].encode().decode("unicode_escape")
+
+    failures = []
+    n = 0
+    for raw, rest in cases:
+        s = unq(raw)
+        if "select" not in s.lower():
+            continue
+        m = re.search(r'err:\s+(`[^`]*`|"(?:[^"\\]|\\.)*")', rest[:400])
+        exp_err = m and unq(m.group(1)).strip() != ""
+        if exp_err:
+            continue
+        n += 1
+        try:
+            parse_sql(s)
+        except Exception as exc:
+            failures.append(f"{s[:90]!r} => {exc}")
+    assert n > 150, f"extraction regressed: only {n} accept-cases found"
+    assert not failures, "\n".join(failures)

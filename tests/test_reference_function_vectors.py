@@ -264,9 +264,12 @@ VECTORS = [
      "format_time(cast('2020-01-16 02:14:24', 'datetime'),"
      " 'YYYY-MM-dd T HH:mm:ss')", "2020-01-16 T 02:14:24"),
     # TestConvertFormat's exact layout: backslash escape, SS run, XX offset
+    # a format-level \Z (literal Z) is written \\Z at the SQL level —
+    # string literals unquote backslash escapes first (lexical.go
+    # ScanString + strconv.Unquote)
     ("dt_fmt_backslash_escape",
      "format_time(cast('2020-01-16 02:14:24.913', 'datetime'),"
-     " 'yyyy-MM-ddTHH:mm:ssSS\\ZXX')", "2020-01-16T02:14:24.91Z+0000"),
+     " 'yyyy-MM-ddTHH:mm:ssSS\\\\ZXX')", "2020-01-16T02:14:24.91Z+0000"),
     # X prints the numeric offset even at UTC (Go '-07', never 'Z')
     ("dt_fmt_x_offset_utc",
      "format_time(cast('2020-01-16 02:14:24', 'datetime'), 'HH:mmX')",
@@ -901,7 +904,9 @@ def test_format_time_invalid_patterns_error(spark):
         ("YYY", "for Y/y"),
         ("E HH:mm", "for E"),
         ("H:mm", "only HH is supported"),
-        ("\\", "is invalid"),
+        # one literal backslash is written \\ now that string literals
+        # honor backslash escapes (lexical.go ScanString + Unquote)
+        ("\\\\", "is invalid"),
     ]
     for fmt, msg in cases:
         with pytest.raises(Exception, match=msg):
