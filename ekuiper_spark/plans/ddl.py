@@ -55,11 +55,27 @@ class DDLParser:
             raise SyntaxError(f"CREATE {kind_tok.upper()} not supported")
         name = self.next().value
         schema = None
+        defaults: dict[str, Any] = {}
         if self.accept("("):
             fields = []
             while not self.accept(")"):
                 fname = self.next().value
                 ftype = self._parse_type()
+                if self.accept("default"):
+                    # `FIELD TYPE DEFAULT literal` (parser_stream_test.go:
+                    # 476-490; preprocessor defaultFieldProcessor fills
+                    # missing/nil values)
+                    neg = self.peek().value == "-" and (self.next() or True)
+                    vt = self.next()
+                    if vt.kind == "number":
+                        v: Any = float(vt.value) if "." in vt.value else int(vt.value)
+                        if neg:
+                            v = -v
+                    elif vt.value.lower() in ("true", "false"):
+                        v = vt.value.lower() == "true"
+                    else:
+                        v = vt.value
+                    defaults[fname] = v
                 fields.append(T.StructField(fname, ftype))
                 self.accept(",")
             if fields:
@@ -76,6 +92,8 @@ class DDLParser:
         kind = "scan" if kind_tok == "table" else "stream"
         if options.get("kind", "").lower() == "lookup":
             kind = "lookup"
+        if defaults:
+            options["__field_defaults__"] = defaults
         return StreamDef(
             name=name,
             format=options.get("format", "json").lower(),

@@ -207,6 +207,19 @@ class Translator:
             if f.alias:
                 ctx.aliases[f.alias.lower()] = f.expr
         df = self._load_sources(stmt, ctx)
+        sdef0 = self.catalog.get(stmt.source)
+        fdefs = (sdef0.options or {}).get("__field_defaults__") if sdef0 else None
+        if fdefs:
+            # CREATE STREAM field DEFAULTs: missing/nil fields read their
+            # declared default (preprocessor.go defaultFieldProcessor;
+            # parser_stream_test.go `USERID BIGINT DEFAULT 10`)
+            df = df.withColumns(
+                {
+                    c: F.coalesce(F.col(c), F.lit(v))
+                    for c, v in fdefs.items()
+                    if c in df.columns
+                }
+            )
         self._cur_df = df  # for compile-time type probes (_probe_type)
 
         # event-time column resolution (TIMESTAMP option; default 'ts')

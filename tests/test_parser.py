@@ -185,3 +185,71 @@ def test_reference_parser_corpus_sweep():
             failures.append(f"{s[:90]!r} => {exc}")
     assert n > 150, f"extraction regressed: only {n} accept-cases found"
     assert not failures, "\n".join(failures)
+
+
+def test_reference_create_stream_corpus_sweep():
+    """Every CREATE STREAM the reference's stream parser accepts
+    (parser_stream_test.go, incl. nested STRUCT/ARRAY types and field
+    DEFAULTs) must parse here; rejected ones may pass (leniency)."""
+    import re
+
+    from ekuiper_spark.plans.ddl import DDLParser
+
+    src = open("/root/reference/internal/xsql/parser_stream_test.go").read()
+    cases = re.findall(
+        r'\bs:\s+(`[^`]*`|"(?:[^"\\]|\\.)*")(.*?)(?=\n\t\t\{|\Z)', src, re.S
+    )
+
+    def unq(x):
+        if x.startswith("`"):
+            return x[1:-1]
+        return x[1:-1].encode().decode("unicode_escape")
+
+    failures = []
+    n = 0
+    for raw, rest in cases:
+        s = unq(raw)
+        if "create" not in s.lower():
+            continue
+        m = re.search(r'err:\s+(`[^`]*`|"(?:[^"\\]|\\.)*")', rest[:500])
+        if m and unq(m.group(1)).strip() != "":
+            continue
+        n += 1
+        try:
+            DDLParser(s).parse_create()
+        except Exception as exc:
+            failures.append(f"{s[:90]!r} => {exc}")
+    assert n >= 15, f"extraction regressed: only {n} accept-cases"
+    assert not failures, "\n".join(failures)
+
+
+def test_create_stream_field_defaults(spark, tmp_path):
+    """Field DEFAULTs fill missing values at read (parser_stream_test.go:
+    476-490 + preprocessor defaultFieldProcessor)."""
+    import json
+
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.plans.ddl import DDLParser
+    from ekuiper_spark.translator import compile_sql
+
+    p = tmp_path / "d.json"
+    p.write_text(
+        json.dumps({"USERID": 5}) + "\n" + json.dumps({"FIRST_NAME": "x"}) + "\n"
+    )
+    d = DDLParser(
+        'CREATE STREAM demo (USERID BIGINT DEFAULT 10, '
+        'FIRST_NAME STRING DEFAULT "foo bar", MOCK_VALUE FLOAT DEFAULT -90.22)'
+        f' WITH (DATASOURCE="{p}", FORMAT="JSON")'
+    ).parse_create()
+    assert d.options["__field_defaults__"] == {
+        "USERID": 10, "FIRST_NAME": "foo bar", "MOCK_VALUE": -90.22,
+    }
+    cat = Catalog()
+    cat.register(d)
+    rows = sorted(
+        tuple(r)
+        for r in compile_sql(
+            spark, "SELECT USERID, FIRST_NAME, MOCK_VALUE FROM demo", cat
+        ).collect()
+    )
+    assert rows == [(5, "foo bar", -90.22), (10, "x", -90.22)]
