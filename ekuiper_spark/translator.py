@@ -3706,12 +3706,27 @@ class Translator:
             return chain
 
         if isinstance(node, InExpr):
+            # Go membership semantics (filter_test.go:160-300): a nil LHS
+            # is nil for BOTH forms (row drops); a nil SET is false for IN
+            # and true for NOT IN; nil elements inside the set never
+            # poison the result (they just don't match) — unlike ANSI
+            # three-valued NOT IN
             col = self._expr(node.expr, ctx)
             if node.set_expr is not None:
-                # IN <array expr>: membership in a runtime array value
-                res = F.array_contains(self._expr(node.set_expr, ctx), col)
+                sset = self._expr(node.set_expr, ctx)
+                res = (
+                    F.when(col.isNull(), F.lit(None).cast("boolean"))
+                    .when(sset.isNull(), F.lit(False))
+                    .otherwise(F.coalesce(F.array_contains(sset, col), F.lit(False)))
+                )
             else:
-                res = col.isin(*[self._expr(i, ctx) for i in node.items])
+                matched = None
+                for i in node.items:
+                    eq = col.eqNullSafe(self._expr(i, ctx))
+                    matched = eq if matched is None else (matched | eq)
+                res = F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
+                    matched
+                )
             return ~res if node.negated else res
 
         if isinstance(node, Between):

@@ -314,6 +314,54 @@ def test_computed_negative_array_index(spark):
     assert r.collect()[0]["powerOnTs"] == 1000
 
 
+def test_in_membership_go_semantics(spark):
+    """filter_test.go:160-300 — IN/NOT IN with array-column sets and nil
+    corners: nil LHS drops for BOTH forms; nil SET drops IN but KEEPS
+    NOT IN; nil elements inside a literal list never poison (NOT IN
+    (35, nil) over 34 keeps the row, unlike ANSI three-valued logic)."""
+    def cnt(cat, sql):
+        return compile_sql(spark, sql, cat).count()
+
+    c1 = Catalog()
+    c1.register_df(
+        "tbl",
+        spark.createDataFrame(
+            [(34, "hello", ["hello", "world"], [33, 34])],
+            "abc long, def string, strArraySet array<string>, intArraySet array<int>",
+        ),
+    )
+    assert cnt(c1, "SELECT abc FROM tbl WHERE def IN strArraySet AND abc IN intArraySet") == 1
+    c2 = Catalog()
+    c2.register_df(
+        "tbl",
+        spark.createDataFrame(
+            [(34, "hello", None)], "abc long, def string, strArraySet array<string>"
+        ),
+    )
+    assert cnt(c2, "SELECT abc FROM tbl WHERE def IN strArraySet") == 0
+    assert cnt(c2, "SELECT abc FROM tbl WHERE def NOT IN strArraySet") == 1
+    c3 = Catalog()
+    c3.register_df("tbl", spark.createDataFrame([(34, None)], "abc long, def string"))
+    assert cnt(c3, "SELECT abc FROM tbl WHERE def IN ('ello')") == 0
+    assert cnt(c3, "SELECT abc FROM tbl WHERE def NOT IN ('ello')") == 0
+    c4 = Catalog()
+    c4.register_df(
+        "tbl", spark.createDataFrame([(34, 35, None)], "abc long, def long, ghm string")
+    )
+    assert cnt(c4, "SELECT abc FROM tbl WHERE abc NOT IN (def, ghm)") == 1
+    assert cnt(c4, "SELECT abc FROM tbl WHERE abc IN (abc, def, ghm)") == 1
+    # nested map access on both sides (filter_test.go:303)
+    c5 = Catalog()
+    c5.register_df(
+        "tbl",
+        spark.createDataFrame(
+            [((34, [33, 34]),)],
+            "json struct<abc:long, intArraySet:array<int>>",
+        ),
+    )
+    assert cnt(c5, "SELECT json FROM tbl WHERE json->abc IN json->intArraySet") == 1
+
+
 def test_acc_begin_reset_conditions(spark):
     """funcs_acc_test.go TestAccumulateAggCond: acc_*(value, onBegin,
     onReset) accumulates only inside begin..reset segments — zero before
