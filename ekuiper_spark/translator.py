@@ -3405,19 +3405,35 @@ class Translator:
         )
 
 
-    def _changed_cond(self, col: Column, ignore_null: bool, w) -> Column:
+    def _changed_cond(
+        self, col: Column, ignore_null: bool, w, valid: Optional[Column] = None
+    ) -> Column:
         """Per-column 'changed vs state' condition (funcs_analytic.go:
         86-110): with ignoreNull the state is the last NON-NULL value and
         null inputs contribute nothing (and never clobber the state);
         without it the state is the previous row's value compared with
-        DeepEqual semantics (null equals null)."""
+        DeepEqual semantics (null equals null).
+
+        ``valid`` is the OVER (WHEN cond) gate: rows failing it emit
+        nothing AND never update the state
+        (TestChangedColPartitionWithWhen case 3.1: a when-false change is
+        nil and the next comparison still sees the old state)."""
+        before = w.rowsBetween(W.unboundedPreceding, -1)
         if ignore_null:
-            prev_nn = F.last(col, ignorenulls=True).over(
-                w.rowsBetween(W.unboundedPreceding, -1)
+            carrier = col if valid is None else F.when(valid, col)
+            prev_nn = F.last(carrier, ignorenulls=True).over(before)
+            base = col.isNotNull() & ~col.eqNullSafe(prev_nn)
+        elif valid is None:
+            prev = F.lag(col).over(w)
+            base = ~col.eqNullSafe(prev)
+        else:
+            pstruct = F.last(
+                F.when(valid, F.struct(col.alias("v"))), ignorenulls=True
+            ).over(before)
+            base = F.when(pstruct.isNull(), F.lit(True)).otherwise(
+                ~col.eqNullSafe(pstruct["v"])
             )
-            return col.isNotNull() & ~col.eqNullSafe(prev_nn)
-        prev = F.lag(col).over(w)
-        return ~col.eqNullSafe(prev)
+        return base if valid is None else (valid & base)
 
     def _analytic_parts_order(self, call: FuncCall, ctx: TranslateCtx):
         part = [self._expr(p, ctx) for p in call.partition_by]
@@ -4339,13 +4355,26 @@ class Translator:
                 # 151-157): null inputs neither enter the ring queue nor
                 # advance it, so lag counts NON-NULL predecessors
                 ign = bool(self._raw(args[3])) if len(args) > 3 else True
-                if call.when is not None and n == 1:
-                    # lag OVER (WHEN cond): previous value among cond-true
-                    # rows (funcs_analytic.go lag state updates only when
-                    # the condition holds)
-                    prior = F.last(
-                        F.when(self._expr(call.when, ctx), col), ignorenulls=True
-                    ).over(w.rowsBetween(W.unboundedPreceding, -1))
+                if call.when is not None:
+                    # lag OVER (WHEN cond): the ring only advances on
+                    # cond-true rows; INVALID rows still read the state
+                    # (TestLagExecWithWhen: (bar,false) after (foo,true)
+                    # reads "foo"), so every row emits the n-th last
+                    # valid value among rows strictly before it
+                    cond = self._expr(call.when, ctx)
+                    before = w.rowsBetween(W.unboundedPreceding, -1)
+                    if n == 1 and ign:
+                        prior = F.last(
+                            F.when(cond, col), ignorenulls=True
+                        ).over(before)
+                    else:
+                        gate = (cond & col.isNotNull()) if ign else cond
+                        arr = F.collect_list(
+                            F.when(gate, F.struct(col.alias("v")))
+                        ).over(before)
+                        prior = F.when(
+                            F.size(arr) >= n, F.element_at(arr, -n)["v"]
+                        )
                     return F.coalesce(prior, F.lit(default)) if default is not None else prior
                 if ign:
                     before = w.rowsBetween(W.unboundedPreceding, -1)
@@ -4380,15 +4409,22 @@ class Translator:
                 # whether nulls update the state or are skipped entirely
                 ign = bool(self._raw(args[0]))
                 col = self._expr(args[1], ctx)
-                return F.when(self._changed_cond(col, ign, w), col)
+                valid = (
+                    self._expr(call.when, ctx) if call.when is not None else None
+                )
+                return F.when(self._changed_cond(col, ign, w, valid), col)
             if name == "had_changed":
                 # per-column state comparison with DeepEqual null
                 # semantics (funcs_analytic.go:86-110;
                 # TestHadChangedExec case 6/7: an ignored null neither
-                # counts as a change nor clobbers the column's state)
+                # counts as a change nor clobbers the column's state);
+                # when-false rows read false and keep the state
                 ign = bool(self._raw(args[0]))
+                valid = (
+                    self._expr(call.when, ctx) if call.when is not None else None
+                )
                 conds = [
-                    self._changed_cond(self._expr(a, ctx), ign, w)
+                    self._changed_cond(self._expr(a, ctx), ign, w, valid)
                     for a in args[1:]
                 ]
                 out = conds[0]

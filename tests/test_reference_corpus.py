@@ -362,6 +362,37 @@ def test_in_membership_go_semantics(spark):
     assert cnt(c5, "SELECT json FROM tbl WHERE json->abc IN json->intArraySet") == 1
 
 
+def test_analytic_when_gating(spark):
+    """funcs_analytic_test.go WithWhen suites: OVER (WHEN cond) gates the
+    STATE — when-false rows still read it (lag returns the last valid
+    value; TestLagExecWithWhen expects nil,foo,foo,bar,bar) and never
+    update it (changed_col keeps comparing against the pre-gap state,
+    TestChangedColPartitionWithWhen case 3.1)."""
+    cat = Catalog()
+    rows = [
+        ("foo", True), ("bar", False), ("bar", True),
+        ("foo", False), ("foo", True),
+    ]
+    cat.register_df("t", spark.createDataFrame(rows, "v string, c boolean").coalesce(1))
+    r = compile_sql(spark, "SELECT lag(v) OVER (WHEN c) AS l FROM t", cat)
+    assert [x["l"] for x in r.collect()] == [None, "foo", "foo", "bar", "bar"]
+    # n=2: second-last valid value, invalid rows read too
+    r2 = compile_sql(spark, "SELECT lag(v, 2) OVER (WHEN c) AS l FROM t", cat)
+    assert [x["l"] for x in r2.collect()] == [None, None, None, "foo", "foo"]
+    # changed_col: the when-false 'bar' emits nil and does NOT clobber
+    # the state, so the following 'baz' is unchanged vs 'baz'
+    rows2 = [("bar", True), ("baz", True), ("bar", False), ("baz", True)]
+    cat2 = Catalog()
+    cat2.register_df(
+        "t", spark.createDataFrame(rows2, "v string, c boolean").coalesce(1)
+    )
+    r3 = compile_sql(spark, "SELECT changed_col(true, v) OVER (WHEN c) AS x FROM t", cat2)
+    assert [x["x"] for x in r3.collect()] == ["bar", "baz", None, None]
+    # had_changed with the same gate: false on invalid rows, state kept
+    r4 = compile_sql(spark, "SELECT had_changed(true, v) OVER (WHEN c) AS h FROM t", cat2)
+    assert [x["h"] for x in r4.collect()] == [True, True, False, False]
+
+
 def test_acc_begin_reset_conditions(spark):
     """funcs_acc_test.go TestAccumulateAggCond: acc_*(value, onBegin,
     onReset) accumulates only inside begin..reset segments — zero before
