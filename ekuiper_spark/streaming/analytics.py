@@ -1,0 +1,195 @@
+"""Continuous analytic functions over unbounded streams.
+
+The reference evaluates lag/latest/changed_col/had_changed/changed_cols
+and the acc_* accumulators per event against rule state
+(internal/topo/operator/analyticfuncs_operator.go + funcs_analytic.go /
+funcs_acc.go), keyed by the OVER partition.  Spark's window functions
+are batch-only (NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING), so in
+streaming mode the translator routes every analytic call in a statement
+through ONE ``applyInPandasWithState`` operator built here:
+
+- inputs (arg / WHEN / begin / reset expressions) are computed NATIVELY
+  upstream as hidden columns — only the stateful read-modify-write runs
+  in Python, Arrow-batched per key;
+- state is one pickled dict per key (ring buffers for lag, last values
+  for latest/changed, accumulators for acc_*), carried across
+  micro-batches through the state store exactly like the other custom
+  stateful operators;
+- rows keyed by the shared OVER partition distribute; an unpartitioned
+  statement runs in one state partition with the standard global-order
+  warning (the reference's per-rule process is equally serial).
+
+Semantics mirror the batch translation (pinned by the same reference
+vectors): WHEN-false rows READ state and never update it; lag's ring
+advances on valid (ignoreNull: non-null) values only; changed state
+contracts follow funcs_analytic.go; acc begin/reset follows
+funcs_acc.go accFuncWithCond.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ekuiper_spark.streaming.stateful import _warn_global
+
+
+@dataclass
+class AnalyticSpec:
+    """One analytic call routed through the stream-state operator."""
+
+    kind: str                       # lag|latest|changed_col|had_changed|acc_*
+    out: str                        # output column name
+    out_type: T.DataType
+    in_cols: list[str] = dc_field(default_factory=list)  # hidden input cols
+    when_col: Optional[str] = None  # hidden bool col (OVER WHEN)
+    begin_col: Optional[str] = None  # acc begin cond col
+    reset_col: Optional[str] = None  # acc reset cond col
+    n: int = 1                      # lag depth
+    default: Any = None             # lag/latest default
+    ign: bool = True                # ignoreNull flag
+
+
+def _changed_step(st: dict, v: Any, valid: bool, ign: bool) -> bool:
+    """Shared changed-state machine (funcs_analytic.go:31-110): returns
+    whether the value changed; mutates st = {"has": bool, "val": any}."""
+    if not valid:
+        return False
+    if ign:
+        if v is None:
+            return False
+        changed = (not st["has"]) or v != st["val"]
+        if changed:
+            st["has"] = True
+            st["val"] = v
+        return changed
+    changed = (not st["has"]) or v != st["val"]
+    st["has"] = True
+    st["val"] = v
+    return changed
+
+
+def _spec_step(spec: AnalyticSpec, st: dict, row: dict) -> Any:
+    """Advance one spec's state by one event; returns the output value."""
+    valid = True
+    if spec.when_col is not None:
+        valid = bool(row[spec.when_col]) if row[spec.when_col] is not None else False
+    k = spec.kind
+    if k == "lag":
+        ring: list = st.setdefault("ring", [])
+        out = ring[-spec.n] if len(ring) >= spec.n else spec.default
+        v = row[spec.in_cols[0]]
+        if valid and not (spec.ign and v is None):
+            ring.append(v)
+            del ring[: max(0, len(ring) - spec.n)]
+        return out
+    if k == "latest":
+        v = row[spec.in_cols[0]]
+        if valid and v is not None:
+            st["val"] = v
+        return st.get("val", spec.default)
+    if k == "changed_col":
+        v = row[spec.in_cols[0]]
+        cst = st.setdefault("c", {"has": False, "val": None})
+        return v if _changed_step(cst, v, valid, spec.ign) else None
+    if k == "had_changed":
+        any_changed = False
+        for i, c in enumerate(spec.in_cols):
+            cst = st.setdefault(f"c{i}", {"has": False, "val": None})
+            if _changed_step(cst, row[c], valid, spec.ign):
+                any_changed = True
+        return any_changed
+    if k.startswith("acc_"):
+        conditioned = spec.begin_col is not None
+        if conditioned:
+            # funcs_acc.go accFuncWithCond: inactive resets; begin starts
+            # inclusively; reset closes AFTER accumulating its own row
+            if not st.get("on", False):
+                st.pop("acc", None)
+                st.pop("cnt", None)
+            b = row[spec.begin_col]
+            r = row[spec.reset_col]
+            if b and not st.get("on", False):
+                st["on"] = True
+            active = st.get("on", False)
+        else:
+            active = True
+        v = row[spec.in_cols[0]]
+        if active and valid and v is not None:
+            if k == "acc_count":
+                st["cnt"] = st.get("cnt", 0) + 1
+            elif k == "acc_sum":
+                st["acc"] = st.get("acc", 0.0) + float(v)
+            elif k == "acc_avg":
+                st["acc"] = st.get("acc", 0.0) + float(v)
+                st["cnt"] = st.get("cnt", 0) + 1
+            elif k == "acc_max":
+                st["acc"] = max(st.get("acc", float(v)), float(v))
+            elif k == "acc_min":
+                st["acc"] = min(st.get("acc", float(v)), float(v))
+        if conditioned and r and st.get("on", False):
+            st["on"] = False
+        if conditioned and not active:
+            return 0 if k == "acc_count" else 0.0
+        if k == "acc_count":
+            return st.get("cnt", 0)
+        if k == "acc_avg":
+            c = st.get("cnt", 0)
+            return (st.get("acc", 0.0) / c) if c else 0.0
+        return st.get("acc", 0.0)
+    raise ValueError(f"unknown analytic kind {k!r}")
+
+
+def analytic_state_stream(
+    df: DataFrame,
+    specs: list[AnalyticSpec],
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Run every spec against per-key rule state; returns the input frame
+    plus one output column per spec (pass-through otherwise)."""
+    if not key_cols:
+        _warn_global("analytic-function")
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("__akey", F.lit(0))
+        key_cols = ["__akey"]
+    in_fields = list(df.schema.fields)
+    out_schema = T.StructType(
+        in_fields + [T.StructField(s.out, s.out_type, True) for s in specs]
+    )
+    state_schema = T.StructType([T.StructField("blob", T.BinaryType())])
+    order = [c for c in order_cols if c in df.columns]
+    in_names = [f.name for f in in_fields]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        sts: dict = pickle.loads(state.get[0]) if state.exists else {}
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        if order:
+            batch = batch.sort_values(order, kind="mergesort")
+        rows = batch.to_dict("records")
+        outs: dict[str, list] = {s.out: [] for s in specs}
+        for row in rows:
+            # pandas NaN -> None for state purity
+            row = {k: (None if isinstance(v, float) and pd.isna(v) else v) for k, v in row.items()}
+            for i, s in enumerate(specs):
+                st = sts.setdefault(i, {})
+                outs[s.out].append(_spec_step(s, st, row))
+        res = pd.DataFrame(rows)[in_names]
+        for s in specs:
+            res[s.out] = pd.Series(outs[s.out], dtype="object")
+        state.update((pickle.dumps(sts),))
+        yield res
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

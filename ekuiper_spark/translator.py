@@ -66,6 +66,7 @@ class TranslateCtx:
     windowfunc_partition: list = dc_field(default_factory=list)  # window-key col names
     row_cols: list[str] = dc_field(default_factory=list)  # user-visible cols at agg input
     analytic_map: dict[str, str] = dc_field(default_factory=dict)  # hoisted analytic cols
+    cc_stream: dict[str, list] = dc_field(default_factory=dict)  # streaming changed_cols: canon -> [(col, name)]
     hit_col: Optional[str] = None  # emission row-number col for last_hit_*
     order_cols: list[str] = dc_field(default_factory=list)
     event_col: Optional[str] = None
@@ -289,7 +290,18 @@ class Translator:
         # etc. see all rows, and WHERE may reference analytic results.
         # (without a WHERE only begin/reset accumulators need the
         # pre-pass — they are two-window computations, not one expression)
-        df = self._hoist_analytics(df, stmt, ctx, all_calls=stmt.where is not None)
+        if self.streaming and df.isStreaming:
+            calls = self._collect_analytic_calls(stmt, ctx)
+            if calls:
+                # Spark window functions are batch-only; continuous
+                # analytic state runs through ONE applyInPandasWithState
+                # operator keyed by the shared OVER partition
+                # (streaming/analytics.py)
+                df = self._hoist_analytics_streaming(df, stmt, ctx, calls)
+        else:
+            df = self._hoist_analytics(
+                df, stmt, ctx, all_calls=stmt.where is not None
+            )
 
         # WHERE — before any window/agg so Catalyst pushes it to the scan.
         # Aggregate calls in WHERE (reference AggFuncOp, planner.go:789-795
@@ -631,6 +643,158 @@ class Translator:
         DataFrame and register them so later references use the columns.
         ``all_calls=False`` hoists only the calls that REQUIRE a pre-pass
         (begin/reset accumulators), leaving the rest inline."""
+        calls = self._collect_analytic_calls(stmt, ctx)
+        for i, (key, call) in enumerate(calls.items()):
+            if call.name == "changed_cols":
+                continue  # multi-column; expanded at projection, not filterable
+            is_cond_acc = call.name.startswith("acc_") and len(call.args) >= 3
+            if not all_calls and not is_cond_acc:
+                continue
+            name = f"__an{i}"
+            if is_cond_acc:
+                # begin/reset-conditioned accumulator: needs a two-pass
+                # window (segment split, then gated cumulative agg)
+                df = self._acc_cond_col(df, call, ctx, name)
+            else:
+                df = df.withColumn(name, self._expr(call, ctx))
+            ctx.analytic_map[key] = name
+        return df
+
+    def _hoist_analytics_streaming(
+        self,
+        df: DataFrame,
+        stmt: SelectStatement,
+        ctx: TranslateCtx,
+        calls: dict[str, FuncCall],
+    ) -> DataFrame:
+        """Streaming analog of :meth:`_hoist_analytics`: compute every
+        analytic call's inputs natively as hidden columns, then run ONE
+        keyed stateful operator that advances the per-call rule state
+        per event (streaming/analytics.py).  All calls in a statement
+        must share the same OVER partition (one state keying)."""
+        from ekuiper_spark.streaming.analytics import (
+            AnalyticSpec, analytic_state_stream,
+        )
+
+        temps: dict[str, Column] = {}
+
+        def add_temp(col: Column) -> str:
+            name = f"__at{len(temps)}"
+            temps[name] = col
+            return name
+
+        part_canon: Optional[str] = None
+        parts: list[Node] = []
+        specs: list[AnalyticSpec] = []
+        out_i = 0
+        for key, call in calls.items():
+            pc = repr([canon(p) for p in call.partition_by])
+            if part_canon is None:
+                part_canon, parts = pc, call.partition_by
+            elif pc != part_canon:
+                raise NotImplementedError(
+                    "streaming analytic functions with DIFFERENT OVER "
+                    "partitions in one statement are not supported (state "
+                    "is keyed once per statement); split the rule"
+                )
+            when_col = (
+                add_temp(self._expr(call.when, ctx).cast("boolean"))
+                if call.when is not None
+                else None
+            )
+            name = call.name
+
+            def probe(c: Column) -> T.DataType:
+                try:
+                    return df.select(c).schema[0].dataType
+                except Exception:
+                    return T.StringType()
+
+            if name == "changed_cols":
+                prefix = self._raw(call.args[0]) or ""
+                ign_cc = bool(self._raw(call.args[1]))
+                outs: list[tuple[str, str]] = []
+                seen: set[str] = set()
+                for a in call.args[2:]:
+                    if isinstance(a, Wildcard):
+                        expanded = [(F.col(c), c) for c in ctx.row_cols]
+                    else:
+                        base = a.name if isinstance(a, ColumnRef) else "col"
+                        expanded = [(self._expr(a, ctx), base)]
+                    for colx, base in expanded:
+                        vis = f"{prefix}{base}"
+                        if vis in seen:
+                            continue
+                        seen.add(vis)
+                        oc = f"__an{out_i}"
+                        out_i += 1
+                        specs.append(AnalyticSpec(
+                            kind="changed_col", out=oc, out_type=probe(colx),
+                            in_cols=[add_temp(colx)], when_col=when_col,
+                            ign=ign_cc,
+                        ))
+                        outs.append((oc, vis))
+                ctx.cc_stream[key] = outs
+                continue
+            oc = f"__an{out_i}"
+            out_i += 1
+            if name == "lag":
+                arg = self._expr(call.args[0], ctx)
+                specs.append(AnalyticSpec(
+                    kind="lag", out=oc, out_type=probe(arg),
+                    in_cols=[add_temp(arg)], when_col=when_col,
+                    n=int(self._raw(call.args[1])) if len(call.args) > 1 else 1,
+                    default=self._raw(call.args[2]) if len(call.args) > 2 else None,
+                    ign=bool(self._raw(call.args[3])) if len(call.args) > 3 else True,
+                ))
+            elif name == "latest":
+                arg = self._expr(call.args[0], ctx)
+                specs.append(AnalyticSpec(
+                    kind="latest", out=oc, out_type=probe(arg),
+                    in_cols=[add_temp(arg)], when_col=when_col,
+                    default=self._raw(call.args[1]) if len(call.args) > 1 else None,
+                ))
+            elif name == "changed_col":
+                arg = self._expr(call.args[1], ctx)
+                specs.append(AnalyticSpec(
+                    kind="changed_col", out=oc, out_type=probe(arg),
+                    in_cols=[add_temp(arg)], when_col=when_col,
+                    ign=bool(self._raw(call.args[0])),
+                ))
+            elif name == "had_changed":
+                ins = [add_temp(self._expr(a, ctx)) for a in call.args[1:]]
+                specs.append(AnalyticSpec(
+                    kind="had_changed", out=oc, out_type=T.BooleanType(),
+                    in_cols=ins, when_col=when_col,
+                    ign=bool(self._raw(call.args[0])),
+                ))
+            elif name.startswith("acc_"):
+                arg = self._expr(call.args[0], ctx)
+                bc = rc = None
+                if len(call.args) >= 3:
+                    bc = add_temp(self._expr(call.args[1], ctx).cast("boolean"))
+                    rc = add_temp(self._expr(call.args[2], ctx).cast("boolean"))
+                specs.append(AnalyticSpec(
+                    kind=name, out=oc,
+                    out_type=T.LongType() if name == "acc_count" else T.DoubleType(),
+                    in_cols=[add_temp(arg)], when_col=when_col,
+                    begin_col=bc, reset_col=rc,
+                ))
+            else:
+                raise NotImplementedError(
+                    f"analytic function {name} unsupported in streaming"
+                )
+            ctx.analytic_map[key] = oc
+        key_cols = [add_temp(self._expr(p, ctx)) for p in parts]
+        df = df.withColumns(temps)
+        df = analytic_state_stream(df, specs, key_cols, ctx.order_cols)
+        return df.drop(*temps.keys())
+
+    def _collect_analytic_calls(
+        self, stmt: SelectStatement, ctx: TranslateCtx
+    ) -> dict[str, FuncCall]:
+        """All analytic/accumulator/changed_cols calls in fields + WHERE,
+        keyed by canon."""
         calls: dict[str, FuncCall] = {}
 
         def walk(n: Node) -> None:
@@ -674,21 +838,7 @@ class Translator:
             walk(f.expr)
         walk_stack = set()
         walk(stmt.where)
-        for i, (key, call) in enumerate(calls.items()):
-            if call.name == "changed_cols":
-                continue  # multi-column; expanded at projection, not filterable
-            is_cond_acc = call.name.startswith("acc_") and len(call.args) >= 3
-            if not all_calls and not is_cond_acc:
-                continue
-            name = f"__an{i}"
-            if is_cond_acc:
-                # begin/reset-conditioned accumulator: needs a two-pass
-                # window (segment split, then gated cumulative agg)
-                df = self._acc_cond_col(df, call, ctx, name)
-            else:
-                df = df.withColumn(name, self._expr(call, ctx))
-            ctx.analytic_map[key] = name
-        return df
+        return calls
 
     _HIT_FNS = ("last_hit_count", "last_hit_time", "last_agg_hit_count", "last_agg_hit_time")
 
@@ -3047,6 +3197,12 @@ class Translator:
                 # col...) expands into one output column per argument,
                 # named prefix+colname (funcs_cols.go)
                 call = f.expr
+                if canon(call) in ctx.cc_stream:
+                    # streaming: per-column results precomputed by the
+                    # stateful analytic operator
+                    for oc, vis in ctx.cc_stream[canon(call)]:
+                        out.append((F.col(oc).alias(vis), vis))
+                    continue
                 prefix = self._raw(call.args[0]) or ""
                 w = self._analytic_window(call, ctx)
                 ign_cc = bool(self._raw(call.args[1]))

@@ -1,0 +1,197 @@
+"""Continuous analytic functions in streaming mode.
+
+The reference runs lag/latest/changed_col/had_changed/changed_cols and
+acc_* continuously against rule state (analyticfuncs_operator.go).  The
+translator routes them through one applyInPandasWithState operator
+(streaming/analytics.py); these tests pin (a) value equality with the
+batch translation of the same statement, (b) state carry ACROSS
+micro-batches (maxFilesPerTrigger=1), (c) keyed distribution via the
+OVER partition, and (d) the WHEN gate semantics in streaming.
+"""
+
+from __future__ import annotations
+
+import json
+import warnings
+
+import pytest
+from pyspark.sql import types as T
+
+from ekuiper_spark.catalog import Catalog, StreamDef
+from ekuiper_spark.translator import compile_sql
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("v", T.StringType()),
+        T.StructField("c", T.BooleanType()),
+        T.StructField("u", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("ts", T.LongType()),
+    ]
+)
+
+ROWS = [
+    ("foo", True, 1, 10, 1000),
+    ("bar", False, 2, 20, 1001),
+    ("bar", True, 1, None, 1002),
+    ("foo", False, 2, 40, 1003),
+    ("foo", True, 1, 50, 1004),
+    (None, True, 2, 60, 1005),
+    ("baz", True, 1, 70, 1006),
+    ("baz", True, 2, 80, 1007),
+]
+
+SQL = (
+    "SELECT ts, lag(v) OVER (WHEN c) AS l, lag(x, 2) AS l2, "
+    "latest(v) AS lt, changed_col(true, v) AS cc, "
+    "had_changed(true, v, u) AS hc, acc_sum(u) AS s, "
+    "acc_count(u, c, u > 1) AS cnt FROM strm"
+)
+
+
+def _write_files(tmp_path, n_files):
+    d = tmp_path / "src"
+    d.mkdir()
+    per = len(ROWS) // n_files
+    for i in range(n_files):
+        chunk = ROWS[i * per : (i + 1) * per] if i < n_files - 1 else ROWS[(n_files - 1) * per :]
+        with open(d / f"{i:02d}.json", "w") as f:
+            for v, c, u, x, ts in chunk:
+                f.write(json.dumps({"v": v, "c": c, "u": u, "x": x, "ts": ts}) + "\n")
+    return str(d)
+
+
+def _run_streaming(spark, path, tmp_path, one_file_per_trigger):
+    cat = Catalog()
+    cat.register(
+        StreamDef(name="strm", format="json", path=path + "/*.json", schema=SCHEMA)
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        df = compile_sql(spark, SQL, cat, streaming=True, order_cols=["ts"])
+    name = f"sanl_{abs(hash((path, one_file_per_trigger))) % 10**8}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return [tuple(r) for r in spark.sql(f"select * from {name} order by ts").collect()]
+
+
+def _run_batch(spark, path):
+    cat = Catalog()
+    cat.register(
+        StreamDef(name="strm", format="json", path=path + "/*.json", schema=SCHEMA)
+    )
+    df = compile_sql(spark, SQL, cat, order_cols=["ts"])
+    return [tuple(r) for r in df.orderBy("ts").collect()]
+
+
+def test_streaming_analytics_equal_batch(spark, tmp_path):
+    path = _write_files(tmp_path, 1)
+    got = _run_streaming(spark, path, tmp_path, one_file_per_trigger=False)
+    want = _run_batch(spark, path)
+    assert got == want
+    # spot-pin a few reference behaviors inside the sequence:
+    by_ts = {r[0]: r for r in got}
+    assert by_ts[1001][1] == "foo"      # WHEN-false row reads lag state
+    assert by_ts[1002][4] is None       # changed_col unchanged -> nil
+    assert by_ts[1005][3] == "foo"      # latest skips the nil v
+    assert by_ts[1002][2] == 10         # lag(x,2): second-last prior x
+    assert by_ts[1004][2] == 20         # nulls skipped by default ignoreNull
+
+
+def test_streaming_analytics_state_across_batches(spark, tmp_path):
+    """4 files, one per trigger: ring buffers / changed state / acc
+    totals must carry across micro-batches through the state store."""
+    path = _write_files(tmp_path, 4)
+    cat = Catalog()
+    cat.register(
+        StreamDef(name="strm", format="json", path=path + "/*.json", schema=SCHEMA)
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        df = compile_sql(spark, SQL, cat, streaming=True, order_cols=["ts"])
+    q = (
+        df.writeStream.format("memory")
+        .queryName("sanl_multi")
+        .option("checkpointLocation", str(tmp_path / "ck_multi"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # availableNow + maxFilesPerTrigger processes files in separate
+    # micro-batches within one run
+    q.awaitTermination(180)
+    got = [tuple(r) for r in spark.sql("select * from sanl_multi order by ts").collect()]
+    assert got == _run_batch(spark, path)
+
+
+def test_streaming_analytics_keyed_partition(spark, tmp_path):
+    """OVER (PARTITION BY u) keys the state: per-key sequences match the
+    batch translation and no global-order warning fires."""
+    path = _write_files(tmp_path, 1)
+    sql = "SELECT ts, u, lag(v) OVER (PARTITION BY u) AS l, acc_sum(u) OVER (PARTITION BY u) AS s FROM strm"
+    cat = Catalog()
+    cat.register(
+        StreamDef(name="strm", format="json", path=path + "/*.json", schema=SCHEMA)
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # keyed: no global-order warning
+        df = compile_sql(spark, sql, cat, streaming=True, order_cols=["ts"])
+    q = (
+        df.writeStream.format("memory")
+        .queryName("sanl_keyed")
+        .option("checkpointLocation", str(tmp_path / "ck_keyed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [tuple(r) for r in spark.sql("select * from sanl_keyed order by ts").collect()]
+    bdf = compile_sql(spark, sql, cat, order_cols=["ts"])
+    want = [tuple(r) for r in bdf.orderBy("ts").collect()]
+    assert got == want
+
+
+def test_streaming_changed_cols(spark, tmp_path):
+    """changed_cols expands through the stateful operator in streaming."""
+    path = _write_files(tmp_path, 1)
+    sql = "SELECT ts, changed_cols('c_', true, v, u) FROM strm"
+    cat = Catalog()
+    cat.register(
+        StreamDef(name="strm", format="json", path=path + "/*.json", schema=SCHEMA)
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        df = compile_sql(spark, sql, cat, streaming=True, order_cols=["ts"])
+    assert df.columns == ["ts", "c_v", "c_u"]
+    q = (
+        df.writeStream.format("memory")
+        .queryName("sanl_cc")
+        .option("checkpointLocation", str(tmp_path / "ck_cc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [tuple(r) for r in spark.sql("select * from sanl_cc order by ts").collect()]
+    bdf = compile_sql(spark, sql, cat, order_cols=["ts"])
+    assert got == [tuple(r) for r in bdf.orderBy("ts").collect()]
+
+
+def test_streaming_mixed_partitions_raise(spark, tmp_path):
+    path = _write_files(tmp_path, 1)
+    cat = Catalog()
+    cat.register(
+        StreamDef(name="strm", format="json", path=path + "/*.json", schema=SCHEMA)
+    )
+    with pytest.raises(NotImplementedError, match="DIFFERENT OVER partitions"):
+        compile_sql(
+            spark,
+            "SELECT lag(v) OVER (PARTITION BY u) AS a, lag(v) OVER (PARTITION BY x) AS b FROM strm",
+            cat,
+            streaming=True,
+            order_cols=["ts"],
+        )
