@@ -1096,25 +1096,20 @@ def _q_streaming_state_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_streaming_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyed lag as a custom stateful streaming operator (cross-batch
-    last-value state; funcs_analytic.go:124-207)."""
-    import uuid as _uuid
+    """Keyed lag through the DIALECT's streaming analytic route: the
+    translator computes inputs natively and advances per-key rule state
+    in one applyInPandasWithState operator (streaming/analytics.py;
+    funcs_analytic.go:124-207 keyed lag state, cross-batch)."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
 
-    from ekuiper_spark.streaming.stateful import lag_stream
-
-    sdf = _cat(sf_dir).load(spark, "events", streaming=True).filter(F.col("user_id") < 10)
-    out = lag_stream(sdf, "user_id", "value")
-    name = "st_" + _uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
-        F.col("part").alias("user_id"), "event_id", "value", "prev_value"
+    return run_rule_available_now(
+        spark,
+        _cat(sf_dir),
+        "SELECT user_id, event_id, value, "
+        "lag(value) OVER (PARTITION BY user_id) AS prev_value "
+        "FROM events WHERE user_id < 10",
+        output_mode="append",
+        order_cols=_ORD,
     )
 
 
