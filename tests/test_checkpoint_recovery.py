@@ -104,6 +104,14 @@ STATEFUL_SQLS = {
         "SELECT count(*) AS n, min(event_id) AS a, max(event_id) AS b "
         "FROM ev GROUP BY SESSIONWINDOW(mi, 120, 30)"
     ),
+    # continuous analytic state (streaming/analytics.py): lag rings,
+    # changed/latest values and acc counters must survive the restart
+    "analytic_funcs": (
+        "SELECT event_id, lag(event_id) OVER (PARTITION BY user_id) AS l, "
+        "changed_col(true, event_type) OVER (PARTITION BY user_id) AS cc, "
+        "acc_count(event_id) OVER (PARTITION BY user_id) AS n FROM ev "
+        "WHERE user_id < 20"
+    ),
 }
 
 
