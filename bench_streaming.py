@@ -63,6 +63,56 @@ def bench_stateful_sliding(spark, n_rows: int = 100_000) -> dict:
             "rows_per_sec": round(n_rows / wall)}
 
 
+def bench_analytic_state(spark, n_rows: int = 1_000_000, n_keys: int = 64) -> dict:
+    """Keyed continuous-analytic throughput (streaming/analytics.py):
+    lag + changed_col + acc_sum over n_keys state partitions."""
+    import tempfile
+    import time
+    import uuid
+    import warnings
+
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.translator import compile_sql
+
+    d = tempfile.mkdtemp(prefix="bench_analytic_")
+    (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("ts"),
+            (F.col("id") % n_keys).alias("user_id"),
+            (F.rand(11) * 200).alias("value"),
+        )
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    sdf = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    cat = Catalog()
+    cat.register_df("ev", sdf)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = compile_sql(
+            spark,
+            "SELECT ts, lag(value) OVER (PARTITION BY user_id) AS l, "
+            "changed_col(true, user_id) OVER (PARTITION BY user_id) AS c, "
+            "acc_sum(value) OVER (PARTITION BY user_id) AS s FROM ev",
+            cat,
+            streaming=True,
+            order_cols=["ts"],
+        )
+    name = "b_" + uuid.uuid4().hex[:8]
+    t0 = time.time()
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    emitted = spark.table(name).count()
+    return {"rows": n_rows, "keys": n_keys, "emitted": emitted,
+            "wall_s": round(wall, 3), "rows_per_sec": round(n_rows / wall)}
+
+
 def bench_shared_source_rules(spark, n_rules: int = 300, duration_sec: float = 10.0) -> dict:
     """Shared-source multi-rule fanout (BASELINE row: 300 rules x 500 msg/s
     = 150k rule-evaluations/s on a 2-core VM, README.md:146-159).
@@ -137,6 +187,7 @@ def main() -> None:
     q2 = bids.filter(F.col("auction") % 123 == 0).select("auction", "price")
     res_q2 = measure_throughput(q2, duration_sec=dur, name="nexmark_q2")
     sliding = bench_stateful_sliding(spark)
+    analytic = bench_analytic_state(spark)
     fanout = bench_shared_source_rules(
         spark,
         n_rules=int(os.environ.get("BENCH_STREAM_RULES", "300")),
@@ -154,6 +205,7 @@ def main() -> None:
                 "nexmark_q2_input_rows_per_sec": res_q2["input_rows_per_sec_mean"],
                 "nexmark_q2_emitted_rows_per_sec": res_q2["rows_per_sec_overall"],
                 "stateful_sliding_100k": sliding,
+                "analytic_state_200k": analytic,
                 "shared_source_rules": fanout,
                 "reference_baseline_rows_per_sec": 12000,
             }

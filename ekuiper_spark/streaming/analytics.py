@@ -147,6 +147,142 @@ def _spec_step(spec: AnalyticSpec, st: dict, row: dict) -> Any:
     raise ValueError(f"unknown analytic kind {k!r}")
 
 
+def _vectorizable(spec: AnalyticSpec) -> bool:
+    """Ungated specs compute in pandas C ops; WHEN/begin-reset gated ones
+    take the row loop (state transitions depend on per-row conditions)."""
+    return (
+        spec.when_col is None
+        and spec.begin_col is None
+        and (spec.kind in ("lag", "latest", "changed_col", "had_changed")
+             or spec.kind.startswith("acc_"))
+    )
+
+
+def _changed_vec(v: pd.Series, st: dict, key: str, ign: bool) -> pd.Series:
+    """Vectorized changed-state over one batch with carried state."""
+    import numpy as np
+
+    cst = st.setdefault(key, {"has": False, "val": None})
+    carry = cst["val"] if cst["has"] else None
+    if ign:
+        # prev = last non-null before each row (carry-seeded ffill)
+        seq = pd.concat(
+            [pd.Series([carry], dtype="object"), v.astype("object")],
+            ignore_index=True,
+        ).ffill().astype("object")
+        prev = seq.iloc[:-1].reset_index(drop=True)
+        notna = v.notna().to_numpy()
+        changed = notna & (prev.isna().to_numpy() | (v.to_numpy(dtype="object") != prev.to_numpy(dtype="object")))
+        nn = v.dropna()
+        if len(nn):
+            cst["has"] = True
+            cst["val"] = nn.iloc[-1]
+        return pd.Series(changed, index=v.index)
+    # allow-null: prev is simply the previous row's value (always updated)
+    prev = v.shift(1)
+    if cst["has"]:
+        prev.iloc[0] = carry
+        first_missing = np.zeros(len(v), dtype=bool)
+    else:
+        first_missing = np.zeros(len(v), dtype=bool)
+        first_missing[0] = True
+    a = v.to_numpy(dtype="object")
+    p = prev.to_numpy(dtype="object")
+    neq = np.array([
+        not ((x is None or (isinstance(x, float) and pd.isna(x)))
+             == (y is None or (isinstance(y, float) and pd.isna(y)))
+             and ((x is None or (isinstance(x, float) and pd.isna(x))) or x == y))
+        for x, y in zip(a, p)
+    ])
+    changed = first_missing | neq
+    cst["has"] = True
+    last = v.iloc[-1]
+    cst["val"] = None if (isinstance(last, float) and pd.isna(last)) else last
+    return pd.Series(changed, index=v.index)
+
+
+def _vector_spec(spec: AnalyticSpec, st: dict, batch: pd.DataFrame) -> pd.Series:
+    import numpy as np
+
+    k = spec.kind
+    v = batch[spec.in_cols[0]] if spec.in_cols else None
+    if k == "lag":
+        ring: list = st.setdefault("ring", [])
+        if spec.ign:
+            keep = v.notna().to_numpy()
+        else:
+            keep = np.ones(len(v), dtype=bool)
+        vals = v.to_numpy(dtype="object")
+        arr = list(ring) + [x for x, m in zip(vals, keep) if m]
+        # count of kept values strictly BEFORE each row
+        before = len(ring) + np.concatenate(([0], np.cumsum(keep)[:-1]))
+        pos = before - spec.n
+        out = [arr[p] if p >= 0 else spec.default for p in pos]
+        ring[:] = arr[-spec.n:] if spec.n else []
+        return pd.Series(out, index=v.index, dtype="object")
+    if k == "latest":
+        carry = st.get("val")
+        seq = pd.concat(
+            [pd.Series([carry], dtype="object"), v.astype("object")],
+            ignore_index=True,
+        ).ffill().astype("object")
+        out = seq.iloc[1:].reset_index(drop=True)
+        if spec.default is not None:
+            out = out.fillna(spec.default)
+        nn = v.dropna()
+        if len(nn):
+            st["val"] = nn.iloc[-1]
+        out.index = v.index
+        return out
+    if k == "changed_col":
+        changed = _changed_vec(v, st, "c", spec.ign)
+        return pd.Series(
+            [x if c else None for x, c in zip(v.to_numpy(dtype="object"), changed)],
+            index=v.index, dtype="object",
+        )
+    if k == "had_changed":
+        acc = None
+        for i, c in enumerate(spec.in_cols):
+            ch = _changed_vec(batch[c], st, f"c{i}", spec.ign)
+            acc = ch if acc is None else (acc | ch)
+        return acc.astype("object")
+    # ungated accumulators
+    x = pd.to_numeric(v, errors="coerce")
+    valid = x.notna()
+    if k == "acc_count":
+        out = valid.cumsum() + st.get("cnt", 0)
+        st["cnt"] = int(out.iloc[-1])
+        return out.astype("object")
+    if k == "acc_sum":
+        out = x.fillna(0.0).cumsum() + st.get("acc", 0.0)
+        st["acc"] = float(out.iloc[-1])
+        return out.astype("object")
+    if k == "acc_avg":
+        s = x.fillna(0.0).cumsum() + st.get("acc", 0.0)
+        c = valid.cumsum() + st.get("cnt", 0)
+        st["acc"] = float(s.iloc[-1])
+        st["cnt"] = int(c.iloc[-1])
+        return pd.Series(
+            [si / ci if ci else 0.0 for si, ci in zip(s, c)],
+            index=v.index, dtype="object",
+        )
+    if k in ("acc_max", "acc_min"):
+        seeded = x.copy()
+        if "acc" in st:
+            seeded = pd.concat(
+                [pd.Series([st["acc"]]), x], ignore_index=True
+            )
+        out = seeded.cummax() if k == "acc_max" else seeded.cummin()
+        if "acc" in st:
+            out = out.iloc[1:].reset_index(drop=True)
+            out.index = v.index
+        res = out.fillna(0.0)
+        if not pd.isna(out.iloc[-1]):
+            st["acc"] = float(out.iloc[-1])
+        return res.astype("object")
+    raise ValueError(k)
+
+
 def analytic_state_stream(
     df: DataFrame,
     specs: list[AnalyticSpec],
@@ -175,18 +311,31 @@ def analytic_state_stream(
         if not len(batch):
             return
         if order:
-            batch = batch.sort_values(order, kind="mergesort")
-        rows = batch.to_dict("records")
-        outs: dict[str, list] = {s.out: [] for s in specs}
-        for row in rows:
-            # pandas NaN -> None for state purity
-            row = {k: (None if isinstance(v, float) and pd.isna(v) else v) for k, v in row.items()}
-            for i, s in enumerate(specs):
-                st = sts.setdefault(i, {})
-                outs[s.out].append(_spec_step(s, st, row))
-        res = pd.DataFrame(rows)[in_names]
-        for s in specs:
-            res[s.out] = pd.Series(outs[s.out], dtype="object")
+            batch = batch.sort_values(order, kind="mergesort").reset_index(drop=True)
+        res = batch[in_names].copy()
+        loop_specs = [(i, s) for i, s in enumerate(specs) if not _vectorizable(s)]
+        for i, s in enumerate(specs):
+            if _vectorizable(s):
+                res[s.out] = _vector_spec(s, sts.setdefault(i, {}), batch)
+        if loop_specs:
+            need = sorted({
+                c for _, s in loop_specs
+                for c in s.in_cols + [s.when_col, s.begin_col, s.reset_col]
+                if c
+            })
+            rows = batch[need].to_dict("records")
+            outs: dict[str, list] = {s.out: [] for _, s in loop_specs}
+            for row in rows:
+                # pandas NaN -> None for state purity
+                row = {
+                    k: (None if isinstance(v, float) and pd.isna(v) else v)
+                    for k, v in row.items()
+                }
+                for i, s in loop_specs:
+                    st = sts.setdefault(i, {})
+                    outs[s.out].append(_spec_step(s, st, row))
+            for _, s in loop_specs:
+                res[s.out] = pd.Series(outs[s.out], dtype="object")
         state.update((pickle.dumps(sts),))
         yield res
 
