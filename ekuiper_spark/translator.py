@@ -1617,6 +1617,25 @@ class Translator:
         dims = list(group.dims) if group else []
         window = group.window if group else None
 
+        def _has_agg(n: Node) -> bool:
+            if isinstance(n, FuncCall):
+                if fregistry.is_aggregate(n.name):
+                    return True
+                return any(_has_agg(a) for a in n.args)
+            if isinstance(n, Binary):
+                return _has_agg(n.left) or _has_agg(n.right)
+            if isinstance(n, Unary):
+                return _has_agg(n.operand)
+            return False
+
+        for d in dims:
+            if _has_agg(d):
+                # sqlValidator.go:28
+                raise ValueError(
+                    "Not allowed to call aggregate functions in GROUP BY "
+                    f"clause: {self._raw(d) or canon(d)}."
+                )
+
         group_cols: list[str] = []
 
         if window is not None and window.filter is not None:

@@ -122,3 +122,17 @@ def test_streaming_parity_filter(spark, catalog):
         spark, catalog, "SELECT event_id FROM events WHERE value > 150"
     )
     assert sorted(r[0] for r in batch.collect()) == sorted(r[0] for r in stream.collect())
+
+
+def test_group_by_aggregate_rejected(spark):
+    """sqlValidator.go:28 — aggregate calls are not legal GROUP BY
+    dimensions."""
+    import pytest as _pytest
+
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.translator import compile_sql
+
+    cat = Catalog()
+    cat.register_df("t", spark.createDataFrame([(1, 5)], "id long, data long"))
+    with _pytest.raises(ValueError, match="aggregate functions in GROUP BY"):
+        compile_sql(spark, "SELECT id, AVG(data) FROM t GROUP BY SUM(data) > 10", cat)
