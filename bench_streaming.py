@@ -205,7 +205,7 @@ def main() -> None:
                 "nexmark_q2_input_rows_per_sec": res_q2["input_rows_per_sec_mean"],
                 "nexmark_q2_emitted_rows_per_sec": res_q2["rows_per_sec_overall"],
                 "stateful_sliding_100k": sliding,
-                "analytic_state_200k": analytic,
+                "analytic_state_1m": analytic,
                 "shared_source_rules": fanout,
                 "reference_baseline_rows_per_sec": 12000,
             }
