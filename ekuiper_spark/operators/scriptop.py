@@ -104,6 +104,16 @@ def apply_script(
     ``collection=True`` (or ``is_agg``) calls ``exec(msgs)`` once over the
     whole bounded frame; otherwise ``exec(msg, meta)`` runs per event."""
     fn = _exec_fn(script)  # plan-time syntax/symbol validation
+    if df.isStreaming:
+        # schema probing (take) and the collection path (coalesce(1)) are
+        # batch-only; a streaming graph rule with a script node gets a
+        # clear message instead of an AnalysisException from Spark
+        raise NotImplementedError(
+            "graph 'script' node is batch-only in this engine: its output "
+            "schema is inferred by probing sample rows, which streaming "
+            "DataFrames cannot provide; run the rule in batch mode or "
+            "move the logic into SQL expressions"
+        )
     in_cols = df.columns
     sample_rows = [r.asDict(recursive=True) for r in df.take(20)]
 

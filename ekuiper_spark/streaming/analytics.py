@@ -250,7 +250,9 @@ def _vector_spec(spec: AnalyticSpec, st: dict, batch: pd.DataFrame) -> pd.Series
     x = pd.to_numeric(v, errors="coerce")
     valid = x.notna()
     if k == "acc_count":
-        out = valid.cumsum() + st.get("cnt", 0)
+        # funcs_acc.go accCountFunc counts ANY non-nil value (strings
+        # included), so validity is non-null — not numeric coercibility
+        out = v.notna().cumsum() + st.get("cnt", 0)
         st["cnt"] = int(out.iloc[-1])
         return out.astype("object")
     if k == "acc_sum":
@@ -273,6 +275,11 @@ def _vector_spec(spec: AnalyticSpec, st: dict, batch: pd.DataFrame) -> pd.Series
                 [pd.Series([st["acc"]]), x], ignore_index=True
             )
         out = seeded.cummax() if k == "acc_max" else seeded.cummin()
+        # cummax/cummin leave NaN at null input positions: those rows must
+        # READ the running extremum (funcs_acc.go skips nil, returns acc),
+        # and the carried state must survive a batch ending in nulls.
+        # ffill BEFORE dropping the seed row so a leading null inherits it.
+        out = out.ffill()
         if "acc" in st:
             out = out.iloc[1:].reset_index(drop=True)
             out.index = v.index

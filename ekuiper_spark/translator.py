@@ -1617,15 +1617,22 @@ class Translator:
         dims = list(group.dims) if group else []
         window = group.window if group else None
 
-        def _has_agg(n: Node) -> bool:
-            if isinstance(n, FuncCall):
-                if fregistry.is_aggregate(n.name):
-                    return True
-                return any(_has_agg(a) for a in n.args)
-            if isinstance(n, Binary):
-                return _has_agg(n.left) or _has_agg(n.right)
-            if isinstance(n, Unary):
-                return _has_agg(n.operand)
+        def _has_agg(n) -> bool:
+            # generic walk so aggregates nested in CASE/IN/BETWEEN/OVER
+            # dimensions are caught too (sqlValidator.go:28 walks all exprs)
+            import dataclasses
+
+            if n is None or isinstance(n, (str, int, float, bool, bytes)):
+                return False
+            if isinstance(n, (list, tuple)):
+                return any(_has_agg(x) for x in n)
+            if isinstance(n, FuncCall) and fregistry.is_aggregate(n.name):
+                return True
+            if dataclasses.is_dataclass(n) and not isinstance(n, type):
+                return any(
+                    _has_agg(getattr(n, fld.name))
+                    for fld in dataclasses.fields(n)
+                )
             return False
 
         for d in dims:

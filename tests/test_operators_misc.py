@@ -403,3 +403,24 @@ def test_graph_script_node_missing_exec_errors(spark):
                 "topo": {"sources": ["src"], "edges": {"src": ["js"]}},
             }
         )
+
+
+def test_script_node_streaming_raises_clearly(spark, tmp_path):
+    """ADVICE r7: apply_script probes schema with take(), which raises an
+    opaque AnalysisException on streaming frames — guard it."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from ekuiper_spark.operators.scriptop import apply_script
+
+    d = tmp_path / "s"
+    d.mkdir()
+    (d / "a.json").write_text(_json.dumps({"value": 1}) + "\n")
+    sdf = (
+        spark.readStream.schema("value long")
+        .json(str(d))
+    )
+    assert sdf.isStreaming
+    with _pytest.raises(NotImplementedError, match="batch-only"):
+        apply_script(sdf, "function exec(msg, meta) { return msg }")

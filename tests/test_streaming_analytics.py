@@ -195,3 +195,52 @@ def test_streaming_mixed_partitions_raise(spark, tmp_path):
             streaming=True,
             order_cols=["ts"],
         )
+
+
+# ---------------------------------------------------------------------------
+# vectorized-vs-row-loop parity on null-laden inputs (ADVICE r7: cummax/
+# cummin NaN holes and batch-ending nulls lost state; acc_count coerced
+# strings to NaN and never counted them — funcs_acc.go counts any non-nil)
+# ---------------------------------------------------------------------------
+def _vec_vs_loop(kind, batches, in_col="x", **kw):
+    import pandas as pd
+
+    from ekuiper_spark.streaming.analytics import (
+        AnalyticSpec,
+        _spec_step,
+        _vector_spec,
+        _vectorizable,
+    )
+
+    spec = AnalyticSpec(
+        kind=kind, out="o", out_type=T.StringType(), in_cols=[in_col], **kw
+    )
+    assert _vectorizable(spec)
+    st_vec: dict = {}
+    st_loop: dict = {}
+    got_vec, got_loop = [], []
+    for rows in batches:
+        pdf = pd.DataFrame({in_col: pd.Series(rows, dtype="object")})
+        got_vec.extend(_vector_spec(spec, st_vec, pdf).tolist())
+        for r in rows:
+            got_loop.extend([_spec_step(spec, st_loop, {in_col: r})])
+    return got_vec, got_loop
+
+
+@pytest.mark.parametrize("kind", ["acc_max", "acc_min", "acc_sum", "acc_avg", "acc_count"])
+def test_vectorized_acc_nulls_match_row_loop(kind):
+    batches = [
+        [5.0, None],          # batch ENDS in null: state must still persist
+        [None, 1.0, None],
+        [None],               # all-null batch
+        [9.0, 2.0],
+    ]
+    vec, loop = _vec_vs_loop(kind, batches)
+    assert vec == loop, f"{kind}: {vec} != {loop}"
+
+
+def test_vectorized_acc_count_counts_non_numeric():
+    # funcs_acc.go accCountFunc counts any non-nil value, strings included
+    vec, loop = _vec_vs_loop("acc_count", [["x", None, "y"], ["z"]])
+    assert loop == [1, 1, 2, 3]
+    assert vec == loop

@@ -136,3 +136,23 @@ def test_group_by_aggregate_rejected(spark):
     cat.register_df("t", spark.createDataFrame([(1, 5)], "id long, data long"))
     with _pytest.raises(ValueError, match="aggregate functions in GROUP BY"):
         compile_sql(spark, "SELECT id, AVG(data) FROM t GROUP BY SUM(data) > 10", cat)
+
+
+def test_group_by_aggregate_rejected_nested(spark):
+    """ADVICE r7: aggregates nested in CASE/IN/BETWEEN dims must be caught
+    too (sqlValidator.go walks every expression)."""
+    import pytest as _pytest
+
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.translator import compile_sql
+
+    cat = Catalog()
+    cat.register_df("t", spark.createDataFrame([(1, 5)], "id long, data long"))
+    for dim in (
+        "CASE WHEN SUM(data) > 0 THEN 1 ELSE 0 END",
+        "data IN (1, SUM(data))",
+        "data BETWEEN 0 AND SUM(data)",
+        "abs(CASE WHEN max(data) > 1 THEN 1 END)",
+    ):
+        with _pytest.raises(ValueError, match="aggregate functions in GROUP BY"):
+            compile_sql(spark, f"SELECT COUNT(*) AS n FROM t GROUP BY {dim}", cat)
