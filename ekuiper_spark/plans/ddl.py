@@ -50,9 +50,13 @@ class DDLParser:
     # CREATE STREAM|TABLE name (fields?) WITH (K="v", ...)
     def parse_create(self) -> StreamDef:
         self.expect("create")
-        kind_tok = self.next().value.lower()
+        kind_raw = self.next().value
+        kind_tok = kind_raw.lower()
         if kind_tok not in ("stream", "table"):
-            raise SyntaxError(f"CREATE {kind_tok.upper()} not supported")
+            # parser.go:1175 error text, pinned by fvt import_test.go
+            raise SyntaxError(
+                f'found "{kind_raw.upper()}", expected keyword stream or table.'
+            )
         name = self.next().value
         schema = None
         defaults: dict[str, Any] = {}

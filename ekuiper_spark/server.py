@@ -67,6 +67,10 @@ class RestServer:
         self.upload_dir = tempfile.mkdtemp(prefix="ekuiper_spark_uploads_")
         # named connections (rest.go:235; connection.go:33-81)
         self.connections: dict[str, dict[str, Any]] = {}
+        # conf-key store ("{kind}/{type}" -> key -> conf), PUT /metadata/...
+        self.source_confs: dict[str, dict[str, dict]] = {}
+        # auto-start failures surfaced through /rules/{id}/status
+        self.start_errors: dict[str, str] = {}
         # rules with tracing enabled (rest.go:216 trace/start|stop)
         self.traced: set[str] = set()
         # hot-updatable basic config (rest.go:229 PATCH /configs)
@@ -143,11 +147,23 @@ class RestServer:
         self._thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------------ #
-    def _import_configuration(self, body: dict) -> dict[str, int]:
+    # Configuration sections in the reference's struct order
+    # (import_export.go:60-73 Configuration / ImportConfigurationStatus) —
+    # the error payload lists every section, failures only
+    _IMPORT_SECTIONS = (
+        "streams", "tables", "rules", "nativePlugins", "portablePlugins",
+        "sourceConfig", "sinkConfig", "connectionConfig", "Service",
+        "Schema", "uploads", "scripts",
+    )
+
+    def _import_configuration(
+        self, body: dict, start_rules: bool = True
+    ) -> tuple[dict[str, int], dict[str, dict[str, str]]]:
         """Apply a Configuration payload (import_export.go:418
-        handleConfigurationImport): streams/tables DDL, rules, scripts,
-        schemas, uploads.  Shared by the synchronous /data/import and the
-        async /async/data/import task."""
+        handleConfigurationImport): streams/tables DDL, rules, source
+        confs, scripts, schemas, uploads.  Valid items apply; per-item
+        errors are collected in the reference's section map.  Shared by
+        the synchronous /data/import and the async task."""
         import os as _os
 
         from ekuiper_spark.functions import script as _script
@@ -155,43 +171,219 @@ class RestServer:
         from ekuiper_spark.plans.ddl import DDLParser
 
         counts = {"streams": 0, "tables": 0, "rules": 0, "scripts": 0,
-                  "schemas": 0, "uploads": 0}
+                  "schemas": 0, "uploads": 0, "sourceConfig": 0}
+        errors: dict[str, dict[str, str]] = {s: {} for s in self._IMPORT_SECTIONS}
+        for typ, confs in sorted((body.get("sourceConfig") or {}).items()):
+            try:
+                if isinstance(confs, str):
+                    confs = json.loads(confs)
+                for key, conf in sorted(confs.items()):
+                    self.source_confs.setdefault(f"sources/{typ}", {})[key] = conf
+                    if typ == "simulator":
+                        from ekuiper_spark.sources import mock as _mock
+
+                        _mock.register_simulator_conf(key, conf)
+                    counts["sourceConfig"] += 1
+            except Exception as e:
+                errors["sourceConfig"][typ] = str(e)
         for sec in ("streams", "tables"):
-            for _, sql in sorted((body.get(sec) or {}).items()):
-                self.catalog.register(DDLParser(sql).parse_create())
-                counts[sec] += 1
+            for name, sql in sorted((body.get(sec) or {}).items()):
+                try:
+                    self.catalog.register(DDLParser(sql).parse_create())
+                    counts[sec] += 1
+                except Exception as e:
+                    errors[sec][name] = str(e)
         for rid, spec in sorted((body.get("rules") or {}).items()):
-            if isinstance(spec, str):
-                spec = json.loads(spec)
-            rule = Rule(id=rid, sql=spec["sql"],
-                        actions=spec.get("actions", []),
-                        options=spec.get("options", {}),
-                        tags=spec.get("tags", []))
-            if rid in self.runtime.rules:
-                self.runtime.stop_rule(rid)
-                self.runtime.rules[rid] = rule
-            else:
-                self.runtime.create_rule(rule)
-            counts["rules"] += 1
+            try:
+                if isinstance(spec, str):
+                    spec = json.loads(spec)
+                rule = Rule(id=rid, sql=spec["sql"],
+                            actions=spec.get("actions", []),
+                            options=spec.get("options", {}),
+                            tags=spec.get("tags", []),
+                            name=spec.get("name", ""),
+                            version=str(spec.get("version", "")),
+                            triggered=bool(spec.get("triggered", True)))
+                if rid in self.runtime.rules:
+                    self.runtime.stop_rule(rid)
+                    self.runtime.rules[rid] = rule
+                else:
+                    self.runtime.create_rule(rule)
+                counts["rules"] += 1
+            except Exception as e:
+                errors["rules"][rid] = str(e)
+                continue
+            if start_rules and rule.triggered:
+                # start failures are RUNTIME errors: the import still
+                # succeeds, the status endpoint carries the message
+                try:
+                    self.runtime.start_rule(rid)
+                except Exception as e:
+                    self.start_errors[rid] = str(e)
         for fid, src in sorted((body.get("scripts") or {}).items()):
-            _script.unregister_script_function(fid)
-            _script.register_script_function(fid, src)
-            counts["scripts"] += 1
+            try:
+                _script.unregister_script_function(fid)
+                _script.register_script_function(fid, src)
+                counts["scripts"] += 1
+            except Exception as e:
+                errors["scripts"][fid] = str(e)
         for n, fields in sorted((body.get("Schema") or {}).items()):
-            _codecs.register_schema(n, [tuple(f) for f in json.loads(fields)])
-            counts["schemas"] += 1
+            try:
+                _codecs.register_schema(n, [tuple(f) for f in json.loads(fields)])
+                counts["schemas"] += 1
+            except Exception as e:
+                errors["Schema"][n] = str(e)
         for n, content in sorted((body.get("uploads") or {}).items()):
-            with open(_os.path.join(self.upload_dir, n), "w") as f:
-                f.write(content)
-            counts["uploads"] += 1
-        return counts
+            try:
+                dst = _os.path.join(self.upload_dir, n)
+                _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+                with open(dst, "w") as f:
+                    f.write(content)
+                counts["uploads"] += 1
+            except Exception as e:
+                errors["uploads"][n] = str(e)
+        return counts, errors
+
+    def _import_error_payload(self, errors: dict[str, dict[str, str]]) -> dict:
+        """The reference 400 shape: handleError(errorx 1000) whose message
+        is the JSON of ImportConfigurationStatus (all sections present)."""
+        msg = json.dumps(
+            {s: errors.get(s, {}) for s in self._IMPORT_SECTIONS},
+            separators=(",", ":"),
+        )
+        return {"error": 1000, "message": msg}
+
+    @staticmethod
+    def _validate_id(name: str) -> Optional[str]:
+        """pkg/validate/validate.go ValidateID: alphanumeric/hyphen/
+        underscore only; returns the reference's error text or None."""
+        if name == "":
+            return "id cannot be empty"
+        if name != name.strip():
+            return f"id '{name}' contains leading or trailing whitespace"
+        if not re.match(r"^[a-zA-Z0-9_\-]+$", name):
+            return (
+                f"id '{name}' contains invalid characters: only "
+                "alphanumeric, hyphens and underscores are allowed"
+            )
+        return None
+
+    @staticmethod
+    def _rule_sources(rule: Rule) -> list[str]:
+        from ekuiper_spark.parser import parse_sql
+
+        try:
+            stmt = parse_sql(rule.sql)
+        except Exception:
+            return []
+        return [stmt.source] + [j.source for j in (stmt.joins or [])]
+
+    def _shared_stream_schema(self, name: str) -> dict[str, Any]:
+        """Schemaless stream schema = ordered union of the columns the
+        attached rules select (topo/schema/sharelayer; fvt rule_test.go
+        TestStreamSchemaWithSharedSource): plain rules contribute null
+        entries; useSliceTuple rules contribute {"hasIndex", "index"}
+        slots in first-attachment order."""
+        from ekuiper_spark.ast_nodes import ColumnRef
+        from ekuiper_spark.parser import parse_sql
+
+        cols: list[str] = []
+        attached = 0
+        all_slice = True
+        for rule in self.runtime.rules.values():
+            if name.lower() not in {s.lower() for s in self._rule_sources(rule)}:
+                continue
+            attached += 1
+            exp = (rule.options.get("experiment") or {})
+            if not exp.get("useSliceTuple"):
+                all_slice = False
+            try:
+                stmt = parse_sql(rule.sql)
+            except Exception:
+                continue
+
+            def visit(n: Any) -> None:
+                import dataclasses
+
+                if isinstance(n, ColumnRef):
+                    if n.name not in cols:
+                        cols.append(n.name)
+                    return
+                if isinstance(n, (list, tuple)):
+                    for x in n:
+                        visit(x)
+                    return
+                if dataclasses.is_dataclass(n) and not isinstance(n, type):
+                    for fld in dataclasses.fields(n):
+                        visit(getattr(n, fld.name))
+
+            for f in stmt.fields:
+                visit(f.expr)
+            visit(stmt.where)
+            visit(stmt.having)
+        if attached and all_slice:
+            return {c: {"hasIndex": True, "index": i} for i, c in enumerate(cols)}
+        return {c: None for c in cols}
 
     def handle(self, method: str, path: str, body: dict) -> tuple[int, Any]:
+        from urllib.parse import unquote
+
         path, _, query = path.partition("?")
+        path = unquote(path)
         parts = [p for p in path.split("/") if p]
 
         if parts == []:
             return 200, {"product": "ekuiper_spark", "rules": len(self.runtime.rules)}
+
+        # named-entity id validation (the reference validates the path id
+        # in every entity handler — rest.go:641,772, rpc_script.go:33)
+        _checked: Optional[str] = None
+        if len(parts) >= 2 and parts[0] in ("streams", "tables", "rules", "services"):
+            if parts[1] not in ("status", "tags", "usage", "validate",
+                                "bulkstart", "bulkstop"):
+                _checked = parts[1]
+        elif len(parts) >= 3 and parts[0] == "plugins" and parts[1] in (
+            "sources", "sinks", "functions"
+        ):
+            _checked = parts[2]
+        elif len(parts) >= 3 and parts[0] == "udf" and parts[1] in (
+            "script", "javascript"
+        ):
+            _checked = parts[2]
+        if _checked is not None:
+            err = self._validate_id(_checked)
+            if err:
+                return 400, {"error": 1000, "message": err}
+        if parts[0] == "plugins":
+            # native plugin install is a non-goal on Spark (the scalar/agg
+            # surface is built in); ids validate, everything else 404s
+            return 404, {"error": f"plugin management not supported: {path}"}
+
+        if parts[0] == "metadata" and len(parts) == 5 and parts[3] == "confKeys":
+            # PUT /metadata/{sources|sinks}/{type}/confKeys/{key}
+            # (meta_init.go conf-key hot update; fvt sdk.go CreateConf):
+            # stores the conf; simulator streams resolve CONF_KEY here
+            kind, typ, key = parts[1], parts[2], parts[4]
+            store = self.source_confs.setdefault(f"{kind}/{typ}", {})
+            if method == "PUT":
+                store[key] = body or {}
+                if typ == "simulator":
+                    from ekuiper_spark.sources import mock as _mock
+
+                    _mock.register_simulator_conf(key, body or {})
+                return 200, {"result": f"conf {kind}/{typ}/{key} updated"}
+            if method == "GET":
+                if key not in store:
+                    return 404, {"error": f"conf key {key!r} not found"}
+                return 200, store[key]
+            if method == "DELETE":
+                if store.pop(key, None) is None:
+                    return 404, {"error": f"conf key {key!r} not found"}
+                if typ == "simulator":
+                    from ekuiper_spark.sources import mock as _mock
+
+                    _mock.SIMULATOR_CONFS.pop(key, None)
+                return 200, {"result": f"conf {kind}/{typ}/{key} dropped"}
 
         if parts == ["ping"]:
             return 200, {"result": "pong"}
@@ -224,10 +416,10 @@ class RestServer:
                     del codecs.SCHEMA_REGISTRY[name]
                     return 200, {"result": f"schema {name} dropped"}
 
-        if parts[0] == "udf" and len(parts) >= 2 and parts[1] == "script":
-            # script UDF lifecycle (script_init.go:46-47 /udf/javascript —
-            # python script text here, same contract: the top-level symbol
-            # named after the id becomes the SQL function)
+        if parts[0] == "udf" and len(parts) >= 2 and parts[1] in ("script", "javascript"):
+            # script UDF lifecycle (script_init.go:46-47 /udf/javascript;
+            # /udf/script is this runtime's python-dialect alias): the
+            # top-level symbol named after the id becomes the SQL function
             from ekuiper_spark.functions import script as _script
 
             if method == "POST" and len(parts) == 2:
@@ -273,14 +465,26 @@ class RestServer:
             import os as _os
 
             if method == "POST" and len(parts) == 2:
-                name = body.get("name")
-                if not name or ("/" in name or name.startswith(".")):
+                # Go JSON unmarshal is case-insensitive on field names —
+                # fvt upload_test.go posts {"Name","Content"}
+                lk = {str(k).lower(): v for k, v in body.items()}
+                name = lk.get("name")
+                if not name:
                     return 400, {"error": "Invalid body: missing necessary field"}
-                content = body.get("content")
-                file_url = body.get("file")
+                content = lk.get("content")
+                file_url = lk.get("file")
                 if content is None and not file_url:
                     return 400, {"error": "Invalid body: missing necessary field"}
-                dst = _os.path.join(self.upload_dir, name)
+                # nested subdirectories are created within the upload root
+                # (rest.go saveUploadFile's os.OpenRoot walk); anything
+                # that escapes the root is rejected (path traversal)
+                root = _os.path.realpath(self.upload_dir)
+                dst = _os.path.realpath(_os.path.join(root, name))
+                if not dst.startswith(root + _os.sep):
+                    return 400, {
+                        "error": f"invalid upload name {name!r}: escapes the upload directory"
+                    }
+                _os.makedirs(_os.path.dirname(dst), exist_ok=True)
                 if content is not None:
                     with open(dst, "w") as f:
                         f.write(content)
@@ -293,16 +497,18 @@ class RestServer:
                         f.write(r.read())
                 return 201, dst
             if method == "GET" and len(parts) == 2:
-                return 200, sorted(
-                    _os.path.join(self.upload_dir, n)
-                    for n in _os.listdir(self.upload_dir)
-                )
-            if method == "DELETE" and len(parts) == 3:
-                dst = _os.path.join(self.upload_dir, parts[2])
-                if not _os.path.exists(dst):
-                    return 404, {"error": f"upload {parts[2]!r} not found"}
+                out = []
+                for base, _dirs, files in _os.walk(self.upload_dir):
+                    out.extend(_os.path.join(base, n) for n in files)
+                return 200, sorted(out)
+            if method == "DELETE" and len(parts) >= 3:
+                rel = "/".join(parts[2:])
+                root = _os.path.realpath(self.upload_dir)
+                dst = _os.path.realpath(_os.path.join(root, rel))
+                if not dst.startswith(root + _os.sep) or not _os.path.exists(dst):
+                    return 404, {"error": f"upload {rel!r} not found"}
                 _os.remove(dst)
-                return 200, {"result": f"deleted {parts[2]}"}
+                return 200, {"result": f"deleted {rel}"}
 
         if parts[0] == "services":
             # external service functions (internal/service/manager.go):
@@ -507,8 +713,10 @@ class RestServer:
                         for n, fs in sorted(_codecs.SCHEMA_REGISTRY.items())
                     },
                     "uploads": {
-                        n: open(_os.path.join(self.upload_dir, n)).read()
-                        for n in sorted(_os.listdir(self.upload_dir))
+                        _os.path.relpath(_os.path.join(base, n), self.upload_dir):
+                            open(_os.path.join(base, n)).read()
+                        for base, _d, fs in _os.walk(self.upload_dir)
+                        for n in sorted(fs)
                     },
                     "scripts": {
                         fid: spec["script"]
@@ -516,7 +724,30 @@ class RestServer:
                     },
                 }
             if method == "POST" and parts[1:] == ["import"]:
-                return 200, {"imported": self._import_configuration(body)}
+                # body is {"content": "<configuration json>"} (fvt sdk.go
+                # Import; import_export.go configurationImport); a raw
+                # Configuration object is accepted too
+                conf = body
+                if "content" in body and isinstance(body["content"], str):
+                    try:
+                        conf = json.loads(body["content"])
+                    except json.JSONDecodeError as e:
+                        # Go's truncated-JSON unmarshal error text
+                        txt = body["content"]
+                        go_msg = (
+                            "unexpected end of JSON input"
+                            if e.pos >= len(txt.rstrip()) - 1
+                            or "Unterminated" in e.msg or "Expecting" in e.msg
+                            else e.msg
+                        )
+                        return 400, {
+                            "error": 1000,
+                            "message": f"configuration unmarshal with error {go_msg}",
+                        }
+                counts, errors = self._import_configuration(conf)
+                if any(errors[s] for s in errors):
+                    return 400, self._import_error_payload(errors)
+                return 200, {"imported": counts}
             if method == "GET" and parts[1:] == ["import", "status"]:
                 # imports here are synchronous; status reports completion
                 return 200, {"status": "finished"}
@@ -534,30 +765,72 @@ class RestServer:
                     if (d.kind in ("scan", "lookup")) == want_table
                 )
             if method == "GET" and len(parts) == 3 and parts[2] == "schema":
-                # rest.go:201 stream schema endpoint: field name -> type
+                # rest.go:201/728 GetInferredJsonSchema: typed streams map
+                # field -> JsonStreamField {"type","index"}; a schemaless
+                # stream falls back to the shared-layer schema merged from
+                # the rules attached to it (topo/schema/reg.go:108) —
+                # plain attachment yields null entries, useSliceTuple
+                # rules yield {"hasIndex": true, "index": n}
                 d = self.catalog.get(parts[1])
                 if d is None:
                     return 404, {"error": f"unknown stream/table {parts[1]!r}"}
-                if d.schema is None:
-                    return 200, {}  # schemaless
-                return 200, {
-                    f.name: f.dataType.simpleString() for f in d.schema.fields
-                }
+                if d.schema is not None:
+                    from ekuiper_spark.catalog import ekuiper_type_name
+
+                    return 200, {
+                        f.name: {"type": ekuiper_type_name(f.dataType), "index": 0}
+                        for f in d.schema.fields
+                    }
+                return 200, self._shared_stream_schema(parts[1])
             if method == "GET" and len(parts) == 2:
                 return 200, self.processor.exec_stmt(f"DESCRIBE {parts[1]}")
             if method == "DELETE" and len(parts) == 2:
+                # rest.go checkStreamBeforeDrop: a stream referenced by a
+                # registered rule cannot drop unless ?force=true
+                if "force=true" not in query and "force=1" not in query:
+                    holders = [
+                        rid for rid, r in self.runtime.rules.items()
+                        if parts[1].lower() in {
+                            s.lower() for s in self._rule_sources(r)
+                        }
+                    ]
+                    if holders:
+                        return 400, {
+                            "error": f"stream {parts[1]} has been referenced by other rules"
+                        }
                 return 200, {"result": self.processor.exec_stmt(f"DROP {kw} {parts[1]}")}
 
         if parts[0] == "rules":
             if method == "POST" and len(parts) == 1:
+                err = self._validate_id(str(body.get("id", "")))
+                if err:
+                    return 400, {"error": 1000, "message": f"invalid rule json: {err}"}
                 rule = Rule(
                     id=body["id"],
                     sql=body["sql"],
                     actions=body.get("actions", []),
                     options=body.get("options", {}),
                     tags=body.get("tags", []),
+                    name=body.get("name", ""),
+                    version=str(body.get("version", "")),
+                    triggered=bool(body.get("triggered", True)),
                 )
+                try:
+                    from ekuiper_spark.parser import parse_sql
+
+                    parse_sql(rule.sql)
+                except Exception as e:
+                    return 400, {"error": f"invalid rule json: {e}"}
                 self.runtime.create_rule(rule)
+                # reference rules RUN on create unless triggered=false
+                # (server.go createRule -> registry start); start errors
+                # are RUNTIME errors — the rule stays registered and its
+                # status carries the failure, create still returns 201
+                if rule.triggered:
+                    try:
+                        self.runtime.start_rule(rule.id)
+                    except Exception as e:
+                        self.start_errors[rule.id] = str(e)
                 return 201, {"result": f"rule {rule.id} created"}
             if parts[1:] == ["tags", "match"]:
                 # rule_tag.go:205 — match = requested tags are a SUBSET of
@@ -606,21 +879,42 @@ class RestServer:
                     return 200, {"valid": False, "error": f"{type(e).__name__}: {e}"}
             if len(parts) >= 2:
                 rid = parts[1]
+                if method == "PUT" and len(parts) == 2:
+                    # UPSERT (rest.go ruleUpdateHandler / fvt rulestate
+                    # TestUpdate): create-if-missing; a lower `version`
+                    # than the stored rule's is rejected; the new spec
+                    # runs unless triggered=false
+                    old = self.runtime.rules.get(rid)
+                    new_version = str(body.get("version", ""))
+                    if old is not None and old.version and new_version \
+                            and new_version < old.version:
+                        return 400, {
+                            "error": f"rule {rid} version {new_version} is "
+                                     f"lower than current {old.version}"
+                        }
+                    if old is not None:
+                        self.runtime.stop_rule(rid)
+                    rule = Rule(
+                        id=rid,
+                        sql=body.get("sql", old.sql if old else ""),
+                        actions=body.get("actions", old.actions if old else []),
+                        options=body.get("options", old.options if old else {}),
+                        tags=body.get("tags", old.tags if old else []),
+                        name=body.get("name", old.name if old else ""),
+                        version=new_version or (old.version if old else ""),
+                        triggered=bool(body.get("triggered", True)),
+                    )
+                    self.runtime.rules[rid] = rule
+                    if rule.triggered:
+                        try:
+                            self.runtime.start_rule(rid)
+                        except Exception as e:
+                            self.start_errors[rid] = str(e)
+                    return 200, {"result": f"rule {rid} updated"}
                 if rid not in self.runtime.rules:
                     return 404, {"error": f"rule {rid} not found"}
                 if method == "GET" and len(parts) == 2:
                     return 200, asdict(self.runtime.rules[rid])
-                if method == "PUT" and len(parts) == 2:
-                    # update = stop + replace spec (rest.go rule update)
-                    self.runtime.stop_rule(rid)
-                    old = self.runtime.rules[rid]
-                    self.runtime.rules[rid] = Rule(
-                        id=rid,
-                        sql=body.get("sql", old.sql),
-                        actions=body.get("actions", old.actions),
-                        options=body.get("options", old.options),
-                    )
-                    return 200, {"result": f"rule {rid} updated"}
                 if method == "DELETE" and len(parts) == 2:
                     self.runtime.stop_rule(rid)
                     del self.runtime.rules[rid]
@@ -634,7 +928,10 @@ class RestServer:
                     self.runtime.stop_rule(rid)
                     return 200, {"result": f"rule {rid} stopped"}
                 if method == "GET" and len(parts) == 3 and parts[2] == "status":
-                    return 200, self.runtime.status(rid)
+                    st = self.runtime.status(rid)
+                    if rid in self.start_errors and st.get("status") == "stopped":
+                        st["message"] = self.start_errors[rid]
+                    return 200, st
                 if method == "POST" and len(parts) == 3 and parts[2] == "restart":
                     self.runtime.stop_rule(rid)
                     self.runtime.start_rule(rid, available_now="availableNow=1" in query)
@@ -741,11 +1038,18 @@ class RestServer:
                     s["status"] = "running"
                     s["updatedTimestamp"] = int(_time.time())
                     try:
-                        counts = self._import_configuration(b)
+                        conf = b
+                        if "content" in b and isinstance(b["content"], str):
+                            conf = json.loads(b["content"])
+                        counts, errs = self._import_configuration(conf)
                         if ev.is_set():
                             return  # cancel won the race; keep "cancel"
-                        s["status"] = "finish"
-                        s["message"] = json.dumps({"imported": counts})
+                        if any(errs[x] for x in errs):
+                            s["status"] = "error"
+                            s["message"] = self._import_error_payload(errs)["message"]
+                        else:
+                            s["status"] = "finish"
+                            s["message"] = json.dumps({"imported": counts})
                     except Exception as e:
                         if not ev.is_set():
                             s["status"] = "error"
@@ -969,6 +1273,11 @@ class RestServer:
         return self
 
     def stop(self) -> None:
+        for rid in list(self.runtime.queries):
+            try:
+                self.runtime.stop_rule(rid)
+            except Exception:
+                pass
         if self._trial_ws_srv is not None:
             self._trial_ws_srv.close()
             self._trial_ws_srv = None

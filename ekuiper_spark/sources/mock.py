@@ -20,6 +20,64 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# CONF_KEY registry (the reference keeps source confs in etc/sources
+# yaml, hot-updated through PUT /metadata/sources/{type}/confKeys/{key},
+# internal/server/meta_init.go); streams declare WITH (TYPE="simulator",
+# CONF_KEY="x") and resolve their data/interval/loop here at plan time
+SIMULATOR_CONFS: dict[str, dict[str, Any]] = {}
+
+
+def register_simulator_conf(key: str, conf: dict[str, Any]) -> None:
+    SIMULATOR_CONFS[key] = dict(conf)
+
+
+def get_simulator_conf(key: str) -> dict[str, Any]:
+    if key not in SIMULATOR_CONFS:
+        raise KeyError(f"simulator conf key {key!r} not registered")
+    return SIMULATOR_CONFS[key]
+
+
+def parse_interval_ms(v: Any, default_ms: int = 1000) -> int:
+    """Conf `interval` is a Go duration string ("1ms", "10ms") or int ms."""
+    if v is None:
+        return default_ms
+    if isinstance(v, (int, float)):
+        return int(v)
+    from ekuiper_spark.functions.scalar import parse_go_duration
+
+    return max(1, int(parse_go_duration(str(v)) * 1000))
+
+
+def _union_schema(spark: SparkSession, data: Sequence[dict[str, Any]]):
+    """Infer the UNION schema across all rows (simulator.go replays each
+    row's own fields; rows may carry different keys — csv_test.go:34)."""
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False
+    ) as f:
+        for row in data:
+            f.write(json.dumps(row) + "\n")
+        p = f.name
+    try:
+        return spark.read.json(p).schema
+    finally:
+        os.unlink(p)
+
+
+def simulator_batch_df(
+    spark: SparkSession, data: Sequence[dict[str, Any]]
+) -> DataFrame:
+    """One bounded pass over the canned rows (batch/trial compile)."""
+    if not data:
+        raise ValueError("simulator source needs at least one data row")
+    schema = _union_schema(spark, data)
+    raw = spark.createDataFrame(
+        [(json.dumps(r),) for r in data], "value string"
+    ).coalesce(1)
+    return raw.select(F.from_json("value", schema).alias("j")).select("j.*")
+
+
 def simulator_source(
     spark: SparkSession,
     data: Sequence[dict[str, Any]],
@@ -27,19 +85,24 @@ def simulator_source(
     loop: bool = True,
 ) -> DataFrame:
     """Streaming DataFrame replaying `data` every interval_ms, per the
-    simulator source contract.  Columns come from the first row's keys."""
+    simulator source contract.  Columns are the UNION of all rows' keys
+    (missing keys -> null); a single rate partition preserves the
+    reference's single-threaded emission order."""
     if not data:
         raise ValueError("simulator source needs at least one data row")
-    keys = list(data[0].keys())
+    schema = _union_schema(spark, data)
     entries = F.array(
         *[
-            F.struct(*[F.lit(row.get(k)).alias(k) for k in keys])
+            F.from_json(F.lit(json.dumps(row)), schema)
             for row in data
         ]
     )
-    rate = spark.readStream.format("rate").option(
-        "rowsPerSecond", max(1, round(1000 / interval_ms))
-    ).load()
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", max(1, round(1000 / interval_ms)))
+        .option("numPartitions", 1)
+        .load()
+    )
     n = len(data)
     idx = (F.col("value") % n if loop else F.least(F.col("value"), F.lit(n - 1))).cast("int")
     out = rate.select(

@@ -17,6 +17,7 @@ Bounded runs (the reference's EOF-driven tests) use trigger(availableNow)
 
 from __future__ import annotations
 
+import re
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
@@ -35,6 +36,9 @@ class Rule:
     actions: list[dict[str, Any]] = field(default_factory=list)  # [{"memory": {...}}]
     options: dict[str, Any] = field(default_factory=dict)
     tags: list[str] = field(default_factory=list)  # def.Rule Tags (rule_tag.go)
+    name: str = ""                 # def.Rule Name
+    version: str = ""              # def.Rule Version (update rejects lower)
+    triggered: bool = True         # def.Rule Triggered: false = create stopped
 
 
 class RuleRuntime:
@@ -54,6 +58,8 @@ class RuleRuntime:
         # control plane can snapshot a joining rule's aligned content
         # (rest.go:224 /rules/{name}/scantables)
         self.scan_tables: dict[str, Any] = {}
+        # per-rule query-start epoch ms (source connection time metric)
+        self._start_times: dict[str, int] = {}
 
     def register_scan_table(self, name: str, buffer: Any) -> None:
         self.scan_tables[name] = buffer
@@ -70,6 +76,13 @@ class RuleRuntime:
         without cron bounds this single run."""
         from ekuiper_spark.functions.scalar import parse_go_duration
 
+        prior = self.queries.get(rule_id)
+        if prior is not None:
+            # start on a started rule = restart (idempotent control plane)
+            try:
+                prior.stop()
+            except Exception:
+                pass
         rule = self.rules[rule_id]
         opts = rule.options
         cron_expr = opts.get("cron")
@@ -176,8 +189,16 @@ class RuleRuntime:
         if available_now:
             writer = writer.trigger(availableNow=True)
         if sink_type == "memory":
-            name = sink_opts.get("table", f"rule_{rule_id}")
+            # reference memory sink publishes on `topic` (io/memory/sink.go);
+            # here topic -> the in-session table name (subscribers poll it)
+            name = sink_opts.get(
+                "table", re.sub(r"\W", "_", str(sink_opts.get("topic", f"rule_{rule_id}")))
+            )
             q = writer.format("memory").queryName(name).start()
+        elif sink_type in ("nop", "log"):
+            # nop sink discards (io/sink/nop_sink.go); log sink writes the
+            # conf log — both map to Spark's no-op sink (metrics still flow)
+            q = writer.format("noop").start()
         elif sink_type == "console":
             q = writer.format("console").start()
         elif sink_type == "file" and any(
@@ -372,7 +393,77 @@ class RuleRuntime:
         else:
             raise ValueError(f"unknown sink {sink_type}")
         self.queries[rule_id] = q
+        self._start_times[rule_id] = int(time.time() * 1000)
+        self._monitor_bounded_sources(rule_id, q)
         return q
+
+    def _monitor_bounded_sources(self, rule_id: str, q: Any) -> None:
+        """A rule whose every stream source is a bounded simulator
+        (loop=false) stops once the canned data is replayed — the
+        reference rule goes to "stopped" on source EOF (simulator.go
+        loop=false ends the source; fvt csv_test.go waits on it).  Spark's
+        rate-backed simulator never terminates on its own, so a monitor
+        stops the query after all rows flowed through one final empty
+        micro-batch."""
+        import threading
+        import time as _time
+
+        from ekuiper_spark.parser import parse_sql
+
+        rule = self.rules.get(rule_id)
+        if rule is None:
+            return
+        try:
+            stmt = parse_sql(rule.sql)
+        except Exception:
+            return
+        expected = 0
+        for n in [stmt.source] + [j.source for j in stmt.joins]:
+            d = self.catalog.get(n)
+            if d is None:
+                continue
+            if d.kind in ("scan", "lookup"):
+                continue
+            if (d.options.get("type") or "").lower() != "simulator":
+                return  # unbounded source: rule runs until stopped
+            from ekuiper_spark.sources import mock as _mock
+
+            conf: dict = {}
+            ck = d.options.get("conf_key")
+            if ck and str(ck) in _mock.SIMULATOR_CONFS:
+                conf.update(_mock.SIMULATOR_CONFS[str(ck)])
+            conf.update(d.options)
+            if bool(conf.get("loop", True)):
+                return  # looping simulator: unbounded
+            expected += len(conf.get("data") or [])
+        if expected <= 0:
+            return
+
+        def watch() -> None:
+            seen: set = set()
+            total = 0
+            deadline = _time.time() + 120
+            while q.isActive and _time.time() < deadline:
+                _time.sleep(0.05)
+                try:
+                    p = q.lastProgress
+                except Exception:
+                    continue
+                if not p:
+                    continue
+                bid = p.get("batchId")
+                rows = int(p.get("numInputRows") or 0)
+                if bid not in seen:
+                    seen.add(bid)
+                    total += rows
+                if total >= expected and rows == 0:
+                    try:
+                        q.stop()
+                    except Exception:
+                        pass
+                    return
+
+        threading.Thread(target=watch, daemon=True).start()
 
     @staticmethod
     def _has_agg(df: DataFrame) -> bool:
@@ -497,13 +588,21 @@ class RuleRuntime:
             running = sched.active_query is not None
             return {
                 "state": "running" if running else "scheduled",
+                "status": "running" if running else "scheduled",
                 "runs": sched.runs,
                 "cron": sched.cron_expr,
             }
         q = self.queries.get(rule_id)
         if q is None:
-            return {"state": "stopped"}
-        out = {"state": "running" if q.isActive else "finished", "progress": q.lastProgress}
+            return {"state": "stopped", "status": "stopped"}
+        state = "running" if q.isActive else "finished"
+        out = {
+            "state": state,
+            # reference status string (topo/rule/state.go): a finished
+            # bounded run reports "stopped"
+            "status": "running" if q.isActive else "stopped",
+            "progress": q.lastProgress,
+        }
         if rule_id in self.restarts:
             out["restarts"] = self.restarts[rule_id]
         out.update(self._ref_metrics(rule_id, q))
@@ -536,10 +635,22 @@ class RuleRuntime:
             sink = p.get("sink") or {}
             n = int(sink.get("numOutputRows") or 0)
             rows_out += max(n, 0)  # -1 = unreported (foreachBatch)
-        return {
+        exc = 0
+        try:
+            exc = 1 if q.exception() is not None else 0
+        except Exception:
+            pass
+        out = {
             f"source_{src}_0_records_in_total": rows_in,
-            f"sink_{sink_type}_0_records_out_total": rows_out,
+            # fvt key shape: sink_<type>_<sinkIndex>_<instance>_... —
+            # one sink, instance 0 (rule_test.go sink_mqtt_0_0_...)
+            f"sink_{sink_type}_0_0_records_out_total": rows_out,
+            f"source_{src}_0_exceptions_total": exc,
         }
+        started = self._start_times.get(rule_id)
+        if started is not None:
+            out[f"source_{src}_0_connection_last_connected_time"] = started
+        return out
 
     # -- persistence (the reference keeps rules in a KV store,
     # internal/processor/rule.go:54; here a JSON file per registry) --------

@@ -419,6 +419,7 @@ def window_agg_stream(
     emit_wid: bool = False,
     emit_bounds: bool = False,
     keep_col: Optional[str] = None,
+    emit_content: bool = False,
 ) -> DataFrame:
     """Generic stateful streaming window aggregation.
 
@@ -467,6 +468,12 @@ def window_agg_stream(
         raise ValueError(f"unknown stateful window kind {kind!r}")
     if keep_col is not None and kind not in ("count", "sliding"):
         raise ValueError("keep_col applies to count/sliding windows only")
+    if emit_content and kind != "count":
+        raise NotImplementedError("emit_content is a COUNTWINDOW feature")
+    if emit_content and subgroups:
+        raise NotImplementedError(
+            "streaming COUNTWINDOW content emission with GROUP BY dims is unsupported"
+        )
     schema = {f.name: f.dataType for f in sdf.schema.fields}
     order_cols = [c for c in order_cols if c in schema] or list(sdf.columns[:1])
     if kind == "sliding" and not subgroups:
@@ -487,7 +494,8 @@ def window_agg_stream(
     elif kind == "sliding":
         needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + list(passthrough) + keep_extra))
     else:
-        needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else []) + keep_extra))
+        content_extra = list(passthrough) if emit_content else []
+        needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + content_extra + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else []) + keep_extra))
     if kind == "sliding" and delay_us:
         buffered = list(needed)  # pending rows wait in state with their row cols
     elif kind == "sliding" and aggs:
@@ -539,7 +547,7 @@ def window_agg_stream(
         # wraps them into the `window` struct the projection reads
         out_fields.append(T.StructField("__ws", T.LongType()))
         out_fields.append(T.StructField("__we", T.LongType()))
-    if kind == "sliding" and not subgroups:
+    if (kind == "sliding" and not subgroups) or emit_content:
         for c in passthrough:
             out_fields.append(T.StructField(c, schema[c]))
     for a in aggs:
@@ -740,7 +748,40 @@ def window_agg_stream(
             buf = {c: np.concatenate([buf[c], add[c]]) for c in buffered}
         total = len(next(iter(buf.values()))) if buffered else 0
         n_win = total // n
-        if n_win and keep_col:
+        if n_win and emit_content:
+            # content emission (SELECT row columns over the window, the
+            # reference's window-collection -> per-row ProjectOp path,
+            # incl. agg-in-WHERE: aggregates attach to every content row
+            # so a downstream per-row filter can compare row vs frame)
+            frames = []
+            for w in range(n_win):
+                sl = slice(w * n, (w + 1) * n)
+                if keep_col is not None:
+                    kmask = buf[keep_col][sl].astype(bool)
+                    if not kmask.any():
+                        continue  # all-pruned window drops whole
+                    win = {c: buf[c][sl][kmask] for c in buffered}
+                else:
+                    win = {c: buf[c][sl] for c in buffered}
+                length = len(next(iter(win.values())))
+                out_cols = {c: pd.Series(win[c]) for c in pass_list}
+                for a in agg_list:
+                    src = a.in_col or ts_col
+                    val = _reduce_slice(a.op, win[src], buf_types.get(src, T.DoubleType()))
+                    if a.op in ("min", "max", "first", "last", "last_nn") and _is_ts(buf_types[src]):
+                        val = pd.NaT if val is None or (isinstance(val, float) and np.isnan(val)) else pd.Timestamp(int(val), unit="us")
+                    elif a.op == "collect" and _is_ts(buf_types[src]):
+                        val = list(pd.to_datetime(pd.Series(list(val)), unit="us"))
+                    out_cols[a.out] = pd.Series([val] * length)
+                if emit_wid:
+                    out_cols["wid"] = pd.Series([emitted + w] * length)
+                frames.append(emit_frame(out_cols, length, key))
+            buf = {c: buf[c][n_win * n :] for c in buffered}
+            emitted += n_win
+            save_state(state, emitted, False, buf)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+        elif n_win and keep_col:
             # WHERE above the window: windows fill from ALL rows, the
             # predicate prunes each window's CONTENT, an all-pruned
             # window drops whole (still consuming its wid) — the

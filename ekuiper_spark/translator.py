@@ -230,6 +230,10 @@ class Translator:
             ec = "ts"
         ctx.event_col = ec
         ctx.order_cols = self.order_cols or ([ec] if ec else [])
+        if not ctx.order_cols and "__seq" in df.columns:
+            # simulator/gen sources carry an arrival-sequence column;
+            # stateful operators order on it (reference arrival order)
+            ctx.order_cols = ["__seq"]
         ctx.row_cols = [
             c for c in df.columns if not c.startswith("__") and c not in ("window", "_metadata")
         ]
@@ -487,6 +491,17 @@ class Translator:
                 df = df.filter(F.col("__trig")).drop("__trig")
             if stmt.having is not None:
                 df = df.filter(F.col("__hav")).drop("__hav")
+        elif (
+            self.streaming
+            and group is not None
+            and group.window is not None
+            and group.window.kind == "count"
+            and not has_agg
+        ):
+            # streaming COUNTWINDOW without aggregates: stateful content
+            # emission (the batch path below keys windows with window
+            # functions, which streaming rejects)
+            df = self._streaming_stateful_grouped(df, stmt, ctx)
         elif group is not None and group.window is not None and (
             not has_agg or content_having
         ):
@@ -2011,6 +2026,23 @@ class Translator:
         dims: list[str] = []
         if window.kind == "count":
             kw["n"] = window.args[0]
+            # non-aggregated SELECT over a count window emits the window
+            # CONTENT per row (reference window-collection -> ProjectOp;
+            # agg-in-WHERE conjuncts — merged into HAVING upstream —
+            # filter rows against frame aggregates, filter_operator.go:
+            # 84-87); aggregated SELECTs keep the one-row-per-window path
+            fields_agg = any(self._find_aggs(f.expr) for f in stmt.fields)
+            if not fields_agg:
+                if subgroups:
+                    raise NotImplementedError(
+                        "streaming COUNTWINDOW content emission with "
+                        "GROUP BY dims is unsupported"
+                    )
+                kw["emit_content"] = True
+                kw["passthrough"] = [
+                    c for c in df.columns
+                    if not c.startswith("__") and c not in ("window", "_metadata")
+                ]
         elif window.kind == "session":
             # SESSIONWINDOW(unit, length, interval): length=cap,
             # interval=timeout (window_op.go:304); sessions are keyed by

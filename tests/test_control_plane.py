@@ -977,7 +977,7 @@ def test_sliding_delay_min_max_all_null_frame(spark, tmp_path):
 
 def test_status_reference_metric_keys(spark, catalog):
     """Rule status carries the reference's metric key names
-    (source_<name>_0_records_in_total / sink_<type>_0_records_out_total,
+    (source_<name>_0_records_in_total / sink_<type>_0_0_records_out_total,
     the keys the topotest assertions and dashboards read)."""
     from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
 
@@ -994,5 +994,5 @@ def test_status_reference_metric_keys(spark, catalog):
     q.awaitTermination()
     st = rt.status("met1")
     assert st["source_events_0_records_in_total"] == 1000
-    assert st["sink_memory_0_records_out_total"] > 0
+    assert st["sink_memory_0_0_records_out_total"] > 0
     rt.stop_rule("met1")

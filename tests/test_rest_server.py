@@ -248,7 +248,11 @@ def test_tables_and_schema_endpoints(server):
     code, streams = _req(server, "GET", "/streams")
     assert "t_sch" not in streams
     code, schema = _req(server, "GET", "/tables/t_sch/schema")
-    assert code == 200 and schema == {"id": "bigint", "name": "string"}
+    # JsonStreamField shape (fvt rule_test.go TestStreamSchema)
+    assert code == 200 and schema == {
+        "id": {"type": "bigint", "index": 0},
+        "name": {"type": "string", "index": 0},
+    }
     code, _ = _req(server, "DELETE", "/tables/t_sch")
     assert code == 200
     code, _ = _req(server, "GET", "/tables/t_sch/schema")
