@@ -44,8 +44,13 @@ def encode_delimited(
     Column order: explicit `fields`, else sorted by name (the reference's
     sort-by-key default, delimited/converter.go:52)."""
     cols = list(fields) if fields else sorted(df.columns)
+    # nil -> empty slot (cast.ToString(nil) = ""); concat_ws alone would
+    # SKIP null columns and shift the row's arity (fvt/csv_test.go rows)
     return df.select(
-        F.concat_ws(delimiter, *[F.col(c).cast("string") for c in cols]).alias("payload")
+        F.concat_ws(
+            delimiter,
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols],
+        ).alias("payload")
     )
 
 

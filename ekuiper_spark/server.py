@@ -1244,9 +1244,26 @@ class RestServer:
         (internal/trial/ + planner.go:49-97 mock-source injection)."""
         limit = int(body.get("limit", 100))
         injected: dict[str, object] = {}
-        for name, rows in (body.get("mockSource") or {}).items():
-            df = self.spark.createDataFrame([tuple(r.values()) for r in rows],
-                                            list(rows[0].keys()))
+        for name, spec in (body.get("mockSource") or {}).items():
+            # the reference mock-source conf is {"data": [...], "loop",
+            # "interval"} (trial/def.go); a bare row list is accepted too
+            rows = spec.get("data") if isinstance(spec, dict) else spec
+            d = self.catalog.get(name)
+            if d is not None and d.schema is not None:
+                # typed stream: replay the mock rows through the DECLARED
+                # schema (arrays of objects become STRUCT arrays, not maps)
+                raw = self.spark.createDataFrame(
+                    [(json.dumps(r),) for r in rows], "value string"
+                ).coalesce(1)
+                from pyspark.sql import functions as _F
+
+                df = raw.select(
+                    _F.from_json("value", d.schema).alias("j")
+                ).select("j.*")
+            else:
+                from ekuiper_spark.sources.mock import simulator_batch_df
+
+                df = simulator_batch_df(self.spark, rows)
             # a mock may shadow an existing registration (the reference's
             # primary trial-run use case); snapshot the prior DF so cleanup
             # restores rather than deletes it

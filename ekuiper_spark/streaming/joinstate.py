@@ -201,3 +201,215 @@ def sliding_join_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def _merge_one(
+    lf: pd.DataFrame,
+    rf: pd.DataFrame,
+    how: str,
+    lk: Sequence[str],
+    rk: Sequence[str],
+) -> pd.DataFrame:
+    """One pandas merge with SQL null-key semantics (nulls never match,
+    preserved sides keep their null-keyed rows)."""
+    if how == "cross":
+        if not len(lf) or not len(rf):
+            return lf.iloc[0:0].merge(rf.iloc[0:0], how="cross")
+        return lf.merge(rf, how="cross")
+    lk, rk = list(lk), list(rk)
+    lfn = lf.dropna(subset=lk)
+    rfn = rf.dropna(subset=rk)
+    if how == "inner":
+        return lfn.merge(rfn, left_on=lk, right_on=rk, how="inner")
+    if how == "left":
+        return lf.merge(rfn, left_on=lk, right_on=rk, how="left")
+    if how == "right":
+        return lfn.merge(rf, left_on=lk, right_on=rk, how="right")
+    base = lfn.merge(rfn, left_on=lk, right_on=rk, how="outer")
+    lx = lf[lf[lk].isna().any(axis=1)] if len(lf) else lf
+    rx = rf[rf[rk].isna().any(axis=1)] if len(rf) else rf
+    return pd.concat([base, lx, rx], ignore_index=True)
+
+
+def count_join_stream(
+    union_df: DataFrame,
+    *,
+    n: int,
+    sides: Sequence[tuple[str, Sequence[str]]],  # (tag, flat column names)
+    joins: Sequence[dict],  # {"how", "lkeys", "rkeys"}; joins[i] attaches sides[i+1]
+    aggs: Optional[Sequence[JoinAggSpec]] = None,
+) -> DataFrame:
+    """Streaming COUNT window over a MULTI-stream join.
+
+    Reference semantics (planner.go:734-735 allows "a time window or
+    count window" for multi-stream joins; window_op.go count windows +
+    join_operator.go): the window op batches n tuples from ALL streams
+    in arrival order; JoinOp then joins each full window's per-emitter
+    groups left-to-right.  Here the packed union carries __src (side
+    tag) and __u (arrival sequence); full windows of n rows join with
+    pandas merges on natively-precomputed equi keys; partial windows
+    carry in state.  Content mode (aggs None) emits the joined rows;
+    aggregate mode emits one row per window.  Windows whose join result
+    is empty emit nothing but still consume their n rows.
+
+    Single state partition (the reference's per-rule process model),
+    warned by the caller; per-window work is bounded by n.
+    """
+    schema = union_df.schema
+    all_cols: list[str] = []
+    for _tag, cols in sides:
+        all_cols.extend(cols)
+    buffered = ["__src", "__u"] + all_cols
+    buf_types = {f.name: f.dataType for f in schema.fields}
+    state_schema = T.StructType(
+        [T.StructField("emitted", T.LongType())]
+        + [T.StructField(c, T.ArrayType(buf_types[c]), True) for c in buffered]
+    )
+    if aggs is None:
+        out_fields = [T.StructField(c, buf_types[c], True) for c in all_cols]
+    else:
+        out_fields = []
+        for a in aggs:
+            if a.op == "count":
+                dt: T.DataType = T.LongType()
+            elif a.op == "avg":
+                dt = T.DoubleType()
+            else:
+                dt = buf_types[a.in_col]
+            out_fields.append(T.StructField(a.out, dt, True))
+    out_schema = T.StructType(out_fields)
+    agg_list = list(aggs) if aggs is not None else None
+    side_list = [(t, list(c)) for t, c in sides]
+    join_list = [dict(j) for j in joins]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals = state.get
+            emitted = int(vals[0] or 0)
+            carry = pd.DataFrame({c: pd.Series(list(vals[i + 1] or [])) for i, c in enumerate(buffered)})
+        else:
+            emitted = 0
+            carry = pd.DataFrame({c: pd.Series(dtype="object") for c in buffered})
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["__u", "__src"], kind="mergesort")
+            full = pd.concat([carry, batch[buffered]], ignore_index=True)
+        else:
+            full = carry
+        total = len(full)
+        n_win = total // n
+        outs: list[pd.DataFrame] = []
+        for w in range(n_win):
+            frame = full.iloc[w * n : (w + 1) * n]
+            merged = _join_chain(frame, side_list, join_list)
+            if not len(merged):
+                continue
+            if agg_list is None:
+                outs.append(merged)
+            else:
+                outs.append(pd.DataFrame({a.out: [_pd_agg(merged, a)] for a in agg_list}))
+        rest = full.iloc[n_win * n :]
+        state.update(
+            tuple([emitted + n_win] + [rest[c].tolist() for c in buffered])
+        )
+        if outs:
+            out = pd.concat(outs, ignore_index=True)
+            for f in out_fields:
+                if f.name not in out.columns:
+                    out[f.name] = None
+                col = out[f.name]
+                if isinstance(
+                    f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+                ) and getattr(col.dtype, "kind", "") == "f":
+                    out[f.name] = pd.array(
+                        [None if pd.isna(x) else int(x) for x in col], dtype="Int64"
+                    )
+            yield out[[f.name for f in out_fields]]
+
+    return (
+        union_df.withColumn("__g0", F.lit(0))
+        .groupBy("__g0")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def _join_chain(
+    frame: pd.DataFrame,
+    side_list: Sequence[tuple[str, Sequence[str]]],
+    join_list: Sequence[dict],
+) -> pd.DataFrame:
+    """Run the left-to-right merge chain over one window's rows."""
+    merged = frame[frame["__src"] == side_list[0][0]][list(side_list[0][1])]
+    for i, jn in enumerate(join_list):
+        tag, cols = side_list[i + 1]
+        rf = frame[frame["__src"] == tag][list(cols)]
+        merged = _merge_one(merged, rf, jn["how"], jn["lkeys"], jn["rkeys"])
+        if not len(merged) and jn["how"] == "inner":
+            break
+    return merged
+
+
+def count_join_batch(
+    union_df: DataFrame,
+    *,
+    n: int,
+    sides: Sequence[tuple[str, Sequence[str]]],
+    joins: Sequence[dict],
+    aggs: Optional[Sequence[JoinAggSpec]] = None,
+) -> DataFrame:
+    """Batch COUNT window over a multi-stream join: the packed union is
+    numbered in (arrival, side) order, complete windows of n rows group
+    by window id, and each window joins DISTRIBUTED by wid through
+    applyInPandas (per-window work bounded by n — the scale axis is the
+    number of windows, which shuffles on wid)."""
+    from pyspark.sql.window import Window as W
+
+    schema = union_df.schema
+    buf_types = {f.name: f.dataType for f in schema.fields}
+    all_cols: list[str] = []
+    for _tag, cols in sides:
+        all_cols.extend(cols)
+    if aggs is None:
+        out_fields = [T.StructField(c, buf_types[c], True) for c in all_cols]
+    else:
+        out_fields = []
+        for a in aggs:
+            if a.op == "count":
+                dt: T.DataType = T.LongType()
+            elif a.op == "avg":
+                dt = T.DoubleType()
+            else:
+                dt = buf_types[a.in_col]
+            out_fields.append(T.StructField(a.out, dt, True))
+    out_schema = T.StructType(out_fields)
+    side_list = [(t, list(c)) for t, c in sides]
+    join_list = [dict(j) for j in joins]
+    agg_list = list(aggs) if aggs is not None else None
+
+    w = W.orderBy("__u", "__src")
+    df = union_df.withColumn("__rn", F.row_number().over(w) - 1)
+    df = df.withColumn("__wid", (F.col("__rn") - F.col("__rn") % n) / n)
+    df = df.withColumn("__wn", F.count("*").over(W.partitionBy("__wid")))
+    df = df.filter(F.col("__wn") == n).drop("__rn", "__wn")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = _join_chain(pdf, side_list, join_list)
+        if not len(merged):
+            return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_fields})
+        if agg_list is not None:
+            merged = pd.DataFrame({a.out: [_pd_agg(merged, a)] for a in agg_list})
+        for f in out_fields:
+            if f.name not in merged.columns:
+                merged[f.name] = None
+            col = merged[f.name]
+            if isinstance(
+                f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+            ) and getattr(col.dtype, "kind", "") == "f":
+                merged[f.name] = pd.array(
+                    [None if pd.isna(x) else int(x) for x in col], dtype="Int64"
+                )
+        return merged[[f.name for f in out_fields]]
+
+    return df.groupBy("__wid").applyInPandas(fn, out_schema)

@@ -201,9 +201,12 @@ class RuleRuntime:
             q = writer.format("noop").start()
         elif sink_type == "console":
             q = writer.format("console").start()
-        elif sink_type == "file" and any(
-            k in sink_opts
-            for k in ("rollingInterval", "rollingCount", "rollingSize", "rollingNamePattern")
+        elif sink_type == "file" and (
+            any(
+                k in sink_opts
+                for k in ("rollingInterval", "rollingCount", "rollingSize", "rollingNamePattern")
+            )
+            or sink_opts.get("fileType") in ("csv", "lines", "json")
         ):
             # reference file-sink rolling (internal/io/file/sink.go:38-43):
             # single-writer append file rolled by count/interval with
@@ -211,12 +214,26 @@ class RuleRuntime:
             # chain (fields/dataTemplate/format) like any message sink
             from ekuiper_spark.streaming.sinks import RollingFileWriter, sink_batch
 
+            has_rolling = any(
+                k in sink_opts
+                for k in ("rollingInterval", "rollingCount", "rollingSize")
+            )
+            header = ""
+            if sink_opts.get("fileType") == "csv" and sink_opts.get("hasHeader"):
+                # header = the delimited encoder's column order (explicit
+                # fields, else sorted names — delimited/converter.go:52)
+                delim = str(sink_opts.get("delimiter", ","))
+                hcols = sink_opts.get("fields") or sorted(df.columns)
+                header = delim.join(hcols)
             roller = RollingFileWriter(
                 path=sink_opts["path"],
                 rolling_interval_ms=int(sink_opts.get("rollingInterval", 0)),
-                rolling_count=int(sink_opts.get("rollingCount", 0)),
+                # sink.go Provision default: RollingCount 1,000,000 when
+                # no rolling key is set (plain single-file message sink)
+                rolling_count=int(sink_opts.get("rollingCount", 0 if has_rolling else 1_000_000)),
                 rolling_size=int(sink_opts.get("rollingSize", 0)),
                 rolling_name_pattern=str(sink_opts.get("rollingNamePattern", "none")),
+                header=header,
             )
             self.rolling_writers[rule_id] = roller
 
@@ -440,8 +457,13 @@ class RuleRuntime:
             return
 
         def watch() -> None:
+            # numInputRows counts the rate source's TICKS (1:1 with data
+            # rows while seq < n, then empty post-filter rows) — once the
+            # cumulative tick count covers the data and one further batch
+            # commits, every data row has flushed through the sink
             seen: set = set()
             total = 0
+            done_bid = None
             deadline = _time.time() + 120
             while q.isActive and _time.time() < deadline:
                 _time.sleep(0.05)
@@ -452,11 +474,12 @@ class RuleRuntime:
                 if not p:
                     continue
                 bid = p.get("batchId")
-                rows = int(p.get("numInputRows") or 0)
                 if bid not in seen:
                     seen.add(bid)
-                    total += rows
-                if total >= expected and rows == 0:
+                    total += int(p.get("numInputRows") or 0)
+                if done_bid is None and total >= expected:
+                    done_bid = bid
+                if done_bid is not None and bid is not None and bid > done_bid:
                     try:
                         q.stop()
                     except Exception:

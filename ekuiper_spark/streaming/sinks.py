@@ -200,6 +200,7 @@ class RollingFileWriter:
         rolling_size: int = 0,
         rolling_name_pattern: str = "none",
         clock=None,
+        header: str = "",
     ) -> None:
         if rolling_interval_ms < 0:
             raise ValueError("rollingInterval must be positive")
@@ -227,6 +228,8 @@ class RollingFileWriter:
         self._opened_ms = 0
         self._last_ms = -1
         self.files: list[str] = []
+        # csv hasHeader: written once at each file open (sink.go GetFws)
+        self.header = header
 
     def _file_name(self, now_ms: int) -> str:
         import os
@@ -253,6 +256,8 @@ class RollingFileWriter:
         os.makedirs(os.path.dirname(name) or ".", exist_ok=True)
         mode = "a" if self.pattern == "none" and name in self.files else "w"
         self._fh = open(name, mode)
+        if self.header and mode == "w":
+            self._fh.write(self.header + "\n")
         if name not in self.files:
             self.files.append(name)
         self._rows = 0

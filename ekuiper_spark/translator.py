@@ -968,7 +968,13 @@ class Translator:
                 # streams and pairs are gated per trigger frame.
                 df = self._batch_sliding_join(df, stmt, j, ctx, left_alias)
                 continue
-            if self._is_stream_source(j.source):
+            if self._is_stream_source(j.source) or (
+                not self.streaming
+                and self._def_is_stream(j.source)
+                and stmt.group is not None
+                and stmt.group.window is not None
+                and stmt.group.window.kind == "count"
+            ):
                 # stream-stream join: the reference only allows it within a
                 # window (planner.go:734-735 "a time window or count window
                 # is required to join multiple streams") and the window
@@ -976,6 +982,18 @@ class Translator:
                 # analog: an equi-join on the window bucket (watermarked in
                 # streaming).  Scan/lookup TABLE sides below stay ungated
                 # (side-input semantics).
+                if (
+                    stmt.group is not None
+                    and stmt.group.window is not None
+                    and stmt.group.window.kind == "count"
+                ):
+                    # COUNT window join consumes the remaining join list
+                    # (stream sides pack into the window op; scan/lookup
+                    # sides join after) and finalizes the statement
+                    idx = stmt.joins.index(j)
+                    return self._count_window_join(
+                        df, stmt, ctx, left_alias, stmt.joins[idx:]
+                    )
                 df = self._stream_stream_join(df, stmt, j, ctx, left_alias)
                 continue
             rdf = self.catalog.load(self.spark, j.source, streaming=False).alias(r_alias)
@@ -1488,6 +1506,282 @@ class Translator:
         ctx.window_bounds_ms = l_long
         ctx.event_col = "window.end"
         out = self._project(out, stmt, ctx)
+        ctx.finalized = True
+        return out
+
+    def _count_window_join(
+        self, ldf: DataFrame, stmt: SelectStatement, ctx: TranslateCtx,
+        left_alias: str, joins: list,
+    ) -> DataFrame:
+        """COUNT window over a multi-stream join (planner.go:734-735
+        allows "a time window or count window"; fvt/rule_test.go
+        TestJoinWithLookup): the window op batches n tuples from ALL
+        streams in arrival order, JoinOp joins each full window's
+        per-emitter groups left-to-right (join_operator.go), then any
+        scan/lookup sides join as ungated side inputs.
+
+        Spark mapping: the stream sides pack into one tagged union; batch
+        assigns window ids natively and joins each window DISTRIBUTED by
+        wid (joinstate.count_join_batch); streaming runs the reference's
+        single-process window+join chain in one stateful op
+        (count_join_stream, single state partition, warned).  Equi-ON
+        only — the keys are precomputed natively per side.
+
+        Narrow shapes raised here (batch non-count paths support them):
+        WHERE/HAVING over the joined windows, GROUP BY dims, non-equi ON.
+        """
+        import warnings
+
+        from ekuiper_spark.streaming.joinstate import (
+            JoinAggSpec, count_join_batch, count_join_stream,
+        )
+
+        w = stmt.group.window
+        n = int(w.args[0])
+        if stmt.group.dims:
+            raise NotImplementedError(
+                "COUNT window join with GROUP BY dims is unsupported"
+            )
+        if stmt.where is not None or stmt.having is not None:
+            raise NotImplementedError(
+                "WHERE/HAVING over a COUNT window join is unsupported"
+            )
+        stream_joins = [j for j in joins if self._def_is_stream(j.source)]
+        static_joins = [j for j in joins if not self._def_is_stream(j.source)]
+        for j in stream_joins:
+            if j.kind not in ("inner", "left", "right", "full", "cross"):
+                raise NotImplementedError(
+                    f"COUNT window {j.kind} join is unsupported"
+                )
+        if self.streaming:
+            warnings.warn(
+                "streaming COUNT window join: all rows route through ONE "
+                "state partition (the reference's single-process "
+                "window+join chain).",
+                UserWarning,
+                stacklevel=6,
+            )
+
+        # ---- pack the tagged union ---------------------------------------
+        def _arrival(sdf: DataFrame, alias: str, name: str):
+            d = self.catalog.get(name)
+            ec = self.event_col or (d.timestamp_col if d else None) or (
+                "ts" if "ts" in sdf.columns else None
+            )
+            if ec is not None:
+                col = F.col(f"{alias}.{ec}")
+                if isinstance(sdf.schema[ec].dataType, T.LongType):
+                    return col * 1000
+                return epoch_us(col)
+            if "__seq" in sdf.columns:
+                return F.col(f"{alias}.__seq")
+            return F.lit(0).cast("long")
+
+        sides: list[tuple[str, DataFrame, str, list[str], dict[str, str]]] = []
+        # (tag, df, alias, visible cols, col -> flat name)
+        l_cols = [c for c in ldf.columns if c != "__seq"]
+        sides.append(("S0", ldf, left_alias, l_cols, {c: c for c in l_cols}))
+        for i, j in enumerate(stream_joins):
+            r_alias = j.alias or j.source
+            rdf = self.catalog.load(
+                self.spark, j.source, streaming=self.streaming
+            ).alias(r_alias)
+            ctx.source_aliases.add(r_alias.lower())
+            ctx.source_order.append(r_alias)
+            cols = [c for c in rdf.columns if c != "__seq"]
+            sides.append(
+                (f"S{i+1}", rdf, r_alias, cols, {c: f"__s{i+1}_{c}" for c in cols})
+            )
+
+        fm: dict[str, str] = dict(ctx.flat_col_map)
+        seen: dict[str, int] = {}
+        for _t, _df, alias, cols, flat in sides:
+            for c in cols:
+                fm[f"{alias.lower()}.{c.lower()}"] = flat[c]
+                seen[c.lower()] = seen.get(c.lower(), 0) + 1
+        for _t, _df, alias, cols, flat in sides:
+            for c in cols:
+                if seen[c.lower()] == 1:
+                    fm.setdefault(c.lower(), flat[c])
+        ctx.flat_col_map = fm
+
+        # equi keys per stream join: one operand on the NEW side, the
+        # other on any EARLIER side (resolved through the flat map)
+        join_specs: list[dict] = []
+        for i, j in enumerate(stream_joins):
+            new_alias = (j.alias or j.source).lower()
+            earlier = {s[2].lower() for s in sides[: i + 1]}
+            if j.kind == "cross":
+                join_specs.append({"how": "cross", "lkeys": [], "rkeys": []})
+                continue
+            pairs: list[tuple[str, str]] = []
+
+            def side_of(node):
+                if isinstance(node, ColumnRef):
+                    if node.source is None:
+                        tgt = ctx.aliases.get(node.name.lower())
+                        return side_of(tgt) if tgt is not None else None
+                    s = node.source.lower()
+                    if s == new_alias:
+                        return ("R", node.name)
+                    if s in earlier:
+                        return ("L", f"{s}.{node.name.lower()}")
+                return None
+
+            ok = True
+
+            def walk(node) -> None:
+                nonlocal ok
+                if isinstance(node, Binary) and node.op == "AND":
+                    walk(node.left)
+                    walk(node.right)
+                    return
+                if isinstance(node, Binary) and node.op == "=":
+                    a, b = side_of(node.left), side_of(node.right)
+                    if a and b and {a[0], b[0]} == {"L", "R"}:
+                        l = a if a[0] == "L" else b
+                        r = b if b[0] == "R" else a
+                        pairs.append((l[1], r[1]))
+                        return
+                ok = False
+
+            walk(j.on)
+            if not ok or not pairs:
+                raise NotImplementedError(
+                    "COUNT window stream join requires an equi-join ON "
+                    "(col = col conjunctions between the joined streams)"
+                )
+            flat_r = sides[i + 1][4]
+            join_specs.append({
+                "how": j.kind,
+                "lkeys": [fm[p[0]] for p in pairs],
+                "rkeys": [flat_r[p[1]] for p in pairs],
+            })
+
+        all_flat: list[tuple[str, T.DataType]] = []
+        for _t, sdf, alias, cols, flat in sides:
+            for c in cols:
+                all_flat.append((flat[c], sdf.schema[c].dataType))
+        selects = []
+        for _t, sdf, alias, cols, flat in sides:
+            mine = {flat[c]: F.col(f"{alias}.{c}").alias(flat[c]) for c in cols}
+            selects.append(
+                sdf.select(
+                    F.lit(_t).alias("__src"),
+                    _arrival(sdf, alias, alias).cast("long").alias("__u"),
+                    *[
+                        mine.get(name, F.lit(None).cast(dt).alias(name))
+                        for name, dt in all_flat
+                    ],
+                )
+            )
+        union = selects[0]
+        for s in selects[1:]:
+            union = union.unionByName(s)
+
+        side_cols = [(s[0], [s[4][c] for c in s[3]]) for s in sides]
+
+        # ---- aggregate vs content mode -----------------------------------
+        agg_nodes: dict[str, FuncCall] = {}
+        for f in stmt.fields:
+            for a in self._find_aggs(f.expr):
+                agg_nodes.setdefault(canon(a), a)
+        specs: list[JoinAggSpec] = []
+        if agg_nodes:
+            if static_joins:
+                raise NotImplementedError(
+                    "aggregates over a COUNT window join with scan/lookup "
+                    "sides are unsupported (aggregate before the lookup "
+                    "join is ill-defined)"
+                )
+            extra: list[tuple[str, Any]] = []
+            for i, (key, call) in enumerate(agg_nodes.items()):
+                op = self._JOIN_STREAM_AGG_OPS.get(call.name.lower())
+                if op is None:
+                    raise NotImplementedError(
+                        f"{call.name} is unsupported over a COUNT window join"
+                    )
+                args = [a for a in call.args if not isinstance(a, Wildcard)]
+                in_col = None
+                if args:
+                    ref = args[0]
+                    if not isinstance(ref, ColumnRef):
+                        raise NotImplementedError(
+                            "COUNT window join aggregates take plain columns"
+                        )
+                    k = (
+                        f"{ref.source.lower()}.{ref.name.lower()}"
+                        if ref.source else ref.name.lower()
+                    )
+                    in_col = fm.get(k)
+                    if in_col is None:
+                        raise ValueError(f"unknown column {ref.name}")
+                specs.append(JoinAggSpec(op, in_col, f"__agg{i}"))
+                ctx.agg_map[key] = f"__agg{i}"
+            # raw refs alongside aggregates: first joined row (project-
+            # over-grouped)
+            raw_refs: dict[str, ColumnRef] = {}
+            for f in stmt.fields:
+                for ref in self._find_raw_cols(f.expr):
+                    raw_refs.setdefault(canon(ref), ref)
+            for n_i, (key, ref) in enumerate(raw_refs.items()):
+                if key in ctx.agg_map or (
+                    ref.source is None and ref.name.lower() in ctx.aliases
+                ):
+                    continue
+                k = (
+                    f"{ref.source.lower()}.{ref.name.lower()}"
+                    if ref.source else ref.name.lower()
+                )
+                flat = fm.get(k)
+                if flat is None:
+                    continue
+                out_name = f"__fr{n_i}"
+                specs.append(JoinAggSpec("first", flat, out_name))
+                ctx.dim_map[key] = out_name
+            ctx.post_agg = True
+
+        op_fn = count_join_stream if self.streaming else count_join_batch
+        out = op_fn(
+            union,
+            n=n,
+            sides=side_cols,
+            joins=join_specs,
+            aggs=specs if agg_nodes else None,
+        ).alias("__cwj")
+        if not agg_nodes:
+            # qualify the flat names so trailing static joins with
+            # same-named columns stay unambiguous
+            out_cols = set(out.columns)
+            ctx.flat_col_map = {
+                k: (f"__cwj.{v}" if v in out_cols else v)
+                for k, v in ctx.flat_col_map.items()
+            }
+
+        # trailing scan/lookup sides: ungated side-input joins on the
+        # joined window content (lookup_node.go semantics)
+        for j in static_joins:
+            r_alias = j.alias or j.source
+            rdf = self.catalog.load(self.spark, j.source, streaming=False).alias(r_alias)
+            ctx.source_aliases.add(r_alias.lower())
+            ctx.source_order.append(r_alias)
+            rdef = self.catalog.get(j.source)
+            if rdef is not None and rdef.kind == "lookup":
+                rdf = F.broadcast(rdf)
+            if j.kind == "cross":
+                out = out.crossJoin(rdf)
+            else:
+                out = out.join(rdf, on=self._expr(j.on, ctx), how=j.kind)
+
+        out = self._project(out, stmt, ctx)
+        if stmt.order:
+            keys = []
+            for s in stmt.order:
+                col = self._expr(s.expr, ctx)
+                keys.append(col.asc_nulls_last() if s.asc else col.desc_nulls_last())
+            out = out.orderBy(*keys)
+        if stmt.limit is not None:
+            out = out.limit(stmt.limit)
         ctx.finalized = True
         return out
 

@@ -1,0 +1,564 @@
+"""REST-level e2e replays of the reference's fvt/ suites.
+
+Each test drives RestServer exactly as the Go suites drive the eKuiper
+server (fvt/sdk.go REST verbs) and asserts the reference's responses /
+emissions:
+
+- fvt/rule_test.go: TestRuleAggInWhere, TestJoinWithLookup,
+  TestStreamSchema, TestStreamSchemaWithSharedSource (+slice variant),
+  TestRuleSchema
+- fvt/rulestate_test.go: TestUpdate (upsert + version), TestCreateStoppedRule,
+  TestRuleTags
+- fvt/csv_test.go: TestDifferentFields (heterogeneous rows -> csv file sink)
+- fvt/validation_test.go: invalid path ids -> 400 "invalid characters"
+- fvt/import_test.go: TestImportError (partial/full/bad json shapes)
+- fvt/upload_test.go: path traversal blocked, multi-level dirs created
+- fvt/ruletest_test.go: mockSource + unnest keeps projected fields
+
+Divergences from the Go environment are confined to transport details:
+memory-sink "topics" surface as in-session Spark tables (polled instead
+of pubsub channels), and file contents compare per-line (the reference
+omits the trailing newline).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from ekuiper_spark.catalog import Catalog
+from ekuiper_spark.server import RestServer
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv = RestServer(spark, Catalog()).start()
+    yield srv
+    srv.stop()
+
+
+def _req(server, method, path, body=None):
+    url = f"http://127.0.0.1:{server.port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            raw = resp.read()
+            return resp.status, json.loads(raw) if raw else None
+    except urllib.error.HTTPError as e:
+        raw = e.read()
+        try:
+            return e.code, json.loads(raw)
+        except ValueError:
+            return e.code, raw.decode()
+
+
+def _poll_table(spark, name, want_rows, timeout=45):
+    deadline = time.time() + timeout
+    rows = []
+    while time.time() < deadline:
+        try:
+            rows = [r.asDict() for r in spark.table(name).collect()]
+        except Exception:
+            rows = []
+        if len(rows) >= want_rows:
+            return rows
+        time.sleep(0.3)
+    return rows
+
+
+def _poll_status(server, rid, want, timeout=60):
+    deadline = time.time() + timeout
+    st = {}
+    while time.time() < deadline:
+        _, st = _req(server, "GET", f"/rules/{rid}/status")
+        if st.get("status") == want:
+            return st
+        time.sleep(0.3)
+    return st
+
+
+def _cleanup(server, rules=(), streams=(), tables=()):
+    for r in rules:
+        _req(server, "DELETE", f"/rules/{r}")
+    for s in streams:
+        _req(server, "DELETE", f"/streams/{s}?force=true")
+    for t in tables:
+        _req(server, "DELETE", f"/tables/{t}?force=true")
+
+
+# ---------------------------------------------------------------------------
+# fvt/rule_test.go
+# ---------------------------------------------------------------------------
+def test_rule_agg_in_where(server, spark):
+    """TestRuleAggInWhere (rule_test.go:49): agg-in-WHERE over a count
+    window emits only the rows above the window average."""
+    code, _ = _req(server, "PUT", "/metadata/sources/simulator/confKeys/sim5",
+                   {"data": [{"a": 1.0}, {"a": 2.0}], "interval": "1ms", "loop": False})
+    assert code == 200
+    code, _ = _req(server, "POST", "/streams",
+                   {"sql": 'create stream sim5() WITH (TYPE="simulator", CONF_KEY="sim5")'})
+    assert code == 201
+    code, _ = _req(server, "POST", "/rules", {
+        "id": "ruleSim5",
+        "sql": "SELECT * FROM sim5 where a > avg(a) group by countwindow(2)",
+        "actions": [{"memory": {"topic": "test2"}}],
+        "options": {},
+    })
+    assert code == 201
+    rows = _poll_table(spark, "test2", 1)
+    assert rows == [{"a": 2.0}]
+    _cleanup(server, rules=["ruleSim5"], streams=["sim5"])
+
+
+def test_join_with_lookup(server, spark):
+    """TestJoinWithLookup (rule_test.go:579): two streams + a lookup
+    table, 3-way inner join inside a count window."""
+    for key in ("sim11", "sim12", "sim13"):
+        conf = {"data": [{"k": "v1"}]}
+        if key != "sim13":
+            conf.update({"interval": "1ms", "loop": False})
+        code, _ = _req(server, "PUT", f"/metadata/sources/simulator/confKeys/{key}", conf)
+        assert code == 200
+    for name in ("sim11", "sim12"):
+        code, _ = _req(server, "POST", "/streams",
+                       {"sql": f'create stream {name}() WITH (TYPE="simulator", CONF_KEY="{name}")'})
+        assert code == 201
+    code, _ = _req(server, "POST", "/tables",
+                   {"sql": 'create table sim13() WITH (TYPE="simulator", CONF_KEY="sim13", KIND="lookup")'})
+    assert code == 201
+    code, body = _req(server, "POST", "/rules", {
+        "id": "ruleSim11",
+        "sql": "SELECT sim11.k as k1, sim12.k as k2, sim13.k as k3 from sim11 "
+               "inner join sim12 on sim11.k = sim12.k "
+               "inner join sim13 on sim13.k = sim11.k group by countwindow(2)",
+        "actions": [{"memory": {"topic": "test11"}}],
+        "options": {},
+    })
+    assert code == 201, body
+    # the rule must start cleanly (not land in start_errors)
+    code, st = _req(server, "GET", "/rules/ruleSim11/status")
+    assert st.get("message") is None, st
+    rows = _poll_table(spark, "test11", 1)
+    assert {"k1": "v1", "k2": "v1", "k3": "v1"} in rows
+    _cleanup(server, rules=["ruleSim11"], streams=["sim11", "sim12"], tables=["sim13"])
+
+
+def test_stream_schema_typed(server):
+    """TestStreamSchema (rule_test.go:284): typed stream schema returns
+    the JsonStreamField map."""
+    _req(server, "POST", "/streams", {
+        "sql": 'create stream tss(id bigint, name string, age string) '
+               'WITH (TYPE="mqtt",DATASOURCE="mock")'
+    })
+    code, schema = _req(server, "GET", "/streams/tss/schema")
+    assert code == 200
+    assert schema == {
+        "age": {"type": "string", "index": 0},
+        "id": {"type": "bigint", "index": 0},
+        "name": {"type": "string", "index": 0},
+    }
+    _cleanup(server, streams=["tss"])
+
+
+def test_stream_schema_shared_source(server):
+    """TestStreamSchemaWithSharedSource (rule_test.go:335): a schemaless
+    shared stream's schema is the union of the attached rules' columns;
+    deleting a rule sheds its columns."""
+    _req(server, "POST", "/streams", {
+        "sql": 'create stream tshared() WITH (TYPE="mqtt", DATASOURCE="test", SHARED="true")'
+    })
+    _req(server, "POST", "/rules", {
+        "id": "tsr1", "sql": "SELECT id, name FROM tshared",
+        "actions": [{"log": {}}],
+    })
+    code, schema = _req(server, "GET", "/streams/tshared/schema")
+    assert code == 200 and schema == {"id": None, "name": None}
+    _req(server, "POST", "/rules", {
+        "id": "tsr2", "sql": "SELECT id, age FROM tshared",
+        "actions": [{"log": {}}],
+    })
+    code, schema = _req(server, "GET", "/streams/tshared/schema")
+    assert schema == {"id": None, "name": None, "age": None}
+    _req(server, "DELETE", "/rules/tsr2")
+    code, schema = _req(server, "GET", "/streams/tshared/schema")
+    assert schema == {"id": None, "name": None}
+    _cleanup(server, rules=["tsr1"], streams=["tshared"])
+
+
+def test_stream_slice_schema_shared_source(server):
+    """TestStreamSliceSchemaWithSharedSource (rule_test.go:406):
+    useSliceTuple rules get indexed slots in attachment order."""
+    _req(server, "POST", "/streams", {
+        "sql": 'create stream tslice() WITH (TYPE="mqtt", DATASOURCE="test", SHARED="true")'
+    })
+    slice_opts = {"experiment": {"useSliceTuple": True}}
+    _req(server, "POST", "/rules", {
+        "id": "tslr1", "sql": "SELECT id, name FROM tslice",
+        "actions": [{"log": {}}], "options": slice_opts,
+    })
+    code, schema = _req(server, "GET", "/streams/tslice/schema")
+    assert schema == {
+        "id": {"hasIndex": True, "index": 0},
+        "name": {"hasIndex": True, "index": 1},
+    }
+    _req(server, "POST", "/rules", {
+        "id": "tslr2", "sql": "SELECT id, age FROM tslice",
+        "actions": [{"log": {}}], "options": slice_opts,
+    })
+    code, schema = _req(server, "GET", "/streams/tslice/schema")
+    assert schema == {
+        "id": {"hasIndex": True, "index": 0},
+        "name": {"hasIndex": True, "index": 1},
+        "age": {"hasIndex": True, "index": 2},
+    }
+    _req(server, "DELETE", "/rules/tslr2")
+    code, schema = _req(server, "GET", "/streams/tslice/schema")
+    assert schema == {
+        "id": {"hasIndex": True, "index": 0},
+        "name": {"hasIndex": True, "index": 1},
+    }
+    _cleanup(server, rules=["tslr1"], streams=["tslice"])
+
+
+def test_rule_schema(server):
+    """TestRuleSchema (rule_test.go:487): the rule's output schema maps
+    columns to slice indexes."""
+    _req(server, "POST", "/streams", {
+        "sql": 'create stream trs(id bigint, name string, age string) '
+               'WITH (TYPE="mqtt",DATASOURCE="mock")'
+    })
+    _req(server, "POST", "/rules", {
+        "id": "trsrule", "sql": "SELECT id, name FROM trs",
+        "actions": [{"log": {}}],
+    })
+    code, schema = _req(server, "GET", "/rules/trsrule/schema")
+    assert code == 200
+    assert schema == {
+        "id": {"hasIndex": True, "index": 0},
+        "name": {"hasIndex": True, "index": 1},
+    }
+    _cleanup(server, rules=["trsrule"], streams=["trs"])
+
+
+# ---------------------------------------------------------------------------
+# fvt/rulestate_test.go
+# ---------------------------------------------------------------------------
+def test_rulestate_update_upsert_and_version(server):
+    """TestUpdate (rulestate_test.go:37): PUT upserts; a LOWER version is
+    rejected with 400 and the stored rule keeps its version; the running
+    rule's status carries the reference metric keys."""
+    _req(server, "PUT", "/metadata/sources/simulator/confKeys/ttt",
+         {"interval": "10ms", "data": [{"a": 1, "b": 2}]})
+    _req(server, "POST", "/streams", {
+        "sql": 'create stream simStream() WITH (TYPE="simulator", FORMAT="json", '
+               'CONF_KEY="ttt", SHARED="true")'
+    })
+    rule1 = {
+        "id": "rule1", "name": "keep rule", "version": "123456",
+        "sql": "SELECT * FROM simStream",
+        "actions": [{"nop": {}}], "options": {"sendError": False},
+    }
+    code, _ = _req(server, "PUT", "/rules/rule1", rule1)  # upsert-create
+    assert code == 200
+    code, _ = _req(server, "PUT", "/rules/rule1", {**rule1, "version": "023456"})
+    assert code == 400
+    code, m = _req(server, "GET", "/rules/rule1")
+    assert code == 200 and m["version"] == "123456"
+    # running rule: records flow, no exceptions
+    st = _poll_status(server, "rule1", "running")
+    assert st["status"] == "running"
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        _, st = _req(server, "GET", "/rules/rule1/status")
+        if st.get("source_simStream_0_records_in_total", 0) > 0:
+            break
+        time.sleep(0.3)
+    assert st["source_simStream_0_exceptions_total"] == 0
+    assert st["source_simStream_0_records_in_total"] > 0
+    # stop + update with triggered=false -> stays stopped
+    _req(server, "POST", "/rules/rule1/stop")
+    code, _ = _req(server, "PUT", "/rules/rule1",
+                   {**rule1, "triggered": False, "version": "123457"})
+    assert code == 200
+    _, st = _req(server, "GET", "/rules/rule1/status")
+    assert st["status"] == "stopped"
+    _cleanup(server, rules=["rule1"], streams=["simStream"])
+
+
+def test_rulestate_create_stopped_rule(server):
+    """TestCreateStoppedRule (rulestate_test.go:183): triggered=false
+    creates the rule stopped; explicit start runs it."""
+    _req(server, "PUT", "/metadata/sources/simulator/confKeys/ttt2",
+         {"interval": "10ms", "data": [{"a": 1}]})
+    _req(server, "POST", "/streams", {
+        "sql": 'create stream simStream2() WITH (TYPE="simulator", FORMAT="json", CONF_KEY="ttt2")'
+    })
+    code, _ = _req(server, "PUT", "/rules/rule3", {
+        "triggered": False, "id": "rule3", "name": "to update rule",
+        "sql": "SELECT * FROM simStream2",
+        "actions": [{"nop": {}}],
+        "options": {"sendError": False, "bufferLength": 2},
+    })
+    assert code == 200
+    _, st = _req(server, "GET", "/rules/rule3/status")
+    assert st["status"] == "stopped"
+    code, _ = _req(server, "POST", "/rules/rule3/start")
+    assert code == 200
+    st = _poll_status(server, "rule3", "running")
+    assert st["status"] == "running"
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        _, st = _req(server, "GET", "/rules/rule3/status")
+        if st.get("sink_nop_0_0_records_out_total", 0) > 0:
+            break
+        time.sleep(0.3)
+    assert st["sink_nop_0_0_records_out_total"] > 0
+    _cleanup(server, rules=["rule3"], streams=["simStream2"])
+
+
+def test_rulestate_rule_tags(server):
+    """TestRuleTags (rulestate_test.go:320): PATCH adds, GET tags/match
+    finds subset matches, DELETE removes, PUT resets."""
+    _req(server, "PUT", "/metadata/sources/simulator/confKeys/ttt",
+         {"interval": "10ms", "data": [{"a": 1}]})
+    _req(server, "POST", "/streams", {
+        "sql": 'create stream simStream1() WITH (TYPE="simulator", FORMAT="json", '
+               'CONF_KEY="ttt", SHARED="true")'
+    })
+    _req(server, "POST", "/rules", {
+        "id": "ruleTags", "triggered": False,
+        "sql": "SELECT * FROM simStream1",
+        "actions": [{"nop": {}}],
+        "options": {"sendError": False, "bufferLength": 2},
+    })
+    code, _ = _req(server, "PATCH", "/rules/ruleTags/tags", {"tags": ["t1", "t2"]})
+    assert code == 200
+    code, body = _req(server, "GET", "/rules/tags/match", {"tags": ["t1", "t2"]})
+    assert code == 200 and body["rules"] == ["ruleTags"]
+    code, _ = _req(server, "DELETE", "/rules/ruleTags/tags", {"tags": ["t1"]})
+    assert code == 200
+    code, body = _req(server, "GET", "/rules/tags/match", {"tags": ["t1", "t2"]})
+    assert body["rules"] == []
+    code, _ = _req(server, "PUT", "/rules/ruleTags/tags", {"tags": ["t1", "t2"]})
+    assert code == 200
+    code, body = _req(server, "GET", "/rules/tags/match", {"tags": ["t1", "t2"]})
+    assert body["rules"] == ["ruleTags"]
+    _cleanup(server, rules=["ruleTags"], streams=["simStream1"])
+
+
+# ---------------------------------------------------------------------------
+# fvt/csv_test.go
+# ---------------------------------------------------------------------------
+def test_csv_different_fields(server, tmp_path):
+    """TestDifferentFields (csv_test.go:34): rows with different field
+    sets write a csv with the union header and empty slots; the bounded
+    rule stops itself when the simulator data is exhausted."""
+    _req(server, "PUT", "/metadata/sources/simulator/confKeys/csvtest", {
+        "interval": "2ms", "loop": False,
+        "data": [
+            {"humidity": 20},
+            {"temperature": 30},
+            {"humidity": 40, "temperature": 60},
+            {"humidity": 80},
+        ],
+    })
+    code, _ = _req(server, "POST", "/streams", {
+        "sql": 'CREATE STREAM simcsv() WITH (TYPE="simulator", CONF_KEY="csvtest", FORMAT="json")'
+    })
+    assert code == 201
+    out = str(tmp_path / "test.csv")
+    code, _ = _req(server, "POST", "/rules", {
+        "id": "ruleSim1",
+        "sql": "SELECT temperature, humidity FROM simcsv",
+        "actions": [{"file": {
+            "path": out, "format": "delimited", "fileType": "csv",
+            "hasHeader": True, "sendSingle": True,
+        }}],
+        "options": {"sendNilField": True},
+    })
+    assert code == 201
+    st = _poll_status(server, "ruleSim1", "stopped", timeout=90)
+    assert st.get("status") == "stopped", st
+    with open(out) as f:
+        lines = f.read().rstrip("\n").split("\n")
+    # either column order is accepted (csv_test.go result1/result2)
+    want1 = ["humidity,temperature", "20,", ",30", "40,60", "80,"]
+    want2 = ["temperature,humidity", ",20", "30,", "60,40", ",80"]
+    assert lines in (want1, want2), lines
+    _cleanup(server, rules=["ruleSim1"], streams=["simcsv"])
+
+
+# ---------------------------------------------------------------------------
+# fvt/validation_test.go
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("path,method,body", [
+    ("/streams/invalid%20name", "GET", None),
+    ("/streams/invalid%20name", "DELETE", None),
+    ("/streams/invalid%20name", "PUT", {"sql": "x"}),
+    ("/tables/invalid%20name", "GET", None),
+    ("/tables/invalid%20name", "DELETE", None),
+    ("/rules/invalid%20name", "GET", None),
+    ("/rules/invalid%20name", "DELETE", None),
+    ("/rules/invalid%20name", "PUT", {}),
+    ("/services/invalid%20name", "GET", None),
+    ("/services/invalid%20name", "DELETE", None),
+    ("/plugins/sources/invalid%20name", "GET", None),
+    ("/plugins/sinks/invalid%20name", "DELETE", None),
+    ("/plugins/functions/invalid%20name", "GET", None),
+    ("/udf/javascript/invalid.id", "GET", None),
+    ("/udf/javascript/invalid.id", "DELETE", None),
+    ("/udf/javascript/invalid.id", "PUT", {}),
+])
+def test_validation_invalid_ids(server, path, method, body):
+    """validation_test.go:24: invalid path ids are rejected with 400 and
+    the reference's 'invalid characters' message."""
+    code, resp = _req(server, method, path, body)
+    assert code == 400
+    assert "invalid characters" in json.dumps(resp)
+
+
+# ---------------------------------------------------------------------------
+# fvt/import_test.go
+# ---------------------------------------------------------------------------
+def test_import_error_shapes(server):
+    """TestImportError (import_test.go:31): malformed stream DDL reports
+    the parser error in the per-section status map; truncated content
+    reports the unmarshal error."""
+    wrong = {"content": json.dumps({"streams": {
+        "demo": 'CREATE STwREAM demo () WITH (DATASOURCE="users", CONF_KEY="td",TYPE="none", FORMAT="JSON")'
+    }})}
+    for q in ("?partial=1", ""):
+        code, body = _req(server, "POST", f"/data/import{q}", wrong)
+        assert code == 400
+        assert body["error"] == 1000
+        sections = json.loads(body["message"])
+        assert sections["streams"]["demo"] == \
+            'found "STWREAM", expected keyword stream or table.'
+        # all sections present, failures only
+        assert set(sections) == {
+            "streams", "tables", "rules", "nativePlugins", "portablePlugins",
+            "sourceConfig", "sinkConfig", "connectionConfig", "Service",
+            "Schema", "uploads", "scripts",
+        }
+        assert sections["tables"] == {} and sections["rules"] == {}
+    # truncated JSON content
+    code, body = _req(server, "POST", "/data/import",
+                      {"content": '{"streams": {"demo": "CREATE STwREAM demo () WITH (FORMAT=\\"JSO'})
+    assert code == 400
+    assert body["error"] == 1000
+    assert body["message"] == "configuration unmarshal with error unexpected end of JSON input"
+
+
+def test_import_source_config_section(server, spark):
+    """rules/old.json shape: sourceConfig carries per-type conf-key maps
+    (as JSON strings) that feed CONF_KEY resolution."""
+    content = json.dumps({
+        "streams": {
+            "simup": 'create stream simup() WITH (TYPE="simulator", CONF_KEY="simup", SHARED="true")'
+        },
+        "rules": {
+            "hotx": json.dumps({
+                "id": "hotx", "sql": "SELECT a FROM simup",
+                "actions": [{"memory": {"topic": "hot_out"}}],
+                "options": {},
+            }),
+        },
+        "sourceConfig": {
+            "simulator": json.dumps({"simup": {"data": [{"a": 1, "b": 2}], "interval": "10ms", "loop": True}}),
+        },
+    })
+    code, body = _req(server, "POST", "/data/import?partial=1", {"content": content})
+    assert code == 200, body
+    st = _poll_status(server, "hotx", "running")
+    assert st["status"] == "running"
+    rows = _poll_table(spark, "hot_out", 1)
+    assert rows and rows[0]["a"] == 1
+    _req(server, "POST", "/rules/hotx/stop")
+    _cleanup(server, rules=["hotx"], streams=["simup"])
+
+
+# ---------------------------------------------------------------------------
+# fvt/upload_test.go
+# ---------------------------------------------------------------------------
+def test_upload_path_traversal_blocked(server):
+    """TestUploadPathTraversal(+Embedded): names escaping the upload dir
+    are rejected with 400 and nothing is created outside it."""
+    import os
+
+    for name in ("../repro_dir/test.txt", "a/../../../repro_embedded/test.txt"):
+        code, _ = _req(server, "POST", "/config/uploads",
+                       {"Name": name, "Content": "pwned"})
+        assert code == 400
+    parent = os.path.dirname(server.upload_dir)
+    assert not os.path.exists(os.path.join(parent, "repro_dir"))
+    assert not os.path.exists(os.path.join(parent, "repro_embedded"))
+
+
+def test_upload_multi_level_directory(server):
+    """TestUploadMultiLevelDirectory: nested dirs are created inside the
+    upload root; nested DELETE removes the file."""
+    import os
+
+    code, _ = _req(server, "POST", "/config/uploads",
+                   {"Name": "level1/level2/level3/test.txt", "Content": "multi-level test"})
+    assert code == 201
+    p = os.path.join(server.upload_dir, "level1", "level2", "level3", "test.txt")
+    assert os.path.exists(p)
+    assert open(p).read() == "multi-level test"
+    code, _ = _req(server, "DELETE", "/config/uploads/level1/level2/level3/test.txt")
+    assert code == 200
+    assert not os.path.exists(p)
+
+
+def test_upload_subdir(server):
+    """TestUploadWithLeadingSlash variant: single-level subdir."""
+    import os
+
+    code, _ = _req(server, "POST", "/config/uploads",
+                   {"Name": "subdir/file.txt", "Content": "subdir test"})
+    assert code == 201
+    assert os.path.exists(os.path.join(server.upload_dir, "subdir", "file.txt"))
+    _req(server, "DELETE", "/config/uploads/subdir/file.txt")
+
+
+# ---------------------------------------------------------------------------
+# fvt/ruletest_test.go
+# ---------------------------------------------------------------------------
+def test_ruletest_mock_source_unnest_keeps_projected_fields(server):
+    """TestRuletestMockSourceUnnestKeepProjectedFields: in a mockSource
+    trial run, unnest(data) must not drop the other projected fields."""
+    _req(server, "POST", "/streams", {
+        "sql": 'CREATE STREAM demoRT (id STRING, time STRING, type STRING, '
+               'data ARRAY(STRUCT(k BIGINT))) WITH (DATASOURCE="demoRT", '
+               'FORMAT="json", TYPE="mqtt")'
+    })
+    code, body = _req(server, "POST", "/ruletest", {
+        "sql": "SELECT id, time, type, unnest(data) FROM demoRT",
+        "mockSource": {
+            "demoRT": {
+                "loop": False,
+                "data": [{
+                    "id": "id1",
+                    "time": "2023-05-30T15:23:23.123+08:00",
+                    "type": "1",
+                    "data": [{"k": 1}, {"k": 2}],
+                }],
+            }
+        },
+        "sinkProps": {"sendSingle": True},
+    })
+    assert code == 200, body
+    rows = body.get("rows") or []
+    assert len(rows) == 2, body
+    got = dict(zip(body["columns"], rows[0]))
+    assert got["id"] == "id1"
+    assert got["time"] == "2023-05-30T15:23:23.123+08:00"
+    assert got["type"] == "1"
+    assert "k" in body["columns"]
+    _cleanup(server, streams=["demoRT"])
