@@ -1,0 +1,197 @@
+"""COUNT window multi-stream joins (planner.go:734-735 allows "a time
+window or count window"; window_op.go count windows + join_operator.go
+per-window join; fvt/rule_test.go TestJoinWithLookup).
+
+Batch results pin against a DuckDB oracle built the same way the engine
+forms windows: tag the unioned streams, number by (arrival, tag), window
+ids of n rows, join within complete windows.  Streaming (availableNow
+over file sources is not possible for rate-backed simulators, so the
+continuous run is polled) must equal batch on the same data.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import duckdb
+import pytest
+
+from ekuiper_spark.catalog import Catalog, StreamDef
+from ekuiper_spark.translator import compile_sql
+
+
+def _events_cat(spark, sf_dir="/root/testdata/sf0.001"):
+    """Two stream defs carved out of the events table (even/odd ids) with
+    injected batch frames — the corpus-replay pattern (def kind=stream,
+    batch df injected)."""
+    cat = Catalog.from_dir(sf_dir)
+    base = cat.load(spark, "events", streaming=False)
+    a = base.filter("event_id % 2 = 0").select("event_id", "event_type", "value", "ts")
+    b = base.filter("event_id % 2 = 1").select("event_id", "event_type", "value", "ts")
+    cat.register(StreamDef(name="s_a", format="json", path=None, schema=None, kind="stream"))
+    cat.register(StreamDef(name="s_b", format="json", path=None, schema=None, kind="stream"))
+    cat.register_df("s_a", a)
+    cat.register_df("s_b", b)
+    return cat
+
+
+def _duck(sf_dir="/root/testdata/sf0.001"):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con
+
+
+ORACLE = """
+WITH u AS (
+  SELECT 'S0' AS src, event_id, event_type, value, epoch_us(ts) AS us
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT 'S1' AS src, event_id, event_type, value, epoch_us(ts) AS us
+  FROM events WHERE event_id % 2 = 1
+), w AS (
+  SELECT *, (row_number() OVER (ORDER BY us, src) - 1) // {n} AS wid,
+         count(*) OVER () AS total
+  FROM u
+), c AS (SELECT * FROM w WHERE wid < total // {n})
+SELECT {select}
+FROM c a JOIN c b
+  ON a.src = 'S0' AND b.src = 'S1' AND a.wid = b.wid AND {on}
+{tail}
+"""
+
+
+def _batch_rows(spark, sql, cat, order):
+    df = compile_sql(spark, sql, cat)
+    return sorted(tuple(r) for r in df.select(*order).collect())
+
+
+def test_count_join_content_matches_duckdb(spark):
+    cat = _events_cat(spark)
+    got = _batch_rows(
+        spark,
+        "SELECT s_a.event_id AS a_id, s_b.event_id AS b_id FROM s_a "
+        "INNER JOIN s_b ON s_a.event_type = s_b.event_type "
+        "GROUP BY countwindow(20)",
+        cat,
+        ["a_id", "b_id"],
+    )
+    con = _duck()
+    want = sorted(
+        tuple(r) for r in con.execute(ORACLE.format(
+            n=20,
+            select="a.event_id AS a_id, b.event_id AS b_id",
+            on="a.event_type = b.event_type",
+            tail="",
+        )).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_count_join_aggregate_matches_duckdb(spark):
+    cat = _events_cat(spark)
+    df = compile_sql(
+        spark,
+        "SELECT count(*) AS n, sum(s_b.value) AS sv FROM s_a "
+        "INNER JOIN s_b ON s_a.event_type = s_b.event_type "
+        "GROUP BY countwindow(50)",
+        cat,
+    )
+    got = sorted((r["n"], round(r["sv"], 4)) for r in df.collect())
+    con = _duck()
+    want = sorted(
+        (r[0], round(r[1], 4)) for r in con.execute(ORACLE.format(
+            n=50,
+            select="count(*) AS n, sum(b.value) AS sv",
+            on="a.event_type = b.event_type",
+            tail="GROUP BY a.wid",
+        )).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_count_join_left_and_cross_kinds(spark):
+    cat = _events_cat(spark)
+    # LEFT join preserves unmatched left rows within the window
+    left = compile_sql(
+        spark,
+        "SELECT s_a.event_id AS a_id, s_b.event_id AS b_id FROM s_a "
+        "LEFT JOIN s_b ON s_a.event_type = s_b.event_type "
+        "GROUP BY countwindow(20)",
+        cat,
+    )
+    lrows = [tuple(r) for r in left.collect()]
+    inner = compile_sql(
+        spark,
+        "SELECT s_a.event_id AS a_id, s_b.event_id AS b_id FROM s_a "
+        "INNER JOIN s_b ON s_a.event_type = s_b.event_type "
+        "GROUP BY countwindow(20)",
+        cat,
+    )
+    irows = [tuple(r) for r in inner.collect()]
+    assert set(irows) <= set(lrows)
+    assert any(b is None for _a, b in lrows)  # preserved left rows
+    # CROSS join: every same-window pair
+    cross = compile_sql(
+        spark,
+        "SELECT s_a.event_id AS a_id, s_b.event_id AS b_id FROM s_a "
+        "CROSS JOIN s_b GROUP BY countwindow(10)",
+        cat,
+    )
+    con = _duck()
+    want = con.execute(ORACLE.format(
+        n=10, select="count(*) AS n", on="true", tail="",
+    )).fetchone()[0]
+    assert cross.count() == want
+
+
+def test_count_join_non_equi_raises(spark):
+    cat = _events_cat(spark)
+    with pytest.raises(NotImplementedError, match="equi-join"):
+        compile_sql(
+            spark,
+            "SELECT s_a.event_id FROM s_a INNER JOIN s_b "
+            "ON s_a.value > s_b.value GROUP BY countwindow(10)",
+            cat,
+        )
+
+
+def test_count_join_streaming_equals_batch(spark, tmp_path):
+    """The fvt flow end-to-end: streaming count join over two bounded
+    simulators equals the batch translation of the same statement."""
+    import warnings
+
+    from ekuiper_spark.sources import mock
+
+    data_a = [{"k": f"k{i % 3}", "v": float(i)} for i in range(6)]
+    data_b = [{"k": f"k{i % 3}", "w": float(10 * i)} for i in range(6)]
+    mock.register_simulator_conf("cja", {"data": data_a, "interval": "1ms", "loop": False})
+    mock.register_simulator_conf("cjb", {"data": data_b, "interval": "1ms", "loop": False})
+    cat = Catalog()
+    cat.register(StreamDef(name="cja", format="json", path=None, schema=None,
+                           options={"type": "simulator", "conf_key": "cja"}))
+    cat.register(StreamDef(name="cjb", format="json", path=None, schema=None,
+                           options={"type": "simulator", "conf_key": "cjb"}))
+    sql = ("SELECT cja.k AS k, cja.v AS v, cjb.w AS w FROM cja "
+           "INNER JOIN cjb ON cja.k = cjb.k GROUP BY countwindow(12)")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sdf = compile_sql(spark, sql, cat, streaming=True)
+        q = (
+            sdf.writeStream.format("memory").queryName("cjoin_out")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append").start()
+        )
+        got = []
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = [tuple(r) for r in spark.table("cjoin_out").collect()]
+            if len(got) >= 12:
+                break
+            time.sleep(0.3)
+        q.stop()
+        bdf = compile_sql(spark, sql, cat)
+        want = [tuple(r) for r in bdf.collect()]
+    assert sorted(got) == sorted(want) and len(want) > 0
