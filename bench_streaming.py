@@ -63,9 +63,13 @@ def bench_stateful_sliding(spark, n_rows: int = 100_000) -> dict:
             "rows_per_sec": round(n_rows / wall)}
 
 
-def bench_analytic_state(spark, n_rows: int = 1_000_000, n_keys: int = 64) -> dict:
+def bench_analytic_state(
+    spark, n_rows: int = 1_000_000, n_keys: int = 64, gated: bool = False
+) -> dict:
     """Keyed continuous-analytic throughput (streaming/analytics.py):
-    lag + changed_col + acc_sum over n_keys state partitions."""
+    lag + changed_col + acc_sum over n_keys state partitions.  With
+    ``gated`` the calls carry OVER(WHEN)/begin-reset conditions — the
+    round-8 vectorized gated path, expected within ~2x of ungated."""
     import tempfile
     import time
     import uuid
@@ -89,13 +93,23 @@ def bench_analytic_state(spark, n_rows: int = 1_000_000, n_keys: int = 64) -> di
     sdf = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
     cat = Catalog()
     cat.register_df("ev", sdf)
+    if gated:
+        sql = (
+            "SELECT ts, lag(value) OVER (PARTITION BY user_id WHEN value > 20) AS l, "
+            "changed_col(true, user_id) OVER (PARTITION BY user_id WHEN value > 50) AS c, "
+            "acc_sum(value, value < 10, value > 190) OVER (PARTITION BY user_id) AS s FROM ev"
+        )
+    else:
+        sql = (
+            "SELECT ts, lag(value) OVER (PARTITION BY user_id) AS l, "
+            "changed_col(true, user_id) OVER (PARTITION BY user_id) AS c, "
+            "acc_sum(value) OVER (PARTITION BY user_id) AS s FROM ev"
+        )
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         out = compile_sql(
             spark,
-            "SELECT ts, lag(value) OVER (PARTITION BY user_id) AS l, "
-            "changed_col(true, user_id) OVER (PARTITION BY user_id) AS c, "
-            "acc_sum(value) OVER (PARTITION BY user_id) AS s FROM ev",
+            sql,
             cat,
             streaming=True,
             order_cols=["ts"],
@@ -188,6 +202,7 @@ def main() -> None:
     res_q2 = measure_throughput(q2, duration_sec=dur, name="nexmark_q2")
     sliding = bench_stateful_sliding(spark)
     analytic = bench_analytic_state(spark)
+    analytic_gated = bench_analytic_state(spark, gated=True)
     fanout = bench_shared_source_rules(
         spark,
         n_rules=int(os.environ.get("BENCH_STREAM_RULES", "300")),
@@ -206,6 +221,7 @@ def main() -> None:
                 "nexmark_q2_emitted_rows_per_sec": res_q2["rows_per_sec_overall"],
                 "stateful_sliding_100k": sliding,
                 "analytic_state_1m": analytic,
+                "analytic_state_gated_1m": analytic_gated,
                 "shared_source_rules": fanout,
                 "reference_baseline_rows_per_sec": 12000,
             }

@@ -148,72 +148,108 @@ def _spec_step(spec: AnalyticSpec, st: dict, row: dict) -> Any:
 
 
 def _vectorizable(spec: AnalyticSpec) -> bool:
-    """Ungated specs compute in pandas C ops; WHEN/begin-reset gated ones
-    take the row loop (state transitions depend on per-row conditions)."""
+    """All analytic kinds compute in pandas/numpy C ops, gated or not:
+    the WHEN mask filters which rows read-and-advance vs read-only, and
+    begin/reset accumulator segments vectorize per active run (the scan
+    touches only rows where the condition CHANGES).  Unknown kinds fall
+    back to the row loop."""
     return (
-        spec.when_col is None
-        and spec.begin_col is None
-        and (spec.kind in ("lag", "latest", "changed_col", "had_changed")
-             or spec.kind.startswith("acc_"))
+        spec.kind in ("lag", "latest", "changed_col", "had_changed")
+        or spec.kind.startswith("acc_")
     )
 
 
-def _changed_vec(v: pd.Series, st: dict, key: str, ign: bool) -> pd.Series:
-    """Vectorized changed-state over one batch with carried state."""
+def _changed_vec(
+    v: pd.Series, st: dict, key: str, ign: bool, mask=None
+) -> pd.Series:
+    """Vectorized changed-state over one batch with carried state.
+    ``mask`` (the OVER WHEN gate) marks the rows that read-and-advance;
+    masked-out rows emit False and leave state untouched."""
     import numpy as np
 
     cst = st.setdefault(key, {"has": False, "val": None})
     carry = cst["val"] if cst["has"] else None
+    if mask is None:
+        mask = np.ones(len(v), dtype=bool)
     if ign:
-        # prev = last non-null before each row (carry-seeded ffill)
+        # prev = last VALID (gated, non-null) value before each row
+        vm = v.where(pd.Series(mask, index=v.index)).astype("object")
         seq = pd.concat(
-            [pd.Series([carry], dtype="object"), v.astype("object")],
+            [pd.Series([carry], dtype="object"), vm],
             ignore_index=True,
         ).ffill().astype("object")
         prev = seq.iloc[:-1].reset_index(drop=True)
-        notna = v.notna().to_numpy()
-        changed = notna & (prev.isna().to_numpy() | (v.to_numpy(dtype="object") != prev.to_numpy(dtype="object")))
-        nn = v.dropna()
+        valid = mask & v.notna().to_numpy()
+        changed = valid & (
+            prev.isna().to_numpy()
+            | (v.to_numpy(dtype="object") != prev.to_numpy(dtype="object"))
+        )
+        nn = vm.dropna()
         if len(nn):
             cst["has"] = True
             cst["val"] = nn.iloc[-1]
         return pd.Series(changed, index=v.index)
-    # allow-null: prev is simply the previous row's value (always updated)
-    prev = v.shift(1)
-    if cst["has"]:
-        prev.iloc[0] = carry
-        first_missing = np.zeros(len(v), dtype=bool)
-    else:
-        first_missing = np.zeros(len(v), dtype=bool)
-        first_missing[0] = True
-    a = v.to_numpy(dtype="object")
-    p = prev.to_numpy(dtype="object")
-    neq = np.array([
-        not ((x is None or (isinstance(x, float) and pd.isna(x)))
-             == (y is None or (isinstance(y, float) and pd.isna(y)))
-             and ((x is None or (isinstance(x, float) and pd.isna(x))) or x == y))
-        for x, y in zip(a, p)
-    ])
-    changed = first_missing | neq
-    cst["has"] = True
-    last = v.iloc[-1]
-    cst["val"] = None if (isinstance(last, float) and pd.isna(last)) else last
+    # allow-null: state advances on every GATED row (nulls are values);
+    # the null-aware compare runs only over the gated subset
+    idxs = np.flatnonzero(mask)
+    sub = v.to_numpy(dtype="object")[idxs]
+    has, val = cst["has"], cst["val"]
+    changed_sub = []
+    for x in sub:
+        xx = None if (isinstance(x, float) and pd.isna(x)) else x
+        changed_sub.append((not has) or xx != val)
+        has, val = True, xx
+    changed = np.zeros(len(v), dtype=bool)
+    changed[idxs] = changed_sub
+    cst["has"], cst["val"] = has, val
     return pd.Series(changed, index=v.index)
+
+
+def _acc_segments(on0: bool, b, r):
+    """Active SPANS of the begin/reset accumulator state machine
+    (funcs_acc.go accFuncWithCond): active_i = on_{i-1} | b_i;
+    on_i = active_i & ~r_i.  A reset ends its span AFTER its own row —
+    a begin on the very next row opens a NEW span (fresh accumulators),
+    so spans are returned explicitly rather than derived from the
+    active mask.  Scans only rows where b|r fires; returns
+    (spans [(start, end)), on_after_last)."""
+    import numpy as np
+
+    m = len(b)
+    on = bool(on0)
+    start = 0 if on else None
+    spans: list[tuple[int, int]] = []
+    for i in np.flatnonzero(b | r):
+        i = int(i)
+        a_i = on or bool(b[i])
+        if a_i and start is None:
+            start = i
+        on = a_i and not bool(r[i])
+        if a_i and not on:
+            spans.append((start, i + 1))
+            start = None
+    if on and start is not None:
+        spans.append((start, m))
+    return spans, on
 
 
 def _vector_spec(spec: AnalyticSpec, st: dict, batch: pd.DataFrame) -> pd.Series:
     import numpy as np
 
     k = spec.kind
+    m = len(batch)
     v = batch[spec.in_cols[0]] if spec.in_cols else None
+    if spec.when_col is not None:
+        # == True gives a warning-free bool mask over object dtype
+        # (None/NaN compare False)
+        wmask = (batch[spec.when_col] == True).to_numpy()  # noqa: E712
+    else:
+        wmask = np.ones(m, dtype=bool)
     if k == "lag":
         ring: list = st.setdefault("ring", [])
-        if spec.ign:
-            keep = v.notna().to_numpy()
-        else:
-            keep = np.ones(len(v), dtype=bool)
+        keep = wmask & (v.notna().to_numpy() if spec.ign else np.ones(m, dtype=bool))
         vals = v.to_numpy(dtype="object")
-        arr = list(ring) + [x for x, m in zip(vals, keep) if m]
+        arr = list(ring) + [x for x, mk in zip(vals, keep) if mk]
         # count of kept values strictly BEFORE each row
         before = len(ring) + np.concatenate(([0], np.cumsum(keep)[:-1]))
         pos = before - spec.n
@@ -222,20 +258,21 @@ def _vector_spec(spec: AnalyticSpec, st: dict, batch: pd.DataFrame) -> pd.Series
         return pd.Series(out, index=v.index, dtype="object")
     if k == "latest":
         carry = st.get("val")
+        vm = v.where(pd.Series(wmask, index=v.index))
         seq = pd.concat(
-            [pd.Series([carry], dtype="object"), v.astype("object")],
+            [pd.Series([carry], dtype="object"), vm.astype("object")],
             ignore_index=True,
         ).ffill().astype("object")
         out = seq.iloc[1:].reset_index(drop=True)
         if spec.default is not None:
             out = out.fillna(spec.default)
-        nn = v.dropna()
+        nn = vm.dropna()
         if len(nn):
             st["val"] = nn.iloc[-1]
         out.index = v.index
         return out
     if k == "changed_col":
-        changed = _changed_vec(v, st, "c", spec.ign)
+        changed = _changed_vec(v, st, "c", spec.ign, wmask)
         return pd.Series(
             [x if c else None for x, c in zip(v.to_numpy(dtype="object"), changed)],
             index=v.index, dtype="object",
@@ -243,51 +280,116 @@ def _vector_spec(spec: AnalyticSpec, st: dict, batch: pd.DataFrame) -> pd.Series
     if k == "had_changed":
         acc = None
         for i, c in enumerate(spec.in_cols):
-            ch = _changed_vec(batch[c], st, f"c{i}", spec.ign)
+            ch = _changed_vec(batch[c], st, f"c{i}", spec.ign, wmask)
             acc = ch if acc is None else (acc | ch)
         return acc.astype("object")
-    # ungated accumulators
+    if not k.startswith("acc_"):
+        raise ValueError(k)
+
+    # ---- accumulators -----------------------------------------------------
     x = pd.to_numeric(v, errors="coerce")
-    valid = x.notna()
+    xv = x.to_numpy(dtype="float64")
     if k == "acc_count":
-        # funcs_acc.go accCountFunc counts ANY non-nil value (strings
-        # included), so validity is non-null — not numeric coercibility
-        out = v.notna().cumsum() + st.get("cnt", 0)
-        st["cnt"] = int(out.iloc[-1])
-        return out.astype("object")
-    if k == "acc_sum":
-        out = x.fillna(0.0).cumsum() + st.get("acc", 0.0)
-        st["acc"] = float(out.iloc[-1])
-        return out.astype("object")
-    if k == "acc_avg":
-        s = x.fillna(0.0).cumsum() + st.get("acc", 0.0)
-        c = valid.cumsum() + st.get("cnt", 0)
-        st["acc"] = float(s.iloc[-1])
-        st["cnt"] = int(c.iloc[-1])
-        return pd.Series(
-            [si / ci if ci else 0.0 for si, ci in zip(s, c)],
-            index=v.index, dtype="object",
-        )
-    if k in ("acc_max", "acc_min"):
-        seeded = x.copy()
-        if "acc" in st:
-            seeded = pd.concat(
-                [pd.Series([st["acc"]]), x], ignore_index=True
+        # funcs_acc.go accCountFunc counts ANY non-nil value
+        ok = wmask & v.notna().to_numpy()
+    else:
+        ok = wmask & x.notna().to_numpy()
+
+    if spec.begin_col is None:
+        # unconditioned: one always-active segment seeded by carried state
+        if k == "acc_count":
+            out = np.cumsum(ok) + st.get("cnt", 0)
+            st["cnt"] = int(out[-1]) if m else st.get("cnt", 0)
+            return pd.Series(out, index=batch.index, dtype="object")
+        contrib = np.where(ok, xv, 0.0)
+        if k == "acc_sum":
+            out = np.cumsum(contrib) + st.get("acc", 0.0)
+            if m:
+                st["acc"] = float(out[-1])
+            return pd.Series(out, index=batch.index, dtype="object")
+        if k == "acc_avg":
+            ssum = np.cumsum(contrib) + st.get("acc", 0.0)
+            cnt = np.cumsum(ok) + st.get("cnt", 0)
+            if m:
+                st["acc"] = float(ssum[-1])
+                st["cnt"] = int(cnt[-1])
+            return pd.Series(
+                [si / ci if ci else 0.0 for si, ci in zip(ssum, cnt)],
+                index=batch.index, dtype="object",
             )
-        out = seeded.cummax() if k == "acc_max" else seeded.cummin()
-        # cummax/cummin leave NaN at null input positions: those rows must
-        # READ the running extremum (funcs_acc.go skips nil, returns acc),
-        # and the carried state must survive a batch ending in nulls.
-        # ffill BEFORE dropping the seed row so a leading null inherits it.
-        out = out.ffill()
-        if "acc" in st:
-            out = out.iloc[1:].reset_index(drop=True)
-            out.index = v.index
-        res = out.fillna(0.0)
-        if not pd.isna(out.iloc[-1]):
-            st["acc"] = float(out.iloc[-1])
-        return res.astype("object")
-    raise ValueError(k)
+        # acc_max / acc_min: fmax/fmin.accumulate skip NaN holes; rows
+        # before any valid value read the carried extremum (or 0.0)
+        masked = np.where(ok, xv, np.nan)
+        seeded = np.concatenate(([st.get("acc", np.nan)], masked))
+        run = (np.fmax if k == "acc_max" else np.fmin).accumulate(seeded)[1:]
+        if m and not np.isnan(run[-1]):
+            st["acc"] = float(run[-1])
+        out = np.where(np.isnan(run), 0.0, run)
+        return pd.Series(out, index=batch.index, dtype="object")
+
+    # conditioned (begin/reset): per-active-segment accumulation; the
+    # first segment continues the carried accumulators iff the batch
+    # starts with the window already open
+    b = (batch[spec.begin_col] == True).to_numpy()  # noqa: E712
+    r = (
+        (batch[spec.reset_col] == True).to_numpy()  # noqa: E712
+        if spec.reset_col is not None
+        else np.zeros(m, dtype=bool)
+    )
+    carried_on = bool(st.get("on", False))
+    spans, on_end = _acc_segments(carried_on, b, r)
+    out = np.zeros(m, dtype="float64")
+    cnt_out = np.zeros(m, dtype="int64")
+    last_acc = None
+    last_cnt = 0
+    for s_, e_ in spans:
+        cont = s_ == 0 and carried_on
+        seg_ok = ok[s_:e_]
+        if k == "acc_count":
+            seed = st.get("cnt", 0) if cont else 0
+            run = np.cumsum(seg_ok) + seed
+            cnt_out[s_:e_] = run
+            last_cnt = int(run[-1])
+        elif k in ("acc_sum", "acc_avg"):
+            seed = st.get("acc", 0.0) if cont else 0.0
+            run = np.cumsum(np.where(seg_ok, xv[s_:e_], 0.0)) + seed
+            out[s_:e_] = run
+            last_acc = float(run[-1])
+            if k == "acc_avg":
+                cseed = st.get("cnt", 0) if cont else 0
+                crun = np.cumsum(seg_ok) + cseed
+                cnt_out[s_:e_] = crun
+                last_cnt = int(crun[-1])
+                out[s_:e_] = np.where(crun > 0, run / np.maximum(crun, 1), 0.0)
+        else:  # acc_max / acc_min
+            seed = st.get("acc", np.nan) if cont else np.nan
+            masked = np.where(seg_ok, xv[s_:e_], np.nan)
+            run = (np.fmax if k == "acc_max" else np.fmin).accumulate(
+                np.concatenate(([seed], masked))
+            )[1:]
+            out[s_:e_] = np.where(np.isnan(run), 0.0, run)
+            last_acc = None if np.isnan(run[-1]) else float(run[-1])
+    if on_end:
+        st["on"] = True
+        if k == "acc_count":
+            st["cnt"] = last_cnt
+        elif k == "acc_avg":
+            st["acc"] = last_acc if last_acc is not None else 0.0
+            st["cnt"] = last_cnt
+        elif k in ("acc_max", "acc_min"):
+            if last_acc is not None:
+                st["acc"] = last_acc
+            else:
+                st.pop("acc", None)
+        else:
+            st["acc"] = last_acc if last_acc is not None else 0.0
+    else:
+        st["on"] = False
+        st.pop("acc", None)
+        st.pop("cnt", None)
+    if k == "acc_count":
+        return pd.Series(cnt_out, index=batch.index, dtype="object")
+    return pd.Series(out, index=batch.index, dtype="object")
 
 
 def analytic_state_stream(
