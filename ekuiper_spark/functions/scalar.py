@@ -65,7 +65,26 @@ reg("pi")(lambda c, r: F.lit(3.141592653589793))
 reg("pow", "power")(lambda c, r: F.pow(c[0], c[1]))
 reg("radians")(lambda c, r: F.radians(c[0]))
 reg("rand")(lambda c, r: F.rand())
-reg("round")(lambda c, r: F.round(c[0], int(r[1]) if len(c) > 1 else 0).cast("double"))
+# round = math.Round(v * 10^p) / 10^p (funcs_math.go:395-401): the
+# FLOAT-PRODUCT formula, like trunc/toFixed below.  F.round(double, p)
+# would round the double's shortest DECIMAL repr instead and drift on
+# representation edges (round(129.9235, 3): the product is 129923.49999…
+# -> reference 129.923; decimal-repr HALF_UP gives 129.924 — caught by
+# the DuckDB expression fuzz).  F.round(x, 0) matches math.Round
+# (half away from zero) on the scaled value.
+reg("round")(
+    lambda c, r: (
+        F.round(c[0].cast("double") * F.pow(F.lit(10.0), F.lit(int(r[1]))), 0)
+        / F.pow(F.lit(10.0), F.lit(int(r[1])))
+        if len(c) > 1 and r[1] is not None
+        else (
+            F.round(c[0].cast("double") * F.pow(F.lit(10.0), c[1]), 0)
+            / F.pow(F.lit(10.0), c[1])
+            if len(c) > 1
+            else F.round(c[0].cast("double"), 0)
+        )
+    ).cast("double")
+)
 reg("sign")(lambda c, r: F.signum(c[0]).cast("bigint"))
 reg("sin")(lambda c, r: F.sin(c[0]))
 reg("sinh")(lambda c, r: F.sinh(c[0]))
