@@ -68,6 +68,12 @@ def sliding_join_stream(
     left_cols: Sequence[str],
     right_cols: Sequence[str],
     aggs: Optional[Sequence[JoinAggSpec]] = None,
+    delay: int = 0,              # SLIDINGWINDOW(unit, L, D): frame [t-L, t+D)
+    throttle: Optional[tuple[int, bool]] = None,  # (K, ge) gap-throttle
+    attach_aggs: Optional[Sequence[JoinAggSpec]] = None,  # content mode:
+                                 # frame aggregates replicated on each row
+    cross_pairs: bool = False,   # non-equi ON: emit ALL frame pairs; the
+                                 # caller filters the ON condition natively
 ) -> DataFrame:
     """Stateful per-event sliding join over a packed two-stream union.
 
@@ -76,9 +82,22 @@ def sliding_join_stream(
     and all right columns (flat, pre-renamed to avoid collisions).
 
     Content mode (aggs None): emits the joined frame rows per trigger
-    with __ws/__we bounds.  Aggregate mode: one row per trigger with the
-    spec outputs + bounds.  Triggers whose join result is empty emit
+    with __ws/__we bounds (plus ``attach_aggs`` frame aggregates for
+    downstream HAVING gates).  Aggregate mode: one row per trigger with
+    the spec outputs + bounds.  Triggers whose join result is empty emit
     nothing (join_operator records_out < windows in TestWindowRule3).
+
+    delay: a trigger at t waits for the frame's right bound — it emits
+    once a row with u >= t + delay has been seen (window_op.go delayed
+    trigger; the reference fires a wall-clock timer, this op fires on
+    the next covering arrival, so a stream tail needs a later event or
+    heartbeat to flush pending triggers — same availableNow caveat as
+    the other stateful compat modes).
+
+    throttle: the OVER (WHEN ts - last_hit_time() > K) gap gate —
+    sequential last-hit bookkeeping over the merged trigger order
+    (window_op.go isMatchCondition; lastHit starts at Go zero and
+    advances on emission).
     """
     schema = union_df.schema
     buffered = ["__src", "__u"] + list(left_cols) + list(right_cols)
@@ -87,13 +106,27 @@ def sliding_join_stream(
     state_fields = [
         T.StructField(c, T.ArrayType(buf_types[c]), True) for c in buffered
     ]
+    # optional scalars ride behind the buffers so feature-off checkpoints
+    # keep their layout
+    if delay:
+        state_fields.append(T.StructField("__pend", T.ArrayType(T.LongType()), True))
+    if throttle is not None:
+        state_fields.append(T.StructField("__lhit", T.LongType(), True))
     state_schema = T.StructType(state_fields)
 
+    att_list = list(attach_aggs) if attach_aggs else []
     if aggs is None:
         out_fields = (
             [T.StructField(c, buf_types[c], True) for c in list(left_cols) + list(right_cols)]
-            + [T.StructField("__ws", T.LongType()), T.StructField("__we", T.LongType())]
         )
+        for a in att_list:
+            dt = (
+                T.LongType() if a.op == "count"
+                else T.DoubleType() if a.op == "avg"
+                else buf_types[a.in_col]
+            )
+            out_fields.append(T.StructField(a.out, dt, True))
+        out_fields += [T.StructField("__ws", T.LongType()), T.StructField("__we", T.LongType())]
     else:
         out_fields = []
         for a in aggs:
@@ -110,35 +143,51 @@ def sliding_join_stream(
     how_ = how
     lk, rk = list(lkeys), list(rkeys)
     lcols, rcols = list(left_cols), list(right_cols)
+    n_buf = len(buffered)
+    thr = throttle
 
     def _merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        # SQL null-key semantics: pandas merge matches NaN keys with each
-        # other, so null-key rows are stripped from every non-preserved
-        # side (a preserved side's null keys simply find no match)
-        if how_ == "cross":
-            if not len(lf) or not len(rf):
-                return lf.iloc[0:0].merge(rf.iloc[0:0], how="cross")
-            return lf.merge(rf, how="cross")
-        lfn = lf.dropna(subset=lk)
-        rfn = rf.dropna(subset=rk)
-        if how_ == "inner":
-            return lfn.merge(rfn, left_on=lk, right_on=rk, how="inner")
-        if how_ == "left":
-            return lf.merge(rfn, left_on=lk, right_on=rk, how="left")
-        if how_ == "right":
-            return lfn.merge(rf, left_on=lk, right_on=rk, how="right")
-        # full: non-null x non-null outer, plus null-key rows from both
-        base = lfn.merge(rfn, left_on=lk, right_on=rk, how="outer")
-        lx = lf[lf[lk].isna().any(axis=1)] if len(lf) else lf
-        rx = rf[rf[rk].isna().any(axis=1)] if len(rf) else rf
-        return pd.concat([base, lx, rx], ignore_index=True)
+        if cross_pairs:
+            return _merge_one(lf, rf, "cross", [], [])
+        return _merge_one(lf, rf, how_, lk, rk)
+
+    def _emit_trigger(full, u_arr, t, lo, hi, outs) -> None:
+        """Join the frame [lo, hi) for trigger t; append the emission."""
+        frame = full.iloc[lo:hi]
+        lf = frame[frame["__src"] == "L"][lcols]
+        rf = frame[frame["__src"] == "R"][rcols]
+        merged = _merge(lf, rf)
+        if not len(merged):
+            return
+        if agg_list is None:
+            em = merged.copy()
+            for a in att_list:
+                em[a.out] = _pd_agg(merged, a)
+            em["__ws"] = t - length
+            # with delay the window's right bound is t + D (frame
+            # (t-L, t+D]; batch _batch_sliding_join convention)
+            em["__we"] = t + delay
+            outs.append(em)
+        else:
+            row = {a.out: [_pd_agg(merged, a)] for a in agg_list}
+            row["__ws"] = [t - length]
+            row["__we"] = [t + delay]
+            outs.append(pd.DataFrame(row))
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        pend: list[int] = []
+        lhit = 0
         if state.exists:
             vals = state.get
             carry = pd.DataFrame({c: pd.Series(list(vals[i] or [])) for i, c in enumerate(buffered)})
             if not len(carry):
                 carry = pd.DataFrame({c: pd.Series(dtype="object") for c in buffered})
+            pos_extra = n_buf
+            if delay:
+                pend = list(vals[pos_extra] or [])
+                pos_extra += 1
+            if thr is not None:
+                lhit = int(vals[pos_extra] or 0)
         else:
             carry = pd.DataFrame({c: pd.Series(dtype="object") for c in buffered})
         batch = pd.concat(list(pdfs), ignore_index=True)
@@ -146,8 +195,22 @@ def sliding_join_stream(
         if n_new:
             batch = batch.sort_values("__u", kind="mergesort").reset_index(drop=True)
         full = pd.concat([carry[buffered] if len(carry) else carry, batch[buffered] if n_new else pd.DataFrame(columns=buffered)], ignore_index=True)
+
+        def save(keep_from_u: int) -> None:
+            if len(full):
+                u_all = full["__u"].to_numpy(dtype="int64")
+                keep = full[u_all >= keep_from_u]
+            else:
+                keep = full
+            vals_out = [keep[c].tolist() if len(keep) else [] for c in buffered]
+            if delay:
+                vals_out.append(list(pend))
+            if thr is not None:
+                vals_out.append(int(lhit))
+            state.update(tuple(vals_out))
+
         if not len(full):
-            state.update(tuple([[] for _ in buffered]))
+            save(0)
             return
         order = np.argsort(full["__u"].to_numpy(dtype="float64"), kind="stable")
         full = full.iloc[order].reset_index(drop=True)
@@ -156,30 +219,45 @@ def sliding_join_stream(
         )[order]
         u_arr = full["__u"].to_numpy(dtype="int64")
         outs: list[pd.DataFrame] = []
+
+        # new arrivals become trigger candidates (throttle-gated in merged
+        # event order, lastHit advancing on emission)
+        new_ts: list[int] = []
         for pos in np.nonzero(is_new)[0]:
             t = int(u_arr[pos])
-            left_idx = int(np.searchsorted(u_arr, t - length, side="left"))
-            frame = full.iloc[left_idx : pos + 1]
-            lf = frame[frame["__src"] == "L"][lcols]
-            rf = frame[frame["__src"] == "R"][rcols]
-            merged = _merge(lf, rf)
-            if not len(merged):
-                continue
-            if agg_list is None:
-                em = merged.copy()
-                em["__ws"] = t - length
-                em["__we"] = t
-                outs.append(em)
-            else:
-                row = {a.out: [_pd_agg(merged, a)] for a in agg_list}
-                row["__ws"] = [t - length]
-                row["__we"] = [t]
-                outs.append(pd.DataFrame(row))
-        # trim the lookback (inclusive: equal-ts future triggers still
-        # need the row exactly `length` old)
-        last = int(u_arr[-1])
-        keep = full[u_arr >= last - length]
-        state.update(tuple([keep[c].tolist() for c in buffered]))
+            if thr is not None:
+                k, ge = thr
+                gap = t - lhit
+                hit = gap >= k if ge else gap > k
+                if not hit:
+                    continue
+                lhit = t
+            new_ts.append(t if delay else pos)
+
+        if not delay:
+            # frame = rows up to the trigger's sorted position (u <= t)
+            for pos in new_ts:
+                t = int(u_arr[pos])
+                lo = int(np.searchsorted(u_arr, t - length, side="left"))
+                _emit_trigger(full, u_arr, t, lo, pos + 1, outs)
+            last = int(u_arr[-1])
+            keep_from = last - length
+        else:
+            # delayed frames [t-L, t+D): a trigger emits once a covering
+            # row (u >= t + D) has arrived
+            pend.extend(int(t) for t in new_ts)
+            max_u = int(u_arr[-1])
+            ready = sorted(t for t in pend if t + delay <= max_u)
+            pend = [t for t in pend if t + delay > max_u]
+            for t in ready:
+                lo = int(np.searchsorted(u_arr, t - length, side="left"))
+                hi = int(np.searchsorted(u_arr, t + delay, side="left"))
+                _emit_trigger(full, u_arr, t, lo, hi, outs)
+            # retain enough history for every pending trigger's left bound
+            keep_from = min(
+                [max_u - length] + [t - length for t in pend]
+            )
+        save(keep_from)
         if outs:
             out = pd.concat(outs, ignore_index=True)
             for f in out_fields:

@@ -332,10 +332,17 @@ class Translator:
                 # TestAliasOrderBy14: 3 of 5 rows pass, yet COUNTWINDOW(5)
                 # fills and emits.  STREAMING single-source rules route
                 # the predicate into the stateful operator as a keep
-                # column (windows form from all rows, content prunes);
-                # the streaming sliding JOIN keeps the pushed-down filter
-                # (its restrictions are documented).
-                ctx.deferred_where = pre
+                # column (windows form from all rows, content prunes).
+                if ctx.join_sliding_keys:
+                    # batch sliding JOIN: triggers/frames already formed
+                    # inside _batch_sliding_join from the RAW streams, so
+                    # filtering the joined pairs here is exactly
+                    # FilterPlan-above-JoinPlan (planner.go:797) — it
+                    # prunes pairs before aggregation without touching
+                    # window formation
+                    df = df.filter(self._expr(pre, ctx))
+                else:
+                    ctx.deferred_where = pre
             elif pre is not None:
                 df = df.filter(self._expr(pre, ctx))
             for c in agg_conjs:
@@ -1312,24 +1319,32 @@ class Translator:
         from ekuiper_spark.streaming.joinstate import JoinAggSpec, sliding_join_stream
 
         w = stmt.group.window
-        if len(w.args) > 1 and w.args[1]:
-            raise NotImplementedError(
-                "streaming sliding join does not support the delay argument"
-            )
         if stmt.group.dims:
             raise NotImplementedError(
                 "streaming sliding join with GROUP BY dims is unsupported "
                 "(batch mode supports it)"
             )
-        if stmt.having is not None or stmt.where is not None or w.trigger is not None:
-            raise NotImplementedError(
-                "streaming sliding join supports plain SELECT over the "
-                "joined frames (WHERE/HAVING/OVER(WHEN) gate in batch mode)"
-            )
         if j.kind not in ("inner", "left", "right", "full", "cross"):
             raise NotImplementedError(
                 f"streaming sliding {j.kind} join is unsupported"
             )
+        # WHERE over the joined frames (FilterPlan sits ABOVE JoinPlan,
+        # planner.go:797): plain conjuncts filter the emitted content
+        # rows natively; agg conjuncts merge into HAVING; hit conjuncts
+        # (last_hit_*) stay batch-only
+        where_pre = None
+        having = stmt.having
+        if stmt.where is not None:
+            where_pre, agg_conjs, hit_conjs = self._split_where(
+                stmt.where, ctx.aliases
+            )
+            if hit_conjs:
+                raise NotImplementedError(
+                    "last_hit_* conjuncts over a streaming sliding join "
+                    "are unsupported (batch mode supports them)"
+                )
+            for c in agg_conjs:
+                having = c if having is None else Binary("AND", having, c)
         warnings.warn(
             "streaming sliding join: all rows route through ONE state "
             "partition (the reference's single-process window+join chain); "
@@ -1342,6 +1357,11 @@ class Translator:
         ctx.source_aliases.add(r_alias.lower())
         ctx.source_order.append(r_alias)
         length_us = int(w.args[0] * UNIT_SECONDS[w.unit] * 1_000_000)
+        delay_us = (
+            int(w.args[1] * UNIT_SECONDS[w.unit] * 1_000_000)
+            if len(w.args) > 1 and w.args[1]
+            else 0
+        )
 
         def _ev(sdf: DataFrame, alias: str, name: str):
             d = self.catalog.get(name)
@@ -1383,22 +1403,45 @@ class Translator:
             if c not in lcols:
                 fm.setdefault(c.lower(), rflat[c])
         ctx.flat_col_map = fm
-        pairs = None
-        if j.kind != "cross":
-            pairs = self._equi_pairs(j.on, ctx, left_alias, r_alias)
-            if not pairs:
-                raise NotImplementedError(
-                    "streaming sliding join requires an equi-join ON "
-                    "condition (col = col conjunctions); batch mode "
-                    "supports arbitrary conditions"
-                )
-        lkeys = [p[0] for p in (pairs or [])]
-        rkeys = [rflat[p[1]] for p in (pairs or [])]
-
         agg_nodes: dict[str, FuncCall] = {}
         for f in stmt.fields:
             for a in self._find_aggs(f.expr):
                 agg_nodes.setdefault(canon(a), a)
+
+        pairs = None
+        non_equi_on = None
+        if j.kind != "cross":
+            pairs = self._equi_pairs(j.on, ctx, left_alias, r_alias)
+            if not pairs:
+                # non-equi ON: the op emits ALL frame pairs and the ON
+                # condition filters them natively downstream — only sound
+                # for INNER content emission (outer kinds need unmatched
+                # rows, aggregates would count pre-filter pairs)
+                if j.kind == "inner" and not agg_nodes:
+                    non_equi_on = j.on
+                else:
+                    raise NotImplementedError(
+                        "streaming sliding join requires an equi-join ON "
+                        "for outer kinds and aggregated SELECTs (batch "
+                        "mode supports arbitrary conditions)"
+                    )
+        lkeys = [p[0] for p in (pairs or [])]
+        rkeys = [rflat[p[1]] for p in (pairs or [])]
+
+        throttle_spec = None
+        if w.trigger is not None:
+            # OVER (WHEN ts - last_hit_time() > K): same gap-throttle form
+            # as the batch path (window_op.go isMatchCondition)
+            throttle_spec = self._join_gap_throttle_spec(w.trigger, l_long)
+            if throttle_spec is None:
+                raise NotImplementedError(
+                    "sliding-window join triggers support the "
+                    "'<stream>.ts - last_hit_time() > K' gap-throttle form "
+                    "(per-tuple trigger evaluation, window_op.go "
+                    "isMatchCondition)"
+                )
+            # spec K is micros; __u is micros for both long-ms and
+            # timestamp event columns (see _ev above)
         specs: list[JoinAggSpec] = []
         extra_left: list[str] = []
         extra_right: list[str] = []
@@ -1449,6 +1492,53 @@ class Translator:
             specs.append(JoinAggSpec(op, in_col, f"__agg{i}"))
             ctx.agg_map[key] = f"__agg{i}"
 
+        # HAVING aggregates: computed in-op — as regular spec outputs in
+        # aggregate mode, or replicated per content row (the whole frame
+        # shares the value, so a native filter gates the collection —
+        # HavingOp semantics) in content mode
+        having_specs: list[JoinAggSpec] = []
+        if having is not None:
+            for key, call in (
+                (canon(a), a) for a in self._find_aggs(having)
+            ):
+                if key in ctx.agg_map:
+                    continue
+                op = self._JOIN_STREAM_AGG_OPS.get(call.name.lower())
+                if op is None:
+                    raise NotImplementedError(
+                        f"{call.name} is unsupported over a streaming sliding join"
+                    )
+                args = [a for a in call.args if not isinstance(a, Wildcard)]
+                in_col = None
+                if args:
+                    in_col = f"__hin{len(having_specs)}"
+                    nonlocal_union = nonlocal_union.withColumn(
+                        in_col, self._expr(args[0], ctx)
+                    )
+                    if owner_of(args[0]) == "R":
+                        extra_right.append(in_col)
+                    else:
+                        extra_left.append(in_col)
+                out_name = f"__hagg{len(having_specs)}"
+                having_specs.append(JoinAggSpec(op, in_col, out_name))
+                ctx.agg_map[key] = out_name
+            if not agg_nodes:
+                # content mode: HAVING may reference only aggregates (the
+                # reference gates the COLLECTION; per-row raw refs would
+                # silently change semantics)
+                for ref in self._find_raw_cols(having):
+                    raise NotImplementedError(
+                        "HAVING over streaming sliding-join CONTENT may "
+                        "reference aggregates only (batch mode supports "
+                        "raw columns)"
+                    )
+        if where_pre is not None and agg_nodes:
+            raise NotImplementedError(
+                "WHERE over an AGGREGATED streaming sliding join is "
+                "unsupported (the filter would have to run between the "
+                "join and the aggregation; batch mode supports it)"
+            )
+
         if agg_nodes:
             # raw columns beside aggregates: FIRST joined row's value
             # (project-over-grouped, same rule as the batch path)
@@ -1481,7 +1571,9 @@ class Translator:
                 rkeys=rkeys,
                 left_cols=lcols + extra_left,
                 right_cols=[rflat[c] for c in rcols] + extra_right,
-                aggs=specs,
+                aggs=specs + having_specs,
+                delay=delay_us,
+                throttle=throttle_spec,
             )
             ctx.post_agg = True
         else:
@@ -1491,9 +1583,13 @@ class Translator:
                 how=j.kind,
                 lkeys=lkeys,
                 rkeys=rkeys,
-                left_cols=lcols,
-                right_cols=[rflat[c] for c in rcols],
+                left_cols=lcols + extra_left,
+                right_cols=[rflat[c] for c in rcols] + extra_right,
                 aggs=None,
+                delay=delay_us,
+                throttle=throttle_spec,
+                attach_aggs=having_specs or None,
+                cross_pairs=non_equi_on is not None,
             )
         out = out.withColumn(
             "window",
@@ -1505,6 +1601,18 @@ class Translator:
         ctx.window_col = "window"
         ctx.window_bounds_ms = l_long
         ctx.event_col = "window.end"
+        if non_equi_on is not None:
+            out = out.filter(self._expr(non_equi_on, ctx))
+        if where_pre is not None:
+            out = out.filter(self._expr(where_pre, ctx))
+        if having is not None:
+            # resolve aggregate calls to the in-op output / attached
+            # columns (agg_map lookups are post_agg-gated)
+            was_post = ctx.post_agg
+            ctx.post_agg = True
+            out = out.filter(self._expr(having, ctx))
+            ctx.post_agg = was_post
+            stmt.having = None  # consumed; the statement is finalized here
         out = self._project(out, stmt, ctx)
         ctx.finalized = True
         return out

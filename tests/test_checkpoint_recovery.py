@@ -316,3 +316,78 @@ def test_stream_table_join_checkpoint_recovery(spark, catalog, tmp_path):
 
     a, b = _rows(spark, out_a), _rows(spark, out_b)
     assert len(a) > 0 and a == b
+
+
+def test_sliding_join_delay_checkpoint_recovery(spark, tmp_path):
+    """Delayed sliding join: PENDING triggers (waiting for their forward
+    bound) must survive a restart — a trigger arrives before the kill,
+    its covering row after."""
+    demo_batches = [
+        [("red", 3, 1541152486013), ("blue", 6, 1541152486822)],
+        [("blue", 2, 1541152487632), ("yellow", 4, 1541152488442),
+         ("red", 1, 1541152489252), ("zz", 0, 1541152599000)],
+    ]
+    demo1_batches = [
+        [(25.5, 65, 1541152486013, 1541152486115),
+         (27.5, 59, 1541152486823, 1541152486903)],
+        [(28.1, 75, 1541152487632, 1541152487702),
+         (27.4, 80, 1541152488442, 1541152488605),
+         (25.5, 62, 1541152489252, 1541152489305),
+         (0.0, 0, 1541152599001, 1541152599001)],
+    ]
+
+    def write_batch(rows, schema, dest, name):
+        tmp = tmp_path / f"w_{uuid.uuid4().hex[:6]}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        os.makedirs(dest, exist_ok=True)
+        dst = os.path.join(dest, name)
+        shutil.copy(glob.glob(str(tmp / "*.parquet"))[0], dst)
+        os.utime(dst, (time.time() - 600,) * 2)
+
+    def run(tag, ckpt, out, d_batches, d1_batches):
+        ddir = str(tmp_path / f"dd_{tag}")
+        d1dir = str(tmp_path / f"dd1_{tag}")
+        for i, rows in enumerate(d_batches):
+            if rows:
+                write_batch(rows, "color string, size long, ts long", ddir, f"{i}.parquet")
+        for i, rows in enumerate(d1_batches):
+            if rows:
+                write_batch(rows, "temp double, hum long, ts long, mts long", d1dir, f"{i}.parquet")
+        cat = Catalog()
+        cat.register_df(
+            "demo",
+            spark.readStream.schema("color string, size long, ts long")
+            .option("maxFilesPerTrigger", 1).parquet(ddir),
+        )
+        cat.register_df(
+            "demo1",
+            spark.readStream.schema("temp double, hum long, ts long, mts long")
+            .option("maxFilesPerTrigger", 1).parquet(d1dir),
+        )
+        df = compile_sql(
+            spark,
+            "SELECT window_end(), count(color) AS c, min(size) AS ms "
+            "FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY SlidingWindow(ss, 1, 1)",
+            cat,
+            streaming=True,
+            order_cols=["ts"],
+        )
+        q = (
+            df.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    out_a = str(tmp_path / "djoutA")
+    run("all", str(tmp_path / "djckA"), out_a, demo_batches, demo1_batches)
+
+    out_b = str(tmp_path / "djoutB")
+    ck_b = str(tmp_path / "djckB")
+    run("half", ck_b, out_b, demo_batches[:1], demo1_batches[:1])
+    run("half", ck_b, out_b, [[], *demo_batches[1:]], [[], *demo1_batches[1:]])
+
+    a, b = _rows(spark, out_a), _rows(spark, out_b)
+    assert len(a) > 0
+    assert a == b, f"delayed join recovery drift: {len(a)} vs {len(b)} rows"

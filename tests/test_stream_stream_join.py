@@ -390,3 +390,149 @@ def test_streaming_sliding_join_content(spark, tmp_path):
         ("yellow", 27.4, 1541152488442, 1541152488442, 0),
         ("yellow", 27.4, 1541152488442, 1541152488442, 0),
     ], rows
+
+
+def _feed_join_cats(spark, tmp_path, tag, extra_demo=(), extra_demo1=()):
+    """Streaming AND batch catalogs over the same two-stream fixture
+    (+optional sentinel rows), for availableNow == batch equality."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    demo_rows = [
+        ("red", 50, 1541152486013), ("blue", 58, 1541152486822),
+        ("red", 49, 1541152487632), ("yellow", 51, 1541152488442),
+        ("red", 48, 1541152489252),
+    ] + list(extra_demo)
+    demo1_rows = [
+        (25.5, 65, 1541152486013, 1541152486115), (27.5, 59, 1541152486823, 1541152486903),
+        (28.1, 75, 1541152487632, 1541152487702), (27.4, 80, 1541152488442, 1541152488605),
+        (25.5, 62, 1541152489252, 1541152489305),
+    ] + list(extra_demo1)
+    ddir, d1dir = str(tmp_path / f"jd_{tag}"), str(tmp_path / f"jd1_{tag}")
+    spark.createDataFrame(demo_rows, "color string, size long, ts long") \
+        .coalesce(1).write.parquet(ddir)
+    spark.createDataFrame(demo1_rows, "temp double, hum long, ts long, mts long") \
+        .coalesce(1).write.parquet(d1dir)
+
+    scat = Catalog()
+    scat.register_df(
+        "demo",
+        spark.readStream.schema("color string, size long, ts long").parquet(ddir),
+    )
+    scat.register(StreamDef(name="demo", kind="stream"))
+    scat.register_df(
+        "demo1",
+        spark.readStream.schema("temp double, hum long, ts long, mts long").parquet(d1dir),
+    )
+    scat.register(StreamDef(name="demo1", kind="stream", timestamp_col="mts"))
+
+    bcat = Catalog()
+    bcat.register_df("demo", spark.read.parquet(ddir))
+    bcat.register(StreamDef(name="demo", kind="stream"))
+    bcat.register_df("demo1", spark.read.parquet(d1dir))
+    bcat.register(StreamDef(name="demo1", kind="stream", timestamp_col="mts"))
+    return scat, bcat
+
+
+def _stream_vs_batch(spark, sql, scat, bcat, cols):
+    import uuid as _uuid
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sdf = compile_sql(spark, sql, scat, streaming=True, order_cols=["ts"])
+        name = "svb_" + _uuid.uuid4().hex[:6]
+        q = (
+            sdf.writeStream.format("memory").queryName(name).outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted(tuple(r[c] for c in cols) for r in spark.table(name).collect())
+        bdf = compile_sql(spark, sql, bcat, order_cols=["ts"])
+        want = sorted(tuple(r[c] for c in cols) for r in bdf.collect())
+    return got, want
+
+
+def test_streaming_sliding_join_delay(spark, tmp_path):
+    """SLIDINGWINDOW(ss, 1, 1): frames reach 1s FORWARD; a trigger emits
+    once a covering row arrives (far-future non-matching sentinels close
+    the tail, mirroring the reference's delayed-timer flush)."""
+    scat, bcat = _feed_join_cats(
+        spark, tmp_path, "dly",
+        extra_demo=[("zz", 0, 1541152599000)],
+        extra_demo1=[(0.0, 0, 1541152599001, 1541152599001)],
+    )
+    sql = (
+        "SELECT window_end(), sum(temp) AS temp1, count(color) AS c "
+        "FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "GROUP BY SLIDINGWINDOW(ss, 1, 1)"
+    )
+    got, want = _stream_vs_batch(spark, sql, scat, bcat, ["window_end", "temp1", "c"])
+    assert got == want and len(want) > 0
+
+
+def test_streaming_sliding_join_where_content(spark, tmp_path):
+    """WHERE over the joined frames (FilterPlan above JoinPlan) filters
+    the emitted content rows."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "whr")
+    sql = (
+        "SELECT color, temp FROM demo INNER JOIN demo1 "
+        "ON demo.ts = demo1.ts WHERE temp > 26 GROUP BY SLIDINGWINDOW(ss, 1)"
+    )
+    got, want = _stream_vs_batch(spark, sql, scat, bcat, ["color", "temp"])
+    assert got == want and len(want) > 0
+    assert all(t > 26 for _c, t in got)
+
+
+def test_streaming_sliding_join_having_agg(spark, tmp_path):
+    """HAVING over per-trigger aggregates gates trigger emissions."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "hva")
+    sql = (
+        "SELECT window_end(), count(color) AS c FROM demo INNER JOIN demo1 "
+        "ON demo.ts = demo1.ts GROUP BY SLIDINGWINDOW(ss, 1) "
+        "HAVING count(color) > 1"
+    )
+    got, want = _stream_vs_batch(spark, sql, scat, bcat, ["window_end", "c"])
+    assert got == want and len(want) > 0
+    assert all(c > 1 for _w, c in got)
+
+
+def test_streaming_sliding_join_having_content(spark, tmp_path):
+    """HAVING over non-aggregated join content gates whole frames
+    (TestWindowRule3's collection semantics)."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "hvc")
+    sql = (
+        "SELECT color, temp FROM demo INNER JOIN demo1 "
+        "ON demo.ts = demo1.ts GROUP BY SLIDINGWINDOW(ss, 1) "
+        "HAVING count(color) > 1"
+    )
+    got, want = _stream_vs_batch(spark, sql, scat, bcat, ["color", "temp"])
+    assert got == want and len(want) > 0
+
+
+def test_streaming_sliding_join_non_equi_inner(spark, tmp_path):
+    """Non-equi ON over an INNER content join: the op emits frame pairs,
+    the ON filters natively downstream."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "neq")
+    sql = (
+        "SELECT color, temp FROM demo INNER JOIN demo1 "
+        "ON demo.ts >= demo1.ts AND demo.ts < demo1.ts + 500 "
+        "GROUP BY SLIDINGWINDOW(ss, 1)"
+    )
+    got, want = _stream_vs_batch(spark, sql, scat, bcat, ["color", "temp"])
+    assert got == want and len(want) > 0
+
+
+def test_streaming_sliding_join_trigger_throttle(spark, tmp_path):
+    """OVER (WHEN ts - last_hit_time() > K): the gap-throttle gates which
+    arrivals trigger, with last-hit advancing on emission."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "thr")
+    sql = (
+        "SELECT window_end(), count(color) AS c FROM demo INNER JOIN demo1 "
+        "ON demo.ts = demo1.ts "
+        "GROUP BY SLIDINGWINDOW(ss, 1) OVER (WHEN ts - last_hit_time() > 1000)"
+    )
+    got, want = _stream_vs_batch(spark, sql, scat, bcat, ["window_end", "c"])
+    assert got == want and len(want) > 0
