@@ -3128,29 +3128,73 @@ class Translator:
             # ceil(timeout/cap) buckets; still bounded row duplication,
             # never a single partition.
             return self._session_capped_unkeyed(df, e, cap_us, timeout_us, ctx)
+        # ONE sort drives the whole island -> run -> session derivation:
+        # every key in the chain is MONOTONE in event time per partition,
+        # so dense_rank/min-over-group collapse to running counts and
+        # last(ignoreNulls) carries over (parts ORDER BY __us) frames.
+        # (The naive formulation — dense_rank over (parts, isl) then
+        # min over (parts, isl, run) — costs one extra SORT per pass;
+        # at sf1 those sorts dominated the query, BENCH_r07's worst
+        # scaler.)  A second sort remains for the per-session end bound,
+        # which needs forward visibility.
         df = df.withColumn("__us", e)
         wp = W.partitionBy(*parts).orderBy("__us")
+        run_f = wp.rowsBetween(W.unboundedPreceding, 0)
         prev = F.lag("__us").over(wp)
         new_isl = (prev.isNull() | ((F.col("__us") - prev) > timeout_us)).cast("int")
-        df = df.withColumn(
-            "__isl", F.sum(new_isl).over(wp.rowsBetween(W.unboundedPreceding, 0))
-        )
+        df = df.withColumn("__nisl", new_isl)
+        df = df.withColumn("__isl", F.sum("__nisl").over(run_f))
         df = df.withColumn("__bkt", F.floor(F.col("__us") / cap_us))
-        wpi = W.partitionBy(*parts, F.col("__isl")).orderBy("__bkt")
-        df = df.withColumn("__run", F.col("__bkt") - F.dense_rank().over(wpi))
-        wrun = W.partitionBy(*parts, F.col("__isl"), F.col("__run"))
-        run_first = F.min("__bkt").over(wrun)
-        df = df.withColumn("__sess", F.floor((F.col("__bkt") - run_first) / F.lit(2)))
+        # dense_rank(__bkt) within (parts, __isl): __bkt is non-decreasing
+        # in __us, so rank = running count of bucket starts since the
+        # island opened
+        chg = (
+            (F.col("__nisl") == 1)
+            | F.lag("__bkt").over(wp).isNull()
+            | (F.col("__bkt") != F.lag("__bkt").over(wp))
+        ).cast("int")
+        df = df.withColumn("__chg", chg)
+        df = df.withColumn("__cnt", F.sum("__chg").over(run_f))
+        df = df.withColumn(
+            "__cnt0",
+            F.last(F.when(F.col("__nisl") == 1, F.col("__cnt")), ignorenulls=True).over(run_f),
+        )
+        df = df.withColumn(
+            "__run", F.col("__bkt") - (F.col("__cnt") - F.col("__cnt0") + 1)
+        )
+        new_run = (
+            (F.col("__nisl") == 1)
+            | (F.col("__run") != F.lag("__run").over(wp))
+        )
+        df = df.withColumn("__nrun", new_run.cast("int"))
+        run_first = F.last(
+            F.when(F.col("__nrun") == 1, F.col("__bkt")), ignorenulls=True
+        ).over(run_f)
+        df = df.withColumn("__rf", run_first)
+        df = df.withColumn(
+            "__sess", F.floor((F.col("__bkt") - F.col("__rf")) / F.lit(2))
+        )
         # inclusive close: an event exactly at an even-offset bucket's left
         # edge is at the previous session's force-close tick — move it there
         on_tick = (
             ((F.col("__us") % cap_us) == 0)
-            & (((F.col("__bkt") - run_first) % 2) == 0)
-            & (F.col("__bkt") > run_first)
+            & (((F.col("__bkt") - F.col("__rf")) % 2) == 0)
+            & (F.col("__bkt") > F.col("__rf"))
         )
         df = df.withColumn("__sess", F.col("__sess") - on_tick.cast("long"))
-        df = df.withColumn("__sb", run_first + F.col("__sess") * 2)  # session start bucket
-        wsess = W.partitionBy(*parts, F.col("__isl"), F.col("__run"), F.col("__sess"))
+        df = df.withColumn("__sb", F.col("__rf") + F.col("__sess") * 2)  # session start bucket
+        # session-first event: sessions are CONTIGUOUS in __us order (the
+        # on-tick correction only pulls a bucket's leading tick rows back
+        # one session, keeping the sequence monotone), so the opening
+        # event is a running last(ignoreNulls) — no extra sort
+        new_sess = (
+            (F.col("__nrun") == 1)
+            | (F.col("__sess") != F.lag("__sess").over(wp))
+        )
+        df = df.withColumn("__nsess", new_sess.cast("int"))
+        first_us = F.last(
+            F.when(F.col("__nsess") == 1, F.col("__us")), ignorenulls=True
+        ).over(run_f)
         # window start: an island's FIRST session opens at its first event;
         # follow-up sessions open AT the previous force-close tick —
         # window_op.go:734 keeps triggerTime = the close time, and
@@ -3163,8 +3207,11 @@ class Translator:
         # as the pairing construction above.)
         start_us = F.when(
             F.col("__sess") > 0, F.col("__sb") * cap_us
-        ).otherwise(F.min("__us").over(wsess))
-        # close = min(last event + timeout, the force-close tick)
+        ).otherwise(first_us)
+        # close = min(last event + timeout, the force-close tick); the
+        # session's LAST event needs forward visibility — the one
+        # remaining extra sort
+        wsess = W.partitionBy(*parts, F.col("__isl"), F.col("__run"), F.col("__sess"))
         end_us = F.least(
             F.max("__us").over(wsess) + timeout_us, (F.col("__sb") + 2) * cap_us
         )
@@ -3174,7 +3221,10 @@ class Translator:
                 F.timestamp_micros(start_us).alias("start"),
                 F.timestamp_micros(end_us).alias("end"),
             ),
-        ).drop("__us", "__bkt", "__sb")
+        ).drop(
+            "__us", "__bkt", "__sb", "__nisl", "__chg", "__cnt", "__cnt0",
+            "__nrun", "__rf", "__nsess",
+        )
         ctx.window_col = "window"
         return df, ["__isl", "__run", "__sess", "window"]
 
