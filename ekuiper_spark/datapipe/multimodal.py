@@ -95,10 +95,22 @@ def _decode_one(payload: bytes, media_type: str, fake: bool) -> dict:
             "n_frames": 1,
             "sample_rate": 0,
         }
+    wav = parse_wav_header(payload)
+    if wav is not None:
+        rate, frames, _nch = wav
+        return {
+            "media_type": "audio/wav",
+            "n_bytes": n,
+            "width": 0,
+            "height": 0,
+            "n_frames": frames,
+            "sample_rate": rate,
+        }
     if not fake:
         raise NotImplementedError(
-            "decode beyond image headers requires PIL/soundfile/ffmpeg; "
-            "run with fake_decode=True or install decoders"
+            "decode beyond image/WAV headers requires PIL/soundfile/"
+            "ffmpeg (PNG pixels and WAV samples decode natively via "
+            "decode_media_stats); run with fake_decode=True otherwise"
         )
     # deterministic fake: metadata derived purely from byte length/content
     return {
@@ -245,3 +257,262 @@ def documents_as_media(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise("video")
         .alias("media_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# real dependency-free pixel/sample decode (round-8: PNG via stdlib zlib +
+# numpy unfiltering, WAV via stdlib wave; JPEG stays honestly gated)
+# ---------------------------------------------------------------------------
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_pixels(payload: bytes):
+    """PNG -> numpy uint8 array (height, width, channels), stdlib-only.
+
+    Supports the common web profile: bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced; all
+    five scanline filters (spec section 9 / RFC 2083).  Sub/Up unfilter
+    vectorize (modular prefix sums); Average/Paeth keep the spec's
+    left-dependency per-pixel recurrence.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = payload or b""
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    plte = None
+    hdr = None
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack(">I4s", b[pos:pos + 8])
+        data = b[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if interlace:
+        raise NotImplementedError("interlaced PNG decode is unsupported")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} is unsupported (8 only)")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if ch is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    out = np.zeros((h, stride), np.uint16)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = rows[y, 1:].astype(np.uint16)
+        prior = out[y - 1] if y else np.zeros(stride, np.uint16)
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub: modular prefix sum per channel column
+            cur = (row.reshape(w, ch).cumsum(0) & 0xFF).reshape(stride)
+        elif f == 2:  # Up
+            cur = (row + prior) & 0xFF
+        elif f == 3:  # Average: left-dependent recurrence per pixel
+            cur = np.zeros(stride, np.uint16)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                cur[x] = (row[x] + ((int(a) + int(prior[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = np.zeros(stride, np.uint16)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                bb = int(prior[x])
+                c = int(out[y - 1, x - ch]) if (x >= ch and y) else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        px = plte[px.reshape(h, w)]
+    return px
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """numpy uint8 (h, w[, ch]) -> PNG bytes (stdlib zlib; one filter type
+    for every scanline).  The inverse of decode_png_pixels for tests and
+    for the image sink's re-encode path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = px.reshape(h, w * ch).astype(np.int16)
+    lines = bytearray()
+    prior = np.zeros(w * ch, np.int16)
+    for y in range(h):
+        row = flat[y]
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+            enc = (row - left) & 0xFF
+        elif filter_type == 2:
+            enc = (row - prior) & 0xFF
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+            enc = (row - ((left + prior) >> 1)) & 0xFF
+        elif filter_type == 4:
+            enc = np.zeros(w * ch, np.int16)
+            for x in range(w * ch):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prior[x])
+                c = int(flat[y - 1][x - ch]) if (x >= ch and y) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(row[x]) - pred) & 0xFF
+        else:
+            raise ValueError(filter_type)
+        lines.append(filter_type)
+        lines += enc.astype(np.uint8).tobytes()
+        prior = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(payload: bytes):
+    """WAV -> (sample_rate, numpy int array (n_frames, channels)), via
+    the stdlib wave module (PCM 8/16/32-bit)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dt is None:
+        raise NotImplementedError(f"WAV sample width {width} is unsupported")
+    arr = np.frombuffer(frames, dt).reshape(-1, nch)
+    return rate, arr
+
+
+def parse_wav_header(payload: bytes):
+    """(sample_rate, n_frames, channels) from RIFF/WAVE fmt+data chunk
+    headers, dependency-free, else None."""
+    import struct
+
+    b = payload or b""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = nch = bits = None
+    data_len = None
+    while pos + 8 <= len(b):
+        cid, ln = b[pos:pos + 4], struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        if cid == b"fmt ":
+            _fmt, nch, rate = struct.unpack("<HHI", b[pos + 8:pos + 16])
+            bits = struct.unpack("<H", b[pos + 22:pos + 24])[0]
+        elif cid == b"data":
+            data_len = ln
+        pos += 8 + ln + (ln & 1)
+    if rate is None or data_len is None or not nch or not bits:
+        return None
+    return int(rate), int(data_len // (nch * (bits // 8))), int(nch)
+
+
+def decode_media_stats(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL decode over the media column: PNG payloads decode to pixels
+    (mean/crc32 prove the bytes), WAV payloads to samples; other formats
+    report header metadata only with decoded=false.  Arrow-batched
+    mapInPandas — the same batch shape a model-inference stage uses."""
+    import zlib as _z
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("decoded", T.StructType([
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("crc32", T.LongType()),
+        ]))]
+    )
+
+    def one(p: bytes) -> dict:
+        b = p or b""
+        try:
+            if b[:8] == _PNG_MAGIC:
+                px = decode_png_pixels(b)
+                return {
+                    "ok": True, "kind": "png",
+                    "width": px.shape[1], "height": px.shape[0],
+                    "channels": px.shape[2], "sample_rate": 0, "n_frames": 1,
+                    "mean": float(px.mean()),
+                    "crc32": _z.crc32(px.tobytes()) & 0xFFFFFFFF,
+                }
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                rate, arr = decode_wav(b)
+                return {
+                    "ok": True, "kind": "wav",
+                    "width": 0, "height": 0, "channels": arr.shape[1],
+                    "sample_rate": rate, "n_frames": arr.shape[0],
+                    "mean": float(arr.mean()) if arr.size else 0.0,
+                    "crc32": _z.crc32(arr.tobytes()) & 0xFFFFFFFF,
+                }
+        except NotImplementedError:
+            pass
+        hdr = parse_image_header(b)
+        return {
+            "ok": False, "kind": hdr[0] if hdr else "unknown",
+            "width": hdr[1] if hdr else 0, "height": hdr[2] if hdr else 0,
+            "channels": 0, "sample_rate": 0, "n_frames": 0,
+            "mean": 0.0, "crc32": 0,
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["decoded"] = [one(p) for p in pdf[payload_col]]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

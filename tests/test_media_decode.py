@@ -1,0 +1,171 @@
+"""Dependency-free PNG + WAV decode (VERDICT r7 ask #6).
+
+PNG: stdlib zlib + numpy unfiltering, all five scanline filters.  Golden
+cases pin exact pixel values for hand-assembled PNGs (built chunk by
+chunk with a known filter per row — the encoder under test is NOT used
+to produce them), then every filter round-trips through encode_png.
+WAV: stdlib wave; header parse cross-checks the sample decode.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from ekuiper_spark.datapipe.multimodal import (
+    decode_media_stats,
+    decode_png_pixels,
+    decode_wav,
+    encode_png,
+    parse_wav_header,
+)
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(w, h, ctype, scanlines: bytes, plte: bytes = b"") -> bytes:
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    )
+    if plte:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(scanlines)) + _chunk(b"IEND", b"")
+
+
+def test_png_golden_none_filter_gray():
+    # 3x2 grayscale, filter 0 rows: pixels are the raw scanline bytes
+    lines = bytes([0, 10, 20, 30, 0, 40, 50, 60])
+    px = decode_png_pixels(_png(3, 2, 0, lines))
+    assert px.shape == (2, 3, 1)
+    assert px.reshape(2, 3).tolist() == [[10, 20, 30], [40, 50, 60]]
+
+
+def test_png_golden_sub_filter_rgb():
+    # 2x1 RGB, filter 1 (Sub): second pixel = first + delta (mod 256)
+    lines = bytes([1, 250, 10, 4, 10, 250, 8])
+    px = decode_png_pixels(_png(2, 1, 2, lines))
+    # (250,10,4) then (250+10, 10+250, 4+8) mod 256 = (4, 4, 12)
+    assert px.reshape(2, 3).tolist() == [[250, 10, 4], [4, 4, 12]]
+
+
+def test_png_golden_up_filter():
+    # 2x2 gray: row0 filter 0 = [100, 200]; row1 filter 2 (Up) adds prior
+    lines = bytes([0, 100, 200, 2, 60, 70])
+    px = decode_png_pixels(_png(2, 2, 0, lines))
+    assert px.reshape(2, 2).tolist() == [[100, 200], [160, (200 + 70) % 256]]
+
+
+def test_png_golden_average_filter():
+    # 2x2 gray: row0 = [100, 200]; row1 filter 3: recon = raw + (a+b)//2
+    # x0: a=0, b=100 -> 10 + 50 = 60; x1: a=60, b=200 -> 4 + 130 = 134
+    lines = bytes([0, 100, 200, 3, 10, 4])
+    px = decode_png_pixels(_png(2, 2, 0, lines))
+    assert px.reshape(2, 2).tolist() == [[100, 200], [60, 134]]
+
+
+def test_png_golden_paeth_filter():
+    # 2x2 gray: row0 = [100, 200]; row1 filter 4 (Paeth)
+    # x0: a=0,b=100,c=0 -> p=100, pred=b=100 -> 5+100=105
+    # x1: a=105,b=200,c=100 -> p=205; pa=100,pb=5,pc=105 -> pred=b=200 -> 3+200=203
+    lines = bytes([0, 100, 200, 4, 5, 3])
+    px = decode_png_pixels(_png(2, 2, 0, lines))
+    assert px.reshape(2, 2).tolist() == [[100, 200], [105, 203]]
+
+
+def test_png_palette():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    lines = bytes([0, 0, 2, 0, 1, 1])
+    px = decode_png_pixels(_png(2, 2, 3, lines, plte=plte))
+    assert px.shape == (2, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[0, 1].tolist() == [0, 0, 255]
+    assert px[1, 0].tolist() == [0, 255, 0]
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_roundtrip_all_filters(filter_type, channels):
+    rng = np.random.default_rng(7 * filter_type + channels)
+    px = rng.integers(0, 256, size=(13, 9, channels), dtype=np.uint8)
+    b = encode_png(px, filter_type=filter_type)
+    out = decode_png_pixels(b)
+    assert np.array_equal(out, px)
+
+
+def _wav(rate=16000, nch=2, n=100, width=2) -> tuple[bytes, np.ndarray]:
+    rng = np.random.default_rng(5)
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+    info = np.iinfo(dt)
+    data = rng.integers(info.min, info.max, size=(n, nch)).astype(dt)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        wf.writeframes(data.tobytes())
+    return buf.getvalue(), data
+
+
+def test_wav_decode_and_header():
+    payload, data = _wav()
+    rate, arr = decode_wav(payload)
+    assert rate == 16000
+    assert np.array_equal(arr, data)
+    assert parse_wav_header(payload) == (16000, 100, 2)
+
+
+def test_wav_8bit():
+    payload, data = _wav(rate=8000, nch=1, n=32, width=1)
+    rate, arr = decode_wav(payload)
+    assert rate == 8000 and np.array_equal(arr, data)
+
+
+def test_decode_media_stats_operator(spark):
+    """The Spark-side plumbing: PNG and WAV payloads decode for real in
+    mapInPandas batches; a JPEG-header payload reports decoded=false with
+    its header metadata."""
+    import zlib as _z
+
+    png_px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    png = encode_png(png_px, filter_type=2)
+    wav, wdata = _wav(rate=22050, nch=1, n=64)
+    # minimal JPEG header (SOI + SOF0 with 7x5) — no pixel data
+    jpeg = b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 5, 7) + b"\x03" + b"\x00" * 20
+    df = spark.createDataFrame(
+        [("p1", bytearray(png)), ("w1", bytearray(wav)), ("j1", bytearray(jpeg))],
+        "id string, payload binary",
+    )
+    rows = {r["id"]: r["decoded"].asDict() for r in decode_media_stats(df).collect()}
+    p = rows["p1"]
+    assert p["ok"] and p["kind"] == "png" and (p["width"], p["height"], p["channels"]) == (4, 4, 3)
+    assert p["crc32"] == _z.crc32(png_px.tobytes()) & 0xFFFFFFFF
+    assert abs(p["mean"] - float(png_px.mean())) < 1e-9
+    w = rows["w1"]
+    assert w["ok"] and w["kind"] == "wav" and w["sample_rate"] == 22050 and w["n_frames"] == 64
+    assert w["crc32"] == _z.crc32(wdata.tobytes()) & 0xFFFFFFFF
+    j = rows["j1"]
+    assert not j["ok"] and j["kind"] == "jpeg" and (j["width"], j["height"]) == (7, 5)
+
+
+def test_extract_media_meta_real_wav(spark):
+    """fake_decode=False now succeeds on WAV payloads (header metadata),
+    keeping the honest gate for undecodable formats."""
+    from ekuiper_spark.datapipe.multimodal import extract_media_meta
+
+    wav, _ = _wav(rate=44100, nch=2, n=50)
+    df = spark.createDataFrame(
+        [("a", bytearray(wav), "audio")], "id string, payload binary, media_type string"
+    )
+    out = extract_media_meta(df, fake_decode=False).collect()[0]["meta"].asDict()
+    assert out["media_type"] == "audio/wav"
+    assert out["sample_rate"] == 44100 and out["n_frames"] == 50
