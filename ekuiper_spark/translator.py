@@ -78,6 +78,7 @@ class TranslateCtx:
     join_sliding_keys: Optional[list] = None  # precomputed per-trigger keys (batch sliding join)
     source_order: list = dc_field(default_factory=list)  # FROM-order aliases (star collision precedence)
     dyn_errs: list = dc_field(default_factory=list)  # per-row dynamic-type error messages (SendError)
+    srf_err: Optional[Any] = None  # per-row SRF runtime error (SendError unnest nil)
     deferred_where: Optional[Any] = None  # WHERE kept ABOVE count/sliding windows (filters window CONTENT)
     count_fast: bool = False  # aggregated COUNTWINDOW: fullness check + bounds on the post-agg frame
     flat_col_map: dict = dc_field(default_factory=dict)  # (qualified|bare) name -> flat column (post-stateful-join)
@@ -262,8 +263,16 @@ class Translator:
             )
             and stmt.having is None
             and not any(self._find_aggs(f.expr) for f in stmt.fields)
-            and any(
-                isinstance(fld.dataType, T.VariantType) for fld in df.schema.fields
+            and (
+                any(
+                    isinstance(fld.dataType, T.VariantType)
+                    for fld in df.schema.fields
+                )
+                # typed streams also take the error pipeline when the
+                # statement holds calls whose TYPED inputs can error
+                # per-row (jsonpath on nil, funcs_misc.go:538-575 via
+                # jsonpath_eval.go "invalid data nil for jsonpath")
+                or self._has_row_error_calls(stmt)
             )
         ):
             return self._compile_send_error(df, stmt, ctx)
@@ -3596,11 +3605,27 @@ class Translator:
                 out = out.filter(F.col("error").isNull()).drop("error")
             return out
         try:
-            out = df.select(*self._projection_cols(df, stmt, ctx))
+            cols = self._projection_cols(df, stmt, ctx)
+            if ctx.srf_err is not None:
+                cols = cols + [ctx.srf_err.alias("__srf_err")]
+            out = df.select(*cols)
         except _SRFTypeError as e:
             # reference SendError mode: the failing event emits an error
             # message row instead of data (rule_test.go TestSingleSQLRule24)
             return df.select(F.lit(str(e)).alias("error"))
+        if ctx.srf_err is not None:
+            # per-row SRF runtime error: the error message replaces the
+            # data (SendError emission shape)
+            err = F.col("__srf_err")
+            out = out.select(
+                *[
+                    F.when(err.isNull(), F.col(f"`{c}`")).alias(c)
+                    for c in out.columns
+                    if c != "__srf_err"
+                ],
+                err.alias("error"),
+            )
+            ctx.srf_err = None
         # unaliased unnest over a struct array flattens the struct into
         # top-level columns (funcs_srf.go:26-51: unnest emits the map's
         # entries as row fields)
@@ -3700,6 +3725,22 @@ class Translator:
                     raise _SRFTypeError(
                         "the argument for the unnest function should be array"
                     )
+                if self.on_error == "emit" and isinstance(arg_dt, T.ArrayType):
+                    # a per-ROW nil input is a runtime error under
+                    # SendError (projectset_operator.go:128: the nil value
+                    # is not an array) — a sentinel 1-element array keeps
+                    # the row through the explode and the error masks the
+                    # data in _project; default policy drops the row
+                    # (explode of null) like every lenient nil here
+                    ctx.srf_err = F.when(
+                        inner.isNull(),
+                        F.lit("the argument for the unnest function should be array"),
+                    )
+                    base = F.coalesce(
+                        inner, F.array(F.lit(None).cast(arg_dt.elementType))
+                    )
+                    out.append((F.explode(base).alias(name), name))
+                    continue
                 out.append((F.explode(inner).alias(name), name))
                 continue
             if isinstance(f.expr, FuncCall) and f.expr.name == "changed_cols":
@@ -5149,7 +5190,7 @@ class Translator:
             and len(cols) == 2
             and isinstance(raw[1], str)
         ):
-            return self._json_path(name.lower(), cols[0], raw[1])
+            return self._json_path(name.lower(), cols[0], raw[1], ctx)
         if (
             name.lower() == "cast"
             and cols
@@ -5176,7 +5217,37 @@ class Translator:
             return F.timestamp_millis(cols[0].cast("long"))
         return fregistry.build_scalar(name, cols, raw)
 
-    def _json_path(self, name: str, col: Column, path: str) -> Column:
+    def _has_row_error_calls(self, stmt: SelectStatement) -> bool:
+        """True when the statement contains calls whose typed inputs can
+        error PER ROW in the reference (json_path_query/_query_first on a
+        nil document)."""
+        import dataclasses
+
+        hit = False
+
+        def walk(n) -> None:
+            nonlocal hit
+            if hit or n is None or isinstance(n, (str, int, float, bool, bytes)):
+                return
+            if isinstance(n, FuncCall) and n.name.lower() in (
+                "json_path_query", "json_path_query_first"
+            ):
+                hit = True
+                return
+            if isinstance(n, (list, tuple)):
+                for x in n:
+                    walk(x)
+                return
+            if dataclasses.is_dataclass(n) and not isinstance(n, type):
+                for fld in dataclasses.fields(n):
+                    walk(getattr(n, fld.name))
+
+        for f in stmt.fields:
+            walk(f.expr)
+        walk(stmt.where)
+        return hit
+
+    def _json_path(self, name: str, col: Column, path: str, ctx: TranslateCtx = None) -> Column:
         """json_path_query / _query_first / _exists with the reference's
         gval jsonpath semantics (internal/conf/jsonpath_eval.go;
         funcs_misc.go:527-575): the input may be a typed container OR a
@@ -5184,12 +5255,12 @@ class Translator:
         query_first takes result[0] of an array result; exists maps
         errors and nil to false and arrays to len>0.
 
-        Declared divergence: a NULL input document yields NULL here (and
-        false for _exists); the reference emits the error row "invalid
-        data nil for jsonpath" (misc_func_test.go:819-840).  On typed
-        frames this engine's error-as-value channel is reserved for
-        dynamic (VARIANT) streams; a lenient nil matches how every other
-        nil-input scalar behaves here.
+        Under SendError a NULL input document emits the reference's
+        per-row error "invalid data nil for jsonpath"
+        (misc_func_test.go:819-840) through the same error channel the
+        VARIANT operators use — on typed frames too (round 8; was a
+        declared divergence).  With the default fail/ignore policy a
+        NULL document stays lenient-null (exists -> false).
 
         Typed containers compile to NATIVE Catalyst ops (getField /
         element_at / F.filter / F.transform); member/index-only paths on
@@ -5200,6 +5271,23 @@ class Translator:
 
         segs = jp.parse_path(path)
         dt = self._probe_dtype(col)
+        if (
+            ctx is not None
+            and self.on_error in ("emit", "omit")
+            and name in ("json_path_query", "json_path_query_first")
+        ):
+            # typed nil documents error PER ROW in the reference
+            # (jsonpath_eval.go: "invalid data nil for jsonpath";
+            # misc_func_test.go:819-840 pins the emitted text) — route
+            # through the SendError channel like the VARIANT operators
+            ctx.dyn_errs.append(
+                F.when(
+                    col.isNull(),
+                    F.lit(
+                        f"call func {name} error: invalid data nil for jsonpath"
+                    ),
+                )
+            )
         if isinstance(dt, (T.StructType, T.MapType, T.ArrayType)):
             try:
                 out, rdt, collected = jp.compile_typed(col, dt, segs)

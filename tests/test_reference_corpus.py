@@ -2616,3 +2616,70 @@ def test_window_func_partition_order_by(spark):
     assert [g[0] for g in got2] == [1, 2, 3, 4]
     # highest b gets rank 1 (ties broken deterministically)
     assert {g[2] for g in got2[:2]} == {2}
+
+
+# ---------------------------------------------------------------------------
+# round 8: typed-input error-as-value rows (was COVERAGE divergence #17)
+# ---------------------------------------------------------------------------
+def test_typed_jsonpath_nil_input_emits_error(spark):
+    """misc_func_test.go:819-840: json_path_query on a nil TYPED document
+    emits the per-row error under SendError instead of lenient null."""
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.translator import compile_sql
+
+    cat = Catalog()
+    df = spark.createDataFrame(
+        [(1, {"arm": 5}), (2, None)],
+        "id long, equipment struct<arm:long>",
+    )
+    cat.register_df("t", df)
+    out = compile_sql(
+        spark, "SELECT json_path_query(equipment, '$.arm') AS a FROM t",
+        cat, on_error="emit",
+    )
+    vals = [r.asDict() for r in out.collect()]
+    ok = [v for v in vals if v.get("error") is None]
+    err = [v for v in vals if v.get("error") is not None]
+    assert len(ok) == 1 and ok[0]["a"] == 5
+    assert len(err) == 1
+    assert "invalid data nil for jsonpath" in err[0]["error"]
+    assert "call func json_path_query error" in err[0]["error"]
+    assert err[0]["a"] is None
+    # omit: the erroring row drops silently
+    out2 = compile_sql(
+        spark, "SELECT json_path_query(equipment, '$.arm') AS a FROM t",
+        cat, on_error="omit",
+    )
+    assert [r["a"] for r in out2.collect()] == [5]
+    # json_path_exists maps errors to false, never an error row
+    out3 = compile_sql(
+        spark, "SELECT json_path_exists(equipment, '$.arm') AS e FROM t",
+        cat, on_error="emit",
+    )
+    assert sorted(r["e"] for r in out3.collect()) == [False, True]
+
+
+def test_typed_unnest_nil_row_emits_error(spark):
+    """projectset_operator.go:128 per-ROW: a nil typed array under
+    SendError emits 'the argument for the unnest function should be
+    array' in place of the row; default policy keeps the lenient drop."""
+    from ekuiper_spark.catalog import Catalog
+    from ekuiper_spark.translator import compile_sql
+
+    cat = Catalog()
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, None), (3, [30])],
+        "id long, a array<long>",
+    )
+    cat.register_df("t", df)
+    out = compile_sql(spark, "SELECT id, unnest(a) AS v FROM t", cat, on_error="emit")
+    vals = [r.asDict() for r in out.collect()]
+    err = [v for v in vals if v.get("error") is not None]
+    ok = sorted((v["id"], v["v"]) for v in vals if v.get("error") is None)
+    assert ok == [(1, 10), (1, 20), (3, 30)]
+    assert len(err) == 1
+    assert err[0]["error"] == "the argument for the unnest function should be array"
+    assert err[0]["id"] is None and err[0]["v"] is None
+    # default policy: null-array rows drop silently (lenient nil)
+    out2 = compile_sql(spark, "SELECT id, unnest(a) AS v FROM t", cat)
+    assert sorted((r["id"], r["v"]) for r in out2.collect()) == [(1, 10), (1, 20), (3, 30)]
