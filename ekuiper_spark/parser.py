@@ -212,8 +212,10 @@ class Parser:
             elif self.peek().kind == "ident":
                 alias = self.next().value
             on = None
-            if kind != "cross":
-                self.expect_kw("on")
+            if kind != "cross" and self.accept_kw("on"):
+                # ON is OPTIONAL in the reference grammar (parser.go:343
+                # ParseJoin scans ON conditionally); a missing condition
+                # joins every windowed pair like CROSS
                 on = self.parse_expr()
             joins.append(JoinClause(source=src, alias=alias, kind=kind, on=on))
 

@@ -937,11 +937,24 @@ class RestServer:
                     self.runtime.start_rule(rid, available_now="availableNow=1" in query)
                     return 200, {"result": f"rule {rid} restarted"}
                 if method == "GET" and len(parts) == 3 and parts[2] == "explain":
-                    return 200, {
+                    # "logical" = the reference's ExplainFromLogicalPlan
+                    # text (planner.go:344; plan_explain_test.go goldens);
+                    # "plan" = Catalyst's physical plan (richer)
+                    from ekuiper_spark.parser import parse_sql as _ps
+                    from ekuiper_spark.plans.explain import explain_statement
+
+                    out = {
                         "plan": self.processor.exec_stmt(
                             "EXPLAIN " + self.runtime.rules[rid].sql
                         )
                     }
+                    try:
+                        out["logical"] = explain_statement(
+                            _ps(self.runtime.rules[rid].sql), self.catalog
+                        )
+                    except Exception as e:
+                        out["logical"] = f"unavailable: {e}"
+                    return 200, out
                 if method == "GET" and len(parts) == 3 and parts[2] == "topo":
                     return 200, self._topo(self.runtime.rules[rid])
                 if len(parts) == 3 and parts[2] == "tags":

@@ -1024,7 +1024,10 @@ class Translator:
             if j.kind == "cross":
                 df = df.crossJoin(rdf)
             else:
-                df = df.join(rdf, on=self._expr(j.on, ctx), how=j.kind)
+                # ON is optional in the reference grammar (parser.go:343):
+                # a missing condition matches every windowed pair
+                cond = self._expr(j.on, ctx) if j.on is not None else F.lit(True)
+                df = df.join(rdf, on=cond, how=j.kind)
         return df
 
     def _is_stream_source(self, name: str) -> bool:

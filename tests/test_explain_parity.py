@@ -1,0 +1,86 @@
+"""EXPLAIN text parity with the reference's logical-plan renderer.
+
+Goldens are extracted verbatim from plan_explain_test.go (the Go runner
+itself only asserts one case; all ten goldens in the file are replayed
+here).  The fixture streams mirror prepareStream(): stream/sharedStream
+with (a BIGINT, b BIGINT).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import types as T
+
+from ekuiper_spark.catalog import Catalog, StreamDef
+from ekuiper_spark.parser import parse_sql
+from ekuiper_spark.plans.explain import explain_statement
+
+REF = "/root/reference/internal/topo/planner/plan_explain_test.go"
+
+
+def _golden_cases():
+    src = open(REF).read()
+    out = []
+    for m in re.finditer(r"sql: `([^`]*)`,\n\s*explain: `([^`]*)`", src):
+        out.append((m.group(1), m.group(2)))
+    assert len(out) >= 10, "golden extraction broke"
+    return out
+
+
+@pytest.fixture(scope="module")
+def cat():
+    sch = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    c = Catalog()
+    c.register(StreamDef(name="stream", schema=sch, kind="stream"))
+    c.register(StreamDef(name="sharedStream", schema=sch, kind="stream"))
+    return c
+
+
+@pytest.mark.parametrize("idx", range(10))
+def test_explain_plan_golden(cat, idx):
+    cases = _golden_cases()
+    if idx >= len(cases):
+        pytest.skip("fewer goldens than expected")
+    sql, want = cases[idx]
+    got = explain_statement(parse_sql(sql), cat)
+    assert got == want, f"{sql}\n got: {got!r}\nwant: {want!r}"
+
+
+def test_explain_endpoint_serves_logical_text(spark):
+    """/rules/{id}/explain carries the reference-format logical text
+    alongside the Catalyst physical plan."""
+    import json
+    import urllib.request
+
+    from ekuiper_spark.server import RestServer
+
+    srv = RestServer(spark, Catalog.from_dir("/root/testdata/sf0.001")).start()
+    try:
+        def req(method, path, body=None):
+            url = f"http://127.0.0.1:{srv.port}{path}"
+            data = json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(url, data=data, method=method)
+            if data:
+                r.add_header("Content-Type", "application/json")
+            with urllib.request.urlopen(r) as resp:
+                return resp.status, json.loads(resp.read())
+
+        code, _ = req("POST", "/rules", {
+            "id": "exp_logical",
+            "sql": "SELECT event_id, value FROM events WHERE value > 10",
+            "actions": [{"nop": {}}],
+            "triggered": False,
+        })
+        assert code == 201
+        code, body = req("GET", "/rules/exp_logical/explain")
+        assert code == 200
+        assert '{"op":"ProjectPlan_0"' in body["logical"]
+        assert '"op":"FilterPlan_1"' in body["logical"]
+        assert '"op":"DataSourcePlan_2"' in body["logical"]
+        assert "value" in body["plan"]  # Catalyst physical text still there
+    finally:
+        srv.stop()
