@@ -422,7 +422,10 @@ def write_mqtt_sink(
         for r in rows:
             if cli is None:
                 cli = MqttClient(host, int(port))
-            payload = bytes(r[0]) if raw else json.dumps(r.asDict(recursive=True), default=str).encode()
+            # compact separators = Go encoding/json byte parity
+            payload = bytes(r[0]) if raw else json.dumps(
+                r.asDict(recursive=True), default=str, separators=(",", ":")
+            ).encode()
             cli.publish(topic, payload, qos, retain)
         if cli is not None:
             cli.disconnect()

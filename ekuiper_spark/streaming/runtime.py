@@ -60,6 +60,23 @@ class RuleRuntime:
         self.scan_tables: dict[str, Any] = {}
         # per-rule query-start epoch ms (source connection time metric)
         self._start_times: dict[str, int] = {}
+        # rows written by foreachBatch sinks (Spark reports numOutputRows
+        # = -1 for them; the reference's sink_*_records_out_total counts)
+        self._sink_counts: dict[str, int] = {}
+
+    def _count_fb(self, rule_id: str, fn: Callable) -> Callable:
+        """Wrap a foreachBatch body so sink_*_records_out_total counts the
+        rows the sink actually received."""
+        def wrapped(batch_df: DataFrame, epoch: int) -> None:
+            batch_df.persist()
+            try:
+                n = batch_df.count()
+                fn(batch_df, epoch)
+                self._sink_counts[rule_id] = self._sink_counts.get(rule_id, 0) + n
+            finally:
+                batch_df.unpersist()
+
+        return wrapped
 
     def register_scan_table(self, name: str, buffer: Any) -> None:
         self.scan_tables[name] = buffer
@@ -161,16 +178,25 @@ class RuleRuntime:
     def _start_query(self, rule_id: str, available_now: bool = False) -> Any:
         import time
 
+        from ekuiper_spark.functions.scalar import parse_go_duration
+
         self._snapshot_read_files(rule_id)
         rule = self.rules[rule_id]
         opts = rule.options
+        # reference option keys (def/rule.go): lateTolerance applies only
+        # to event-time rules (isEventTime); the Go duration converts to
+        # Spark's watermark wording.  late_tolerance is this runtime's
+        # pre-existing direct passthrough.
+        watermark = opts.get("late_tolerance")
+        if watermark is None and opts.get("isEventTime") and opts.get("lateTolerance"):
+            watermark = f"{parse_go_duration(str(opts['lateTolerance']))} seconds"
         df = compile_sql(
             self.spark,
             rule.sql,
             self.catalog,
             streaming=True,
             event_col=opts.get("event_col"),
-            watermark=opts.get("late_tolerance"),
+            watermark=watermark,
             order_cols=opts.get("order_cols"),
             # rule execution context backing rule_id()/rule_start()/props()
             rule_ctx={
@@ -240,7 +266,7 @@ class RuleRuntime:
             def _roll_batch(batch_df: DataFrame, _epoch: int, _w=roller, _o=sink_opts) -> None:
                 _w.write_payloads(sink_batch(batch_df, _o))
 
-            q = writer.foreachBatch(_roll_batch).start()
+            q = writer.foreachBatch(self._count_fb(rule_id, _roll_batch)).start()
         elif sink_type == "file":
             ckpt = sink_opts.get("checkpoint", f"/tmp/ckpt_{rule_id}_{uuid.uuid4().hex}")
             self._checkpoints[rule_id] = ckpt
@@ -257,16 +283,29 @@ class RuleRuntime:
             # reference sink.go resolves topic from the action config
             from ekuiper_spark.sources.mqtt import write_mqtt_sink
 
-            def _mqtt_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
+            # the reference action carries `server` ("tcp://host:port",
+            # mqtt conn.go); explicit host/port still win
+            host = sink_opts.get("host")
+            port = sink_opts.get("port")
+            if (host is None or port is None) and sink_opts.get("server"):
+                from urllib.parse import urlparse
+
+                u = urlparse(str(sink_opts["server"]))
+                host = host or u.hostname or "127.0.0.1"
+                port = port or u.port
+            host = host or "127.0.0.1"
+
+            def _mqtt_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts,
+                            _h=host, _p=int(port)) -> None:
                 write_mqtt_sink(
                     batch_df,
-                    _o.get("host", "127.0.0.1"),
-                    int(_o["port"]),
+                    _h,
+                    _p,
                     _o["topic"],
                     qos=int(_o.get("qos", 0)),
                 )
 
-            q = writer.foreachBatch(_mqtt_batch).start()
+            q = writer.foreachBatch(self._count_fb(rule_id, _mqtt_batch)).start()
         elif sink_type == "websocket":
             # per-partition JSON text frames (websocket_sink.go)
             from ekuiper_spark.sources.websocket import write_websocket_sink
@@ -274,7 +313,7 @@ class RuleRuntime:
             def _ws_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
                 write_websocket_sink(batch_df, _o["url"])
 
-            q = writer.foreachBatch(_ws_batch).start()
+            q = writer.foreachBatch(self._count_fb(rule_id, _ws_batch)).start()
         elif sink_type == "sse":
             # SSE broadcast via the in-process broker (sse/sink.go)
             from ekuiper_spark.sources.sse import write_sse_sink
@@ -284,7 +323,7 @@ class RuleRuntime:
                     batch_df, int(_o["port"]), _o.get("endpoint", "/stream")
                 )
 
-            q = writer.foreachBatch(_sse_batch).start()
+            q = writer.foreachBatch(self._count_fb(rule_id, _sse_batch)).start()
         elif sink_type == "neuron":
             # nanomsg PAIR publish (neuron sink.go message shape)
             from ekuiper_spark.sources.neuron import write_neuron_sink
@@ -296,7 +335,7 @@ class RuleRuntime:
                     node_name=_o.get("nodeName", "node"),
                 )
 
-            q = writer.foreachBatch(_neuron_batch).start()
+            q = writer.foreachBatch(self._count_fb(rule_id, _neuron_batch)).start()
         elif sink_type == "edgex":
             # AddEventRequest envelopes on the redis bus (edgex sink.go)
             from ekuiper_spark.sources.edgex import write_edgex_sink
@@ -310,7 +349,7 @@ class RuleRuntime:
                     device_name=_o.get("deviceName", "ekuiper"),
                 )
 
-            q = writer.foreachBatch(_edgex_batch).start()
+            q = writer.foreachBatch(self._count_fb(rule_id, _edgex_batch)).start()
         elif sink_type == "influx":
             # line-protocol HTTP writes, one POST per partition
             # (extensions/impl/influx/influx.go BatchPoints analog)
@@ -334,7 +373,7 @@ class RuleRuntime:
                     precision=str(_o.get("precision", "ns")),
                 )
 
-            q = writer.foreachBatch(_influx_batch).start()
+            q = writer.foreachBatch(self._count_fb(rule_id, _influx_batch)).start()
         elif sink_type == "tdengine3":
             # per-row INSERT statements merged per partition, shipped over
             # the REST API (extensions/impl/tdengine3/tdengine3.go)
@@ -343,7 +382,7 @@ class RuleRuntime:
             def _tdengine_batch(batch_df: DataFrame, _epoch: int, _o=sink_opts) -> None:
                 write_tdengine_sink(batch_df, _o, addr=_o.get("addr"))
 
-            q = writer.foreachBatch(_tdengine_batch).start()
+            q = writer.foreachBatch(self._count_fb(rule_id, _tdengine_batch)).start()
         elif sink_type == "image":
             # save binary payloads as image files with count pruning
             # (extensions/impl/image/image.go)
@@ -358,7 +397,7 @@ class RuleRuntime:
                     max_count=int(_o.get("maxCount", 0)),
                 )
 
-            q = writer.foreachBatch(_image_batch).start()
+            q = writer.foreachBatch(self._count_fb(rule_id, _image_batch)).start()
         elif sink_type == "zmq":
             # PUB the batch as JSON payloads (extensions/impl/zmq/sink.go);
             # the binding PUB socket lives for the rule's lifetime
@@ -371,7 +410,7 @@ class RuleRuntime:
             def _zmq_batch(batch_df: DataFrame, _epoch: int, _p=zpub, _o=sink_opts) -> None:
                 write_zmq_sink(batch_df, _p, topic=_o.get("topic", ""))
 
-            q = writer.foreachBatch(_zmq_batch).start()
+            q = writer.foreachBatch(self._count_fb(rule_id, _zmq_batch)).start()
         elif sink_type == "sql":
             # DB writes with insert/update/delete rowkind semantics
             # (extensions/impl/sql/sink.go:53-56)
@@ -387,7 +426,7 @@ class RuleRuntime:
                     row_kind_field=_o.get("rowKindField"),
                 )
 
-            q = writer.foreachBatch(_sql_batch).start()
+            q = writer.foreachBatch(self._count_fb(rule_id, _sql_batch)).start()
         elif sink_type == "kafka":
             # extensions/impl/kafka sink -> Spark's native kafka writer;
             # rows become JSON `value` (+ optional string `key`)
@@ -658,6 +697,8 @@ class RuleRuntime:
             sink = p.get("sink") or {}
             n = int(sink.get("numOutputRows") or 0)
             rows_out += max(n, 0)  # -1 = unreported (foreachBatch)
+        # foreachBatch sinks count their own rows (_count_fb)
+        rows_out = max(rows_out, self._sink_counts.get(rule_id, 0))
         exc = 0
         try:
             exc = 1 if q.exception() is not None else 0

@@ -562,3 +562,92 @@ def test_ruletest_mock_source_unnest_keeps_projected_fields(server):
     assert got["type"] == "1"
     assert "k" in body["columns"]
     _cleanup(server, streams=["demoRT"])
+
+
+def test_upsert_ruleset_import_with_mqtt(server, spark):
+    """TestUpsert (rule_test.go:166): import the reference's own
+    rules/old.json (shared simulator source, two mqtt-sink rules), watch
+    the sink metrics, stop one rule, hot-swap both via partial imports of
+    new1/new2.json, and assert the four topics' final payloads — against
+    the repo's in-process MQTT broker."""
+    import threading
+
+    from ekuiper_spark.sources.mqtt import MqttBroker, MqttClient
+
+    broker = MqttBroker()
+    got: dict[str, str] = {}
+    lock = threading.Lock()
+
+    sub = MqttClient("127.0.0.1", broker.port)
+    sub.subscribe("sim/#")
+
+    def pump():
+        while True:
+            try:
+                topic, payload, _mid = sub.inbox.get(timeout=120)
+            except Exception:
+                return
+            with lock:
+                got[topic] = payload.decode()
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+
+    def load(fname):
+        raw = open(f"/root/reference/fvt/rules/{fname}").read()
+        return raw.replace("127.0.0.1:4883", f"127.0.0.1:{broker.port}")
+
+    try:
+        code, body = _req(server, "POST", "/data/import?partial=1",
+                          {"content": load("old.json")})
+        assert code == 200, body
+        for rid in ("hot", "cold"):
+            st = _poll_status(server, rid, "running")
+            assert st["status"] == "running", (rid, st)
+        # sink throughput visible through the reference metric key
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            _, h = _req(server, "GET", "/rules/hot/status")
+            _, c = _req(server, "GET", "/rules/cold/status")
+            if (h.get("sink_mqtt_0_0_records_out_total", 0) > 10
+                    and c.get("sink_mqtt_0_0_records_out_total", 0) > 10):
+                break
+            time.sleep(0.5)
+        assert h["sink_mqtt_0_0_records_out_total"] > 10, h
+        assert c["sink_mqtt_0_0_records_out_total"] > 10, c
+        assert "source_simup_0_connection_last_connected_time" in h
+        # stop the cold rule
+        code, _ = _req(server, "POST", "/rules/cold/stop")
+        assert code == 200
+        st = _poll_status(server, "cold", "stopped")
+        assert st["status"] == "stopped"
+        # hot-swap both rules (the stopped cold restarts on import)
+        code, _ = _req(server, "POST", "/data/import?partial=1",
+                       {"content": load("new1.json")})
+        assert code == 200
+        code, _ = _req(server, "POST", "/data/import?partial=1",
+                       {"content": load("new2.json")})
+        assert code == 200
+        for rid in ("hot", "cold"):
+            st = _poll_status(server, rid, "running")
+            assert st["status"] == "running", (rid, st)
+        deadline = time.time() + 60
+        want = {
+            "sim/new1": '{"b":2}', "sim/new2": '{"a":1}',
+            "sim/old1": '{"a":1}', "sim/old2": '{"b":2}',
+        }
+        while time.time() < deadline:
+            with lock:
+                if set(got) >= set(want):
+                    break
+            time.sleep(0.5)
+        with lock:
+            snapshot = dict(got)
+        assert {k: snapshot.get(k) for k in want} == want, snapshot
+    finally:
+        _cleanup(server, rules=["cold", "hot"], streams=["simup"])
+        try:
+            sub.disconnect()
+        except Exception:
+            pass
+        broker.close()
