@@ -384,7 +384,21 @@ class Catalog:
             reader = spark.readStream if streaming else spark.read
             if d.schema is not None:
                 reader = reader.schema(d.schema)
-            opts = {k: str(v) for k, v in d.options.items() if k not in ("type", "format")}
+            # CONF_KEY + connectionSelector props resolve through the
+            # shared registry (REST /metadata confKeys + /connections)
+            from ekuiper_spark.sources import confstore as _cs
+
+            merged = _cs.resolve_props(src_type, d.options)
+            if src_type == "mqtt" and merged.get("server"):
+                from urllib.parse import urlparse as _up
+
+                u = _up(str(merged.pop("server")))
+                merged.setdefault("host", u.hostname or "127.0.0.1")
+                merged.setdefault("port", u.port or 1883)
+            opts = {
+                k: str(v) for k, v in merged.items()
+                if k not in ("type", "format", "connectionSelector")
+            }
             if d.options.get("format"):
                 opts["format"] = str(d.options["format"])
             if src_type == "httppull" and d.path:

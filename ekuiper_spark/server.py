@@ -359,14 +359,36 @@ class RestServer:
             # surface is built in); ids validate, everything else 404s
             return 404, {"error": f"plugin management not supported: {path}"}
 
+        if parts[0] == "metadata" and len(parts) == 4 and parts[2] == "connection":
+            # POST /metadata/{sources|sinks}/connection/{type}: ping the
+            # connection props (connection.go ping registry; fvt
+            # TestSourcePing/TestSinkPing error shapes)
+            from ekuiper_spark.sources import confstore
+
+            kind, typ = parts[1], parts[3]
+            if method == "POST":
+                try:
+                    err = confstore.ping(kind, typ, body or {})
+                except KeyError:
+                    return 400, {
+                        "error": 1000,
+                        "message": f"{kind[:-1]} {typ} doesn't support ping connection",
+                    }
+                if err is None:
+                    return 200, {"result": "success"}
+                return 400, {"error": 1003, "message": err}
+
         if parts[0] == "metadata" and len(parts) == 5 and parts[3] == "confKeys":
             # PUT /metadata/{sources|sinks}/{type}/confKeys/{key}
             # (meta_init.go conf-key hot update; fvt sdk.go CreateConf):
-            # stores the conf; simulator streams resolve CONF_KEY here
+            # stores the conf; streams resolve CONF_KEY here
+            from ekuiper_spark.sources import confstore
+
             kind, typ, key = parts[1], parts[2], parts[4]
             store = self.source_confs.setdefault(f"{kind}/{typ}", {})
             if method == "PUT":
                 store[key] = body or {}
+                confstore.set_conf(kind, typ, key, body or {})
                 if typ == "simulator":
                     from ekuiper_spark.sources import mock as _mock
 
@@ -630,6 +652,8 @@ class RestServer:
             # rest.go:235-236 named-connection registry (connection.go:
             # 33-81 request/response shapes); connections are reusable
             # source/sink endpoint configs referenced by connectionSelector
+            from ekuiper_spark.sources import confstore
+
             if method == "POST" and len(parts) == 1:
                 cid = body.get("id")
                 if not cid or not re.match(r"^[A-Za-z0-9_.-]+$", cid):
@@ -640,6 +664,7 @@ class RestServer:
                     "typ": body.get("typ", ""),
                     "props": body.get("props") or {},
                 }
+                confstore.CONNECTIONS[cid] = self.connections[cid]
                 return 201, "success"
             if method == "GET" and len(parts) == 1:
                 return 200, [
@@ -648,7 +673,9 @@ class RestServer:
                         "typ": c["typ"],
                         "props": c["props"],
                         "isNamed": True,
-                        "status": "connected",
+                        # live reachability probe (the reference tracks
+                        # the client's connect/disconnect callbacks)
+                        "status": confstore.probe(c["typ"], c["props"]),
                     }
                     for cid, c in sorted(self.connections.items())
                 ]
@@ -659,6 +686,7 @@ class RestServer:
                         "typ": body.get("typ", ""),
                         "props": body.get("props") or {},
                     }
+                    confstore.CONNECTIONS[cid] = self.connections[cid]
                     return 200, "success"
                 if cid not in self.connections:
                     return 404, {"error": f"connection {cid} not found"}
@@ -669,10 +697,11 @@ class RestServer:
                         "typ": c["typ"],
                         "props": c["props"],
                         "isNamed": True,
-                        "status": "connected",
+                        "status": confstore.probe(c["typ"], c["props"]),
                     }
                 if method == "DELETE":
                     del self.connections[cid]
+                    confstore.CONNECTIONS.pop(cid, None)
                     return 200, {"result": f"connection {cid} dropped"}
 
         if parts[0] == "data":

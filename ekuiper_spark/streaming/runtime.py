@@ -714,6 +714,20 @@ class RuleRuntime:
         started = self._start_times.get(rule_id)
         if started is not None:
             out[f"source_{src}_0_connection_last_connected_time"] = started
+        # named-connection reachability (fvt conn_test.go TestConnStatus:
+        # source_<selector>/<datasource>_0_connection_status = 1 | -1)
+        d = self.catalog.get(src)
+        if d is not None:
+            from ekuiper_spark.sources import confstore
+
+            typ = (d.options.get("type") or "").lower()
+            props = confstore.resolve_props(typ, d.options)
+            sel = props.get("connectionSelector")
+            if sel:
+                ok = confstore.probe(typ, props, timeout=0.5) == "connected"
+                out[f"source_{sel}/{d.path or ''}_0_connection_status"] = (
+                    1.0 if ok else -1.0
+                )
         return out
 
     # -- persistence (the reference keeps rules in a KV store,

@@ -651,3 +651,102 @@ def test_upsert_ruleset_import_with_mqtt(server, spark):
         except Exception:
             pass
         broker.close()
+
+
+# ---------------------------------------------------------------------------
+# fvt/conn_test.go
+# ---------------------------------------------------------------------------
+def test_conn_status_lifecycle(server):
+    """TestConnStatus (conn_test.go:43): a named mqtt connection whose
+    broker is down reports disconnected (and the rule metric
+    source_<conn>/<topic>_0_connection_status = -1); once the broker
+    starts, both flip to connected / 1."""
+    import socket
+
+    from ekuiper_spark.sources.mqtt import MqttBroker
+
+    # reserve a port that is guaranteed closed right now
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    code, _ = _req(server, "POST", "/connections", {
+        "id": "conn1", "typ": "mqtt",
+        "props": {"server": f"tcp://127.0.0.1:{port}"},
+    })
+    assert code == 201
+    code, _ = _req(server, "PUT", "/metadata/sources/mqtt/confKeys/ttt",
+                   {"connectionSelector": "conn1"})
+    assert code == 200
+    code, _ = _req(server, "POST", "/streams", {
+        "sql": 'create stream tttStream () WITH (TYPE="mqtt", DATASOURCE="ttt", '
+               'FORMAT="json", CONF_KEY="ttt", SHARED="true")'
+    })
+    assert code == 201
+    code, _ = _req(server, "POST", "/rules", {
+        "id": "ruleTTT1", "sql": "SELECT * FROM tttStream",
+        "actions": [{"nop": {}}],
+    })
+    assert code == 201
+    try:
+        code, c = _req(server, "GET", "/connections/conn1")
+        assert code == 200 and c["status"] == "disconnected"
+        _, st = _req(server, "GET", "/rules/ruleTTT1/status")
+        assert st["source_conn1/ttt_0_connection_status"] == -1.0, st
+        # start a broker on that port: automatically connected
+        broker = MqttBroker(port=port)
+        try:
+            deadline = time.time() + 20
+            ok = False
+            while time.time() < deadline:
+                _, c = _req(server, "GET", "/connections/conn1")
+                _, st = _req(server, "GET", "/rules/ruleTTT1/status")
+                if (c["status"] == "connected"
+                        and st.get("source_conn1/ttt_0_connection_status") == 1.0):
+                    ok = True
+                    break
+                time.sleep(0.5)
+            assert ok, (c, st)
+        finally:
+            broker.close()
+    finally:
+        _cleanup(server, rules=["ruleTTT1"], streams=["tttStream"])
+        _req(server, "DELETE", "/connections/conn1")
+
+
+def test_source_sink_ping(server):
+    """TestSourcePing / TestSinkPing (conn_test.go:261,410): pingable
+    types dial their endpoint; the rest answer the reference's
+    'doesn't support ping connection' 400."""
+    import socket
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    dead_port = probe.getsockname()[1]
+    probe.close()
+
+    # mqtt: refused connection -> 1003 with the dial error text
+    code, body = _req(server, "POST", "/metadata/sources/connection/mqtt",
+                      {"server": f"tcp://127.0.0.1:{dead_port}"})
+    assert code == 400 and body["error"] == 1003
+    assert f"found error when connecting for tcp://127.0.0.1:{dead_port}" in body["message"]
+    assert "connection refused" in body["message"]
+    # non-pingable types -> 1000 with the exact message
+    for typ in ("httppull", "httppush", "neuron", "file", "memory",
+                "websocket", "simulator", "video"):
+        code, body = _req(server, "POST", f"/metadata/sources/connection/{typ}", {})
+        assert code == 400 and body["error"] == 1000, (typ, body)
+        assert body["message"] == f"source {typ} doesn't support ping connection"
+    code, body = _req(server, "POST", "/metadata/sinks/connection/rest", {})
+    assert code == 400 and body["message"] == "sink rest doesn't support ping connection"
+    # a live endpoint pings OK
+    from ekuiper_spark.sources.mqtt import MqttBroker
+
+    broker = MqttBroker()
+    try:
+        code, _ = _req(server, "POST", "/metadata/sinks/connection/mqtt",
+                       {"server": f"tcp://127.0.0.1:{broker.port}"})
+        assert code == 200
+    finally:
+        broker.close()
