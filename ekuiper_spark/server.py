@@ -71,8 +71,10 @@ class RestServer:
         self.source_confs: dict[str, dict[str, dict]] = {}
         # auto-start failures surfaced through /rules/{id}/status
         self.start_errors: dict[str, str] = {}
-        # rules with tracing enabled (rest.go:216 trace/start|stop)
+        # rules with tracing enabled (rest.go:216 trace/start|stop);
+        # shared with the runtime so sinks sample traced batches
         self.traced: set[str] = set()
+        self.runtime.traced_ref = self.traced
         # hot-updatable basic config (rest.go:229 PATCH /configs)
         self.basic_config: dict[str, Any] = {}
         # trial rules (rest.go:1065 /ruletest lifecycle)
@@ -1179,13 +1181,17 @@ class RestServer:
                             {"name": k, "durationMs": v}
                             for k, v in (p.get("durationMs") or {}).items()
                         ]
-                        return 200, {
+                        out = {
                             "traceId": tid,
                             "rule": rid,
                             "timestamp": p.get("timestamp"),
                             "numInputRows": p.get("numInputRows"),
                             "spans": spans,
                         }
+                        tree = self._trace_tree(rid, batch)
+                        if tree is not None:
+                            out.update(tree)
+                        return 200, out
                 return 404, {"error": f"trace {tid!r} not found"}
 
         if parts == ["batch", "req"] and method == "POST":
@@ -1244,6 +1250,50 @@ class RestServer:
 
             self._trial_ws_srv = WsServer()
         return self._trial_ws_srv
+
+    def _trace_tree(self, rid: str, batch: str) -> Optional[dict]:
+        """The reference's nested span shape (fvt/result/trace/*.json:
+        {name, attribute{rule, data}, ChildSpan}) over the rule's
+        operator chain.  One tree per MICRO-BATCH (documented divergence:
+        the reference traces per tuple; Catalyst fuses operators, so the
+        data attribute carries a bounded sink-row sample instead of the
+        per-hop payload)."""
+        rule = self.runtime.rules.get(rid)
+        if rule is None:
+            return None
+        try:
+            topo = self._topo(rule)
+        except Exception:
+            return None
+        sample = (self.runtime.trace_samples.get(rid) or {}).get(
+            int(batch) if str(batch).isdigit() else -1
+        )
+        data = json.dumps(sample, default=str, separators=(",", ":")) if sample else ""
+        chain: list[str] = []
+        node = topo["edges"].get(topo["sources"][0], [None])[0]
+        seen = set()
+        while node and node not in seen:
+            seen.add(node)
+            chain.append(node)
+            node = (topo["edges"].get(node) or [None])[0]
+        names = [topo["sources"][0].replace("source_", "", 1)]
+        for i, op in enumerate(c for c in chain if not c.startswith("sink_")):
+            names.append(f"{i + 2}_{op.replace('op_', '', 1)}")
+        sink = (chain[-1] if chain and chain[-1].startswith("sink_") else "sink_log")
+        sname = sink.replace("sink_", "", 1)
+        names += [f"{sname}_0_0_transform", f"{sname}_0_1_encode", f"{sname}_0"]
+        tree: Optional[dict] = None
+        for name in reversed(names):
+            span = {
+                "name": name,
+                "attribute": {"rule": rid, "data": data},
+            }
+            if tree is not None:
+                span["ChildSpan"] = [tree]
+            tree = span
+        if tree is not None:
+            tree["attribute"]["span.mytype"] = "data-processing"
+        return tree
 
     def _topo(self, rule: Rule) -> dict:
         """Operator topology of a rule (rest.go:214 getTopoRuleHandler):

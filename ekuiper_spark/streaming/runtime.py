@@ -63,16 +63,29 @@ class RuleRuntime:
         # rows written by foreachBatch sinks (Spark reports numOutputRows
         # = -1 for them; the reference's sink_*_records_out_total counts)
         self._sink_counts: dict[str, int] = {}
+        # rule ids with tracing on (shared with the REST server's set) and
+        # per-(rule, batch) sampled sink rows for the trace span tree
+        self.traced_ref: set[str] = set()
+        self.trace_samples: dict[str, dict[int, list]] = {}
 
     def _count_fb(self, rule_id: str, fn: Callable) -> Callable:
         """Wrap a foreachBatch body so sink_*_records_out_total counts the
-        rows the sink actually received."""
+        rows the sink actually received (and, when the rule is traced, a
+        small row sample feeds the trace span tree's data attributes)."""
         def wrapped(batch_df: DataFrame, epoch: int) -> None:
             batch_df.persist()
             try:
                 n = batch_df.count()
                 fn(batch_df, epoch)
                 self._sink_counts[rule_id] = self._sink_counts.get(rule_id, 0) + n
+                if rule_id in self.traced_ref and n:
+                    sample = [
+                        r.asDict(recursive=True) for r in batch_df.limit(3).collect()
+                    ]
+                    per = self.trace_samples.setdefault(rule_id, {})
+                    per[int(epoch)] = sample
+                    for k in sorted(per)[:-32]:  # bounded retention
+                        del per[k]
             finally:
                 batch_df.unpersist()
 
@@ -223,8 +236,12 @@ class RuleRuntime:
             q = writer.format("memory").queryName(name).start()
         elif sink_type in ("nop", "log"):
             # nop sink discards (io/sink/nop_sink.go); log sink writes the
-            # conf log — both map to Spark's no-op sink (metrics still flow)
-            q = writer.format("noop").start()
+            # conf log — a counted no-op foreachBatch so the reference's
+            # sink_*_records_out_total metric and trace samples still flow
+            def _nop_batch(batch_df: DataFrame, _epoch: int) -> None:
+                pass
+
+            q = writer.foreachBatch(self._count_fb(rule_id, _nop_batch)).start()
         elif sink_type == "console":
             q = writer.format("console").start()
         elif sink_type == "file" and (

@@ -750,3 +750,60 @@ def test_source_sink_ping(server):
         assert code == 200
     finally:
         broker.close()
+
+
+# ---------------------------------------------------------------------------
+# fvt/trace_test.go (per-batch span trees; the reference traces per tuple)
+# ---------------------------------------------------------------------------
+def test_trace_span_tree(server, spark):
+    """TestLookup's trace assertions at batch granularity: a traced rule
+    exposes trace ids; each trace carries the reference's nested
+    {name, attribute{rule, data}, ChildSpan} shape walking source ->
+    operators -> sink_transform -> sink_encode -> sink, with the data
+    attribute holding the batch's sampled sink rows."""
+    _req(server, "PUT", "/metadata/sources/simulator/confKeys/trc",
+         {"data": [{"id": 1, "name": "John"}, {"id": 2, "name": "Jon"}],
+          "interval": "1ms", "loop": False})
+    _req(server, "POST", "/streams",
+         {"sql": 'create stream trcStream() WITH (TYPE="simulator", CONF_KEY="trc")'})
+    code, _ = _req(server, "POST", "/rules", {
+        "id": "ruleTrace1",
+        "sql": "SELECT * FROM trcStream WHERE id > 0",
+        "actions": [{"log": {}}],
+        "triggered": False,
+    })
+    assert code == 201
+    code, _ = _req(server, "POST", "/rules/ruleTrace1/trace/start")
+    assert code == 200
+    code, _ = _req(server, "POST", "/rules/ruleTrace1/start")
+    assert code == 200
+    try:
+        deadline = time.time() + 45
+        tree = None
+        while time.time() < deadline:
+            _, ids = _req(server, "GET", "/trace/rule/ruleTrace1")
+            for tid in reversed(ids or []):
+                _, tr = _req(server, "GET", f"/trace/{tid}")
+                if isinstance(tr, dict) and tr.get("attribute", {}).get("data"):
+                    tree = tr
+                    break
+            if tree:
+                break
+            time.sleep(0.5)
+        assert tree is not None, "no trace with sampled data"
+        # walk the chain: source -> ops -> log_0_0_transform -> _encode -> log_0
+        names = []
+        node = tree
+        while node:
+            names.append(node["name"])
+            assert node["attribute"]["rule"] == "ruleTrace1"
+            ch = node.get("ChildSpan")
+            node = ch[0] if ch else None
+        assert names[0] == "trcStream"
+        assert tree["attribute"]["span.mytype"] == "data-processing"
+        assert names[-3:] == ["log_0_0_transform", "log_0_1_encode", "log_0"]
+        assert any("filter" in n for n in names)
+        assert '"name":"John"' in tree["attribute"]["data"] or \
+               '"name":"Jon"' in tree["attribute"]["data"]
+    finally:
+        _cleanup(server, rules=["ruleTrace1"], streams=["trcStream"])
