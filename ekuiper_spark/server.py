@@ -52,6 +52,9 @@ from ekuiper_spark.streaming.runtime import Rule, RuleRuntime
 from ekuiper_spark.translator import compile_sql
 
 
+VERSION = "2.0.0-spark"
+
+
 class RestServer:
     """The control-plane HTTP server; one per (spark, catalog) pair."""
 
@@ -75,6 +78,9 @@ class RestServer:
         # shared with the runtime so sinks sample traced batches
         self.traced: set[str] = set()
         self.runtime.traced_ref = self.traced
+        import time as _time
+
+        self._started_at = _time.time()
         # hot-updatable basic config (rest.go:229 PATCH /configs)
         self.basic_config: dict[str, Any] = {}
         # trial rules (rest.go:1065 /ruletest lifecycle)
@@ -335,7 +341,37 @@ class RestServer:
         parts = [p for p in path.split("/") if p]
 
         if parts == []:
-            return 200, {"product": "ekuiper_spark", "rules": len(self.runtime.rules)}
+            # root status (rest.go rootHandler; fvt server_test.go pins
+            # version/os/arch/upTimeSeconds/cpuUsage/memoryUsed/memoryTotal)
+            import os as _os
+            import platform
+            import time as _time
+
+            mem_total = mem_avail = 0
+            try:
+                with open("/proc/meminfo") as f:
+                    for line in f:
+                        if line.startswith("MemTotal:"):
+                            mem_total = int(line.split()[1]) * 1024
+                        elif line.startswith("MemAvailable:"):
+                            mem_avail = int(line.split()[1]) * 1024
+            except OSError:
+                pass
+            try:
+                cpu = _os.getloadavg()[0] / (_os.cpu_count() or 1) * 100
+            except OSError:
+                cpu = 0.0
+            return 200, {
+                "product": "ekuiper_spark",
+                "version": VERSION,
+                "rules": len(self.runtime.rules),
+                "os": platform.system().lower(),
+                "arch": platform.machine(),
+                "upTimeSeconds": int(_time.time() - self._started_at),
+                "cpuUsage": round(cpu, 2),
+                "memoryUsed": mem_total - mem_avail,
+                "memoryTotal": mem_total,
+            }
 
         # named-entity id validation (the reference validates the path id
         # in every entity handler — rest.go:641,772, rpc_script.go:33)

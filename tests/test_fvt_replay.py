@@ -807,3 +807,51 @@ def test_trace_span_tree(server, spark):
                '"name":"Jon"' in tree["attribute"]["data"]
     finally:
         _cleanup(server, rules=["ruleTrace1"], streams=["trcStream"])
+
+
+def test_server_root_status_fields(server):
+    """server_test.go TestServerStop: the root status carries version/os/
+    arch/upTimeSeconds/cpuUsage/memoryUsed/memoryTotal."""
+    code, body = _req(server, "GET", "/ping")
+    assert code == 200
+    code, m = _req(server, "GET", "/")
+    assert code == 200
+    for k in ("version", "os", "arch", "upTimeSeconds", "cpuUsage",
+              "memoryUsed", "memoryTotal"):
+        assert m.get(k) is not None, k
+    assert m["memoryTotal"] > 0
+
+
+def test_import_race_concurrent_partial_imports(server):
+    """import_race_test.go's property at this scale: concurrent partial
+    imports of disjoint rulesets all land; no corruption, every stream
+    and rule retrievable afterwards."""
+    import concurrent.futures as cf
+
+    def one(i):
+        content = json.dumps({
+            "streams": {
+                f"race{i}": f'create stream race{i}() WITH (TYPE="simulator", CONF_KEY="race")'
+            },
+            "rules": {
+                f"racer{i}": json.dumps({
+                    "id": f"racer{i}", "sql": f"SELECT * FROM race{i}",
+                    "actions": [{"nop": {}}], "triggered": False,
+                }),
+            },
+            "sourceConfig": {
+                "simulator": json.dumps({"race": {"data": [{"x": i}], "loop": True}}),
+            },
+        })
+        return _req(server, "POST", "/data/import?partial=1", {"content": content})
+
+    with cf.ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(one, range(12)))
+    assert all(code == 200 for code, _ in results), results
+    code, streams = _req(server, "GET", "/streams")
+    for i in range(12):
+        assert f"race{i}" in streams
+        code, r = _req(server, "GET", f"/rules/racer{i}")
+        assert code == 200 and r["sql"] == f"SELECT * FROM race{i}"
+    for i in range(12):
+        _cleanup(server, rules=[f"racer{i}"], streams=[f"race{i}"])
