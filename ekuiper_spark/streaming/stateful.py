@@ -468,11 +468,11 @@ def window_agg_stream(
         raise ValueError(f"unknown stateful window kind {kind!r}")
     if keep_col is not None and kind not in ("count", "sliding"):
         raise ValueError("keep_col applies to count/sliding windows only")
-    if emit_content and kind != "count":
-        raise NotImplementedError("emit_content is a COUNTWINDOW feature")
+    if emit_content and kind not in ("count", "state"):
+        raise NotImplementedError("emit_content is a COUNT/STATE window feature")
     if emit_content and subgroups:
         raise NotImplementedError(
-            "streaming COUNTWINDOW content emission with GROUP BY dims is unsupported"
+            "streaming window content emission with GROUP BY dims is unsupported"
         )
     schema = {f.name: f.dataType for f in sdf.schema.fields}
     order_cols = [c for c in order_cols if c in schema] or list(sdf.columns[:1])
@@ -858,6 +858,7 @@ def window_agg_stream(
         single = emit_col is None  # island mode: run of begin-true rows
         m = len(batch)
         out_rows = new_sink()
+        content_frames: list[pd.DataFrame] = []
         pos = 0
         while pos < m:
             if not is_open:
@@ -886,7 +887,25 @@ def window_agg_stream(
                 close_rel = int(np.argmax(later_emit))  # emit row is included
                 win = {c: np.concatenate([buf[c], rows[c][pos : pos + close_rel + 1]]) for c in buffered}
                 next_pos = pos + close_rel + 1
-            if sub_list:
+            if emit_content:
+                # window CONTENT rows with per-window aggregates attached
+                # (reference window-collection -> ProjectOp; mirrors the
+                # count-kind content branch)
+                length = len(next(iter(win.values())))
+                if length:
+                    cols = {c: pd.Series(win[c]) for c in pass_list}
+                    for a in agg_list:
+                        src = a.in_col or ts_col
+                        val = _reduce_slice(a.op, win[src], buf_types.get(src, T.DoubleType()))
+                        if a.op in ("min", "max", "first", "last", "last_nn") and _is_ts(buf_types[src]):
+                            val = pd.NaT if val is None or (isinstance(val, float) and np.isnan(val)) else pd.Timestamp(int(val), unit="us")
+                        elif a.op == "collect" and _is_ts(buf_types[src]):
+                            val = list(pd.to_datetime(pd.Series(list(val)), unit="us"))
+                        cols[a.out] = pd.Series([val] * length)
+                    if emit_wid:
+                        cols["wid"] = pd.Series([emitted] * length)
+                    content_frames.append(emit_frame(cols, length, key))
+            elif sub_list:
                 subgroup_window(win, emitted, out_rows)
             else:
                 for a in agg_list:
@@ -904,6 +923,9 @@ def window_agg_stream(
             buf = {c: _empty_np(_state_elem_type(buf_types[c])) for c in buffered}
             pos = next_pos
         save_state(state, emitted, is_open, buf)
+        if content_frames:
+            yield pd.concat(content_frames, ignore_index=True)
+            return
         n_out = len(next(iter(out_rows.values()))) if out_rows else 0
         if n_out:
             yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)

@@ -511,12 +511,12 @@ class Translator:
             self.streaming
             and group is not None
             and group.window is not None
-            and group.window.kind == "count"
+            and group.window.kind in ("count", "state")
             and not has_agg
         ):
-            # streaming COUNTWINDOW without aggregates: stateful content
-            # emission (the batch path below keys windows with window
-            # functions, which streaming rejects)
+            # streaming COUNT/STATE window without aggregates: stateful
+            # content emission (the batch path below keys windows with
+            # window functions, which streaming rejects)
             df = self._streaming_stateful_grouped(df, stmt, ctx)
         elif group is not None and group.window is not None and (
             not has_agg or content_having
@@ -2519,6 +2519,23 @@ class Translator:
             if len(conds) > 1:
                 df = df.withColumn("__swe", self._expr(conds[1], ctx))
                 kw["emit_col"] = "__swe"
+            # non-aggregated SELECT over a state window: window CONTENT
+            # emits per row (same contract as the count-window branch)
+            if not any(self._find_aggs(f.expr) for f in stmt.fields):
+                if subgroups:
+                    raise NotImplementedError(
+                        "streaming STATEWINDOW content emission with "
+                        "GROUP BY dims is unsupported"
+                    )
+                kw["emit_content"] = True
+                # dims already emit as the state key; passthrough carries
+                # the remaining visible row columns
+                kw["passthrough"] = [
+                    c for c in df.columns
+                    if not c.startswith("__")
+                    and c not in ("window", "_metadata")
+                    and c not in dims
+                ]
 
         df, specs = self._stream_agg_specs(df, stmt, ctx)
         if ctx.deferred_where is not None and window.kind == "count":

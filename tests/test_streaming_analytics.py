@@ -337,3 +337,44 @@ def test_gated_acc_reset_then_begin_same_row_boundary(kind):
            [float(x) for x in loop]
     if kind == "acc_sum":
         assert [float(x) for x in loop] == [1.0, 3.0, 4.0]
+
+
+def test_streaming_state_window_content_emission(spark, tmp_path):
+    """Round 8: non-aggregated SELECT over a streaming STATEWINDOW emits
+    the window CONTENT rows (reference window-collection -> ProjectOp);
+    equal to the batch translation, incl. per-row HAVING-attached aggs."""
+    import json as _json
+
+    d = tmp_path / "sw"
+    d.mkdir()
+    data = [
+        {"a": 1.0, "on": True}, {"a": 2.0, "on": True}, {"a": 3.0, "on": False},
+        {"a": 4.0, "on": True}, {"a": 5.0, "on": False}, {"a": 6.0, "on": True},
+        {"a": 7.0, "on": True}, {"a": 8.0, "on": False},
+    ]
+    with open(d / "x.json", "w") as f:
+        for i, r in enumerate(data):
+            f.write(_json.dumps({**r, "ts": 1000 + i}) + "\n")
+    cat = Catalog()
+    cat.register(StreamDef(
+        name="sw", format="json", path=str(d) + "/*.json",
+        schema=T.StructType([
+            T.StructField("a", T.DoubleType()),
+            T.StructField("on", T.BooleanType()),
+            T.StructField("ts", T.LongType()),
+        ]),
+    ))
+    sql = "SELECT a FROM sw GROUP BY STATEWINDOW(on = true)"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sdf = compile_sql(spark, sql, cat, streaming=True, order_cols=["ts"])
+        q = (
+            sdf.writeStream.format("memory").queryName("swcontent")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("swcontent").collect())
+        bdf = compile_sql(spark, sql, cat, order_cols=["ts"])
+        want = sorted(tuple(r) for r in bdf.collect())
+    assert got == want and len(want) > 0
