@@ -318,3 +318,111 @@ def test_expression_fuzz_vs_duckdb(spark, harness, seed):
         f"{len(mismatches)} mismatches; first 5:\n"
         + "\n".join(repr(m) for m in mismatches[:5])
     )
+
+
+# ---------------------------------------------------------------------------
+# statement-level fuzz: WHERE / GROUP BY / HAVING / ORDER BY / LIMIT
+# compositions against DuckDB (the grouped paths compose differently from
+# single expressions — dims, agg rewrites, null-ordering, limits)
+# ---------------------------------------------------------------------------
+class StmtGen(Gen):
+    def agg(self) -> tuple[str, str, str]:
+        """(ekuiper, duckdb, out_name) aggregate call over doubles (avg
+        over ints is Go integer math in the reference — kept out)."""
+        t = self.r.randrange(6)
+        n = f"ag{self.r.randrange(10**6)}"
+        if t == 0:
+            return "count(*)", "count(*)", n
+        col = self.r.choice(["d1", "d2"])
+        if t == 1:
+            return f"count({col})", f"count({col})", n
+        if t == 2:
+            # raw sums compare with relative tolerance — wrapping them in
+            # round() would turn float-summation-order ulp noise into a
+            # full grid step at .5 boundaries
+            return f"sum({col})", f"sum({col})", n
+        if t == 3:
+            return f"avg({col})", f"avg({col})", n
+        if t == 4:
+            return f"min({col})", f"min({col})", n
+        return f"max({col})", f"max({col})", n
+
+    def dim(self) -> tuple[str, str]:
+        a, da = self.int_small(1)
+        k = self.r.randint(2, 5)
+        return f"({a} % {k})", f"({da} % {k})"
+
+    def stmt(self) -> tuple[str, str]:
+        where_e = where_d = ""
+        if self.r.random() < 0.7:
+            b, db = self.boolean(2)
+            where_e, where_d = f" WHERE {b}", f" WHERE {db}"
+        if self.r.random() < 0.5:
+            # aggregate statement over 0-2 dims (+HAVING)
+            n_dims = self.r.randrange(3)
+            dims = [self.dim() for _ in range(n_dims)]
+            aggs = [self.agg() for _ in range(self.r.randint(1, 3))]
+            sel_e = ", ".join(
+                [f"{e} AS g{i}" for i, (e, _d) in enumerate(dims)]
+                + [f"{e} AS {n}" for e, _d, n in aggs]
+            )
+            sel_d = ", ".join(
+                [f"{d} AS g{i}" for i, (_e, d) in enumerate(dims)]
+                + [f"{d} AS {n}" for _e, d, n in aggs]
+            )
+            grp_e = grp_d = ""
+            if dims:
+                grp_e = " GROUP BY " + ", ".join(e for e, _ in dims)
+                grp_d = " GROUP BY " + ", ".join(d for _, d in dims)
+            hav_e = hav_d = ""
+            if dims and self.r.random() < 0.5:
+                k = self.r.randint(1, 4)
+                hav_e = f" HAVING count(*) >= {k}"
+                hav_d = f" HAVING count(*) >= {k}"
+            return (
+                f"SELECT {sel_e} FROM t{where_e}{grp_e}{hav_e}",
+                f"SELECT {sel_d} FROM t{where_d}{grp_d}{hav_d}",
+            )
+        # row statement: deterministic ORDER BY rid (+DESC variants use
+        # explicit NULLS LAST on the DuckDB side — sorter.go nulls-last)
+        exprs = [self.expr() for _ in range(self.r.randint(1, 3))]
+        sel_e = ", ".join(f"{e} AS c{i}" for i, (e, _d) in enumerate(exprs))
+        sel_d = ", ".join(f"{d} AS c{i}" for i, (_e, d) in enumerate(exprs))
+        lim = f" LIMIT {self.r.randint(1, 40)}" if self.r.random() < 0.4 else ""
+        return (
+            f"SELECT rid, {sel_e} FROM t{where_e} ORDER BY rid{lim}",
+            f"SELECT rid, {sel_d} FROM t{where_d} ORDER BY rid{lim}",
+        )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_statement_fuzz_vs_duckdb(spark, harness, seed):
+    """50 random full statements per seed: row selections compare in rid
+    order, aggregates as sorted row sets."""
+    cat, con = harness
+    g = StmtGen(5000 + seed)
+    mismatches = []
+    for i in range(50):
+        ek, du = g.stmt()
+        try:
+            got = [
+                tuple(_norm(x) for x in r)
+                for r in compile_sql(spark, ek, cat).collect()
+            ]
+            want = [
+                tuple(_norm(x) for x in r) for r in con.execute(du).fetchall()
+            ]
+            if " GROUP BY " in du or " ORDER BY " not in du:
+                got, want = sorted(got, key=repr), sorted(want, key=repr)
+            ok = len(got) == len(want) and all(
+                len(a) == len(b) and all(_close(x, y) for x, y in zip(a, b))
+                for a, b in zip(got, want)
+            )
+            if not ok:
+                mismatches.append((ek, du, got[:3], want[:3]))
+        except Exception as e:
+            mismatches.append((ek, du, f"RAISED: {e}", "-"))
+    assert not mismatches, (
+        f"{len(mismatches)} statement mismatches; first 3:\n"
+        + "\n".join(repr(m) for m in mismatches[:3])
+    )
