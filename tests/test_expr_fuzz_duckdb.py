@@ -45,10 +45,17 @@ for i in range(64):
             ["", "a", "Ab c", "hello world", "ZZ-9", "  pad  ", "ümlaut", "x,y;z"]
         ),                                                            # s1
         _rng.choice(["k1", "k2", "K3", "", "abc"]),                   # s2
+        None if i % 19 == 6 else __import__("datetime").datetime(
+            2020 + i % 6, 1 + i % 12, 1 + (i * 7) % 28,
+            i % 24, (i * 13) % 60, (i * 29) % 60,
+        ),                                                            # t1
         i,                                                            # rid
     ))
 
-SCHEMA = "i1 bigint, i2 bigint, d1 double, d2 double, s1 string, s2 string, rid bigint"
+SCHEMA = (
+    "i1 bigint, i2 bigint, d1 double, d2 double, s1 string, s2 string, "
+    "t1 timestamp, rid bigint"
+)
 
 
 class Gen:
@@ -60,10 +67,15 @@ class Gen:
     # -- numeric ----------------------------------------------------------
     def num(self, d: int) -> tuple[str, str]:
         if d <= 0:
-            leaf = self.r.choice(
-                ["i1", "i2", "d1", "d2", str(self.r.randint(-9, 9)),
-                 f"{self.r.uniform(-9, 9):.3f}"]
-            )
+            if self.r.random() < 0.12:
+                return self.dt_num(0)
+            if self.r.random() < 0.33:
+                # float literals: the dialect (like Go) computes in
+                # float64; DuckDB would parse them as DECIMAL and keep
+                # exact arithmetic — force DOUBLE on the oracle side
+                v = f"{self.r.uniform(-9, 9):.3f}"
+                return v, f"CAST({v} AS DOUBLE)"
+            leaf = self.r.choice(["i1", "i2", "d1", "d2", str(self.r.randint(-9, 9))])
             return leaf, leaf
         a, da = self.num(d - 1)
         b, db = self.num(d - 1)
@@ -212,8 +224,19 @@ class Gen:
         s, ds = self.string(d)
         return f"length({s})", f"coalesce(length({ds}), 0)"
 
+    def dt_num(self, d: int) -> tuple[str, str]:
+        """Datetime extracts (funcs_datetime.go; nil in -> nil out):
+        every mapping has an unambiguous DuckDB analog — day_of_week is
+        Go time.Weekday() (Sunday=0), DuckDB's dayofweek likewise."""
+        f, df_ = self.r.choice([
+            ("year", "year"), ("month", "month"), ("day_of_month", "day"),
+            ("hour", "hour"), ("minute", "minute"), ("second", "second"),
+            ("day_of_year", "dayofyear"), ("day_of_week", "dayofweek"),
+        ])
+        return f"{f}(t1)", f"CAST({df_}(t1) AS BIGINT)"
+
     def expr(self) -> tuple[str, str]:
-        t = self.r.randrange(10)
+        t = self.r.randrange(12)
         d = self.r.randint(1, 3)
         if t < 6:
             return self.num(d)
@@ -221,6 +244,11 @@ class Gen:
             return self.string(d)
         if t == 8:
             return self.length_of(d)
+        if t == 10:
+            return self.dt_num(d)
+        if t == 11:
+            f, df_ = self.r.choice([("month_name", "monthname"), ("day_name", "dayname")])
+            return f"{f}(t1)", f"{df_}(t1)"
         e, de = self.boolean(d)
         # booleans project as CASE so both engines emit the same type
         return (f"(CASE WHEN {e} THEN 1 ELSE 0 END)",
@@ -261,9 +289,9 @@ def harness(spark):
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE t (i1 BIGINT, i2 BIGINT, d1 DOUBLE, d2 DOUBLE, "
-        "s1 VARCHAR, s2 VARCHAR, rid BIGINT)"
+        "s1 VARCHAR, s2 VARCHAR, t1 TIMESTAMP, rid BIGINT)"
     )
-    con.executemany("INSERT INTO t VALUES (?,?,?,?,?,?,?)", ROWS)
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?,?,?,?)", ROWS)
     return cat, con
 
 
