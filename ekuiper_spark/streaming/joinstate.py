@@ -316,6 +316,7 @@ def count_join_stream(
     sides: Sequence[tuple[str, Sequence[str]]],  # (tag, flat column names)
     joins: Sequence[dict],  # {"how", "lkeys", "rkeys"}; joins[i] attaches sides[i+1]
     aggs: Optional[Sequence[JoinAggSpec]] = None,
+    attach_aggs: Optional[Sequence[JoinAggSpec]] = None,
 ) -> DataFrame:
     """Streaming COUNT window over a MULTI-stream join.
 
@@ -343,8 +344,16 @@ def count_join_stream(
         [T.StructField("emitted", T.LongType())]
         + [T.StructField(c, T.ArrayType(buf_types[c]), True) for c in buffered]
     )
+    att_list = list(attach_aggs) if attach_aggs else []
     if aggs is None:
         out_fields = [T.StructField(c, buf_types[c], True) for c in all_cols]
+        for a in att_list:
+            dt = (
+                T.LongType() if a.op == "count"
+                else T.DoubleType() if a.op == "avg"
+                else buf_types[a.in_col]
+            )
+            out_fields.append(T.StructField(a.out, dt, True))
     else:
         out_fields = []
         for a in aggs:
@@ -383,7 +392,10 @@ def count_join_stream(
             if not len(merged):
                 continue
             if agg_list is None:
-                outs.append(merged)
+                em = merged.copy()
+                for a in att_list:
+                    em[a.out] = _pd_agg(merged, a)
+                outs.append(em)
             else:
                 outs.append(pd.DataFrame({a.out: [_pd_agg(merged, a)] for a in agg_list}))
         rest = full.iloc[n_win * n :]
@@ -436,6 +448,7 @@ def count_join_batch(
     sides: Sequence[tuple[str, Sequence[str]]],
     joins: Sequence[dict],
     aggs: Optional[Sequence[JoinAggSpec]] = None,
+    attach_aggs: Optional[Sequence[JoinAggSpec]] = None,
 ) -> DataFrame:
     """Batch COUNT window over a multi-stream join: the packed union is
     numbered in (arrival, side) order, complete windows of n rows group
@@ -449,8 +462,16 @@ def count_join_batch(
     all_cols: list[str] = []
     for _tag, cols in sides:
         all_cols.extend(cols)
+    att_list = list(attach_aggs) if attach_aggs else []
     if aggs is None:
         out_fields = [T.StructField(c, buf_types[c], True) for c in all_cols]
+        for a in att_list:
+            dt = (
+                T.LongType() if a.op == "count"
+                else T.DoubleType() if a.op == "avg"
+                else buf_types[a.in_col]
+            )
+            out_fields.append(T.StructField(a.out, dt, True))
     else:
         out_fields = []
         for a in aggs:
@@ -478,6 +499,9 @@ def count_join_batch(
             return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_fields})
         if agg_list is not None:
             merged = pd.DataFrame({a.out: [_pd_agg(merged, a)] for a in agg_list})
+        else:
+            for a in att_list:
+                merged[a.out] = _pd_agg(merged, a)
         for f in out_fields:
             if f.name not in merged.columns:
                 merged[f.name] = None

@@ -1662,10 +1662,21 @@ class Translator:
             raise NotImplementedError(
                 "COUNT window join with GROUP BY dims is unsupported"
             )
-        if stmt.where is not None or stmt.having is not None:
-            raise NotImplementedError(
-                "WHERE/HAVING over a COUNT window join is unsupported"
+        # WHERE filters JOINED pairs (FilterPlan above JoinPlan,
+        # planner.go:797); agg conjuncts merge into HAVING — same routing
+        # as the sliding join
+        where_pre = None
+        having = stmt.having
+        if stmt.where is not None:
+            where_pre, agg_conjs, hit_conjs = self._split_where(
+                stmt.where, ctx.aliases
             )
+            if hit_conjs:
+                raise NotImplementedError(
+                    "last_hit_* conjuncts over a COUNT window join are unsupported"
+                )
+            for c in agg_conjs:
+                having = c if having is None else Binary("AND", having, c)
         stream_joins = [j for j in joins if self._def_is_stream(j.source)]
         static_joins = [j for j in joins if not self._def_is_stream(j.source)]
         for j in stream_joins:
@@ -1807,6 +1818,52 @@ class Translator:
             for a in self._find_aggs(f.expr):
                 agg_nodes.setdefault(canon(a), a)
         specs: list[JoinAggSpec] = []
+
+        def _agg_spec(call: FuncCall, out_name: str) -> "JoinAggSpec":
+            op = self._JOIN_STREAM_AGG_OPS.get(call.name.lower())
+            if op is None:
+                raise NotImplementedError(
+                    f"{call.name} is unsupported over a COUNT window join"
+                )
+            args = [a for a in call.args if not isinstance(a, Wildcard)]
+            in_col = None
+            if args:
+                ref = args[0]
+                if not isinstance(ref, ColumnRef):
+                    raise NotImplementedError(
+                        "COUNT window join aggregates take plain columns"
+                    )
+                k = (
+                    f"{ref.source.lower()}.{ref.name.lower()}"
+                    if ref.source else ref.name.lower()
+                )
+                in_col = fm.get(k)
+                if in_col is None:
+                    raise ValueError(f"unknown column {ref.name}")
+            return JoinAggSpec(op, in_col, out_name)
+
+        # HAVING aggregates compute in-op (spec outputs in aggregate mode,
+        # per-row attachments gating whole windows in content mode)
+        having_specs: list[JoinAggSpec] = []
+        if having is not None:
+            for call in self._find_aggs(having):
+                key = canon(call)
+                if key in ctx.agg_map:
+                    continue
+                out_name = f"__hagg{len(having_specs)}"
+                having_specs.append(_agg_spec(call, out_name))
+                ctx.agg_map[key] = out_name
+            if not agg_nodes:
+                for _ref in self._find_raw_cols(having):
+                    raise NotImplementedError(
+                        "HAVING over COUNT window join CONTENT may "
+                        "reference aggregates only"
+                    )
+        if where_pre is not None and agg_nodes:
+            raise NotImplementedError(
+                "WHERE over an AGGREGATED COUNT window join is unsupported "
+                "(the filter would run between the join and the aggregation)"
+            )
         if agg_nodes:
             if static_joins:
                 raise NotImplementedError(
@@ -1814,29 +1871,10 @@ class Translator:
                     "sides are unsupported (aggregate before the lookup "
                     "join is ill-defined)"
                 )
-            extra: list[tuple[str, Any]] = []
             for i, (key, call) in enumerate(agg_nodes.items()):
-                op = self._JOIN_STREAM_AGG_OPS.get(call.name.lower())
-                if op is None:
-                    raise NotImplementedError(
-                        f"{call.name} is unsupported over a COUNT window join"
-                    )
-                args = [a for a in call.args if not isinstance(a, Wildcard)]
-                in_col = None
-                if args:
-                    ref = args[0]
-                    if not isinstance(ref, ColumnRef):
-                        raise NotImplementedError(
-                            "COUNT window join aggregates take plain columns"
-                        )
-                    k = (
-                        f"{ref.source.lower()}.{ref.name.lower()}"
-                        if ref.source else ref.name.lower()
-                    )
-                    in_col = fm.get(k)
-                    if in_col is None:
-                        raise ValueError(f"unknown column {ref.name}")
-                specs.append(JoinAggSpec(op, in_col, f"__agg{i}"))
+                if key in ctx.agg_map:
+                    continue
+                specs.append(_agg_spec(call, f"__agg{i}"))
                 ctx.agg_map[key] = f"__agg{i}"
             # raw refs alongside aggregates: first joined row (project-
             # over-grouped)
@@ -1867,7 +1905,8 @@ class Translator:
             n=n,
             sides=side_cols,
             joins=join_specs,
-            aggs=specs if agg_nodes else None,
+            aggs=specs + having_specs if agg_nodes else None,
+            attach_aggs=having_specs if (having_specs and not agg_nodes) else None,
         ).alias("__cwj")
         if not agg_nodes:
             # qualify the flat names so trailing static joins with
@@ -1893,6 +1932,14 @@ class Translator:
             else:
                 out = out.join(rdf, on=self._expr(j.on, ctx), how=j.kind)
 
+        if where_pre is not None:
+            out = out.filter(self._expr(where_pre, ctx))
+        if having is not None:
+            was_post = ctx.post_agg
+            ctx.post_agg = True
+            out = out.filter(self._expr(having, ctx))
+            ctx.post_agg = was_post
+            stmt.having = None  # consumed; the statement finalizes here
         out = self._project(out, stmt, ctx)
         if stmt.order:
             keys = []

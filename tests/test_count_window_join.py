@@ -195,3 +195,57 @@ def test_count_join_streaming_equals_batch(spark, tmp_path):
         bdf = compile_sql(spark, sql, cat)
         want = [tuple(r) for r in bdf.collect()]
     assert sorted(got) == sorted(want) and len(want) > 0
+
+
+def test_count_join_where_and_having(spark):
+    """Round 8: WHERE filters joined pairs (FilterPlan above JoinPlan);
+    HAVING gates windows — content mode attaches frame aggregates,
+    aggregate mode filters trigger rows; streaming == batch."""
+    import warnings
+
+    from ekuiper_spark.sources import mock
+
+    data_a = [{"k": f"k{i % 3}", "v": float(i)} for i in range(8)]
+    data_b = [{"k": f"k{i % 3}", "w": float(10 * i)} for i in range(8)]
+    mock.register_simulator_conf("wha", {"data": data_a, "interval": "1ms", "loop": False})
+    mock.register_simulator_conf("whb", {"data": data_b, "interval": "1ms", "loop": False})
+    cat = Catalog()
+    cat.register(StreamDef(name="wha", format="json", path=None, schema=None,
+                           options={"type": "simulator", "conf_key": "wha"}))
+    cat.register(StreamDef(name="whb", format="json", path=None, schema=None,
+                           options={"type": "simulator", "conf_key": "whb"}))
+    cases = [
+        # WHERE over joined pairs, content mode
+        ("SELECT wha.k AS k, whb.w AS w FROM wha INNER JOIN whb "
+         "ON wha.k = whb.k WHERE whb.w > 20 GROUP BY countwindow(16)",
+         ["k", "w"]),
+        # HAVING over window aggregates, aggregate mode
+        ("SELECT count(*) AS nn FROM wha INNER JOIN whb ON wha.k = whb.k "
+         "GROUP BY countwindow(16) HAVING count(*) > 1",
+         ["nn"]),
+        # HAVING gating CONTENT windows whole
+        ("SELECT wha.k AS k, wha.v AS v FROM wha INNER JOIN whb "
+         "ON wha.k = whb.k GROUP BY countwindow(16) HAVING count(*) > 1",
+         ["k", "v"]),
+    ]
+    for sql, cols in cases:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            bdf = compile_sql(spark, sql, cat)
+            want = sorted(tuple(r[c] for c in cols) for r in bdf.collect())
+            sdf = compile_sql(spark, sql, cat, streaming=True)
+            name = f"cjwh_{abs(hash(sql)) % 10**8}"
+            q = (
+                sdf.writeStream.format("memory").queryName(name)
+                .outputMode("append").start()
+            )
+            got = []
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                got = sorted(tuple(r[c] for c in cols)
+                             for r in spark.table(name).collect())
+                if len(got) >= len(want):
+                    break
+                time.sleep(0.3)
+            q.stop()
+        assert got == want and len(want) > 0, (sql, got, want)
