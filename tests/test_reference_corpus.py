@@ -2683,3 +2683,39 @@ def test_typed_unnest_nil_row_emits_error(spark):
     # default policy: null-array rows drop silently (lenient nil)
     out2 = compile_sql(spark, "SELECT id, unnest(a) AS v FROM t", cat)
     assert sorted((r["id"], r["v"]) for r in out2.collect()) == [(1, 10), (1, 20), (3, 30)]
+
+
+def test_single_sql_rules_1_3_7_8_20(spark, demo_cat):
+    """Remaining rule_test.go TestSingleSQL shapes:
+
+    - Rule1: `SELECT *, upper(color), event_time()` — the unaliased call
+      emits under its FUNCTION name ("upper"), event_time() the event ts
+    - Rule3: alias case preserved (`size as Int8`)
+    - Rule7/8: backquoted identifiers select and filter (`from`)
+    - Rule20: aliased unnest of a scalar array
+    (the demo1 fixture here carries 3 of the reference's 5 rows; the
+    shapes and values replay 1:1 for those rows)"""
+    df = run(spark, demo_cat, "SELECT *, upper(color), event_time() FROM demo")
+    rows = sorted((r.asDict() for r in df.collect()), key=lambda r: r["ts"])
+    assert set(rows[0].keys()) == {"color", "size", "ts", "upper", "event_time"}
+    assert rows[0]["upper"] == "RED" and rows[0]["event_time"] == 1541152486013
+    assert rows[1]["upper"] == "BLUE" and rows[1]["event_time"] == 1541152486822
+
+    df = run(spark, demo_cat, "SELECT size as Int8, ts FROM demo where size > 3")
+    assert df.columns == ["Int8", "ts"]
+    assert sorted((r["Int8"], r["ts"]) for r in df.collect()) == [
+        (4, 1541152488442), (6, 1541152486822),
+    ]
+
+    df = run(spark, demo_cat, "SELECT `from` FROM demo1")
+    assert df.columns == ["from"]
+    assert sorted(r["from"] for r in df.collect()) == [
+        "device1", "device2", "device3",
+    ]
+    df = run(spark, demo_cat, 'SELECT * FROM demo1 where `from`="device1"')
+    got = [r.asDict() for r in df.collect()]
+    assert got == [{"temp": 25.5, "hum": 65, "from": "device1", "ts": 1541152486013}]
+
+    df = run(spark, demo_cat, "SELECT unnest(arr3) as col FROM demoArr where x=1")
+    assert df.columns == ["col"]
+    assert sorted(r["col"] for r in df.collect()) == [1, 2, 3]
