@@ -410,6 +410,8 @@ def window_agg_stream(
     timeout_us: Optional[int] = None,
     flush_open_ms: Optional[int] = None,
     watermark_gated: bool = False,
+    unit_ms: bool = False,  # long (epoch-ms) event cols: frame math and
+                            # watermark comparisons run in MS, not US
     state_max_rows: int = 1_000_000,
     dims: Sequence[str] = (),
     subgroups: Sequence[str] = (),
@@ -468,8 +470,10 @@ def window_agg_stream(
         raise ValueError(f"unknown stateful window kind {kind!r}")
     if keep_col is not None and kind not in ("count", "sliding"):
         raise ValueError("keep_col applies to count/sliding windows only")
-    if emit_content and kind not in ("count", "state"):
-        raise NotImplementedError("emit_content is a COUNT/STATE window feature")
+    if emit_content and kind not in ("count", "state", "session"):
+        raise NotImplementedError(
+            "emit_content is a COUNT/STATE/SESSION window feature"
+        )
     if emit_content and subgroups:
         raise NotImplementedError(
             "streaming window content emission with GROUP BY dims is unsupported"
@@ -477,7 +481,10 @@ def window_agg_stream(
     schema = {f.name: f.dataType for f in sdf.schema.fields}
     order_cols = [c for c in order_cols if c in schema] or list(sdf.columns[:1])
     if kind == "sliding" and not subgroups:
-        allowed = {"count", "sum", "avg", "min", "max"} if delay_us else _ROLLING_OPS
+        allowed = (
+            {"count", "sum", "avg", "min", "max"}
+            if (delay_us or watermark_gated) else _ROLLING_OPS
+        )
         bad = [a.op for a in aggs if a.op not in allowed]
         if bad:
             raise NotImplementedError(
@@ -489,14 +496,14 @@ def window_agg_stream(
     agg_in = [a.in_col for a in aggs if a.in_col is not None]
     ts_col = order_cols[0]
     keep_extra = [keep_col] if keep_col else []
-    if kind == "sliding" and delay_us:
+    if kind == "sliding" and (delay_us or watermark_gated):
         needed = list(dict.fromkeys([ts_col] + agg_in + list(passthrough) + keep_extra))
     elif kind == "sliding":
         needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + list(passthrough) + keep_extra))
     else:
         content_extra = list(passthrough) if emit_content else []
         needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + content_extra + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else []) + keep_extra))
-    if kind == "sliding" and delay_us:
+    if kind == "sliding" and (delay_us or watermark_gated):
         buffered = list(needed)  # pending rows wait in state with their row cols
     elif kind == "sliding" and aggs:
         # aggregated sliding: passthrough raw columns emit the FIRST frame
@@ -661,6 +668,9 @@ def window_agg_stream(
 
     def new_sink() -> dict:
         sink: dict[str, list] = {a.out: [] for a in agg_list}
+        if emit_content:
+            for c in pass_list:
+                sink[c] = []
         for sc in sub_list:
             sink[sc] = []
         if emit_wid:
@@ -981,10 +991,26 @@ def window_agg_stream(
         buf: dict, s: int, e: int, emitted: int, out_rows: dict,
         ws_us: Optional[int] = None, we_us: Optional[int] = None,
     ) -> None:
+        win = {c: buf[c][s:e] for c in buffered}
+        if emit_content:
+            # session CONTENT rows (non-aggregated SELECT; same contract
+            # as the count/state content branches)
+            length = e - s
+            for c in pass_list:
+                out_rows[c].extend(win[c].tolist())
+            for a in agg_list:
+                src = a.in_col or ts_col
+                val = _reduce_slice(a.op, win[src], buf_types.get(src, T.DoubleType()))
+                out_rows[a.out].extend([val] * length)
+            if emit_wid:
+                out_rows["wid"].extend([emitted] * length)
+            if emit_bounds:
+                out_rows["__ws"].extend([ws_us] * length)
+                out_rows["__we"].extend([we_us] * length)
+            return
         if emit_bounds:
             out_rows["__ws"].append(ws_us)
             out_rows["__we"].append(we_us)
-        win = {c: buf[c][s:e] for c in buffered}
         if sub_list:
             subgroup_window(win, emitted, out_rows)
             return
@@ -1024,7 +1050,9 @@ def window_agg_stream(
         """
         wm_us: Optional[int] = None
         if watermark_gated:
-            wm_us = int(state.getCurrentWatermarkMs()) * 1000
+            wm_us = int(state.getCurrentWatermarkMs()) * (1 if unit_ms else 1000)
+        if __import__("os").environ.get("EKSPARK_DEBUG_WM"):
+            print("WM_DEBUG", wm_us, flush=True)
 
         if state.hasTimedOut:
             ws_stored = load_ws(state)
@@ -1077,7 +1105,9 @@ def window_agg_stream(
             buf = {c: buf[c][keep_from:] for c in buffered}
             if len(buf[ts_col]):
                 save_state(state, emitted, True, buf, keep_ws)
-                state.setTimeoutTimestamp(min(pending) // 1000)
+                state.setTimeoutTimestamp(
+                    min(pending) if unit_ms else min(pending) // 1000
+                )
             else:
                 state.remove()
             n_out = len(next(iter(out_rows.values()))) if out_rows else 0
@@ -1144,7 +1174,9 @@ def window_agg_stream(
         save_state(state, emitted, len(buf[ts_col]) > 0, buf, keep_ws)
         if len(buf[ts_col]):
             if watermark_gated:
-                state.setTimeoutTimestamp(min(pending) // 1000)
+                state.setTimeoutTimestamp(
+                    min(pending) if unit_ms else min(pending) // 1000
+                )
             elif flush_open_ms:
                 state.setTimeoutDuration(int(flush_open_ms))
         n_out = len(next(iter(out_rows.values()))) if out_rows else 0
@@ -1157,9 +1189,31 @@ def window_agg_stream(
         event time passes t+delay; its frame is [t-length, t+delay)
         (window_op.go sliding delay scheduling, event-time analog).  Rows
         later than the delay horizon are dropped (watermark semantics);
-        trailing rows whose trigger never passes stay pending."""
+        trailing rows whose trigger never passes stay pending.
+
+        watermark_gated (isEventTime rules): triggers fire only once the
+        WATERMARK passes t+delay — the reference's event_window_trigger
+        discipline (window_rule_test.go Interval11/12); without a
+        watermark the next covering ARRIVAL fires the trigger.  The
+        state's first slot stores the emission threshold either way.
+        """
         max_seen, _, buf = load_state(state)
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        wm_val: Optional[int] = None
+        if watermark_gated:
+            wm_val = int(state.getCurrentWatermarkMs()) * (1 if unit_ms else 1000)
+        parts = list(pdfs)
+        batch = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({c: pd.Series(dtype="object") for c in buffered})
+        )
+        if len(batch) and wm_val is not None and wm_val > 0:
+            # late rows drop at ingest (the reference's watermark filter)
+            keep = (
+                batch[ts_col].values.astype("datetime64[us]").astype("int64")
+                >= wm_val
+            )
+            batch = batch[keep]
         n_new = len(batch)
         add = batch_arrays(batch.sort_values(order_list, kind="mergesort"), buffered) if n_new else {c: _empty_np(_state_elem_type(buf_types[c])) for c in buffered}
         n_old = len(buf[ts_col])
@@ -1172,8 +1226,15 @@ def window_agg_stream(
         full = {c: full[c][perm] for c in buffered}
         from_old = (np.concatenate([np.ones(n_old, dtype=bool), np.zeros(n_new, dtype=bool)]))[perm]
         ts_arr = full[ts_col]
-        new_max = max(int(max_seen), int(ts_arr.max()))
-        old_thr, new_thr = int(max_seen) - delay_us, new_max - delay_us
+        if wm_val is not None:
+            # threshold = the watermark: trigger t emits once
+            # wm >= t + delay; the stored slot carries the last threshold
+            old_thr = int(max_seen)
+            new_thr = max(wm_val - delay_us, old_thr)
+            new_max = new_thr
+        else:
+            new_max = max(int(max_seen), int(ts_arr.max()))
+            old_thr, new_thr = int(max_seen) - delay_us, new_max - delay_us
         already = from_old & (ts_arr <= old_thr)
         emit = (ts_arr <= new_thr) & ~already
         idx = np.nonzero(emit)[0]
@@ -1185,7 +1246,10 @@ def window_agg_stream(
             # because Delay > 0 makes the window time-related
             # (window_op.go:571-573; TestSlidingWindowInterval11)
             left = np.searchsorted(ts_arr, ts_arr[idx] - length_us, side="left")
-            right = np.searchsorted(ts_arr, ts_arr[idx] + delay_us, side="left")
+            right = np.searchsorted(
+                ts_arr, ts_arr[idx] + delay_us,
+                side="right" if delay_us == 0 else "left",
+            )
             if dkmask is not None:
                 # all-pruned frames drop whole (WHERE above the window)
                 kcs = np.concatenate([[0], np.cumsum(dkmask.astype("int64"))])
@@ -1244,15 +1308,63 @@ def window_agg_stream(
                 # non-empty after the all-pruned selection above)
                 kpos = np.nonzero(dkmask)[0]
                 first_pos = kpos[np.searchsorted(kpos, left, side="left")]
+            if not agg_list:
+                # non-aggregated delayed/gated sliding: emit the FRAME
+                # CONTENT per trigger (the reference's window-collection
+                # emission — TestSlidingDelay's 4-row frame,
+                # Interval12's growing frames); __-prefixed pass cols
+                # (__trig/__et) replicate the trigger row's value
+                rows_idx = np.concatenate(
+                    [np.arange(l, r) for l, r in zip(left, right)]
+                ) if len(idx) else np.array([], dtype="int64")
+                reps = (right - left).astype("int64")
+                trig_rep = np.repeat(idx, reps)
+                if dkmask is not None:
+                    sel = dkmask[rows_idx]
+                    rows_idx, trig_rep = rows_idx[sel], trig_rep[sel]
+                for c in pass_list:
+                    src_i = trig_rep if c.startswith("__") else rows_idx
+                    v = full[c][src_i]
+                    out_cols[c] = pd.to_datetime(v.astype("int64"), unit="us") if _is_ts(buf_types[c]) else v
+                keep = ts_arr >= new_thr - length_us
+                kept = {c: full[c][keep] for c in buffered}
+                if not len(kept[ts_col]) and wm_val is not None:
+                    state.remove()
+                else:
+                    save_state(state, new_max, False, kept)
+                    if wm_val is not None:
+                        pend = kept[ts_col][kept[ts_col] > new_thr]
+                        if len(pend):
+                            close = int(pend.min()) + delay_us
+                            state.setTimeoutTimestamp(
+                                (close if unit_ms else close // 1000) - 1
+                            )
+                if len(rows_idx):
+                    yield emit_frame(out_cols, len(rows_idx), key)
+                return
             for c in pass_list:
                 # aggregated delayed sliding: raw columns take the first
                 # frame row's value (frame (t-L, t+delay] starts at
-                # `left`); __-prefixed pass cols (__trig/__et) and the
-                # non-aggregated form stay trigger-row-local
-                v = full[c][idx] if (c.startswith("__") or not agg_list) else full[c][first_pos]
+                # `left`); __-prefixed pass cols (__trig/__et) stay
+                # trigger-row-local
+                v = full[c][idx] if c.startswith("__") else full[c][first_pos]
                 out_cols[c] = pd.to_datetime(v.astype("int64"), unit="us") if _is_ts(buf_types[c]) else v
         keep = ts_arr >= new_thr - length_us
-        save_state(state, new_max, False, {c: full[c][keep] for c in buffered})
+        kept = {c: full[c][keep] for c in buffered}
+        if not len(kept[ts_col]) and wm_val is not None:
+            state.remove()
+        else:
+            save_state(state, new_max, False, kept)
+            if wm_val is not None:
+                # pending triggers fire on watermark advance, not on the
+                # next arrival — arm an event-time timeout at the next
+                # trigger close (the session discipline)
+                pend = kept[ts_col][kept[ts_col] > new_thr]
+                if len(pend):
+                    close = int(pend.min()) + delay_us
+                    state.setTimeoutTimestamp(
+                        (close if unit_ms else close // 1000) - 1
+                    )
         if len(idx):
             yield emit_frame(out_cols, len(idx), key)
 
@@ -1423,14 +1535,16 @@ def window_agg_stream(
         "count": fn_count,
         "state": fn_state,
         "session": fn_session,
-        "sliding": fn_sliding_delay if delay_us else fn_sliding,
+        "sliding": (
+            fn_sliding_delay if (delay_us or watermark_gated) else fn_sliding
+        ),
     }[kind]
     if dim_list:
         keyed = sdf.groupBy(*dim_list)
     else:
         _warn_global(kind)
         keyed = sdf.withColumn("__k", F.lit(1)).groupBy("__k")
-    if kind == "session" and watermark_gated:
+    if kind in ("session", "sliding") and watermark_gated:
         timeout_conf = GroupStateTimeout.EventTimeTimeout
     elif kind == "session" and flush_open_ms:
         timeout_conf = GroupStateTimeout.ProcessingTimeTimeout

@@ -79,6 +79,7 @@ class TranslateCtx:
     source_order: list = dc_field(default_factory=list)  # FROM-order aliases (star collision precedence)
     dyn_errs: list = dc_field(default_factory=list)  # per-row dynamic-type error messages (SendError)
     srf_err: Optional[Any] = None  # per-row SRF runtime error (SendError unnest nil)
+    wm_col: Optional[str] = None  # hidden TIMESTAMP col carrying the watermark (long event cols)
     deferred_where: Optional[Any] = None  # WHERE kept ABOVE count/sliding windows (filters window CONTENT)
     count_fast: bool = False  # aggregated COUNTWINDOW: fullness check + bounds on the post-agg frame
     flat_col_map: dict = dc_field(default_factory=dict)  # (qualified|bare) name -> flat column (post-stateful-join)
@@ -294,8 +295,18 @@ class Translator:
             return df
 
         if self.streaming and self.watermark and ec and not ctx.join_window_col:
-            # (stream-stream joins watermark each side before the join)
-            df = df.withWatermark(ec, self.watermark)
+            # (stream-stream joins watermark each side before the join).
+            # LONG event columns carry epoch millis (the reference's
+            # native representation) — Spark watermarks require a
+            # TIMESTAMP, so a hidden __evt column carries it; window keys
+            # must then build over __evt for append-mode binding
+            if ctx.event_is_long:
+                df = df.withColumn(
+                    "__evt", F.timestamp_millis(self._event_ref(ctx))
+                ).withWatermark("__evt", self.watermark)
+                ctx.wm_col = "__evt"
+            else:
+                df = df.withWatermark(ec, self.watermark)
 
         # analytic-function hoisting: the reference computes analytic calls
         # BEFORE the filter (plan chain AnalyticFuncs -> ... -> Filter,
@@ -511,12 +522,15 @@ class Translator:
             self.streaming
             and group is not None
             and group.window is not None
-            and group.window.kind in ("count", "state")
+            and (
+                group.window.kind in ("count", "state")
+                or (group.window.kind == "session" and len(group.window.args) >= 2)
+            )
             and not has_agg
         ):
-            # streaming COUNT/STATE window without aggregates: stateful
-            # content emission (the batch path below keys windows with
-            # window functions, which streaming rejects)
+            # streaming COUNT/STATE/capped-SESSION window without
+            # aggregates: stateful content emission (the batch path below
+            # keys windows with window functions, which streaming rejects)
             df = self._streaming_stateful_grouped(df, stmt, ctx)
         elif group is not None and group.window is not None and (
             not has_agg or content_having
@@ -2512,9 +2526,11 @@ class Translator:
             kw["timeout_us"] = int(window.args[1] * UNIT_SECONDS[window.unit] * 1_000_000)
             if ctx.event_is_long:
                 # ms-native long event columns: frame math runs in the
-                # column's own unit (see _streaming_sliding)
+                # column's own unit (see _streaming_sliding), and the
+                # watermark gate compares in MS too
                 kw["cap_us"] //= 1000
                 kw["timeout_us"] //= 1000
+                kw["unit_ms"] = True
             # rule option session_flush_ms: close the trailing open session
             # by processing-time state timeout (the reference's wall-clock
             # ticker close, window_op.go:304-347); off by default so
@@ -2551,6 +2567,16 @@ class Translator:
                 kw["emit_bounds"] = True
             dims = subgroups
             subgroups = []
+            # non-aggregated SELECT over a capped session: window CONTENT
+            # emits per row (count/state content contract)
+            if not any(self._find_aggs(f.expr) for f in stmt.fields):
+                kw["emit_content"] = True
+                kw["passthrough"] = [
+                    c for c in df.columns
+                    if not c.startswith("__")
+                    and c not in ("window", "_metadata")
+                    and c not in dims
+                ]
         else:  # state
             conds = window.state_conds
             for i, p in enumerate(conds[2:]):
@@ -2779,6 +2805,12 @@ class Translator:
                 **keep_kw,
             )
         else:
+            if self.watermark:
+                # isEventTime rules gate sliding triggers on the watermark
+                # (window_rule_test.go Interval11/12); frame math runs in
+                # the event column's own unit
+                keep_kw["watermark_gated"] = True
+                keep_kw["unit_ms"] = bool(ctx.event_is_long)
             out = window_agg_stream(
                 df,
                 "sliding",
@@ -3025,7 +3057,12 @@ class Translator:
         # representation) — time windows need a timestamp, and the window
         # bounds convert back to ms at projection
         if ec and ctx.event_is_long and w.kind in ("tumbling", "hopping", "session"):
-            ecol = F.timestamp_millis(self._event_ref(ctx))
+            # with a watermark, the window must build over the hidden
+            # watermarked __evt column for Spark's append-mode binding
+            ecol = (
+                F.col(ctx.wm_col) if ctx.wm_col
+                else F.timestamp_millis(self._event_ref(ctx))
+            )
             ctx.window_bounds_ms = True
         else:
             ecol = F.col(ec) if ec else None

@@ -1,0 +1,151 @@
+"""Event-time emission boundaries (window_rule_test.go Interval11-14,
+TestEventWindowRule5): with isEventTime + lateTolerance, windows emit
+only once the WATERMARK passes their close — trailing windows stay
+withheld.  Bounded batch replays intentionally emit those extras (the
+documented bounded-replay delta); STREAMING mode must match the
+reference exactly, so these run availableNow with the fixture's event
+times and a 1s watermark.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+import warnings
+
+import pytest
+from pyspark.sql import types as T
+
+from ekuiper_spark.catalog import Catalog, StreamDef
+from ekuiper_spark.translator import compile_sql
+
+DEMO_E2 = [  # temp, hum, ts  (mock_data.go demoE2)
+    (27.5, 59, 1541152486000),
+    (25.5, 65, 1541152487000),
+    (25.5, 65, 1541152488000),
+]
+DEMO_E3 = [  # temp, ts  (mock_data.go demoE3)
+    (26.0, 1541152486000),
+    (27.0, 1541152487000),
+    (28.0, 1541152488000),
+    (28.5, 1541152488500),
+    (29.0, 1541152489000),
+    (29.5, 1541152489500),
+]
+SESSION_E = [  # temp, hum, ts — ARRIVAL order (event ts out of order)
+    (25.5, 65, 1541152486013),
+    (28.1, 75, 1541152487932),
+    (27.5, 59, 1541152486823),
+    (25.5, 62, 1541152489252),
+    (27.4, 80, 1541152488442),
+    (26.2, 63, 1541152490062),
+    (28.9, 85, 1541152491682),
+    (26.8, 71, 1541152490872),
+    (29.1, 92, 1541152492492),
+    (30.9, 87, 1541152494112),
+    (32.2, 99, 1541152493202),
+    (32.2, 99, 1541152499202),
+]
+
+
+def _run_stream(spark, tmp_path, rows, schema, sql, tag, wm="1 seconds"):
+    import os
+
+    d = tmp_path / f"src_{tag}"
+    d.mkdir()
+    names = [f.split()[0] for f in schema.split(",")]
+    now = time.time()
+    for i, r in enumerate(rows):
+        fp = d / f"{i:03d}.json"
+        with open(fp, "w") as f:
+            f.write(json.dumps(dict(zip(names, r))) + "\n")
+        os.utime(fp, (now - 600 + i, now - 600 + i))
+    cat = Catalog()
+    fields = [
+        T.StructField(n, T.DoubleType() if t == "double" else T.LongType())
+        for n, t in (x.split() for x in schema.split(","))
+    ]
+    src = sql.split(" FROM ")[1].split(" ")[0].lower()
+    cat.register(StreamDef(name=src, kind="stream"))
+    # maxFilesPerTrigger is a SOURCE option: one file per micro-batch so
+    # the watermark advances between arrivals like the reference's feed
+    cat.register_df(
+        src,
+        spark.readStream.schema(T.StructType(fields))
+        .option("maxFilesPerTrigger", 1).json(str(d)),
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        df = compile_sql(
+            spark, sql, cat, streaming=True,
+            event_col="ts", watermark=wm, order_cols=["ts"],
+        )
+        name = f"ewb_{tag}_{uuid.uuid4().hex[:6]}"
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+    return [r.asDict() for r in spark.table(name).collect()]
+
+
+def test_tumbling_event_time_withholds_trailing_window(spark, tmp_path):
+    """Interval13: demoE2 TUMBLING(ss,1) with lateTol 1s — wm stops at
+    487000, so only the [486,487) window (27.5) ever emits."""
+    got = _run_stream(
+        spark, tmp_path, DEMO_E2, "temp double,hum long,ts long",
+        "SELECT temp FROM demoe2 GROUP BY TUMBLINGWINDOW(ss, 1)", "t13",
+    )
+    assert [r["temp"] for r in got] == [27.5]
+
+
+def test_tumbling_event_time_two_windows(spark, tmp_path):
+    """Interval14: demoE3 — wm reaches 488500: [486,487) and [487,488)
+    close, later windows withheld."""
+    got = _run_stream(
+        spark, tmp_path, DEMO_E3, "temp double,ts long",
+        "SELECT temp, ts FROM demoe3 GROUP BY TUMBLINGWINDOW(ss, 1)", "t14",
+    )
+    assert sorted((r["temp"], r["ts"]) for r in got) == [
+        (26.0, 1541152486000), (27.0, 1541152487000),
+    ]
+
+
+def test_sliding_event_time_content(spark, tmp_path):
+    """Interval12: per-event sliding — triggers at 486000 ([27.5]) and
+    487000 ([27.5, 25.5]); the 488000 arrival never triggers (wm)."""
+    got = _run_stream(
+        spark, tmp_path, DEMO_E2, "temp double,hum long,ts long",
+        "SELECT temp FROM demoe2 GROUP BY SLIDINGWINDOW(ss, 1)", "s12",
+    )
+    assert sorted(r["temp"] for r in got) == [25.5, 27.5, 27.5]
+
+
+def test_sliding_event_time_delay(spark, tmp_path):
+    """Interval11: SLIDINGWINDOW(ss,1,1) — with 1s forward delay only the
+    486000 trigger's frame completes under the final watermark."""
+    got = _run_stream(
+        spark, tmp_path, DEMO_E2, "temp double,hum long,ts long",
+        "SELECT temp FROM demoe2 GROUP BY SLIDINGWINDOW(ss, 1, 1)", "s11",
+    )
+    assert sorted(r["temp"] for r in got) == [27.5]
+
+
+def test_session_event_time_out_of_order(spark, tmp_path):
+    """TestEventWindowRule5: SessionWindow(ss, 2, 1) over OUT-OF-ORDER
+    events within tolerance; four sessions close under the final
+    watermark, the 499202 straggler's session stays open."""
+    got = _run_stream(
+        spark, tmp_path, SESSION_E, "temp double,hum long,ts long",
+        "SELECT temp FROM sessiondemoe GROUP BY SESSIONWINDOW(ss, 2, 1)",
+        "sess5",
+    )
+    want = sorted([
+        25.5,                      # session 1
+        28.1, 27.4, 25.5,          # session 2 (27.5@486823? see below)
+        26.2, 26.8, 28.9, 29.1, 32.2,  # session 3
+        30.9,                      # session 4
+    ])
+    assert sorted(r["temp"] for r in got) == want
