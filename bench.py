@@ -81,42 +81,78 @@ BENCH_EXTRA = {
 }
 
 
+def _run_once(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    # each rep re-persists its own frames (the similarity operators cache
+    # shingles); drop them so reps measure the same cold plan instead of
+    # accumulating copies
+    spark.catalog.clearCache()
+    return elapsed
+
+
 def _measure(spark, qs, sf_dir: str, reps: int, tag: str = ""):
     """Run the HEADLINE set at sf_dir; returns (per-query medians, total,
-    errors)."""
+    errors, per-query rep spreads).
+
+    Reps are INTERLEAVED across queries (A,B,C,A,B,C — not A,A,A,B,B,B) so
+    a transient sandbox-load spike pollutes one rep of many queries instead
+    of every rep of one query, and the median recovers.  Sub-second queries
+    get extra passes (up to SUB_SECOND_REPS total) because their relative
+    noise floor is highest."""
     results: dict[str, float | None] = {}
     errors: dict[str, str] = {}
+    spread: dict[str, dict] = {}
+    times: dict[str, list[float]] = {name: [] for name in HEADLINE}
     total = 0.0
-    for name in HEADLINE:
-        fn = qs.get(name) or BENCH_EXTRA[name]
-        times: list[float] = []
-        for rep in range(reps):
+
+    def _pass(names, rep):
+        for name in names:
+            if name in errors:
+                continue
+            fn = qs.get(name) or BENCH_EXTRA[name]
             try:
-                t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                times.append(time.perf_counter() - t0)
-                # each rep re-persists its own frames (the similarity
-                # operators cache shingles); drop them so reps measure
-                # the same cold plan instead of accumulating copies
-                spark.catalog.clearCache()
+                times[name].append(_run_once(spark, fn, sf_dir))
             except Exception as e:
                 errors[name] = f"{type(e).__name__}: {e}"
                 print(f"# {tag}{name} rep{rep} FAILED: {e}", file=sys.stderr)
                 traceback.print_exc(file=sys.stderr)
-                break  # same query will fail identically; don't retry
-        if times:
-            med = statistics.median(times)
+
+    for rep in range(reps):
+        _pass(HEADLINE, rep)
+    # sub-second queries: extra interleaved passes to SUB_SECOND_REPS total
+    sub_second_reps = max(
+        reps, int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5"))
+    )
+    for rep in range(reps, sub_second_reps):
+        fast = [
+            n for n in HEADLINE
+            if times[n] and statistics.median(times[n]) < 1.0 and n not in errors
+        ]
+        if not fast:
+            break
+        _pass(fast, rep)
+
+    for name in HEADLINE:
+        if times[name]:
+            med = statistics.median(times[name])
             results[name] = round(med, 3)
+            spread[name] = {
+                "min": round(min(times[name]), 3),
+                "max": round(max(times[name]), 3),
+                "n": len(times[name]),
+            }
             total += med
             print(
-                f"# {tag}{name}: median {med:.3f}s over {len(times)} reps "
-                f"({', '.join(f'{t:.3f}' for t in times)})",
+                f"# {tag}{name}: median {med:.3f}s over {len(times[name])} reps "
+                f"({', '.join(f'{t:.3f}' for t in times[name])})",
                 file=sys.stderr,
             )
         else:
             results[name] = None
-    return results, total, errors
+    return results, total, errors, spread
 
 
 def _ensure_sf1(sf1_dir: str) -> bool:
@@ -153,7 +189,9 @@ def main() -> None:
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    results, total, errors = _measure(spark, qs, sf_dir, reps)
+    load0 = os.getloadavg()
+    t_start = time.time()
+    results, total, errors, spread = _measure(spark, qs, sf_dir, reps)
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -162,6 +200,11 @@ def main() -> None:
         "queries": results,
         "sf": sf,
         "reps": reps,
+        "rep_policy": "interleaved; sub-second queries padded to >=5 reps",
+        "rep_spread": spread,
+        "loadavg_start": [round(x, 2) for x in load0],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "bench_wall": round(time.time() - t_start, 1),
     }
     if errors:
         out["errors"] = errors
@@ -183,12 +226,13 @@ def main() -> None:
             # sf1 (and only sf1) the one-time codegen compile + cold page
             # cache of the 10x files — q_session_window measured 8.1x
             # cold-vs-warm-median but 1.7x warm-vs-warm (round-8 profile)
-            r1, t1, e1 = _measure(spark, qs, sf1_dir, reps, tag="sf1/")
+            r1, t1, e1, sp1 = _measure(spark, qs, sf1_dir, reps, tag="sf1/")
             out["sf1"] = {
                 "value": round(t1, 3),
                 "unit": "sec",
                 "queries": r1,
                 "reps": reps,
+                "rep_spread": sp1,
                 "data_ratio": 10,
                 "wall_ratio_vs_sf0_1": round(t1 / total, 2) if total else None,
             }

@@ -34,6 +34,14 @@ from typing import Any, Iterator, Optional
 
 import pandas as pd
 
+try:
+    # the state carries object-dtype frames through ffill(); opt in to the
+    # future no-silent-downcasting behavior so pandas neither downcasts nor
+    # warns (FutureWarning on object-dtype ffill in pandas 2.x)
+    pd.set_option("future.no_silent_downcasting", True)
+except Exception:  # pragma: no cover - option removed in pandas 3.x
+    pass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
