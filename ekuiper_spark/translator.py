@@ -2148,8 +2148,14 @@ class Translator:
                 dim_names.append(d.name)
             elif isinstance(d, ColumnRef) and d.source is not None and d.source.lower() in ctx.source_aliases:
                 # qualified simple column: group under its bare name so the
-                # output column is user-visible (r.r_name -> r_name)
+                # output column is user-visible (r.r_name -> r_name) — unless
+                # a joined frame carries that bare name from >1 source, where
+                # withColumn can neither replace nor re-reference it
+                # (AMBIGUOUS_REFERENCE); then group under a hidden name and
+                # let the select projection re-alias via dim_map
                 name = d.name
+                if df.columns.count(name) > 1:
+                    name = f"__grp{i}"
                 df = df.withColumn(name, self._expr(d, ctx))
                 ctx.dim_map[canon(d)] = name
                 dim_names.append(name)
