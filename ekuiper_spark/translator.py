@@ -386,6 +386,13 @@ class Translator:
         )
         group = stmt.group
         window = group.window if group else None
+        # GROUP BY dims put the projection in AGGREGATE context even with
+        # no aggregate functions in the SELECT (reference WithAggFields,
+        # checkAgg.go:56-75): ProjectOp runs GroupRange and emits ONE row
+        # per group, with bare columns evaluated against the group's first
+        # row (GroupedTuples.Value -> Content[0], row.go:743-748).  Content
+        # emission is only the no-dims no-aggs shape.
+        agg_ctx = has_agg or bool(group is not None and group.dims)
 
         # batch sliding whose output exceeds one row per trigger — GROUP BY
         # dims (content sub-grouping) or no aggregates (content emission) —
@@ -533,7 +540,7 @@ class Translator:
             # keys windows with window functions, which streaming rejects)
             df = self._streaming_stateful_grouped(df, stmt, ctx)
         elif group is not None and group.window is not None and (
-            not has_agg or content_having
+            not agg_ctx or content_having
         ):
             # window WITHOUT aggregation: the window batches rows and
             # window functions (row_number, ...) rank within each window
@@ -2217,11 +2224,15 @@ class Translator:
             ctx.agg_map[key] = name
             agg_exprs.append(self._agg_expr(call, ctx).alias(name))
 
-        if agg_nodes:
+        if agg_nodes or dim_names:
             # raw (non-grouped) column refs in an aggregated query take
             # the FIRST row's value per group — the reference projects the
             # grouped collection against its first row (TestWindowRule8:
             # color/ts emit the first window row alongside count(*)).
+            # GROUP BY dims alone (no aggregate functions) put the
+            # projection in the same aggregate context (WithAggFields,
+            # checkAgg.go:56-75), so bare non-dim columns resolve the
+            # same way.
             # Compiled as min_by on the event order so "first" stays
             # deterministic under parallel aggregation; a plain first()
             # only when no order column exists.
@@ -2480,6 +2491,40 @@ class Translator:
             ctx.agg_map[key] = out
         return df, specs
 
+    def _stream_raw_first_specs(
+        self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx, specs: list
+    ):
+        """Bare (non-dim) column refs in an aggregate-context stateful
+        window resolve as FIRST-of-group — the reference projects the
+        grouped collection against its first row (GroupedTuples.Value ->
+        Content[0], row.go:743-748).  Mirrors the batch grouped path's
+        min_by resolution; here the window buffer is already in event
+        order so a positional ``first`` AggSpec is deterministic."""
+        from ekuiper_spark.streaming.stateful import AggSpec
+
+        raw_refs: dict[str, ColumnRef] = {}
+        for f in stmt.fields:
+            for ref in self._find_raw_cols(f.expr):
+                raw_refs.setdefault(canon(ref), ref)
+        if stmt.having is not None:
+            for ref in self._find_raw_cols(stmt.having):
+                raw_refs.setdefault(canon(ref), ref)
+        specs = list(specs)
+        nfr = 0
+        for key, ref in raw_refs.items():
+            if key in ctx.dim_map or key in ctx.agg_map:
+                continue
+            if ref.source is None and ref.name in ctx.aliases:
+                continue  # alias of a select expression, resolved there
+            if ref.source is None and ref.name not in df.columns:
+                continue  # not a source column (fails loudly later)
+            name = f"__fr{nfr}"
+            nfr += 1
+            df = df.withColumn(name, self._expr(ref, ctx))
+            specs.append(AggSpec("first", name, name))
+            ctx.dim_map[key] = name
+        return df, specs
+
     def _streaming_stateful_grouped(
         self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx
     ) -> DataFrame:
@@ -2513,12 +2558,11 @@ class Translator:
             # filter rows against frame aggregates, filter_operator.go:
             # 84-87); aggregated SELECTs keep the one-row-per-window path
             fields_agg = any(self._find_aggs(f.expr) for f in stmt.fields)
-            if not fields_agg:
-                if subgroups:
-                    raise NotImplementedError(
-                        "streaming COUNTWINDOW content emission with "
-                        "GROUP BY dims is unsupported"
-                    )
+            # GROUP BY dims => aggregate context even without aggregate
+            # functions (WithAggFields): one row per (window, dim group),
+            # bare columns = first of group via the first-spec resolution
+            # below — never content emission
+            if not fields_agg and not subgroups:
                 kw["emit_content"] = True
                 kw["passthrough"] = [
                     c for c in df.columns
@@ -2574,8 +2618,12 @@ class Translator:
             dims = subgroups
             subgroups = []
             # non-aggregated SELECT over a capped session: window CONTENT
-            # emits per row (count/state content contract)
-            if not any(self._find_aggs(f.expr) for f in stmt.fields):
+            # emits per row (count/state content contract).  With GROUP BY
+            # dims the projection is in aggregate context (WithAggFields)
+            # and emits ONE row per session instead (sessions are keyed by
+            # the dims, so session == group), bare columns = first of
+            # session via the first-spec resolution below.
+            if not any(self._find_aggs(f.expr) for f in stmt.fields) and not dims:
                 kw["emit_content"] = True
                 kw["passthrough"] = [
                     c for c in df.columns
@@ -2599,13 +2647,9 @@ class Translator:
                 df = df.withColumn("__swe", self._expr(conds[1], ctx))
                 kw["emit_col"] = "__swe"
             # non-aggregated SELECT over a state window: window CONTENT
-            # emits per row (same contract as the count-window branch)
-            if not any(self._find_aggs(f.expr) for f in stmt.fields):
-                if subgroups:
-                    raise NotImplementedError(
-                        "streaming STATEWINDOW content emission with "
-                        "GROUP BY dims is unsupported"
-                    )
+            # emits per row (same contract as the count-window branch);
+            # GROUP BY dims => one row per (window, dim group) instead
+            if not any(self._find_aggs(f.expr) for f in stmt.fields) and not subgroups:
                 kw["emit_content"] = True
                 # dims already emit as the state key; passthrough carries
                 # the remaining visible row columns
@@ -2617,6 +2661,10 @@ class Translator:
                 ]
 
         df, specs = self._stream_agg_specs(df, stmt, ctx)
+        if not kw.get("emit_content"):
+            # aggregate context (dims and/or aggregate functions): bare
+            # non-dim columns become first-of-group specs
+            df, specs = self._stream_raw_first_specs(df, stmt, ctx, specs)
         if ctx.deferred_where is not None and window.kind == "count":
             # WHERE above the count window (windowPlan.go:92-95): the
             # stateful operator forms windows from ALL rows and prunes

@@ -1,0 +1,168 @@
+"""GROUP BY dims => aggregate-context projection (one row per group).
+
+The reference puts the projection in aggregate mode whenever the
+statement has GROUP BY dimensions, even with NO aggregate functions in
+the SELECT (xsql.WithAggFields, internal/xsql/checkAgg.go:56-75):
+ProjectOp then runs GroupRange and emits ONE row per group, with bare
+columns evaluated against the group's FIRST row
+(GroupedTuples.Value -> Content[0], internal/xsql/row.go:743-748).
+
+These tests pin that rule across every window kind, batch and
+streaming, plus the bare-non-dim-column first-of-group resolution in
+aggregated queries (which the streaming stateful paths previously
+rejected with an AnalysisException).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ekuiper_spark import compile_sql
+from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    rows = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+    return sorted(rows, key=repr)
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+# --------------------------------------------------------------------- #
+# batch: one row per group, bare columns = first of group
+# --------------------------------------------------------------------- #
+def test_batch_unwindowed_dims_non_agg(spark, catalog):
+    got = _rows(
+        compile_sql(
+            spark,
+            "SELECT event_type, event_id FROM events GROUP BY event_type",
+            catalog,
+            order_cols=["ts", "event_id"],
+        )
+    )
+    want = _duck(
+        "SELECT event_type, first(event_id ORDER BY ts, event_id) AS event_id "
+        "FROM events GROUP BY event_type"
+    )
+    assert got == want
+
+
+def test_batch_count_window_dims_non_agg(spark, catalog):
+    got = _rows(
+        compile_sql(
+            spark,
+            "SELECT event_type, event_id FROM events "
+            "GROUP BY COUNTWINDOW(50), event_type",
+            catalog,
+            order_cols=["ts", "event_id"],
+        )
+    )
+    want = _duck(
+        """
+        WITH w AS (
+          SELECT event_type, event_id, ts,
+                 (row_number() OVER (ORDER BY ts, event_id) - 1) // 50 AS wid
+          FROM events
+        )
+        SELECT event_type, first(event_id ORDER BY ts, event_id) AS event_id
+        FROM w GROUP BY wid, event_type
+        """
+    )
+    assert got == want and len(got) > 20
+
+
+def test_batch_tumbling_dims_non_agg(spark, catalog):
+    got = _rows(
+        compile_sql(
+            spark,
+            "SELECT event_type, event_id FROM events "
+            "GROUP BY TUMBLINGWINDOW(hh, 1), event_type",
+            catalog,
+            order_cols=["ts", "event_id"],
+        )
+    )
+    want = _duck(
+        """
+        SELECT event_type, first(event_id ORDER BY ts, event_id) AS event_id
+        FROM events GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+        """
+    )
+    assert got == want
+
+
+def test_batch_state_window_dims_non_agg_grouped_not_content(spark, catalog):
+    # the same statement used to emit every content row; now one row per
+    # (state window, dim) — strictly fewer rows than the content total
+    sql = (
+        "SELECT event_type, event_id FROM events "
+        "GROUP BY STATEWINDOW(value > 100, value < 50), event_type"
+    )
+    got = compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"])
+    n = got.count()
+    assert 0 < n < 1000
+    # dropping the dim gives content emission (more rows than grouped)
+    content = compile_sql(
+        spark,
+        "SELECT event_type, event_id FROM events "
+        "GROUP BY STATEWINDOW(value > 100, value < 50)",
+        catalog,
+        order_cols=["ts", "event_id"],
+    ).count()
+    assert content > n
+
+
+# --------------------------------------------------------------------- #
+# streaming == batch parity for the lifted shapes
+# --------------------------------------------------------------------- #
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # dims + non-agg: grouped emission (was NotImplementedError)
+        "SELECT event_type, event_id FROM events "
+        "GROUP BY COUNTWINDOW(50), event_type",
+        "SELECT event_type, event_id FROM events "
+        "GROUP BY STATEWINDOW(value > 100, value < 50), event_type",
+        # dims + aggs + bare non-dim column (was AnalysisException)
+        "SELECT event_type, event_id, count(*) AS c FROM events "
+        "GROUP BY COUNTWINDOW(50), event_type",
+        "SELECT event_type, user_id, count(*) AS c, max(value) AS mx "
+        "FROM events GROUP BY STATEWINDOW(value > 100, value < 50), event_type",
+        # no dims + aggs + bare column: first-of-window
+        "SELECT event_type, count(*) AS c FROM events GROUP BY COUNTWINDOW(50)",
+    ],
+)
+def test_stream_batch_parity_grouped(spark, catalog, sql):
+    b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+    s = _rows(run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"]))
+    assert b == s and len(b) > 0
+
+
+def test_stream_session_dims_non_agg_grouped(spark, catalog):
+    """Keyed sessions + non-agg SELECT: one row per session (not content),
+    bare columns = first of session.  Streaming equals batch minus the
+    trailing OPEN session per key (documented bounded-replay divergence:
+    batch closes the tail, streaming holds it in state)."""
+    sql = (
+        "SELECT user_id, event_id FROM events "
+        "GROUP BY user_id, SESSIONWINDOW(mi, 120, 30)"
+    )
+    b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+    s = _rows(run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"]))
+    bs, ss = set(b), set(s)
+    assert ss <= bs  # streaming emits a subset (closed sessions only)
+    # the batch-only rows are exactly one per key (the open tail)
+    extra = [r for r in b if r not in ss]
+    keys = [r[0] for r in extra]
+    assert len(keys) == len(set(keys)) and len(b) == len(s) + len(extra)
+    # grouped, not content: far fewer rows than events
+    assert len(b) < 1000
