@@ -65,6 +65,21 @@ class AggSpec:
     out: str
 
 
+@dataclass(frozen=True)
+class WinFuncSpec:
+    """row_number() computed over each emitted window's CONTENT rows
+    (reference WindowFuncOperator, windowfunc_operator.go:27-160): rank
+    within the window collection, optionally partitioned and sorted by
+    OVER (PARTITION BY ... ORDER BY ...).  Nil sort keys rank LAST in
+    both directions (OrderOp semantics).  parts/orders name upstream
+    (natively pre-computed) columns; ascs aligns with orders."""
+
+    out: str
+    parts: tuple = ()
+    orders: tuple = ()
+    ascs: tuple = ()
+
+
 _GLOBAL_WARNING = (
     "unkeyed %s window: all rows route through ONE state partition "
     "(matches the reference's single-process semantics but serializes at "
@@ -422,6 +437,7 @@ def window_agg_stream(
     emit_bounds: bool = False,
     keep_col: Optional[str] = None,
     emit_content: bool = False,
+    winfuncs: Sequence[WinFuncSpec] = (),
 ) -> DataFrame:
     """Generic stateful streaming window aggregation.
 
@@ -478,6 +494,8 @@ def window_agg_stream(
         raise NotImplementedError(
             "streaming window content emission with GROUP BY dims is unsupported"
         )
+    if winfuncs and not emit_content:
+        raise ValueError("winfuncs (row_number over content) require emit_content")
     schema = {f.name: f.dataType for f in sdf.schema.fields}
     order_cols = [c for c in order_cols if c in schema] or list(sdf.columns[:1])
     if kind == "sliding" and not subgroups:
@@ -502,6 +520,8 @@ def window_agg_stream(
         needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + list(passthrough) + keep_extra))
     else:
         content_extra = list(passthrough) if emit_content else []
+        for wf in winfuncs:
+            content_extra.extend(list(wf.parts) + list(wf.orders))
         needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + content_extra + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else []) + keep_extra))
     if kind == "sliding" and (delay_us or watermark_gated):
         buffered = list(needed)  # pending rows wait in state with their row cols
@@ -557,6 +577,8 @@ def window_agg_stream(
     if (kind == "sliding" and not subgroups) or emit_content:
         for c in passthrough:
             out_fields.append(T.StructField(c, schema[c]))
+    for wf in winfuncs:
+        out_fields.append(T.StructField(wf.out, T.LongType()))
     for a in aggs:
         in_t = schema[a.in_col] if a.in_col else None
         out_fields.append(T.StructField(a.out, _agg_out_type(a.op, in_t)))
@@ -666,11 +688,60 @@ def window_agg_stream(
         if emit_wid:
             sink["wid"].extend([wid] * len(keys))
 
+    winfunc_list = list(winfuncs)
+
+    def winfunc_cols(win: dict, length: int) -> dict[str, np.ndarray]:
+        """Per-window row_number ranks over the (pruned) content rows —
+        reference WindowFuncOperator semantics: rank within the window
+        collection, per OVER partition, ordered by the OVER sort fields
+        with nil keys LAST in both directions; without ORDER BY the rank
+        follows the collection (event) order."""
+        out: dict[str, np.ndarray] = {}
+        for wf in winfunc_list:
+            cols = {}
+            for c in dict.fromkeys(list(wf.parts) + list(wf.orders)):
+                arr = win[c]
+                dt = buf_types.get(c, T.StringType())
+                if (
+                    _is_ts(dt)
+                    or isinstance(
+                        dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+                    )
+                ) and _null_mask(arr, dt).any():
+                    arr = _f64_nulls(arr, dt)  # sentinel nulls -> NaN (rank last)
+                cols[c] = arr
+            pdf = pd.DataFrame(cols) if cols else pd.DataFrame(index=range(length))
+            if wf.orders:
+                idx = pdf.sort_values(
+                    list(wf.orders),
+                    ascending=list(wf.ascs),
+                    na_position="last",
+                    kind="mergesort",
+                ).index.to_numpy()
+            else:
+                idx = np.arange(length)
+            ranks = np.empty(length, dtype="int64")
+            if wf.parts:
+                cum = (
+                    pdf.loc[idx]
+                    .groupby(list(wf.parts), sort=False, dropna=False)
+                    .cumcount()
+                    .to_numpy()
+                    + 1
+                )
+                ranks[idx] = cum
+            else:
+                ranks[idx] = np.arange(1, length + 1)
+            out[wf.out] = ranks
+        return out
+
     def new_sink() -> dict:
         sink: dict[str, list] = {a.out: [] for a in agg_list}
         if emit_content:
             for c in pass_list:
                 sink[c] = []
+            for wf in winfunc_list:
+                sink[wf.out] = []
         for sc in sub_list:
             sink[sc] = []
         if emit_wid:
@@ -733,7 +804,16 @@ def window_agg_stream(
         for name, vals in list(frame.items()):
             t = out_types.get(name, T.StringType())
             if _is_ts(t) and vals.dtype != "datetime64[ns]":
-                frame[name] = pd.to_datetime(frame[name])
+                k = getattr(vals.dtype, "kind", "")
+                if k in ("i", "u", "f"):
+                    # buffered event columns are int64 epoch-MICROS
+                    # (float = NaN-restored nulls); a bare to_datetime
+                    # would read the integers as NANOseconds and emit
+                    # 1970-era garbage (caught by row_number content
+                    # emission of a raw ts column)
+                    frame[name] = pd.to_datetime(frame[name], unit="us")
+                else:
+                    frame[name] = pd.to_datetime(frame[name])
             elif (
                 isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
                 and getattr(vals.dtype, "kind", "") == "f"
@@ -775,6 +855,8 @@ def window_agg_stream(
                     win = {c: buf[c][sl] for c in buffered}
                 length = len(next(iter(win.values())))
                 out_cols = {c: pd.Series(win[c]) for c in pass_list}
+                for name, arr in winfunc_cols(win, length).items():
+                    out_cols[name] = pd.Series(arr)
                 for a in agg_list:
                     src = a.in_col or ts_col
                     val = _reduce_slice(a.op, win[src], buf_types.get(src, T.DoubleType()))
@@ -904,6 +986,8 @@ def window_agg_stream(
                 length = len(next(iter(win.values())))
                 if length:
                     cols = {c: pd.Series(win[c]) for c in pass_list}
+                    for name, arr in winfunc_cols(win, length).items():
+                        cols[name] = pd.Series(arr)
                     for a in agg_list:
                         src = a.in_col or ts_col
                         val = _reduce_slice(a.op, win[src], buf_types.get(src, T.DoubleType()))
@@ -998,6 +1082,8 @@ def window_agg_stream(
             length = e - s
             for c in pass_list:
                 out_rows[c].extend(win[c].tolist())
+            for name, arr in winfunc_cols(win, length).items():
+                out_rows[name].extend(arr.tolist())
             for a in agg_list:
                 src = a.in_col or ts_col
                 val = _reduce_slice(a.op, win[src], buf_types.get(src, T.DoubleType()))

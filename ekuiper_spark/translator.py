@@ -64,6 +64,7 @@ class TranslateCtx:
     sliding_parts: list = dc_field(default_factory=list)  # partition Columns
     frame_first: dict = dc_field(default_factory=dict)  # canon raw ref -> first-of-frame Column
     windowfunc_partition: list = dc_field(default_factory=list)  # window-key col names
+    winfunc_map: dict = dc_field(default_factory=dict)  # canon row_number call -> stateful-op rank col
     row_cols: list[str] = dc_field(default_factory=list)  # user-visible cols at agg input
     analytic_map: dict[str, str] = dc_field(default_factory=dict)  # hoisted analytic cols
     cc_stream: dict[str, list] = dc_field(default_factory=dict)  # streaming changed_cols: canon -> [(col, name)]
@@ -2660,6 +2661,42 @@ class Translator:
                     and c not in dims
                 ]
 
+        # row_number() over the window CONTENT (reference WindowFuncPlan
+        # sits above the window, windowfunc_operator.go:27-160): Spark
+        # rejects rank window functions on streaming frames, so the rank
+        # is computed INSIDE the stateful operator per emitted window
+        rn_calls: dict[str, FuncCall] = {}
+        for f in stmt.fields:
+            for c in self._find_fn_calls(f.expr, "row_number"):
+                rn_calls.setdefault(canon(c), c)
+        winfunc_specs: list = []
+        if rn_calls:
+            if not kw.get("emit_content"):
+                raise NotImplementedError(
+                    "row_number over a streaming COUNT/STATE/SESSION window "
+                    "is supported for non-aggregated SELECTs without GROUP "
+                    "BY dims (batch supports all forms)"
+                )
+            from ekuiper_spark.streaming.stateful import WinFuncSpec
+
+            for i, (ckey, call) in enumerate(rn_calls.items()):
+                parts, orders, ascs = [], [], []
+                for j, p in enumerate(call.partition_by):
+                    nm = f"__wf{i}p{j}"
+                    df = df.withColumn(nm, self._expr(p, ctx))
+                    parts.append(nm)
+                for j, s in enumerate(call.order_by):
+                    nm = f"__wf{i}o{j}"
+                    df = df.withColumn(nm, self._expr(s.expr, ctx))
+                    orders.append(nm)
+                    ascs.append(bool(s.asc))
+                out_nm = f"__wf{i}"
+                winfunc_specs.append(
+                    WinFuncSpec(out_nm, tuple(parts), tuple(orders), tuple(ascs))
+                )
+                ctx.winfunc_map[ckey] = out_nm
+            kw["winfuncs"] = winfunc_specs
+
         df, specs = self._stream_agg_specs(df, stmt, ctx)
         if not kw.get("emit_content"):
             # aggregate context (dims and/or aggregate functions): bare
@@ -4072,6 +4109,35 @@ class Translator:
             F.broadcast(ok.select(F.lit(1).alias("__havok")))
         ).drop("__havok")
 
+    def _find_fn_calls(self, node: Node, fname: str) -> list[FuncCall]:
+        """All calls of a specific function anywhere in the expression."""
+        out: list[FuncCall] = []
+
+        def walk(n: Node) -> None:
+            if isinstance(n, FuncCall):
+                if n.name == fname:
+                    out.append(n)
+                for a in n.args:
+                    walk(a)
+            elif isinstance(n, Binary):
+                walk(n.left)
+                walk(n.right)
+            elif isinstance(n, Unary):
+                walk(n.operand)
+            elif isinstance(n, CaseWhen):
+                if n.operand:
+                    walk(n.operand)
+                for c, v in n.whens:
+                    walk(c)
+                    walk(v)
+                if n.else_:
+                    walk(n.else_)
+            elif isinstance(n, (Index, Slice, Access, JsonPath, InExpr, Between, Like)):
+                walk(n.expr)
+
+        walk(node)
+        return out
+
     def _find_aggs(self, node: Node) -> list[FuncCall]:
         out: list[FuncCall] = []
 
@@ -5148,11 +5214,22 @@ class Translator:
             return F.lit(None if val is None else str(val))
 
         if name == "row_number":
+            if canon(call) in ctx.winfunc_map:
+                # streaming stateful window: rank already computed inside
+                # the stateful operator (see _streaming_stateful_grouped)
+                return F.col(ctx.winfunc_map[canon(call)])
             if not call.partition_by and not ctx.windowfunc_partition:
                 # no window: every event is its own collection, so the rank
                 # is always 1 (rule_test.go:79 TestRowNumber1)
                 return F.lit(1)
-            return F.row_number().over(self._analytic_window(call, ctx))
+            part, order = self._analytic_parts_order(call, ctx)
+            if call.partition_by and ctx.windowfunc_partition:
+                # OVER (PARTITION BY a) inside a window collection ranks
+                # within (window, a) — the window stays the outer
+                # collection boundary (windowfunc_operator.go:85-92), so
+                # the window key cols prefix the explicit partition
+                part = [F.col(c) for c in ctx.windowfunc_partition] + part
+            return F.row_number().over(W.partitionBy(*part).orderBy(*order))
 
         if name in self._HIT_FNS:
             # rule-trigger bookkeeping (funcs_global_state.go): count/time

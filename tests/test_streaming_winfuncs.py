@@ -1,0 +1,98 @@
+"""row_number() over streaming COUNT/STATE/SESSION window content.
+
+The reference plans WindowFuncPlan above the window (and above Filter/
+Having — planner.go:826-834), so row_number ranks the window's (pruned)
+CONTENT rows: per OVER partition, ordered by the OVER sort fields with
+nil keys last, or in collection order without ORDER BY
+(windowfunc_operator.go:27-160).  Spark rejects rank window functions
+on streaming frames, so the stateful operator computes the rank per
+emitted window (WinFuncSpec); these tests pin streaming == batch.
+
+Also pins the batch fix that OVER (PARTITION BY a) inside a window
+collection ranks within (window, a) — the window remains the outer
+collection boundary.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ekuiper_spark import compile_sql
+from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # collection-order rank, no OVER clause
+        "SELECT event_id, row_number() AS rn FROM events GROUP BY COUNTWINDOW(10)",
+        # explicit ORDER BY (desc)
+        "SELECT event_id, row_number() OVER (ORDER BY value DESC) AS rn "
+        "FROM events GROUP BY COUNTWINDOW(10)",
+        # PARTITION BY subdivides the window collection
+        "SELECT event_id, row_number() OVER (PARTITION BY event_type ORDER BY value) "
+        "AS rn FROM events GROUP BY COUNTWINDOW(20)",
+        # state window content rank
+        "SELECT event_id, row_number() AS rn FROM events "
+        "GROUP BY STATEWINDOW(value > 100, value < 50)",
+        # WHERE above the window prunes content BEFORE ranking
+        # (Filter below WindowFunc in the reference plan stack)
+        "SELECT event_id, row_number() AS rn FROM events WHERE value > 100 "
+        "GROUP BY COUNTWINDOW(10)",
+        # rank inside an expression
+        "SELECT event_id, row_number() * 2 AS rn2 FROM events GROUP BY COUNTWINDOW(10)",
+    ],
+)
+def test_stream_batch_parity_row_number(spark, catalog, sql):
+    b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+    s = _rows(run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"]))
+    assert b == s and len(b) > 0
+
+
+def test_stream_session_row_number(spark, catalog):
+    # capped session content rank; batch additionally emits the trailing
+    # OPEN session (documented bounded-replay divergence)
+    sql = (
+        "SELECT event_id, row_number() AS rn FROM events "
+        "GROUP BY SESSIONWINDOW(mi, 120, 30)"
+    )
+    b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+    s = _rows(run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"]))
+    assert set(s) <= set(b) and len(b) - len(s) <= len(
+        {r[0] for r in b} - {r[0] for r in s}
+    ) + 1
+
+
+def test_row_number_rank_values_count_window(spark, catalog):
+    # every COUNTWINDOW(10) window carries ranks exactly 1..10
+    sql = (
+        "SELECT event_id, row_number() AS rn FROM events GROUP BY COUNTWINDOW(10)"
+    )
+    s = run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"])
+    rows = [(r["event_id"], r["rn"]) for r in s.collect()]
+    assert len(rows) == 1000
+    from collections import Counter
+
+    c = Counter(rn for _, rn in rows)
+    assert all(c[r] == 100 for r in range(1, 11))
+
+
+def test_streaming_ts_content_passthrough_unit(spark, catalog):
+    """A raw timestamp column emitted through window content must keep
+    its epoch-micros value (a bare pandas to_datetime read the buffered
+    int64 as NANOseconds and emitted 1970-era garbage)."""
+    from pyspark.sql import functions as F
+
+    sql = "SELECT event_id, ts FROM events GROUP BY COUNTWINDOW(100)"
+    s = run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"])
+    got = {r["event_id"]: r["ts"] for r in s.collect()}
+    src = {
+        r["event_id"]: r["ts"]
+        for r in catalog.load(spark, "events").select("event_id", "ts").collect()
+    }
+    assert len(got) == 1000
+    assert all(got[k] == src[k] for k in got)
