@@ -438,6 +438,7 @@ def window_agg_stream(
     keep_col: Optional[str] = None,
     emit_content: bool = False,
     winfuncs: Sequence[WinFuncSpec] = (),
+    pre_analytics: Sequence = (),
 ) -> DataFrame:
     """Generic stateful streaming window aggregation.
 
@@ -497,6 +498,21 @@ def window_agg_stream(
     if winfuncs and not emit_content:
         raise ValueError("winfuncs (row_number over content) require emit_content")
     schema = {f.name: f.dataType for f in sdf.schema.fields}
+    # pre_analytics (AnalyticSpec list): analytic/accumulator calls the
+    # reference evaluates BELOW the window (AnalyticFuncsPlan) — Spark
+    # allows only ONE applyInPandasWithState per streaming query, so the
+    # window operator advances the analytic state itself on each arriving
+    # batch (stream order) and the outputs flow into the window buffers
+    # as virtual columns.  Only valid on a globally-keyed window op (the
+    # reference's analytic state is global to the rule).
+    pre_an = list(pre_analytics)
+    if pre_an and dims:
+        raise NotImplementedError(
+            "fused pre-window analytics require a globally-keyed window "
+            "operator (analytic state is rule-global in the reference)"
+        )
+    for s in pre_an:
+        schema[s.out] = s.out_type
     order_cols = [c for c in order_cols if c in schema] or list(sdf.columns[:1])
     if kind == "sliding" and not subgroups:
         allowed = (
@@ -554,7 +570,11 @@ def window_agg_stream(
         | {begin_col, emit_col}
     )
     for c in dict.fromkeys(agg_in):
-        if c not in protected and isinstance(schema[c], T.LongType):
+        if (
+            c not in protected
+            and c in sdf.columns  # virtual pre-analytics outputs never null
+            and isinstance(schema[c], T.LongType)
+        ):
             sdf = sdf.withColumn(
                 c, F.coalesce(F.col(c), F.lit(int(_LONG_NULL)).cast("long"))
             )
@@ -596,7 +616,10 @@ def window_agg_stream(
         [T.StructField("ws_open", T.LongType())] if has_ws else []
     ) + [
         T.StructField(f"b_{c}", T.ArrayType(_state_elem_type(schema[c]))) for c in buffered
-    ]
+    ] + (
+        # fused analytic state (JSON dict: spec index -> numeric state)
+        [T.StructField("an_state", T.StringType())] if pre_an else []
+    )
     state_schema = T.StructType(state_fields)
 
     dim_list = list(dims)
@@ -771,7 +794,28 @@ def window_agg_stream(
             return int(v) if v is not None else -1
         return -1
 
-    def save_state(state: GroupState, emitted: int, is_open: bool, buf: dict, ws_open: int = -1) -> None:
+    def load_an(state: GroupState) -> dict:
+        if pre_an and state.exists:
+            v = state.get[2 + _ws_slot + len(buffered)]
+            if v:
+                import json
+
+                return json.loads(v)
+        return {}
+
+    def apply_pre_analytics(batch: pd.DataFrame, an_st: dict) -> pd.DataFrame:
+        """Advance the fused analytic state over the sorted arriving
+        batch, adding each spec's output as a virtual column (mutates
+        an_st in place)."""
+        if pre_an and len(batch):
+            from ekuiper_spark.streaming.analytics import _vector_spec
+
+            batch = batch.reset_index(drop=True)
+            for i, s in enumerate(pre_an):
+                batch[s.out] = _vector_spec(s, an_st.setdefault(str(i), {}), batch)
+        return batch
+
+    def save_state(state: GroupState, emitted: int, is_open: bool, buf: dict, ws_open: int = -1, an_st: Optional[dict] = None) -> None:
         if buffered and state_max_rows:
             n_buf = len(next(iter(buf.values())))
             if n_buf > state_max_rows:
@@ -784,11 +828,19 @@ def window_agg_stream(
                     file=sys.stderr,
                 )
                 buf = {c: buf[c][-state_max_rows:] for c in buffered}
+        an_extra: list = []
+        if pre_an:
+            import json
+
+            if an_st is None:
+                an_st = load_an(state)  # preserve (e.g. timeout paths)
+            an_extra = [json.dumps(an_st)]
         state.update(
             tuple(
                 [int(emitted), bool(is_open)]
                 + ([int(ws_open)] if has_ws else [])
                 + [list(buf[c].tolist()) for c in buffered]
+                + an_extra
             )
         )
 
@@ -831,9 +883,11 @@ def window_agg_stream(
     # ------------------------------------------------------------------ #
     def fn_count(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         emitted, _, buf = load_state(state)
+        an_st = load_an(state)
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
             batch = batch.sort_values(order_list, kind="mergesort")
+            batch = apply_pre_analytics(batch, an_st)
             add = batch_arrays(batch, buffered)
             buf = {c: np.concatenate([buf[c], add[c]]) for c in buffered}
         total = len(next(iter(buf.values()))) if buffered else 0
@@ -870,7 +924,7 @@ def window_agg_stream(
                 frames.append(emit_frame(out_cols, length, key))
             buf = {c: buf[c][n_win * n :] for c in buffered}
             emitted += n_win
-            save_state(state, emitted, False, buf)
+            save_state(state, emitted, False, buf, an_st=an_st)
             if frames:
                 yield pd.concat(frames, ignore_index=True)
         elif n_win and keep_col:
@@ -900,7 +954,7 @@ def window_agg_stream(
                     out_rows["wid"].append(emitted + w)
             buf = {c: buf[c][n_win * n :] for c in buffered}
             emitted += n_win
-            save_state(state, emitted, False, buf)
+            save_state(state, emitted, False, buf, an_st=an_st)
             n_out = len(next(iter(out_rows.values()))) if out_rows else 0
             if n_out:
                 yield emit_frame({k: pd.Series(v) for k, v in out_rows.items()}, n_out, key)
@@ -912,7 +966,7 @@ def window_agg_stream(
                 subgroup_window(win, emitted + w, sink)
             buf = {c: buf[c][n_win * n :] for c in buffered}
             emitted += n_win
-            save_state(state, emitted, False, buf)
+            save_state(state, emitted, False, buf, an_st=an_st)
             n_out = len(next(iter(sink.values())))
             if n_out:
                 yield emit_frame({k: pd.Series(v) for k, v in sink.items()}, n_out, key)
@@ -931,19 +985,21 @@ def window_agg_stream(
                     out_cols[a.out] = _np_to_out(res, out_types[a.out]) if a.op in ("min", "max", "first", "last", "last_nn", "sum") else res
             buf = {c: buf[c][n_win * n :] for c in buffered}
             emitted += n_win
-            save_state(state, emitted, False, buf)
+            save_state(state, emitted, False, buf, an_st=an_st)
             yield emit_frame(out_cols, n_win, key)
         else:
-            save_state(state, emitted, False, buf)
+            save_state(state, emitted, False, buf, an_st=an_st)
 
     # ------------------------------------------------------------------ #
     def fn_state(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         emitted, is_open, buf = load_state(state)
+        an_st = load_an(state)
         batch = pd.concat(list(pdfs), ignore_index=True)
         if not len(batch):
-            save_state(state, emitted, is_open, buf)
+            save_state(state, emitted, is_open, buf, an_st=an_st)
             return
         batch = batch.sort_values(order_list, kind="mergesort")
+        batch = apply_pre_analytics(batch, an_st)
         rows = batch_arrays(batch, buffered)
         bflags = batch[begin_col].to_numpy(dtype="bool")
         eflags = batch[emit_col].to_numpy(dtype="bool") if emit_col else ~bflags
@@ -1016,7 +1072,7 @@ def window_agg_stream(
             is_open = False
             buf = {c: _empty_np(_state_elem_type(buf_types[c])) for c in buffered}
             pos = next_pos
-        save_state(state, emitted, is_open, buf)
+        save_state(state, emitted, is_open, buf, an_st=an_st)
         if content_frames:
             yield pd.concat(content_frames, ignore_index=True)
             return
@@ -1203,6 +1259,7 @@ def window_agg_stream(
 
         ws_stored = load_ws(state)
         emitted, _, buf = load_state(state)
+        an_st = load_an(state)
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) and wm_us is not None and wm_us > 0:
             # the reference drops events below the watermark BEFORE the
@@ -1211,12 +1268,13 @@ def window_agg_stream(
             batch = batch[keep]
         if len(batch):
             batch = batch.sort_values(order_list, kind="mergesort")
+            batch = apply_pre_analytics(batch, an_st)
             add = batch_arrays(batch, buffered)
             buf = {c: np.concatenate([buf[c], add[c]]) for c in buffered}
         ts_arr = buf[ts_col]
         total = len(ts_arr)
         if not total:
-            save_state(state, emitted, False, buf, ws_stored)
+            save_state(state, emitted, False, buf, ws_stored, an_st=an_st)
             return
         # a late-but-in-tolerance arrival may sort before carried rows
         perm = np.argsort(ts_arr, kind="stable")
@@ -1257,7 +1315,7 @@ def window_agg_stream(
             else:
                 pending.append(open_close)
         buf = {c: buf[c][keep_from:] for c in buffered}
-        save_state(state, emitted, len(buf[ts_col]) > 0, buf, keep_ws)
+        save_state(state, emitted, len(buf[ts_col]) > 0, buf, keep_ws, an_st=an_st)
         if len(buf[ts_col]):
             if watermark_gated:
                 state.setTimeoutTimestamp(

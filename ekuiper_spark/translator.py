@@ -65,6 +65,7 @@ class TranslateCtx:
     frame_first: dict = dc_field(default_factory=dict)  # canon raw ref -> first-of-frame Column
     windowfunc_partition: list = dc_field(default_factory=list)  # window-key col names
     winfunc_map: dict = dc_field(default_factory=dict)  # canon row_number call -> stateful-op rank col
+    pending_analytics: list = dc_field(default_factory=list)  # AnalyticSpecs fused into the stateful window op
     row_cols: list[str] = dc_field(default_factory=list)  # user-visible cols at agg input
     analytic_map: dict[str, str] = dc_field(default_factory=dict)  # hoisted analytic cols
     cc_stream: dict[str, list] = dc_field(default_factory=dict)  # streaming changed_cols: canon -> [(col, name)]
@@ -838,6 +839,37 @@ class Translator:
                     f"analytic function {name} unsupported in streaming"
                 )
             ctx.analytic_map[key] = oc
+
+        # A stateful window in the same statement means the analytic op
+        # CANNOT run standalone (Spark allows one applyInPandasWithState
+        # per streaming query): defer the specs for FUSION into the
+        # window operator, which advances the analytic state per arriving
+        # batch in stream order (reference AnalyticFuncsPlan below the
+        # window).  Fusion currently covers the acc_* family (JSON-safe
+        # numeric state) on globally-keyed COUNT/STATE/SESSION windows.
+        w = stmt.group.window if stmt.group else None
+        stateful_w = w is not None and (
+            w.kind in ("count", "state", "sliding")
+            or (w.kind == "session" and len(w.args) >= 2)
+        )
+        if stateful_w:
+            bad = [s.kind for s in specs if not s.kind.startswith("acc_")]
+            if bad or w.kind == "sliding":
+                raise NotImplementedError(
+                    f"analytic functions {sorted(set(bad)) or ['acc_*']} over a "
+                    f"streaming {w.kind.upper()} window are unsupported (one "
+                    "stateful operator per streaming query); only acc_* fuse "
+                    "into COUNT/STATE/SESSION windows — use an unwindowed "
+                    "rule or a TUMBLING/HOPPING window"
+                )
+            if parts:
+                raise NotImplementedError(
+                    "OVER (PARTITION BY ...) analytics cannot fuse into a "
+                    "stateful window (analytic state is rule-global)"
+                )
+            ctx.pending_analytics = specs
+            return df.withColumns(temps)
+
         key_cols = [add_temp(self._expr(p, ctx)) for p in parts]
         df = df.withColumns(temps)
         df = analytic_state_stream(df, specs, key_cols, ctx.order_cols)
@@ -2486,8 +2518,14 @@ class Translator:
             if not args:
                 in_col = None
             else:
-                in_col = f"__in{i}"
-                df = df.withColumn(in_col, self._expr(args[0], ctx))
+                an_out = ctx.analytic_map.get(canon(args[0]))
+                if an_out is not None and an_out not in df.columns:
+                    # fused pre-analytics output (virtual column computed
+                    # inside the stateful op): feed the aggregate directly
+                    in_col = an_out
+                else:
+                    in_col = f"__in{i}"
+                    df = df.withColumn(in_col, self._expr(args[0], ctx))
             specs.append(AggSpec(op, in_col, out))
             ctx.agg_map[key] = out
         return df, specs
@@ -2660,6 +2698,24 @@ class Translator:
                     and c not in ("window", "_metadata")
                     and c not in dims
                 ]
+
+        if ctx.pending_analytics:
+            # fused analytics: the stateful op advances acc_* state per
+            # arriving batch and materializes the outputs as virtual
+            # columns (Spark allows one applyInPandasWithState per query)
+            kw["pre_analytics"] = ctx.pending_analytics
+        pending_outs = {s.out for s in ctx.pending_analytics}
+        if kw.get("emit_content"):
+            # pre-window analytic/accumulator outputs (hoisted __an*/
+            # begin-reset acc columns, AnalyticFuncsPlan BELOW the window
+            # in the reference stack) ride through content emission so
+            # the projection above the stateful op can still read them
+            an_cols = list(ctx.analytic_map.values()) + [
+                oc for outs in ctx.cc_stream.values() for oc, _vis in outs
+            ]
+            kw["passthrough"] = list(kw.get("passthrough", ())) + [
+                c for c in an_cols if c in df.columns or c in pending_outs
+            ]
 
         # row_number() over the window CONTENT (reference WindowFuncPlan
         # sits above the window, windowfunc_operator.go:27-160): Spark

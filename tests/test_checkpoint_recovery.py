@@ -104,6 +104,14 @@ STATEFUL_SQLS = {
         "SELECT count(*) AS n, min(event_id) AS a, max(event_id) AS b "
         "FROM ev GROUP BY SESSIONWINDOW(mi, 120, 30)"
     ),
+    # begin/reset acc fused INTO the count-window stateful op (one
+    # applyInPandasWithState per query): the JSON an_state field must
+    # survive the restart mid-segment
+    "fused_acc_count_window": (
+        "SELECT max(acc_sum(user_id, event_type = 'signup', "
+        "event_type = 'purchase')) AS a, count(*) AS n "
+        "FROM ev GROUP BY COUNTWINDOW(100)"
+    ),
     # continuous analytic state (streaming/analytics.py): lag rings,
     # changed/latest values and acc counters must survive the restart
     "analytic_funcs": (

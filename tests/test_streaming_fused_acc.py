@@ -1,0 +1,66 @@
+"""Begin/reset-conditioned accumulators fused into stateful windows.
+
+The reference evaluates acc_*(v, onBegin, onReset) BELOW the window
+(AnalyticFuncsPlan; funcs_acc.go:184-211 accFuncWithCond).  Spark allows
+only one applyInPandasWithState per streaming query, so when the
+statement also has a COUNT/STATE/capped-SESSION window, the window
+operator advances the accumulator state itself per arriving batch (the
+an_state JSON field) and the outputs flow through as virtual columns.
+
+Pins streaming == batch across the fused shapes, plus the honest raise
+for un-fusable combos.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ekuiper_spark import compile_sql
+from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+ACC = "acc_sum(value, event_type = 'signup', event_type = 'error')"
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # unwindowed conditioned acc (standalone analytic op)
+        f"SELECT event_id, {ACC} AS a FROM events",
+        # WHERE referencing rows while acc sees ALL rows (analytics
+        # hoist before filter)
+        "SELECT event_id, acc_count(value, event_type = 'signup', "
+        "event_type = 'error') AS a FROM events WHERE value > 50",
+        # fused: content emission over a count window
+        f"SELECT event_id, {ACC} AS a FROM events GROUP BY COUNTWINDOW(50)",
+        # fused: aggregated count window over the acc output
+        f"SELECT max({ACC}) AS a, count(*) AS n FROM events GROUP BY COUNTWINDOW(50)",
+        # fused: state window content emission
+        "SELECT event_id, acc_max(value, event_type = 'signup', "
+        "event_type = 'error') AS a FROM events "
+        "GROUP BY STATEWINDOW(value > 100, value < 50)",
+        # native windowed aggregation (tumbling) keeps the standalone op
+        f"SELECT max({ACC}) AS a, count(*) AS n FROM events "
+        "GROUP BY TUMBLINGWINDOW(hh, 6)",
+    ],
+)
+def test_stream_batch_parity_conditioned_acc(spark, catalog, sql):
+    b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+    s = _rows(run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"]))
+    assert b == s and len(b) > 0
+
+
+def test_unfusable_raises_actionably(spark, catalog):
+    # lag over a stateful window cannot fuse (non-JSON-safe ring state)
+    with pytest.raises(NotImplementedError, match="acc_"):
+        run_rule_available_now(
+            spark,
+            catalog,
+            "SELECT event_id, lag(event_id) AS l FROM events "
+            "GROUP BY COUNTWINDOW(50)",
+            order_cols=["ts", "event_id"],
+        )
