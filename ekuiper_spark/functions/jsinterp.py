@@ -21,12 +21,31 @@ message-shaping functions):
 - member/index access + calls on a curated builtin surface:
   string `.length .toUpperCase .toLowerCase .substring .slice
   .indexOf .charAt .split .trim .concat .replace .startsWith
-  .endsWith .includes`, array `.length .push .join .indexOf .slice
-  .includes .concat`, `Math.*`, `JSON.stringify/parse`,
-  `parseInt/parseFloat/String/Number/isNaN`, `Object.keys/values`
+  .endsWith .includes .match .search`, array `.length .push .join
+  .indexOf .slice .includes .concat .map .filter .forEach .reduce
+  .some .every .find .findIndex .sort`, `Math.*`,
+  `JSON.stringify/parse`, `parseInt/parseFloat/String/Number/isNaN`,
+  `Object.keys/values`
+- CLOSURES: nested `function name(...) {}` declarations and
+  `function (...) {}` / `function name(...) {}` expressions capture
+  the defining scope by reference (scope chain); functions are
+  first-class values (callable args to map/filter/sort etc.)
+- `throw expr` (raises a JsError, failing the row loudly like goja's
+  uncaught exception)
+- REGEX literals `/pattern/flags` (i m s g flags; JS named groups
+  `(?<n>...)` translate to Python `(?P<n>...)`) with `.test/.exec`,
+  `RegExp.source/flags/global`, and regex-accepting string methods
+  `.replace` ($1/$&/$$ substitutions) `.match .split .search`;
+  `new RegExp(pat, flags)` also works.  The sticky `y` flag and
+  lookbehind dialect edges raise at compile (documented divergence).
 
-Not supported (raises at compile): closures/function expressions,
-classes, regex literals, `this`, prototypes, async.  That boundary is
+Scoping note: `let`/`const` are function-scoped here (like `var`) —
+block scoping inside loops is the one ES5.1-vs-goja divergence; a
+variable assigned without declaration lands in the innermost function
+scope, not the global object.
+
+Not supported (raises at compile): classes, `this`, prototypes,
+try/catch, async, arrow functions (goja is ES5).  That boundary is
 documented in README — a script outside the subset fails registration
 loudly, exactly like a goja syntax error fails the reference's
 vm.RunString.
@@ -37,7 +56,7 @@ from __future__ import annotations
 import json as _json
 import math as _math
 import re
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 
 class JsError(ValueError):
@@ -58,12 +77,54 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "function", "return", "var", "let", "const", "if", "else", "while",
     "for", "of", "true", "false", "null", "undefined", "new", "typeof",
+    "throw",
 }
+
+# a `/` after one of these token shapes is DIVISION; anywhere else it
+# opens a regex literal (the classic JS lexer disambiguation)
+_DIV_PRECEDERS = {"ident", "num", "str", "regex"}
+_DIV_PRECEDER_OPS = {")", "]", "++", "--"}
+
+
+def _scan_regex(src: str, pos: int) -> tuple[str, int]:
+    """Scan a regex literal starting at the opening '/'; returns the
+    full literal text (including flags) and the end position."""
+    i = pos + 1
+    in_class = False
+    while i < len(src):
+        c = src[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "\n":
+            break
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        elif c == "/" and not in_class:
+            j = i + 1
+            while j < len(src) and src[j].isalpha():
+                j += 1
+            return src[pos:j], j
+        i += 1
+    raise JsError(f"unterminated regex literal at {pos}")
 
 
 def _tokenize(src: str) -> list[tuple[str, str]]:
     out, pos = [], 0
     while pos < len(src):
+        if src[pos] == "/" and not src.startswith(("//", "/*"), pos):
+            prev = out[-1] if out else None
+            is_div = prev is not None and (
+                prev[0] in _DIV_PRECEDERS
+                or (prev[0] == "kw" and prev[1] in ("true", "false", "null", "undefined"))
+                or (prev[0] == "op" and prev[1] in _DIV_PRECEDER_OPS)
+            )
+            if not is_div:
+                text, pos = _scan_regex(src, pos)
+                out.append(("regex", text))
+                continue
         m = _TOKEN_RE.match(src, pos)
         if m is None:
             raise JsError(f"unexpected character {src[pos]!r} at {pos}")
@@ -128,6 +189,19 @@ def _js_add(a: Any, b: Any) -> Any:
     return a + b
 
 
+class _Scope(dict):
+    """One activation record in the scope chain.  Closures capture the
+    DEFINING scope by reference (mutations are visible both ways, the JS
+    closure contract).  Instances exist only at call time on whichever
+    worker runs the UDF; the class itself pickles by reference."""
+
+    parent: "Optional[_Scope]"
+
+    def __init__(self, parent=None):
+        super().__init__()
+        self.parent = parent
+
+
 class _Return(Exception):
     def __init__(self, value):
         self.value = value
@@ -179,7 +253,8 @@ class _Parser:
 
     def _make_callable(self, params, body, funcs):
         def call(*args):
-            env: dict[str, Any] = dict(_GLOBALS)
+            env = _Scope()
+            env.update(_GLOBALS)
             env.update(funcs)
             for i, p in enumerate(params):
                 env[p] = args[i] if i < len(args) else UNDEFINED
@@ -192,6 +267,21 @@ class _Parser:
 
         return call
 
+    def _parse_function_tail(self):
+        """After the `function` keyword: optional name, params, body."""
+        name = None
+        if self.peek()[0] == "ident":
+            name = self.next()[1]
+        self.expect("op", "(")
+        params = []
+        if not self.accept("op", ")"):
+            params.append(self.expect("ident"))
+            while self.accept("op", ","):
+                params.append(self.expect("ident"))
+            self.expect("op", ")")
+        body = self.parse_block()
+        return name, params, body
+
     # ---- statements ------------------------------------------------------
     def parse_block(self):
         self.expect("op", "{")
@@ -202,6 +292,27 @@ class _Parser:
 
     def parse_stmt(self):
         k, v = self.peek()
+        if k == "kw" and v == "function":
+            # nested function DECLARATION: a closure over the current
+            # scope, bound in the current scope (sequential, not hoisted)
+            self.next()
+            name, params, body = self._parse_function_tail()
+            if name is None:
+                raise JsError("function declaration requires a name")
+
+            def fdecl(env, name=name, params=params, body=body):
+                env[name] = _bind_closure(params, body, env, self_name=name)
+
+            return fdecl
+        if k == "kw" and v == "throw":
+            self.next()
+            e = self.parse_expr()
+            self.accept("op", ";")
+
+            def thr(env, e=e):
+                raise JsError(_js_str(e(env)))
+
+            return thr
         if k == "kw" and v == "return":
             self.next()
             if self.peek() in (("op", ";"), ("op", "}")):
@@ -375,7 +486,7 @@ class _Parser:
         base = lambda env, name=name: _lookup(env, name)
 
         def set_var(env, val, name=name):
-            env[name] = val
+            _assign_var(env, name, val)
 
         setter = set_var
         while True:
@@ -603,6 +714,27 @@ class _Parser:
 
     def parse_primary(self):
         k, v = self.next()
+        if k == "kw" and v == "function":
+            # function EXPRESSION (anonymous or named): closure over the
+            # evaluation-time scope
+            name, params, body = self._parse_function_tail()
+            return lambda env, name=name, params=params, body=body: _bind_closure(
+                params, body, env, self_name=name
+            )
+        if k == "kw" and v == "new":
+            # `new RegExp(pat[, flags])` — the one supported constructor
+            ctor = self.expect("ident")
+            self.expect("op", "(")
+            args = self._parse_args()
+            if ctor != "RegExp":
+                raise JsError(f"unsupported constructor {ctor!r}")
+            return lambda env, args=args: _JsRegExp(
+                *[_js_str(a(env)) for a in args]
+            )
+        if k == "regex":
+            body, _, flags = v[1:].rpartition("/")
+            rx = _JsRegExp(body, flags)  # compile at parse: dialect errors fail registration
+            return lambda env, rx=rx: rx
         if k == "num":
             n = float(v)
             val = int(n) if n.is_integer() and "." not in v else n
@@ -656,9 +788,46 @@ class _Parser:
 
 
 def _lookup(env, name):
-    if name in env:
-        return env[name]
+    e = env
+    while e is not None:
+        if name in e:
+            return e[name]
+        e = getattr(e, "parent", None)
     raise JsError(f"{name} is not defined")
+
+
+def _assign_var(env, name, val):
+    """Chain-aware assignment: writes to the scope that DECLARED the
+    name (closure mutation contract); an undeclared name lands in the
+    innermost function scope (see module docstring scoping note)."""
+    e = env
+    while e is not None:
+        if name in e:
+            e[name] = val
+            return
+        e = getattr(e, "parent", None)
+    env[name] = val
+
+
+def _bind_closure(params, body, def_env, self_name=None):
+    """A function value capturing ``def_env`` in its scope chain.  A
+    named function EXPRESSION sees itself under ``self_name`` inside
+    its own activation record (recursion without leaking the name)."""
+
+    def call(*args):
+        env = _Scope(def_env)
+        if self_name:
+            env[self_name] = call
+        for i, p in enumerate(params):
+            env[p] = args[i] if i < len(args) else UNDEFINED
+        try:
+            for st in body:
+                st(env)
+        except _Return as r:
+            return r.value
+        return UNDEFINED
+
+    return call
 
 
 class _Namespace(dict):
@@ -670,6 +839,14 @@ class _Namespace(dict):
 def _member(obj, attr):
     if isinstance(obj, _Namespace):
         return obj[attr]
+    if isinstance(obj, _JsRegExp):
+        if attr == "source":
+            return obj.source
+        if attr == "flags":
+            return obj.flags
+        if attr == "global":
+            return obj.global_
+        raise JsError(f"unsupported RegExp property {attr!r}")
     if attr == "length":
         return len(obj)
     if isinstance(obj, dict):
@@ -678,6 +855,12 @@ def _member(obj, attr):
 
 
 def _method(obj, name, args):
+    if isinstance(obj, _JsRegExp):
+        if name == "test":
+            return obj.test(*args)
+        if name == "exec":
+            return obj.exec(*args)
+        raise JsError(f"unsupported RegExp method {name!r}")
     if isinstance(obj, str):
         m = _STR_METHODS.get(name)
         if m:
@@ -704,6 +887,133 @@ def _index(obj, key):
     raise JsError(f"cannot index {type(obj).__name__}")
 
 
+def _js_re_translate(pattern: str) -> str:
+    """JS regex dialect -> Python re: named groups `(?<n>...)` become
+    `(?P<n>...)`, backrefs `\\k<n>` become `(?P=n)`.  Lookarounds,
+    classes and escapes are shared syntax and pass through."""
+    out = re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P<\1>", pattern)
+    out = re.sub(r"\\k<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P=\1)", out)
+    return out
+
+
+class _JsRegExp:
+    """Regex value backed by stdlib re (goja regexp analog).  Flags
+    i/m/s map directly; `g` drives global replace/match; `u` is a no-op
+    (Python is unicode-native); the sticky `y` flag has no re analog
+    and raises at compile (documented divergence)."""
+
+    def __init__(self, source: str, flags: str = ""):
+        bad = set(flags) - set("gimsu")
+        if bad:
+            raise JsError(
+                f"unsupported regex flag(s) {''.join(sorted(bad))!r} "
+                f"in /{source}/{flags}"
+            )
+        f = 0
+        if "i" in flags:
+            f |= re.IGNORECASE
+        if "m" in flags:
+            f |= re.MULTILINE
+        if "s" in flags:
+            f |= re.DOTALL
+        self.source, self.flags = source, flags
+        self.global_ = "g" in flags
+        try:
+            self.re = re.compile(_js_re_translate(source), f)
+        except re.error as e:
+            raise JsError(f"invalid regex /{source}/{flags}: {e}") from None
+
+    def test(self, s) -> bool:
+        return self.re.search(_js_str(s)) is not None
+
+    def exec(self, s):
+        m = self.re.search(_js_str(s))
+        if m is None:
+            return None
+        return [m.group(0)] + [
+            UNDEFINED if g is None else g for g in m.groups()
+        ]
+
+    def __repr__(self):
+        return f"/{self.source}/{self.flags}"
+
+
+def _js_sub_template(repl: str) -> str:
+    """JS replacement string -> re.sub template: $1 -> \\1, $& -> whole
+    match, $$ -> literal $; Python backslash groups are escaped."""
+    out = repl.replace("\\", "\\\\")
+    out = re.sub(r"\$(\d+)", r"\\\1", out)
+    out = out.replace("$&", "\\g<0>").replace("$$", "$")
+    return out
+
+
+def _str_replace(s, pat, repl):
+    if isinstance(pat, _JsRegExp):
+        if callable(repl) and not isinstance(repl, str):
+            fn = repl
+            py_repl = lambda m: _js_str(
+                fn(m.group(0), *[UNDEFINED if g is None else g for g in m.groups()])
+            )
+        else:
+            py_repl = _js_sub_template(_js_str(repl))
+        return pat.re.sub(py_repl, s, count=0 if pat.global_ else 1)
+    return s.replace(pat, _js_str(repl), 1)
+
+
+def _str_match(s, pat):
+    rx = pat if isinstance(pat, _JsRegExp) else _JsRegExp(_js_str(pat))
+    if rx.global_:
+        out = [m.group(0) for m in rx.re.finditer(s)]
+        return out or None
+    return rx.exec(s)
+
+
+def _str_split(s, sep=None, limit=None):
+    if isinstance(sep, _JsRegExp):
+        parts = sep.re.split(s)
+        parts = [p if p is not None else UNDEFINED for p in parts]
+    elif sep is None:
+        parts = list(s)
+    elif sep == "":
+        parts = list(s)
+    else:
+        parts = s.split(sep)
+    if limit is not None:
+        parts = parts[: int(limit)]
+    return parts
+
+
+def _str_search(s, pat):
+    rx = pat if isinstance(pat, _JsRegExp) else _JsRegExp(_js_str(pat))
+    m = rx.re.search(s)
+    return m.start() if m else -1
+
+
+def _js_arr_sort(a, cmp=None):
+    if cmp is None:
+        # JS default sort is LEXICOGRAPHIC on string forms
+        a.sort(key=_js_str)
+        return a
+    import functools
+
+    a.sort(key=functools.cmp_to_key(lambda x, y: (lambda r: (r > 0) - (r < 0))(cmp(x, y))))
+    return a
+
+
+def _js_arr_reduce(a, f, *init):
+    it = iter(enumerate(a))
+    if init:
+        acc = init[0]
+    else:
+        try:
+            _, acc = next(it)
+        except StopIteration:
+            raise JsError("reduce of empty array with no initial value") from None
+    for i, x in it:
+        acc = f(acc, x, i, a)
+    return acc
+
+
 _STR_METHODS = {
     "toUpperCase": lambda s: s.upper(),
     "toLowerCase": lambda s: s.lower(),
@@ -711,10 +1021,12 @@ _STR_METHODS = {
     "slice": lambda s, a=0, b=None: s[int(a): int(b) if b is not None else None],
     "indexOf": lambda s, x: s.find(x),
     "charAt": lambda s, i: s[int(i)] if 0 <= int(i) < len(s) else "",
-    "split": lambda s, sep=None: s.split(sep) if sep else list(s),
+    "split": _str_split,
     "trim": lambda s: s.strip(),
     "concat": lambda s, *xs: s + "".join(_js_str(x) for x in xs),
-    "replace": lambda s, a, b: s.replace(a, b, 1),
+    "replace": _str_replace,
+    "match": _str_match,
+    "search": _str_search,
     "startsWith": lambda s, p: s.startswith(p),
     "endsWith": lambda s, p: s.endswith(p),
     "includes": lambda s, p: p in s,
@@ -732,7 +1044,21 @@ _ARR_METHODS = {
     "concat": lambda a, *bs: sum((list(b) for b in bs), list(a)),
     "pop": lambda a: a.pop() if a else UNDEFINED,
     "reverse": lambda a: (a.reverse(), a)[1],
-    "sort": lambda a: (a.sort(), a)[1],
+    "sort": _js_arr_sort,
+    # functional surface — callbacks are first-class closures; JS passes
+    # (element, index, array) and our closures ignore surplus args
+    "map": lambda a, f: [f(x, i, a) for i, x in enumerate(a)],
+    "filter": lambda a, f: [x for i, x in enumerate(a) if _truthy(f(x, i, a))],
+    "forEach": lambda a, f: ([f(x, i, a) for i, x in enumerate(a)], UNDEFINED)[1],
+    "some": lambda a, f: any(_truthy(f(x, i, a)) for i, x in enumerate(a)),
+    "every": lambda a, f: all(_truthy(f(x, i, a)) for i, x in enumerate(a)),
+    "find": lambda a, f: next(
+        (x for i, x in enumerate(a) if _truthy(f(x, i, a))), UNDEFINED
+    ),
+    "findIndex": lambda a, f: next(
+        (i for i, x in enumerate(a) if _truthy(f(x, i, a))), -1
+    ),
+    "reduce": _js_arr_reduce,
 }
 
 _MATH = _Namespace({
@@ -793,8 +1119,23 @@ def looks_like_js(script: str, fid: str) -> bool:
     return re.search(r"\bfunction\s+[A-Za-z_$][A-Za-z0-9_$]*\s*\(", script) is not None
 
 
+def _js_in(v: Any) -> Any:
+    """Coerce Spark/Arrow values crossing INTO the interpreter: numpy
+    arrays and scalars become plain lists/numbers (row batches arrive
+    Arrow-typed; JS code expects array/number semantics)."""
+    if type(v).__module__ == "numpy":
+        return v.tolist() if hasattr(v, "tolist") else v
+    if isinstance(v, tuple):
+        return list(v)
+    return v
+
+
 def compile_js(script: str) -> dict[str, Callable]:
     """Parse a JS-subset program; returns {function name: callable}.
     Raises JsError on syntax/unsupported constructs (the analog of goja's
     vm.RunString failure failing the REST registration)."""
-    return _Parser(_tokenize(script)).parse_program()
+    funcs = _Parser(_tokenize(script)).parse_program()
+    return {
+        name: (lambda fn: (lambda *args: fn(*[_js_in(a) for a in args])))(fn)
+        for name, fn in funcs.items()
+    }

@@ -193,3 +193,97 @@ def test_js_division_is_float():
 
     assert compile_js("function d(a, b) { return a / b; }")["d"](5, 2) == 2.5
     assert compile_js("function c(s) { return s + 1; }")["c"]("v") == "v1"
+
+
+def test_js_closures_and_function_values(spark):
+    """Closures capture the defining scope by reference (goja/ES5
+    semantics); functions are first-class values feeding the array
+    functional surface (map/filter/reduce/sort with comparator)."""
+    src = """function weighted(xs, w) {
+        var scale = function (f) { return xs.map(function (x) { return f(x); }); };
+        var total = 0;
+        var bump = function bumped(n) { total += n; return total; };
+        scale(function (x) { return bump(x * w); });
+        var sorted = xs.slice().sort(function (a, b) { return b - a; });
+        return JSON.stringify({t: total, top: sorted[0],
+            evens: xs.filter(function (x) { return x % 2 === 0; }).length,
+            sum: xs.reduce(function (a, b) { return a + b; }, 0)});
+    }"""
+    register_script_function("weighted", src, result_type="string")
+    try:
+        cat = Catalog()
+        cat.register_df(
+            "ev", spark.createDataFrame([([3, 1, 2, 8],)], "xs array<int>")
+        )
+        out = compile_sql(spark, "SELECT weighted(xs, 2) AS j FROM ev", cat)
+        assert json.loads(out.collect()[0]["j"]) == {
+            "t": 28, "top": 8, "evens": 2, "sum": 14
+        }
+    finally:
+        assert unregister_script_function("weighted")
+
+
+def test_js_regex_literals(spark):
+    """Regex literals with flags: test/replace($1 groups)/match/split,
+    and division stays division (lexer disambiguation)."""
+    src = """function redact(s, d) {
+        if (!/\\d{3}-\\d{4}/.test(s)) { return s + '|' + (d / 2); }
+        var n = s.match(/\\d+/g).length;
+        var swapped = s.replace(/(\\w+)@(\\w+)/g, '$2 at $1');
+        return swapped.replace(/\\d{3}-\\d{4}/g, 'XXX') + '|' + n + '|' + (d / 2);
+    }"""
+    register_script_function("redact", src, result_type="string")
+    try:
+        cat = Catalog()
+        cat.register_df(
+            "ev",
+            spark.createDataFrame(
+                [("call 555-1234 or mail bob@example", 10.0), ("clean", 10.0)],
+                "s string, d double",
+            ),
+        )
+        out = compile_sql(spark, "SELECT redact(s, d) AS r FROM ev", cat)
+        got = sorted(r["r"] for r in out.collect())
+        assert got == [
+            "call XXX or mail example at bob|2|5",
+            "clean|5",
+        ]
+    finally:
+        assert unregister_script_function("redact")
+
+
+def test_js_throw_and_nested_function_decl(spark):
+    """js/function_test.go:119 `areas` uses throw; nested function
+    declarations close over the outer activation record."""
+    src = """function areas(x, y) {
+        if (x.length !== y.length) { throw 'length of x and y should be the same' }
+        function dot(i) { return x[i] * y[i]; }
+        var result = 0;
+        for (var i = 0; i < x.length; i++) { result += dot(i); }
+        return result;
+    }"""
+    register_script_function("areas", src, result_type="double")
+    try:
+        cat = Catalog()
+        cat.register_df(
+            "ev",
+            spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])], "x array<double>, y array<double>"),
+        )
+        out = compile_sql(spark, "SELECT areas(x, y) AS a FROM ev", cat)
+        assert out.collect()[0]["a"] == 11.0
+    finally:
+        assert unregister_script_function("areas")
+
+
+def test_js_still_rejects_outside_subset():
+    """Classes/try-catch stay outside the subset and fail REGISTRATION
+    loudly (goja-syntax-error analog); the sticky regex flag raises at
+    compile with the dialect note."""
+    with pytest.raises((ValueError, SyntaxError)):
+        register_script_function(
+            "k", "function k() { class A {}; return 1; }", result_type="int"
+        )
+    with pytest.raises((ValueError, SyntaxError)):
+        register_script_function(
+            "st", "function st(s) { return /x/y.test(s); }", result_type="boolean"
+        )
