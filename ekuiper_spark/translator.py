@@ -2184,8 +2184,8 @@ class Translator:
         variant_dims: list[tuple[str, str]] = []  # (carry-agg name, source col)
         for i, d in enumerate(dims):
             if isinstance(d, ColumnRef) and d.source is None:
-                ctx.dim_map[canon(d)] = d.name
-                dim_names.append(d.name)
+                df, name = self._dim_col(df, d, i, ctx)
+                dim_names.append(name)
             elif isinstance(d, ColumnRef) and d.source is not None and d.source.lower() in ctx.source_aliases:
                 # qualified simple column: group under its bare name so the
                 # output column is user-visible (r.r_name -> r_name) — unless
@@ -2530,6 +2530,33 @@ class Translator:
             ctx.agg_map[key] = out
         return df, specs
 
+    def _dim_col(self, df, d, i, ctx, prefix="__grp"):
+        """Materialize one GROUP BY dim and register its dim_map entry.
+        Bare source columns group in place; select-ALIAS dims (the
+        reference binds FieldRef -> AliasRef in the analyzer, so
+        `upper(x) AS c ... GROUP BY c` is valid) materialize the aliased
+        expression under the alias name, with the alias TARGET also
+        mapped to the group key so the projection reads the key instead
+        of recomputing post-aggregation; computed dims get hidden
+        columns."""
+        if isinstance(d, ColumnRef) and d.source is None:
+            tgt = (
+                ctx.aliases.get(d.name.lower())
+                if d.name not in df.columns
+                else None
+            )
+            if tgt is None:
+                ctx.dim_map[canon(d)] = d.name
+                return df, d.name
+            df = df.withColumn(d.name, self._expr(d, ctx))
+            ctx.dim_map[canon(d)] = d.name
+            ctx.dim_map.setdefault(canon(tgt), d.name)
+            return df, d.name
+        name = f"{prefix}{i}"
+        df = df.withColumn(name, self._expr(d, ctx))
+        ctx.dim_map[canon(d)] = name
+        return df, name
+
     def _stream_raw_first_specs(
         self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx, specs: list
     ):
@@ -2579,12 +2606,7 @@ class Translator:
         # AggregateOp groups the batch contents)
         subgroups: list[str] = []
         for i, d in enumerate(group.dims or []):
-            if isinstance(d, ColumnRef) and d.source is None:
-                name = d.name
-            else:
-                name = f"__grp{i}"
-                df = df.withColumn(name, self._expr(d, ctx))
-            ctx.dim_map[canon(d)] = name
+            df, name = self._dim_col(df, d, i, ctx)
             subgroups.append(name)
 
         kw: dict = {}
@@ -2673,12 +2695,7 @@ class Translator:
         else:  # state
             conds = window.state_conds
             for i, p in enumerate(conds[2:]):
-                if isinstance(p, ColumnRef) and p.source is None:
-                    name = p.name
-                else:
-                    name = f"__spart{i}"
-                    df = df.withColumn(name, self._expr(p, ctx))
-                ctx.dim_map[canon(p)] = name
+                df, name = self._dim_col(df, p, i, ctx, prefix="__spart")
                 dims.append(name)
             df = df.withColumn("__swb", self._expr(conds[0], ctx))
             kw["begin_col"] = "__swb"
@@ -2823,12 +2840,7 @@ class Translator:
         # GROUP BY dims key the per-event frame (keyed sliding = scale path)
         dims: list[str] = []
         for i, d in enumerate(group.dims or []):
-            if isinstance(d, ColumnRef) and d.source is None:
-                name = d.name
-            else:
-                name = f"__grp{i}"
-                df = df.withColumn(name, self._expr(d, ctx))
-            ctx.dim_map[canon(d)] = name
+            df, name = self._dim_col(df, d, i, ctx)
             dims.append(name)
 
         df, specs = self._stream_agg_specs(df, stmt, ctx)
@@ -2900,11 +2912,14 @@ class Translator:
 
         keep_kw: dict = {}
         if ctx.deferred_where is not None:
-            if not specs:
-                # the non-aggregated streaming sliding form emits the
-                # trigger row only (documented divergence from the batch
-                # frame-content emission), so the filter applies to the
-                # trigger rows directly
+            if not specs and not dims:
+                # the non-aggregated UNKEYED streaming sliding form emits
+                # the trigger row only (documented divergence from the
+                # batch frame-content emission), so the filter applies to
+                # the trigger rows directly.  With GROUP BY dims the
+                # sub-grouped form emits per-frame groups, so windows must
+                # form from ALL rows with the keep column pruning CONTENT
+                # (windowPlan.go:92-95) — the else branch below.
                 df = df.filter(self._expr(ctx.deferred_where, ctx))
             else:
                 # WHERE above the window: all rows trigger and fill
@@ -3750,12 +3765,7 @@ class Translator:
         order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
         part_names = []
         for i, p in enumerate(conds[2:]):
-            if isinstance(p, ColumnRef) and p.source is None:
-                name = p.name  # group under the user-visible column name
-            else:
-                name = f"__spart{i}"
-                df = df.withColumn(name, self._expr(p, ctx))
-            ctx.dim_map[canon(p)] = name
+            df, name = self._dim_col(df, p, i, ctx, prefix="__spart")
             part_names.append(name)
         parts = [F.col(n) for n in part_names] or [F.lit(0)]
         wp = W.partitionBy(*parts).orderBy(*order)

@@ -1,0 +1,212 @@
+"""Seeded streaming-vs-batch parity fuzz over WINDOWED statements.
+
+Generalizes the hand-picked parity pins: ~200 seeded combinations of
+window kind x WHERE x GROUP BY dims x SELECT shape (aggregates, content
+emission, grouped non-agg projection, row_number) are compiled twice —
+batch over the static fixture, streaming over the SAME rows split into
+4 time-contiguous files fed one-per-micro-batch (state must carry
+across batch boundaries like a live feed) — and the row multisets must
+match.
+
+Known bounded-replay divergence handled explicitly: batch closes the
+trailing OPEN session at EOF while streaming holds it in state, so
+SESSIONWINDOW statements assert stream (subset) batch with the extra
+rows bounded by the open-tail count.
+
+Deterministic: the statement list derives from a fixed seed; a failure
+reproduces by the statement text in the test id.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekuiper_spark import Catalog, compile_sql
+
+# --------------------------------------------------------------------- #
+# grammar
+# --------------------------------------------------------------------- #
+_WINDOWS = [
+    # (sql, kind)
+    ("TUMBLINGWINDOW(ss, 120)", "tumbling"),
+    ("TUMBLINGWINDOW(mi, 10)", "tumbling"),
+    ("HOPPINGWINDOW(ss, 120, 60)", "hopping"),
+    ("HOPPINGWINDOW(mi, 20, 10)", "hopping"),
+    ("COUNTWINDOW(30)", "count"),
+    ("COUNTWINDOW(77)", "count"),
+    ("SLIDINGWINDOW(mi, 30)", "sliding"),
+    ("SLIDINGWINDOW(ss, 90)", "sliding"),
+    ("STATEWINDOW(value > 100, value < 50)", "state"),
+    ("SESSIONWINDOW(mi, 120, 30)", "session"),
+]
+_FILTERS = ["", "WHERE value > 50", "WHERE event_type = 'purchase'",
+            "WHERE user_id % 3 = 0 AND value < 180"]
+_DIMS = ["", "event_type", "user_id % 4"]
+_AGG_SELECTS = [
+    "count(*) AS n, min(event_id) AS a, max(event_id) AS b",
+    "count(*) AS n, sum(user_id) AS su",
+    "count(*) AS n, round(avg(value), 2) AS av",
+]
+_NONAGG_SELECTS = [
+    "event_id, event_type",
+    "event_id, user_id",
+]
+_HAVINGS = ["", "HAVING count(*) > 2"]
+
+
+def _gen(seed: int, n: int) -> list[tuple[str, str]]:
+    rng = random.Random(seed)
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    while len(out) < n:
+        wsql, kind = rng.choice(_WINDOWS)
+        f = rng.choice(_FILTERS)
+        d = rng.choice(_DIMS)
+        shape = rng.choice(["agg", "agg", "agg", "nonagg", "rownum"])
+        h = rng.choice(_HAVINGS)
+        if shape == "agg":
+            sel = rng.choice(_AGG_SELECTS)
+        elif shape == "nonagg":
+            sel = rng.choice(_NONAGG_SELECTS)
+            h = ""
+        else:  # row_number: count/state content only, no dims
+            if kind not in ("count", "state") or d:
+                continue
+            sel = "event_id, row_number() AS rn"
+            h = ""
+        if kind == "sliding":
+            h = ""  # HAVING over per-event sliding is pinned separately
+            if shape == "nonagg" and not d:
+                # documented divergence: non-aggregated unkeyed streaming
+                # sliding emits the TRIGGER row only, batch emits frame
+                # content (translator._streaming_sliding)
+                continue
+        if kind == "session" and d:
+            # sessions are keyed by dims here; dims + session covered by
+            # the targeted grouped-projection tests
+            d = ""
+        # a third of dim'd statements exercise the GROUP BY <select-alias>
+        # binding (reference FieldRef -> AliasRef)
+        alias_dim = bool(d) and rng.random() < 0.34
+        dim_ref = "g" if alias_dim else d
+        dims = f"{dim_ref}, " if d else ""
+        sel_prefix = f"{d} AS g, " if d else ""
+        q = f"SELECT {sel_prefix}{sel} FROM events {f} GROUP BY {dims}{wsql} {h}".strip()
+        if q in seen:
+            continue
+        seen.add(q)
+        out.append((q, kind))
+    return out
+
+
+_STATEMENTS = _gen(seed=20260816, n=200)
+
+
+# --------------------------------------------------------------------- #
+# fixtures: the same rows as a static table and as a 4-file stream
+# --------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def split_dir(spark, catalog, tmp_path_factory):
+    base = tmp_path_factory.mktemp("pfw_src")
+    ev = catalog.load(spark, "events")
+    ids = [
+        r["event_id"]
+        for r in ev.orderBy("ts", "event_id").select("event_id").collect()
+    ]
+    per = (len(ids) + 3) // 4
+    sdir = str(base / "stream")
+    os.makedirs(sdir, exist_ok=True)
+    now = time.time()
+    for i in range(4):
+        chunk = ids[i * per : (i + 1) * per]
+        part = base / f"part{i}"
+        ev.filter(F.col("event_id").isin(chunk)).coalesce(1).write.parquet(str(part))
+        src = glob.glob(str(part / "*.parquet"))[0]
+        dst = os.path.join(sdir, f"{i:02d}.parquet")
+        os.replace(src, dst)
+        os.utime(dst, (now - 600 + i * 10,) * 2)
+    return sdir, ev.schema
+
+
+def _stream_rows(spark, split, sql):
+    sdir, schema = split
+    cat = Catalog()
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    cat.register_df("events", sdf)
+    df = compile_sql(spark, sql, cat, streaming=True, order_cols=["ts", "event_id"])
+    name = "pfw_" + uuid.uuid4().hex[:8]
+    from ekuiper_spark.streaming.runtime import RuleRuntime
+
+    mode = "complete" if RuleRuntime._has_agg(df) else "append"
+    q = (
+        df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = _norm(spark.table(name).collect())
+    spark.catalog.dropTempView(name)
+    return rows
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        row = []
+        for v in r:
+            if isinstance(v, float):
+                v = round(v, 2)
+            row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize(
+    "sql,kind", _STATEMENTS, ids=[s for s, _ in _STATEMENTS]
+)
+def test_windowed_parity_fuzz(spark, catalog, split_dir, sql, kind):
+    b = _norm(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]).collect())
+    s = _stream_rows(spark, split_dir, sql)
+    if kind == "session":
+        # bounded-replay divergence: batch force-closes the trailing open
+        # session; streaming keeps it pending in state
+        bs = list(b)
+        for r in s:
+            assert r in bs, f"stream-only row {r} for {sql!r}"
+            bs.remove(r)
+        assert len(bs) <= 2, f"batch-only rows {bs[:4]} exceed open-tail bound"
+    else:
+        assert b == s or _tol_eq(b, s), (
+            f"parity drift for {sql!r}: batch {len(b)} vs stream {len(s)}; "
+            f"first diff {next((x for x in b if x not in s), None)} / "
+            f"{next((x for x in s if x not in b), None)}"
+        )
+
+
+def _tol_eq(b, s, tol=0.02):
+    """Fallback positional compare with a float tolerance: partial
+    aggregation ORDER differs between batch and streaming, so a rounded
+    avg can land one ulp across the .005 boundary (46.41 vs 46.42).
+    Non-float cells must match exactly."""
+    if len(b) != len(s):
+        return False
+    for rb, rs in zip(b, s):
+        if len(rb) != len(rs):
+            return False
+        for x, y in zip(rb, rs):
+            if isinstance(x, float) and isinstance(y, float):
+                if x != y and not (x != x and y != y) and abs(x - y) > tol:
+                    return False
+            elif x != y:
+                return False
+    return True

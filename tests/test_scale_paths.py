@@ -309,3 +309,129 @@ def test_cap_per_group_single_exchange(spark, catalog):
     plan = _plan(cap_per_group(d, "source", 5, order_by="n_chars"))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------- #
+# skew stress: one hot key holding ~50% of rows (the 100x failure mode
+# for keyed state).  Each path must complete AND stay correct; per-key
+# memory bounds are documented in COVERAGE.md (keyed stateful state =
+# open-window buffer per key, capped by state_max_rows with
+# emit-partial trim — tests/test_state_cap.py pins the guard).
+# --------------------------------------------------------------------- #
+def _skewed_events(spark, n=20_000, hot_frac=0.5, keys=100):
+    """n rows over `keys` user_ids where user 0 holds hot_frac of them;
+    1-second spacing so session/window math is predictable."""
+    from pyspark.sql import functions as F
+
+    hot = int(n * hot_frac)
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise((F.col("id") % (keys - 1)) + 1)
+        .cast("long")
+        .alias("user_id"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+    )
+    assert df.filter("user_id = 0").count() == hot
+    return df
+
+
+def test_skew_hot_key_keyed_session_stream(spark, tmp_path):
+    """Keyed capped sessions under a 50%-hot key: the stateful op
+    distributes by user_id; the hot key's open-session buffer is the
+    only state that grows, bounded by the session span (here the cap
+    tick forces closure), and streaming equals batch."""
+    import glob
+    import os
+    import time
+
+    from ekuiper_spark import Catalog, compile_sql
+
+    df = _skewed_events(spark, n=8_000)
+    src = str(tmp_path / "skews")
+    df.coalesce(2).write.parquet(src)
+    sql = (
+        "SELECT user_id, count(*) AS n, min(event_id) AS a, max(event_id) AS b "
+        "FROM ev GROUP BY user_id, SESSIONWINDOW(ss, 600, 120)"
+    )
+    cat = Catalog()
+    cat.register_df("ev", spark.read.parquet(src))
+    batch = sorted(
+        tuple(r)
+        for r in compile_sql(spark, sql, cat, order_cols=["ts", "event_id"]).collect()
+    )
+    scat = Catalog()
+    scat.register_df(
+        "ev", spark.readStream.schema(df.schema).parquet(src)
+    )
+    sdf = compile_sql(spark, sql, scat, streaming=True, order_cols=["ts", "event_id"])
+    import uuid
+
+    name = "skw_" + uuid.uuid4().hex[:6]
+    q = (
+        sdf.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    stream = sorted(tuple(r) for r in spark.table(name).collect())
+    # streaming lacks only the per-key trailing OPEN sessions
+    bs = list(batch)
+    for r in stream:
+        assert r in bs
+        bs.remove(r)
+    assert len(bs) <= 100  # at most one open tail per key
+    # the hot key dominates rows but NOT session count explosion
+    hot_sessions = [r for r in batch if r[0] == 0]
+    assert sum(r[1] for r in hot_sessions) == 4000
+
+
+def test_skew_count_window_join_no_cartesian(spark):
+    """COUNT-window join where one join key holds half of both sides:
+    the per-window join distributes by wid (bounded n rows per window),
+    so a hot KEY cannot exceed n^2 pairs per window and the plan never
+    degrades to CartesianProduct."""
+    from pyspark.sql import functions as F
+
+    from ekuiper_spark import Catalog, compile_sql
+
+    a = _skewed_events(spark, n=4_000).withColumnRenamed("user_id", "k")
+    b = _skewed_events(spark, n=4_000).select(
+        F.col("event_id").alias("bid"),
+        F.col("ts").alias("bts"),
+        F.col("user_id").alias("bk"),
+        (F.col("value") * 2).alias("w"),
+    )
+    cat = Catalog()
+    cat.register_df("sa", a)
+    cat.register_df("sb", b)
+    out = compile_sql(
+        spark,
+        "SELECT count(*) AS pairs FROM sa INNER JOIN sb ON sa.k = sb.bk "
+        "GROUP BY COUNTWINDOW(200)",
+        cat,
+        order_cols=["ts", "event_id"],
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    rows = out.collect()
+    assert len(rows) > 0
+    # hot-key pairs per window bounded by window size squared
+    assert all(r["pairs"] <= 200 * 200 for r in rows)
+
+
+def test_skew_cap_per_group_hot_group(spark):
+    """cap_per_group under a 50%-hot group: ONE keyed row_number
+    shuffle; the hot group caps to n like every other group.  The known
+    bound: the hot group's partition must fit one task — documented
+    mitigation is pre-sampling above ~10^8 rows per group."""
+    from ekuiper_spark.datapipe.curation import cap_per_group
+
+    df = _skewed_events(spark, n=20_000)
+    out = cap_per_group(df, "user_id", 50, order_by="value")
+    counts = {r["user_id"]: r["c"] for r in out.groupBy("user_id").count()
+              .withColumnRenamed("count", "c").collect()}
+    assert counts[0] == 50
+    assert all(v <= 50 for v in counts.values())
+    plan = _plan(out)
+    assert plan.count("Exchange") <= 1
