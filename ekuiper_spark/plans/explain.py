@@ -85,10 +85,41 @@ def _expr_str(n: Any, src: str, repl: Optional[dict] = None) -> str:
 
 
 def _call_str(n: FuncCall, src: str, repl: Optional[dict] = None) -> str:
-    if not n.args:
-        return f"Call:{{ name:{n.name} }}"
-    args = ", ".join(_expr_str(a, src, repl) for a in n.args)
-    return f"Call:{{ name:{n.name}, args:[{args}] }}"
+    inner = f"name:{n.name}"
+    if n.args:
+        args = ", ".join(_expr_str(a, src, repl) for a in n.args)
+        inner += f", args:[{args}]"
+    w = getattr(n, "when", None)
+    if w is not None:
+        # OVER (WHEN cond) renders inside the Call braces
+        # (explainInfo_test.go AnalyticFuncsPlan_1)
+        inner += ", when:{ " + _expr_str(w, src, repl) + " }"
+    return f"Call:{{ {inner} }}"
+
+
+_ANALYTIC_FNS = {"lag", "latest", "changed_col", "had_changed"}
+
+
+def _collect_analytic(n: Any, out: list, seen: set, src: str) -> None:
+    """POST-order analytic-call collection (decorateStmt registers inner
+    calls before their enclosing call — AnalyticFuncsPlan_0 lists
+    lag(name) before latest(lag(name)))."""
+    import dataclasses
+
+    if n is None or isinstance(n, (str, int, float, bool, bytes)):
+        return
+    if isinstance(n, (list, tuple)):
+        for y in n:
+            _collect_analytic(y, out, seen, src)
+        return
+    if dataclasses.is_dataclass(n) and not isinstance(n, type):
+        for fld in dataclasses.fields(n):
+            _collect_analytic(getattr(n, fld.name), out, seen, src)
+        if isinstance(n, FuncCall) and n.name.lower() in _ANALYTIC_FNS:
+            key = _call_str(n, src)
+            if key not in seen:
+                seen.add(key)
+                out.append(n)
 
 
 def _walk_calls(n: Any, pred) -> list[FuncCall]:
@@ -235,14 +266,39 @@ def explain_statement(stmt: SelectStatement, catalog=None) -> str:
             ("FilterPlan", "Condition:{ " + _expr_str(stmt.where, src) + " }, ")
         )
 
-    if stmt.joins:
+    # join planning mirrors createLogicalPlanFull (planner.go:730-790):
+    # lookup tables get LookupPlans ABOVE the JoinPlan (no DataSource
+    # child); scan tables align under a JoinAlignPlan BELOW it
+    lookup_joins, scan_joins, stream_joins = [], [], []
+    for j in stmt.joins or []:
+        d = catalog.get(j.source) if catalog is not None else None
+        kind = (getattr(d, "kind", None) or "stream").lower()
+        if kind == "lookup":
+            lookup_joins.append(j)
+        elif kind in ("table", "scan"):
+            scan_joins.append(j)
+        else:
+            stream_joins.append(j)
+    for j in reversed(lookup_joins):  # built bottom-up: last lookup topmost
+        ops.append(
+            ("LookupPlan",
+             "Join:{ joinType:" + _JTYPE.get(j.kind, j.kind.upper())
+             + ", expr:" + (_expr_str(j.on, src) if j.on is not None else "")
+             + " }")
+        )
+    if stream_joins or scan_joins:
         joins = ", ".join(
             "{ joinType:" + _JTYPE.get(j.kind, j.kind.upper()) + ", "
             + (_expr_str(j.on, src) if j.on is not None else "")
             + " }"
-            for j in stmt.joins
+            for j in stream_joins + scan_joins
         )
         ops.append(("JoinPlan", f"Joins:[ {joins} ]"))
+        if scan_joins:
+            ops.append(
+                ("JoinAlignPlan",
+                 "Emitters:[ " + ", ".join(j.source for j in scan_joins) + " ]")
+            )
 
     if window is not None and inc:
         info = "wType:" + _WTYPE.get(window.kind, window.kind.upper())
@@ -262,11 +318,34 @@ def explain_statement(stmt: SelectStatement, catalog=None) -> str:
         info += ", limit: 0 }"
         ops.append(("WindowPlan", info))
 
-    # DataSourcePlan per source (statement order); StreamFields = pruned
-    # used columns of the TYPED schema, sorted — a wildcard (incl. a
-    # count(*) arg) keeps every field (dataSourcePlan.go pruning)
+    # AnalyticFuncsPlan sits below the window, above the sources
+    # (planner.go:652-659); fields-origin calls dedup WHERE-origin ones
+    an_field: list[FuncCall] = []
+    _an_seen: set = set()
+    _collect_analytic([f.expr for f in stmt.fields], an_field, _an_seen, src)
+    an_funcs: list[FuncCall] = []
+    _collect_analytic(stmt.where, an_funcs, _an_seen, src)
+    if an_field or an_funcs:
+        parts2 = []
+        if an_funcs:
+            parts2.append(
+                "Funcs:[ " + ", ".join(_call_str(c, src) for c in an_funcs) + " ]"
+            )
+        if an_field:
+            parts2.append(
+                "FieldFuncs:[ " + ", ".join(_call_str(c, src) for c in an_field) + " ]"
+            )
+        ops.append(("AnalyticFuncsPlan", ", ".join(parts2)))
+
+    # DataSourcePlan per source (statement order; LOOKUP tables are not
+    # data sources — planner.go:598-604; scan tables align last);
+    # StreamFields = pruned used columns of the TYPED schema, sorted — a
+    # wildcard (incl. a count(*) arg) keeps every field
+    # (dataSourcePlan.go pruning)
     used = _used_columns(stmt)
-    sources = [(stmt.source, src)] + [(j.source, j.alias or j.source) for j in (stmt.joins or [])]
+    sources = [(stmt.source, src)] + [
+        (j.source, j.alias or j.source) for j in stream_joins + scan_joins
+    ]
     ds_infos: list[tuple[str, str]] = []
     for sname, _alias in sources:
         info = f"StreamName: {sname}"

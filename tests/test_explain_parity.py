@@ -84,3 +84,108 @@ def test_explain_endpoint_serves_logical_text(spark):
         assert "value" in body["plan"]  # Catalyst physical text still there
     finally:
         srv.stop()
+
+
+# ------------------------------------------------------------------------
+# explainInfo_test.go per-plan info formats for the kinds the statement
+# goldens do not reach: LookupPlan, JoinAlignPlan, AnalyticFuncsPlan,
+# compound-ON JoinPlan (formats at explainInfo_test.go:168-560)
+# ------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def cat2():
+    sch = T.StructType(
+        [
+            T.StructField("temp", T.LongType()),
+            T.StructField("id1", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    sch2 = T.StructType(
+        [T.StructField("hum", T.LongType()), T.StructField("id2", T.LongType())]
+    )
+    c = Catalog()
+    c.register(StreamDef(name="src1", schema=sch, kind="stream"))
+    c.register(StreamDef(name="src2", schema=sch2, kind="stream"))
+    c.register(StreamDef(name="good", schema=sch2, kind="lookup"))
+    c.register(StreamDef(name="tableInPlanner", schema=sch2, kind="table"))
+    return c
+
+
+def _lines(sql, c):
+    return [l.strip() for l in explain_statement(parse_sql(sql), c).split("\n")]
+
+
+def test_explain_lookup_plan_info(cat2):
+    """LookupPlan info format (explainInfo_test.go:504-560): the lookup
+    table is NOT a DataSourcePlan child."""
+    lines = _lines("SELECT src1.id1 FROM src1 LEFT JOIN good ON src1.id1 = good.id2", cat2)
+    assert (
+        '{"op":"LookupPlan_1","info":"Join:{ joinType:LEFT_JOIN, '
+        'expr:binaryExpr:{ src1.id1 = good.id2 } }"}' in lines
+    )
+    assert not any("StreamName: good" in l for l in lines)
+
+
+def test_explain_join_align_plan_info(cat2):
+    """JoinAlignPlan info (explainInfo_test.go:388-420): scan tables
+    align below the JoinPlan and keep their DataSourcePlan."""
+    lines = _lines(
+        "SELECT src1.id1 FROM src1 INNER JOIN tableInPlanner "
+        "ON src1.id1 = tableInPlanner.id2 GROUP BY TUMBLINGWINDOW(ss, 10)",
+        cat2,
+    )
+    i_join = next(i for i, l in enumerate(lines) if l.startswith('{"op":"JoinPlan'))
+    i_align = next(i for i, l in enumerate(lines) if l.startswith('{"op":"JoinAlignPlan'))
+    assert '"info":"Emitters:[ tableInPlanner ]"' in lines[i_align]
+    assert i_align == i_join + 1  # align sits directly below the join
+    assert any("StreamName: tableInPlanner" in l for l in lines)
+
+
+def test_explain_join_plan_compound_on(cat2):
+    """JoinPlan info for a compound ON (explainInfo_test.go:421-470
+    golden, (a OR b) AND equi-predicate)."""
+    lines = _lines(
+        "SELECT src1.id1 FROM src1 INNER JOIN src2 ON "
+        "(src1.temp > 20 OR src2.hum > 60) AND src1.id1 = src2.id2 "
+        "GROUP BY TUMBLINGWINDOW(ss, 10)",
+        cat2,
+    )
+    assert (
+        '{"op":"JoinPlan_1","info":"Joins:[ { joinType:INNER_JOIN, '
+        "binaryExpr:{ binaryExpr:{ binaryExpr:{ src1.temp > 20 } OR "
+        "binaryExpr:{ src2.hum > 60 } } AND "
+        'binaryExpr:{ src1.id1 = src2.id2 } } } ]"}' in lines
+    )
+
+
+def test_explain_analytic_funcs_plan_fields_and_when(cat2):
+    """AnalyticFuncsPlan golden 1 (explainInfo_test.go:249): the OVER
+    (WHEN ...) renders inside the Call braces; the when-subcall lists
+    before its enclosing call (decorateStmt post-order)."""
+    lines = _lines(
+        "SELECT lag(id1) AS a, lag(temp) OVER (WHEN lag(id1) > 1) AS b FROM src1",
+        cat2,
+    )
+    assert (
+        '{"op":"AnalyticFuncsPlan_1","info":"FieldFuncs:[ '
+        "Call:{ name:lag, args:[src1.id1] }, "
+        "Call:{ name:lag, args:[src1.temp], when:{ binaryExpr:{ "
+        'Call:{ name:lag, args:[src1.id1] } > 1 } } } ]"}' in lines
+    )
+
+
+def test_explain_analytic_funcs_plan_where_funcs(cat2):
+    """AnalyticFuncsPlan golden 0 (explainInfo_test.go:196): WHERE-origin
+    calls in Funcs, field-origin (incl. nested, inner first) in
+    FieldFuncs; OVER (PARTITION BY ...) is not rendered."""
+    lines = _lines(
+        "SELECT lag(name) AS l, latest(lag(name)) OVER (PARTITION BY temp) AS lt "
+        "FROM src1 WHERE lag(temp) > 1",
+        cat2,
+    )
+    an = next(l for l in lines if l.startswith('{"op":"AnalyticFuncsPlan'))
+    assert (
+        '"info":"Funcs:[ Call:{ name:lag, args:[src1.temp] } ], '
+        "FieldFuncs:[ Call:{ name:lag, args:[src1.name] }, "
+        'Call:{ name:latest, args:[Call:{ name:lag, args:[src1.name] }] } ]"' in an
+    )
