@@ -74,6 +74,10 @@ def sliding_join_stream(
                                  # frame aggregates replicated on each row
     cross_pairs: bool = False,   # non-equi ON: emit ALL frame pairs; the
                                  # caller filters the ON condition natively
+    pair_keep: Optional[Sequence[str]] = None,  # bool flag cols (one per
+                                 # side); a merged pair survives iff every
+                                 # flag is true — WHERE above the join,
+                                 # factorized per side (INNER/CROSS only)
 ) -> DataFrame:
     """Stateful per-event sliding join over a packed two-stream union.
 
@@ -140,6 +144,7 @@ def sliding_join_stream(
         out_fields += [T.StructField("__ws", T.LongType()), T.StructField("__we", T.LongType())]
     out_schema = T.StructType(out_fields)
     agg_list = list(aggs) if aggs is not None else None
+    pk_list = list(pair_keep) if pair_keep else []
     how_ = how
     lk, rk = list(lkeys), list(rkeys)
     lcols, rcols = list(left_cols), list(right_cols)
@@ -159,6 +164,16 @@ def sliding_join_stream(
         merged = _merge(lf, rf)
         if not len(merged):
             return
+        if pk_list:
+            # WHERE above the join prunes PAIRS (FilterPlan semantics);
+            # an all-pruned trigger emits nothing, like an empty join
+            keep = None
+            for c in pk_list:
+                k = (merged[c] == True).to_numpy()  # noqa: E712 (null -> False)
+                keep = k if keep is None else (keep & k)
+            merged = merged[keep]
+            if not len(merged):
+                return
         if agg_list is None:
             em = merged.copy()
             for a in att_list:
@@ -235,11 +250,16 @@ def sliding_join_stream(
             new_ts.append(t if delay else pos)
 
         if not delay:
-            # frame = rows up to the trigger's sorted position (u <= t)
+            # frame = ALL rows with u <= t (ties INCLUDED — the batch
+            # replay includes both same-time cross-stream rows in both
+            # triggers' frames; a position-based bound excluded the
+            # equal-time row that sorted after the trigger, emitting an
+            # empty join for the first of two same-time triggers)
             for pos in new_ts:
                 t = int(u_arr[pos])
                 lo = int(np.searchsorted(u_arr, t - length, side="left"))
-                _emit_trigger(full, u_arr, t, lo, pos + 1, outs)
+                hi = int(np.searchsorted(u_arr, t, side="right"))
+                _emit_trigger(full, u_arr, t, lo, hi, outs)
             last = int(u_arr[-1])
             keep_from = last - length
         else:

@@ -95,6 +95,8 @@ def canon(node: Node) -> str:
 class Translator:
     """One SELECT statement -> one DataFrame."""
 
+    _cur_df = None  # compile-time type-probe frame; set per statement
+
     def __init__(
         self,
         spark: SparkSession,
@@ -1443,6 +1445,76 @@ class Translator:
         lu, l_long = _ev(ldf, left_alias, stmt.source)
         ru, _ = _ev(rdf, r_alias, j.source)
         lcols, rcols = list(ldf.columns), list(rdf.columns)
+
+        # WHERE over an AGGREGATED sliding join: the reference filter runs
+        # between the join and the aggregation (FilterPlan above JoinPlan),
+        # so it prunes PAIRS — filtered rows still trigger frames and the
+        # surviving pairs aggregate per trigger.  Pair formation happens
+        # inside the stateful op; SINGLE-SIDE conjuncts factorize into a
+        # keep flag per side, evaluated natively upstream, with the op
+        # filtering merged pairs on flag conjunction.  Exact for
+        # INNER/CROSS (no null extension); outer kinds would evaluate
+        # conjuncts on the null-extended side post-join, which per-side
+        # flags cannot express — they keep the raise, as do mixed
+        # conjuncts.
+        pair_keep_cols: list[str] = []
+        _fields_agg = any(self._find_aggs(f.expr) for f in stmt.fields)
+        if (
+            where_pre is not None
+            and _fields_agg
+            and j.kind in ("inner", "cross")
+        ):
+            conjs: list[Node] = []
+
+            def _flat_w(n: Node) -> None:
+                if isinstance(n, Binary) and n.op == "AND":
+                    _flat_w(n.left)
+                    _flat_w(n.right)
+                else:
+                    conjs.append(n)
+
+            _flat_w(where_pre)
+
+            def _side(c: Node) -> str:
+                sides = set()
+                for ref in self._find_raw_cols(c):
+                    s = (ref.source or "").lower()
+                    if s == left_alias.lower():
+                        sides.add("L")
+                    elif s == r_alias.lower():
+                        sides.add("R")
+                    elif not s and ref.name in lcols and ref.name not in rcols:
+                        sides.add("L")
+                    elif not s and ref.name in rcols and ref.name not in lcols:
+                        sides.add("R")
+                    else:
+                        sides.add("?")
+                if sides == {"L"}:
+                    return "L"
+                if sides == {"R"}:
+                    return "R"
+                return "?"
+
+            lconj = [c for c in conjs if _side(c) == "L"]
+            rconj = [c for c in conjs if _side(c) == "R"]
+            if len(lconj) + len(rconj) == len(conjs):
+                def _keep(cs: list[Node]) -> Column:
+                    out = None
+                    for c in cs:
+                        e = F.coalesce(self._expr(c, ctx).cast("boolean"), F.lit(False))
+                        out = e if out is None else (out & e)
+                    return out
+
+                if lconj:
+                    # re-alias: withColumn drops the subquery alias the
+                    # qualified selects below rely on
+                    ldf = ldf.withColumn("__lkeep", _keep(lconj)).alias(left_alias)
+                    pair_keep_cols.append("__lkeep")
+                if rconj:
+                    rdf = rdf.withColumn("__rkeep", _keep(rconj)).alias(r_alias)
+                    pair_keep_cols.append("__rkeep")
+                lcols, rcols = list(ldf.columns), list(rdf.columns)
+                where_pre = None
         rflat = {c: f"__r_{c}" for c in rcols}
         lsel = ldf.select(
             F.lit("L").alias("__src"),
@@ -1600,9 +1672,11 @@ class Translator:
                     )
         if where_pre is not None and agg_nodes:
             raise NotImplementedError(
-                "WHERE over an AGGREGATED streaming sliding join is "
-                "unsupported (the filter would have to run between the "
-                "join and the aggregation; batch mode supports it)"
+                "WHERE over an AGGREGATED streaming sliding join supports "
+                "AND-composed single-side conjuncts on INNER/CROSS joins "
+                "(per-side keep flags prune pairs inside the stateful op); "
+                "mixed-side conjuncts and OUTER kinds need the filter "
+                "between join and aggregation — batch mode supports them"
             )
 
         if agg_nodes:
@@ -1640,6 +1714,10 @@ class Translator:
                 aggs=specs + having_specs,
                 delay=delay_us,
                 throttle=throttle_spec,
+                pair_keep=[
+                    ("__lkeep" if c == "__lkeep" else rflat["__rkeep"])
+                    for c in pair_keep_cols
+                ] or None,
             )
             ctx.post_agg = True
         else:

@@ -536,3 +536,49 @@ def test_streaming_sliding_join_trigger_throttle(spark, tmp_path):
     )
     got, want = _stream_vs_batch(spark, sql, scat, bcat, ["window_end", "c"])
     assert got == want and len(want) > 0
+
+
+def test_streaming_sliding_join_where_aggregated(spark, tmp_path):
+    """WHERE over an AGGREGATED sliding join (FilterPlan above JoinPlan):
+    filtered rows still TRIGGER frames; the filter prunes PAIRS before
+    the per-trigger aggregation (single-side conjuncts factorize into
+    per-side keep flags inside the stateful op).  Same-time cross-stream
+    arrivals are tie-INCLUSIVE: both same-u triggers see the pair (a
+    position-based frame bound used to emit an empty join for the first
+    one)."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "wagg")
+    for sql in [
+        "SELECT window_end() AS we, count(*) AS c, max(size) AS ms "
+        "FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "WHERE size > 48 GROUP BY SLIDINGWINDOW(ss, 1)",
+        # conjuncts on BOTH sides
+        "SELECT window_end() AS we, count(*) AS c "
+        "FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "WHERE size > 48 AND hum > 60 GROUP BY SLIDINGWINDOW(ss, 1)",
+        # right-side-only conjunct
+        "SELECT window_end() AS we, count(*) AS c "
+        "FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "WHERE temp > 26 GROUP BY SLIDINGWINDOW(ss, 1)",
+        # no WHERE: multiset parity pins the tie-inclusive frames
+        "SELECT window_end() AS we, count(*) AS c, max(size) AS ms "
+        "FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "GROUP BY SLIDINGWINDOW(ss, 1)",
+    ]:
+        cols = ["we", "c"] + (["ms"] if "ms" in sql else [])
+        got, want = _stream_vs_batch(spark, sql, scat, bcat, cols)
+        assert got == want and len(want) > 0, sql
+
+
+def test_streaming_sliding_join_where_aggregated_outer_raises(spark, tmp_path):
+    """Outer kinds keep the honest raise: per-side keep flags cannot
+    reproduce conjunct-on-NULL evaluation for null-extended rows."""
+    scat, _ = _feed_join_cats(spark, tmp_path, "wout")
+    with pytest.raises(NotImplementedError, match="INNER/CROSS"):
+        compile_sql(
+            spark,
+            "SELECT count(*) AS c FROM demo LEFT JOIN demo1 "
+            "ON demo.ts = demo1.ts WHERE size > 48 GROUP BY SLIDINGWINDOW(ss, 1)",
+            scat,
+            streaming=True,
+            order_cols=["ts"],
+        )
