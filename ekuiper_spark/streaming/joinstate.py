@@ -337,6 +337,9 @@ def count_join_stream(
     joins: Sequence[dict],  # {"how", "lkeys", "rkeys"}; joins[i] attaches sides[i+1]
     aggs: Optional[Sequence[JoinAggSpec]] = None,
     attach_aggs: Optional[Sequence[JoinAggSpec]] = None,
+    pair_keep: Optional[Sequence[str]] = None,  # per-side bool flags; a
+                                 # joined row survives iff every flag is
+                                 # true (WHERE above the join, INNER/CROSS)
 ) -> DataFrame:
     """Streaming COUNT window over a MULTI-stream join.
 
@@ -386,6 +389,7 @@ def count_join_stream(
             out_fields.append(T.StructField(a.out, dt, True))
     out_schema = T.StructType(out_fields)
     agg_list = list(aggs) if aggs is not None else None
+    pk_list = list(pair_keep) if pair_keep else []
     side_list = [(t, list(c)) for t, c in sides]
     join_list = [dict(j) for j in joins]
 
@@ -409,6 +413,8 @@ def count_join_stream(
         for w in range(n_win):
             frame = full.iloc[w * n : (w + 1) * n]
             merged = _join_chain(frame, side_list, join_list)
+            if pk_list and len(merged):
+                merged = _apply_pair_keep(merged, pk_list)
             if not len(merged):
                 continue
             if agg_list is None:
@@ -445,6 +451,16 @@ def count_join_stream(
     )
 
 
+def _apply_pair_keep(merged: pd.DataFrame, pk_list: Sequence[str]) -> pd.DataFrame:
+    """WHERE above the join prunes joined PAIRS: keep rows where every
+    per-side flag is true (null -> False)."""
+    keep = None
+    for c in pk_list:
+        k = (merged[c] == True).to_numpy()  # noqa: E712
+        keep = k if keep is None else (keep & k)
+    return merged[keep] if keep is not None else merged
+
+
 def _join_chain(
     frame: pd.DataFrame,
     side_list: Sequence[tuple[str, Sequence[str]]],
@@ -469,6 +485,7 @@ def count_join_batch(
     joins: Sequence[dict],
     aggs: Optional[Sequence[JoinAggSpec]] = None,
     attach_aggs: Optional[Sequence[JoinAggSpec]] = None,
+    pair_keep: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Batch COUNT window over a multi-stream join: the packed union is
     numbered in (arrival, side) order, complete windows of n rows group
@@ -506,6 +523,7 @@ def count_join_batch(
     side_list = [(t, list(c)) for t, c in sides]
     join_list = [dict(j) for j in joins]
     agg_list = list(aggs) if aggs is not None else None
+    pk_list = list(pair_keep) if pair_keep else []
 
     w = W.orderBy("__u", "__src")
     df = union_df.withColumn("__rn", F.row_number().over(w) - 1)
@@ -515,6 +533,8 @@ def count_join_batch(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         merged = _join_chain(pdf, side_list, join_list)
+        if pk_list and len(merged):
+            merged = _apply_pair_keep(merged, pk_list)
         if not len(merged):
             return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_fields})
         if agg_list is not None:

@@ -1856,6 +1856,75 @@ class Translator:
                 (f"S{i+1}", rdf, r_alias, cols, {c: f"__s{i+1}_{c}" for c in cols})
             )
 
+        # WHERE over an AGGREGATED count-window join: FilterPlan above
+        # JoinPlan prunes joined PAIRS — windows still fill from ALL rows
+        # (pre-filtering would shift count-window membership).  Single-
+        # side AND conjuncts factorize into per-side keep flags carried
+        # through the union; the op filters the joined chain on their
+        # conjunction.  INNER/CROSS chains only (outer kinds would need
+        # conjunct-on-NULL evaluation for null-extended rows).
+        pair_keep_flags: list[str] = []
+        _cw_fields_agg = any(self._find_aggs(f.expr) for f in stmt.fields)
+        if (
+            where_pre is not None
+            and _cw_fields_agg
+            and not static_joins
+            and all(jn.kind in ("inner", "cross") for jn in stream_joins)
+        ):
+            _conjs: list[Node] = []
+
+            def _cw_flat(nd: Node) -> None:
+                if isinstance(nd, Binary) and nd.op == "AND":
+                    _cw_flat(nd.left)
+                    _cw_flat(nd.right)
+                else:
+                    _conjs.append(nd)
+
+            _cw_flat(where_pre)
+            _alias_by = {s[2].lower(): idx for idx, s in enumerate(sides)}
+            _per_side: dict[int, list[Node]] = {}
+            _ok = True
+            for c in _conjs:
+                side_idx: Optional[int] = None
+                for ref in self._find_raw_cols(c):
+                    s = (ref.source or "").lower()
+                    if s and s in _alias_by:
+                        cand: Optional[int] = _alias_by[s]
+                    elif not s:
+                        owners = [
+                            i2 for i2, sd in enumerate(sides) if ref.name in sd[3]
+                        ]
+                        cand = owners[0] if len(owners) == 1 else None
+                    else:
+                        cand = None
+                    if cand is None or (side_idx is not None and cand != side_idx):
+                        side_idx = None
+                        break
+                    side_idx = cand
+                if side_idx is None:
+                    _ok = False
+                    break
+                _per_side.setdefault(side_idx, []).append(c)
+            if _ok and _per_side:
+                new_sides = []
+                for idx, (tag, sdf, alias, cols, flat) in enumerate(sides):
+                    if idx in _per_side:
+                        kn = f"__keep{idx}"
+                        kexpr = None
+                        for c in _per_side[idx]:
+                            e = F.coalesce(
+                                self._expr(c, ctx).cast("boolean"), F.lit(False)
+                            )
+                            kexpr = e if kexpr is None else (kexpr & e)
+                        sdf = sdf.withColumn(kn, kexpr).alias(alias)
+                        cols = cols + [kn]
+                        flat = dict(flat)
+                        flat[kn] = kn
+                        pair_keep_flags.append(kn)
+                    new_sides.append((tag, sdf, alias, cols, flat))
+                sides = new_sides
+                where_pre = None
+
         fm: dict[str, str] = dict(ctx.flat_col_map)
         seen: dict[str, int] = {}
         for _t, _df, alias, cols, flat in sides:
@@ -1993,8 +2062,11 @@ class Translator:
                     )
         if where_pre is not None and agg_nodes:
             raise NotImplementedError(
-                "WHERE over an AGGREGATED COUNT window join is unsupported "
-                "(the filter would run between the join and the aggregation)"
+                "WHERE over an AGGREGATED COUNT window join supports "
+                "AND-composed single-side conjuncts on INNER/CROSS chains "
+                "(per-side keep flags prune joined pairs); mixed-side "
+                "conjuncts, outer kinds and scan/lookup sides keep the "
+                "filter-between-join-and-aggregation gap"
             )
         if agg_nodes:
             if static_joins:
@@ -2039,6 +2111,7 @@ class Translator:
             joins=join_specs,
             aggs=specs + having_specs if agg_nodes else None,
             attach_aggs=having_specs if (having_specs and not agg_nodes) else None,
+            pair_keep=pair_keep_flags or None,
         ).alias("__cwj")
         if not agg_nodes:
             # qualify the flat names so trailing static joins with

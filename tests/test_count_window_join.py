@@ -249,3 +249,55 @@ def test_count_join_where_and_having(spark):
                 time.sleep(0.3)
             q.stop()
         assert got == want and len(want) > 0, (sql, got, want)
+
+
+def test_count_window_join_where_aggregated(spark, tmp_path):
+    """WHERE over an AGGREGATED count-window join: windows fill from ALL
+    rows (count membership must not shift), the filter prunes joined
+    PAIRS via per-side keep flags inside the op; streaming == batch."""
+    import os
+
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    a_rows = [(i, 1541152486000 + i * 500, i % 5, float(i)) for i in range(40)]
+    b_rows = [(i + 100, 1541152486100 + i * 500, i % 5, float(i) * 2) for i in range(40)]
+    base = str(tmp_path / "cwj")
+    spark.createDataFrame(a_rows, "aid long, ts long, k long, v double").coalesce(1).write.parquet(base + "/a")
+    spark.createDataFrame(b_rows, "bid long, bts long, bk long, w double").coalesce(1).write.parquet(base + "/b")
+
+    def cats(streaming):
+        c = Catalog()
+        if streaming:
+            c.register_df("sa", spark.readStream.schema("aid long, ts long, k long, v double").parquet(base + "/a"))
+            c.register(StreamDef(name="sa", kind="stream"))
+            c.register_df("sb", spark.readStream.schema("bid long, bts long, bk long, w double").parquet(base + "/b"))
+            c.register(StreamDef(name="sb", kind="stream", timestamp_col="bts"))
+        else:
+            c.register_df("sa", spark.read.parquet(base + "/a"))
+            c.register(StreamDef(name="sa", kind="stream"))
+            c.register_df("sb", spark.read.parquet(base + "/b"))
+            c.register(StreamDef(name="sb", kind="stream", timestamp_col="bts"))
+        return c
+
+    for sql in [
+        "SELECT count(*) AS n, max(v) AS mv FROM sa INNER JOIN sb "
+        "ON sa.k = sb.bk WHERE v > 10 GROUP BY COUNTWINDOW(16)",
+        "SELECT count(*) AS n FROM sa INNER JOIN sb ON sa.k = sb.bk "
+        "WHERE v > 10 AND w < 60 GROUP BY COUNTWINDOW(16)",
+        "SELECT count(*) AS n, max(w) AS mw FROM sa INNER JOIN sb "
+        "ON sa.k = sb.bk WHERE w > 20 GROUP BY COUNTWINDOW(16)",
+    ]:
+        b = sorted(tuple(r) for r in compile_sql(spark, sql, cats(False)).collect())
+        s = sorted(
+            tuple(r) for r in run_rule_available_now(spark, cats(True), sql).collect()
+        )
+        assert b == s and len(b) > 0, sql
+
+    # mixed-side conjunct keeps the honest raise
+    with pytest.raises(NotImplementedError, match="single-side"):
+        compile_sql(
+            spark,
+            "SELECT count(*) AS n FROM sa INNER JOIN sb ON sa.k = sb.bk "
+            "WHERE v > w GROUP BY COUNTWINDOW(16)",
+            cats(False),
+        )
