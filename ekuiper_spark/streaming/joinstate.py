@@ -78,6 +78,9 @@ def sliding_join_stream(
                                  # side); a merged pair survives iff every
                                  # flag is true — WHERE above the join,
                                  # factorized per side (INNER/CROSS only)
+    subgroups: Sequence[str] = (),  # GROUP BY dims over the joined frame:
+                                 # aggregate mode emits one row per
+                                 # (trigger, dim value) instead of one
 ) -> DataFrame:
     """Stateful per-event sliding join over a packed two-stream union.
 
@@ -132,7 +135,7 @@ def sliding_join_stream(
             out_fields.append(T.StructField(a.out, dt, True))
         out_fields += [T.StructField("__ws", T.LongType()), T.StructField("__we", T.LongType())]
     else:
-        out_fields = []
+        out_fields = [T.StructField(c, buf_types[c], True) for c in subgroups]
         for a in aggs:
             if a.op == "count":
                 dt: T.DataType = T.LongType()
@@ -144,6 +147,7 @@ def sliding_join_stream(
         out_fields += [T.StructField("__ws", T.LongType()), T.StructField("__we", T.LongType())]
     out_schema = T.StructType(out_fields)
     agg_list = list(aggs) if aggs is not None else None
+    sub_list = list(subgroups)
     pk_list = list(pair_keep) if pair_keep else []
     how_ = how
     lk, rk = list(lkeys), list(rkeys)
@@ -183,6 +187,11 @@ def sliding_join_stream(
             # (t-L, t+D]; batch _batch_sliding_join convention)
             em["__we"] = t + delay
             outs.append(em)
+        elif sub_list:
+            rows = _pd_agg_grouped(merged, agg_list, sub_list)
+            rows["__ws"] = t - length
+            rows["__we"] = t + delay
+            outs.append(rows)
         else:
             row = {a.out: [_pd_agg(merged, a)] for a in agg_list}
             row["__ws"] = [t - length]
@@ -340,6 +349,7 @@ def count_join_stream(
     pair_keep: Optional[Sequence[str]] = None,  # per-side bool flags; a
                                  # joined row survives iff every flag is
                                  # true (WHERE above the join, INNER/CROSS)
+    subgroups: Sequence[str] = (),  # GROUP BY dims over the joined window
 ) -> DataFrame:
     """Streaming COUNT window over a MULTI-stream join.
 
@@ -378,7 +388,7 @@ def count_join_stream(
             )
             out_fields.append(T.StructField(a.out, dt, True))
     else:
-        out_fields = []
+        out_fields = [T.StructField(c, buf_types[c], True) for c in subgroups]
         for a in aggs:
             if a.op == "count":
                 dt: T.DataType = T.LongType()
@@ -389,6 +399,7 @@ def count_join_stream(
             out_fields.append(T.StructField(a.out, dt, True))
     out_schema = T.StructType(out_fields)
     agg_list = list(aggs) if aggs is not None else None
+    sub_list = list(subgroups)
     pk_list = list(pair_keep) if pair_keep else []
     side_list = [(t, list(c)) for t, c in sides]
     join_list = [dict(j) for j in joins]
@@ -422,6 +433,8 @@ def count_join_stream(
                 for a in att_list:
                     em[a.out] = _pd_agg(merged, a)
                 outs.append(em)
+            elif sub_list:
+                outs.append(_pd_agg_grouped(merged, agg_list, sub_list))
             else:
                 outs.append(pd.DataFrame({a.out: [_pd_agg(merged, a)] for a in agg_list}))
         rest = full.iloc[n_win * n :]
@@ -449,6 +462,24 @@ def count_join_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def _pd_agg_grouped(
+    merged: pd.DataFrame, specs: Sequence[JoinAggSpec], subgroups: Sequence[str]
+) -> pd.DataFrame:
+    """GROUP BY dims over one window's JOINED content (the reference's
+    window-then-join-then-aggregate order): one output row per dim
+    value, specs computed over that group's rows only (first = the
+    group's first row in scan order); null dim keys group too."""
+    g = merged.groupby(list(subgroups), sort=True, dropna=False)
+    out = g.size().reset_index()[list(subgroups)]
+    cols: dict[str, list] = {a.out: [] for a in specs}
+    for _k, grp in g:
+        for a in specs:
+            cols[a.out].append(_pd_agg(grp, a))
+    for a in specs:
+        out[a.out] = cols[a.out]
+    return out
 
 
 def _apply_pair_keep(merged: pd.DataFrame, pk_list: Sequence[str]) -> pd.DataFrame:
@@ -486,6 +517,7 @@ def count_join_batch(
     aggs: Optional[Sequence[JoinAggSpec]] = None,
     attach_aggs: Optional[Sequence[JoinAggSpec]] = None,
     pair_keep: Optional[Sequence[str]] = None,
+    subgroups: Sequence[str] = (),
 ) -> DataFrame:
     """Batch COUNT window over a multi-stream join: the packed union is
     numbered in (arrival, side) order, complete windows of n rows group
@@ -510,7 +542,7 @@ def count_join_batch(
             )
             out_fields.append(T.StructField(a.out, dt, True))
     else:
-        out_fields = []
+        out_fields = [T.StructField(c, buf_types[c], True) for c in subgroups]
         for a in aggs:
             if a.op == "count":
                 dt: T.DataType = T.LongType()
@@ -523,6 +555,7 @@ def count_join_batch(
     side_list = [(t, list(c)) for t, c in sides]
     join_list = [dict(j) for j in joins]
     agg_list = list(aggs) if aggs is not None else None
+    sub_list = list(subgroups)
     pk_list = list(pair_keep) if pair_keep else []
 
     w = W.orderBy("__u", "__src")
@@ -537,7 +570,9 @@ def count_join_batch(
             merged = _apply_pair_keep(merged, pk_list)
         if not len(merged):
             return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_fields})
-        if agg_list is not None:
+        if agg_list is not None and sub_list:
+            merged = _pd_agg_grouped(merged, agg_list, sub_list)
+        elif agg_list is not None:
             merged = pd.DataFrame({a.out: [_pd_agg(merged, a)] for a in agg_list})
         else:
             for a in att_list:

@@ -1387,11 +1387,6 @@ class Translator:
         from ekuiper_spark.streaming.joinstate import JoinAggSpec, sliding_join_stream
 
         w = stmt.group.window
-        if stmt.group.dims:
-            raise NotImplementedError(
-                "streaming sliding join with GROUP BY dims is unsupported "
-                "(batch mode supports it)"
-            )
         if j.kind not in ("inner", "left", "right", "full", "cross"):
             raise NotImplementedError(
                 f"streaming sliding {j.kind} join is unsupported"
@@ -1457,8 +1452,52 @@ class Translator:
         # conjuncts on the null-extended side post-join, which per-side
         # flags cannot express — they keep the raise, as do mixed
         # conjuncts.
+        def _side(c: Node) -> str:
+            sides = set()
+            for ref in self._find_raw_cols(c):
+                s = (ref.source or "").lower()
+                if s == left_alias.lower():
+                    sides.add("L")
+                elif s == r_alias.lower():
+                    sides.add("R")
+                elif not s and ref.name in lcols and ref.name not in rcols:
+                    sides.add("L")
+                elif not s and ref.name in rcols and ref.name not in lcols:
+                    sides.add("R")
+                else:
+                    sides.add("?")
+            if sides == {"L"}:
+                return "L"
+            if sides == {"R"}:
+                return "R"
+            return "?"
+
+        # GROUP BY dims over the joined frames (window-then-join-then-
+        # aggregate): single-side dim expressions compute natively on
+        # their own side pre-union; the op sub-groups each trigger's
+        # joined content, one row per (trigger, dim value)
+        sub_dim_info: list[tuple] = []  # (dim node, col name, side)
+        for di, d in enumerate(stmt.group.dims or []):
+            dside = _side(d)
+            if dside == "L":
+                nm = f"__ldim{di}"
+                ldf = ldf.withColumn(nm, self._expr(d, ctx)).alias(left_alias)
+            elif dside == "R":
+                nm = f"__rdim{di}"
+                rdf = rdf.withColumn(nm, self._expr(d, ctx)).alias(r_alias)
+            else:
+                raise NotImplementedError(
+                    "GROUP BY dims over a streaming sliding join must be "
+                    "single-side expressions (batch mode supports mixed)"
+                )
+            sub_dim_info.append((d, nm, dside))
+        if sub_dim_info:
+            lcols, rcols = list(ldf.columns), list(rdf.columns)
+
         pair_keep_cols: list[str] = []
-        _fields_agg = any(self._find_aggs(f.expr) for f in stmt.fields)
+        _fields_agg = any(self._find_aggs(f.expr) for f in stmt.fields) or bool(
+            sub_dim_info
+        )
         if (
             where_pre is not None
             and _fields_agg
@@ -1474,26 +1513,6 @@ class Translator:
                     conjs.append(n)
 
             _flat_w(where_pre)
-
-            def _side(c: Node) -> str:
-                sides = set()
-                for ref in self._find_raw_cols(c):
-                    s = (ref.source or "").lower()
-                    if s == left_alias.lower():
-                        sides.add("L")
-                    elif s == r_alias.lower():
-                        sides.add("R")
-                    elif not s and ref.name in lcols and ref.name not in rcols:
-                        sides.add("L")
-                    elif not s and ref.name in rcols and ref.name not in lcols:
-                        sides.add("R")
-                    else:
-                        sides.add("?")
-                if sides == {"L"}:
-                    return "L"
-                if sides == {"R"}:
-                    return "R"
-                return "?"
 
             lconj = [c for c in conjs if _side(c) == "L"]
             rconj = [c for c in conjs if _side(c) == "R"]
@@ -1670,7 +1689,7 @@ class Translator:
                         "reference aggregates only (batch mode supports "
                         "raw columns)"
                     )
-        if where_pre is not None and agg_nodes:
+        if where_pre is not None and (agg_nodes or sub_dim_info):
             raise NotImplementedError(
                 "WHERE over an AGGREGATED streaming sliding join supports "
                 "AND-composed single-side conjuncts on INNER/CROSS joins "
@@ -1679,15 +1698,23 @@ class Translator:
                 "between join and aggregation — batch mode supports them"
             )
 
-        if agg_nodes:
+        if agg_nodes or sub_dim_info:
+            # GROUP BY dims: one row per (trigger, dim value), registered
+            # before raw-ref resolution so dim refs read the group key
+            join_subgroups = [
+                (nm if sd == "L" else rflat[nm]) for _d, nm, sd in sub_dim_info
+            ]
+            for d, nm, sd in sub_dim_info:
+                ctx.dim_map[canon(d)] = nm if sd == "L" else rflat[nm]
             # raw columns beside aggregates: FIRST joined row's value
-            # (project-over-grouped, same rule as the batch path)
+            # (project-over-grouped, same rule as the batch path; with
+            # dims, first of the GROUP)
             raw_refs: dict[str, ColumnRef] = {}
             for f in stmt.fields:
                 for ref in self._find_raw_cols(f.expr):
                     raw_refs.setdefault(canon(ref), ref)
             for n_i, (key, ref) in enumerate(raw_refs.items()):
-                if key in ctx.agg_map or (
+                if key in ctx.agg_map or key in ctx.dim_map or (
                     ref.source is None and ref.name.lower() in ctx.aliases
                 ):
                     continue
@@ -1718,6 +1745,7 @@ class Translator:
                     ("__lkeep" if c == "__lkeep" else rflat["__rkeep"])
                     for c in pair_keep_cols
                 ] or None,
+                subgroups=join_subgroups,
             )
             ctx.post_agg = True
         else:
@@ -1790,10 +1818,6 @@ class Translator:
 
         w = stmt.group.window
         n = int(w.args[0])
-        if stmt.group.dims:
-            raise NotImplementedError(
-                "COUNT window join with GROUP BY dims is unsupported"
-            )
         # WHERE filters JOINED pairs (FilterPlan above JoinPlan,
         # planner.go:797); agg conjuncts merge into HAVING — same routing
         # as the sliding join
@@ -1863,8 +1887,51 @@ class Translator:
         # through the union; the op filters the joined chain on their
         # conjunction.  INNER/CROSS chains only (outer kinds would need
         # conjunct-on-NULL evaluation for null-extended rows).
+        def _cw_side_of(node: Node) -> Optional[int]:
+            """Owning side index of a single-side expression, else None."""
+            _ab = {s[2].lower(): idx for idx, s in enumerate(sides)}
+            side_idx: Optional[int] = None
+            for ref in self._find_raw_cols(node):
+                s = (ref.source or "").lower()
+                if s and s in _ab:
+                    cand: Optional[int] = _ab[s]
+                elif not s:
+                    owners = [i2 for i2, sd in enumerate(sides) if ref.name in sd[3]]
+                    cand = owners[0] if len(owners) == 1 else None
+                else:
+                    cand = None
+                if cand is None or (side_idx is not None and cand != side_idx):
+                    return None
+                side_idx = cand
+            return side_idx
+
+        # GROUP BY dims over the joined count window (window-then-join-
+        # then-aggregate): single-side dim expressions compute natively
+        # on the owning side; the op sub-groups each window's joined
+        # content — one row per (window, dim value)
+        cw_sub_info: list[tuple] = []  # (dim node, flat col name)
+        if stmt.group.dims:
+            new_sides0 = list(sides)
+            for di, d in enumerate(stmt.group.dims):
+                side_idx = _cw_side_of(d)
+                if side_idx is None:
+                    raise NotImplementedError(
+                        "GROUP BY dims over a COUNT window join must be "
+                        "single-side expressions"
+                    )
+                tag0, sdf0, alias0, cols0, flat0 = new_sides0[side_idx]
+                kn = f"__dim{di}"
+                sdf0 = sdf0.withColumn(kn, self._expr(d, ctx)).alias(alias0)
+                flat0 = dict(flat0)
+                flat0[kn] = kn
+                new_sides0[side_idx] = (tag0, sdf0, alias0, cols0 + [kn], flat0)
+                cw_sub_info.append((d, kn))
+            sides = new_sides0
+
         pair_keep_flags: list[str] = []
-        _cw_fields_agg = any(self._find_aggs(f.expr) for f in stmt.fields)
+        _cw_fields_agg = any(self._find_aggs(f.expr) for f in stmt.fields) or bool(
+            cw_sub_info
+        )
         if (
             where_pre is not None
             and _cw_fields_agg
@@ -2060,7 +2127,7 @@ class Translator:
                         "HAVING over COUNT window join CONTENT may "
                         "reference aggregates only"
                     )
-        if where_pre is not None and agg_nodes:
+        if where_pre is not None and (agg_nodes or cw_sub_info):
             raise NotImplementedError(
                 "WHERE over an AGGREGATED COUNT window join supports "
                 "AND-composed single-side conjuncts on INNER/CROSS chains "
@@ -2068,26 +2135,29 @@ class Translator:
                 "conjuncts, outer kinds and scan/lookup sides keep the "
                 "filter-between-join-and-aggregation gap"
             )
-        if agg_nodes:
+        if agg_nodes or cw_sub_info:
             if static_joins:
                 raise NotImplementedError(
                     "aggregates over a COUNT window join with scan/lookup "
                     "sides are unsupported (aggregate before the lookup "
                     "join is ill-defined)"
                 )
+            # GROUP BY dims: register first so dim refs read the group key
+            for d, kn in cw_sub_info:
+                ctx.dim_map[canon(d)] = kn
             for i, (key, call) in enumerate(agg_nodes.items()):
                 if key in ctx.agg_map:
                     continue
                 specs.append(_agg_spec(call, f"__agg{i}"))
                 ctx.agg_map[key] = f"__agg{i}"
             # raw refs alongside aggregates: first joined row (project-
-            # over-grouped)
+            # over-grouped; with dims, first of the GROUP)
             raw_refs: dict[str, ColumnRef] = {}
             for f in stmt.fields:
                 for ref in self._find_raw_cols(f.expr):
                     raw_refs.setdefault(canon(ref), ref)
             for n_i, (key, ref) in enumerate(raw_refs.items()):
-                if key in ctx.agg_map or (
+                if key in ctx.agg_map or key in ctx.dim_map or (
                     ref.source is None and ref.name.lower() in ctx.aliases
                 ):
                     continue
@@ -2104,16 +2174,18 @@ class Translator:
             ctx.post_agg = True
 
         op_fn = count_join_stream if self.streaming else count_join_batch
+        _cw_agg_mode = bool(agg_nodes or cw_sub_info)
         out = op_fn(
             union,
             n=n,
             sides=side_cols,
             joins=join_specs,
-            aggs=specs + having_specs if agg_nodes else None,
-            attach_aggs=having_specs if (having_specs and not agg_nodes) else None,
+            aggs=specs + having_specs if _cw_agg_mode else None,
+            attach_aggs=having_specs if (having_specs and not _cw_agg_mode) else None,
             pair_keep=pair_keep_flags or None,
+            subgroups=[kn for _d, kn in cw_sub_info],
         ).alias("__cwj")
-        if not agg_nodes:
+        if not _cw_agg_mode:
             # qualify the flat names so trailing static joins with
             # same-named columns stay unambiguous
             out_cols = set(out.columns)

@@ -301,3 +301,47 @@ def test_count_window_join_where_aggregated(spark, tmp_path):
             "WHERE v > w GROUP BY COUNTWINDOW(16)",
             cats(False),
         )
+
+
+def test_count_window_join_group_by_dims(spark, tmp_path):
+    """GROUP BY dims over the joined count window: one row per (window,
+    dim value); dims compute natively on the owning side; streaming ==
+    batch (both lifted from the former NotImplementedError)."""
+    import os
+
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    a_rows = [(i, 1541152486000 + i * 500, i % 3, float(i)) for i in range(36)]
+    b_rows = [(i + 100, 1541152486100 + i * 500, i % 3, float(i) * 2) for i in range(36)]
+    base = str(tmp_path / "cwjd")
+    spark.createDataFrame(a_rows, "aid long, ts long, k long, v double").coalesce(1).write.parquet(base + "/a")
+    spark.createDataFrame(b_rows, "bid long, bts long, bk long, w double").coalesce(1).write.parquet(base + "/b")
+
+    def cats(streaming):
+        c = Catalog()
+        if streaming:
+            c.register_df("sa", spark.readStream.schema("aid long, ts long, k long, v double").parquet(base + "/a"))
+            c.register(StreamDef(name="sa", kind="stream"))
+            c.register_df("sb", spark.readStream.schema("bid long, bts long, bk long, w double").parquet(base + "/b"))
+            c.register(StreamDef(name="sb", kind="stream", timestamp_col="bts"))
+        else:
+            c.register_df("sa", spark.read.parquet(base + "/a"))
+            c.register(StreamDef(name="sa", kind="stream"))
+            c.register_df("sb", spark.read.parquet(base + "/b"))
+            c.register(StreamDef(name="sb", kind="stream", timestamp_col="bts"))
+        return c
+
+    for sql in [
+        "SELECT k, count(*) AS n, max(w) AS mw FROM sa INNER JOIN sb "
+        "ON sa.k = sb.bk GROUP BY COUNTWINDOW(12), k",
+        "SELECT k, count(*) AS n FROM sa INNER JOIN sb ON sa.k = sb.bk "
+        "WHERE w > 10 GROUP BY COUNTWINDOW(12), k",
+        # computed single-side dim
+        "SELECT sa.k % 2 AS g, count(*) AS n FROM sa INNER JOIN sb "
+        "ON sa.k = sb.bk GROUP BY COUNTWINDOW(12), sa.k % 2",
+    ]:
+        b = sorted(tuple(r) for r in compile_sql(spark, sql, cats(False)).collect())
+        s = sorted(
+            tuple(r) for r in run_rule_available_now(spark, cats(True), sql).collect()
+        )
+        assert b == s and len(b) > 0, sql

@@ -582,3 +582,30 @@ def test_streaming_sliding_join_where_aggregated_outer_raises(spark, tmp_path):
             streaming=True,
             order_cols=["ts"],
         )
+
+
+def test_streaming_sliding_join_group_by_dims(spark, tmp_path):
+    """GROUP BY dims over the joined sliding frames (window-then-join-
+    then-aggregate): one row per (trigger, dim value), dims computed
+    natively on their owning side; non-aggregated SELECTs project the
+    group's first joined row; WHERE prunes pairs before grouping."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "dims")
+    for sql, cols in [
+        (
+            "SELECT color, count(*) AS c, max(hum) AS mh FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY SLIDINGWINDOW(ss, 1), color",
+            ["color", "c", "mh"],
+        ),
+        (
+            "SELECT color, temp FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1), color",
+            ["color", "temp"],
+        ),
+        (
+            "SELECT color, count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts WHERE hum > 60 GROUP BY SLIDINGWINDOW(ss, 1), color",
+            ["color", "c"],
+        ),
+    ]:
+        got, want = _stream_vs_batch(spark, sql, scat, bcat, cols)
+        assert got == want and len(want) > 0, sql
