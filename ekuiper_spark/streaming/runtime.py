@@ -224,7 +224,7 @@ class RuleRuntime:
             # def.RuleOption.SendNil is rule-level; thread it into the
             # sink transform chain
             sink_opts = {**sink_opts, "sendNilField": opts["sendNilField"]}
-        writer = df.writeStream.outputMode(opts.get("output_mode", "complete" if self._has_agg(df) else "append"))
+        writer = df.writeStream.outputMode(opts.get("output_mode", self._default_mode(df)))
         if available_now:
             writer = writer.trigger(availableNow=True)
         if sink_type == "memory":
@@ -456,7 +456,7 @@ class RuleRuntime:
                 key_field=sink_opts.get("key"),
                 checkpoint=sink_opts.get("checkpoint"),
                 output_mode=opts.get(
-                    "output_mode", "complete" if self._has_agg(df) else "append"
+                    "output_mode", self._default_mode(df)
                 ),
                 options=sink_opts.get("properties"),
             )
@@ -547,6 +547,17 @@ class RuleRuntime:
     @staticmethod
     def _has_agg(df: DataFrame) -> bool:
         return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+    @staticmethod
+    def _default_mode(df: DataFrame) -> str:
+        """append unless the plan aggregates WITHOUT a watermark: a
+        watermarked windowed aggregation emits finalized windows in
+        append mode (and a stream-stream JOIN upstream outright rejects
+        complete mode); an unwatermarked aggregation needs complete."""
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if "Aggregate" not in plan:
+            return "append"
+        return "append" if "EventTimeWatermark" in plan else "complete"
 
     def stop_rule(self, rule_id: str) -> None:
         sched = self.schedulers.pop(rule_id, None)
@@ -784,7 +795,7 @@ def run_rule_available_now(
         spark, sql, catalog, streaming=True, event_col=event_col,
         watermark=watermark, order_cols=order_cols,
     )
-    mode = output_mode or ("complete" if RuleRuntime._has_agg(df) else "append")
+    mode = output_mode or RuleRuntime._default_mode(df)
     q = (
         df.writeStream.format("memory")
         .queryName(name)

@@ -439,6 +439,8 @@ def window_agg_stream(
     emit_content: bool = False,
     winfuncs: Sequence[WinFuncSpec] = (),
     pre_analytics: Sequence = (),
+    emit_trigger_us: bool = False,  # sliding-subgroup: emit the trigger
+                                    # time (col unit) per output row
 ) -> DataFrame:
     """Generic stateful streaming window aggregation.
 
@@ -597,6 +599,8 @@ def window_agg_stream(
     if (kind == "sliding" and not subgroups) or emit_content:
         for c in passthrough:
             out_fields.append(T.StructField(c, schema[c]))
+    if emit_trigger_us:
+        out_fields.append(T.StructField("__et_us", T.LongType()))
     for wf in winfuncs:
         out_fields.append(T.StructField(wf.out, T.LongType()))
     for a in aggs:
@@ -760,6 +764,8 @@ def window_agg_stream(
 
     def new_sink() -> dict:
         sink: dict[str, list] = {a.out: [] for a in agg_list}
+        if emit_trigger_us:
+            sink["__et_us"] = []
         if emit_content:
             for c in pass_list:
                 sink[c] = []
@@ -1546,12 +1552,15 @@ def window_agg_stream(
             new_pos = np.nonzero(is_new)[0]
             new_ts = full[ts_col][new_pos]
             lefts = np.searchsorted(full[ts_col], new_ts - length_us, side="left")
+            # tie-INCLUSIVE right bound (all rows with u <= t): the batch
+            # range frame includes same-time peers regardless of position
+            rights = np.searchsorted(full[ts_col], new_ts, side="right")
             sink = new_sink()
             n_trig = 0
             for k, pos in enumerate(new_pos):
                 if not trig_mask[k]:
                     continue
-                sl = slice(lefts[k], pos + 1)
+                sl = slice(lefts[k], int(rights[k]))
                 if kmask is not None:
                     km = kmask[sl]
                     if not km.any():
@@ -1560,6 +1569,9 @@ def window_agg_stream(
                 else:
                     win = {c: full[c][sl] for c in buffered}
                 subgroup_window(win, 0, sink)
+                if emit_trigger_us:
+                    added = len(sink[sub_list[0]]) - len(sink["__et_us"])
+                    sink["__et_us"].extend([int(new_ts[k])] * added)
                 n_trig += 1
             last_ts = int(full[ts_col][-1])
             keep = full[ts_col] >= last_ts - length_us

@@ -77,6 +77,7 @@ class TranslateCtx:
     window_bounds_ms: bool = False  # window struct holds ts but user time is ms
     window_parts: list = dc_field(default_factory=list)  # GROUP BY dim col names (pre-window)
     join_window_col: Optional[str] = None  # stream-stream join bucket col (reused as window)
+    window_shrink_us: Optional[int] = None  # sparse-hopping join: true window = [end - shrink, end)
     join_sliding_keys: Optional[list] = None  # precomputed per-trigger keys (batch sliding join)
     source_order: list = dc_field(default_factory=list)  # FROM-order aliases (star collision precedence)
     dyn_errs: list = dc_field(default_factory=list)  # per-row dynamic-type error messages (SendError)
@@ -91,6 +92,20 @@ class TranslateCtx:
 def canon(node: Node) -> str:
     return repr(node)
 
+
+
+def _shrink_window(df, shrink_us):
+    from pyspark.sql import functions as _F
+
+    return df.withColumn(
+        "window",
+        _F.struct(
+            _F.timestamp_micros(
+                epoch_us(_F.col("window.end")) - shrink_us
+            ).alias("start"),
+            _F.col("window.end").alias("end"),
+        ),
+    )
 
 class Translator:
     """One SELECT statement -> one DataFrame."""
@@ -553,6 +568,11 @@ class Translator:
             if group.window.filter is not None:
                 df = df.filter(self._expr(group.window.filter, ctx))
             df, wnames = self._window_key(df, group.window, ctx)
+            if ctx.window_shrink_us and ctx.window_col == "window":
+                # sparse-hopping join content: display bounds shrink to
+                # the true window (stateless, append-legal)
+                df = _shrink_window(df, ctx.window_shrink_us)
+                ctx.window_shrink_us = None
             if content_having:
                 # HAVING over non-aggregated sliding content: plain agg
                 # conjuncts evaluate over each trigger's FRAME (window
@@ -1045,7 +1065,7 @@ class Translator:
                 and self._def_is_stream(j.source)
                 and stmt.group is not None
                 and stmt.group.window is not None
-                and stmt.group.window.kind == "count"
+                and stmt.group.window.kind in ("count", "tumbling", "hopping")
             ):
                 # stream-stream join: the reference only allows it within a
                 # window (planner.go:734-735 "a time window or count window
@@ -2296,12 +2316,13 @@ class Translator:
                 "the right side as a scan/lookup TABLE for a stream-static "
                 "join"
             )
-        if window.kind == "hopping" and window.args[1] > window.args[0]:
-            raise NotImplementedError(
-                "streaming stream-stream join inside a SPARSE hopping "
-                "window (interval > length) is unsupported: the derived "
-                "bucket is opaque to Spark's watermark state eviction"
-            )
+        # SPARSE hopping (interval > length): windows are disjoint with
+        # gaps.  Rows outside any window filter out, then each member's
+        # window maps 1:1 to its TUMBLING bucket on the HOP grid — a
+        # NATIVE window struct Spark's watermark eviction understands —
+        # and the displayed bounds shrink to [end - length, end) after
+        # the join (the bucket is only the join/state key).
+        sparse_hop = window.kind == "hopping" and window.args[1] > window.args[0]
         if j.kind not in ("inner", "left", "right", "full", "cross"):
             raise NotImplementedError(
                 f"streaming stream-stream {j.kind} join is unsupported"
@@ -2332,8 +2353,25 @@ class Translator:
         # hopping: F.window(ts, size, slide) expands each event into one
         # row per covering window instance, so bucket equality gates pairs
         # per-instance exactly like the reference's per-window join scan
-        ldf = ldf.withColumn("__ssw", F.window(F.col(f"{left_alias}.{lec}"), dur, hop) if hop else F.window(F.col(f"{left_alias}.{lec}"), dur))
-        rdf = rdf_w.withColumn("__ssw_r", F.window(F.col(f"{r_alias}.{rec}"), dur, hop) if hop else F.window(F.col(f"{r_alias}.{rec}"), dur))
+        if sparse_hop:
+            length_us = int(window.args[0] * UNIT_SECONDS[window.unit] * 1_000_000)
+            hop_us = int(window.args[1] * UNIT_SECONDS[window.unit] * 1_000_000)
+            hop_dur = self._dur(window, 1)
+
+            def _sparse_member(sdf: DataFrame, alias: str, tc: str) -> DataFrame:
+                e = epoch_us(F.col(f"{alias}.{tc}"))
+                wend = (F.floor(e / hop_us) + 1) * hop_us
+                return sdf.filter(e >= wend - length_us)
+
+            ldf = _sparse_member(ldf, left_alias, lec).withColumn(
+                "__ssw", F.window(F.col(f"{left_alias}.{lec}"), hop_dur)
+            )
+            rdf = _sparse_member(rdf_w, r_alias, rec).withColumn(
+                "__ssw_r", F.window(F.col(f"{r_alias}.{rec}"), hop_dur)
+            )
+        else:
+            ldf = ldf.withColumn("__ssw", F.window(F.col(f"{left_alias}.{lec}"), dur, hop) if hop else F.window(F.col(f"{left_alias}.{lec}"), dur))
+            rdf = rdf_w.withColumn("__ssw_r", F.window(F.col(f"{r_alias}.{rec}"), dur, hop) if hop else F.window(F.col(f"{r_alias}.{rec}"), dur))
         if self.streaming:
             # the window struct inherits the event-time marker from the
             # watermarked column, leaving TWO event-time columns per
@@ -2358,6 +2396,12 @@ class Translator:
             out = ldf.join(rdf, on=cond, how="inner").drop("__ssw_r")
         else:
             out = ldf.join(rdf, on=cond & self._expr(j.on, ctx), how=j.kind).drop("__ssw_r")
+        if sparse_hop:
+            # the native bucket keys the join and its state eviction; the
+            # TRUE sparse bounds ([end - length, end)) are rebuilt later —
+            # post-aggregation in streaming, so grouping stays on the
+            # watermark-derived struct (append-mode legality)
+            ctx.window_shrink_us = length_us
         ctx.join_window_col = "__ssw"
         return out
 
@@ -2590,6 +2634,11 @@ class Translator:
                 ).drop("__submin", "__submax")
             ctx.count_fast = False
 
+        if ctx.window_shrink_us and ctx.window_col == "window" and "window" in gdf.columns:
+            # sparse-hopping join: true bounds post-aggregation (grouping
+            # ran on the watermark-derived native bucket)
+            gdf = _shrink_window(gdf, ctx.window_shrink_us)
+            ctx.window_shrink_us = None
         ctx.post_agg = True
         # emission ordering for post-agg positional funcs
         # (last_agg_hit_count/time, funcs_global_state.go): windows emit in
@@ -3120,12 +3169,7 @@ class Translator:
             return False
 
         want_meta = any(_uses_wmeta(f.expr) for f in stmt.fields)
-        if want_meta:
-            if dims:
-                raise NotImplementedError(
-                    "window_start/window_end/event_time with GROUP BY dims "
-                    "on a streaming SLIDINGWINDOW is not supported yet"
-                )
+        if want_meta and not dims:
             ec = ctx.event_col
             df = df.withColumn(
                 "__et",
@@ -3177,6 +3221,11 @@ class Translator:
                     "streaming SLIDINGWINDOW with GROUP BY dims does not "
                     "support the delay argument yet"
                 )
+            if want_meta:
+                # window_start/end/event_time: the op emits the trigger
+                # time (col unit) per output row; converted to the same
+                # hidden __et TIMESTAMP the unkeyed path uses below
+                keep_kw["emit_trigger_us"] = True
             out = window_agg_stream(
                 df,
                 "sliding",
@@ -3211,7 +3260,16 @@ class Translator:
             out = out.filter(F.col("__trig")).drop("__trig")
         ctx.post_agg = True
         ctx.window_col = None
-        if want_meta and not dims:
+        if want_meta and dims:
+            # dims mode: the op emitted the raw trigger time; rebuild the
+            # same hidden __et TIMESTAMP the unkeyed path carries
+            out = out.withColumn(
+                "__et",
+                F.timestamp_millis(F.col("__et_us"))
+                if ctx.event_is_long
+                else F.timestamp_micros(F.col("__et_us")),
+            ).drop("__et_us")
+        if want_meta:
             et_us = epoch_us(F.col("__et"))
             out = out.withColumn(
                 "window",
@@ -3456,6 +3514,9 @@ class Translator:
                 # stream-stream join already bucketed both sides into this
                 # window; reuse the join bucket as the group key
                 df = df.withColumnRenamed(ctx.join_window_col, "window")
+                if ctx.window_shrink_us and not self.streaming:
+                    df = _shrink_window(df, ctx.window_shrink_us)
+                    ctx.window_shrink_us = None
                 ctx.window_col = "window"
                 return df, ["window"]
             dur = self._dur(w, 0)
@@ -3467,6 +3528,9 @@ class Translator:
                 # stream-stream join already exploded/bucketed both sides
                 # into the hopping instances; reuse the join bucket
                 df = df.withColumnRenamed(ctx.join_window_col, "window")
+                if ctx.window_shrink_us and not self.streaming:
+                    df = _shrink_window(df, ctx.window_shrink_us)
+                    ctx.window_shrink_us = None
                 ctx.window_col = "window"
                 return df, ["window"]
             if w.args[1] > w.args[0]:

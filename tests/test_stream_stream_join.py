@@ -609,3 +609,61 @@ def test_streaming_sliding_join_group_by_dims(spark, tmp_path):
     ]:
         got, want = _stream_vs_batch(spark, sql, scat, bcat, cols)
         assert got == want and len(want) > 0, sql
+
+
+def test_sparse_hopping_stream_stream_join(spark, tmp_path):
+    """SPARSE hopping windows (interval > length) over a stream-stream
+    join: members map 1:1 to their TUMBLING bucket on the HOP grid (a
+    native struct Spark's watermark eviction understands); gap rows
+    join nothing; displayed bounds shrink to [end - length, end)."""
+    import datetime as dt
+
+    base_t = dt.datetime(2024, 1, 1)
+    l_rows = [(i, base_t + dt.timedelta(seconds=i), i % 3) for i in range(30)]
+    r_rows = [(i + 100, base_t + dt.timedelta(seconds=i), i % 3) for i in range(30)]
+    base = str(tmp_path / "sphop")
+    spark.createDataFrame(l_rows, "aid long, ts timestamp, k long").coalesce(1).write.parquet(base + "/a")
+    spark.createDataFrame(r_rows, "bid long, bts timestamp, bk long").coalesce(1).write.parquet(base + "/b")
+
+    def cats(streaming):
+        c = Catalog()
+        if streaming:
+            c.register_df("sa", spark.readStream.schema("aid long, ts timestamp, k long").parquet(base + "/a"))
+            c.register(StreamDef(name="sa", kind="stream"))
+            c.register_df("sb", spark.readStream.schema("bid long, bts timestamp, bk long").parquet(base + "/b"))
+            c.register(StreamDef(name="sb", kind="stream", timestamp_col="bts"))
+        else:
+            c.register_df("sa", spark.read.parquet(base + "/a"))
+            c.register(StreamDef(name="sa", kind="stream"))
+            c.register_df("sb", spark.read.parquet(base + "/b"))
+            c.register(StreamDef(name="sb", kind="stream", timestamp_col="bts"))
+        return c
+
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    # content: exact parity; only same-sparse-window same-k pairs emit
+    sql_c = (
+        "SELECT sa.aid AS aid, sb.bid AS bid FROM sa INNER JOIN sb "
+        "ON sa.k = sb.bk GROUP BY HOPPINGWINDOW(ss, 2, 5)"
+    )
+    b = sorted(tuple(r) for r in compile_sql(spark, sql_c, cats(False)).collect())
+    s = sorted(tuple(r) for r in run_rule_available_now(spark, cats(True), sql_c).collect())
+    assert b == s and len(b) == 12
+    # every batch pair sits in one sparse window [5k+3, 5k+5)
+    # (seconds 3,4 mod 5) — gap rows joined nothing
+    for aid, bid in b:
+        assert aid % 5 in (3, 4)
+
+    # aggregated: streaming (append + watermark) withholds at most the
+    # trailing unfinalized window — the documented bounded-replay
+    # divergence; everything emitted matches batch with SHRUNK bounds
+    sql_a = (
+        "SELECT window_start() AS ws, window_end() AS we, count(*) AS n "
+        "FROM sa INNER JOIN sb ON sa.k = sb.bk GROUP BY HOPPINGWINDOW(ss, 2, 5)"
+    )
+    ba = sorted(tuple(r) for r in compile_sql(spark, sql_a, cats(False)).collect())
+    sa_ = sorted(tuple(r) for r in run_rule_available_now(spark, cats(True), sql_a).collect())
+    assert all(r in ba for r in sa_)
+    assert len(ba) - len(sa_) <= 1
+    for ws, we, _n in ba:
+        assert (we - ws).total_seconds() == 2  # true sparse bounds
