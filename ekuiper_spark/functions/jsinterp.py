@@ -44,8 +44,11 @@ block scoping inside loops is the one ES5.1-vs-goja divergence; a
 variable assigned without declaration lands in the innermost function
 scope, not the global object.
 
+- try/catch/finally (catch binds the thrown value's string form;
+  runtime errors are catchable like goja's)
+
 Not supported (raises at compile): classes, `this`, prototypes,
-try/catch, async, arrow functions (goja is ES5).  That boundary is
+async, arrow functions (goja is ES5).  That boundary is
 documented in README — a script outside the subset fails registration
 loudly, exactly like a goja syntax error fails the reference's
 vm.RunString.
@@ -77,7 +80,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "function", "return", "var", "let", "const", "if", "else", "while",
     "for", "of", "true", "false", "null", "undefined", "new", "typeof",
-    "throw",
+    "throw", "try", "catch", "finally",
 }
 
 # a `/` after one of these token shapes is DIVISION; anywhere else it
@@ -304,6 +307,42 @@ class _Parser:
                 env[name] = _bind_closure(params, body, env, self_name=name)
 
             return fdecl
+        if k == "kw" and v == "try":
+            # try/catch/finally (goja ES5): catch binds the thrown value's
+            # string form; runtime errors (bad index, type errors) are
+            # catchable like goja's; `return` unwinds through both blocks
+            self.next()
+            body = self.parse_block()
+            cname, handler, fin = None, None, None
+            if self.accept("kw", "catch"):
+                if self.accept("op", "("):
+                    cname = self.expect("ident")
+                    self.expect("op", ")")
+                handler = self.parse_block()
+            if self.accept("kw", "finally"):
+                fin = self.parse_block()
+            if handler is None and fin is None:
+                raise JsError("try requires a catch or finally block")
+
+            def trystmt(env, body=body, cname=cname, handler=handler, fin=fin):
+                try:
+                    for st in body:
+                        st(env)
+                except _Return:
+                    raise
+                except Exception as ex:
+                    if handler is None:
+                        raise
+                    if cname:
+                        env[cname] = str(ex)
+                    for st in handler:
+                        st(env)
+                finally:
+                    if fin:
+                        for st in fin:
+                            st(env)
+
+            return trystmt
         if k == "kw" and v == "throw":
             self.next()
             e = self.parse_expr()

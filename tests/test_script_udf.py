@@ -287,3 +287,28 @@ def test_js_still_rejects_outside_subset():
         register_script_function(
             "st", "function st(s) { return /x/y.test(s); }", result_type="boolean"
         )
+
+
+def test_js_try_catch_finally(spark):
+    """try/catch/finally: catch binds the thrown value's string form;
+    runtime errors (bad index) are catchable like goja's; finally runs
+    on both paths and `return` unwinds through it."""
+    src = """function guard(x) {
+        var out;
+        try {
+            if (x < 0) { throw 'neg:' + x }
+            out = 100 / x;
+        } catch (e) { out = 'caught ' + e; }
+        finally { out = out + '|f'; }
+        try { return [1][5].y; } catch (e2) { return out; }
+    }"""
+    register_script_function("guard", src, result_type="string")
+    try:
+        cat = Catalog()
+        cat.register_df(
+            "ev", spark.createDataFrame([(-2.0,), (4.0,)], "x double")
+        )
+        out = compile_sql(spark, "SELECT guard(x) AS g FROM ev", cat)
+        assert sorted(r["g"] for r in out.collect()) == ["25|f", "caught neg:-2|f"]
+    finally:
+        assert unregister_script_function("guard")
