@@ -1428,13 +1428,6 @@ class Translator:
                 )
             for c in agg_conjs:
                 having = c if having is None else Binary("AND", having, c)
-        warnings.warn(
-            "streaming sliding join: all rows route through ONE state "
-            "partition (the reference's single-process window+join chain); "
-            "use TUMBLING/HOPPING for the distributed bucket join.",
-            UserWarning,
-            stacklevel=6,
-        )
         r_alias = j.alias or j.source
         rdf = self.catalog.load(self.spark, j.source, streaming=self.streaming).alias(r_alias)
         ctx.source_aliases.add(r_alias.lower())
@@ -1648,6 +1641,20 @@ class Translator:
             return sides.pop() if sides else "L"
 
         nonlocal_union = union
+        # NOTE: keying the stateful op by the equi-join key is NOT sound
+        # here — every arrival (any key) triggers a scan whose frame
+        # joins pairs across ALL keys, so both per-trigger aggregates and
+        # content multiplicity depend on cross-key triggers.  The single
+        # state partition mirrors the reference's per-rule process.
+        import warnings as _warnings
+
+        _warnings.warn(
+            "streaming sliding join: all rows route through ONE state "
+            "partition (the reference's single-process window+join chain); "
+            "use TUMBLING/HOPPING for the distributed bucket join.",
+            UserWarning,
+            stacklevel=6,
+        )
         for i, (key, call) in enumerate(agg_nodes.items()):
             op = self._JOIN_STREAM_AGG_OPS.get(call.name.lower())
             if op is None:
