@@ -2353,6 +2353,21 @@ class Translator:
         dur = self._dur(window, 0)
         hop = self._dur(window, 1) if window.kind == "hopping" else None
         ldf, rdf_w = df, rdf
+
+        # LONG event columns carry epoch MILLIS (the reference's native
+        # unit) — window()/watermarks need a TIMESTAMP, so a hidden
+        # per-side __evt_* column carries it
+        def _ts_evcol(sdf: DataFrame, alias: str, ec: str) -> tuple[DataFrame, str]:
+            if isinstance(sdf.schema[ec].dataType, T.LongType):
+                nm = f"__evt_{alias}"
+                sdf = sdf.withColumn(
+                    nm, F.timestamp_millis(F.col(f"{alias}.{ec}"))
+                ).alias(alias)
+                return sdf, nm
+            return sdf, ec
+
+        ldf, lec = _ts_evcol(ldf, left_alias, lec)
+        rdf_w, rec = _ts_evcol(rdf_w, r_alias, rec)
         if self.streaming:
             wm = self.watermark or "0 seconds"
             ldf = ldf.withWatermark(lec, wm)
@@ -2553,15 +2568,31 @@ class Translator:
             for s in stmt.order:
                 for ref in self._find_raw_cols(s.expr):
                     raw_refs.setdefault(canon(ref), ref)
-            okey = None
+            okey_col = None
             if ctx.join_sliding_keys and "__rowu" in df.columns:
                 # windowed join: the bare event col exists on BOTH sides;
                 # __rowu carries the reference's join scan order
-                okey = "__rowu"
+                okey_col = F.col("__rowu")
             elif ctx.event_col and ctx.event_col in df.columns:
-                okey = ctx.event_col
+                ec0 = ctx.event_col
+                if df.columns.count(ec0) > 1:
+                    # joined frame carries the bare event col from BOTH
+                    # sides: the reference's join scan iterates left rows
+                    # in order then right rows in order, so "first" ties
+                    # on the left time break by the RIGHT time — order by
+                    # the struct of every side's event col (FROM order)
+                    parts = []
+                    for a in ctx.source_order:
+                        try:
+                            df.select(F.col(f"{a}.{ec0}"))
+                            parts.append(F.col(f"{a}.{ec0}").alias(f"o{len(parts)}"))
+                        except Exception:
+                            continue
+                    okey_col = F.struct(*parts) if parts else None
+                else:
+                    okey_col = F.col(ec0)
             elif ctx.order_cols and ctx.order_cols[0] in df.columns:
-                okey = ctx.order_cols[0]
+                okey_col = F.col(ctx.order_cols[0])
             nfr = 0
             for key, ref in raw_refs.items():
                 if key in ctx.dim_map or key in ctx.agg_map:
@@ -2573,7 +2604,7 @@ class Translator:
                 col = self._expr(ref, ctx)
                 name = f"__fr{nfr}"
                 nfr += 1
-                first = F.min_by(col, F.col(okey)) if okey else F.first(col)
+                first = F.min_by(col, okey_col) if okey_col is not None else F.first(col)
                 agg_exprs.append(first.alias(name))
                 ctx.dim_map[key] = name
 

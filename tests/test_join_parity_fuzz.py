@@ -1,0 +1,167 @@
+"""Seeded streaming-vs-batch parity fuzz over WINDOWED JOIN statements.
+
+Round-9 lifted a large join surface (WHERE keep flags, GROUP BY dims
+over joined frames, sparse hopping, tie-inclusive sliding frames,
+batch window gating for tumbling/hopping joins); this fuzz sweeps
+seeded combinations — window kind x join kind x WHERE side x dims x
+select shape — over a two-stream fixture with same-time cross-stream
+pairs (the tie case) and far-future sentinels (so every time window
+finalizes under the 0s watermark and append == batch exactly).
+
+The generator mirrors the support matrix: WHERE over aggregated
+sliding/COUNT joins only single-side on INNER/CROSS; dims single-side;
+outer kinds only where both modes support them.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import uuid
+
+import pytest
+
+from ekuiper_spark import Catalog, compile_sql
+from ekuiper_spark.catalog import StreamDef
+
+_WINDOWS = [
+    ("TUMBLINGWINDOW(ss, 2)", "time"),
+    ("HOPPINGWINDOW(ss, 2, 1)", "time"),
+    ("HOPPINGWINDOW(ss, 1, 3)", "time"),  # sparse
+    ("SLIDINGWINDOW(ss, 2)", "sliding"),
+    ("COUNTWINDOW(6)", "count"),
+    ("COUNTWINDOW(9)", "count"),
+]
+_KINDS = ["INNER", "LEFT", "CROSS"]
+_WHERES = ["", "WHERE size > 48", "WHERE hum > 60", "WHERE size > 48 AND hum > 60"]
+_DIMS = ["", "color"]
+_AGGS = [
+    "count(*) AS n, max(size) AS ms",
+    "count(*) AS n, min(hum) AS mh",
+]
+_CONTENT = ["color, temp", "size, hum"]
+
+
+def _gen(seed: int, n: int):
+    rng = random.Random(seed)
+    out, seen = [], set()
+    while len(out) < n:
+        wsql, wkind = rng.choice(_WINDOWS)
+        kind = rng.choice(_KINDS)
+        where = rng.choice(_WHERES)
+        d = rng.choice(_DIMS)
+        shape = rng.choice(["agg", "agg", "content"])
+        # ---- support matrix ------------------------------------------
+        if kind == "CROSS" and wkind == "time":
+            kind = "INNER"  # cross time joins: bucket-only condition OK but keep matrix tight
+        if kind == "LEFT":
+            if wkind in ("sliding", "count") and (where or d):
+                continue  # keep-flag/dims lifts are INNER/CROSS only there
+            if wkind == "time" and shape == "agg" and d:
+                d = ""  # keep the time-join dim matrix simple
+        if wkind in ("sliding", "count") and shape == "content" and where and kind != "INNER":
+            continue
+        if wkind == "sliding" and shape == "content" and not d and where:
+            # unkeyed non-agg sliding join content + WHERE: batch prunes
+            # frame content, covered; fine — keep
+            pass
+        sel = rng.choice(_AGGS if shape == "agg" else _CONTENT)
+        on = "" if kind == "CROSS" else "ON demo.ts = demo1.ts "
+        dims = f"{d}, " if d else ""
+        sel_prefix = f"{d}, " if d else ""
+        q = (
+            f"SELECT {sel_prefix}{sel} FROM demo {kind} JOIN demo1 "
+            f"{on}{where} GROUP BY {dims}{wsql}"
+        ).replace("  ", " ").strip()
+        if q in seen:
+            continue
+        seen.add(q)
+        out.append(q)
+    return out
+
+
+_STATEMENTS = _gen(seed=20260817, n=60)
+
+
+@pytest.fixture(scope="module")
+def join_src(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("jpf"))
+    demo_rows = [
+        ("red", 50, 1541152486013), ("blue", 58, 1541152486013),
+        ("red", 49, 1541152486822), ("yellow", 51, 1541152487632),
+        ("red", 48, 1541152488442), ("blue", 52, 1541152488442),
+        ("red", 47, 1541152489252), ("yellow", 55, 1541152490062),
+        # far-future sentinel: closes every time window, joins nothing.
+        # It must PASS every fuzz WHERE (size 1000): Catalyst pushes a
+        # non-event-column filter below the watermark node, so a
+        # filtered-out sentinel would stop the watermark and withhold
+        # the last real window in append mode.
+        ("zz", 1000, 1541152599000),
+    ]
+    demo1_rows = [
+        # NOTE: no duplicate same-ts rows within one side — "first of
+        # group" over a joined frame orders by (left ts, right ts); two
+        # right rows with identical ts tie, and their file/arrival order
+        # is not visible to a Spark aggregation (the reference scans in
+        # arrival order; a batch replay has no such index)
+        (25.5, 65, 1541152486013), (27.5, 59, 1541152486822),
+        (28.1, 75, 1541152487632), (27.4, 80, 1541152487633),
+        (25.5, 62, 1541152488442), (26.2, 66, 1541152489252),
+        (24.9, 58, 1541152490062),
+        (99.9, 1000, 1541152599001),
+    ]
+    spark.createDataFrame(demo_rows, "color string, size long, ts long").coalesce(1).write.parquet(base + "/d")
+    spark.createDataFrame(demo1_rows, "temp double, hum long, ts long").coalesce(1).write.parquet(base + "/d1")
+    return base
+
+
+def _cats(spark, base, streaming):
+    c = Catalog()
+    if streaming:
+        c.register_df("demo", spark.readStream.schema("color string, size long, ts long").parquet(base + "/d"))
+        c.register(StreamDef(name="demo", kind="stream"))
+        c.register_df("demo1", spark.readStream.schema("temp double, hum long, ts long").parquet(base + "/d1"))
+        c.register(StreamDef(name="demo1", kind="stream"))
+    else:
+        c.register_df("demo", spark.read.parquet(base + "/d"))
+        c.register(StreamDef(name="demo", kind="stream"))
+        c.register_df("demo1", spark.read.parquet(base + "/d1"))
+        c.register(StreamDef(name="demo1", kind="stream"))
+    return c
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(round(v, 2) if isinstance(v, float) else v for v in r))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("sql", _STATEMENTS, ids=_STATEMENTS)
+def test_join_parity_fuzz(spark, join_src, sql):
+    import warnings
+
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        b = _norm(compile_sql(spark, sql, _cats(spark, join_src, False)).collect())
+        s = _norm(
+            run_rule_available_now(spark, _cats(spark, join_src, True), sql).collect()
+        )
+    if "LEFT JOIN" in sql and ("TUMBLING" in sql or "HOPPING" in sql):
+        # the far-future sentinel's own unmatched-left window can never
+        # finalize under the watermark (nothing arrives after it) — the
+        # documented bounded-replay trailing-window divergence; streaming
+        # must be a subset missing at most the sentinel's window rows
+        bs = list(b)
+        for r in s:
+            assert r in bs, f"stream-only row {r} for {sql!r}"
+            bs.remove(r)
+        assert len(bs) <= 4, f"batch-only rows {bs[:6]} exceed the sentinel bound"
+    else:
+        assert b == s, (
+            f"join parity drift for {sql!r}: batch {len(b)} vs stream {len(s)}; "
+            f"first diff {next((x for x in b if x not in s), None)} / "
+            f"{next((x for x in s if x not in b), None)}"
+        )
