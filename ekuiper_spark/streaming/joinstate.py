@@ -218,7 +218,17 @@ def sliding_join_stream(
         n_new = len(batch)
         if n_new:
             batch = batch.sort_values("__u", kind="mergesort").reset_index(drop=True)
-        full = pd.concat([carry[buffered] if len(carry) else carry, batch[buffered] if n_new else pd.DataFrame(columns=buffered)], ignore_index=True)
+        # skip empty frames before concat (pandas deprecates dtype
+        # inference over empty/all-NA entries — the FutureWarning would
+        # change buffer dtypes under a pandas upgrade)
+        _parts = [p for p in (carry[buffered] if len(carry) else None,
+                              batch[buffered] if n_new else None) if p is not None]
+        if len(_parts) == 2:
+            full = pd.concat(_parts, ignore_index=True)
+        elif _parts:
+            full = _parts[0].reset_index(drop=True)
+        else:
+            full = carry[buffered] if set(buffered) <= set(carry.columns) else pd.DataFrame(columns=buffered)
 
         def save(keep_from_u: int) -> None:
             if len(full):
