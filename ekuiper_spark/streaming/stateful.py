@@ -441,6 +441,11 @@ def window_agg_stream(
     pre_analytics: Sequence = (),
     emit_trigger_us: bool = False,  # sliding-subgroup: emit the trigger
                                     # time (col unit) per output row
+    frame_content: bool = False,    # plain non-agg sliding: emit the
+                                    # WHOLE frame's rows per trigger (the
+                                    # reference RangeSet over the window
+                                    # collection; batch membership-join
+                                    # parity) instead of the trigger row
 ) -> DataFrame:
     """Generic stateful streaming window aggregation.
 
@@ -543,6 +548,16 @@ def window_agg_stream(
         needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + content_extra + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else []) + keep_extra))
     if kind == "sliding" and (delay_us or watermark_gated):
         buffered = list(needed)  # pending rows wait in state with their row cols
+    elif kind == "sliding" and frame_content:
+        # frame rows emit per trigger: every visible passthrough column
+        # must ride the lookback buffer (trigger-local __ cols stay
+        # batch-side)
+        buffered = [
+            c for c in needed
+            if c == ts_col
+            or (c in passthrough and not c.startswith("__"))
+            or c in keep_extra
+        ]
     elif kind == "sliding" and aggs:
         # aggregated sliding: passthrough raw columns emit the FIRST frame
         # row's value (reference project-over-grouped), so they must ride
@@ -1538,6 +1553,47 @@ def window_agg_stream(
             [np.zeros(n_carry, dtype=bool), np.ones(n_new, dtype=bool)]
         )[perm]
         kmask = full[keep_col].astype(bool) if keep_col else None
+        if frame_content:
+            # reference non-aggregated sliding: each trigger emits its
+            # WHOLE frame's (pruned) content rows — same multiset as the
+            # batch membership join; tie-inclusive right bound
+            trig_mask2 = (
+                batch["__trig"].to_numpy(dtype="bool")
+                if "__trig" in batch.columns
+                else np.ones(n_new, dtype=bool)
+            )
+            new_pos2 = np.nonzero(is_new)[0]
+            new_ts2 = full[ts_col][new_pos2]
+            lefts2 = np.searchsorted(full[ts_col], new_ts2 - length_us, side="left")
+            rights2 = np.searchsorted(full[ts_col], new_ts2, side="right")
+            frames2 = []
+            for k, _pos in enumerate(new_pos2):
+                if not trig_mask2[k]:
+                    continue
+                sl = slice(int(lefts2[k]), int(rights2[k]))
+                if kmask is not None:
+                    km = kmask[sl]
+                    if not km.any():
+                        continue  # all-pruned frame drops whole
+                    win = {c: full[c][sl][km] for c in buffered}
+                else:
+                    win = {c: full[c][sl] for c in buffered}
+                length = len(next(iter(win.values())))
+                cols = {}
+                for c in pass_list:
+                    if c.startswith("__"):
+                        # trigger-row-local (__et window meta): the whole
+                        # frame shares the trigger's value
+                        cols[c] = pd.Series([batch[c].iloc[k]] * length)
+                    else:
+                        cols[c] = pd.Series(win[c])
+                frames2.append(emit_frame(cols, length, key))
+            last_ts2 = int(full[ts_col][-1])
+            keep2 = full[ts_col] >= last_ts2 - length_us
+            save_state(state, 0, False, {c: full[c][keep2] for c in buffered})
+            if frames2:
+                yield pd.concat(frames2, ignore_index=True)
+            return
         if sub_list:
             # content sub-grouping (reference window-then-aggregate,
             # TestWindowRule4): each triggering event's whole frame groups

@@ -3216,15 +3216,18 @@ class Translator:
             passthrough.append("__et")
 
         keep_kw: dict = {}
+        # plain non-agg unkeyed sliding emits the WHOLE frame's rows per
+        # trigger (reference RangeSet over the window collection; equals
+        # the batch membership join).  The delayed/watermark-gated forms
+        # have their own content disciplines.
+        frame_content = (
+            not specs and not dims and not delay_us and not self.watermark
+        )
         if ctx.deferred_where is not None:
-            if not specs and not dims:
-                # the non-aggregated UNKEYED streaming sliding form emits
-                # the trigger row only (documented divergence from the
-                # batch frame-content emission), so the filter applies to
-                # the trigger rows directly.  With GROUP BY dims the
-                # sub-grouped form emits per-frame groups, so windows must
-                # form from ALL rows with the keep column pruning CONTENT
-                # (windowPlan.go:92-95) — the else branch below.
+            if not specs and not dims and not frame_content:
+                # delayed/gated non-agg forms: the filter applies to the
+                # trigger rows (their pending-trigger content paths carry
+                # their own WHERE discipline)
                 df = df.filter(self._expr(ctx.deferred_where, ctx))
             else:
                 # WHERE above the window: all rows trigger and fill
@@ -3283,6 +3286,8 @@ class Translator:
                 # the event column's own unit
                 keep_kw["watermark_gated"] = True
                 keep_kw["unit_ms"] = bool(ctx.event_is_long)
+            if frame_content:
+                keep_kw["frame_content"] = True
             out = window_agg_stream(
                 df,
                 "sliding",

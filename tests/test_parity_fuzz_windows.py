@@ -83,11 +83,6 @@ def _gen(seed: int, n: int) -> list[tuple[str, str]]:
             h = ""
         if kind == "sliding":
             h = ""  # HAVING over per-event sliding is pinned separately
-            if shape == "nonagg" and not d:
-                # documented divergence: non-aggregated unkeyed streaming
-                # sliding emits the TRIGGER row only, batch emits frame
-                # content (translator._streaming_sliding)
-                continue
         if kind == "session" and d:
             # sessions are keyed by dims here; dims + session covered by
             # the targeted grouped-projection tests
