@@ -184,8 +184,12 @@ def _used_columns(stmt: SelectStatement) -> Optional[set[str]]:
     return None if wildcard else used
 
 
-def explain_statement(stmt: SelectStatement, catalog=None) -> str:
-    """ExplainFromLogicalPlan text for the parsed statement."""
+def explain_statement(
+    stmt: SelectStatement, catalog=None, is_event_time: bool = False
+) -> str:
+    """ExplainFromLogicalPlan text for the parsed statement.
+    ``is_event_time`` mirrors def.RuleOption.IsEventTime: event-time
+    rules plan a WatermarkPlan above the sources (planner.go:640-648)."""
     src = stmt.source_alias or stmt.source
     window = stmt.group.window if stmt.group else None
     dims = [d for d in (stmt.group.dims or [])] if stmt.group else []
@@ -244,7 +248,34 @@ def explain_statement(stmt: SelectStatement, catalog=None) -> str:
             continue
         e = _expr_str(f.expr, src, repl)
         parts.append(f"$$alias.{f.alias},aliasRef:{e}" if f.alias else e)
-    ops.append(("ProjectPlan", f"Fields:[ {', '.join(parts)} ]" if parts else ""))
+    # SRF fields plan a ProjectSetPlan ABOVE the projection
+    # (planner.go:949; explainInfo_test.go ProjectSetPlan_0 format)
+    srf_keys = []
+    for f2 in stmt.fields:
+        e2 = f2.expr
+        if isinstance(e2, FuncCall) and e2.name.lower() in ("unnest",):
+            srf_keys.append(f2.alias or e2.name.lower())
+    proj_op = ("ProjectPlan", f"Fields:[ {', '.join(parts)} ]" if parts else "")
+    if srf_keys:
+        ops.append(
+            ("ProjectSetPlan",
+             "SrfMap:{" + ", ".join(f"key:{k}" for k in srf_keys)
+             + "}, EnableLimit:false")
+        )
+    ops.append(proj_op)
+
+    if stmt.order:
+        # OrderPlan sits below the projection (planner.go:835-842;
+        # explainInfo_test.go:874-906 sortField format)
+        sparts = []
+        for s0 in stmt.order:
+            nm = s0.expr.name if isinstance(s0.expr, ColumnRef) else _expr_str(s0.expr, src)
+            sparts.append(
+                "sortField:{ name:" + str(nm)
+                + ", ascending:" + str(bool(s0.asc)).lower()
+                + ", fieldExpr:{ " + _expr_str(s0.expr, src) + " } }"
+            )
+        ops.append(("OrderPlan", f"SortFields:[ {', '.join(sparts)} ]"))
 
     for wf in wf_fields:
         ops.append(("WindowFuncPlan", wf))
@@ -336,6 +367,16 @@ def explain_statement(stmt: SelectStatement, catalog=None) -> str:
                 "FieldFuncs:[ " + ", ".join(_call_str(c, src) for c in an_field) + " ]"
             )
         ops.append(("AnalyticFuncsPlan", ", ".join(parts2)))
+
+    if is_event_time:
+        # WatermarkPlan above the stream sources (planner.go:640-648);
+        # SendWatermark mirrors hasWindow
+        emitters = [stmt.source] + [j.source for j in stream_joins]
+        ops.append(
+            ("WatermarkPlan",
+             "Emitters:[ " + ", ".join(emitters) + " ], SendWatermark:"
+             + str(window is not None).lower())
+        )
 
     # DataSourcePlan per source (statement order; LOOKUP tables are not
     # data sources — planner.go:598-604; scan tables align last);

@@ -1017,7 +1017,13 @@ class RestServer:
                     }
                     try:
                         out["logical"] = explain_statement(
-                            _ps(self.runtime.rules[rid].sql), self.catalog
+                            _ps(self.runtime.rules[rid].sql),
+                            self.catalog,
+                            is_event_time=bool(
+                                (self.runtime.rules[rid].options or {}).get(
+                                    "isEventTime"
+                                )
+                            ),
                         )
                     except Exception as e:
                         out["logical"] = f"unavailable: {e}"

@@ -189,3 +189,46 @@ def test_explain_analytic_funcs_plan_where_funcs(cat2):
         "FieldFuncs:[ Call:{ name:lag, args:[src1.name] }, "
         'Call:{ name:latest, args:[Call:{ name:lag, args:[src1.name] }] } ]"' in an
     )
+
+
+def test_explain_order_projectset_watermark_plans(cat2):
+    """OrderPlan / ProjectSetPlan / WatermarkPlan info formats
+    (explainInfo_test.go:707-906): ProjectSet sits ABOVE the projection,
+    Order below it, Watermark above the sources for event-time rules."""
+    sch = T.StructType(
+        [T.StructField("name", T.StringType()),
+         T.StructField("arr", T.ArrayType(T.LongType()))]
+    )
+    c = Catalog()
+    c.register(StreamDef(name="srcA", schema=sch, kind="stream"))
+    lines = _lines("SELECT unnest(arr) FROM srcA ORDER BY name DESC", c)
+    assert lines[0] == (
+        '{"op":"ProjectSetPlan_0","info":"SrfMap:{key:unnest}, EnableLimit:false"}'
+    )
+    assert (
+        '{"op":"OrderPlan_2","info":"SortFields:[ sortField:{ name:name, '
+        'ascending:false, fieldExpr:{ srcA.name } } ]"}' in lines
+    )
+    lines2 = [
+        l.strip()
+        for l in explain_statement(
+            parse_sql("SELECT name FROM srcA GROUP BY TUMBLINGWINDOW(ss, 10)"),
+            c,
+            is_event_time=True,
+        ).split("\n")
+    ]
+    assert (
+        '{"op":"WatermarkPlan_2","info":"Emitters:[ srcA ], SendWatermark:true"}'
+        in lines2
+    )
+    # non-windowed event-time rule: SendWatermark false
+    lines3 = [
+        l.strip()
+        for l in explain_statement(
+            parse_sql("SELECT name FROM srcA"), c, is_event_time=True
+        ).split("\n")
+    ]
+    assert (
+        '{"op":"WatermarkPlan_1","info":"Emitters:[ srcA ], SendWatermark:false"}'
+        in lines3
+    )
