@@ -13,7 +13,8 @@ message-shaping functions):
 
 - function declarations, `return`, `var`/`let`/`const`, assignment
   (incl. `+=` etc., member and index targets), `if`/`else`,
-  `while`, classic `for (init; cond; update)`, `for (x of arr)`
+  `while`, `do...while`, classic `for (init; cond; update)`,
+  `for (x of arr)`, `break`/`continue`
 - expressions: ternary, `&&` `||` `!`, `===` `!==` `==` `!=`,
   comparisons, arithmetic (JS `/` is float division), unary -/+,
   `++`/`--` (statement form), string/number/bool/null/undefined
@@ -80,7 +81,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "function", "return", "var", "let", "const", "if", "else", "while",
     "for", "of", "true", "false", "null", "undefined", "new", "typeof",
-    "throw", "try", "catch", "finally",
+    "throw", "try", "catch", "finally", "break", "continue", "do",
 }
 
 # a `/` after one of these token shapes is DIVISION; anywhere else it
@@ -210,6 +211,14 @@ class _Return(Exception):
         self.value = value
 
 
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
 class _Parser:
     def __init__(self, tokens: list[tuple[str, str]]):
         self.toks = tokens
@@ -328,7 +337,7 @@ class _Parser:
                 try:
                     for st in body:
                         st(env)
-                except _Return:
+                except (_Return, _Break, _Continue):
                     raise
                 except Exception as ex:
                     if handler is None:
@@ -343,6 +352,41 @@ class _Parser:
                             st(env)
 
             return trystmt
+        if k == "kw" and v == "break":
+            self.next()
+            self.accept("op", ";")
+            return lambda env: (_ for _ in ()).throw(_Break())
+        if k == "kw" and v == "continue":
+            self.next()
+            self.accept("op", ";")
+            return lambda env: (_ for _ in ()).throw(_Continue())
+        if k == "kw" and v == "do":
+            # do { ... } while (cond);
+            self.next()
+            body = self.parse_block()
+            self.expect("kw", "while")
+            self.expect("op", "(")
+            cond = self.parse_expr()
+            self.expect("op", ")")
+            self.accept("op", ";")
+
+            def dowhile(env, body=body, cond=cond):
+                n = 0
+                while True:
+                    try:
+                        for st in body:
+                            st(env)
+                    except _Break:
+                        break
+                    except _Continue:
+                        pass
+                    if not _truthy(cond(env)):
+                        break
+                    n += 1
+                    if n > 10_000_000:
+                        raise JsError("script loop exceeded 1e7 iterations")
+
+            return dowhile
         if k == "kw" and v == "throw":
             self.next()
             e = self.parse_expr()
@@ -388,8 +432,13 @@ class _Parser:
             def wloop(env, cond=cond, body=body):
                 n = 0
                 while _truthy(cond(env)):
-                    for st in body:
-                        st(env)
+                    try:
+                        for st in body:
+                            st(env)
+                    except _Break:
+                        break
+                    except _Continue:
+                        pass
                     n += 1
                     if n > 10_000_000:
                         raise JsError("script loop exceeded 1e7 iterations")
@@ -437,8 +486,13 @@ class _Parser:
             def forof(env, name=name, it=it, body=body):
                 for x in it(env):
                     env[name] = x
-                    for st in body:
-                        st(env)
+                    try:
+                        for st in body:
+                            st(env)
+                    except _Break:
+                        break
+                    except _Continue:
+                        continue
 
             return forof
         self.i = save
@@ -455,8 +509,13 @@ class _Parser:
                 init(env)
             n = 0
             while cond is None or _truthy(cond(env)):
-                for st in body:
-                    st(env)
+                try:
+                    for st in body:
+                        st(env)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
                 if upd:
                     upd(env)
                 n += 1

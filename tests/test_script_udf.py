@@ -312,3 +312,30 @@ def test_js_try_catch_finally(spark):
         assert sorted(r["g"] for r in out.collect()) == ["25|f", "caught neg:-2|f"]
     finally:
         assert unregister_script_function("guard")
+
+
+def test_js_break_continue_do_while(spark):
+    """ES5 loop controls: break/continue in for/for-of/while/do-while;
+    try/catch must not swallow the loop-control signals."""
+    src = """function loopy(xs) {
+        var s = 0;
+        for (var i = 0; i < xs.length; i++) {
+            if (xs[i] < 0) { continue }
+            if (xs[i] > 100) { break }
+            s += xs[i];
+        }
+        var j = 0;
+        do { s += 1000; j++; } while (j < 2);
+        for (x of xs) { if (x == 3) { break } if (x < 0) { continue } s += x; }
+        try { while (true) { break } } catch (e) { s = -1; }
+        return s;
+    }"""
+    register_script_function("loopy", src, result_type="bigint")
+    try:
+        cat = Catalog()
+        cat.register_df("ev", spark.createDataFrame([([1, -5, 2, 3, 999, 4],)], "xs array<int>"))
+        out = compile_sql(spark, "SELECT loopy(xs) AS s FROM ev", cat)
+        # for: 1+2+3=6; do-while: +2000; for-of: +1+2 (skip -5, break at 3)
+        assert out.collect()[0]["s"] == 2009
+    finally:
+        assert unregister_script_function("loopy")
