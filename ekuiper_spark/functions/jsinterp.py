@@ -14,7 +14,8 @@ message-shaping functions):
 - function declarations, `return`, `var`/`let`/`const`, assignment
   (incl. `+=` etc., member and index targets), `if`/`else`,
   `while`, `do...while`, classic `for (init; cond; update)`,
-  `for (x of arr)`, `break`/`continue`
+  `for (x of arr)`, `break`/`continue`, `switch`/`case`/`default`
+  (strict matching, fall-through)
 - expressions: ternary, `&&` `||` `!`, `===` `!==` `==` `!=`,
   comparisons, arithmetic (JS `/` is float division), unary -/+,
   `++`/`--` (statement form), string/number/bool/null/undefined
@@ -82,6 +83,7 @@ _KEYWORDS = {
     "function", "return", "var", "let", "const", "if", "else", "while",
     "for", "of", "true", "false", "null", "undefined", "new", "typeof",
     "throw", "try", "catch", "finally", "break", "continue", "do",
+    "switch", "case", "default",
 }
 
 # a `/` after one of these token shapes is DIVISION; anywhere else it
@@ -185,6 +187,16 @@ def _js_str(v: Any) -> str:
     if isinstance(v, (list, dict)):
         return _json.dumps(v)
     return str(v)
+
+
+def _js_strict_eq(a: Any, b: Any) -> bool:
+    """=== for switch-case matching: no coercion; numbers compare across
+    int/float, bool is not a number."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    return type(a) is type(b) and a == b
 
 
 def _js_add(a: Any, b: Any) -> Any:
@@ -352,6 +364,51 @@ class _Parser:
                             st(env)
 
             return trystmt
+        if k == "kw" and v == "switch":
+            # switch (expr) { case c: stmts... default: stmts... } —
+            # strict (===) matching with FALL-THROUGH until break (ES5)
+            self.next()
+            self.expect("op", "(")
+            disc = self.parse_expr()
+            self.expect("op", ")")
+            self.expect("op", "{")
+            clauses = []  # (case expr | None for default, [stmts])
+            while not self.accept("op", "}"):
+                if self.accept("kw", "case"):
+                    ce = self.parse_expr()
+                    self.expect("op", ":")
+                elif self.accept("kw", "default"):
+                    ce = None
+                    self.expect("op", ":")
+                else:
+                    raise JsError("expected case/default in switch body")
+                stmts = []
+                while self.peek() not in (("kw", "case"), ("kw", "default"), ("op", "}")):
+                    stmts.append(self.parse_stmt())
+                clauses.append((ce, stmts))
+
+            def switch(env, disc=disc, clauses=clauses):
+                dv = disc(env)
+                start = None
+                for i, (ce, _st) in enumerate(clauses):
+                    if ce is not None and _js_strict_eq(ce(env), dv):
+                        start = i
+                        break
+                if start is None:
+                    for i, (ce, _st) in enumerate(clauses):
+                        if ce is None:
+                            start = i
+                            break
+                if start is None:
+                    return
+                try:
+                    for _ce, stmts in clauses[start:]:
+                        for st in stmts:
+                            st(env)
+                except _Break:
+                    pass
+
+            return switch
         if k == "kw" and v == "break":
             self.next()
             self.accept("op", ";")

@@ -4802,11 +4802,13 @@ class Translator:
         spurious resets while inactive split only inactive rows, so the
         closure is identical."""
         if df.isStreaming:
+            # unreachable through normal routing: streaming statements
+            # take _hoist_analytics_streaming (standalone analytic op or
+            # fused into the stateful window); defensive guard only
             raise NotImplementedError(
-                "begin/reset-conditioned accumulators (acc_*(v, onBegin, "
-                "onReset)) are batch-only: the segment state machine needs "
-                "a custom stateful op in streaming; use the 1-arg form or "
-                "OVER (WHEN ...) gating"
+                "begin/reset-conditioned accumulators reached the batch "
+                "two-window compiler on a streaming frame — route through "
+                "the streaming analytic hoist"
             )
         part, order = self._analytic_parts_order(call, ctx)
         w1 = W.partitionBy(*part).orderBy(*order)

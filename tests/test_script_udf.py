@@ -339,3 +339,26 @@ def test_js_break_continue_do_while(spark):
         assert out.collect()[0]["s"] == 2009
     finally:
         assert unregister_script_function("loopy")
+
+
+def test_js_switch(spark):
+    """switch/case/default with strict matching and fall-through."""
+    src = """function bucket(x) {
+        var s = 0;
+        switch (x) {
+            case 1: s += 1;
+            case 2: s += 2; break;
+            case 9: s += 9; break;
+            default: s = -1;
+        }
+        return s;
+    }"""
+    register_script_function("bucket", src, result_type="bigint")
+    try:
+        cat = Catalog()
+        cat.register_df("ev", spark.createDataFrame([(1,), (2,), (9,), (5,)], "x bigint"))
+        out = compile_sql(spark, "SELECT x, bucket(x) AS b FROM ev", cat)
+        got = {r["x"]: r["b"] for r in out.collect()}
+        assert got == {1: 3, 2: 2, 9: 9, 5: -1}
+    finally:
+        assert unregister_script_function("bucket")
