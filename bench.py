@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+COMPACT JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.  Full detail (rep spreads, loadavg
+stamps, the sf1 scaling section) is written to BENCH.out.json next to
+this file — the stdout line must stay short enough for the driver's
+tail capture.  If the box is loaded at start (1-min loadavg > ncpu/8)
+the run waits up to 5 minutes for quiet before proceeding.
 
 Each query materializes fully via the noop sink (no driver collect, no
 column-prune shortcut a count() would allow).  Fault-isolated: a failing
@@ -177,10 +181,38 @@ def _ensure_sf1(sf1_dir: str) -> bool:
         return False
 
 
+def _wait_for_quiet_box(max_wait_sec: int = 300) -> None:
+    """Benchmarks recorded under load are unusable (round-9 ran at
+    loadavg 7.68 and the whole sf1 section had to be re-adjudicated by
+    hand).  If 1-min loadavg exceeds ncpu/8 at start, sleep in 15 s
+    slices up to ``max_wait_sec`` waiting for the box to quiet down;
+    proceed with a loud warning if it never does.  Disable with
+    SPARK_GRAFT_BENCH_NOWAIT=1."""
+    if os.environ.get("SPARK_GRAFT_BENCH_NOWAIT") == "1":
+        return
+    threshold = (os.cpu_count() or 8) / 8.0
+    waited = 0
+    while os.getloadavg()[0] > threshold and waited < max_wait_sec:
+        print(
+            f"# loadavg {os.getloadavg()[0]:.2f} > {threshold:.1f}; "
+            f"waiting for quiet box ({waited}/{max_wait_sec}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+    if os.getloadavg()[0] > threshold:
+        print(
+            f"# WARNING: starting under load {os.getloadavg()[0]:.2f} "
+            f"(> {threshold:.1f}); timings will be inflated",
+            file=sys.stderr,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    _wait_for_quiet_box()
     spark = get_spark("bench")
     qs = entrymod.queries()
 
@@ -239,7 +271,35 @@ def main() -> None:
             if e1:
                 out["sf1"]["errors"] = e1
 
-    print(json.dumps(out))
+    # Full JSON (rep spreads, loadavg stamps, sf1 detail) goes to a side
+    # file; stdout gets ONE compact line (the round-9 stdout line grew
+    # past the driver's tail capture and parsed as null).
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.out.json"
+    )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"# full bench detail: {out_path}", file=sys.stderr)
+    except OSError as e:
+        print(f"# could not write {out_path}: {e}", file=sys.stderr)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "reps": reps,
+        "loadavg_start": out["loadavg_start"][0],
+        "detail": "BENCH.out.json",
+    }
+    if errors:
+        compact["errors"] = {k: v[:80] for k, v in errors.items()}
+    if "sf1" in out:
+        compact["sf1_total"] = out["sf1"]["value"]
+        compact["sf1_wall_ratio"] = out["sf1"]["wall_ratio_vs_sf0_1"]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

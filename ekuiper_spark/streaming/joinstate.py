@@ -12,9 +12,20 @@ which buffers the lookback, joins each trigger's frame contents with a
 pandas merge on the extracted equi keys, and emits either the joined
 content rows or per-trigger aggregates.
 
-Restrictions (raised by the translator): equi-ON only, no GROUP BY dims,
-no HAVING, no delay.  Batch mode supports the full surface
-(translator._batch_sliding_join).
+Supported here (round 9+): GROUP BY dims via per-trigger ``subgroups``
+sub-grouping (single-side dim expressions, computed natively upstream),
+HAVING via in-op aggregate specs (aggregate mode) or attached per-frame
+aggregate columns (content mode), window ``delay`` via pending triggers,
+OVER(WHEN) gap-throttles, per-side WHERE keep flags (``pair_keep``)
+pruning pairs on INNER/CROSS, and non-equi INNER content via
+``cross_pairs`` + a native downstream filter.
+
+Remaining raises live in the translator (each cites the batch
+equivalent): mixed-side dims / aggregate inputs, non-equi ON for
+outer/aggregated kinds, HAVING raw-column refs in content mode,
+mixed-side or OUTER aggregated WHERE, last_hit_* conjuncts, and
+aggregates beyond count/sum/avg/min/max/first.  Batch mode supports the
+full surface (translator._batch_sliding_join).
 """
 
 from __future__ import annotations
