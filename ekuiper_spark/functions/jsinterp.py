@@ -189,6 +189,68 @@ def _js_str(v: Any) -> str:
     return str(v)
 
 
+_NAN = float("nan")
+
+
+def _to_number(v: Any) -> Any:
+    """JS ToNumber (ES5.1 §9.3): the coercion behind *, /, %, -, unary
+    +/- and numeric comparisons.  goja applies it implicitly; Python
+    would raise TypeError (or worse, repeat strings for str*int), which
+    the corpus-parity tests caught as real drifts (`"2" * "3"` must be
+    6, `2 * undefined` must be NaN -> the reference's "result is NaN"
+    error, function.go:78-84)."""
+    if isinstance(v, bool):
+        return 1 if v else 0
+    if isinstance(v, (int, float)):
+        return v
+    if v is None:
+        return 0
+    if v is UNDEFINED:
+        return _NAN
+    if isinstance(v, str):
+        s = v.strip()
+        if not s:
+            return 0
+        try:
+            if s.lower().startswith(("0x", "-0x", "+0x")):
+                return int(s, 16)
+            f = float(s)
+            return f
+        except ValueError:
+            return _NAN
+    if isinstance(v, list):
+        # ToPrimitive: [] -> "" -> 0, [x] -> ToNumber(x's string form)
+        if not v:
+            return 0
+        if len(v) == 1:
+            return _to_number(_js_str(v[0]))
+        return _NAN
+    return _NAN  # plain objects
+
+
+def _num_binop(a: Any, b: Any, op: str) -> Any:
+    """Numeric binary op with ToNumber coercion and JS NaN/Inf edges."""
+    a, b = _to_number(a), _to_number(b)
+    af, bf = float(a), float(b)
+    if _math.isnan(af) or _math.isnan(bf):
+        return _NAN
+    if op == "*":
+        return a * b
+    if op == "-":
+        return a - b
+    if op == "/":
+        if bf == 0.0:
+            if af == 0.0:
+                return _NAN
+            return _math.copysign(_math.inf, af) * _math.copysign(1.0, bf)
+        return a / b
+    # '%': JS remainder takes the dividend's sign (fmod), x % 0 is NaN
+    if bf == 0.0 or _math.isinf(af):
+        return _NAN
+    r = _math.fmod(af, bf)
+    return int(r) if isinstance(a, int) and isinstance(b, int) else r
+
+
 def _js_strict_eq(a: Any, b: Any) -> bool:
     """=== for switch-case matching: no coercion; numbers compare across
     int/float, bool is not a number."""
@@ -202,6 +264,9 @@ def _js_strict_eq(a: Any, b: Any) -> bool:
 def _js_add(a: Any, b: Any) -> Any:
     if isinstance(a, str) or isinstance(b, str):
         return _js_str(a) + _js_str(b)
+    a, b = _to_number(a), _to_number(b)
+    if _math.isnan(float(a)) or _math.isnan(float(b)):
+        return _NAN
     return a + b
 
 
@@ -612,10 +677,11 @@ class _Parser:
                     if v != "=":
                         cur = get(env)
                         rhs = {
-                            "+=": _js_add, "-=": lambda a, b: a - b,
-                            "*=": lambda a, b: a * b,
-                            "/=": lambda a, b: a / b,
-                            "%=": lambda a, b: _math.fmod(a, b),
+                            "+=": _js_add,
+                            "-=": lambda a, b: _num_binop(a, b, "-"),
+                            "*=": lambda a, b: _num_binop(a, b, "*"),
+                            "/=": lambda a, b: _num_binop(a, b, "/"),
+                            "%=": lambda a, b: _num_binop(a, b, "%"),
                         }[v](cur, rhs)
                     set_(env, rhs)
 
@@ -625,7 +691,8 @@ class _Parser:
                 get, set_ = target
 
                 def incr(env, v=v, get=get, set_=set_):
-                    set_(env, get(env) + (1 if v == "++" else -1))
+                    cur = _to_number(get(env))
+                    set_(env, _num_binop(cur, 1, "-") if v == "--" else _js_add(cur, 1))
 
                 return incr
         self.i = save
@@ -746,9 +813,18 @@ class _Parser:
                 import operator as _op
 
                 fn = {"<": _op.lt, ">": _op.gt, "<=": _op.le, ">=": _op.ge}[v]
-                left = lambda env, prev=prev, right=right, fn=fn: fn(
-                    prev(env), right(env)
-                )
+
+                def rel(env, prev=prev, right=right, fn=fn):
+                    a, b = prev(env), right(env)
+                    # ES5 §11.8.5: string-string compares lexicographically;
+                    # anything else goes through ToNumber (NaN -> false)
+                    if not (isinstance(a, str) and isinstance(b, str)):
+                        a, b = _to_number(a), _to_number(b)
+                        if _math.isnan(float(a)) or _math.isnan(float(b)):
+                            return False
+                    return fn(a, b)
+
+                left = rel
             else:
                 return left
 
@@ -765,7 +841,9 @@ class _Parser:
                         prev(env), right(env)
                     )
                 else:
-                    left = lambda env, prev=prev, right=right: prev(env) - right(env)
+                    left = lambda env, prev=prev, right=right: _num_binop(
+                        prev(env), right(env), "-"
+                    )
             else:
                 return left
 
@@ -779,14 +857,9 @@ class _Parser:
                 prev = left
 
                 def mul(env, prev=prev, right=right, v=v):
-                    a, b = prev(env), right(env)
-                    if v == "*":
-                        return a * b
-                    if v == "/":
-                        return a / b  # JS division is float division
-                    return _math.fmod(a, b) if isinstance(a, float) or isinstance(b, float) else (
-                        int(_math.fmod(a, b))
-                    )
+                    # ToNumber coercion + NaN propagation (JS division is
+                    # float division; x/0 is +/-Inf, NaN/0%0 edges per ES5)
+                    return _num_binop(prev(env), right(env), v)
 
                 left = mul
             else:
@@ -800,8 +873,8 @@ class _Parser:
             if v == "!":
                 return lambda env, e=e: not _truthy(e(env))
             if v == "-":
-                return lambda env, e=e: -e(env)
-            return lambda env, e=e: +e(env)
+                return lambda env, e=e: _num_binop(0, e(env), "-")
+            return lambda env, e=e: _to_number(e(env))
         if k == "kw" and v == "typeof":
             self.next()
             e = self.parse_unary()
@@ -1290,7 +1363,22 @@ def compile_js(script: str) -> dict[str, Callable]:
     Raises JsError on syntax/unsupported constructs (the analog of goja's
     vm.RunString failure failing the REST registration)."""
     funcs = _Parser(_tokenize(script)).parse_program()
+
+    def _export(v: Any) -> Any:
+        # goja's Value.Export returns int64 for whole-number results
+        # (JS numbers are all float64 internally) — function_test.go
+        # expects area(2.0, 3.0) == int64(6).  NaN/Inf stay float.
+        if (
+            isinstance(v, float)
+            and not isinstance(v, bool)
+            and _math.isfinite(v)
+            and v.is_integer()
+            and abs(v) <= 2**53
+        ):
+            return int(v)
+        return v
+
     return {
-        name: (lambda fn: (lambda *args: fn(*[_js_in(a) for a in args])))(fn)
+        name: (lambda fn: (lambda *args: _export(fn(*[_js_in(a) for a in args]))))(fn)
         for name, fn in funcs.items()
     }

@@ -50,6 +50,15 @@ def _coerced(fn, result_type: str, dialect: str):
     def conv(v):
         if v is None or v is jsinterp.UNDEFINED:
             return None
+        if dialect == "javascript" and isinstance(v, float):
+            # reference function.go:78-86: a NaN/Inf exported result is an
+            # ERROR ("result is NaN"/"result is Inf"), not a value
+            import math
+
+            if math.isnan(v):
+                raise jsinterp.JsError("result is NaN")
+            if math.isinf(v):
+                raise jsinterp.JsError("result is Inf")
         if result_type == "string":
             return jsinterp._js_str(v) if dialect == "javascript" else (
                 v if isinstance(v, str) else str(v)
