@@ -12,24 +12,31 @@ which buffers the lookback, joins each trigger's frame contents with a
 pandas merge on the extracted equi keys, and emits either the joined
 content rows or per-trigger aggregates.
 
-Supported here (round 9+): GROUP BY dims via per-trigger ``subgroups``
-sub-grouping (single-side dim expressions, computed natively upstream),
-HAVING via in-op aggregate specs (aggregate mode) or attached per-frame
-aggregate columns (content mode), window ``delay`` via pending triggers,
-OVER(WHEN) gap-throttles, per-side WHERE keep flags (``pair_keep``)
-pruning pairs on INNER/CROSS, and non-equi INNER content via
-``cross_pairs`` + a native downstream filter.
+Supported here (round 9-10): GROUP BY dims via per-trigger ``subgroups``
+sub-grouping (single-side dims compute natively upstream; MIXED-side
+dims as pdeval ``merged_cols`` closures over the joined frame), HAVING
+via in-op aggregate specs (aggregate mode) or attached per-frame
+aggregate/first-row columns (content mode, incl. raw-column gates),
+window ``delay`` via pending triggers, OVER(WHEN) gap-throttles, WHERE
+above the join via per-side keep flags (``pair_keep``, INNER/CROSS) or
+a general ``where_filter`` lane over the joined rows (mixed-side /
+OUTER kinds), non-equi ON via ``cross_pairs`` + native downstream
+filter (INNER content) or ``on_filter`` + null-extension
+(outer/aggregated kinds), mixed-side aggregate inputs via
+``merged_cols``, and the aggregate set count/sum/avg/min/max/first/
+stddev/stddevs/var/vars/median/collect/last_value/percentile_cont/
+percentile_disc.
 
 Remaining raises live in the translator (each cites the batch
-equivalent): mixed-side dims / aggregate inputs, non-equi ON for
-outer/aggregated kinds, HAVING raw-column refs in content mode,
-mixed-side or OUTER aggregated WHERE, last_hit_* conjuncts, and
-aggregates beyond count/sum/avg/min/max/first.  Batch mode supports the
-full surface (translator._batch_sliding_join).
+equivalent): last_hit_* WHERE conjuncts, expressions outside the pdeval
+subset in in-op positions, and aggregate functions beyond the list
+above.  Batch mode supports the full surface
+(translator._batch_sliding_join).
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Iterator, Optional, Sequence
 
@@ -43,9 +50,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 @dataclass
 class JoinAggSpec:
-    op: str              # count | sum | avg | min | max | first
+    op: str              # count | sum | avg | min | max | first | stddev |
+                         # stddevs | var | vars | median | collect |
+                         # last_value | percentile_cont | percentile_disc
     in_col: Optional[str]  # None => count(*)
     out: str
+    arg: object = None   # op-specific extra: percentile p, last_value
+                         # ignoreNull flag
 
 
 def _pd_agg(merged: pd.DataFrame, spec: JoinAggSpec):
@@ -56,6 +67,22 @@ def _pd_agg(merged: pd.DataFrame, spec: JoinAggSpec):
     s = merged[spec.in_col]
     if spec.op == "first":
         return None if not len(s) else s.iloc[0]
+    if spec.op == "last_value":
+        # (col, ignoreNull) — funcs_agg.go:371
+        if not len(s):
+            return None
+        if spec.arg:
+            sn = s.dropna()
+            return None if not len(sn) else sn.iloc[-1]
+        v = s.iloc[-1]
+        return None if pd.isna(v) else v
+    if spec.op == "collect":
+        # window-order values; Spark collect_list skips nulls (batch oracle)
+        return [v for v in s.tolist() if not pd.isna(v)]
+    if spec.op == "median":
+        # reference median of an empty/all-ignored collection is 0
+        sn = s.dropna()
+        return 0.0 if not len(sn) else float(sn.median())
     if s.isna().all():
         return None
     if spec.op == "sum":
@@ -66,7 +93,52 @@ def _pd_agg(merged: pd.DataFrame, spec: JoinAggSpec):
         return s.min()
     if spec.op == "max":
         return s.max()
+    sn = pd.to_numeric(s.dropna(), errors="coerce")
+    if spec.op == "stddev":       # population (F.stddev_pop, batch path)
+        return float(np.std(sn.to_numpy(dtype="float64"), ddof=0))
+    if spec.op == "stddevs":      # sample; single value -> NaN like Spark
+        return float(np.std(sn.to_numpy(dtype="float64"), ddof=1)) if len(sn) > 1 else float("nan")
+    if spec.op == "var":
+        return float(np.var(sn.to_numpy(dtype="float64"), ddof=0))
+    if spec.op == "vars":
+        return float(np.var(sn.to_numpy(dtype="float64"), ddof=1)) if len(sn) > 1 else float("nan")
+    if spec.op == "percentile_cont":
+        # montanaflynn/stats Percentile (funcs_agg.go:298-334): index =
+        # p*n over sorted values; whole -> v[index], fractional -> mean of
+        # v[floor], v[floor+1] (1-based) — matches the batch registry
+        v = np.sort(sn.to_numpy(dtype="float64"))
+        n2, p = len(v), float(spec.arg)
+        if n2 == 1:
+            return float(v[0])
+        idx = p * n2
+        i = int(math.floor(idx))
+        if i < 1:
+            return None
+        if idx == i:
+            return float(v[i - 1])
+        if i >= n2:
+            return None
+        return float((v[i - 1] + v[i]) / 2.0)
+    if spec.op == "percentile_disc":
+        # smallest v with cume_dist(v) >= p (funcs_agg.go:335-370)
+        v = np.sort(sn.to_numpy(dtype="float64"))
+        idx = max(1, int(math.ceil(float(spec.arg) * len(v))))
+        return float(v[idx - 1])
     raise ValueError(f"unsupported streaming join aggregate {spec.op}")
+
+
+def _spec_out_type(a: JoinAggSpec, types: dict) -> T.DataType:
+    """Output Spark type of a join aggregate spec."""
+    if a.op == "count":
+        return T.LongType()
+    if a.op in (
+        "avg", "stddev", "stddevs", "var", "vars", "median",
+        "percentile_cont", "percentile_disc",
+    ):
+        return T.DoubleType()
+    if a.op == "collect":
+        return T.ArrayType(types[a.in_col])
+    return types[a.in_col]
 
 
 def sliding_join_stream(
@@ -92,6 +164,19 @@ def sliding_join_stream(
     subgroups: Sequence[str] = (),  # GROUP BY dims over the joined frame:
                                  # aggregate mode emits one row per
                                  # (trigger, dim value) instead of one
+    merged_cols: Optional[Sequence[tuple]] = None,  # [(name, fn)] pdeval
+                                 # closures computed on the JOINED frame
+                                 # (mixed-side dims / aggregate inputs /
+                                 # HAVING inputs); fn(frame) -> lane
+    merged_types: Optional[dict] = None,  # Spark DataType per merged col
+    on_filter=None,              # pdeval lane fn for a non-equi ON: pairs
+                                 # form (equi subset or cross), the ON
+                                 # condition filters them, preserved sides
+                                 # null-extend (join_operator.go per-kind)
+    where_filter=None,           # pdeval lane fn for WHERE above the join
+                                 # (FilterPlan > JoinPlan, planner.go:797):
+                                 # prunes JOINED rows (incl. null-extended)
+                                 # before aggregation / HAVING attach
 ) -> DataFrame:
     """Stateful per-event sliding join over a packed two-stream union.
 
@@ -133,28 +218,20 @@ def sliding_join_stream(
     state_schema = T.StructType(state_fields)
 
     att_list = list(attach_aggs) if attach_aggs else []
+    all_types = dict(buf_types)
+    if merged_types:
+        all_types.update(merged_types)
     if aggs is None:
         out_fields = (
             [T.StructField(c, buf_types[c], True) for c in list(left_cols) + list(right_cols)]
         )
         for a in att_list:
-            dt = (
-                T.LongType() if a.op == "count"
-                else T.DoubleType() if a.op == "avg"
-                else buf_types[a.in_col]
-            )
-            out_fields.append(T.StructField(a.out, dt, True))
+            out_fields.append(T.StructField(a.out, _spec_out_type(a, all_types), True))
         out_fields += [T.StructField("__ws", T.LongType()), T.StructField("__we", T.LongType())]
     else:
-        out_fields = [T.StructField(c, buf_types[c], True) for c in subgroups]
+        out_fields = [T.StructField(c, all_types[c], True) for c in subgroups]
         for a in aggs:
-            if a.op == "count":
-                dt: T.DataType = T.LongType()
-            elif a.op == "avg":
-                dt = T.DoubleType()
-            else:
-                dt = buf_types[a.in_col]
-            out_fields.append(T.StructField(a.out, dt, True))
+            out_fields.append(T.StructField(a.out, _spec_out_type(a, all_types), True))
         out_fields += [T.StructField("__ws", T.LongType()), T.StructField("__we", T.LongType())]
     out_schema = T.StructType(out_fields)
     agg_list = list(aggs) if aggs is not None else None
@@ -166,7 +243,11 @@ def sliding_join_stream(
     n_buf = len(buffered)
     thr = throttle
 
+    merged_list = list(merged_cols) if merged_cols else []
+
     def _merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if on_filter is not None:
+            return _merge_on(lf, rf, how_, lk, rk, on_filter)
         if cross_pairs:
             return _merge_one(lf, rf, "cross", [], [])
         return _merge_one(lf, rf, how_, lk, rk)
@@ -187,6 +268,19 @@ def sliding_join_stream(
                 k = (merged[c] == True).to_numpy()  # noqa: E712 (null -> False)
                 keep = k if keep is None else (keep & k)
             merged = merged[keep]
+            if not len(merged):
+                return
+        if merged_list:
+            # mixed-side expressions (dims / aggregate inputs / WHERE /
+            # HAVING inputs) evaluate on the JOINED frame — null-extended
+            # rows see nulls, exactly like Catalyst over a join output
+            merged = merged.copy()
+            for name, fnc in merged_list:
+                merged[name] = fnc(merged)
+        if where_filter is not None:
+            from ekuiper_spark.streaming.pdeval import filter_mask
+
+            merged = merged[filter_mask(where_filter(merged))]
             if not len(merged):
                 return
         if agg_list is None:
@@ -359,6 +453,49 @@ def _merge_one(
     return pd.concat([base, lx, rx], ignore_index=True)
 
 
+def _merge_on(
+    lf: pd.DataFrame,
+    rf: pd.DataFrame,
+    how: str,
+    lk: Sequence[str],
+    rk: Sequence[str],
+    on_fn,
+) -> pd.DataFrame:
+    """Join with a general ON condition: candidate pairs form from the
+    equi subset (or the full cross product when the ON has no equi
+    conjunct), the residual condition filters them (pdeval lane, null ->
+    no match), and preserved sides null-extend their unmatched rows —
+    the reference's per-kind match loop (join_operator.go:150-398)."""
+    from ekuiper_spark.streaming.pdeval import filter_mask
+
+    lf2 = lf.reset_index(drop=True)
+    rf2 = rf.reset_index(drop=True)
+    lf2 = lf2.assign(__li=np.arange(len(lf2)))
+    rf2 = rf2.assign(__ri=np.arange(len(rf2)))
+    if lk:
+        cand = _merge_one(lf2, rf2, "inner", list(lk), list(rk))
+    else:
+        cand = _merge_one(lf2, rf2, "cross", [], [])
+    if len(cand):
+        cand = cand[filter_mask(on_fn(cand))]
+    if how in ("inner", "cross"):
+        return cand.drop(columns=["__li", "__ri"])
+    parts = [cand]
+    if how in ("left", "full"):
+        unmatched = lf2[~lf2["__li"].isin(cand["__li"])]
+        if len(unmatched):
+            parts.append(unmatched.reindex(columns=cand.columns))
+    if how in ("right", "full"):
+        unmatched = rf2[~rf2["__ri"].isin(cand["__ri"])]
+        if len(unmatched):
+            parts.append(unmatched.reindex(columns=cand.columns))
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return cand.drop(columns=["__li", "__ri"])
+    out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    return out.drop(columns=["__li", "__ri"])
+
+
 def count_join_stream(
     union_df: DataFrame,
     *,
@@ -402,22 +539,11 @@ def count_join_stream(
     if aggs is None:
         out_fields = [T.StructField(c, buf_types[c], True) for c in all_cols]
         for a in att_list:
-            dt = (
-                T.LongType() if a.op == "count"
-                else T.DoubleType() if a.op == "avg"
-                else buf_types[a.in_col]
-            )
-            out_fields.append(T.StructField(a.out, dt, True))
+            out_fields.append(T.StructField(a.out, _spec_out_type(a, buf_types), True))
     else:
         out_fields = [T.StructField(c, buf_types[c], True) for c in subgroups]
         for a in aggs:
-            if a.op == "count":
-                dt: T.DataType = T.LongType()
-            elif a.op == "avg":
-                dt = T.DoubleType()
-            else:
-                dt = buf_types[a.in_col]
-            out_fields.append(T.StructField(a.out, dt, True))
+            out_fields.append(T.StructField(a.out, _spec_out_type(a, buf_types), True))
     out_schema = T.StructType(out_fields)
     agg_list = list(aggs) if aggs is not None else None
     sub_list = list(subgroups)
@@ -556,22 +682,11 @@ def count_join_batch(
     if aggs is None:
         out_fields = [T.StructField(c, buf_types[c], True) for c in all_cols]
         for a in att_list:
-            dt = (
-                T.LongType() if a.op == "count"
-                else T.DoubleType() if a.op == "avg"
-                else buf_types[a.in_col]
-            )
-            out_fields.append(T.StructField(a.out, dt, True))
+            out_fields.append(T.StructField(a.out, _spec_out_type(a, buf_types), True))
     else:
         out_fields = [T.StructField(c, buf_types[c], True) for c in subgroups]
         for a in aggs:
-            if a.op == "count":
-                dt: T.DataType = T.LongType()
-            elif a.op == "avg":
-                dt = T.DoubleType()
-            else:
-                dt = buf_types[a.in_col]
-            out_fields.append(T.StructField(a.out, dt, True))
+            out_fields.append(T.StructField(a.out, _spec_out_type(a, buf_types), True))
     out_schema = T.StructType(out_fields)
     side_list = [(t, list(c)) for t, c in sides]
     join_list = [dict(j) for j in joins]

@@ -1,0 +1,495 @@
+"""AST -> pandas expression compiler for in-op evaluation.
+
+The streaming sliding/COUNT-window join (joinstate.py) holds each
+trigger's joined frame as a pandas DataFrame inside ONE
+applyInPandasWithState operator — Spark allows no second stateful op
+downstream, so anything the reference evaluates *between* JoinOp and
+ProjectOp (mixed-side GROUP BY dims, mixed-side aggregate inputs,
+non-equi ON conditions, WHERE over the joined row, HAVING content
+gates — internal/topo/operator/join_operator.go:27-398 +
+filter_operator.go:59-86) must be computable on that merged frame.
+
+``compile_pd`` turns a dialect AST node into a vectorized closure
+``fn(frame: pd.DataFrame) -> np.ndarray/pd.Series``.  Semantics mirror
+the BATCH translation (translator._expr / _binary), which is the
+oracle-pinned surface:
+
+- int/int ``/`` is Go integer division truncating toward zero
+  (valuer.go:953-984); division/modulo by zero yields null;
+- comparisons with a null operand yield null; AND/OR follow SQL
+  three-valued logic (null AND false = false, null OR true = true);
+- a null predicate drops the row at filter time (Spark filter
+  semantics; the reference's FilterOp treats non-bool as drop too).
+
+Nulls ride as NaN in a float lane: truthy=1.0, falsy=0.0, null=NaN —
+``fmin``/``fmax`` implement three-valued AND/OR exactly.
+
+The supported node surface is deliberately small (literals, column
+refs, arithmetic, comparisons, boolean ops, CASE, IN, BETWEEN, LIKE,
+unary -/NOT, and a curated scalar-function set).  Anything else raises
+UnsupportedExpr at COMPILE time so the translator can keep an honest
+NotImplementedError naming the batch equivalent.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any, Callable, Optional
+
+import numpy as np
+import pandas as pd
+
+from ekuiper_spark.ast_nodes import (
+    Between,
+    Binary,
+    CaseWhen,
+    ColumnRef,
+    FuncCall,
+    InExpr,
+    Like,
+    Literal,
+    Node,
+    Unary,
+)
+
+
+class UnsupportedExpr(NotImplementedError):
+    """Raised at compile time for nodes outside the pandas subset."""
+
+
+def _col_lane(s: pd.Series):
+    """A pandas column as a computation lane: numeric -> float64 ndarray
+    (nulls as NaN) plus the original for exact-int paths; other dtypes ->
+    object ndarray."""
+    if s.dtype.kind in "iufb" or str(s.dtype) in ("Int64", "Int32", "Float64", "boolean"):
+        return s.astype("float64").to_numpy(na_value=np.nan)
+    if s.dtype.kind == "M":  # datetime64 -> epoch micros as float
+        v = s.astype("int64").to_numpy().astype("float64")
+        v[s.isna().to_numpy()] = np.nan
+        return v
+    return s.to_numpy(dtype="object")
+
+
+def _is_int_series(s: pd.Series) -> bool:
+    return s.dtype.kind in "iu" or str(s.dtype) in ("Int64", "Int32")
+
+
+def compile_pd(
+    node: Node,
+    resolve: Callable[[ColumnRef], Optional[str]],
+    int_cols: Optional[set] = None,
+    special_call: Optional[Callable[[FuncCall], Optional[str]]] = None,
+):
+    """Compile ``node`` to ``fn(frame) -> ndarray`` (float lane for
+    booleans: 1.0/0.0/NaN).  ``resolve`` maps a ColumnRef to the merged
+    frame's column name (None -> UnsupportedExpr).  ``int_cols`` names
+    columns that are integral in the Spark schema (drives Go integer
+    division).  ``special_call`` may map a FuncCall (e.g.
+    last_hit_time()) to a pre-injected frame column name."""
+    int_cols = int_cols or set()
+
+    def comp(n: Node):
+        # returns (fn(frame)->lane, is_int: bool|None)
+        if isinstance(n, Literal):
+            v = n.value
+            if v is None:
+                return (lambda f: np.nan), None
+            if isinstance(v, bool):
+                return (lambda f: 1.0 if v else 0.0), False
+            return (lambda f: v), isinstance(v, int)
+        if isinstance(n, ColumnRef):
+            name = resolve(n)
+            if name is None:
+                raise UnsupportedExpr(f"unresolvable column {n.name}")
+            return (lambda f, name=name: _col_lane(f[name])), (name in int_cols)
+        if isinstance(n, FuncCall):
+            if special_call is not None:
+                injected = special_call(n)
+                if injected is not None:
+                    return (
+                        lambda f, name=injected: _col_lane(f[name])
+                    ), (injected in int_cols)
+            return _comp_func(n)
+        if isinstance(n, Unary):
+            fe, fi = comp(n.operand)
+            if n.op == "-":
+                return (lambda f: _neg(fe(f))), fi
+            if n.op.upper() == "NOT":
+                return (lambda f: _not(fe(f))), False
+            raise UnsupportedExpr(f"unary {n.op}")
+        if isinstance(n, Binary):
+            return _comp_binary(n)
+        if isinstance(n, CaseWhen):
+            return _comp_case(n)
+        if isinstance(n, InExpr):
+            if n.set_expr is not None:
+                raise UnsupportedExpr("IN <expr> form")
+            fe, _ = comp(n.expr)
+            items = [comp(i)[0] for i in n.items]
+
+            def f_in(f, fe=fe, items=items, neg=n.negated):
+                v = _bcast(fe(f), f)
+                out = np.zeros(len(v), dtype="float64")
+                for it in items:
+                    w = _bcast(it(f), f)
+                    out = _tvl_or(out, _cmp_eq(v, w))
+                return _not(out) if neg else out
+
+            return f_in, False
+        if isinstance(n, Between):
+            fe, _ = comp(n.expr)
+            lo, _ = comp(n.lo)
+            hi, _ = comp(n.hi)
+
+            def f_bt(f, fe=fe, lo=lo, hi=hi, neg=n.negated):
+                v = _bcast(fe(f), f)
+                a = _num_cmp(v, _bcast(lo(f), f), ">=")
+                b = _num_cmp(v, _bcast(hi(f), f), "<=")
+                out = _tvl_and(a, b)
+                return _not(out) if neg else out
+
+            return f_bt, False
+        if isinstance(n, Like):
+            fe, _ = comp(n.expr)
+            if not isinstance(n.pattern, Literal) or not isinstance(n.pattern.value, str):
+                raise UnsupportedExpr("non-literal LIKE pattern")
+            rx = _like_regex(n.pattern.value, n.escape)
+
+            def f_like(f, fe=fe, rx=rx, neg=n.negated):
+                v = _bcast(fe(f), f)
+                out = np.empty(len(v), dtype="float64")
+                for i, x in enumerate(v):
+                    if x is None or (isinstance(x, float) and math.isnan(x)):
+                        out[i] = np.nan
+                    else:
+                        out[i] = 1.0 if rx.fullmatch(str(x)) else 0.0
+                return _not(out) if neg else out
+
+            return f_like, False
+        raise UnsupportedExpr(type(n).__name__)
+
+    def _comp_binary(n: Binary):
+        op = n.op.upper() if n.op in ("AND", "OR", "and", "or") else n.op
+        fl, il = comp(n.left)
+        fr, ir = comp(n.right)
+        if op in ("+", "-", "*", "/", "%"):
+            both_int = bool(il) and bool(ir)
+
+            def f_ar(f, fl=fl, fr=fr, op=op, both_int=both_int):
+                return _arith(_bcast(fl(f), f), _bcast(fr(f), f), op, both_int)
+
+            # Go semantics: every int-int arithmetic result (incl. /) is int
+            return f_ar, both_int
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            def f_cmp(f, fl=fl, fr=fr, op=op):
+                a, b = _bcast(fl(f), f), _bcast(fr(f), f)
+                if op == "=":
+                    return _cmp_eq(a, b)
+                if op == "!=":
+                    return _not(_cmp_eq(a, b))
+                return _num_cmp(a, b, op)
+
+            return f_cmp, False
+        if op == "AND":
+            return (lambda f: _tvl_and(_bcast(fl(f), f), _bcast(fr(f), f))), False
+        if op == "OR":
+            return (lambda f: _tvl_or(_bcast(fl(f), f), _bcast(fr(f), f))), False
+        raise UnsupportedExpr(f"binary {n.op}")
+
+    def _comp_case(n: CaseWhen):
+        operand = comp(n.operand)[0] if n.operand is not None else None
+        whens = [(comp(c)[0], comp(r)[0]) for c, r in n.whens]
+        els = comp(n.else_)[0] if n.else_ is not None else None
+
+        def f_case(f, operand=operand, whens=whens, els=els):
+            nrow = len(f)
+            out = np.full(nrow, np.nan, dtype="object")
+            decided = np.zeros(nrow, dtype=bool)
+            opv = _bcast(operand(f), f) if operand is not None else None
+            for cond, res in whens:
+                cv = _bcast(cond(f), f)
+                hit = (
+                    (_cmp_eq(opv, cv) == 1.0)
+                    if opv is not None
+                    else (np.nan_to_num(np.asarray(cv, dtype="float64"), nan=0.0) == 1.0)
+                )
+                take = hit & ~decided
+                if take.any():
+                    rv = _bcast(res(f), f)
+                    out[take] = np.asarray(rv, dtype="object")[take]
+                    decided |= take
+            if els is not None and (~decided).any():
+                rv = _bcast(els(f), f)
+                out[~decided] = np.asarray(rv, dtype="object")[~decided]
+            return out
+
+        return f_case, None
+
+    _FUNCS: dict[str, Callable] = {
+        "abs": lambda a: np.abs(a),
+        "ceil": lambda a: np.ceil(a),
+        "floor": lambda a: np.floor(a),
+        "sqrt": lambda a: np.sqrt(a),
+        "exp": lambda a: np.exp(a),
+        "ln": lambda a: np.log(a),
+        "log": lambda a: np.log10(a),
+        "sin": lambda a: np.sin(a),
+        "cos": lambda a: np.cos(a),
+        "tan": lambda a: np.tan(a),
+        "round": lambda a: _sql_round(a),
+        "sign": lambda a: np.sign(a),
+    }
+    _FUNCS2 = {
+        "power": lambda a, b: np.power(a, b),
+        "pow": lambda a, b: np.power(a, b),
+    }
+    _SFUNCS = {
+        "upper": lambda s: s.upper(),
+        "lower": lambda s: s.lower(),
+        "ltrim": lambda s: s.lstrip(),
+        "rtrim": lambda s: s.rstrip(),
+        "trim": lambda s: s.strip(),
+        "length": lambda s: float(len(s)),
+    }
+
+    def _comp_func(n: FuncCall):
+        name = n.name.lower()
+        if n.when is not None or n.partition_by or n.order_by:
+            raise UnsupportedExpr(f"{name} with OVER")
+        if name in _FUNCS and len(n.args) == 1:
+            fa, ia = comp(n.args[0])
+
+            def f1(f, fa=fa, fn=_FUNCS[name]):
+                v = _bcast(fa(f), f)
+                return fn(np.asarray(v, dtype="float64"))
+
+            return f1, (name in ("ceil", "floor", "sign") or (name == "abs" and ia))
+        if name == "round" and len(n.args) == 2 and isinstance(n.args[1], Literal):
+            fa, _ = comp(n.args[0])
+            nd = int(n.args[1].value)
+            return (
+                lambda f, fa=fa, nd=nd: _sql_round(
+                    np.asarray(_bcast(fa(f), f), dtype="float64"), nd
+                )
+            ), False
+        if name in _FUNCS2 and len(n.args) == 2:
+            fa, _ = comp(n.args[0])
+            fb, _ = comp(n.args[1])
+            return (
+                lambda f, fa=fa, fb=fb, fn=_FUNCS2[name]: fn(
+                    np.asarray(_bcast(fa(f), f), dtype="float64"),
+                    np.asarray(_bcast(fb(f), f), dtype="float64"),
+                )
+            ), False
+        if name in _SFUNCS and len(n.args) == 1:
+            fa, _ = comp(n.args[0])
+
+            def fs(f, fa=fa, fn=_SFUNCS[name]):
+                v = _bcast(fa(f), f)
+                out = np.empty(len(v), dtype="object")
+                for i, x in enumerate(v):
+                    out[i] = (
+                        None
+                        if x is None or (isinstance(x, float) and math.isnan(x))
+                        else fn(str(x))
+                    )
+                return out
+
+            return fs, name == "length"
+        if name == "concat":
+            fas = [comp(a)[0] for a in n.args]
+
+            def fc(f, fas=fas):
+                lanes = [_bcast(fa(f), f) for fa in fas]
+                out = np.empty(len(f), dtype="object")
+                for i in range(len(f)):
+                    parts = []
+                    bad = False
+                    for ln in lanes:
+                        x = ln[i]
+                        if x is None or (isinstance(x, float) and math.isnan(x)):
+                            bad = True
+                            break
+                        parts.append(
+                            str(int(x))
+                            if isinstance(x, float) and x.is_integer()
+                            else str(x)
+                        )
+                    out[i] = None if bad else "".join(parts)
+                return out
+
+            return fc, False
+        raise UnsupportedExpr(f"function {name}")
+
+    fn, _ = comp(node)
+    return fn
+
+
+# --------------------------------------------------------------------- #
+# lane helpers
+# --------------------------------------------------------------------- #
+def _tvl_and(a, b) -> np.ndarray:
+    """SQL three-valued AND on 1.0/0.0/NaN lanes: false dominates null."""
+    a = np.asarray(a, dtype="float64")
+    b = np.asarray(b, dtype="float64")
+    out = np.minimum(a, b)  # NaN propagates
+    return np.where((a == 0.0) | (b == 0.0), 0.0, out)
+
+
+def _tvl_or(a, b) -> np.ndarray:
+    """SQL three-valued OR: true dominates null."""
+    a = np.asarray(a, dtype="float64")
+    b = np.asarray(b, dtype="float64")
+    out = np.maximum(a, b)
+    return np.where((a == 1.0) | (b == 1.0), 1.0, out)
+
+
+def _bcast(v, frame) -> np.ndarray:
+    """Broadcast a scalar lane to frame length."""
+    if isinstance(v, np.ndarray):
+        return v
+    if isinstance(v, pd.Series):
+        return v.to_numpy()
+    n = len(frame)
+    if isinstance(v, str):
+        out = np.empty(n, dtype="object")
+        out[:] = v
+        return out
+    return np.full(n, v, dtype="float64" if not isinstance(v, (list, dict)) else "object")
+
+
+def _neg(v):
+    if isinstance(v, np.ndarray) and v.dtype.kind == "O":
+        return np.array(
+            [None if x is None else -x for x in v], dtype="object"
+        )
+    return -np.asarray(v, dtype="float64") if isinstance(v, np.ndarray) else (
+        np.nan if (isinstance(v, float) and math.isnan(v)) else -v
+    )
+
+
+def _not(v):
+    a = np.asarray(v, dtype="float64")
+    return 1.0 - a  # NaN stays NaN
+
+
+def _arith(a, b, op, both_int: bool):
+    af = _tofloat(a)
+    bf = _tofloat(b)
+    nulls = np.isnan(af) | np.isnan(bf)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if op == "+":
+            out = af + bf
+        elif op == "-":
+            out = af - bf
+        elif op == "*":
+            out = af * bf
+        elif op == "/":
+            if both_int:
+                # Go integer division truncating toward zero
+                # (valuer.go:953-984; batch path does the same in decimal)
+                out = np.trunc(af / bf)
+            else:
+                out = af / bf
+            out = np.where(bf == 0, np.nan, out)
+        else:  # '%': remainder with the dividend's sign (Go/Spark)
+            out = np.fmod(af, bf)
+            out = np.where(bf == 0, np.nan, out)
+    return np.where(nulls, np.nan, out)
+
+
+def _tofloat(v) -> np.ndarray:
+    a = np.asarray(v)
+    if a.dtype.kind == "O":
+        return np.array(
+            [np.nan if x is None or (isinstance(x, float) and math.isnan(x)) else float(x) for x in a],
+            dtype="float64",
+        )
+    return a.astype("float64")
+
+
+def _cmp_eq(a, b) -> np.ndarray:
+    """SQL `=`: null if either side null, else exact compare (numbers
+    numerically, everything else by Python equality)."""
+    aa, bb = np.asarray(a), np.asarray(b)
+    if aa.dtype.kind == "O" or bb.dtype.kind == "O":
+        n = max(len(aa) if aa.shape else 1, len(bb) if bb.shape else 1)
+        out = np.empty(n, dtype="float64")
+        for i in range(n):
+            x = aa[i] if aa.shape else aa.item()
+            y = bb[i] if bb.shape else bb.item()
+            xn = x is None or (isinstance(x, float) and math.isnan(x))
+            yn = y is None or (isinstance(y, float) and math.isnan(y))
+            if xn or yn:
+                out[i] = np.nan
+            elif isinstance(x, (int, float)) and isinstance(y, (int, float)) and not isinstance(x, bool) and not isinstance(y, bool):
+                out[i] = 1.0 if float(x) == float(y) else 0.0
+            else:
+                out[i] = 1.0 if x == y else 0.0
+        return out
+    af, bf = aa.astype("float64"), bb.astype("float64")
+    out = (af == bf).astype("float64")
+    return np.where(np.isnan(af) | np.isnan(bf), np.nan, out)
+
+
+def _num_cmp(a, b, op) -> np.ndarray:
+    aa, bb = np.asarray(a), np.asarray(b)
+    if aa.dtype.kind == "O" or bb.dtype.kind == "O":
+        import operator as _o
+
+        fn = {"<": _o.lt, "<=": _o.le, ">": _o.gt, ">=": _o.ge}[op]
+        n = max(len(aa) if aa.shape else 1, len(bb) if bb.shape else 1)
+        out = np.empty(n, dtype="float64")
+        for i in range(n):
+            x = aa[i] if aa.shape else aa.item()
+            y = bb[i] if bb.shape else bb.item()
+            xn = x is None or (isinstance(x, float) and math.isnan(x))
+            yn = y is None or (isinstance(y, float) and math.isnan(y))
+            out[i] = np.nan if xn or yn else (1.0 if fn(x, y) else 0.0)
+        return out
+    af, bf = aa.astype("float64"), bb.astype("float64")
+    with np.errstate(invalid="ignore"):
+        res = {
+            "<": af < bf, "<=": af <= bf, ">": af > bf, ">=": af >= bf,
+        }[op].astype("float64")
+    return np.where(np.isnan(af) | np.isnan(bf), np.nan, res)
+
+
+def _sql_round(a: np.ndarray, nd: int = 0) -> np.ndarray:
+    """Spark/SQL HALF_UP rounding (numpy rounds half-to-even)."""
+    scale = 10.0 ** nd
+    with np.errstate(invalid="ignore"):
+        out = np.where(
+            np.isnan(a),
+            np.nan,
+            np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale,
+        )
+    return out
+
+
+def _like_regex(pat: str, escape: Optional[str]) -> "re.Pattern":
+    esc = escape or "\\"
+    out = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == esc and i + 1 < len(pat):
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return re.compile("".join(out), re.DOTALL)
+
+
+def filter_mask(lane) -> np.ndarray:
+    """A predicate lane as a boolean keep-mask (null/NaN -> drop, the
+    Spark filter contract)."""
+    a = np.asarray(lane, dtype="float64")
+    return np.nan_to_num(a, nan=0.0) == 1.0

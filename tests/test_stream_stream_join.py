@@ -569,19 +569,128 @@ def test_streaming_sliding_join_where_aggregated(spark, tmp_path):
         assert got == want and len(want) > 0, sql
 
 
-def test_streaming_sliding_join_where_aggregated_outer_raises(spark, tmp_path):
-    """Outer kinds keep the honest raise: per-side keep flags cannot
-    reproduce conjunct-on-NULL evaluation for null-extended rows."""
-    scat, _ = _feed_join_cats(spark, tmp_path, "wout")
-    with pytest.raises(NotImplementedError, match="INNER/CROSS"):
-        compile_sql(
-            spark,
-            "SELECT count(*) AS c FROM demo LEFT JOIN demo1 "
-            "ON demo.ts = demo1.ts WHERE size > 48 GROUP BY SLIDINGWINDOW(ss, 1)",
-            scat,
-            streaming=True,
-            order_cols=["ts"],
-        )
+def test_streaming_sliding_join_where_aggregated_outer_and_mixed(spark, tmp_path):
+    """r10: WHERE over aggregated OUTER/mixed sliding joins evaluates
+    in-op on the JOINED rows (incl. null-extended ones) via a pdeval
+    lane — FilterPlan above JoinPlan (planner.go:797), previously an
+    honest raise."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "wout")
+    for sql in [
+        # OUTER kind + single-side conjunct: null-extended rows evaluate
+        # the conjunct to null and drop
+        "SELECT window_end() AS we, count(*) AS c FROM demo LEFT JOIN demo1 "
+        "ON demo.ts = demo1.ts WHERE size > 48 GROUP BY SLIDINGWINDOW(ss, 1)",
+        # MIXED-side conjunct on INNER
+        "SELECT window_end() AS we, count(*) AS c FROM demo INNER JOIN demo1 "
+        "ON demo.ts = demo1.ts WHERE size + hum > 110 GROUP BY SLIDINGWINDOW(ss, 1)",
+        # FULL join + right-side conjunct
+        "SELECT window_end() AS we, count(*) AS c FROM demo FULL JOIN demo1 "
+        "ON demo.ts = demo1.ts WHERE hum > 60 GROUP BY SLIDINGWINDOW(ss, 1)",
+    ]:
+        got, want = _stream_vs_batch(spark, sql, scat, bcat, ["we", "c"])
+        assert got == want and len(want) > 0, sql
+
+
+def test_streaming_sliding_join_mixed_dims_and_inputs(spark, tmp_path):
+    """r10: mixed-side GROUP BY dims and mixed-side aggregate inputs
+    evaluate on the merged frame inside the stateful op (the reference
+    valuer runs over JoinTuples, join_operator.go)."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "mix")
+    for sql, cols in [
+        (
+            # mixed-side dim: size + hum
+            "SELECT size + hum AS sh, count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY SLIDINGWINDOW(ss, 1), size + hum",
+            ["sh", "c"],
+        ),
+        (
+            # mixed-side aggregate input
+            "SELECT window_end() AS we, max(size + hum) AS msh, "
+            "round(avg(size * temp), 4) AS ast FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["we", "msh", "ast"],
+        ),
+    ]:
+        got, want = _stream_vs_batch(spark, sql, scat, bcat, cols)
+        assert got == want and len(want) > 0, sql
+
+
+def test_streaming_sliding_join_non_equi_on(spark, tmp_path):
+    """r10: non-equi ON over outer/aggregated sliding joins — candidate
+    pairs form from the equi subset (or cross), the residual condition
+    filters in-op, preserved sides null-extend (join_operator.go
+    per-kind match loops)."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "neo")
+    for sql, cols in [
+        (
+            # aggregated INNER with equi + residual conjuncts
+            "SELECT window_end() AS we, count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts AND hum > size GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["we", "c"],
+        ),
+        (
+            # LEFT join with residual: unmatched lefts null-extend
+            "SELECT window_end() AS we, count(*) AS c, count(hum) AS ch "
+            "FROM demo LEFT JOIN demo1 "
+            "ON demo.ts = demo1.ts AND hum > 62 GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["we", "c", "ch"],
+        ),
+        (
+            # pure non-equi (no equi subset) aggregated
+            "SELECT window_end() AS we, count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON size < hum GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["we", "c"],
+        ),
+    ]:
+        got, want = _stream_vs_batch(spark, sql, scat, bcat, cols)
+        assert got == want and len(want) > 0, sql
+
+
+def test_streaming_sliding_join_having_raw_content(spark, tmp_path):
+    """r10: a raw column in HAVING over sliding-join CONTENT reads the
+    collection's FIRST joined row (HavingOp GroupRange -> Content[0],
+    having_operator.go:40-56) — the whole frame passes or drops."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "hrw")
+    for sql, cols in [
+        (
+            "SELECT size, hum FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1) HAVING size > 48",
+            ["size", "hum"],
+        ),
+        (
+            # raw ref + aggregate mixed in one HAVING
+            "SELECT size, hum FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1) HAVING size > 40 AND count(*) > 1",
+            ["size", "hum"],
+        ),
+    ]:
+        got, want = _stream_vs_batch(spark, sql, scat, bcat, cols)
+        assert got == want and len(want) > 0, sql
+
+
+def test_streaming_sliding_join_extended_aggs(spark, tmp_path):
+    """r10: the sliding-join aggregate set beyond count/sum/avg/min/max/
+    first — stddev/stddevs/var/vars/median/collect/last_value/
+    percentile_cont/percentile_disc (funcs_agg.go)."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "xag")
+    for sql, cols in [
+        (
+            "SELECT window_end() AS we, round(stddev(size), 6) AS sd, "
+            "round(var(hum), 6) AS vr, median(size) AS md "
+            "FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["we", "sd", "vr", "md"],
+        ),
+        (
+            "SELECT window_end() AS we, collect(size) AS cs, "
+            "last_value(hum, true) AS lh, percentile_cont(size, 0.5) AS pc "
+            "FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["we", "cs", "lh", "pc"],
+        ),
+    ]:
+        got, want = _stream_vs_batch(spark, sql, scat, bcat, cols)
+        assert got == want and len(want) > 0, sql
 
 
 def test_streaming_sliding_join_group_by_dims(spark, tmp_path):
