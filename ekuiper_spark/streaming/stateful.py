@@ -72,12 +72,20 @@ class WinFuncSpec:
     within the window collection, optionally partitioned and sorted by
     OVER (PARTITION BY ... ORDER BY ...).  Nil sort keys rank LAST in
     both directions (OrderOp semantics).  parts/orders name upstream
-    (natively pre-computed) columns; ascs aligns with orders."""
+    (natively pre-computed) columns; ascs aligns with orders.
+
+    group_rank=True: GROUP BY dims mode — the reference's
+    WindowFuncPlan sits ABOVE AggregatePlan (planner.go:807-833), so
+    the rank runs over the window's GROUPS (one per dim value), in
+    group FORMATION order by default (the group's first content row);
+    parts/orders then name OUTPUT columns of the grouped row (dim keys
+    / aggregate outs)."""
 
     out: str
     parts: tuple = ()
     orders: tuple = ()
     ascs: tuple = ()
+    group_rank: bool = False
 
 
 _GLOBAL_WARNING = (
@@ -502,8 +510,10 @@ def window_agg_stream(
         raise NotImplementedError(
             "streaming window content emission with GROUP BY dims is unsupported"
         )
-    if winfuncs and not emit_content:
+    if any(not wf.group_rank for wf in winfuncs) and not emit_content:
         raise ValueError("winfuncs (row_number over content) require emit_content")
+    if any(wf.group_rank for wf in winfuncs) and not subgroups:
+        raise ValueError("group_rank winfuncs (row_number over groups) require subgroups")
     schema = {f.name: f.dataType for f in sdf.schema.fields}
     # pre_analytics (AnalyticSpec list): analytic/accumulator calls the
     # reference evaluates BELOW the window (AnalyticFuncsPlan) — Spark
@@ -538,13 +548,14 @@ def window_agg_stream(
     ts_col = order_cols[0]
     keep_extra = [keep_col] if keep_col else []
     if kind == "sliding" and (delay_us or watermark_gated):
-        needed = list(dict.fromkeys([ts_col] + agg_in + list(passthrough) + keep_extra))
+        needed = list(dict.fromkeys([ts_col] + agg_in + list(subgroups) + list(passthrough) + keep_extra))
     elif kind == "sliding":
         needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + list(passthrough) + keep_extra))
     else:
         content_extra = list(passthrough) if emit_content else []
         for wf in winfuncs:
-            content_extra.extend(list(wf.parts) + list(wf.orders))
+            if not wf.group_rank:  # group-rank keys name OUTPUT cols
+                content_extra.extend(list(wf.parts) + list(wf.orders))
         needed = list(dict.fromkeys(list(order_cols) + agg_in + list(subgroups) + content_extra + ([begin_col] if begin_col else []) + ([emit_col] if emit_col else []) + keep_extra))
     if kind == "sliding" and (delay_us or watermark_gated):
         buffered = list(needed)  # pending rows wait in state with their row cols
@@ -684,6 +695,7 @@ def window_agg_stream(
         keys = g.size().reset_index()
         for sc in sub_list:
             sink[sc].extend(keys[sc].tolist())
+        grp_rows: dict[str, list] = {sc: keys[sc].tolist() for sc in sub_list}
         for a in agg_list:
             src = a.in_col or ts_col
             s = g[src]
@@ -727,6 +739,47 @@ def window_agg_stream(
                 # output needs datetime elements
                 vals = vals.apply(lambda lst: list(pd.to_datetime(pd.Series(list(lst)), unit="us")))
             sink[a.out].extend(vals.tolist())
+            grp_rows[a.out] = vals.tolist()
+        if winfunc_list:
+            # row_number over the window's GROUPS (WindowFuncPlan above
+            # AggregatePlan; rowNumberFuncHandle over a GroupedTuplesSet):
+            # default order = group FORMATION order (the group's first
+            # content row); OVER keys evaluate on the grouped row (dim
+            # keys / aggregate outs already in grp_rows)
+            ford = (
+                pd.Series(np.arange(len(pdf)))
+                .groupby([pdf[sc] for sc in sub_list], sort=True)
+                .min()
+                .reset_index(drop=True)
+            )
+            seg = pd.DataFrame(grp_rows)
+            seg["__ford"] = ford.to_numpy()
+            k2 = len(seg)
+            for wf in winfunc_list:
+                if wf.orders:
+                    # formation-order tiebreaker (OrderOp stable sort over
+                    # the GroupedTuplesSet); seg rows sit in KEY order here
+                    idx = seg.sort_values(
+                        list(wf.orders) + ["__ford"],
+                        ascending=list(wf.ascs) + [True],
+                        na_position="last",
+                        kind="mergesort",
+                    ).index.to_numpy()
+                else:
+                    idx = seg.sort_values("__ford", kind="mergesort").index.to_numpy()
+                ranks = np.empty(k2, dtype="int64")
+                if wf.parts:
+                    cum = (
+                        seg.loc[idx]
+                        .groupby(list(wf.parts), sort=False, dropna=False)
+                        .cumcount()
+                        .to_numpy()
+                        + 1
+                    )
+                    ranks[idx] = cum
+                else:
+                    ranks[idx] = np.arange(1, k2 + 1)
+                sink[wf.out].extend(ranks.tolist())
         if emit_wid:
             sink["wid"].extend([wid] * len(keys))
 
@@ -784,8 +837,8 @@ def window_agg_stream(
         if emit_content:
             for c in pass_list:
                 sink[c] = []
-            for wf in winfunc_list:
-                sink[wf.out] = []
+        for wf in winfunc_list:
+            sink[wf.out] = []
         for sc in sub_list:
             sink[sc] = []
         if emit_wid:
@@ -855,7 +908,15 @@ def window_agg_stream(
 
             if an_st is None:
                 an_st = load_an(state)  # preserve (e.g. timeout paths)
-            an_extra = [json.dumps(an_st)]
+            # lag rings / latest carries hold numpy scalars from the
+            # arriving Arrow batch — JSON-encode via .item() (the
+            # translator gates non-JSON-safe input types at compile)
+            an_extra = [
+                json.dumps(
+                    an_st,
+                    default=lambda o: o.item() if hasattr(o, "item") else str(o),
+                )
+            ]
         state.update(
             tuple(
                 [int(emitted), bool(is_open)]
@@ -899,6 +960,16 @@ def window_agg_stream(
                 frame[name] = pd.array(
                     [None if np.isnan(x) else int(x) for x in tr], dtype="Int64"
                 )
+            elif (
+                isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
+                and getattr(vals.dtype, "kind", "") == "i"
+                and (vals.to_numpy() == _LONG_NULL).any()
+            ):
+                # buffered nullable longs carry the int64 null sentinel
+                # (nullable lag/latest outputs and null source longs in
+                # content emission): restore SQL nulls on the way out
+                frame[name] = pd.array(vals.to_numpy(), dtype="Int64")
+                frame[name] = frame[name].mask(vals.to_numpy() == _LONG_NULL, pd.NA)
         return frame[[f.name for f in out_fields]]
 
     # ------------------------------------------------------------------ #
@@ -1379,13 +1450,18 @@ def window_agg_stream(
                 >= wm_val
             )
             batch = batch[keep]
+        an_st = load_an(state)
+        if len(batch):
+            batch = apply_pre_analytics(
+                batch.sort_values(order_list, kind="mergesort"), an_st
+            )
         n_new = len(batch)
-        add = batch_arrays(batch.sort_values(order_list, kind="mergesort"), buffered) if n_new else {c: _empty_np(_state_elem_type(buf_types[c])) for c in buffered}
+        add = batch_arrays(batch, buffered) if n_new else {c: _empty_np(_state_elem_type(buf_types[c])) for c in buffered}
         n_old = len(buf[ts_col])
         full = {c: np.concatenate([buf[c], add[c]]) for c in buffered}
         total = n_old + n_new
         if not total:
-            save_state(state, max_seen, False, buf)
+            save_state(state, max_seen, False, buf, an_st=an_st)
             return
         perm = np.argsort(full[ts_col], kind="stable")
         full = {c: full[c][perm] for c in buffered}
@@ -1423,8 +1499,33 @@ def window_agg_stream(
                 idx, left, right = idx[sel], left[sel], right[sel]
                 if not len(idx):
                     keep = ts_arr >= new_thr - length_us
-                    save_state(state, new_max, False, {c: full[c][keep] for c in buffered})
+                    save_state(state, new_max, False, {c: full[c][keep] for c in buffered}, an_st=an_st)
                     return
+            if sub_list:
+                # GROUP BY dims over delayed/watermark-gated frames: each
+                # ready trigger's frame [t-L, t+D) sub-groups by the dims
+                # (same window-then-aggregate order as the no-delay path)
+                if "__trig" in buffered:
+                    tsel = np.asarray(full["__trig"], dtype="bool")[idx]
+                    idx, left, right = idx[tsel], left[tsel], right[tsel]
+                sink = new_sink()
+                for k3 in range(len(idx)):
+                    sl = slice(int(left[k3]), int(right[k3]))
+                    if dkmask is not None:
+                        km = dkmask[sl]
+                        win = {c: full[c][sl][km] for c in buffered}
+                    else:
+                        win = {c: full[c][sl] for c in buffered}
+                    subgroup_window(win, 0, sink)
+                    if emit_trigger_us:
+                        added = len(sink[sub_list[0]]) - len(sink["__et_us"])
+                        sink["__et_us"].extend([int(ts_arr[idx[k3]])] * added)
+                keep = ts_arr >= new_thr - length_us
+                save_state(state, new_max, False, {c: full[c][keep] for c in buffered}, an_st=an_st)
+                n_out = len(next(iter(sink.values()))) if sink else 0
+                if n_out:
+                    yield emit_frame({k2: pd.Series(v) for k2, v in sink.items()}, n_out, key)
+                return
             for a in agg_list:
                 if a.op == "count" and a.in_col is None:
                     if dkmask is None:
@@ -1496,7 +1597,7 @@ def window_agg_stream(
                 if not len(kept[ts_col]) and wm_val is not None:
                     state.remove()
                 else:
-                    save_state(state, new_max, False, kept)
+                    save_state(state, new_max, False, kept, an_st=an_st)
                     if wm_val is not None:
                         pend = kept[ts_col][kept[ts_col] > new_thr]
                         if len(pend):
@@ -1519,7 +1620,7 @@ def window_agg_stream(
         if not len(kept[ts_col]) and wm_val is not None:
             state.remove()
         else:
-            save_state(state, new_max, False, kept)
+            save_state(state, new_max, False, kept, an_st=an_st)
             if wm_val is not None:
                 # pending triggers fire on watermark advance, not on the
                 # next arrival — arm an event-time timeout at the next
@@ -1535,11 +1636,13 @@ def window_agg_stream(
 
     def fn_sliding(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         _, _, buf = load_state(state)
+        an_st = load_an(state)
         batch = pd.concat(list(pdfs), ignore_index=True)
         if not len(batch):
-            save_state(state, 0, False, buf)
+            save_state(state, 0, False, buf, an_st=an_st)
             return
         batch = batch.sort_values(order_list, kind="mergesort").reset_index(drop=True)
+        batch = apply_pre_analytics(batch, an_st)
         add = batch_arrays(batch, buffered)
         n_carry = len(buf[ts_col])
         n_new = len(batch)
@@ -1590,7 +1693,7 @@ def window_agg_stream(
                 frames2.append(emit_frame(cols, length, key))
             last_ts2 = int(full[ts_col][-1])
             keep2 = full[ts_col] >= last_ts2 - length_us
-            save_state(state, 0, False, {c: full[c][keep2] for c in buffered})
+            save_state(state, 0, False, {c: full[c][keep2] for c in buffered}, an_st=an_st)
             if frames2:
                 yield pd.concat(frames2, ignore_index=True)
             return
@@ -1631,7 +1734,7 @@ def window_agg_stream(
                 n_trig += 1
             last_ts = int(full[ts_col][-1])
             keep = full[ts_col] >= last_ts - length_us
-            save_state(state, 0, False, {c: full[c][keep] for c in buffered})
+            save_state(state, 0, False, {c: full[c][keep] for c in buffered}, an_st=an_st)
             n_out = len(next(iter(sink.values()))) if sink else 0
             if n_out:
                 yield emit_frame({k2: pd.Series(v) for k2, v in sink.items()}, n_out, key)
@@ -1738,7 +1841,7 @@ def window_agg_stream(
         last_ts = int(full[ts_col][-1])
         keep = full[ts_col] >= last_ts - length_us
         buf = {c: full[c][keep] for c in buffered}
-        save_state(state, 0, False, buf)
+        save_state(state, 0, False, buf, an_st=an_st)
         n_out = n_new if emit_mask is None else int(emit_mask.sum())
         if n_out:
             yield emit_frame(out_cols, n_out, key)

@@ -64,6 +64,8 @@ class TranslateCtx:
     sliding_parts: list = dc_field(default_factory=list)  # partition Columns
     frame_first: dict = dc_field(default_factory=dict)  # canon raw ref -> first-of-frame Column
     windowfunc_partition: list = dc_field(default_factory=list)  # window-key col names
+    grpord_col: Optional[str] = None  # group-formation-order col (row_number over GROUPS)
+    grprank_partition: list = dc_field(default_factory=list)  # window-key cols post-agg
     winfunc_map: dict = dc_field(default_factory=dict)  # canon row_number call -> stateful-op rank col
     pending_analytics: list = dc_field(default_factory=list)  # AnalyticSpecs fused into the stateful window op
     row_cols: list[str] = dc_field(default_factory=list)  # user-visible cols at agg input
@@ -342,8 +344,15 @@ class Translator:
                 # (streaming/analytics.py)
                 df = self._hoist_analytics_streaming(df, stmt, ctx, calls)
         else:
+            # windowed statements must ALSO hoist: AnalyticFuncsPlan sits
+            # BELOW WindowPlan (planner.go:651-693), so lag state is
+            # continuous across windows — evaluating at projection time
+            # would partition it by the window collection (and double-
+            # advance it on hopping/sliding row duplication)
             df = self._hoist_analytics(
-                df, stmt, ctx, all_calls=stmt.where is not None
+                df, stmt, ctx,
+                all_calls=stmt.where is not None
+                or (stmt.group is not None and stmt.group.window is not None),
             )
 
         # WHERE — before any window/agg so Catalyst pushes it to the scan.
@@ -604,12 +613,61 @@ class Translator:
                             hname, self._agg_expr(call, ctx).over(wspec)
                         )
                         ctx.agg_map[k2] = hname
+                    # a RAW column ref in HAVING reads the collection's
+                    # value = its FIRST row (HavingOp GroupRange passes
+                    # the whole window as ONE aggRow; Value -> Content[0],
+                    # having_operator.go:40-56 + collection.go:206-209) —
+                    # NOT a per-row filter.  min_by over the frame keeps
+                    # it deterministic under parallel evaluation.
+                    hraw: dict[str, ColumnRef] = {}
+                    for c in plain:
+                        for ref in self._find_raw_cols(c):
+                            hraw.setdefault(canon(ref), ref)
+                    hraw_cols: list[str] = []
+                    if hraw:
+                        okey = None
+                        ec0 = ctx.event_col
+                        if ctx.join_sliding_keys and "__rowu" in df.columns:
+                            okey = F.col("__rowu")
+                        elif ec0 and ec0 in df.columns:
+                            if df.columns.count(ec0) > 1:
+                                parts = []
+                                for a2 in ctx.source_order:
+                                    try:
+                                        df.select(F.col(f"{a2}.{ec0}"))
+                                        parts.append(
+                                            F.col(f"{a2}.{ec0}").alias(f"o{len(parts)}")
+                                        )
+                                    except Exception:
+                                        continue
+                                okey = F.struct(*parts) if parts else None
+                            else:
+                                okey = F.col(ec0)
+                        elif ctx.order_cols and ctx.order_cols[0] in df.columns:
+                            okey = F.col(ctx.order_cols[0])
+                        for i3, (k3, ref) in enumerate(hraw.items()):
+                            if k3 in ctx.dim_map or k3 in ctx.agg_map or (
+                                ref.source is None and ref.name.lower() in ctx.aliases
+                            ):
+                                continue
+                            col = self._expr(ref, ctx)
+                            name = f"__havraw{i3}"
+                            first = (
+                                F.min_by(col, okey) if okey is not None else F.first(col)
+                            )
+                            df = df.withColumn(name, first.over(wspec))
+                            ctx.dim_map[k3] = name
+                            hraw_cols.append(name)
                     ctx.post_agg = True
                     for c in plain:
                         df = df.withColumn("__havc", self._expr(c, ctx))
                         df = df.filter(F.col("__havc")).drop("__havc")
                     ctx.post_agg = False
                     ctx.agg_map = {}
+                    for k3 in list(ctx.dim_map):
+                        if ctx.dim_map[k3] in hraw_cols:
+                            del ctx.dim_map[k3]
+                    df = df.drop(*hraw_cols)
                     df = df.drop(*[f"__havagg{i2}" for i2 in range(len(agg_nodes))])
                 if hitty:
                     tkey = wnames[0]
@@ -875,22 +933,31 @@ class Translator:
             or (w.kind == "session" and len(w.args) >= 2)
         )
         if stateful_w:
-            bad = [s.kind for s in specs if not s.kind.startswith("acc_")]
-            if bad or w.kind == "sliding":
-                raise NotImplementedError(
-                    f"analytic functions {sorted(set(bad)) or ['acc_*']} over a "
-                    f"streaming {w.kind.upper()} window are unsupported (one "
-                    "stateful operator per streaming query); only acc_* fuse "
-                    "into COUNT/STATE/SESSION windows — use an unwindowed "
-                    "rule or a TUMBLING/HOPPING window"
-                )
+            # r10: the whole analytic family fuses (lag/latest/
+            # changed_col/had_changed/changed_cols/acc_*) — the window op
+            # advances the same _vector_spec state per arriving batch.
+            # State persists as JSON, so value-carrying kinds (lag ring,
+            # latest/changed carry) are limited to JSON-safe input types.
             if parts:
                 raise NotImplementedError(
                     "OVER (PARTITION BY ...) analytics cannot fuse into a "
                     "stateful window (analytic state is rule-global)"
                 )
+            df2 = df.withColumns(temps)
+            for s in specs:
+                if s.kind.startswith("acc_"):
+                    continue
+                for c in s.in_cols:
+                    dt = df2.schema[c].dataType
+                    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.BinaryType)):
+                        raise NotImplementedError(
+                            f"streaming {s.kind} over a {w.kind.upper()} "
+                            "window cannot carry TIMESTAMP/BINARY values "
+                            "across micro-batches (JSON state); cast the "
+                            "input or use a TUMBLING/HOPPING window"
+                        )
             ctx.pending_analytics = specs
-            return df.withColumns(temps)
+            return df2
 
         key_cols = [add_temp(self._expr(p, ctx)) for p in parts]
         df = df.withColumns(temps)
@@ -1353,7 +1420,108 @@ class Translator:
 
     _JOIN_STREAM_AGG_OPS = {
         "count": "count", "sum": "sum", "avg": "avg", "min": "min", "max": "max",
+        "stddev": "stddev", "stddevs": "stddevs", "var": "var", "vars": "vars",
+        "median": "median", "collect": "collect", "last_value": "last_value",
+        "percentile_cont": "percentile_cont", "percentile_disc": "percentile_disc",
     }
+    # ops whose extra argument (percentile p / ignoreNull) rides on the spec
+    _JOIN_AGG_ARG_OPS = {"percentile_cont", "percentile_disc", "last_value"}
+
+    def _inline_aliases(self, node: Node, ctx: TranslateCtx) -> Node:
+        """Rewrite select-alias ColumnRefs to their target expressions
+        (recursively) so an AST can be evaluated outside the Catalyst
+        alias-resolution path (pdeval closures)."""
+        import copy as _copy
+
+        def rw(n: Node) -> Node:
+            if isinstance(n, ColumnRef) and n.source is None:
+                tgt = ctx.aliases.get(n.name.lower())
+                if tgt is not None:
+                    return rw(_copy.deepcopy(tgt))
+                return n
+            if isinstance(n, Binary):
+                return Binary(n.op, rw(n.left), rw(n.right))
+            if isinstance(n, Unary):
+                return Unary(n.op, rw(n.operand))
+            if isinstance(n, FuncCall):
+                return FuncCall(
+                    n.name, [rw(a) for a in n.args],
+                    n.partition_by, n.order_by, n.when,
+                )
+            if isinstance(n, CaseWhen):
+                return CaseWhen(
+                    rw(n.operand) if n.operand is not None else None,
+                    [(rw(c), rw(r)) for c, r in n.whens],
+                    rw(n.else_) if n.else_ is not None else None,
+                )
+            if isinstance(n, InExpr):
+                return InExpr(
+                    rw(n.expr), [rw(i) for i in n.items], n.negated,
+                    rw(n.set_expr) if n.set_expr is not None else None,
+                )
+            if isinstance(n, Between):
+                return Between(rw(n.expr), rw(n.lo), rw(n.hi), n.negated)
+            if isinstance(n, Like):
+                return Like(rw(n.expr), rw(n.pattern), n.negated, n.escape)
+            return n
+
+        return rw(node)
+
+    def _pd_closure(self, node: Node, ctx: TranslateCtx, union: DataFrame, fm: dict):
+        """Compile an AST node into a pandas lane closure over the merged
+        joined frame (mixed-side expressions the stateful join op must
+        evaluate itself — join_operator.go runs the full valuer there).
+        Returns (fn, spark_type); raises the caller's NotImplementedError
+        path via pdeval.UnsupportedExpr for nodes outside the subset."""
+        from ekuiper_spark.streaming.pdeval import compile_pd
+
+        node = self._inline_aliases(node, ctx)
+        int_types = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        int_cols = {
+            f.name for f in union.schema.fields if isinstance(f.dataType, int_types)
+        }
+
+        def resolve(ref: ColumnRef) -> Optional[str]:
+            k = (
+                f"{ref.source.lower()}.{ref.name.lower()}"
+                if ref.source
+                else ref.name.lower()
+            )
+            return fm.get(k)
+
+        fn = compile_pd(node, resolve, int_cols=int_cols)
+        # Catalyst types the same expression over the packed union (which
+        # carries every flat column) — schema-only, nothing executes
+        dt = union.select(self._expr(node, ctx).alias("__probe")).schema[0].dataType
+        return fn, dt
+
+    def _split_on_conjuncts(self, node, ctx: TranslateCtx, la: str, ra: str):
+        """Split a join ON condition into (equi pairs, residual node).
+        The equi subset drives the pandas merge; the residual filters the
+        candidate pairs in-op (None when fully equi).  A top-level OR
+        yields no equi subset (everything residual)."""
+        conjs: list[Node] = []
+
+        def flat(n: Node) -> None:
+            if isinstance(n, Binary) and n.op == "AND":
+                flat(n.left)
+                flat(n.right)
+            else:
+                conjs.append(n)
+
+        flat(node)
+        pairs: list[tuple[str, str]] = []
+        residual: list[Node] = []
+        for c in conjs:
+            p = self._equi_pairs(c, ctx, la, ra)
+            if p:
+                pairs.extend(p)
+            else:
+                residual.append(c)
+        res_node: Optional[Node] = None
+        for c in residual:
+            res_node = c if res_node is None else Binary("AND", res_node, c)
+        return pairs, res_node
 
     def _equi_pairs(self, node, ctx: TranslateCtx, la: str, ra: str):
         """Extract [(left_col, right_col)] from a conjunction of equality
@@ -1487,8 +1655,11 @@ class Translator:
 
         # GROUP BY dims over the joined frames (window-then-join-then-
         # aggregate): single-side dim expressions compute natively on
-        # their own side pre-union; the op sub-groups each trigger's
-        # joined content, one row per (trigger, dim value)
+        # their own side pre-union; MIXED-side dims compile to pdeval
+        # closures the op evaluates on each trigger's merged frame
+        # (join_operator.go runs the full valuer over JoinTuples).  The
+        # op sub-groups each trigger's joined content either way — one
+        # row per (trigger, dim value).
         sub_dim_info: list[tuple] = []  # (dim node, col name, side)
         for di, d in enumerate(stmt.group.dims or []):
             dside = _side(d)
@@ -1499,12 +1670,9 @@ class Translator:
                 nm = f"__rdim{di}"
                 rdf = rdf.withColumn(nm, self._expr(d, ctx)).alias(r_alias)
             else:
-                raise NotImplementedError(
-                    "GROUP BY dims over a streaming sliding join must be "
-                    "single-side expressions (batch mode supports mixed)"
-                )
+                nm = f"__mdim{di}"  # compiled after the union/fm exist
             sub_dim_info.append((d, nm, dside))
-        if sub_dim_info:
+        if any(sd in ("L", "R") for _d, _n, sd in sub_dim_info):
             lcols, rcols = list(ldf.columns), list(rdf.columns)
 
         pair_keep_cols: list[str] = []
@@ -1578,25 +1746,39 @@ class Translator:
             for a in self._find_aggs(f.expr):
                 agg_nodes.setdefault(canon(a), a)
 
-        pairs = None
-        non_equi_on = None
+        _has_dims = bool(stmt.group.dims)
+        _has_aggs = (
+            bool(agg_nodes)
+            or _has_dims
+            or (having is not None and bool(self._find_aggs(having)))
+        )
+        pairs: list[tuple[str, str]] = []
+        non_equi_on = None   # residual filtered NATIVELY downstream (INNER content)
+        on_filter = None     # residual filtered IN-OP (outer / aggregated kinds)
         if j.kind != "cross":
-            pairs = self._equi_pairs(j.on, ctx, left_alias, r_alias)
-            if not pairs:
-                # non-equi ON: the op emits ALL frame pairs and the ON
-                # condition filters them natively downstream — only sound
-                # for INNER content emission (outer kinds need unmatched
-                # rows, aggregates would count pre-filter pairs)
-                if j.kind == "inner" and not agg_nodes:
-                    non_equi_on = j.on
+            pairs, residual = self._split_on_conjuncts(j.on, ctx, left_alias, r_alias)
+            if residual is not None:
+                if j.kind == "inner" and not _has_aggs:
+                    # INNER content: candidate pairs merge on the equi
+                    # subset (cross when none) and the residual condition
+                    # filters emitted rows natively — cheapest plan
+                    non_equi_on = residual
                 else:
-                    raise NotImplementedError(
-                        "streaming sliding join requires an equi-join ON "
-                        "for outer kinds and aggregated SELECTs (batch "
-                        "mode supports arbitrary conditions)"
-                    )
-        lkeys = [p[0] for p in (pairs or [])]
-        rkeys = [rflat[p[1]] for p in (pairs or [])]
+                    # outer kinds need unmatched-row tracking and
+                    # aggregates must count post-ON pairs: the residual
+                    # compiles to a pdeval lane the op evaluates on the
+                    # candidate pairs before null-extension
+                    # (join_operator.go per-kind match loops)
+                    try:
+                        on_filter, _ = self._pd_closure(residual, ctx, union, fm)
+                    except NotImplementedError as e:
+                        raise NotImplementedError(
+                            f"streaming sliding {j.kind} join ON uses an "
+                            f"expression outside the in-op subset ({e}); "
+                            "batch mode supports arbitrary conditions"
+                        ) from None
+        lkeys = [p[0] for p in pairs]
+        rkeys = [rflat[p[1]] for p in pairs]
 
         throttle_spec = None
         if w.trigger is not None:
@@ -1633,11 +1815,7 @@ class Translator:
                     raise ValueError(f"unknown column {ref.name} in sliding join")
                 sides.add("R" if flat.startswith("__r_") else "L")
             if len(sides) > 1:
-                raise NotImplementedError(
-                    "a streaming sliding-join aggregate input may reference "
-                    "only one stream's columns (compute mixed expressions "
-                    "in batch mode)"
-                )
+                return "M"  # mixed: evaluate on the merged frame in-op
             return sides.pop() if sides else "L"
 
         nonlocal_union = union
@@ -1655,6 +1833,31 @@ class Translator:
             UserWarning,
             stacklevel=6,
         )
+        merged_cols: list[tuple] = []   # (name, pdeval closure) for in-op eval
+        merged_types: dict[str, T.DataType] = {}
+
+        def _merged_input(node: Node, name: str, what: str) -> None:
+            """Register a mixed-side expression as an in-op merged column."""
+            try:
+                fnc, dt = self._pd_closure(node, ctx, nonlocal_union, fm)
+            except NotImplementedError as e:
+                raise NotImplementedError(
+                    f"streaming sliding-join {what} uses a mixed-side "
+                    f"expression outside the in-op subset ({e}); batch "
+                    "mode supports it"
+                ) from None
+            merged_cols.append((name, fnc))
+            merged_types[name] = dt
+
+        def _agg_spec_arg(call: FuncCall, op: str):
+            if op not in self._JOIN_AGG_ARG_OPS:
+                return None
+            if op == "last_value":
+                # (col, ignoreNull) — funcs_agg.go:371
+                return bool(self._raw(call.args[1])) if len(call.args) > 1 else False
+            # percentile_cont/disc (col, p)
+            return float(self._raw(call.args[1]))
+
         for i, (key, call) in enumerate(agg_nodes.items()):
             op = self._JOIN_STREAM_AGG_OPS.get(call.name.lower())
             if op is None:
@@ -1662,18 +1865,26 @@ class Translator:
                     f"{call.name} is unsupported over a streaming sliding join"
                 )
             args = [a for a in call.args if not isinstance(a, Wildcard)]
+            if op in self._JOIN_AGG_ARG_OPS:
+                args = args[:1]
             if not args:
                 in_col = None
             else:
                 in_col = f"__in{i}"
-                nonlocal_union = nonlocal_union.withColumn(
-                    in_col, self._expr(args[0], ctx)
-                )
-                if owner_of(args[0]) == "R":
-                    extra_right.append(in_col)
+                side = owner_of(args[0])
+                if side == "M":
+                    _merged_input(args[0], in_col, "aggregate input")
                 else:
-                    extra_left.append(in_col)
-            specs.append(JoinAggSpec(op, in_col, f"__agg{i}"))
+                    nonlocal_union = nonlocal_union.withColumn(
+                        in_col, self._expr(args[0], ctx)
+                    )
+                    if side == "R":
+                        extra_right.append(in_col)
+                    else:
+                        extra_left.append(in_col)
+            specs.append(
+                JoinAggSpec(op, in_col, f"__agg{i}", _agg_spec_arg(call, op))
+            )
             ctx.agg_map[key] = f"__agg{i}"
 
         # HAVING aggregates: computed in-op — as regular spec outputs in
@@ -1693,52 +1904,102 @@ class Translator:
                         f"{call.name} is unsupported over a streaming sliding join"
                     )
                 args = [a for a in call.args if not isinstance(a, Wildcard)]
+                if op in self._JOIN_AGG_ARG_OPS:
+                    args = args[:1]
                 in_col = None
                 if args:
                     in_col = f"__hin{len(having_specs)}"
-                    nonlocal_union = nonlocal_union.withColumn(
-                        in_col, self._expr(args[0], ctx)
-                    )
-                    if owner_of(args[0]) == "R":
-                        extra_right.append(in_col)
+                    side = owner_of(args[0])
+                    if side == "M":
+                        _merged_input(args[0], in_col, "HAVING aggregate input")
                     else:
-                        extra_left.append(in_col)
+                        nonlocal_union = nonlocal_union.withColumn(
+                            in_col, self._expr(args[0], ctx)
+                        )
+                        if side == "R":
+                            extra_right.append(in_col)
+                        else:
+                            extra_left.append(in_col)
                 out_name = f"__hagg{len(having_specs)}"
-                having_specs.append(JoinAggSpec(op, in_col, out_name))
+                having_specs.append(
+                    JoinAggSpec(op, in_col, out_name, _agg_spec_arg(call, op))
+                )
                 ctx.agg_map[key] = out_name
-            if not agg_nodes:
-                # content mode: HAVING may reference only aggregates (the
-                # reference gates the COLLECTION; per-row raw refs would
-                # silently change semantics)
-                for ref in self._find_raw_cols(having):
-                    raise NotImplementedError(
-                        "HAVING over streaming sliding-join CONTENT may "
-                        "reference aggregates only (batch mode supports "
-                        "raw columns)"
+            if not agg_nodes and not sub_dim_info:
+                # content mode: a raw column in HAVING reads the
+                # COLLECTION's value = its FIRST joined row
+                # (HavingOp GroupRange over the whole window ->
+                # aggRow.Value -> Content[0], having_operator.go:40-56 +
+                # row.go:743-748) — attach first-of-frame columns and
+                # resolve the refs through them in the native gate below
+                for n_i, ref in enumerate(
+                    {canon(r): r for r in self._find_raw_cols(having)}.values()
+                ):
+                    key = canon(ref)
+                    if key in ctx.agg_map or key in ctx.dim_map or (
+                        ref.source is None and ref.name.lower() in ctx.aliases
+                    ):
+                        continue
+                    k = (
+                        f"{ref.source.lower()}.{ref.name.lower()}"
+                        if ref.source
+                        else ref.name.lower()
                     )
-        if where_pre is not None and (agg_nodes or sub_dim_info):
-            raise NotImplementedError(
-                "WHERE over an AGGREGATED streaming sliding join supports "
-                "AND-composed single-side conjuncts on INNER/CROSS joins "
-                "(per-side keep flags prune pairs inside the stateful op); "
-                "mixed-side conjuncts and OUTER kinds need the filter "
-                "between join and aggregation — batch mode supports them"
-            )
+                    flat = ctx.flat_col_map.get(k)
+                    if flat is None:
+                        raise ValueError(f"unknown column {ref.name} in HAVING")
+                    out_name = f"__hraw{n_i}"
+                    having_specs.append(JoinAggSpec("first", flat, out_name))
+                    ctx.dim_map[key] = out_name
+
+        # WHERE residuals the per-side keep flags could not express
+        # (mixed-side conjuncts, OUTER kinds over aggregated joins) — and
+        # content-mode WHERE when HAVING attach-aggs exist (the gate must
+        # aggregate the WHERE-pruned frame, FilterPlan < HavingPlan):
+        # compile to a pdeval lane the op applies to the JOINED rows
+        # (incl. null-extended ones) before aggregation/attach
+        where_filter = None
+        _where_in_op = where_pre is not None and (
+            agg_nodes or sub_dim_info
+            or (having_specs and not agg_nodes and not sub_dim_info)
+        )
+        if _where_in_op:
+            try:
+                where_filter, _ = self._pd_closure(where_pre, ctx, nonlocal_union, fm)
+            except NotImplementedError as e:
+                raise NotImplementedError(
+                    f"WHERE over this streaming sliding join needs in-op "
+                    f"evaluation but uses an expression outside the in-op "
+                    f"subset ({e}); batch mode supports it"
+                ) from None
+            where_pre = None
 
         if agg_nodes or sub_dim_info:
             # GROUP BY dims: one row per (trigger, dim value), registered
-            # before raw-ref resolution so dim refs read the group key
-            join_subgroups = [
-                (nm if sd == "L" else rflat[nm]) for _d, nm, sd in sub_dim_info
-            ]
+            # before raw-ref resolution so dim refs read the group key.
+            # Mixed-side dims ("?") compile to pdeval closures evaluated
+            # on the merged frame in-op.
+            join_subgroups = []
             for d, nm, sd in sub_dim_info:
-                ctx.dim_map[canon(d)] = nm if sd == "L" else rflat[nm]
+                if sd == "L":
+                    col = nm
+                elif sd == "R":
+                    col = rflat[nm]
+                else:
+                    col = nm
+                    _merged_input(d, nm, "GROUP BY dim")
+                join_subgroups.append(col)
+                ctx.dim_map[canon(d)] = col
             # raw columns beside aggregates: FIRST joined row's value
             # (project-over-grouped, same rule as the batch path; with
-            # dims, first of the GROUP)
+            # dims, first of the GROUP); HAVING raw refs follow the same
+            # first-of-group rule in aggregate context
             raw_refs: dict[str, ColumnRef] = {}
             for f in stmt.fields:
                 for ref in self._find_raw_cols(f.expr):
+                    raw_refs.setdefault(canon(ref), ref)
+            if having is not None:
+                for ref in self._find_raw_cols(having):
                     raw_refs.setdefault(canon(ref), ref)
             for n_i, (key, ref) in enumerate(raw_refs.items()):
                 if key in ctx.agg_map or key in ctx.dim_map or (
@@ -1773,6 +2034,10 @@ class Translator:
                     for c in pair_keep_cols
                 ] or None,
                 subgroups=join_subgroups,
+                merged_cols=merged_cols or None,
+                merged_types=merged_types or None,
+                on_filter=on_filter,
+                where_filter=where_filter,
             )
             ctx.post_agg = True
         else:
@@ -1788,7 +2053,11 @@ class Translator:
                 delay=delay_us,
                 throttle=throttle_spec,
                 attach_aggs=having_specs or None,
-                cross_pairs=non_equi_on is not None,
+                cross_pairs=non_equi_on is not None and not lkeys,
+                merged_cols=merged_cols or None,
+                merged_types=merged_types or None,
+                on_filter=on_filter,
+                where_filter=where_filter,
             )
         out = out.withColumn(
             "window",
@@ -2114,6 +2383,13 @@ class Translator:
                 agg_nodes.setdefault(canon(a), a)
         specs: list[JoinAggSpec] = []
 
+        def _agg_spec_arg2(call: FuncCall, op: str):
+            if op not in self._JOIN_AGG_ARG_OPS:
+                return None
+            if op == "last_value":
+                return bool(self._raw(call.args[1])) if len(call.args) > 1 else False
+            return float(self._raw(call.args[1]))
+
         def _agg_spec(call: FuncCall, out_name: str) -> "JoinAggSpec":
             op = self._JOIN_STREAM_AGG_OPS.get(call.name.lower())
             if op is None:
@@ -2121,6 +2397,8 @@ class Translator:
                     f"{call.name} is unsupported over a COUNT window join"
                 )
             args = [a for a in call.args if not isinstance(a, Wildcard)]
+            if op in self._JOIN_AGG_ARG_OPS:
+                args = args[:1]
             in_col = None
             if args:
                 ref = args[0]
@@ -2135,7 +2413,7 @@ class Translator:
                 in_col = fm.get(k)
                 if in_col is None:
                     raise ValueError(f"unknown column {ref.name}")
-            return JoinAggSpec(op, in_col, out_name)
+            return JoinAggSpec(op, in_col, out_name, _agg_spec_arg2(call, op))
 
         # HAVING aggregates compute in-op (spec outputs in aggregate mode,
         # per-row attachments gating whole windows in content mode)
@@ -2528,11 +2806,17 @@ class Translator:
             if not c.startswith("__") and c not in ("window", "_metadata")
         ]
 
-        # collect aggregate calls from select + having + order
+        # collect aggregate calls from select + having + order (incl.
+        # aggregates inside row_number OVER sort/partition fields, which
+        # evaluate on the GROUP row)
         agg_nodes: dict[str, FuncCall] = {}
         for f in stmt.fields:
             for a in self._find_aggs(f.expr):
                 agg_nodes.setdefault(canon(a), a)
+            for c in self._find_fn_calls(f.expr, "row_number"):
+                for sub in [s.expr for s in c.order_by] + list(c.partition_by):
+                    for a in self._find_aggs(sub):
+                        agg_nodes.setdefault(canon(a), a)
         if stmt.having is not None:
             for a in self._find_aggs(stmt.having):
                 agg_nodes.setdefault(canon(a), a)
@@ -2562,6 +2846,12 @@ class Translator:
             for f in stmt.fields:
                 for ref in self._find_raw_cols(f.expr):
                     raw_refs.setdefault(canon(ref), ref)
+                # raw refs inside row_number OVER keys evaluate on the
+                # GROUP row too (first-of-group)
+                for c2 in self._find_fn_calls(f.expr, "row_number"):
+                    for sub in [s2.expr for s2 in c2.order_by] + list(c2.partition_by):
+                        for ref in self._find_raw_cols(sub):
+                            raw_refs.setdefault(canon(ref), ref)
             if stmt.having is not None:
                 for ref in self._find_raw_cols(stmt.having):
                     raw_refs.setdefault(canon(ref), ref)
@@ -2607,6 +2897,45 @@ class Translator:
                 first = F.min_by(col, okey_col) if okey_col is not None else F.first(col)
                 agg_exprs.append(first.alias(name))
                 ctx.dim_map[key] = name
+
+        # hoisted analytic outputs (lag/latest/changed/acc hidden columns,
+        # computed pre-window per AnalyticFuncsPlan) referenced in an
+        # aggregate context resolve to the group's FIRST row — aggregate
+        # them under their own names so post-agg refs keep resolving
+        if agg_nodes or dim_names:
+            _an_outs = list(dict.fromkeys(
+                list(ctx.analytic_map.values())
+                + [oc for outs in ctx.cc_stream.values() for oc, _v in outs]
+            ))
+            for an_out in _an_outs:
+                if an_out in df.columns:
+                    first_an = (
+                        F.min_by(F.col(an_out), okey_col)
+                        if okey_col is not None
+                        else F.first(F.col(an_out))
+                    )
+                    agg_exprs.append(first_an.alias(an_out))
+
+        # row_number() with GROUP BY dims ranks the GROUPS within each
+        # window collection (WindowFuncPlan sits ABOVE AggregatePlan in
+        # the reference stack, planner.go:807-833; rowNumberFuncHandle
+        # RangeSet over a GroupedTuplesSet assigns 1..k per group) —
+        # default order is group FORMATION order (the group's first
+        # content row); OVER sort fields evaluate on the group row
+        if dim_names and window is not None:
+            rn_calls: dict[str, FuncCall] = {}
+            for f2 in stmt.fields:
+                for c2 in self._find_fn_calls(f2.expr, "row_number"):
+                    rn_calls.setdefault(canon(c2), c2)
+            if rn_calls:
+                okey2 = okey_col if (agg_nodes or dim_names) else None
+                agg_exprs.append(
+                    (
+                        F.min(okey2) if okey2 is not None else F.min(F.lit(0))
+                    ).alias("__grpord")
+                )
+                ctx.grpord_col = "__grpord"
+                ctx.grprank_partition = [c for c in group_cols if c not in dim_names]
 
         for vname, nm in variant_dims:
             # all rows of a group share the dim value (grouped on its
@@ -3053,34 +3382,109 @@ class Translator:
             for c in self._find_fn_calls(f.expr, "row_number"):
                 rn_calls.setdefault(canon(c), c)
         winfunc_specs: list = []
+        grp_rank_pending: list[tuple] = []  # (ckey, call) resolved after specs
         if rn_calls:
-            if not kw.get("emit_content"):
-                raise NotImplementedError(
-                    "row_number over a streaming COUNT/STATE/SESSION window "
-                    "is supported for non-aggregated SELECTs without GROUP "
-                    "BY dims (batch supports all forms)"
-                )
             from ekuiper_spark.streaming.stateful import WinFuncSpec
 
-            for i, (ckey, call) in enumerate(rn_calls.items()):
-                parts, orders, ascs = [], [], []
-                for j, p in enumerate(call.partition_by):
-                    nm = f"__wf{i}p{j}"
-                    df = df.withColumn(nm, self._expr(p, ctx))
-                    parts.append(nm)
+            if kw.get("emit_content"):
+                for i, (ckey, call) in enumerate(rn_calls.items()):
+                    parts, orders, ascs = [], [], []
+                    for j, p in enumerate(call.partition_by):
+                        nm = f"__wf{i}p{j}"
+                        df = df.withColumn(nm, self._expr(p, ctx))
+                        parts.append(nm)
+                    for j, s in enumerate(call.order_by):
+                        nm = f"__wf{i}o{j}"
+                        df = df.withColumn(nm, self._expr(s.expr, ctx))
+                        orders.append(nm)
+                        ascs.append(bool(s.asc))
+                    out_nm = f"__wf{i}"
+                    winfunc_specs.append(
+                        WinFuncSpec(out_nm, tuple(parts), tuple(orders), tuple(ascs))
+                    )
+                    ctx.winfunc_map[ckey] = out_nm
+                kw["winfuncs"] = winfunc_specs
+            elif subgroups:
+                # GROUP BY dims: rank the GROUPS within each window
+                # (WindowFuncPlan above AggregatePlan, planner.go:807-833;
+                # same semantics as the batch __grpord path) — OVER keys
+                # resolve to grouped-row OUTPUT columns after the agg
+                # specs are built below
+                grp_rank_pending = list(rn_calls.items())
+            elif window.kind == "session":
+                raise NotImplementedError(
+                    "row_number over a streaming capped SESSION window with "
+                    "GROUP BY dims is unsupported (sessions are keyed by "
+                    "the dims here; batch supports it)"
+                )
+            # else: aggregated SELECT without dims — the rank of the
+            # collection's first row is 1 (rowNumberFuncHandle assigns
+            # 1..n per content row; the aggregate projection reads
+            # Content[0]), which _expr's no-window branch already yields
+
+        df, specs = self._stream_agg_specs(df, stmt, ctx)
+        if grp_rank_pending:
+            from ekuiper_spark.streaming.stateful import AggSpec, WinFuncSpec
+
+            def _grp_out_col(node: Node, tag: str) -> str:
+                """Resolve an OVER key to a grouped-row OUTPUT column:
+                a dim -> its subgroup col; an aggregate -> its spec out
+                (registering a hidden spec if absent); a raw column ->
+                a hidden first-of-group spec."""
+                nonlocal df
+                k = canon(node)
+                if k in ctx.dim_map:
+                    return ctx.dim_map[k]
+                if k in ctx.agg_map:
+                    return ctx.agg_map[k]
+                aggs_in = self._find_aggs(node)
+                if aggs_in:
+                    if len(aggs_in) != 1 or canon(aggs_in[0]) != k:
+                        raise NotImplementedError(
+                            "row_number OVER keys over grouped windows "
+                            "support a dim, a bare aggregate call, or a "
+                            "raw column (batch supports expressions)"
+                        )
+                    call2 = aggs_in[0]
+                    op2 = self._STREAM_AGG_OPS.get(call2.name.lower())
+                    if op2 is None:
+                        raise NotImplementedError(
+                            f"{call2.name} is not supported in streaming "
+                            "stateful windows"
+                        )
+                    out2 = f"__wfagg{tag}"
+                    args2 = [a for a in call2.args if not isinstance(a, Wildcard)]
+                    in2 = None
+                    if args2:
+                        in2 = f"__wfin{tag}"
+                        df = df.withColumn(in2, self._expr(args2[0], ctx))
+                    specs.append(AggSpec(op2, in2, out2))
+                    ctx.agg_map[k] = out2
+                    return out2
+                # raw column / expression: first-of-group
+                out2 = f"__wffr{tag}"
+                df = df.withColumn(out2, self._expr(node, ctx))
+                specs.append(AggSpec("first", out2, out2))
+                ctx.dim_map[k] = out2
+                return out2
+
+            for i, (ckey, call) in enumerate(grp_rank_pending):
+                parts = [
+                    _grp_out_col(p, f"{i}p{j}") for j, p in enumerate(call.partition_by)
+                ]
+                orders, ascs = [], []
                 for j, s in enumerate(call.order_by):
-                    nm = f"__wf{i}o{j}"
-                    df = df.withColumn(nm, self._expr(s.expr, ctx))
-                    orders.append(nm)
+                    orders.append(_grp_out_col(s.expr, f"{i}o{j}"))
                     ascs.append(bool(s.asc))
                 out_nm = f"__wf{i}"
                 winfunc_specs.append(
-                    WinFuncSpec(out_nm, tuple(parts), tuple(orders), tuple(ascs))
+                    WinFuncSpec(
+                        out_nm, tuple(parts), tuple(orders), tuple(ascs),
+                        group_rank=True,
+                    )
                 )
                 ctx.winfunc_map[ckey] = out_nm
             kw["winfuncs"] = winfunc_specs
-
-        df, specs = self._stream_agg_specs(df, stmt, ctx)
         if not kw.get("emit_content"):
             # aggregate context (dims and/or aggregate functions): bare
             # non-dim columns become first-of-group specs
@@ -3186,6 +3590,20 @@ class Translator:
 
         for f in stmt.fields:
             collect_refs(f.expr)
+        keep_kw: dict = {}
+        if ctx.pending_analytics:
+            # fused analytics (AnalyticFuncsPlan BELOW the window): the
+            # sliding op advances the state per arriving batch; the
+            # outputs ride the buffer like raw columns (first-of-frame /
+            # per-subgroup-first in aggregate context, row value in
+            # content emission)
+            keep_kw["pre_analytics"] = ctx.pending_analytics
+            pend_outs = {s.out for s in ctx.pending_analytics}
+            for oc in list(ctx.analytic_map.values()) + [
+                o for outs in ctx.cc_stream.values() for o, _v in outs
+            ]:
+                if (oc in pend_outs or oc in df.columns) and oc not in passthrough:
+                    passthrough.append(oc)
         if window.trigger is not None:
             df = df.withColumn("__trig", self._expr(window.trigger, ctx))
             passthrough.append("__trig")
@@ -3215,7 +3633,6 @@ class Translator:
             )
             passthrough.append("__et")
 
-        keep_kw: dict = {}
         # plain non-agg unkeyed sliding emits the WHOLE frame's rows per
         # trigger (reference RangeSet over the window collection; equals
         # the batch membership join).  The delayed/watermark-gated forms
@@ -3257,11 +3674,13 @@ class Translator:
                 for c in passthrough
                 if c != "__trig"
             ]
-            if delay_us:
-                raise NotImplementedError(
-                    "streaming SLIDINGWINDOW with GROUP BY dims does not "
-                    "support the delay argument yet"
-                )
+            # SLIDINGWINDOW(unit, L, D) with dims: frames reach D forward;
+            # a trigger emits once a covering row (or the watermark)
+            # passes t + D — the delayed-trigger threshold discipline of
+            # the unkeyed path, sub-grouped per frame (fn_sliding_delay)
+            if self.watermark:
+                keep_kw["watermark_gated"] = True
+                keep_kw["unit_ms"] = bool(ctx.event_is_long)
             if want_meta:
                 # window_start/end/event_time: the op emits the trigger
                 # time (col unit) per output row; converted to the same
@@ -3271,7 +3690,7 @@ class Translator:
                 df,
                 "sliding",
                 length_us=length_us,
-                delay_us=0,
+                delay_us=delay_us,
                 dims=(),
                 subgroups=dims,
                 order_cols=ctx.order_cols,
@@ -5616,6 +6035,28 @@ class Translator:
                 # streaming stateful window: rank already computed inside
                 # the stateful operator (see _streaming_stateful_grouped)
                 return F.col(ctx.winfunc_map[canon(call)])
+            if ctx.post_agg and ctx.grpord_col:
+                # GROUP BY dims: rank the GROUPS within each window
+                # collection (rowNumberFuncHandle over a GroupedTuplesSet;
+                # WindowFuncPlan > AggregatePlan, planner.go:807-833) —
+                # formation order by default, OVER sort fields on the
+                # group row, nil keys last in both directions
+                part = [F.col(c) for c in ctx.grprank_partition] + [
+                    self._expr(p, ctx) for p in call.partition_by
+                ]
+                if not part:
+                    part = [F.lit(1)]
+                if call.order_by:
+                    # formation-order tiebreaker: OrderOp's stable sort
+                    # keeps equal-key groups in GroupedTuplesSet order
+                    order = [
+                        self._expr(s.expr, ctx).asc_nulls_last() if s.asc
+                        else self._expr(s.expr, ctx).desc_nulls_last()
+                        for s in call.order_by
+                    ] + [F.col(ctx.grpord_col)]
+                else:
+                    order = [F.col(ctx.grpord_col)]
+                return F.row_number().over(W.partitionBy(*part).orderBy(*order))
             if not call.partition_by and not ctx.windowfunc_partition:
                 # no window: every event is its own collection, so the rank
                 # is always 1 (rule_test.go:79 TestRowNumber1)

@@ -54,13 +54,45 @@ def test_stream_batch_parity_conditioned_acc(spark, catalog, sql):
     assert b == s and len(b) > 0
 
 
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # r10: lag fuses into stateful windows (AnalyticFuncsPlan below
+        # WindowPlan — the op advances the ring per arriving batch)
+        "SELECT event_id, lag(event_id) AS l FROM events GROUP BY COUNTWINDOW(50)",
+        # lag + aggregated count window (first-of-window projection)
+        "SELECT max(lag(value)) AS ml, count(*) AS n FROM events "
+        "GROUP BY COUNTWINDOW(50)",
+        # latest + state window content
+        "SELECT event_id, latest(value) AS lv FROM events "
+        "GROUP BY STATEWINDOW(value > 100, value < 50)",
+        # changed_col + count window
+        "SELECT event_id, changed_col(true, event_type) AS cc FROM events "
+        "GROUP BY COUNTWINDOW(50)",
+        # lag OVER (WHEN ...) + count window (gated ring)
+        "SELECT event_id, lag(value) OVER (WHEN event_type = 'error') AS lv "
+        "FROM events GROUP BY COUNTWINDOW(50)",
+        # lag + unkeyed sliding aggregate (first-of-frame projection)
+        "SELECT lag(value) AS lv, count(*) AS n FROM events "
+        "GROUP BY SLIDINGWINDOW(ss, 2)",
+        # lag + sliding with dims (per-subgroup first)
+        "SELECT event_type, lag(value) AS lv, count(*) AS n FROM events "
+        "GROUP BY SLIDINGWINDOW(ss, 2), event_type",
+    ],
+)
+def test_stream_batch_parity_fused_lag_latest(spark, catalog, sql):
+    b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+    s = _rows(run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"]))
+    assert b == s and len(b) > 0
+
+
 def test_unfusable_raises_actionably(spark, catalog):
-    # lag over a stateful window cannot fuse (non-JSON-safe ring state)
-    with pytest.raises(NotImplementedError, match="acc_"):
+    # a TIMESTAMP-carrying ring cannot persist in the JSON state
+    with pytest.raises(NotImplementedError, match="TIMESTAMP"):
         run_rule_available_now(
             spark,
             catalog,
-            "SELECT event_id, lag(event_id) AS l FROM events "
+            "SELECT event_id, lag(ts) AS l FROM events "
             "GROUP BY COUNTWINDOW(50)",
             order_cols=["ts", "event_id"],
         )

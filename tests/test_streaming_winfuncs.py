@@ -96,3 +96,62 @@ def test_streaming_ts_content_passthrough_unit(spark, catalog):
     }
     assert len(got) == 1000
     assert all(got[k] == src[k] for k in got)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # r10: GROUP BY dims — the rank runs over the window's GROUPS
+        # (WindowFuncPlan above AggregatePlan, planner.go:807-833), in
+        # group formation order by default
+        "SELECT event_type, count(*) AS c, row_number() AS rn "
+        "FROM events GROUP BY COUNTWINDOW(10), event_type",
+        # OVER sort fields evaluate on the GROUP row (aggregates)
+        "SELECT event_type, count(*) AS c, "
+        "row_number() OVER (ORDER BY max(value) DESC) AS rn "
+        "FROM events GROUP BY COUNTWINDOW(10), event_type",
+        # raw column in the OVER key: first-of-group value
+        "SELECT event_type, row_number() OVER (ORDER BY user_id) AS rn "
+        "FROM events GROUP BY COUNTWINDOW(10), event_type",
+        # state window + dims group rank
+        "SELECT event_type, count(*) AS c, row_number() AS rn FROM events "
+        "GROUP BY STATEWINDOW(value > 100, value < 50), event_type",
+        # aggregated SELECT without dims: the collection's first row has
+        # rank 1 (rowNumberFuncHandle assigns 1..n; aggregate projection
+        # reads Content[0])
+        "SELECT count(*) AS c, row_number() AS rn FROM events "
+        "GROUP BY COUNTWINDOW(10)",
+    ],
+)
+def test_stream_batch_parity_group_rank(spark, catalog, sql):
+    b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+    s = _rows(run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"]))
+    assert b == s and len(b) > 0
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # r10: streaming SLIDINGWINDOW dims + delay (frames reach D
+        # forward; trigger emits once a covering row arrives)
+        "SELECT event_type, count(*) AS n, round(sum(value), 4) AS sv "
+        "FROM events GROUP BY SLIDINGWINDOW(ss, 2, 1), event_type",
+        # dims + delay + window meta
+        "SELECT event_type, count(*) AS n, window_end() AS we "
+        "FROM events GROUP BY SLIDINGWINDOW(ss, 2, 1), event_type",
+        # dims + delay + WHERE (frames form from all rows, content prunes)
+        "SELECT event_type, count(*) AS n FROM events WHERE value > 50 "
+        "GROUP BY SLIDINGWINDOW(ss, 2, 1), event_type",
+    ],
+)
+def test_stream_sliding_dims_delay(spark, catalog, sql):
+    # the batch replay emits every trigger's frame; streaming withholds
+    # triggers whose covering row never arrives — the events fixture's
+    # tail rows cover all but the last delay window, so compare on the
+    # common prefix: every streaming row must appear in batch, and
+    # streaming must emit the vast majority of batch rows
+    b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+    s = _rows(run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"]))
+    missing = [r for r in s if r not in b]
+    assert not missing, f"streaming rows absent from batch: {missing[:5]}"
+    assert len(s) >= len(b) * 0.8 and len(b) > 0
