@@ -27,11 +27,16 @@ filter (INNER content) or ``on_filter`` + null-extension
 stddev/stddevs/var/vars/median/collect/last_value/percentile_cont/
 percentile_disc.
 
+last_hit_count() WHERE conjuncts gate the emission sequence in-op
+(``hit_count_filter`` + a persisted counter); last_hit_time() over a
+JOINED collection is an ERROR in the reference itself (JoinTuple rows
+carry no event_time FuncValue, row.go:549-556) and raises the same
+message in both modes here.
+
 Remaining raises live in the translator (each cites the batch
-equivalent): last_hit_* WHERE conjuncts, expressions outside the pdeval
-subset in in-op positions, and aggregate functions beyond the list
-above.  Batch mode supports the full surface
-(translator._batch_sliding_join).
+equivalent): expressions outside the pdeval subset in in-op positions,
+and aggregate functions beyond the list above.  Batch mode supports the
+full surface (translator._batch_sliding_join).
 """
 
 from __future__ import annotations
@@ -177,6 +182,11 @@ def sliding_join_stream(
                                  # (FilterPlan > JoinPlan, planner.go:797):
                                  # prunes JOINED rows (incl. null-extended)
                                  # before aggregation / HAVING attach
+    hit_count_filter=None,       # pdeval lane over rows + a virtual
+                                 # __lhc column = count of previously
+                                 # EVALUATED rows (last_hit_count
+                                 # emission-sequence gate; the counter
+                                 # advances pass or fail and persists)
 ) -> DataFrame:
     """Stateful per-event sliding join over a packed two-stream union.
 
@@ -215,6 +225,8 @@ def sliding_join_stream(
         state_fields.append(T.StructField("__pend", T.ArrayType(T.LongType()), True))
     if throttle is not None:
         state_fields.append(T.StructField("__lhit", T.LongType(), True))
+    if hit_count_filter is not None:
+        state_fields.append(T.StructField("__lhc", T.LongType(), True))
     state_schema = T.StructType(state_fields)
 
     att_list = list(attach_aggs) if attach_aggs else []
@@ -252,7 +264,7 @@ def sliding_join_stream(
             return _merge_one(lf, rf, "cross", [], [])
         return _merge_one(lf, rf, how_, lk, rk)
 
-    def _emit_trigger(full, u_arr, t, lo, hi, outs) -> None:
+    def _emit_trigger(full, u_arr, t, lo, hi, outs, hit_state=None) -> None:
         """Join the frame [lo, hi) for trigger t; append the emission."""
         frame = full.iloc[lo:hi]
         lf = frame[frame["__src"] == "L"][lcols]
@@ -283,6 +295,18 @@ def sliding_join_stream(
             merged = merged[filter_mask(where_filter(merged))]
             if not len(merged):
                 return
+        if hit_count_filter is not None and hit_state is not None:
+            # last_hit_count gate: the counter ticks for every EVALUATED
+            # (plain-passing) row, pass or fail, carried across triggers
+            # and micro-batches
+            from ekuiper_spark.streaming.pdeval import filter_mask
+
+            merged = merged.copy()
+            merged["__lhc"] = hit_state["c"] + np.arange(len(merged), dtype="int64")
+            hit_state["c"] += len(merged)
+            merged = merged[filter_mask(hit_count_filter(merged))]
+            if not len(merged):
+                return
         if agg_list is None:
             em = merged.copy()
             for a in att_list:
@@ -306,6 +330,7 @@ def sliding_join_stream(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         pend: list[int] = []
         lhit = 0
+        hit_state = {"c": 0}
         if state.exists:
             vals = state.get
             carry = pd.DataFrame({c: pd.Series(list(vals[i] or [])) for i, c in enumerate(buffered)})
@@ -317,6 +342,9 @@ def sliding_join_stream(
                 pos_extra += 1
             if thr is not None:
                 lhit = int(vals[pos_extra] or 0)
+                pos_extra += 1
+            if hit_count_filter is not None:
+                hit_state["c"] = int(vals[pos_extra] or 0)
         else:
             carry = pd.DataFrame({c: pd.Series(dtype="object") for c in buffered})
         batch = pd.concat(list(pdfs), ignore_index=True)
@@ -346,6 +374,8 @@ def sliding_join_stream(
                 vals_out.append(list(pend))
             if thr is not None:
                 vals_out.append(int(lhit))
+            if hit_count_filter is not None:
+                vals_out.append(int(hit_state["c"]))
             state.update(tuple(vals_out))
 
         if not len(full):
@@ -383,7 +413,7 @@ def sliding_join_stream(
                 t = int(u_arr[pos])
                 lo = int(np.searchsorted(u_arr, t - length, side="left"))
                 hi = int(np.searchsorted(u_arr, t, side="right"))
-                _emit_trigger(full, u_arr, t, lo, hi, outs)
+                _emit_trigger(full, u_arr, t, lo, hi, outs, hit_state)
             last = int(u_arr[-1])
             keep_from = last - length
         else:
@@ -396,7 +426,7 @@ def sliding_join_stream(
             for t in ready:
                 lo = int(np.searchsorted(u_arr, t - length, side="left"))
                 hi = int(np.searchsorted(u_arr, t + delay, side="left"))
-                _emit_trigger(full, u_arr, t, lo, hi, outs)
+                _emit_trigger(full, u_arr, t, lo, hi, outs, hit_state)
             # retain enough history for every pending trigger's left bound
             keep_from = min(
                 [max_u - length] + [t - length for t in pend]

@@ -396,7 +396,41 @@ class Translator:
             for c in agg_conjs:
                 stmt.having = c if stmt.having is None else Binary("AND", stmt.having, c)
             if hit_conjs:
-                order = [F.col(c) for c in ctx.order_cols] or [F.monotonically_increasing_id()]
+                if len(ctx.source_order) > 1 and any(
+                    "time" in (canon(h) or "") for h in hit_conjs
+                ):
+                    # reference parity: last_hit_time() needs the row's
+                    # event_time FuncValue, which only plain Tuples
+                    # implement (row.go:549-556) — a JoinTuple row makes
+                    # the valuer error "cannot get current time"
+                    # (valuer.go:370-380).  Same loud error here.
+                    raise ValueError(
+                        "call last_hit_time error: cannot get current time "
+                        "(last_hit_time() over a JOINED collection — "
+                        "JoinTuple rows carry no event_time FuncValue, "
+                        "row.go:549-556; use last_hit_count() or filter "
+                        "before the join)"
+                    )
+                order: list[Column] = []
+                if "__rowu" in df.columns:
+                    # joined sliding frame: __rowu is the reference's
+                    # join scan order (trigger, then frame position)
+                    order = [F.col("__rowu")]
+                else:
+                    for c in ctx.order_cols:
+                        if df.columns.count(c) > 1:
+                            # joined frame carries the col from BOTH
+                            # sides: order by every side's copy in FROM
+                            # order (the join scan order)
+                            for a2 in ctx.source_order:
+                                try:
+                                    df.select(F.col(f"{a2}.{c}"))
+                                    order.append(F.col(f"{a2}.{c}"))
+                                except Exception:
+                                    continue
+                        elif c in df.columns:
+                            order.append(F.col(c))
+                order = order or [F.monotonically_increasing_id()]
                 rn = F.row_number().over(W.orderBy(*order))
                 df = df.withColumn("__hit_rn", rn)
                 ctx.hit_col = "__hit_rn"
@@ -1585,15 +1619,25 @@ class Translator:
         # (last_hit_*) stay batch-only
         where_pre = None
         having = stmt.having
+        hit_conjs: list = []
         if stmt.where is not None:
             where_pre, agg_conjs, hit_conjs = self._split_where(
                 stmt.where, ctx.aliases
             )
             if hit_conjs:
-                raise NotImplementedError(
-                    "last_hit_* conjuncts over a streaming sliding join "
-                    "are unsupported (batch mode supports them)"
-                )
+                # last_hit_time needs the row's event_time FuncValue,
+                # which JoinTuple rows don't implement — the reference
+                # errors (row.go:549-556, valuer.go:370-380); batch does
+                # the same.  last_hit_count() gates the emission sequence
+                # in-op (count of prior evaluated rows, compiled below
+                # once the flat column map exists).
+                if any("time" in (canon(h) or "") for h in hit_conjs):
+                    raise ValueError(
+                        "call last_hit_time error: cannot get current time "
+                        "(last_hit_time() over a JOINED collection — "
+                        "JoinTuple rows carry no event_time FuncValue, "
+                        "row.go:549-556)"
+                    )
             for c in agg_conjs:
                 having = c if having is None else Binary("AND", having, c)
         r_alias = j.alias or j.source
@@ -1960,7 +2004,7 @@ class Translator:
         # (incl. null-extended ones) before aggregation/attach
         where_filter = None
         _where_in_op = where_pre is not None and (
-            agg_nodes or sub_dim_info
+            agg_nodes or sub_dim_info or hit_conjs
             or (having_specs and not agg_nodes and not sub_dim_info)
         )
         if _where_in_op:
@@ -1973,6 +2017,55 @@ class Translator:
                     f"subset ({e}); batch mode supports it"
                 ) from None
             where_pre = None
+
+        # last_hit_count() conjuncts gate the emission sequence in-op:
+        # every row evaluated (post plain conjuncts) increments the
+        # counter, pass or fail (funcs_global_state.go IncrCounter on
+        # each uncached evaluation); the carried count persists in state
+        hit_filter = None
+        if hit_conjs:
+            if agg_nodes or sub_dim_info:
+                # analyzer_test.go:131-132
+                raise NotImplementedError(
+                    "function last_hit_count is not allowed in an "
+                    "aggregate query"
+                )
+            from ekuiper_spark.streaming.pdeval import compile_pd
+
+            hnode: Optional[Node] = None
+            for c in hit_conjs:
+                hnode = c if hnode is None else Binary("AND", hnode, c)
+            hnode = self._inline_aliases(hnode, ctx)
+            int_types2 = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+            hint_cols = {
+                f2.name
+                for f2 in nonlocal_union.schema.fields
+                if isinstance(f2.dataType, int_types2)
+            } | {"__lhc"}
+
+            def _hresolve(ref: ColumnRef) -> Optional[str]:
+                k = (
+                    f"{ref.source.lower()}.{ref.name.lower()}"
+                    if ref.source
+                    else ref.name.lower()
+                )
+                return fm.get(k)
+
+            def _hspecial(call2: FuncCall) -> Optional[str]:
+                if call2.name.lower() in ("last_hit_count", "last_agg_hit_count"):
+                    return "__lhc"
+                return None
+
+            try:
+                hit_filter = compile_pd(
+                    hnode, _hresolve, int_cols=hint_cols, special_call=_hspecial
+                )
+            except NotImplementedError as e:
+                raise NotImplementedError(
+                    f"last_hit_count conjunct over a streaming sliding "
+                    f"join uses an expression outside the in-op subset "
+                    f"({e})"
+                ) from None
 
         if agg_nodes or sub_dim_info:
             # GROUP BY dims: one row per (trigger, dim value), registered
@@ -2058,6 +2151,7 @@ class Translator:
                 merged_types=merged_types or None,
                 on_filter=on_filter,
                 where_filter=where_filter,
+                hit_count_filter=hit_filter,
             )
         out = out.withColumn(
             "window",

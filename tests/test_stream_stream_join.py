@@ -776,3 +776,28 @@ def test_sparse_hopping_stream_stream_join(spark, tmp_path):
     assert len(ba) - len(sa_) <= 1
     for ws, we, _n in ba:
         assert (we - ws).total_seconds() == 2  # true sparse bounds
+
+
+def test_streaming_sliding_join_last_hit_count(spark, tmp_path):
+    """r10: last_hit_count() WHERE conjuncts over sliding-join CONTENT
+    gate the emission sequence in-op (counter ticks per evaluated row,
+    funcs_global_state.go IncrCounter); last_hit_time() over a JOINED
+    collection is an ERROR in the reference itself (JoinTuple rows have
+    no event_time FuncValue, row.go:549-556) — both modes raise it."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "lhc")
+    sql = (
+        "SELECT size, hum FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "WHERE size > 40 AND last_hit_count() < 3 GROUP BY SLIDINGWINDOW(ss, 1)"
+    )
+    got, want = _stream_vs_batch(spark, sql, scat, bcat, ["size", "hum"])
+    assert got == want and len(want) > 0
+    for cat, streaming in ((bcat, False), (scat, True)):
+        with pytest.raises(ValueError, match="cannot get current time"):
+            compile_sql(
+                spark,
+                "SELECT size FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+                "WHERE demo.ts - last_hit_time() > 1500 GROUP BY SLIDINGWINDOW(ss, 1)",
+                cat,
+                streaming=streaming,
+                order_cols=["ts"],
+            )
