@@ -32,12 +32,32 @@ _WINDOWS = [
     ("COUNTWINDOW(6)", "count"),
     ("COUNTWINDOW(9)", "count"),
 ]
-_KINDS = ["INNER", "LEFT", "CROSS"]
+_KINDS = ["INNER", "LEFT", "FULL", "CROSS"]
 _WHERES = ["", "WHERE size > 48", "WHERE hum > 60", "WHERE size > 48 AND hum > 60"]
+# mixed-side conjuncts: r10 in-op where_filter surface (sliding) /
+# native filter (time joins); every sentinel passes (1000-valued)
+_WHERES_MIXED = ["WHERE size + hum > 110", "WHERE size > 48 AND size + hum > 105"]
 _DIMS = ["", "color"]
+_DIMS_MIXED = ["size + hum"]
+_ONS = [
+    "ON demo.ts = demo1.ts ",
+    # equi + non-equi residual (r10 on_filter / native residual)
+    "ON demo.ts = demo1.ts AND hum > size ",
+]
 _AGGS = [
     "count(*) AS n, max(size) AS ms",
     "count(*) AS n, min(hum) AS mh",
+]
+# r10 extended aggregate set over sliding joins
+_AGGS_EXT = [
+    "count(*) AS n, round(stddev(size), 4) AS sd",
+    "count(*) AS n, round(var(hum), 4) AS vr",
+    "count(*) AS n, round(median(size), 2) AS md",
+    "count(*) AS n, round(percentile_cont(size, 0.5), 2) AS pc",
+    # (last_value is ORDER-sensitive: over a CROSS-join frame the batch
+    # engine's parallel F.last is nondeterministic — covered instead by
+    # the targeted equi-join pin in test_stream_stream_join)
+    "count(*) AS n, round(percentile_disc(hum, 0.25), 2) AS pd",
 ]
 _CONTENT = ["color, temp", "size, hum"]
 
@@ -48,27 +68,38 @@ def _gen(seed: int, n: int):
     while len(out) < n:
         wsql, wkind = rng.choice(_WINDOWS)
         kind = rng.choice(_KINDS)
-        where = rng.choice(_WHERES)
-        d = rng.choice(_DIMS)
-        shape = rng.choice(["agg", "agg", "content"])
-        # ---- support matrix ------------------------------------------
-        if kind == "CROSS" and wkind == "time":
-            kind = "INNER"  # cross time joins: bucket-only condition OK but keep matrix tight
-        if kind == "LEFT":
-            if wkind in ("sliding", "count") and (where or d):
-                continue  # keep-flag/dims lifts are INNER/CROSS only there
-            if wkind == "time" and shape == "agg" and d:
-                d = ""  # keep the time-join dim matrix simple
-        if wkind in ("sliding", "count") and shape == "content" and where and kind != "INNER":
+        where = rng.choice(_WHERES + (_WHERES_MIXED if wkind != "count" else []))
+        d = rng.choice(_DIMS + (_DIMS_MIXED if wkind != "count" else []))
+        shape = rng.choice(["agg", "agg", "content", "aggext"])
+        on = rng.choice(_ONS)
+        # ---- support matrix (the lifted r10 surface) --------------------
+        if kind == "CROSS":
+            if wkind == "time":
+                kind = "INNER"  # keep the time matrix tight
+                on = _ONS[0]
+            else:
+                on = ""
+        if wkind == "count":
+            # COUNT window joins: equi-ON only, single-side dims/WHERE,
+            # INNER/CROSS for WHERE-over-aggregated
+            if "hum > size" in on:
+                on = _ONS[0]
+            if kind in ("LEFT", "FULL") and (where or d):
+                continue
+        if shape == "aggext":
+            if wkind != "sliding" and wkind != "count":
+                shape = "agg"  # extended aggs fuzz the stateful join ops
+        if wkind == "sliding" and shape == "content" and where and kind not in ("INNER", "LEFT", "FULL"):
             continue
-        if wkind == "sliding" and shape == "content" and not d and where:
-            # unkeyed non-agg sliding join content + WHERE: batch prunes
-            # frame content, covered; fine — keep
-            pass
-        sel = rng.choice(_AGGS if shape == "agg" else _CONTENT)
-        on = "" if kind == "CROSS" else "ON demo.ts = demo1.ts "
+        if wkind == "time" and shape == "agg" and d and kind != "INNER":
+            d = ""  # keep the time-join dim matrix simple
+        if shape == "content" and (kind == "FULL" and wkind == "time"):
+            continue  # full-outer time-window content: trailing-window noise
+        sel = rng.choice(
+            _AGGS if shape == "agg" else _AGGS_EXT if shape == "aggext" else _CONTENT
+        )
         dims = f"{d}, " if d else ""
-        sel_prefix = f"{d}, " if d else ""
+        sel_prefix = f"{d} AS gd, " if d else ""
         q = (
             f"SELECT {sel_prefix}{sel} FROM demo {kind} JOIN demo1 "
             f"{on}{where} GROUP BY {dims}{wsql}"
@@ -80,7 +111,7 @@ def _gen(seed: int, n: int):
     return out
 
 
-_STATEMENTS = _gen(seed=20260817, n=60)
+_STATEMENTS = _gen(seed=20260817, n=150)
 
 
 @pytest.fixture(scope="module")
@@ -149,7 +180,9 @@ def test_join_parity_fuzz(spark, join_src, sql):
         s = _norm(
             run_rule_available_now(spark, _cats(spark, join_src, True), sql).collect()
         )
-    if "LEFT JOIN" in sql and ("TUMBLING" in sql or "HOPPING" in sql):
+    if ("LEFT JOIN" in sql or "FULL JOIN" in sql) and (
+        "TUMBLING" in sql or "HOPPING" in sql
+    ):
         # the far-future sentinel's own unmatched-left window can never
         # finalize under the watermark (nothing arrives after it) — the
         # documented bounded-replay trailing-window divergence; streaming
