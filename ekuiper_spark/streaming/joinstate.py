@@ -538,6 +538,13 @@ def count_join_stream(
                                  # joined row survives iff every flag is
                                  # true (WHERE above the join, INNER/CROSS)
     subgroups: Sequence[str] = (),  # GROUP BY dims over the joined window
+    merged_cols: Optional[Sequence[tuple]] = None,  # [(name, fn)] pdeval
+                                 # closures over the joined chain (mixed-
+                                 # side dims / aggregate / HAVING inputs)
+    merged_types: Optional[dict] = None,
+    where_filter=None,           # pdeval lane over the joined chain rows
+                                 # (FilterPlan > JoinPlan) — mixed-side /
+                                 # OUTER-kind WHERE over aggregated joins
 ) -> DataFrame:
     """Streaming COUNT window over a MULTI-stream join.
 
@@ -566,18 +573,22 @@ def count_join_stream(
         + [T.StructField(c, T.ArrayType(buf_types[c]), True) for c in buffered]
     )
     att_list = list(attach_aggs) if attach_aggs else []
+    all_types = dict(buf_types)
+    if merged_types:
+        all_types.update(merged_types)
     if aggs is None:
         out_fields = [T.StructField(c, buf_types[c], True) for c in all_cols]
         for a in att_list:
-            out_fields.append(T.StructField(a.out, _spec_out_type(a, buf_types), True))
+            out_fields.append(T.StructField(a.out, _spec_out_type(a, all_types), True))
     else:
-        out_fields = [T.StructField(c, buf_types[c], True) for c in subgroups]
+        out_fields = [T.StructField(c, all_types[c], True) for c in subgroups]
         for a in aggs:
-            out_fields.append(T.StructField(a.out, _spec_out_type(a, buf_types), True))
+            out_fields.append(T.StructField(a.out, _spec_out_type(a, all_types), True))
     out_schema = T.StructType(out_fields)
     agg_list = list(aggs) if aggs is not None else None
     sub_list = list(subgroups)
     pk_list = list(pair_keep) if pair_keep else []
+    merged_list = list(merged_cols) if merged_cols else []
     side_list = [(t, list(c)) for t, c in sides]
     join_list = [dict(j) for j in joins]
 
@@ -603,6 +614,7 @@ def count_join_stream(
             merged = _join_chain(frame, side_list, join_list)
             if pk_list and len(merged):
                 merged = _apply_pair_keep(merged, pk_list)
+            merged = _apply_merged(merged, merged_list, where_filter)
             if not len(merged):
                 continue
             if agg_list is None:
@@ -659,6 +671,23 @@ def _pd_agg_grouped(
     return out
 
 
+def _apply_merged(merged: pd.DataFrame, merged_list, where_filter) -> pd.DataFrame:
+    """Mixed-side expression columns + WHERE-above-the-join lane over one
+    window's joined chain (FilterPlan > JoinPlan; null-extended rows see
+    nulls like Catalyst over a join output)."""
+    if not len(merged):
+        return merged
+    if merged_list:
+        merged = merged.copy()
+        for name, fnc in merged_list:
+            merged[name] = fnc(merged)
+    if where_filter is not None:
+        from ekuiper_spark.streaming.pdeval import filter_mask
+
+        merged = merged[filter_mask(where_filter(merged))]
+    return merged
+
+
 def _apply_pair_keep(merged: pd.DataFrame, pk_list: Sequence[str]) -> pd.DataFrame:
     """WHERE above the join prunes joined PAIRS: keep rows where every
     per-side flag is true (null -> False)."""
@@ -679,7 +708,14 @@ def _join_chain(
     for i, jn in enumerate(join_list):
         tag, cols = side_list[i + 1]
         rf = frame[frame["__src"] == tag][list(cols)]
-        merged = _merge_one(merged, rf, jn["how"], jn["lkeys"], jn["rkeys"])
+        if jn.get("on_fn") is not None:
+            # general ON: equi-subset candidates + residual pdeval filter
+            # + per-kind null-extension (join_operator.go match loops)
+            merged = _merge_on(
+                merged, rf, jn["how"], jn["lkeys"], jn["rkeys"], jn["on_fn"]
+            )
+        else:
+            merged = _merge_one(merged, rf, jn["how"], jn["lkeys"], jn["rkeys"])
         if not len(merged) and jn["how"] == "inner":
             break
     return merged
@@ -695,6 +731,9 @@ def count_join_batch(
     attach_aggs: Optional[Sequence[JoinAggSpec]] = None,
     pair_keep: Optional[Sequence[str]] = None,
     subgroups: Sequence[str] = (),
+    merged_cols: Optional[Sequence[tuple]] = None,
+    merged_types: Optional[dict] = None,
+    where_filter=None,
 ) -> DataFrame:
     """Batch COUNT window over a multi-stream join: the packed union is
     numbered in (arrival, side) order, complete windows of n rows group
@@ -709,20 +748,24 @@ def count_join_batch(
     for _tag, cols in sides:
         all_cols.extend(cols)
     att_list = list(attach_aggs) if attach_aggs else []
+    all_types = dict(buf_types)
+    if merged_types:
+        all_types.update(merged_types)
     if aggs is None:
         out_fields = [T.StructField(c, buf_types[c], True) for c in all_cols]
         for a in att_list:
-            out_fields.append(T.StructField(a.out, _spec_out_type(a, buf_types), True))
+            out_fields.append(T.StructField(a.out, _spec_out_type(a, all_types), True))
     else:
-        out_fields = [T.StructField(c, buf_types[c], True) for c in subgroups]
+        out_fields = [T.StructField(c, all_types[c], True) for c in subgroups]
         for a in aggs:
-            out_fields.append(T.StructField(a.out, _spec_out_type(a, buf_types), True))
+            out_fields.append(T.StructField(a.out, _spec_out_type(a, all_types), True))
     out_schema = T.StructType(out_fields)
     side_list = [(t, list(c)) for t, c in sides]
     join_list = [dict(j) for j in joins]
     agg_list = list(aggs) if aggs is not None else None
     sub_list = list(subgroups)
     pk_list = list(pair_keep) if pair_keep else []
+    merged_list = list(merged_cols) if merged_cols else []
 
     w = W.orderBy("__u", "__src")
     df = union_df.withColumn("__rn", F.row_number().over(w) - 1)
@@ -734,6 +777,7 @@ def count_join_batch(
         merged = _join_chain(pdf, side_list, join_list)
         if pk_list and len(merged):
             merged = _apply_pair_keep(merged, pk_list)
+        merged = _apply_merged(merged, merged_list, where_filter)
         if not len(merged):
             return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_fields})
         if agg_list is not None and sub_list:

@@ -2300,15 +2300,18 @@ class Translator:
         # on the owning side; the op sub-groups each window's joined
         # content — one row per (window, dim value)
         cw_sub_info: list[tuple] = []  # (dim node, flat col name)
+        cw_mixed_dims: list[tuple] = []  # mixed-side dims, compiled post-union
         if stmt.group.dims:
             new_sides0 = list(sides)
             for di, d in enumerate(stmt.group.dims):
                 side_idx = _cw_side_of(d)
                 if side_idx is None:
-                    raise NotImplementedError(
-                        "GROUP BY dims over a COUNT window join must be "
-                        "single-side expressions"
-                    )
+                    # mixed-side dim: a pdeval closure the op evaluates on
+                    # the joined chain (r10, same lift as the sliding join)
+                    kn = f"__mdim{di}"
+                    cw_sub_info.append((d, kn))
+                    cw_mixed_dims.append((d, kn))
+                    continue
                 tag0, sdf0, alias0, cols0, flat0 = new_sides0[side_idx]
                 kn = f"__dim{di}"
                 sdf0 = sdf0.withColumn(kn, self._expr(d, ctx)).alias(alias0)
@@ -2417,35 +2420,46 @@ class Translator:
                         return ("L", f"{s}.{node.name.lower()}")
                 return None
 
-            ok = True
+            conjs2: list[Node] = []
 
-            def walk(node) -> None:
-                nonlocal ok
+            def _flat2(node) -> None:
                 if isinstance(node, Binary) and node.op == "AND":
-                    walk(node.left)
-                    walk(node.right)
-                    return
-                if isinstance(node, Binary) and node.op == "=":
-                    a, b = side_of(node.left), side_of(node.right)
+                    _flat2(node.left)
+                    _flat2(node.right)
+                else:
+                    conjs2.append(node)
+
+            _flat2(j.on)
+            residual2: list[Node] = []
+            for cnj in conjs2:
+                matched = False
+                if isinstance(cnj, Binary) and cnj.op == "=":
+                    a, b = side_of(cnj.left), side_of(cnj.right)
                     if a and b and {a[0], b[0]} == {"L", "R"}:
                         l = a if a[0] == "L" else b
                         r = b if b[0] == "R" else a
                         pairs.append((l[1], r[1]))
-                        return
-                ok = False
-
-            walk(j.on)
-            if not ok or not pairs:
-                raise NotImplementedError(
-                    "COUNT window stream join requires an equi-join ON "
-                    "(col = col conjunctions between the joined streams)"
-                )
+                        matched = True
+                if not matched:
+                    residual2.append(cnj)
             flat_r = sides[i + 1][4]
-            join_specs.append({
+            spec2: dict = {
                 "how": j.kind,
                 "lkeys": [fm[p[0]] for p in pairs],
                 "rkeys": [flat_r[p[1]] for p in pairs],
-            })
+            }
+            if residual2:
+                # non-equi residual: candidates merge on the equi subset
+                # (cross when none) and a pdeval lane filters them,
+                # preserved sides null-extending — compiled post-union
+                rnode: Optional[Node] = None
+                for cnj in residual2:
+                    rnode = cnj if rnode is None else Binary("AND", rnode, cnj)
+                spec2["__residual"] = rnode
+                spec2["__avail"] = {
+                    s[4][c] for s in sides[: i + 2] for c in s[3]
+                }
+            join_specs.append(spec2)
 
         all_flat: list[tuple[str, T.DataType]] = []
         for _t, sdf, alias, cols, flat in sides:
@@ -2520,20 +2534,88 @@ class Translator:
                 out_name = f"__hagg{len(having_specs)}"
                 having_specs.append(_agg_spec(call, out_name))
                 ctx.agg_map[key] = out_name
-            if not agg_nodes:
-                for _ref in self._find_raw_cols(having):
-                    raise NotImplementedError(
-                        "HAVING over COUNT window join CONTENT may "
-                        "reference aggregates only"
+            if not agg_nodes and not cw_sub_info:
+                # content mode: a raw column in HAVING reads the window
+                # collection's FIRST joined row (having_operator.go
+                # GroupRange -> Content[0]) — attach first-of-window
+                # columns, same lift as the sliding join
+                for n_i, ref in enumerate(
+                    {canon(r): r for r in self._find_raw_cols(having)}.values()
+                ):
+                    key = canon(ref)
+                    if key in ctx.agg_map or key in ctx.dim_map or (
+                        ref.source is None and ref.name.lower() in ctx.aliases
+                    ):
+                        continue
+                    k = (
+                        f"{ref.source.lower()}.{ref.name.lower()}"
+                        if ref.source else ref.name.lower()
                     )
-        if where_pre is not None and (agg_nodes or cw_sub_info):
-            raise NotImplementedError(
-                "WHERE over an AGGREGATED COUNT window join supports "
-                "AND-composed single-side conjuncts on INNER/CROSS chains "
-                "(per-side keep flags prune joined pairs); mixed-side "
-                "conjuncts, outer kinds and scan/lookup sides keep the "
-                "filter-between-join-and-aggregation gap"
-            )
+                    flat = fm.get(k)
+                    if flat is None:
+                        raise ValueError(f"unknown column {ref.name} in HAVING")
+                    out_name = f"__hraw{n_i}"
+                    having_specs.append(JoinAggSpec("first", flat, out_name))
+                    ctx.dim_map[key] = out_name
+
+        # ---- post-union pdeval compilation (mixed dims, ON residuals,
+        # in-op WHERE) — the union carries every flat column, so Catalyst
+        # types the expressions and the closures resolve through fm ------
+        cw_int_types = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        cw_int_cols = {nm for nm, dt in all_flat if isinstance(dt, cw_int_types)}
+
+        def _cw_closure(node: Node, what: str, avail: Optional[set] = None):
+            from ekuiper_spark.streaming.pdeval import compile_pd
+
+            node2 = self._inline_aliases(node, ctx)
+
+            def resolve(ref: ColumnRef) -> Optional[str]:
+                k = (
+                    f"{ref.source.lower()}.{ref.name.lower()}"
+                    if ref.source else ref.name.lower()
+                )
+                flat2 = fm.get(k)
+                if flat2 is not None and avail is not None and flat2 not in avail:
+                    raise NotImplementedError(
+                        f"ON condition references a side joined LATER in "
+                        f"the chain ({ref.name})"
+                    )
+                return flat2
+
+            try:
+                fnc = compile_pd(node2, resolve, int_cols=cw_int_cols)
+            except NotImplementedError as e:
+                raise NotImplementedError(
+                    f"COUNT window join {what} uses an expression outside "
+                    f"the in-op subset ({e}); rewrite or use a time window"
+                ) from None
+            dt = union.select(self._expr(node2, ctx).alias("__p")).schema[0].dataType
+            return fnc, dt
+
+        cw_merged_cols: list[tuple] = []
+        cw_merged_types: dict[str, T.DataType] = {}
+        for d, kn in cw_mixed_dims:
+            fnc, dt = _cw_closure(d, "GROUP BY dim")
+            cw_merged_cols.append((kn, fnc))
+            cw_merged_types[kn] = dt
+        for spec2 in join_specs:
+            rnode = spec2.pop("__residual", None)
+            avail = spec2.pop("__avail", None)
+            if rnode is not None:
+                spec2["on_fn"], _ = _cw_closure(rnode, "non-equi ON", avail)
+        cw_where_filter = None
+        if where_pre is not None and (
+            agg_nodes or cw_sub_info
+            or (having_specs and not agg_nodes and not cw_sub_info)
+        ):
+            if static_joins:
+                raise NotImplementedError(
+                    "WHERE over an AGGREGATED COUNT window join with "
+                    "scan/lookup sides keeps the filter-between-join-and-"
+                    "aggregation gap (the side inputs join after the op)"
+                )
+            cw_where_filter, _ = _cw_closure(where_pre, "WHERE")
+            where_pre = None
         if agg_nodes or cw_sub_info:
             if static_joins:
                 raise NotImplementedError(
@@ -2583,6 +2665,9 @@ class Translator:
             attach_aggs=having_specs if (having_specs and not _cw_agg_mode) else None,
             pair_keep=pair_keep_flags or None,
             subgroups=[kn for _d, kn in cw_sub_info],
+            merged_cols=cw_merged_cols or None,
+            merged_types=cw_merged_types or None,
+            where_filter=cw_where_filter,
         ).alias("__cwj")
         if not _cw_agg_mode:
             # qualify the flat names so trailing static joins with

@@ -147,15 +147,28 @@ def test_count_join_left_and_cross_kinds(spark):
     assert cross.count() == want
 
 
-def test_count_join_non_equi_raises(spark):
+def test_count_join_non_equi(spark):
+    """r10: non-equi ON over a COUNT window join — candidate pairs form
+    from the equi subset (cross when none) and the residual condition
+    filters in-op (pdeval lane), preserved sides null-extending."""
     cat = _events_cat(spark)
-    with pytest.raises(NotImplementedError, match="equi-join"):
-        compile_sql(
-            spark,
-            "SELECT s_a.event_id FROM s_a INNER JOIN s_b "
-            "ON s_a.value > s_b.value GROUP BY countwindow(10)",
-            cat,
-        )
+    out = compile_sql(
+        spark,
+        "SELECT s_a.event_id AS ea, s_b.event_id AS eb FROM s_a INNER JOIN s_b "
+        "ON s_a.value > s_b.value GROUP BY countwindow(10)",
+        cat,
+        order_cols=["ts", "event_id"],
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # every emitted pair satisfies the condition (checked via a self-join
+    # of the source values)
+    vals = {
+        r["event_id"]: r["value"]
+        for r in cat.load(spark, "events", streaming=False)
+        .select("event_id", "value").collect()
+    }
+    assert all(vals[r["ea"]] > vals[r["eb"]] for r in rows)
 
 
 def test_count_join_streaming_equals_batch(spark, tmp_path):
@@ -293,14 +306,16 @@ def test_count_window_join_where_aggregated(spark, tmp_path):
         )
         assert b == s and len(b) > 0, sql
 
-    # mixed-side conjunct keeps the honest raise
-    with pytest.raises(NotImplementedError, match="single-side"):
-        compile_sql(
-            spark,
-            "SELECT count(*) AS n FROM sa INNER JOIN sb ON sa.k = sb.bk "
-            "WHERE v > w GROUP BY COUNTWINDOW(16)",
-            cats(False),
-        )
+    # r10: mixed-side conjuncts evaluate in-op on the joined chain
+    sql = (
+        "SELECT count(*) AS n FROM sa INNER JOIN sb ON sa.k = sb.bk "
+        "WHERE v > w / 4 GROUP BY COUNTWINDOW(16)"
+    )
+    b = sorted(tuple(r) for r in compile_sql(spark, sql, cats(False)).collect())
+    s = sorted(
+        tuple(r) for r in run_rule_available_now(spark, cats(True), sql).collect()
+    )
+    assert b == s and len(b) > 0, sql
 
 
 def test_count_window_join_group_by_dims(spark, tmp_path):
@@ -343,5 +358,83 @@ def test_count_window_join_group_by_dims(spark, tmp_path):
         b = sorted(tuple(r) for r in compile_sql(spark, sql, cats(False)).collect())
         s = sorted(
             tuple(r) for r in run_rule_available_now(spark, cats(True), sql).collect()
+        )
+        assert b == s and len(b) > 0, sql
+
+
+def test_count_window_join_lifted_matrix(spark, tmp_path):
+    """r10: the COUNT-window join now matches the sliding join's lifted
+    surface — mixed-side dims/WHERE (pdeval merged columns), non-equi ON
+    residuals with null-extension, HAVING raw-column content gates —
+    streaming == batch on every cell."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    base = str(tmp_path / "cwl")
+    demo_rows = [
+        ("red", 50, 1541152486013), ("blue", 58, 1541152486822),
+        ("red", 49, 1541152487632), ("yellow", 51, 1541152488442),
+        ("red", 48, 1541152489252), ("blue", 52, 1541152490062),
+    ]
+    demo1_rows = [
+        (25.5, 65, 1541152486013), (27.5, 59, 1541152486822),
+        (28.1, 75, 1541152487632), (27.4, 80, 1541152488442),
+        (25.5, 62, 1541152489252), (26.2, 66, 1541152490062),
+    ]
+    spark.createDataFrame(demo_rows, "color string, size long, ts long").coalesce(1).write.parquet(base + "/a")
+    spark.createDataFrame(demo1_rows, "temp double, hum long, ts long").coalesce(1).write.parquet(base + "/b")
+
+    def cats(streaming):
+        c = Catalog()
+        if streaming:
+            c.register_df("demo", spark.readStream.schema("color string, size long, ts long").parquet(base + "/a"))
+            c.register_df("demo1", spark.readStream.schema("temp double, hum long, ts long").parquet(base + "/b"))
+        else:
+            c.register_df("demo", spark.read.parquet(base + "/a"))
+            c.register_df("demo1", spark.read.parquet(base + "/b"))
+        c.register(StreamDef(name="demo", kind="stream"))
+        c.register(StreamDef(name="demo1", kind="stream"))
+        return c
+
+    for sql, cols in [
+        (
+            # mixed-side dim
+            "SELECT size + hum AS sh, count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY size + hum, COUNTWINDOW(6)",
+            ["sh", "c"],
+        ),
+        (
+            # equi + non-equi residual, aggregated
+            "SELECT count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts AND hum > size GROUP BY COUNTWINDOW(6)",
+            ["c"],
+        ),
+        (
+            # LEFT join with residual: unmatched lefts null-extend
+            "SELECT count(*) AS c, count(hum) AS ch FROM demo LEFT JOIN demo1 "
+            "ON demo.ts = demo1.ts AND hum > 62 GROUP BY COUNTWINDOW(6)",
+            ["c", "ch"],
+        ),
+        (
+            # mixed-side WHERE over an aggregated count join
+            "SELECT count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts WHERE size + hum > 110 GROUP BY COUNTWINDOW(6)",
+            ["c"],
+        ),
+        (
+            # HAVING raw column gates the whole window on its FIRST row
+            "SELECT size, hum FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "GROUP BY COUNTWINDOW(6) HAVING size > 48",
+            ["size", "hum"],
+        ),
+    ]:
+        b = sorted(
+            tuple(r[c] for c in cols)
+            for r in compile_sql(spark, sql, cats(False), order_cols=["ts"]).collect()
+        )
+        s = sorted(
+            tuple(r[c] for c in cols)
+            for r in run_rule_available_now(
+                spark, cats(True), sql, order_cols=["ts"]
+            ).collect()
         )
         assert b == s and len(b) > 0, sql
