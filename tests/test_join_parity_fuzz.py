@@ -68,8 +68,8 @@ def _gen(seed: int, n: int):
     while len(out) < n:
         wsql, wkind = rng.choice(_WINDOWS)
         kind = rng.choice(_KINDS)
-        where = rng.choice(_WHERES + (_WHERES_MIXED if wkind != "count" else []))
-        d = rng.choice(_DIMS + (_DIMS_MIXED if wkind != "count" else []))
+        where = rng.choice(_WHERES + _WHERES_MIXED)
+        d = rng.choice(_DIMS + _DIMS_MIXED)
         shape = rng.choice(["agg", "agg", "content", "aggext"])
         on = rng.choice(_ONS)
         # ---- support matrix (the lifted r10 surface) --------------------
@@ -79,13 +79,6 @@ def _gen(seed: int, n: int):
                 on = _ONS[0]
             else:
                 on = ""
-        if wkind == "count":
-            # COUNT window joins: equi-ON only, single-side dims/WHERE,
-            # INNER/CROSS for WHERE-over-aggregated
-            if "hum > size" in on:
-                on = _ONS[0]
-            if kind in ("LEFT", "FULL") and (where or d):
-                continue
         if shape == "aggext":
             if wkind != "sliding" and wkind != "count":
                 shape = "agg"  # extended aggs fuzz the stateful join ops

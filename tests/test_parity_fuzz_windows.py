@@ -99,9 +99,13 @@ def _gen(seed: int, n: int) -> list[tuple[str, str]]:
             ])
             h = ""
         elif shape == "lagfuse":
-            # r10: lag/latest fused into the stateful window op
+            # r10: lag/latest fused into the stateful window op.
+            # A PARTITIONED state window keys the op — it cannot host
+            # rule-GLOBAL analytic state (honest raise, by design)
             if kind not in ("count", "state", "sliding") or d:
                 continue
+            if kind == "state" and wsql.count(",") > 1:
+                continue  # STATEWINDOW(b, e, partition)
             if kind == "sliding":
                 sel = "lag(value) AS lv, count(*) AS n"
             else:
