@@ -561,23 +561,27 @@ def window_agg_stream(
         buffered = list(needed)  # pending rows wait in state with their row cols
     elif kind == "sliding" and frame_content:
         # frame rows emit per trigger: every visible passthrough column
-        # must ride the lookback buffer (trigger-local __ cols stay
-        # batch-side)
+        # (incl. fused analytic outputs — each frame row carries its own
+        # lag/latest value) must ride the lookback buffer; trigger-local
+        # __ cols (__trig/__et) stay batch-side
+        _an_buf2 = {s.out for s in pre_an}
         buffered = [
             c for c in needed
             if c == ts_col
-            or (c in passthrough and not c.startswith("__"))
+            or (c in passthrough and (not c.startswith("__") or c in _an_buf2))
             or c in keep_extra
         ]
     elif kind == "sliding" and aggs:
-        # aggregated sliding: passthrough raw columns emit the FIRST frame
-        # row's value (reference project-over-grouped), so they must ride
-        # the frame buffer across batches (as do subgroup columns for the
-        # content-sub-grouped form); __trig stays trigger-row-local
+        # aggregated sliding: passthrough raw columns AND fused analytic
+        # outputs emit the FIRST frame row's value (reference
+        # project-over-grouped), so they must ride the frame buffer
+        # across batches (as do subgroup columns for the content-sub-
+        # grouped form); __trig/__et stay trigger-row-local
+        _an_buf = {s.out for s in pre_an}
         buffered = [
             c for c in needed
             if c == ts_col or c in agg_in or c in subgroups
-            or (c in passthrough and not c.startswith("__"))
+            or (c in passthrough and (not c.startswith("__") or c in _an_buf))
         ]
     elif kind == "sliding":
         buffered = [c for c in needed if c == ts_col or c in agg_in]
@@ -1684,11 +1688,13 @@ def window_agg_stream(
                 length = len(next(iter(win.values())))
                 cols = {}
                 for c in pass_list:
-                    if c.startswith("__"):
+                    if c.startswith("__") and c not in buffered:
                         # trigger-row-local (__et window meta): the whole
                         # frame shares the trigger's value
                         cols[c] = pd.Series([batch[c].iloc[k]] * length)
                     else:
+                        # frame rows carry their own values (raw cols and
+                        # fused analytic outputs)
                         cols[c] = pd.Series(win[c])
                 frames2.append(emit_frame(cols, length, key))
             last_ts2 = int(full[ts_col][-1])
@@ -1796,7 +1802,10 @@ def window_agg_stream(
             out_cols[a.out] = res
         # stable argsort keeps the new rows in batch-sorted relative order,
         # so res[is_new] aligns 1:1 with the sorted batch's rows
-        if agg_list and any(not c.startswith("__") for c in pass_list):
+        _an_pass_pre = {s.out for s in pre_an}
+        if agg_list and any(
+            not c.startswith("__") or c in _an_pass_pre for c in pass_list
+        ):
             # first-of-frame raw columns: the frame [t-L, t] starts at the
             # first buffered index with us >= t - L.  With a content
             # filter, "first" means the first KEPT frame row
@@ -1809,10 +1818,13 @@ def window_agg_stream(
                 kept_ts = full[ts_col][kmask]
                 left_idx = np.searchsorted(kept_ts, new_ts - length_us, side="left")
                 left_idx = np.minimum(left_idx, max(len(kept_ts) - 1, 0))
+        an_pass = {s.out for s in pre_an}
         for c in pass_list:
-            if c.startswith("__") or not agg_list:
+            if (c.startswith("__") and c not in an_pass) or not agg_list:
                 # __-prefixed pass cols are trigger-row locals (__trig,
-                # __et); plain raw cols take the first frame row's value
+                # __et); plain raw cols AND fused analytic outputs take
+                # the first (kept) frame row's value (ProjectOp reads the
+                # collection's Content[0] in aggregate context)
                 out_cols[c] = batch[c].values
             else:
                 vals = src_full[c][left_idx] if len(src_full[ts_col]) else np.empty(0, dtype=full[c].dtype)

@@ -572,6 +572,16 @@ class Translator:
                         ctx.frame_first[key] = F.min_by(
                             self._expr(ref, ctx), fkey
                         ).over(fspec)
+                # hoisted analytic outputs (lag/latest/... hidden columns)
+                # referenced bare beside the aggregates follow the same
+                # Content[0] rule: remap to first-of-frame columns
+                for akey, an_out in list(ctx.analytic_map.items()):
+                    if an_out in df.columns:
+                        nm2 = f"__ff_{an_out.lstrip('_')}"
+                        df = df.withColumn(
+                            nm2, F.min_by(F.col(an_out), fkey).over(fspec)
+                        )
+                        ctx.analytic_map[akey] = nm2
             if stmt.having is not None:
                 # HAVING over a per-event sliding window gates each
                 # trigger's emission on its frame aggregates (the
