@@ -66,6 +66,7 @@ class TranslateCtx:
     windowfunc_partition: list = dc_field(default_factory=list)  # window-key col names
     grpord_col: Optional[str] = None  # group-formation-order col (row_number over GROUPS)
     grprank_partition: list = dc_field(default_factory=list)  # window-key cols post-agg
+    grprank_col: Optional[str] = None  # precomputed group rank (streaming chained aggs)
     winfunc_map: dict = dc_field(default_factory=dict)  # canon row_number call -> stateful-op rank col
     pending_analytics: list = dc_field(default_factory=list)  # AnalyticSpecs fused into the stateful window op
     row_cols: list[str] = dc_field(default_factory=list)  # user-visible cols at agg input
@@ -3195,6 +3196,54 @@ class Translator:
             # ran on the watermark-derived native bucket)
             gdf = _shrink_window(gdf, ctx.window_shrink_us)
             ctx.window_shrink_us = None
+        if ctx.grpord_col and self.streaming and gdf.isStreaming:
+            # streaming group-rank: Spark rejects rank window functions on
+            # streaming frames, so the rank comes from a SECOND chained
+            # windowed aggregation (Spark 3.5+ multiple stateful ops,
+            # append mode): collect the window's grouped rows sorted by
+            # formation order, posexplode with pos+1 as the rank.
+            if not self.watermark:
+                raise NotImplementedError(
+                    "row_number with GROUP BY dims over a streaming time "
+                    "window needs a late-tolerance watermark (chained "
+                    "stateful aggregations run append-mode); set the "
+                    "rule's lateTolerance option"
+                )
+            rn_over = any(
+                c2.partition_by or c2.order_by
+                for f2 in stmt.fields
+                for c2 in self._find_fn_calls(f2.expr, "row_number")
+            )
+            if rn_over:
+                raise NotImplementedError(
+                    "row_number OVER keys with GROUP BY dims over a "
+                    "streaming time window are unsupported (formation-"
+                    "order rank only; batch supports OVER keys)"
+                )
+            if "window" not in gdf.columns:
+                raise NotImplementedError(
+                    "streaming group-rank needs the native window column"
+                )
+            other_cols = [c for c in gdf.columns if c != "window"]
+            packed = F.struct(
+                F.col(ctx.grpord_col).alias("__o0"),
+                *[F.col(c).alias(c) for c in other_cols if c != ctx.grpord_col],
+            )
+            g2 = gdf.groupBy("window").agg(
+                F.sort_array(F.collect_list(packed)).alias("__gs")
+            )
+            gdf = g2.select(
+                "window", F.posexplode("__gs").alias("__pos", "__g")
+            ).select(
+                "window",
+                *[
+                    F.col(f"__g.{c}").alias(c)
+                    for c in other_cols
+                    if c != ctx.grpord_col
+                ],
+                (F.col("__pos") + F.lit(1)).alias("__grprank"),
+            )
+            ctx.grprank_col = "__grprank"
         ctx.post_agg = True
         # emission ordering for post-agg positional funcs
         # (last_agg_hit_count/time, funcs_global_state.go): windows emit in
@@ -6224,6 +6273,10 @@ class Translator:
                 # streaming stateful window: rank already computed inside
                 # the stateful operator (see _streaming_stateful_grouped)
                 return F.col(ctx.winfunc_map[canon(call)])
+            if ctx.post_agg and ctx.grprank_col:
+                # streaming chained-agg group rank (formation order),
+                # already materialized
+                return F.col(ctx.grprank_col)
             if ctx.post_agg and ctx.grpord_col:
                 # GROUP BY dims: rank the GROUPS within each window
                 # collection (rowNumberFuncHandle over a GroupedTuplesSet;

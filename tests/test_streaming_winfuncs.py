@@ -155,3 +155,40 @@ def test_stream_sliding_dims_delay(spark, catalog, sql):
     missing = [r for r in s if r not in b]
     assert not missing, f"streaming rows absent from batch: {missing[:5]}"
     assert len(s) >= len(b) * 0.8 and len(b) > 0
+
+
+def test_stream_tumbling_group_rank_chained_aggs(spark, catalog):
+    """r10: row_number with GROUP BY dims over a streaming TIME window —
+    Spark rejects rank window functions on streaming frames, so the rank
+    comes from a SECOND chained windowed aggregation (multiple stateful
+    operators, append mode) collecting each window's groups in formation
+    order.  Needs a watermark; streaming == batch."""
+    for sql in [
+        "SELECT event_type, count(*) AS c, row_number() AS rn "
+        "FROM events GROUP BY TUMBLINGWINDOW(mi, 10), event_type",
+        "SELECT event_type, count(*) AS c, row_number() AS rn "
+        "FROM events GROUP BY HOPPINGWINDOW(mi, 20, 10), event_type",
+    ]:
+        b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+        s = _rows(
+            run_rule_available_now(
+                spark, catalog, sql, order_cols=["ts", "event_id"],
+                watermark="0 seconds",
+            )
+        )
+        # append mode withholds windows the watermark never passes (the
+        # stream's trailing window) — streaming must be a subset missing
+        # at most the trailing window's groups
+        bs = list(b)
+        for r in s:
+            assert r in bs, f"stream-only row {r} for {sql!r}"
+            bs.remove(r)
+        assert len(bs) <= 8 and len(s) > 0, f"{sql!r}: batch-only {bs[:6]}"
+    # without a watermark the combination raises actionably
+    with pytest.raises(NotImplementedError, match="watermark"):
+        run_rule_available_now(
+            spark, catalog,
+            "SELECT event_type, count(*) AS c, row_number() AS rn "
+            "FROM events GROUP BY TUMBLINGWINDOW(mi, 10), event_type",
+            order_cols=["ts", "event_id"],
+        )
