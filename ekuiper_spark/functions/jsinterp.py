@@ -184,12 +184,24 @@ def _js_str(v: Any) -> str:
         return "true" if v else "false"
     if isinstance(v, float) and v.is_integer():
         return str(int(v))
-    if isinstance(v, (list, dict)):
-        return _json.dumps(v)
+    if isinstance(v, list):
+        # ES5 Array.prototype.toString = join(","); null/undefined
+        # elements stringify to "" (§15.4.4.2/5) — NOT JSON
+        return ",".join(
+            "" if (x is None or x is UNDEFINED) else _js_str(x) for x in v
+        )
+    if isinstance(v, dict):
+        return "[object Object]"  # Object.prototype.toString (§15.2.4.2)
     return str(v)
 
 
 _NAN = float("nan")
+# StrNumericLiteral (ES5 §9.3.1): HexIntegerLiteral takes NO sign;
+# StrDecimalLiteral allows one sign on digits or the literal "Infinity"
+_HEX_RE = re.compile(r"0[xX][0-9a-fA-F]+")
+_DEC_RE = re.compile(
+    r"[+-]?(?:Infinity|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+)
 
 
 def _to_number(v: Any) -> Any:
@@ -211,21 +223,23 @@ def _to_number(v: Any) -> Any:
         s = v.strip()
         if not s:
             return 0
+        # ES5 §9.3.1 StrNumericLiteral only: unsigned hex, optionally
+        # signed decimal/"Infinity".  Python float() is laxer ("inf",
+        # "nan", "1_0") — those are NaN in goja.
+        if _HEX_RE.fullmatch(s):
+            return int(s, 16)
+        if not _DEC_RE.fullmatch(s):
+            return _NAN
         try:
-            if s.lower().startswith(("0x", "-0x", "+0x")):
-                return int(s, 16)
-            f = float(s)
-            return f
+            return float(s)
         except ValueError:
             return _NAN
-    if isinstance(v, list):
-        # ToPrimitive: [] -> "" -> 0, [x] -> ToNumber(x's string form)
-        if not v:
-            return 0
-        if len(v) == 1:
-            return _to_number(_js_str(v[0]))
-        return _NAN
-    return _NAN  # plain objects
+    if isinstance(v, (list, dict)):
+        # ToNumber(ToPrimitive): array -> join(",") string -> number
+        # ([] -> 0, [2] -> 2, [[2]] -> 2, [1,2] -> NaN); object ->
+        # "[object Object]" -> NaN
+        return _to_number(_js_str(v))
+    return _NAN
 
 
 def _num_binop(a: Any, b: Any, op: str) -> Any:
@@ -262,6 +276,13 @@ def _js_strict_eq(a: Any, b: Any) -> bool:
 
 
 def _js_add(a: Any, b: Any) -> Any:
+    # ES5 §11.6.1: ToPrimitive FIRST — arrays/objects become strings
+    # ([1]+[2] is "12", {}+1 is "[object Object]1"), THEN the
+    # string-concat-vs-numeric-add split
+    if isinstance(a, (list, dict)):
+        a = _js_str(a)
+    if isinstance(b, (list, dict)):
+        b = _js_str(b)
     if isinstance(a, str) or isinstance(b, str):
         return _js_str(a) + _js_str(b)
     a, b = _to_number(a), _to_number(b)

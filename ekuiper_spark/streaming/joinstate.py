@@ -117,12 +117,16 @@ def _pd_agg(merged: pd.DataFrame, spec: JoinAggSpec):
             return float(v[0])
         idx = p * n2
         i = int(math.floor(idx))
-        if i < 1:
-            return None
+        if i < 1 or (idx != i and i >= n2):
+            # montanaflynn BoundsErr propagates as a rule error in the
+            # reference ("run aggregate function percentile error",
+            # funcs_agg.go:298-334) — not a null value
+            raise ValueError(
+                f"run aggregate function percentile error: "
+                f"input is outside of range (p={p}, n={n2})"
+            )
         if idx == i:
             return float(v[i - 1])
-        if i >= n2:
-            return None
         return float((v[i - 1] + v[i]) / 2.0)
     if spec.op == "percentile_disc":
         # smallest v with cume_dist(v) >= p (funcs_agg.go:335-370)

@@ -157,13 +157,16 @@ def compile_pd(
             rx = _like_regex(n.pattern.value, n.escape)
 
             def f_like(f, fe=fe, rx=rx, neg=n.negated):
+                # vectorized string lane: null mask + pandas .str.fullmatch
+                # (C-level regex loop) instead of a per-row Python loop
                 v = _bcast(fe(f), f)
-                out = np.empty(len(v), dtype="float64")
-                for i, x in enumerate(v):
-                    if x is None or (isinstance(x, float) and math.isnan(x)):
-                        out[i] = np.nan
-                    else:
-                        out[i] = 1.0 if rx.fullmatch(str(x)) else 0.0
+                s = pd.Series(v, dtype="object")
+                null = s.isna().to_numpy()
+                txt = pd.Series(
+                    np.where(null, "", s.to_numpy().astype(str)), dtype="object"
+                )
+                out = txt.str.fullmatch(rx).to_numpy(dtype="float64")
+                out[null] = np.nan
                 return _not(out) if neg else out
 
             return f_like, False
@@ -244,13 +247,14 @@ def compile_pd(
         "power": lambda a, b: np.power(a, b),
         "pow": lambda a, b: np.power(a, b),
     }
+    # vectorized pandas .str implementations (null-masked by the caller)
     _SFUNCS = {
-        "upper": lambda s: s.upper(),
-        "lower": lambda s: s.lower(),
-        "ltrim": lambda s: s.lstrip(),
-        "rtrim": lambda s: s.rstrip(),
-        "trim": lambda s: s.strip(),
-        "length": lambda s: float(len(s)),
+        "upper": lambda s: s.str.upper(),
+        "lower": lambda s: s.str.lower(),
+        "ltrim": lambda s: s.str.lstrip(),
+        "rtrim": lambda s: s.str.rstrip(),
+        "trim": lambda s: s.str.strip(),
+        "length": lambda s: s.str.len().astype("float64"),
     }
 
     def _comp_func(n: FuncCall):
@@ -287,13 +291,13 @@ def compile_pd(
 
             def fs(f, fa=fa, fn=_SFUNCS[name]):
                 v = _bcast(fa(f), f)
-                out = np.empty(len(v), dtype="object")
-                for i, x in enumerate(v):
-                    out[i] = (
-                        None
-                        if x is None or (isinstance(x, float) and math.isnan(x))
-                        else fn(str(x))
-                    )
+                s = pd.Series(v, dtype="object")
+                null = s.isna().to_numpy()
+                txt = pd.Series(
+                    np.where(null, "", s.to_numpy().astype(str)), dtype="object"
+                )
+                out = fn(txt).to_numpy(dtype="object")
+                out[null] = None
                 return out
 
             return fs, name == "length"

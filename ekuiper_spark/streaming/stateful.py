@@ -1503,7 +1503,18 @@ def window_agg_stream(
                 idx, left, right = idx[sel], left[sel], right[sel]
                 if not len(idx):
                     keep = ts_arr >= new_thr - length_us
-                    save_state(state, new_max, False, {c: full[c][keep] for c in buffered}, an_st=an_st)
+                    kept0 = {c: full[c][keep] for c in buffered}
+                    if not len(kept0[ts_col]) and wm_val is not None:
+                        state.remove()
+                    else:
+                        save_state(state, new_max, False, kept0, an_st=an_st)
+                        if wm_val is not None:
+                            pend = kept0[ts_col][kept0[ts_col] > new_thr]
+                            if len(pend):
+                                close = int(pend.min()) + delay_us
+                                state.setTimeoutTimestamp(
+                                    (close if unit_ms else close // 1000) - 1
+                                )
                     return
             if sub_list:
                 # GROUP BY dims over delayed/watermark-gated frames: each
@@ -1525,7 +1536,21 @@ def window_agg_stream(
                         added = len(sink[sub_list[0]]) - len(sink["__et_us"])
                         sink["__et_us"].extend([int(ts_arr[idx[k3]])] * added)
                 keep = ts_arr >= new_thr - length_us
-                save_state(state, new_max, False, {c: full[c][keep] for c in buffered}, an_st=an_st)
+                kept = {c: full[c][keep] for c in buffered}
+                if not len(kept[ts_col]) and wm_val is not None:
+                    state.remove()
+                else:
+                    save_state(state, new_max, False, kept, an_st=an_st)
+                    if wm_val is not None:
+                        # pending triggers must fire on watermark advance
+                        # even with dims — mirror the non-dims epilogue
+                        # (state.update clears any armed timeout)
+                        pend = kept[ts_col][kept[ts_col] > new_thr]
+                        if len(pend):
+                            close = int(pend.min()) + delay_us
+                            state.setTimeoutTimestamp(
+                                (close if unit_ms else close // 1000) - 1
+                            )
                 n_out = len(next(iter(sink.values()))) if sink else 0
                 if n_out:
                     yield emit_frame({k2: pd.Series(v) for k2, v in sink.items()}, n_out, key)

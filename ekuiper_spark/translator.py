@@ -3119,6 +3119,21 @@ class Translator:
                     rn_calls.setdefault(canon(c2), c2)
             if rn_calls:
                 okey2 = okey_col if (agg_nodes or dim_names) else None
+                if okey2 is not None:
+                    # UNIQUE formation key: the event order key plus the
+                    # rule's remaining order_cols as tie-breaks, so groups
+                    # whose first rows share an event time still rank in
+                    # GroupedTuplesSet order — struct comparison must
+                    # never fall through to dim/agg data fields (the
+                    # streaming chained-agg sort_array packs them after
+                    # __o0)
+                    tie = [
+                        F.col(oc).alias(f"o{i + 1}")
+                        for i, oc in enumerate(ctx.order_cols or [])
+                        if oc in df.columns and df.columns.count(oc) == 1
+                    ]
+                    if tie:
+                        okey2 = F.struct(okey2.alias("o0"), *tie)
                 agg_exprs.append(
                     (
                         F.min(okey2) if okey2 is not None else F.min(F.lit(0))
@@ -6675,6 +6690,22 @@ class Translator:
         # dynamic result shape -> VARIANT (the engine's dynamic-value type)
         return F.parse_json(fn(col))
 
+    @staticmethod
+    def _probe_df(df: DataFrame, col: Column) -> DataFrame:
+        """Probe-safe df: expressions may reference engine-internal
+        ``__``-columns (e.g. the ``__slb`` sliding sort bucket) that are
+        attached AFTER the typing probe runs; letting the analyzer throw
+        UNRESOLVED_COLUMN works but emits an ERROR-level
+        DataFrameQueryContextLogger line per probe (JVM-side, uncatchable
+        from Python).  Pre-attach dummy literals for any missing internal
+        names instead — analysis-only, never executed."""
+        import re as _re
+
+        missing = set(_re.findall(r"__\w+", str(col))) - set(df.columns)
+        if missing:
+            df = df.withColumns({m: F.lit(0) for m in sorted(missing)})
+        return df
+
     def _probe_type(self, col: Column) -> Optional[str]:
         """Analysis-only type probe of one expression against the current
         phase's DataFrame; None when indeterminable (falls back to the
@@ -6683,7 +6714,7 @@ class Translator:
         if df is None:
             return None
         try:
-            return df.select(col).schema[0].dataType.typeName()
+            return self._probe_df(df, col).select(col).schema[0].dataType.typeName()
         except Exception:
             return None
 
@@ -6693,7 +6724,7 @@ class Translator:
         if df is None:
             return None
         try:
-            return df.select(col).schema[0].dataType
+            return self._probe_df(df, col).select(col).schema[0].dataType
         except Exception:
             return None
 

@@ -133,6 +133,29 @@ def test_sliding_event_time_delay(spark, tmp_path):
     assert sorted(r["temp"] for r in got) == [27.5]
 
 
+def test_sliding_event_time_delay_dims(spark, tmp_path):
+    """Interval11 + dims: SLIDINGWINDOW(ss,1,1) GROUP BY hum.  The
+    r4 arrival (wm 487500) fires t1's trigger through the DIMS branch
+    while t2/t3 stay pending; those pending triggers then complete only
+    in the final watermark-timeout pass, so the dims branch MUST re-arm
+    state.setTimeoutTimestamp after save_state (state.update clears any
+    armed timer) or the t2/t3 emissions are silently lost."""
+    rows = [
+        (27.5, 59, 1541152486000),   # t1: frame [485000,487000) = {r1}
+        (25.5, 65, 1541152487000),   # t2: frame [486000,488000) = {r1,r2}
+        (26.5, 65, 1541152488500),   # t3: frame [487500,489500) = {r3}
+        (24.0, 70, 1541152492000),   # t4: withheld (final wm 491000)
+    ]
+    got = _run_stream(
+        spark, tmp_path, rows, "temp double,hum long,ts long",
+        "SELECT hum, count(*) AS cnt FROM demoe4"
+        " GROUP BY hum, SLIDINGWINDOW(ss, 1, 1)", "s11d",
+    )
+    assert sorted((r["hum"], r["cnt"]) for r in got) == [
+        (59, 1), (59, 1), (65, 1), (65, 1),
+    ]
+
+
 def test_session_event_time_out_of_order(spark, tmp_path):
     """TestEventWindowRule5: SessionWindow(ss, 2, 1) over OUT-OF-ORDER
     events within tolerance; four sessions close under the final
