@@ -85,7 +85,10 @@ def _percentile_disc(c, r):
     vals = F.sort_array(F.collect_list(c[0]))
     n = F.size(vals)
     idx = F.greatest(F.lit(1), F.ceil(F.lit(p) * n)).cast("int")
-    return F.element_at(vals, idx)
+    # all-null collection (e.g. a null-extended outer-join group) makes
+    # vals empty: yield null, not an ANSI element_at(empty, 1) crash —
+    # same error-as-value rule as percentile_cont's n==0 branch
+    return F.try_element_at(vals, idx)
 
 
 @reg("merge_agg")

@@ -162,6 +162,12 @@ def sliding_join_stream(
     aggs: Optional[Sequence[JoinAggSpec]] = None,
     delay: int = 0,              # SLIDINGWINDOW(unit, L, D): frame [t-L, t+D)
     throttle: Optional[tuple[int, bool]] = None,  # (K, ge) gap-throttle
+    trigger_col: Optional[str] = None,  # boolean column: OVER(WHEN cond)
+                                 # evaluated per raw arrival upstream
+                                 # (other stream's fields nil -> false,
+                                 # window_op.go:757-784 isMatchCondition);
+                                 # false rows stay frame MEMBERS but never
+                                 # fire triggers
     attach_aggs: Optional[Sequence[JoinAggSpec]] = None,  # content mode:
                                  # frame aggregates replicated on each row
     cross_pairs: bool = False,   # non-equi ON: emit ALL frame pairs; the
@@ -218,6 +224,8 @@ def sliding_join_stream(
     """
     schema = union_df.schema
     buffered = ["__src", "__u"] + list(left_cols) + list(right_cols)
+    if trigger_col is not None:
+        buffered.append(trigger_col)
     buf_types = {f.name: f.dataType for f in schema.fields}
 
     state_fields = [
@@ -395,8 +403,13 @@ def sliding_join_stream(
 
         # new arrivals become trigger candidates (throttle-gated in merged
         # event order, lastHit advancing on emission)
+        trig_arr = (
+            full[trigger_col].to_numpy() if trigger_col is not None else None
+        )
         new_ts: list[int] = []
         for pos in np.nonzero(is_new)[0]:
+            if trig_arr is not None and not (trig_arr[pos] == True):  # noqa: E712
+                continue  # OVER(WHEN) false/null: member, never a trigger
             t = int(u_arr[pos])
             if thr is not None:
                 k, ge = thr

@@ -305,22 +305,24 @@ def compile_pd(
             fas = [comp(a)[0] for a in n.args]
 
             def fc(f, fas=fas):
+                # reference concat SKIPS nil args (concat("1", nil, "2")
+                # = "12" — the batch lane is concat_ws("")), it does NOT
+                # null the result; 8th real fuzz catch (FULL-join
+                # null-extension exposed the drift)
                 lanes = [_bcast(fa(f), f) for fa in fas]
                 out = np.empty(len(f), dtype="object")
                 for i in range(len(f)):
                     parts = []
-                    bad = False
                     for ln in lanes:
                         x = ln[i]
                         if x is None or (isinstance(x, float) and math.isnan(x)):
-                            bad = True
-                            break
+                            continue
                         parts.append(
                             str(int(x))
                             if isinstance(x, float) and x.is_integer()
                             else str(x)
                         )
-                    out[i] = None if bad else "".join(parts)
+                    out[i] = "".join(parts)
                 return out
 
             return fc, False

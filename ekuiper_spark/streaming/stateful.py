@@ -39,6 +39,38 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+
+def _an_default(o):
+    """JSON encoder for fused-analytic state values: TIMESTAMP as tagged
+    epoch-micros, BINARY as tagged base64, numpy scalars via .item()."""
+    import base64
+    import datetime as _dt
+
+    if isinstance(o, (pd.Timestamp, np.datetime64, _dt.datetime)):
+        return {"__ts_us__": int(pd.Timestamp(o).value // 1000)}
+    if isinstance(o, (bytes, bytearray)):
+        return {"__b64__": base64.b64encode(bytes(o)).decode("ascii")}
+    if hasattr(o, "item"):
+        return o.item()
+    return str(o)
+
+
+def _an_decode(o):
+    """Inverse of _an_default over a decoded JSON tree: tagged dicts
+    become pd.Timestamp / bytes again so ring/carry values compare and
+    emit exactly like fresh Arrow-batch values."""
+    import base64
+
+    if isinstance(o, dict):
+        if set(o) == {"__ts_us__"}:
+            return pd.Timestamp(int(o["__ts_us__"]) * 1000)
+        if set(o) == {"__b64__"}:
+            return base64.b64decode(o["__b64__"])
+        return {k: _an_decode(v) for k, v in o.items()}
+    if isinstance(o, list):
+        return [_an_decode(v) for v in o]
+    return o
+
 __all__ = [
     "AggSpec",
     "window_agg_stream",
@@ -447,6 +479,12 @@ def window_agg_stream(
     emit_content: bool = False,
     winfuncs: Sequence[WinFuncSpec] = (),
     pre_analytics: Sequence = (),
+    pre_filter_col: Optional[str] = None,  # WHERE routed post-analytics:
+                                    # fused analytic state advances on ALL
+                                    # rows, then this boolean prunes rows
+                                    # BEFORE window formation (FilterPlan
+                                    # above AnalyticFuncsPlan below
+                                    # WindowPlan, planner.go:651-693)
     emit_trigger_us: bool = False,  # sliding-subgroup: emit the trigger
                                     # time (col unit) per output row
     frame_content: bool = False,    # plain non-agg sliding: emit the
@@ -522,12 +560,11 @@ def window_agg_stream(
     # batch (stream order) and the outputs flow into the window buffers
     # as virtual columns.  Only valid on a globally-keyed window op (the
     # reference's analytic state is global to the rule).
+    # pre_an + dims is sound ONLY when the analytics' OVER(PARTITION BY)
+    # keys equal the dims (per-key GroupState carries per-partition
+    # analytic state) — the translator enforces that equality before
+    # passing specs (translator._hoist_analytics_streaming)
     pre_an = list(pre_analytics)
-    if pre_an and dims:
-        raise NotImplementedError(
-            "fused pre-window analytics require a globally-keyed window "
-            "operator (analytic state is rule-global in the reference)"
-        )
     for s in pre_an:
         schema[s.out] = s.out_type
     order_cols = [c for c in order_cols if c in schema] or list(sdf.columns[:1])
@@ -547,6 +584,8 @@ def window_agg_stream(
     agg_in = [a.in_col for a in aggs if a.in_col is not None]
     ts_col = order_cols[0]
     keep_extra = [keep_col] if keep_col else []
+    if pre_filter_col:
+        keep_extra = keep_extra + [pre_filter_col]
     if kind == "sliding" and (delay_us or watermark_gated):
         needed = list(dict.fromkeys([ts_col] + agg_in + list(subgroups) + list(passthrough) + keep_extra))
     elif kind == "sliding":
@@ -878,19 +917,25 @@ def window_agg_stream(
             if v:
                 import json
 
-                return json.loads(v)
+                return _an_decode(json.loads(v))
         return {}
 
     def apply_pre_analytics(batch: pd.DataFrame, an_st: dict) -> pd.DataFrame:
         """Advance the fused analytic state over the sorted arriving
         batch, adding each spec's output as a virtual column (mutates
-        an_st in place)."""
+        an_st in place); then apply the deferred WHERE (pre_filter_col)
+        so window formation sees only passing rows while the analytic
+        state advanced on ALL of them."""
         if pre_an and len(batch):
             from ekuiper_spark.streaming.analytics import _vector_spec
 
             batch = batch.reset_index(drop=True)
             for i, s in enumerate(pre_an):
                 batch[s.out] = _vector_spec(s, an_st.setdefault(str(i), {}), batch)
+        if pre_filter_col is not None and len(batch):
+            batch = batch[
+                (batch[pre_filter_col] == True).to_numpy()  # noqa: E712
+            ].reset_index(drop=True)
         return batch
 
     def save_state(state: GroupState, emitted: int, is_open: bool, buf: dict, ws_open: int = -1, an_st: Optional[dict] = None) -> None:
@@ -912,15 +957,12 @@ def window_agg_stream(
 
             if an_st is None:
                 an_st = load_an(state)  # preserve (e.g. timeout paths)
-            # lag rings / latest carries hold numpy scalars from the
-            # arriving Arrow batch — JSON-encode via .item() (the
-            # translator gates non-JSON-safe input types at compile)
-            an_extra = [
-                json.dumps(
-                    an_st,
-                    default=lambda o: o.item() if hasattr(o, "item") else str(o),
-                )
-            ]
+            # lag rings / latest carries hold numpy scalars, pandas
+            # Timestamps, or bytes from the arriving Arrow batch —
+            # TIMESTAMP encodes as tagged epoch-micros and BINARY as
+            # tagged base64 so value-carrying state round-trips the
+            # checkpoint for every input type (decoded by _an_decode)
+            an_extra = [json.dumps(an_st, default=_an_default)]
         state.update(
             tuple(
                 [int(emitted), bool(is_open)]

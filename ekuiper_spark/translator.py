@@ -67,6 +67,7 @@ class TranslateCtx:
     grpord_col: Optional[str] = None  # group-formation-order col (row_number over GROUPS)
     grprank_partition: list = dc_field(default_factory=list)  # window-key cols post-agg
     grprank_col: Optional[str] = None  # precomputed group rank (streaming chained aggs)
+    rank_const1: set = dc_field(default_factory=set)  # row_number canon keys fixed at 1 (per-dim sessions)
     winfunc_map: dict = dc_field(default_factory=dict)  # canon row_number call -> stateful-op rank col
     pending_analytics: list = dc_field(default_factory=list)  # AnalyticSpecs fused into the stateful window op
     row_cols: list[str] = dc_field(default_factory=list)  # user-visible cols at agg input
@@ -87,6 +88,7 @@ class TranslateCtx:
     srf_err: Optional[Any] = None  # per-row SRF runtime error (SendError unnest nil)
     wm_col: Optional[str] = None  # hidden TIMESTAMP col carrying the watermark (long event cols)
     deferred_where: Optional[Any] = None  # WHERE kept ABOVE count/sliding windows (filters window CONTENT)
+    deferred_prefilter: Optional[str] = None  # WHERE routed into the stateful op post-analytics (fused-analytic state sees all rows)
     count_fast: bool = False  # aggregated COUNTWINDOW: fullness check + bounds on the post-agg frame
     flat_col_map: dict = dc_field(default_factory=dict)  # (qualified|bare) name -> flat column (post-stateful-join)
     finalized: bool = False  # source loading fully translated the statement
@@ -393,7 +395,32 @@ class Translator:
                 else:
                     ctx.deferred_where = pre
             elif pre is not None:
-                df = df.filter(self._expr(pre, ctx))
+                if (
+                    self.streaming
+                    and ctx.pending_analytics
+                    and _w is not None
+                    and (
+                        _w.kind == "state"
+                        or (_w.kind == "session" and len(_w.args) >= 2)
+                    )
+                    and not stmt.joins
+                ):
+                    # FilterPlan sits ABOVE AnalyticFuncsPlan but BELOW
+                    # WindowPlan (planner.go:651-693): FUSED analytics
+                    # must advance on ALL rows while the filter prunes
+                    # before window formation — a native filter here
+                    # would starve the in-op analytic state (7th real
+                    # fuzz catch).  Route the predicate into the op as a
+                    # post-analytic pre-filter column.
+                    df = df.withColumn(
+                        "__pref",
+                        F.coalesce(
+                            self._expr(pre, ctx).cast("boolean"), F.lit(False)
+                        ),
+                    )
+                    ctx.deferred_prefilter = "__pref"
+                else:
+                    df = df.filter(self._expr(pre, ctx))
             for c in agg_conjs:
                 stmt.having = c if stmt.having is None else Binary("AND", stmt.having, c)
             if hit_conjs:
@@ -981,26 +1008,40 @@ class Translator:
             # r10: the whole analytic family fuses (lag/latest/
             # changed_col/had_changed/changed_cols/acc_*) — the window op
             # advances the same _vector_spec state per arriving batch.
-            # State persists as JSON, so value-carrying kinds (lag ring,
-            # latest/changed carry) are limited to JSON-safe input types.
-            if parts:
+            # State persists as JSON; TIMESTAMP rides as tagged
+            # epoch-micros and BINARY as tagged base64 (stateful.py
+            # _an_default/_an_decode), so value-carrying kinds cross
+            # micro-batches for every input type.
+            # r11 partition-aware fusion: the op's per-key GroupState
+            # carries the analytic state, so fusion is sound exactly when
+            # the analytics' OVER(PARTITION BY) keys EQUAL the window's
+            # STATE keys — capped sessions key by the GROUP BY dims,
+            # STATEWINDOW by its partition args; COUNT/SLIDING run one
+            # global state partition (sliding dims are SUBGROUPS of a
+            # global frame, not state keys).  Coarser/finer keys would
+            # split or merge analytic partitions across op keys.
+            if w.kind == "session":
+                skeys = {canon(d) for d in (stmt.group.dims or [])}
+            elif w.kind == "state":
+                skeys = {
+                    canon(p)
+                    for p in (w.state_conds[2:] if w.state_conds else [])
+                }
+            else:  # count / sliding: one global state partition
+                skeys = set()
+            pset = {canon(p) for p in parts}
+            if pset != skeys:
                 raise NotImplementedError(
-                    "OVER (PARTITION BY ...) analytics cannot fuse into a "
-                    "stateful window (analytic state is rule-global)"
+                    "analytic functions fuse into a stateful window only "
+                    "when their OVER(PARTITION BY) keys EQUAL the "
+                    "window's state keys (capped-session GROUP BY dims / "
+                    "STATEWINDOW partition; none for COUNT/SLIDING): "
+                    "per-key op state is then exactly the per-partition "
+                    "analytic state (funcs_analytic.go:124-207); "
+                    "otherwise analytic state is rule-global — run the "
+                    "analytic in its own rule"
                 )
             df2 = df.withColumns(temps)
-            for s in specs:
-                if s.kind.startswith("acc_"):
-                    continue
-                for c in s.in_cols:
-                    dt = df2.schema[c].dataType
-                    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.BinaryType)):
-                        raise NotImplementedError(
-                            f"streaming {s.kind} over a {w.kind.upper()} "
-                            "window cannot carry TIMESTAMP/BINARY values "
-                            "across micro-batches (JSON state); cast the "
-                            "input or use a TUMBLING/HOPPING window"
-                        )
             ctx.pending_analytics = specs
             return df2
 
@@ -1153,7 +1194,10 @@ class Translator:
         ctx.source_aliases.add(left_alias.lower())
         ctx.source_order.append(left_alias)
         ctx.primary_alias = left_alias
+        consumed: set[int] = set()
         for j in stmt.joins:
+            if id(j) in consumed:
+                continue
             r_alias = j.alias or j.source
             if (
                 not self.streaming
@@ -1164,13 +1208,24 @@ class Translator:
                 and self._def_is_stream(j.source)
             ):
                 # batch replay of the reference's window-then-join order:
-                # the sliding window batches tuples from BOTH streams (by
+                # the sliding window batches tuples from ALL streams (by
                 # each stream's own arrival time), then the join runs over
                 # each window's contents (window_op.go merged inputs ->
-                # join_operator.go per-window scan).  A plain join + left-
-                # stream window is NOT equivalent: triggers come from both
-                # streams and pairs are gated per trigger frame.
-                df = self._batch_sliding_join(df, stmt, j, ctx, left_alias)
+                # join_operator.go per-window scan, left-deep for 3+
+                # streams).  A plain join + left-stream window is NOT
+                # equivalent: triggers come from every stream and pairs
+                # are gated per trigger frame.  Consecutive STREAM sides
+                # chain into one call; trailing scan/lookup sides join
+                # ungated below (side-input semantics).
+                idx0 = stmt.joins.index(j)
+                chain = [j]
+                for jj in stmt.joins[idx0 + 1:]:
+                    if self._def_is_stream(jj.source):
+                        chain.append(jj)
+                        consumed.add(id(jj))
+                    else:
+                        break
+                df = self._batch_sliding_join(df, stmt, chain, ctx, left_alias)
                 continue
             if self._is_stream_source(j.source) or (
                 not self.streaming
@@ -1240,30 +1295,34 @@ class Translator:
         return d is not None and d.kind == "stream"
 
     def _batch_sliding_join(
-        self, ldf: DataFrame, stmt: SelectStatement, j, ctx: TranslateCtx, left_alias: str
+        self, ldf: DataFrame, stmt: SelectStatement, joins: list, ctx: TranslateCtx, left_alias: str
     ) -> DataFrame:
-        """Batch per-event sliding window over a two-stream join, in the
+        """Batch per-event sliding window over a multi-stream join, in the
         reference's window-then-join order (window_op.go:593-619 scan over
         the MERGED inputs; join_operator.go:27-398 per-window join):
 
-        - every tuple from EITHER stream is a trigger; its frame is
+        - every tuple from ANY stream is a trigger; its frame is
           (t-L, t+D] over each stream's own event time,
         - the join runs within each trigger's frame contents (cross-frame
           pairs never meet; an empty join result emits nothing),
+        - 3+ streams chain LEFT-DEEP like evalJoinSets
+          (join_operator.go:282-398): ((s1 ⋈ s2) ⋈ s3)…, each step with
+          its own ON and kind,
         - downstream GROUP BY/HAVING/projection treat (trigger, frame) as
           the window collection (``ctx.join_sliding_keys``).
 
         Join shape: each side membership-joins the shared trigger relation
         on a W-bucket equi-key plus the range predicate (the
-        _sliding_membership_key technique), then the sides equi-join on
-        the trigger key + ON condition — all shuffles are keyed, no
-        global sort.  Only two streams are supported (the corpus shape);
-        a third stream raises.
+        _sliding_membership_key technique), then the sides equi-join
+        left-deep on the trigger key + each step's ON condition — all
+        shuffles are keyed, no global sort.
         """
         if ctx.join_sliding_keys:
             raise NotImplementedError(
-                "batch sliding-window join supports exactly two streams"
+                "batch sliding-window join chain already consumed"
             )
+        j = joins[0]
+        extras = list(joins[1:])
         w = stmt.group.window
         L = int(w.args[0] * UNIT_SECONDS[w.unit] * 1_000_000)
         D = int(w.args[1] * UNIT_SECONDS[w.unit] * 1_000_000) if len(w.args) > 1 else 0
@@ -1272,10 +1331,18 @@ class Translator:
         rdf = self.catalog.load(self.spark, j.source, streaming=False).alias(r_alias)
         ctx.source_aliases.add(r_alias.lower())
         ctx.source_order.append(r_alias)
-        if j.kind not in ("inner", "left", "right", "full", "cross"):
-            raise NotImplementedError(
-                f"sliding-window {j.kind} join is unsupported"
-            )
+        for _jk in joins:
+            if _jk.kind not in ("inner", "left", "right", "full", "cross"):
+                raise NotImplementedError(
+                    f"sliding-window {_jk.kind} join is unsupported"
+                )
+        extra_sides: list[tuple[str, DataFrame, str]] = []
+        for jj in extras:
+            a2 = jj.alias or jj.source
+            d2 = self.catalog.load(self.spark, jj.source, streaming=False).alias(a2)
+            ctx.source_aliases.add(a2.lower())
+            ctx.source_order.append(a2)
+            extra_sides.append((a2, d2, jj.source))
 
         def _ev_us(sdf: DataFrame, alias: str, name: str):
             d = self.catalog.get(name)
@@ -1314,10 +1381,10 @@ class Translator:
             )
         )
         if dyn_join:
-            if j.kind != "inner":
+            if j.kind != "inner" or extras:
                 raise NotImplementedError(
-                    "SendError sliding-window joins support INNER "
-                    "(join_operator.go:27-398 error semantics)"
+                    "SendError sliding-window joins support INNER over "
+                    "two streams (join_operator.go:27-398 error semantics)"
                 )
             # in-side scan order ids, assigned BEFORE the membership
             # explode so bucket duplicates of a row share one identity
@@ -1327,28 +1394,57 @@ class Translator:
         lu, l_long = _ev_us(ldf, left_alias, stmt.source)
         ru, _ = _ev_us(rdf, r_alias, j.source)
         # trigger relation: every arrival from both streams, row-unique
-        # (equal timestamps stay distinct windows)
-        trig = (
-            ldf.select(lu.alias("__tu"))
-            .unionAll(rdf.select(ru.alias("__tu")))
-            .withColumn("__ttid", F.monotonically_increasing_id())
-        )
+        # (equal timestamps stay distinct windows).  An OVER(WHEN)
+        # condition prunes trigger CANDIDATES per raw tuple with the
+        # other stream's fields nil -> false (isMatchCondition,
+        # window_op.go:757-784); pruned rows remain frame members.
+        ldf_t, rdf_t = ldf, rdf
+        gap_spec = None
         if w.trigger is not None:
-            # OVER (WHEN <src>.ts - last_hit_time() > K [or <other>.ts -
-            # last_hit_time() > K]): the reference evaluates the condition
-            # per raw tuple, where the OTHER stream's field is nil (false),
-            # so the disjunction collapses to a gap-throttle on the
-            # tuple's own event time over the MERGED trigger sequence
-            # (TestEventWindowRule3).  last_hit advances on trigger hits.
-            spec = self._join_gap_throttle_spec(w.trigger, l_long)
-            if spec is None:
-                raise NotImplementedError(
-                    "sliding-window join triggers support the "
-                    "'<stream>.ts - last_hit_time() > K' gap-throttle form "
-                    "(per-tuple trigger evaluation, window_op.go "
-                    "isMatchCondition)"
+            # `<src>.ts - last_hit_time() > K` disjunctions collapse to a
+            # sequential gap-throttle over the MERGED trigger order
+            # (TestEventWindowRule3; lastHit advances on trigger hits);
+            # any OTHER boolean evaluates statelessly per tuple
+            gap_spec = self._join_gap_throttle_spec(w.trigger, l_long)
+            if gap_spec is None:
+                if any(
+                    self._find_fn_calls(w.trigger, h) for h in self._HIT_FNS
+                ):
+                    raise NotImplementedError(
+                        "sliding-window join triggers combining last_hit_* "
+                        "with other predicates support only the "
+                        "'<stream>.ts - last_hit_time() > K' gap-throttle "
+                        "form (window_op.go isMatchCondition)"
+                    )
+                ldf_t = ldf.filter(
+                    self._trigger_nil_other(
+                        w.trigger, ctx, left_alias, list(ldf.columns), r_alias
+                    )
                 )
-            k_us, ge = spec
+                rdf_t = rdf.filter(
+                    self._trigger_nil_other(
+                        w.trigger, ctx, r_alias, list(rdf.columns), left_alias
+                    )
+                )
+        extra_us: list = []
+        trig_parts = [ldf_t.select(lu.alias("__tu")), rdf_t.select(ru.alias("__tu"))]
+        for a2, d2, nm2 in extra_sides:
+            eu, _ = _ev_us(d2, a2, nm2)
+            extra_us.append(eu)
+            d2t = d2
+            if w.trigger is not None and gap_spec is None:
+                d2t = d2.filter(
+                    self._trigger_nil_other(
+                        w.trigger, ctx, a2, list(d2.columns), ""
+                    )
+                )
+            trig_parts.append(d2t.select(eu.alias("__tu")))
+        trig = trig_parts[0]
+        for _p in trig_parts[1:]:
+            trig = trig.unionAll(_p)
+        trig = trig.withColumn("__ttid", F.monotonically_increasing_id())
+        if gap_spec is not None:
+            k_us, ge = gap_spec
             trig = self._sequential_throttle(
                 trig.select("__tu", "__ttid"), "__tu", k_us, ge
             )
@@ -1435,9 +1531,36 @@ class Translator:
             out = lm.join(rm, on=cond, how="inner")
         else:
             out = lm.join(rm, on=cond & self._expr(j.on, ctx), how=j.kind)
-        u = F.coalesce(F.col("__tu"), F.col("__tuR"))
+        # chain additional streams LEFT-DEEP (evalJoinSets,
+        # join_operator.go:282-398): each step equi-joins the accumulated
+        # set's (coalesced — outer steps may null it) trigger key against
+        # the new side's membership, plus the step's own ON condition
+        acc_key = F.coalesce(F.col("__tkey"), F.col("__tkR"))
+        tu_cols = [F.col("__tu"), F.col("__tuR")]
+        mu_cols = [F.col("__muL"), F.col("__muR")]
+        drop_extra: list[str] = []
+        for i, jj in enumerate(extras):
+            a2, d2, _nm2 = extra_sides[i]
+            eu = extra_us[i]
+            m2 = _members(d2, eu, f"__tk{i}", f"__tux{i}").withColumn(
+                f"__mux{i}", eu
+            )
+            condk = acc_key == F.col(f"__tk{i}")
+            if jj.kind == "cross":
+                out = out.join(m2, on=condk, how="inner")
+            else:
+                onc = (
+                    self._expr(jj.on, ctx) if jj.on is not None else F.lit(True)
+                )
+                out = out.join(m2, on=condk & onc, how=jj.kind)
+            acc_key = F.coalesce(acc_key, F.col(f"__tk{i}"))
+            tu_cols.append(F.col(f"__tux{i}"))
+            mu_cols.append(F.col(f"__mux{i}"))
+            drop_extra += [f"__tk{i}", f"__tux{i}", f"__mux{i}"]
+        u = F.coalesce(*tu_cols)
+        u_any = F.coalesce(*mu_cols)
         out = (
-            out.withColumn("__tkey", F.coalesce(F.col("__tkey"), F.col("__tkR")))
+            out.withColumn("__tkey", acc_key)
             .withColumn(
                 "window",
                 F.struct(
@@ -1446,16 +1569,19 @@ class Translator:
                 ),
             )
             # row order within a frame = reference join scan order: left
-            # tuples in window order, right tuples inner (JoinTuples) —
-            # used for first-of-frame raw columns in aggregated queries
+            # tuples in window order, then each joined side inner
+            # (JoinTuples, left-deep) — used for first-of-frame raw
+            # columns in aggregated queries
             .withColumn(
                 "__rowu",
                 F.struct(
-                    F.coalesce(F.col("__muL"), F.col("__muR")).alias("a"),
-                    F.coalesce(F.col("__muR"), F.col("__muL")).alias("b"),
+                    *[
+                        F.coalesce(c, u_any).alias(f"o{k}")
+                        for k, c in enumerate(mu_cols)
+                    ]
                 ),
             )
-            .drop("__tkR", "__tu", "__tuR", "__muL", "__muR")
+            .drop("__tkR", "__tu", "__tuR", "__muL", "__muR", *drop_extra)
         )
         ctx.join_sliding_keys = ["__tkey", "window"]
         ctx.window_col = "window"
@@ -1539,6 +1665,218 @@ class Translator:
         # carries every flat column) — schema-only, nothing executes
         dt = union.select(self._expr(node, ctx).alias("__probe")).schema[0].dataType
         return fn, dt
+
+    # calls that must never be hoisted out of their operator position:
+    # stateful/positional bookkeeping, window metadata, and the analytic
+    # family (hoisted through their own pre-pass, not this one)
+    _PD_NO_PRECOMPUTE = frozenset({
+        "last_hit_count", "last_hit_time", "last_agg_hit_count",
+        "last_agg_hit_time", "dedup_trigger", "get_keyed_state",
+        "set_keyed_state", "event_time", "rule_id", "rule_start",
+        "window_start", "window_end", "window_trigger", "row_number",
+        "lag", "latest", "changed_col", "had_changed", "changed_cols",
+    })
+
+    def _rewrite_singleside(self, node: Node, side_fn, attach, allow):
+        """Precompute maximal SINGLE-SIDE complex subtrees of a stateful-
+        join expression as native Catalyst columns upstream of the op, so
+        the in-op pdeval lane only evaluates the truly mixed-side glue
+        (operators/comparisons over the precomputed columns).  This is
+        how arbitrary scalar expressions reach join WHERE/ON/dims in
+        streaming: the reference evaluates the full valuer surface there
+        (internal/xsql/valuer.go:297-1283); here Catalyst — the fully
+        oracle-pinned lane — evaluates everything that belongs to one
+        side, which is every expression except those genuinely mixing
+        both streams inside one call.
+
+        ``side_fn(n)`` -> side token, "M" when mixed/unknown;
+        ``allow(n, side)`` gates null-extension-sensitive subtrees under
+        outer joins; ``attach(n, side)`` materializes the column and
+        returns the replacement ColumnRef.  Subtrees containing
+        aggregates, analytic OVER forms, or stateful/positional calls
+        are left untouched (their sites keep the honest raise)."""
+
+        def blocked(n: Node) -> bool:
+            hit = [False]
+
+            def walk(m: Node) -> None:
+                if hit[0] or m is None:
+                    return
+                if isinstance(m, FuncCall):
+                    if (
+                        m.name.lower() in self._PD_NO_PRECOMPUTE
+                        or m.when is not None
+                        or m.partition_by
+                        or m.order_by
+                        or fregistry.is_aggregate(m.name)
+                    ):
+                        hit[0] = True
+                        return
+                    for a in m.args:
+                        walk(a)
+                elif isinstance(m, Binary):
+                    walk(m.left)
+                    walk(m.right)
+                elif isinstance(m, Unary):
+                    walk(m.operand)
+                elif isinstance(m, CaseWhen):
+                    walk(m.operand)
+                    for c, v in m.whens:
+                        walk(c)
+                        walk(v)
+                    walk(m.else_)
+                elif isinstance(m, Index):
+                    walk(m.expr)
+                    walk(m.index)
+                elif isinstance(m, Slice):
+                    walk(m.expr)
+                    walk(m.lo)
+                    walk(m.hi)
+                elif isinstance(m, (Access, JsonPath)):
+                    walk(m.expr)
+                elif isinstance(m, InExpr):
+                    walk(m.expr)
+                    for i in m.items:
+                        walk(i)
+                    walk(m.set_expr)
+                elif isinstance(m, Between):
+                    walk(m.expr)
+                    walk(m.lo)
+                    walk(m.hi)
+                elif isinstance(m, Like):
+                    walk(m.expr)
+                    walk(m.pattern)
+
+            walk(n)
+            return hit[0]
+
+        def rw(n):
+            if n is None or isinstance(n, (Literal, ColumnRef, Wildcard)):
+                return n
+            if self._find_raw_cols(n) and not blocked(n):
+                s = side_fn(n)
+                if s != "M" and allow(n, s):
+                    return attach(n, s)
+            if isinstance(n, Binary):
+                return Binary(n.op, rw(n.left), rw(n.right))
+            if isinstance(n, Unary):
+                return Unary(n.op, rw(n.operand))
+            if isinstance(n, FuncCall):
+                if n.when is not None or n.partition_by or n.order_by:
+                    return n
+                return FuncCall(n.name, [rw(a) for a in n.args])
+            if isinstance(n, CaseWhen):
+                return CaseWhen(
+                    rw(n.operand) if n.operand is not None else None,
+                    [(rw(c), rw(v)) for c, v in n.whens],
+                    rw(n.else_) if n.else_ is not None else None,
+                )
+            if isinstance(n, InExpr):
+                return InExpr(
+                    rw(n.expr),
+                    [rw(i) for i in n.items],
+                    n.negated,
+                    rw(n.set_expr) if n.set_expr is not None else None,
+                )
+            if isinstance(n, Between):
+                return Between(rw(n.expr), rw(n.lo), rw(n.hi), n.negated)
+            if isinstance(n, Like):
+                return Like(rw(n.expr), n.pattern, n.negated, n.escape)
+            return n
+
+        return rw(node)
+
+    def _map_refs(self, node: Node, fn):
+        """Rebuild an expression tree with every ColumnRef passed through
+        ``fn`` (e.g. nil-substitution of the other stream's fields for
+        per-tuple trigger evaluation, window_op.go isMatchCondition)."""
+
+        def rw(n):
+            if n is None:
+                return None
+            if isinstance(n, ColumnRef):
+                return fn(n)
+            if isinstance(n, Literal):
+                return n
+            if isinstance(n, Binary):
+                return Binary(n.op, rw(n.left), rw(n.right))
+            if isinstance(n, Unary):
+                return Unary(n.op, rw(n.operand))
+            if isinstance(n, FuncCall):
+                out = FuncCall(n.name, [rw(a) for a in n.args])
+                out.partition_by = [rw(p) for p in n.partition_by]
+                out.order_by = n.order_by
+                out.when = rw(n.when)
+                return out
+            if isinstance(n, CaseWhen):
+                return CaseWhen(
+                    rw(n.operand),
+                    [(rw(c), rw(v)) for c, v in n.whens],
+                    rw(n.else_),
+                )
+            if isinstance(n, InExpr):
+                return InExpr(
+                    rw(n.expr), [rw(i) for i in n.items], n.negated,
+                    rw(n.set_expr),
+                )
+            if isinstance(n, Between):
+                return Between(rw(n.expr), rw(n.lo), rw(n.hi), n.negated)
+            if isinstance(n, Like):
+                return Like(rw(n.expr), rw(n.pattern), n.negated, n.escape)
+            if isinstance(n, Index):
+                return Index(rw(n.expr), rw(n.index))
+            if isinstance(n, Slice):
+                return Slice(rw(n.expr), rw(n.lo), rw(n.hi))
+            if isinstance(n, Access):
+                return Access(rw(n.expr), n.fieldname)
+            if isinstance(n, JsonPath):
+                return JsonPath(rw(n.expr), n.path)
+            return n
+
+        return rw(node)
+
+    def _trigger_nil_other(
+        self, trigger: Node, ctx: TranslateCtx,
+        own_alias: str, own_cols: list, other_alias: str,
+    ) -> Column:
+        """Compile an OVER(WHEN) trigger condition for raw tuples of ONE
+        side: the reference's isMatchCondition evaluates the boolean per
+        arriving tuple, where the OTHER stream's fields resolve to nil
+        (-> condition false, window_op.go:757-784).  Refs owned by this
+        side keep their resolution; everything else becomes NULL, and the
+        whole condition coalesces to false."""
+        own_l = own_alias.lower()
+
+        def sub(ref: ColumnRef) -> Node:
+            s = (ref.source or "").lower()
+            if s == own_l or (not s and ref.name in own_cols):
+                return ref
+            return Literal(None)
+
+        node = self._map_refs(self._inline_aliases(trigger, ctx), sub)
+        return F.coalesce(self._expr(node, ctx).cast("boolean"), F.lit(False))
+
+    def _nullrow_yields_null(self, node: Node, ctx: TranslateCtx, union: DataFrame) -> bool:
+        """Does the expression evaluate to NULL over an all-null row?
+        When yes, precomputing it per side is sound under outer-join
+        null extension: the in-op evaluation over a null-extended side
+        would also be null, which is exactly what the missing
+        precomputed column yields.  When no (e.g. ``coalesce(l.x, 0)``),
+        the precomputed column's null on extended rows would DRIFT from
+        the reference's joined-tuple evaluation — the caller must keep
+        the in-op lane or raise.  One driver-side 1-row job, compile
+        time only."""
+        try:
+            schema = T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in union.schema.fields]
+            )
+            row = self.spark.createDataFrame(
+                [tuple([None] * len(schema.fields))], schema
+            )
+            v = row.select(self._expr(node, ctx).alias("__p")).collect()[0][0]
+            return v is None
+        except Exception:
+            return False
 
     def _split_on_conjuncts(self, node, ctx: TranslateCtx, la: str, ra: str):
         """Split a join ON condition into (equi pairs, residual node).
@@ -1770,20 +2108,49 @@ class Translator:
                     pair_keep_cols.append("__rkeep")
                 lcols, rcols = list(ldf.columns), list(rdf.columns)
                 where_pre = None
+        # OVER(WHEN) trigger: gap-throttle compiles to the op's sequential
+        # last-hit gate; ANY OTHER boolean evaluates per raw arrival with
+        # the other stream's fields nil (isMatchCondition,
+        # window_op.go:757-784) — natively per side, packed as a __twhen
+        # flag the op reads when choosing trigger candidates (false rows
+        # remain frame MEMBERS)
+        throttle_spec = None
+        trig_flag_l = trig_flag_r = None
+        if w.trigger is not None:
+            throttle_spec = self._join_gap_throttle_spec(w.trigger, l_long)
+            if throttle_spec is None:
+                if any(
+                    self._find_fn_calls(w.trigger, h) for h in self._HIT_FNS
+                ):
+                    raise NotImplementedError(
+                        "sliding-window join triggers combining last_hit_* "
+                        "with other predicates support only the "
+                        "'<stream>.ts - last_hit_time() > K' gap-throttle "
+                        "form (window_op.go isMatchCondition)"
+                    )
+                trig_flag_l = self._trigger_nil_other(
+                    w.trigger, ctx, left_alias, lcols, r_alias
+                )
+                trig_flag_r = self._trigger_nil_other(
+                    w.trigger, ctx, r_alias, rcols, left_alias
+                )
         rflat = {c: f"__r_{c}" for c in rcols}
         lsel = ldf.select(
             F.lit("L").alias("__src"),
             lu.cast("long").alias("__u"),
             *[F.col(f"{left_alias}.{c}").alias(c) for c in lcols],
             *[F.lit(None).cast(rdf.schema[c].dataType).alias(rflat[c]) for c in rcols],
+            *([trig_flag_l.alias("__twhen")] if trig_flag_l is not None else []),
         )
         rsel = rdf.select(
             F.lit("R").alias("__src"),
             ru.cast("long").alias("__u"),
             *[F.lit(None).cast(ldf.schema[c].dataType).alias(c) for c in lcols],
             *[F.col(f"{r_alias}.{c}").alias(rflat[c]) for c in rcols],
+            *([trig_flag_r.alias("__twhen")] if trig_flag_r is not None else []),
         )
         union = lsel.unionByName(rsel)
+        trigger_col = "__twhen" if trig_flag_l is not None else None
         fm: dict[str, str] = {}
         for c in lcols:
             fm[f"{left_alias.lower()}.{c.lower()}"] = c
@@ -1810,6 +2177,7 @@ class Translator:
         pairs: list[tuple[str, str]] = []
         non_equi_on = None   # residual filtered NATIVELY downstream (INNER content)
         on_filter = None     # residual filtered IN-OP (outer / aggregated kinds)
+        on_residual_node = None  # deferred: compiled once _pd_auto exists
         if j.kind != "cross":
             pairs, residual = self._split_on_conjuncts(j.on, ctx, left_alias, r_alias)
             if residual is not None:
@@ -1823,32 +2191,15 @@ class Translator:
                     # aggregates must count post-ON pairs: the residual
                     # compiles to a pdeval lane the op evaluates on the
                     # candidate pairs before null-extension
-                    # (join_operator.go per-kind match loops)
-                    try:
-                        on_filter, _ = self._pd_closure(residual, ctx, union, fm)
-                    except NotImplementedError as e:
-                        raise NotImplementedError(
-                            f"streaming sliding {j.kind} join ON uses an "
-                            f"expression outside the in-op subset ({e}); "
-                            "batch mode supports arbitrary conditions"
-                        ) from None
+                    # (join_operator.go per-kind match loops) — compiled
+                    # below via _pd_auto (single-side subtrees precompute
+                    # natively; only mixed glue stays in-op)
+                    on_residual_node = residual
         lkeys = [p[0] for p in pairs]
         rkeys = [rflat[p[1]] for p in pairs]
 
-        throttle_spec = None
-        if w.trigger is not None:
-            # OVER (WHEN ts - last_hit_time() > K): same gap-throttle form
-            # as the batch path (window_op.go isMatchCondition)
-            throttle_spec = self._join_gap_throttle_spec(w.trigger, l_long)
-            if throttle_spec is None:
-                raise NotImplementedError(
-                    "sliding-window join triggers support the "
-                    "'<stream>.ts - last_hit_time() > K' gap-throttle form "
-                    "(per-tuple trigger evaluation, window_op.go "
-                    "isMatchCondition)"
-                )
-            # spec K is micros; __u is micros for both long-ms and
-            # timestamp event columns (see _ev above)
+        # (throttle_spec / trigger_col computed above, pre-pack; spec K is
+        # micros — __u is micros for both long-ms and timestamp columns)
         specs: list[JoinAggSpec] = []
         extra_left: list[str] = []
         extra_right: list[str] = []
@@ -1891,10 +2242,70 @@ class Translator:
         merged_cols: list[tuple] = []   # (name, pdeval closure) for in-op eval
         merged_types: dict[str, T.DataType] = {}
 
+        # sides whose rows can arrive NULL-EXTENDED in the joined frame:
+        # a precomputed column from such a side is null there, which only
+        # matches the reference when the expression itself is null over
+        # an all-null row (see _nullrow_yields_null)
+        _ext_sides = {
+            "left": {"R"}, "right": {"L"}, "full": {"L", "R"}
+        }.get(j.kind, set())
+        _pc_n = [0]
+
+        def _pd_auto(node: Node, null_extend_sensitive: bool):
+            """pdeval compile with the single-side precompute fallback:
+            direct compile first (keeps existing plans byte-identical);
+            on UnsupportedExpr, rewrite maximal single-side subtrees into
+            native Catalyst columns buffered through the op and retry
+            with only the mixed-side glue in-op."""
+            nonlocal nonlocal_union
+            node = self._inline_aliases(node, ctx)
+            try:
+                return self._pd_closure(node, ctx, nonlocal_union, fm)
+            except NotImplementedError:
+                pass
+
+            def side_fn(n: Node) -> str:
+                try:
+                    return owner_of(n)
+                except Exception:
+                    return "M"
+
+            def allow(n: Node, side: str) -> bool:
+                if not null_extend_sensitive or side not in _ext_sides:
+                    return True
+                return self._nullrow_yields_null(n, ctx, nonlocal_union)
+
+            def attach(n: Node, side: str) -> ColumnRef:
+                nonlocal nonlocal_union
+                name = f"__pc{_pc_n[0]}"
+                _pc_n[0] += 1
+                nonlocal_union = nonlocal_union.withColumn(
+                    name, self._expr(n, ctx)
+                )
+                fm[name] = name
+                (extra_right if side == "R" else extra_left).append(name)
+                return ColumnRef(name=name)
+
+            node2 = self._rewrite_singleside(node, side_fn, attach, allow)
+            return self._pd_closure(node2, ctx, nonlocal_union, fm)
+
+        if on_residual_node is not None:
+            try:
+                # ON evaluates on candidate pairs BEFORE null-extension
+                # (join_operator.go match loops), so single-side
+                # precompute is always sound here
+                on_filter, _ = _pd_auto(on_residual_node, False)
+            except NotImplementedError as e:
+                raise NotImplementedError(
+                    f"streaming sliding {j.kind} join ON uses a "
+                    f"mixed-side expression outside the in-op subset "
+                    f"({e}); batch mode supports arbitrary conditions"
+                ) from None
+
         def _merged_input(node: Node, name: str, what: str) -> None:
             """Register a mixed-side expression as an in-op merged column."""
             try:
-                fnc, dt = self._pd_closure(node, ctx, nonlocal_union, fm)
+                fnc, dt = _pd_auto(node, True)
             except NotImplementedError as e:
                 raise NotImplementedError(
                     f"streaming sliding-join {what} uses a mixed-side "
@@ -2020,12 +2431,12 @@ class Translator:
         )
         if _where_in_op:
             try:
-                where_filter, _ = self._pd_closure(where_pre, ctx, nonlocal_union, fm)
+                where_filter, _ = _pd_auto(where_pre, True)
             except NotImplementedError as e:
                 raise NotImplementedError(
                     f"WHERE over this streaming sliding join needs in-op "
-                    f"evaluation but uses an expression outside the in-op "
-                    f"subset ({e}); batch mode supports it"
+                    f"evaluation but uses a mixed-side expression outside "
+                    f"the in-op subset ({e}); batch mode supports it"
                 ) from None
             where_pre = None
 
@@ -2133,6 +2544,7 @@ class Translator:
                 aggs=specs + having_specs,
                 delay=delay_us,
                 throttle=throttle_spec,
+                trigger_col=trigger_col,
                 pair_keep=[
                     ("__lkeep" if c == "__lkeep" else rflat["__rkeep"])
                     for c in pair_keep_cols
@@ -2156,6 +2568,7 @@ class Translator:
                 aggs=None,
                 delay=delay_us,
                 throttle=throttle_spec,
+                trigger_col=trigger_col,
                 attach_aggs=having_specs or None,
                 cross_pairs=non_equi_on is not None and not lkeys,
                 merged_cols=merged_cols or None,
@@ -2495,12 +2908,122 @@ class Translator:
 
         side_cols = [(s[0], [s[4][c] for c in s[3]]) for s in sides]
 
+        # ---- post-union pdeval compilation (mixed dims, ON residuals,
+        # in-op WHERE) — the union carries every flat column, so Catalyst
+        # types the expressions and the closures resolve through fm ------
+        cw_int_types = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        cw_int_cols = {nm for nm, dt in all_flat if isinstance(dt, cw_int_types)}
+        # flat column -> owning side tag, for the single-side precompute
+        # fallback (sliding-join parity: valuer.go evaluates the full
+        # expression surface between JoinOp and ProjectOp)
+        cw_owner = {s[4][c]: s[0] for s in sides for c in s[3]}
+        # sides a chain step can null-extend: a LEFT step extends its NEW
+        # side, RIGHT extends every earlier side, FULL both
+        cw_ext_tags: set = set()
+        for _i, _j in enumerate(stream_joins):
+            if _j.kind in ("left", "full"):
+                cw_ext_tags.add(sides[_i + 1][0])
+            if _j.kind in ("right", "full"):
+                cw_ext_tags.update(s[0] for s in sides[: _i + 1])
+        side_cols = [(t, list(cs)) for t, cs in side_cols]
+        _cw_pc = [0]
+
+        def _cw_closure(
+            node: Node, what: str, avail: Optional[set] = None,
+            null_extend_sensitive: bool = True,
+        ):
+            from ekuiper_spark.streaming.pdeval import compile_pd
+
+            nonlocal union
+            node2 = self._inline_aliases(node, ctx)
+
+            def resolve(ref: ColumnRef) -> Optional[str]:
+                k = (
+                    f"{ref.source.lower()}.{ref.name.lower()}"
+                    if ref.source else ref.name.lower()
+                )
+                flat2 = fm.get(k)
+                if flat2 is not None and avail is not None and flat2 not in avail:
+                    raise NotImplementedError(
+                        f"ON condition references a side joined LATER in "
+                        f"the chain ({ref.name})"
+                    )
+                return flat2
+
+            def _compile(n2: Node):
+                fnc2 = compile_pd(n2, resolve, int_cols=cw_int_cols)
+                dt2 = union.select(
+                    self._expr(n2, ctx).alias("__p")
+                ).schema[0].dataType
+                return fnc2, dt2
+
+            try:
+                return _compile(node2)
+            except NotImplementedError as first_err:
+                avail_tags = (
+                    {cw_owner[f2] for f2 in avail if f2 in cw_owner}
+                    if avail is not None
+                    else {s[0] for s in sides}
+                )
+
+                def side_fn(n: Node) -> str:
+                    tags = set()
+                    for ref in self._find_raw_cols(n):
+                        k = (
+                            f"{ref.source.lower()}.{ref.name.lower()}"
+                            if ref.source else ref.name.lower()
+                        )
+                        flat2 = fm.get(k)
+                        t2 = cw_owner.get(flat2) if flat2 else None
+                        if t2 is None or t2 not in avail_tags:
+                            return "M"
+                        tags.add(t2)
+                    return tags.pop() if len(tags) == 1 else "M"
+
+                def allow(n: Node, side: str) -> bool:
+                    if not null_extend_sensitive or side not in cw_ext_tags:
+                        return True
+                    return self._nullrow_yields_null(n, ctx, union)
+
+                def attach(n: Node, side: str) -> ColumnRef:
+                    nonlocal union
+                    name = f"__cpc{_cw_pc[0]}"
+                    _cw_pc[0] += 1
+                    col = self._expr(n, ctx)
+                    dt2 = union.select(col.alias(name)).schema[0].dataType
+                    union = union.withColumn(name, col)
+                    fm[name] = name
+                    if isinstance(dt2, cw_int_types):
+                        cw_int_cols.add(name)
+                    for _t, _cs in side_cols:
+                        if _t == side:
+                            _cs.append(name)
+                    cw_owner[name] = side
+                    if avail is not None:
+                        avail.add(name)
+                    return ColumnRef(name=name)
+
+                try:
+                    node3 = self._rewrite_singleside(
+                        node2, side_fn, attach, allow
+                    )
+                    return _compile(node3)
+                except NotImplementedError:
+                    raise NotImplementedError(
+                        f"COUNT window join {what} uses a mixed-side "
+                        f"expression outside the in-op subset "
+                        f"({first_err}); rewrite or use a time window"
+                    ) from None
+
+
         # ---- aggregate vs content mode -----------------------------------
         agg_nodes: dict[str, FuncCall] = {}
         for f in stmt.fields:
             for a in self._find_aggs(f.expr):
                 agg_nodes.setdefault(canon(a), a)
         specs: list[JoinAggSpec] = []
+        cw_merged_cols: list[tuple] = []
+        cw_merged_types: dict[str, T.DataType] = {}
 
         def _agg_spec_arg2(call: FuncCall, op: str):
             if op not in self._JOIN_AGG_ARG_OPS:
@@ -2521,17 +3044,24 @@ class Translator:
             in_col = None
             if args:
                 ref = args[0]
-                if not isinstance(ref, ColumnRef):
-                    raise NotImplementedError(
-                        "COUNT window join aggregates take plain columns"
+                if isinstance(ref, ColumnRef):
+                    k = (
+                        f"{ref.source.lower()}.{ref.name.lower()}"
+                        if ref.source else ref.name.lower()
                     )
-                k = (
-                    f"{ref.source.lower()}.{ref.name.lower()}"
-                    if ref.source else ref.name.lower()
-                )
-                in_col = fm.get(k)
-                if in_col is None:
-                    raise ValueError(f"unknown column {ref.name}")
+                    in_col = fm.get(k)
+                    if in_col is None:
+                        raise ValueError(f"unknown column {ref.name}")
+                else:
+                    # expression input (sliding-join parity): compile via
+                    # the in-op lane — the single-side precompute fallback
+                    # inside _cw_closure materializes everything that
+                    # belongs to one side natively; only mixed glue stays
+                    # in-op as a merged column
+                    in_col = f"__min{len(cw_merged_cols)}"
+                    fnc, dt = _cw_closure(ref, "aggregate input")
+                    cw_merged_cols.append((in_col, fnc))
+                    cw_merged_types[in_col] = dt
             return JoinAggSpec(op, in_col, out_name, _agg_spec_arg2(call, op))
 
         # HAVING aggregates compute in-op (spec outputs in aggregate mode,
@@ -2569,42 +3099,6 @@ class Translator:
                     having_specs.append(JoinAggSpec("first", flat, out_name))
                     ctx.dim_map[key] = out_name
 
-        # ---- post-union pdeval compilation (mixed dims, ON residuals,
-        # in-op WHERE) — the union carries every flat column, so Catalyst
-        # types the expressions and the closures resolve through fm ------
-        cw_int_types = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
-        cw_int_cols = {nm for nm, dt in all_flat if isinstance(dt, cw_int_types)}
-
-        def _cw_closure(node: Node, what: str, avail: Optional[set] = None):
-            from ekuiper_spark.streaming.pdeval import compile_pd
-
-            node2 = self._inline_aliases(node, ctx)
-
-            def resolve(ref: ColumnRef) -> Optional[str]:
-                k = (
-                    f"{ref.source.lower()}.{ref.name.lower()}"
-                    if ref.source else ref.name.lower()
-                )
-                flat2 = fm.get(k)
-                if flat2 is not None and avail is not None and flat2 not in avail:
-                    raise NotImplementedError(
-                        f"ON condition references a side joined LATER in "
-                        f"the chain ({ref.name})"
-                    )
-                return flat2
-
-            try:
-                fnc = compile_pd(node2, resolve, int_cols=cw_int_cols)
-            except NotImplementedError as e:
-                raise NotImplementedError(
-                    f"COUNT window join {what} uses an expression outside "
-                    f"the in-op subset ({e}); rewrite or use a time window"
-                ) from None
-            dt = union.select(self._expr(node2, ctx).alias("__p")).schema[0].dataType
-            return fnc, dt
-
-        cw_merged_cols: list[tuple] = []
-        cw_merged_types: dict[str, T.DataType] = {}
         for d, kn in cw_mixed_dims:
             fnc, dt = _cw_closure(d, "GROUP BY dim")
             cw_merged_cols.append((kn, fnc))
@@ -2613,7 +3107,9 @@ class Translator:
             rnode = spec2.pop("__residual", None)
             avail = spec2.pop("__avail", None)
             if rnode is not None:
-                spec2["on_fn"], _ = _cw_closure(rnode, "non-equi ON", avail)
+                spec2["on_fn"], _ = _cw_closure(
+                    rnode, "non-equi ON", avail, null_extend_sensitive=False
+                )
         cw_where_filter = None
         if where_pre is not None and (
             agg_nodes or cw_sub_info
@@ -2782,6 +3278,18 @@ class Translator:
             # per-event sliding joins have no bucket for Spark's join
             # state eviction — route through the reference-style stateful
             # window+join chain (streaming/joinstate.py)
+            n_streams = 1 + sum(
+                1 for jj in stmt.joins if self._def_is_stream(jj.source)
+            )
+            if n_streams > 2:
+                raise NotImplementedError(
+                    "streaming sliding-window joins support two streams: "
+                    "the window+join chain runs in ONE stateful op (Spark "
+                    "allows a single applyInPandasWithState per query) "
+                    "whose joined-frame state is two-sided; batch mode "
+                    "chains 3+ streams left-deep (evalJoinSets, "
+                    "join_operator.go:282-398)"
+                )
             return self._streaming_sliding_join(df, stmt, j, ctx, left_alias)
         if window is None or window.kind not in ("tumbling", "hopping"):
             raise NotImplementedError(
@@ -3224,40 +3732,136 @@ class Translator:
                     "stateful aggregations run append-mode); set the "
                     "rule's lateTolerance option"
                 )
-            rn_over = any(
-                c2.partition_by or c2.order_by
-                for f2 in stmt.fields
-                for c2 in self._find_fn_calls(f2.expr, "row_number")
-            )
-            if rn_over:
-                raise NotImplementedError(
-                    "row_number OVER keys with GROUP BY dims over a "
-                    "streaming time window are unsupported (formation-"
-                    "order rank only; batch supports OVER keys)"
-                )
             if "window" not in gdf.columns:
                 raise NotImplementedError(
                     "streaming group-rank needs the native window column"
                 )
+            rn_list = [
+                c2
+                for f2 in stmt.fields
+                for c2 in self._find_fn_calls(f2.expr, "row_number")
+            ]
+            over_specs = {
+                repr((
+                    [canon(p) for p in c2.partition_by],
+                    [(canon(s.expr), s.asc) for s in c2.order_by],
+                ))
+                for c2 in rn_list
+            }
+            if len(over_specs) > 1:
+                raise NotImplementedError(
+                    "multiple row_number calls with DIFFERENT OVER specs "
+                    "over a streaming grouped time window are unsupported "
+                    "(one precomputed rank per window; split the rule)"
+                )
+            rn_call = rn_list[0] if rn_list else None
+            rn_over = rn_call is not None and bool(
+                rn_call.partition_by or rn_call.order_by
+            )
             other_cols = [c for c in gdf.columns if c != "window"]
-            packed = F.struct(
-                F.col(ctx.grpord_col).alias("__o0"),
-                *[F.col(c).alias(c) for c in other_cols if c != ctx.grpord_col],
-            )
-            g2 = gdf.groupBy("window").agg(
-                F.sort_array(F.collect_list(packed)).alias("__gs")
-            )
-            gdf = g2.select(
-                "window", F.posexplode("__gs").alias("__pos", "__g")
-            ).select(
-                "window",
-                *[
-                    F.col(f"__g.{c}").alias(c)
-                    for c in other_cols
-                    if c != ctx.grpord_col
-                ],
-                (F.col("__pos") + F.lit(1)).alias("__grprank"),
-            )
+            if not rn_over:
+                # formation-order rank: sort_array on the __o0-first
+                # struct (unchanged plan)
+                packed = F.struct(
+                    F.col(ctx.grpord_col).alias("__o0"),
+                    *[F.col(c).alias(c) for c in other_cols if c != ctx.grpord_col],
+                )
+                g2 = gdf.groupBy("window").agg(
+                    F.sort_array(F.collect_list(packed)).alias("__gs")
+                )
+                gdf = g2.select(
+                    "window", F.posexplode("__gs").alias("__pos", "__g")
+                ).select(
+                    "window",
+                    *[
+                        F.col(f"__g.{c}").alias(c)
+                        for c in other_cols
+                        if c != ctx.grpord_col
+                    ],
+                    (F.col("__pos") + F.lit(1)).alias("__grprank"),
+                )
+            else:
+                # r11: row_number OVER keys — rank the GROUPS by the OVER
+                # sort fields evaluated on the group row (nil keys last in
+                # both directions, formation-order tie-break; batch parity
+                # windowfunc_operator.go:27-160).  array_sort with an
+                # explicit comparator handles DESC/nulls-last, which the
+                # lexicographic sort_array cannot; PARTITION BY keys reset
+                # the rank within the window via a null-safe prefix count.
+                was_post2, cur2 = ctx.post_agg, self._cur_df
+                ctx.post_agg = True
+                self._cur_df = gdf
+                pk_cols = [
+                    self._expr(p, ctx).alias(f"p{i2}")
+                    for i2, p in enumerate(rn_call.partition_by)
+                ]
+                ok_cols = [
+                    (self._expr(s.expr, ctx), s.asc)
+                    for s in rn_call.order_by
+                ]
+                ctx.post_agg, self._cur_df = was_post2, cur2
+                packed = F.struct(
+                    F.struct(*pk_cols).alias("__pk")
+                    if pk_cols
+                    else F.lit(0).alias("__pk"),
+                    *[c.alias(f"__ok{i2}") for i2, (c, _a) in enumerate(ok_cols)],
+                    F.col(ctx.grpord_col).alias("__o0"),
+                    *[F.col(c).alias(c) for c in other_cols if c != ctx.grpord_col],
+                )
+
+                def _cmp(lft, rgt):
+                    keys = [
+                        (lft[f"__ok{i2}"], rgt[f"__ok{i2}"], asc)
+                        for i2, (_c, asc) in enumerate(ok_cols)
+                    ] + [(lft["__o0"], rgt["__o0"], True)]
+                    out = F.lit(0)
+                    for kl, kr, asc in reversed(keys):
+                        lo, hi = (F.lit(-1), F.lit(1)) if asc else (F.lit(1), F.lit(-1))
+                        out = (
+                            F.when(kl.isNull() & kr.isNull(), out)
+                            .when(kl.isNull(), F.lit(1))   # nils LAST both ways
+                            .when(kr.isNull(), F.lit(-1))
+                            .when(kl < kr, lo)
+                            .when(kl > kr, hi)
+                            .otherwise(out)
+                        )
+                    return out
+
+                g2 = gdf.groupBy("window").agg(
+                    F.collect_list(packed).alias("__gs0")
+                ).withColumn(
+                    "__gs", F.array_sort("__gs0", _cmp)
+                ).drop("__gs0")
+                if pk_cols:
+                    # rank within (window, partition keys): count of
+                    # same-partition groups in the sorted prefix
+                    g2 = g2.withColumn(
+                        "__rk",
+                        F.expr(
+                            "transform(__gs, (x, i) -> size(filter("
+                            "slice(__gs, 1, i + 1), y -> y.__pk <=> x.__pk)))"
+                        ),
+                    )
+                else:
+                    g2 = g2.withColumn(
+                        "__rk",
+                        F.expr("transform(__gs, (x, i) -> i + 1)"),
+                    )
+                hide = {ctx.grpord_col, "__pk", "__o0"} | {
+                    f"__ok{i2}" for i2 in range(len(ok_cols))
+                }
+                gdf = g2.select(
+                    "window",
+                    F.posexplode(F.arrays_zip("__gs", "__rk")).alias("__pos", "__z"),
+                ).select(
+                    "window",
+                    *[
+                        F.col(f"__z.__gs.{c}").alias(c)
+                        for c in other_cols
+                        if c not in hide
+                    ],
+                    F.col("__z.__rk").cast("int").alias("__grprank"),
+                )
             ctx.grprank_col = "__grprank"
         ctx.post_agg = True
         # emission ordering for post-agg positional funcs
@@ -3665,11 +4269,15 @@ class Translator:
                 # specs are built below
                 grp_rank_pending = list(rn_calls.items())
             elif window.kind == "session":
-                raise NotImplementedError(
-                    "row_number over a streaming capped SESSION window with "
-                    "GROUP BY dims is unsupported (sessions are keyed by "
-                    "the dims here; batch supports it)"
-                )
+                # the dims KEY the sessionizer (engine-wide convention,
+                # batch included — `_grouped` materializes dims before the
+                # session gaps-and-islands partition), so every emitted
+                # window holds exactly ONE group and the group rank is
+                # constant 1 in both modes (batch-verified; the reference's
+                # global-session + cross-dim rank shape doesn't arise
+                # under per-dim sessions)
+                for ckey in rn_calls:
+                    ctx.rank_const1.add(ckey)
             # else: aggregated SELECT without dims — the rank of the
             # collection's first row is 1 (rowNumberFuncHandle assigns
             # 1..n per content row; the aggregate projection reads
@@ -3755,6 +4363,9 @@ class Translator:
             )
             kw["keep_col"] = "__keep"
             ctx.deferred_where = None
+        if ctx.deferred_prefilter is not None:
+            kw["pre_filter_col"] = ctx.deferred_prefilter
+            ctx.deferred_prefilter = None
         out = window_agg_stream(
             df,
             window.kind,
@@ -6284,6 +6895,10 @@ class Translator:
             return F.lit(None if val is None else str(val))
 
         if name == "row_number":
+            if canon(call) in ctx.rank_const1:
+                # per-dim capped sessions: one group per emitted window,
+                # so the group rank is constant 1 (batch parity)
+                return F.lit(1)
             if canon(call) in ctx.winfunc_map:
                 # streaming stateful window: rank already computed inside
                 # the stateful operator (see _streaming_stateful_grouped)

@@ -438,3 +438,84 @@ def test_count_window_join_lifted_matrix(spark, tmp_path):
             ).collect()
         )
         assert b == s and len(b) > 0, sql
+
+
+def test_count_window_join_arbitrary_exprs(spark, tmp_path):
+    """r11 (sliding-join parity): arbitrary scalar expressions reach
+    COUNT-window-join WHERE/ON/dims/aggregate-inputs via the single-side
+    precompute fallback (native Catalyst columns buffered through the
+    op; only mixed glue stays in-op), and aggregate inputs accept
+    EXPRESSIONS, not just plain columns; streaming == batch."""
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    base = str(tmp_path / "cwx")
+    demo_rows = [
+        ("red", 50, 1541152486013), ("blue", 58, 1541152486822),
+        ("red", 49, 1541152487632), ("yellow", 51, 1541152488442),
+        ("red", 48, 1541152489252), ("blue", 52, 1541152490062),
+    ]
+    demo1_rows = [
+        (25.5, 65, 1541152486013), (27.5, 59, 1541152486822),
+        (28.1, 75, 1541152487632), (27.4, 80, 1541152488442),
+        (25.5, 62, 1541152489252), (26.2, 66, 1541152490062),
+    ]
+    spark.createDataFrame(demo_rows, "color string, size long, ts long").coalesce(1).write.parquet(base + "/a")
+    spark.createDataFrame(demo1_rows, "temp double, hum long, ts long").coalesce(1).write.parquet(base + "/b")
+
+    def cats(streaming):
+        c = Catalog()
+        if streaming:
+            c.register_df("demo", spark.readStream.schema("color string, size long, ts long").parquet(base + "/a"))
+            c.register_df("demo1", spark.readStream.schema("temp double, hum long, ts long").parquet(base + "/b"))
+        else:
+            c.register_df("demo", spark.read.parquet(base + "/a"))
+            c.register_df("demo1", spark.read.parquet(base + "/b"))
+        c.register(StreamDef(name="demo", kind="stream"))
+        c.register(StreamDef(name="demo1", kind="stream"))
+        return c
+
+    for sql, cols in [
+        (
+            # non-subset scalar in WHERE (upper precomputes on demo)
+            "SELECT count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts WHERE upper(color) = 'RED' "
+            "GROUP BY COUNTWINDOW(6)",
+            ["c"],
+        ),
+        (
+            # non-subset scalar dim
+            "SELECT lpad(color, 6) AS k, count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY COUNTWINDOW(6), lpad(color, 6)",
+            ["k", "c"],
+        ),
+        (
+            # EXPRESSION aggregate input (formerly plain-columns only)
+            "SELECT sum(size + hum) AS s FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY COUNTWINDOW(6)",
+            ["s"],
+        ),
+        (
+            # single-side expression aggregate input
+            "SELECT sum(size * 2) AS s2, max(hum - 1) AS mh FROM demo "
+            "INNER JOIN demo1 ON demo.ts = demo1.ts GROUP BY COUNTWINDOW(6)",
+            ["s2", "mh"],
+        ),
+        (
+            # lower() in an ON residual beside the equi key
+            "SELECT count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts AND lower(color) != 'blue' "
+            "GROUP BY COUNTWINDOW(6)",
+            ["c"],
+        ),
+    ]:
+        b = sorted(
+            tuple(r[c] for c in cols)
+            for r in compile_sql(spark, sql, cats(False), order_cols=["ts"]).collect()
+        )
+        s = sorted(
+            tuple(r[c] for c in cols)
+            for r in run_rule_available_now(
+                spark, cats(True), sql, order_cols=["ts"]
+            ).collect()
+        )
+        assert b == s and len(b) > 0, sql

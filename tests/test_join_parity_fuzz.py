@@ -11,6 +11,14 @@ finalizes under the 0s watermark and append == batch exactly).
 The generator mirrors the support matrix: WHERE over aggregated
 sliding/COUNT joins only single-side on INNER/CROSS; dims single-side;
 outer kinds only where both modes support them.
+
+Round-11 grammar extensions (the expression-lane lift): arbitrary
+scalar calls in join WHERE (_WHERES_SCALAR: upper/concat/lower/round
+precompute natively per side; abs over mixed arithmetic stays pdeval
+glue), scalar ON residuals, scalar GROUP BY dims (upper/lpad), and
+general OVER(WHEN) trigger conditions on sliding joins (_TRIGGERS —
+isMatchCondition per raw arrival, other stream's fields nil).  220
+seeded statements (r10: 150).
 """
 
 from __future__ import annotations
@@ -37,12 +45,37 @@ _WHERES = ["", "WHERE size > 48", "WHERE hum > 60", "WHERE size > 48 AND hum > 6
 # mixed-side conjuncts: r10 in-op where_filter surface (sliding) /
 # native filter (time joins); every sentinel passes (1000-valued)
 _WHERES_MIXED = ["WHERE size + hum > 110", "WHERE size > 48 AND size + hum > 105"]
+# r11: arbitrary scalar calls in join WHERE — single-side subtrees
+# precompute natively upstream of the stateful op, mixed glue (abs)
+# stays in pdeval.  Every form passes the 1000-valued sentinels via the
+# numeric escape, and every scalar is null-in -> null-out (sound under
+# outer-join null extension).
+_WHERES_SCALAR = [
+    "WHERE upper(color) = 'RED' OR size > 500",
+    "WHERE concat(color, 'x') != 'bluex' OR size > 500",
+    "WHERE lower(color) != 'yellow' OR size > 500",
+    "WHERE abs(size - hum) < 15 OR size > 500",
+    "WHERE round(temp, 0) >= 26 OR hum > 500",
+]
 _DIMS = ["", "color"]
 _DIMS_MIXED = ["size + hum"]
+# r11: scalar-call dims (single-side precompute)
+_DIMS_SCALAR = ["upper(color)", "lpad(color, 6)"]
 _ONS = [
     "ON demo.ts = demo1.ts ",
     # equi + non-equi residual (r10 on_filter / native residual)
     "ON demo.ts = demo1.ts AND hum > size ",
+    # r11: scalar calls in the ON residual (precompute / pdeval glue)
+    "ON demo.ts = demo1.ts AND lower(color) != 'zzz' ",
+    "ON demo.ts = demo1.ts AND abs(hum - size) > 2 ",
+]
+# r11: general OVER(WHEN) trigger conditions (sliding joins only) —
+# evaluated per raw arrival with the other stream's fields nil
+_TRIGGERS = [
+    "",
+    " OVER (WHEN temp > 26)",
+    " OVER (WHEN size > 49)",
+    " OVER (WHEN size > 49 OR hum > 70)",
 ]
 _AGGS = [
     "count(*) AS n, max(size) AS ms",
@@ -68,11 +101,12 @@ def _gen(seed: int, n: int):
     while len(out) < n:
         wsql, wkind = rng.choice(_WINDOWS)
         kind = rng.choice(_KINDS)
-        where = rng.choice(_WHERES + _WHERES_MIXED)
-        d = rng.choice(_DIMS + _DIMS_MIXED)
+        where = rng.choice(_WHERES + _WHERES_MIXED + _WHERES_SCALAR)
+        d = rng.choice(_DIMS + _DIMS + _DIMS_MIXED + _DIMS_SCALAR)
         shape = rng.choice(["agg", "agg", "content", "aggext"])
         on = rng.choice(_ONS)
-        # ---- support matrix (the lifted r10 surface) --------------------
+        trig = rng.choice(_TRIGGERS) if wkind == "sliding" else ""
+        # ---- support matrix (the lifted r10/r11 surface) ----------------
         if kind == "CROSS":
             if wkind == "time":
                 kind = "INNER"  # keep the time matrix tight
@@ -88,6 +122,12 @@ def _gen(seed: int, n: int):
             d = ""  # keep the time-join dim matrix simple
         if shape == "content" and (kind == "FULL" and wkind == "time"):
             continue  # full-outer time-window content: trailing-window noise
+        if wkind == "time" and (
+            on not in _ONS[:2] or where in _WHERES_SCALAR or d in _DIMS_SCALAR
+        ):
+            # scalar lanes target the STATEFUL join ops; time joins
+            # evaluate everything natively already
+            continue
         sel = rng.choice(
             _AGGS if shape == "agg" else _AGGS_EXT if shape == "aggext" else _CONTENT
         )
@@ -95,7 +135,7 @@ def _gen(seed: int, n: int):
         sel_prefix = f"{d} AS gd, " if d else ""
         q = (
             f"SELECT {sel_prefix}{sel} FROM demo {kind} JOIN demo1 "
-            f"{on}{where} GROUP BY {dims}{wsql}"
+            f"{on}{where} GROUP BY {dims}{wsql}{trig}"
         ).replace("  ", " ").strip()
         if q in seen:
             continue
@@ -104,7 +144,7 @@ def _gen(seed: int, n: int):
     return out
 
 
-_STATEMENTS = _gen(seed=20260817, n=150)
+_STATEMENTS = _gen(seed=20260817, n=220)
 
 
 @pytest.fixture(scope="module")

@@ -15,6 +15,11 @@ rows bounded by the open-tail count.
 
 Deterministic: the statement list derives from a fixed seed; a failure
 reproduces by the statement text in the test id.
+
+Round-11 grammar: +50 statements — group-rank OVER keys
+(min/sum sorts), TIMESTAMP-carrying fused rings (lag(ts)/
+changed_col(ts)), and PARTITIONED analytic fusion into partitioned
+STATE windows (OVER keys == window partition).
 """
 
 from __future__ import annotations
@@ -96,23 +101,36 @@ def _gen(seed: int, n: int) -> list[tuple[str, str]]:
             sel = rng.choice([
                 "count(*) AS n, row_number() AS rn",
                 "count(*) AS n, row_number() OVER (ORDER BY max(value) DESC) AS rn",
+                # r11: more OVER-key shapes over the grouped window
+                "count(*) AS n, row_number() OVER (ORDER BY min(event_id)) AS rn",
+                "count(*) AS n, row_number() OVER (ORDER BY sum(value) DESC) AS rn",
             ])
             h = ""
         elif shape == "lagfuse":
-            # r10: lag/latest fused into the stateful window op.
-            # A PARTITIONED state window keys the op — it cannot host
-            # rule-GLOBAL analytic state (honest raise, by design)
+            # r10: lag/latest fused into the stateful window op; r11 adds
+            # TIMESTAMP-carrying rings (tagged JSON state) and PARTITIONED
+            # fusion — analytics whose OVER(PARTITION BY) keys EQUAL a
+            # partitioned state window's keys fuse into its per-key state
             if kind not in ("count", "state", "sliding") or d:
                 continue
+            part_arg = None
             if kind == "state" and wsql.count(",") > 1:
-                continue  # STATEWINDOW(b, e, partition)
+                # STATEWINDOW(b, e, partition)
+                part_arg = wsql[wsql.rindex(",") + 1 : wsql.rindex(")")].strip()
             if kind == "sliding":
                 sel = "lag(value) AS lv, count(*) AS n"
+            elif part_arg:
+                sel = rng.choice([
+                    f"event_id, lag(value) OVER (PARTITION BY {part_arg}) AS lv",
+                    f"event_id, latest(value) OVER (PARTITION BY {part_arg}) AS lt",
+                ])
             else:
                 sel = rng.choice([
                     "event_id, lag(value) AS lv",
                     "event_id, latest(value) AS lt",
                     "event_id, lag(value) OVER (WHEN event_type = 'error') AS lv",
+                    "event_id, lag(ts) AS lts",            # r11 TIMESTAMP ring
+                    "event_id, changed_col(true, ts) AS cts",
                 ])
             h = ""
         else:  # row_number: count/state content only, no dims
@@ -142,7 +160,7 @@ def _gen(seed: int, n: int) -> list[tuple[str, str]]:
     return out
 
 
-_STATEMENTS = _gen(seed=20260816, n=290)
+_STATEMENTS = _gen(seed=20260816, n=340)
 
 
 # --------------------------------------------------------------------- #

@@ -720,6 +720,314 @@ def test_streaming_sliding_join_group_by_dims(spark, tmp_path):
         assert got == want and len(want) > 0, sql
 
 
+def test_streaming_sliding_join_arbitrary_exprs(spark, tmp_path):
+    """r11: arbitrary SCALAR expressions reach streaming sliding-join
+    WHERE/ON/dims through the single-side precompute fallback — every
+    maximal subtree whose columns belong to one side materializes as a
+    native Catalyst column upstream of the stateful op (the full
+    oracle-pinned registry), leaving only mixed-side glue in-op
+    (valuer.go:297-1283 evaluates the whole surface there).
+    streaming == batch pins per cell."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "exl")
+    for sql, cols in [
+        (
+            # non-subset scalar (concat) in an aggregated WHERE
+            "SELECT count(*) AS c, sum(hum) AS sh FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts WHERE concat(color, 'x') = 'redx' "
+            "GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["c", "sh"],
+        ),
+        (
+            # upper() in an OUTER-kind WHERE (in-op evaluation required)
+            "SELECT count(*) AS c FROM demo LEFT JOIN demo1 ON demo.ts = demo1.ts "
+            "WHERE upper(color) != 'BLUE' GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["c"],
+        ),
+        (
+            # lower() inside an outer ON residual (pre-null-extension)
+            "SELECT count(*) AS c FROM demo LEFT JOIN demo1 "
+            "ON demo.ts = demo1.ts AND lower(color) = 'red' "
+            "GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["c"],
+        ),
+        (
+            # non-subset scalar as a GROUP BY dim
+            "SELECT lpad(color, 6) AS k, count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY SLIDINGWINDOW(ss, 1), lpad(color, 6)",
+            ["k", "c"],
+        ),
+        (
+            # abs() over a MIXED-side arithmetic stays in-op (pdeval glue)
+            "SELECT count(*) AS c FROM demo LEFT JOIN demo1 ON demo.ts = demo1.ts "
+            "WHERE abs(size - hum) < 15 GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["c"],
+        ),
+        (
+            # null-safe single-side coalesce under INNER (no extension)
+            "SELECT count(*) AS c FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "WHERE coalesce(hum, 0) > 60 GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["c"],
+        ),
+    ]:
+        got, want = _stream_vs_batch(spark, sql, scat, bcat, cols)
+        assert got == want and len(want) > 0, sql
+
+
+def test_streaming_sliding_join_jsonpath_where(spark, tmp_path):
+    """r11: jsonpath over a single-side column in a streaming sliding-
+    join WHERE precomputes natively (the jsonpath engine is not in the
+    pdeval subset); streaming == batch."""
+    import uuid as _uuid
+    import warnings
+
+    base = str(tmp_path / "jpw")
+    demo_rows = [
+        ("red", 50, 1541152486013, '{"x": 1}'),
+        ("blue", 58, 1541152486822, '{"x": 2}'),
+        ("red", 49, 1541152487632, '{"x": 3}'),
+        ("yellow", 51, 1541152488442, '{"x": 4}'),
+        ("red", 48, 1541152489252, '{"x": 5}'),
+    ]
+    demo1_rows = [
+        (25.5, 65, 1541152486013, 1541152486115),
+        (27.5, 59, 1541152486823, 1541152486903),
+        (28.1, 75, 1541152487632, 1541152487702),
+        (27.4, 80, 1541152488442, 1541152488605),
+        (25.5, 62, 1541152489252, 1541152489305),
+    ]
+    spark.createDataFrame(
+        demo_rows, "color string, size long, ts long, props string"
+    ).coalesce(1).write.parquet(base + "/a")
+    spark.createDataFrame(
+        demo1_rows, "temp double, hum long, ts long, mts long"
+    ).coalesce(1).write.parquet(base + "/b")
+
+    def cats(streaming):
+        c = Catalog()
+        if streaming:
+            c.register_df("demo", spark.readStream.schema(
+                "color string, size long, ts long, props string").parquet(base + "/a"))
+            c.register_df("demo1", spark.readStream.schema(
+                "temp double, hum long, ts long, mts long").parquet(base + "/b"))
+        else:
+            c.register_df("demo", spark.read.parquet(base + "/a"))
+            c.register_df("demo1", spark.read.parquet(base + "/b"))
+        c.register(StreamDef(name="demo", kind="stream"))
+        c.register(StreamDef(name="demo1", kind="stream", timestamp_col="mts"))
+        return c
+
+    sql = (
+        "SELECT count(*) AS c FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "WHERE json_path_query(props, '$.x') > 2 GROUP BY SLIDINGWINDOW(ss, 1)"
+    )
+    got, want = _stream_vs_batch(spark, sql, cats(True), cats(False), ["c"])
+    assert got == want and len(want) > 0
+
+
+def test_streaming_sliding_join_general_trigger_conditions(spark, tmp_path):
+    """r11: OVER(WHEN <any boolean>) sliding-join triggers beyond the
+    gap-throttle form — the reference's isMatchCondition evaluates the
+    condition per raw arriving tuple with the OTHER stream's fields nil
+    (-> false) (window_op.go:757-784; the parser accepts any boolean,
+    parser_test.go:3322).  False rows stay frame MEMBERS but never fire
+    triggers.  streaming == batch per cell; the gap-throttle form keeps
+    working (TestEventWindowRule3)."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "gtc")
+    for sql, cols in [
+        (
+            # right-side condition: only demo1 arrivals with temp > 27 fire
+            "SELECT count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY SLIDINGWINDOW(ss, 1) "
+            "OVER (WHEN temp > 27)",
+            ["c"],
+        ),
+        (
+            # left-side string condition
+            "SELECT count(*) AS c, sum(hum) AS sh FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY SLIDINGWINDOW(ss, 1) "
+            "OVER (WHEN color = 'red')",
+            ["c", "sh"],
+        ),
+        (
+            # disjunction across sides: each tuple sees only its own field
+            "SELECT count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY SLIDINGWINDOW(ss, 1) "
+            "OVER (WHEN size > 50 OR temp > 27)",
+            ["c"],
+        ),
+        (
+            # content mode
+            "SELECT color, temp FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY SLIDINGWINDOW(ss, 1) "
+            "OVER (WHEN hum >= 75)",
+            ["color", "temp"],
+        ),
+        (
+            # the gap-throttle form still routes through the sequential gate
+            "SELECT count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY SLIDINGWINDOW(ss, 1) "
+            "OVER (WHEN demo.ts - last_hit_time() > 1000)",
+            ["c"],
+        ),
+    ]:
+        got, want = _stream_vs_batch(spark, sql, scat, bcat, cols)
+        assert got == want and len(want) > 0, sql
+
+
+def test_batch_sliding_join_three_streams_duckdb(spark, tmp_path):
+    """r11: 3-stream BATCH sliding-window joins chain left-deep like the
+    reference's evalJoinSets (join_operator.go:282-398) — every arrival
+    from ANY stream triggers, the frame gates all three memberships, and
+    each step applies its own ON/kind.  Pinned against a DuckDB oracle
+    built from the same trigger/membership formulation.  Streaming keeps
+    the two-stream raise (one stateful op)."""
+    import duckdb
+
+    base = str(tmp_path / "tri")
+    a_rows = [
+        ("red", 50, 1541152486013), ("blue", 58, 1541152486822),
+        ("red", 49, 1541152487632), ("yellow", 51, 1541152488442),
+        ("red", 48, 1541152489252),
+    ]
+    b_rows = [
+        (25.5, 65, 1541152486013), (27.5, 59, 1541152486823),
+        (28.1, 75, 1541152487632), (27.4, 80, 1541152488442),
+        (25.5, 62, 1541152489252),
+    ]
+    c_rows = [
+        (1, 1541152486013), (2, 1541152487632), (3, 1541152488442),
+        (4, 1541152489900),
+    ]
+    spark.createDataFrame(a_rows, "color string, size long, ts long").coalesce(1).write.parquet(base + "/a")
+    spark.createDataFrame(b_rows, "temp double, hum long, ts long").coalesce(1).write.parquet(base + "/b")
+    spark.createDataFrame(c_rows, "flag long, ts long").coalesce(1).write.parquet(base + "/c")
+
+    cat = Catalog()
+    for nm, sub in (("demo", "/a"), ("demo1", "/b"), ("demo2", "/c")):
+        cat.register_df(nm, spark.read.parquet(base + sub))
+        cat.register(StreamDef(name=nm, kind="stream"))
+
+    con = duckdb.connect()
+    for nm, sub in (("a", "/a"), ("b", "/b"), ("c", "/c")):
+        con.execute(
+            f"CREATE VIEW {nm} AS SELECT * FROM read_parquet('{base}{sub}/*.parquet')"
+        )
+    # one trigger PER ARRIVAL: equal timestamps across streams stay
+    # distinct triggers (each emits its own identical frame), so the
+    # grouped oracles key on (tu, tid), not tu alone
+    trig_cte = (
+        "WITH trig AS (SELECT tu, row_number() OVER () AS tid FROM ("
+        "SELECT ts AS tu FROM a UNION ALL "
+        "SELECT ts FROM b UNION ALL SELECT ts FROM c)) "
+    )
+
+    # inner ⋈ inner chain, aggregated per trigger
+    sql = (
+        "SELECT count(*) AS c, sum(size) AS ss FROM demo "
+        "INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+        "GROUP BY SLIDINGWINDOW(ss, 1)"
+    )
+    got = sorted(
+        (r["c"], r["ss"])
+        for r in compile_sql(spark, sql, cat, order_cols=["ts"]).collect()
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(
+            trig_cte +
+            "SELECT count(*) AS c, sum(a.size) AS ss FROM trig "
+            "JOIN a ON a.ts BETWEEN trig.tu - 1000 AND trig.tu "
+            "JOIN b ON b.ts = a.ts AND b.ts BETWEEN trig.tu - 1000 AND trig.tu "
+            "JOIN c ON c.ts = b.ts AND c.ts BETWEEN trig.tu - 1000 AND trig.tu "
+            "GROUP BY trig.tu, trig.tid"
+        ).fetchall()
+    )
+    assert got == want and len(want) > 0
+
+    # inner ⋈ LEFT chain: unmatched (a⋈b) rows null-extend the c side
+    sql2 = (
+        "SELECT count(*) AS c, count(flag) AS cf FROM demo "
+        "INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "LEFT JOIN demo2 ON demo1.ts = demo2.ts "
+        "GROUP BY SLIDINGWINDOW(ss, 1)"
+    )
+    got2 = sorted(
+        (r["c"], r["cf"])
+        for r in compile_sql(spark, sql2, cat, order_cols=["ts"]).collect()
+    )
+    want2 = sorted(
+        tuple(r) for r in con.execute(
+            trig_cte +
+            "SELECT count(*) AS c, count(c.flag) AS cf FROM trig "
+            "JOIN a ON a.ts BETWEEN trig.tu - 1000 AND trig.tu "
+            "JOIN b ON b.ts = a.ts AND b.ts BETWEEN trig.tu - 1000 AND trig.tu "
+            "LEFT JOIN c ON c.ts = b.ts AND c.ts BETWEEN trig.tu - 1000 AND trig.tu "
+            "GROUP BY trig.tu, trig.tid"
+        ).fetchall()
+    )
+    assert got2 == want2 and len(want2) > 0
+
+    # content mode across three streams
+    sql3 = (
+        "SELECT color, hum, flag FROM demo "
+        "INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+        "GROUP BY SLIDINGWINDOW(ss, 1)"
+    )
+    got3 = sorted(
+        (r["color"], r["hum"], r["flag"])
+        for r in compile_sql(spark, sql3, cat, order_cols=["ts"]).collect()
+    )
+    want3 = sorted(
+        tuple(r) for r in con.execute(
+            trig_cte +
+            "SELECT a.color, b.hum, c.flag FROM trig "
+            "JOIN a ON a.ts BETWEEN trig.tu - 1000 AND trig.tu "
+            "JOIN b ON b.ts = a.ts AND b.ts BETWEEN trig.tu - 1000 AND trig.tu "
+            "JOIN c ON c.ts = b.ts AND c.ts BETWEEN trig.tu - 1000 AND trig.tu "
+        ).fetchall()
+    )
+    assert got3 == want3 and len(want3) > 0
+
+    # streaming: documented raise (one stateful op, two-sided state)
+    scat = Catalog()
+    for nm, sub, sch in (
+        ("demo", "/a", "color string, size long, ts long"),
+        ("demo1", "/b", "temp double, hum long, ts long"),
+        ("demo2", "/c", "flag long, ts long"),
+    ):
+        scat.register_df(nm, spark.readStream.schema(sch).parquet(base + sub))
+        scat.register(StreamDef(name=nm, kind="stream"))
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(NotImplementedError, match="two streams"):
+            compile_sql(spark, sql, scat, streaming=True, order_cols=["ts"])
+
+
+def test_streaming_sliding_join_null_sensitive_raise(spark, tmp_path):
+    """A null-SENSITIVE single-side expression (coalesce over the null-
+    extendable side of a LEFT join) must NOT precompute — the column
+    would be null on extended rows where the reference evaluates
+    coalesce(null, 0) = 0.  The site keeps an honest raise."""
+    import warnings
+
+    scat, _b = _feed_join_cats(spark, tmp_path, "nsr")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(NotImplementedError, match="in-op"):
+            compile_sql(
+                spark,
+                "SELECT count(*) AS c FROM demo LEFT JOIN demo1 "
+                "ON demo.ts = demo1.ts WHERE coalesce(hum, 0) >= 0 "
+                "GROUP BY SLIDINGWINDOW(ss, 1)",
+                scat,
+                streaming=True,
+                order_cols=["ts"],
+            )
+
+
 def test_sparse_hopping_stream_stream_join(spark, tmp_path):
     """SPARSE hopping windows (interval > length) over a stream-stream
     join: members map 1:1 to their TUMBLING bucket on the HOP grid (a

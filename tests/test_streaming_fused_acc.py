@@ -86,13 +86,85 @@ def test_stream_batch_parity_fused_lag_latest(spark, catalog, sql):
     assert b == s and len(b) > 0
 
 
-def test_unfusable_raises_actionably(spark, catalog):
-    # a TIMESTAMP-carrying ring cannot persist in the JSON state
-    with pytest.raises(NotImplementedError, match="TIMESTAMP"):
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # r11: TIMESTAMP-carrying lag ring persists across micro-batches
+        # (tagged epoch-micros in the JSON state, stateful._an_default)
+        "SELECT event_id, lag(ts) AS l FROM events GROUP BY COUNTWINDOW(50)",
+        # changed_col over a TIMESTAMP input
+        "SELECT event_id, changed_col(true, ts) AS c FROM events "
+        "GROUP BY COUNTWINDOW(50)",
+    ],
+)
+def test_fused_timestamp_ring(spark, catalog, sql):
+    b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+    s = _rows(run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"]))
+    assert b == s and len(b) > 0
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # 7th real fuzz catch (r11): WHERE must NOT starve the fused
+        # analytic state — FilterPlan sits ABOVE AnalyticFuncsPlan below
+        # WindowPlan (planner.go:651-693), so lag/latest advance on ALL
+        # rows while the filter prunes before window formation.  A
+        # native pre-op filter dropped the 'error' rows the WHEN-gated
+        # ring needed, emitting null where batch had values.
+        "SELECT event_id, lag(value) OVER (WHEN event_type = 'error') AS lv "
+        "FROM events WHERE event_type = 'purchase' "
+        "GROUP BY STATEWINDOW(value > 100, value < 50)",
+        "SELECT event_id, latest(value) AS lt FROM events "
+        "WHERE value > 20 GROUP BY STATEWINDOW(value > 100, value < 50)",
+        # capped session + fused acc + WHERE
+        "SELECT event_id, acc_sum(value, event_type = 'signup', "
+        "event_type = 'error') AS a FROM events WHERE value > 30 "
+        "GROUP BY SESSIONWINDOW(mi, 120, 30)",
+    ],
+)
+def test_fused_analytics_where_sees_all_rows(spark, catalog, sql):
+    b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+    s = _rows(run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"]))
+    if "SESSIONWINDOW" in sql:
+        bs = list(b)
+        for r in s:
+            assert r in bs, f"stream-only row {r}"
+            bs.remove(r)
+        assert len(s) > 0  # batch additionally closes the trailing session
+    else:
+        assert b == s and len(b) > 0
+
+
+def test_fused_partitioned_analytics_keyed_window(spark, catalog):
+    """r11: lag(x) OVER (PARTITION BY k) fuses into a stateful window
+    whose STATE keys equal the partition keys — each op key's GroupState
+    carries exactly that partition's analytic state
+    (funcs_analytic.go:124-207).  Capped sessions key by the GROUP BY
+    dims; mismatched keys keep an honest raise."""
+    for sql in [
+        # partition == capped-session dims
+        "SELECT event_type, max(lag(value) OVER (PARTITION BY event_type)) "
+        "AS ml, count(*) AS n FROM events "
+        "GROUP BY SESSIONWINDOW(mi, 120, 30), event_type",
+        # latest with the same keying
+        "SELECT event_type, max(latest(value) OVER (PARTITION BY event_type)) "
+        "AS lv FROM events GROUP BY SESSIONWINDOW(mi, 120, 30), event_type",
+    ]:
+        b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+        s = _rows(run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"]))
+        # bounded batch replays additionally emit the trailing OPEN
+        # session per dim (documented divergence) — streaming ⊆ batch
+        bs = list(b)
+        for r in s:
+            assert r in bs, f"stream-only row {r} for {sql!r}"
+            bs.remove(r)
+        assert len(s) > 0 and len(bs) <= len({r[0] for r in b})
+    # partition keys != state keys: honest raise
+    with pytest.raises(NotImplementedError, match="PARTITION BY"):
         run_rule_available_now(
-            spark,
-            catalog,
-            "SELECT event_id, lag(ts) AS l FROM events "
-            "GROUP BY COUNTWINDOW(50)",
+            spark, catalog,
+            "SELECT event_type, max(lag(value) OVER (PARTITION BY user_id)) "
+            "AS ml FROM events GROUP BY SESSIONWINDOW(mi, 120, 30), event_type",
             order_cols=["ts", "event_id"],
         )

@@ -67,6 +67,27 @@ def test_stream_session_row_number(spark, catalog):
     ) + 1
 
 
+def test_stream_session_dims_row_number_const1(spark, catalog):
+    """r11: row_number + GROUP BY dims over a streaming capped SESSION
+    window (formerly raised).  Dims KEY the sessionizer in BOTH modes
+    (engine-wide convention), so each emitted window holds exactly one
+    group and the rank is constant 1 — batch parity modulo the trailing
+    open sessions the bounded replay additionally emits."""
+    sql = (
+        "SELECT event_type, count(*) AS c, row_number() AS rn FROM events "
+        "GROUP BY SESSIONWINDOW(mi, 120, 30), event_type"
+    )
+    b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+    s = _rows(run_rule_available_now(spark, catalog, sql, order_cols=["ts", "event_id"]))
+    assert len(s) > 0 and all(r[-1] == 1 for r in b) and all(r[-1] == 1 for r in s)
+    bs = list(b)
+    for r in s:
+        assert r in bs, f"stream-only row {r}"
+        bs.remove(r)
+    # batch-only rows are the per-dim trailing OPEN sessions
+    assert len(bs) <= len({r[0] for r in b})
+
+
 def test_row_number_rank_values_count_window(spark, catalog):
     # every COUNTWINDOW(10) window carries ranks exactly 1..10
     sql = (
@@ -191,4 +212,48 @@ def test_stream_tumbling_group_rank_chained_aggs(spark, catalog):
             "SELECT event_type, count(*) AS c, row_number() AS rn "
             "FROM events GROUP BY TUMBLINGWINDOW(mi, 10), event_type",
             order_cols=["ts", "event_id"],
+        )
+
+
+def test_stream_time_window_group_rank_over_keys(spark, catalog):
+    """r11: row_number OVER keys + GROUP BY dims over a streaming TIME
+    window — the chained aggregation sorts each window's packed groups
+    by the OVER sort fields evaluated on the group row (array_sort
+    comparator: DESC + nils-last + formation tie-break) and PARTITION BY
+    keys reset the rank via a null-safe prefix count; batch parity
+    (windowfunc_operator.go:27-160)."""
+    for sql in [
+        # ORDER BY an aggregate, DESC
+        "SELECT event_type, count(*) AS c, "
+        "row_number() OVER (ORDER BY count(*) DESC) AS rn "
+        "FROM events GROUP BY TUMBLINGWINDOW(mi, 10), event_type",
+        # ORDER BY a raw column (first-of-group value), ASC
+        "SELECT event_type, row_number() OVER (ORDER BY max(value)) AS rn "
+        "FROM events GROUP BY TUMBLINGWINDOW(mi, 10), event_type",
+        # PARTITION BY a dim expression + ORDER BY
+        "SELECT event_type, user_id % 2 AS par, count(*) AS c, "
+        "row_number() OVER (PARTITION BY user_id % 2 ORDER BY count(*) DESC) AS rn "
+        "FROM events GROUP BY TUMBLINGWINDOW(mi, 10), event_type, user_id % 2",
+    ]:
+        b = _rows(compile_sql(spark, sql, catalog, order_cols=["ts", "event_id"]))
+        s = _rows(
+            run_rule_available_now(
+                spark, catalog, sql, order_cols=["ts", "event_id"],
+                watermark="0 seconds",
+            )
+        )
+        bs = list(b)
+        for r in s:
+            assert r in bs, f"stream-only row {r} for {sql!r}"
+            bs.remove(r)
+        # append mode withholds at most the trailing window's groups
+        assert len(bs) <= 10 and len(s) > 0, f"{sql!r}: batch-only {bs[:6]}"
+    # two row_number calls with DIFFERENT OVER specs stay raised
+    with pytest.raises(NotImplementedError, match="DIFFERENT OVER"):
+        run_rule_available_now(
+            spark, catalog,
+            "SELECT event_type, row_number() OVER (ORDER BY count(*)) AS a, "
+            "row_number() OVER (ORDER BY max(value)) AS b2 "
+            "FROM events GROUP BY TUMBLINGWINDOW(mi, 10), event_type",
+            order_cols=["ts", "event_id"], watermark="0 seconds",
         )

@@ -28,10 +28,12 @@ SRC = "/root/testdata/sf0.1"
 COPIES = 10
 
 
-def main(out: str = "/tmp/sf1") -> None:
+def main(out: str = "/tmp/sf1", copies: int = COPIES) -> None:
+    """copies=10 -> sf1 (10x sf0.1); copies=30 -> sf3; copies=100 -> sf10.
+    Same structure-preserving scheme at every factor."""
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW k AS SELECT unnest(range({COPIES})) AS i")
+    con.execute(f"CREATE VIEW k AS SELECT unnest(range({copies})) AS i")
 
     def gen(name: str, sql: str) -> None:
         dst = f"{out}/{name}.parquet"
@@ -101,8 +103,11 @@ def main(out: str = "/tmp/sf1") -> None:
         FROM e JOIN k ON true
         """,
     )
-    print(f"sf1 dataset at {out}")
+    print(f"scaled dataset ({copies}x sf0.1) at {out}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1",
+        int(sys.argv[2]) if len(sys.argv) > 2 else COPIES,
+    )

@@ -1,0 +1,64 @@
+"""Scale-proof the stateful ops one size up (round-11 verdict item 8).
+
+Runs the four stateful-window queries plus the two dedup pipelines from
+``__spark_entry__.queries()`` at each given SF directory (typically
+sf0.1 -> /tmp/sf1 -> /tmp/sf3, a 1x/10x/30x ladder; generate the scaled
+sets with ``tools/gen_sf1.py <dir> <copies>``), timing end-to-end
+``count()`` per query on a fresh-ish plan, and prints one JSON line per
+(sf, query) plus a final summary with wall ratios vs the first SF.
+
+Expectation: keyed paths scale <= linearly in rows; the global-order
+compat paths (unkeyed sliding) are serial by design and scale linearly
+in ROWS but on one core — the table documents both.
+
+Usage:
+    python tools/scale_check.py /root/testdata/sf0.1 /tmp/sf1 /tmp/sf3
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+QUERIES = [
+    "q_sliding_window",
+    "q_session_window",
+    "q_state_window",
+    "q_count_window",
+    "dp_dedup_minhash_lsh",
+    "dp_dedup_jaccard",
+]
+
+
+def main(dirs: list[str]) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    from ekuiper_spark import get_spark
+
+    spark = get_spark("scale_check", int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    qs = entry.queries()
+    results: dict[str, dict[str, float]] = {}
+    for d in dirs:
+        for name in QUERIES:
+            t0 = time.time()
+            n = qs[name](spark, d).count()
+            dt = time.time() - t0
+            results.setdefault(name, {})[d] = dt
+            print(json.dumps({"sf_dir": d, "query": name,
+                              "sec": round(dt, 2), "rows": n}), flush=True)
+    base = dirs[0]
+    summary = {
+        name: {
+            d: round(results[name][d] / results[name][base], 2)
+            for d in dirs[1:]
+        }
+        for name in QUERIES
+    }
+    print(json.dumps({"wall_ratio_vs_" + base: summary,
+                      "loadavg": os.getloadavg()[0]}), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf3"])
