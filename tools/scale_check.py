@@ -39,6 +39,10 @@ def main(dirs: list[str]) -> None:
 
     spark = get_spark("scale_check", int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     qs = entry.queries()
+    # warm the JVM/codegen/session so the FIRST measured query doesn't
+    # carry startup cost and deflate every ratio against it
+    for name in QUERIES:
+        qs[name](spark, "/root/testdata/sf0.001").count()
     results: dict[str, dict[str, float]] = {}
     for d in dirs:
         for name in QUERIES:
