@@ -1400,30 +1400,23 @@ class Translator:
         # window_op.go:757-784); pruned rows remain frame members.
         ldf_t, rdf_t = ldf, rdf
         gap_spec = None
+        flag_node = None
         if w.trigger is not None:
             # `<src>.ts - last_hit_time() > K` disjunctions collapse to a
             # sequential gap-throttle over the MERGED trigger order
             # (TestEventWindowRule3; lastHit advances on trigger hits);
-            # any OTHER boolean evaluates statelessly per tuple
-            gap_spec = self._join_gap_throttle_spec(w.trigger, l_long)
-            if gap_spec is None:
-                if any(
-                    self._find_fn_calls(w.trigger, h) for h in self._HIT_FNS
-                ):
-                    raise NotImplementedError(
-                        "sliding-window join triggers combining last_hit_* "
-                        "with other predicates support only the "
-                        "'<stream>.ts - last_hit_time() > K' gap-throttle "
-                        "form (window_op.go isMatchCondition)"
-                    )
+            # any OTHER boolean evaluates statelessly per tuple; a
+            # top-level AND combines one gap conjunct with flag conjuncts
+            gap_spec, flag_node = self._split_trigger(w.trigger, l_long)
+            if flag_node is not None:
                 ldf_t = ldf.filter(
                     self._trigger_nil_other(
-                        w.trigger, ctx, left_alias, list(ldf.columns), r_alias
+                        flag_node, ctx, left_alias, list(ldf.columns), r_alias
                     )
                 )
                 rdf_t = rdf.filter(
                     self._trigger_nil_other(
-                        w.trigger, ctx, r_alias, list(rdf.columns), left_alias
+                        flag_node, ctx, r_alias, list(rdf.columns), left_alias
                     )
                 )
         extra_us: list = []
@@ -1432,10 +1425,10 @@ class Translator:
             eu, _ = _ev_us(d2, a2, nm2)
             extra_us.append(eu)
             d2t = d2
-            if w.trigger is not None and gap_spec is None:
+            if flag_node is not None:
                 d2t = d2.filter(
                     self._trigger_nil_other(
-                        w.trigger, ctx, a2, list(d2.columns), ""
+                        flag_node, ctx, a2, list(d2.columns), ""
                     )
                 )
             trig_parts.append(d2t.select(eu.alias("__tu")))
@@ -1835,6 +1828,55 @@ class Translator:
 
         return rw(node)
 
+    def _split_trigger(self, trigger: Node, is_long: bool):
+        """Decompose an OVER(WHEN) trigger into (gap_throttle_spec,
+        per_tuple_flag_node) — either may be None.  A pure gap form
+        (incl. OR-of-gap disjunctions) maps to the sequential throttle
+        alone; any boolean WITHOUT last_hit_* becomes a stateless
+        per-tuple flag; a top-level AND may combine ONE gap conjunct
+        with flag conjuncts — cond = flag AND gap means lastHit advances
+        only on FULL hits, so flag-gating candidates before the
+        sequential gate is exact (isMatchCondition,
+        window_op.go:757-784).  last_hit_* in any other position
+        raises."""
+        spec = self._join_gap_throttle_spec(trigger, is_long)
+        if spec is not None:
+            return spec, None
+        conjs: list[Node] = []
+
+        def flat(n: Node) -> None:
+            if isinstance(n, Binary) and n.op == "AND":
+                flat(n.left)
+                flat(n.right)
+            else:
+                conjs.append(n)
+
+        flat(trigger)
+        gap = None
+        flags: list[Node] = []
+        for c in conjs:
+            s = self._join_gap_throttle_spec(c, is_long)
+            if s is not None:
+                if gap is not None:
+                    raise NotImplementedError(
+                        "sliding-window join triggers support at most one "
+                        "gap-throttle conjunct"
+                    )
+                gap = s
+            elif any(self._find_fn_calls(c, h) for h in self._HIT_FNS):
+                raise NotImplementedError(
+                    "sliding-window join triggers combining last_hit_* "
+                    "with other predicates support only "
+                    "'<flag> AND <stream>.ts - last_hit_time() > K' "
+                    "(window_op.go isMatchCondition)"
+                )
+            else:
+                flags.append(c)
+        fnode: Optional[Node] = None
+        for c in flags:
+            fnode = c if fnode is None else Binary("AND", fnode, c)
+        return gap, fnode
+
     def _trigger_nil_other(
         self, trigger: Node, ctx: TranslateCtx,
         own_alias: str, own_cols: list, other_alias: str,
@@ -2117,22 +2159,13 @@ class Translator:
         throttle_spec = None
         trig_flag_l = trig_flag_r = None
         if w.trigger is not None:
-            throttle_spec = self._join_gap_throttle_spec(w.trigger, l_long)
-            if throttle_spec is None:
-                if any(
-                    self._find_fn_calls(w.trigger, h) for h in self._HIT_FNS
-                ):
-                    raise NotImplementedError(
-                        "sliding-window join triggers combining last_hit_* "
-                        "with other predicates support only the "
-                        "'<stream>.ts - last_hit_time() > K' gap-throttle "
-                        "form (window_op.go isMatchCondition)"
-                    )
+            throttle_spec, flag_node = self._split_trigger(w.trigger, l_long)
+            if flag_node is not None:
                 trig_flag_l = self._trigger_nil_other(
-                    w.trigger, ctx, left_alias, lcols, r_alias
+                    flag_node, ctx, left_alias, lcols, r_alias
                 )
                 trig_flag_r = self._trigger_nil_other(
-                    w.trigger, ctx, r_alias, rcols, left_alias
+                    flag_node, ctx, r_alias, rcols, left_alias
                 )
         rflat = {c: f"__r_{c}" for c in rcols}
         lsel = ldf.select(

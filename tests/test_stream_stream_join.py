@@ -869,6 +869,16 @@ def test_streaming_sliding_join_general_trigger_conditions(spark, tmp_path):
             "OVER (WHEN demo.ts - last_hit_time() > 1000)",
             ["c"],
         ),
+        (
+            # COMBINED form: per-tuple flag AND gap-throttle — lastHit
+            # advances only on FULL hits, so flag-gating candidates
+            # before the sequential gate is exact (K=500ms keeps frames
+            # whose demo1 members — which ride mts, +~100ms — pair up)
+            "SELECT count(*) AS c FROM demo INNER JOIN demo1 "
+            "ON demo.ts = demo1.ts GROUP BY SLIDINGWINDOW(ss, 1) "
+            "OVER (WHEN size > 48 AND demo.ts - last_hit_time() > 500)",
+            ["c"],
+        ),
     ]:
         got, want = _stream_vs_batch(spark, sql, scat, bcat, cols)
         assert got == want and len(want) > 0, sql
