@@ -479,6 +479,12 @@ def window_agg_stream(
     emit_content: bool = False,
     winfuncs: Sequence[WinFuncSpec] = (),
     pre_analytics: Sequence = (),
+    gap_throttle: Optional[tuple[int, bool]] = None,  # sliding OVER(WHEN
+                                    # [flag AND] ts - last_hit_time() > K):
+                                    # (K, ge) in the ts column's OWN unit;
+                                    # lastHit persists in state and
+                                    # advances only on FULL hits (flag AND
+                                    # gap), window_op.go isMatchCondition
     pre_filter_col: Optional[str] = None,  # WHERE routed post-analytics:
                                     # fused analytic state advances on ALL
                                     # rows, then this boolean prunes rows
@@ -692,6 +698,9 @@ def window_agg_stream(
     ] + (
         # fused analytic state (JSON dict: spec index -> numeric state)
         [T.StructField("an_state", T.StringType())] if pre_an else []
+    ) + (
+        # sliding gap-throttle lastHit (ts-col unit; Go zero start)
+        [T.StructField("lhit", T.LongType())] if gap_throttle is not None else []
     )
     state_schema = T.StructType(state_fields)
 
@@ -920,6 +929,37 @@ def window_agg_stream(
                 return _an_decode(json.loads(v))
         return {}
 
+    # --- sliding gap-throttle (OVER(WHEN ... last_hit_time() ...)) -------
+    # lastHit lives in ONE state slot per key; each fn invocation loads it
+    # first (load_lhit), _gap_gate advances it on full hits, save_state
+    # persists whatever the cell holds at save time.
+    _lhit = {"v": 0}
+    _lhit_slot = 2 + _ws_slot + len(buffered) + (1 if pre_an else 0)
+
+    def load_lhit(state: GroupState) -> None:
+        if gap_throttle is not None:
+            _lhit["v"] = (
+                int(state.get[_lhit_slot] or 0) if state.exists else 0
+            )
+
+    def _gap_gate(cand_ts, flags):
+        """Sequential hit gate over trigger CANDIDATES in event order:
+        keep candidate i iff its flag holds AND ts - lastHit clears K;
+        lastHit advances only on keeps (funcs_global_state.go — state
+        updates on emission, not per candidate)."""
+        k_, ge_ = gap_throttle
+        keep = np.zeros(len(cand_ts), dtype=bool)
+        lh = _lhit["v"]
+        for i in range(len(cand_ts)):
+            if flags is not None and not bool(flags[i]):
+                continue
+            g = int(cand_ts[i]) - lh
+            if (g >= k_) if ge_ else (g > k_):
+                keep[i] = True
+                lh = int(cand_ts[i])
+        _lhit["v"] = lh
+        return keep
+
     def apply_pre_analytics(batch: pd.DataFrame, an_st: dict) -> pd.DataFrame:
         """Advance the fused analytic state over the sorted arriving
         batch, adding each spec's output as a virtual column (mutates
@@ -969,6 +1009,7 @@ def window_agg_stream(
                 + ([int(ws_open)] if has_ws else [])
                 + [list(buf[c].tolist()) for c in buffered]
                 + an_extra
+                + ([int(_lhit["v"])] if gap_throttle is not None else [])
             )
         )
 
@@ -1480,6 +1521,7 @@ def window_agg_stream(
         state's first slot stores the emission threshold either way.
         """
         max_seen, _, buf = load_state(state)
+        load_lhit(state)
         wm_val: Optional[int] = None
         if watermark_gated:
             wm_val = int(state.getCurrentWatermarkMs()) * (1 if unit_ms else 1000)
@@ -1525,6 +1567,16 @@ def window_agg_stream(
         already = from_old & (ts_arr <= old_thr)
         emit = (ts_arr <= new_thr) & ~already
         idx = np.nonzero(emit)[0]
+        if gap_throttle is not None and len(idx):
+            # gap-gate ready triggers in event order (lastHit in state);
+            # applied before frame pruning — an all-pruned hit still
+            # advanced lastHit in the reference
+            fl_g = (
+                np.asarray(full["__trig"], dtype="bool")[idx]
+                if "__trig" in buffered
+                else None
+            )
+            idx = idx[_gap_gate(ts_arr[idx], fl_g)]
         dkmask = full[keep_col].astype(bool) if keep_col else None
         out_cols: dict = {}
         if len(idx):
@@ -1708,6 +1760,7 @@ def window_agg_stream(
     def fn_sliding(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         _, _, buf = load_state(state)
         an_st = load_an(state)
+        load_lhit(state)
         batch = pd.concat(list(pdfs), ignore_index=True)
         if not len(batch):
             save_state(state, 0, False, buf, an_st=an_st)
@@ -1737,6 +1790,8 @@ def window_agg_stream(
                 else np.ones(n_new, dtype=bool)
             )
             new_pos2 = np.nonzero(is_new)[0]
+            if gap_throttle is not None:
+                trig_mask2 = _gap_gate(full[ts_col][new_pos2], trig_mask2)
             new_ts2 = full[ts_col][new_pos2]
             lefts2 = np.searchsorted(full[ts_col], new_ts2 - length_us, side="left")
             rights2 = np.searchsorted(full[ts_col], new_ts2, side="right")
@@ -1782,6 +1837,8 @@ def window_agg_stream(
                 else np.ones(n_new, dtype=bool)
             )
             new_pos = np.nonzero(is_new)[0]
+            if gap_throttle is not None:
+                trig_mask = _gap_gate(full[ts_col][new_pos], trig_mask)
             new_ts = full[ts_col][new_pos]
             lefts = np.searchsorted(full[ts_col], new_ts - length_us, side="left")
             # tie-INCLUSIVE right bound (all rows with u <= t): the batch
@@ -1900,6 +1957,18 @@ def window_agg_stream(
                     if _is_ts(buf_types.get(c, T.DoubleType()))
                     else vals
                 )
+        if gap_throttle is not None:
+            # gap-gated trigger decision (stateful lastHit) rides the
+            # __trig passthrough so the translator's downstream filter
+            # drops non-hit rows; computed BEFORE the all-pruned mask —
+            # the reference advances lastHit at trigger time even when
+            # the frame later prunes empty
+            flags_g = (
+                batch["__trig"].to_numpy(dtype="bool")
+                if "__trig" in batch.columns
+                else None
+            )
+            out_cols["__trig"] = _gap_gate(full[ts_col][is_new], flags_g)
         emit_mask = None
         if kmask is not None:
             # a trigger whose frame holds no kept rows drops whole

@@ -535,11 +535,31 @@ class Translator:
                 df = self._sliding_buckets(df, window, ctx)
                 bucketed = True
             extras = []
+            _gap_rng = None
             if window.trigger is not None:
                 # OVER (WHEN cond): frames still span ALL rows; only rows
                 # satisfying the trigger emit (window_op.go:757-784) — so
                 # the trigger filter applies after the window projection.
-                extras.append((self._expr(window.trigger, ctx), "__trig"))
+                # Gap conjuncts (last_hit_time) run a sequential lastHit
+                # scan AFTER the flag filter (lastHit advances on full
+                # hits only); the per-row lag approximation is gone.
+                _tr_flag, _gap_rng = self._split_plain_trigger(
+                    window.trigger, ctx
+                )
+                extras.append((
+                    self._expr(_tr_flag, ctx)
+                    if _tr_flag is not None
+                    else F.lit(True),
+                    "__trig",
+                ))
+                if _gap_rng is not None:
+                    # hidden trigger time for the post-filter throttle
+                    _us_t = (
+                        (self._event_ref(ctx) * 1000)
+                        if ctx.event_is_long
+                        else epoch_us(self._event_ref(ctx))
+                    )
+                    extras.append((_us_t, "__tu"))
             if bucketed:
                 extras.append((F.col("__shadow"), "__shadow"))
             if ec is not None:
@@ -623,6 +643,13 @@ class Translator:
                 df = df.filter(~F.col("__shadow")).drop("__shadow")
             if window.trigger is not None:
                 df = df.filter(F.col("__trig")).drop("__trig")
+            if _gap_rng is not None:
+                # sequential lastHit gate over the flag-passing triggers
+                # (emission-order scan; HAVING gates AFTER — lastHit
+                # advanced at trigger time in the reference regardless)
+                df = self._sequential_throttle(
+                    df, "__tu", _gap_rng[0], _gap_rng[1]
+                ).drop("__tu")
             if stmt.having is not None:
                 df = df.filter(F.col("__hav")).drop("__hav")
         elif (
@@ -4502,8 +4529,26 @@ class Translator:
                 if (oc in pend_outs or oc in df.columns) and oc not in passthrough:
                     passthrough.append(oc)
         if window.trigger is not None:
-            df = df.withColumn("__trig", self._expr(window.trigger, ctx))
+            # flag conjuncts evaluate natively per row; a gap conjunct
+            # routes into the op's stateful lastHit gate — the decision
+            # rides __trig so the downstream filter stays uniform
+            flag_node, gap_spec_sl = self._split_plain_trigger(
+                window.trigger, ctx
+            )
+            df = df.withColumn(
+                "__trig",
+                self._expr(flag_node, ctx)
+                if flag_node is not None
+                else F.lit(True),
+            )
             passthrough.append("__trig")
+            if gap_spec_sl is not None:
+                # _throttle_spec returns K in µs; the op's frame math
+                # runs in the ts column's OWN unit (ms for long cols)
+                keep_kw["gap_throttle"] = (
+                    gap_spec_sl[0] // 1000 if ctx.event_is_long else gap_spec_sl[0],
+                    gap_spec_sl[1],
+                )
 
         # window_start()/window_end()/event_time() need the TRIGGER time on
         # the emission — carried as a hidden trigger-row passthrough
@@ -4674,11 +4719,16 @@ class Translator:
         else:
             us = epoch_us(self._event_ref(ctx))
         base = df.withColumn("__ru", us)
-        throttle = self._throttle_spec(w.trigger, ctx) if w.trigger is not None else None
-        if throttle is not None:
-            trig = self._throttle_triggers(base, throttle[0], throttle[1])
-        elif w.trigger is not None:
-            trig = base.filter(self._expr(w.trigger, ctx))
+        if w.trigger is not None:
+            # flag conjuncts filter candidates natively; a gap conjunct
+            # runs the sequential lastHit scan over the REMAINING
+            # candidates (exact: lastHit advances only on full hits)
+            flag_node, gap_spec_m = self._split_plain_trigger(w.trigger, ctx)
+            trig = base
+            if flag_node is not None:
+                trig = trig.filter(self._expr(flag_node, ctx))
+            if gap_spec_m is not None:
+                trig = self._throttle_triggers(trig, gap_spec_m[0], gap_spec_m[1])
         else:
             trig = base
         # every trigger ROW is its own window (the reference emits one per
@@ -4785,6 +4835,63 @@ class Translator:
 
     def _throttle_triggers(self, base: DataFrame, thresh_us: int, ge: bool) -> DataFrame:
         return self._sequential_throttle(base, "__ru", thresh_us, ge)
+
+    def _split_plain_trigger(self, trigger: Node, ctx: TranslateCtx):
+        """Decompose a NON-join sliding OVER(WHEN) into (flag_node|None,
+        gap_spec|None) — a pure per-tuple boolean returns (trigger,
+        None); the `ts - last_hit_time() > K` form returns (None, spec);
+        a top-level AND combines flag conjuncts with ONE gap conjunct
+        (exact: lastHit advances only on full hits, isMatchCondition
+        window_op.go:757-784).  last_hit_* in any other shape — or over
+        a non-epoch-ms event column, where the gap parse cannot apply —
+        raises actionably instead of falling into the per-row lag
+        approximation (which mis-states lastHit and crashes the analyzer
+        on TIMESTAMP columns)."""
+        if not any(self._find_fn_calls(trigger, h) for h in self._HIT_FNS):
+            return trigger, None
+        spec = self._throttle_spec(trigger, ctx)
+        if spec is not None:
+            return None, spec
+        conjs: list[Node] = []
+
+        def flat(n: Node) -> None:
+            if isinstance(n, Binary) and n.op == "AND":
+                flat(n.left)
+                flat(n.right)
+            else:
+                conjs.append(n)
+
+        flat(trigger)
+        gap = None
+        flags: list[Node] = []
+        for c in conjs:
+            s = self._throttle_spec(c, ctx)
+            if s is not None:
+                if gap is not None:
+                    raise NotImplementedError(
+                        "sliding-window triggers support at most one "
+                        "gap-throttle conjunct"
+                    )
+                gap = s
+            elif any(self._find_fn_calls(c, h) for h in self._HIT_FNS):
+                raise NotImplementedError(
+                    "sliding-window triggers with last_hit_* support "
+                    "'[flag AND] <event_col> - last_hit_time() > K' over "
+                    "an epoch-ms event column (the reference's native "
+                    "representation; window_op.go isMatchCondition)"
+                )
+            else:
+                flags.append(c)
+        if gap is None:
+            raise NotImplementedError(
+                "sliding-window triggers with last_hit_* support "
+                "'[flag AND] <event_col> - last_hit_time() > K' over an "
+                "epoch-ms event column"
+            )
+        fnode: Optional[Node] = None
+        for c in flags:
+            fnode = c if fnode is None else Binary("AND", fnode, c)
+        return fnode, gap
 
     def _agg_hit_throttle_spec(self, node, ctx: TranslateCtx):
         """Detect ``X - last_agg_hit_time() > K`` in a HAVING conjunct;
