@@ -301,6 +301,42 @@ def compile_pd(
                 return out
 
             return fs, name == "length"
+        if name in ("coalesce", "ifnull") and n.args:
+            # first non-null across the lanes (mixed-side
+            # coalesce(l.x, r.y) is the classic join-WHERE shape)
+            fas_c = [comp(a) for a in n.args]
+            all_int = all(bool(i2) for _f2, i2 in fas_c)
+
+            def fco(f, fas_c=fas_c):
+                out = None
+                for fa2, _i2 in fas_c:
+                    v = _bcast(fa2(f), f)
+                    v = np.asarray(v, dtype="object")
+                    if out is None:
+                        out = v.copy()
+                        continue
+                    miss = np.array(
+                        [x is None or (isinstance(x, float) and math.isnan(x)) for x in out],
+                        dtype=bool,
+                    )
+                    if not miss.any():
+                        break
+                    out[miss] = v[miss]
+                return out
+
+            return fco, all_int
+        if name == "nullif" and len(n.args) == 2:
+            fa, ia = comp(n.args[0])
+            fb, _ = comp(n.args[1])
+
+            def fnif(f, fa=fa, fb=fb):
+                a = np.asarray(_bcast(fa(f), f), dtype="object")
+                eq = _cmp_eq(a, _bcast(fb(f), f))
+                out = a.copy()
+                out[np.asarray(eq, dtype="float64") == 1.0] = None
+                return out
+
+            return fnif, ia
         if name == "concat":
             fas = [comp(a)[0] for a in n.args]
 

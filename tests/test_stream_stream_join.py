@@ -1016,11 +1016,38 @@ def test_batch_sliding_join_three_streams_duckdb(spark, tmp_path):
             compile_sql(spark, sql, scat, streaming=True, order_cols=["ts"])
 
 
+def test_streaming_sliding_join_null_tolerant_coalesce(spark, tmp_path):
+    """coalesce/ifnull/nullif joined the pdeval subset (r11): the in-op
+    lane evaluates them over the JOINED frame, so null-extended rows see
+    coalesce(null, x) = x exactly like the reference — including the
+    null-extendable side of outer joins (the case single-side
+    precompute must refuse)."""
+    scat, bcat = _feed_join_cats(spark, tmp_path, "nco")
+    for sql, cols in [
+        (
+            "SELECT count(*) AS c FROM demo LEFT JOIN demo1 "
+            "ON demo.ts = demo1.ts WHERE coalesce(hum, 0) >= 0 "
+            "GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["c"],
+        ),
+        (
+            # mixed-side coalesce as a GROUP BY dim
+            "SELECT coalesce(hum, size) AS k, count(*) AS c FROM demo "
+            "LEFT JOIN demo1 ON demo.ts = demo1.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1), coalesce(hum, size)",
+            ["k", "c"],
+        ),
+    ]:
+        got, want = _stream_vs_batch(spark, sql, scat, bcat, cols)
+        assert got == want and len(want) > 0, sql
+
+
 def test_streaming_sliding_join_null_sensitive_raise(spark, tmp_path):
-    """A null-SENSITIVE single-side expression (coalesce over the null-
-    extendable side of a LEFT join) must NOT precompute — the column
-    would be null on extended rows where the reference evaluates
-    coalesce(null, 0) = 0.  The site keeps an honest raise."""
+    """A null-SENSITIVE single-side expression OUTSIDE the pdeval subset
+    (md5 over a coalesce, on the null-extendable side of a FULL join)
+    must NOT precompute — the column would be null on extended rows
+    where the reference evaluates md5(coalesce(null,'x')) to a value.
+    The site keeps an honest raise."""
     import warnings
 
     scat, _b = _feed_join_cats(spark, tmp_path, "nsr")
@@ -1029,8 +1056,9 @@ def test_streaming_sliding_join_null_sensitive_raise(spark, tmp_path):
         with pytest.raises(NotImplementedError, match="in-op"):
             compile_sql(
                 spark,
-                "SELECT count(*) AS c FROM demo LEFT JOIN demo1 "
-                "ON demo.ts = demo1.ts WHERE coalesce(hum, 0) >= 0 "
+                "SELECT count(*) AS c FROM demo FULL JOIN demo1 "
+                "ON demo.ts = demo1.ts "
+                "WHERE md5(coalesce(color, 'x')) != 'q' "
                 "GROUP BY SLIDINGWINDOW(ss, 1)",
                 scat,
                 streaming=True,
