@@ -1695,6 +1695,9 @@ class Translator:
         "set_keyed_state", "event_time", "rule_id", "rule_start",
         "window_start", "window_end", "window_trigger", "row_number",
         "lag", "latest", "changed_col", "had_changed", "changed_cols",
+        # nondeterministic: the reference evaluates per JOINED row; a
+        # per-side precompute would fix one value per source row
+        "rand", "newuuid", "now", "current_timestamp", "local_timestamp",
     })
 
     def _rewrite_singleside(self, node: Node, side_fn, attach, allow):

@@ -1066,6 +1066,33 @@ def test_streaming_sliding_join_null_sensitive_raise(spark, tmp_path):
             )
 
 
+def test_streaming_sliding_join_nondeterministic_no_precompute(spark, tmp_path):
+    """Nondeterministic calls (rand/newuuid/now) must NOT hoist out of a
+    streaming-join predicate as per-side precomputed columns: the
+    reference's valuer draws a fresh value per JOINED row
+    (valuer.go:297-1283 evaluates inside join_operator), so a hoisted
+    column would fix ONE draw per source row and reuse it across every
+    joined pair.  The site keeps the honest in-op raise instead of a
+    silently-drifting plan."""
+    import warnings
+
+    scat, _b = _feed_join_cats(spark, tmp_path, "ndr")
+    for pred in ["rand() < 2", "newuuid() != 'x'"]:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            with pytest.raises(NotImplementedError, match="in-op"):
+                compile_sql(
+                    spark,
+                    "SELECT count(*) AS c FROM demo INNER JOIN demo1 "
+                    "ON demo.ts = demo1.ts "
+                    f"WHERE size > 0 AND {pred} "
+                    "GROUP BY SLIDINGWINDOW(ss, 1)",
+                    scat,
+                    streaming=True,
+                    order_cols=["ts"],
+                )
+
+
 def test_sparse_hopping_stream_stream_join(spark, tmp_path):
     """SPARSE hopping windows (interval > length) over a stream-stream
     join: members map 1:1 to their TUMBLING bucket on the HOP grid (a
