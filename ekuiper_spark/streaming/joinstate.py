@@ -381,7 +381,7 @@ def sliding_join_stream(
                 keep = full[u_all >= keep_from_u]
             else:
                 keep = full
-            vals_out = [keep[c].tolist() if len(keep) else [] for c in buffered]
+            vals_out = _state_lists(keep, buffered, buf_types)
             if delay:
                 vals_out.append(list(pend))
             if thr is not None:
@@ -472,6 +472,28 @@ def sliding_join_stream(
     )
 
 
+def _state_lists(keep: pd.DataFrame, cols: Sequence[str], types: dict) -> list:
+    """Column value-lists for ``state.update`` with dtype repair: Arrow
+    hands nullable long columns to pandas as float64 (NaN for null), and
+    after a carry/batch concat they can also arrive as object columns
+    holding np.float64 — Spark's state serializer silently NULLS any
+    non-int value bound for an integral ArrayType field, so every
+    integer-typed buffer column must go back to int/None here.  (Losing
+    this repair drops all long columns — join keys included — from rows
+    that survive a micro-batch boundary; caught by the 3-stream chain's
+    cross-micro-batch pin, latent in the two-stream op since r9.)"""
+    int_t = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    out: list = []
+    for c in cols:
+        if not len(keep):
+            out.append([])
+        elif isinstance(types[c], int_t):
+            out.append([None if pd.isna(x) else int(x) for x in keep[c]])
+        else:
+            out.append(keep[c].tolist())
+    return out
+
+
 def _merge_one(
     lf: pd.DataFrame,
     rf: pd.DataFrame,
@@ -541,6 +563,185 @@ def _merge_on(
         return cand.drop(columns=["__li", "__ri"])
     out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
     return out.drop(columns=["__li", "__ri"])
+
+
+def sliding_join_chain_stream(
+    union_df: DataFrame,
+    *,
+    length: int,                 # in the __u column's unit (micros)
+    sides: Sequence[tuple[str, Sequence[str]]],  # (tag, flat column names)
+    joins: Sequence[dict],  # {"how", "lkeys", "rkeys"[, "on_fn"]};
+                            # joins[i] attaches sides[i+1] left-deep
+    aggs: Optional[Sequence[JoinAggSpec]] = None,
+    attach_aggs: Optional[Sequence[JoinAggSpec]] = None,
+    delay: int = 0,              # SLIDINGWINDOW(unit, L, D): frame (t-L, t+D]
+    pair_keep: Optional[Sequence[str]] = None,
+    subgroups: Sequence[str] = (),
+    merged_cols: Optional[Sequence[tuple]] = None,
+    merged_types: Optional[dict] = None,
+    where_filter=None,
+) -> DataFrame:
+    """Stateful per-event sliding window over an N-stream (3+) join
+    chain: the trigger/lookback machinery of ``sliding_join_stream``
+    driving the left-deep ``_join_chain`` merge of the COUNT-window
+    chain ops (evalJoinSets, join_operator.go:282-398 — each step with
+    its own ON/kind).  Every arrival from ANY stream triggers a scan of
+    the frame [t-L, t+D); the chain joins within the frame's contents
+    and emits content rows or per-trigger aggregates with __ws/__we
+    bounds.  Same single-state-partition process model as the other
+    sliding compat modes (loudly warned by the caller).  The two-stream
+    statement shape keeps its specialized op (``sliding_join_stream`` —
+    OVER(WHEN) triggers, gap-throttles, and last_hit_count gates live
+    there; the translator raises those for 3+ streams)."""
+    schema = union_df.schema
+    buf_types = {f.name: f.dataType for f in schema.fields}
+    all_cols: list[str] = []
+    for _tag, cols in sides:
+        all_cols.extend(cols)
+    buffered = ["__src", "__u"] + all_cols
+    state_fields = [
+        T.StructField(c, T.ArrayType(buf_types[c]), True) for c in buffered
+    ]
+    if delay:
+        state_fields.append(T.StructField("__pend", T.ArrayType(T.LongType()), True))
+    state_schema = T.StructType(state_fields)
+
+    att_list = list(attach_aggs) if attach_aggs else []
+    all_types = dict(buf_types)
+    if merged_types:
+        all_types.update(merged_types)
+    if aggs is None:
+        out_fields = [T.StructField(c, buf_types[c], True) for c in all_cols]
+        for a in att_list:
+            out_fields.append(T.StructField(a.out, _spec_out_type(a, all_types), True))
+    else:
+        out_fields = [T.StructField(c, all_types[c], True) for c in subgroups]
+        for a in aggs:
+            out_fields.append(T.StructField(a.out, _spec_out_type(a, all_types), True))
+    out_fields += [T.StructField("__ws", T.LongType()), T.StructField("__we", T.LongType())]
+    out_schema = T.StructType(out_fields)
+    agg_list = list(aggs) if aggs is not None else None
+    sub_list = list(subgroups)
+    pk_list = list(pair_keep) if pair_keep else []
+    merged_list = list(merged_cols) if merged_cols else []
+    side_list = [(t, list(c)) for t, c in sides]
+    join_list = [dict(j) for j in joins]
+    n_buf = len(buffered)
+
+    def _emit(full: pd.DataFrame, t: int, lo: int, hi: int, outs: list) -> None:
+        frame = full.iloc[lo:hi]
+        merged = _join_chain(frame, side_list, join_list)
+        if pk_list and len(merged):
+            merged = _apply_pair_keep(merged, pk_list)
+        merged = _apply_merged(merged, merged_list, where_filter)
+        if not len(merged):
+            return  # empty join: the trigger emits nothing
+        if agg_list is None:
+            em = merged.copy()
+            for a in att_list:
+                em[a.out] = _pd_agg(merged, a)
+            em["__ws"] = t - length
+            em["__we"] = t + delay
+            outs.append(em)
+        elif sub_list:
+            rows = _pd_agg_grouped(merged, agg_list, sub_list)
+            rows["__ws"] = t - length
+            rows["__we"] = t + delay
+            outs.append(rows)
+        else:
+            row = {a.out: [_pd_agg(merged, a)] for a in agg_list}
+            row["__ws"] = [t - length]
+            row["__we"] = [t + delay]
+            outs.append(pd.DataFrame(row))
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        pend: list[int] = []
+        if state.exists:
+            vals = state.get
+            carry = pd.DataFrame({c: pd.Series(list(vals[i] or [])) for i, c in enumerate(buffered)})
+            if not len(carry):
+                carry = pd.DataFrame({c: pd.Series(dtype="object") for c in buffered})
+            if delay:
+                pend = list(vals[n_buf] or [])
+        else:
+            carry = pd.DataFrame({c: pd.Series(dtype="object") for c in buffered})
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        n_new = len(batch)
+        if n_new:
+            batch = batch.sort_values("__u", kind="mergesort").reset_index(drop=True)
+        _parts = [p for p in (carry[buffered] if len(carry) else None,
+                              batch[buffered] if n_new else None) if p is not None]
+        if len(_parts) == 2:
+            full = pd.concat(_parts, ignore_index=True)
+        elif _parts:
+            full = _parts[0].reset_index(drop=True)
+        else:
+            full = carry[buffered] if set(buffered) <= set(carry.columns) else pd.DataFrame(columns=buffered)
+
+        def save(keep_from_u: int) -> None:
+            if len(full):
+                u_all = full["__u"].to_numpy(dtype="int64")
+                keep = full[u_all >= keep_from_u]
+            else:
+                keep = full
+            vals_out = _state_lists(keep, buffered, buf_types)
+            if delay:
+                vals_out.append(list(pend))
+            state.update(tuple(vals_out))
+
+        if not len(full):
+            save(0)
+            return
+        order = np.argsort(full["__u"].to_numpy(dtype="float64"), kind="stable")
+        full = full.iloc[order].reset_index(drop=True)
+        is_new = np.concatenate(
+            [np.zeros(len(carry), dtype=bool), np.ones(n_new, dtype=bool)]
+        )[order]
+        u_arr = full["__u"].to_numpy(dtype="int64")
+        outs: list[pd.DataFrame] = []
+        new_ts = [int(u_arr[p]) for p in np.nonzero(is_new)[0]]
+        if not delay:
+            # frame = ALL rows with u <= t (ties included — equal-time
+            # rows from any stream belong to each other's frames)
+            for t in new_ts:
+                lo = int(np.searchsorted(u_arr, t - length, side="left"))
+                hi = int(np.searchsorted(u_arr, t, side="right"))
+                _emit(full, t, lo, hi, outs)
+            keep_from = int(u_arr[-1]) - length
+        else:
+            # delayed frames [t-L, t+D): a trigger emits once a covering
+            # row (u >= t + D) has arrived
+            pend.extend(new_ts)
+            max_u = int(u_arr[-1])
+            ready = sorted(t for t in pend if t + delay <= max_u)
+            pend = [t for t in pend if t + delay > max_u]
+            for t in ready:
+                lo = int(np.searchsorted(u_arr, t - length, side="left"))
+                hi = int(np.searchsorted(u_arr, t + delay, side="left"))
+                _emit(full, t, lo, hi, outs)
+            keep_from = min([max_u - length] + [t - length for t in pend])
+        save(keep_from)
+        if outs:
+            out = pd.concat(outs, ignore_index=True)
+            for f in out_fields:
+                if f.name not in out.columns:
+                    out[f.name] = None
+                col = out[f.name]
+                if isinstance(
+                    f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+                ) and getattr(col.dtype, "kind", "") == "f":
+                    out[f.name] = pd.array(
+                        [None if pd.isna(x) else int(x) for x in col], dtype="Int64"
+                    )
+            yield out[[f.name for f in out_fields]]
+
+    return (
+        union_df.withColumn("__g0", F.lit(0))
+        .groupBy("__g0")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
 
 
 def count_join_stream(
@@ -645,7 +846,7 @@ def count_join_stream(
                 outs.append(pd.DataFrame({a.out: [_pd_agg(merged, a)] for a in agg_list}))
         rest = full.iloc[n_win * n :]
         state.update(
-            tuple([emitted + n_win] + [rest[c].tolist() for c in buffered])
+            tuple([emitted + n_win] + _state_lists(rest, buffered, buf_types))
         )
         if outs:
             out = pd.concat(outs, ignore_index=True)

@@ -1280,6 +1280,25 @@ class Translator:
                     return self._count_window_join(
                         df, stmt, ctx, left_alias, stmt.joins[idx:]
                     )
+                if (
+                    self.streaming
+                    and stmt.group is not None
+                    and stmt.group.window is not None
+                    and stmt.group.window.kind == "sliding"
+                ):
+                    # streaming sliding joins with 3+ STREAM sides route
+                    # through the N-side chain compiler (evalJoinSets
+                    # left-deep in ONE stateful op); the two-stream
+                    # statement keeps its specialized lane below
+                    idx = stmt.joins.index(j)
+                    rest = stmt.joins[idx:]
+                    if 1 + sum(
+                        1 for jj in rest if self._def_is_stream(jj.source)
+                    ) > 2:
+                        return self._count_window_join(
+                            df, stmt, ctx, left_alias, rest,
+                            sliding_w=stmt.group.window,
+                        )
                 df = self._stream_stream_join(df, stmt, j, ctx, left_alias)
                 continue
             rdf = self.catalog.load(self.spark, j.source, streaming=False).alias(r_alias)
@@ -2668,7 +2687,7 @@ class Translator:
 
     def _count_window_join(
         self, ldf: DataFrame, stmt: SelectStatement, ctx: TranslateCtx,
-        left_alias: str, joins: list,
+        left_alias: str, joins: list, sliding_w=None,
     ) -> DataFrame:
         """COUNT window over a multi-stream join (planner.go:734-735
         allows "a time window or count window"; fvt/rule_test.go
@@ -2684,6 +2703,14 @@ class Translator:
         (count_join_stream, single state partition, warned).  Equi-ON
         only — the keys are precomputed natively per side.
 
+        ``sliding_w`` switches the WINDOW mechanics: the same N-side
+        packing / chain-descriptor compilation drives the streaming
+        3+-stream SLIDINGWINDOW join (sliding_join_chain_stream — every
+        arrival triggers a frame scan, evalJoinSets left-deep per
+        window; batch 3+ keeps its native lane, _batch_sliding_join).
+        OVER(WHEN) triggers / gap-throttles / last_hit_* raise in that
+        mode (they live in the specialized two-stream op).
+
         Narrow shapes raised here (batch non-count paths support them):
         WHERE/HAVING over the joined windows, GROUP BY dims, non-equi ON.
         """
@@ -2691,10 +2718,28 @@ class Translator:
 
         from ekuiper_spark.streaming.joinstate import (
             JoinAggSpec, count_join_batch, count_join_stream,
+            sliding_join_chain_stream,
         )
 
         w = stmt.group.window
-        n = int(w.args[0])
+        if sliding_w is not None:
+            _lbl = "sliding-window join chain"
+            length_us = int(w.args[0] * UNIT_SECONDS[w.unit] * 1_000_000)
+            delay_us = (
+                int(w.args[1] * UNIT_SECONDS[w.unit] * 1_000_000)
+                if len(w.args) > 1 and w.args[1]
+                else 0
+            )
+            if w.trigger is not None:
+                raise NotImplementedError(
+                    "OVER(WHEN ...) triggers on a 3+-stream streaming "
+                    "sliding join are unsupported (trigger machinery "
+                    "lives in the two-stream op); use two streams or "
+                    "batch mode"
+                )
+        else:
+            _lbl = "COUNT window join"
+            n = int(w.args[0])
         # WHERE filters JOINED pairs (FilterPlan above JoinPlan,
         # planner.go:797); agg conjuncts merge into HAVING — same routing
         # as the sliding join
@@ -2706,7 +2751,7 @@ class Translator:
             )
             if hit_conjs:
                 raise NotImplementedError(
-                    "last_hit_* conjuncts over a COUNT window join are unsupported"
+                    f"last_hit_* conjuncts over a {_lbl} are unsupported"
                 )
             for c in agg_conjs:
                 having = c if having is None else Binary("AND", having, c)
@@ -2715,11 +2760,22 @@ class Translator:
         for j in stream_joins:
             if j.kind not in ("inner", "left", "right", "full", "cross"):
                 raise NotImplementedError(
-                    f"COUNT window {j.kind} join is unsupported"
+                    f"{_lbl}: {j.kind} join is unsupported"
                 )
+        sl_long = False
+        if sliding_w is not None:
+            # epoch-ms LEFT event column → window bounds render as ms
+            # (same convention as the two-stream lane's _ev)
+            d0 = self.catalog.get(stmt.source)
+            ec0 = self.event_col or (d0.timestamp_col if d0 else None) or (
+                "ts" if "ts" in ldf.columns else None
+            )
+            sl_long = ec0 is not None and isinstance(
+                ldf.schema[ec0].dataType, T.LongType
+            )
         if self.streaming:
             warnings.warn(
-                "streaming COUNT window join: all rows route through ONE "
+                f"streaming {_lbl}: all rows route through ONE "
                 "state partition (the reference's single-process "
                 "window+join chain).",
                 UserWarning,
@@ -2737,6 +2793,12 @@ class Translator:
                 if isinstance(sdf.schema[ec].dataType, T.LongType):
                     return col * 1000
                 return epoch_us(col)
+            if sliding_w is not None:
+                # sliding frames are event-time ranges — arrival-order
+                # fallbacks would silently misplace the lookback
+                raise ValueError(
+                    "sliding-window join requires event-time columns"
+                )
             if "__seq" in sdf.columns:
                 return F.col(f"{alias}.__seq")
             return F.lit(0).cast("long")
@@ -3073,7 +3135,7 @@ class Translator:
                     return _compile(node3)
                 except NotImplementedError:
                     raise NotImplementedError(
-                        f"COUNT window join {what} uses a mixed-side "
+                        f"{_lbl} {what} uses a mixed-side "
                         f"expression outside the in-op subset "
                         f"({first_err}); rewrite or use a time window"
                     ) from None
@@ -3099,7 +3161,7 @@ class Translator:
             op = self._JOIN_STREAM_AGG_OPS.get(call.name.lower())
             if op is None:
                 raise NotImplementedError(
-                    f"{call.name} is unsupported over a COUNT window join"
+                    f"{call.name} is unsupported over a {_lbl}"
                 )
             args = [a for a in call.args if not isinstance(a, Wildcard)]
             if op in self._JOIN_AGG_ARG_OPS:
@@ -3180,7 +3242,7 @@ class Translator:
         ):
             if static_joins:
                 raise NotImplementedError(
-                    "WHERE over an AGGREGATED COUNT window join with "
+                    f"WHERE over an AGGREGATED {_lbl} with "
                     "scan/lookup sides keeps the filter-between-join-and-"
                     "aggregation gap (the side inputs join after the op)"
                 )
@@ -3189,7 +3251,7 @@ class Translator:
         if agg_nodes or cw_sub_info:
             if static_joins:
                 raise NotImplementedError(
-                    "aggregates over a COUNT window join with scan/lookup "
+                    f"aggregates over a {_lbl} with scan/lookup "
                     "sides are unsupported (aggregate before the lookup "
                     "join is ill-defined)"
                 )
@@ -3224,11 +3286,8 @@ class Translator:
                 ctx.dim_map[key] = out_name
             ctx.post_agg = True
 
-        op_fn = count_join_stream if self.streaming else count_join_batch
         _cw_agg_mode = bool(agg_nodes or cw_sub_info)
-        out = op_fn(
-            union,
-            n=n,
+        _op_kwargs = dict(
             sides=side_cols,
             joins=join_specs,
             aggs=specs + having_specs if _cw_agg_mode else None,
@@ -3238,7 +3297,25 @@ class Translator:
             merged_cols=cw_merged_cols or None,
             merged_types=cw_merged_types or None,
             where_filter=cw_where_filter,
-        ).alias("__cwj")
+        )
+        if sliding_w is not None:
+            out = sliding_join_chain_stream(
+                union, length=length_us, delay=delay_us, **_op_kwargs
+            )
+            out = out.withColumn(
+                "window",
+                F.struct(
+                    F.timestamp_micros(F.col("__ws")).alias("start"),
+                    F.timestamp_micros(F.col("__we")).alias("end"),
+                ),
+            ).drop("__ws", "__we")
+            ctx.window_col = "window"
+            ctx.window_bounds_ms = sl_long
+            ctx.event_col = "window.end"
+            out = out.alias("__cwj")
+        else:
+            op_fn = count_join_stream if self.streaming else count_join_batch
+            out = op_fn(union, n=n, **_op_kwargs).alias("__cwj")
         if not _cw_agg_mode:
             # qualify the flat names so trailing static joins with
             # same-named columns stay unambiguous
@@ -3340,19 +3417,9 @@ class Translator:
         if window is not None and window.kind == "sliding" and self.streaming:
             # per-event sliding joins have no bucket for Spark's join
             # state eviction — route through the reference-style stateful
-            # window+join chain (streaming/joinstate.py)
-            n_streams = 1 + sum(
-                1 for jj in stmt.joins if self._def_is_stream(jj.source)
-            )
-            if n_streams > 2:
-                raise NotImplementedError(
-                    "streaming sliding-window joins support two streams: "
-                    "the window+join chain runs in ONE stateful op (Spark "
-                    "allows a single applyInPandasWithState per query) "
-                    "whose joined-frame state is two-sided; batch mode "
-                    "chains 3+ streams left-deep (evalJoinSets, "
-                    "join_operator.go:282-398)"
-                )
+            # window+join chain (streaming/joinstate.py; 3+-stream
+            # statements were routed to the N-side chain compiler by
+            # _load_sources before reaching here)
             return self._streaming_sliding_join(df, stmt, j, ctx, left_alias)
         if window is None or window.kind not in ("tumbling", "hopping"):
             raise NotImplementedError(

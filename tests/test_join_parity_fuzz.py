@@ -19,6 +19,16 @@ glue), scalar ON residuals, scalar GROUP BY dims (upper/lpad), and
 general OVER(WHEN) trigger conditions on sliding joins (_TRIGGERS —
 isMatchCondition per raw arrival, other stream's fields nil).  220
 seeded statements (r10: 150).
+
+Round-11 follow-up: ~25% of sliding/COUNT statements chain a THIRD
+stream (demo2) — second step kind INNER/LEFT/FULL/CROSS, ON against
+either earlier side, optional non-equi residual — sweeping the N-side
+chain lane (sliding_join_chain_stream / count_join_*).  A second
+parametrized test replays every 6th statement with each stream split
+into two time-aligned files fed one-per-micro-batch, so the join
+buffer's state round-trip (the r11 long-column state-loss regression)
+is inside the fuzz surface, not just the single-batch replay.  260
+statements total.
 """
 
 from __future__ import annotations
@@ -30,6 +40,10 @@ import uuid
 import pytest
 
 from ekuiper_spark import Catalog, compile_sql
+
+# soak hook: FUZZ_SEED_OFFSET=N shifts every seed for a fresh-corpus
+# run (CI keeps 0 so failures reproduce from the committed ids)
+_FUZZ_OFF = int(os.environ.get("FUZZ_SEED_OFFSET", "0"))
 from ekuiper_spark.catalog import StreamDef
 
 _WINDOWS = [
@@ -93,6 +107,23 @@ _AGGS_EXT = [
     "count(*) AS n, round(percentile_disc(hum, 0.25), 2) AS pd",
 ]
 _CONTENT = ["color, temp", "size, hum"]
+# r11 follow-up: second chain step attaching demo2 (sliding/COUNT only
+# — the N-side chain lane).  CROSS carries no ON; the residual form
+# exercises per-step on_fn.
+_ONS2 = [
+    ("INNER", "ON demo1.ts = demo2.ts "),
+    ("INNER", "ON demo.ts = demo2.ts "),
+    ("INNER", "ON demo1.ts = demo2.ts AND flag > 1 "),
+    ("LEFT", "ON demo1.ts = demo2.ts "),
+    ("LEFT", "ON demo.ts = demo2.ts AND flag > 1 "),
+    ("FULL", "ON demo1.ts = demo2.ts "),
+    ("CROSS", ""),
+]
+_AGGS_TRI = [
+    "count(*) AS n, max(flag) AS mf",
+    "count(*) AS n, count(flag) AS cf, min(size) AS ms",
+]
+_CONTENT_TRI = ["color, hum, flag"]
 
 
 def _gen(seed: int, n: int):
@@ -106,6 +137,10 @@ def _gen(seed: int, n: int):
         shape = rng.choice(["agg", "agg", "content", "aggext"])
         on = rng.choice(_ONS)
         trig = rng.choice(_TRIGGERS) if wkind == "sliding" else ""
+        tri = wkind in ("sliding", "count") and rng.random() < 0.25
+        if tri:
+            trig = ""  # OVER(WHEN) raises on 3+-stream chains (two-stream op)
+            kind2, on2 = rng.choice(_ONS2)
         # ---- support matrix (the lifted r10/r11 surface) ----------------
         if kind == "CROSS":
             if wkind == "time":
@@ -131,11 +166,19 @@ def _gen(seed: int, n: int):
         sel = rng.choice(
             _AGGS if shape == "agg" else _AGGS_EXT if shape == "aggext" else _CONTENT
         )
+        step2 = ""
+        if tri:
+            if shape == "content":
+                d = ""  # first-of-group raw refs over a chain frame
+                sel = rng.choice(_CONTENT + _CONTENT_TRI)
+            elif shape == "agg":
+                sel = rng.choice(_AGGS + _AGGS_TRI)
+            step2 = f"{kind2} JOIN demo2 {on2}"
         dims = f"{d}, " if d else ""
         sel_prefix = f"{d} AS gd, " if d else ""
         q = (
             f"SELECT {sel_prefix}{sel} FROM demo {kind} JOIN demo1 "
-            f"{on}{where} GROUP BY {dims}{wsql}{trig}"
+            f"{on}{step2}{where} GROUP BY {dims}{wsql}{trig}"
         ).replace("  ", " ").strip()
         if q in seen:
             continue
@@ -144,7 +187,17 @@ def _gen(seed: int, n: int):
     return out
 
 
-_STATEMENTS = _gen(seed=20260817, n=220)
+_STATEMENTS = _gen(seed=20260817 + _FUZZ_OFF, n=260)
+
+_SCHEMAS = {
+    "demo": "color string, size long, ts long",
+    "demo1": "temp double, hum long, ts long",
+    "demo2": "flag long, ts long",
+}
+# time-aligned micro-batch split boundary for the split-feed replay:
+# every stream's rows cut at the SAME timestamp so arrival order
+# respects event order across streams
+_SPLIT_CUT = 1541152488000
 
 
 @pytest.fixture(scope="module")
@@ -174,23 +227,37 @@ def join_src(spark, tmp_path_factory):
         (24.9, 58, 1541152490062),
         (99.9, 1000, 1541152599001),
     ]
-    spark.createDataFrame(demo_rows, "color string, size long, ts long").coalesce(1).write.parquet(base + "/d")
-    spark.createDataFrame(demo1_rows, "temp double, hum long, ts long").coalesce(1).write.parquet(base + "/d1")
+    demo2_rows = [
+        (1, 1541152486013), (2, 1541152486822), (3, 1541152487632),
+        (4, 1541152488442), (5, 1541152489252),
+        (1000, 1541152599002),
+    ]
+    rows_by = {"demo": demo_rows, "demo1": demo1_rows, "demo2": demo2_rows}
+    for nm, sub in (("demo", "/d"), ("demo1", "/d1"), ("demo2", "/d2")):
+        spark.createDataFrame(rows_by[nm], _SCHEMAS[nm]).coalesce(1) \
+            .write.parquet(base + sub)
+        # split copy: two time-aligned files fed one-per-micro-batch
+        early = [r for r in rows_by[nm] if r[-1] < _SPLIT_CUT]
+        late = [r for r in rows_by[nm] if r[-1] >= _SPLIT_CUT]
+        spark.createDataFrame(early, _SCHEMAS[nm]).coalesce(1) \
+            .write.mode("append").parquet(base + sub + "_sp")
+        spark.createDataFrame(late, _SCHEMAS[nm]).coalesce(1) \
+            .write.mode("append").parquet(base + sub + "_sp")
     return base
 
 
-def _cats(spark, base, streaming):
+def _cats(spark, base, streaming, split=False):
     c = Catalog()
-    if streaming:
-        c.register_df("demo", spark.readStream.schema("color string, size long, ts long").parquet(base + "/d"))
-        c.register(StreamDef(name="demo", kind="stream"))
-        c.register_df("demo1", spark.readStream.schema("temp double, hum long, ts long").parquet(base + "/d1"))
-        c.register(StreamDef(name="demo1", kind="stream"))
-    else:
-        c.register_df("demo", spark.read.parquet(base + "/d"))
-        c.register(StreamDef(name="demo", kind="stream"))
-        c.register_df("demo1", spark.read.parquet(base + "/d1"))
-        c.register(StreamDef(name="demo1", kind="stream"))
+    suf = "_sp" if split else ""
+    for nm, sub in (("demo", "/d"), ("demo1", "/d1"), ("demo2", "/d2")):
+        if streaming:
+            rd = spark.readStream.schema(_SCHEMAS[nm])
+            if split:
+                rd = rd.option("maxFilesPerTrigger", 1)
+            c.register_df(nm, rd.parquet(base + sub + suf))
+        else:
+            c.register_df(nm, spark.read.parquet(base + sub + suf))
+        c.register(StreamDef(name=nm, kind="stream"))
     return c
 
 
@@ -231,3 +298,37 @@ def test_join_parity_fuzz(spark, join_src, sql):
             f"first diff {next((x for x in b if x not in s), None)} / "
             f"{next((x for x in s if x not in b), None)}"
         )
+
+
+_SPLIT_SAMPLE = [
+    q for q in _STATEMENTS[::6]
+    if "SLIDING" in q or "COUNT" in q
+]
+
+
+@pytest.mark.parametrize("sql", _SPLIT_SAMPLE, ids=_SPLIT_SAMPLE)
+def test_join_parity_fuzz_split_feed(spark, join_src, sql):
+    """Every 6th stateful-join statement replayed with each stream split
+    into two time-aligned files fed ONE per micro-batch: the join
+    buffer's state round-trip (carry across the batch boundary) is
+    inside the assertion, not just the single-batch replay — the r11
+    long-column state-loss regression lived exactly in that gap."""
+    import warnings
+
+    from ekuiper_spark.streaming.runtime import run_rule_available_now
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        b = _norm(
+            compile_sql(spark, sql, _cats(spark, join_src, False, split=True)).collect()
+        )
+        s = _norm(
+            run_rule_available_now(
+                spark, _cats(spark, join_src, True, split=True), sql
+            ).collect()
+        )
+    assert b == s, (
+        f"split-feed parity drift for {sql!r}: batch {len(b)} vs stream "
+        f"{len(s)}; first diff {next((x for x in b if x not in s), None)} / "
+        f"{next((x for x in s if x not in b), None)}"
+    )

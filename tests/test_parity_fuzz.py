@@ -14,11 +14,16 @@ order differs between modes).
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
 
 from ekuiper_spark import Catalog, compile_sql
+
+# soak hook: FUZZ_SEED_OFFSET=N shifts every seed for a fresh-corpus
+# run (CI keeps 0 so failures reproduce from the committed ids)
+_FUZZ_OFF = int(os.environ.get("FUZZ_SEED_OFFSET", "0"))
 from ekuiper_spark.streaming.runtime import run_rule_available_now
 
 _WINDOWS = [
@@ -77,7 +82,7 @@ def _gen_queries(seed: int, n: int) -> list[str]:
     return out
 
 
-_QUERIES = _gen_queries(seed=20260815, n=14) + [
+_QUERIES = _gen_queries(seed=20260815 + _FUZZ_OFF, n=14) + [
     # guaranteed WHERE-above-sliding coverage regardless of the seed:
     # the delayed form, the plain per-event form, and the sub-grouped
     # content form all keep triggers from ALL rows and prune CONTENT

@@ -35,6 +35,10 @@ from pyspark.sql import functions as F
 
 from ekuiper_spark import Catalog, compile_sql
 
+# soak hook: FUZZ_SEED_OFFSET=N shifts every seed for a fresh-corpus
+# run (CI keeps 0 so failures reproduce from the committed ids)
+_FUZZ_OFF = int(os.environ.get("FUZZ_SEED_OFFSET", "0"))
+
 # --------------------------------------------------------------------- #
 # grammar
 # --------------------------------------------------------------------- #
@@ -160,7 +164,7 @@ def _gen(seed: int, n: int) -> list[tuple[str, str]]:
     return out
 
 
-_STATEMENTS = _gen(seed=20260816, n=340)
+_STATEMENTS = _gen(seed=20260816 + _FUZZ_OFF, n=340)
 
 
 # --------------------------------------------------------------------- #

@@ -999,7 +999,12 @@ def test_batch_sliding_join_three_streams_duckdb(spark, tmp_path):
     )
     assert got3 == want3 and len(want3) > 0
 
-    # streaming: documented raise (one stateful op, two-sided state)
+    # streaming (r11): 3+ streams run the N-side chain in ONE stateful
+    # op (sliding_join_chain_stream) — streaming == batch on all three
+    # statements above
+    import uuid as _uuid
+    import warnings
+
     scat = Catalog()
     for nm, sub, sch in (
         ("demo", "/a", "color string, size long, ts long"),
@@ -1008,12 +1013,308 @@ def test_batch_sliding_join_three_streams_duckdb(spark, tmp_path):
     ):
         scat.register_df(nm, spark.readStream.schema(sch).parquet(base + sub))
         scat.register(StreamDef(name=nm, kind="stream"))
+
+    def _run_stream(sq, cols):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sdf = compile_sql(spark, sq, scat, streaming=True, order_cols=["ts"])
+            name = "tri_" + _uuid.uuid4().hex[:6]
+            q = (
+                sdf.writeStream.format("memory").queryName(name)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+            return sorted(
+                tuple(r[c] for c in cols)
+                for r in spark.table(name).collect()
+            )
+
+    assert _run_stream(sql, ["c", "ss"]) == got
+    assert _run_stream(sql2, ["c", "cf"]) == got2
+    assert _run_stream(sql3, ["color", "hum", "flag"]) == got3
+
+
+def test_streaming_sliding_join_three_stream_matrix(spark, tmp_path):
+    """r11 follow-up: the 3+-stream streaming sliding-join chain carries
+    the feature matrix — GROUP BY dims, single-side WHERE (keep flags),
+    mixed-side WHERE (in-op lane), non-equi ON residual per chain step,
+    HAVING, window delay — with streaming == batch parity per cell, and
+    state carries across micro-batches (maxFilesPerTrigger=1).
+    Unsupported 3+-stream cells raise actionably: OVER(WHEN) triggers
+    and last_hit_* gates (they live in the two-stream op)."""
+    import glob
+    import uuid as _uuid
     import warnings
 
+    base = str(tmp_path / "tri3")
+    a_rows = [
+        ("red", 50, 1541152486013), ("blue", 58, 1541152486822),
+        ("red", 49, 1541152487632), ("yellow", 51, 1541152488442),
+        ("red", 48, 1541152489252),
+    ]
+    b_rows = [
+        (25.5, 65, 1541152486013), (27.5, 59, 1541152486823),
+        (28.1, 75, 1541152487632), (27.4, 80, 1541152488442),
+        (25.5, 62, 1541152489252),
+    ]
+    c_rows = [
+        (1, 1541152486013), (2, 1541152487632), (3, 1541152488442),
+        (4, 1541152489900),
+    ]
+    # two files per stream so availableNow + maxFilesPerTrigger=1 spans
+    # micro-batches; the split boundary is a TIMESTAMP shared by every
+    # stream (arrival order must respect event order across streams —
+    # same discipline as the time-contiguous splits in _stream_vs_batch)
+    _CUT = 1541152488000
+    for sub, rows, sch in (
+        ("/a", a_rows, "color string, size long, ts long"),
+        ("/b", b_rows, "temp double, hum long, ts long"),
+        ("/c", c_rows, "flag long, ts long"),
+    ):
+        early = [r for r in rows if r[-1] < _CUT]
+        late = [r for r in rows if r[-1] >= _CUT]
+        spark.createDataFrame(early, sch).coalesce(1) \
+            .write.mode("append").parquet(base + sub)
+        spark.createDataFrame(late, sch).coalesce(1) \
+            .write.mode("append").parquet(base + sub)
+        assert len(glob.glob(base + sub + "/*.parquet")) >= 2
+
+    defs = (
+        ("demo", "/a", "color string, size long, ts long"),
+        ("demo1", "/b", "temp double, hum long, ts long"),
+        ("demo2", "/c", "flag long, ts long"),
+    )
+    bcat = Catalog()
+    for nm, sub, _sch in defs:
+        bcat.register_df(nm, spark.read.parquet(base + sub))
+        bcat.register(StreamDef(name=nm, kind="stream"))
+
+    def scat_for(split: bool) -> Catalog:
+        sc = Catalog()
+        for nm, sub, sch in defs:
+            rd = spark.readStream.schema(sch)
+            if split:
+                rd = rd.option("maxFilesPerTrigger", 1)
+            sc.register_df(nm, rd.parquet(base + sub))
+            sc.register(StreamDef(name=nm, kind="stream"))
+        return sc
+
+    def run(sq, cols, split=False):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sdf = compile_sql(
+                spark, sq, scat_for(split), streaming=True, order_cols=["ts"]
+            )
+            name = "tm_" + _uuid.uuid4().hex[:6]
+            q = (
+                sdf.writeStream.format("memory").queryName(name)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+            got = sorted(
+                tuple(r[c] for c in cols) for r in spark.table(name).collect()
+            )
+            bdf = compile_sql(spark, sq, bcat, order_cols=["ts"])
+            want = sorted(tuple(r[c] for c in cols) for r in bdf.collect())
+        return got, want
+
+    cells = [
+        (   # GROUP BY dims over the joined chain
+            "SELECT color, count(*) AS c FROM demo "
+            "INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1), color",
+            ["color", "c"], False,
+        ),
+        (   # single-side WHERE conjuncts -> per-side keep flags
+            "SELECT count(*) AS c, sum(hum) AS sh FROM demo "
+            "INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+            "WHERE size > 48 AND flag < 4 GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["c", "sh"], False,
+        ),
+        (   # mixed-side WHERE -> in-op lane over the joined chain
+            "SELECT count(*) AS c FROM demo "
+            "INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+            "WHERE size - hum < 0 GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["c"], False,
+        ),
+        (   # non-equi ON residual on the SECOND chain step
+            "SELECT count(*) AS c, count(flag) AS cf FROM demo "
+            "INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "LEFT JOIN demo2 ON demo1.ts = demo2.ts AND demo2.flag > 1 "
+            "GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["c", "cf"], False,
+        ),
+        (   # HAVING gates trigger emissions
+            "SELECT window_end(), count(*) AS c FROM demo "
+            "INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1) HAVING count(*) > 1",
+            ["window_end", "c"], False,
+        ),
+        (   # cross-micro-batch state carry (one file per trigger)
+            "SELECT count(*) AS c, sum(size) AS ss FROM demo "
+            "INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["c", "ss"], True,
+        ),
+    ]
+    for sq, cols, split in cells:
+        got, want = run(sq, cols, split)
+        assert got == want and len(want) > 0, sq
+
+    # window delay: frames reach forward; sentinels flush the tail
+    dbase = str(tmp_path / "tri3d")
+    spark.createDataFrame(
+        a_rows + [("zz", 0, 1541152599000)], defs[0][2]
+    ).coalesce(1).write.parquet(dbase + "/a")
+    spark.createDataFrame(
+        b_rows + [(0.0, 0, 1541152599001)], defs[1][2]
+    ).coalesce(1).write.parquet(dbase + "/b")
+    spark.createDataFrame(
+        c_rows + [(0, 1541152599002)], defs[2][2]
+    ).coalesce(1).write.parquet(dbase + "/c")
+    dscat, dbcat = Catalog(), Catalog()
+    for nm, sub, sch in defs:
+        dscat.register_df(nm, spark.readStream.schema(sch).parquet(dbase + sub))
+        dscat.register(StreamDef(name=nm, kind="stream"))
+        dbcat.register_df(nm, spark.read.parquet(dbase + sub))
+        dbcat.register(StreamDef(name=nm, kind="stream"))
+    dsql = (
+        "SELECT window_end(), count(*) AS c FROM demo "
+        "INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+        "GROUP BY SLIDINGWINDOW(ss, 1, 1)"
+    )
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        with pytest.raises(NotImplementedError, match="two streams"):
-            compile_sql(spark, sql, scat, streaming=True, order_cols=["ts"])
+        sdf = compile_sql(spark, dsql, dscat, streaming=True, order_cols=["ts"])
+        name = "tmd_" + _uuid.uuid4().hex[:6]
+        q = (
+            sdf.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            tuple(r[c] for c in ["window_end", "c"])
+            for r in spark.table(name).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in ["window_end", "c"])
+            for r in compile_sql(spark, dsql, dbcat, order_cols=["ts"]).collect()
+        )
+    assert got == want and len(want) > 0
+
+    # unsupported 3+-stream cells keep actionable raises
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(NotImplementedError, match="two streams or batch"):
+            compile_sql(
+                spark,
+                "SELECT count(*) AS c FROM demo "
+                "INNER JOIN demo1 ON demo.ts = demo1.ts "
+                "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+                "GROUP BY SLIDINGWINDOW(ss, 1) "
+                "OVER (WHEN demo.size > 0)",
+                scat_for(False), streaming=True, order_cols=["ts"],
+            )
+        with pytest.raises(NotImplementedError, match="last_hit_"):
+            compile_sql(
+                spark,
+                "SELECT color, hum, flag FROM demo "
+                "INNER JOIN demo1 ON demo.ts = demo1.ts "
+                "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+                "WHERE last_hit_count() < 3 GROUP BY SLIDINGWINDOW(ss, 1)",
+                scat_for(False), streaming=True, order_cols=["ts"],
+            )
+
+
+def test_streaming_sliding_join_cross_micro_batch_state(spark, tmp_path):
+    """Regression (r11, found by the 3-stream chain's split pin): rows
+    carried in join-buffer state across a micro-batch boundary lost
+    every LONG column — Arrow hands nullable longs to pandas as float64
+    and Spark's state serializer silently NULLS floats bound for an
+    integral ArrayType field, so carried join keys vanished and frames
+    spanning micro-batches under-joined.  _state_lists repairs the
+    dtypes at save; this pin feeds one file per micro-batch so every
+    cross-file pair exercises the round-trip."""
+    import glob
+    import uuid as _uuid
+    import warnings
+
+    base = str(tmp_path / "xmb")
+    a_rows = [
+        ("red", 50, 1541152486013), ("blue", 58, 1541152486822),
+        ("red", 49, 1541152487632), ("yellow", 51, 1541152488442),
+        ("red", 48, 1541152489252),
+    ]
+    b_rows = [
+        (25.5, 65, 1541152486013), (27.5, 59, 1541152486823),
+        (28.1, 75, 1541152487632), (27.4, 80, 1541152488442),
+        (25.5, 62, 1541152489252),
+    ]
+    _CUT = 1541152488000
+    for sub, rows, sch in (
+        ("/a", a_rows, "color string, size long, ts long"),
+        ("/b", b_rows, "temp double, hum long, ts long"),
+    ):
+        spark.createDataFrame([r for r in rows if r[-1] < _CUT], sch) \
+            .coalesce(1).write.mode("append").parquet(base + sub)
+        spark.createDataFrame([r for r in rows if r[-1] >= _CUT], sch) \
+            .coalesce(1).write.mode("append").parquet(base + sub)
+        assert len(glob.glob(base + sub + "/*.parquet")) >= 2
+
+    defs = (
+        ("demo", "/a", "color string, size long, ts long"),
+        ("demo1", "/b", "temp double, hum long, ts long"),
+    )
+    bcat, scat = Catalog(), Catalog()
+    for nm, sub, sch in defs:
+        bcat.register_df(nm, spark.read.parquet(base + sub))
+        bcat.register(StreamDef(name=nm, kind="stream"))
+        scat.register_df(
+            nm,
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(base + sub),
+        )
+        scat.register(StreamDef(name=nm, kind="stream"))
+
+    for sql, cols in [
+        (   # 2-stream sliding join: the 88442 trigger's frame spans the
+            # file boundary (87632 rows carried, 88442 rows arriving)
+            "SELECT window_end(), count(*) AS c, sum(size) AS ss "
+            "FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1)",
+            ["window_end", "c", "ss"],
+        ),
+        (   # COUNT-window join: 6 rows arrive in micro-batch 1, so
+            # window 2 (rows 5-8) holds 2 CARRIED + 2 arriving rows
+            "SELECT count(*) AS c, sum(hum) AS sh "
+            "FROM demo INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "GROUP BY COUNTWINDOW(4)",
+            ["c", "sh"],
+        ),
+    ]:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sdf = compile_sql(spark, sql, scat, streaming=True, order_cols=["ts"])
+            name = "xmb_" + _uuid.uuid4().hex[:6]
+            q = (
+                sdf.writeStream.format("memory").queryName(name)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+            got = sorted(
+                tuple(r[c] for c in cols) for r in spark.table(name).collect()
+            )
+            want = sorted(
+                tuple(r[c] for c in cols)
+                for r in compile_sql(spark, sql, bcat, order_cols=["ts"]).collect()
+            )
+        assert got == want and len(want) > 0, sql
 
 
 def test_streaming_sliding_join_null_tolerant_coalesce(spark, tmp_path):
