@@ -1208,14 +1208,47 @@ class RestServer:
                 return out
 
             if method == "GET" and len(parts) == 3 and parts[1] == "rule":
+                # per-TUPLE trace ids (tracer.go:147
+                # GetTraceIDListByRuleID; ?limit=N returns the newest N).
+                # Sampling is head-of-micro-batch — Catalyst fuses the op
+                # chain, so not every tuple can carry a span the way the
+                # reference's per-op decorators do.
                 rid = parts[2]
                 if rid not in self.traced:
                     return 200, []
-                return 200, [
-                    f"{rid}-{p.get('batchId')}" for p in _progress(rid)
-                ]
+                ids = list(self.runtime.trace_tuples.get(rid, {}))
+                lim = 0
+                for tok in query.split("&"):
+                    if tok.startswith("limit="):
+                        try:
+                            lim = int(tok[len("limit="):])
+                        except ValueError:
+                            lim = 0
+                if lim > 0:
+                    ids = ids[-lim:]
+                return 200, ids
             if method == "GET" and len(parts) == 2:
                 tid = parts[1]
+                # per-tuple id: the span tree's data attribute is THAT
+                # tuple (every span carries the sink-side tuple — per-hop
+                # payloads don't exist under whole-stage codegen)
+                for rid2, tt in self.runtime.trace_tuples.items():
+                    if tid in tt:
+                        batch2, row = tt[tid]
+                        spans2 = []
+                        for p in _progress(rid2):
+                            if str(p.get("batchId")) == str(batch2):
+                                spans2 = [
+                                    {"name": k, "durationMs": v}
+                                    for k, v in (p.get("durationMs") or {}).items()
+                                ]
+                                break
+                        out = {"traceId": tid, "rule": rid2, "spans": spans2}
+                        tree = self._trace_tree(rid2, str(batch2), data_row=row)
+                        if tree is not None:
+                            out.update(tree)
+                        return 200, out
+                # legacy batch-granularity id: {rule}-{batchId}
                 rid, _, batch = tid.rpartition("-")
                 for p in _progress(rid):
                     if str(p.get("batchId")) == batch:
@@ -1293,13 +1326,13 @@ class RestServer:
             self._trial_ws_srv = WsServer()
         return self._trial_ws_srv
 
-    def _trace_tree(self, rid: str, batch: str) -> Optional[dict]:
+    def _trace_tree(self, rid: str, batch: str, data_row=None) -> Optional[dict]:
         """The reference's nested span shape (fvt/result/trace/*.json:
         {name, attribute{rule, data}, ChildSpan}) over the rule's
-        operator chain.  One tree per MICRO-BATCH (documented divergence:
-        the reference traces per tuple; Catalyst fuses operators, so the
-        data attribute carries a bounded sink-row sample instead of the
-        per-hop payload)."""
+        operator chain.  With ``data_row`` the tree is a per-TUPLE trace
+        (every span carries that tuple — Catalyst fuses operators, so
+        per-hop payloads don't exist); without it, the legacy
+        per-micro-batch tree with a bounded sink-row sample."""
         rule = self.runtime.rules.get(rid)
         if rule is None:
             return None
@@ -1307,10 +1340,17 @@ class RestServer:
             topo = self._topo(rule)
         except Exception:
             return None
-        sample = (self.runtime.trace_samples.get(rid) or {}).get(
-            int(batch) if str(batch).isdigit() else -1
-        )
-        data = json.dumps(sample, default=str, separators=(",", ":")) if sample else ""
+        if data_row is not None:
+            data = json.dumps(data_row, default=str, separators=(",", ":"))
+        else:
+            sample = (self.runtime.trace_samples.get(rid) or {}).get(
+                int(batch) if str(batch).isdigit() else -1
+            )
+            data = (
+                json.dumps(sample, default=str, separators=(",", ":"))
+                if sample
+                else ""
+            )
         chain: list[str] = []
         node = topo["edges"].get(topo["sources"][0], [None])[0]
         seen = set()

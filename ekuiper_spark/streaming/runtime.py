@@ -67,6 +67,11 @@ class RuleRuntime:
         # per-(rule, batch) sampled sink rows for the trace span tree
         self.traced_ref: set[str] = set()
         self.trace_samples: dict[str, dict[int, list]] = {}
+        # per-TUPLE trace ids (reference: every traced tuple carries its
+        # own otel trace, tracer.go GetTraceIDListByRuleID; Catalyst
+        # fuses the op chain, so sampling is head-of-micro-batch):
+        # rule -> {trace_id_hex: (batch, sink row)} in insertion order
+        self.trace_tuples: dict[str, dict[str, tuple]] = {}
 
     def _count_fb(self, rule_id: str, fn: Callable) -> Callable:
         """Wrap a foreachBatch body so sink_*_records_out_total counts the
@@ -86,6 +91,18 @@ class RuleRuntime:
                     per[int(epoch)] = sample
                     for k in sorted(per)[:-32]:  # bounded retention
                         del per[k]
+                    # one trace id per sampled TUPLE (32-hex like otel;
+                    # deterministic so bounded replays reproduce)
+                    import hashlib
+
+                    tt = self.trace_tuples.setdefault(rule_id, {})
+                    for i, row in enumerate(sample):
+                        tid = hashlib.md5(
+                            f"{rule_id}|{epoch}|{i}".encode()
+                        ).hexdigest()
+                        tt[tid] = (int(epoch), row)
+                    for k in list(tt)[:-96]:  # bounded span store
+                        del tt[k]
             finally:
                 batch_df.unpersist()
 
@@ -233,7 +250,27 @@ class RuleRuntime:
             name = sink_opts.get(
                 "table", re.sub(r"\W", "_", str(sink_opts.get("topic", f"rule_{rule_id}")))
             )
-            q = writer.format("memory").queryName(name).start()
+            if rule_id in self.traced_ref:
+                # per-tuple tracing needs sink-row access, which the
+                # native memory sink doesn't expose — an equivalent
+                # foreachBatch accumulator serves the same table name;
+                # untraced rules keep the native path (identical plan)
+                mode = opts.get("output_mode", self._default_mode(df))
+                mem_buf: list = []
+
+                def _mem_batch(batch_df: DataFrame, _epoch: int) -> None:
+                    rows = batch_df.collect()
+                    if mode == "complete":
+                        mem_buf[:] = rows
+                    else:
+                        mem_buf.extend(rows)
+                    batch_df.sparkSession.createDataFrame(
+                        mem_buf, batch_df.schema
+                    ).createOrReplaceTempView(name)
+
+                q = writer.foreachBatch(self._count_fb(rule_id, _mem_batch)).start()
+            else:
+                q = writer.format("memory").queryName(name).start()
         elif sink_type in ("nop", "log"):
             # nop sink discards (io/sink/nop_sink.go); log sink writes the
             # conf log — a counted no-op foreachBatch so the reference's

@@ -462,9 +462,13 @@ def test_connections_crud(server):
 
 
 def test_rule_tracing(server, spark):
-    """Trace toggle + span retrieval (rest.go:216-217, 249-250): a traced
-    bounded run exposes one trace per micro-batch; each trace's spans
-    are the batch's duration phases."""
+    """Trace toggle + PER-TUPLE span retrieval (rest.go:216-217,
+    249-250; tracer.go:147 GetTraceIDListByRuleID): a traced bounded
+    run exposes one trace id per sampled sink TUPLE; each trace is the
+    nested span tree whose data attribute is that tuple, plus the
+    batch's duration phases; ?limit=N caps the id list."""
+    import json as _json
+
     rule = {
         "id": "trace_r1",
         "sql": "SELECT event_id FROM events",
@@ -482,9 +486,21 @@ def test_rule_tracing(server, spark):
     assert code == 200
     code, ids = _req(server, "GET", "/trace/rule/trace_r1")
     assert code == 200 and len(ids) >= 1
+    # otel-shaped 32-hex tuple trace ids, newest-N via ?limit
+    assert all(len(t) == 32 and not t.startswith("trace_r1") for t in ids)
+    code, lids = _req(server, "GET", "/trace/rule/trace_r1?limit=1")
+    assert code == 200 and lids == ids[-1:]
     code, tr = _req(server, "GET", f"/trace/{ids[-1]}")
     assert code == 200 and tr["rule"] == "trace_r1"
+    assert tr["traceId"] == ids[-1]
     assert any(s["name"] == "triggerExecution" for s in tr["spans"])
+    # the span tree's data attribute is ONE tuple (an event_id row)
+    data = _json.loads(tr["attribute"]["data"])
+    assert isinstance(data, dict) and "event_id" in data
+    # distinct tuples -> distinct trace payloads where rows differ
+    if len(ids) >= 2:
+        code, tr2 = _req(server, "GET", f"/trace/{ids[-2]}")
+        assert code == 200 and tr2["traceId"] == ids[-2]
     code, _ = _req(server, "POST", "/rules/trace_r1/trace/stop")
     assert code == 200
     code, ids = _req(server, "GET", "/trace/rule/trace_r1")
