@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import os
 import random
 
 import duckdb
@@ -47,6 +48,10 @@ import pandas as pd
 import pytest
 
 from ekuiper_spark.catalog import Catalog
+
+# soak hook: FUZZ_SEED_OFFSET=N shifts every seed for a fresh-corpus
+# run (CI keeps 0 so failures reproduce from the committed ids)
+_FUZZ_OFF = int(os.environ.get("FUZZ_SEED_OFFSET", "0"))
 from ekuiper_spark.translator import compile_sql
 
 # ---------------------------------------------------------------------------
@@ -455,7 +460,7 @@ N_JOIN_SEEDS, N_JOIN_PER = 4, 30    # 120 join statements
 @pytest.mark.parametrize("seed", range(N_WIN_SEEDS))
 def test_window_statement_fuzz_vs_duckdb(spark, harness, seed):
     cat, con = harness
-    g = WGen(7000 + seed)
+    g = WGen(7000 + seed + _FUZZ_OFF)
     bad = []
     for _ in range(N_WIN_PER):
         ek, du = g.stmt()
@@ -469,7 +474,7 @@ def test_window_statement_fuzz_vs_duckdb(spark, harness, seed):
 @pytest.mark.parametrize("seed", range(N_JOIN_SEEDS))
 def test_join_chain_fuzz_vs_duckdb(spark, harness, seed):
     cat, con = harness
-    g = JGen(8000 + seed)
+    g = JGen(8000 + seed + _FUZZ_OFF)
     bad = []
     for _ in range(N_JOIN_PER):
         ek, du = g.stmt()
