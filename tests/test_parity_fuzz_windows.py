@@ -241,8 +241,16 @@ def test_windowed_parity_fuzz(spark, catalog, split_dir, sql, kind):
         # the tail pending in state
         bs = list(b)
         for r in s:
-            assert r in bs, f"stream-only row {r} for {sql!r}"
-            bs.remove(r)
+            # membership with the same float-ulp tolerance as the exact
+            # branch: partial-aggregation order differs between modes, so
+            # round(avg,2) can land one ulp across the .005 boundary
+            # (101.78 vs 101.79 — caught by a fresh-seed soak)
+            hit = next(
+                (i for i, rb in enumerate(bs) if rb == r or _tol_eq([rb], [r])),
+                None,
+            )
+            assert hit is not None, f"stream-only row {r} for {sql!r}"
+            bs.pop(hit)
         bound = 2 if kind == "session" else max(4, len(b) // 3)
         assert len(bs) <= bound, f"batch-only rows {bs[:4]} exceed open-tail bound"
     else:

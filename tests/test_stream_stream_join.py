@@ -1112,10 +1112,13 @@ def test_streaming_sliding_join_three_stream_matrix(spark, tmp_path):
             )
             q.awaitTermination()
             got = sorted(
-                tuple(r[c] for c in cols) for r in spark.table(name).collect()
+                (tuple(r[c] for c in cols) for r in spark.table(name).collect()),
+                key=repr,
             )
             bdf = compile_sql(spark, sq, bcat, order_cols=["ts"])
-            want = sorted(tuple(r[c] for c in cols) for r in bdf.collect())
+            want = sorted(
+                (tuple(r[c] for c in cols) for r in bdf.collect()), key=repr
+            )
         return got, want
 
     cells = [
@@ -1207,6 +1210,18 @@ def test_streaming_sliding_join_three_stream_matrix(spark, tmp_path):
             for r in compile_sql(spark, dsql, dbcat, order_cols=["ts"]).collect()
         )
     assert got == want and len(want) > 0
+
+    # FOUR streams: the chain is N-ary, not ternary — demo2 joins twice
+    # under two aliases with separate ON steps
+    sql4 = (
+        "SELECT count(*) AS c, sum(d2b.flag) AS sf2 FROM demo "
+        "INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+        "LEFT JOIN demo2 AS d2b ON demo.ts = d2b.ts AND d2b.flag > 2 "
+        "GROUP BY SLIDINGWINDOW(ss, 1)"
+    )
+    got4, want4 = run(sql4, ["c", "sf2"])
+    assert got4 == want4 and len(want4) > 0, sql4
 
     # unsupported 3+-stream cells keep actionable raises
     with warnings.catch_warnings():
