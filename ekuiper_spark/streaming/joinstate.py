@@ -575,6 +575,10 @@ def sliding_join_chain_stream(
     aggs: Optional[Sequence[JoinAggSpec]] = None,
     attach_aggs: Optional[Sequence[JoinAggSpec]] = None,
     delay: int = 0,              # SLIDINGWINDOW(unit, L, D): frame (t-L, t+D]
+    throttle: Optional[tuple[int, bool]] = None,  # (K, ge) gap-throttle
+    trigger_col: Optional[str] = None,  # per-side OVER(WHEN) flag (other
+                                 # streams' fields nil -> false); false
+                                 # rows stay frame MEMBERS, never trigger
     pair_keep: Optional[Sequence[str]] = None,
     subgroups: Sequence[str] = (),
     merged_cols: Optional[Sequence[tuple]] = None,
@@ -586,24 +590,29 @@ def sliding_join_chain_stream(
     driving the left-deep ``_join_chain`` merge of the COUNT-window
     chain ops (evalJoinSets, join_operator.go:282-398 — each step with
     its own ON/kind).  Every arrival from ANY stream triggers a scan of
-    the frame [t-L, t+D); the chain joins within the frame's contents
-    and emits content rows or per-trigger aggregates with __ws/__we
-    bounds.  Same single-state-partition process model as the other
-    sliding compat modes (loudly warned by the caller).  The two-stream
-    statement shape keeps its specialized op (``sliding_join_stream`` —
-    OVER(WHEN) triggers, gap-throttles, and last_hit_count gates live
-    there; the translator raises those for 3+ streams)."""
+    the frame [t-L, t+D) (OVER(WHEN) flags and the sequential
+    gap-throttle gate the candidates, isMatchCondition); the chain
+    joins within the frame's contents and emits content rows or
+    per-trigger aggregates with __ws/__we bounds.  Same
+    single-state-partition process model as the other sliding compat
+    modes (loudly warned by the caller).  The two-stream statement
+    shape keeps its specialized op (``sliding_join_stream``;
+    last_hit_count gates still raise for 3+ streams)."""
     schema = union_df.schema
     buf_types = {f.name: f.dataType for f in schema.fields}
     all_cols: list[str] = []
     for _tag, cols in sides:
         all_cols.extend(cols)
     buffered = ["__src", "__u"] + all_cols
+    if trigger_col is not None:
+        buffered.append(trigger_col)
     state_fields = [
         T.StructField(c, T.ArrayType(buf_types[c]), True) for c in buffered
     ]
     if delay:
         state_fields.append(T.StructField("__pend", T.ArrayType(T.LongType()), True))
+    if throttle is not None:
+        state_fields.append(T.StructField("__lhit", T.LongType(), True))
     state_schema = T.StructType(state_fields)
 
     att_list = list(attach_aggs) if attach_aggs else []
@@ -654,15 +663,22 @@ def sliding_join_chain_stream(
             row["__we"] = [t + delay]
             outs.append(pd.DataFrame(row))
 
+    thr = throttle
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         pend: list[int] = []
+        lhit = 0
         if state.exists:
             vals = state.get
             carry = pd.DataFrame({c: pd.Series(list(vals[i] or [])) for i, c in enumerate(buffered)})
             if not len(carry):
                 carry = pd.DataFrame({c: pd.Series(dtype="object") for c in buffered})
+            pos_extra = n_buf
             if delay:
-                pend = list(vals[n_buf] or [])
+                pend = list(vals[pos_extra] or [])
+                pos_extra += 1
+            if thr is not None:
+                lhit = int(vals[pos_extra] or 0)
         else:
             carry = pd.DataFrame({c: pd.Series(dtype="object") for c in buffered})
         batch = pd.concat(list(pdfs), ignore_index=True)
@@ -687,6 +703,8 @@ def sliding_join_chain_stream(
             vals_out = _state_lists(keep, buffered, buf_types)
             if delay:
                 vals_out.append(list(pend))
+            if thr is not None:
+                vals_out.append(int(lhit))
             state.update(tuple(vals_out))
 
         if not len(full):
@@ -699,7 +717,25 @@ def sliding_join_chain_stream(
         )[order]
         u_arr = full["__u"].to_numpy(dtype="int64")
         outs: list[pd.DataFrame] = []
-        new_ts = [int(u_arr[p]) for p in np.nonzero(is_new)[0]]
+        # new arrivals become trigger candidates: OVER(WHEN)-false rows
+        # stay members, the gap-throttle gates sequentially in merged
+        # event order (lastHit advances on hits)
+        trig_arr = (
+            full[trigger_col].to_numpy() if trigger_col is not None else None
+        )
+        new_ts: list[int] = []
+        for pos in np.nonzero(is_new)[0]:
+            if trig_arr is not None and not (trig_arr[pos] == True):  # noqa: E712
+                continue
+            t = int(u_arr[pos])
+            if thr is not None:
+                k, ge = thr
+                gap = t - lhit
+                hit = gap >= k if ge else gap > k
+                if not hit:
+                    continue
+                lhit = t
+            new_ts.append(t)
         if not delay:
             # frame = ALL rows with u <= t (ties included — equal-time
             # rows from any stream belong to each other's frames)

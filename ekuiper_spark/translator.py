@@ -2730,13 +2730,6 @@ class Translator:
                 if len(w.args) > 1 and w.args[1]
                 else 0
             )
-            if w.trigger is not None:
-                raise NotImplementedError(
-                    "OVER(WHEN ...) triggers on a 3+-stream streaming "
-                    "sliding join are unsupported (trigger machinery "
-                    "lives in the two-stream op); use two streams or "
-                    "batch mode"
-                )
         else:
             _lbl = "COUNT window join"
             n = int(w.args[0])
@@ -2773,6 +2766,14 @@ class Translator:
             sl_long = ec0 is not None and isinstance(
                 ldf.schema[ec0].dataType, T.LongType
             )
+        # OVER(WHEN) triggers on the sliding chain: gap-throttle conjunct
+        # -> the op's sequential lastHit gate; any other boolean -> a
+        # per-side __twhen flag with ALL other streams' fields nil
+        # (isMatchCondition, window_op.go:757-784 — same decomposition as
+        # the two-stream lane)
+        sl_throttle = sl_flag = None
+        if sliding_w is not None and w.trigger is not None:
+            sl_throttle, sl_flag = self._split_trigger(w.trigger, sl_long)
         if self.streaming:
             warnings.warn(
                 f"streaming {_lbl}: all rows route through ONE "
@@ -2934,6 +2935,16 @@ class Translator:
                 sides = new_sides
                 where_pre = None
 
+        # per-side OVER(WHEN) flags compile BEFORE the flat map exists —
+        # refs must resolve against each side's own columns, not the
+        # packed union's flat names
+        sl_side_flags = None
+        if sl_flag is not None:
+            sl_side_flags = [
+                self._trigger_nil_other(sl_flag, ctx, s[2], s[3], "")
+                for s in sides
+            ]
+
         fm: dict[str, str] = dict(ctx.flat_col_map)
         seen: dict[str, int] = {}
         for _t, _df, alias, cols, flat in sides:
@@ -3015,18 +3026,19 @@ class Translator:
             for c in cols:
                 all_flat.append((flat[c], sdf.schema[c].dataType))
         selects = []
-        for _t, sdf, alias, cols, flat in sides:
+        for s_i, (_t, sdf, alias, cols, flat) in enumerate(sides):
             mine = {flat[c]: F.col(f"{alias}.{c}").alias(flat[c]) for c in cols}
-            selects.append(
-                sdf.select(
-                    F.lit(_t).alias("__src"),
-                    _arrival(sdf, alias, alias).cast("long").alias("__u"),
-                    *[
-                        mine.get(name, F.lit(None).cast(dt).alias(name))
-                        for name, dt in all_flat
-                    ],
-                )
-            )
+            sel_cols = [
+                F.lit(_t).alias("__src"),
+                _arrival(sdf, alias, alias).cast("long").alias("__u"),
+                *[
+                    mine.get(name, F.lit(None).cast(dt).alias(name))
+                    for name, dt in all_flat
+                ],
+            ]
+            if sl_side_flags is not None:
+                sel_cols.append(sl_side_flags[s_i].alias("__twhen"))
+            selects.append(sdf.select(*sel_cols))
         union = selects[0]
         for s in selects[1:]:
             union = union.unionByName(s)
@@ -3300,7 +3312,10 @@ class Translator:
         )
         if sliding_w is not None:
             out = sliding_join_chain_stream(
-                union, length=length_us, delay=delay_us, **_op_kwargs
+                union, length=length_us, delay=delay_us,
+                throttle=sl_throttle,
+                trigger_col="__twhen" if sl_flag is not None else None,
+                **_op_kwargs,
             )
             out = out.withColumn(
                 "window",

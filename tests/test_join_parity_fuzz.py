@@ -139,7 +139,6 @@ def _gen(seed: int, n: int):
         trig = rng.choice(_TRIGGERS) if wkind == "sliding" else ""
         tri = wkind in ("sliding", "count") and rng.random() < 0.25
         if tri:
-            trig = ""  # OVER(WHEN) raises on 3+-stream chains (two-stream op)
             kind2, on2 = rng.choice(_ONS2)
         # ---- support matrix (the lifted r10/r11 surface) ----------------
         if kind == "CROSS":

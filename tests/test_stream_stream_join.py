@@ -1040,8 +1040,10 @@ def test_streaming_sliding_join_three_stream_matrix(spark, tmp_path):
     mixed-side WHERE (in-op lane), non-equi ON residual per chain step,
     HAVING, window delay — with streaming == batch parity per cell, and
     state carries across micro-batches (maxFilesPerTrigger=1).
-    Unsupported 3+-stream cells raise actionably: OVER(WHEN) triggers
-    and last_hit_* gates (they live in the two-stream op)."""
+    OVER(WHEN) triggers work on the chain — per-tuple flags with other
+    streams' fields nil, the sequential gap-throttle, and the combined
+    form (isMatchCondition); last_hit_* WHERE gates keep an actionable
+    raise (they live in the two-stream op)."""
     import glob
     import uuid as _uuid
     import warnings
@@ -1164,6 +1166,30 @@ def test_streaming_sliding_join_three_stream_matrix(spark, tmp_path):
             "GROUP BY SLIDINGWINDOW(ss, 1)",
             ["c", "ss"], True,
         ),
+        (   # OVER(WHEN) per-tuple flag: other streams' fields nil
+            "SELECT count(*) AS c FROM demo "
+            "INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1) OVER (WHEN size > 48)",
+            ["c"], False,
+        ),
+        (   # OVER(WHEN) gap-throttle: sequential lastHit over the
+            # merged trigger order
+            "SELECT count(*) AS c FROM demo "
+            "INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1) "
+            "OVER (WHEN demo.ts - last_hit_time() > 900)",
+            ["c"], False,
+        ),
+        (   # combined flag AND gap form (lastHit advances on FULL hits)
+            "SELECT count(*) AS c FROM demo "
+            "INNER JOIN demo1 ON demo.ts = demo1.ts "
+            "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+            "GROUP BY SLIDINGWINDOW(ss, 1) "
+            "OVER (WHEN flag > 1 AND demo.ts - last_hit_time() > 900)",
+            ["c"], False,
+        ),
     ]
     for sq, cols, split in cells:
         got, want = run(sq, cols, split)
@@ -1226,16 +1252,6 @@ def test_streaming_sliding_join_three_stream_matrix(spark, tmp_path):
     # unsupported 3+-stream cells keep actionable raises
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        with pytest.raises(NotImplementedError, match="two streams or batch"):
-            compile_sql(
-                spark,
-                "SELECT count(*) AS c FROM demo "
-                "INNER JOIN demo1 ON demo.ts = demo1.ts "
-                "INNER JOIN demo2 ON demo1.ts = demo2.ts "
-                "GROUP BY SLIDINGWINDOW(ss, 1) "
-                "OVER (WHEN demo.size > 0)",
-                scat_for(False), streaming=True, order_cols=["ts"],
-            )
         with pytest.raises(NotImplementedError, match="last_hit_"):
             compile_sql(
                 spark,
