@@ -584,6 +584,9 @@ def sliding_join_chain_stream(
     merged_cols: Optional[Sequence[tuple]] = None,
     merged_types: Optional[dict] = None,
     where_filter=None,
+    hit_count_filter=None,       # pdeval lane over rows + virtual __lhc
+                                 # (count of previously EVALUATED rows;
+                                 # advances pass or fail, persisted)
 ) -> DataFrame:
     """Stateful per-event sliding window over an N-stream (3+) join
     chain: the trigger/lookback machinery of ``sliding_join_stream``
@@ -613,6 +616,8 @@ def sliding_join_chain_stream(
         state_fields.append(T.StructField("__pend", T.ArrayType(T.LongType()), True))
     if throttle is not None:
         state_fields.append(T.StructField("__lhit", T.LongType(), True))
+    if hit_count_filter is not None:
+        state_fields.append(T.StructField("__lhc", T.LongType(), True))
     state_schema = T.StructType(state_fields)
 
     att_list = list(attach_aggs) if attach_aggs else []
@@ -637,7 +642,8 @@ def sliding_join_chain_stream(
     join_list = [dict(j) for j in joins]
     n_buf = len(buffered)
 
-    def _emit(full: pd.DataFrame, t: int, lo: int, hi: int, outs: list) -> None:
+    def _emit(full: pd.DataFrame, t: int, lo: int, hi: int, outs: list,
+              hit_state=None) -> None:
         frame = full.iloc[lo:hi]
         merged = _join_chain(frame, side_list, join_list)
         if pk_list and len(merged):
@@ -645,6 +651,17 @@ def sliding_join_chain_stream(
         merged = _apply_merged(merged, merged_list, where_filter)
         if not len(merged):
             return  # empty join: the trigger emits nothing
+        if hit_count_filter is not None and hit_state is not None:
+            # counter ticks for every EVALUATED row, pass or fail,
+            # carried across triggers and micro-batches
+            from ekuiper_spark.streaming.pdeval import filter_mask
+
+            merged = merged.copy()
+            merged["__lhc"] = hit_state["c"] + np.arange(len(merged), dtype="int64")
+            hit_state["c"] += len(merged)
+            merged = merged[filter_mask(hit_count_filter(merged))]
+            if not len(merged):
+                return
         if agg_list is None:
             em = merged.copy()
             for a in att_list:
@@ -668,6 +685,7 @@ def sliding_join_chain_stream(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         pend: list[int] = []
         lhit = 0
+        hit_state = {"c": 0}
         if state.exists:
             vals = state.get
             carry = pd.DataFrame({c: pd.Series(list(vals[i] or [])) for i, c in enumerate(buffered)})
@@ -679,6 +697,9 @@ def sliding_join_chain_stream(
                 pos_extra += 1
             if thr is not None:
                 lhit = int(vals[pos_extra] or 0)
+                pos_extra += 1
+            if hit_count_filter is not None:
+                hit_state["c"] = int(vals[pos_extra] or 0)
         else:
             carry = pd.DataFrame({c: pd.Series(dtype="object") for c in buffered})
         batch = pd.concat(list(pdfs), ignore_index=True)
@@ -705,6 +726,8 @@ def sliding_join_chain_stream(
                 vals_out.append(list(pend))
             if thr is not None:
                 vals_out.append(int(lhit))
+            if hit_count_filter is not None:
+                vals_out.append(int(hit_state["c"]))
             state.update(tuple(vals_out))
 
         if not len(full):
@@ -742,7 +765,7 @@ def sliding_join_chain_stream(
             for t in new_ts:
                 lo = int(np.searchsorted(u_arr, t - length, side="left"))
                 hi = int(np.searchsorted(u_arr, t, side="right"))
-                _emit(full, t, lo, hi, outs)
+                _emit(full, t, lo, hi, outs, hit_state)
             keep_from = int(u_arr[-1]) - length
         else:
             # delayed frames [t-L, t+D): a trigger emits once a covering
@@ -754,7 +777,7 @@ def sliding_join_chain_stream(
             for t in ready:
                 lo = int(np.searchsorted(u_arr, t - length, side="left"))
                 hi = int(np.searchsorted(u_arr, t + delay, side="left"))
-                _emit(full, t, lo, hi, outs)
+                _emit(full, t, lo, hi, outs, hit_state)
             keep_from = min([max_u - length] + [t - length for t in pend])
         save(keep_from)
         if outs:

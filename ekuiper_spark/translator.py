@@ -2738,14 +2738,27 @@ class Translator:
         # as the sliding join
         where_pre = None
         having = stmt.having
+        hit_conjs: list = []
         if stmt.where is not None:
             where_pre, agg_conjs, hit_conjs = self._split_where(
                 stmt.where, ctx.aliases
             )
             if hit_conjs:
-                raise NotImplementedError(
-                    f"last_hit_* conjuncts over a {_lbl} are unsupported"
-                )
+                if sliding_w is None:
+                    raise NotImplementedError(
+                        f"last_hit_* conjuncts over a {_lbl} are unsupported"
+                    )
+                # sliding chain: last_hit_count gates the emission
+                # sequence in-op (compiled below once fm exists, same as
+                # the two-stream lane); last_hit_time over a JOINED
+                # collection is a reference error (row.go:549-556)
+                if any("time" in (canon(h) or "") for h in hit_conjs):
+                    raise ValueError(
+                        "call last_hit_time error: cannot get current time "
+                        "(last_hit_time() over a JOINED collection — "
+                        "JoinTuple rows carry no event_time FuncValue, "
+                        "row.go:549-556)"
+                    )
             for c in agg_conjs:
                 having = c if having is None else Binary("AND", having, c)
         stream_joins = [j for j in joins if self._def_is_stream(j.source)]
@@ -3260,6 +3273,46 @@ class Translator:
                 )
             cw_where_filter, _ = _cw_closure(where_pre, "WHERE")
             where_pre = None
+        # last_hit_count() WHERE conjuncts gate the emission sequence
+        # in-op (sliding chain only; counter ticks for every evaluated
+        # row, funcs_global_state.go IncrCounter, persisted in state)
+        cw_hit_filter = None
+        if hit_conjs:
+            if agg_nodes or cw_sub_info:
+                # analyzer_test.go:131-132
+                raise NotImplementedError(
+                    "function last_hit_count is not allowed in an "
+                    "aggregate query"
+                )
+            from ekuiper_spark.streaming.pdeval import compile_pd
+
+            hnode: Optional[Node] = None
+            for c in hit_conjs:
+                hnode = c if hnode is None else Binary("AND", hnode, c)
+            hnode = self._inline_aliases(hnode, ctx)
+            hint_cols = set(cw_int_cols) | {"__lhc"}
+
+            def _hresolve(ref: ColumnRef) -> Optional[str]:
+                k = (
+                    f"{ref.source.lower()}.{ref.name.lower()}"
+                    if ref.source else ref.name.lower()
+                )
+                return fm.get(k)
+
+            def _hspecial(call2: FuncCall) -> Optional[str]:
+                if call2.name.lower() in ("last_hit_count", "last_agg_hit_count"):
+                    return "__lhc"
+                return None
+
+            try:
+                cw_hit_filter = compile_pd(
+                    hnode, _hresolve, int_cols=hint_cols, special_call=_hspecial
+                )
+            except NotImplementedError as e:
+                raise NotImplementedError(
+                    f"last_hit_count conjunct over a {_lbl} uses an "
+                    f"expression outside the in-op subset ({e})"
+                ) from None
         if agg_nodes or cw_sub_info:
             if static_joins:
                 raise NotImplementedError(
@@ -3315,6 +3368,7 @@ class Translator:
                 union, length=length_us, delay=delay_us,
                 throttle=sl_throttle,
                 trigger_col="__twhen" if sl_flag is not None else None,
+                hit_count_filter=cw_hit_filter,
                 **_op_kwargs,
             )
             out = out.withColumn(

@@ -1042,8 +1042,10 @@ def test_streaming_sliding_join_three_stream_matrix(spark, tmp_path):
     state carries across micro-batches (maxFilesPerTrigger=1).
     OVER(WHEN) triggers work on the chain — per-tuple flags with other
     streams' fields nil, the sequential gap-throttle, and the combined
-    form (isMatchCondition); last_hit_* WHERE gates keep an actionable
-    raise (they live in the two-stream op)."""
+    form (isMatchCondition) — as does the last_hit_count emission gate;
+    last_hit_time over a joined collection errors like the reference
+    (row.go:549-556).  The chain lane has full feature parity with the
+    specialized two-stream op."""
     import glob
     import uuid as _uuid
     import warnings
@@ -1249,16 +1251,29 @@ def test_streaming_sliding_join_three_stream_matrix(spark, tmp_path):
     got4, want4 = run(sql4, ["c", "sf2"])
     assert got4 == want4 and len(want4) > 0, sql4
 
-    # unsupported 3+-stream cells keep actionable raises
+    # last_hit_count emission-sequence gate over the chain (in-op
+    # counter, persisted; ticks per evaluated row pass or fail)
+    hsql = (
+        "SELECT color, hum, flag FROM demo "
+        "INNER JOIN demo1 ON demo.ts = demo1.ts "
+        "INNER JOIN demo2 ON demo1.ts = demo2.ts "
+        "WHERE last_hit_count() < 3 GROUP BY SLIDINGWINDOW(ss, 1)"
+    )
+    goth, wanth = run(hsql, ["color", "hum", "flag"])
+    assert goth == wanth and len(wanth) > 0, hsql
+
+    # last_hit_time over a JOINED collection errors like the reference
+    # (JoinTuple rows carry no event_time FuncValue, row.go:549-556)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        with pytest.raises(NotImplementedError, match="last_hit_"):
+        with pytest.raises(ValueError, match="last_hit_time"):
             compile_sql(
                 spark,
                 "SELECT color, hum, flag FROM demo "
                 "INNER JOIN demo1 ON demo.ts = demo1.ts "
                 "INNER JOIN demo2 ON demo1.ts = demo2.ts "
-                "WHERE last_hit_count() < 3 GROUP BY SLIDINGWINDOW(ss, 1)",
+                "WHERE demo.ts - last_hit_time() > 10 "
+                "GROUP BY SLIDINGWINDOW(ss, 1)",
                 scat_for(False), streaming=True, order_cols=["ts"],
             )
 
