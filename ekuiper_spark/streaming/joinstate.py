@@ -1,4 +1,5 @@
-"""Streaming two-stream SLIDING window join.
+"""Streaming stateful window JOIN ops: the specialized two-stream
+SLIDING join, the N-stream sliding chain, and the COUNT-window chain.
 
 Reference: the window op batches tuples from BOTH streams and every
 arrival triggers a scan (window_op.go:593-619); JoinOp then joins within
@@ -599,8 +600,9 @@ def sliding_join_chain_stream(
     per-trigger aggregates with __ws/__we bounds.  Same
     single-state-partition process model as the other sliding compat
     modes (loudly warned by the caller).  The two-stream statement
-    shape keeps its specialized op (``sliding_join_stream``;
-    last_hit_count gates still raise for 3+ streams)."""
+    shape keeps its specialized op (``sliding_join_stream``); this
+    chain lane carries the full feature matrix — triggers, throttles,
+    hit-count gates, dims, mixed-side lanes — at N sides."""
     schema = union_df.schema
     buf_types = {f.name: f.dataType for f in schema.fields}
     all_cols: list[str] = []
