@@ -2707,9 +2707,9 @@ class Translator:
         packing / chain-descriptor compilation drives the streaming
         3+-stream SLIDINGWINDOW join (sliding_join_chain_stream — every
         arrival triggers a frame scan, evalJoinSets left-deep per
-        window; batch 3+ keeps its native lane, _batch_sliding_join).
-        OVER(WHEN) triggers / gap-throttles / last_hit_* raise in that
-        mode (they live in the specialized two-stream op).
+        window; batch 3+ keeps its native lane, _batch_sliding_join),
+        including OVER(WHEN) triggers (per-side nil-other flags +
+        gap-throttle) and last_hit_count emission gates.
 
         Narrow shapes raised here (batch non-count paths support them):
         WHERE/HAVING over the joined windows, GROUP BY dims, non-equi ON.
@@ -3283,6 +3283,16 @@ class Translator:
                 raise NotImplementedError(
                     "function last_hit_count is not allowed in an "
                     "aggregate query"
+                )
+            if static_joins:
+                # the reference's counter ticks per WHERE evaluation
+                # over FULLY-joined rows (FilterPlan above the whole
+                # JoinPlan); here trailing scan/lookup sides join after
+                # the op, so the in-op count would drift
+                raise NotImplementedError(
+                    f"last_hit_count over a {_lbl} with scan/lookup "
+                    "sides is unsupported (the side inputs join after "
+                    "the emission-sequence gate)"
                 )
             from ekuiper_spark.streaming.pdeval import compile_pd
 
