@@ -1045,13 +1045,22 @@ class RestServer:
                         return 404, {"error": "tags supports PUT/PATCH/DELETE"}
                     return 200, {"tags": r.tags}
                 if method == "POST" and len(parts) == 4 and parts[2] == "trace":
-                    # rest.go:216-217 rule tracing toggle; spans here are
-                    # Spark's per-micro-batch durationMs breakdown
+                    # rest.go:216-217 rule tracing toggle (strategy
+                    # "always"|"head", StringToStrategy defaults always:
+                    # always samples a wide per-batch window, head keeps
+                    # the head-of-micro-batch tuples)
                     if parts[3] == "start":
                         self.traced.add(rid)
+                        strat = str(
+                            (body or {}).get("strategy", "always")
+                        ).lower() if isinstance(body, dict) else "always"
+                        self.runtime.trace_strategy[rid] = (
+                            strat if strat in ("always", "head") else "always"
+                        )
                         return 200, {"result": f"rule {rid} tracing enabled"}
                     if parts[3] == "stop":
                         self.traced.discard(rid)
+                        self.runtime.trace_strategy.pop(rid, None)
                         return 200, {"result": f"rule {rid} tracing disabled"}
                 if method == "PUT" and len(parts) == 3 and parts[2] == "reset_state":
                     # rest.go /rules/{name}/reset_state: drop the rule's

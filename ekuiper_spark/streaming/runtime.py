@@ -72,6 +72,9 @@ class RuleRuntime:
         # fuses the op chain, so sampling is head-of-micro-batch):
         # rule -> {trace_id_hex: (batch, sink row)} in insertion order
         self.trace_tuples: dict[str, dict[str, tuple]] = {}
+        # rule -> "always" | "head" (rest.go StringToStrategy): always
+        # samples a wide per-batch window, head keeps the batch head
+        self.trace_strategy: dict[str, str] = {}
 
     def _count_fb(self, rule_id: str, fn: Callable) -> Callable:
         """Wrap a foreachBatch body so sink_*_records_out_total counts the
@@ -84,8 +87,14 @@ class RuleRuntime:
                 fn(batch_df, epoch)
                 self._sink_counts[rule_id] = self._sink_counts.get(rule_id, 0) + n
                 if rule_id in self.traced_ref and n:
+                    cap = (
+                        64
+                        if self.trace_strategy.get(rule_id, "always") == "always"
+                        else 3
+                    )
                     sample = [
-                        r.asDict(recursive=True) for r in batch_df.limit(3).collect()
+                        r.asDict(recursive=True)
+                        for r in batch_df.limit(cap).collect()
                     ]
                     per = self.trace_samples.setdefault(rule_id, {})
                     per[int(epoch)] = sample

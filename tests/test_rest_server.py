@@ -508,6 +508,21 @@ def test_rule_tracing(server, spark):
     code, _ = _req(server, "GET", "/trace/trace_r1-99999")
     assert code == 404
 
+    # strategy "head" (rest.go StringToStrategy) samples only the
+    # micro-batch head — at most 3 tuple traces per batch vs the wide
+    # "always" window above
+    rule2 = dict(rule, id="trace_r2",
+                 actions=[{"memory": {"table": "trace_r2_out"}}])
+    code, _ = _req(server, "POST", "/rules", rule2)
+    assert code == 201
+    code, _ = _req(server, "POST", "/rules/trace_r2/trace/start",
+                   {"strategy": "head"})
+    assert code == 200
+    code, _ = _req(server, "POST", "/rules/trace_r2/start?availableNow=1")
+    assert code == 200
+    code, hids = _req(server, "GET", "/trace/rule/trace_r2")
+    assert code == 200 and 1 <= len(hids) <= 3
+
 
 def test_details_configs_cpu_endpoints(server):
     """streamdetails/tabledetails listings (StreamDetail shape), PATCH
