@@ -130,6 +130,9 @@ class Catalog:
         self._defs: dict[str, StreamDef] = {}
         self._dfs: dict[str, DataFrame] = {}
         self._validation_errors: dict[str, DataFrame] = {}
+        # (session id, path, with_meta|"schema") -> lazy parquet scan
+        # DataFrame / probed StructType; see load()'s parquet branches
+        self._scan_cache: dict[tuple, Any] = {}
 
     # -- registration ------------------------------------------------------
     def register(self, d: StreamDef) -> None:
@@ -443,9 +446,15 @@ class Catalog:
             if d.schema is not None:
                 reader = reader.schema(d.schema)
             elif d.format == "parquet":
-                # streaming parquet needs an explicit schema: probe via batch
+                # streaming parquet needs an explicit schema: probe via
+                # batch (cached — the probe re-reads footers per compile)
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                reader = reader.schema(spark.read.parquet(d.path).schema)
+                sk = (id(spark), d.path, "schema")
+                sch = self._scan_cache.get(sk)
+                if sch is None:
+                    sch = spark.read.parquet(d.path).schema
+                    self._scan_cache[sk] = sch
+                reader = reader.schema(sch)
             elif d.format == "json":
                 # schemaless stream (Options.IsSchemaLess,
                 # pkg/ast/sourceStmt.go:298): infer from the current data;
@@ -469,7 +478,18 @@ class Catalog:
         if d.schema is not None:
             reader = reader.schema(d.schema)
         if d.format == "parquet":
-            return self._read_parquet(spark, d.path, with_meta=with_meta)
+            # plan-level scan cache: each spark.read.parquet re-lists the
+            # path and re-reads footers for schema inference (~0.15 s per
+            # call warm), and a query compiling N tables pays it N times
+            # per compile.  The cached object is a LAZY scan plan (every
+            # action still reads the parquet files); keyed by session id
+            # so a new SparkSession never sees a stale binding.
+            ck = (id(spark), d.path, with_meta)
+            df = self._scan_cache.get(ck)
+            if df is None:
+                df = self._read_parquet(spark, d.path, with_meta=with_meta)
+                self._scan_cache[ck] = df
+            return df
         if d.format == "json":
             if d.schema is None and self._dynamic_opt(d):
                 # dynamic schemaless: the reference keeps each tuple's JSON

@@ -249,6 +249,14 @@ def jaccard_pairs(
         .filter(F.col("__rnk") <= prefix_len)
         .select("id", "n_sh", "shingle", "__rnk")
     )
+    # the self-join consumes `pre` TWICE; without a persist the whole
+    # prefix pipeline (explode + freq aggregate + freq join + rank
+    # window) is duplicated per side — the plan showed two full copies
+    # including two freq aggregations.  Persisting the narrow prefix
+    # posting list (id, n_sh, shingle, rnk — fixed-width rows) halves
+    # that work at any scale (the PPJoin prefix index is exactly what
+    # the literature materializes).
+    pre = pre.persist()
     # PPJoin length filter: J(a,b) >= t requires t*|a| <= |b| (sets whose
     # sizes differ too much cannot reach the threshold); PPJoin POSITIONAL
     # filter: a match at canonical ranks (i, j) bounds the overlap by
@@ -440,6 +448,13 @@ def minhash_lsh_pairs(
                 stacklevel=2,
             )
         banded = ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
+    # same double-compute as jaccard's prefix list: the band self-join
+    # reads `banded` twice, and without a persist the signature pipeline
+    # (shingle explode + H universal-family min aggregates + band
+    # explode) runs once PER SIDE — the dominant compute of the whole
+    # operator, duplicated.  (id, band, bh) rows are 24 bytes; caching
+    # them is free next to recomputing the signatures.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -622,6 +637,9 @@ def simhash_near_pairs(
         # (single-task recompute); the band array is a non-empty literal.
         F.col(id_col).alias("id"), "simhash", F.explode_outer(F.array(*bands)).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    # the banded self-join reads `e` twice; persist so the 60/64 bit-vote
+    # aggregates (the operator's dominant compute) run once, not per side
+    e = e.persist()
     a, b = e.alias("a"), e.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -5826,10 +5826,28 @@ class Translator:
         the window expr nests inside a larger expression."""
         items = self._projection_pairs(df, stmt, ctx) + list(extra or [])
         tmp: list[tuple[str, str]] = []
+        # ONE Project for all non-generator fields (withColumns), not one
+        # withColumn per field: Catalyst extracts window expressions per
+        # Project, so per-field Projects split same-spec frame aggregates
+        # into SEPARATE Sort+Window passes (q_sliding_window ran 3 sorts +
+        # 3 window scans over the identical (__slb, ts) spec — guide §2.4,
+        # shared partitioning should be established once).  Temp names are
+        # fresh, so the lateral-column-alias-in-window hazard the staging
+        # exists for cannot trigger.  Generator expressions (explode/SRF)
+        # keep their own withColumn — one generator per Project.
+        plain: dict[str, Column] = {}
         for i, (c, n) in enumerate(items):
             t = f"__prj{i}"
-            df = df.withColumn(t, c)
             tmp.append((t, n))
+            if "explode(" in repr(c):
+                if plain:
+                    df = df.withColumns(plain)
+                    plain = {}
+                df = df.withColumn(t, c)
+            else:
+                plain[t] = c
+        if plain:
+            df = df.withColumns(plain)
         return df.select(*[F.col(t).alias(n) for t, n in tmp])
 
     def _projection_pairs(

@@ -1,0 +1,69 @@
+"""Dump .explain("formatted") for headline bench queries (and optionally
+any declared query) to plans/<tag>/<name>_<suffix>.txt.
+
+Usage:
+    python tools/dump_plans.py <tag> <suffix> [query ...]
+
+e.g.  python tools/dump_plans.py r11 before            # all headline queries
+      python tools/dump_plans.py r11 after q_sliding_window
+
+Plans are captured at sf0.01 (plan SHAPE is scale-independent; AQE final
+plans may differ at runtime but the static formatted plan shows Exchange
+count, join strategy, PushedFilters, ReadSchema, and Python nodes — what
+the optimization evidence needs).  Streaming (s_*) queries execute an
+availableNow run, so their "plan" here is the batch result frame; they
+are skipped unless named explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench as benchmod
+import __spark_entry__ as entrymod
+from ekuiper_spark import get_spark
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r11"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
+    names = sys.argv[3:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", tag
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    spark = get_spark("dump_plans")
+    qs = entrymod.queries()
+    all_fns = dict(qs)
+    all_fns.update(benchmod.BENCH_EXTRA)
+    if not names:
+        names = [n for n in benchmod.HEADLINE]
+
+    for name in names:
+        fn = all_fns.get(name)
+        if fn is None:
+            print(f"# unknown query {name}", file=sys.stderr)
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        except Exception as e:
+            plan = f"ERROR capturing plan: {type(e).__name__}: {e}"
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"# wrote {path} ({len(plan)} chars)")
+        spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Split each headline query's wall time into (a) plan construction
+(Python+py4j: parse, translate, analyzer probes, scan setup) and (b)
+execution (the noop write).  Motivated by guide §1: know where the time
+goes before optimizing.  Prints one line per query:
+
+    name  compile_s  exec_s  [reps, medians]
+
+Usage: python tools/profile_split.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench as benchmod
+import __spark_entry__ as entrymod
+from ekuiper_spark import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or list(benchmod.HEADLINE)
+    reps = int(os.environ.get("SPARK_GRAFT_SPLIT_REPS", "3"))
+    spark = get_spark("profile_split")
+    spark.range(1).count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    qs = entrymod.queries()
+    fns = dict(qs)
+    fns.update(benchmod.BENCH_EXTRA)
+
+    rows = []
+    for name in names:
+        fn = fns[name]
+        cts, ets = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            spark.catalog.clearCache()
+            cts.append(t1 - t0)
+            ets.append(t2 - t1)
+        rows.append((name, statistics.median(cts), statistics.median(ets)))
+        print(
+            f"{name:28s} compile {rows[-1][1]:6.3f}s  exec {rows[-1][2]:6.3f}s  "
+            f"(c: {', '.join(f'{x:.3f}' for x in cts)} | e: {', '.join(f'{x:.3f}' for x in ets)})",
+            flush=True,
+        )
+    tot_c = sum(r[1] for r in rows)
+    tot_e = sum(r[2] for r in rows)
+    print(f"{'TOTAL':28s} compile {tot_c:6.3f}s  exec {tot_e:6.3f}s")
+
+
+if __name__ == "__main__":
+    main()
