@@ -62,6 +62,7 @@ class TranslateCtx:
     window_bounds: tuple[Optional[Column], Optional[Column]] = (None, None)
     sliding_frame: Optional[Any] = None  # WindowSpec for over()-style aggs
     sliding_parts: list = dc_field(default_factory=list)  # partition Columns
+    sliding_us_col: Optional[str] = None  # materialized frame order key (dedups sorts)
     frame_first: dict = dc_field(default_factory=dict)  # canon raw ref -> first-of-frame Column
     windowfunc_partition: list = dc_field(default_factory=list)  # window-key col names
     grpord_col: Optional[str] = None  # group-formation-order col (row_number over GROUPS)
@@ -598,16 +599,46 @@ class Translator:
                     if ctx.event_is_long
                     else epoch_us(self._event_ref(ctx))
                 )
-                fkey = F.struct(
-                    us.alias("u"),
-                    *[
-                        F.col(c).alias(f"t{i}")
-                        for i, c in enumerate(ctx.order_cols or [])
-                        if c in df.columns
-                    ],
-                )
+                # Two-stage frame-first extraction.  A min_by keyed on a
+                # STRUCT inside a sliding range frame is evaluated
+                # interpreted per (row x frame-row) — measured ~5x the
+                # cost of the entire remaining window pass at sf1 (struct
+                # allocation per comparison).  Frame edges are integer-µs
+                # range bounds, so a tie group (same partition, same
+                # event-us) is always in or out of a frame AS A WHOLE —
+                # the frame's first row is therefore the canonical first
+                # row of its tie group.  Stage 1 extracts that value once
+                # per tie group (whole-partition frame over (parts, us) —
+                # evaluated once per group, not per row, and its sort is
+                # subsumed by the frame sort); stage 2 runs the per-row
+                # frame min_by on a PLAIN long key, where us ties all
+                # carry the same stage-1 value, keeping determinism.
+                tie_cols = [
+                    F.col(c).alias(f"t{i}")
+                    for i, c in enumerate(ctx.order_cols or [])
+                    if c in df.columns
+                ]
+                # materialize the frame order key once: when both window
+                # stages order by the SAME column attribute the second
+                # Sort canonicalizes away (each Project re-deriving
+                # unix_micros(ts) gets a fresh exprId and forces a
+                # redundant re-sort between the two Window nodes)
+                df = df.withColumn("__slu", us)
+                ctx.sliding_us_col = "__slu"
+                us = F.col("__slu")
+                gparts = ctx.sliding_parts or [F.lit(1)]
+                gspec = W.partitionBy(*gparts, us)
                 dim_canons = {canon(d) for d in (group.dims or [])}
                 fspec = self._sliding_frame_spec(ctx)
+                gf_cols: dict[str, Column] = {}
+
+                def _first_of_frame(val: Column, slot: str) -> Column:
+                    if tie_cols:
+                        gf_cols[slot] = F.min_by(val, F.struct(*tie_cols)).over(gspec)
+                        val = F.col(slot)
+                    return F.min_by(val, us).over(fspec)
+
+                ngf = 0
                 for f in stmt.fields:
                     for ref in self._find_raw_cols(f.expr):
                         key = canon(ref)
@@ -617,19 +648,26 @@ class Translator:
                             ref.name in ctx.aliases or ref.name not in df.columns
                         ):
                             continue
-                        ctx.frame_first[key] = F.min_by(
-                            self._expr(ref, ctx), fkey
-                        ).over(fspec)
+                        ctx.frame_first[key] = _first_of_frame(
+                            self._expr(ref, ctx), f"__gf{ngf}"
+                        )
+                        ngf += 1
                 # hoisted analytic outputs (lag/latest/... hidden columns)
                 # referenced bare beside the aggregates follow the same
                 # Content[0] rule: remap to first-of-frame columns
+                an_remaps: dict[str, Column] = {}
                 for akey, an_out in list(ctx.analytic_map.items()):
                     if an_out in df.columns:
                         nm2 = f"__ff_{an_out.lstrip('_')}"
-                        df = df.withColumn(
-                            nm2, F.min_by(F.col(an_out), fkey).over(fspec)
+                        an_remaps[nm2] = _first_of_frame(
+                            F.col(an_out), f"__gf{ngf}"
                         )
+                        ngf += 1
                         ctx.analytic_map[akey] = nm2
+                if gf_cols:
+                    df = df.withColumns(gf_cols)
+                if an_remaps:
+                    df = df.withColumns(an_remaps)
             if stmt.having is not None:
                 # HAVING over a per-event sliding window gates each
                 # trigger's emission on its frame aggregates (the
@@ -6513,7 +6551,11 @@ class Translator:
         length = w.args[0] * UNIT_SECONDS[w.unit]
         delay = (w.args[1] * UNIT_SECONDS[w.unit]) if len(w.args) > 1 else 0
         # exact integer-microsecond ordering (ties/boundaries deterministic)
-        if ctx.event_is_long:
+        if ctx.sliding_us_col is not None:
+            # pre-materialized key column (frame-first path): one shared
+            # attribute lets every same-spec Sort dedup
+            order = F.col(ctx.sliding_us_col)
+        elif ctx.event_is_long:
             order = self._event_ref(ctx) * 1000  # epoch ms -> micros
         else:
             order = epoch_us(self._event_ref(ctx))
