@@ -45,6 +45,11 @@ def _ensure_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # drop PySpark's per-Column-op call-site capture (3 py4j round trips
+    # per op — ~a third of query-compile time); diagnostics-only feature
+    from ekuiper_spark.session import _disable_dataframe_debugging
+
+    _disable_dataframe_debugging(spark)
     return spark
 
 

@@ -175,11 +175,26 @@ def drop_duplicate_paragraphs(
     paragraphs in original order.  Short paragraphs (< min_words) never
     participate and always survive.
     """
-    dups = paragraph_dup_stats(df, text_col, id_col, min_words)
     parts = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), r"\n+")).alias("__i", "__p"),
     ).withColumn("__h", F.xxhash64(F.lower(F.trim(F.col("__p")))))
+    # split/hash the corpus ONCE: the dup table derives from the same
+    # exploded frame (persisted — it feeds both the aggregate and the
+    # anti-join probe side) instead of paragraph_dup_stats re-splitting
+    # and re-hashing every document in a second full pass.  Equivalent by
+    # construction: explode-then-filter == filter-then-explode over the
+    # same split, and the hash input is identical.
+    parts = parts.persist()
+    dups = (
+        parts.filter(F.size(F.split(F.trim(F.col("__p")), r"\s+")) >= min_words)
+        .groupBy(F.col("__h").alias("para_hash"))
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
     keep = parts.join(
         dups.select("para_hash", "keep_id"),
         (parts["__h"] == dups["para_hash"]) & (parts[id_col] != dups["keep_id"]),

