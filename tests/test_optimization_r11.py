@@ -1,0 +1,117 @@
+"""Round-11 optimization pins: plan-shape and semantics guards for the
+operators whose internals changed this round.
+
+- batch sliding windows: all same-spec frame aggregates share ONE sort
+  (was 3 Sort+Window passes), and the frame-first rule stays
+  deterministic on event-time ties after the plain-key rewrite;
+- self-join dedup ops (jaccard / minhash / simhash): the shared frame is
+  persisted so its pipeline appears ONCE in the plan;
+- paragraph dedup: the corpus is split/hashed once (single posexplode).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekuiper_spark.catalog import Catalog
+from ekuiper_spark.translator import compile_sql
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return Catalog.from_dir(SF)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_batch_sliding_single_sort_single_frame_pass(spark, cat):
+    df = compile_sql(
+        spark,
+        "SELECT event_id, sum(floor(value * 100 + 0.5)) / count(*) / 100 AS avg_1h, "
+        "count(*) AS n_1h FROM events GROUP BY SLIDINGWINDOW(hh, 1)",
+        cat,
+        order_cols=["ts", "event_id"],
+    )
+    plan = _executed_plan(df)
+    # one exchange (the bucket repartition), ONE sort feeding both window
+    # stages (tie-group extraction + frame aggregates); the r10 shape ran
+    # 3 sorts + 3 single-function window passes over the identical spec
+    assert plan.count("+- Sort ") == 1, plan
+    assert plan.count("+- Window ") <= 2, plan
+
+
+def test_sliding_frame_first_deterministic_on_ts_ties(spark):
+    # two events share the frame-opening timestamp: frame-first must pick
+    # the tie-group's canonical first row (order_cols order), not an
+    # arbitrary tie — the plain-key min_by rewrite relies on the staged
+    # group-first extraction for exactly this case
+    rows = [
+        (1, "2024-01-01 10:00:00", 10.0),
+        (2, "2024-01-01 10:00:00", 20.0),  # same ts as event 1
+        (3, "2024-01-01 10:30:00", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, value double").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    c = Catalog()
+    c.register_df("events", df)
+    out = compile_sql(
+        spark,
+        "SELECT event_id, count(*) AS n FROM events GROUP BY SLIDINGWINDOW(hh, 1)",
+        c,
+        order_cols=["ts", "event_id"],
+    ).collect()
+    got = sorted((r["event_id"], r["n"]) for r in out)
+    # range frames are tie-inclusive (both 10:00 events see n=2 — same
+    # as the DuckDB oracle's RANGE window), and every trigger's
+    # frame-first event_id must be the tie group's canonical first row
+    # (event 1 by the order_cols tiebreak) — never event 2
+    assert got == [(1, 2), (1, 2), (1, 3)], got
+
+
+@pytest.mark.parametrize(
+    "build,needle",
+    [
+        ("jaccard", "InMemoryRelation"),
+        ("minhash", "InMemoryRelation"),
+        ("simhash", "InMemoryRelation"),
+    ],
+)
+def test_dedup_self_join_sides_share_cached_frame(spark, build, needle):
+    from ekuiper_spark.datapipe.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    if build == "jaccard":
+        df = jaccard_pairs(docs, threshold=0.8)
+    elif build == "minhash":
+        df = minhash_lsh_pairs(docs, num_hashes=48, bands=16, verify_threshold=0.8)
+    else:
+        df = simhash_near_pairs(docs, max_hamming=3, portable=True)
+    plan = _executed_plan(df)
+    assert needle in plan, f"{build}: shared frame not cached\n{plan[:2000]}"
+    if build == "minhash":
+        # the 48 signature min-aggregates must appear in ONE pipeline copy:
+        # at most one partial+final pair of the signature aggregation
+        assert plan.count("m0#") <= 12, plan.count("m0#")
+    spark.catalog.clearCache()
+
+
+def test_paragraph_dedup_splits_corpus_once(spark):
+    from ekuiper_spark.datapipe.dedup import drop_duplicate_paragraphs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _executed_plan(drop_duplicate_paragraphs(docs))
+    # the dup table derives from the SAME cached exploded frame as the
+    # anti-join probe: exactly one posexplode Generate in the whole plan
+    assert plan.count("posexplode") <= 2, plan.count("posexplode")
+    assert "InMemoryRelation" in plan
+    spark.catalog.clearCache()
