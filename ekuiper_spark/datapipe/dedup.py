@@ -297,19 +297,16 @@ def jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verify candidates on full shingle arrays (candidates << n²).  The
-    # candidate-pair side is the SMALL side by construction (prefix +
-    # length + positional filters keep it near-linear in true pairs);
-    # without the hint Spark size-estimates the cached shingle frame
-    # above the broadcast threshold and sort-merge-joins — shuffling and
-    # sorting the WHOLE shingle table twice just to fetch rows for the
-    # few candidates (observed: 3 SMJ at sf1).  Broadcasting the pairs
-    # keeps the shingle frame unshuffled — the §3.1 "broadcast the side
-    # that fits" call, and the standard PPJoin verify shape.
+    # verify candidates on full shingle arrays (candidates << n²).  NOTE
+    # (r11): forcing F.broadcast(cand) here was tried and REVERTED — an
+    # interleaved A/B at sf1 measured the hinted form ~1 s SLOWER
+    # (med 4.66 s vs 3.50 s): the forced broadcast serializes the whole
+    # candidate pipeline behind a broadcast barrier, while AQE's runtime
+    # SMJ->BHJ conversion already covers the case where the candidate
+    # side is small at real scale.  Leave the strategy to AQE.
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = F.broadcast(cand).join(sa, "id_a")
-    verified = F.broadcast(verified).join(sb, "id_b")
+    verified = cand.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
@@ -493,13 +490,11 @@ def minhash_lsh_pairs(
     if verify_threshold is None:
         return cand.select("id_a", "id_b")
     # re-attach full shingle arrays to the (small) candidate set for the
-    # exact verification; broadcast the candidate side so the shingle
-    # frame is never shuffled/sorted for the lookup (same rationale as
-    # jaccard_pairs' verify step — §3.1)
+    # exact verification (strategy left to AQE — a forced broadcast of
+    # the candidate side measured slower at sf1, see jaccard_pairs)
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    joined = F.broadcast(cand).join(sa, "id_a")
-    joined = F.broadcast(joined).join(sb, "id_b")
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter.cast("double") / union
