@@ -75,11 +75,14 @@ def test_short_eval_example_matches_verbatim(spark):
     assert prof[1] and not prof[2]
 
 
-def test_contamination_plan_broadcasts_eval_side(corpus):
+def test_contamination_plan_single_arrow_pass(corpus):
+    # r12: the profile is ONE mapInArrow pass over (id, text) — no join,
+    # no aggregation exchange, and the corpus columns prune to two
     eval_df, docs = corpus
     plan = contamination_profile(docs, eval_df, n=8)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "MapInArrow" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" not in plan  # counts come out of the Arrow pass
 
 
 def test_eval_hashes_distinct(corpus):

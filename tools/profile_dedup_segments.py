@@ -1,0 +1,197 @@
+"""Segment-level profiling of the sf1 dedup heavies (jaccard / minhash /
+paragraph) + q_count_window: times each pipeline stage in isolation and
+records the partition count of every materialized intermediate, to find
+which stage fails to use the cores (r12 item 1: sf1 c8/c32 ratio ~1.0).
+
+Usage: SPARK_GRAFT_CPUS=32 python tools/profile_dedup_segments.py [jaccard|minhash|paragraph|count]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ekuiper_spark import get_spark
+
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+
+
+def seg(spark, name, df, noop=True):
+    spark.sparkContext.setJobDescription(name)
+    t0 = time.perf_counter()
+    if noop:
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.count()
+    dt = time.perf_counter() - t0
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        nparts = -1
+    print(f"  {name:40s} {dt:7.3f}s  parts={nparts}", flush=True)
+    spark.sparkContext.setJobDescription(None)
+    return dt
+
+
+def profile_jaccard(spark):
+    from pyspark.sql import Window as W
+
+    from ekuiper_spark.datapipe.dedup import shingle_df
+
+    threshold = 0.8  # matches _q_dedup_jaccard in __spark_entry__
+    docs = spark.read.parquet(f"{SF1}/documents.parquet").select("doc_id", "text")
+    sh = shingle_df(docs, "text", "doc_id", 3, hashed=True)
+    sh.persist()
+    seg(spark, "1. shingle_df persist", sh)
+    posts = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    rnk = F.row_number().over(W.partitionBy("id").orderBy("df_", "shingle"))
+    pre = (
+        posts.join(freq, "shingle")
+        .withColumn("__rnk", rnk)
+        .filter(F.col("__rnk") <= prefix_len)
+        .select("id", "n_sh", "shingle", "__rnk")
+    )
+    pre = pre.persist()
+    seg(spark, "2. prefix index persist", pre)
+    alpha = F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    pos_bound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.__rnk"), F.col("b.n_sh") - F.col("b.__rnk")
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+            & (pos_bound >= alpha),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.persist()
+    seg(spark, "3. candidate self-join", cand)
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    out = (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    seg(spark, "4. verify join", out)
+    print(f"  rows: sh={sh.count()}, pre={pre.count()}, cand={cand.count()}, out={out.count()}")
+
+
+def profile_minhash(spark):
+    from ekuiper_spark.datapipe.dedup import _lsh_banded
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet").select("doc_id", "text")
+    # 48 hashes / 16 bands, verify 0.8 — matches _q_dedup_minhash
+    banded, sh = _lsh_banded(docs, "text", "doc_id", 3, 48, 16, True)
+    sh.persist()
+    seg(spark, "1. shingle_df persist", sh)
+    banded = banded.persist()
+    seg(spark, "2. banded signatures persist", banded)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.persist()
+    seg(spark, "3. band self-join", cand)
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    out = (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+    seg(spark, "4. verify join", out)
+    print(f"  rows: sh={sh.count()}, banded={banded.count()}, cand={cand.count()}, out={out.count()}")
+
+
+def profile_paragraph(spark):
+    docs = spark.read.parquet(f"{SF1}/documents.parquet").select("doc_id", "text")
+    parts = docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.col("text"), r"\n+")).alias("__i", "__p"),
+    ).withColumn("__h", F.xxhash64(F.lower(F.trim(F.col("__p")))))
+    parts = parts.persist()
+    seg(spark, "1. exploded paragraphs persist", parts)
+    dups = (
+        parts.filter(F.size(F.split(F.trim(F.col("__p")), r"\s+")) >= 3)
+        .groupBy(F.col("__h").alias("para_hash"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+    dups = dups.persist()
+    seg(spark, "2. dup table", dups)
+    keep = parts.join(
+        dups.select("para_hash", "keep_id"),
+        (parts["__h"] == dups["para_hash"]) & (parts["doc_id"] != dups["keep_id"]),
+        "left_anti",
+    )
+    rebuilt = keep.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__i"), F.col("__p")))),
+                lambda s: s["__p"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    out = docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    seg(spark, "3. anti-join + reassembly", out)
+    print(f"  rows: parts={parts.count()}, dups={dups.count()}")
+
+
+def profile_count(spark):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    df = qs["q_count_window"](spark, SF1)
+    seg(spark, "q_count_window full", df)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "jaccard"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(f"profile_{which}", cpus)
+    spark.range(1).count()
+    spark.read.parquet(f"{SF1}/region.parquet").count()
+    print(f"== {which} @ cpus={cpus}, defaultParallelism={spark.sparkContext.defaultParallelism}, "
+          f"shuffle.partitions={spark.conf.get('spark.sql.shuffle.partitions')} ==")
+    fn = {"jaccard": profile_jaccard, "minhash": profile_minhash,
+          "paragraph": profile_paragraph, "count": profile_count}[which]
+    t0 = time.perf_counter()
+    fn(spark)
+    print(f"  TOTAL {time.perf_counter()-t0:.3f}s")
+    spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
