@@ -49,6 +49,13 @@ HEADLINE = [
     "dp_sim_topk_bruteforce",
     "dp_decontam",
     "dp_paragraph_dedup",
+    # r12 ADDITIONS (never removed/renamed — the driver contract allows
+    # adding queries): the three declared queries that share the r11
+    # sliding/analytic rewrite but had no driver-measured coverage
+    # (VERDICT r11, item 8)
+    "q_sliding_keyed",
+    "q_sliding_trigger",
+    "q_analytic_lag_latest",
 ]
 
 

@@ -17,6 +17,7 @@ in SURVEY.md §1.3:
 
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -130,12 +131,42 @@ class Catalog:
         self._defs: dict[str, StreamDef] = {}
         self._dfs: dict[str, DataFrame] = {}
         self._validation_errors: dict[str, DataFrame] = {}
-        # (session id, path, with_meta|"schema") -> lazy parquet scan
-        # DataFrame / probed StructType; see load()'s parquet branches
-        self._scan_cache: dict[tuple, Any] = {}
+        # session -> {(path, with_meta|"schema") -> lazy parquet scan
+        # DataFrame / probed StructType}; see load()'s parquet branches.
+        # WeakKeyDictionary: a stopped+collected SparkSession drops its
+        # whole sub-cache (an id()-keyed dict could alias a NEW session
+        # onto a dead session's cached frames after id reuse).
+        self._scan_cache: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+    def _session_cache(self, spark: SparkSession) -> dict:
+        c = self._scan_cache.get(spark)
+        if c is None:
+            c = {}
+            self._scan_cache[spark] = c
+        return c
+
+    def _invalidate_scans(self, *paths: str | None) -> None:
+        """Drop cached scan plans/schemas for the given table paths (every
+        session) — called whenever a registration could change what a path
+        means, so re-registered tables re-list their files."""
+        ps = {p for p in paths if p}
+        if not ps:
+            return
+        for c in self._scan_cache.values():
+            for k in [k for k in c if k[0] in ps]:
+                del c[k]
+
+    def clear_scan_cache(self) -> None:
+        """Drop every cached scan plan/schema (all sessions, all paths) —
+        the explicit hook for callers whose table data changes on disk
+        mid-session (batch table paths are otherwise assumed immutable
+        for the life of a session)."""
+        self._scan_cache.clear()
 
     # -- registration ------------------------------------------------------
     def register(self, d: StreamDef) -> None:
+        old = self._defs.get(d.name.lower())
+        self._invalidate_scans(d.path, old.path if old else None)
         self._defs[d.name.lower()] = d
 
     def register_df(self, name: str, df: DataFrame) -> None:
@@ -190,7 +221,9 @@ class Catalog:
         n = name.lower()
         if n not in self._defs and n not in self._dfs:
             raise KeyError(f"unknown stream/table: {name}")
-        self._defs.pop(n, None)
+        old = self._defs.pop(n, None)
+        if old is not None:
+            self._invalidate_scans(old.path)
         self._dfs.pop(n, None)
 
     def unregister_df(self, name: str) -> None:
@@ -449,11 +482,12 @@ class Catalog:
                 # streaming parquet needs an explicit schema: probe via
                 # batch (cached — the probe re-reads footers per compile)
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                sk = (id(spark), d.path, "schema")
-                sch = self._scan_cache.get(sk)
+                scache = self._session_cache(spark)
+                sk = (d.path, "schema")
+                sch = scache.get(sk)
                 if sch is None:
                     sch = spark.read.parquet(d.path).schema
-                    self._scan_cache[sk] = sch
+                    scache[sk] = sch
                 reader = reader.schema(sch)
             elif d.format == "json":
                 # schemaless stream (Options.IsSchemaLess,
@@ -482,13 +516,16 @@ class Catalog:
             # path and re-reads footers for schema inference (~0.15 s per
             # call warm), and a query compiling N tables pays it N times
             # per compile.  The cached object is a LAZY scan plan (every
-            # action still reads the parquet files); keyed by session id
-            # so a new SparkSession never sees a stale binding.
-            ck = (id(spark), d.path, with_meta)
-            df = self._scan_cache.get(ck)
+            # action still reads the parquet files); keyed per live
+            # session (weakly) so a new SparkSession never sees a stale
+            # binding, and invalidated by register()/unregister() of the
+            # path (see _invalidate_scans).
+            scache = self._session_cache(spark)
+            ck = (d.path, with_meta)
+            df = scache.get(ck)
             if df is None:
                 df = self._read_parquet(spark, d.path, with_meta=with_meta)
-                self._scan_cache[ck] = df
+                scache[ck] = df
             return df
         if d.format == "json":
             if d.schema is None and self._dynamic_opt(d):

@@ -1,0 +1,41 @@
+"""Registry of datapipe-persisted frames (see release_caches).
+
+The dedup operators ``persist()`` narrow intermediate frames that both
+sides of a self-join consume (prefix/banded indexes, exploded
+paragraphs).  Spark evicts them under memory pressure (MEMORY_AND_DISK),
+but a long-lived session compiling many rules should release them
+explicitly between corpus passes: every persist registers here (weakly)
+and :func:`release_caches` unpersists whatever is still alive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# persisted intermediates (STRONG refs: the builder's local frame objects
+# die with the builder, but the JVM-side cached plan lives until
+# unpersisted — the registry must outlive the locals so release_caches
+# can find it; entries are a few plan handles per compiled operator and
+# the list is cleared on release)
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """persist() + register for :func:`release_caches`."""
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every datapipe-persisted frame still alive; returns the
+    count released.  Non-blocking: block eviction completes asynchronously."""
+    n = 0
+    for df in list(_PERSISTED):
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass  # session already stopped; nothing to release
+    _PERSISTED.clear()
+    return n

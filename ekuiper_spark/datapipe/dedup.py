@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ekuiper_spark.datapipe._cache import _track_persist
 from ekuiper_spark.datapipe.textstats import fanout_for_compute, normalize_text, tokens
 
 
@@ -185,7 +186,7 @@ def drop_duplicate_paragraphs(
     # and re-hashing every document in a second full pass.  Equivalent by
     # construction: explode-then-filter == filter-then-explode over the
     # same split, and the hash input is identical.
-    parts = parts.persist()
+    parts = _track_persist(parts)
     dups = (
         parts.filter(F.size(F.split(F.trim(F.col("__p")), r"\s+")) >= min_words)
         .groupBy(F.col("__h").alias("para_hash"))
@@ -246,7 +247,7 @@ def jaccard_pairs(
     from pyspark.sql import Window as W
 
     sh = shingle_df(df, text_col, id_col, k, hashed=True)
-    sh.persist()
+    sh = _track_persist(sh)
     posts = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
     freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     # canonical order: rarest-first (document frequency ascending).  The
@@ -271,7 +272,7 @@ def jaccard_pairs(
     # posting list (id, n_sh, shingle, rnk — fixed-width rows) halves
     # that work at any scale (the PPJoin prefix index is exactly what
     # the literature materializes).
-    pre = pre.persist()
+    pre = _track_persist(pre)
     # PPJoin length filter: J(a,b) >= t requires t*|a| <= |b| (sets whose
     # sizes differ too much cannot reach the threshold); PPJoin POSITIONAL
     # filter: a match at canonical ranks (i, j) bounds the overlap by
@@ -448,14 +449,15 @@ def minhash_lsh_pairs(
     """
     banded, sh = _lsh_banded(df, text_col, id_col, k, num_hashes, bands, fanout)
     if verify_threshold is not None:
-        sh.persist()
+        sh = _track_persist(sh)
     if bucket_cap is not None:
         from pyspark.sql import Window as W
 
         ranked = banded.withColumn(
             "__rn",
             F.row_number().over(W.partitionBy("band", "bh").orderBy("id")),
-        ).persist()
+        )
+        ranked = _track_persist(ranked)
         dropped = ranked.filter(F.col("__rn") > bucket_cap).count()
         if dropped:
             import warnings
@@ -474,7 +476,7 @@ def minhash_lsh_pairs(
     # explode) runs once PER SIDE — the dominant compute of the whole
     # operator, duplicated.  (id, band, bh) rows are 24 bytes; caching
     # them is free next to recomputing the signatures.
-    banded = banded.persist()
+    banded = _track_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -660,7 +662,7 @@ def simhash_near_pairs(
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
     # the banded self-join reads `e` twice; persist so the 60/64 bit-vote
     # aggregates (the operator's dominant compute) run once, not per side
-    e = e.persist()
+    e = _track_persist(e)
     a, b = e.alias("a"), e.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

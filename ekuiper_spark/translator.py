@@ -91,6 +91,7 @@ class TranslateCtx:
     deferred_where: Optional[Any] = None  # WHERE kept ABOVE count/sliding windows (filters window CONTENT)
     deferred_prefilter: Optional[str] = None  # WHERE routed into the stateful op post-analytics (fused-analytic state sees all rows)
     count_fast: bool = False  # aggregated COUNTWINDOW: fullness check + bounds on the post-agg frame
+    session_fast: Any = None  # aggregated capped SESSIONWINDOW: True = requested; (timeout_us, cap_us) = active (bounds from min/max aggregates instead of two extra Window passes + a re-sort)
     flat_col_map: dict = dc_field(default_factory=dict)  # (qualified|bare) name -> flat column (post-stateful-join)
     finalized: bool = False  # source loading fully translated the statement
 
@@ -3740,6 +3741,17 @@ class Translator:
                 and ctx.deferred_where is None
                 and len(window.args) == 1
             )
+            # aggregated capped session: the per-session bounds are plain
+            # min/max of the session's event times, so they can ride the
+            # aggregation itself instead of two extra Window passes plus a
+            # re-sort (only when no AGGREGATE ARGUMENT reads the window
+            # struct pre-agg, e.g. min(window_start()))
+            ctx.session_fast = (
+                window.kind == "session"
+                and len(window.args) >= 2
+                and not self.streaming
+                and not self._agg_args_use_window_meta(stmt)
+            )
             df, wnames = self._window_key(df, window, ctx)
             group_cols.extend(wnames)
 
@@ -3937,10 +3949,37 @@ class Translator:
                 agg_exprs.append(F.min(F.col(ec)).alias("__submin"))
                 agg_exprs.append(F.max(F.col(ec)).alias("__submax"))
 
+        if isinstance(ctx.session_fast, tuple):
+            # capped-session bounds from the aggregation itself (see
+            # _session_capped): first/last event time per session
+            agg_exprs.append(F.min(F.col("__us")).alias("__semin"))
+            agg_exprs.append(F.max(F.col("__us")).alias("__semax"))
+
         # (count-window fullness is otherwise enforced in _window_key, on
         # the whole window — a GROUP BY dim sub-groups the window contents
         # and must not affect the full-window check)
         gdf = df.groupBy(*[F.col(c) for c in group_cols]).agg(*agg_exprs) if group_cols else df.groupBy().agg(*agg_exprs)
+
+        if isinstance(ctx.session_fast, tuple):
+            # rebuild the session window struct from the per-group bounds:
+            # start = session-open rule (first event, or the previous
+            # force-close tick for follow-up sessions); end = min(last
+            # event + timeout, force-close tick)
+            timeout_us, cap_us = ctx.session_fast
+            start_us = F.when(
+                F.col("__sess") > 0, F.col("__sb") * cap_us
+            ).otherwise(F.col("__semin"))
+            end_us = F.least(
+                F.col("__semax") + timeout_us, (F.col("__sb") + 2) * cap_us
+            )
+            gdf = gdf.withColumn(
+                "window",
+                F.struct(
+                    F.timestamp_micros(start_us).alias("start"),
+                    F.timestamp_micros(end_us).alias("end"),
+                ),
+            ).drop("__semin", "__semax")
+            ctx.session_fast = None
 
         if ctx.count_fast:
             # full-window check + count-window range on the tiny post-agg
@@ -5342,6 +5381,7 @@ class Translator:
             # With interval > length the shadow depth grows to
             # ceil(timeout/cap) buckets; still bounded row duplication,
             # never a single partition.
+            ctx.session_fast = None  # deferred bounds apply to the keyed path only
             return self._session_capped_unkeyed(df, e, cap_us, timeout_us, ctx)
         # ONE sort drives the whole island -> run -> session derivation:
         # every key in the chain is MONOTONE in event time per partition,
@@ -5355,18 +5395,27 @@ class Translator:
         df = df.withColumn("__us", e)
         wp = W.partitionBy(*parts).orderBy("__us")
         run_f = wp.rowsBetween(W.unboundedPreceding, 0)
-        prev = F.lag("__us").over(wp)
+        # the previous event time is materialized ONCE; every later
+        # "previous row" value in the chain that is a pure function of it
+        # (previous bucket, previous session id) derives arithmetically
+        # instead of via its own lag — each avoided lag over an
+        # already-consumed column is a whole extra Window pass (r12:
+        # 10 Window nodes -> 6 in the aggregated plan)
+        df = df.withColumn("__prev", F.lag("__us").over(wp))
+        prev = F.col("__prev")
         new_isl = (prev.isNull() | ((F.col("__us") - prev) > timeout_us)).cast("int")
         df = df.withColumn("__nisl", new_isl)
         df = df.withColumn("__isl", F.sum("__nisl").over(run_f))
         df = df.withColumn("__bkt", F.floor(F.col("__us") / cap_us))
         # dense_rank(__bkt) within (parts, __isl): __bkt is non-decreasing
         # in __us, so rank = running count of bucket starts since the
-        # island opened
+        # island opened.  The previous row's bucket is floor(__prev / cap)
+        # — no second lag pass.
+        prev_bkt = F.floor(prev / cap_us)
         chg = (
             (F.col("__nisl") == 1)
-            | F.lag("__bkt").over(wp).isNull()
-            | (F.col("__bkt") != F.lag("__bkt").over(wp))
+            | prev.isNull()
+            | (F.col("__bkt") != prev_bkt)
         ).cast("int")
         df = df.withColumn("__chg", chg)
         df = df.withColumn("__cnt", F.sum("__chg").over(run_f))
@@ -5398,13 +5447,40 @@ class Translator:
         )
         df = df.withColumn("__sess", F.col("__sess") - on_tick.cast("long"))
         df = df.withColumn("__sb", F.col("__rf") + F.col("__sess") * 2)  # session start bucket
+        if ctx.session_fast:
+            # aggregated consumer: the session bounds are min/max of the
+            # group's event times plus per-group constants (__sb), so they
+            # ride the aggregation as hidden min/max(__us) aggregates and
+            # the window struct is rebuilt post-agg (see _grouped) —
+            # saving the session-first/lag passes, the re-sort and the
+            # whole-group max Window below.
+            ctx.session_fast = (timeout_us, cap_us)
+            ctx.window_col = "window"
+            df = df.drop(
+                "__prev", "__bkt", "__nisl", "__chg", "__cnt", "__cnt0",
+                "__nrun", "__rf",
+            )
+            return df, ["__isl", "__run", "__sess", "__sb"]
         # session-first event: sessions are CONTIGUOUS in __us order (the
         # on-tick correction only pulls a bucket's leading tick rows back
         # one session, keeping the sequence monotone), so the opening
-        # event is a running last(ignoreNulls) — no extra sort
+        # event is a running last(ignoreNulls) — no extra sort.  The
+        # previous row's session id derives from __prev arithmetically:
+        # when __nrun = 0 the previous row shares this row's run (hence
+        # its __rf), so prev_sess = pairing(prev_bkt) under the same
+        # __rf; when __nrun = 1 the disjunct short-circuits and the
+        # derived value is irrelevant.
+        prev_on_tick = (
+            ((prev % cap_us) == 0)
+            & (((prev_bkt - F.col("__rf")) % 2) == 0)
+            & (prev_bkt > F.col("__rf"))
+        )
+        prev_sess = (
+            F.floor((prev_bkt - F.col("__rf")) / F.lit(2)) - prev_on_tick.cast("long")
+        )
         new_sess = (
             (F.col("__nrun") == 1)
-            | (F.col("__sess") != F.lag("__sess").over(wp))
+            | (F.col("__sess") != prev_sess)
         )
         df = df.withColumn("__nsess", new_sess.cast("int"))
         first_us = F.last(
@@ -5437,8 +5513,8 @@ class Translator:
                 F.timestamp_micros(end_us).alias("end"),
             ),
         ).drop(
-            "__us", "__bkt", "__sb", "__nisl", "__chg", "__cnt", "__cnt0",
-            "__nrun", "__rf", "__nsess",
+            "__us", "__prev", "__bkt", "__sb", "__nisl", "__chg", "__cnt",
+            "__cnt0", "__nrun", "__rf", "__nsess",
         )
         ctx.window_col = "window"
         return df, ["__isl", "__run", "__sess", "window"]
@@ -5862,7 +5938,13 @@ class Translator:
         output alias would otherwise trip Spark's lateral-column-alias
         check (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW) when
         the window expr nests inside a larger expression."""
-        items = self._projection_pairs(df, stmt, ctx) + list(extra or [])
+        pairs = self._projection_pairs(df, stmt, ctx)
+        # generator (SRF) fields are TAGGED at construction time
+        # (_projection_pairs records their indices) — not sniffed from the
+        # Column repr, which would silently mis-batch a future non-explode
+        # generator (posexplode_outer/inline/stack) into a shared Project
+        gens = set(self._projection_gen_idx)
+        items = pairs + list(extra or [])
         tmp: list[tuple[str, str]] = []
         # ONE Project for all non-generator fields (withColumns), not one
         # withColumn per field: Catalyst extracts window expressions per
@@ -5877,7 +5959,7 @@ class Translator:
         for i, (c, n) in enumerate(items):
             t = f"__prj{i}"
             tmp.append((t, n))
-            if "explode(" in repr(c):
+            if i in gens:
                 if plain:
                     df = df.withColumns(plain)
                     plain = {}
@@ -5891,7 +5973,12 @@ class Translator:
     def _projection_pairs(
         self, df: DataFrame, stmt: SelectStatement, ctx: TranslateCtx
     ) -> list[tuple[Column, str]]:
-        """(aliased Column, output name) per projected field."""
+        """(aliased Column, output name) per projected field.
+
+        Generator (SRF) fields record their OUTPUT INDEX in
+        ``self._projection_gen_idx`` so _project_staged can give each its
+        own Project without inspecting Column reprs."""
+        self._projection_gen_idx: set[int] = set()
         out: list[tuple[Column, str]] = []
         for f in stmt.fields:
             if f.invisible:
@@ -5958,8 +6045,10 @@ class Translator:
                     base = F.coalesce(
                         inner, F.array(F.lit(None).cast(arg_dt.elementType))
                     )
+                    self._projection_gen_idx.add(len(out))
                     out.append((F.explode(base).alias(name), name))
                     continue
+                self._projection_gen_idx.add(len(out))
                 out.append((F.explode(inner).alias(name), name))
                 continue
             if isinstance(f.expr, FuncCall) and f.expr.name == "changed_cols":
@@ -6205,6 +6294,24 @@ class Translator:
 
         walk(node)
         return out
+
+    def _agg_args_use_window_meta(self, stmt) -> bool:
+        """True when any aggregate ARGUMENT (select/having/order) reads the
+        window struct (window_start()/window_end()/... inside an agg call)
+        — those must resolve pre-agg, so the deferred session-bounds
+        construction cannot apply."""
+        meta = set(fregistry.WINDOW_META) | {"event_time"}
+        exprs = [f.expr for f in stmt.fields]
+        if stmt.having is not None:
+            exprs.append(stmt.having)
+        for s in getattr(stmt, "order_by", None) or []:
+            exprs.append(s.expr)
+        for e in exprs:
+            for call in self._find_aggs(e):
+                for arg in call.args:
+                    if any(self._find_fn_calls(arg, m) for m in meta):
+                        return True
+        return False
 
     def _find_raw_cols(self, node: Node) -> list[ColumnRef]:
         """Column refs OUTSIDE aggregate calls (the refs that need the

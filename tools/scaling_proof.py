@@ -1,0 +1,121 @@
+"""Evidence tool for the r12 core-scaling question (VERDICT r11 item 1):
+shows that the sf1 dedup heavies are fully parallel (32-task stages, no
+skew) and that per-task runtime inflates ~3x from 8 to 32 concurrent
+threads for string/array-heavy work on this host — i.e. the c8/c32 wall
+ratio is bounded by a shared-resource ceiling (memory bandwidth / SMT /
+noisy neighbor), not by the plans.
+
+Runs, at each core count (8, 32):
+  1. a cache-friendly pure-CPU control (sha2 over a long column);
+  2. the full dp_dedup_jaccard bench query at sf1 (warm reps);
+and prints per-run wall + total executorRunTime (from the UI REST API),
+plus the per-stage task table of the final warm jaccard rep.
+
+Usage: python tools/scaling_proof.py [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+import urllib.request
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1 = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+API = "http://localhost:4040/api/v1"
+
+
+def _stages(after_sid: int):
+    apps = json.load(urllib.request.urlopen(f"{API}/applications"))
+    stages = json.load(
+        urllib.request.urlopen(f"{API}/applications/{apps[0]['id']}/stages?status=complete")
+    )
+    new = sorted((s for s in stages if s["stageId"] > after_sid), key=lambda s: s["stageId"])
+    last = max((s["stageId"] for s in stages), default=after_sid)
+    return new, last
+
+
+def run(cpus: int) -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"scaling_proof_{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .config("spark.ui.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from ekuiper_spark.datapipe.dedup import jaccard_pairs
+
+    spark.range(1).count()
+    sid = -1
+
+    # 1. pure-CPU control
+    walls, runts = [], []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 20_000_000, 1, cpus).select(
+            F.sum(F.length(F.sha2(F.col("id").cast("string"), 256)))
+        ).write.format("noop").mode("overwrite").save()
+        walls.append(time.perf_counter() - t0)
+        st, sid = _stages(sid)
+        runts.append(sum(s["executorRunTime"] for s in st) / 1000)
+    print(
+        f"cpus={cpus} control(sha2): wall_med={statistics.median(walls[1:]):.3f}s "
+        f"runtime_med={statistics.median(runts[1:]):.1f} core-s "
+        f"(walls {['%.2f' % w for w in walls]})",
+        flush=True,
+    )
+
+    # 2. dp_dedup_jaccard at sf1
+    docs = spark.read.parquet(f"{SF1}/documents.parquet").select("doc_id", "text")
+    walls, runts, last_stages = [], [], []
+    for rep in range(4):
+        t0 = time.perf_counter()
+        jaccard_pairs(docs, threshold=0.8).write.format("noop").mode("overwrite").save()
+        walls.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        st, sid = _stages(sid)
+        runts.append(sum(s["executorRunTime"] for s in st) / 1000)
+        last_stages = st
+    print(
+        f"cpus={cpus} jaccard@sf1:  wall_med={statistics.median(walls[1:]):.3f}s "
+        f"runtime_med={statistics.median(runts[1:]):.1f} core-s "
+        f"(walls {['%.2f' % w for w in walls]})",
+        flush=True,
+    )
+    print(f"  final warm rep, per-stage ({len(last_stages)} stages):")
+    for s in last_stages:
+        wall = 0.0
+        if s.get("firstTaskLaunchedTime") and s.get("completionTime"):
+            t1 = datetime.strptime(
+                s["firstTaskLaunchedTime"].replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f"
+            )
+            t2 = datetime.strptime(
+                s["completionTime"].replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f"
+            )
+            wall = (t2 - t1).total_seconds()
+        print(
+            f"    id={s['stageId']:>4} tasks={s['numCompleteTasks']:>3} "
+            f"wall={wall * 1000:>6.0f}ms runtime={s['executorRunTime']:>7}ms "
+            f"shR={s['shuffleReadBytes'] / 1e6:>6.1f}MB shW={s['shuffleWriteBytes'] / 1e6:>6.1f}MB",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    print(f"loadavg at start: {os.getloadavg()[0]:.2f}", flush=True)
+    for cpus in (32, 8):
+        run(cpus)
