@@ -1520,7 +1520,24 @@ class Translator:
         trig = trig_parts[0]
         for _p in trig_parts[1:]:
             trig = trig.unionAll(_p)
-        trig = trig.withColumn("__ttid", F.monotonically_increasing_id())
+        # DETERMINISTIC per-timestamp ids: the trigger relation carries only
+        # __tu, so trigger identity merely has to keep equal-timestamp
+        # arrivals distinct — k arrivals at u become (u, 1..k).  The ids are
+        # interchangeable (each same-u trigger's frame is identical), so the
+        # output is invariant to which arrival gets which id.  The previous
+        # monotonically_increasing_id() was only consistent across the two
+        # membership joins while the persisted relation was never
+        # recomputed; a recompute could re-id triggers mid-query and
+        # null-extend LEFT-join frames (flaked once in a full-suite run,
+        # tests/test_stream_stream_join.py::test_batch_sliding_join_three_streams_duckdb).
+        trig = (
+            trig.groupBy("__tu")
+            .agg(F.count(F.lit(1)).alias("__tn"))
+            .select(
+                "__tu",
+                F.explode(F.sequence(F.lit(1), F.col("__tn"))).alias("__ttid"),
+            )
+        )
         if gap_spec is not None:
             k_us, ge = gap_spec
             trig = self._sequential_throttle(
@@ -3884,7 +3901,22 @@ class Translator:
             for f2 in stmt.fields:
                 for c2 in self._find_fn_calls(f2.expr, "row_number"):
                     rn_calls.setdefault(canon(c2), c2)
-            if rn_calls:
+            if rn_calls and window.kind == "session":
+                # dims KEY the sessionizer (engine-wide convention — the
+                # gaps-and-islands chain partitions by the dims), so every
+                # emitted session window holds exactly ONE group and the
+                # group rank is constant 1, same as the streaming stateful
+                # path pins it.  This must NOT rank over the session chain
+                # keys (__isl/__run/__sess/__sb): those are per-dim
+                # counters that collide across dims — two dims' first
+                # sessions share (isl=1, run=1, sess=0) and would rank
+                # 1..k (r12 regression caught by
+                # test_stream_session_dims_row_number_const1).  Skipping
+                # the __grpord aggregate + rank Window is also one fewer
+                # pass.
+                for ckey in rn_calls:
+                    ctx.rank_const1.add(ckey)
+            elif rn_calls:
                 okey2 = okey_col if (agg_nodes or dim_names) else None
                 if okey2 is not None:
                     # UNIQUE formation key: the event order key plus the
