@@ -498,7 +498,11 @@ def minhash_lsh_pairs(
     sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     joined = cand.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # shingle arrays are array_distinct sets, so |a ∪ b| = |a| + |b| − |a ∩ b|
+    # exactly — deriving the union arithmetically drops the second per-pair
+    # hash-set build (array_union) from the verify, the operator's dominant
+    # compute (same form jaccard_pairs already uses)
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
     return (
         joined.withColumn("jaccard", F.round(jac, 6))

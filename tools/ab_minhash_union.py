@@ -1,0 +1,91 @@
+"""Interleaved A/B: minhash verify union via array_union (old) vs the
+arithmetic |a|+|b|-inter form (new).  Both run against the same session /
+data; reports per-variant median wall and asserts identical outputs once.
+
+Usage: python tools/ab_minhash_union.py [sf_dir] [reps]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ekuiper_spark import get_spark
+from ekuiper_spark.datapipe import dedup as dd
+
+
+def _pairs(spark, sf_dir, arithmetic: bool):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    banded, sh = dd._lsh_banded(docs, "text", "doc_id", 3, 48, 16, True)
+    sh = dd._track_persist(sh)
+    banded = dd._track_persist(banded)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    if arithmetic:
+        union = F.size("sh_a") + F.size("sh_b") - inter
+    else:
+        union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    spark = get_spark("ab_minhash_union")
+    spark.range(1).count()
+
+    old_rows = {tuple(r) for r in _pairs(spark, sf_dir, False).collect()}
+    spark.catalog.clearCache()
+    new_rows = {tuple(r) for r in _pairs(spark, sf_dir, True).collect()}
+    spark.catalog.clearCache()
+    assert old_rows == new_rows, (
+        f"output mismatch: {len(old_rows)} old vs {len(new_rows)} new rows"
+    )
+    print(f"outputs identical: {len(new_rows)} pairs", flush=True)
+
+    walls: dict[str, list[float]] = {"array_union": [], "arithmetic": []}
+    for i in range(reps):
+        for tag, arith in (("array_union", False), ("arithmetic", True)):
+            with open("/proc/loadavg") as fh:
+                load = fh.read().split()[0]
+            t0 = time.perf_counter()
+            _pairs(spark, sf_dir, arith).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            walls[tag].append(dt)
+            print(f"rep {i} {tag:12s} {dt:6.3f}s (load {load})", flush=True)
+    for tag, ts in walls.items():
+        print(
+            f"{tag:12s} median {statistics.median(ts):.3f}s  "
+            f"min {min(ts):.3f}s  ({', '.join(f'{t:.3f}' for t in ts)})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
