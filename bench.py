@@ -50,10 +50,15 @@ HEADLINE = [
     "dp_decontam",
     "dp_paragraph_dedup",
     # r12 ADDITIONS (never removed/renamed — the driver contract allows
-    # adding queries): the three declared queries that share the r11
-    # sliding/analytic rewrite but had no driver-measured coverage
-    # (VERDICT r11, item 8)
-    "q_sliding_keyed",
+    # adding queries): declared queries that share the r11 sliding/analytic
+    # rewrite but had no driver-measured coverage (VERDICT r11, item 8).
+    # q_sliding_keyed was trialled here too and PULLED BACK before any
+    # driver-measured round included it: its output is inherently
+    # ~cardinality(events) x active-users-per-frame (measured 6.9M rows at
+    # sf0.1, 68.8M at sf1, ~34x its unkeyed sibling's wall at sf1), so it
+    # benchmarks result materialization, not an operator — it would drown
+    # every other query's signal.  Its path stays covered by
+    # q_sliding_trigger / q_sliding_window; see OPTIMIZATION_r12.md.
     "q_sliding_trigger",
     "q_analytic_lag_latest",
 ]
