@@ -27,13 +27,16 @@ def _track_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return df
 
 
-def release_caches() -> int:
+def release_caches(blocking: bool = False) -> int:
     """Unpersist every datapipe-persisted frame still alive; returns the
-    count released.  Non-blocking: block eviction completes asynchronously."""
+    count released.  Non-blocking by default (block eviction completes
+    asynchronously); pass ``blocking=True`` to wait for removal — useful
+    in tests and teardown paths that assert the cache returned to
+    baseline."""
     n = 0
     for df in list(_PERSISTED):
         try:
-            df.unpersist(blocking=False)
+            df.unpersist(blocking=blocking)
             n += 1
         except Exception:
             pass  # session already stopped; nothing to release

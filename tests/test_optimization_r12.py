@@ -40,9 +40,11 @@ def test_dedup_release_caches_returns_to_baseline(spark):
         minhash_lsh_pairs(docs, num_hashes=16, bands=8, verify_threshold=0.8).count()
         drop_duplicate_paragraphs(docs).count()
     assert _n_persistent(spark) > 0
-    assert release_caches() > 0
-    # unpersist(blocking=False): give the async eviction a moment
-    for _ in range(50):
+    # blocking=True: waits for block removal, so the baseline check is
+    # deterministic (the non-blocking default flaked once under heavy
+    # host load — one RDD still listed after a 5 s poll)
+    assert release_caches(blocking=True) > 0
+    for _ in range(100):
         if _n_persistent(spark) == 0:
             break
         time.sleep(0.1)
